@@ -1,0 +1,227 @@
+"""Content-kind detection, text extraction, outlink parsing (SURVEY.md M5–M7).
+
+FROZEN EXTRACTOR SPEC — this module defines the byte-identical ``text``
+invariant of the whole engine (BASELINE.json input_hint: "byte-identical
+extracted text per url").  The fixture generator calls THESE functions to
+populate the pages table's golden ``text`` column (SURVEY.md §5.3), and
+``tests/golden/extract_cases/`` pins html→text pairs byte-for-byte.
+Any change here is a breaking spec change.
+
+Reference parity: the upstream app (`opps/opps-feedcrawler`, empty
+checkout — SURVEY.md §0) normalized RSS/Atom entries via feedparser into
+title/summary rows; ``extract_feed_text`` reproduces that
+title+summary-per-entry semantics with stdlib ``xml.etree``.  HTML pages
+(which the upstream never handled itself) use the documented
+stdlib-``html.parser`` visible-text spec below.
+
+HTML → text spec:
+  * bytes are decoded UTF-8 with ``errors="replace"``;
+  * content inside ``script style template head noscript svg`` is dropped
+    (the whole ``<head>``, including ``<title>``, is dropped);
+  * entering or leaving a block-level element emits a newline
+    (p div li ul ol h1–h6 tr table thead tbody section article header
+    footer blockquote pre hr br nav aside main figure figcaption dl dt dd
+    form fieldset address);
+  * character/entity references are unescaped (``html.parser``
+    convert_charrefs);
+  * whitespace normalization: runs of blanks/tabs collapse to one space,
+    each line is stripped, empty lines are removed, lines join with
+    ``"\n"``, result has no leading/trailing whitespace.
+
+RSS/Atom → text spec: feed title first, then per entry/item:
+``title`` line then ``summary``/``description``/``content`` line, in
+document order; same whitespace normalization applied to the joined text.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+import xml.etree.ElementTree as ET
+from html.parser import HTMLParser
+from urllib.parse import urljoin
+
+DROP_TAGS = frozenset({"script", "style", "template", "head", "noscript", "svg"})
+BLOCK_TAGS = frozenset(
+    "p div li ul ol h1 h2 h3 h4 h5 h6 tr table thead tbody section article "
+    "header footer blockquote pre hr br nav aside main figure figcaption "
+    "dl dt dd form fieldset address".split()
+)
+VOID_TAGS = frozenset("br hr img input meta link area base col embed source track wbr".split())
+
+_WS_RUN = re.compile(r"[ \t\r\f\v]+")
+
+
+def normalize_ws(s: str) -> str:
+    """The frozen whitespace normalization (last step of every extractor)."""
+    s = _WS_RUN.sub(" ", s)
+    lines = [ln.strip() for ln in s.split("\n")]
+    return "\n".join(ln for ln in lines if ln)
+
+
+class _TextExtractor(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.parts: list[str] = []
+        self._drop_depth = 0
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in DROP_TAGS:
+            if tag not in VOID_TAGS:
+                self._drop_depth += 1
+            return
+        if tag in BLOCK_TAGS:
+            self.parts.append("\n")
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in DROP_TAGS:
+            if tag not in VOID_TAGS and self._drop_depth > 0:
+                self._drop_depth -= 1
+            return
+        if tag in BLOCK_TAGS:
+            self.parts.append("\n")
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        if tag in BLOCK_TAGS:
+            self.parts.append("\n")
+
+    def handle_data(self, data: str) -> None:
+        if self._drop_depth == 0:
+            self.parts.append(data)
+
+
+class _LinkExtractor(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.hrefs: list[str] = []
+
+    def _grab(self, tag: str, attrs) -> None:
+        if tag == "a":
+            for k, v in attrs:
+                if k == "href" and v:
+                    self.hrefs.append(v)
+
+    handle_starttag = _grab
+    handle_startendtag = _grab
+
+
+def decode_bytes(b: bytes | str) -> str:
+    if isinstance(b, str):
+        return b
+    return b.decode("utf-8", "replace")
+
+
+def detect_kind(url: str, body: bytes | str) -> str:
+    """Classify page bytes: 'robots' | 'rss' | 'atom' | 'html' (M7)."""
+    if url.endswith("/robots.txt"):
+        return "robots"
+    head = decode_bytes(body[:512] if isinstance(body, (bytes, bytearray)) else body[:512])
+    head = head.lstrip("﻿ \t\r\n").lower()
+    if head.startswith("<?xml"):
+        j = head.find("?>")
+        head = head[j + 2 :].lstrip() if j != -1 else head
+    if head.startswith("<rss"):
+        return "rss"
+    if head.startswith("<feed"):
+        return "atom"
+    return "html"
+
+
+def extract_html_text(body: bytes | str) -> str:
+    p = _TextExtractor()
+    p.feed(decode_bytes(body))
+    p.close()
+    return normalize_ws("".join(p.parts))
+
+
+def _local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1] if "}" in tag else tag
+
+
+def extract_feed_text(body: bytes | str) -> str:
+    """RSS 2.0 / Atom → text per the module spec; malformed XML → ''."""
+    try:
+        root = ET.fromstring(decode_bytes(body))
+    except ET.ParseError:
+        return ""
+    parts: list[str] = []
+    kind = _local(root.tag).lower()
+    if kind == "rss":
+        channel = next((c for c in root if _local(c.tag) == "channel"), None)
+        if channel is not None:
+            for c in channel:
+                if _local(c.tag) == "title" and c.text:
+                    parts.append(c.text)
+                    break
+            for item in channel:
+                if _local(item.tag) != "item":
+                    continue
+                for want in ("title", "description"):
+                    for c in item:
+                        if _local(c.tag) == want and c.text:
+                            parts.append(c.text)
+                            break
+    elif kind == "feed":  # Atom
+        for c in root:
+            if _local(c.tag) == "title" and c.text:
+                parts.append(c.text)
+                break
+        for entry in root:
+            if _local(entry.tag) != "entry":
+                continue
+            for want in ("title", "summary", "content"):
+                for c in entry:
+                    if _local(c.tag) == want and c.text:
+                        parts.append(c.text)
+                        break
+    return normalize_ws("\n".join(_html.unescape(p) for p in parts))
+
+
+def extract_text(url: str, body: bytes | str, kind: str | None = None) -> str:
+    """THE extractor (M6): dispatch on kind; robots bodies extract to ''."""
+    if kind is None:
+        kind = detect_kind(url, body)
+    if kind == "robots":
+        return ""
+    if kind in ("rss", "atom"):
+        return extract_feed_text(body)
+    return extract_html_text(body)
+
+
+def parse_links(url: str, body: bytes | str, kind: str | None = None) -> list[str]:
+    """Outlink extraction (M5): absolute http(s) URLs, document order,
+    de-duplicated first-occurrence-wins within the page."""
+    if kind is None:
+        kind = detect_kind(url, body)
+    raw: list[str] = []
+    if kind == "robots":
+        return []
+    text = decode_bytes(body)
+    if kind in ("rss", "atom"):
+        try:
+            root = ET.fromstring(text)
+        except ET.ParseError:
+            return []
+        for el in root.iter():
+            if _local(el.tag) == "link":
+                href = el.get("href") or (el.text or "").strip()
+                if href:
+                    raw.append(href)
+    else:
+        p = _LinkExtractor()
+        p.feed(text)
+        p.close()
+        raw = p.hrefs
+    out: list[str] = []
+    seen: set[str] = set()
+    for href in raw:
+        href = href.strip()
+        if not href or href.startswith("#"):
+            continue  # fragment-only self-link — never a new crawl target
+        absu = urljoin(url, href).split("#", 1)[0]
+        if not absu.startswith(("http://", "https://")):
+            continue
+        if absu not in seen:
+            seen.add(absu)
+            out.append(absu)
+    return out

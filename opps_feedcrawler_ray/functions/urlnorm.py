@@ -1,0 +1,203 @@
+"""URL canonicalization, SURT form, host extraction (SURVEY.md §2.2 M1/M2/M4).
+
+FROZEN SPEC — goldens in ``tests/golden/urlnorm_cases.tsv`` pin every rule.
+Changing any rule is a breaking spec change (SURVEY.md §2.12 note).
+
+Canonicalization (RFC 3986 §6 syntax-based normalization, crawler profile):
+
+1. scheme lowercased; only ``http``/``https`` URLs are canonicalizable —
+   anything else returns ``None`` (dropped by the frontier).
+2. userinfo is dropped (crawler profile: credentials never form identity).
+3. host lowercased; a single trailing dot is stripped; default ports
+   (``:80`` http, ``:443`` https) stripped, other ports kept.
+4. path: dot-segments resolved (RFC 3986 §5.2.4); percent-encoding
+   normalized — unreserved characters (ALPHA / DIGIT / ``-._~``) decoded,
+   all remaining ``%XX`` uppercased, bare ``%`` not followed by two hex
+   digits encoded as ``%25``; empty path becomes ``/``.
+5. query: kept verbatim apart from percent-normalization (no parameter
+   re-ordering, no tracker stripping — not in the north rule); an empty
+   query (``?`` alone) is dropped.
+6. fragment dropped.
+
+SURT (Sorted URL Reordering Transform, Heritrix/web-archive convention):
+``http://www.Example.com:8080/a?q=1`` → ``com,example,www:8080)/a?q=1``
+(host labels reversed and comma-joined, non-default port kept after
+``:``, scheme omitted, then ``)`` + path + optional ``?query``).
+
+Host (M4): the netloc sans port/userinfo of the canonical URL.  No
+public-suffix list ships in this environment, so "registered host" ==
+full lowercased hostname (documented deviation, SURVEY.md §2.2 M4).
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import urlsplit
+
+_UNRESERVED = set(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+_HEX = set("0123456789abcdefABCDEF")
+_PCT_RE = re.compile(r"%(?:[0-9a-fA-F]{2})?")
+_DEFAULT_PORT = {"http": "80", "https": "443"}
+
+
+def _pct_normalize(s: str) -> str:
+    """Normalize percent-encoding per rule 4/5 of the module spec."""
+    if "%" not in s:
+        return s
+    out = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c != "%":
+            out.append(c)
+            i += 1
+            continue
+        hx = s[i + 1 : i + 3]
+        if len(hx) == 2 and hx[0] in _HEX and hx[1] in _HEX:
+            ch = chr(int(hx, 16))
+            if ch in _UNRESERVED:
+                out.append(ch)
+            else:
+                out.append("%" + hx.upper())
+            i += 3
+        else:
+            out.append("%25")  # bare '%' → encoded
+            i += 1
+    return "".join(out)
+
+
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 remove_dot_segments."""
+    output: list[str] = []
+    while path:
+        if path.startswith("../"):
+            path = path[3:]
+        elif path.startswith("./"):
+            path = path[2:]
+        elif path.startswith("/./"):
+            path = "/" + path[3:]
+        elif path == "/.":
+            path = "/"
+        elif path.startswith("/../"):
+            path = "/" + path[4:]
+            if output:
+                output.pop()
+        elif path == "/..":
+            path = "/"
+            if output:
+                output.pop()
+        elif path in (".", ".."):
+            path = ""
+        else:
+            if path.startswith("/"):
+                j = path.find("/", 1)
+            else:
+                j = path.find("/")
+            if j == -1:
+                output.append(path)
+                path = ""
+            else:
+                output.append(path[:j])
+                path = path[j:]
+    return "".join(output)
+
+
+def canonicalize_url(url: str) -> str | None:
+    """Canonical form per the module spec, or None if not canonicalizable."""
+    if not url:
+        return None
+    url = url.strip()
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return None
+    scheme = parts.scheme.lower()
+    if scheme not in ("http", "https"):
+        return None
+    netloc = parts.netloc
+    # drop userinfo
+    if "@" in netloc:
+        netloc = netloc.rsplit("@", 1)[1]
+    # split host / port (IPv6 bracket-aware)
+    if netloc.startswith("["):
+        j = netloc.find("]")
+        if j == -1:
+            return None
+        host, rest = netloc[: j + 1].lower(), netloc[j + 1 :]
+        port = rest[1:] if rest.startswith(":") else ""
+    elif ":" in netloc:
+        host, port = netloc.rsplit(":", 1)
+        host = host.lower()
+    else:
+        host, port = netloc.lower(), ""
+    if not host:
+        return None
+    if host.endswith(".") and len(host) > 1:
+        host = host[:-1]
+    port = port.lstrip("0") or port  # "0080" → "80" (leading zeros dropped; "" stays "")
+    if port == _DEFAULT_PORT[scheme]:
+        port = ""
+    path = _pct_normalize(_remove_dot_segments(parts.path)) or "/"
+    if not path.startswith("/"):
+        path = "/" + path
+    query = _pct_normalize(parts.query)
+    out = f"{scheme}://{host}"
+    if port:
+        out += f":{port}"
+    out += path
+    if query:
+        out += f"?{query}"
+    return out
+
+
+def surt_form(canon_url: str) -> str:
+    """SURT of an ALREADY-canonical URL (call canonicalize_url first)."""
+    parts = urlsplit(canon_url)
+    netloc = parts.netloc
+    if netloc.startswith("["):  # IPv6: not reversible label-wise; keep as-is
+        hostport = netloc
+        surt_host = hostport
+    else:
+        if ":" in netloc:
+            host, port = netloc.rsplit(":", 1)
+        else:
+            host, port = netloc, ""
+        surt_host = ",".join(reversed(host.split(".")))
+        if port:
+            surt_host += f":{port}"
+    s = surt_host + ")" + (parts.path or "/")
+    if parts.query:
+        s += "?" + parts.query
+    return s
+
+
+def extract_host(canon_url: str) -> str:
+    """Host (no port, no userinfo) of an already-canonical URL."""
+    netloc = urlsplit(canon_url).netloc
+    if netloc.startswith("["):
+        return netloc.split("]")[0] + "]"
+    return netloc.rsplit(":", 1)[0] if ":" in netloc else netloc
+
+
+def canonicalize_batch(urls: list[str | None]) -> tuple[list[str | None], list[str | None], list[str | None]]:
+    """Batch helper: urls → (canon, surt, host) parallel lists.
+
+    Non-canonicalizable entries yield None in all three outputs — callers
+    filter them with an Arrow ``is_valid`` mask.
+    """
+    canons: list[str | None] = []
+    surts: list[str | None] = []
+    hosts: list[str | None] = []
+    for u in urls:
+        c = canonicalize_url(u) if u is not None else None
+        if c is None:
+            canons.append(None)
+            surts.append(None)
+            hosts.append(None)
+        else:
+            canons.append(c)
+            surts.append(surt_form(c))
+            hosts.append(extract_host(c))
+    return canons, surts, hosts

@@ -1,0 +1,267 @@
+"""Unit tests for the pure-function core (SURVEY.md §5.2 layer 1)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from opps_feedcrawler_ray.functions.extract import (
+    detect_kind,
+    extract_text,
+    normalize_ws,
+    parse_links,
+)
+from opps_feedcrawler_ray.functions.hashing import fingerprint64, fingerprint64_batch
+from opps_feedcrawler_ray.functions.robots import parse_robots
+from opps_feedcrawler_ray.functions.urlnorm import (
+    canonicalize_url,
+    extract_host,
+    surt_form,
+)
+from opps_feedcrawler_ray.state.cuckoo import CuckooFilter
+
+# ---------------------------------------------------------------- urlnorm
+
+CANON_CASES = [
+    # RFC 3986 §6.2.2 syntax-based normalization examples
+    ("HTTP://www.EXAMPLE.com/", "http://www.example.com/"),
+    ("http://example.com", "http://example.com/"),
+    ("http://example.com:80/a", "http://example.com/a"),
+    ("https://example.com:443/a", "https://example.com/a"),
+    ("http://example.com:8080/a", "http://example.com:8080/a"),
+    ("http://example.com/a/./b/../c", "http://example.com/a/c"),
+    ("http://example.com/%7Euser", "http://example.com/~user"),
+    ("http://example.com/%7euser", "http://example.com/~user"),
+    ("http://example.com/a%2fb", "http://example.com/a%2Fb"),
+    ("http://example.com/a#frag", "http://example.com/a"),
+    ("http://example.com/a?", "http://example.com/a"),
+    ("http://example.com/a?q=1&b=2", "http://example.com/a?q=1&b=2"),
+    ("http://user:pw@example.com/a", "http://example.com/a"),
+    ("http://example.com./a", "http://example.com/a"),
+    ("http://example.com/../a", "http://example.com/a"),
+    ("http://example.com/%41", "http://example.com/A"),
+    ("http://example.com/100%", "http://example.com/100%25"),
+    ("  http://example.com/a  ", "http://example.com/a"),
+]
+
+
+@pytest.mark.parametrize("raw,canon", CANON_CASES)
+def test_canonicalize(raw, canon):
+    assert canonicalize_url(raw) == canon
+
+
+def test_canonicalize_rejects():
+    assert canonicalize_url("ftp://example.com/a") is None
+    assert canonicalize_url("mailto:a@b.c") is None
+    assert canonicalize_url("javascript:void(0)") is None
+    assert canonicalize_url("") is None
+    assert canonicalize_url("http://") is None
+
+
+def test_canonicalize_idempotent():
+    for raw, _ in CANON_CASES:
+        c = canonicalize_url(raw)
+        assert canonicalize_url(c) == c
+
+
+def test_surt():
+    assert surt_form("http://www.example.com/a?q=1") == "com,example,www)/a?q=1"
+    assert surt_form("http://example.com:8080/") == "com,example:8080)/"
+    assert surt_form("http://host5.example/p/3") == "example,host5)/p/3"
+
+
+def test_extract_host():
+    assert extract_host("http://www.example.com/a") == "www.example.com"
+    assert extract_host("http://example.com:8080/a") == "example.com"
+
+
+# ---------------------------------------------------------------- hashing
+
+
+def test_fingerprint_pinned():
+    # pinned goldens — blake2b-8byte little-endian (FROZEN; see hashing.py)
+    import hashlib
+
+    for s in ["http://example.com/", "a", ""]:
+        exp = int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
+        assert fingerprint64(s) == exp
+    assert fingerprint64("http://example.com/") != fingerprint64("http://example.com/a")
+
+
+def test_fingerprint_batch_matches_scalar():
+    urls = [f"http://h{i}.example/p/{i}" for i in range(100)]
+    batch = fingerprint64_batch(urls)
+    assert batch.dtype == np.uint64
+    assert [int(x) for x in batch] == [fingerprint64(u) for u in urls]
+
+
+# ---------------------------------------------------------------- extract
+
+
+def test_extract_html_strips_script_and_head():
+    html = (
+        b"<html><head><title>T</title><script>var x=1;</script></head>"
+        b"<body><p>Hello &amp; welcome</p><div>World</div>"
+        b"<style>p{}</style><script>bad()</script><p>End</p></body></html>"
+    )
+    assert extract_text("http://h/x", html) == "Hello & welcome\nWorld\nEnd"
+
+
+def test_extract_ws_collapse():
+    html = b"<body><p>  a   b  </p>\n\n<p>c</p></body>"
+    assert extract_text("http://h/x", html) == "a b\nc"
+
+
+def test_extract_rss():
+    rss = (
+        b'<?xml version="1.0"?><rss version="2.0"><channel><title>Feed T</title>'
+        b"<item><title>I1</title><description>D1 &amp; more</description></item>"
+        b"<item><title>I2</title><description>D2</description></item>"
+        b"</channel></rss>"
+    )
+    assert detect_kind("http://h/feed.xml", rss) == "rss"
+    assert extract_text("http://h/feed.xml", rss) == "Feed T\nI1\nD1 & more\nI2\nD2"
+
+
+def test_extract_atom():
+    atom = (
+        b'<feed xmlns="http://www.w3.org/2005/Atom"><title>A</title>'
+        b"<entry><title>E1</title><summary>S1</summary></entry></feed>"
+    )
+    assert detect_kind("http://h/atom.xml", atom) == "atom"
+    assert extract_text("http://h/atom.xml", atom) == "A\nE1\nS1"
+
+
+def test_extract_malformed_html_no_crash():
+    html = b"<p>unclosed <div>nested <b>deep</p> text"
+    out = extract_text("http://h/x", html)
+    assert "unclosed" in out and "text" in out
+
+
+def test_detect_robots():
+    assert detect_kind("http://h/robots.txt", b"User-agent: *\nDisallow:") == "robots"
+    assert extract_text("http://h/robots.txt", b"User-agent: *") == ""
+
+
+def test_parse_links():
+    html = (
+        b'<body><a href="/a">A</a><a href="b/c.html">B</a>'
+        b'<a href="http://Other.example:80/Z">C</a><a href="/a">dup</a>'
+        b'<a href="mailto:x@y.z">no</a><a href="#frag">no</a></body>'
+    )
+    links = parse_links("http://host.example/dir/page.html", html)
+    assert links == [
+        "http://host.example/a",
+        "http://host.example/dir/b/c.html",
+        "http://Other.example:80/Z",
+    ]
+
+
+def test_parse_links_rss():
+    rss = (
+        b'<rss version="2.0"><channel><title>T</title>'
+        b"<item><link>http://h.example/x</link></item></channel></rss>"
+    )
+    assert parse_links("http://h.example/feed", rss) == ["http://h.example/x"]
+
+
+def test_normalize_ws():
+    assert normalize_ws("  a\t b \n\n\n c ") == "a b\nc"
+
+
+# ---------------------------------------------------------------- robots
+
+
+ROBOTS = b"""
+# comment
+User-agent: *
+Disallow: /private/
+Allow: /private/ok.html
+Disallow: /tmp$
+Crawl-delay: 2
+User-agent: otherbot
+Disallow: /
+"""
+
+
+def test_robots_matrix():
+    r = parse_robots(ROBOTS)
+    assert r.allowed("/")
+    assert r.allowed("/public/x")
+    assert not r.allowed("/private/secret.html")
+    assert r.allowed("/private/ok.html")  # longer Allow wins
+    assert not r.allowed("/tmp")
+    assert r.allowed("/tmp/file")  # $ anchor
+    assert r.allowed("/robots.txt")
+    assert r.crawl_delay == 2.0
+
+
+def test_robots_agent_groups():
+    r = parse_robots(ROBOTS, agent="otherbot")
+    assert not r.allowed("/anything")
+    r2 = parse_robots(b"User-agent: somebody\nDisallow: /")
+    assert r2.allowed("/x")  # no *-group, no our-group → allow all
+
+
+def test_robots_wildcard():
+    r = parse_robots(b"User-agent: *\nDisallow: /*.pdf$")
+    assert not r.allowed("/doc/file.pdf")
+    assert r.allowed("/doc/file.pdfx")
+
+
+def test_robots_tie_allow_wins():
+    r = parse_robots(b"User-agent: *\nDisallow: /page\nAllow: /page")
+    assert r.allowed("/page")
+
+
+def test_robots_roundtrip():
+    r = parse_robots(ROBOTS)
+    r2 = type(r).from_tuple(r.to_tuple())
+    assert not r2.allowed("/private/secret.html")
+    assert r2.allowed("/private/ok.html")
+
+
+# ---------------------------------------------------------------- cuckoo
+
+
+def test_cuckoo_no_false_negatives():
+    f = CuckooFilter(capacity=4096)
+    rng = np.random.default_rng(42)
+    keys = rng.integers(1, 2**63, size=4000, dtype=np.uint64)
+    keys = np.unique(keys)
+    for k in keys:
+        assert f.add(int(k))
+    for k in keys:
+        assert f.contains(int(k))  # NEVER a false negative
+    # re-add returns False (already present)
+    assert not f.add(int(keys[0]))
+
+
+def test_cuckoo_fp_rate():
+    f = CuckooFilter(capacity=50_000)
+    rng = np.random.default_rng(7)
+    present = rng.integers(1, 2**62, size=40_000, dtype=np.uint64)
+    for k in np.unique(present):
+        f.add(int(k))
+    probe = rng.integers(2**62, 2**63, size=20_000, dtype=np.uint64)
+    fp = sum(f.contains(int(k)) for k in probe)
+    assert fp / len(probe) < 0.01
+
+
+def test_cuckoo_serialization_roundtrip():
+    f = CuckooFilter(capacity=1024)
+    keys = [fingerprint64(f"u{i}") for i in range(900)]
+    for k in keys:
+        f.add(k)
+    g = CuckooFilter.from_bytes(f.to_bytes())
+    for k in keys:
+        assert g.contains(k)
+    assert g.count == f.count
+    assert not g.add(keys[0])
+
+
+def test_cuckoo_batch():
+    f = CuckooFilter(capacity=1024)
+    keys = np.array([fingerprint64(f"u{i}") for i in range(10)] * 2, dtype=np.uint64)
+    mask = f.add_batch(keys)
+    assert mask[:10].all() and not mask[10:].any()
