@@ -1,0 +1,108 @@
+"""Vectorized map_batches stages over Arrow batches (SURVEY.md §2.2).
+
+Every stage is Arrow-in / Arrow-out (``batch_format="pyarrow"``,
+zero-copy from the object store) and row-loop-free except where the
+kernel is inherently per-string (urlsplit / HTMLParser) — those loops
+run over a single batch inside one task, never on the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.extract import detect_kind, extract_text, parse_links
+from ..functions.hashing import fingerprint64_batch
+from ..functions.urlnorm import canonicalize_batch
+
+
+class CanonicalizeStage:
+    """url → url_canon, surt, host, url_hash; drops non-canonicalizable rows.
+
+    ``url_col`` names the input column; output column is always ``url``
+    (the canonical form REPLACES the raw string downstream).
+    """
+
+    def __init__(self, url_col: str = "url", keep: list[str] | None = None) -> None:
+        self.url_col = url_col
+        self.keep = keep
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch[self.url_col].to_pylist()
+        canon, surt, host = canonicalize_batch(urls)
+        mask = np.array([c is not None for c in canon], dtype=bool)
+        canon_v = [c for c in canon if c is not None]
+        hashes = fingerprint64_batch(canon_v)
+        out_cols: dict[str, pa.Array] = {
+            "url": pa.array(canon_v, pa.string()),
+            "surt": pa.array([s for s in surt if s is not None], pa.string()),
+            "host": pa.array([h for h in host if h is not None], pa.string()),
+            "url_hash": pa.array(hashes, pa.uint64()),
+        }
+        keep = self.keep if self.keep is not None else [
+            c for c in batch.column_names if c not in out_cols and c != self.url_col
+        ]
+        filtered = batch.filter(pa.array(mask)) if not mask.all() else batch
+        t = pa.table(out_cols)
+        for c in keep:
+            if c in filtered.column_names:
+                t = t.append_column(c, filtered[c])
+        return t
+
+
+class ExtractStage:
+    """html → kind, text, links (list<string>), n_links (M5–M7 fused).
+
+    One pass over the batch: kind sniff, text extraction, outlink
+    parsing.  Rows with null html (not-found fetches) pass through with
+    empty text/links and their status preserved.
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        htmls = batch["html"].to_pylist()
+        kinds: list[str] = []
+        texts: list[str | None] = []
+        links: list[list[str]] = []
+        for u, b in zip(urls, htmls):
+            if b is None:
+                kinds.append("missing")
+                texts.append(None)
+                links.append([])
+                continue
+            k = detect_kind(u, b)
+            kinds.append(k)
+            texts.append(extract_text(u, b, k))
+            links.append(parse_links(u, b, k))
+        out = batch.drop_columns(["html"])
+        out = out.append_column("kind", pa.array(kinds, pa.string()))
+        out = out.append_column("text", pa.array(texts, pa.string()))
+        out = out.append_column("links", pa.array(links, pa.list_(pa.string())))
+        out = out.append_column(
+            "n_links", pa.array([len(x) for x in links], pa.int32())
+        )
+        return out
+
+
+def explode_links(batch: pa.Table, round_idx: int, priority_fn=None) -> pa.Table:
+    """links list<string> → one row per outlink with discovery metadata."""
+    ll = batch["links"]
+    if isinstance(ll, pa.ChunkedArray):
+        ll = ll.combine_chunks()
+    flat = pc.list_flatten(ll)
+    if len(flat) == 0:
+        return pa.table(
+            {"url": pa.array([], pa.string()),
+             "priority": pa.array([], pa.float64()),
+             "round": pa.array([], pa.int32())}
+        )
+    prio = priority_fn(round_idx) if priority_fn else 1.0 / (2 + round_idx)
+    n = len(flat)
+    return pa.table(
+        {
+            "url": flat,
+            "priority": pa.array(np.full(n, prio, dtype=np.float64)),
+            "round": pa.array(np.full(n, round_idx, dtype=np.int32)),
+        }
+    )

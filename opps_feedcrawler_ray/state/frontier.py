@@ -1,0 +1,248 @@
+"""Frontier actors: sharded URL-seen set + per-host politeness queues
+(SURVEY.md §2.3 A1/A2, §2.12 ordering rule).
+
+Each actor owns one shard of crawl state, partitioned by
+``fingerprint64(host) % num_shards`` — politeness is a per-host
+invariant, so the host partition makes every politeness and robots
+decision shard-local (no cross-actor coordination, no extra shuffle).
+
+State per shard:
+  * ``CuckooFilter`` seen-set (approximate, NO false negatives) +
+    optional exact ``url_hash → url`` dict (verification mode / seen-set
+    export; disable at 10^10 scale via ``store_exact=False``);
+  * per-host priority heaps of pending URLs, key
+    ``(-priority, round_discovered, url)`` — the §2.12 total order
+    (priority DESC, round ASC, url ASC), no RNG, no wall clock;
+  * per-host parsed robots rules (folded-in A2);
+  * lineage counters (offered / admitted / fetched / robots_blocked /
+    not_found).
+
+Ordering rule (frozen, SURVEY.md §2.12): each round every host emits up
+to ``budget`` URLs in heap order; the round's log serializes hosts in
+``host ASC`` order; ``fetch_seq`` enumerates that serialization.  The
+actor returns its ready table sorted by (host ASC, rank) and a
+``{host: count}`` meta dict; the driver combines metas across shards
+into global per-host offsets (metadata only — data blocks never touch
+the driver).
+"""
+
+from __future__ import annotations
+
+import heapq
+import os
+import pickle
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+from ..functions.hashing import fingerprint64
+from ..functions.robots import RobotsRules, parse_robots
+from ..schemas import READY
+from .cuckoo import CuckooFilter
+
+COUNTER_KEYS = ("offered", "admitted", "fetched", "robots_blocked", "not_found")
+
+
+def shard_of(host: str, num_shards: int) -> int:
+    return fingerprint64(host) % num_shards
+
+
+@ray.remote
+class FrontierActor:
+    def __init__(
+        self,
+        shard_id: int,
+        num_shards: int,
+        politeness_budget: int = 8,
+        filter_capacity: int = 1 << 20,
+        store_exact: bool = True,
+    ) -> None:
+        self.shard_id = shard_id
+        self.num_shards = num_shards
+        self.budget = politeness_budget
+        self.seen = CuckooFilter(capacity=filter_capacity)
+        self.exact: dict[int, str] = {} if store_exact else None
+        self.heaps: dict[str, list[tuple[float, int, str]]] = {}
+        self.robots: dict[str, RobotsRules] = {}
+        self.counters = dict.fromkeys(COUNTER_KEYS, 0)
+        self._last_meta: dict[str, int] = {}
+
+    # ------------------------------------------------------------ robots
+    def load_robots(self, table: pa.Table) -> int:
+        """Rows (host, body binary) → parsed rules for this shard's hosts."""
+        for host, body in zip(table["host"].to_pylist(), table["body"].to_pylist()):
+            self.robots[host] = parse_robots(body)
+        return len(self.robots)
+
+    def _allowed(self, host: str, url: str) -> bool:
+        rules = self.robots.get(host)
+        if rules is None:
+            return True
+        path = url.split("/", 3)
+        return rules.allowed("/" + path[3] if len(path) > 3 else "/")
+
+    # ------------------------------------------------------------- offer
+    def offer(self, table: pa.Table) -> dict[str, int]:
+        """Candidate URLs in (columns url, url_hash, host, priority, round).
+        Dedup via cuckoo seen-set, robots gate, push to per-host heaps."""
+        admitted = blocked = 0
+        urls = table["url"].to_pylist()
+        hashes = table["url_hash"].to_pylist()
+        hosts = table["host"].to_pylist()
+        prios = table["priority"].to_pylist()
+        rounds = table["round"].to_pylist()
+        for url, h, host, prio, rnd in zip(urls, hashes, hosts, prios, rounds):
+            # Dedup identity: exact on the 64-bit hash in verification mode
+            # (order-independent → deterministic under racing offer tasks);
+            # pure cuckoo when store_exact=False (10^10 scale). The filter
+            # is kept in sync either way so checkpoints are mode-portable.
+            if self.exact is not None:
+                if h in self.exact:
+                    continue
+                self.seen.add(h)
+                self.exact[h] = url
+            elif not self.seen.add(h):
+                continue  # already seen (or offered twice this round)
+            if not self._allowed(host, url):
+                blocked += 1
+                continue  # seen but never fetched
+            heapq.heappush(
+                self.heaps.setdefault(host, []), (-prio, rnd, url, h)
+            )
+            admitted += 1
+        self.counters["offered"] += len(urls)
+        self.counters["admitted"] += admitted
+        self.counters["robots_blocked"] += blocked
+        return {"offered": len(urls), "admitted": admitted, "robots_blocked": blocked}
+
+    # -------------------------------------------------------------- poll
+    def poll_ready(self, round_idx: int) -> pa.Table:
+        """Pop ≤budget per host in the frozen politeness order; returns the
+        shard's ready table sorted (host ASC, rank ASC)."""
+        urls, hashes, hosts, prios, rounds, ranks = [], [], [], [], [], []
+        meta: dict[str, int] = {}
+        for host in sorted(self.heaps):
+            heap = self.heaps[host]
+            k = 0
+            while heap and k < self.budget:
+                negp, rnd, url, h = heapq.heappop(heap)
+                urls.append(url)
+                hashes.append(h)
+                hosts.append(host)
+                prios.append(-negp)
+                rounds.append(round_idx)
+                ranks.append(k)
+                k += 1
+            if k:
+                meta[host] = k
+            if not heap:
+                del self.heaps[host]
+        self._last_meta = meta
+        return pa.table(
+            {
+                "url_hash": pa.array(hashes, pa.uint64()),
+                "url": pa.array(urls, pa.string()),
+                "host": pa.array(hosts, pa.string()),
+                "priority": pa.array(prios, pa.float64()),
+                "round": pa.array(rounds, pa.int32()),
+                "host_rank": pa.array(ranks, pa.int64()),
+            },
+            schema=READY,
+        )
+
+    def poll_meta(self) -> dict[str, int]:
+        """Per-host ready counts of the LAST poll — tiny, driver-safe."""
+        return self._last_meta
+
+    def record_results(self, fetched: int, not_found: int) -> None:
+        self.counters["fetched"] += fetched
+        self.counters["not_found"] += not_found
+
+    # ------------------------------------------------------------- state
+    def pending_count(self) -> int:
+        return sum(len(h) for h in self.heaps.values())
+
+    def stats(self) -> dict:
+        return {
+            "shard": self.shard_id,
+            "pending": self.pending_count(),
+            "seen": self.seen.count,
+            "load_factor": self.seen.load_factor(),
+            **self.counters,
+        }
+
+    def export_seen(self) -> pa.Table:
+        """Seen-set shard for S6 export (verification mode only)."""
+        if self.exact is None:
+            raise RuntimeError("seen-set export requires store_exact=True")
+        items = sorted(self.exact.items())
+        return pa.table(
+            {
+                "url_hash": pa.array([k for k, _ in items], pa.uint64()),
+                "url": pa.array([v for _, v in items], pa.string()),
+            }
+        )
+
+    # -------------------------------------------------------- checkpoint
+    def checkpoint(self, ckpt_dir: str, round_idx: int) -> dict:
+        """Atomic per-shard checkpoint: frontier rows + filter + robots +
+        counters → parquet+pickle under tmp name, then rename."""
+        os.makedirs(ckpt_dir, exist_ok=True)
+        rows = []
+        for host, heap in self.heaps.items():
+            for negp, rnd, url, h in heap:
+                rows.append((h, url, host, -negp, rnd))
+        rows.sort(key=lambda r: (r[2], r[1]))
+        frontier = pa.table(
+            {
+                "url_hash": pa.array([r[0] for r in rows], pa.uint64()),
+                "url": pa.array([r[1] for r in rows], pa.string()),
+                "host": pa.array([r[2] for r in rows], pa.string()),
+                "priority": pa.array([r[3] for r in rows], pa.float64()),
+                "round": pa.array([r[4] for r in rows], pa.int32()),
+            }
+        )
+        blob = {
+            "filter": self.seen.to_bytes(),
+            "exact": self.exact,
+            "robots": {h: r.to_tuple() for h, r in self.robots.items()},
+            "counters": self.counters,
+            "round": round_idx,
+        }
+        fpath = os.path.join(ckpt_dir, f"shard-{self.shard_id:05d}.parquet")
+        spath = os.path.join(ckpt_dir, f"shard-{self.shard_id:05d}.state")
+        for path, write in (
+            (fpath, lambda p: pq.write_table(frontier, p)),
+            (spath, lambda p: open(p, "wb").write(pickle.dumps(blob, protocol=4))),
+        ):
+            tmp = path + ".tmp"
+            write(tmp)
+            os.replace(tmp, path)
+        return {
+            "partition_id": self.shard_id,
+            "round": round_idx,
+            **self.counters,
+            "filter_bytes": len(blob["filter"]),
+        }
+
+    def restore(self, ckpt_dir: str) -> int:
+        fpath = os.path.join(ckpt_dir, f"shard-{self.shard_id:05d}.parquet")
+        spath = os.path.join(ckpt_dir, f"shard-{self.shard_id:05d}.state")
+        frontier = pq.read_table(fpath)
+        with open(spath, "rb") as f:
+            blob = pickle.load(f)
+        self.seen = CuckooFilter.from_bytes(blob["filter"])
+        self.exact = blob["exact"]
+        self.robots = {h: RobotsRules.from_tuple(t) for h, t in blob["robots"].items()}
+        self.counters = blob["counters"]
+        self.heaps = {}
+        for h, url, host, prio, rnd in zip(
+            frontier["url_hash"].to_pylist(),
+            frontier["url"].to_pylist(),
+            frontier["host"].to_pylist(),
+            frontier["priority"].to_pylist(),
+            frontier["round"].to_pylist(),
+        ):
+            heapq.heappush(self.heaps.setdefault(host, []), (-prio, rnd, url, h))
+        return blob["round"]

@@ -1,0 +1,143 @@
+"""End-to-end crawl tests (SURVEY.md §5.2 layers 2–3).
+
+Properties verified on the smoke corpus, every run:
+  * byte-identical extracted text per url vs the pages table's golden
+    ``text`` column (the BASELINE.json per-row invariant);
+  * politeness: per (host, round) ≤ budget fetches;
+  * robots: no /priv/ URL is ever fetched;
+  * dedup: fetch_seq dense 0..n-1, urls unique;
+  * determinism: two runs → byte-equal logs;
+  * resume: kill after round 1, resume → log + seen set equal to the
+    uninterrupted run, zero re-fetches.
+"""
+
+from __future__ import annotations
+
+import glob
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from opps_feedcrawler_ray.pipelines.crawl import CrawlConfig, crawl
+from opps_feedcrawler_ray.sources.corpus import generate_corpus
+
+
+def read_log(out_dir: str) -> pa.Table:
+    files = sorted(glob.glob(f"{out_dir}/crawl_log/round=*/*.parquet"))
+    return pa.concat_tables([pq.read_table(f) for f in files]).sort_by("fetch_seq")
+
+
+def run_crawl(tmp, corpus, out_name, **kw) -> tuple[pa.Table, pa.Table, dict]:
+    out = f"{tmp}/{out_name}"
+    cfg = CrawlConfig(
+        pages_path=corpus["pages"], seeds_path=corpus["seeds"], out_dir=out,
+        num_frontier_actors=2, politeness_budget=8, num_buckets=4, **kw,
+    )
+    stats = crawl(cfg)
+    seen = pq.read_table(f"{out}/seen_set") if stats else None
+    return read_log(out), seen, stats
+
+
+@pytest.fixture(scope="module")
+def smoke(ray_session, tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("smoke"))
+    corpus = generate_corpus(f"{tmp}/corpus", n_hosts=3, n_pages=120)
+    log, seen, stats = run_crawl(tmp, corpus, "out")
+    return {"tmp": tmp, "corpus": corpus, "log": log, "seen": seen, "stats": stats}
+
+
+def test_text_byte_identical(smoke):
+    pages = pq.read_table(smoke["corpus"]["pages"], columns=["url", "text"])
+    golden = dict(zip(pages["url"].to_pylist(), pages["text"].to_pylist()))
+    log = smoke["log"]
+    n_checked = 0
+    for url, status, text in zip(
+        log["url"].to_pylist(), log["status"].to_pylist(), log["text"].to_pylist()
+    ):
+        if status == "fetched":
+            assert text == golden[url], f"text mismatch for {url}"
+            n_checked += 1
+    assert n_checked > 50
+
+
+def test_politeness_budget(smoke):
+    log = smoke["log"].to_pandas()
+    per = log[log.status == "fetched"].groupby(["host", "round"]).size()
+    assert (per <= 8).all()
+
+
+def test_robots_never_fetched(smoke):
+    urls = smoke["log"]["url"].to_pylist()
+    assert not any("/priv/" in u for u in urls)
+    assert not any(u.endswith("/robots.txt") for u in urls)
+    # ...but blocked URLs ARE in the seen set (never re-offered)
+    seen_urls = smoke["seen"]["url"].to_pylist()
+    assert any("/priv/" in u for u in seen_urls)
+
+
+def test_fetch_seq_dense_and_unique(smoke):
+    log = smoke["log"]
+    seqs = log["fetch_seq"].to_pylist()
+    assert seqs == list(range(len(seqs)))
+    urls = log["url"].to_pylist()
+    assert len(set(urls)) == len(urls)
+
+
+def test_round_host_serialization_order(smoke):
+    """Within a round, log order is host ASC then per-host politeness rank."""
+    df = smoke["log"].to_pandas()
+    for r, grp in df.groupby("round"):
+        hosts = grp.sort_values("fetch_seq")["host"].tolist()
+        assert hosts == sorted(hosts)
+
+
+def test_not_found_tracked(smoke):
+    df = smoke["log"].to_pandas()
+    missing = df[df.status == "not_found"]
+    assert len(missing) == 1
+    assert "definitely-missing" in missing.iloc[0]["url"]
+    assert missing.iloc[0]["text"] is None
+
+
+def test_determinism(smoke):
+    log2, seen2, _ = run_crawl(smoke["tmp"], smoke["corpus"], "out2")
+    assert log2.equals(smoke["log"])
+    assert seen2.equals(smoke["seen"])
+
+
+def test_resume_equivalence(smoke):
+    tmp = smoke["tmp"]
+    # partial run: stop after round 1 (checkpoint each round)
+    out = f"{tmp}/out_resume"
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = CrawlConfig(
+        pages_path=smoke["corpus"]["pages"], seeds_path=smoke["corpus"]["seeds"],
+        out_dir=out, num_frontier_actors=2, politeness_budget=8, num_buckets=4,
+        max_rounds=2,
+    )
+    crawl(cfg)
+    partial = read_log(out)
+    assert partial["round"].to_pylist() and max(partial["round"].to_pylist()) == 1
+    # resume to completion
+    cfg2 = CrawlConfig(
+        pages_path=smoke["corpus"]["pages"], seeds_path=smoke["corpus"]["seeds"],
+        out_dir=out, num_frontier_actors=2, politeness_budget=8, num_buckets=4,
+        resume=True,
+    )
+    crawl(cfg2)
+    log = read_log(out)
+    seen = pq.read_table(f"{out}/seen_set")
+    assert log.equals(smoke["log"])          # identical crawl, zero re-fetches
+    assert seen.equals(smoke["seen"])
+
+
+def test_resume_shard_count_frozen(smoke):
+    out = f"{smoke['tmp']}/out_resume"
+    cfg = CrawlConfig(
+        pages_path=smoke["corpus"]["pages"], seeds_path=smoke["corpus"]["seeds"],
+        out_dir=out, num_frontier_actors=4, num_buckets=4, resume=True,
+    )
+    with pytest.raises(ValueError, match="shard count"):
+        crawl(cfg)
