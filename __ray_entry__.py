@@ -1,44 +1,320 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: no
+``ray.init`` / ``ray.shutdown`` anywhere in the package (only bench.py,
+CLI mains and the pytest fixture own a session).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Each ``queries()`` entry is one operator/pipeline from SURVEY.md §2 (or
+a training-data op from the driver prompt); SQL-expressible ones have a
+DuckDB twin in ``oracle_sql()`` with IDENTICAL column names.  Float
+aggregates are integer-scaled (``_e2``/``_e4`` suffixes) on both sides
+so value hashes are exact — see pipelines/analytics.py docstring.
 """
 
 from __future__ import annotations
 
+import glob
+import os
 from collections.abc import Callable
 from typing import Any
 
+_STOP_LIST = "('the','and','of','to','a','in','is','that','it','for')"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship crawl over a pages corpus derived from sf0.001 documents."""
+    from opps_feedcrawler_ray.pipelines.webpipe import crawl_documents
+
+    return crawl_documents("/root/testdata/sf0.001")
+
+
+def _q_crawl(sf_dir: str):
+    from opps_feedcrawler_ray.pipelines.webpipe import crawl_documents
+
+    return crawl_documents(sf_dir)
+
+
+def _q_minhash_pairs(sf_dir: str):
+    import ray.data as rd
+
+    from opps_feedcrawler_ray.pipelines.dedup import minhash_lsh_dedup
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_lsh_dedup(docs, threshold=0.5, return_pairs=True)
+
+
+def _q_simhash_pairs(sf_dir: str):
+    import ray.data as rd
+
+    from opps_feedcrawler_ray.pipelines.dedup import simhash_dedup
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_dedup(docs, max_hamming=10)
+
+
+def _q_ngram_jaccard(sf_dir: str):
+    import ray.data as rd
+
+    from opps_feedcrawler_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    df = ngram_jaccard_pairs(docs, threshold=0.4, k_shingle=3)
+    df["jaccard_e4"] = (df["jaccard"] * 10000).round().astype("int64")
+    return df[["a", "b", "jaccard_e4"]]
+
+
+def _q_embedding_dups(sf_dir: str):
+    import ray.data as rd
+
+    from opps_feedcrawler_ray.pipelines.dedup import embedding_dedup_pairs
+
+    vecs = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_dedup_pairs(vecs, threshold=0.5)
+
+
+def _q_ann(sf_dir: str):
+    import numpy as np
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+
+    from opps_feedcrawler_ray.pipelines.ann import brute_force_topk
+
+    emb = _pq.read_table(f"{sf_dir}/embeddings.parquet")
+    order = {v: i for i, v in enumerate(emb["vec_id"].to_pylist())}
+    queries = np.array(
+        [emb["embedding"][order[q]].as_py() for q in (0, 1, 2)], dtype=np.float64
+    )
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = brute_force_topk(ds, queries, k=10)
+    out = out.rename(columns={"query_idx": "query_idx", "vec_id": "vec_id"})
+    out["cosine_e6"] = (out["cosine"] * 1e6).round().astype("int64")
+    return out[["query_idx", "vec_id", "cosine_e6"]]
+
+
+def _q_ivf_ann(sf_dir: str):
+    import numpy as np
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+
+    from opps_feedcrawler_ray.pipelines.ann import ivf_topk
+
+    emb = _pq.read_table(f"{sf_dir}/embeddings.parquet")
+    order = {v: i for i, v in enumerate(emb["vec_id"].to_pylist())}
+    queries = np.array(
+        [emb["embedding"][order[q]].as_py() for q in (0, 1, 2)], dtype=np.float64
+    )
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = ivf_topk(ds, queries, k=10, n_cells=8, n_probe=3)
+    out["cosine_e6"] = (out["cosine"] * 1e6).round().astype("int64")
+    return out[["query_idx", "vec_id", "cosine_e6"]]
+
+
+def _q_langid(sf_dir: str):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from opps_feedcrawler_ray.functions.text import detect_lang
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch["doc_id"],
+             "lang_pred": pa.array(detect_lang(batch["text"].to_pylist()), pa.string())}
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def _q_fingerprints(sf_dir: str):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from opps_feedcrawler_ray.functions.text import doc_fingerprint
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        fp = doc_fingerprint(batch["text"].to_pylist())
+        return pa.table(
+            {"doc_id": batch["doc_id"],
+             "fp_hex": pa.array([f"{int(x):016x}" for x in fp], pa.string())}
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def _q_media_image(sf_dir: str):
+    import ray.data as rd
+
+    from opps_feedcrawler_ray.stages.multimodal import decode_images, synth_media_table
+
+    media = rd.from_arrow(synth_media_table(64))
+    imgs = media.filter(lambda r: r["kind"] == "image")
+    feats = decode_images(imgs, concurrency=2, batch_size=8, fake=True)
+
+    def summarize(batch):
+        import numpy as np
+        import pyarrow as pa
+
+        means = [float(np.mean(f)) for f in batch["feature"].to_pylist()]
+        return pa.table(
+            {"media_id": batch["media_id"], "height": batch["height"],
+             "width": batch["width"],
+             "feat_mean_e6": pa.array([int(round(m * 1e6)) for m in means], pa.int64())}
+        )
+
+    return feats.map_batches(summarize, batch_format="pyarrow")
+
+
+def _q_media_audio(sf_dir: str):
+    import ray.data as rd
+
+    from opps_feedcrawler_ray.stages.multimodal import frame_audio, synth_media_table
+
+    media = rd.from_arrow(synth_media_table(64))
+    auds = media.filter(lambda r: r["kind"] == "audio")
+    return frame_audio(auds, concurrency=2, batch_size=8, fake=True).select_columns(
+        ["media_id", "n_frames"]
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from opps_feedcrawler_ray.pipelines import analytics as A
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational / aggregate operators (oracle-checked)
+        "source_stats": A.source_stats,
+        "filter_lang": A.filter_lang,
+        "topk_chars": A.topk_chars,
+        "orders_by_segment": A.orders_by_segment,
+        "lineitem_order_priority": A.lineitem_order_priority,
+        "region_nations": A.region_nations,
+        "distinct_users": A.distinct_users,
+        "events_daily": A.events_daily,
+        "json_extract_events": A.json_extract_events,
+        "pricing_summary": A.pricing_summary,
+        "supplier_topk": A.supplier_topk,
+        "user_event_seq": A.user_event_seq,
+        "embeddings_by_label": A.embeddings_by_label,
+        # crawl-engine operators
+        "url_canonicalize": A.url_canonicalize,
+        "crawl_documents": _q_crawl,
+        # training-data ops
+        "token_counts": A.token_counts,
+        "text_quality": A.text_quality,
+        "exact_dedup": A.exact_dedup_docs,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "embedding_dups": _q_embedding_dups,
+        "ann_cosine_topk": _q_ann,
+        "ann_ivf_topk": _q_ivf_ann,
+        "langid": _q_langid,
+        "doc_fingerprints": _q_fingerprints,
+        "media_image_features": _q_media_image,
+        "media_audio_frames": _q_media_audio,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "source_stats": (
+            "SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, "
+            "ROUND(SUM(n_chars) * 1.0 / COUNT(*), 6) AS avg_chars "
+            "FROM documents GROUP BY source"
+        ),
+        "filter_lang": (
+            "SELECT doc_id, source, n_chars FROM documents WHERE lang = 'en'"
+        ),
+        "topk_chars": (
+            "SELECT doc_id, n_chars FROM documents "
+            "ORDER BY n_chars DESC, doc_id ASC LIMIT 20"
+        ),
+        "orders_by_segment": (
+            "SELECT c_mktsegment, COUNT(*) AS n_orders, "
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_e2 "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_mktsegment"
+        ),
+        "lineitem_order_priority": (
+            "SELECT o_orderpriority, COUNT(*) AS n_items, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4 "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY o_orderpriority"
+        ),
+        "region_nations": (
+            "SELECT r_name, COUNT(*) AS n_nations FROM nation "
+            "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+        ),
+        "distinct_users": (
+            "SELECT event_type, COUNT(DISTINCT user_id) AS n_users, "
+            "COUNT(*) AS n_events FROM events GROUP BY event_type"
+        ),
+        "events_daily": (
+            "SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n, "
+            "CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT) AS value_e4 "
+            "FROM events GROUP BY event_type, date_trunc('day', ts)"
+        ),
+        "json_extract_events": (
+            "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
+            "FROM events"
+        ),
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_e2, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_e2, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_e4, "
+            "COUNT(*) AS count_order "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "supplier_topk": (
+            "SELECT s_suppkey, s_name, CAST(ROUND(s_acctbal * 100) AS BIGINT) AS s_acctbal_e2 "
+            "FROM supplier ORDER BY s_acctbal DESC, s_suppkey ASC LIMIT 10"
+        ),
+        "user_event_seq": (
+            "SELECT event_id, user_id, "
+            "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq_in_user "
+            "FROM events"
+        ),
+        "embeddings_by_label": (
+            "SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY label"
+        ),
+        "url_canonicalize": (
+            "SELECT doc_id, "
+            "'http://' || lower(source) || '.example/d/' || doc_id AS url_canon, "
+            "'example,' || lower(source) || ')/d/' || doc_id AS surt, "
+            "lower(source) || '.example' AS host "
+            "FROM documents"
+        ),
+        "token_counts": (
+            "SELECT doc_id, "
+            "len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::BIGINT AS n_tokens "
+            "FROM documents"
+        ),
+        "text_quality": (
+            "SELECT doc_id, LENGTH(text) AS n_chars_text, "
+            "LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.!?,;:]', '', 'g')) AS n_punct, "
+            "len(list_filter(string_split_regex(lower(text), '\\s+'), "
+            f"x -> x IN {_STOP_LIST}))::BIGINT AS n_stop "
+            "FROM documents"
+        ),
+        "exact_dedup": (
+            "WITH all_docs AS (SELECT doc_id, text FROM documents "
+            "UNION ALL SELECT doc_id + 1000000, text FROM documents) "
+            "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies "
+            "FROM all_docs GROUP BY text"
+        ),
+        "ann_cosine_topk": (
+            "WITH q AS ("
+            "SELECT 0 AS query_idx, (SELECT embedding FROM embeddings WHERE vec_id = 0) AS qe "
+            "UNION ALL SELECT 1, (SELECT embedding FROM embeddings WHERE vec_id = 1) "
+            "UNION ALL SELECT 2, (SELECT embedding FROM embeddings WHERE vec_id = 2)) "
+            "SELECT query_idx, vec_id, CAST(ROUND(cosine * 1000000) AS BIGINT) AS cosine_e6 FROM ("
+            "SELECT q.query_idx, e.vec_id, "
+            "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) AS cosine, "
+            "ROW_NUMBER() OVER (PARTITION BY q.query_idx ORDER BY "
+            "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) DESC, e.vec_id ASC) AS rn "
+            "FROM embeddings e CROSS JOIN q) WHERE rn <= 10"
+        ),
+    }

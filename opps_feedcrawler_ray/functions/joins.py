@@ -1,0 +1,117 @@
+"""Distributed join strategies (SURVEY.md §2.4).
+
+Two explicit strategies, chosen by the caller (the planner is the
+programmer here — partitioning decisions are visible, per the north
+rule's "partitioning / shuffle / skew handled explicitly"):
+
+* :func:`broadcast_join` — small side materialized ONCE into the object
+  store via ``ray.put`` and read once per task (actor-cached), then a
+  vectorized pandas merge per batch.  No shuffle.  Use when one side
+  fits in a worker's heap (dimension tables, robots sets, blocklists).
+
+* :func:`shuffle_join` — explicit partitioned hash join: both sides get
+  a ``__bucket = url-style hash(key) % B`` column, are unioned with a
+  side tag, hash-shuffled ONCE by bucket, and joined bucket-locally
+  inside ``map_groups``.  This is the portable co-shuffle pattern (Ray
+  Data has no two-sided ``cogroup``); B controls parallelism and skew
+  granularity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def _key_hash(df: pd.DataFrame, on: list[str]) -> np.ndarray:
+    """Deterministic uint64 hash of the key columns (vectorized)."""
+    h = np.zeros(len(df), dtype=np.uint64)
+    for c in on:
+        col = pd.util.hash_array(df[c].to_numpy(), hash_key="0123456789123456")
+        h = h * np.uint64(0x9E3779B97F4A7C15) + col.astype(np.uint64)
+    return h
+
+
+class _BroadcastJoiner:
+    def __init__(self, small_ref, on, how, suffix) -> None:
+        self.small_ref = small_ref
+        self.on = on
+        self.how = how
+        self.suffix = suffix
+        self._small: pd.DataFrame | None = None
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if self._small is None:
+            self._small = ray.get(self.small_ref)  # once per actor, zero re-ship
+        out = batch.merge(self._small, on=self.on, how=self.how, suffixes=("", self.suffix))
+        return out
+
+
+def broadcast_join(
+    big: rd.Dataset,
+    small: rd.Dataset | pd.DataFrame,
+    on: str | list[str],
+    how: str = "inner",
+    concurrency: int = 4,
+) -> rd.Dataset:
+    """big ⋈ small with the small side broadcast (no shuffle).
+
+    The small side is fully materialized — caller asserts it is small
+    (≲ a few hundred MB).  Stateful actor pool caches the broadcast.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    if isinstance(small, rd.Dataset):
+        small = small.to_pandas()
+    small_ref = ray.put(small)
+    return big.map_batches(
+        _BroadcastJoiner(small_ref, on, how, "_r"),
+        batch_format="pandas",
+        concurrency=concurrency,
+    )
+
+
+def shuffle_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str | list[str],
+    how: str = "inner",
+    num_buckets: int = 16,
+) -> rd.Dataset:
+    """Explicit partitioned hash join of two large datasets.
+
+    One all-to-all exchange total: tag each side, bucket by key hash,
+    union, groupby(bucket), pandas merge per bucket.  Skewed keys can be
+    salted by raising ``num_buckets``; the bucket function is
+    key-deterministic so co-partitioning is exact.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    nb = num_buckets
+    left_cols = left.schema().names
+    right_cols = right.schema().names
+    all_cols = left_cols + [c for c in right_cols if c not in left_cols]
+
+    def tag(side: int, my_cols: list[str]):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy()
+            batch["__side"] = np.int8(side)
+            batch["__bucket"] = (_key_hash(batch, on) % np.uint64(nb)).astype(np.int32)
+            for c in all_cols:  # pad to the union schema so Dataset.union types align
+                if c not in my_cols:
+                    batch[c] = None
+            return batch[all_cols + ["__side", "__bucket"]]
+
+        return fn
+
+    lt = left.map_batches(tag(0, left_cols), batch_format="pandas")
+    rt = right.map_batches(tag(1, right_cols), batch_format="pandas")
+    both = lt.union(rt)
+
+    def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        l = group.loc[group["__side"] == 0, left_cols]
+        r = group.loc[group["__side"] == 1, right_cols]
+        return l.merge(r, on=on, how=how, suffixes=("", "_r"))
+
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")

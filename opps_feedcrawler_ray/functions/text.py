@@ -1,0 +1,182 @@
+"""Text-analysis kernels for the documents pipeline (driver prompt:
+language-ID, quality scoring, token counting, document fingerprinting,
+shingling / MinHash / SimHash for dedup).
+
+All kernels are batch-level (list[str] in → numpy/list out) so they run
+vectorized inside ``map_batches``; per-string work uses compiled regexes
+and C-level str methods only.  Hash-based kernels build on the engine's
+pinned 64-bit fingerprint (functions/hashing.py) — deterministic across
+processes, PYTHONHASHSEED-independent.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+from .hashing import fingerprint64
+
+_WS_SPLIT = re.compile(r"\s+")
+_PUNCT = re.compile(r"[.!?,;:]")
+_WORD = re.compile(r"[\w']+", re.UNICODE)
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+# language-ID (public-knowledge wordlists; this is a heuristic, not a model)
+_LANG_PROFILES: dict[str, frozenset[str]] = {
+    "en": frozenset("the and of to a in is that it for was on are as with at be this".split()),
+    "de": frozenset("der die und das in den von zu mit sich des auf ist im nicht ein".split()),
+    "es": frozenset("de la que el en y a los del se las por un para con una su es".split()),
+    "fr": frozenset("de la le et les des en un du une est que dans qui pour sur pas".split()),
+}
+
+
+def count_tokens(texts: list[str]) -> np.ndarray:
+    """Whitespace token count: len of \\s+ split with empties dropped.
+    (Semantics chosen to be expressible in the DuckDB oracle.)"""
+    out = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        out[i] = len([w for w in _WS_SPLIT.split(t) if w]) if t else 0
+    return out
+
+
+def quality_metrics(texts: list[str]) -> dict[str, np.ndarray]:
+    """Length / punctuation / stopword-ratio quality signals.
+
+    punct_ratio   = count of .!?,;: characters / n_chars
+    stop_ratio    = english-stopword tokens / tokens
+    mean_word_len = n_chars_in_word_tokens / n_word_tokens
+    """
+    n = len(texts)
+    n_chars = np.empty(n, dtype=np.int64)
+    punct_ratio = np.empty(n, dtype=np.float64)
+    stop_ratio = np.empty(n, dtype=np.float64)
+    mean_word_len = np.empty(n, dtype=np.float64)
+    en = _LANG_PROFILES["en"]
+    for i, t in enumerate(texts):
+        t = t or ""
+        n_chars[i] = len(t)
+        punct_ratio[i] = len(_PUNCT.findall(t)) / len(t) if t else 0.0
+        words = _WORD.findall(t.lower())
+        if words:
+            stop_ratio[i] = sum(1 for w in words if w in en) / len(words)
+            mean_word_len[i] = sum(len(w) for w in words) / len(words)
+        else:
+            stop_ratio[i] = 0.0
+            mean_word_len[i] = 0.0
+    return {
+        "n_chars": n_chars,
+        "punct_ratio": punct_ratio,
+        "stop_ratio": stop_ratio,
+        "mean_word_len": mean_word_len,
+    }
+
+
+def detect_lang(texts: list[str]) -> list[str]:
+    """Heuristic language-ID: CJK codepoint share → 'zh'; else the
+    stopword profile with the highest hit rate; tie/none → 'unknown'."""
+    out = []
+    for t in texts:
+        t = (t or "")[:2000]
+        if not t:
+            out.append("unknown")
+            continue
+        cjk = sum(1 for ch in t if "一" <= ch <= "鿿")
+        if cjk / max(1, len(t)) > 0.05:
+            out.append("zh")
+            continue
+        words = _WORD.findall(t.lower())
+        if not words:
+            out.append("unknown")
+            continue
+        best_lang, best_hits = "unknown", 0
+        for lang, prof in _LANG_PROFILES.items():
+            hits = sum(1 for w in words if w in prof)
+            if hits > best_hits:
+                best_lang, best_hits = lang, hits
+        out.append(best_lang if best_hits >= max(1, len(words) // 50) else "unknown")
+    return out
+
+
+def doc_fingerprint(texts: list[str]) -> np.ndarray:
+    """Whole-document 64-bit content fingerprint over normalized tokens
+    (rolling-hash-free exact identity: whitespace-insensitive)."""
+    out = np.empty(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        out[i] = fingerprint64(" ".join(_WS_SPLIT.split(t or "")).strip())
+    return out
+
+
+def shingles(text: str, k: int = 5) -> set[int]:
+    """Set of 64-bit hashes of word k-shingles."""
+    words = _WORD.findall((text or "").lower())
+    if len(words) < k:
+        return {fingerprint64(" ".join(words))} if words else set()
+    return {fingerprint64(" ".join(words[i : i + k])) for i in range(len(words) - k + 1)}
+
+
+# --- MinHash -----------------------------------------------------------
+# 128 permutations via the standard (a*x + b) mod p universal-hash family,
+# coefficients fixed by the pinned fingerprint of the permutation index.
+_MERSENNE = np.uint64((1 << 61) - 1)
+_N_PERM = 128
+_A = np.array(
+    [fingerprint64(f"minhash-a-{i}") % ((1 << 61) - 2) + 1 for i in range(_N_PERM)],
+    dtype=np.uint64,
+)
+_B = np.array(
+    [fingerprint64(f"minhash-b-{i}") % ((1 << 61) - 1) for i in range(_N_PERM)],
+    dtype=np.uint64,
+)
+
+
+def minhash_signature(shingle_hashes: set[int]) -> np.ndarray:
+    """128-dim MinHash signature (uint64) of a shingle-hash set."""
+    if not shingle_hashes:
+        return np.full(_N_PERM, np.iinfo(np.uint64).max, dtype=np.uint64)
+    x = np.fromiter(shingle_hashes, dtype=np.uint64, count=len(shingle_hashes))
+    x = x & np.uint64((1 << 61) - 1)
+    # (a*x + b) mod p per permutation; the uint64 product wraps mod 2^64
+    # BEFORE the Mersenne reduction — deterministic and uniform enough for
+    # LSH banding (this is a pinned spec choice, not true modular math).
+    prod = (x[None, :] * _A[:, None] + _B[:, None]) % _MERSENNE
+    return prod.min(axis=1)
+
+
+def lsh_band_keys(sig: np.ndarray, n_bands: int = 16) -> list[int]:
+    """LSH band hashes: signature split into n_bands rows-per-band chunks,
+    each chunk fingerprinted → one 64-bit bucket key per band."""
+    rows = len(sig) // n_bands
+    return [
+        fingerprint64(sig[b * rows : (b + 1) * rows].tobytes()) for b in range(n_bands)
+    ]
+
+
+def jaccard(a: set[int], b: set[int]) -> float:
+    if not a and not b:
+        return 1.0
+    if not a or not b:
+        return 0.0
+    return len(a & b) / len(a | b)
+
+
+# --- SimHash -----------------------------------------------------------
+def simhash(text: str) -> int:
+    """64-bit SimHash over word features (Charikar 2002, public)."""
+    words = _WORD.findall((text or "").lower())
+    if not words:
+        return 0
+    v = np.zeros(64, dtype=np.int64)
+    for w in words:
+        h = fingerprint64(w)
+        bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "little"), dtype=np.uint8))
+        v += bits.astype(np.int64) * 2 - 1
+    out = 0
+    for i, x in enumerate(v):
+        if x > 0:
+            out |= 1 << i
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")

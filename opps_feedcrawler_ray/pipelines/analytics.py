@@ -1,0 +1,349 @@
+"""Driver-contract analytics pipelines over /root/testdata tables
+(SURVEY.md §5.4): each function takes ``sf_dir`` and returns a Dataset /
+DataFrame whose column names match the DuckDB oracle SQL exactly.
+
+Float policy: any aggregated money/value column is computed as
+``SUM(CAST(ROUND(x * 10^s) AS BIGINT))`` on BOTH sides (column suffix
+``_e{s}``) — integer math end-to-end, so value hashes match regardless
+of floating summation order.  Ratios/averages are derived from exact
+integers and rounded to 6 digits.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..functions.joins import broadcast_join, shuffle_join
+from ..functions.text import count_tokens
+from ..functions.urlnorm import canonicalize_batch
+from ..stages.urlstages import CanonicalizeStage
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+# ---------------------------------------------------------------- G1/G2
+def source_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-source doc counts + char sums with batch-level pre-aggregation
+    (combiner) before the small groupby shuffle."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["source", "n_chars"]).to_pandas()
+        g = df.groupby("source", as_index=False).agg(
+            n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = (
+        rd.read_parquet(_t(sf_dir, "documents"), columns=["source", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .sum(["n_docs", "sum_chars"])
+    )
+    df = ds.to_pandas()
+    df = df.rename(columns={"sum(n_docs)": "n_docs", "sum(sum_chars)": "sum_chars"})
+    df["avg_chars"] = (df["sum_chars"] / df["n_docs"]).round(6)
+    return df[["source", "n_docs", "sum_chars", "avg_chars"]]
+
+
+def filter_lang(sf_dir: str) -> rd.Dataset:
+    """Predicate pushdown at the read: only en rows leave storage."""
+    return rd.read_parquet(
+        _t(sf_dir, "documents"),
+        columns=["doc_id", "source", "n_chars"],
+        filter=(pc.field("lang") == "en"),
+    )
+
+
+def topk_chars(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+    out = ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(20)
+    return out.to_pandas()
+
+
+# ---------------------------------------------------------------- joins
+def orders_by_segment(sf_dir: str) -> pd.DataFrame:
+    """Broadcast join: customer (small) shipped once via ray.put."""
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    cust = pd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    cust = cust.rename(columns={"c_custkey": "o_custkey"})
+
+    joined = broadcast_join(orders, cust, on="o_custkey")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["price_e2"] = np.round(batch["o_totalprice"] * 100).astype("int64")
+        g = batch.groupby("c_mktsegment", as_index=False).agg(
+            n_orders=("price_e2", "size"), revenue_e2=("price_e2", "sum")
+        )
+        return g
+
+    out = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("c_mktsegment")
+        .sum(["n_orders", "revenue_e2"])
+        .to_pandas()
+        .rename(columns={"sum(n_orders)": "n_orders", "sum(revenue_e2)": "revenue_e2"})
+    )
+    return out[["c_mktsegment", "n_orders", "revenue_e2"]]
+
+
+def lineitem_order_priority(sf_dir: str) -> pd.DataFrame:
+    """Explicit bucketed shuffle join of two large tables on orderkey."""
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"])
+
+    def rekey(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.rename(columns={"o_orderkey": "l_orderkey"})
+
+    orders = orders.map_batches(rekey, batch_format="pandas")
+    joined = shuffle_join(li, orders, on="l_orderkey", num_buckets=16)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rev = np.round(batch["l_extendedprice"] * (1 - batch["l_discount"]) * 10000).astype("int64")
+        batch = batch.assign(revenue_e4=rev)
+        return batch.groupby("o_orderpriority", as_index=False).agg(
+            n_items=("revenue_e4", "size"), revenue_e4=("revenue_e4", "sum")
+        )
+
+    out = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .sum(["n_items", "revenue_e4"])
+        .to_pandas()
+        .rename(columns={"sum(n_items)": "n_items", "sum(revenue_e4)": "revenue_e4"})
+    )
+    return out[["o_orderpriority", "n_items", "revenue_e4"]]
+
+
+def region_nations(sf_dir: str) -> pd.DataFrame:
+    nation = rd.read_parquet(_t(sf_dir, "nation"))
+    region = pd.read_parquet(_t(sf_dir, "region")).rename(
+        columns={"r_regionkey": "n_regionkey"}
+    )
+    joined = broadcast_join(nation, region, on="n_regionkey")
+    out = (
+        joined.groupby("r_name")
+        .count()
+        .to_pandas()
+        .rename(columns={"count()": "n_nations"})
+    )
+    return out[["r_name", "n_nations"]]
+
+
+# ---------------------------------------------------------- aggregates
+def distinct_users(sf_dir: str) -> pd.DataFrame:
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "user_id"])
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n_users": [g["user_id"].nunique()],
+                "n_events": [len(g)],
+            }
+        )
+
+    return ev.groupby("event_type").map_groups(per_group, batch_format="pandas").to_pandas()
+
+
+def events_daily(sf_dir: str) -> pd.DataFrame:
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts", "value"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["day"] = batch["ts"].dt.floor("D")
+        batch["value_e4"] = np.round(batch["value"] * 10000).astype("int64")
+        return batch.groupby(["event_type", "day"], as_index=False).agg(
+            n=("value_e4", "size"), value_e4=("value_e4", "sum")
+        )
+
+    out = (
+        ev.map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "day"])
+        .sum(["n", "value_e4"])
+        .to_pandas()
+        .rename(columns={"sum(n)": "n", "sum(value_e4)": "value_e4"})
+    )
+    return out[["event_type", "day", "n", "value_e4"]]
+
+
+def json_extract_events(sf_dir: str) -> rd.Dataset:
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "props"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ks = [
+            int(json.loads(p)["k"]) if p else None
+            for p in batch["props"].to_pylist()
+        ]
+        return pa.table(
+            {"event_id": batch["event_id"], "k": pa.array(ks, pa.int64())}
+        )
+
+    return ev.map_batches(fn, batch_format="pyarrow")
+
+
+def pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1-shaped summary with exact integer-scaled sums."""
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(
+            qty_e2=np.round(batch["l_quantity"] * 100).astype("int64"),
+            base_e2=np.round(batch["l_extendedprice"] * 100).astype("int64"),
+            disc_e4=np.round(
+                batch["l_extendedprice"] * (1 - batch["l_discount"]) * 10000
+            ).astype("int64"),
+        )
+        return batch.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty_e2=("qty_e2", "sum"),
+            sum_base_e2=("base_e2", "sum"),
+            sum_disc_e4=("disc_e4", "sum"),
+            count_order=("qty_e2", "size"),
+        )
+
+    out = (
+        li.map_batches(partial, batch_format="pandas")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .sum(["sum_qty_e2", "sum_base_e2", "sum_disc_e4", "count_order"])
+        .to_pandas()
+    )
+    out = out.rename(
+        columns={f"sum({c})": c for c in ["sum_qty_e2", "sum_base_e2", "sum_disc_e4", "count_order"]}
+    )
+    return out[["l_returnflag", "l_linestatus", "sum_qty_e2", "sum_base_e2", "sum_disc_e4", "count_order"]]
+
+
+def supplier_topk(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "supplier"), columns=["s_suppkey", "s_name", "s_acctbal"])
+    out = ds.sort(["s_acctbal", "s_suppkey"], descending=[True, False]).limit(10).to_pandas()
+    out["s_acctbal_e2"] = np.round(out["s_acctbal"] * 100).astype("int64")
+    return out[["s_suppkey", "s_name", "s_acctbal_e2"]]
+
+
+def user_event_seq(sf_dir: str) -> pd.DataFrame:
+    """Streaming-shaped: per-user ordered log, sequence number per event
+    (groupby user → sort by ts within group — the ordered-partition
+    pattern for windowed processing)."""
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        g["seq_in_user"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["event_id", "user_id", "seq_in_user"]]
+
+    return ev.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+
+
+def embeddings_by_label(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["label"])
+    out = ds.groupby("label").count().to_pandas().rename(columns={"count()": "n_vecs"})
+    return out[["label", "n_vecs"]]
+
+
+# ------------------------------------------------------------- url ops
+def url_canonicalize(sf_dir: str) -> pd.DataFrame:
+    """M1/M2/M4 with a SQL-twin: messy URLs constructed from (source,
+    doc_id), canonicalized by the engine; the oracle states the expected
+    canonical/surt/host strings directly."""
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "source"])
+
+    def build(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        srcs = batch["source"].to_pylist()
+        messy = [f"HTTP://{s.upper()}.EXAMPLE:80/d/./{i}" for s, i in zip(srcs, ids)]
+        canon, surt, host = canonicalize_batch(messy)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "url_canon": pa.array(canon, pa.string()),
+                "surt": pa.array(surt, pa.string()),
+                "host": pa.array(host, pa.string()),
+            }
+        )
+
+    return docs.map_batches(build, batch_format="pyarrow").to_pandas()
+
+
+# ------------------------------------------------------------ text ops
+def token_counts(sf_dir: str) -> rd.Dataset:
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(count_tokens(batch["text"].to_pylist()), pa.int64()),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+_STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "that", "it", "for")
+
+
+def text_quality(sf_dir: str) -> rd.Dataset:
+    """Quality signals with oracle-matching semantics: counts, not models."""
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    stop = set(_STOPWORDS)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        n_chars_text, n_punct, n_stop = [], [], []
+        for t in texts:
+            t = t or ""
+            n_chars_text.append(len(t))
+            n_punct.append(sum(1 for ch in t if ch in ".!?,;:"))
+            toks = [w for w in t.lower().split() if w]
+            n_stop.append(sum(1 for w in toks if w in stop))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars_text": pa.array(n_chars_text, pa.int64()),
+                "n_punct": pa.array(n_punct, pa.int64()),
+                "n_stop": pa.array(n_stop, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def exact_dedup_docs(sf_dir: str) -> pd.DataFrame:
+    """Exact dedup over a dup-injected corpus: documents ∪ (doc_id+10⁶
+    copies) → min-id survivor + copy count per distinct text."""
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def shift(batch: pa.Table) -> pa.Table:
+        ids = pc.add(batch["doc_id"], pa.scalar(1_000_000, pa.int64()))
+        return pa.table({"doc_id": ids, "text": batch["text"]})
+
+    both = docs.union(docs.map_batches(shift, batch_format="pyarrow"))
+    from ..functions.text import doc_fingerprint
+
+    def add_fp(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__fp", pa.array(doc_fingerprint(batch["text"].to_pylist()), pa.uint64())
+        )
+
+    def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": [int(g["doc_id"].min())], "n_copies": [np.int64(len(g))]}
+        )
+
+    return (
+        both.map_batches(add_fp, batch_format="pyarrow")
+        .groupby("__fp")
+        .map_groups(reduce_group, batch_format="pandas")
+        .to_pandas()
+    )

@@ -1,0 +1,170 @@
+"""Flagship crawl over a pages table derived from the driver's
+``documents`` testdata (SURVEY.md §3.2 E2): deterministic, hermetic, and
+scale-proportional (sf0.001 → small corpus, sf0.1 → bench corpus).
+
+Derivation (id-pure, like sources/corpus.py):
+  * host   = ``h{doc_id % n_hosts}.example``  (16 hosts)
+  * path   = ``/priv/{doc_id}`` when doc_id % 13 == 7 (robots-blocked),
+             else ``/d/{doc_id}``
+  * html   = title + the document's text wrapped in <p> + script block +
+             6 deterministic outlinks to other doc ids (messy forms)
+  * text   = FROZEN extractor output over that html (golden invariant)
+  * plus one root page + one robots.txt per host (``Disallow: /priv/``)
+  * seeds  = the 16 host roots
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from ..functions.extract import extract_text
+from ..schemas import PAGES, SEEDS
+from .crawl import CrawlConfig, crawl
+
+N_HOSTS = 16
+N_LINKS = 6
+EPOCH_US = 1_704_067_200_000_000
+
+
+def _url(doc_id: int) -> str:
+    host = f"h{doc_id % N_HOSTS}.example"
+    path = f"/priv/{doc_id}" if doc_id % 13 == 7 else f"/d/{doc_id}"
+    return f"http://{host}{path}"
+
+
+def _messy(doc_id: int, variant: int) -> str:
+    host = f"h{doc_id % N_HOSTS}.example"
+    path = f"/priv/{doc_id}" if doc_id % 13 == 7 else f"/d/{doc_id}"
+    v = variant % 3
+    if v == 0:
+        return f"HTTP://{host.upper()}{path}"
+    if v == 1:
+        return f"http://{host}:80{path}"
+    return f"http://{host}/.{path}"
+
+
+def build_pages_from_documents(documents_path: str, out_dir: str) -> dict[str, str]:
+    """documents.parquet → pages.parquet + seeds.parquet (idempotent)."""
+    pages_path = os.path.join(out_dir, "pages.parquet")
+    seeds_path = os.path.join(out_dir, "seeds.parquet")
+    if os.path.exists(pages_path) and os.path.exists(seeds_path):
+        return {"pages": pages_path, "seeds": seeds_path}
+    os.makedirs(out_dir, exist_ok=True)
+
+    n_docs = pq.read_metadata(documents_path).num_rows
+
+    def build(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        urls, tss, htmls, outs = [], [], [], []
+        for i, (did, body, lang) in enumerate(zip(ids, texts, langs)):
+            targets = [(did * 37 + 11 * k + 1) % n_docs for k in range(N_LINKS)]
+            anchors = "".join(
+                f'<a href="{_messy(t, did + k)}">ref {k}</a>' for k, t in enumerate(targets)
+            )
+            html = (
+                f"<html><head><title>Doc {did}</title><script>t({did});</script></head>"
+                f"<body><h1>Document {did}</h1><p>{body}</p><div>{anchors}</div></body></html>"
+            ).encode()
+            urls.append(_url(did))
+            tss.append(EPOCH_US + did * 1_000_000)
+            htmls.append(html)
+            outs.append(extract_text(urls[-1], html))
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(tss, pa.timestamp("us")),
+                "html": pa.array(htmls, pa.binary()),
+                "text": pa.array(outs, pa.string()),
+                "lang": pa.array(langs, pa.string()),
+            },
+            schema=PAGES,
+        )
+
+    tmp = pages_path + ".tmpdir"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        rd.read_parquet(documents_path, columns=["doc_id", "text", "lang"])
+        .map_batches(build, batch_format="pyarrow", batch_size=2048)
+        .write_parquet(tmp)
+    )
+    doc_pages = pq.read_table(tmp).sort_by("warc_ts")
+    shutil.rmtree(tmp)
+
+    # host roots + robots
+    urls, tss, htmls, texts, langs = [], [], [], [], []
+    for h in range(N_HOSTS):
+        root_targets = [(h * 53 + 17 * k + 3) % n_docs for k in range(N_LINKS)]
+        anchors = "".join(
+            f'<a href="{_messy(t, h + k)}">hub {k}</a>' for k, t in enumerate(root_targets)
+        )
+        root_html = (
+            f"<html><head><title>h{h} home</title></head>"
+            f"<body><h1>h{h}.example</h1><div>{anchors}</div></body></html>"
+        ).encode()
+        for url, html in (
+            (f"http://h{h}.example/", root_html),
+            (f"http://h{h}.example/robots.txt", b"User-agent: *\nDisallow: /priv/\n"),
+        ):
+            urls.append(url)
+            tss.append(EPOCH_US - 10_000_000 + len(urls) * 1_000)
+            htmls.append(html)
+            texts.append(extract_text(url, html))
+            langs.append("en")
+    extra = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        },
+        schema=PAGES,
+    )
+    pq.write_table(pa.concat_tables([extra, doc_pages]), pages_path)
+    seeds = pa.table(
+        {
+            "url": pa.array([f"http://h{h}.example/" for h in range(N_HOSTS)], pa.string()),
+            "priority": pa.array([1.0] * N_HOSTS, pa.float64()),
+        },
+        schema=SEEDS,
+    )
+    pq.write_table(seeds, seeds_path)
+    return {"pages": pages_path, "seeds": seeds_path}
+
+
+def crawl_documents(
+    sf_dir: str,
+    work_dir: str | None = None,
+    politeness_budget: int = 32,
+    num_frontier_actors: int = 4,
+    num_buckets: int = 16,
+    checkpoint_every: int = 4,
+) -> rd.Dataset:
+    """Derive a pages corpus from sf_dir's documents table, crawl it,
+    return the crawl log as a Dataset (sorted by fetch_seq)."""
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    work = work_dir or f"/tmp/opps_feedcrawler_ray/webpipe-{sf_tag}"
+    paths = build_pages_from_documents(os.path.join(sf_dir, "documents.parquet"),
+                                       os.path.join(work, "corpus"))
+    cfg = CrawlConfig(
+        pages_path=paths["pages"],
+        seeds_path=paths["seeds"],
+        out_dir=os.path.join(work, "out"),
+        num_frontier_actors=num_frontier_actors,
+        politeness_budget=politeness_budget,
+        num_buckets=num_buckets,
+        checkpoint_every=checkpoint_every,
+    )
+    crawl(cfg)
+    import glob
+
+    files = sorted(glob.glob(os.path.join(cfg.out_dir, "crawl_log", "round=*", "*.parquet")))
+    return rd.read_parquet(files).sort("fetch_seq")
