@@ -34,6 +34,22 @@ def _q_crawl(sf_dir: str):
     return crawl_documents(sf_dir)
 
 
+def _q_crawl_host_stats(sf_dir: str):
+    """G1 over the crawl log: per-host fetched pages + outlink totals."""
+    from opps_feedcrawler_ray.pipelines.webpipe import crawl_documents
+
+    log = crawl_documents(sf_dir)
+    import pandas as pd
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"host": [g["host"].iloc[0]], "n_pages": [len(g)],
+             "n_links_total": [int(g["n_links"].sum())]}
+        )
+
+    return log.groupby("host").map_groups(agg, batch_format="pandas").to_pandas()
+
+
 def _q_minhash_pairs(sf_dir: str):
     import ray.data as rd
 
@@ -199,7 +215,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_by_label": A.embeddings_by_label,
         # crawl-engine operators
         "url_canonicalize": A.url_canonicalize,
+        "topk_per_group": A.topk_per_group,
+        "sample_docs": A.sample_docs,
         "crawl_documents": _q_crawl,
+        "crawl_host_stats": _q_crawl_host_stats,
         # training-data ops
         "token_counts": A.token_counts,
         "text_quality": A.text_quality,
@@ -279,6 +298,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "embeddings_by_label": (
             "SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY label"
+        ),
+        "topk_per_group": (
+            "SELECT lang, doc_id, n_chars FROM ("
+            "SELECT lang, doc_id, n_chars, ROW_NUMBER() OVER ("
+            "PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rn "
+            "FROM documents) WHERE rn <= 3"
         ),
         "url_canonicalize": (
             "SELECT doc_id, "

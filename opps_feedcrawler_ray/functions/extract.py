@@ -60,12 +60,21 @@ def normalize_ws(s: str) -> str:
 
 
 class _TextExtractor(HTMLParser):
+    """One-pass text + href collector.  Text semantics are the FROZEN
+    module spec; hrefs are a free byproduct of the same event stream
+    (pinned by the parse_links goldens)."""
+
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.parts: list[str] = []
+        self.hrefs: list[str] = []
         self._drop_depth = 0
 
     def handle_starttag(self, tag: str, attrs) -> None:
+        if tag == "a":
+            for k, v in attrs:
+                if k == "href" and v:
+                    self.hrefs.append(v)
         if tag in DROP_TAGS:
             if tag not in VOID_TAGS:
                 self._drop_depth += 1
@@ -82,6 +91,10 @@ class _TextExtractor(HTMLParser):
             self.parts.append("\n")
 
     def handle_startendtag(self, tag: str, attrs) -> None:
+        if tag == "a":
+            for k, v in attrs:
+                if k == "href" and v:
+                    self.hrefs.append(v)
         if tag in BLOCK_TAGS:
             self.parts.append("\n")
 
@@ -177,15 +190,78 @@ def extract_feed_text(body: bytes | str) -> str:
     return normalize_ws("\n".join(_html.unescape(p) for p in parts))
 
 
+# --- extension surface (SURVEY.md §2.10): pluggable per-kind extractors ---
+# Maps content kind → fn(url, body) -> text.  Registering a new kind (or
+# overriding one) is the engine's analog of the reference's
+# ``FeedType.processor`` dotted-path plugin.  The built-in entries are
+# the FROZEN defaults; replacing them invalidates goldens.
+EXTRACTOR_REGISTRY: dict[str, "object"] = {}
+
+
+def register_extractor(kind: str, fn) -> None:
+    """Plug in ``fn(url, body) -> str`` for a content kind (M6 plugin)."""
+    EXTRACTOR_REGISTRY[kind] = fn
+
+
 def extract_text(url: str, body: bytes | str, kind: str | None = None) -> str:
     """THE extractor (M6): dispatch on kind; robots bodies extract to ''."""
     if kind is None:
         kind = detect_kind(url, body)
+    custom = EXTRACTOR_REGISTRY.get(kind)
+    if custom is not None:
+        return custom(url, body)
     if kind == "robots":
         return ""
     if kind in ("rss", "atom"):
         return extract_feed_text(body)
     return extract_html_text(body)
+
+
+def _finalize_links(url: str, raw: list[str]) -> list[str]:
+    out: list[str] = []
+    seen: set[str] = set()
+    for href in raw:
+        href = href.strip()
+        if not href or href.startswith("#"):
+            continue
+        absu = urljoin(url, href).split("#", 1)[0]
+        if not absu.startswith(("http://", "https://")):
+            continue
+        if absu not in seen:
+            seen.add(absu)
+            out.append(absu)
+    return out
+
+
+def extract_page(url: str, body: bytes | str, kind: str | None = None) -> tuple[str, list[str]]:
+    """Fused M6+M5: ONE parse yields (text, links) — byte-identical to
+    calling extract_text and parse_links separately (golden-pinned), at
+    half the parse cost.  This is the hot-path entry used by the crawl's
+    ExtractStage."""
+    if kind is None:
+        kind = detect_kind(url, body)
+    custom = EXTRACTOR_REGISTRY.get(kind)
+    if custom is not None:
+        return custom(url, body), []
+    if kind == "robots":
+        return "", []
+    if kind in ("rss", "atom"):
+        text = extract_feed_text(body)
+        raw: list[str] = []
+        try:
+            root = ET.fromstring(decode_bytes(body))
+        except ET.ParseError:
+            return text, []
+        for el in root.iter():
+            if _local(el.tag) == "link":
+                href = el.get("href") or (el.text or "").strip()
+                if href:
+                    raw.append(href)
+        return text, _finalize_links(url, raw)
+    p = _TextExtractor()
+    p.feed(decode_bytes(body))
+    p.close()
+    return normalize_ws("".join(p.parts)), _finalize_links(url, p.hrefs)
 
 
 def parse_links(url: str, body: bytes | str, kind: str | None = None) -> list[str]:
@@ -212,16 +288,4 @@ def parse_links(url: str, body: bytes | str, kind: str | None = None) -> list[st
         p.feed(text)
         p.close()
         raw = p.hrefs
-    out: list[str] = []
-    seen: set[str] = set()
-    for href in raw:
-        href = href.strip()
-        if not href or href.startswith("#"):
-            continue  # fragment-only self-link — never a new crawl target
-        absu = urljoin(url, href).split("#", 1)[0]
-        if not absu.startswith(("http://", "https://")):
-            continue
-        if absu not in seen:
-            seen.add(absu)
-            out.append(absu)
-    return out
+    return _finalize_links(url, raw)

@@ -347,3 +347,21 @@ def exact_dedup_docs(sf_dir: str) -> pd.DataFrame:
         .map_groups(reduce_group, batch_format="pandas")
         .to_pandas()
     )
+
+
+def topk_per_group(sf_dir: str) -> pd.DataFrame:
+    """G4: per-group top-k (the reference's per-feed max_entries cap) —
+    top 3 docs by n_chars per lang, deterministic tie-break."""
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["lang", "doc_id", "n_chars"])
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["n_chars", "doc_id"], ascending=[False, True]).head(3)
+
+    return docs.groupby("lang").map_groups(top3, batch_format="pandas").to_pandas()
+
+
+def sample_docs(sf_dir: str) -> rd.Dataset:
+    """O4: seeded sampling (rows-only check — sampling is engine-defined)."""
+    return rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang"]).random_sample(
+        0.2, seed=42
+    )

@@ -46,8 +46,17 @@ class CrawlConfig:
     filter_capacity: int = 1 << 20
     store_exact: bool = True          # verification mode: exact dedup + seen-set export
     checkpoint_every: int = 1         # rounds between checkpoints (0 = off)
-    actor_num_cpus: float = 0.5
+    actor_num_cpus: float = 0  # frontier actors are RPC-driven; callers hold the CPU slot
     extract_concurrency: int | None = None   # None → stateless tasks (elastic)
+    bucketed_dir: str | None = None          # share an ingested layout across runs
+    # "actors": bucket-affine FetchActor pool, pages read once per crawl,
+    #           no per-round shuffle (default — fastest, memory = corpus/K/actor);
+    # "shuffle": per-round groupby(bucket) + partition-pruned disk reads
+    #           (constant memory — the 100 TB cold path)
+    fetch_strategy: str = "actors"
+    num_fetch_actors: int = 8
+    poll_chunk_rows: int = 1024       # ready-set block granularity (parallelism)
+    priority_fn: object = None        # §2.10 hook: fn(next_round) -> priority float
     resume: bool = False
     stats: dict = field(default_factory=dict)
 
@@ -147,6 +156,196 @@ class _FetchSim:
         return out.append_column("status", status)
 
 
+@ray.remote
+class FetchActor:
+    """Bucket-affine fetch-sim actor (J1, no-shuffle variant).
+
+    Actor ``k`` of ``K`` serves exactly the buckets ``b % K == k`` and
+    caches each bucket's Arrow table + url→row index on first access —
+    across ROUNDS, so the pages side is read from disk once per crawl
+    instead of once per round.  Memory per actor = corpus/K and shrinks
+    as the pool grows; at 10^10-URL scale the cache would hold only the
+    url_hash→row-group index and read payloads lazily (same interface).
+    """
+
+    def __init__(self, actor_id: int, pool_size: int, bucketed_dir: str) -> None:
+        self.actor_id = actor_id
+        self.pool_size = pool_size
+        self.dir = bucketed_dir
+        self.cache: dict[int, tuple[pa.Table, dict]] = {}
+
+    def warm(self, num_buckets: int) -> int:
+        """Eagerly load every bucket this actor owns (parallel across the
+        pool at crawl start — demand-loading inside round 0 serializes
+        behind the first fetch calls)."""
+        n = 0
+        for b in range(num_buckets):
+            if b % self.pool_size == self.actor_id:
+                n += self._bucket(b)[0].num_rows
+        return n
+
+    def _bucket(self, b: int) -> tuple[pa.Table, dict]:
+        hit = self.cache.get(b)
+        if hit is None:
+            import pyarrow.dataset as pads
+
+            ds = pads.dataset(self.dir, partitioning="hive")
+            t = ds.to_table(
+                filter=pads.field("bucket") == b,
+                columns=["url", "warc_ts", "html", "lang"],
+            ).combine_chunks()  # single-chunk columns: take() goes from ~8ms to ~µs
+            hit = (t, {u: i for i, u in enumerate(t["url"].to_pylist())})
+            self.cache[b] = hit
+        return hit
+
+    def fetch(self, table: pa.Table) -> pa.Table:
+        """Rows (url, bucket, ...) → same rows + warc_ts/html/lang/status.
+
+        Left-outer join against the cached buckets.  Only the REQUESTED
+        rows are ever taken/copied from the cache (taking the whole
+        bucket per call would copy the corpus once per round).  Output
+        row order is bucket-grouped (stable) — downstream ordering is
+        carried by fetch_seq, not by physical row order.
+        """
+        n = table.num_rows
+        urls = table["url"].to_pylist()
+        buckets = table["bucket"].to_pylist()
+        # stable bucket-grouped permutation of the input rows
+        perm = sorted(range(n), key=buckets.__getitem__)
+        out = table.take(pa.array(perm, pa.int64())).drop_columns(["bucket"])
+        found: list[bool] = []
+        pieces: list[pa.Table] = []
+        i = 0
+        while i < n:
+            b = buckets[perm[i]]
+            j = i
+            locs: list[int] = []
+            while j < n and buckets[perm[j]] == b:
+                loc = self._bucket(b)[1].get(urls[perm[j]])
+                found.append(loc is not None)
+                if loc is not None:
+                    locs.append(loc)
+                j += 1
+            if locs:
+                pieces.append(self._bucket(b)[0].take(pa.array(locs, pa.int64())))
+            i = j
+        if pieces:
+            src = pa.concat_tables(pieces)  # ONLY the hit rows
+            # position of each output row in src (misses point at 0, masked below)
+            pos = []
+            k = 0
+            for f in found:
+                pos.append(k if f else 0)
+                if f:
+                    k += 1
+            taken = src.take(pa.array(pos, pa.int64()))
+            all_found = all(found)
+            mask = pa.array(found)
+            for name in ("warc_ts", "html", "lang"):
+                col = taken[name].combine_chunks()
+                if not all_found:
+                    col = pc.if_else(mask, col, pa.scalar(None, col.type))
+                out = out.append_column(name, col)
+        else:
+            for name, typ in (
+                ("warc_ts", pa.timestamp("us")), ("html", pa.binary()), ("lang", pa.string())
+            ):
+                out = out.append_column(name, pa.array([None] * n, typ))
+        status = pa.array(["fetched" if f else "not_found" for f in found], pa.string())
+        return out.append_column("status", status)
+
+
+class _FetchViaActors:
+    """map_batches stage routing rows to bucket-affine FetchActors.
+    No Dataset shuffle: the ready batch is split by ``bucket % K`` and
+    joined via actor RPC; results concatenate in row order per split."""
+
+    def __init__(self, fetch_actors: list, num_buckets: int) -> None:
+        self.fetch_actors = fetch_actors
+        self.nb = num_buckets
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        h = batch["url_hash"].to_numpy(zero_copy_only=False)
+        buckets = (h % self.nb).astype("int32")
+        batch = batch.append_column("bucket", pa.array(buckets))
+        k = len(self.fetch_actors)
+        owner = buckets % k
+        parts = []
+        refs = []
+        for a in sorted(set(owner)):
+            sub = batch.filter(pa.array(owner == a))
+            parts.append(a)
+            refs.append(self.fetch_actors[a].fetch.remote(sub))
+        results = ray.get(refs)
+        return pa.concat_tables(results)
+
+
+class _FetchDirect:
+    """Storage-direct fetch join (J1, the 100 TB path): each task reads the
+    pages bucket(s) its rows need straight from the bucketed layout —
+    constant memory, no actors, no RPC, fully elastic.  Pairs with
+    bucket-ordered ready chunks (frontier ``chunk_order="bucket"``) so a
+    task touches ~1 bucket; per-round cost is one decompress of each
+    touched bucket partition."""
+
+    def __init__(self, bucketed_dir: str, num_buckets: int) -> None:
+        self.dir = bucketed_dir
+        self.nb = num_buckets
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        h = batch["url_hash"].to_numpy(zero_copy_only=False)
+        buckets = (h % self.nb).astype("int64")
+        urls = batch["url"].to_pylist()
+        import numpy as np
+
+        perm = np.argsort(buckets, kind="stable")
+        out = batch.take(pa.array(perm, pa.int64()))
+        found: list[bool] = []
+        pieces: list[pa.Table] = []
+        i, n = 0, batch.num_rows
+        while i < n:
+            b = int(buckets[perm[i]])
+            j = i
+            want = []
+            while j < n and buckets[perm[j]] == b:
+                want.append(urls[perm[j]])
+                j += 1
+            pages = read_bucket(self.dir, b, pa.array(want, pa.string()))
+            idx = {u: k for k, u in enumerate(pages["url"].to_pylist())}
+            locs = [idx.get(u) for u in want]
+            found.extend(l is not None for l in locs)
+            hit = [l for l in locs if l is not None]
+            if hit:
+                pieces.append(pages.take(pa.array(hit, pa.int64())))
+            i = j
+        if pieces:
+            src = pa.concat_tables(pieces).combine_chunks()
+            pos, k = [], 0
+            for f in found:
+                pos.append(k if f else 0)
+                if f:
+                    k += 1
+            taken = src.take(pa.array(pos, pa.int64()))
+            mask = pa.array(found)
+            all_found = all(found)
+            for name in ("warc_ts", "html", "lang"):
+                col = taken[name].combine_chunks()
+                if not all_found:
+                    col = pc.if_else(mask, col, pa.scalar(None, col.type))
+                out = out.append_column(name, col)
+        else:
+            for name, typ in (
+                ("warc_ts", pa.timestamp("us")), ("html", pa.binary()), ("lang", pa.string())
+            ):
+                out = out.append_column(name, pa.array([None] * n, typ))
+        status = pa.array(["fetched" if f else "not_found" for f in found], pa.string())
+        return out.append_column("status", status)
+
+
 class _AssignSeq:
     """fetch_seq = base_offset[host] + host_rank (broadcast offsets via
     ray.put — read once per task, never re-shipped per batch)."""
@@ -165,9 +364,66 @@ class _AssignSeq:
         return batch.append_column("fetch_seq", seq)
 
 
-def _load_robots_into_actors(cfg: CrawlConfig, actors: list) -> None:
-    """Pre-scan pages for robots.txt bodies and deliver each shard its
-    hosts' rules (host-partitioned — no broadcast of the full set)."""
+class _OfferLinksStage:
+    """Fused link-frontier stage: explode outlinks, canonicalize, route to
+    frontier shards, block on offer acks; emits the batch in crawl-log
+    shape.  Runs INSIDE the round's single Dataset execution so offering
+    costs no extra execution — the log write downstream is the barrier."""
+
+    def __init__(self, actors: list, next_round: int, priority_fn=None) -> None:
+        self.actors = actors
+        self.next_round = next_round
+        self.priority_fn = priority_fn
+        self._canon = CanonicalizeStage()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        links = explode_links(batch, self.next_round, self.priority_fn)
+        if links.num_rows:
+            cand = self._canon(links)
+            if "priority" in cand.column_names and "round" in cand.column_names:
+                cand = cand.select(["url", "url_hash", "surt", "host", "priority", "round"])
+                # J4 pre-dedup: outlinks repeat heavily within a batch; one
+                # np.unique here cuts frontier-actor traffic several-fold.
+                # Safe: duplicates carry identical (priority, round) so
+                # first-occurrence == any-occurrence.
+                import numpy as np
+
+                hh = cand["url_hash"].to_numpy(zero_copy_only=False)
+                _, first_idx = np.unique(hh, return_index=True)
+                if len(first_idx) < len(hh):
+                    cand = cand.take(pa.array(np.sort(first_idx), pa.int64()))
+                shards = _shard_indices(cand["host"], len(self.actors))
+                shard_arr = pa.array(shards, pa.int32())
+                refs = [
+                    self.actors[s].offer.remote(cand.filter(pc.equal(shard_arr, s)))
+                    for s in sorted(set(shards))
+                ]
+                ray.get(refs)  # ack before this task completes (round barrier)
+        return batch.select(LOG_COLUMNS)
+
+
+def _load_robots_into_actors(cfg: CrawlConfig, actors: list, bucketed: str | None = None) -> None:
+    """Deliver each frontier shard its hosts' robots rules.  Fast path:
+    the ingest sidecar ``_robots.parquet`` (one small read); fallback:
+    scan the pages table (host-partitioned routing either way)."""
+    from ..sources.io import robots_sidecar_path
+
+    if bucketed is not None:
+        sidecar = robots_sidecar_path(bucketed)
+        if os.path.exists(sidecar):
+            import pyarrow.parquet as _pqr
+
+            t = _pqr.read_table(sidecar)
+            if t.num_rows:
+                shards = _shard_indices(t["host"], len(actors))
+                shard_arr = pa.array(shards, pa.int32())
+                ray.get(
+                    [
+                        actors[s].load_robots.remote(t.filter(pc.equal(shard_arr, s)))
+                        for s in sorted(set(shards))
+                    ]
+                )
+            return
 
     router_actors = actors
 
@@ -230,6 +486,22 @@ def read_manifest(out_dir: str) -> dict | None:
 def crawl(cfg: CrawlConfig) -> dict:
     """Run the crawl; returns stats. Output layout under cfg.out_dir:
     crawl_log/round=N/*.parquet, seen_set/*.parquet, checkpoints/."""
+    import sys as _sys
+    import time as _time
+
+    trace = os.environ.get("CRAWL_TRACE") == "1"
+    _tp = _time.time()
+
+    def _phase(name: str) -> None:
+        nonlocal _tp
+        if trace:
+            print(f"[crawl] phase {name}: {_time.time()-_tp:.2f}s", file=_sys.stderr, flush=True)
+        _tp = _time.time()
+
+    if cfg.fetch_strategy not in ("actors", "direct", "shuffle"):
+        raise ValueError(
+            f"unknown fetch_strategy {cfg.fetch_strategy!r}: use 'actors', 'direct' or 'shuffle'"
+        )
     os.makedirs(cfg.out_dir, exist_ok=True)
     if not cfg.resume:  # fresh run: clear stale outputs (write_parquet appends)
         for sub in ("crawl_log", "seen_set", "checkpoints"):
@@ -237,8 +509,11 @@ def crawl(cfg: CrawlConfig) -> dict:
     else:
         shutil.rmtree(os.path.join(cfg.out_dir, "seen_set"), ignore_errors=True)
     bucketed = ingest_pages(
-        cfg.pages_path, os.path.join(cfg.out_dir, "pages_bucketed"), cfg.num_buckets
+        cfg.pages_path,
+        cfg.bucketed_dir or os.path.join(cfg.out_dir, "pages_bucketed"),
+        cfg.num_buckets,
     )
+    _phase("ingest")
 
     actors = [
         FrontierActor.options(num_cpus=cfg.actor_num_cpus).remote(
@@ -250,6 +525,17 @@ def crawl(cfg: CrawlConfig) -> dict:
         )
         for i in range(cfg.num_frontier_actors)
     ]
+    fetch_actors = []
+    if cfg.fetch_strategy == "actors":
+        # num_cpus=0: these are lookup servers called synchronously from map
+        # tasks that already hold a CPU slot — reserving CPUs here would
+        # deadlock small clusters (pool > num_cpus) and double-count work.
+        fetch_actors = [
+            FetchActor.options(num_cpus=0).remote(i, cfg.num_fetch_actors, bucketed)
+            for i in range(cfg.num_fetch_actors)
+        ]
+        ray.get([a.warm.remote(cfg.num_buckets) for a in fetch_actors])
+    _phase("actors")
     ckpt_dir = os.path.join(cfg.out_dir, "checkpoints")
     log_dir = os.path.join(cfg.out_dir, "crawl_log")
 
@@ -268,12 +554,14 @@ def crawl(cfg: CrawlConfig) -> dict:
                 if d.startswith("round=") and int(d.split("=")[1]) >= start_round:
                     shutil.rmtree(os.path.join(log_dir, d))
     else:
-        _load_robots_into_actors(cfg, actors)
+        _load_robots_into_actors(cfg, actors, bucketed)
+        _phase("robots")
         seeds = rd.read_parquet(cfg.seeds_path)
         offers = _prepare_candidates(seeds, default_priority=1.0).map_batches(
             _RouteToActors(actors, "offer"), batch_format="pyarrow"
         )
         cfg.stats["seed_offered"] = int(offers.sum("offered") or 0)
+        _phase("seeds")
 
     extract = ExtractStage()
     rounds_run = 0
@@ -281,18 +569,30 @@ def crawl(cfg: CrawlConfig) -> dict:
     total_not_found = 0
 
     for r in range(start_round, cfg.max_rounds):
-        ready_refs = [a.poll_ready.remote(r) for a in actors]
-        metas = ray.get([a.poll_meta.remote() for a in actors])
-        # poll_meta must observe the poll — enforce by getting polls' metadata
-        # AFTER poll_ready completed: ray guarantees actor task order per caller,
-        # and poll_meta was submitted after poll_ready on the same actor.
-        n_ready = sum(sum(m.values()) for m in metas)
+        _t0 = _time.time()
+        metas = ray.get(
+            [
+                a.poll_ready_meta.remote(
+                    r,
+                    cfg.poll_chunk_rows,
+                    "bucket" if cfg.fetch_strategy == "direct" else "host",
+                    cfg.num_buckets,
+                )
+                for a in actors
+            ]
+        )
+        n_ready = sum(sum(m["hosts"].values()) for m in metas)
         if n_ready == 0:
             break
+        ready_refs = [
+            a.ready_chunk.remote(j)
+            for a, m in zip(actors, metas)
+            for j in range(m["n_chunks"])
+        ]
         # global fetch_seq offsets: hosts ASC across all shards (metadata only)
         host_counts: dict[str, int] = {}
         for m in metas:
-            host_counts.update(m)
+            host_counts.update(m["hosts"])
         offsets: dict[str, int] = {}
         acc = fetch_seq
         for h in sorted(host_counts):
@@ -313,47 +613,80 @@ def crawl(cfg: CrawlConfig) -> dict:
         def fetch_group(group: pa.Table) -> pa.Table:
             return fetch_sim(group)
 
-        fetched = (
-            ready.map_batches(_AssignSeq(offsets_ref), batch_format="pyarrow")
-            .map_batches(add_bucket, batch_format="pyarrow")
-            .groupby("bucket")
-            .map_groups(fetch_group, batch_format="pyarrow")
+        # ONE Dataset execution per round: fetch-join → extract → offer
+        # discovered links to the frontier actors as a side-effect stage →
+        # write the round's log partition.  The write is the round barrier:
+        # every offer is ray.get-acked inside its task before the task ends,
+        # so when write_parquet returns, round r+1's frontier is complete.
+        offer_links = _OfferLinksStage(actors, r + 1, cfg.priority_fn)
+        staged = ready.map_batches(_AssignSeq(offsets_ref), batch_format="pyarrow")
+        if cfg.fetch_strategy == "actors":
+            staged = staged.map_batches(
+                _FetchViaActors(fetch_actors, cfg.num_buckets), batch_format="pyarrow"
+            )
+        elif cfg.fetch_strategy == "direct":
+            staged = staged.map_batches(
+                _FetchDirect(bucketed, cfg.num_buckets), batch_format="pyarrow"
+            )
+        else:
+            staged = (
+                staged.map_batches(add_bucket, batch_format="pyarrow")
+                .groupby("bucket")
+                .map_groups(fetch_group, batch_format="pyarrow")
+            )
+        if cfg.extract_concurrency:
+            # actor-pool extract: separate operator → fetch output blocks are
+            # re-split at target_max_block_size, decoupling fetch RPC
+            # granularity from extract task granularity
+            staged = staged.map_batches(
+                ExtractStage,
+                batch_format="pyarrow",
+                concurrency=cfg.extract_concurrency,
+                num_cpus=1,
+            )
+        else:
+            staged = staged.map_batches(extract, batch_format="pyarrow")
+        (
+            staged.map_batches(offer_links, batch_format="pyarrow")
+            .write_parquet(os.path.join(log_dir, f"round={r}"))
         )
-        extracted = fetched.map_batches(
-            extract,
-            batch_format="pyarrow",
-            **({"concurrency": cfg.extract_concurrency} if cfg.extract_concurrency else {}),
-        ).materialize()  # round barrier: consumed twice (log sink + link frontier)
 
-        extracted.select_columns(LOG_COLUMNS).write_parquet(
-            os.path.join(log_dir, f"round={r}")
-        )
-        counts = extracted.groupby("status").count().take_all()
-        by_status = {row["status"]: row["count()"] for row in counts}
-        n_fetched = int(by_status.get("fetched", 0))
-        n_missing = int(by_status.get("not_found", 0))
-        total_fetched += n_fetched
-        total_not_found += n_missing
-
-        links = extracted.map_batches(
-            lambda b, _r=r: explode_links(b, _r + 1), batch_format="pyarrow"
-        )
-        offers = _prepare_candidates(links).map_batches(
-            _RouteToActors(actors, "offer"), batch_format="pyarrow"
-        )
-        offers.sum("offered")  # trigger + barrier
-
+        _t1 = _time.time()
         if cfg.checkpoint_every and (r % cfg.checkpoint_every == 0):
             lineage = ray.get([a.checkpoint.remote(ckpt_dir, r) for a in actors])
             _write_manifest(cfg, r, fetch_seq, lineage)
+        if trace:
+            print(
+                f"[crawl] round={r} ready={n_ready} exec={_t1-_t0:.2f}s "
+                f"ckpt={_time.time()-_t1:.2f}s",
+                file=_sys.stderr,
+                flush=True,
+            )
         rounds_run += 1
 
+    _phase("rounds_total")
     # final seen-set export (S6), verification mode only
     if cfg.store_exact:
         seen_refs = [a.export_seen.remote() for a in actors]
         rd.from_arrow_refs(seen_refs).sort("url_hash").write_parquet(
             os.path.join(cfg.out_dir, "seen_set")
         )
+    _phase("seen_export")
+    # status totals: ONE aggregate over the whole written log (end-of-crawl
+    # only — per-round status counting would cost an execution per round)
+    import glob as _glob
+
+    log_files = sorted(_glob.glob(os.path.join(log_dir, "round=*", "*.parquet")))
+    if log_files:
+        import pyarrow.parquet as _pqs
+
+        total_fetched = total_not_found = 0
+        for f in log_files:  # direct column read — no Ray execution needed
+            st = _pqs.read_table(f, columns=["status"])["status"]
+            nf = pc.sum(pc.equal(st, "not_found").cast(pa.int64())).as_py() or 0
+            total_not_found += nf
+            total_fetched += len(st) - nf
+    _phase("final_agg")
     stats = {
         "rounds": rounds_run,
         "fetch_seq": fetch_seq,

@@ -39,6 +39,13 @@ ZIPF_A = 1.3
 N_LINKS = 6
 EPOCH_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in microseconds
 
+# Page-weight profile (module-level so map_batches workers share it after
+# set_profile in generate_corpus; id-pure generation is unaffected).
+# n_paras × words_per_para sets html/text size: the default ~1 KB pages are
+# the unit/e2e profile; bench uses ~8 KB pages (realistic web-page weight)
+# and a mild Zipf so politeness doesn't serialize the throughput measure.
+PROFILE = {"n_paras": 3, "words_per_para": 12, "n_links": N_LINKS, "zipf_a": ZIPF_A, "seed_frac": 0.05}
+
 _WORDS = (
     "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod "
     "tempor incididunt ut labore et dolore magna aliqua enim ad minim veniam "
@@ -59,7 +66,7 @@ def _mix(x: int) -> int:
 
 
 def _zipf_cdf(n_hosts: int) -> np.ndarray:
-    w = 1.0 / np.arange(1, n_hosts + 1) ** ZIPF_A
+    w = 1.0 / np.arange(1, n_hosts + 1) ** PROFILE["zipf_a"]
     return np.cumsum(w / w.sum())
 
 
@@ -95,11 +102,16 @@ def _messy_link(target_id: int, n_hosts: int, cdf: np.ndarray, skew: bool, varia
 
 
 def _targets(page_id: int, n_pages: int) -> list[int]:
-    return [(page_id * 1_000_003 + 7_919 * k + 1) % n_pages for k in range(N_LINKS)]
+    return [
+        (page_id * 1_000_003 + 7_919 * k + 1) % n_pages
+        for k in range(PROFILE["n_links"])
+    ]
 
 
-def _para(page_id: int, j: int, n_words: int = 12) -> str:
+def _para(page_id: int, j: int, n_words: int | None = None) -> str:
     w = _WORDS
+    if n_words is None:
+        n_words = PROFILE["words_per_para"]
     return " ".join(w[(page_id * 3 + j * 7 + t * 11) % len(w)] for t in range(n_words))
 
 
@@ -119,7 +131,7 @@ def build_page_html(page_id: int, n_hosts: int, n_pages: int, cdf: np.ndarray, s
             f"<title>Feed of page {page_id}</title>{''.join(items)}</channel></rss>"
         )
         return xml.encode()
-    paras = "".join(f"<p>{_para(page_id, j)}</p>" for j in range(3))
+    paras = "".join(f"<p>{_para(page_id, j)}</p>" for j in range(PROFILE["n_paras"]))
     anchors = "".join(f'<a href="{ln}">link {k}</a>' for k, ln in enumerate(links))
     html = (
         f"<html><head><title>Page {page_id}</title>"
@@ -144,9 +156,20 @@ def build_root_html(host: int, n_hosts: int, n_pages: int, cdf: np.ndarray, skew
 ROBOTS_BODY = b"User-agent: *\nDisallow: /priv/\n"
 
 
-def build_pages_batch(ids: np.ndarray, n_hosts: int, n_pages: int, skew: bool = False) -> pa.Table:
+def build_pages_batch(
+    ids: np.ndarray, n_hosts: int, n_pages: int, skew: bool = False,
+    profile: dict | None = None,
+) -> pa.Table:
     """Pages rows for global ids; ids >= n_pages encode root/robots pages:
-    id = n_pages + 2*h  → root of host h;  n_pages + 2*h + 1 → its robots.txt."""
+    id = n_pages + 2*h  → root of host h;  n_pages + 2*h + 1 → its robots.txt.
+
+    ``profile`` MUST be passed explicitly when calling from a Ray worker:
+    this function executes in the real module namespace, so updating
+    PROFILE here reaches every helper (a cloudpickled closure mutating
+    PROFILE would only mutate its own pickled copy of the globals).
+    """
+    if profile:
+        PROFILE.update(profile)
     cdf = _zipf_cdf(n_hosts)
     urls, tss, htmls, texts, langs = [], [], [], [], []
     for pid in (int(x) for x in ids):
@@ -174,11 +197,15 @@ def build_pages_batch(ids: np.ndarray, n_hosts: int, n_pages: int, skew: bool = 
     )
 
 
-def build_seeds(n_hosts: int, n_pages: int, skew: bool = False) -> pa.Table:
+def build_seeds(
+    n_hosts: int, n_pages: int, skew: bool = False, profile: dict | None = None
+) -> pa.Table:
     """Seed list (F2): every host root + 5% non-root pages + 2 dups + 1 missing."""
+    if profile:
+        PROFILE.update(profile)
     cdf = _zipf_cdf(n_hosts)
     urls = [f"http://host{h}.example/" for h in range(n_hosts)]
-    n_extra = max(1, n_pages // 20)
+    n_extra = max(1, int(n_pages * PROFILE.get("seed_frac", 0.05)))
     extra = [url_of((j * 104_729 + 11) % n_pages, n_hosts, cdf, skew) for j in range(n_extra)]
     urls += sorted(set(extra))
     urls += [urls[0], f"HTTP://HOST0.EXAMPLE:80/"]  # two duplicates of root 0
@@ -196,12 +223,15 @@ def generate_corpus(
     n_pages: int,
     skew: bool = False,
     use_ray: bool = False,
+    profile: dict | None = None,
 ) -> dict[str, str]:
     """Write pages.parquet + seeds.parquet under out_dir; returns their paths.
 
     ``use_ray=True`` parallelizes page building over Ray Data (bench scale);
     both paths produce identical bytes-per-row (generation is id-pure).
     """
+    if profile:
+        PROFILE.update(profile)
     os.makedirs(out_dir, exist_ok=True)
     pages_path = os.path.join(out_dir, "pages.parquet")
     seeds_path = os.path.join(out_dir, "seeds.parquet")
@@ -209,31 +239,38 @@ def generate_corpus(
     if use_ray:
         import ray.data as rd
 
-        def build(batch: pa.Table) -> pa.Table:
-            return build_pages_batch(batch["id"].to_numpy(), n_hosts, n_pages, skew)
+        prof = dict(PROFILE)
 
-        tmp = pages_path + ".tmpdir"
+        def build(batch: pa.Table) -> pa.Table:
+            return build_pages_batch(
+                batch["id"].to_numpy(), n_hosts, n_pages, skew, profile=prof
+            )
+
+        # the corpus stays a DIRECTORY of part files (row content is id-pure
+        # and joins go by url, so physical order is irrelevant; compacting a
+        # multi-GB binary column into one table would overflow 32-bit Arrow
+        # offsets and would not scale anyway)
+        pages_path = os.path.join(out_dir, "pages_parquet")
+        import shutil
+
+        shutil.rmtree(pages_path, ignore_errors=True)
         (
             rd.range(total)
             .map_batches(build, batch_format="pyarrow", batch_size=4096)
-            .write_parquet(tmp)
+            .write_parquet(pages_path)
         )
-        # compact the part files into one deterministic ordered file
-        t = pq.read_table(tmp).sort_by("warc_ts")
-        pq.write_table(t, pages_path)
-        import shutil
-
-        shutil.rmtree(tmp)
     else:
         t = build_pages_batch(np.arange(total), n_hosts, n_pages, skew)
         pq.write_table(t, pages_path)
-    pq.write_table(build_seeds(n_hosts, n_pages, skew), seeds_path)
+    pq.write_table(build_seeds(n_hosts, n_pages, skew, profile=dict(PROFILE)), seeds_path)
     return {"pages": pages_path, "seeds": seeds_path}
 
+
+BENCH_PROFILE = {"n_paras": 40, "words_per_para": 40, "n_links": 12, "zipf_a": 0.7, "seed_frac": 0.05}
 
 SCALES = {
     "smoke": dict(n_hosts=1, n_pages=50),
     "e2e": dict(n_hosts=20, n_pages=2000),
     "skew": dict(n_hosts=20, n_pages=2000, skew=True),
-    "bench": dict(n_hosts=500, n_pages=200_000),
+    "bench": dict(n_hosts=500, n_pages=200_000, profile=BENCH_PROFILE),
 }

@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.dataset as pads
 import ray.data as rd
 
@@ -30,8 +31,40 @@ def read_seeds(path: str) -> rd.Dataset:
     return rd.read_parquet(path)
 
 
+import pyarrow.parquet as _pq
+import ray as _ray
+
+
+@_ray.remote
+class _RobotsCollector:
+    """Accumulates (host, body) robots rows during the single ingest pass
+    so robots preload never re-scans the pages table."""
+
+    def __init__(self) -> None:
+        self.tables: list[pa.Table] = []
+
+    def add(self, t: pa.Table) -> int:
+        self.tables.append(t)
+        return t.num_rows
+
+    def dump(self, path: str) -> int:
+        schema = pa.schema([("host", pa.string()), ("body", pa.binary())])
+        t = pa.concat_tables(self.tables) if self.tables else schema.empty_table()
+        tmp = path + ".tmp"
+        _pq.write_table(t, tmp)
+        os.replace(tmp, path)
+        return t.num_rows
+
+
+def robots_sidecar_path(bucketed_dir: str) -> str:
+    return os.path.join(bucketed_dir, "_robots.parquet")
+
+
 def ingest_pages(pages_path: str, out_dir: str, num_buckets: int) -> str:
-    """Bucketed fetch-substrate layout: url_hash-keyed hive partitions.
+    """Bucketed fetch-substrate layout: url_hash-keyed hive partitions,
+    plus a tiny ``_robots.parquet`` sidecar of (host, body) collected in
+    the SAME pass (robots preload then costs one small-file read, not a
+    full corpus scan).
 
     Drops the golden ``text`` column (verification-only) so fetch reads
     move less data.  Idempotent: skips if the layout already exists.
@@ -41,10 +74,22 @@ def ingest_pages(pages_path: str, out_dir: str, num_buckets: int) -> str:
         return out_dir
 
     nb = num_buckets
+    collector = _RobotsCollector.remote()
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         h = fingerprint64_array(batch["url"])
         b = (h.to_numpy(zero_copy_only=False) % nb).astype("int32")
+        robots_mask = pc.ends_with(batch["url"], pattern="/robots.txt")
+        if pc.any(robots_mask).as_py():
+            sub = batch.filter(robots_mask)
+            hosts = [
+                u.split("//", 1)[1].split("/", 1)[0] for u in sub["url"].to_pylist()
+            ]
+            _ray.get(
+                collector.add.remote(
+                    pa.table({"host": pa.array(hosts, pa.string()), "body": sub["html"]})
+                )
+            )
         return batch.append_column("url_hash", h).append_column("bucket", pa.array(b))
 
     (
@@ -52,6 +97,7 @@ def ingest_pages(pages_path: str, out_dir: str, num_buckets: int) -> str:
         .map_batches(add_bucket, batch_format="pyarrow")
         .write_parquet(out_dir, partition_cols=["bucket"])
     )
+    _ray.get(collector.dump.remote(robots_sidecar_path(out_dir)))
     with open(marker, "w") as f:
         f.write(str(num_buckets))
     return out_dir

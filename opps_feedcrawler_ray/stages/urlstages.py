@@ -12,7 +12,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.extract import detect_kind, extract_text, parse_links
+from ..functions.extract import detect_kind, extract_page
 from ..functions.hashing import fingerprint64_batch
 from ..functions.urlnorm import canonicalize_batch
 
@@ -73,8 +73,9 @@ class ExtractStage:
                 continue
             k = detect_kind(u, b)
             kinds.append(k)
-            texts.append(extract_text(u, b, k))
-            links.append(parse_links(u, b, k))
+            text, lks = extract_page(u, b, k)  # ONE parse for text + links
+            texts.append(text)
+            links.append(lks)
         out = batch.drop_columns(["html"])
         out = out.append_column("kind", pa.array(kinds, pa.string()))
         out = out.append_column("text", pa.array(texts, pa.string()))

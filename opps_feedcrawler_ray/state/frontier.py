@@ -28,7 +28,6 @@ the driver).
 
 from __future__ import annotations
 
-import heapq
 import os
 import pickle
 
@@ -63,7 +62,12 @@ class FrontierActor:
         self.budget = politeness_budget
         self.seen = CuckooFilter(capacity=filter_capacity)
         self.exact: dict[int, str] = {} if store_exact else None
-        self.heaps: dict[str, list[tuple[float, int, str]]] = {}
+        # per-host pending lists, sorted ascending by (-priority, round, url)
+        # EXCEPT hosts in _dirty (appended since last sort) — offers are
+        # O(1) appends, the sort is amortized once per poll (hot path:
+        # heappush per offer was the frontier's bottleneck at scale)
+        self.heaps: dict[str, list[tuple[float, int, str, int]]] = {}
+        self._dirty: set[str] = set()
         self.robots: dict[str, RobotsRules] = {}
         self.counters = dict.fromkeys(COUNTER_KEYS, 0)
         self._last_meta: dict[str, int] = {}
@@ -107,9 +111,8 @@ class FrontierActor:
             if not self._allowed(host, url):
                 blocked += 1
                 continue  # seen but never fetched
-            heapq.heappush(
-                self.heaps.setdefault(host, []), (-prio, rnd, url, h)
-            )
+            self.heaps.setdefault(host, []).append((-prio, rnd, url, h))
+            self._dirty.add(host)
             admitted += 1
         self.counters["offered"] += len(urls)
         self.counters["admitted"] += admitted
@@ -117,26 +120,66 @@ class FrontierActor:
         return {"offered": len(urls), "admitted": admitted, "robots_blocked": blocked}
 
     # -------------------------------------------------------------- poll
+    def poll_ready_meta(
+        self,
+        round_idx: int,
+        chunk_rows: int = 1024,
+        chunk_order: str = "host",
+        num_buckets: int = 64,
+    ) -> dict:
+        """Two-phase poll, phase 1: pop this round's ready set into staged
+        chunks of ≤chunk_rows and return ONLY metadata — per-host counts
+        (for global fetch_seq offsets) and the chunk count.  Phase 2
+        (:meth:`ready_chunk`) hands each chunk out as its own object ref,
+        so the driver's ``from_arrow_refs`` sees many blocks and the
+        round's map stages parallelize across the whole cluster instead
+        of one task per frontier shard."""
+        t = self.poll_ready(round_idx)
+        if chunk_order == "bucket" and t.num_rows:
+            # bucket-contiguous chunks: each downstream fetch task touches
+            # ~1 pages bucket instead of all of them (storage-direct J1).
+            # fetch_seq ordering is unaffected — it comes from host_rank +
+            # per-host offsets, not from chunk order.
+            import numpy as np
+
+            h = t["url_hash"].to_numpy(zero_copy_only=False)
+            perm = np.argsort(h % num_buckets, kind="stable")
+            t = t.take(pa.array(perm, pa.int64()))
+        self._chunks = [
+            t.slice(i, chunk_rows) for i in range(0, max(t.num_rows, 1), chunk_rows)
+        ]
+        if t.num_rows == 0:
+            self._chunks = []
+        return {"hosts": self._last_meta, "n_chunks": len(self._chunks)}
+
+    def ready_chunk(self, i: int) -> pa.Table:
+        """Two-phase poll, phase 2: staged chunk i (host-ASC slice order)."""
+        return self._chunks[i]
+
     def poll_ready(self, round_idx: int) -> pa.Table:
         """Pop ≤budget per host in the frozen politeness order; returns the
         shard's ready table sorted (host ASC, rank ASC)."""
         urls, hashes, hosts, prios, rounds, ranks = [], [], [], [], [], []
         meta: dict[str, int] = {}
         for host in sorted(self.heaps):
-            heap = self.heaps[host]
-            k = 0
-            while heap and k < self.budget:
-                negp, rnd, url, h = heapq.heappop(heap)
+            lst = self.heaps[host]
+            if host in self._dirty:
+                lst.sort()
+                self._dirty.discard(host)
+            take = lst[: self.budget]
+            for k, (negp, rnd, url, h) in enumerate(take):
                 urls.append(url)
                 hashes.append(h)
                 hosts.append(host)
                 prios.append(-negp)
                 rounds.append(round_idx)
                 ranks.append(k)
-                k += 1
-            if k:
-                meta[host] = k
-            if not heap:
+            if take:
+                meta[host] = len(take)
+            rest = lst[self.budget :]
+            if rest:
+                self.heaps[host] = rest  # still sorted
+            else:
                 del self.heaps[host]
         self._last_meta = meta
         return pa.table(
@@ -237,6 +280,7 @@ class FrontierActor:
         self.robots = {h: RobotsRules.from_tuple(t) for h, t in blob["robots"].items()}
         self.counters = blob["counters"]
         self.heaps = {}
+        self._dirty = set()
         for h, url, host, prio, rnd in zip(
             frontier["url_hash"].to_pylist(),
             frontier["url"].to_pylist(),
@@ -244,5 +288,6 @@ class FrontierActor:
             frontier["priority"].to_pylist(),
             frontier["round"].to_pylist(),
         ):
-            heapq.heappush(self.heaps.setdefault(host, []), (-prio, rnd, url, h))
+            self.heaps.setdefault(host, []).append((-prio, rnd, url, h))
+            self._dirty.add(host)
         return blob["round"]

@@ -265,3 +265,16 @@ def test_cuckoo_batch():
     keys = np.array([fingerprint64(f"u{i}") for i in range(10)] * 2, dtype=np.uint64)
     mask = f.add_batch(keys)
     assert mask[:10].all() and not mask[10:].any()
+
+
+def test_extractor_registry_plugin():
+    """§2.10 extension surface: a registered kind overrides extraction."""
+    from opps_feedcrawler_ray.functions import extract as ex
+
+    try:
+        ex.register_extractor("html", lambda url, body: "CUSTOM")
+        assert ex.extract_text("http://h/x", b"<p>ignored</p>") == "CUSTOM"
+        assert ex.extract_page("http://h/x", b"<p>ignored</p>") == ("CUSTOM", [])
+    finally:
+        ex.EXTRACTOR_REGISTRY.pop("html", None)
+    assert ex.extract_text("http://h/x", b"<p>back</p>") == "back"
