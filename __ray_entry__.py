@@ -50,6 +50,44 @@ def _q_crawl_host_stats(sf_dir: str):
     return log.groupby("host").map_groups(agg, batch_format="pandas").to_pandas()
 
 
+def _q_hll_distinct(sf_dir: str):
+    """Approximate COUNT DISTINCT via mergeable HLL sketches: one sketch
+    per batch, tiny merge stage (rows-only check: approximate by design;
+    the exact twin is the distinct_users query)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from opps_feedcrawler_ray.functions.sketch import HyperLogLog
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas()
+        rows = []
+        for et, g in df.groupby("event_type"):
+            h = HyperLogLog(p=12)
+            h.add_values(g["user_id"].tolist())
+            rows.append((et, h.to_bytes()))
+        return pa.table(
+            {"event_type": pa.array([r[0] for r in rows], pa.string()),
+             "sketch": pa.array([r[1] for r in rows], pa.binary())}
+        )
+
+    partials = ev.map_batches(sketch_batch, batch_format="pyarrow").to_pandas()
+    out_rows = []
+    for et, g in partials.groupby("event_type"):
+        merged = HyperLogLog.from_bytes(bytes(g["sketch"].iloc[0]))
+        for b in g["sketch"].iloc[1:]:
+            merged = merged.merge(HyperLogLog.from_bytes(bytes(b)))
+        out_rows.append({"event_type": et, "approx_users": int(round(merged.estimate()))})
+    import pandas as pd
+
+    return pd.DataFrame(out_rows)
+
+
 def _q_minhash_pairs(sf_dir: str):
     import ray.data as rd
 
@@ -197,6 +235,7 @@ def _q_media_audio(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from opps_feedcrawler_ray.pipelines import analytics as A
+    from opps_feedcrawler_ray.pipelines import streaming as S
 
     return {
         # relational / aggregate operators (oracle-checked)
@@ -212,6 +251,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": A.pricing_summary,
         "supplier_topk": A.supplier_topk,
         "user_event_seq": A.user_event_seq,
+        "asof_last_purchase": S.asof_last_purchase,
+        "sessionize": S.sessionize,
+        "top_spender_events": S.top_spender_events,
+        "revenue_by_nation": S.revenue_by_nation,
+        "hll_distinct_users": _q_hll_distinct,
         "embeddings_by_label": A.embeddings_by_label,
         # crawl-engine operators
         "url_canonicalize": A.url_canonicalize,
@@ -295,6 +339,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, "
             "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq_in_user "
             "FROM events"
+        ),
+        "asof_last_purchase": (
+            "WITH marks AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase') "
+            "SELECT e.event_id, m.ts AS last_purchase_ts "
+            "FROM events e ASOF LEFT JOIN marks m ON e.user_id = m.user_id AND e.ts >= m.ts"
+        ),
+        "sessionize": (
+            "WITH t AS (SELECT user_id, event_id, CASE WHEN "
+            "LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
+            "OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE "
+            "THEN 1 ELSE 0 END AS new_s FROM events) "
+            "SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions, "
+            "COUNT(*) AS n_events FROM t GROUP BY user_id"
+        ),
+        "top_spender_events": (
+            "SELECT event_id, user_id FROM events WHERE user_id IN ("
+            "SELECT user_id FROM events WHERE event_type = 'purchase' GROUP BY user_id "
+            "ORDER BY CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT) DESC, user_id ASC "
+            "LIMIT 10)"
+        ),
+        "revenue_by_nation": (
+            "SELECT n_name, COUNT(*) AS n_orders, "
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_e2 "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
         ),
         "embeddings_by_label": (
             "SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY label"

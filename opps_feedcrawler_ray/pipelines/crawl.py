@@ -696,3 +696,49 @@ def crawl(cfg: CrawlConfig) -> dict:
     }
     cfg.stats.update(stats)
     return stats
+
+
+def main(argv: list[str] | None = None) -> int:
+    """CLI entry (E1): ``python -m opps_feedcrawler_ray.pipelines.crawl
+    --pages P --seeds S --out O [...]`` — the ``ray job submit`` target."""
+    import argparse
+
+    ap = argparse.ArgumentParser(description="Ray-Data crawl engine")
+    ap.add_argument("--pages", required=True, help="pages parquet (input_hint shape)")
+    ap.add_argument("--seeds", required=True, help="seed list parquet (url[, priority])")
+    ap.add_argument("--out", required=True, help="output directory")
+    ap.add_argument("--actors", type=int, default=8, help="frontier/fetch shard count")
+    ap.add_argument("--budget", type=int, default=8, help="politeness budget per host per round")
+    ap.add_argument("--buckets", type=int, default=32)
+    ap.add_argument("--max-rounds", type=int, default=1000)
+    ap.add_argument("--fetch", choices=["actors", "direct", "shuffle"], default="actors")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--num-cpus", type=int, default=None, help="ray.init num_cpus (standalone runs)")
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():  # driver-owned sessions skip this
+        kw = {"num_cpus": args.num_cpus} if args.num_cpus else {}
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR", **kw)
+        rd.DataContext.get_current().enable_progress_bars = False
+    cfg = CrawlConfig(
+        pages_path=args.pages,
+        seeds_path=args.seeds,
+        out_dir=args.out,
+        num_frontier_actors=args.actors,
+        num_fetch_actors=args.actors,
+        politeness_budget=args.budget,
+        num_buckets=args.buckets,
+        max_rounds=args.max_rounds,
+        fetch_strategy=args.fetch,
+        resume=args.resume,
+    )
+    stats = crawl(cfg)
+    print(json.dumps({k: v for k, v in stats.items() if k != "actor_stats"}))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

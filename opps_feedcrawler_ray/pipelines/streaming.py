@@ -1,0 +1,127 @@
+"""Stream-shaped operators over the ordered events log (SURVEY.md §2.9,
+ray_guide.md "Streaming-shaped workloads" pattern).
+
+Ray Data has no event-time windows; these operators treat ``events`` as
+an ordered, user-partitioned log: ONE hash shuffle by ``user_id`` (the
+partition key), then per-partition pandas over the ts-sorted group.
+Ordering assumption (stated per the guide): all rows of a user are in
+one group and sorted by (ts, event_id) before windowing — exactly the
+per-key ordered-log contract a streaming engine would provide.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def asof_last_purchase(sf_dir: str) -> pd.DataFrame:
+    """As-of join (backward, inclusive): for every event, the timestamp
+    of the same user's most recent purchase at-or-before it.  Implemented
+    as groupby(user) → sorted ``pd.merge_asof`` per group — the bucketed
+    as-of join pattern; matches DuckDB ``ASOF LEFT JOIN`` semantics."""
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        marks = g.loc[g["event_type"] == "purchase", ["user_id", "ts"]].copy()
+        marks = marks.rename(columns={"ts": "last_purchase_ts"})
+        out = pd.merge_asof(
+            g[["event_id", "user_id", "ts"]],
+            marks,
+            left_on="ts",
+            right_on="last_purchase_ts",
+            by="user_id",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        return out[["event_id", "last_purchase_ts"]]
+
+    return ev.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+
+
+def sessionize(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    """Gap-based sessionization: a new session starts when a user's
+    inter-event gap exceeds ``gap_minutes``.  Returns per-user session
+    and event counts (tumbling/session-window aggregate)."""
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "event_id"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        new_s = (g["ts"].diff().isna() | (g["ts"].diff() > gap)).sum()
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]],
+             "n_sessions": [np.int64(new_s)],
+             "n_events": [np.int64(len(g))]}
+        )
+
+    return ev.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+
+
+def top_spender_events(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Semi join via broadcast key set (J-pattern, ray_guide.md): events
+    of the k users with the highest total purchase value.  The top-k set
+    is computed with a small grouped aggregate, broadcast once with
+    ray.put, and applied as a vectorized membership filter per batch."""
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "value"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["event_type"] == "purchase"].copy()
+        b["value_e4"] = np.round(b["value"] * 10000).astype("int64")
+        return b.groupby("user_id", as_index=False).agg(value_e4=("value_e4", "sum"))
+
+    totals = (
+        ev.map_batches(partial, batch_format="pandas")
+        .groupby("user_id")
+        .sum("value_e4")
+        .to_pandas()
+        .rename(columns={"sum(value_e4)": "value_e4"})
+    )
+    top = totals.sort_values(["value_e4", "user_id"], ascending=[False, True]).head(k)
+    keyset_ref = ray.put(set(int(u) for u in top["user_id"]))
+
+    def semi(batch: pa.Table) -> pa.Table:
+        keys = ray.get(keyset_ref)
+        mask = pa.array([int(u) in keys for u in batch["user_id"].to_pylist()])
+        return batch.select(["event_id", "user_id"]).filter(mask)
+
+    return ev.map_batches(semi, batch_format="pyarrow").to_pandas()
+
+
+def revenue_by_nation(sf_dir: str) -> pd.DataFrame:
+    """Chained joins: orders ⋈ customer (broadcast) ⋈ nation (broadcast)
+    → per-nation order counts and revenue (integer-scaled)."""
+    from ..functions.joins import broadcast_join
+
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    cust = pd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]).rename(
+        columns={"c_custkey": "o_custkey"}
+    )
+    nation = pd.read_parquet(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name"]).rename(
+        columns={"n_nationkey": "c_nationkey"}
+    )
+    j = broadcast_join(orders, cust, on="o_custkey")
+    j = broadcast_join(j, nation, on="c_nationkey")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["revenue_e2"] = np.round(batch["o_totalprice"] * 100).astype("int64")
+        return batch.groupby("n_name", as_index=False).agg(
+            n_orders=("revenue_e2", "size"), revenue_e2=("revenue_e2", "sum")
+        )
+
+    out = (
+        j.map_batches(partial, batch_format="pandas")
+        .groupby("n_name")
+        .sum(["n_orders", "revenue_e2"])
+        .to_pandas()
+        .rename(columns={"sum(n_orders)": "n_orders", "sum(revenue_e2)": "revenue_e2"})
+    )
+    return out[["n_name", "n_orders", "revenue_e2"]]

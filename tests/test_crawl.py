@@ -160,3 +160,18 @@ def test_shard_count_invariance(smoke):
     seen3 = pq.read_table(f"{out}/seen_set")
     assert log3.equals(smoke["log"])
     assert seen3.equals(smoke["seen"])
+
+
+def test_skew_corpus_politeness(ray_session, tmp_path_factory):
+    """Mega-host skew (host0 owns ~50% of pages) must not break politeness
+    or stall: per-(host, round) fetches stay within budget and the crawl
+    completes with the skewed tail simply taking more rounds."""
+    tmp = str(tmp_path_factory.mktemp("skew"))
+    corpus = generate_corpus(f"{tmp}/corpus", n_hosts=4, n_pages=160, skew=True)
+    log, seen, stats = run_crawl(tmp, corpus, "out")
+    df = log.to_pandas()
+    per = df[df.status == "fetched"].groupby(["host", "round"]).size()
+    assert (per <= 8).all()
+    share = (df.host == "host0.example").mean()
+    assert share > 0.4  # the skew actually exercised
+    assert stats["rounds"] >= 5  # host0's queue drains budget-bound

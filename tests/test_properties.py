@@ -1,0 +1,110 @@
+"""Property-based tests (SURVEY.md §5.2 layer 2, hypothesis)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from opps_feedcrawler_ray.functions.extract import extract_text, normalize_ws, parse_links
+from opps_feedcrawler_ray.functions.hashing import fingerprint64
+from opps_feedcrawler_ray.functions.robots import parse_robots
+from opps_feedcrawler_ray.functions.sketch import HyperLogLog
+from opps_feedcrawler_ray.functions.text import jaccard, minhash_signature, shingles, simhash
+from opps_feedcrawler_ray.functions.urlnorm import canonicalize_url, extract_host, surt_form
+from opps_feedcrawler_ray.state.cuckoo import CuckooFilter
+
+# URL pieces that stay within http(s) space
+_hosts = st.from_regex(r"[a-z][a-z0-9]{0,10}(\.[a-z]{2,5}){1,2}", fullmatch=True)
+_paths = st.from_regex(r"(/[A-Za-z0-9._~%\-]{0,8}){0,4}", fullmatch=True)
+_queries = st.from_regex(r"([a-z]{1,4}=[A-Za-z0-9%]{0,6}(&[a-z]{1,4}=[A-Za-z0-9]{0,6}){0,3})?", fullmatch=True)
+
+
+@given(
+    scheme=st.sampled_from(["http", "https", "HTTP", "Http"]),
+    host=_hosts,
+    port=st.sampled_from(["", ":80", ":443", ":8080"]),
+    path=_paths,
+    query=_queries,
+    frag=st.sampled_from(["", "#x", "#frag"]),
+)
+@settings(max_examples=300, deadline=None)
+def test_canonicalize_idempotent_and_stable(scheme, host, port, path, query, frag):
+    url = f"{scheme}://{host}{port}{path}"
+    if query:
+        url += f"?{query}"
+    url += frag
+    c = canonicalize_url(url)
+    assert c is not None
+    # idempotence: canon(canon(u)) == canon(u)
+    assert canonicalize_url(c) == c
+    # no fragment survives; scheme+host lowercased
+    assert "#" not in c
+    h = extract_host(c)
+    assert h == h.lower()
+    # surt is deterministic and recoverable-ordered
+    assert surt_form(c) == surt_form(c)
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_fingerprint_deterministic(s):
+    assert fingerprint64(s) == fingerprint64(s)
+    assert 0 <= fingerprint64(s) < 2**64
+
+
+@given(st.binary(max_size=500))
+@settings(max_examples=150, deadline=None)
+def test_extractor_never_crashes(b):
+    """Any byte soup extracts to SOME string and link list, no exceptions."""
+    t = extract_text("http://h.example/x", b)
+    assert isinstance(t, str)
+    links = parse_links("http://h.example/x", b)
+    assert all(u.startswith(("http://", "https://")) for u in links)
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=150, deadline=None)
+def test_normalize_ws_idempotent(s):
+    assert normalize_ws(normalize_ws(s)) == normalize_ws(s)
+
+
+@given(st.lists(st.integers(min_value=1, max_value=2**63), min_size=1, max_size=300, unique=True))
+@settings(max_examples=100, deadline=None)
+def test_cuckoo_never_false_negative(keys):
+    f = CuckooFilter(capacity=512)  # deliberately small → exercises overflow
+    for k in keys:
+        f.add(k)
+    assert all(f.contains(k) for k in keys)
+    g = CuckooFilter.from_bytes(f.to_bytes())
+    assert all(g.contains(k) for k in keys)
+
+
+@given(st.text(alphabet="abcdef /\n", max_size=200), _paths)
+@settings(max_examples=150, deadline=None)
+def test_robots_never_crashes_and_robots_txt_fetchable(body, path):
+    r = parse_robots("User-agent: *\n" + body)
+    assert isinstance(r.allowed(path or "/"), bool)
+    assert r.allowed("/robots.txt")
+
+
+@given(st.text(min_size=0, max_size=400))
+@settings(max_examples=100, deadline=None)
+def test_minhash_identical_docs_agree(text):
+    """Identical text → identical signature; jaccard(self)=1."""
+    a, b = shingles(text), shingles(text)
+    assert jaccard(a, b) == 1.0 or (not a and not b)
+    assert (minhash_signature(a) == minhash_signature(b)).all()
+    assert simhash(text) == simhash(text)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=2000))
+@settings(max_examples=30, deadline=None)
+def test_hll_merge_equals_union(vals):
+    """Sketch mergeability: merge(h(A), h(B)) == h(A ∪ B) exactly."""
+    half = len(vals) // 2
+    ha, hb, hu = HyperLogLog(p=10), HyperLogLog(p=10), HyperLogLog(p=10)
+    ha.add_values(vals[:half])
+    hb.add_values(vals[half:])
+    hu.add_values(vals)
+    assert (ha.merge(hb).reg == hu.reg).all()
