@@ -43,6 +43,11 @@ QUERY_NAMES = [
     "exact_dedup",
     "minhash_pairs",
     "ann_cosine_topk",
+    "asof_last_purchase",
+    "sessionize",
+    "revenue_by_nation",
+    "topk_per_group",
+    "hll_distinct_users",
 ]
 
 
