@@ -530,8 +530,14 @@ def crawl(cfg: CrawlConfig) -> dict:
         # num_cpus=0: these are lookup servers called synchronously from map
         # tasks that already hold a CPU slot — reserving CPUs here would
         # deadlock small clusters (pool > num_cpus) and double-count work.
+        # max_concurrency: after warm() the cache is complete and fetch()
+        # is pure-read; concurrent calls parallelize the arrow take/serialize
+        # (GIL-releasing C++) inside each actor.  Cold loads racing in
+        # _bucket() are idempotent (equal values, atomic dict store).
         fetch_actors = [
-            FetchActor.options(num_cpus=0).remote(i, cfg.num_fetch_actors, bucketed)
+            FetchActor.options(num_cpus=0, max_concurrency=4).remote(
+                i, cfg.num_fetch_actors, bucketed
+            )
             for i in range(cfg.num_fetch_actors)
         ]
         ray.get([a.warm.remote(cfg.num_buckets) for a in fetch_actors])

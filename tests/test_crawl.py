@@ -175,3 +175,34 @@ def test_skew_corpus_politeness(ray_session, tmp_path_factory):
     share = (df.host == "host0.example").mean()
     assert share > 0.4  # the skew actually exercised
     assert stats["rounds"] >= 5  # host0's queue drains budget-bound
+
+
+def test_resume_prunes_partial_round(smoke):
+    """Crash mid-round: a partially-written round directory AFTER the
+    checkpointed round must be discarded on resume (D3 guard), yielding a
+    log byte-equal to the uninterrupted crawl."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    tmp = smoke["tmp"]
+    out = f"{tmp}/out_crash"
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = CrawlConfig(
+        pages_path=smoke["corpus"]["pages"], seeds_path=smoke["corpus"]["seeds"],
+        out_dir=out, num_frontier_actors=2, politeness_budget=8, num_buckets=4,
+        num_fetch_actors=2, max_rounds=2,
+    )
+    crawl(cfg)
+    # simulate a crash partway through round 2: garbage partial output
+    part = f"{out}/crawl_log/round=2"
+    os.makedirs(part, exist_ok=True)
+    _pq.write_table(smoke["log"].slice(0, 3), f"{part}/partial.parquet")
+    cfg2 = CrawlConfig(
+        pages_path=smoke["corpus"]["pages"], seeds_path=smoke["corpus"]["seeds"],
+        out_dir=out, num_frontier_actors=2, politeness_budget=8, num_buckets=4,
+        num_fetch_actors=2, resume=True,
+    )
+    crawl(cfg2)
+    log = read_log(out)
+    assert log.equals(smoke["log"])
