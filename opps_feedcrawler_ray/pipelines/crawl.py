@@ -57,19 +57,42 @@ class CrawlConfig:
     num_fetch_actors: int = 8
     poll_chunk_rows: int = 1024       # ready-set block granularity (parallelism)
     priority_fn: object = None        # §2.10 hook: fn(next_round) -> priority float
+    # §7.6 mega-host salting: {host: k} splits that host's frontier queue
+    # across k sub-shards, each polled at budget//k per round (recombined
+    # politeness stays ≤ budget; fetch_seq recombines via (host, sub)
+    # offsets).  Opt-in — changes a salted host's intra-round order.
+    salt_hosts: dict | None = None
     resume: bool = False
     stats: dict = field(default_factory=dict)
 
 
-def _shard_indices(hosts: pa.ChunkedArray | pa.Array, num_shards: int) -> list[int]:
-    """Per-row shard ids via dictionary-encoding: hash UNIQUE hosts only."""
+def _shard_indices(
+    hosts: pa.ChunkedArray | pa.Array,
+    num_shards: int,
+    salt_hosts: dict | None = None,
+    url_hashes=None,
+) -> list[int]:
+    """Per-row shard ids via dictionary-encoding: hash UNIQUE hosts only.
+    Salted hosts (§7.6 mega-host splitting) route by
+    ``hash(host#(url_hash % k))`` so their queue spreads over k shards."""
     if isinstance(hosts, pa.ChunkedArray):
         hosts = hosts.combine_chunks()
     d = hosts.dictionary_encode()
     uniq = d.dictionary.to_pylist()
     shard_of_uniq = [fingerprint64(h) % num_shards for h in uniq]
     idx = d.indices.to_pylist()
-    return [shard_of_uniq[i] for i in idx]
+    if not salt_hosts:
+        return [shard_of_uniq[i] for i in idx]
+    salted_uniq = {i: salt_hosts[h] for i, h in enumerate(uniq) if h in salt_hosts}
+    hh = url_hashes.to_pylist() if url_hashes is not None else None
+    out = []
+    for row, i in enumerate(idx):
+        k = salted_uniq.get(i)
+        if k:
+            out.append(fingerprint64(f"{uniq[i]}#{int(hh[row]) % k}") % num_shards)
+        else:
+            out.append(shard_of_uniq[i])
+    return out
 
 
 class _RouteToActors:
@@ -77,16 +100,19 @@ class _RouteToActors:
     ``actor.<method>(sub_table)``, blocking on acks (round barrier).
     Emits one row of counts per batch — metadata, not data."""
 
-    def __init__(self, actors: list, method: str) -> None:
+    def __init__(self, actors: list, method: str, salt_hosts: dict | None = None) -> None:
         self.actors = actors
         self.method = method
+        self.salt_hosts = salt_hosts
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table({"offered": pa.array([0], pa.int64()),
                              "admitted": pa.array([0], pa.int64()),
                              "robots_blocked": pa.array([0], pa.int64())})
-        shards = _shard_indices(batch["host"], len(self.actors))
+        shards = _shard_indices(
+            batch["host"], len(self.actors), self.salt_hosts, batch["url_hash"]
+        )
         shard_arr = pa.array(shards, pa.int32())
         refs = []
         for s in sorted(set(shards)):
@@ -360,7 +386,10 @@ class _AssignSeq:
         off = self._offsets
         hosts = batch["host"].to_pylist()
         ranks = batch["host_rank"].to_pylist()
-        seq = pa.array([off[h] + r for h, r in zip(hosts, ranks)], pa.int64())
+        subs = batch["sub"].to_pylist()
+        seq = pa.array(
+            [off[(h, s)] + r for h, s, r in zip(hosts, subs, ranks)], pa.int64()
+        )
         return batch.append_column("fetch_seq", seq)
 
 
@@ -370,10 +399,12 @@ class _OfferLinksStage:
     shape.  Runs INSIDE the round's single Dataset execution so offering
     costs no extra execution — the log write downstream is the barrier."""
 
-    def __init__(self, actors: list, next_round: int, priority_fn=None) -> None:
+    def __init__(self, actors: list, next_round: int, priority_fn=None,
+                 salt_hosts: dict | None = None) -> None:
         self.actors = actors
         self.next_round = next_round
         self.priority_fn = priority_fn
+        self.salt_hosts = salt_hosts
         self._canon = CanonicalizeStage()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -392,7 +423,9 @@ class _OfferLinksStage:
                 _, first_idx = np.unique(hh, return_index=True)
                 if len(first_idx) < len(hh):
                     cand = cand.take(pa.array(np.sort(first_idx), pa.int64()))
-                shards = _shard_indices(cand["host"], len(self.actors))
+                shards = _shard_indices(
+                    cand["host"], len(self.actors), self.salt_hosts, cand["url_hash"]
+                )
                 shard_arr = pa.array(shards, pa.int32())
                 refs = [
                     self.actors[s].offer.remote(cand.filter(pc.equal(shard_arr, s)))
@@ -417,12 +450,23 @@ def _load_robots_into_actors(cfg: CrawlConfig, actors: list, bucketed: str | Non
             if t.num_rows:
                 shards = _shard_indices(t["host"], len(actors))
                 shard_arr = pa.array(shards, pa.int32())
-                ray.get(
-                    [
-                        actors[s].load_robots.remote(t.filter(pc.equal(shard_arr, s)))
-                        for s in sorted(set(shards))
-                    ]
-                )
+                refs = [
+                    actors[s].load_robots.remote(t.filter(pc.equal(shard_arr, s)))
+                    for s in sorted(set(shards))
+                ]
+                if cfg.salt_hosts:
+                    # a salted host's queue spans several shards — every
+                    # sub-shard needs its robots rules
+                    hosts = t["host"].to_pylist()
+                    mask = pa.array([h in cfg.salt_hosts for h in hosts])
+                    salted_rows = t.filter(mask)
+                    if salted_rows.num_rows:
+                        targets = set()
+                        for h in set(salted_rows["host"].to_pylist()):
+                            for i in range(cfg.salt_hosts[h]):
+                                targets.add(fingerprint64(f"{h}#{i}") % len(actors))
+                        refs += [actors[a].load_robots.remote(salted_rows) for a in targets]
+                ray.get(refs)
             return
 
     router_actors = actors
@@ -467,6 +511,7 @@ def _write_manifest(cfg: CrawlConfig, round_idx: int, fetch_seq: int, lineage: l
         "num_shards": cfg.num_frontier_actors,
         "num_buckets": cfg.num_buckets,
         "politeness_budget": cfg.politeness_budget,
+        "salt_hosts": cfg.salt_hosts,
         "lineage": lineage,
     }
     tmp = os.path.join(ckpt_root, "_MANIFEST.json.tmp")
@@ -522,6 +567,7 @@ def crawl(cfg: CrawlConfig) -> dict:
             politeness_budget=cfg.politeness_budget,
             filter_capacity=cfg.filter_capacity,
             store_exact=cfg.store_exact,
+            salt_hosts=cfg.salt_hosts,
         )
         for i in range(cfg.num_frontier_actors)
     ]
@@ -564,7 +610,7 @@ def crawl(cfg: CrawlConfig) -> dict:
         _phase("robots")
         seeds = rd.read_parquet(cfg.seeds_path)
         offers = _prepare_candidates(seeds, default_priority=1.0).map_batches(
-            _RouteToActors(actors, "offer"), batch_format="pyarrow"
+            _RouteToActors(actors, "offer", cfg.salt_hosts), batch_format="pyarrow"
         )
         cfg.stats["seed_offered"] = int(offers.sum("offered") or 0)
         _phase("seeds")
@@ -595,15 +641,18 @@ def crawl(cfg: CrawlConfig) -> dict:
             for a, m in zip(actors, metas)
             for j in range(m["n_chunks"])
         ]
-        # global fetch_seq offsets: hosts ASC across all shards (metadata only)
-        host_counts: dict[str, int] = {}
-        for m in metas:
-            host_counts.update(m["hosts"])
-        offsets: dict[str, int] = {}
+        # global fetch_seq offsets keyed (host, sub-shard): hosts ASC, sub
+        # ASC within host — identical to plain host ASC when each host
+        # lives on one shard; salted hosts recombine deterministically
+        host_counts: dict[tuple[str, int], int] = {}
+        for sub, m in enumerate(metas):
+            for h, c in m["hosts"].items():
+                host_counts[(h, sub)] = c
+        offsets: dict[tuple[str, int], int] = {}
         acc = fetch_seq
-        for h in sorted(host_counts):
-            offsets[h] = acc
-            acc += host_counts[h]
+        for key in sorted(host_counts):
+            offsets[key] = acc
+            acc += host_counts[key]
         fetch_seq = acc
         offsets_ref = ray.put(offsets)
 
@@ -624,7 +673,7 @@ def crawl(cfg: CrawlConfig) -> dict:
         # write the round's log partition.  The write is the round barrier:
         # every offer is ray.get-acked inside its task before the task ends,
         # so when write_parquet returns, round r+1's frontier is complete.
-        offer_links = _OfferLinksStage(actors, r + 1, cfg.priority_fn)
+        offer_links = _OfferLinksStage(actors, r + 1, cfg.priority_fn, cfg.salt_hosts)
         staged = ready.map_batches(_AssignSeq(offsets_ref), batch_format="pyarrow")
         if cfg.fetch_strategy == "actors":
             staged = staged.map_batches(

@@ -43,6 +43,7 @@ READY = pa.schema(
         ("priority", pa.float64()),
         ("round", pa.int32()),
         ("host_rank", pa.int64()),  # 0-based rank within (host, round) politeness order
+        ("sub", pa.int32()),        # emitting frontier shard (salted hosts span several)
     ]
 )
 

@@ -56,10 +56,15 @@ class FrontierActor:
         politeness_budget: int = 8,
         filter_capacity: int = 1 << 20,
         store_exact: bool = True,
+        salt_hosts: dict[str, int] | None = None,
     ) -> None:
         self.shard_id = shard_id
         self.num_shards = num_shards
         self.budget = politeness_budget
+        # §7.6 mega-host salting: a salted host's queue is split across k
+        # sub-shards (k actors), each granted budget//k per round — the
+        # recombined per-host fetch count stays ≤ budget (politeness exact)
+        self.salt_hosts = salt_hosts or {}
         self.seen = CuckooFilter(capacity=filter_capacity)
         self.exact: dict[int, str] = {} if store_exact else None
         # per-host pending lists, sorted ascending by (-priority, round, url)
@@ -166,7 +171,9 @@ class FrontierActor:
             if host in self._dirty:
                 lst.sort()
                 self._dirty.discard(host)
-            take = lst[: self.budget]
+            k = self.salt_hosts.get(host)
+            budget = max(1, self.budget // k) if k else self.budget
+            take = lst[:budget]
             for k, (negp, rnd, url, h) in enumerate(take):
                 urls.append(url)
                 hashes.append(h)
@@ -176,7 +183,7 @@ class FrontierActor:
                 ranks.append(k)
             if take:
                 meta[host] = len(take)
-            rest = lst[self.budget :]
+            rest = lst[budget:]
             if rest:
                 self.heaps[host] = rest  # still sorted
             else:
@@ -190,8 +197,8 @@ class FrontierActor:
                 "priority": pa.array(prios, pa.float64()),
                 "round": pa.array(rounds, pa.int32()),
                 "host_rank": pa.array(ranks, pa.int64()),
-            },
-            schema=READY,
+                "sub": pa.array([self.shard_id] * len(urls), pa.int32()),
+            }
         )
 
     def poll_meta(self) -> dict[str, int]:

@@ -206,3 +206,35 @@ def test_resume_prunes_partial_round(smoke):
     crawl(cfg2)
     log = read_log(out)
     assert log.equals(smoke["log"])
+
+
+def test_salted_megahost_splitting(ray_session, tmp_path_factory):
+    """§7.6 salted-key skew splitting: a salted mega-host spreads over k
+    frontier sub-shards; recombined politeness stays ≤ budget and the
+    crawl covers exactly the same URL set as the unsalted run."""
+    tmp = str(tmp_path_factory.mktemp("salt"))
+    corpus = generate_corpus(f"{tmp}/corpus", n_hosts=4, n_pages=160, skew=True)
+
+    def run(out, salt):
+        cfg = CrawlConfig(
+            pages_path=corpus["pages"], seeds_path=corpus["seeds"],
+            out_dir=f"{tmp}/{out}", num_frontier_actors=3, num_fetch_actors=2,
+            politeness_budget=8, num_buckets=4, salt_hosts=salt,
+        )
+        stats = crawl(cfg)
+        return read_log(f"{tmp}/{out}"), stats
+
+    plain, _ = run("plain", None)
+    salted, stats = run("salted", {"host0.example": 2})
+    df = salted.to_pandas()
+    per = df[df.status == "fetched"].groupby(["host", "round"]).size()
+    assert (per <= 8).all()  # 2 × (8//2) = 8 ≤ budget — politeness exact
+    # the salted host actually used both sub-shards in some round
+    host0 = df[df.host == "host0.example"]
+    assert host0["fetch_seq"].is_unique
+    # same crawl content, possibly different order
+    assert set(salted["url"].to_pylist()) == set(plain["url"].to_pylist())
+    assert salted.num_rows == plain.num_rows
+    # determinism of the salted config itself
+    salted2, _ = run("salted2", {"host0.example": 2})
+    assert salted2.equals(salted)
