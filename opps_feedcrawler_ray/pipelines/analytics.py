@@ -141,18 +141,44 @@ def region_nations(sf_dir: str) -> pd.DataFrame:
 
 # ---------------------------------------------------------- aggregates
 def distinct_users(sf_dir: str) -> pd.DataFrame:
+    """COUNT DISTINCT without a skewed group: event_type has ~5 values, so
+    ``groupby(event_type).map_groups`` would materialize ~20 % of the table
+    per task.  Two-stage instead — both shuffles key on high-cardinality
+    composites, no group ever exceeds O(1) rows:
+
+      1. combiner + ``groupby([event_type, user_id]).count()`` → one row per
+         distinct (type, user) pair carrying its event count;
+      2. combiner + ``groupby(event_type).sum()`` over the (already tiny)
+         pair rows → n_users = pair count, n_events = sum of counts.
+    """
     ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "user_id"])
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "event_type": [g["event_type"].iloc[0]],
-                "n_users": [g["user_id"].nunique()],
-                "n_events": [len(g)],
-            }
-        )
+    def combine_pairs(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby(
+            ["event_type", "user_id"], as_index=False
+        ).size().rename(columns={"size": "n"})
+        return pa.Table.from_pandas(df, preserve_index=False)
 
-    return ev.groupby("event_type").map_groups(per_group, batch_format="pandas").to_pandas()
+    pairs = (
+        ev.map_batches(combine_pairs, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .sum("n")
+    )
+
+    def combine_types(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby("event_type", as_index=False).agg(
+            n_users=("sum(n)", "size"), n_events=("sum(n)", "sum")
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = (
+        pairs.map_batches(combine_types, batch_format="pyarrow")
+        .groupby("event_type")
+        .sum(["n_users", "n_events"])
+        .to_pandas()
+        .rename(columns={"sum(n_users)": "n_users", "sum(n_events)": "n_events"})
+    )
+    return out[["event_type", "n_users", "n_events"]]
 
 
 def events_daily(sf_dir: str) -> pd.DataFrame:

@@ -159,26 +159,33 @@ class _FetchSim:
         pages = read_bucket(self.dir, bucket, urls)
         page_idx = {u: i for i, u in enumerate(pages["url"].to_pylist())}
         order = [page_idx.get(u) for u in urls.to_pylist()]
-        found_mask = pa.array([i is not None for i in order])
-        taken = pages.take(pa.array([i for i in order if i is not None], pa.int64()))
-        n = group.num_rows
-        # left-outer: align page columns to the ready rows
+        found = [i is not None for i in order]
         out = group.drop_columns(["bucket"])
-        ti = 0
-        cols = {}
-        for name, typ in (("warc_ts", pa.timestamp("us")), ("html", pa.binary()), ("lang", pa.string())):
-            vals = [None] * n
-            ti = 0
-            for i, hit in enumerate(found_mask.to_pylist()):
-                if hit:
-                    vals[i] = taken[name][ti].as_py()
-                    ti += 1
-            cols[name] = pa.array(vals, typ)
-        status = pa.array(
-            ["fetched" if h else "not_found" for h in found_mask.to_pylist()], pa.string()
-        )
-        for name, arr in cols.items():
-            out = out.append_column(name, arr)
+        hits = [i for i in order if i is not None]
+        if hits:
+            # vectorized left-outer align: take hit rows, position each
+            # output row at its hit (misses point at 0, masked via if_else)
+            # — same mask/take/if_else pattern as the other two strategies
+            src = pages.take(pa.array(hits, pa.int64())).combine_chunks()
+            pos, k = [], 0
+            for f in found:
+                pos.append(k if f else 0)
+                if f:
+                    k += 1
+            taken = src.take(pa.array(pos, pa.int64()))
+            mask = pa.array(found)
+            all_found = all(found)
+            for name in ("warc_ts", "html", "lang"):
+                col = taken[name].combine_chunks()
+                if not all_found:
+                    col = pc.if_else(mask, col, pa.scalar(None, col.type))
+                out = out.append_column(name, col)
+        else:
+            for name, typ in (
+                ("warc_ts", pa.timestamp("us")), ("html", pa.binary()), ("lang", pa.string())
+            ):
+                out = out.append_column(name, pa.array([None] * group.num_rows, typ))
+        status = pa.array(["fetched" if f else "not_found" for f in found], pa.string())
         return out.append_column("status", status)
 
 
@@ -408,6 +415,24 @@ class _OfferLinksStage:
         self._canon = CanonicalizeStage()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # lineage: report this batch's fetched/not_found counts back to the
+        # frontier shards that emitted the rows (keyed by the "sub" column)
+        # so actor counters and checkpoints carry real per-shard fetch stats
+        result_refs = []
+        if batch.num_rows:
+            nf_mask = pc.equal(batch["status"], "not_found")
+            subs = batch["sub"].to_numpy(zero_copy_only=False)
+            nf = nf_mask.to_numpy(zero_copy_only=False)
+            import numpy as np
+
+            for s in np.unique(subs):
+                m = subs == s
+                n_nf = int(nf[m].sum())
+                result_refs.append(
+                    self.actors[int(s)].record_results.remote(
+                        int(m.sum()) - n_nf, n_nf
+                    )
+                )
         links = explode_links(batch, self.next_round, self.priority_fn)
         if links.num_rows:
             cand = self._canon(links)
@@ -431,7 +456,9 @@ class _OfferLinksStage:
                     self.actors[s].offer.remote(cand.filter(pc.equal(shard_arr, s)))
                     for s in sorted(set(shards))
                 ]
-                ray.get(refs)  # ack before this task completes (round barrier)
+                result_refs += refs
+        if result_refs:
+            ray.get(result_refs)  # ack before this task completes (round barrier)
         return batch.select(LOG_COLUMNS)
 
 
@@ -470,6 +497,7 @@ def _load_robots_into_actors(cfg: CrawlConfig, actors: list, bucketed: str | Non
             return
 
     router_actors = actors
+    salt_hosts = cfg.salt_hosts or {}
 
     def to_robots(batch: pa.Table) -> pa.Table:
         mask = pc.ends_with(batch["url"], pattern="/robots.txt")
@@ -491,6 +519,23 @@ def _load_robots_into_actors(cfg: CrawlConfig, actors: list, bucketed: str | Non
                     router_actors[s].load_robots.remote(batch.filter(pc.equal(shard_arr, s)))
                     for s in sorted(set(shards))
                 ]
+                if salt_hosts:
+                    # salted hosts span several shards — replicate their rules
+                    # to every sub-shard target (mirrors the sidecar branch)
+                    hosts = batch["host"].to_pylist()
+                    mask = pa.array([h in salt_hosts for h in hosts])
+                    salted_rows = batch.filter(mask)
+                    if salted_rows.num_rows:
+                        targets = set()
+                        for h in set(salted_rows["host"].to_pylist()):
+                            for i in range(salt_hosts[h]):
+                                targets.add(
+                                    fingerprint64(f"{h}#{i}") % len(router_actors)
+                                )
+                        refs += [
+                            router_actors[a].load_robots.remote(salted_rows)
+                            for a in targets
+                        ]
                 ray.get(refs)
             return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
 
@@ -547,6 +592,13 @@ def crawl(cfg: CrawlConfig) -> dict:
         raise ValueError(
             f"unknown fetch_strategy {cfg.fetch_strategy!r}: use 'actors', 'direct' or 'shuffle'"
         )
+    for h, k in (cfg.salt_hosts or {}).items():
+        if k > cfg.politeness_budget:
+            raise ValueError(
+                f"salt_hosts[{h!r}]={k} exceeds politeness_budget="
+                f"{cfg.politeness_budget}: recombined fetches would break the "
+                f"per-host budget invariant"
+            )
     os.makedirs(cfg.out_dir, exist_ok=True)
     if not cfg.resume:  # fresh run: clear stale outputs (write_parquet appends)
         for sub in ("crawl_log", "seen_set", "checkpoints"):
@@ -595,8 +647,22 @@ def crawl(cfg: CrawlConfig) -> dict:
     fetch_seq = 0
     manifest = read_manifest(cfg.out_dir) if cfg.resume else None
     if manifest is not None:
-        if manifest["num_shards"] != cfg.num_frontier_actors:
-            raise ValueError("cannot resume with a different shard count (frozen in manifest)")
+        # every routing/politeness-relevant knob is frozen in the manifest:
+        # changing any of them on resume would silently alter dedup routing,
+        # bucket lookups or politeness vs the checkpointed run
+        frozen = {
+            "num_shards": cfg.num_frontier_actors,
+            "num_buckets": cfg.num_buckets,
+            "politeness_budget": cfg.politeness_budget,
+            "salt_hosts": cfg.salt_hosts,
+        }
+        for key, want in frozen.items():
+            have = manifest.get(key)
+            if have != want:
+                raise ValueError(
+                    f"cannot resume with a different {key} (manifest={have!r}, "
+                    f"requested={want!r}): frozen at checkpoint time"
+                )
         ray.get([a.restore.remote(ckpt_dir) for a in actors])
         start_round = manifest["round"] + 1
         fetch_seq = manifest["fetch_seq"]

@@ -71,6 +71,14 @@ def ingest_pages(pages_path: str, out_dir: str, num_buckets: int) -> str:
     """
     marker = os.path.join(out_dir, "_INGESTED")
     if os.path.exists(marker):
+        with open(marker) as f:
+            existing = f.read().strip()
+        if existing and existing != str(num_buckets):
+            raise ValueError(
+                f"bucketed layout at {out_dir} was ingested with num_buckets="
+                f"{existing}, requested {num_buckets}: bucket=url_hash%nb lookups "
+                f"would silently miss — re-ingest to a fresh dir or match the count"
+            )
         return out_dir
 
     nb = num_buckets

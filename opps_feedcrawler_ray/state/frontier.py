@@ -63,8 +63,17 @@ class FrontierActor:
         self.budget = politeness_budget
         # §7.6 mega-host salting: a salted host's queue is split across k
         # sub-shards (k actors), each granted budget//k per round — the
-        # recombined per-host fetch count stays ≤ budget (politeness exact)
+        # recombined per-host fetch count stays ≤ budget (politeness exact).
+        # k > budget would give each of k sub-shards a floor of 1 URL/round
+        # (up to k > budget fetches recombined), so it is rejected.
         self.salt_hosts = salt_hosts or {}
+        for h, k in self.salt_hosts.items():
+            if k > politeness_budget:
+                raise ValueError(
+                    f"salt_hosts[{h!r}]={k} exceeds politeness_budget="
+                    f"{politeness_budget}: recombined fetches would break the "
+                    f"per-host budget invariant"
+                )
         self.seen = CuckooFilter(capacity=filter_capacity)
         self.exact: dict[int, str] = {} if store_exact else None
         # per-host pending lists, sorted ascending by (-priority, round, url)

@@ -101,6 +101,36 @@ def test_not_found_tracked(smoke):
     assert missing.iloc[0]["text"] is None
 
 
+def test_lineage_counters_recorded(smoke):
+    """record_results wires per-round status counts back to the frontier
+    shards: actor counters must sum to the crawl-level totals."""
+    st = smoke["stats"]["actor_stats"]
+    assert sum(a["fetched"] for a in st) == smoke["stats"]["fetched"] > 0
+    assert sum(a["not_found"] for a in st) == smoke["stats"]["not_found"]
+
+
+def test_ingest_bucket_count_frozen(smoke):
+    """Reusing a bucketed layout with a different bucket count must raise —
+    bucket=url_hash%new_nb lookups against the old partitioning would
+    silently report every page not_found."""
+    from opps_feedcrawler_ray.sources.io import ingest_pages
+
+    bucketed = f"{smoke['tmp']}/out/pages_bucketed"
+    assert ingest_pages(smoke["corpus"]["pages"], bucketed, 4) == bucketed
+    with pytest.raises(ValueError, match="num_buckets"):
+        ingest_pages(smoke["corpus"]["pages"], bucketed, 8)
+
+
+def test_salt_k_exceeds_budget_rejected(smoke):
+    cfg = CrawlConfig(
+        pages_path=smoke["corpus"]["pages"], seeds_path=smoke["corpus"]["seeds"],
+        out_dir=f"{smoke['tmp']}/out_badsalt", politeness_budget=4,
+        salt_hosts={"h0.test": 8},
+    )
+    with pytest.raises(ValueError, match="politeness_budget"):
+        crawl(cfg)
+
+
 def test_determinism(smoke):
     log2, seen2, _ = run_crawl(smoke["tmp"], smoke["corpus"], "out2")
     assert log2.equals(smoke["log"])
@@ -133,14 +163,27 @@ def test_resume_equivalence(smoke):
     assert seen.equals(smoke["seen"])
 
 
-def test_resume_shard_count_frozen(smoke):
-    out = f"{smoke['tmp']}/out_resume"
-    cfg = CrawlConfig(
+def test_resume_config_frozen(smoke):
+    """Resume must reject ANY routing/politeness knob differing from the
+    manifest: num_shards, num_buckets, politeness_budget, salt_hosts.
+    (num_buckets trips the ingest-marker validation first — also a
+    ValueError — since the bucketed layout itself is keyed by the count.)"""
+    out = f"{smoke['tmp']}/out_frozen"
+    shutil.rmtree(out, ignore_errors=True)
+    base = dict(
         pages_path=smoke["corpus"]["pages"], seeds_path=smoke["corpus"]["seeds"],
-        out_dir=out, num_frontier_actors=4, num_buckets=4, resume=True,
+        out_dir=out, num_frontier_actors=2, politeness_budget=8, num_buckets=4,
     )
-    with pytest.raises(ValueError, match="shard count"):
-        crawl(cfg)
+    crawl(CrawlConfig(**base, max_rounds=2))  # leaves a round-1 checkpoint
+    for key, bad in [
+        ("num_frontier_actors", 4),
+        ("num_buckets", 8),
+        ("politeness_budget", 4),
+        ("salt_hosts", {"h0.test": 2}),
+    ]:
+        cfg = CrawlConfig(**{**base, key: bad}, resume=True)
+        with pytest.raises(ValueError):
+            crawl(cfg)
 
 
 def test_shard_count_invariance(smoke):
