@@ -107,23 +107,53 @@ def _q_simhash_pairs(sf_dir: str):
 
 
 def _q_ngram_jaccard(sf_dir: str):
+    """Oracle-checked exact shingle Jaccard: DuckDB rebuilds the same word
+    3-shingles via list ops.  Pipeline threshold sits just below 0.4 and
+    BOTH sides filter on the half-up-rounded e4 value computed with the
+    identical float expression (shared*10000.0/union), so membership and
+    hashes match bit-for-bit."""
+    import numpy as np
     import ray.data as rd
 
     from opps_feedcrawler_ray.pipelines.dedup import ngram_jaccard_pairs
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    df = ngram_jaccard_pairs(docs, threshold=0.4, k_shingle=3)
-    df["jaccard_e4"] = (df["jaccard"] * 10000).round().astype("int64")
-    return df[["a", "b", "jaccard_e4"]]
+    df = ngram_jaccard_pairs(docs, threshold=0.3999, k_shingle=3)
+    df["jaccard_e4"] = np.floor(df["jaccard_e4_raw"] + 0.5).astype("int64")
+    df = df[df["jaccard_e4"] >= 4000]
+    return df[["a", "b", "jaccard_e4"]].reset_index(drop=True)
 
 
 def _q_embedding_dups(sf_dir: str):
+    """EXACT all-pairs cosine ≥ 0.5 (triangle block join, recall 1.0) —
+    oracle-checked so this query can never silently return empty again.
+    Pipeline threshold sits just below 0.5 and BOTH sides filter on the
+    rounded e6 value, so borderline float jitter cannot flip membership."""
+    import numpy as np
+    import ray.data as rd
+
+    from opps_feedcrawler_ray.pipelines.dedup import embedding_allpairs_cosine
+
+    vecs = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    df = embedding_allpairs_cosine(vecs, threshold=0.4999)
+    df["cosine_e6"] = np.floor(df["cosine"] * 1e6 + 0.5).astype("int64")
+    df = df[df["cosine_e6"] >= 500000]
+    return df[["a", "b", "cosine_e6"]].reset_index(drop=True)
+
+
+def _q_embedding_dups_lsh(sf_dir: str):
+    """Sub-quadratic multi-table sign-LSH variant (the 100 TB path);
+    rows-only by nature, but test_dedup pins it equal to the exact
+    all-pairs output at the same threshold on the fixture corpus."""
+    import numpy as np
     import ray.data as rd
 
     from opps_feedcrawler_ray.pipelines.dedup import embedding_dedup_pairs
 
     vecs = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_dedup_pairs(vecs, threshold=0.5)
+    df = embedding_dedup_pairs(vecs, threshold=0.85)
+    df["cosine_e6"] = np.floor(df["cosine"] * 1e6 + 0.5).astype("int64")
+    return df[["a", "b", "cosine_e6"]].reset_index(drop=True)
 
 
 def _q_ann(sf_dir: str):
@@ -271,6 +301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "embedding_dups": _q_embedding_dups,
+        "embedding_dups_lsh": _q_embedding_dups_lsh,
         "ann_cosine_topk": _q_ann,
         "ann_ivf_topk": _q_ivf_ann,
         "langid": _q_langid,
@@ -398,6 +429,35 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT doc_id + 1000000, text FROM documents) "
             "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies "
             "FROM all_docs GROUP BY text"
+        ),
+        "ngram_jaccard_pairs": (
+            # rebuild the engine's word 3-shingles (words = [\w']+ on
+            # lower(text), shingle = 3 consecutive words joined by ' ') and
+            # compute exact Jaccard over DISTINCT shingles; docs with no
+            # words produce no shingles and never pair (as in the pipeline)
+            "WITH toks AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z0-9_'']+') AS w FROM documents), "
+            "sh AS (SELECT doc_id, CASE "
+            "WHEN len(w) < 3 THEN [array_to_string(w, ' ')] "
+            "ELSE list_distinct(list_transform(range(1, len(w) - 1), "
+            "i -> array_to_string(w[i:i+2], ' '))) END AS s "
+            "FROM toks WHERE len(w) > 0) "
+            "SELECT a, b, jaccard_e4 FROM ("
+            "SELECT x.doc_id AS a, y.doc_id AS b, "
+            "CAST(FLOOR(len(list_intersect(x.s, y.s)) * 10000.0 / "
+            "(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) + 0.5) AS BIGINT) "
+            "AS jaccard_e4 "
+            "FROM sh x JOIN sh y ON x.doc_id < y.doc_id "
+            "WHERE len(list_intersect(x.s, y.s)) > 0) "
+            "WHERE jaccard_e4 >= 4000"
+        ),
+        "embedding_dups": (
+            "SELECT a, b, cosine_e6 FROM ("
+            "SELECT x.vec_id AS a, y.vec_id AS b, "
+            "CAST(ROUND(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]), "
+            "CAST(y.embedding AS DOUBLE[])) * 1000000) AS BIGINT) AS cosine_e6 "
+            "FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id) "
+            "WHERE cosine_e6 >= 500000"
         ),
         "ann_cosine_topk": (
             "WITH q AS ("

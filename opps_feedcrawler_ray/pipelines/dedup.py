@@ -62,9 +62,10 @@ def exact_dedup(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id") 
 
 
 # ----------------------------------------------------------- minhash LSH
-def _pairs_to_survivors(pairs: list[tuple[int, int]], all_ids: list[int]) -> set[int]:
-    """Union-find over candidate pairs (small by construction); survivor
-    of each cluster = min id; returns the set of surviving ids."""
+def _pairs_to_dropped(pairs) -> set[int]:
+    """Union-find over verified duplicate pairs (small by LSH
+    construction); survivor of each cluster = min id; returns the
+    DROPPED ids only — never an enumeration of the whole corpus."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -78,8 +79,7 @@ def _pairs_to_survivors(pairs: list[tuple[int, int]], all_ids: list[int]) -> set
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
-    dropped = {x for x in parent if find(x) != x}
-    return {i for i in all_ids if i not in dropped}
+    return {x for x in parent if find(x) != x}
 
 
 def minhash_lsh_dedup(
@@ -92,82 +92,102 @@ def minhash_lsh_dedup(
     return_pairs: bool = False,
 ):
     """MinHash+LSH near-dup: shingle → 128-perm minhash → 16 bands →
-    band-bucket groupby → exact-Jaccard verify inside each bucket."""
+    band-bucket groupby → candidate pairs → exact-Jaccard verify over the
+    CANDIDATE docs only.
+
+    Scale shape (round-2 rework): band rows carry (id, band, band_key)
+    only — 24 bytes/row through the shuffle instead of the full shingle
+    set ×16 bands (round 1's ×16 corpus amplification).  The bucket
+    groupby emits bare candidate id pairs; shingle sets are then
+    recomputed for JUST the candidate docs (one corpus re-read pruned to
+    id+text, filtered by a broadcast id-set) and exact Jaccard verifies
+    each pair.  Driver holds only the candidate-pair list — small by LSH
+    construction (the documented partitioning assumption); survivors are
+    produced as a broadcast anti-join, never via driver-side id
+    enumeration."""
 
     def sig_stage(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
         texts = batch[text_col].to_pylist()
-        out_id, out_band, out_key, out_sh = [], [], [], []
+        out_id, out_band, out_key = [], [], []
         for i, t in zip(ids, texts):
-            sh = shingles(t, k_shingle)
-            sig = minhash_signature(sh)
-            keys = lsh_band_keys(sig, n_bands)
-            for b, key in enumerate(keys):
+            sig = minhash_signature(shingles(t, k_shingle))
+            for b, key in enumerate(lsh_band_keys(sig, n_bands)):
                 out_id.append(i)
                 out_band.append(b)
                 out_key.append(key)
-                out_sh.append(np.fromiter(sh, dtype=np.uint64, count=len(sh)))
         return pa.table(
             {
                 id_col: pa.array(out_id, pa.int64()),
                 "band": pa.array(out_band, pa.int32()),
                 "band_key": pa.array(out_key, pa.uint64()),
-                "shingles": pa.array([s.tolist() for s in out_sh], pa.list_(pa.uint64())),
             }
         )
 
-    def verify_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
+    def candidates_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(int(x) for x in group[id_col]))
+        if len(ids) < 2:
             return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64"),
-                                 "sim": pd.Series([], dtype="float64")})
-        rows = group.drop_duplicates(subset=[id_col])
-        ids = rows[id_col].tolist()
-        shs = [set(int(x) for x in s) for s in rows["shingles"]]
-        a_out, b_out, sim_out = [], [], []
+                                 "b": pd.Series([], dtype="int64")})
+        a_out, b_out = [], []
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
-                s = jaccard(shs[i], shs[j])
-                if s >= threshold:
-                    a, b = sorted((ids[i], ids[j]))
-                    a_out.append(a)
-                    b_out.append(b)
-                    sim_out.append(s)
-        return pd.DataFrame({"a": a_out, "b": b_out, "sim": sim_out})
+                a_out.append(ids[i])
+                b_out.append(ids[j])
+        return pd.DataFrame({"a": pd.Series(a_out, dtype="int64"),
+                             "b": pd.Series(b_out, dtype="int64")})
 
-    pairs_ds = (
+    cand = (
         ds.map_batches(sig_stage, batch_format="pyarrow")
         .groupby(["band", "band_key"])
-        .map_groups(verify_bucket, batch_format="pandas")
+        .map_groups(candidates_in_bucket, batch_format="pandas")
+        .to_pandas()
     )
-    pair_rows = pairs_ds.to_pandas()
-    if pair_rows.empty:
-        pair_rows = pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                  "b": pd.Series([], dtype="int64"),
-                                  "sim": pd.Series([], dtype="float64")})
-    pair_rows = pair_rows.drop_duplicates(subset=["a", "b"])
+    empty_pairs = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                "b": pd.Series([], dtype="int64"),
+                                "sim": pd.Series([], dtype="float64")})
+    if cand.empty:
+        pair_rows = empty_pairs
+    else:
+        import ray
+
+        cand = cand.drop_duplicates(subset=["a", "b"])
+        ids_ref = ray.put(set(cand["a"]).union(cand["b"]))
+
+        def shingle_stage(batch: pa.Table) -> pa.Table:
+            want = ray.get(ids_ref)
+            ids = batch[id_col].to_pylist()
+            texts = batch[text_col].to_pylist()
+            out_i, out_s = [], []
+            for i, t in zip(ids, texts):
+                if i in want:
+                    out_i.append(i)
+                    out_s.append(sorted(shingles(t, k_shingle)))
+            return pa.table(
+                {id_col: pa.array(out_i, pa.int64()),
+                 "sh": pa.array(out_s, pa.list_(pa.uint64()))}
+            )
+
+        shdf = ds.map_batches(shingle_stage, batch_format="pyarrow").to_pandas()
+        shmap = {int(i): set(int(x) for x in s) for i, s in zip(shdf[id_col], shdf["sh"])}
+        sims = [jaccard(shmap[a], shmap[b]) for a, b in zip(cand["a"], cand["b"])]
+        pair_rows = cand.assign(sim=pd.Series(sims, index=cand.index, dtype="float64"))
+        pair_rows = pair_rows[pair_rows["sim"] >= threshold]
+        if pair_rows.empty:
+            pair_rows = empty_pairs
     if return_pairs:
         return pair_rows.sort_values(["a", "b"]).reset_index(drop=True)
-    all_ids = [r[id_col] for r in ds.select_columns([id_col]).take_all()]
-    survivors = _pairs_to_survivors(
-        list(zip(pair_rows["a"], pair_rows["b"])), all_ids
-    )
-    keep = ray_put_set(survivors)
+    import ray
+
+    dropped = _pairs_to_dropped(zip(pair_rows["a"], pair_rows["b"]))
+    drop_ref = ray.put(dropped)
 
     def filt(batch: pa.Table) -> pa.Table:
-        import ray as _ray
-
-        s = _ray.get(keep)
-        mask = pa.array([i in s for i in batch[id_col].to_pylist()])
+        s = ray.get(drop_ref)
+        mask = pa.array([i not in s for i in batch[id_col].to_pylist()])
         return batch.filter(mask)
 
     return ds.map_batches(filt, batch_format="pyarrow")
-
-
-def ray_put_set(s):
-    import ray
-
-    return ray.put(s)
 
 
 # --------------------------------------------------------------- simhash
@@ -302,76 +322,187 @@ def ngram_jaccard_pairs(
     if co.empty:
         return pd.DataFrame({"a": pd.Series([], dtype="int64"),
                              "b": pd.Series([], dtype="int64"),
-                             "jaccard": pd.Series([], dtype="float64")})
+                             "jaccard": pd.Series([], dtype="float64"),
+                             "jaccard_e4_raw": pd.Series([], dtype="float64")})
     shared = co["sum(shared)"] if "sum(shared)" in co.columns else co["shared"]
     co["jaccard"] = shared / (co["na"] + co["nb"] - shared)
-    out = co[co["jaccard"] >= threshold][["a", "b", "jaccard"]]
+    # pre-rounding e4 float computed with the exact expression the DuckDB
+    # oracle uses (shared*10000.0/union) so half-up rounding matches
+    # bit-for-bit on both sides
+    co["jaccard_e4_raw"] = shared * 10000.0 / (co["na"] + co["nb"] - shared)
+    out = co[co["jaccard"] >= threshold][["a", "b", "jaccard", "jaccard_e4_raw"]]
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 # ------------------------------------------------- embedding cosine dup
+def _unit_rows(vecs: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return vecs / norms
+
+
+def _empty_cosine_pairs() -> pd.DataFrame:
+    return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                         "b": pd.Series([], dtype="int64"),
+                         "cosine": pd.Series([], dtype="float64")})
+
+
+def _cross_pairs(ids_a, U_a, ids_b, U_b, threshold, within: bool):
+    """Vectorized thresholded pair extraction from a cosine block."""
+    sims = U_a @ U_b.T
+    if within:
+        ii, jj = np.triu_indices(len(ids_a), k=1)
+    else:
+        ii, jj = np.nonzero(np.ones_like(sims, dtype=bool))
+    s = sims[ii, jj]
+    keep = s >= threshold
+    ii, jj, s = ii[keep], jj[keep], s[keep]
+    aa = ids_a[ii]
+    bb = ids_b[jj]
+    lo = np.minimum(aa, bb)
+    hi = np.maximum(aa, bb)
+    mask = lo != hi
+    return pd.DataFrame({"a": lo[mask].astype("int64"), "b": hi[mask].astype("int64"),
+                         "cosine": s[mask].astype("float64")})
+
+
+def embedding_allpairs_cosine(
+    ds: rd.Dataset,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.5,
+    n_blocks: int = 8,
+) -> pd.DataFrame:
+    """EXACT all-pairs cosine ≥ threshold (recall 1.0 — the oracle-checked
+    baseline; `embedding_dedup_pairs` below is the sub-quadratic path).
+
+    Triangle block-pair partitioning (Okcan & Riedewald, 1-Bucket-Theta,
+    SIGMOD'11 — public literature): each vector lands in block
+    b = id % n_blocks and is replicated to the n_blocks unordered
+    block-pair groups containing b, so every pair of vectors meets in
+    EXACTLY one group.  ONE shuffle, B× replication, O(n²/B²) work per
+    group — quadratic overall (inherent to exact all-pairs) but evenly
+    spread across B(B+1)/2 parallel tasks."""
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        unit = _unit_rows(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
+        my_block = (ids % n_blocks).astype(np.int64)
+        out_id, out_pair, out_block, out_vec = [], [], [], []
+        for row in range(len(ids)):
+            b = int(my_block[row])
+            for other in range(n_blocks):
+                lo, hi = (b, other) if b <= other else (other, b)
+                out_id.append(int(ids[row]))
+                out_pair.append(lo * n_blocks + hi)
+                out_block.append(b)
+                out_vec.append(unit[row].tolist())
+        return pa.table(
+            {
+                id_col: pa.array(out_id, pa.int64()),
+                "pair_key": pa.array(out_pair, pa.int32()),
+                "block": pa.array(out_block, pa.int32()),
+                "unit": pa.array(out_vec, pa.list_(pa.float64())),
+            }
+        )
+
+    def verify(group: pd.DataFrame) -> pd.DataFrame:
+        pk = int(group["pair_key"].iloc[0])
+        lo, hi = pk // n_blocks, pk % n_blocks
+        rows = group.drop_duplicates(subset=[id_col, "block"])
+        if lo == hi:
+            ids = rows[id_col].to_numpy(dtype=np.int64)
+            U = np.array([np.asarray(u) for u in rows["unit"]])
+            if len(ids) < 2:
+                return _empty_cosine_pairs()
+            return _cross_pairs(ids, U, ids, U, threshold, within=True)
+        ra = rows[rows["block"] == lo]
+        rb = rows[rows["block"] == hi]
+        if ra.empty or rb.empty:
+            return _empty_cosine_pairs()
+        return _cross_pairs(
+            ra[id_col].to_numpy(dtype=np.int64),
+            np.array([np.asarray(u) for u in ra["unit"]]),
+            rb[id_col].to_numpy(dtype=np.int64),
+            np.array([np.asarray(u) for u in rb["unit"]]),
+            threshold, within=False,
+        )
+
+    out = (
+        ds.map_batches(replicate, batch_format="pyarrow")
+        .groupby("pair_key")
+        .map_groups(verify, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return _empty_cosine_pairs()
+    return out.drop_duplicates(subset=["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def embedding_dedup_pairs(
     ds: rd.Dataset,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    threshold: float = 0.95,
-    n_planes: int = 12,
+    threshold: float = 0.85,
+    n_tables: int = 8,
+    bits_per_table: int = 4,
 ) -> pd.DataFrame:
-    """Cosine near-dup over an embedding column: sign-LSH bucket by
-    pinned hyperplanes, exact cosine verify within buckets."""
+    """Cosine near-dup, sub-quadratic path: MULTI-TABLE banded sign-LSH.
+
+    A single 12-bit sign-LSH table has collision probability
+    (1 - θ/π)^12 — ≈0.8 % at cosine 0.5, which round 1 measured as
+    recall ≈ 0 (VERDICT "What's wrong" #1).  Banding fixes it the same
+    way MinHash-LSH banding does: T independent tables of b bits each;
+    candidates are the OR-union over tables, so
+    P(candidate) = 1 - (1 - p^b)^T with p = 1 - θ/π.  At the default
+    (T=8, b=4, threshold 0.85 → p≈0.825) recall ≈ 0.98; every candidate
+    is verified with exact cosine, so precision is exact.  Shuffle
+    volume = T rows per vector (key + unit vector)."""
     from ..functions.hashing import fingerprint64
 
     def planes(dim: int) -> np.ndarray:
-        # pinned pseudo-random hyperplanes — seeded from the engine hash
         rng = np.random.default_rng(fingerprint64("embedding-lsh-planes") % (2**32))
-        return rng.standard_normal((n_planes, dim))
+        return rng.standard_normal((n_tables * bits_per_table, dim))
 
     state = {}
+    weights = (1 << np.arange(bits_per_table, dtype=np.int64))
 
     def bucket_stage(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        unit = _unit_rows(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
         if "P" not in state:
-            state["P"] = planes(vecs.shape[1])
-        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        unit = vecs / norms
-        bits = (unit @ state["P"].T) > 0
-        keys = np.packbits(bits, axis=1, bitorder="little")[:, :2].copy().view(np.uint16).ravel()
+            state["P"] = planes(unit.shape[1])
+        bits = (unit @ state["P"].T) > 0  # (n, T*b)
+        out_id, out_table, out_key, out_vec = [], [], [], []
+        for t in range(n_tables):
+            keys = bits[:, t * bits_per_table:(t + 1) * bits_per_table] @ weights
+            out_id.extend(int(i) for i in ids)
+            out_table.extend([t] * len(ids))
+            out_key.extend(int(k) for k in keys)
+            out_vec.extend(u.tolist() for u in unit)
         return pa.table(
             {
-                id_col: pa.array(ids, pa.int64()),
-                "bkey": pa.array(keys.astype(np.int32), pa.int32()),
-                "unit": pa.array([u.tolist() for u in unit], pa.list_(pa.float64())),
+                id_col: pa.array(out_id, pa.int64()),
+                "table": pa.array(out_table, pa.int32()),
+                "tkey": pa.array(out_key, pa.int32()),
+                "unit": pa.array(out_vec, pa.list_(pa.float64())),
             }
         )
 
     def verify(group: pd.DataFrame) -> pd.DataFrame:
         rows = group.drop_duplicates(subset=[id_col])
-        ids = rows[id_col].tolist()
+        if len(rows) < 2:
+            return _empty_cosine_pairs()
+        ids = rows[id_col].to_numpy(dtype=np.int64)
         U = np.array([np.asarray(u) for u in rows["unit"]])
-        sims = U @ U.T
-        a_out, b_out, s_out = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if sims[i, j] >= threshold:
-                    a, b = sorted((ids[i], ids[j]))
-                    a_out.append(a); b_out.append(b); s_out.append(float(sims[i, j]))
-        return pd.DataFrame(
-            {"a": pd.Series(a_out, dtype="int64"), "b": pd.Series(b_out, dtype="int64"),
-             "cosine": pd.Series(s_out, dtype="float64")}
-        )
+        return _cross_pairs(ids, U, ids, U, threshold, within=True)
 
     out = (
         ds.map_batches(bucket_stage, batch_format="pyarrow")
-        .groupby("bkey")
+        .groupby(["table", "tkey"])
         .map_groups(verify, batch_format="pandas")
         .to_pandas()
     )
-    if out.empty:  # no buckets produced pairs → typed empty frame
-        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                             "b": pd.Series([], dtype="int64"),
-                             "cosine": pd.Series([], dtype="float64")})
-    return (
-        out.drop_duplicates(subset=["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
-    )
+    if out.empty:
+        return _empty_cosine_pairs()
+    return out.drop_duplicates(subset=["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
