@@ -114,11 +114,59 @@ class CuckooFilter:
                 return
         self.overflow.add(key)  # never lose an insert → no false negatives
 
+    # -- vectorized batch ops (the frontier-offer hot path) -------------
+    def _fp_i1_i2(self, keys: np.ndarray):
+        """Vectorized (fp16, i1, i2) for a uint64 key array — identical
+        bit-for-bit to the scalar _fp16/_i1/_i2 (numpy uint64 arithmetic
+        wraps mod 2^64 exactly like the masked Python-int version)."""
+        k = keys.astype(np.uint64, copy=False)
+        fp = (k ^ (k >> np.uint64(17)) ^ (k >> np.uint64(33))) & np.uint64(0xFFFF)
+        fp[fp == 0] = 1
+        mixed = k * np.uint64(0x9E3779B97F4A7C15)
+        mixed ^= mixed >> np.uint64(29)
+        nb_mask = np.uint64(self.num_buckets - 1)
+        i1 = mixed & nb_mask
+        mfp = fp * np.uint64(0x9E3779B97F4A7C15)
+        mfp ^= mfp >> np.uint64(29)
+        i2 = (i1 ^ mfp) & nb_mask
+        return fp.astype(np.uint16), i1.astype(np.int64), i2.astype(np.int64)
+
+    def contains_batch(self, keys: np.ndarray) -> np.ndarray:
+        """Vectorized membership: uint64 keys → bool mask (no false
+        negatives, same guarantees as scalar ``contains``)."""
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        fp, i1, i2 = self._fp_i1_i2(keys)
+        T = self.table.reshape(-1, _SLOTS)
+        hit = (T[i1] == fp[:, None]).any(axis=1)
+        miss = ~hit
+        if miss.any():
+            hit[miss] = (T[i2[miss]] == fp[miss, None]).any(axis=1)
+        if self.overflow:
+            still = ~hit
+            if still.any():
+                ov = np.fromiter(self.overflow, dtype=np.uint64, count=len(self.overflow))
+                hit[still] |= np.isin(keys[still].astype(np.uint64), ov)
+        return hit
+
     def add_batch(self, keys: np.ndarray) -> np.ndarray:
-        """Vector entry point: uint64 keys → bool mask of NEW keys."""
-        out = np.empty(len(keys), dtype=bool)
-        for j, k in enumerate(keys):
-            out[j] = self.add(int(k))
+        """Vector entry point: uint64 keys → bool mask of NEW keys.
+        Duplicate keys within the batch report new on their FIRST
+        occurrence only (exact within-batch dedup via np.unique).
+        Membership is ONE vectorized pass against the batch-START table;
+        only genuinely-new keys take the per-key insert path.  Vs a
+        sequential add loop this can only differ by admitting MORE: a
+        same-batch insert's fingerprint can no longer false-positive a
+        later new key.  No-false-negative guarantee unchanged."""
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        uniq, first_idx = np.unique(np.asarray(keys, dtype=np.uint64), return_index=True)
+        new_u = ~self.contains_batch(uniq)
+        out = np.zeros(len(keys), dtype=bool)
+        out[first_idx[new_u]] = True
+        for k in uniq[new_u]:
+            self._insert(int(k))
+        self.count += int(new_u.sum())
         return out
 
     # -- checkpoint serialization -------------------------------------
