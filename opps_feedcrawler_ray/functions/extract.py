@@ -15,7 +15,10 @@ title+summary-per-entry semantics with stdlib ``xml.etree``.  HTML pages
 stdlib-``html.parser`` visible-text spec below.
 
 HTML → text spec:
-  * bytes are decoded UTF-8 with ``errors="replace"``;
+  * bytes are decoded per the sniffed charset (BOM → XML encoding decl →
+    ``<meta charset>`` in the first 1024 bytes → UTF-8 fallback), always
+    with ``errors="replace"`` — identical to the original UTF-8-replace
+    spec for any page without a contrary declaration;
   * content inside ``script style template head noscript svg`` is dropped
     (the whole ``<head>``, including ``<title>``, is dropped);
   * entering or leaving a block-level element emits a newline
@@ -118,10 +121,42 @@ class _LinkExtractor(HTMLParser):
     handle_startendtag = _grab
 
 
+_CHARSET_META = re.compile(rb"<meta[^>]+charset\s*=\s*[\"']?\s*([a-zA-Z0-9_\-:.]+)", re.I)
+_XML_DECL = re.compile(rb"^<\?xml[^>]*encoding\s*=\s*[\"']([a-zA-Z0-9_\-:.]+)[\"']", re.I)
+
+
+def sniff_charset(b: bytes) -> str:
+    """Charset sniff (round-2 spec extension, feedparser-equivalent
+    behavior): BOM first, then the XML encoding declaration, then a
+    ``<meta charset>`` / ``http-equiv`` charset within the first 1024
+    bytes; unknown or absent → ``utf-8``.  Decoding always uses
+    ``errors="replace"``, so the old UTF-8-replace behavior is preserved
+    verbatim for every page without a contrary declaration (goldens
+    unchanged — verified by the committed byte-identical corpus)."""
+    if b.startswith(b"\xef\xbb\xbf"):
+        return "utf-8-sig"
+    if b.startswith(b"\xff\xfe") or b.startswith(b"\xfe\xff"):
+        return "utf-16"
+    head = b[:1024]
+    m = _XML_DECL.match(head.lstrip())
+    if m is None:
+        m = _CHARSET_META.search(head)
+    if m is None:
+        return "utf-8"
+    name = m.group(1).decode("ascii", "replace")
+    import codecs
+
+    try:
+        codecs.lookup(name)
+    except LookupError:
+        return "utf-8"
+    return name
+
+
 def decode_bytes(b: bytes | str) -> str:
     if isinstance(b, str):
         return b
-    return b.decode("utf-8", "replace")
+    return b.decode(sniff_charset(b), "replace")
 
 
 def detect_kind(url: str, body: bytes | str) -> str:
@@ -151,11 +186,27 @@ def _local(tag: str) -> str:
     return tag.rsplit("}", 1)[-1] if "}" in tag else tag
 
 
+def _parse_xml(body: bytes | str) -> ET.Element | None:
+    """Decode per the sniffed charset, then parse.  The XML declaration is
+    stripped before ET.fromstring — ET rejects already-decoded strings
+    that still carry an encoding declaration (ValueError, not
+    ParseError), which made such feeds crash rather than extract."""
+    s = decode_bytes(body)
+    head = s.lstrip()
+    if head.startswith("<?xml"):
+        j = head.find("?>")
+        if j != -1:
+            head = head[j + 2 :]
+    try:
+        return ET.fromstring(head)
+    except (ET.ParseError, ValueError):
+        return None
+
+
 def extract_feed_text(body: bytes | str) -> str:
     """RSS 2.0 / Atom → text per the module spec; malformed XML → ''."""
-    try:
-        root = ET.fromstring(decode_bytes(body))
-    except ET.ParseError:
+    root = _parse_xml(body)
+    if root is None:
         return ""
     parts: list[str] = []
     kind = _local(root.tag).lower()
@@ -248,9 +299,8 @@ def extract_page(url: str, body: bytes | str, kind: str | None = None) -> tuple[
     if kind in ("rss", "atom"):
         text = extract_feed_text(body)
         raw: list[str] = []
-        try:
-            root = ET.fromstring(decode_bytes(body))
-        except ET.ParseError:
+        root = _parse_xml(body)
+        if root is None:
             return text, []
         for el in root.iter():
             if _local(el.tag) == "link":
@@ -274,9 +324,8 @@ def parse_links(url: str, body: bytes | str, kind: str | None = None) -> list[st
         return []
     text = decode_bytes(body)
     if kind in ("rss", "atom"):
-        try:
-            root = ET.fromstring(text)
-        except ET.ParseError:
+        root = _parse_xml(body)
+        if root is None:
             return []
         for el in root.iter():
             if _local(el.tag) == "link":

@@ -62,6 +62,13 @@ class CrawlConfig:
     # politeness stays ≤ budget; fetch_seq recombines via (host, sub)
     # offsets).  Opt-in — changes a salted host's intra-round order.
     salt_hosts: dict | None = None
+    # per-host TOTAL page cap for the whole crawl (reference's per-feed
+    # max_entries); None = unlimited.  Frozen in the checkpoint manifest.
+    max_pages_per_host: int | None = None
+    # §2.10 sink hook: fn(crawl_log_batch: pa.Table) -> None, called per
+    # batch inside the round execution (the reference's post-save
+    # publication surface).  Must be serializable (cloudpickle).
+    sink_hook: object = None
     resume: bool = False
     stats: dict = field(default_factory=dict)
 
@@ -407,11 +414,12 @@ class _OfferLinksStage:
     costs no extra execution — the log write downstream is the barrier."""
 
     def __init__(self, actors: list, next_round: int, priority_fn=None,
-                 salt_hosts: dict | None = None) -> None:
+                 salt_hosts: dict | None = None, sink_hook=None) -> None:
         self.actors = actors
         self.next_round = next_round
         self.priority_fn = priority_fn
         self.salt_hosts = salt_hosts
+        self.sink_hook = sink_hook
         self._canon = CanonicalizeStage()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -459,7 +467,13 @@ class _OfferLinksStage:
                 result_refs += refs
         if result_refs:
             ray.get(result_refs)  # ack before this task completes (round barrier)
-        return batch.select(LOG_COLUMNS)
+        out = batch.select(LOG_COLUMNS)
+        if self.sink_hook is not None:
+            # §2.10 publication hook: side-effect per crawl-log batch (the
+            # reference's post-save signal), inside the round execution so
+            # the log write remains the barrier for hook completion too
+            self.sink_hook(out)
+        return out
 
 
 def _load_robots_into_actors(cfg: CrawlConfig, actors: list, bucketed: str | None = None) -> None:
@@ -557,6 +571,7 @@ def _write_manifest(cfg: CrawlConfig, round_idx: int, fetch_seq: int, lineage: l
         "num_buckets": cfg.num_buckets,
         "politeness_budget": cfg.politeness_budget,
         "salt_hosts": cfg.salt_hosts,
+        "max_pages_per_host": cfg.max_pages_per_host,
         "lineage": lineage,
     }
     tmp = os.path.join(ckpt_root, "_MANIFEST.json.tmp")
@@ -620,9 +635,14 @@ def crawl(cfg: CrawlConfig) -> dict:
             filter_capacity=cfg.filter_capacity,
             store_exact=cfg.store_exact,
             salt_hosts=cfg.salt_hosts,
+            max_pages_per_host=cfg.max_pages_per_host,
         )
         for i in range(cfg.num_frontier_actors)
     ]
+    # kick actor process spawn NOW (fire-and-forget stats ping) so the
+    # interpreter startup + imports overlap the fetch-actor warm below —
+    # otherwise the first seed offer pays the whole pool's cold start
+    _spawn_refs = [a.stats.remote() for a in actors]
     fetch_actors = []
     if cfg.fetch_strategy == "actors":
         # num_cpus=0: these are lookup servers called synchronously from map
@@ -655,6 +675,7 @@ def crawl(cfg: CrawlConfig) -> dict:
             "num_buckets": cfg.num_buckets,
             "politeness_budget": cfg.politeness_budget,
             "salt_hosts": cfg.salt_hosts,
+            "max_pages_per_host": cfg.max_pages_per_host,
         }
         for key, want in frozen.items():
             have = manifest.get(key)
@@ -679,6 +700,26 @@ def crawl(cfg: CrawlConfig) -> dict:
             _RouteToActors(actors, "offer", cfg.salt_hosts), batch_format="pyarrow"
         )
         cfg.stats["seed_offered"] = int(offers.sum("offered") or 0)
+        if "interval" in seeds.schema().names:
+            # per-feed re-crawl scheduling (the reference's core operating
+            # mode): seeds with interval>0 re-emit every interval rounds
+            canon = CanonicalizeStage()
+
+            def keep_recurring(batch: pa.Table) -> pa.Table:
+                t = canon(batch)
+                if "priority" not in t.column_names:
+                    t = t.append_column(
+                        "priority", pa.array([1.0] * t.num_rows, pa.float64())
+                    )
+                t = t.select(["url", "url_hash", "surt", "host", "priority", "interval"])
+                iv = t["interval"]
+                return t.filter(pc.and_kleene(pc.is_valid(iv), pc.greater(iv, 0)))
+
+            reg = seeds.map_batches(keep_recurring, batch_format="pyarrow").map_batches(
+                _RouteToActors(actors, "register_recurring", cfg.salt_hosts),
+                batch_format="pyarrow",
+            )
+            cfg.stats["recurring_registered"] = int(reg.sum("admitted") or 0)
         _phase("seeds")
 
     extract = ExtractStage()
@@ -686,7 +727,8 @@ def crawl(cfg: CrawlConfig) -> dict:
     total_fetched = 0
     total_not_found = 0
 
-    for r in range(start_round, cfg.max_rounds):
+    r = start_round
+    while r < cfg.max_rounds:
         _t0 = _time.time()
         metas = ray.get(
             [
@@ -701,6 +743,15 @@ def crawl(cfg: CrawlConfig) -> dict:
         )
         n_ready = sum(sum(m["hosts"].values()) for m in metas)
         if n_ready == 0:
+            # nothing pending now — but recurring feeds may come due later:
+            # fast-forward the round clock to the earliest re-emission
+            # instead of running empty rounds (rounds are the engine's
+            # deterministic time axis, so skipping idle ticks is free)
+            dues = [m.get("next_due") for m in metas if m.get("next_due") is not None]
+            nxt = min(dues) if dues else None
+            if nxt is not None and r < nxt < cfg.max_rounds:
+                r = nxt
+                continue
             break
         ready_refs = [
             a.ready_chunk.remote(j)
@@ -739,7 +790,9 @@ def crawl(cfg: CrawlConfig) -> dict:
         # write the round's log partition.  The write is the round barrier:
         # every offer is ray.get-acked inside its task before the task ends,
         # so when write_parquet returns, round r+1's frontier is complete.
-        offer_links = _OfferLinksStage(actors, r + 1, cfg.priority_fn, cfg.salt_hosts)
+        offer_links = _OfferLinksStage(
+            actors, r + 1, cfg.priority_fn, cfg.salt_hosts, cfg.sink_hook
+        )
         staged = ready.map_batches(_AssignSeq(offsets_ref), batch_format="pyarrow")
         if cfg.fetch_strategy == "actors":
             staged = staged.map_batches(
@@ -784,6 +837,7 @@ def crawl(cfg: CrawlConfig) -> dict:
                 flush=True,
             )
         rounds_run += 1
+        r += 1
 
     _phase("rounds_total")
     # final seen-set export (S6), verification mode only
@@ -793,27 +847,20 @@ def crawl(cfg: CrawlConfig) -> dict:
             os.path.join(cfg.out_dir, "seen_set")
         )
     _phase("seen_export")
-    # status totals: ONE aggregate over the whole written log (end-of-crawl
-    # only — per-round status counting would cost an execution per round)
-    import glob as _glob
-
-    log_files = sorted(_glob.glob(os.path.join(log_dir, "round=*", "*.parquet")))
-    if log_files:
-        import pyarrow.parquet as _pqs
-
-        total_fetched = total_not_found = 0
-        for f in log_files:  # direct column read — no Ray execution needed
-            st = _pqs.read_table(f, columns=["status"])["status"]
-            nf = pc.sum(pc.equal(st, "not_found").cast(pa.int64())).as_py() or 0
-            total_not_found += nf
-            total_fetched += len(st) - nf
+    # status totals come from the frontier actors' lineage counters
+    # (record_results is acked inside every round's offer stage, so the
+    # counters equal the written log's status counts — tested; this
+    # replaces a driver-side re-read of the whole log)
+    actor_stats = ray.get([a.stats.remote() for a in actors])
+    total_fetched = sum(a["fetched"] for a in actor_stats)
+    total_not_found = sum(a["not_found"] for a in actor_stats)
     _phase("final_agg")
     stats = {
         "rounds": rounds_run,
         "fetch_seq": fetch_seq,
         "fetched": total_fetched,
         "not_found": total_not_found,
-        "actor_stats": ray.get([a.stats.remote() for a in actors]),
+        "actor_stats": actor_stats,
     }
     cfg.stats.update(stats)
     return stats

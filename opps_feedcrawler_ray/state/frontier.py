@@ -57,10 +57,16 @@ class FrontierActor:
         filter_capacity: int = 1 << 20,
         store_exact: bool = True,
         salt_hosts: dict[str, int] | None = None,
+        max_pages_per_host: int | None = None,
     ) -> None:
         self.shard_id = shard_id
         self.num_shards = num_shards
         self.budget = politeness_budget
+        # per-host TOTAL page cap across the whole crawl (the reference's
+        # per-feed max_entries): once a host has emitted this many URLs,
+        # its pending queue is discarded.  None = unlimited.
+        self.max_per_host = max_pages_per_host
+        self.emitted: dict[str, int] = {}
         # §7.6 mega-host salting: a salted host's queue is split across k
         # sub-shards (k actors), each granted budget//k per round — the
         # recombined per-host fetch count stays ≤ budget (politeness exact).
@@ -85,6 +91,13 @@ class FrontierActor:
         self.robots: dict[str, RobotsRules] = {}
         self.counters = dict.fromkeys(COUNTER_KEYS, 0)
         self._last_meta: dict[str, int] = {}
+        # per-feed re-crawl scheduling (the reference's Feed.interval loop,
+        # in round units — the engine's deterministic clock): host →
+        # {url_hash: [url, priority, interval, last_emit_round]}.  Due
+        # entries re-enter the host's heap at poll time, bypassing the
+        # seen-set (a re-fetch of a known URL is the point) but NOT the
+        # politeness budget (they queue like any other candidate).
+        self.recurring: dict[str, dict[int, list]] = {}
 
     # ------------------------------------------------------------ robots
     def load_robots(self, table: pa.Table) -> int:
@@ -167,6 +180,44 @@ class FrontierActor:
         self.counters["robots_blocked"] += blocked
         return {"offered": n, "admitted": admitted, "robots_blocked": blocked}
 
+    # --------------------------------------------------------- recurring
+    def register_recurring(self, table: pa.Table) -> dict[str, int]:
+        """Rows (url, url_hash, host, priority, interval) → recurring
+        registry entries.  First emission is round 0 (the seed offer
+        already queued the URL); re-emissions happen every ``interval``
+        rounds after the last one."""
+        n = 0
+        for url, h, host, prio, iv in zip(
+            table["url"].to_pylist(),
+            table["url_hash"].to_pylist(),
+            table["host"].to_pylist(),
+            table["priority"].to_pylist(),
+            table["interval"].to_pylist(),
+        ):
+            if iv and iv > 0:
+                self.recurring.setdefault(host, {})[h] = [url, float(prio or 1.0), int(iv), 0]
+                n += 1
+        return {"admitted": n}
+
+    def _emit_due_recurring(self, round_idx: int) -> None:
+        for host, entries in self.recurring.items():
+            for h, ent in entries.items():
+                url, prio, iv, last = ent
+                if round_idx - last >= iv:
+                    self.heaps.setdefault(host, []).append((-prio, round_idx, url, h))
+                    self._dirty.add(host)
+                    ent[3] = round_idx
+
+    def next_due_round(self) -> int | None:
+        """Earliest future round at which a recurring entry re-emits (the
+        driver fast-forwards idle gaps instead of running empty rounds)."""
+        due = [
+            ent[3] + ent[2]
+            for entries in self.recurring.values()
+            for ent in entries.values()
+        ]
+        return min(due) if due else None
+
     # -------------------------------------------------------------- poll
     def poll_ready_meta(
         self,
@@ -198,7 +249,11 @@ class FrontierActor:
         ]
         if t.num_rows == 0:
             self._chunks = []
-        return {"hosts": self._last_meta, "n_chunks": len(self._chunks)}
+        return {
+            "hosts": self._last_meta,
+            "n_chunks": len(self._chunks),
+            "next_due": self.next_due_round(),
+        }
 
     def ready_chunk(self, i: int) -> pa.Table:
         """Two-phase poll, phase 2: staged chunk i (host-ASC slice order)."""
@@ -207,6 +262,8 @@ class FrontierActor:
     def poll_ready(self, round_idx: int) -> pa.Table:
         """Pop ≤budget per host in the frozen politeness order; returns the
         shard's ready table sorted (host ASC, rank ASC)."""
+        if self.recurring:
+            self._emit_due_recurring(round_idx)
         urls, hashes, hosts, prios, rounds, ranks = [], [], [], [], [], []
         meta: dict[str, int] = {}
         for host in sorted(self.heaps):
@@ -216,6 +273,15 @@ class FrontierActor:
                 self._dirty.discard(host)
             k = self.salt_hosts.get(host)
             budget = max(1, self.budget // k) if k else self.budget
+            if self.max_per_host is not None:
+                # salted hosts split the cap like the budget (cap//k per
+                # sub-shard → recombined total stays ≤ cap)
+                cap = max(1, self.max_per_host // k) if k else self.max_per_host
+                left = cap - self.emitted.get(host, 0)
+                if left <= 0:
+                    del self.heaps[host]  # cap reached: discard the queue
+                    continue
+                budget = min(budget, left)
             take = lst[:budget]
             for k, (negp, rnd, url, h) in enumerate(take):
                 urls.append(url)
@@ -226,6 +292,8 @@ class FrontierActor:
                 ranks.append(k)
             if take:
                 meta[host] = len(take)
+                if self.max_per_host is not None:
+                    self.emitted[host] = self.emitted.get(host, 0) + len(take)
             rest = lst[budget:]
             if rest:
                 self.heaps[host] = rest  # still sorted
@@ -301,6 +369,8 @@ class FrontierActor:
             "exact": self.exact,
             "robots": {h: r.to_tuple() for h, r in self.robots.items()},
             "counters": self.counters,
+            "recurring": self.recurring,
+            "emitted": self.emitted,
             "round": round_idx,
         }
         fpath = os.path.join(ckpt_dir, f"shard-{self.shard_id:05d}.parquet")
@@ -329,6 +399,8 @@ class FrontierActor:
         self.exact = blob["exact"]
         self.robots = {h: RobotsRules.from_tuple(t) for h, t in blob["robots"].items()}
         self.counters = blob["counters"]
+        self.recurring = blob.get("recurring", {})
+        self.emitted = blob.get("emitted", {})
         self.heaps = {}
         self._dirty = set()
         for h, url, host, prio, rnd in zip(

@@ -267,6 +267,38 @@ def test_cuckoo_batch():
     assert mask[:10].all() and not mask[10:].any()
 
 
+def test_charset_sniffing():
+    """Round-2 spec extension: BOM / XML decl / <meta charset> honored,
+    UTF-8-replace fallback unchanged for undeclared pages."""
+    from opps_feedcrawler_ray.functions.extract import (
+        extract_feed_text,
+        extract_html_text,
+        sniff_charset,
+    )
+
+    latin = '<html><meta charset="iso-8859-1"><body><p>caf\xe9</p></body></html>'.encode(
+        "iso-8859-1"
+    )
+    assert sniff_charset(latin) == "iso-8859-1"
+    assert extract_html_text(latin) == "caf\xe9"
+    # no declaration → UTF-8 (frozen default, goldens unchanged)
+    assert extract_html_text("<p>h\xe9llo</p>".encode()) == "h\xe9llo"
+    # invalid UTF-8 without declaration → replacement chars, never a crash
+    assert "�" in extract_html_text(b"<p>caf\xe9</p>")
+    # UTF-8 BOM
+    assert extract_html_text(b"\xef\xbb\xbf<p>ok</p>") == "ok"
+    # XML encoding declaration drives the feed decode AND must not crash
+    # ET (encoding decls in decoded strings raise ValueError otherwise)
+    xml = (
+        '<?xml version="1.0" encoding="iso-8859-1"?>'
+        "<rss><channel><title>t\xebst</title></channel></rss>"
+    ).encode("iso-8859-1")
+    assert sniff_charset(xml) == "iso-8859-1"
+    assert extract_feed_text(xml) == "t\xebst"
+    # unknown charset name → fallback, no crash
+    assert sniff_charset(b'<meta charset="no-such-enc"><p>x</p>') == "utf-8"
+
+
 def test_extractor_registry_plugin():
     """§2.10 extension surface: a registered kind overrides extraction."""
     from opps_feedcrawler_ray.functions import extract as ex
