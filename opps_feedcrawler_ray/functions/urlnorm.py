@@ -181,23 +181,48 @@ def extract_host(canon_url: str) -> str:
     return netloc.rsplit(":", 1)[0] if ":" in netloc else netloc
 
 
+# Per-process memo for canonicalize_batch: web outlinks repeat heavily
+# (nav/footer links recur on every page of a host), and the functions are
+# pure, so caching url → (canon, surt, host) is semantics-free.  Wholesale
+# clear at capacity keeps eviction O(1) amortized.
+_CANON_CACHE: dict[str, tuple] = {}
+_CANON_CACHE_CAP = 1 << 17
+
+
 def canonicalize_batch(urls: list[str | None]) -> tuple[list[str | None], list[str | None], list[str | None]]:
     """Batch helper: urls → (canon, surt, host) parallel lists.
 
     Non-canonicalizable entries yield None in all three outputs — callers
     filter them with an Arrow ``is_valid`` mask.
     """
+    cache = _CANON_CACHE
     canons: list[str | None] = []
     surts: list[str | None] = []
     hosts: list[str | None] = []
     for u in urls:
+        if u is not None:
+            hit = cache.get(u)
+            if hit is not None:
+                canons.append(hit[0])
+                surts.append(hit[1])
+                hosts.append(hit[2])
+                continue
         c = canonicalize_url(u) if u is not None else None
         if c is None:
+            if u is not None:
+                if len(cache) >= _CANON_CACHE_CAP:
+                    cache.clear()
+                cache[u] = (None, None, None)
             canons.append(None)
             surts.append(None)
             hosts.append(None)
         else:
+            s = surt_form(c)
+            h = extract_host(c)
+            if len(cache) >= _CANON_CACHE_CAP:
+                cache.clear()
+            cache[u] = (c, s, h)
             canons.append(c)
-            surts.append(surt_form(c))
-            hosts.append(extract_host(c))
+            surts.append(s)
+            hosts.append(h)
     return canons, surts, hosts

@@ -386,6 +386,90 @@ class _FetchDirect:
         return out.append_column("status", status)
 
 
+@ray.remote
+def _load_bucket_sorted(bucketed_dir: str, bucket: int) -> tuple:
+    """Warm task for the objstore fetch strategy: one bucket partition →
+    (table sorted by url_hash, sorted uint64 hash array).  Stored ONCE in
+    the object store; every fetch task reads it zero-copy."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    ds = pads.dataset(bucketed_dir, partitioning="hive")
+    t = ds.to_table(
+        filter=pads.field("bucket") == bucket,
+        columns=["url_hash", "url", "warc_ts", "html", "lang"],
+    ).combine_chunks()
+    h = t["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    perm = np.argsort(h, kind="stable")
+    t = t.take(pa.array(perm, pa.int64())).combine_chunks()
+    return t, h[perm]
+
+
+class _FetchViaObjectStore:
+    """J1 broadcast variant (bench default): bucket tables are ``ray.put``
+    ONCE at warm — immutable Arrow in shared memory — and each fetch task
+    ``ray.get``s only the buckets its rows touch (zero-copy on-node; one
+    transferred copy per node on a cluster).  Row alignment is a
+    vectorized uint64 ``searchsorted`` against the bucket's sorted hash
+    column: no actor RPC, no per-batch pages serialization, no actor
+    hotspot, fully elastic.  At 100 TB (corpus ≫ cluster RAM) the
+    ``direct`` strategy is the same alignment against disk partitions."""
+
+    def __init__(self, refs: dict, num_buckets: int) -> None:
+        self.refs = refs
+        self.nb = num_buckets
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        import numpy as np
+
+        hh = batch["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        buckets = hh % np.uint64(self.nb)
+        perm = np.argsort(buckets, kind="stable")
+        out = batch.take(pa.array(perm, pa.int64()))
+        hh = hh[perm]
+        buckets = buckets[perm]
+        n = batch.num_rows
+        found = np.zeros(n, dtype=bool)
+        pieces: list[pa.Table] = []
+        i = 0
+        while i < n:
+            b = int(buckets[i])
+            j = i
+            while j < n and buckets[j] == b:
+                j += 1
+            tbl, sh = ray.get(self.refs[b])  # zero-copy shared-memory read
+            sub = hh[i:j]
+            idx = np.searchsorted(sh, sub)
+            ok = (idx < len(sh)) & (sh[np.minimum(idx, max(len(sh) - 1, 0))] == sub) if len(sh) else np.zeros(j - i, dtype=bool)
+            found[i:j] = ok
+            if ok.any():
+                pieces.append(tbl.take(pa.array(idx[ok], pa.int64())))
+            i = j
+        if pieces:
+            src = pa.concat_tables(pieces).combine_chunks()
+            pos = np.cumsum(found) - 1
+            pos[~found] = 0
+            taken = src.take(pa.array(pos, pa.int64()))
+            mask = pa.array(found)
+            all_found = bool(found.all())
+            for name in ("warc_ts", "html", "lang"):
+                col = taken[name].combine_chunks()
+                if not all_found:
+                    col = pc.if_else(mask, col, pa.scalar(None, col.type))
+                out = out.append_column(name, col)
+        else:
+            for name, typ in (
+                ("warc_ts", pa.timestamp("us")), ("html", pa.binary()), ("lang", pa.string())
+            ):
+                out = out.append_column(name, pa.array([None] * n, typ))
+        status = pa.array(
+            ["fetched" if f else "not_found" for f in found], pa.string()
+        )
+        return out.append_column("status", status)
+
+
 class _AssignSeq:
     """fetch_seq = base_offset[host] + host_rank (broadcast offsets via
     ray.put — read once per task, never re-shipped per batch)."""
@@ -443,6 +527,22 @@ class _OfferLinksStage:
                 )
         links = explode_links(batch, self.next_round, self.priority_fn)
         if links.num_rows:
+            # raw-string pre-dedup BEFORE canonicalize: outlinks repeat
+            # heavily within a batch and priority/round are constant here,
+            # so first-occurrence == any-occurrence; cuts canonicalize work
+            uniq = pc.unique(links["url"])
+            if len(uniq) < links.num_rows:
+                links = pa.table(
+                    {
+                        "url": uniq,
+                        "priority": pa.array(
+                            [links["priority"][0].as_py()] * len(uniq), pa.float64()
+                        ),
+                        "round": pa.array(
+                            [self.next_round] * len(uniq), pa.int32()
+                        ),
+                    }
+                )
             cand = self._canon(links)
             if "priority" in cand.column_names and "round" in cand.column_names:
                 cand = cand.select(["url", "url_hash", "surt", "host", "priority", "round"])
@@ -603,9 +703,10 @@ def crawl(cfg: CrawlConfig) -> dict:
             print(f"[crawl] phase {name}: {_time.time()-_tp:.2f}s", file=_sys.stderr, flush=True)
         _tp = _time.time()
 
-    if cfg.fetch_strategy not in ("actors", "direct", "shuffle"):
+    if cfg.fetch_strategy not in ("actors", "objstore", "direct", "shuffle"):
         raise ValueError(
-            f"unknown fetch_strategy {cfg.fetch_strategy!r}: use 'actors', 'direct' or 'shuffle'"
+            f"unknown fetch_strategy {cfg.fetch_strategy!r}: use 'actors', "
+            f"'objstore', 'direct' or 'shuffle'"
         )
     for h, k in (cfg.salt_hosts or {}).items():
         if k > cfg.politeness_budget:
@@ -659,6 +760,14 @@ def crawl(cfg: CrawlConfig) -> dict:
             for i in range(cfg.num_fetch_actors)
         ]
         ray.get([a.warm.remote(cfg.num_buckets) for a in fetch_actors])
+    bucket_refs: dict | None = None
+    if cfg.fetch_strategy == "objstore":
+        # broadcast warm: one sorted bucket object per partition, loaded in
+        # parallel tasks; round-0 fetch tasks block on any still-loading
+        # bucket (pipelined warm — no explicit barrier needed)
+        bucket_refs = {
+            b: _load_bucket_sorted.remote(bucketed, b) for b in range(cfg.num_buckets)
+        }
     _phase("actors")
     ckpt_dir = os.path.join(cfg.out_dir, "checkpoints")
     log_dir = os.path.join(cfg.out_dir, "crawl_log")
@@ -693,9 +802,19 @@ def crawl(cfg: CrawlConfig) -> dict:
                 if d.startswith("round=") and int(d.split("=")[1]) >= start_round:
                     shutil.rmtree(os.path.join(log_dir, d))
     else:
+        if trace:  # split spawn cost out of the robots/seeds timings
+            ray.get(_spawn_refs)
+            _phase("actor_spawn")
         _load_robots_into_actors(cfg, actors, bucketed)
         _phase("robots")
+        # split the seed read so canonicalization parallelizes — a single
+        # one-row-group seed file reads as ONE block, serializing the whole
+        # canonicalize+offer pass into one task.  At real scale a 10^10-URL
+        # seed list spans many files (natural block parallelism); the
+        # repartition below only triggers for the single-file case.
         seeds = rd.read_parquet(cfg.seeds_path)
+        if os.path.isfile(cfg.seeds_path):
+            seeds = seeds.repartition(max(2, cfg.num_frontier_actors * 2))
         offers = _prepare_candidates(seeds, default_priority=1.0).map_batches(
             _RouteToActors(actors, "offer", cfg.salt_hosts), batch_format="pyarrow"
         )
@@ -735,12 +854,13 @@ def crawl(cfg: CrawlConfig) -> dict:
                 a.poll_ready_meta.remote(
                     r,
                     cfg.poll_chunk_rows,
-                    "bucket" if cfg.fetch_strategy == "direct" else "host",
+                    "bucket" if cfg.fetch_strategy in ("direct", "objstore") else "host",
                     cfg.num_buckets,
                 )
                 for a in actors
             ]
         )
+        _t_poll = _time.time() - _t0
         n_ready = sum(sum(m["hosts"].values()) for m in metas)
         if n_ready == 0:
             # nothing pending now — but recurring feeds may come due later:
@@ -798,6 +918,11 @@ def crawl(cfg: CrawlConfig) -> dict:
             staged = staged.map_batches(
                 _FetchViaActors(fetch_actors, cfg.num_buckets), batch_format="pyarrow"
             )
+        elif cfg.fetch_strategy == "objstore":
+            staged = staged.map_batches(
+                _FetchViaObjectStore(bucket_refs, cfg.num_buckets),
+                batch_format="pyarrow",
+            )
         elif cfg.fetch_strategy == "direct":
             staged = staged.map_batches(
                 _FetchDirect(bucketed, cfg.num_buckets), batch_format="pyarrow"
@@ -820,10 +945,10 @@ def crawl(cfg: CrawlConfig) -> dict:
             )
         else:
             staged = staged.map_batches(extract, batch_format="pyarrow")
-        (
-            staged.map_batches(offer_links, batch_format="pyarrow")
-            .write_parquet(os.path.join(log_dir, f"round={r}"))
-        )
+        final_ds = staged.map_batches(offer_links, batch_format="pyarrow")
+        final_ds.write_parquet(os.path.join(log_dir, f"round={r}"))
+        if trace and os.environ.get("CRAWL_STATS") == "1":
+            print(f"[crawl] stats round={r}\n{final_ds.stats()}", file=_sys.stderr, flush=True)
 
         _t1 = _time.time()
         if cfg.checkpoint_every and (r % cfg.checkpoint_every == 0):
@@ -831,8 +956,8 @@ def crawl(cfg: CrawlConfig) -> dict:
             _write_manifest(cfg, r, fetch_seq, lineage)
         if trace:
             print(
-                f"[crawl] round={r} ready={n_ready} exec={_t1-_t0:.2f}s "
-                f"ckpt={_time.time()-_t1:.2f}s",
+                f"[crawl] round={r} ready={n_ready} poll={_t_poll:.2f}s "
+                f"exec={_t1-_t0:.2f}s ckpt={_time.time()-_t1:.2f}s",
                 file=_sys.stderr,
                 flush=True,
             )
@@ -879,7 +1004,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--budget", type=int, default=8, help="politeness budget per host per round")
     ap.add_argument("--buckets", type=int, default=32)
     ap.add_argument("--max-rounds", type=int, default=1000)
-    ap.add_argument("--fetch", choices=["actors", "direct", "shuffle"], default="actors")
+    ap.add_argument(
+        "--fetch", choices=["actors", "objstore", "direct", "shuffle"], default="actors"
+    )
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--num-cpus", type=int, default=None, help="ray.init num_cpus (standalone runs)")
     args = ap.parse_args(argv)

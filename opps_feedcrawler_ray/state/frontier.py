@@ -31,6 +31,7 @@ from __future__ import annotations
 import os
 import pickle
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
@@ -264,7 +265,7 @@ class FrontierActor:
         shard's ready table sorted (host ASC, rank ASC)."""
         if self.recurring:
             self._emit_due_recurring(round_idx)
-        urls, hashes, hosts, prios, rounds, ranks = [], [], [], [], [], []
+        urls, hashes, hosts, prios, ranks = [], [], [], [], []
         meta: dict[str, int] = {}
         for host in sorted(self.heaps):
             lst = self.heaps[host]
@@ -283,14 +284,13 @@ class FrontierActor:
                     continue
                 budget = min(budget, left)
             take = lst[:budget]
-            for k, (negp, rnd, url, h) in enumerate(take):
-                urls.append(url)
-                hashes.append(h)
-                hosts.append(host)
-                prios.append(-negp)
-                rounds.append(round_idx)
-                ranks.append(k)
             if take:
+                negp, _rnd, u, h = zip(*take)  # C-level column split
+                urls.extend(u)
+                hashes.extend(h)
+                hosts.extend([host] * len(take))
+                prios.extend(-p for p in negp)
+                ranks.extend(range(len(take)))
                 meta[host] = len(take)
                 if self.max_per_host is not None:
                     self.emitted[host] = self.emitted.get(host, 0) + len(take)
@@ -306,7 +306,9 @@ class FrontierActor:
                 "url": pa.array(urls, pa.string()),
                 "host": pa.array(hosts, pa.string()),
                 "priority": pa.array(prios, pa.float64()),
-                "round": pa.array(rounds, pa.int32()),
+                "round": pa.array(
+                    np.full(len(urls), round_idx, dtype=np.int32)
+                ),
                 "host_rank": pa.array(ranks, pa.int64()),
                 "sub": pa.array([self.shard_id] * len(urls), pa.int32()),
             }

@@ -385,3 +385,16 @@ def test_sink_hook_publication(ray_session, tmp_path_factory):
     pub = pa.concat_tables([pq.read_table(f) for f in pub_files]).sort_by("fetch_seq")
     assert pub.num_rows == log.num_rows
     assert pub.column_names == log.column_names
+
+
+def test_fetch_strategy_equivalence(smoke):
+    """All four J1 fetch strategies (actors RPC, objstore broadcast,
+    storage-direct, shuffle groupby) must produce byte-identical crawl
+    logs and seen sets — the strategy is an execution choice, never a
+    semantic one."""
+    for strat in ("objstore", "direct", "shuffle"):
+        log, seen, _ = run_crawl(
+            smoke["tmp"], smoke["corpus"], f"out_strat_{strat}", fetch_strategy=strat
+        )
+        assert log.equals(smoke["log"]), f"{strat} log differs"
+        assert seen.equals(smoke["seen"]), f"{strat} seen set differs"
