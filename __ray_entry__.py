@@ -193,6 +193,33 @@ def _q_ivf_ann(sf_dir: str):
     return out[["query_idx", "vec_id", "cosine_e6"]]
 
 
+def _q_ivf_partitioned(sf_dir: str):
+    """IVF with a REAL cell-partitioned layout: build once (hive
+    partition by cell), search reads only the probed cells (partition
+    pruning) — the 100 TB path.  Approximate by design → rows-only."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+
+    from opps_feedcrawler_ray.pipelines.ann import ivf_build, ivf_search
+
+    emb = _pq.read_table(f"{sf_dir}/embeddings.parquet")
+    order = {v: i for i, v in enumerate(emb["vec_id"].to_pylist())}
+    queries = np.array(
+        [emb["embedding"][order[q]].as_py() for q in (0, 1, 2)], dtype=np.float64
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    index_dir = f"/tmp/opps_feedcrawler_ray/ivf8-{tag}"
+    ivf_build(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet"), index_dir, n_cells=8
+    )
+    out = ivf_search(index_dir, queries, k=10, n_cells=8, n_probe=3)
+    out["cosine_e6"] = (out["cosine"] * 1e6).round().astype("int64")
+    return out[["query_idx", "vec_id", "cosine_e6"]]
+
+
 def _q_langid(sf_dir: str):
     import pyarrow as pa
     import ray.data as rd
@@ -287,6 +314,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": S.revenue_by_nation,
         "hll_distinct_users": _q_hll_distinct,
         "embeddings_by_label": A.embeddings_by_label,
+        "supplier_nation_builtin": A.supplier_nation_builtin,
+        "events_lag_delta": A.events_lag_delta,
+        "orders_monthly": A.orders_monthly,
+        "part_type_stats": A.part_type_stats,
+        "customer_balance_buckets": A.customer_balance_buckets,
+        "doc_md5": A.doc_md5,
         # crawl-engine operators
         "url_canonicalize": A.url_canonicalize,
         "topk_per_group": A.topk_per_group,
@@ -304,6 +337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dups_lsh": _q_embedding_dups_lsh,
         "ann_cosine_topk": _q_ann,
         "ann_ivf_topk": _q_ivf_ann,
+        "ann_ivf_partitioned": _q_ivf_partitioned,
         "langid": _q_langid,
         "doc_fingerprints": _q_fingerprints,
         "media_image_features": _q_media_image,
@@ -398,6 +432,37 @@ def oracle_sql() -> dict[str, str]:
         ),
         "embeddings_by_label": (
             "SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY label"
+        ),
+        "supplier_nation_builtin": (
+            "SELECT s_suppkey, s_name, n_name FROM supplier "
+            "JOIN nation ON s_nationkey = n_nationkey"
+        ),
+        "events_lag_delta": (
+            "SELECT event_id, user_id, "
+            "epoch_us(ts) - LAG(epoch_us(ts)) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS delta_us "
+            "FROM events"
+        ),
+        "orders_monthly": (
+            "SELECT date_trunc('month', o_orderdate) AS month, COUNT(*) AS n_orders, "
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_e2 "
+            "FROM orders GROUP BY date_trunc('month', o_orderdate)"
+        ),
+        "part_type_stats": (
+            "SELECT string_split(p_type, ' ')[1] AS type_head, COUNT(*) AS n_parts, "
+            "CAST(SUM(p_size) AS BIGINT) AS sum_size "
+            "FROM part GROUP BY string_split(p_type, ' ')[1]"
+        ),
+        "customer_balance_buckets": (
+            "SELECT bucket, COUNT(*) AS n_customers FROM ("
+            "SELECT CASE WHEN c_acctbal < 0 THEN 'neg' "
+            "WHEN c_acctbal < 2500 THEN 'low' "
+            "WHEN c_acctbal < 5000 THEN 'mid' "
+            "WHEN c_acctbal < 7500 THEN 'high' ELSE 'top' END AS bucket "
+            "FROM customer) GROUP BY bucket"
+        ),
+        "doc_md5": (
+            "SELECT doc_id, md5(text) AS md5_hex FROM documents"
         ),
         "topk_per_group": (
             "SELECT lang, doc_id, n_chars FROM ("

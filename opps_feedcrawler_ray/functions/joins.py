@@ -115,3 +115,25 @@ def shuffle_join(
         return l.merge(r, on=on, how=how, suffixes=("", "_r"))
 
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+def builtin_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str | list[str],
+    how: str = "inner",
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """The THIRD strategy (SURVEY §2.4 J1 stated plan): Ray Data's native
+    hash-shuffle ``Dataset.join`` (ray 2.49+).  Kept alongside the two
+    custom strategies so users can pick the engine-managed exchange;
+    byte-equivalence with :func:`shuffle_join` is pinned in tests."""
+    on = [on] if isinstance(on, str) else list(on)
+    how_map = {"inner": "inner", "left": "left_outer", "right": "right_outer",
+               "outer": "full_outer"}
+    return left.join(
+        right,
+        join_type=how_map.get(how, how),
+        num_partitions=num_partitions,
+        on=tuple(on),
+    )

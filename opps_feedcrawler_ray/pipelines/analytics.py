@@ -386,6 +386,125 @@ def topk_per_group(sf_dir: str) -> pd.DataFrame:
     return docs.groupby("lang").map_groups(top3, batch_format="pandas").to_pandas()
 
 
+def supplier_nation_builtin(sf_dir: str) -> pd.DataFrame:
+    """J1 built-in variant: Ray Data's native hash-shuffle Dataset.join
+    (the stated-plan third strategy alongside broadcast/shuffle)."""
+    from ..functions.joins import builtin_join
+
+    sup = rd.read_parquet(
+        _t(sf_dir, "supplier"), columns=["s_suppkey", "s_name", "s_nationkey"]
+    )
+    nat = rd.read_parquet(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+
+    def rekey(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["s_nationkey", "n_name"])
+
+    out = builtin_join(
+        sup, nat.map_batches(rekey, batch_format="pyarrow"), on="s_nationkey",
+        num_partitions=8,
+    ).to_pandas()
+    return out[["s_suppkey", "s_name", "n_name"]]
+
+
+def events_lag_delta(sf_dir: str) -> pd.DataFrame:
+    """Windowed LAG: seconds since the user's previous event (ordered-
+    partition pattern; first event per user → NULL)."""
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        us = g["ts"].astype("int64") // 1000  # epoch microseconds (exact ints)
+        g["delta_us"] = pd.Series(us - us.shift(1), dtype="Int64")
+        return g[["event_id", "user_id", "delta_us"]]
+
+    return ev.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+
+
+def orders_monthly(sf_dir: str) -> pd.DataFrame:
+    """Date-truncation aggregate with batch combiner (G1 + date math)."""
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["month"] = batch["o_orderdate"].dt.to_period("M").dt.to_timestamp()
+        batch["revenue_e2"] = np.round(batch["o_totalprice"] * 100).astype("int64")
+        return batch.groupby("month", as_index=False).agg(
+            n_orders=("revenue_e2", "size"), revenue_e2=("revenue_e2", "sum")
+        )
+
+    out = (
+        orders.map_batches(partial, batch_format="pandas")
+        .groupby("month")
+        .sum(["n_orders", "revenue_e2"])
+        .to_pandas()
+        .rename(columns={"sum(n_orders)": "n_orders", "sum(revenue_e2)": "revenue_e2"})
+    )
+    return out[["month", "n_orders", "revenue_e2"]]
+
+
+def part_type_stats(sf_dir: str) -> pd.DataFrame:
+    """String-function aggregate: first word of p_type, size stats."""
+    part = rd.read_parquet(_t(sf_dir, "part"), columns=["p_type", "p_size"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["type_head"] = batch["p_type"].str.split(" ").str[0]
+        return batch.groupby("type_head", as_index=False).agg(
+            n_parts=("p_size", "size"), sum_size=("p_size", "sum")
+        )
+
+    out = (
+        part.map_batches(partial, batch_format="pandas")
+        .groupby("type_head")
+        .sum(["n_parts", "sum_size"])
+        .to_pandas()
+        .rename(columns={"sum(n_parts)": "n_parts", "sum(sum_size)": "sum_size"})
+    )
+    out["sum_size"] = out["sum_size"].astype("int64")
+    return out[["type_head", "n_parts", "sum_size"]]
+
+
+def customer_balance_buckets(sf_dir: str) -> pd.DataFrame:
+    """CASE-bucketed histogram over customer account balances."""
+    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_acctbal"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = pd.cut(
+            batch["c_acctbal"],
+            bins=[-float("inf"), 0, 2500, 5000, 7500, float("inf")],
+            labels=["neg", "low", "mid", "high", "top"],
+            right=False,
+        ).astype(str)
+        return pd.DataFrame({"bucket": b}).groupby("bucket", as_index=False).agg(
+            n_customers=("bucket", "size")
+        )
+
+    out = (
+        cust.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .sum("n_customers")
+        .to_pandas()
+        .rename(columns={"sum(n_customers)": "n_customers"})
+    )
+    return out[["bucket", "n_customers"]]
+
+
+def doc_md5(sf_dir: str) -> rd.Dataset:
+    """Oracle-checkable content fingerprint: hex MD5 of the raw text
+    (hashlib.md5 ≡ DuckDB md5()); the engine's blake2b fingerprint stays
+    golden-pinned in doc_fingerprints."""
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        hx = [
+            hashlib.md5((t or "").encode("utf-8")).hexdigest()
+            for t in batch["text"].to_pylist()
+        ]
+        return pa.table({"doc_id": batch["doc_id"], "md5_hex": pa.array(hx, pa.string())})
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
 def sample_docs(sf_dir: str) -> rd.Dataset:
     """O4: seeded sampling (rows-only check — sampling is engine-defined)."""
     return rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang"]).random_sample(

@@ -90,6 +90,70 @@ def _pinned_centroids(dim: int, n_cells: int) -> np.ndarray:
     return _unit(rng.standard_normal((n_cells, dim)))
 
 
+def ivf_build(
+    ds: rd.Dataset,
+    index_dir: str,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+) -> str:
+    """Build the IVF layout ONCE: assign every vector to its pinned
+    centroid cell and write hive-partitioned parquet by cell.  At query
+    time :func:`ivf_search` reads ONLY the probed cells (partition
+    pruning) — the 100 TB shape the round-1 union-probe variant lacked
+    (it scanned the whole corpus before pruning).  Idempotent."""
+    import os
+
+    marker = os.path.join(index_dir, "_IVF_BUILT")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read().strip() != str(n_cells):
+                raise ValueError(f"IVF layout at {index_dir} built with a different n_cells")
+        return index_dir
+
+    def assign(batch: pa.Table) -> pa.Table:
+        V = _unit(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
+        C = _pinned_centroids(V.shape[1], n_cells)
+        cell = np.argmax(V @ C.T, axis=1).astype(np.int32)
+        return batch.append_column("cell", pa.array(cell))
+
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["cell"]
+    )
+    with open(marker, "w") as f:
+        f.write(str(n_cells))
+    return index_dir
+
+
+def ivf_search(
+    index_dir: str,
+    queries: np.ndarray,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Probe-only IVF search over an :func:`ivf_build` layout: reads only
+    the ``n_probe`` nearest cells per query (union across queries) via
+    parquet partition pruning, then exact cosine within the slice."""
+    import pyarrow.compute as pc
+
+    q = _unit(np.asarray(queries, dtype=np.float64))
+    cents = _pinned_centroids(q.shape[1], n_cells)
+    probe_cells = np.argsort(-(q @ cents.T), axis=1)[:, :n_probe]
+    wanted = sorted({int(c) for row in probe_cells for c in row})
+    pruned = rd.read_parquet(index_dir, filter=pc.field("cell").isin(wanted))
+    q_ref = ray.put(q)
+    partials = pruned.map_batches(
+        _BruteTopK(q_ref, k, vec_col, id_col), batch_format="pyarrow"
+    ).to_pandas()
+    out = []
+    for qi, grp in partials.groupby("query_idx"):
+        grp = grp.sort_values(["cosine", id_col], ascending=[False, True]).head(k)
+        out.append(grp)
+    return pd.concat(out).reset_index(drop=True) if out else partials
+
+
 def ivf_topk(
     ds: rd.Dataset,
     queries: np.ndarray,

@@ -387,6 +387,36 @@ class _FetchDirect:
 
 
 @ray.remote
+def _offer_seed_slice(
+    seeds_path: str, row_start: int, row_count: int, actors: list, salt_hosts: dict | None
+) -> dict:
+    """Seed-offer task: read one row-slice of the seed list, canonicalize,
+    route to frontier shards.  Plain parallel tasks (one per slice) —
+    a Dataset execution here costs ~2 executor spin-ups (repartition +
+    offer) of pure constant time; the slice tasks do the identical work
+    with none of it.  At 10^10-seed scale the slices are per-file."""
+    import pyarrow.parquet as _pqs
+
+    t = _pqs.read_table(seeds_path)
+    t = t.slice(row_start, row_count)
+    ds_like = _prepare_candidates_table(t, default_priority=1.0)
+    counts = _RouteToActors(actors, "offer", salt_hosts)(ds_like)
+    return {k: counts[k][0].as_py() for k in counts.column_names}
+
+
+def _prepare_candidates_table(t: pa.Table, default_priority: float) -> pa.Table:
+    canon = CanonicalizeStage()
+    out = canon(t)
+    if "priority" not in out.column_names:
+        out = out.append_column(
+            "priority", pa.array([default_priority] * out.num_rows, pa.float64())
+        )
+    if "round" not in out.column_names:
+        out = out.append_column("round", pa.array([0] * out.num_rows, pa.int32()))
+    return out.select(["url", "url_hash", "surt", "host", "priority", "round"])
+
+
+@ray.remote
 def _load_bucket_sorted(bucketed_dir: str, bucket: int) -> tuple:
     """Warm task for the objstore fetch strategy: one bucket partition →
     (table sorted by url_hash, sorted uint64 hash array).  Stored ONCE in
@@ -812,13 +842,27 @@ def crawl(cfg: CrawlConfig) -> dict:
         # canonicalize+offer pass into one task.  At real scale a 10^10-URL
         # seed list spans many files (natural block parallelism); the
         # repartition below only triggers for the single-file case.
-        seeds = rd.read_parquet(cfg.seeds_path)
         if os.path.isfile(cfg.seeds_path):
-            seeds = seeds.repartition(max(2, cfg.num_frontier_actors * 2))
-        offers = _prepare_candidates(seeds, default_priority=1.0).map_batches(
-            _RouteToActors(actors, "offer", cfg.salt_hosts), batch_format="pyarrow"
-        )
-        cfg.stats["seed_offered"] = int(offers.sum("offered") or 0)
+            # single-file seed list: plain parallel slice tasks — a Dataset
+            # here costs two executor spin-ups (repartition + offer) of
+            # pure constant time for a side-effect-only pass
+            import pyarrow.parquet as _pqm
+
+            n_rows = _pqm.read_metadata(cfg.seeds_path).num_rows
+            n_slices = max(2, cfg.num_frontier_actors * 2)
+            step = max(1, -(-n_rows // n_slices))
+            refs = [
+                _offer_seed_slice.remote(cfg.seeds_path, s, step, actors, cfg.salt_hosts)
+                for s in range(0, n_rows, step)
+            ]
+            cfg.stats["seed_offered"] = sum(d["offered"] for d in ray.get(refs))
+            seeds = rd.read_parquet(cfg.seeds_path)  # for the recurring pass below
+        else:
+            seeds = rd.read_parquet(cfg.seeds_path)
+            offers = _prepare_candidates(seeds, default_priority=1.0).map_batches(
+                _RouteToActors(actors, "offer", cfg.salt_hosts), batch_format="pyarrow"
+            )
+            cfg.stats["seed_offered"] = int(offers.sum("offered") or 0)
         if "interval" in seeds.schema().names:
             # per-feed re-crawl scheduling (the reference's core operating
             # mode): seeds with interval>0 re-emit every interval rounds
@@ -845,6 +889,7 @@ def crawl(cfg: CrawlConfig) -> dict:
     rounds_run = 0
     total_fetched = 0
     total_not_found = 0
+    rounds_sec = 0.0  # steady-state round wall (incl. checkpoints)
 
     r = start_round
     while r < cfg.max_rounds:
@@ -962,6 +1007,7 @@ def crawl(cfg: CrawlConfig) -> dict:
                 flush=True,
             )
         rounds_run += 1
+        rounds_sec += _time.time() - _t0
         r += 1
 
     _phase("rounds_total")
@@ -982,6 +1028,7 @@ def crawl(cfg: CrawlConfig) -> dict:
     _phase("final_agg")
     stats = {
         "rounds": rounds_run,
+        "rounds_sec": round(rounds_sec, 3),
         "fetch_seq": fetch_seq,
         "fetched": total_fetched,
         "not_found": total_not_found,

@@ -73,6 +73,28 @@ def test_robots_goldens():
         assert rules.allowed(row["path"]) == bool(int(row["allowed"])), row
 
 
+def test_textops_goldens():
+    """Pinned langid + doc_fingerprint outputs over the sf0.001 documents
+    (VERDICT r1 item 7: rows-only ops get committed goldens)."""
+    import pyarrow.parquet as pq
+
+    from opps_feedcrawler_ray.functions.text import detect_lang, doc_fingerprint
+
+    t = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    with open(f"{GOLD}/textops_sf0001.json") as f:
+        golden = json.load(f)
+    texts = t["text"].to_pylist()
+    langs = detect_lang(texts)
+    fps = doc_fingerprint(texts)
+    assert len(golden) == t.num_rows
+    for i, lang, fp in zip(t["doc_id"].to_pylist(), langs, fps):
+        g = golden[str(i)]
+        assert lang == g["lang"], f"langid drift on doc {i}"
+        assert f"{int(fp):016x}" == g["fp_hex"], f"fingerprint drift on doc {i}"
+
+
 @pytest.mark.slow
 def test_e2e_crawl_digest(ray_session):
     """Full e2e crawl reproduces the committed log + seen-set digests

@@ -1,0 +1,40 @@
+"""Join-strategy equivalence: the built-in Dataset.join (ray-managed
+hash shuffle) must agree row-for-row with the explicit bucketed
+shuffle_join and the broadcast join on the same inputs."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from opps_feedcrawler_ray.functions.joins import (
+    broadcast_join,
+    builtin_join,
+    shuffle_join,
+)
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_join_strategies_agree(ray_session):
+    left = rd.from_arrow(
+        pa.table({"k": list(range(40)) * 2, "lv": list(range(80))})
+    )
+    right_tbl = pa.table({"k": list(range(0, 60, 2)), "rv": list(range(30))})
+    right = rd.from_arrow(right_tbl)
+
+    built = _norm(builtin_join(left, right, on="k", num_partitions=4).to_pandas())
+    shuffled = _norm(shuffle_join(left, right, on="k", num_buckets=4).to_pandas())
+    broadcast = _norm(
+        broadcast_join(left, right_tbl.to_pandas(), on="k").to_pandas()
+    )
+    for other, name in ((shuffled, "shuffle"), (broadcast, "broadcast")):
+        assert list(built.columns) == list(other.columns), name
+        pd.testing.assert_frame_equal(
+            built.astype("int64"), other.astype("int64"), check_dtype=False
+        )
+    # inner-join cardinality: keys 0..38 even → 20 matches × 2 dups = 40
+    assert len(built) == 40
