@@ -151,7 +151,7 @@ def _q_embedding_dups_lsh(sf_dir: str):
     from opps_feedcrawler_ray.pipelines.dedup import embedding_dedup_pairs
 
     vecs = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    df = embedding_dedup_pairs(vecs, threshold=0.85)
+    df = embedding_dedup_pairs(vecs, threshold=0.5)
     df["cosine_e6"] = np.floor(df["cosine"] * 1e6 + 0.5).astype("int64")
     return df[["a", "b", "cosine_e6"]].reset_index(drop=True)
 
@@ -211,11 +211,12 @@ def _q_ivf_partitioned(sf_dir: str):
         [emb["embedding"][order[q]].as_py() for q in (0, 1, 2)], dtype=np.float64
     )
     tag = os.path.basename(os.path.normpath(sf_dir))
-    index_dir = f"/tmp/opps_feedcrawler_ray/ivf8-{tag}"
-    ivf_build(
-        rd.read_parquet(f"{sf_dir}/embeddings.parquet"), index_dir, n_cells=8
+    cells_dir = ivf_build(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet"),
+        f"/tmp/opps_feedcrawler_ray/ivf8-{tag}",
+        n_cells=8,
     )
-    out = ivf_search(index_dir, queries, k=10, n_cells=8, n_probe=3)
+    out = ivf_search(cells_dir, queries, k=10, n_cells=8, n_probe=3)
     out["cosine_e6"] = (out["cosine"] * 1e6).round().astype("int64")
     return out[["query_idx", "vec_id", "cosine_e6"]]
 
@@ -439,8 +440,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_lag_delta": (
             "SELECT event_id, user_id, "
-            "epoch_us(ts) - LAG(epoch_us(ts)) OVER ("
-            "PARTITION BY user_id ORDER BY ts, event_id) AS delta_us "
+            "COALESCE(epoch_us(ts) - LAG(epoch_us(ts)) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id), -1) AS delta_us "
             "FROM events"
         ),
         "orders_monthly": (

@@ -48,6 +48,13 @@ QUERY_NAMES = [
     "revenue_by_nation",
     "topk_per_group",
     "hll_distinct_users",
+    "embedding_dups",
+    "simhash_pairs",
+    "supplier_nation_builtin",
+    "events_lag_delta",
+    "orders_monthly",
+    "doc_md5",
+    "ann_ivf_partitioned",
 ]
 
 
@@ -105,7 +112,7 @@ def run_bench() -> dict:
     ingest_sec = round(time.time() - t0, 2)
 
     # Seed list: the north_star crawls from a LARGE frontier seed list
-    # (10^10-URL scale), not 500 roots — seed every 4th corpus URL so the
+    # (10^10-URL scale), not 500 roots — seed every 2nd corpus URL so the
     # measured regime is round-dominated (two ~full-width rounds) instead
     # of BFS-ramp-dominated (constant-cost small rounds).  Cached+shared
     # by both scaling levels.  BENCH_SEED_MODE=roots restores the old BFS
@@ -244,7 +251,7 @@ def scaling() -> None:
     stamp = (
         "\n## Measured results (latest `bench.py --scaling` run)\n\n"
         f"- corpus: {BENCH_HOSTS} hosts × {BENCH_PAGES} pages (+roots/robots), "
-        f"~11 KB pages, 12 outlinks, mild Zipf; seed list = every 4th corpus "
+        f"~11 KB pages, 12 outlinks, mild Zipf; seed list = every 2nd corpus "
         f"URL (round-dominated regime per the north_star's large-seed-list "
         f"spec); crawl config: objstore fetch (broadcast bucket tables, "
         f"zero-copy), pools=ncpus/2, budget 4096, 64 buckets; each level "

@@ -161,16 +161,33 @@ def jaccard(a: set[int], b: set[int]) -> float:
 
 
 # --- SimHash -----------------------------------------------------------
+_SIMHASH_BITS: dict[str, np.ndarray] = {}  # word → ±1 bit vector memo
+
+
 def simhash(text: str) -> int:
-    """64-bit SimHash over word features (Charikar 2002, public)."""
+    """64-bit SimHash over word features (Charikar 2002, public).
+    Output-identical to the naive per-occurrence loop: the ±1 vectors of
+    repeated words are weighted by their counts, and per-word bit vectors
+    are memoized per process (words repeat massively across a corpus)."""
     words = _WORD.findall((text or "").lower())
     if not words:
         return 0
-    v = np.zeros(64, dtype=np.int64)
+    counts: dict[str, int] = {}
     for w in words:
-        h = fingerprint64(w)
-        bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "little"), dtype=np.uint8))
-        v += bits.astype(np.int64) * 2 - 1
+        counts[w] = counts.get(w, 0) + 1
+    v = np.zeros(64, dtype=np.int64)
+    cache = _SIMHASH_BITS
+    for w, c in counts.items():
+        bits = cache.get(w)
+        if bits is None:
+            h = fingerprint64(w)
+            bits = np.unpackbits(
+                np.frombuffer(h.to_bytes(8, "little"), dtype=np.uint8)
+            ).astype(np.int64) * 2 - 1
+            if len(cache) >= (1 << 16):
+                cache.clear()
+            cache[w] = bits
+        v += bits * c
     out = 0
     for i, x in enumerate(v):
         if x > 0:

@@ -413,8 +413,12 @@ def events_lag_delta(sf_dir: str) -> pd.DataFrame:
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        us = g["ts"].astype("int64") // 1000  # epoch microseconds (exact ints)
-        g["delta_us"] = pd.Series(us - us.shift(1), dtype="Int64")
+        # epoch microseconds (exact ints; force µs resolution explicitly)
+        us = g["ts"].astype("datetime64[us]").astype("int64")
+        # first event per user has no predecessor → -1 sentinel on BOTH
+        # sides (a NULL BIGINT comes back as float64 from the oracle,
+        # which would break the integer value hash)
+        g["delta_us"] = (us - us.shift(1)).fillna(-1).astype("int64")
         return g[["event_id", "user_id", "delta_us"]]
 
     return ev.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()

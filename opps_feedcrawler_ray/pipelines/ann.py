@@ -104,11 +104,13 @@ def ivf_build(
     import os
 
     marker = os.path.join(index_dir, "_IVF_BUILT")
+    cells_dir = os.path.join(index_dir, "cells")  # marker lives OUTSIDE the
+    # data dir so read_parquet never tries to parse it as parquet
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read().strip() != str(n_cells):
                 raise ValueError(f"IVF layout at {index_dir} built with a different n_cells")
-        return index_dir
+        return cells_dir
 
     def assign(batch: pa.Table) -> pa.Table:
         V = _unit(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
@@ -117,11 +119,11 @@ def ivf_build(
         return batch.append_column("cell", pa.array(cell))
 
     ds.map_batches(assign, batch_format="pyarrow").write_parquet(
-        index_dir, partition_cols=["cell"]
+        cells_dir, partition_cols=["cell"]
     )
     with open(marker, "w") as f:
         f.write(str(n_cells))
-    return index_dir
+    return cells_dir
 
 
 def ivf_search(
@@ -136,13 +138,25 @@ def ivf_search(
     """Probe-only IVF search over an :func:`ivf_build` layout: reads only
     the ``n_probe`` nearest cells per query (union across queries) via
     parquet partition pruning, then exact cosine within the slice."""
-    import pyarrow.compute as pc
+    import os
 
     q = _unit(np.asarray(queries, dtype=np.float64))
     cents = _pinned_centroids(q.shape[1], n_cells)
     probe_cells = np.argsort(-(q @ cents.T), axis=1)[:, :n_probe]
     wanted = sorted({int(c) for row in probe_cells for c in row})
-    pruned = rd.read_parquet(index_dir, filter=pc.field("cell").isin(wanted))
+    # directory-level pruning: read ONLY the probed cells' partition files
+    import glob
+
+    paths = [
+        f
+        for c in wanted
+        for f in sorted(glob.glob(os.path.join(index_dir, f"cell={c}", "*.parquet")))
+    ]
+    if not paths:
+        return pd.DataFrame({"query_idx": pd.Series([], dtype="int32"),
+                             id_col: pd.Series([], dtype="int64"),
+                             "cosine": pd.Series([], dtype="float64")})
+    pruned = rd.read_parquet(paths)
     q_ref = ray.put(q)
     partials = pruned.map_batches(
         _BruteTopK(q_ref, k, vec_col, id_col), batch_format="pyarrow"

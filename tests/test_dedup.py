@@ -9,6 +9,7 @@ exact reference."""
 from __future__ import annotations
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 import ray.data as rd
@@ -88,12 +89,32 @@ def test_embedding_allpairs_exact(ray_session):
         assert c == pytest.approx(want[(a, b)], rel=1e-12)
 
 
-def test_embedding_lsh_matches_exact_at_high_threshold(ray_session):
-    """The multi-table sign-LSH path is approximate by construction, but
-    with T=8 tables × 4 bits its recall at cosine ≥ 0.85 is ≈0.98+ and
-    the pinned hyperplanes make it deterministic — pin it equal to the
-    exact output on the fixture corpus."""
-    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
-    exact = embedding_allpairs_cosine(ds, threshold=0.85, n_blocks=4)
-    lsh = embedding_dedup_pairs(ds, threshold=0.85)
+def test_embedding_lsh_matches_exact(ray_session):
+    """The multi-table sign-LSH path is approximate by construction; pin
+    it equal to the exact all-pairs output on a corpus with PLANTED
+    near-dups (the raw fixture has no pair above 0.52, which would make
+    this vacuous).  Deterministic: pinned hyperplanes + fixed data."""
+    base = pq.read_table(f"{SF}/embeddings.parquet")
+    V = np.array(base["embedding"].to_pylist(), dtype=np.float32)
+    rng = np.random.default_rng(13)
+    dup_src = np.arange(0, 40, 4)
+    dups = V[dup_src] + rng.normal(0, 0.05, (len(dup_src), V.shape[1])).astype(
+        np.float32
+    ) * np.abs(V[dup_src]).mean()
+    allv = np.concatenate([V, dups])
+    ids = list(range(len(allv)))
+    t = pa.table(
+        {"vec_id": pa.array(ids, pa.int64()),
+         "embedding": pa.array([v.tolist() for v in allv], pa.list_(pa.float32()))}
+    )
+    ds = rd.from_arrow(t)
+    exact = embedding_allpairs_cosine(ds, threshold=0.9, n_blocks=4)
+    lsh = embedding_dedup_pairs(ds, threshold=0.9)
+    assert len(exact) >= 5  # the planted dups are really there
     assert list(zip(lsh["a"], lsh["b"])) == list(zip(exact["a"], exact["b"]))
+    # and on the real sf0.01 table the LSH finds the single true pair
+    ds01 = rd.read_parquet("/root/testdata/sf0.01/embeddings.parquet")
+    lsh01 = embedding_dedup_pairs(ds01, threshold=0.5)
+    exact01 = embedding_allpairs_cosine(ds01, threshold=0.5, n_blocks=4)
+    assert list(zip(lsh01["a"], lsh01["b"])) == list(zip(exact01["a"], exact01["b"]))
+    assert len(exact01) == 1
