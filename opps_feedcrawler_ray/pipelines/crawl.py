@@ -770,10 +770,11 @@ def crawl(cfg: CrawlConfig) -> dict:
         )
         for i in range(cfg.num_frontier_actors)
     ]
-    # kick actor process spawn NOW (fire-and-forget stats ping) so the
-    # interpreter startup + imports overlap the fetch-actor warm below —
-    # otherwise the first seed offer pays the whole pool's cold start
-    _spawn_refs = [a.stats.remote() for a in actors]
+    # kick actor process spawn + kernel warmup NOW (fire-and-forget) so
+    # interpreter startup, imports and first-call numpy/pyarrow kernel
+    # init all overlap the fetch-side warm below — otherwise the first
+    # seed offer pays the whole pool's cold start (~0.5 s/actor)
+    _spawn_refs = [a.warmup.remote() for a in actors]
     fetch_actors = []
     if cfg.fetch_strategy == "actors":
         # num_cpus=0: these are lookup servers called synchronously from map

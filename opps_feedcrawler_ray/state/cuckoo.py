@@ -92,14 +92,18 @@ class CuckooFilter:
     def _insert(self, key: int) -> None:
         fp = _fp16(key)
         i1 = self._i1(key)
+        T = self.table
         for i in (i1, self._i2(i1, fp)):
-            b = self._bucket(i)
-            empty = np.flatnonzero(b == 0)
-            if len(empty):
-                b[empty[0]] = fp
-                return
-        # evict
-        rng_state = key  # deterministic eviction choice — no RNG
+            base = i * _SLOTS
+            for s in range(base, base + _SLOTS):
+                if T[s] == 0:
+                    T[s] = fp
+                    return
+        self._insert_evict(key, fp, i1)
+
+    def _insert_evict(self, key: int, fp: int, i1: int) -> None:
+        """Slow path: bounded cuckoo eviction (deterministic, no RNG)."""
+        rng_state = key
         i = i1
         for kick in range(_MAX_KICKS):
             rng_state = _mix(rng_state + kick)
@@ -113,6 +117,32 @@ class CuckooFilter:
                 b[empty[0]] = fp
                 return
         self.overflow.add(key)  # never lose an insert → no false negatives
+
+    def insert_batch(self, keys: np.ndarray) -> None:
+        """Insert keys KNOWN to be new: (fp, i1, i2) computed in ONE
+        vectorized pass, slots written with scalar int ops (~1µs/key vs
+        ~15µs for per-key numpy slicing).  Identical placement to calling
+        ``_insert`` per key in order."""
+        if len(keys) == 0:
+            return
+        fp, i1, i2 = self._fp_i1_i2(np.asarray(keys, dtype=np.uint64))
+        T = self.table
+        fpl = fp.tolist()
+        i1l = (i1 * _SLOTS).tolist()
+        i2l = (i2 * _SLOTS).tolist()
+        for j in range(len(fpl)):
+            f = fpl[j]
+            placed = False
+            for base in (i1l[j], i2l[j]):
+                for s in range(base, base + _SLOTS):
+                    if T[s] == 0:
+                        T[s] = f
+                        placed = True
+                        break
+                if placed:
+                    break
+            if not placed:
+                self._insert_evict(int(keys[j]), f, i1l[j] // _SLOTS)
 
     # -- vectorized batch ops (the frontier-offer hot path) -------------
     def _fp_i1_i2(self, keys: np.ndarray):
@@ -164,8 +194,7 @@ class CuckooFilter:
         new_u = ~self.contains_batch(uniq)
         out = np.zeros(len(keys), dtype=bool)
         out[first_idx[new_u]] = True
-        for k in uniq[new_u]:
-            self._insert(int(k))
+        self.insert_batch(uniq[new_u])
         self.count += int(new_u.sum())
         return out
 

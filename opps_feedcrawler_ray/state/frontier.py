@@ -100,6 +100,21 @@ class FrontierActor:
         # politeness budget (they queue like any other candidate).
         self.recurring: dict[str, dict[int, list]] = {}
 
+    # ------------------------------------------------------------ warmup
+    def warmup(self) -> int:
+        """Exercise the offer path's numpy/pyarrow kernels on THROWAWAY
+        state so the first real offer doesn't pay per-process lazy-import
+        and kernel-init costs (~0.5 s/actor measured).  Fired right after
+        actor creation, overlapped with fetch-side warm."""
+        scratch = CuckooFilter(capacity=1 << 10)
+        keys = np.arange(64, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        scratch.add_batch(keys)
+        scratch.contains_batch(keys)
+        t = pa.table({"x": pa.array(range(8), pa.uint64())})
+        t.filter(pa.array([True] * 8)).to_pylist()
+        np.unique(keys, return_index=True)
+        return 1
+
     # ------------------------------------------------------------ robots
     def load_robots(self, table: pa.Table) -> int:
         """Rows (host, body binary) → parsed rules for this shard's hosts."""
@@ -152,8 +167,7 @@ class FrontierActor:
             # insert into the filter ONLY keys the filter did not already
             # claim (scalar add()'s behavior: a filter hit skips insert)
             ins = ~maybe & new_u
-            for k in uniq[ins]:
-                self.seen._insert(int(k))
+            self.seen.insert_batch(uniq[ins])
             self.seen.count += int(ins.sum())
         else:
             new_u = self.seen.add_batch(uniq)
