@@ -6,23 +6,30 @@ Every variant is Ray-Data-first and scale-shaped:
 * exact        — content-hash in ``map_batches`` (vectorized), then ONE
                  hash-shuffle ``groupby(hash).map_groups(first)``;
 * minhash_lsh  — shingle→minhash per batch (stateless tasks), explode to
-                 (band, band_hash) rows, ONE groupby over band buckets
-                 → candidate pairs, verified by exact Jaccard inside the
-                 group task; pairs → survivor set via driver-side
-                 union-find over the (small) candidate-pair list only;
+                 24-byte (id, band, band_key) rows (round-2 rework: the
+                 shingle sets do NOT ride the shuffle), ONE groupby over
+                 band buckets → bare candidate id pairs → shingle sets
+                 re-derived for the CANDIDATE docs only (broadcast
+                 id-set filter over a pruned corpus re-read) → exact
+                 Jaccard verify; survivors = broadcast anti-join over
+                 the dropped-id set (never a driver-side id enumeration);
 * simhash      — 64-bit simhash per batch, banded into 4×16-bit chunks
                  (Hamming ≤3 ⇒ some chunk equal), groupby chunk →
                  verify Hamming distance in-group;
-* ngram_jaccard— LSH-free exact variant for small inputs / oracle tests:
-                 candidate pairs from shared rare shingles;
-* embedding    — cosine near-dup over an embedding column: normalize per
-                 batch, LSH-bucket by sign of random-ish (pinned)
-                 hyperplanes, verify cosine in-group.
+* ngram_jaccard— LSH-free exact variant (oracle-checked vs a DuckDB
+                 list-ops twin): co-occurrence counting via
+                 shingle-bucket join, exact Jaccard from per-doc counts;
+* embedding    — TWO paths: ``embedding_allpairs_cosine`` (EXACT,
+                 1-Bucket-Theta triangle block-pair join — the
+                 oracle-checked baseline) and ``embedding_dedup_pairs``
+                 (multi-table banded sign-LSH, the sub-quadratic 100 TB
+                 path; candidates = OR-union over T independent tables,
+                 exact-cosine verified).
 
-All return the SURVIVOR documents (first doc_id wins per duplicate
-cluster) unless ``return_pairs=True``.  The union-find runs on the
-candidate-PAIR list, which LSH keeps tiny relative to the corpus — the
-documented partitioning assumption (ray_guide.md near-dup pattern).
+Survivor mode returns the surviving documents (min doc_id wins per
+duplicate cluster).  The union-find runs on the verified PAIR list,
+which LSH keeps tiny relative to the corpus — the documented
+partitioning assumption (ray_guide.md near-dup pattern).
 """
 
 from __future__ import annotations
@@ -260,12 +267,22 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     k_shingle: int = 3,
+    max_df: int | None = None,
 ) -> pd.DataFrame:
     """All-pairs n-gram Jaccard ≥ threshold via shingle-bucket join:
     explode (shingle_hash, id), groupby shingle → co-occurring id pairs,
     count shared shingles per pair, compute exact Jaccard with per-doc
     shingle counts (no full cross product — only docs sharing ≥1 shingle
-    meet)."""
+    meet).
+
+    ``max_df`` (the 100 TB guard): a shingle appearing in more than
+    max_df documents creates O(df²) pair rows in its bucket — the one
+    quadratic hazard of this shape.  Setting max_df drops those
+    stop-shingles from CO-OCCURRENCE counting only (per-doc set sizes
+    keep counting them), so the computed Jaccard becomes a LOWER BOUND:
+    precision stays exact, recall can drop for pairs whose overlap is
+    mostly stop-shingles.  None (default) = fully exact — the
+    oracle-checked mode."""
 
     def sh_stage(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
@@ -310,8 +327,25 @@ def ngram_jaccard_pairs(
                      "n_sh_a": "na", "n_sh_b": "nb", "size": "shared"}
         ).astype("int64")
 
+    exploded = ds.map_batches(sh_stage, batch_format="pyarrow")
+    if max_df is not None:
+        import ray
+
+        # document frequency per shingle (combiner-free: shingle rows are
+        # already one per (doc, shingle)); hot shingles are few → broadcast
+        df_counts = exploded.groupby("sh").count().to_pandas()
+        hot = set(df_counts.loc[df_counts["count()"] > max_df, "sh"].astype("uint64"))
+        if hot:
+            hot_ref = ray.put(hot)
+
+            def drop_hot(batch: pa.Table) -> pa.Table:
+                h = ray.get(hot_ref)
+                mask = pa.array([int(s) not in h for s in batch["sh"].to_pylist()])
+                return batch.filter(mask)
+
+            exploded = exploded.map_batches(drop_hot, batch_format="pyarrow")
     co = (
-        ds.map_batches(sh_stage, batch_format="pyarrow")
+        exploded
         .map_batches(add_shbucket, batch_format="pyarrow")
         .groupby("shb")
         .map_groups(pairs_in_bucket, batch_format="pandas")

@@ -398,3 +398,30 @@ def test_fetch_strategy_equivalence(smoke):
         )
         assert log.equals(smoke["log"]), f"{strat} log differs"
         assert seen.equals(smoke["seen"]), f"{strat} seen set differs"
+
+
+def test_recurring_resume_equivalence(ray_session, tmp_path_factory):
+    """Recurring registry + per-host emitted counters survive checkpoint
+    /restore: a kill-after-round-2 + resume run equals the uninterrupted
+    run byte-for-byte, including the re-crawl cadence."""
+    tmp = str(tmp_path_factory.mktemp("recur_resume"))
+    corpus = generate_corpus(f"{tmp}/corpus", n_hosts=3, n_pages=120)
+    seeds = pq.read_table(corpus["seeds"])
+    urls = seeds["url"].to_pylist()
+    iv = [4 if u == urls[0] else None for u in urls]
+    seeds = seeds.append_column("interval", pa.array(iv, pa.int32()))
+    seeds_path = f"{tmp}/seeds_interval.parquet"
+    pq.write_table(seeds, seeds_path)
+
+    base = dict(
+        pages_path=corpus["pages"], seeds_path=seeds_path,
+        num_frontier_actors=2, politeness_budget=8, num_buckets=4,
+        num_fetch_actors=2,
+    )
+    crawl(CrawlConfig(**base, out_dir=f"{tmp}/full", max_rounds=14))
+    full = read_log(f"{tmp}/full")
+
+    crawl(CrawlConfig(**base, out_dir=f"{tmp}/part", max_rounds=3))
+    crawl(CrawlConfig(**base, out_dir=f"{tmp}/part", max_rounds=14, resume=True))
+    resumed = read_log(f"{tmp}/part")
+    assert resumed.equals(full)

@@ -70,6 +70,25 @@ def test_minhash_survivors_broadcast_antijoin(ray_session, docs_table):
         assert any(s < d for s in survivors["doc_id"])
 
 
+def test_ngram_max_df_lower_bound(ray_session, docs_table):
+    """The 100 TB stop-shingle guard: max_df results are a subset of the
+    exact pairs (precision exact, recall may drop), and a no-op cap
+    reproduces the exact output."""
+    from opps_feedcrawler_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    exact = ngram_jaccard_pairs(ds, threshold=0.5, k_shingle=3)
+    capped_loose = ngram_jaccard_pairs(ds, threshold=0.5, k_shingle=3, max_df=10**9)
+    assert capped_loose.equals(exact)
+    capped = ngram_jaccard_pairs(ds, threshold=0.5, k_shingle=3, max_df=5)
+    exact_pairs = set(zip(exact["a"], exact["b"]))
+    assert set(zip(capped["a"], capped["b"])) <= exact_pairs
+    # jaccard is a lower bound under the cap
+    em = {(a, b): j for a, b, j in zip(exact["a"], exact["b"], exact["jaccard"])}
+    for a, b, j in zip(capped["a"], capped["b"], capped["jaccard"]):
+        assert j <= em[(a, b)] + 1e-12
+
+
 def test_embedding_allpairs_exact(ray_session):
     t = pq.read_table(f"{SF}/embeddings.parquet")
     V = np.array(t["embedding"].to_pylist(), dtype=np.float64)
