@@ -311,6 +311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_seq": A.user_event_seq,
         "asof_last_purchase": S.asof_last_purchase,
         "sessionize": S.sessionize,
+        "sessionize_salted": S.sessionize_salted,
         "top_spender_events": S.top_spender_events,
         "revenue_by_nation": S.revenue_by_nation,
         "hll_distinct_users": _q_hll_distinct,
@@ -412,6 +413,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM events e ASOF LEFT JOIN marks m ON e.user_id = m.user_id AND e.ts >= m.ts"
         ),
         "sessionize": (
+            "WITH t AS (SELECT user_id, event_id, CASE WHEN "
+            "LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
+            "OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE "
+            "THEN 1 ELSE 0 END AS new_s FROM events) "
+            "SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions, "
+            "COUNT(*) AS n_events FROM t GROUP BY user_id"
+        ),
+        "sessionize_salted": (
             "WITH t AS (SELECT user_id, event_id, CASE WHEN "
             "LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
             "OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE "

@@ -66,6 +66,59 @@ def sessionize(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     return ev.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
 
 
+def sessionize_salted(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    """Mega-user-safe sessionize (the de-skew path the per-user
+    ``map_groups`` family lacked in round 1): partition each user's log by
+    DAY — no single group ever exceeds one user-day — count sessions
+    locally, then merge across day boundaries in a second tiny pass.
+
+    Exactness: a partition's first event always opens a local session;
+    globally it only does so if the gap from the previous partition's
+    last event exceeds the threshold — so
+    ``total = Σ local_sessions − #(boundaries with gap ≤ threshold)``.
+    Output is identical to :func:`sessionize` (same DuckDB oracle)."""
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "event_id"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def add_day(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["day"] = batch["ts"].dt.floor("D")
+        return batch
+
+    def per_chunk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        d = g["ts"].diff()
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "day": [g["day"].iloc[0]],
+                "n_local": [np.int64((d.isna() | (d > gap)).sum())],
+                "n_events": [np.int64(len(g))],
+                "first_ts": [g["ts"].iloc[0]],
+                "last_ts": [g["ts"].iloc[-1]],
+            }
+        )
+
+    def merge_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("day")
+        merges = int((g["first_ts"] - g["last_ts"].shift(1) <= gap).sum())
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_sessions": [np.int64(g["n_local"].sum() - merges)],
+                "n_events": [np.int64(g["n_events"].sum())],
+            }
+        )
+
+    return (
+        ev.map_batches(add_day, batch_format="pandas")
+        .groupby(["user_id", "day"])
+        .map_groups(per_chunk, batch_format="pandas")
+        .groupby("user_id")
+        .map_groups(merge_user, batch_format="pandas")
+        .to_pandas()
+    )
+
+
 def top_spender_events(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Semi join via broadcast key set (J-pattern, ray_guide.md): events
     of the k users with the highest total purchase value.  The top-k set

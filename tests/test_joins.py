@@ -38,3 +38,19 @@ def test_join_strategies_agree(ray_session):
         )
     # inner-join cardinality: keys 0..38 even → 20 matches × 2 dups = 40
     assert len(built) == 40
+
+
+def test_sessionize_salted_equals_plain(ray_session):
+    """The day-partitioned boundary-merge sessionize must equal the
+    single-group-per-user version exactly (same oracle either way)."""
+    import pandas as pd
+
+    from opps_feedcrawler_ray.pipelines.streaming import sessionize, sessionize_salted
+
+    sf = "/root/testdata/sf0.01"
+    plain = sessionize(sf).sort_values("user_id").reset_index(drop=True)
+    salted = sessionize_salted(sf).sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        plain[["user_id", "n_sessions", "n_events"]],
+        salted[["user_id", "n_sessions", "n_events"]],
+    )
