@@ -5,13 +5,15 @@ Prints ONE JSON line:
    "queries": {...}, "sf": ..., "num_cpus": N, "urls_per_sec": ...}
 
 Headline = the flagship crawl over the deterministic bench corpus
-(FIXTURES.md scale: 500 hosts, 200k pages; cached under /tmp so the 8-
-and 32-CPU scaling runs share identical input).  Query timings run over
-``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1).
+(500 hosts × 800k pages, ~11 KB each; seed list = every 2nd corpus URL —
+the north_star's large-seed-list, round-dominated regime; cached under
+/tmp so the 8- and 32-CPU scaling runs share identical input).  Query
+timings run over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1).
 
-``--scaling``: runs this script twice in FRESH OS processes
-(RAY_GRAFT_CPUS=8 then 32) per BASELINE.md's protocol, prints the two
-throughputs + efficiency, and records them in BASELINE.md.
+``--scaling``: runs this script in FRESH taskset-pinned OS processes
+(RAY_GRAFT_CPUS=8 ×3 then 32 ×4, best wall time per level) per
+BASELINE.md's protocol, prints full-job AND rounds-phase throughput +
+efficiency, and records them in BASELINE.md.
 """
 
 from __future__ import annotations
@@ -55,6 +57,7 @@ QUERY_NAMES = [
     "orders_monthly",
     "doc_md5",
     "ann_ivf_partitioned",
+    "sessionize_salted",
 ]
 
 
