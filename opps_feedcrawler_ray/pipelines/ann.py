@@ -118,6 +118,12 @@ def ivf_build(
         cell = np.argmax(V @ C.T, axis=1).astype(np.int32)
         return batch.append_column("cell", pa.array(cell))
 
+    # crash-safe rebuild: write_parquet APPENDS, so a half-written layout
+    # from a killed build must be cleared before re-running (else the
+    # marker would legitimize duplicated vectors)
+    import shutil
+
+    shutil.rmtree(cells_dir, ignore_errors=True)
     ds.map_batches(assign, batch_format="pyarrow").write_parquet(
         cells_dir, partition_cols=["cell"]
     )

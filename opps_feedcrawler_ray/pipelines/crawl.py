@@ -135,19 +135,21 @@ class _RouteToActors:
 
 def _prepare_candidates(ds: rd.Dataset, default_priority: float | None = None) -> rd.Dataset:
     """url (+priority, round) → canonical url, surt, host, url_hash rows."""
-    canon = CanonicalizeStage()
 
     def fn(batch: pa.Table) -> pa.Table:
-        t = canon(batch)
-        if "priority" not in t.column_names:
-            t = t.append_column(
-                "priority", pa.array([default_priority] * t.num_rows, pa.float64())
-            )
-        if "round" not in t.column_names:
-            t = t.append_column("round", pa.array([0] * t.num_rows, pa.int32()))
-        return t.select(["url", "url_hash", "surt", "host", "priority", "round"])
+        return _prepare_candidates_table(batch, default_priority)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _salted_robots_targets(hosts: set, salt_hosts: dict, n_actors: int) -> set[int]:
+    """Every sub-shard a salted host's queue spans — its robots rules must
+    be replicated to each (shared by the sidecar and fallback loaders)."""
+    targets: set[int] = set()
+    for h in hosts:
+        for i in range(salt_hosts[h]):
+            targets.add(fingerprint64(f"{h}#{i}") % n_actors)
+    return targets
 
 
 class _FetchSim:
@@ -394,11 +396,24 @@ def _offer_seed_slice(
     route to frontier shards.  Plain parallel tasks (one per slice) —
     a Dataset execution here costs ~2 executor spin-ups (repartition +
     offer) of pure constant time; the slice tasks do the identical work
-    with none of it.  At 10^10-seed scale the slices are per-file."""
+    with none of it.  Only the row groups covering the slice are read
+    (no N× whole-file decode across tasks).  At 10^10-seed scale the
+    slices are per-file."""
     import pyarrow.parquet as _pqs
 
-    t = _pqs.read_table(seeds_path)
-    t = t.slice(row_start, row_count)
+    pf = _pqs.ParquetFile(seeds_path)
+    groups, first_off, off = [], 0, 0
+    for i in range(pf.metadata.num_row_groups):
+        n = pf.metadata.row_group(i).num_rows
+        if off + n > row_start and off < row_start + row_count:
+            if not groups:
+                first_off = off
+            groups.append(i)
+        off += n
+    if not groups:
+        return {"offered": 0, "admitted": 0, "robots_blocked": 0}
+    t = pf.read_row_groups(groups)
+    t = t.slice(row_start - first_off, row_count)
     ds_like = _prepare_candidates_table(t, default_priority=1.0)
     counts = _RouteToActors(actors, "offer", salt_hosts)(ds_like)
     return {k: counts[k][0].as_py() for k in counts.column_names}
@@ -545,14 +560,17 @@ class _OfferLinksStage:
             nf_mask = pc.equal(batch["status"], "not_found")
             subs = batch["sub"].to_numpy(zero_copy_only=False)
             nf = nf_mask.to_numpy(zero_copy_only=False)
+            fs = batch["fetch_seq"].to_numpy(zero_copy_only=False)
             import numpy as np
 
             for s in np.unique(subs):
                 m = subs == s
                 n_nf = int(nf[m].sum())
+                # token = the sub-batch's min fetch_seq (globally unique per
+                # batch) → record_results is idempotent under task retries
                 result_refs.append(
                     self.actors[int(s)].record_results.remote(
-                        int(m.sum()) - n_nf, n_nf
+                        int(m.sum()) - n_nf, n_nf, int(fs[m].min())
                     )
                 )
         links = explode_links(batch, self.next_round, self.priority_fn)
@@ -632,10 +650,10 @@ def _load_robots_into_actors(cfg: CrawlConfig, actors: list, bucketed: str | Non
                     mask = pa.array([h in cfg.salt_hosts for h in hosts])
                     salted_rows = t.filter(mask)
                     if salted_rows.num_rows:
-                        targets = set()
-                        for h in set(salted_rows["host"].to_pylist()):
-                            for i in range(cfg.salt_hosts[h]):
-                                targets.add(fingerprint64(f"{h}#{i}") % len(actors))
+                        targets = _salted_robots_targets(
+                            set(salted_rows["host"].to_pylist()),
+                            cfg.salt_hosts, len(actors),
+                        )
                         refs += [actors[a].load_robots.remote(salted_rows) for a in targets]
                 ray.get(refs)
             return
@@ -670,12 +688,10 @@ def _load_robots_into_actors(cfg: CrawlConfig, actors: list, bucketed: str | Non
                     mask = pa.array([h in salt_hosts for h in hosts])
                     salted_rows = batch.filter(mask)
                     if salted_rows.num_rows:
-                        targets = set()
-                        for h in set(salted_rows["host"].to_pylist()):
-                            for i in range(salt_hosts[h]):
-                                targets.add(
-                                    fingerprint64(f"{h}#{i}") % len(router_actors)
-                                )
+                        targets = _salted_robots_targets(
+                            set(salted_rows["host"].to_pylist()),
+                            salt_hosts, len(router_actors),
+                        )
                         refs += [
                             router_actors[a].load_robots.remote(salted_rows)
                             for a in targets

@@ -331,10 +331,21 @@ def ngram_jaccard_pairs(
     if max_df is not None:
         import ray
 
-        # document frequency per shingle (combiner-free: shingle rows are
-        # already one per (doc, shingle)); hot shingles are few → broadcast
-        df_counts = exploded.groupby("sh").count().to_pandas()
-        hot = set(df_counts.loc[df_counts["count()"] > max_df, "sh"].astype("uint64"))
+        # document frequency per shingle; the > max_df filter runs
+        # DISTRIBUTED so only the (tiny) hot-shingle set ever reaches the
+        # driver — never one row per distinct shingle
+        def only_hot(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+
+            return batch.filter(_pc.greater(batch["count()"], max_df))
+
+        hot_df = (
+            exploded.groupby("sh").count()
+            .map_batches(only_hot, batch_format="pyarrow")
+            .to_pandas()
+        )
+        # an all-filtered (empty) result can come back schema-less
+        hot = set(hot_df["sh"].astype("uint64")) if "sh" in hot_df.columns else set()
         if hot:
             hot_ref = ray.put(hot)
 
@@ -382,15 +393,15 @@ def _empty_cosine_pairs() -> pd.DataFrame:
 
 
 def _cross_pairs(ids_a, U_a, ids_b, U_b, threshold, within: bool):
-    """Vectorized thresholded pair extraction from a cosine block."""
+    """Vectorized thresholded pair extraction from a cosine block —
+    indices are taken from the thresholded boolean matrix, so temporary
+    memory is O(matches), never O(|a|·|b|) index arrays."""
     sims = U_a @ U_b.T
+    keep = sims >= threshold
     if within:
-        ii, jj = np.triu_indices(len(ids_a), k=1)
-    else:
-        ii, jj = np.nonzero(np.ones_like(sims, dtype=bool))
+        keep = np.triu(keep, k=1)
+    ii, jj = np.nonzero(keep)
     s = sims[ii, jj]
-    keep = s >= threshold
-    ii, jj, s = ii[keep], jj[keep], s[keep]
     aa = ids_a[ii]
     bb = ids_b[jj]
     lo = np.minimum(aa, bb)

@@ -99,6 +99,10 @@ class FrontierActor:
         # seen-set (a re-fetch of a known URL is the point) but NOT the
         # politeness budget (they queue like any other candidate).
         self.recurring: dict[str, dict[int, list]] = {}
+        # recurring hashes currently sitting in a heap (budget-starved):
+        # prevents double-queueing; rebuilt from the heap on restore
+        self._recurring_pending: dict[str, set[int]] = {}
+        self._result_tokens: set[int] = set()
 
     # ------------------------------------------------------------ warmup
     def warmup(self) -> int:
@@ -200,7 +204,9 @@ class FrontierActor:
         """Rows (url, url_hash, host, priority, interval) → recurring
         registry entries.  First emission is round 0 (the seed offer
         already queued the URL); re-emissions happen every ``interval``
-        rounds after the last one."""
+        rounds after the last one.  Robots-disallowed URLs are never
+        registered (and re-checked at emit time, since robots rules may
+        load after registration)."""
         n = 0
         for url, h, host, prio, iv in zip(
             table["url"].to_pylist(),
@@ -209,18 +215,28 @@ class FrontierActor:
             table["priority"].to_pylist(),
             table["interval"].to_pylist(),
         ):
-            if iv and iv > 0:
+            if iv and iv > 0 and self._allowed(host, url):
                 self.recurring.setdefault(host, {})[h] = [url, float(prio or 1.0), int(iv), 0]
                 n += 1
         return {"admitted": n}
 
     def _emit_due_recurring(self, round_idx: int) -> None:
         for host, entries in self.recurring.items():
+            pending = self._recurring_pending.setdefault(host, set())
             for h, ent in entries.items():
                 url, prio, iv, last = ent
                 if round_idx - last >= iv:
+                    if h in pending:
+                        # previous emission still budget-starved in the
+                        # heap — don't double-queue; cadence restarts
+                        # after the pending copy is actually emitted
+                        ent[3] = round_idx
+                        continue
+                    if not self._allowed(host, url):
+                        continue  # robots rules may have arrived post-registration
                     self.heaps.setdefault(host, []).append((-prio, round_idx, url, h))
                     self._dirty.add(host)
+                    pending.add(h)
                     ent[3] = round_idx
 
     def next_due_round(self) -> int | None:
@@ -277,6 +293,7 @@ class FrontierActor:
     def poll_ready(self, round_idx: int) -> pa.Table:
         """Pop ≤budget per host in the frozen politeness order; returns the
         shard's ready table sorted (host ASC, rank ASC)."""
+        self._result_tokens.clear()  # round boundary: new token scope
         if self.recurring:
             self._emit_due_recurring(round_idx)
         urls, hashes, hosts, prios, ranks = [], [], [], [], []
@@ -300,6 +317,9 @@ class FrontierActor:
             take = lst[:budget]
             if take:
                 negp, _rnd, u, h = zip(*take)  # C-level column split
+                pend = self._recurring_pending.get(host)
+                if pend:
+                    pend.difference_update(h)  # emitted → cadence may resume
                 urls.extend(u)
                 hashes.extend(h)
                 hosts.extend([host] * len(take))
@@ -332,7 +352,16 @@ class FrontierActor:
         """Per-host ready counts of the LAST poll — tiny, driver-safe."""
         return self._last_meta
 
-    def record_results(self, fetched: int, not_found: int) -> None:
+    def record_results(self, fetched: int, not_found: int, token: int | None = None) -> None:
+        """Lineage counter update.  ``token`` (the batch's min fetch_seq —
+        globally unique per batch) makes the call IDEMPOTENT: a Ray Data
+        task retry re-sending the same batch's counts is ignored, keeping
+        counters == written-log rows under fault recovery.  Tokens reset
+        at each poll (round boundary)."""
+        if token is not None:
+            if token in self._result_tokens:
+                return
+            self._result_tokens.add(token)
         self.counters["fetched"] += fetched
         self.counters["not_found"] += not_found
 
@@ -417,6 +446,8 @@ class FrontierActor:
         self.counters = blob["counters"]
         self.recurring = blob.get("recurring", {})
         self.emitted = blob.get("emitted", {})
+        self._recurring_pending = {}
+        self._result_tokens = set()
         self.heaps = {}
         self._dirty = set()
         for h, url, host, prio, rnd in zip(
@@ -428,4 +459,11 @@ class FrontierActor:
         ):
             self.heaps.setdefault(host, []).append((-prio, rnd, url, h))
             self._dirty.add(host)
+        # pending recurring emissions are exactly the recurring hashes that
+        # sit in the restored heap — rebuild instead of persisting
+        for host, entries in self.recurring.items():
+            in_heap = {hh for (_n, _r, _u, hh) in self.heaps.get(host, [])}
+            pend = set(entries) & in_heap
+            if pend:
+                self._recurring_pending[host] = pend
         return blob["round"]
