@@ -254,9 +254,13 @@ def scaling() -> None:
         "pass": eff >= 0.8 or eff_rounds >= 0.8,
     }
     print(json.dumps(result))
-    # record in BASELINE.md
+    # append raw run history (full transparency across invocations)
+    with open("BENCH_SCALING_RUNS.jsonl", "a") as f:
+        f.write(json.dumps(result) + "\n")
+    # record in BASELINE.md (replaces only the "Latest run" section; the
+    # consolidated best-measured section above it is curated by hand)
     stamp = (
-        "\n## Measured results (latest `bench.py --scaling` run)\n\n"
+        "\n## Latest `--scaling` run (auto-stamped; see BENCH_SCALING_RUNS.jsonl for history)\n\n"
         f"- corpus: {BENCH_HOSTS} hosts × {BENCH_PAGES} pages (+roots/robots), "
         f"~11 KB pages, 12 outlinks, mild Zipf; seed list = every 2nd corpus "
         f"URL (round-dominated regime per the north_star's large-seed-list "
@@ -293,7 +297,7 @@ def scaling() -> None:
         "driver-side log re-scan, actor spawn overlapped with warm.\n"
     )
     base = open("BASELINE.md").read()
-    marker = "\n## Measured results"
+    marker = "\n## Latest `--scaling` run"
     if marker in base:
         base = base[: base.index(marker)]
     with open("BASELINE.md", "w") as f:
