@@ -425,3 +425,40 @@ def test_recurring_resume_equivalence(ray_session, tmp_path_factory):
     crawl(CrawlConfig(**base, out_dir=f"{tmp}/part", max_rounds=14, resume=True))
     resumed = read_log(f"{tmp}/part")
     assert resumed.equals(full)
+
+
+def test_store_exact_false_mode(ray_session, tmp_path_factory):
+    """The 10^10-scale mode (store_exact=False: cuckoo-only dedup, no
+    url→hash map): crawl runs, politeness and text identity hold, and a
+    kill+resume reproduces the uninterrupted run (checkpoint round-trips
+    the exact=None state).  Page coverage may differ from exact mode only
+    by cuckoo false positives (none on this corpus size)."""
+    tmp = str(tmp_path_factory.mktemp("noexact"))
+    corpus = generate_corpus(f"{tmp}/corpus", n_hosts=3, n_pages=120)
+    base = dict(
+        pages_path=corpus["pages"], seeds_path=corpus["seeds"],
+        num_frontier_actors=2, politeness_budget=8, num_buckets=4,
+        num_fetch_actors=2, store_exact=False,
+    )
+    stats = crawl(CrawlConfig(**base, out_dir=f"{tmp}/full"))
+    log = read_log(f"{tmp}/full")
+    assert stats["fetched"] > 100
+    # no seen-set export in this mode
+    import os
+
+    assert not os.path.exists(f"{tmp}/full/seen_set")
+    # politeness + dedup + golden text still hold
+    df = log.to_pandas()
+    per = df[df.status == "fetched"].groupby(["host", "round"]).size()
+    assert (per <= 8).all()
+    urls = df["url"].tolist()
+    assert len(set(urls)) == len(urls)
+    pages = pq.read_table(corpus["pages"], columns=["url", "text"])
+    golden = dict(zip(pages["url"].to_pylist(), pages["text"].to_pylist()))
+    for u, st, tx in zip(df["url"], df["status"], df["text"]):
+        if st == "fetched":
+            assert tx == golden[u]
+    # kill + resume equivalence in cuckoo-only mode
+    crawl(CrawlConfig(**base, out_dir=f"{tmp}/part", max_rounds=2))
+    crawl(CrawlConfig(**base, out_dir=f"{tmp}/part", resume=True))
+    assert read_log(f"{tmp}/part").equals(log)
