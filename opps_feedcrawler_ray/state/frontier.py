@@ -38,7 +38,6 @@ import ray
 
 from ..functions.hashing import fingerprint64
 from ..functions.robots import RobotsRules, parse_robots
-from ..schemas import READY
 from .cuckoo import CuckooFilter
 
 COUNTER_KEYS = ("offered", "admitted", "fetched", "robots_blocked", "not_found")
