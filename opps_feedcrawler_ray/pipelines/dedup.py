@@ -131,23 +131,31 @@ def minhash_lsh_dedup(
             }
         )
 
-    def candidates_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(int(x) for x in group[id_col]))
-        if len(ids) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64")})
+    def candidates_in_coarse_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        # one COARSE bucket holds many (band, band_key) cells: the
+        # per-cell grouping runs in pandas (C speed) instead of one Ray
+        # group per cell (~75k tiny groups dominated the round-1 wall)
         a_out, b_out = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a_out.append(ids[i])
-                b_out.append(ids[j])
+        cells = group.groupby(["band", "band_key"])[id_col].agg(
+            lambda s: sorted(set(int(x) for x in s))
+        )
+        for ids in cells:
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    a_out.append(ids[i])
+                    b_out.append(ids[j])
         return pd.DataFrame({"a": pd.Series(a_out, dtype="int64"),
                              "b": pd.Series(b_out, dtype="int64")})
 
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        bb = (batch["band_key"].to_numpy(zero_copy_only=False) % 64).astype("int32")
+        return batch.append_column("bb", pa.array(bb))
+
     cand = (
         ds.map_batches(sig_stage, batch_format="pyarrow")
-        .groupby(["band", "band_key"])
-        .map_groups(candidates_in_bucket, batch_format="pandas")
+        .map_batches(add_coarse, batch_format="pyarrow")
+        .groupby("bb")
+        .map_groups(candidates_in_coarse_bucket, batch_format="pandas")
         .to_pandas()
     )
     empty_pairs = pd.DataFrame({"a": pd.Series([], dtype="int64"),
@@ -228,29 +236,39 @@ def simhash_dedup(
             }
         )
 
-    def verify(group: pd.DataFrame) -> pd.DataFrame:
-        rows = group.drop_duplicates(subset=[id_col])
-        ids = rows[id_col].tolist()
-        sigs = [int(s) for s in rows["sig"]]
+    def verify_coarse(group: pd.DataFrame) -> pd.DataFrame:
+        # coarse bucket → per-(chunk, chunk_key) cells grouped in pandas
+        # (C speed) instead of one Ray group per 16-bit key (~260k cells)
         a_out, b_out, d_out = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                d = bin(sigs[i] ^ sigs[j]).count("1")
-                if d <= max_hamming:
-                    a, b = sorted((ids[i], ids[j]))
-                    a_out.append(a)
-                    b_out.append(b)
-                    d_out.append(d)
+        for _, cell in group.groupby(["chunk", "chunk_key"]):
+            rows = cell.drop_duplicates(subset=[id_col])
+            if len(rows) < 2:
+                continue
+            ids = rows[id_col].tolist()
+            sigs = [int(s) for s in rows["sig"]]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    d = bin(sigs[i] ^ sigs[j]).count("1")
+                    if d <= max_hamming:
+                        a, b = sorted((ids[i], ids[j]))
+                        a_out.append(a)
+                        b_out.append(b)
+                        d_out.append(d)
         return pd.DataFrame(
             {"a": pd.Series(a_out, dtype="int64"),
              "b": pd.Series(b_out, dtype="int64"),
              "hamming": pd.Series(d_out, dtype="int64")}
         )
 
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        bb = (batch["chunk_key"].to_numpy(zero_copy_only=False) % 64).astype("int32")
+        return batch.append_column("bb", pa.array(bb))
+
     pairs = (
         ds.map_batches(sig_stage, batch_format="pyarrow")
-        .groupby(["chunk", "chunk_key"])
-        .map_groups(verify, batch_format="pandas")
+        .map_batches(add_coarse, batch_format="pyarrow")
+        .groupby("bb")
+        .map_groups(verify_coarse, batch_format="pandas")
         .to_pandas()
     )
     if pairs.empty:
