@@ -80,42 +80,51 @@ def sessionize_salted(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     ev = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "event_id"])
     gap = pd.Timedelta(minutes=gap_minutes)
 
-    def add_day(batch: pd.DataFrame) -> pd.DataFrame:
+    def add_keys(batch: pd.DataFrame) -> pd.DataFrame:
         batch["day"] = batch["ts"].dt.floor("D")
+        # coarse shuffle key: equal (user, day) → equal bucket; the
+        # per-(user, day) grouping then runs pandas-side (C speed) —
+        # one Ray group per cell would mean 100k+ tiny groups
+        batch["bb"] = (
+            batch["user_id"].to_numpy() * 1000003 + batch["day"].astype("int64")
+        ) % 256
         return batch
 
-    def per_chunk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        d = g["ts"].diff()
+    def chunks_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        out = []
+        for (uid, day), cell in g.groupby(["user_id", "day"], sort=False):
+            d = cell["ts"].diff()
+            out.append(
+                (uid, day, np.int64((d.isna() | (d > gap)).sum()),
+                 np.int64(len(cell)), cell["ts"].iloc[0], cell["ts"].iloc[-1])
+            )
         return pd.DataFrame(
-            {
-                "user_id": [g["user_id"].iloc[0]],
-                "day": [g["day"].iloc[0]],
-                "n_local": [np.int64((d.isna() | (d > gap)).sum())],
-                "n_events": [np.int64(len(g))],
-                "first_ts": [g["ts"].iloc[0]],
-                "last_ts": [g["ts"].iloc[-1]],
-            }
+            out, columns=["user_id", "day", "n_local", "n_events", "first_ts", "last_ts"]
         )
 
-    def merge_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("day")
-        merges = int((g["first_ts"] - g["last_ts"].shift(1) <= gap).sum())
-        return pd.DataFrame(
-            {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_sessions": [np.int64(g["n_local"].sum() - merges)],
-                "n_events": [np.int64(g["n_events"].sum())],
-            }
-        )
+    def add_user_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["ub"] = batch["user_id"] % 256
+        return batch
+
+    def merge_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "day"])
+        out = []
+        for uid, u in g.groupby("user_id", sort=False):
+            merges = int((u["first_ts"] - u["last_ts"].shift(1) <= gap).sum())
+            out.append(
+                (uid, np.int64(u["n_local"].sum() - merges), np.int64(u["n_events"].sum()))
+            )
+        return pd.DataFrame(out, columns=["user_id", "n_sessions", "n_events"])
 
     return (
-        ev.map_batches(add_day, batch_format="pandas")
-        .groupby(["user_id", "day"])
-        .map_groups(per_chunk, batch_format="pandas")
-        .groupby("user_id")
-        .map_groups(merge_user, batch_format="pandas")
-        .to_pandas()
+        ev.map_batches(add_keys, batch_format="pandas")
+        .groupby("bb")
+        .map_groups(chunks_in_bucket, batch_format="pandas")
+        .map_batches(add_user_bucket, batch_format="pandas")
+        .groupby("ub")
+        .map_groups(merge_in_bucket, batch_format="pandas")
+        .to_pandas()[["user_id", "n_sessions", "n_events"]]
     )
 
 
