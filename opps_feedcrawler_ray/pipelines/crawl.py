@@ -466,7 +466,14 @@ class _FetchViaObjectStore:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return batch
+            # keep the output schema identical to non-empty batches —
+            # returning the input unchanged would yield blocks missing the
+            # fetch columns and break downstream select/explode
+            for name, typ in (
+                ("warc_ts", pa.timestamp("us")), ("html", pa.binary()), ("lang", pa.string())
+            ):
+                batch = batch.append_column(name, pa.array([], typ))
+            return batch.append_column("status", pa.array([], pa.string()))
         import numpy as np
 
         hh = batch["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -760,6 +767,12 @@ def crawl(cfg: CrawlConfig) -> dict:
                 f"salt_hosts[{h!r}]={k} exceeds politeness_budget="
                 f"{cfg.politeness_budget}: recombined fetches would break the "
                 f"per-host budget invariant"
+            )
+        if cfg.max_pages_per_host is not None and k > cfg.max_pages_per_host:
+            raise ValueError(
+                f"salt_hosts[{h!r}]={k} exceeds max_pages_per_host="
+                f"{cfg.max_pages_per_host}: each sub-shard floors at cap//k=1, "
+                f"so recombined emissions would break the per-host page cap"
             )
     os.makedirs(cfg.out_dir, exist_ok=True)
     if not cfg.resume:  # fresh run: clear stale outputs (write_parquet appends)

@@ -80,6 +80,15 @@ class FrontierActor:
                     f"{politeness_budget}: recombined fetches would break the "
                     f"per-host budget invariant"
                 )
+            if max_pages_per_host is not None and k > max_pages_per_host:
+                # same floor-of-1 hazard as the budget: each of k sub-shards
+                # would get max(1, cap//k)=1, so recombined emissions could
+                # reach k > cap, silently breaking the per-host page cap
+                raise ValueError(
+                    f"salt_hosts[{h!r}]={k} exceeds max_pages_per_host="
+                    f"{max_pages_per_host}: recombined emissions would break "
+                    f"the per-host page-cap invariant"
+                )
         self.seen = CuckooFilter(capacity=filter_capacity)
         self.exact: dict[int, str] = {} if store_exact else None
         # per-host pending lists, sorted ascending by (-priority, round, url)
@@ -232,7 +241,14 @@ class FrontierActor:
                         ent[3] = round_idx
                         continue
                     if not self._allowed(host, url):
-                        continue  # robots rules may have arrived post-registration
+                        # robots rules may have arrived post-registration.
+                        # Advance the cadence clock even though nothing was
+                        # emitted: a frozen-in-the-past due round would make
+                        # next_due_round() return nxt <= r forever, masking
+                        # other feeds' genuinely future dues from the
+                        # driver's idle fast-forward (re-checked next cycle).
+                        ent[3] = round_idx
+                        continue
                     self.heaps.setdefault(host, []).append((-prio, round_idx, url, h))
                     self._dirty.add(host)
                     pending.add(h)

@@ -135,6 +135,71 @@ def test_salt_k_exceeds_budget_rejected(smoke):
         crawl(cfg)
 
 
+def test_salt_k_exceeds_host_cap_rejected(smoke):
+    """k sub-shards each flooring at cap//k=1 could emit k > cap pages for
+    a salted host — rejected up front like the budget invariant."""
+    cfg = CrawlConfig(
+        pages_path=smoke["corpus"]["pages"], seeds_path=smoke["corpus"]["seeds"],
+        out_dir=f"{smoke['tmp']}/out_badsaltcap", politeness_budget=8,
+        salt_hosts={"h0.test": 4}, max_pages_per_host=2,
+    )
+    with pytest.raises(ValueError, match="max_pages_per_host"):
+        crawl(cfg)
+
+
+def test_recurring_robots_blocked_due_advances(ray_session):
+    """A recurring entry whose emission is robots-blocked at emit time must
+    still advance its cadence clock: a frozen past due round would make
+    next_due_round() <= current round forever, masking other feeds'
+    genuinely future dues from the driver's idle fast-forward."""
+    import ray
+
+    from opps_feedcrawler_ray.functions.hashing import fingerprint64
+    from opps_feedcrawler_ray.state.frontier import FrontierActor
+
+    fa = FrontierActor.remote(0, 1, politeness_budget=8)
+    url = "http://blocked.test/feed"
+    t = pa.table(
+        {
+            "url": pa.array([url], pa.string()),
+            "url_hash": pa.array([fingerprint64(url)], pa.uint64()),
+            "host": pa.array(["blocked.test"], pa.string()),
+            "priority": pa.array([1.0], pa.float64()),
+            "interval": pa.array([2], pa.int64()),
+        }
+    )
+    assert ray.get(fa.register_recurring.remote(t))["admitted"] == 1
+    # robots rules arrive AFTER registration and disallow everything
+    robots = pa.table(
+        {"host": pa.array(["blocked.test"], pa.string()),
+         "body": pa.array([b"User-agent: *\nDisallow: /"], pa.binary())}
+    )
+    ray.get(fa.load_robots.remote(robots))
+    ready = ray.get(fa.poll_ready.remote(5))  # due (5 - 0 >= 2), but blocked
+    assert ready.num_rows == 0
+    nxt = ray.get(fa.next_due_round.remote())
+    assert nxt is not None and nxt > 5  # cadence advanced past the poll round
+    ray.kill(fa)
+
+
+def test_objstore_fetch_empty_batch_schema(ray_session):
+    """An empty batch through _FetchViaObjectStore must gain the same
+    warc_ts/html/lang/status columns as non-empty batches, or downstream
+    column selects would fail on schema-inconsistent blocks."""
+    from opps_feedcrawler_ray.pipelines.crawl import _FetchViaObjectStore
+
+    empty = pa.table(
+        {"url_hash": pa.array([], pa.uint64()), "url": pa.array([], pa.string()),
+         "host": pa.array([], pa.string())}
+    )
+    out = _FetchViaObjectStore({}, 4)(empty)
+    assert out.num_rows == 0
+    assert out.schema.field("warc_ts").type == pa.timestamp("us")
+    assert out.schema.field("html").type == pa.binary()
+    assert out.schema.field("lang").type == pa.string()
+    assert out.schema.field("status").type == pa.string()
+
+
 def test_determinism(smoke):
     log2, seen2, _ = run_crawl(smoke["tmp"], smoke["corpus"], "out2")
     assert log2.equals(smoke["log"])
