@@ -6,12 +6,13 @@ Every variant is Ray-Data-first and scale-shaped:
 * exact        — content-hash in ``map_batches`` (vectorized), then ONE
                  hash-shuffle ``groupby(hash).map_groups(first)``;
 * minhash_lsh  — shingle→minhash per batch (stateless tasks), explode to
-                 24-byte (id, band, band_key) rows (round-2 rework: the
-                 shingle sets do NOT ride the shuffle), ONE groupby over
-                 band buckets → bare candidate id pairs → shingle sets
-                 re-derived for the CANDIDATE docs only (broadcast
-                 id-set filter over a pruned corpus re-read) → exact
-                 Jaccard verify; survivors = broadcast anti-join over
+                 24-byte (id, band, band_key) rows (the shingle sets do
+                 NOT ride the shuffle), ONE groupby over band buckets →
+                 bare candidate id pairs → DISTRIBUTED exact-Jaccard
+                 verify (round-3: shingle sets re-derived for candidate
+                 docs inside map_batches and routed to per-pair verify
+                 buckets — the driver holds only the pair list, never a
+                 feature payload); survivors = broadcast anti-join over
                  the dropped-id set (never a driver-side id enumeration);
 * simhash      — 64-bit simhash per batch, banded into 4×16-bit chunks
                  (Hamming ≤3 ⇒ some chunk equal), groupby chunk →
@@ -47,6 +48,115 @@ from ..functions.text import (
     shingles,
     simhash,
 )
+
+
+# ------------------------------------------------------------- helpers
+def coarse_buckets(
+    n_rows: int | None, rows_per_task: int = 16384, lo: int = 64, hi: int = 65536
+) -> int:
+    """Derive a coarse shuffle-bucket count from input size (round-3
+    rework of the fixed 64/256/1024 literals): ~``rows_per_task`` rows
+    land in each ``map_groups`` task, so per-task memory is bounded by a
+    constant while parallelism grows with the data instead of being
+    capped below large-cluster core counts.  Outputs are
+    bucket-count-invariant (equal keys always share a bucket), so this
+    is purely a scheduling knob — tested by a B sweep."""
+    if not n_rows or n_rows <= 0:
+        return lo
+    return max(lo, min(hi, -(-int(n_rows) // rows_per_task)))
+
+
+def _pairs_in_cells(group: pd.DataFrame, cell_cols: list[str], id_col: str) -> pd.DataFrame:
+    """One COARSE bucket holds many exact-key cells: per-cell candidate
+    pairing runs in pandas (C speed) instead of one Ray group per cell."""
+    a_out, b_out = [], []
+    cells = group.groupby(cell_cols)[id_col].agg(
+        lambda s: sorted(set(int(x) for x in s))
+    )
+    for ids in cells:
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a_out.append(ids[i])
+                b_out.append(ids[j])
+    return pd.DataFrame({"a": pd.Series(a_out, dtype="int64"),
+                         "b": pd.Series(b_out, dtype="int64")})
+
+
+def _verify_pairs_distributed(
+    ds: rd.Dataset,
+    cand: pd.DataFrame,
+    make_feature_batch,
+    sim_fn,
+    threshold: float,
+    id_col: str,
+    prep_fn=None,
+    pairs_per_task: int = 1024,
+) -> pd.DataFrame:
+    """Distributed candidate-pair verification (round-3 rework: the
+    driver holds only the candidate PAIR list — never the per-doc
+    feature payloads, which on a boilerplate-heavy corpus are NOT small).
+
+    Each pair is hashed to a verify bucket; ``make_feature_batch(batch,
+    bcast)`` recomputes each candidate doc's feature (shingle set / unit
+    vector) inside map_batches and replicates it to exactly the buckets
+    holding its pairs (``bcast`` = (sorted candidate-id array for the
+    vectorized np.isin prefilter, doc→buckets map)); one ``groupby(pb)``
+    verifies each bucket's pairs against its local feature map and emits
+    ONLY qualifying pairs.  Driver-received rows == verified output rows.
+    Per-task bound: ≤``pairs_per_task`` pairs plus their ≤2× feature rows."""
+    import ray
+
+    nb = max(1, min(1024, -(-len(cand) // pairs_per_task)))
+    pb = ((cand["a"].to_numpy() * 1000003 + cand["b"].to_numpy()) % nb).astype("int64")
+    cand = cand.assign(pb=pb)
+    doc_buckets: dict[int, list[int]] = {}
+    for a, b, p in zip(cand["a"].to_numpy(), cand["b"].to_numpy(), pb):
+        for d in (int(a), int(b)):
+            lst = doc_buckets.setdefault(d, [])
+            if int(p) not in lst:
+                lst.append(int(p))
+    cand_arr = np.array(sorted(doc_buckets), dtype=np.int64)
+    bcast_ref = ray.put((cand_arr, doc_buckets))
+    pairs_ref = ray.put(
+        {int(p): g[["a", "b"]].to_numpy() for p, g in cand.groupby("pb")}
+    )
+
+    def feat(batch: pa.Table) -> pa.Table:
+        return make_feature_batch(batch, ray.get(bcast_ref))
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        p = int(g["pb"].iloc[0])
+        pairs = ray.get(pairs_ref)[p]
+        feats: dict[int, object] = {}
+        for i, f in zip(g[id_col], g["feat"]):
+            i = int(i)
+            if i not in feats:
+                feats[i] = prep_fn(f) if prep_fn is not None else f
+        a_out, b_out, s_out = [], [], []
+        for a, b in pairs:
+            fa, fb = feats.get(int(a)), feats.get(int(b))
+            if fa is None or fb is None:
+                continue
+            s = sim_fn(fa, fb)
+            if s >= threshold:
+                a_out.append(int(a))
+                b_out.append(int(b))
+                s_out.append(float(s))
+        return pd.DataFrame({"a": pd.Series(a_out, dtype="int64"),
+                             "b": pd.Series(b_out, dtype="int64"),
+                             "sim": pd.Series(s_out, dtype="float64")})
+
+    out = (
+        ds.map_batches(feat, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(verify, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty or "a" not in out.columns:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64"),
+                             "sim": pd.Series([], dtype="float64")})
+    return out
 
 
 # --------------------------------------------------------------- exact
@@ -97,21 +207,24 @@ def minhash_lsh_dedup(
     n_bands: int = 16,
     k_shingle: int = 5,
     return_pairs: bool = False,
+    n_buckets: int | None = None,
 ):
     """MinHash+LSH near-dup: shingle → 128-perm minhash → 16 bands →
-    band-bucket groupby → candidate pairs → exact-Jaccard verify over the
-    CANDIDATE docs only.
+    band-bucket groupby → candidate pairs → DISTRIBUTED exact-Jaccard
+    verify over the CANDIDATE docs only.
 
-    Scale shape (round-2 rework): band rows carry (id, band, band_key)
-    only — 24 bytes/row through the shuffle instead of the full shingle
-    set ×16 bands (round 1's ×16 corpus amplification).  The bucket
-    groupby emits bare candidate id pairs; shingle sets are then
-    recomputed for JUST the candidate docs (one corpus re-read pruned to
-    id+text, filtered by a broadcast id-set) and exact Jaccard verifies
-    each pair.  Driver holds only the candidate-pair list — small by LSH
-    construction (the documented partitioning assumption); survivors are
-    produced as a broadcast anti-join, never via driver-side id
-    enumeration."""
+    Scale shape: band rows carry (id, band, band_key) only — 24
+    bytes/row through the ONE shuffle (never the shingle sets).  The
+    bucket groupby emits bare candidate id pairs; the driver holds ONLY
+    that pair list (small by LSH construction — the documented
+    partitioning assumption).  Verification is distributed (round-3
+    rework): shingle sets are recomputed inside map_batches for just the
+    candidate docs (vectorized np.isin prefilter) and routed to per-pair
+    verify buckets, so no doc's shingle set ever reaches the driver —
+    only verified ≥threshold pairs do.  Coarse bucket count adapts to
+    input size (``coarse_buckets``); survivors are produced as a
+    broadcast anti-join, never via driver-side id enumeration."""
+    nb = n_buckets or coarse_buckets(ds.count() * n_bands)
 
     def sig_stage(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
@@ -131,31 +244,18 @@ def minhash_lsh_dedup(
             }
         )
 
-    def candidates_in_coarse_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        # one COARSE bucket holds many (band, band_key) cells: the
-        # per-cell grouping runs in pandas (C speed) instead of one Ray
-        # group per cell (~75k tiny groups dominated the round-1 wall)
-        a_out, b_out = [], []
-        cells = group.groupby(["band", "band_key"])[id_col].agg(
-            lambda s: sorted(set(int(x) for x in s))
-        )
-        for ids in cells:
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    a_out.append(ids[i])
-                    b_out.append(ids[j])
-        return pd.DataFrame({"a": pd.Series(a_out, dtype="int64"),
-                             "b": pd.Series(b_out, dtype="int64")})
-
     def add_coarse(batch: pa.Table) -> pa.Table:
-        bb = (batch["band_key"].to_numpy(zero_copy_only=False) % 64).astype("int32")
+        bb = (batch["band_key"].to_numpy(zero_copy_only=False) % nb).astype("int64")
         return batch.append_column("bb", pa.array(bb))
 
     cand = (
         ds.map_batches(sig_stage, batch_format="pyarrow")
         .map_batches(add_coarse, batch_format="pyarrow")
         .groupby("bb")
-        .map_groups(candidates_in_coarse_bucket, batch_format="pandas")
+        .map_groups(
+            lambda g: _pairs_in_cells(g, ["band", "band_key"], id_col),
+            batch_format="pandas",
+        )
         .to_pandas()
     )
     empty_pairs = pd.DataFrame({"a": pd.Series([], dtype="int64"),
@@ -164,43 +264,44 @@ def minhash_lsh_dedup(
     if cand.empty:
         pair_rows = empty_pairs
     else:
-        import ray
-
         cand = cand.drop_duplicates(subset=["a", "b"])
-        ids_ref = ray.put(set(cand["a"]).union(cand["b"]))
 
-        def shingle_stage(batch: pa.Table) -> pa.Table:
-            want = ray.get(ids_ref)
-            ids = batch[id_col].to_pylist()
-            texts = batch[text_col].to_pylist()
-            out_i, out_s = [], []
-            for i, t in zip(ids, texts):
-                if i in want:
-                    out_i.append(i)
-                    out_s.append(sorted(shingles(t, k_shingle)))
+        def mh_features(batch: pa.Table, bcast) -> pa.Table:
+            cand_arr, bmap = bcast
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            keep = np.flatnonzero(np.isin(ids, cand_arr))
+            out_pb, out_id, out_feat = [], [], []
+            if len(keep):
+                texts = batch[text_col].take(pa.array(keep, pa.int64())).to_pylist()
+                for row, t in zip(keep, texts):
+                    i = int(ids[row])
+                    sh = sorted(shingles(t, k_shingle))
+                    for p in bmap[i]:
+                        out_pb.append(p)
+                        out_id.append(i)
+                        out_feat.append(sh)
             return pa.table(
-                {id_col: pa.array(out_i, pa.int64()),
-                 "sh": pa.array(out_s, pa.list_(pa.uint64()))}
+                {"pb": pa.array(out_pb, pa.int64()),
+                 id_col: pa.array(out_id, pa.int64()),
+                 "feat": pa.array(out_feat, pa.list_(pa.uint64()))}
             )
 
-        shdf = ds.map_batches(shingle_stage, batch_format="pyarrow").to_pandas()
-        shmap = {int(i): set(int(x) for x in s) for i, s in zip(shdf[id_col], shdf["sh"])}
-        sims = [jaccard(shmap[a], shmap[b]) for a, b in zip(cand["a"], cand["b"])]
-        pair_rows = cand.assign(sim=pd.Series(sims, index=cand.index, dtype="float64"))
-        pair_rows = pair_rows[pair_rows["sim"] >= threshold]
-        if pair_rows.empty:
-            pair_rows = empty_pairs
+        pair_rows = _verify_pairs_distributed(
+            ds, cand, mh_features,
+            sim_fn=jaccard, threshold=threshold, id_col=id_col,
+            prep_fn=lambda f: set(int(x) for x in f),
+        )
     if return_pairs:
         return pair_rows.sort_values(["a", "b"]).reset_index(drop=True)
     import ray
 
     dropped = _pairs_to_dropped(zip(pair_rows["a"], pair_rows["b"]))
-    drop_ref = ray.put(dropped)
+    drop_ref = ray.put(np.array(sorted(dropped), dtype=np.int64))
 
     def filt(batch: pa.Table) -> pa.Table:
-        s = ray.get(drop_ref)
-        mask = pa.array([i not in s for i in batch[id_col].to_pylist()])
-        return batch.filter(mask)
+        drop = ray.get(drop_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(~np.isin(ids, drop)))
 
     return ds.map_batches(filt, batch_format="pyarrow")
 
@@ -212,9 +313,13 @@ def simhash_dedup(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     return_pairs: bool = False,
+    n_buckets: int | None = None,
 ):
     """SimHash near-dup: 64-bit simhash, banded into 4 × 16-bit chunks
-    (pigeonhole: Hamming ≤ 3 ⇒ at least one chunk identical)."""
+    (pigeonhole: Hamming ≤ 3 ⇒ at least one chunk identical).  Coarse
+    bucket count adapts to input size (``coarse_buckets``) so per-task
+    group memory is bounded instead of growing as corpus/64."""
+    nb = n_buckets or coarse_buckets(ds.count() * 4)
 
     def sig_stage(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
@@ -261,8 +366,13 @@ def simhash_dedup(
         )
 
     def add_coarse(batch: pa.Table) -> pa.Table:
-        bb = (batch["chunk_key"].to_numpy(zero_copy_only=False) % 64).astype("int32")
-        return batch.append_column("bb", pa.array(bb))
+        # bucket on (chunk, chunk_key) jointly: bucketing only chunk_key
+        # would cap parallelism at the 16-bit key spread
+        key = (
+            batch["chunk"].to_numpy(zero_copy_only=False).astype(np.int64) * 65536
+            + batch["chunk_key"].to_numpy(zero_copy_only=False)
+        )
+        return batch.append_column("bb", pa.array((key % nb).astype("int64")))
 
     pairs = (
         ds.map_batches(sig_stage, batch_format="pyarrow")
@@ -286,6 +396,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     k_shingle: int = 3,
     max_df: int | None = None,
+    n_buckets: int | None = None,
 ) -> pd.DataFrame:
     """All-pairs n-gram Jaccard ≥ threshold via shingle-bucket join:
     explode (shingle_hash, id), groupby shingle → co-occurring id pairs,
@@ -300,7 +411,13 @@ def ngram_jaccard_pairs(
     keep counting them), so the computed Jaccard becomes a LOWER BOUND:
     precision stays exact, recall can drop for pairs whose overlap is
     mostly stop-shingles.  None (default) = fully exact — the
-    oracle-checked mode."""
+    oracle-checked mode.
+
+    Scale shape (round-3 rework): the Jaccard + threshold cut runs
+    DISTRIBUTED, in a map_batches directly after the pair-count groupby
+    — only qualifying pairs ever reach the driver (the co-occurrence
+    set is near-quadratic on a real corpus; it never materializes
+    anywhere as a whole).  Shingle-bucket count adapts to input size."""
 
     def sh_stage(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
@@ -320,11 +437,13 @@ def ngram_jaccard_pairs(
             }
         )
 
+    # coarse shingle-bucket count: ~32 docs' shingle rows per bucket task
+    # (equal shingles share a bucket, so co-location is preserved; turns
+    # millions of 1-row "groups" into bounded vectorizable ones)
+    nb = n_buckets or coarse_buckets(ds.count(), rows_per_task=32, lo=256)
+
     def add_shbucket(batch: pa.Table) -> pa.Table:
-        # shingle-hash → coarse bucket: turns millions of 1-row "groups"
-        # into ~1024 vectorizable ones (one shuffle, same co-location:
-        # equal shingles share a bucket)
-        b = (batch["sh"].to_numpy(zero_copy_only=False) % 1024).astype("int32")
+        b = (batch["sh"].to_numpy(zero_copy_only=False) % nb).astype("int64")
         return batch.append_column("shb", pa.array(b))
 
     def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
@@ -365,35 +484,49 @@ def ngram_jaccard_pairs(
         # an all-filtered (empty) result can come back schema-less
         hot = set(hot_df["sh"].astype("uint64")) if "sh" in hot_df.columns else set()
         if hot:
-            hot_ref = ray.put(hot)
+            hot_ref = ray.put(np.array(sorted(hot), dtype=np.uint64))
 
             def drop_hot(batch: pa.Table) -> pa.Table:
                 h = ray.get(hot_ref)
-                mask = pa.array([int(s) not in h for s in batch["sh"].to_pylist()])
-                return batch.filter(mask)
+                sh = batch["sh"].to_numpy(zero_copy_only=False)
+                return batch.filter(pa.array(~np.isin(sh, h)))
 
             exploded = exploded.map_batches(drop_hot, batch_format="pyarrow")
-    co = (
+    def jaccard_threshold(batch: pa.Table) -> pa.Table:
+        # DISTRIBUTED Jaccard + threshold cut, directly downstream of the
+        # pair-count shuffle: only qualifying pairs leave the cluster.
+        # pre-rounding e4 float computed with the exact expression the
+        # DuckDB oracle uses (shared*10000.0/union) so half-up rounding
+        # matches bit-for-bit on both sides.
+        name = "sum(shared)" if "sum(shared)" in batch.column_names else "shared"
+        shared = batch[name].to_numpy(zero_copy_only=False).astype("float64")
+        na = batch["na"].to_numpy(zero_copy_only=False).astype("float64")
+        nbq = batch["nb"].to_numpy(zero_copy_only=False).astype("float64")
+        union = na + nbq - shared
+        j = shared / union
+        keep = j >= threshold
+        return pa.table(
+            {"a": pa.array(batch["a"].to_numpy(zero_copy_only=False)[keep], pa.int64()),
+             "b": pa.array(batch["b"].to_numpy(zero_copy_only=False)[keep], pa.int64()),
+             "jaccard": pa.array(j[keep], pa.float64()),
+             "jaccard_e4_raw": pa.array((shared * 10000.0 / union)[keep], pa.float64())}
+        )
+
+    out = (
         exploded
         .map_batches(add_shbucket, batch_format="pyarrow")
         .groupby("shb")
         .map_groups(pairs_in_bucket, batch_format="pandas")
         .groupby(["a", "b", "na", "nb"])
         .sum("shared")
+        .map_batches(jaccard_threshold, batch_format="pyarrow")
         .to_pandas()
     )
-    if co.empty:
+    if out.empty or "a" not in out.columns:
         return pd.DataFrame({"a": pd.Series([], dtype="int64"),
                              "b": pd.Series([], dtype="int64"),
                              "jaccard": pd.Series([], dtype="float64"),
                              "jaccard_e4_raw": pd.Series([], dtype="float64")})
-    shared = co["sum(shared)"] if "sum(shared)" in co.columns else co["shared"]
-    co["jaccard"] = shared / (co["na"] + co["nb"] - shared)
-    # pre-rounding e4 float computed with the exact expression the DuckDB
-    # oracle uses (shared*10000.0/union) so half-up rounding matches
-    # bit-for-bit on both sides
-    co["jaccard_e4_raw"] = shared * 10000.0 / (co["na"] + co["nb"] - shared)
-    out = co[co["jaccard"] >= threshold][["a", "b", "jaccard", "jaccard_e4_raw"]]
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
@@ -509,6 +642,7 @@ def embedding_dedup_pairs(
     threshold: float = 0.85,
     n_tables: int = 8,
     bits_per_table: int = 4,
+    n_buckets: int | None = None,
 ) -> pd.DataFrame:
     """Cosine near-dup, sub-quadratic path: MULTI-TABLE banded sign-LSH.
 
@@ -519,8 +653,15 @@ def embedding_dedup_pairs(
     candidates are the OR-union over tables, so
     P(candidate) = 1 - (1 - p^b)^T with p = 1 - θ/π.  At the default
     (T=8, b=4, threshold 0.85 → p≈0.825) recall ≈ 0.98; every candidate
-    is verified with exact cosine, so precision is exact.  Shuffle
-    volume = T rows per vector (key + unit vector)."""
+    is verified with exact cosine, so precision is exact.
+
+    Scale shape (round-3 rework, mirroring minhash): the shuffle ships
+    (id, table, tkey) ONLY — ~16 bytes × T per vector instead of the
+    unit vector riding all T table rows (the dominant payload, ×T
+    replicated).  Table cells emit bare candidate id pairs, deduped
+    across tables; unit vectors are then recomputed for JUST the
+    candidate ids (np.isin prefilter on a corpus re-read) and each pair
+    is exact-cosine verified inside a distributed verify bucket."""
     from ..functions.hashing import fingerprint64
 
     def planes(dim: int) -> np.ndarray:
@@ -529,6 +670,7 @@ def embedding_dedup_pairs(
 
     state = {}
     weights = (1 << np.arange(bits_per_table, dtype=np.int64))
+    nb = n_buckets or coarse_buckets(ds.count() * n_tables)
 
     def bucket_stage(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
@@ -536,36 +678,62 @@ def embedding_dedup_pairs(
         if "P" not in state:
             state["P"] = planes(unit.shape[1])
         bits = (unit @ state["P"].T) > 0  # (n, T*b)
-        out_id, out_table, out_key, out_vec = [], [], [], []
+        n = len(ids)
+        keys = np.empty(n_tables * n, dtype=np.int64)
         for t in range(n_tables):
-            keys = bits[:, t * bits_per_table:(t + 1) * bits_per_table] @ weights
-            out_id.extend(int(i) for i in ids)
-            out_table.extend([t] * len(ids))
-            out_key.extend(int(k) for k in keys)
-            out_vec.extend(u.tolist() for u in unit)
+            keys[t * n:(t + 1) * n] = (
+                bits[:, t * bits_per_table:(t + 1) * bits_per_table] @ weights
+            )
+        tables = np.repeat(np.arange(n_tables, dtype=np.int64), n)
+        cell = tables * (1 << bits_per_table) + keys
         return pa.table(
             {
-                id_col: pa.array(out_id, pa.int64()),
-                "table": pa.array(out_table, pa.int32()),
-                "tkey": pa.array(out_key, pa.int32()),
-                "unit": pa.array(out_vec, pa.list_(pa.float64())),
+                id_col: pa.array(np.tile(ids, n_tables), pa.int64()),
+                "table": pa.array(tables.astype(np.int32)),
+                "tkey": pa.array(keys.astype(np.int32)),
+                "bb": pa.array(cell % nb, pa.int64()),
             }
         )
 
-    def verify(group: pd.DataFrame) -> pd.DataFrame:
-        rows = group.drop_duplicates(subset=[id_col])
-        if len(rows) < 2:
-            return _empty_cosine_pairs()
-        ids = rows[id_col].to_numpy(dtype=np.int64)
-        U = np.array([np.asarray(u) for u in rows["unit"]])
-        return _cross_pairs(ids, U, ids, U, threshold, within=True)
-
-    out = (
+    cand = (
         ds.map_batches(bucket_stage, batch_format="pyarrow")
-        .groupby(["table", "tkey"])
-        .map_groups(verify, batch_format="pandas")
+        .groupby("bb")
+        .map_groups(
+            lambda g: _pairs_in_cells(g, ["table", "tkey"], id_col),
+            batch_format="pandas",
+        )
         .to_pandas()
     )
+    if cand.empty:
+        return _empty_cosine_pairs()
+    cand = cand.drop_duplicates(subset=["a", "b"])
+
+    def vec_features(batch: pa.Table, bcast) -> pa.Table:
+        cand_arr, bmap = bcast
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        keep = np.flatnonzero(np.isin(ids, cand_arr))
+        out_pb, out_id, out_feat = [], [], []
+        if len(keep):
+            vecs = batch[vec_col].take(pa.array(keep, pa.int64())).to_pylist()
+            unit = _unit_rows(np.array(vecs, dtype=np.float64))
+            for row, u in zip(keep, unit):
+                i = int(ids[row])
+                for p in bmap[i]:
+                    out_pb.append(p)
+                    out_id.append(i)
+                    out_feat.append(u.tolist())
+        return pa.table(
+            {"pb": pa.array(out_pb, pa.int64()),
+             id_col: pa.array(out_id, pa.int64()),
+             "feat": pa.array(out_feat, pa.list_(pa.float64()))}
+        )
+
+    out = _verify_pairs_distributed(
+        ds, cand, vec_features,
+        sim_fn=lambda fa, fb: float(np.dot(fa, fb)),
+        threshold=threshold, id_col=id_col,
+        prep_fn=lambda f: np.asarray(f, dtype=np.float64),
+    ).rename(columns={"sim": "cosine"})
     if out.empty:
         return _empty_cosine_pairs()
     return out.drop_duplicates(subset=["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)

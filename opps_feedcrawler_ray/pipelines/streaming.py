@@ -148,11 +148,12 @@ def top_spender_events(sf_dir: str, k: int = 10) -> pd.DataFrame:
         .rename(columns={"sum(value_e4)": "value_e4"})
     )
     top = totals.sort_values(["value_e4", "user_id"], ascending=[False, True]).head(k)
-    keyset_ref = ray.put(set(int(u) for u in top["user_id"]))
+    keyset_ref = ray.put(np.sort(top["user_id"].to_numpy().astype("int64")))
 
     def semi(batch: pa.Table) -> pa.Table:
         keys = ray.get(keyset_ref)
-        mask = pa.array([int(u) in keys for u in batch["user_id"].to_pylist()])
+        users = batch["user_id"].to_numpy(zero_copy_only=False)
+        mask = pa.array(np.isin(users, keys))
         return batch.select(["event_id", "user_id"]).filter(mask)
 
     return ev.map_batches(semi, batch_format="pyarrow").to_pandas()

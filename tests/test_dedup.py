@@ -89,6 +89,37 @@ def test_ngram_max_df_lower_bound(ray_session, docs_table):
         assert j <= em[(a, b)] + 1e-12
 
 
+def test_coarse_bucket_count_invariance(ray_session):
+    """Coarse-bucket counts are a pure scheduling knob (round-3: derived
+    from input size instead of fixed literals): outputs must be identical
+    under a B sweep, since equal keys always share a bucket."""
+    from opps_feedcrawler_ray.pipelines.dedup import (
+        coarse_buckets,
+        ngram_jaccard_pairs,
+        simhash_dedup,
+    )
+
+    # the derivation itself: bounded below/above, monotone in rows
+    assert coarse_buckets(None) == 64
+    assert coarse_buckets(10) == 64
+    assert coarse_buckets(16384 * 100) == 100
+    assert coarse_buckets(10**12) == 65536
+    ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    sweeps = [7, 64, 1009]
+    mh = [
+        minhash_lsh_dedup(ds, threshold=0.5, return_pairs=True, n_buckets=b)
+        for b in sweeps
+    ]
+    assert mh[0].equals(mh[1]) and mh[1].equals(mh[2])
+    sh = [simhash_dedup(ds, max_hamming=10, n_buckets=b) for b in sweeps]
+    assert sh[0].equals(sh[1]) and sh[1].equals(sh[2])
+    ng = [ngram_jaccard_pairs(ds, threshold=0.5, k_shingle=3, n_buckets=b) for b in sweeps]
+    assert ng[0].equals(ng[1]) and ng[1].equals(ng[2])
+    eds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    el = [embedding_dedup_pairs(eds, threshold=0.5, n_buckets=b) for b in sweeps]
+    assert el[0].equals(el[1]) and el[1].equals(el[2])
+
+
 def test_embedding_allpairs_exact(ray_session):
     t = pq.read_table(f"{SF}/embeddings.parquet")
     V = np.array(t["embedding"].to_pylist(), dtype=np.float64)
