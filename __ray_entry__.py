@@ -309,7 +309,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": A.pricing_summary,
         "supplier_topk": A.supplier_topk,
         "user_event_seq": A.user_event_seq,
+        "user_event_seq_salted": S.user_event_seq_salted,
         "asof_last_purchase": S.asof_last_purchase,
+        "asof_last_purchase_salted": S.asof_last_purchase_salted,
         "sessionize": S.sessionize,
         "sessionize_salted": S.sessionize_salted,
         "top_spender_events": S.top_spender_events,
@@ -318,6 +320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_by_label": A.embeddings_by_label,
         "supplier_nation_builtin": A.supplier_nation_builtin,
         "events_lag_delta": A.events_lag_delta,
+        "events_lag_delta_salted": S.events_lag_delta_salted,
         "orders_monthly": A.orders_monthly,
         "part_type_stats": A.part_type_stats,
         "customer_balance_buckets": A.customer_balance_buckets,
@@ -407,7 +410,17 @@ def oracle_sql() -> dict[str, str]:
             "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq_in_user "
             "FROM events"
         ),
+        "user_event_seq_salted": (
+            "SELECT event_id, user_id, "
+            "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq_in_user "
+            "FROM events"
+        ),
         "asof_last_purchase": (
+            "WITH marks AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase') "
+            "SELECT e.event_id, m.ts AS last_purchase_ts "
+            "FROM events e ASOF LEFT JOIN marks m ON e.user_id = m.user_id AND e.ts >= m.ts"
+        ),
+        "asof_last_purchase_salted": (
             "WITH marks AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase') "
             "SELECT e.event_id, m.ts AS last_purchase_ts "
             "FROM events e ASOF LEFT JOIN marks m ON e.user_id = m.user_id AND e.ts >= m.ts"
@@ -448,6 +461,12 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation ON s_nationkey = n_nationkey"
         ),
         "events_lag_delta": (
+            "SELECT event_id, user_id, "
+            "COALESCE(epoch_us(ts) - LAG(epoch_us(ts)) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id), -1) AS delta_us "
+            "FROM events"
+        ),
+        "events_lag_delta_salted": (
             "SELECT event_id, user_id, "
             "COALESCE(epoch_us(ts) - LAG(epoch_us(ts)) OVER ("
             "PARTITION BY user_id ORDER BY ts, event_id), -1) AS delta_us "

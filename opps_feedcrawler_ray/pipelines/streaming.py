@@ -128,6 +128,255 @@ def sessionize_salted(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     )
 
 
+# ------------------------------------------------- salted per-user ops
+#
+# The sessionize_salted de-skew recipe, generalized to the whole
+# per-user map_groups family (round 3): partition each user's ordered
+# log by DAY so no group ever exceeds one user-day, compute the window
+# locally per (user, day) cell, and make the result exact by routing a
+# small per-(user, day) BOUNDARY row (carry-in state from the user's
+# earlier days) into the same coarse shuffle via Dataset.union.  The
+# boundary table is produced distributed (per-batch partial aggregate →
+# one small user-bucketed shuffle), never broadcast and never
+# driver-materialized, so a mega-user can no longer stall a round.
+
+_US_PER_DAY = 86_400_000_000
+
+
+def _salt_buckets(ev: rd.Dataset) -> int:
+    from .dedup import coarse_buckets
+
+    return coarse_buckets(ev.count())
+
+
+def _union_schema_rows(
+    user_id: np.ndarray, day: np.ndarray, ts_us: np.ndarray,
+    event_id: np.ndarray, etype: np.ndarray, val: np.ndarray, is_b: int,
+) -> pd.DataFrame:
+    n = len(user_id)
+    return pd.DataFrame(
+        {
+            "user_id": pd.Series(user_id, dtype="int64"),
+            "day": pd.Series(day, dtype="int64"),
+            "ts_us": pd.Series(ts_us, dtype="int64"),
+            "event_id": pd.Series(event_id, dtype="int64"),
+            "etype": pd.Series(etype, dtype="int8"),
+            "val": pd.Series(val, dtype="int64"),
+            "is_b": pd.Series(np.full(n, is_b, dtype=np.int8), dtype="int8"),
+        }
+    )
+
+
+def _events_union_rows(batch: pd.DataFrame, purchase_flag: bool) -> pd.DataFrame:
+    ts_us = batch["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    et = (
+        (batch["event_type"].to_numpy() == "purchase").astype(np.int8)
+        if purchase_flag
+        else np.zeros(len(batch), dtype=np.int8)
+    )
+    return _union_schema_rows(
+        batch["user_id"].to_numpy(), ts_us // _US_PER_DAY, ts_us,
+        batch["event_id"].to_numpy(), et, np.zeros(len(batch), dtype=np.int64), 0,
+    )
+
+
+def _day_boundary_rows(
+    ev: rd.Dataset, partial_fn, reducer: str, per_user_fn, nb: int
+) -> rd.Dataset:
+    """Distributed per-(user, day) boundary table: per-batch partial
+    summaries (one row per user-day per batch) → ONE user-bucketed
+    shuffle → per-user day-ordered scan emits carry-in rows in the
+    union schema.  Size ≈ #user-days, a tiny fraction of events."""
+
+    def add_ub(b: pd.DataFrame) -> pd.DataFrame:
+        b["ub"] = b["user_id"] % nb
+        return b
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        day_s = (
+            g.groupby(["user_id", "day"], as_index=False, sort=True)
+            .agg(s=("s", reducer))
+        )
+        outs = []
+        for uid, u in day_s.groupby("user_id", sort=False):
+            days, vals = per_user_fn(u["day"].to_numpy(), u["s"].to_numpy())
+            if len(days):
+                n = len(days)
+                outs.append(_union_schema_rows(
+                    np.full(n, uid, dtype=np.int64), days,
+                    np.full(n, -1, dtype=np.int64), np.full(n, -1, dtype=np.int64),
+                    np.zeros(n, dtype=np.int8), vals, 1,
+                ))
+        if not outs:
+            return _union_schema_rows(*([np.array([], dtype=np.int64)] * 6), 1)
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        ev.map_batches(partial_fn, batch_format="pandas")
+        .map_batches(add_ub, batch_format="pandas")
+        .groupby("ub")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def _run_salted_user_day(
+    events_u: rd.Dataset, boundary: rd.Dataset, cell_fn, empty_fn, nb: int
+) -> pd.DataFrame:
+    """ONE coarse (user, day)-keyed shuffle of the full event log plus
+    the tiny boundary rows; per-task work is bounded by ~rows/nb, and
+    each (user, day) cell sees at most one boundary row."""
+
+    def add_bb(b: pd.DataFrame) -> pd.DataFrame:
+        b["bb"] = (b["user_id"].to_numpy() * 1000003 + b["day"].to_numpy()) % nb
+        return b
+
+    def in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, cell in g.groupby(["user_id", "day"], sort=False):
+            brow = cell.loc[cell["is_b"] == 1, "val"]
+            bval = int(brow.iloc[0]) if len(brow) else None
+            evc = cell[cell["is_b"] == 0]
+            if len(evc):
+                out.append(cell_fn(evc.sort_values(["ts_us", "event_id"]), bval))
+        return pd.concat(out, ignore_index=True) if out else empty_fn()
+
+    return (
+        events_u.union(boundary)
+        .map_batches(add_bb, batch_format="pandas")
+        .groupby("bb")
+        .map_groups(in_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+def user_event_seq_salted(sf_dir: str) -> pd.DataFrame:
+    """Mega-user-safe per-user event sequence numbers: local ranks per
+    (user, day) cell plus a carry-in OFFSET boundary row (cumulative
+    count of the user's earlier days).  Output identical to
+    ``analytics.user_event_seq`` (same DuckDB oracle)."""
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+    nb = _salt_buckets(ev)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(day=b["ts"].astype("datetime64[us]").astype("int64") // _US_PER_DAY)
+        return b.groupby(["user_id", "day"], as_index=False).agg(s=("event_id", "size"))
+
+    def offsets(days: np.ndarray, counts: np.ndarray):
+        off = np.cumsum(counts)[:-1]
+        return days[1:], off  # first day's offset is 0 → no boundary row
+
+    def cell(evc: pd.DataFrame, bval) -> pd.DataFrame:
+        base = bval or 0
+        return pd.DataFrame(
+            {"event_id": evc["event_id"].to_numpy(),
+             "user_id": evc["user_id"].to_numpy(),
+             "seq_in_user": base + np.arange(1, len(evc) + 1, dtype=np.int64)}
+        )
+
+    def empty() -> pd.DataFrame:
+        return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                             "user_id": pd.Series([], dtype="int64"),
+                             "seq_in_user": pd.Series([], dtype="int64")})
+
+    boundary = _day_boundary_rows(ev, partial, "sum", offsets, nb)
+    events_u = ev.map_batches(
+        lambda b: _events_union_rows(b, False), batch_format="pandas"
+    )
+    return _run_salted_user_day(events_u, boundary, cell, empty, nb)
+
+
+def events_lag_delta_salted(sf_dir: str) -> pd.DataFrame:
+    """Mega-user-safe LAG delta: in-cell diffs, with each day's first
+    event closed by a boundary row carrying the PREVIOUS day-with-events'
+    last timestamp.  Output identical to ``analytics.events_lag_delta``."""
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+    nb = _salt_buckets(ev)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(
+            ts_us=b["ts"].astype("datetime64[us]").astype("int64")
+        ).assign(day=lambda d: d["ts_us"] // _US_PER_DAY)
+        return b.groupby(["user_id", "day"], as_index=False).agg(s=("ts_us", "max"))
+
+    def prev_last(days: np.ndarray, last_ts: np.ndarray):
+        return days[1:], last_ts[:-1]
+
+    def cell(evc: pd.DataFrame, bval) -> pd.DataFrame:
+        us = evc["ts_us"].to_numpy()
+        delta = np.empty(len(us), dtype=np.int64)
+        delta[1:] = us[1:] - us[:-1]
+        delta[0] = us[0] - bval if bval is not None else -1
+        return pd.DataFrame(
+            {"event_id": evc["event_id"].to_numpy(),
+             "user_id": evc["user_id"].to_numpy(),
+             "delta_us": delta}
+        )
+
+    def empty() -> pd.DataFrame:
+        return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                             "user_id": pd.Series([], dtype="int64"),
+                             "delta_us": pd.Series([], dtype="int64")})
+
+    boundary = _day_boundary_rows(ev, partial, "max", prev_last, nb)
+    events_u = ev.map_batches(
+        lambda b: _events_union_rows(b, False), batch_format="pandas"
+    )
+    return _run_salted_user_day(events_u, boundary, cell, empty, nb)
+
+
+def asof_last_purchase_salted(sf_dir: str) -> pd.DataFrame:
+    """Mega-user-safe as-of join: in-cell backward-inclusive purchase
+    lookup (searchsorted over the cell's purchase timestamps), seeded by
+    a boundary row carrying the latest purchase timestamp from the
+    user's earlier days (running max, propagated across purchase-free
+    days).  Output identical to :func:`asof_last_purchase`."""
+    ev = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    nb = _salt_buckets(ev)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ts_us = b["ts"].astype("datetime64[us]").astype("int64")
+        b = b.assign(
+            day=ts_us // _US_PER_DAY,
+            # -1 sentinel for "no purchase this row"; max-reduce keeps
+            # any real timestamp over it
+            p=np.where(b["event_type"].to_numpy() == "purchase", ts_us, -1),
+        )
+        return b.groupby(["user_id", "day"], as_index=False).agg(s=("p", "max"))
+
+    def carry(days: np.ndarray, last_p: np.ndarray):
+        run = np.maximum.accumulate(last_p)[:-1]
+        keep = run >= 0
+        return days[1:][keep], run[keep]
+
+    def cell(evc: pd.DataFrame, bval) -> pd.DataFrame:
+        us = evc["ts_us"].to_numpy()
+        purch = us[evc["etype"].to_numpy() == 1]
+        marks = purch if bval is None else np.concatenate(([bval], purch))
+        if len(marks):
+            idx = np.searchsorted(marks, us, side="right") - 1
+            lp = np.where(idx >= 0, marks[np.maximum(idx, 0)], np.int64(-1))
+        else:
+            lp = np.full(len(us), -1, dtype=np.int64)
+        return pd.DataFrame(
+            {"event_id": evc["event_id"].to_numpy(),
+             "last_purchase_ts": pd.Series(
+                 np.where(lp >= 0, lp, np.int64(0)).view("datetime64[us]")
+             ).mask(lp < 0)}
+        )
+
+    def empty() -> pd.DataFrame:
+        return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                             "last_purchase_ts": pd.Series([], dtype="datetime64[us]")})
+
+    boundary = _day_boundary_rows(ev, partial, "max", carry, nb)
+    events_u = ev.map_batches(
+        lambda b: _events_union_rows(b, True), batch_format="pandas"
+    )
+    return _run_salted_user_day(events_u, boundary, cell, empty, nb)
+
+
 def top_spender_events(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Semi join via broadcast key set (J-pattern, ray_guide.md): events
     of the k users with the highest total purchase value.  The top-k set

@@ -54,3 +54,25 @@ def test_sessionize_salted_equals_plain(ray_session):
         plain[["user_id", "n_sessions", "n_events"]],
         salted[["user_id", "n_sessions", "n_events"]],
     )
+
+
+def test_salted_per_user_family_equals_plain(ray_session):
+    """Round-3 de-skew family: the day-partitioned + boundary-row
+    variants of user_event_seq / events_lag_delta / asof_last_purchase
+    must equal their single-group-per-user twins exactly (the salted
+    forms share their oracles)."""
+    import pandas as pd
+
+    from opps_feedcrawler_ray.pipelines import analytics as A
+    from opps_feedcrawler_ray.pipelines import streaming as S
+
+    sf = "/root/testdata/sf0.01"
+    for plain_fn, salted_fn in (
+        (A.user_event_seq, S.user_event_seq_salted),
+        (A.events_lag_delta, S.events_lag_delta_salted),
+        (S.asof_last_purchase, S.asof_last_purchase_salted),
+    ):
+        plain = plain_fn(sf).sort_values("event_id").reset_index(drop=True)
+        salted = salted_fn(sf).sort_values("event_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(plain[sorted(plain.columns)],
+                                      salted[sorted(salted.columns)])
