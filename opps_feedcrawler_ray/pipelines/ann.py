@@ -90,17 +90,108 @@ def _pinned_centroids(dim: int, n_cells: int) -> np.ndarray:
     return _unit(rng.standard_normal((n_cells, dim)))
 
 
+def _mix64(ids: np.ndarray) -> np.ndarray:
+    """Cheap deterministic 64-bit mix (splitmix64 finalizer) for
+    hash-based sampling — no RNG state, stable across runs/partitions."""
+    x = ids.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _train_centroids(
+    ds: rd.Dataset,
+    n_cells: int,
+    vec_col: str,
+    id_col: str,
+    sample_per_cell: int = 256,
+    n_iter: int = 10,
+) -> np.ndarray:
+    """Deterministic spherical k-means over a BOUNDED distributed sample
+    (round-3: replaces the random-hyperplane pseudo-centroids, which on
+    real clustered embeddings made cells wildly unbalanced).
+
+    Sample = the ≤``sample_per_cell × n_cells`` corpus rows with the
+    smallest splitmix64(id) — a hash-ordered reservoir that is exact,
+    order-independent, and collects O(n_cells) rows on the driver no
+    matter the corpus size (each task pre-filters by a broadcastable
+    threshold; only survivors leave the cluster).  Training is seeded
+    k-means++ init + ``n_iter`` Lloyd rounds with spherical
+    renormalization; empty cells reseed to the worst-assigned point, so
+    every centroid stays live."""
+    budget = sample_per_cell * n_cells
+    n = ds.count()
+    frac = min(1.0, (4.0 * budget) / max(n, 1))
+    thresh = np.uint64(min(int(frac * float(2**64 - 1)), 2**64 - 1) & (2**64 - 1))
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _mix64(ids)
+        keep = np.flatnonzero(m <= thresh)
+        vecs = (
+            batch[vec_col].take(pa.array(keep, pa.int64())).to_pylist()
+            if len(keep) else []
+        )
+        return pa.table(
+            {"m": pa.array(m[keep], pa.uint64()),
+             "v": pa.array(vecs, pa.list_(pa.float64()))}
+        )
+
+    samp = ds.map_batches(sample, batch_format="pyarrow").to_pandas()
+    samp = samp.sort_values("m").head(budget)
+    X = _unit(np.array(samp["v"].to_list(), dtype=np.float64))
+    if len(X) < n_cells:  # degenerate tiny corpus: pad with pinned
+        return _pinned_centroids(X.shape[1] if len(X) else 2, n_cells)
+
+    rng = np.random.default_rng(fingerprint64("ivf-kmeans") % (2**32))
+    # kmeans++ (cosine distance = 1 - sim on unit vectors)
+    C = np.empty((n_cells, X.shape[1]))
+    C[0] = X[int(rng.integers(len(X)))]
+    best = X @ C[0]
+    for c in range(1, n_cells):
+        d = np.maximum(1.0 - best, 1e-12)
+        C[c] = X[int(rng.choice(len(X), p=d / d.sum()))]
+        best = np.maximum(best, X @ C[c])
+    for _ in range(n_iter):
+        sims = X @ C.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(n_cells):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.sum(axis=0)
+            else:  # reseed dead cell to the worst-assigned point
+                C[c] = X[int(np.argmin(np.max(sims, axis=1)))]
+        C = _unit(C)
+    return C
+
+
+def _load_centroids(cells_dir: str, dim: int, n_cells: int) -> np.ndarray:
+    """Centroids live next to the layout (written by ivf_build); layouts
+    from before centroid training fall back to the pinned hyperplanes
+    they were built with, keeping build/search assignments consistent."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.normpath(cells_dir)), "centroids.npy")
+    if os.path.exists(path):
+        return np.load(path)
+    return _pinned_centroids(dim, n_cells)
+
+
 def ivf_build(
     ds: rd.Dataset,
     index_dir: str,
     n_cells: int = 16,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> str:
-    """Build the IVF layout ONCE: assign every vector to its pinned
-    centroid cell and write hive-partitioned parquet by cell.  At query
-    time :func:`ivf_search` reads ONLY the probed cells (partition
-    pruning) — the 100 TB shape the round-1 union-probe variant lacked
-    (it scanned the whole corpus before pruning).  Idempotent."""
+    """Build the IVF layout ONCE: train centroids with deterministic
+    spherical k-means over a bounded hash-sample (round-3 — balanced
+    cells and predictable probe recall on clustered embeddings), assign
+    every vector to its nearest-centroid cell, and write
+    hive-partitioned parquet by cell.  At query time :func:`ivf_search`
+    reads ONLY the probed cells (partition pruning) — the 100 TB shape
+    the round-1 union-probe variant lacked (it scanned the whole corpus
+    before pruning).  Idempotent; centroids persist next to the layout."""
     import os
 
     marker = os.path.join(index_dir, "_IVF_BUILT")
@@ -112,18 +203,24 @@ def ivf_build(
                 raise ValueError(f"IVF layout at {index_dir} built with a different n_cells")
         return cells_dir
 
+    C = _train_centroids(ds, n_cells, vec_col, id_col)
+    c_ref = ray.put(C)
+
     def assign(batch: pa.Table) -> pa.Table:
         V = _unit(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
-        C = _pinned_centroids(V.shape[1], n_cells)
-        cell = np.argmax(V @ C.T, axis=1).astype(np.int32)
+        cell = np.argmax(V @ ray.get(c_ref).T, axis=1).astype(np.int32)
         return batch.append_column("cell", pa.array(cell))
 
     # crash-safe rebuild: write_parquet APPENDS, so a half-written layout
     # from a killed build must be cleared before re-running (else the
-    # marker would legitimize duplicated vectors)
+    # marker would legitimize duplicated vectors); centroids are written
+    # BEFORE the marker so a crash between them never yields a marked
+    # layout with missing/mismatched centroids
     import shutil
 
     shutil.rmtree(cells_dir, ignore_errors=True)
+    os.makedirs(index_dir, exist_ok=True)
+    np.save(os.path.join(index_dir, "centroids.npy"), C)
     ds.map_batches(assign, batch_format="pyarrow").write_parquet(
         cells_dir, partition_cols=["cell"]
     )
@@ -147,7 +244,7 @@ def ivf_search(
     import os
 
     q = _unit(np.asarray(queries, dtype=np.float64))
-    cents = _pinned_centroids(q.shape[1], n_cells)
+    cents = _load_centroids(index_dir, q.shape[1], n_cells)
     probe_cells = np.argsort(-(q @ cents.T), axis=1)[:, :n_probe]
     wanted = sorted({int(c) for row in probe_cells for c in row})
     # directory-level pruning: read ONLY the probed cells' partition files

@@ -1,0 +1,62 @@
+"""IVF index quality: trained centroids (deterministic spherical
+k-means, round 3) must give balanced cells and high probe recall vs the
+exact brute-force baseline — the properties random hyperplane
+pseudo-centroids could not guarantee on clustered embeddings."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+import ray.data as rd
+
+SF = "/root/testdata/sf0.1"
+
+
+def _recall_and_balance(tmp_path, n_cells=16, n_probe=4, k=10, n_queries=25):
+    from opps_feedcrawler_ray.pipelines.ann import brute_force_topk, ivf_build, ivf_search
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet")
+    order = {v: i for i, v in enumerate(emb["vec_id"].to_pylist())}
+    queries = np.array(
+        [emb["embedding"][order[q]].as_py() for q in range(n_queries)], dtype=np.float64
+    )
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    cells_dir = ivf_build(ds, str(tmp_path / "ivf"), n_cells=n_cells)
+    exact = brute_force_topk(ds, queries, k=k)
+    approx = ivf_search(cells_dir, queries, k=k, n_cells=n_cells, n_probe=n_probe)
+    recalls = []
+    for qi in range(n_queries):
+        e = set(exact.loc[exact["query_idx"] == qi, "vec_id"])
+        a = set(approx.loc[approx["query_idx"] == qi, "vec_id"])
+        recalls.append(len(e & a) / k)
+    sizes = np.array(
+        [len(g) for _, g in rd.read_parquet(cells_dir).to_pandas().groupby("cell")]
+    )
+    return float(np.mean(recalls)), sizes
+
+
+def test_ivf_trained_recall_and_balance(ray_session, tmp_path):
+    recall, sizes = _recall_and_balance(tmp_path)
+    n = sizes.sum()
+    print(
+        f"\nIVF trained k-means: recall@10={recall:.3f} at n_probe=4/16, "
+        f"cells={len(sizes)}, sizes min/med/max = "
+        f"{sizes.min()}/{int(np.median(sizes))}/{sizes.max()} of {n}"
+    )
+    assert recall >= 0.9, f"probe recall {recall} below 0.9"
+    # balance: no trained cell may swallow most of the corpus (the
+    # hyperplane failure mode); median cell within 4x of fair share
+    assert sizes.max() < 0.5 * n
+    assert len(sizes) >= 8  # most cells live
+
+
+def test_ivf_centroids_deterministic(ray_session, tmp_path):
+    """Same corpus → bit-identical centroids (hash-ordered sample +
+    seeded k-means, no ambient RNG), so a rebuilt index probes the
+    same cells."""
+    from opps_feedcrawler_ray.pipelines.ann import _train_centroids
+
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    c1 = _train_centroids(ds, 16, "embedding", "vec_id")
+    c2 = _train_centroids(ds, 16, "embedding", "vec_id")
+    assert np.array_equal(c1, c2)
