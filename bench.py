@@ -122,20 +122,58 @@ def run_bench() -> dict:
     # ramp for comparison.
     seeds_path = f"{corpus_dir}/seeds.parquet"
     if os.environ.get("BENCH_SEED_MODE", "ext") == "ext":
-        import pyarrow as pa
-        import pyarrow.parquet as _pq
-
-        seeds_path = f"{corpus_dir}/seeds_ext2.parquet"
+        # Ray-Data seed derivation (round 3 — replaced the driver-side
+        # whole-column read): distributed filter + sort; the exact global
+        # "every 2nd sorted URL" slice is done per sorted BLOCK in remote
+        # tasks, with the parity offset derived from block-metadata row
+        # counts — the driver only ever touches refs and counts, never a
+        # URL.  Output is a DIRECTORY of parquet parts (byte-identical
+        # seed set to the old single-file derivation), which the crawl's
+        # seed offer reads with natural block parallelism.
+        seeds_path = f"{corpus_dir}/seeds_ext2_parts"
         if not os.path.exists(seeds_path):
-            t = _pq.read_table(pages, columns=["url"])
-            urls = [u for u in t["url"].to_pylist() if not u.endswith("/robots.txt")]
-            # small row groups → the seed read splits into many blocks and
-            # the canonicalize+offer pass parallelizes without a repartition
-            _pq.write_table(
-                pa.table({"url": pa.array(sorted(urls)[::2], pa.string())}),
-                seeds_path,
-                row_group_size=16384,
+            import numpy as np
+            import pyarrow.compute as pc
+            import pyarrow.parquet as _pq
+            from ray.data.block import BlockAccessor
+
+            def drop_robots(b):
+                return b.filter(
+                    pc.invert(pc.ends_with(b["url"], pattern="/robots.txt"))
+                )
+
+            s = (
+                rd.read_parquet(pages, columns=["url"])
+                .map_batches(drop_robots, batch_format="pyarrow")
+                .sort("url")
             )
+
+            @ray.remote
+            def write_part(block, parity: int, path: str) -> int:
+                t = BlockAccessor.for_block(block).to_arrow()
+                import pyarrow as pa
+
+                idx = np.arange(parity, t.num_rows, 2, dtype=np.int64)
+                _pq.write_table(
+                    t.take(pa.array(idx)), path, row_group_size=16384
+                )
+                return t.num_rows
+
+            tmp = seeds_path + ".tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.makedirs(tmp)
+            offset, refs, part = 0, [], 0
+            for bundle in s.iter_internal_ref_bundles():
+                for block_ref, meta in zip(bundle.block_refs, bundle.metadata):
+                    refs.append(
+                        write_part.remote(
+                            block_ref, (-offset) % 2, f"{tmp}/part-{part:05d}.parquet"
+                        )
+                    )
+                    offset += meta.num_rows
+                    part += 1
+            ray.get(refs)
+            os.rename(tmp, seeds_path)
 
     # warm the page cache (untimed read)
     import pyarrow.parquet as pq
