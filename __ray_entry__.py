@@ -124,6 +124,24 @@ def _q_ngram_jaccard(sf_dir: str):
     return df[["a", "b", "jaccard_e4"]].reset_index(drop=True)
 
 
+def _q_ngram_jaccard_maxdf(sf_dir: str):
+    """Same exact-Jaccard query with the ``max_df`` 100 TB stop-shingle
+    guard ACTIVE (max_df=50).  On the fixtures the max shingle document
+    frequency is <10, so the guard provably drops nothing and the exact
+    DuckDB oracle still applies — this proves the distributed hot-shingle
+    filter path doesn't change answers when it shouldn't."""
+    import numpy as np
+    import ray.data as rd
+
+    from opps_feedcrawler_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    df = ngram_jaccard_pairs(docs, threshold=0.3999, k_shingle=3, max_df=50)
+    df["jaccard_e4"] = np.floor(df["jaccard_e4_raw"] + 0.5).astype("int64")
+    df = df[df["jaccard_e4"] >= 4000]
+    return df[["a", "b", "jaccard_e4"]].reset_index(drop=True)
+
+
 def _q_embedding_dups(sf_dir: str):
     """EXACT all-pairs cosine ≥ 0.5 (triangle block join, recall 1.0) —
     oracle-checked so this query can never silently return empty again.
@@ -338,6 +356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "ngram_jaccard_maxdf": _q_ngram_jaccard_maxdf,
         "embedding_dups": _q_embedding_dups,
         "embedding_dups_lsh": _q_embedding_dups_lsh,
         "ann_cosine_topk": _q_ann,
@@ -351,7 +370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sql = {
         "source_stats": (
             "SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, "
             "ROUND(SUM(n_chars) * 1.0 / COUNT(*), 6) AS avg_chars "
@@ -566,3 +585,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings e CROSS JOIN q) WHERE rn <= 10"
         ),
     }
+    # max_df=50 provably drops nothing on the fixtures (max shingle df < 10),
+    # so the guarded query shares the exact oracle.
+    sql["ngram_jaccard_maxdf"] = sql["ngram_jaccard_pairs"]
+    return sql

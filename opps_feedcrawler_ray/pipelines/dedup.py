@@ -474,7 +474,18 @@ def ngram_jaccard_pairs(
         def only_hot(batch: pa.Table) -> pa.Table:
             import pyarrow.compute as _pc
 
-            return batch.filter(_pc.greater(batch["count()"], max_df))
+            out = batch.filter(_pc.greater(batch["count()"], max_df))
+            if out.num_rows == 0:
+                # emit a TYPED empty block: an all-filtered block otherwise
+                # surfaces with a pickled-object extension schema and Ray
+                # warns about schema-inconsistent bundles
+                sh_t = batch["sh"].type
+                if not pa.types.is_integer(sh_t):
+                    sh_t = pa.int64()
+                return pa.table(
+                    {"sh": pa.array([], sh_t), "count()": pa.array([], pa.int64())}
+                )
+            return out
 
         hot_df = (
             exploded.groupby("sh").count()
