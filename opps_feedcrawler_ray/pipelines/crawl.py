@@ -787,6 +787,15 @@ def crawl(cfg: CrawlConfig) -> dict:
     )
     _phase("ingest")
 
+    # robots sidecar preload happens in each actor's CONSTRUCTOR (parallel
+    # across the pool, overlapped with process spawn, guaranteed before any
+    # offer) — the driver-side robots phase then only runs the no-sidecar
+    # fallback pages scan
+    from ..sources.io import robots_sidecar_path
+
+    _sidecar = robots_sidecar_path(bucketed)
+    if not os.path.exists(_sidecar):
+        _sidecar = None
     actors = [
         FrontierActor.options(num_cpus=cfg.actor_num_cpus).remote(
             i,
@@ -796,6 +805,7 @@ def crawl(cfg: CrawlConfig) -> dict:
             store_exact=cfg.store_exact,
             salt_hosts=cfg.salt_hosts,
             max_pages_per_host=cfg.max_pages_per_host,
+            robots_sidecar=_sidecar,
         )
         for i in range(cfg.num_frontier_actors)
     ]
@@ -865,25 +875,41 @@ def crawl(cfg: CrawlConfig) -> dict:
         if trace:  # split spawn cost out of the robots/seeds timings
             ray.get(_spawn_refs)
             _phase("actor_spawn")
-        _load_robots_into_actors(cfg, actors, bucketed)
+        if _sidecar is None:
+            # no sidecar: fall back to the pages-table robots scan
+            _load_robots_into_actors(cfg, actors, None)
         _phase("robots")
         # split the seed read so canonicalization parallelizes — a single
         # one-row-group seed file reads as ONE block, serializing the whole
         # canonicalize+offer pass into one task.  At real scale a 10^10-URL
         # seed list spans many files (natural block parallelism); the
         # repartition below only triggers for the single-file case.
+        # seed lists (single file OR a flat directory of parquet parts) are
+        # offered via plain parallel slice tasks — a Dataset execution here
+        # costs two executor spin-ups (repartition + offer) of pure constant
+        # time for a side-effect-only pass.  Splitting the read parallelizes
+        # canonicalization even for a one-row-group file.  Driver touches
+        # only file metadata (num_rows per part); at 10^10-seed scale the
+        # slices are per-file and the metadata reads fan out naturally.
         if os.path.isfile(cfg.seeds_path):
-            # single-file seed list: plain parallel slice tasks — a Dataset
-            # here costs two executor spin-ups (repartition + offer) of
-            # pure constant time for a side-effect-only pass
+            seed_files = [cfg.seeds_path]
+        else:
+            import glob as _glob
+
+            seed_files = sorted(
+                _glob.glob(os.path.join(cfg.seeds_path, "**", "*.parquet"),
+                           recursive=True)
+            )
+        if seed_files:
             import pyarrow.parquet as _pqm
 
-            n_rows = _pqm.read_metadata(cfg.seeds_path).num_rows
+            counts = [_pqm.read_metadata(f).num_rows for f in seed_files]
             n_slices = max(2, cfg.num_frontier_actors * 2)
-            step = max(1, -(-n_rows // n_slices))
+            step = max(1, -(-sum(counts) // n_slices))
             refs = [
-                _offer_seed_slice.remote(cfg.seeds_path, s, step, actors, cfg.salt_hosts)
-                for s in range(0, n_rows, step)
+                _offer_seed_slice.remote(f, s, step, actors, cfg.salt_hosts)
+                for f, n in zip(seed_files, counts)
+                for s in range(0, n, step)
             ]
             cfg.stats["seed_offered"] = sum(d["offered"] for d in ray.get(refs))
             seeds = rd.read_parquet(cfg.seeds_path)  # for the recurring pass below

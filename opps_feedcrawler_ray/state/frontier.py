@@ -58,6 +58,7 @@ class FrontierActor:
         store_exact: bool = True,
         salt_hosts: dict[str, int] | None = None,
         max_pages_per_host: int | None = None,
+        robots_sidecar: str | None = None,
     ) -> None:
         self.shard_id = shard_id
         self.num_shards = num_shards
@@ -111,6 +112,34 @@ class FrontierActor:
         # prevents double-queueing; rebuilt from the heap on restore
         self._recurring_pending: dict[str, set[int]] = {}
         self._result_tokens: set[int] = set()
+        if robots_sidecar is not None:
+            self._load_robots_sidecar(robots_sidecar)
+
+    def _load_robots_sidecar(self, path: str) -> None:
+        """Shard-local robots preload in the CONSTRUCTOR (round-3): actor
+        methods can never run before ``__init__``, so offers are guaranteed
+        to see the rules — without any driver-side barrier.  The parse work
+        runs in parallel across the pool, overlapped with process spawn,
+        collapsing the driver's sequential robots phase to ~0.  Keeps a
+        host's rules iff this shard serves any of its (sub-)queues (salted
+        hosts replicate to every sub-shard target, mirroring the driver
+        loader's ``_salted_robots_targets``).  Scale note: every actor reads
+        the whole sidecar (one small host→body table); at 10^8-host scale
+        the sidecar should be hash-partitioned by host so each shard reads
+        only its row groups — the filter below is already shard-local."""
+        if not os.path.exists(path):
+            return
+        t = pq.read_table(path)
+        for host, body in zip(t["host"].to_pylist(), t["body"].to_pylist()):
+            k = self.salt_hosts.get(host)
+            mine = fingerprint64(host) % self.num_shards == self.shard_id
+            if k and not mine:
+                mine = any(
+                    fingerprint64(f"{host}#{j}") % self.num_shards == self.shard_id
+                    for j in range(k)
+                )
+            if mine:
+                self.robots[host] = parse_robots(body)
 
     # ------------------------------------------------------------ warmup
     def warmup(self) -> int:

@@ -46,6 +46,63 @@ def test_canonicalize_idempotent_and_stable(scheme, host, port, path, query, fra
     assert surt_form(c) == surt_form(c)
 
 
+@given(
+    scheme=st.sampled_from(["http", "https", "HTTP", "hTTp", "ftp"]),
+    host=st.from_regex(r"[A-Za-z0-9_.\-]{1,12}", fullmatch=True),
+    port=st.sampled_from(["", ":80", ":443", ":0080", ":8080", ":"]),
+    path=st.from_regex(r"(/(\.|\.\.|[A-Za-z0-9._~%\- ]{0,6})){0,4}/?", fullmatch=True),
+    query=st.sampled_from(["", "?", "?a=1", "?a=%2f", "?a?b", "?%zz", "? x"]),
+    tail=st.sampled_from(["", "#f", "\n", " ", "\t"]),
+    lead=st.sampled_from(["", " ", "\n"]),
+)
+@settings(max_examples=500, deadline=None)
+def test_fast_canon_equals_full_path(scheme, host, port, path, query, tail, lead):
+    """The _fast_canon regex shortcut must be byte-identical to the full
+    RFC 3986 path WHENEVER it claims a match (falling back is always
+    allowed; answering differently never is)."""
+    from opps_feedcrawler_ray.functions import urlnorm
+
+    u = f"{lead}{scheme}://{host}{port}{path}{query}{tail}"
+    f = urlnorm._fast_canon(u)
+    if f is not None:
+        c = urlnorm.canonicalize_url(u)
+        assert c is not None
+        assert f == (c, urlnorm.surt_form(c), urlnorm.extract_host(c))
+
+
+def test_fast_canon_directed_edges():
+    """Boundary cases for the fast path: each must either fall back or
+    agree exactly with the full path."""
+    from opps_feedcrawler_ray.functions import urlnorm
+
+    cases = [
+        "http://example.com",              # empty path -> '/'
+        "http://example.com?q=1",          # empty path + query
+        "http://example.com/a.html",       # dot inside segment stays fast
+        "http://example.com/a/./b",        # dot-segment -> fallback
+        "http://example.com/a/../b",       # dotdot -> fallback
+        "http://example.com/...",          # triple dot -> conservative fallback
+        "http://example.com./a",           # trailing-dot host -> fallback
+        "http://EXAMPLE.com/a",            # uppercase host -> fallback
+        "http://example.com:80/a",         # default port -> fallback
+        "http://example.com:8080/a",       # explicit port -> fallback
+        "http://user@example.com/a",       # userinfo -> fallback
+        "http://example.com/a%2Fb",        # pct -> fallback
+        "http://example.com/a?",           # bare '?' -> fallback
+        "http://example.com/a#f",          # fragment -> fallback
+        "http://example.com/a\n",          # trailing newline
+        "http://example.com/a b",          # space in path -> fallback
+        "https://h/",
+        "https://my_host.test/x",
+    ]
+    for u in cases:
+        f = urlnorm._fast_canon(u)
+        c = urlnorm.canonicalize_url(u)
+        if f is not None:
+            assert c is not None, u
+            assert f == (c, urlnorm.surt_form(c), urlnorm.extract_host(c)), u
+
+
 @given(st.text(max_size=200))
 @settings(max_examples=200, deadline=None)
 def test_fingerprint_deterministic(s):
