@@ -58,6 +58,10 @@ QUERY_NAMES = [
     "doc_md5",
     "ann_ivf_partitioned",
     "sessionize_salted",
+    "user_event_seq_salted",
+    "asof_last_purchase_salted",
+    "events_lag_delta_salted",
+    "ngram_jaccard_maxdf",
 ]
 
 
