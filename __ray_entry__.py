@@ -343,6 +343,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_type_stats": A.part_type_stats,
         "customer_balance_buckets": A.customer_balance_buckets,
         "doc_md5": A.doc_md5,
+        "events_moving_sum3": A.events_moving_sum3,
+        "orders_rank_in_segment": A.orders_rank_in_segment,
+        "doc_regex_count": A.doc_regex_count,
+        "nation_balance_stats": A.nation_balance_stats,
         # crawl-engine operators
         "url_canonicalize": A.url_canonicalize,
         "topk_per_group": A.topk_per_group,
@@ -511,6 +515,45 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_md5": (
             "SELECT doc_id, md5(text) AS md5_hex FROM documents"
+        ),
+        "events_moving_sum3": (
+            # 3-row sliding window over half-up e2 integers: exact sum,
+            # deterministic (ts, event_id) order
+            "SELECT event_id, user_id, "
+            "CAST(SUM(v) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS msum_e2 "
+            "FROM (SELECT event_id, user_id, ts, "
+            "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v FROM events)"
+        ),
+        "orders_rank_in_segment": (
+            "SELECT c_mktsegment, o_orderkey, price_e2, rnk FROM ("
+            "SELECT c.c_mktsegment, o.o_orderkey, "
+            "CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS price_e2, "
+            "RANK() OVER (PARTITION BY c.c_mktsegment "
+            "ORDER BY CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) DESC) AS rnk "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey) "
+            "WHERE rnk <= 10"
+        ),
+        "doc_regex_count": (
+            # RE2 on both sides (DuckDB regexp_* and pyarrow
+            # count_substring_regex): identical match semantics
+            "SELECT doc_id, n_the FROM ("
+            "SELECT doc_id, CAST(len(regexp_extract_all(lower(text), "
+            "'\\bthe\\b')) AS BIGINT) AS n_the FROM documents) WHERE n_the > 0"
+        ),
+        "nation_balance_stats": (
+            # population variance from integer partial sums; final double
+            # expression mirrors the Ray side term-for-term
+            "SELECT c_nationkey, n_cust, sum_e2, "
+            "CAST(FLOOR((CAST(sumsq AS DOUBLE) * n_cust - "
+            "CAST(sum_e2 AS DOUBLE) * sum_e2) / "
+            "(CAST(n_cust AS DOUBLE) * n_cust) + 0.5) AS BIGINT) AS var_e4 FROM ("
+            "SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, "
+            "COUNT(*) AS n_cust, "
+            "CAST(SUM(v) AS BIGINT) AS sum_e2, CAST(SUM(v * v) AS BIGINT) AS sumsq "
+            "FROM (SELECT c_nationkey, "
+            "CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS v FROM customer) "
+            "GROUP BY c_nationkey)"
         ),
         "topk_per_group": (
             "SELECT lang, doc_id, n_chars FROM ("

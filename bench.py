@@ -61,7 +61,10 @@ QUERY_NAMES = [
     "user_event_seq_salted",
     "asof_last_purchase_salted",
     "events_lag_delta_salted",
-    "ngram_jaccard_maxdf",
+    "events_moving_sum3",
+    "orders_rank_in_segment",
+    "doc_regex_count",
+    "nation_balance_stats",
 ]
 
 

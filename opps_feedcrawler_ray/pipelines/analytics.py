@@ -509,6 +509,128 @@ def doc_md5(sf_dir: str) -> rd.Dataset:
     return docs.map_batches(fn, batch_format="pyarrow")
 
 
+def events_moving_sum3(sf_dir: str) -> pd.DataFrame:
+    """Sliding-window aggregate (ROWS BETWEEN 2 PRECEDING AND CURRENT
+    ROW): per-user 3-row moving sum of value_e2, ordered by (ts,
+    event_id).  Integer e2 values make the window sum order-independent
+    and hash-exact vs the oracle.  Scale note: the per-user ``map_groups``
+    accepts the same day-salt + 2-row boundary-carry rework as the
+    ``*_salted`` family (streaming.py) when a mega-user appears."""
+    ev = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        # half-up e2: identical FLOOR(x*100 + 0.5) expression on both sides
+        v = np.floor(g["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+        m = v.copy()
+        if len(m) > 1:
+            m[1:] += v[:-1]
+        if len(m) > 2:
+            m[2:] += v[:-2]
+        return pd.DataFrame(
+            {"event_id": g["event_id"].to_numpy(),
+             "user_id": g["user_id"].to_numpy(),
+             "msum_e2": m}
+        )
+
+    return ev.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+
+
+def orders_rank_in_segment(sf_dir: str) -> pd.DataFrame:
+    """RANK() with ties per market segment over a broadcast join, kept
+    scale-shaped by a COMBINER: each batch keeps only rows whose price is
+    among its local top-10 DISTINCT prices per segment (a row with global
+    rank ≤ 10 has < 10 distinct prices above it globally, hence locally —
+    so the prefilter is lossless); the exact tie-aware rank then runs in
+    a small per-segment group."""
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    cust = pd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    cust = cust.rename(columns={"c_custkey": "o_custkey"})
+    joined = broadcast_join(orders, cust, on="o_custkey")
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["price_e2"] = np.floor(
+            df["o_totalprice"].to_numpy() * 100.0 + 0.5
+        ).astype("int64")
+        keep = []
+        for seg, g in df.groupby("c_mktsegment"):
+            cut = np.sort(g["price_e2"].unique())[::-1][:10][-1]
+            keep.append(g[g["price_e2"] >= cut])
+        out = pd.concat(keep) if keep else df.iloc[:0]
+        return pa.Table.from_pandas(
+            out[["c_mktsegment", "o_orderkey", "price_e2"]], preserve_index=False
+        )
+
+    def rank_seg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["rnk"] = (
+            g["price_e2"].rank(method="min", ascending=False).astype("int64")
+        )
+        g = g[g["rnk"] <= 10].sort_values(["rnk", "o_orderkey"])
+        return g[["c_mktsegment", "o_orderkey", "price_e2", "rnk"]]
+
+    return (
+        joined.map_batches(local_top, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .map_groups(rank_seg, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+def doc_regex_count(sf_dir: str) -> rd.Dataset:
+    """Vectorized regex search: per-doc non-overlapping match count of a
+    word pattern, fully inside Arrow compute (RE2 — the same engine
+    DuckDB's regexp functions use, so counts agree exactly)."""
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(
+            pc.utf8_lower(batch["text"]), pattern=r"\bthe\b"
+        )
+        t = pa.table(
+            {"doc_id": batch["doc_id"], "n_the": pc.cast(n, pa.int64())}
+        )
+        return t.filter(pc.greater(t["n_the"], 0))
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def nation_balance_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-nation count / sum / population variance of account balances
+    from INTEGER partial sums (n, Σv, Σv²) pre-aggregated per batch
+    (combiner → one tiny groupby) — the numerically-exact distributed
+    variance shape; the final double expression mirrors the oracle
+    term-for-term so the e4 value hashes bit-equal."""
+    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_nationkey", "c_acctbal"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        v = np.floor(df["c_acctbal"].to_numpy() * 100.0 + 0.5).astype("int64")
+        df = pd.DataFrame({"c_nationkey": df["c_nationkey"].astype("int64"),
+                           "n_cust": 1, "sum_e2": v, "sumsq": v * v})
+        g = df.groupby("c_nationkey", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    df = (
+        cust.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .sum(["n_cust", "sum_e2", "sumsq"])
+        .to_pandas()
+        .rename(columns={"sum(n_cust)": "n_cust", "sum(sum_e2)": "sum_e2",
+                         "sum(sumsq)": "sumsq"})
+    )
+    n = df["n_cust"].to_numpy().astype("float64")
+    s = df["sum_e2"].to_numpy().astype("float64")
+    q = df["sumsq"].to_numpy().astype("float64")
+    df["var_e4"] = np.floor((q * n - s * s) / (n * n) + 0.5).astype("int64")
+    return df[["c_nationkey", "n_cust", "sum_e2", "var_e4"]]
+
+
 def sample_docs(sf_dir: str) -> rd.Dataset:
     """O4: seeded sampling (rows-only check — sampling is engine-defined)."""
     return rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang"]).random_sample(
