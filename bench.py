@@ -65,6 +65,8 @@ QUERY_NAMES = [
     "orders_rank_in_segment",
     "doc_regex_count",
     "nation_balance_stats",
+    "ngram_jaccard_pairs",
+    "ngram_jaccard_maxdf",
 ]
 
 

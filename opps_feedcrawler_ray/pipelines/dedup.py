@@ -429,10 +429,15 @@ def ngram_jaccard_pairs(
                 out_id.append(i)
                 out_sh.append(s)
                 out_n.append(len(sh))
+        # shingle hashes are uint64; REINTERPRET the bits as int64 — values
+        # ≥ 2^63 otherwise overflow Ray's aggregate key rebuild ("Python int
+        # too large to convert to C long") and whole blocks silently fall
+        # back to pickled-python-object columns (measured ~100× slowdown)
+        sh64 = np.array(out_sh, dtype=np.uint64).view(np.int64)
         return pa.table(
             {
                 id_col: pa.array(out_id, pa.int64()),
-                "sh": pa.array(out_sh, pa.uint64()),
+                "sh": pa.array(sh64, pa.int64()),
                 "n_sh": pa.array(out_n, pa.int64()),
             }
         )
@@ -493,9 +498,9 @@ def ngram_jaccard_pairs(
             .to_pandas()
         )
         # an all-filtered (empty) result can come back schema-less
-        hot = set(hot_df["sh"].astype("uint64")) if "sh" in hot_df.columns else set()
+        hot = set(hot_df["sh"].astype("int64")) if "sh" in hot_df.columns else set()
         if hot:
-            hot_ref = ray.put(np.array(sorted(hot), dtype=np.uint64))
+            hot_ref = ray.put(np.array(sorted(hot), dtype=np.int64))
 
             def drop_hot(batch: pa.Table) -> pa.Table:
                 h = ray.get(hot_ref)
@@ -503,24 +508,36 @@ def ngram_jaccard_pairs(
                 return batch.filter(pa.array(~np.isin(sh, h)))
 
             exploded = exploded.map_batches(drop_hot, batch_format="pyarrow")
-    def jaccard_threshold(batch: pa.Table) -> pa.Table:
+    def add_pb(batch: pa.Table) -> pa.Table:
+        # coarse PAIR bucket: a Ray aggregate keyed on the raw (a, b, na,
+        # nb) tuple creates one group per pair — ~all-distinct keys, and
+        # Ray's per-group overhead made that stage ~100× slower than the
+        # same sum in pandas (242 s → <2 s at sf0.1).  Hash pairs into nb
+        # buckets instead; the per-pair sum + threshold run vectorized
+        # inside each bucket task (equal pairs always share a bucket).
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        p = (a * 1000003 + b) % nb
+        return batch.append_column("pb", pa.array(p.astype("int64")))
+
+    def sum_threshold(g: pd.DataFrame) -> pd.DataFrame:
         # DISTRIBUTED Jaccard + threshold cut, directly downstream of the
         # pair-count shuffle: only qualifying pairs leave the cluster.
         # pre-rounding e4 float computed with the exact expression the
         # DuckDB oracle uses (shared*10000.0/union) so half-up rounding
         # matches bit-for-bit on both sides.
-        name = "sum(shared)" if "sum(shared)" in batch.column_names else "shared"
-        shared = batch[name].to_numpy(zero_copy_only=False).astype("float64")
-        na = batch["na"].to_numpy(zero_copy_only=False).astype("float64")
-        nbq = batch["nb"].to_numpy(zero_copy_only=False).astype("float64")
+        co = g.groupby(["a", "b", "na", "nb"], as_index=False)["shared"].sum()
+        shared = co["shared"].to_numpy().astype("float64")
+        na = co["na"].to_numpy().astype("float64")
+        nbq = co["nb"].to_numpy().astype("float64")
         union = na + nbq - shared
         j = shared / union
         keep = j >= threshold
-        return pa.table(
-            {"a": pa.array(batch["a"].to_numpy(zero_copy_only=False)[keep], pa.int64()),
-             "b": pa.array(batch["b"].to_numpy(zero_copy_only=False)[keep], pa.int64()),
-             "jaccard": pa.array(j[keep], pa.float64()),
-             "jaccard_e4_raw": pa.array((shared * 10000.0 / union)[keep], pa.float64())}
+        return pd.DataFrame(
+            {"a": co["a"].to_numpy()[keep].astype("int64"),
+             "b": co["b"].to_numpy()[keep].astype("int64"),
+             "jaccard": j[keep],
+             "jaccard_e4_raw": (shared * 10000.0 / union)[keep]}
         )
 
     out = (
@@ -528,9 +545,9 @@ def ngram_jaccard_pairs(
         .map_batches(add_shbucket, batch_format="pyarrow")
         .groupby("shb")
         .map_groups(pairs_in_bucket, batch_format="pandas")
-        .groupby(["a", "b", "na", "nb"])
-        .sum("shared")
-        .map_batches(jaccard_threshold, batch_format="pyarrow")
+        .map_batches(add_pb, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(sum_threshold, batch_format="pandas")
         .to_pandas()
     )
     if out.empty or "a" not in out.columns:
