@@ -146,28 +146,39 @@ def distinct_users(sf_dir: str) -> pd.DataFrame:
     per task.  Two-stage instead — both shuffles key on high-cardinality
     composites, no group ever exceeds O(1) rows:
 
-      1. combiner + ``groupby([event_type, user_id]).count()`` → one row per
-         distinct (type, user) pair carrying its event count;
-      2. combiner + ``groupby(event_type).sum()`` over the (already tiny)
-         pair rows → n_users = pair count, n_events = sum of counts.
+      1. combiner + a COARSE-BUCKET shuffle on ``user_id % B`` with the
+         per-(type, user) sum done in pandas inside each bucket task — a
+         Ray aggregate keyed on the raw pair would create ~one group per
+         distinct pair (the near-all-distinct-key pathology: ~100 µs of
+         per-group overhead each); equal pairs share a bucket because the
+         bucket depends only on user_id;
+      2. combiner + ``groupby(event_type).sum()`` over ≤ |types| rows per
+         batch → n_users = pair count, n_events = sum of counts.
     """
+    from .dedup import coarse_buckets
+
     ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "user_id"])
+    nb = coarse_buckets(ev.count(), rows_per_task=65536)
 
     def combine_pairs(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas().groupby(
             ["event_type", "user_id"], as_index=False
         ).size().rename(columns={"size": "n"})
+        df["__b"] = (df["user_id"].to_numpy() % nb).astype("int64")
         return pa.Table.from_pandas(df, preserve_index=False)
+
+    def sum_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["event_type", "user_id"], as_index=False)["n"].sum()
 
     pairs = (
         ev.map_batches(combine_pairs, batch_format="pyarrow")
-        .groupby(["event_type", "user_id"])
-        .sum("n")
+        .groupby("__b")
+        .map_groups(sum_pairs, batch_format="pandas")
     )
 
     def combine_types(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas().groupby("event_type", as_index=False).agg(
-            n_users=("sum(n)", "size"), n_events=("sum(n)", "sum")
+            n_users=("n", "size"), n_events=("n", "sum")
         )
         return pa.Table.from_pandas(df, preserve_index=False)
 

@@ -473,28 +473,21 @@ def ngram_jaccard_pairs(
     if max_df is not None:
         import ray
 
-        # document frequency per shingle; the > max_df filter runs
-        # DISTRIBUTED so only the (tiny) hot-shingle set ever reaches the
-        # driver — never one row per distinct shingle
-        def only_hot(batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as _pc
-
-            out = batch.filter(_pc.greater(batch["count()"], max_df))
-            if out.num_rows == 0:
-                # emit a TYPED empty block: an all-filtered block otherwise
-                # surfaces with a pickled-object extension schema and Ray
-                # warns about schema-inconsistent bundles
-                sh_t = batch["sh"].type
-                if not pa.types.is_integer(sh_t):
-                    sh_t = pa.int64()
-                return pa.table(
-                    {"sh": pa.array([], sh_t), "count()": pa.array([], pa.int64())}
-                )
-            return out
+        # document frequency per shingle via the coarse shingle-bucket
+        # shuffle (a Ray aggregate keyed on raw ``sh`` would build ~one
+        # group per DISTINCT shingle — the near-all-distinct-key
+        # pathology); the per-shingle count and the > max_df filter run in
+        # pandas inside each bucket task, so only the (tiny) hot-shingle
+        # set ever reaches the driver — never one row per distinct shingle
+        def hot_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            co = g.groupby("sh", as_index=False).size()
+            co = co[co["size"] > max_df]
+            return pd.DataFrame({"sh": co["sh"].to_numpy().astype("int64")})
 
         hot_df = (
-            exploded.groupby("sh").count()
-            .map_batches(only_hot, batch_format="pyarrow")
+            exploded.map_batches(add_shbucket, batch_format="pyarrow")
+            .groupby("shb")
+            .map_groups(hot_in_bucket, batch_format="pandas")
             .to_pandas()
         )
         # an all-filtered (empty) result can come back schema-less
