@@ -160,21 +160,40 @@ def _verify_pairs_distributed(
 
 
 # --------------------------------------------------------------- exact
-def exact_dedup(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id") -> rd.Dataset:
+def exact_dedup(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> rd.Dataset:
     """First-seen-wins exact dedup by normalized content fingerprint.
-    Survivor = min(id) per content hash (deterministic, order-free)."""
+    Survivor = min(id) per content hash (deterministic, order-free).
+    ``n_buckets`` bounds per-task memory to ~corpus/n_buckets rows — size
+    it up for larger corpora (output is bucket-count-invariant; equal
+    fingerprints always share a bucket)."""
 
     def add_hash(batch: pa.Table) -> pa.Table:
         fps = doc_fingerprint(batch[text_col].to_pylist())
-        return batch.append_column("__fp", pa.array(fps, pa.uint64()))
+        # int64 bit-reinterpret (hashes ≥ 2^63 overflow Ray's aggregate /
+        # pandas-block key handling into pickled-object columns) and a
+        # coarse bucket so the shuffle doesn't create one group per
+        # DISTINCT document (near-all-distinct-key pathology: per-group
+        # overhead dwarfs the actual min-id work)
+        fp64 = np.array(fps, dtype=np.uint64).view(np.int64)
+        t = batch.append_column("__fp", pa.array(fp64, pa.int64()))
+        return t.append_column(
+            "__fb", pa.array((fp64 % n_buckets).astype("int64"))
+        )
 
-    def first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(id_col).head(1).drop(columns=["__fp"])
+    def first_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        # min(id) per fingerprint, vectorized across the whole bucket
+        out = group.sort_values(id_col).drop_duplicates(subset="__fp")
+        return out.drop(columns=["__fp", "__fb"])
 
     return (
         ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("__fp")
-        .map_groups(first, batch_format="pandas")
+        .groupby("__fb")
+        .map_groups(first_in_bucket, batch_format="pandas")
     )
 
 
