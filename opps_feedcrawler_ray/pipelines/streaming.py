@@ -79,6 +79,7 @@ def sessionize_salted(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     Output is identical to :func:`sessionize` (same DuckDB oracle)."""
     ev = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "event_id"])
     gap = pd.Timedelta(minutes=gap_minutes)
+    nb = _salt_buckets(ev)
 
     def add_keys(batch: pd.DataFrame) -> pd.DataFrame:
         batch["day"] = batch["ts"].dt.floor("D")
@@ -87,7 +88,7 @@ def sessionize_salted(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
         # one Ray group per cell would mean 100k+ tiny groups
         batch["bb"] = (
             batch["user_id"].to_numpy() * 1000003 + batch["day"].astype("int64")
-        ) % 256
+        ) % nb
         return batch
 
     def chunks_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -104,7 +105,7 @@ def sessionize_salted(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
         )
 
     def add_user_bucket(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["ub"] = batch["user_id"] % 256
+        batch["ub"] = batch["user_id"] % nb
         return batch
 
     def merge_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
