@@ -332,6 +332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_last_purchase_salted": S.asof_last_purchase_salted,
         "sessionize": S.sessionize,
         "sessionize_salted": S.sessionize_salted,
+        "events_range_join_count": S.events_range_join_count,
         "top_spender_events": S.top_spender_events,
         "revenue_by_nation": S.revenue_by_nation,
         "hll_distinct_users": _q_hll_distinct,
@@ -515,6 +516,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_md5": (
             "SELECT doc_id, md5(text) AS md5_hex FROM documents"
+        ),
+        "events_range_join_count": (
+            # range join: equality key (user) + half-open trailing window
+            "SELECT e.event_id, e.user_id, ("
+            "SELECT COUNT(*) FROM events p WHERE p.user_id = e.user_id "
+            "AND p.ts >= e.ts - INTERVAL 1 HOUR AND p.ts < e.ts"
+            ") AS n_prev_1h FROM events e"
         ),
         "events_moving_sum3": (
             # 3-row sliding window over half-up e2 integers: exact sum,

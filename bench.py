@@ -67,6 +67,7 @@ QUERY_NAMES = [
     "nation_balance_stats",
     "ngram_jaccard_pairs",
     "ngram_jaccard_maxdf",
+    "events_range_join_count",
 ]
 
 

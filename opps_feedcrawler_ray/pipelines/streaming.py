@@ -438,3 +438,54 @@ def revenue_by_nation(sf_dir: str) -> pd.DataFrame:
         .rename(columns={"sum(n_orders)": "n_orders", "sum(revenue_e2)": "revenue_e2"})
     )
     return out[["n_name", "n_orders", "revenue_e2"]]
+
+
+def events_range_join_count(sf_dir: str, window_hours: int = 1) -> pd.DataFrame:
+    """RANGE JOIN (equality key + time-interval predicate — the join
+    class as-of/semi/broadcast/shuffle don't cover): for each event,
+    count the SAME user's events with ``ts ∈ [e.ts − window, e.ts)``.
+
+    Distributed shape: a range join with an equality key partitions by
+    that key — one coarse user-bucket shuffle; inside a bucket each
+    user's sorted timestamp vector answers all of that user's window
+    counts via two binary searches per event (np.searchsorted), so
+    per-bucket cost is O(n log n) in bucket rows, never O(n²).  A
+    mega-user spanning the window bound would get the day-partition +
+    boundary-carry treatment of the ``*_salted`` family; the window
+    carry here would be the trailing ``window`` of the previous
+    partition.
+
+    Exactness vs the oracle: the half-open window [ts − w, ts) excludes
+    the event itself and any equal-timestamp peers, matching the SQL
+    predicate ``p.ts >= e.ts - w AND p.ts < e.ts`` with 'left'-side
+    searchsorted on both bounds."""
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+    nb = _salt_buckets(ev)
+    w_us = np.int64(window_hours) * 3_600_000_000
+
+    def add_ub(b: pd.DataFrame) -> pd.DataFrame:
+        b["ub"] = (b["user_id"].to_numpy() % nb).astype("int64")
+        return b
+
+    def count_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        out = np.empty(len(g), dtype=np.int64)
+        uid = g["user_id"].to_numpy()
+        for seg in np.split(np.arange(len(g)), np.flatnonzero(uid[1:] != uid[:-1]) + 1):
+            seg_ts = ts[seg]
+            lo = np.searchsorted(seg_ts, seg_ts - w_us, side="left")
+            hi = np.searchsorted(seg_ts, seg_ts, side="left")
+            out[seg] = hi - lo
+        return pd.DataFrame(
+            {"event_id": g["event_id"].to_numpy(),
+             "user_id": uid,
+             "n_prev_1h": out}
+        )
+
+    return (
+        ev.map_batches(add_ub, batch_format="pandas")
+        .groupby("ub")
+        .map_groups(count_in_bucket, batch_format="pandas")
+        .to_pandas()
+    )
