@@ -56,7 +56,20 @@ _WS_RUN = re.compile(r"[ \t\r\f\v]+")
 
 
 def normalize_ws(s: str) -> str:
-    """The frozen whitespace normalization (last step of every extractor)."""
+    """The frozen whitespace normalization (last step of every extractor).
+
+    Fast path (byte-identical, property-tested): when the text has no
+    exotic ASCII blanks, collapsing space runs via C-speed ``str.split``
+    replaces the regex sub (~2× on page-sized text).  Unicode whitespace
+    is deliberately untouched mid-line and stripped at line edges by
+    ``strip()`` — exactly like the regex path."""
+    if "\t" not in s and "\r" not in s and "\f" not in s and "\v" not in s:
+        out = []
+        for ln in s.split("\n"):
+            t = " ".join(x for x in ln.split(" ") if x).strip()
+            if t:
+                out.append(t)
+        return "\n".join(out)
     s = _WS_RUN.sub(" ", s)
     lines = [ln.strip() for ln in s.split("\n")]
     return "\n".join(ln for ln in lines if ln)
@@ -175,9 +188,139 @@ def detect_kind(url: str, body: bytes | str) -> str:
     return "html"
 
 
+# --- fast HTML tokenizer (round-3 perf path; byte-identical subset) ---
+#
+# html.parser costs ~1.2 ms/page and dominates round CPU (~68% measured).
+# For PROVABLY-SIMPLE documents a single compiled-regex token scan
+# reproduces _TextExtractor's event stream exactly; anything outside the
+# subset falls back to html.parser, so output is always byte-identical
+# (pinned by the fast-vs-full property test and the frozen goldens).
+#
+# Fast-path preconditions (checked before scanning):
+#   * no "<!" / "<?" — no comments, doctypes, CDATA sections, PIs;
+#   * every "<" and ">" belongs to a STRICTLY well-formed tag
+#     (`</name >` end tags, `<name a=b c="d" ... /?>` start tags with
+#     quoted values free of <>); any stray bracket, exotic tag name, or
+#     tolerant-parsing corner (html.parser accepts far more) → fallback.
+#     Enforced positionally: any inter-tag gap containing "<" or ">"
+#     aborts the scan.
+#
+# In-subset equivalences replicated exactly:
+#   * character references: html.parser (convert_charrefs=True) passes
+#     each text run up to the next "<" through ``html.unescape`` and
+#     unescapes attribute values the same way — the scan applies the
+#     SAME function to gaps/values containing "&";
+#   * <script>/<style> switch html.parser into CDATA content mode; the
+#     scan skips to the first well-formed matching end tag and treats
+#     everything between as raw data (always inside a dropped region,
+#     since both tags are DROP_TAGS).  A malformed/absent closer → fallback.
+#
+# Replicated _TextExtractor subtleties (deliberate, see its handlers):
+# <a href> values are collected even inside dropped regions; block-tag
+# newlines are emitted inside dropped regions too; a self-closing tag
+# emits ONE newline and never touches the drop depth.
+_FAST_TAG_RE = re.compile(
+    r"<(?:"
+    r"/(?P<ename>[a-zA-Z][a-zA-Z0-9]*)\s*"
+    r"|"
+    r"(?P<name>[a-zA-Z][a-zA-Z0-9]*)"
+    r"(?P<attrs>(?:\s+[a-zA-Z_:][\-a-zA-Z0-9_:.]*"
+    r"(?:\s*=\s*(?:\"[^\"<>]*\"|'[^'<>]*'|[^\s\"'<>`=]+))?)*)"
+    r"\s*(?P<selfclose>/?)"
+    r")>"
+)
+_FAST_HREF_RE = re.compile(
+    r"([a-zA-Z_:][\-a-zA-Z0-9_:.]*)"
+    r"(?:\s*=\s*(?:\"([^\"<>]*)\"|'([^'<>]*)'|([^\s\"'<>`=]+)))?"
+)
+_FAST_CDATA_END = {
+    "script": re.compile(r"</\s*script\s*>", re.I),
+    "style": re.compile(r"</\s*style\s*>", re.I),
+}
+
+
+def _fast_extract_html(s: str) -> tuple[list[str], list[str]] | None:
+    """(parts, hrefs) identical to _TextExtractor for the simple subset,
+    or None to request the full html.parser path."""
+    if "<!" in s or "<?" in s:
+        return None
+    parts: list[str] = []
+    hrefs: list[str] = []
+    drop = 0
+    pos = 0
+    m = _FAST_TAG_RE.search(s, pos)
+    while m is not None:
+        gap = s[pos : m.start()]
+        if "<" in gap or ">" in gap:
+            return None
+        if drop == 0 and gap:
+            parts.append(_html.unescape(gap) if "&" in gap else gap)
+        pos = m.end()
+        ename = m.group("ename")
+        if ename is not None:
+            tag = ename.lower()
+            if tag in DROP_TAGS:
+                if tag not in VOID_TAGS and drop > 0:
+                    drop -= 1
+            elif tag in BLOCK_TAGS:
+                parts.append("\n")
+            m = _FAST_TAG_RE.search(s, pos)
+            continue
+        tag = m.group("name").lower()
+        if tag == "a":
+            for am in _FAST_HREF_RE.finditer(m.group("attrs")):
+                if am.group(1).lower() == "href":
+                    v = am.group(2)
+                    if v is None:
+                        v = am.group(3)
+                    if v is None:
+                        v = am.group(4)
+                    if v:
+                        hrefs.append(_html.unescape(v) if "&" in v else v)
+        if m.group("selfclose"):
+            if tag in BLOCK_TAGS:
+                parts.append("\n")
+            m = _FAST_TAG_RE.search(s, pos)
+            continue
+        if tag in DROP_TAGS:
+            if tag not in VOID_TAGS:
+                drop += 1
+        elif tag in BLOCK_TAGS:
+            parts.append("\n")
+        if tag in _FAST_CDATA_END:
+            # CDATA content mode: raw data (no tag parsing, no charref
+            # conversion) up to the first WELL-FORMED matching end tag;
+            # the content is always suppressed (drop > 0 — both tags are
+            # DROP_TAGS).  html.parser tolerates mismatched "</script…"
+            # lookalikes by emitting them as (suppressed) data and
+            # scanning on, which skipping to the full match reproduces.
+            em = _FAST_CDATA_END[tag].search(s, pos)
+            if em is None:
+                return None  # unterminated CDATA → EOF semantics: fallback
+            if drop == 0:  # unreachable for script/style; keep faithful
+                raw = s[pos : em.start()]
+                if raw:
+                    parts.append(raw)
+            # the end tag itself: handle_endtag(script|style) → drop -= 1
+            if drop > 0:
+                drop -= 1
+            pos = em.end()
+        m = _FAST_TAG_RE.search(s, pos)
+    tail = s[pos:]
+    if "<" in tail or ">" in tail:
+        return None
+    if drop == 0 and tail:
+        parts.append(_html.unescape(tail) if "&" in tail else tail)
+    return parts, hrefs
+
+
 def extract_html_text(body: bytes | str) -> str:
+    s = decode_bytes(body)
+    fast = _fast_extract_html(s)
+    if fast is not None:
+        return normalize_ws("".join(fast[0]))
     p = _TextExtractor()
-    p.feed(decode_bytes(body))
+    p.feed(s)
     p.close()
     return normalize_ws("".join(p.parts))
 
@@ -268,6 +411,18 @@ def extract_text(url: str, body: bytes | str, kind: str | None = None) -> str:
     return extract_html_text(body)
 
 
+# absolute hrefs for which ``urljoin(base, href) == href`` PROVABLY holds
+# (fuzz-verified + property-tested): lowercase http(s) scheme, plain
+# domain-ish netloc, no whitespace/backslash (urlsplit strips \t\n\r), no
+# "#" (no fragment to drop), no ";" (urljoin's params round-trip drops a
+# trailing empty param), query non-empty if present (a bare trailing "?"
+# is dropped by the round-trip).  ~35 µs of urllib per link → one regex.
+_ABS_HREF_RE = re.compile(
+    r"^https?://[A-Za-z0-9._\-]+(?::[0-9]+)?"
+    r"(?:/[^\\\s?#;]*)?(?:\?[^\\\s#;]+)?$"
+)
+
+
 def _finalize_links(url: str, raw: list[str]) -> list[str]:
     out: list[str] = []
     seen: set[str] = set()
@@ -275,9 +430,12 @@ def _finalize_links(url: str, raw: list[str]) -> list[str]:
         href = href.strip()
         if not href or href.startswith("#"):
             continue
-        absu = urljoin(url, href).split("#", 1)[0]
-        if not absu.startswith(("http://", "https://")):
-            continue
+        if _ABS_HREF_RE.match(href):
+            absu = href
+        else:
+            absu = urljoin(url, href).split("#", 1)[0]
+            if not absu.startswith(("http://", "https://")):
+                continue
         if absu not in seen:
             seen.add(absu)
             out.append(absu)
@@ -308,8 +466,12 @@ def extract_page(url: str, body: bytes | str, kind: str | None = None) -> tuple[
                 if href:
                     raw.append(href)
         return text, _finalize_links(url, raw)
+    s = decode_bytes(body)
+    fast = _fast_extract_html(s)
+    if fast is not None:
+        return normalize_ws("".join(fast[0])), _finalize_links(url, fast[1])
     p = _TextExtractor()
-    p.feed(decode_bytes(body))
+    p.feed(s)
     p.close()
     return normalize_ws("".join(p.parts)), _finalize_links(url, p.hrefs)
 
@@ -333,8 +495,12 @@ def parse_links(url: str, body: bytes | str, kind: str | None = None) -> list[st
                 if href:
                     raw.append(href)
     else:
-        p = _LinkExtractor()
-        p.feed(text)
-        p.close()
-        raw = p.hrefs
+        fast = _fast_extract_html(text)
+        if fast is not None:
+            raw = fast[1]
+        else:
+            p = _LinkExtractor()
+            p.feed(text)
+            p.close()
+            raw = p.hrefs
     return _finalize_links(url, raw)

@@ -103,6 +103,96 @@ def test_fast_canon_directed_edges():
             assert f == (c, urlnorm.surt_form(c), urlnorm.extract_host(c)), u
 
 
+_HTML_PIECES = st.sampled_from(
+    [
+        "plain text ",
+        "x > y ",
+        "a < b ",
+        "&amp; ",
+        "&",
+        "<p>", "</p>", "<P>", "</ p>",
+        "<div class=\"x\">", "</div>",
+        "<a href=\"http://h.test/a\">", "<a href='rel/b'>", "<a href=bare>",
+        "<a HREF=\"http://h.test/c\" href=\"http://h.test/d\">",
+        "<a href=\"\">", "<a>", "</a>",
+        "<br>", "<br/>", "<hr />",
+        "<head>", "</head>", "<title>t</title>",
+        "<script>var a = 1 < 2;</script>", "<style>a{}</style>",
+        "<noscript>", "</noscript>", "<svg>", "</svg>",
+        "<!-- comment -->", "<!DOCTYPE html>", "<?php x ?>",
+        "<img src=\"i.png\"/>", "<span data-x='1'>", "</span>",
+        "<weird-tag>", "<a href=\"x>y\">", "<a href =\"q\" >",
+        "<ul><li>item</li></ul>", "text\nwith\nnewlines ",
+        "<p", "p>", "</", "<>", "< a>",
+    ]
+)
+
+
+@given(st.lists(_HTML_PIECES, min_size=0, max_size=12))
+@settings(max_examples=400, deadline=None)
+def test_fast_html_extract_equals_parser(pieces):
+    """The regex fast tokenizer must be byte-identical to the
+    html.parser path whenever it claims a match (None = fallback is
+    always allowed; a differing answer never is) — for BOTH the text and
+    the href list."""
+    from html.parser import HTMLParser  # noqa: F401  (documents intent)
+
+    from opps_feedcrawler_ray.functions import extract as ex
+
+    s = "".join(pieces)
+    fast = ex._fast_extract_html(s)
+    if fast is None:
+        return
+    p = ex._TextExtractor()
+    p.feed(s)
+    p.close()
+    assert "".join(fast[0]) == "".join(p.parts), s
+    assert fast[1] == p.hrefs, s
+
+
+@given(
+    st.text(
+        alphabet=" \t\r\f\v\n\xa0\x85 ab.!",
+        max_size=120,
+    )
+)
+@settings(max_examples=400, deadline=None)
+def test_normalize_ws_fast_equals_regex(s):
+    """normalize_ws's str.split fast path must equal the frozen regex
+    definition byte-for-byte, including unicode-whitespace edges."""
+    import re as _re
+
+    from opps_feedcrawler_ray.functions.extract import normalize_ws
+
+    ws_run = _re.compile(r"[ \t\r\f\v]+")
+    ref = "\n".join(
+        ln for ln in (x.strip() for x in ws_run.sub(" ", s).split("\n")) if ln
+    )
+    assert normalize_ws(s) == ref
+
+
+@given(
+    st.text(
+        alphabet="ab1/?&=._~%-:;@!$'()*+,#\\ \tA",
+        max_size=30,
+    ),
+    st.sampled_from(["http://", "https://", "HTTP://", ""]),
+)
+@settings(max_examples=500, deadline=None)
+def test_abs_href_fast_path_equals_urljoin(tail, scheme):
+    """_ABS_HREF_RE may only claim hrefs for which urljoin is the
+    identity (after the fragment-strip the slow path applies)."""
+    from urllib.parse import urljoin
+
+    from opps_feedcrawler_ray.functions.extract import _ABS_HREF_RE
+
+    href = scheme + tail
+    if _ABS_HREF_RE.match(href):
+        base = "http://base.example/dir/page?q=1"
+        assert urljoin(base, href) == href
+        assert "#" not in href  # fast path never needs the fragment strip
+
+
 @given(st.text(max_size=200))
 @settings(max_examples=200, deadline=None)
 def test_fingerprint_deterministic(s):
