@@ -348,6 +348,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rank_in_segment": A.orders_rank_in_segment,
         "doc_regex_count": A.doc_regex_count,
         "nation_balance_stats": A.nation_balance_stats,
+        "events_median_value": A.events_median_value,
+        "customer_no_big_order": A.customer_no_big_order,
+        "doc_token_counts": A.doc_token_counts,
+        "orders_pivot_month_segment": A.orders_pivot_month_segment,
+        "purchase_click_users": A.purchase_click_users,
+        "tfidf_top_terms": A.tfidf_top_terms,
         # crawl-engine operators
         "url_canonicalize": A.url_canonicalize,
         "topk_per_group": A.topk_per_group,
@@ -634,6 +640,58 @@ def oracle_sql() -> dict[str, str]:
             "ROW_NUMBER() OVER (PARTITION BY q.query_idx ORDER BY "
             "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) DESC, e.vec_id ASC) AS rn "
             "FROM embeddings e CROSS JOIN q) WHERE rn <= 10"
+        ),
+        "events_median_value": (
+            # 2*median is integer-exact for odd (2a) and even (a+b) sizes
+            "SELECT event_type, COUNT(*) AS n, "
+            "CAST(2 * median(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) "
+            "AS med2_e2 FROM events GROUP BY event_type"
+        ),
+        "customer_no_big_order": (
+            "SELECT c_custkey, c_mktsegment FROM customer WHERE NOT EXISTS ("
+            "SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+            "AND o_totalprice > 450000)"
+        ),
+        "doc_token_counts": (
+            "SELECT t AS token, COUNT(*) AS n FROM ("
+            "SELECT unnest(string_split(text, ' ')) AS t FROM documents) "
+            "WHERE t <> '' GROUP BY t"
+        ),
+        "orders_pivot_month_segment": (
+            "SELECT strftime(o_orderdate, '%Y-%m') AS month, "
+            + ", ".join(
+                "CAST(COALESCE(SUM(CASE WHEN c_mktsegment = '{0}' THEN "
+                "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) END), 0) "
+                "AS BIGINT) AS rev_{1}_e2".format(s, s.lower())
+                for s in (
+                    "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"
+                )
+            )
+            + " FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY strftime(o_orderdate, '%Y-%m')"
+        ),
+        "purchase_click_users": (
+            "SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 99 "
+            "INTERSECT "
+            "SELECT user_id FROM events WHERE event_type = 'click' AND value > 99"
+        ),
+        "tfidf_top_terms": (
+            # rank on the ROUNDED integer score (+ token asc) so the
+            # ordering never depends on float comparison of raw tf-idf
+            "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t "
+            "FROM documents), "
+            "tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM toks WHERE t <> '' "
+            "GROUP BY doc_id, t), "
+            "df AS (SELECT t, COUNT(*) AS nd FROM tf GROUP BY t), "
+            "n AS (SELECT COUNT(*) AS n FROM documents) "
+            "SELECT doc_id, token, tfidf_e4 FROM ("
+            "SELECT tf.doc_id, tf.t AS token, "
+            "CAST(FLOOR(tf.tf * ln(CAST(n.n AS DOUBLE) / df.nd) * 10000 + 0.5) "
+            "AS BIGINT) AS tfidf_e4, "
+            "ROW_NUMBER() OVER (PARTITION BY tf.doc_id ORDER BY "
+            "CAST(FLOOR(tf.tf * ln(CAST(n.n AS DOUBLE) / df.nd) * 10000 + 0.5) "
+            "AS BIGINT) DESC, tf.t ASC) AS rn "
+            "FROM tf JOIN df ON tf.t = df.t CROSS JOIN n) WHERE rn <= 3"
         ),
     }
     # max_df=50 provably drops nothing on the fixtures (max shingle df < 10),

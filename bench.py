@@ -68,6 +68,12 @@ QUERY_NAMES = [
     "ngram_jaccard_pairs",
     "ngram_jaccard_maxdf",
     "events_range_join_count",
+    "events_median_value",
+    "customer_no_big_order",
+    "doc_token_counts",
+    "orders_pivot_month_segment",
+    "purchase_click_users",
+    "tfidf_top_terms",
 ]
 
 
@@ -258,12 +264,28 @@ def run_bench() -> dict:
     }
 
 
+# The --scaling levels run a 2× corpus (1.6M pages vs the 800k headline):
+# the round-3 extract fast path cut per-URL work ~2×, which shrank the
+# 800k corpus below the round-dominated regime the efficiency measurement
+# needs (fixed per-round phases ate ~30% of a 28 s rounds phase).  The
+# north rule's reference regime is a 10^10-URL frontier — scaling is
+# measured at the largest round-dominated configuration the sandbox can
+# hold, while the headline corpus stays fixed for round-over-round
+# comparability.
+SCALING_PAGES = int(os.environ.get("BENCH_SCALING_PAGES", "1600000"))
+
+
 def run_child(ncpu: int) -> dict:
     # kill any stray ray daemons from earlier runs — leftovers hold cores
     # and skew the pinned measurement
     subprocess.run(["ray", "stop", "--force"], capture_output=True)
     time.sleep(2)
-    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SKIP_QUERIES="1")
+    env = dict(
+        os.environ,
+        RAY_GRAFT_CPUS=str(ncpu),
+        BENCH_SKIP_QUERIES="1",
+        BENCH_PAGES=str(SCALING_PAGES),
+    )
     # taskset pins the WHOLE Ray process tree to ncpu physical cores — the
     # honest single-box emulation of an ncpu-node cluster (zero-cpu actors
     # cannot spill onto idle cores and inflate the small-cluster number)
@@ -309,7 +331,7 @@ def scaling() -> None:
     # consolidated best-measured section above it is curated by hand)
     stamp = (
         "\n## Latest `--scaling` run (auto-stamped; see BENCH_SCALING_RUNS.jsonl for history)\n\n"
-        f"- corpus: {BENCH_HOSTS} hosts × {BENCH_PAGES} pages (+roots/robots), "
+        f"- corpus: {BENCH_HOSTS} hosts × {SCALING_PAGES} pages (+roots/robots), "
         f"~11 KB pages, 12 outlinks, mild Zipf; seed list = every 2nd corpus "
         f"URL (round-dominated regime per the north_star's large-seed-list "
         f"spec); crawl config: objstore fetch (broadcast bucket tables, "

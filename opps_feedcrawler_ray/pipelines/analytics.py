@@ -647,3 +647,288 @@ def sample_docs(sf_dir: str) -> rd.Dataset:
     return rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang"]).random_sample(
         0.2, seed=42
     )
+
+
+def events_median_value(sf_dir: str) -> pd.DataFrame:
+    """Distributed EXACT median per event type via an integer value
+    HISTOGRAM: per-batch (event_type, v_e2)→count combiners, a
+    coarse-bucket pandas sum (a Ray aggregate keyed on the raw pair
+    would hit the near-all-distinct-key pathology), then the quantile
+    walk over the merged histogram.  Scale shape: the shuffled payload
+    is bounded by the DISTINCT-value count of the integer e2 domain —
+    not the row count — so a 100 TB events table reduces to the same
+    ~|domain| histogram before anything reaches the driver.  2*median
+    is an exact integer for both odd (2a) and even (a+b) group sizes,
+    so the value hashes bit-equal vs DuckDB's quantile_cont(0.5)."""
+    from .dedup import coarse_buckets
+
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "value"])
+    nb = coarse_buckets(ev.count(), rows_per_task=65536)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["v_e2"] = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+        g = df.groupby(["event_type", "v_e2"], as_index=False).agg(
+            n=("v_e2", "size")
+        )
+        g["__b"] = (g["v_e2"].to_numpy() % nb).astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def sum_hist(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["event_type", "v_e2"], as_index=False)["n"].sum()
+
+    hist = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(sum_hist, batch_format="pandas")
+        .to_pandas()  # ≤ |distinct e2 values| rows — bounded by domain, not data
+    )
+    out = []
+    for et, g in hist.groupby("event_type"):
+        g = g.sort_values("v_e2")
+        v = g["v_e2"].to_numpy()
+        c = g["n"].to_numpy()
+        n = int(c.sum())
+        cum = np.cumsum(c)
+        if n % 2:
+            med2 = 2 * int(v[np.searchsorted(cum, n // 2 + 1)])
+        else:
+            med2 = int(v[np.searchsorted(cum, n // 2)]) + int(
+                v[np.searchsorted(cum, n // 2 + 1)]
+            )
+        out.append((et, n, med2))
+    return pd.DataFrame(out, columns=["event_type", "n", "med2_e2"])
+
+
+def customer_no_big_order(sf_dir: str) -> pd.DataFrame:
+    """Distributed ANTI JOIN (NOT EXISTS) as a bucketed one-exchange
+    shuffle: both sides hash-partition on the join key; a left row
+    survives iff its bucket holds no right-side key.  Unlike the
+    broadcast-keyset anti-join (top_spender_events), this shape holds
+    when the right side is itself too large to broadcast; the right
+    side is pre-filtered AND pre-distincted per batch (combiner) so
+    only unique keys enter the exchange."""
+    from .dedup import coarse_buckets
+
+    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    nb = coarse_buckets(cust.count(), rows_per_task=65536)
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        k = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "key": pa.array(k, pa.int64()),
+                "c_mktsegment": pc.cast(batch["c_mktsegment"], pa.string()),
+                "side": pa.array(np.zeros(len(k), dtype=np.int8)),
+                "__b": pa.array((k % nb).astype("int64")),
+            }
+        )
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater(batch["o_totalprice"], 450000.0))
+        k = np.unique(t["o_custkey"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "key": pa.array(k, pa.int64()),
+                "c_mktsegment": pa.array([None] * len(k), pa.string()),
+                "side": pa.array(np.ones(len(k), dtype=np.int8)),
+                "__b": pa.array((k % nb).astype("int64")),
+            }
+        )
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        right = g.loc[g["side"] == 1, "key"].to_numpy()
+        left = g[g["side"] == 0]
+        keep = left.loc[
+            ~np.isin(left["key"].to_numpy(), right), ["key", "c_mktsegment"]
+        ]
+        return keep.rename(columns={"key": "c_custkey"})
+
+    return (
+        cust.map_batches(tag_left, batch_format="pyarrow")
+        .union(orders.map_batches(tag_right, batch_format="pyarrow"))
+        .groupby("__b")
+        .map_groups(anti, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+def doc_token_counts(sf_dir: str) -> pd.DataFrame:
+    """flat_map / UNNEST: explode whitespace-delimited tokens entirely
+    inside Arrow compute (split_pattern → list_flatten → value_counts —
+    zero per-row Python), per-batch count combiners, then one small
+    groupby-sum keyed on the token.  A token lives wholly in its hash
+    partition, so a per-partition top-k combiner (orders_rank_in_segment
+    style) composes losslessly when the vocabulary outgrows the driver."""
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(batch["text"], pattern=" "))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = pc.value_counts(toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks)
+        return pa.table(
+            {
+                "token": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    df = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .sum("n")
+        .to_pandas()
+        .rename(columns={"sum(n)": "n"})
+    )
+    return df.sort_values(["n", "token"], ascending=[False, True]).reset_index(drop=True)
+
+
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+def orders_pivot_month_segment(sf_dir: str) -> pd.DataFrame:
+    """PIVOT: month × market-segment revenue matrix.  Broadcast the tiny
+    customer→segment map, pivot each batch into the FIXED column set
+    (combiner — the wide layout exists before the shuffle), then one
+    groupby-sum over ~|months| keys.  Integer e2 revenue end-to-end."""
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice", "o_orderdate"]
+    )
+    cust = pd.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    ).rename(columns={"c_custkey": "o_custkey"})
+    joined = broadcast_join(orders, cust, on="o_custkey")
+    cols = [f"rev_{s.lower()}_e2" for s in _SEGMENTS]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["month"] = df["o_orderdate"].dt.strftime("%Y-%m")
+        df["e2"] = np.floor(df["o_totalprice"].to_numpy() * 100.0 + 0.5).astype("int64")
+        p = df.pivot_table(
+            index="month", columns="c_mktsegment", values="e2",
+            aggfunc="sum", fill_value=0,
+        ).reindex(columns=_SEGMENTS, fill_value=0)
+        p.columns = cols
+        p = p.reset_index()
+        for c in cols:
+            p[c] = p[c].astype("int64")
+        return pa.Table.from_pandas(p, preserve_index=False)
+
+    df = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("month")
+        .sum(cols)
+        .to_pandas()
+        .rename(columns={f"sum({c})": c for c in cols})
+    )
+    return df[["month"] + cols]
+
+
+def purchase_click_users(sf_dir: str) -> pd.DataFrame:
+    """INTERSECT: users present in BOTH the high-value purchase set and
+    the high-value click set.  Per-batch membership-flag partials
+    OR-combine through one groupby keyed on user_id — the exchanged
+    payload is bounded by |distinct users|, never event rows."""
+    ev = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "event_type", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(
+            pc.and_(
+                pc.greater(batch["value"], 99.0),
+                pc.is_in(
+                    batch["event_type"],
+                    value_set=pa.array(["purchase", "click"]),
+                ),
+            )
+        )
+        df = t.to_pandas()
+        df["is_p"] = (df["event_type"] == "purchase").astype("int64")
+        df["is_c"] = (df["event_type"] == "click").astype("int64")
+        g = df.groupby("user_id", as_index=False).agg(
+            is_p=("is_p", "max"), is_c=("is_c", "max")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    df = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .max(["is_p", "is_c"])
+        .to_pandas()
+        .rename(columns={"max(is_p)": "is_p", "max(is_c)": "is_c"})
+    )
+    df = df[(df["is_p"] > 0) & (df["is_c"] > 0)].sort_values("user_id")
+    return df[["user_id"]].reset_index(drop=True)
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """TF-IDF top-k terms per document in TWO streaming passes and ZERO
+    data-sized shuffles: (1) document-frequency partials per batch →
+    one groupby bounded by |vocabulary|; (2) re-stream the docs, join
+    the broadcast idf table per batch, score and take the local top-k —
+    a document never spans batches, so tf and the top-k are batch-local.
+    Ordering key is the ROUNDED integer score (+ token asc), so ranking
+    is float-order-free on both sides of the oracle."""
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    n_docs = docs.count()
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern(batch["text"], pattern=" ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        out = pd.DataFrame(
+            {
+                "doc_id": np.repeat(
+                    batch["doc_id"].to_numpy(zero_copy_only=False), lens
+                ),
+                "token": flat.to_pandas(),
+            }
+        )
+        return out[out["token"] != ""]
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        d = explode(batch).drop_duplicates()
+        g = d.groupby("token", as_index=False).agg(nd=("doc_id", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    dfreq = (
+        docs.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("token")
+        .sum("nd")
+        .to_pandas()
+        .rename(columns={"sum(nd)": "nd"})
+    )
+    dfreq["idf"] = np.log(float(n_docs) / dfreq["nd"].to_numpy().astype("float64"))
+    idf = dfreq[["token", "idf"]]
+
+    def score(batch: pa.Table) -> pa.Table:
+        tf = (
+            explode(batch)
+            .groupby(["doc_id", "token"], as_index=False)
+            .agg(tf=("token", "size"))
+            .merge(idf, on="token")
+        )
+        tf["tfidf_e4"] = np.floor(
+            tf["tf"].to_numpy() * tf["idf"].to_numpy() * 1e4 + 0.5
+        ).astype("int64")
+        top = (
+            tf.sort_values(
+                ["doc_id", "tfidf_e4", "token"], ascending=[True, False, True]
+            )
+            .groupby("doc_id")
+            .head(k)
+        )
+        return pa.Table.from_pandas(
+            top[["doc_id", "token", "tfidf_e4"]], preserve_index=False
+        )
+
+    return (
+        docs.map_batches(score, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["doc_id", "tfidf_e4", "token"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )

@@ -1,0 +1,139 @@
+"""Round-3 operator additions: distributed exact median (value
+histogram), bucketed anti-join, Arrow-native token explode, pivot, and
+set-intersect — each checked against an independent driver-side pandas
+recomputation on sf0.001 (the DuckDB oracle runs in the driver's
+correctness harness; these tests pin the semantics locally)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_events_median_value_matches_pandas(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import events_median_value
+
+    got = events_median_value(SF).sort_values("event_type").reset_index(drop=True)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "value"])
+    ev["v"] = np.floor(ev["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+    exp = (
+        ev.groupby("event_type")
+        .agg(n=("v", "size"), med2_e2=("v", lambda s: int(round(2 * s.median()))))
+        .reset_index()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_customer_no_big_order_matches_pandas(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import customer_no_big_order
+
+    got = customer_no_big_order(SF).sort_values("c_custkey").reset_index(drop=True)
+    cust = pd.read_parquet(f"{SF}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    orders = pd.read_parquet(f"{SF}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    big = set(orders.loc[orders["o_totalprice"] > 450000.0, "o_custkey"])
+    exp = (
+        cust[~cust["c_custkey"].isin(big)]
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0  # predicate chosen to be selective, not degenerate
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_doc_token_counts_matches_pandas(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import doc_token_counts
+
+    got = doc_token_counts(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    toks = pd.Series(
+        [t for s in docs["text"].dropna() for t in s.split(" ") if t != ""]
+    )
+    exp = (
+        toks.value_counts()
+        .rename_axis("token")
+        .reset_index(name="n")
+        .sort_values(["n", "token"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_orders_pivot_matches_pandas(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import (
+        _SEGMENTS,
+        orders_pivot_month_segment,
+    )
+
+    got = orders_pivot_month_segment(SF).sort_values("month").reset_index(drop=True)
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    cust = pd.read_parquet(f"{SF}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    df = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    df["month"] = df["o_orderdate"].dt.strftime("%Y-%m")
+    df["e2"] = np.floor(df["o_totalprice"].to_numpy() * 100.0 + 0.5).astype("int64")
+    exp = (
+        df.pivot_table(
+            index="month", columns="c_mktsegment", values="e2",
+            aggfunc="sum", fill_value=0,
+        )
+        .reindex(columns=_SEGMENTS, fill_value=0)
+        .reset_index()
+        .sort_values("month")
+        .reset_index(drop=True)
+    )
+    exp.columns = ["month"] + [f"rev_{s.lower()}_e2" for s in _SEGMENTS]
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_purchase_click_users_matches_pandas(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import purchase_click_users
+
+    got = purchase_click_users(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "event_type", "value"])
+    hot = ev[ev["value"] > 99.0]
+    p = set(hot.loc[hot["event_type"] == "purchase", "user_id"])
+    c = set(hot.loc[hot["event_type"] == "click", "user_id"])
+    exp = pd.DataFrame({"user_id": sorted(p & c)})
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_tfidf_top_terms_matches_pandas(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import tfidf_top_terms
+
+    got = tfidf_top_terms(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    rows = []
+    for _, r in docs.iterrows():
+        toks = [t for t in (r["text"] or "").split(" ") if t != ""]
+        for t in set(toks):
+            rows.append((r["doc_id"], t, toks.count(t)))
+    tf = pd.DataFrame(rows, columns=["doc_id", "token", "tf"])
+    df = tf.groupby("token", as_index=False).agg(nd=("doc_id", "size"))
+    df["idf"] = np.log(float(len(docs)) / df["nd"].to_numpy())
+    tf = tf.merge(df[["token", "idf"]], on="token")
+    tf["tfidf_e4"] = np.floor(
+        tf["tf"].to_numpy() * tf["idf"].to_numpy() * 1e4 + 0.5
+    ).astype("int64")
+    exp = (
+        tf.sort_values(["doc_id", "tfidf_e4", "token"], ascending=[True, False, True])
+        .groupby("doc_id")
+        .head(3)[["doc_id", "token", "tfidf_e4"]]
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert got.groupby("doc_id").size().max() <= 3
+
+
+def test_anti_join_bucket_sweep_invariant(ray_session, monkeypatch):
+    """Survivor set must not depend on the coarse-bucket count (pure
+    scheduling knob)."""
+    from opps_feedcrawler_ray.pipelines import analytics as A
+    from opps_feedcrawler_ray.pipelines import dedup as D
+
+    base = A.customer_no_big_order(SF).sort_values("c_custkey").reset_index(drop=True)
+    monkeypatch.setattr(D, "coarse_buckets", lambda *a, **k: 7)
+    swept = A.customer_no_big_order(SF).sort_values("c_custkey").reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, swept)
