@@ -354,6 +354,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_pivot_month_segment": A.orders_pivot_month_segment,
         "purchase_click_users": A.purchase_click_users,
         "tfidf_top_terms": A.tfidf_top_terms,
+        "customer_big_order_counts": A.customer_big_order_counts,
+        "heavy_hitter_tokens": A.heavy_hitter_tokens,
         # crawl-engine operators
         "url_canonicalize": A.url_canonicalize,
         "topk_per_group": A.topk_per_group,
@@ -692,6 +694,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(FLOOR(tf.tf * ln(CAST(n.n AS DOUBLE) / df.nd) * 10000 + 0.5) "
             "AS BIGINT) DESC, tf.t ASC) AS rn "
             "FROM tf JOIN df ON tf.t = df.t CROSS JOIN n) WHERE rn <= 3"
+        ),
+        "customer_big_order_counts": (
+            "SELECT c_custkey, c_mktsegment, COUNT(o_custkey) AS n_big "
+            "FROM customer LEFT JOIN ("
+            "SELECT o_custkey FROM orders WHERE o_totalprice > 450000) o "
+            "ON o_custkey = c_custkey GROUP BY c_custkey, c_mktsegment"
+        ),
+        "heavy_hitter_tokens": (
+            # the Ray side uses a Misra-Gries sketch + exact re-count;
+            # provably equal to this exact-count threshold query
+            "WITH tc AS (SELECT t AS token, COUNT(*) AS n FROM ("
+            "SELECT unnest(string_split(text, ' ')) AS t FROM documents) "
+            "WHERE t <> '' GROUP BY t) "
+            "SELECT token, n FROM tc "
+            "WHERE n * 100 > (SELECT CAST(SUM(n) AS BIGINT) FROM tc) * 2"
         ),
     }
     # max_df=50 provably drops nothing on the fixtures (max shingle df < 10),

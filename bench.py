@@ -74,6 +74,8 @@ QUERY_NAMES = [
     "orders_pivot_month_segment",
     "purchase_click_users",
     "tfidf_top_terms",
+    "customer_big_order_counts",
+    "heavy_hitter_tokens",
 ]
 
 

@@ -863,6 +863,145 @@ def purchase_click_users(sf_dir: str) -> pd.DataFrame:
     return df[["user_id"]].reset_index(drop=True)
 
 
+def customer_big_order_counts(sf_dir: str) -> pd.DataFrame:
+    """LEFT OUTER join as a bucketed one-exchange shuffle with zero-fill:
+    every customer row survives, carrying its count of high-value orders
+    (0 when none — the rows the inner join would drop).  The right side
+    pre-aggregates per batch (combiner), so the exchange ships per-key
+    partial counts, not order rows."""
+    from .dedup import coarse_buckets
+
+    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    nb = coarse_buckets(cust.count(), rows_per_task=65536)
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        k = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "key": pa.array(k, pa.int64()),
+                "c_mktsegment": pc.cast(batch["c_mktsegment"], pa.string()),
+                "n_big": pa.array(np.full(len(k), -1, dtype=np.int64)),
+                "__b": pa.array((k % nb).astype("int64")),
+            }
+        )
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater(batch["o_totalprice"], 450000.0))
+        k, n = np.unique(
+            t["o_custkey"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {
+                "key": pa.array(k, pa.int64()),
+                "c_mktsegment": pa.array([None] * len(k), pa.string()),
+                "n_big": pa.array(n.astype("int64")),
+                "__b": pa.array((k % nb).astype("int64")),
+            }
+        )
+
+    def left_join(g: pd.DataFrame) -> pd.DataFrame:
+        right = (
+            g.loc[g["n_big"] >= 0, ["key", "n_big"]]
+            .groupby("key", as_index=False)["n_big"]
+            .sum()
+        )
+        left = g.loc[g["n_big"] < 0, ["key", "c_mktsegment"]]
+        out = left.merge(right, on="key", how="left")
+        out["n_big"] = out["n_big"].fillna(0).astype("int64")
+        return out.rename(columns={"key": "c_custkey"})
+
+    return (
+        cust.map_batches(tag_left, batch_format="pyarrow")
+        .union(orders.map_batches(tag_right, batch_format="pyarrow"))
+        .groupby("__b")
+        .map_groups(left_join, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+def heavy_hitter_tokens(sf_dir: str, sketch_k: int = 64, pct: int = 2) -> pd.DataFrame:
+    """EXACT heavy hitters (tokens with > ``pct``% of all occurrences)
+    via the classic two-pass sketch composition: pass 1 builds mergeable
+    Misra-Gries summaries per batch (bounded at ``sketch_k`` counters —
+    constant state no matter the vocabulary; merged error ≤
+    total/(k+1), Agarwal et al., "Mergeable Summaries"), pass 2 exactly
+    recounts ONLY the surviving candidates.  Because pct/100 >
+    1/(sketch_k+1), every true heavy hitter is provably a candidate, so
+    the output equals the exact-count oracle despite the sketch."""
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+
+    def mg_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(batch["text"], pattern=" "))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        vc = pc.value_counts(toks)
+        t = vc.field("values").to_pandas()
+        n = vc.field("counts").to_numpy(zero_copy_only=False).astype("int64")
+        total = int(n.sum())
+        if len(n) > sketch_k:  # Misra-Gries trim: uniform decrement
+            cut = np.sort(n)[::-1][sketch_k]
+            keep = n - cut > 0
+            t, n = t[keep], n[keep] - cut
+        out = pd.concat(
+            [
+                pd.DataFrame({"token": t, "n": n}),
+                pd.DataFrame(
+                    {"token": ["\x00__total__"], "n": np.array([total], dtype="int64")}
+                ),
+            ],
+            ignore_index=True,
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    sk = (
+        docs.map_batches(mg_partial, batch_format="pyarrow")
+        .groupby("token")
+        .sum("n")
+        .to_pandas()
+        .rename(columns={"sum(n)": "n"})
+    )
+    # candidate cut at the PROVABLE lower bound for a true heavy hitter's
+    # merged counter (true n − total/(k+1) > total·(pct/100 − 1/(k+1))):
+    # no true hitter can fall below it, and since merged counters never
+    # overestimate and sum to ≤ total, at most 1/(pct/100 − 1/(k+1))
+    # ≈ 217 candidates survive — bounded driver state.  (A plain top-k
+    # trim here would NOT be safe: >k non-hitters can out-count a
+    # trimmed-down true hitter.)
+    total = int(sk.loc[sk["token"] == "\x00__total__", "n"].iloc[0])
+    lower = total * (pct / 100.0 - 1.0 / (sketch_k + 1))
+    cand = sk[(sk["token"] != "\x00__total__") & (sk["n"] > lower)]
+    if cand.empty:  # no possible hitter — skip pass 2 (empty aggregate
+        # would drop the column schema entirely)
+        return pd.DataFrame({"token": pd.Series(dtype=object),
+                             "n": pd.Series(dtype="int64")})
+    cand_tokens = pa.array(cand["token"].tolist(), pa.string())
+
+    def exact_count(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(batch["text"], pattern=" "))
+        toks = toks.filter(pc.is_in(toks, value_set=cand_tokens))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        vc = pc.value_counts(toks)
+        return pa.table(
+            {
+                "token": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    df = (
+        docs.map_batches(exact_count, batch_format="pyarrow")
+        .groupby("token")
+        .sum("n")
+        .to_pandas()
+        .rename(columns={"sum(n)": "n"})
+    )
+    df = df[df["n"] * 100 > total * pct]
+    return df.sort_values(["n", "token"], ascending=[False, True]).reset_index(drop=True)
+
+
 def tfidf_top_terms(sf_dir: str, k: int = 3) -> pd.DataFrame:
     """TF-IDF top-k terms per document in TWO streaming passes and ZERO
     data-sized shuffles: (1) document-frequency partials per batch →

@@ -127,6 +127,43 @@ def test_tfidf_top_terms_matches_pandas(ray_session):
     assert got.groupby("doc_id").size().max() <= 3
 
 
+def test_customer_big_order_counts_matches_pandas(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import customer_big_order_counts
+
+    got = customer_big_order_counts(SF).sort_values("c_custkey").reset_index(drop=True)
+    cust = pd.read_parquet(f"{SF}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    orders = pd.read_parquet(f"{SF}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    big = orders[orders["o_totalprice"] > 450000.0]
+    counts = big.groupby("o_custkey").size()
+    exp = cust.copy()
+    exp["n_big"] = exp["c_custkey"].map(counts).fillna(0).astype("int64")
+    exp = exp.sort_values("c_custkey").reset_index(drop=True)
+    assert (exp["n_big"] == 0).any() and (exp["n_big"] > 0).any()  # true LEFT join
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_heavy_hitter_tokens_exact_despite_sketch(ray_session):
+    """The 2-pass Misra-Gries composition must equal the exact-count
+    threshold answer — including when sketch_k forces real per-batch
+    trimming (sketch_k=8 < vocabulary, pct above the provable bound)."""
+    from opps_feedcrawler_ray.pipelines.analytics import (
+        doc_token_counts,
+        heavy_hitter_tokens,
+    )
+
+    exact = doc_token_counts(SF)
+    total = int(exact["n"].sum())
+    for k, pct, expect_rows in ((64, 2, True), (8, 15, False)):
+        got = heavy_hitter_tokens(SF, sketch_k=k, pct=pct)
+        exp = (
+            exact[exact["n"] * 100 > total * pct]
+            .sort_values(["n", "token"], ascending=[False, True])
+            .reset_index(drop=True)
+        )
+        assert (len(exp) > 0) == expect_rows  # fixture sanity: both paths real
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
 def test_anti_join_bucket_sweep_invariant(ray_session, monkeypatch):
     """Survivor set must not depend on the coarse-bucket count (pure
     scheduling knob)."""
