@@ -356,6 +356,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": A.tfidf_top_terms,
         "customer_big_order_counts": A.customer_big_order_counts,
         "heavy_hitter_tokens": A.heavy_hitter_tokens,
+        "events_quantiles": A.events_quantiles,
+        "orders_rollup": A.orders_rollup,
         # crawl-engine operators
         "url_canonicalize": A.url_canonicalize,
         "topk_per_group": A.topk_per_group,
@@ -709,6 +711,24 @@ def oracle_sql() -> dict[str, str]:
             "WHERE t <> '' GROUP BY t) "
             "SELECT token, n FROM tc "
             "WHERE n * 100 > (SELECT CAST(SUM(n) AS BIGINT) FROM tc) * 2"
+        ),
+        "events_quantiles": (
+            # discrete quantiles are pure integer order statistics
+            "SELECT event_type, COUNT(*) AS n, "
+            "CAST(MIN(v) AS BIGINT) AS min_e2, "
+            "CAST(quantile_disc(v, 0.1) AS BIGINT) AS p10_e2, "
+            "CAST(quantile_disc(v, 0.9) AS BIGINT) AS p90_e2, "
+            "CAST(MAX(v) AS BIGINT) AS max_e2 FROM ("
+            "SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v "
+            "FROM events) GROUP BY event_type"
+        ),
+        "orders_rollup": (
+            "SELECT COALESCE(CAST(year(o_orderdate) AS BIGINT), -1) AS year, "
+            "COALESCE(CAST(month(o_orderdate) AS BIGINT), -1) AS month, "
+            "COUNT(*) AS n_orders, "
+            "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) "
+            "AS revenue_e2 FROM orders "
+            "GROUP BY ROLLUP(year(o_orderdate), month(o_orderdate))"
         ),
     }
     # max_df=50 provably drops nothing on the fixtures (max shingle df < 10),

@@ -76,6 +76,8 @@ QUERY_NAMES = [
     "tfidf_top_terms",
     "customer_big_order_counts",
     "heavy_hitter_tokens",
+    "events_quantiles",
+    "orders_rollup",
 ]
 
 

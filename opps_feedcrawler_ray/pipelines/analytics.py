@@ -649,17 +649,15 @@ def sample_docs(sf_dir: str) -> rd.Dataset:
     )
 
 
-def events_median_value(sf_dir: str) -> pd.DataFrame:
-    """Distributed EXACT median per event type via an integer value
-    HISTOGRAM: per-batch (event_type, v_e2)→count combiners, a
-    coarse-bucket pandas sum (a Ray aggregate keyed on the raw pair
-    would hit the near-all-distinct-key pathology), then the quantile
-    walk over the merged histogram.  Scale shape: the shuffled payload
-    is bounded by the DISTINCT-value count of the integer e2 domain —
-    not the row count — so a 100 TB events table reduces to the same
-    ~|domain| histogram before anything reaches the driver.  2*median
-    is an exact integer for both odd (2a) and even (a+b) group sizes,
-    so the value hashes bit-equal vs DuckDB's quantile_cont(0.5)."""
+def _event_value_hist(sf_dir: str) -> pd.DataFrame:
+    """Distributed (event_type, v_e2) → count HISTOGRAM: per-batch
+    combiners, then a coarse-bucket pandas sum (a Ray aggregate keyed on
+    the raw pair would hit the near-all-distinct-key pathology).  Scale
+    shape: the shuffled payload is bounded by the DISTINCT-value count
+    of the integer e2 domain — not the row count — so a 100 TB events
+    table reduces to the same ~|domain| histogram before anything
+    reaches the driver.  Exact order statistics (median, discrete
+    quantiles, min/max, mode) all walk this one table."""
     from .dedup import coarse_buckets
 
     ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "value"])
@@ -677,14 +675,21 @@ def events_median_value(sf_dir: str) -> pd.DataFrame:
     def sum_hist(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby(["event_type", "v_e2"], as_index=False)["n"].sum()
 
-    hist = (
+    return (
         ev.map_batches(partial, batch_format="pyarrow")
         .groupby("__b")
         .map_groups(sum_hist, batch_format="pandas")
         .to_pandas()  # ≤ |distinct e2 values| rows — bounded by domain, not data
     )
+
+
+def events_median_value(sf_dir: str) -> pd.DataFrame:
+    """EXACT median per event type over the distributed value histogram
+    (:func:`_event_value_hist`).  2*median is an exact integer for both
+    odd (2a) and even (a+b) group sizes, so the value hashes bit-equal
+    vs DuckDB's quantile_cont(0.5)."""
     out = []
-    for et, g in hist.groupby("event_type"):
+    for et, g in _event_value_hist(sf_dir).groupby("event_type"):
         g = g.sort_values("v_e2")
         v = g["v_e2"].to_numpy()
         c = g["n"].to_numpy()
@@ -698,6 +703,70 @@ def events_median_value(sf_dir: str) -> pd.DataFrame:
             )
         out.append((et, n, med2))
     return pd.DataFrame(out, columns=["event_type", "n", "med2_e2"])
+
+
+def events_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Grouped DISCRETE quantiles (p10/p90) + min/max from the same
+    distributed histogram: quantile_disc(q) = the ceil(q·n)-th smallest
+    (1-indexed), a pure integer order statistic — no interpolation, no
+    float crossing the oracle."""
+    out = []
+    for et, g in _event_value_hist(sf_dir).groupby("event_type"):
+        g = g.sort_values("v_e2")
+        v = g["v_e2"].to_numpy()
+        c = g["n"].to_numpy()
+        n = int(c.sum())
+        cum = np.cumsum(c)
+
+        def disc(q: float) -> int:
+            k = int(np.ceil(q * n))
+            return int(v[np.searchsorted(cum, max(k, 1))])
+
+        out.append((et, n, int(v[0]), disc(0.1), disc(0.9), int(v[-1])))
+    return pd.DataFrame(
+        out,
+        columns=["event_type", "n", "min_e2", "p10_e2", "p90_e2", "max_e2"],
+    )
+
+
+def orders_rollup(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP(year, month): leaf aggregates run distributed
+    (per-batch combiners → one small groupby over ~|year·month| keys);
+    the year subtotals and grand total derive from the LEAF table on the
+    driver — bounded by key cardinality, never data size.  NULL rollup
+    markers encode as -1 on both sides."""
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["year"] = df["o_orderdate"].dt.year.astype("int64")
+        df["month"] = df["o_orderdate"].dt.month.astype("int64")
+        df["e2"] = np.floor(df["o_totalprice"].to_numpy() * 100.0 + 0.5).astype("int64")
+        g = df.groupby(["year", "month"], as_index=False).agg(
+            n_orders=("e2", "size"), revenue_e2=("e2", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    leaf = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby(["year", "month"])
+        .sum(["n_orders", "revenue_e2"])
+        .to_pandas()
+        .rename(columns={"sum(n_orders)": "n_orders", "sum(revenue_e2)": "revenue_e2"})
+    )
+    yr = leaf.groupby("year", as_index=False)[["n_orders", "revenue_e2"]].sum()
+    yr["month"] = -1
+    tot = pd.DataFrame(
+        {
+            "year": [-1],
+            "month": [-1],
+            "n_orders": [leaf["n_orders"].sum()],
+            "revenue_e2": [leaf["revenue_e2"].sum()],
+        }
+    )
+    out = pd.concat([leaf, yr, tot], ignore_index=True)
+    out = out[["year", "month", "n_orders", "revenue_e2"]].astype("int64")
+    return out.sort_values(["year", "month"]).reset_index(drop=True)
 
 
 def customer_no_big_order(sf_dir: str) -> pd.DataFrame:

@@ -164,6 +164,57 @@ def test_heavy_hitter_tokens_exact_despite_sketch(ray_session):
         pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
 
+def test_events_quantiles_matches_pandas(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import events_quantiles
+
+    got = events_quantiles(SF).sort_values("event_type").reset_index(drop=True)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "value"])
+    ev["v"] = np.floor(ev["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+    rows = []
+    for et, g in ev.groupby("event_type"):
+        v = np.sort(g["v"].to_numpy())
+        n = len(v)
+        rows.append(
+            (et, n, int(v[0]),
+             int(v[max(int(np.ceil(0.1 * n)), 1) - 1]),
+             int(v[max(int(np.ceil(0.9 * n)), 1) - 1]),
+             int(v[-1]))
+        )
+    exp = pd.DataFrame(
+        rows, columns=["event_type", "n", "min_e2", "p10_e2", "p90_e2", "max_e2"]
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_orders_rollup_matches_pandas(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import orders_rollup
+
+    got = orders_rollup(SF)
+    orders = pd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderdate", "o_totalprice"])
+    orders["year"] = orders["o_orderdate"].dt.year.astype("int64")
+    orders["month"] = orders["o_orderdate"].dt.month.astype("int64")
+    orders["e2"] = np.floor(orders["o_totalprice"].to_numpy() * 100.0 + 0.5).astype("int64")
+    leaf = orders.groupby(["year", "month"], as_index=False).agg(
+        n_orders=("e2", "size"), revenue_e2=("e2", "sum")
+    )
+    yr = leaf.groupby("year", as_index=False)[["n_orders", "revenue_e2"]].sum()
+    yr["month"] = -1
+    tot = pd.DataFrame({"year": [-1], "month": [-1],
+                        "n_orders": [leaf["n_orders"].sum()],
+                        "revenue_e2": [leaf["revenue_e2"].sum()]})
+    exp = (
+        pd.concat([leaf, yr, tot], ignore_index=True)[
+            ["year", "month", "n_orders", "revenue_e2"]
+        ]
+        .astype("int64")
+        .sort_values(["year", "month"])
+        .reset_index(drop=True)
+    )
+    # every grouping level present: leaves + one row per year + grand total
+    assert (got["month"] == -1).sum() == got.loc[got["year"] != -1, "year"].nunique() + 1
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
 def test_anti_join_bucket_sweep_invariant(ray_session, monkeypatch):
     """Survivor set must not depend on the coarse-bucket count (pure
     scheduling knob)."""
