@@ -358,6 +358,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_tokens": A.heavy_hitter_tokens,
         "events_quantiles": A.events_quantiles,
         "orders_rollup": A.orders_rollup,
+        "doc_split_assign": A.doc_split_assign,
+        "pack_token_chunks": A.pack_token_chunks,
+        "decontaminate_ngrams": A.decontaminate_ngrams,
         # crawl-engine operators
         "url_canonicalize": A.url_canonicalize,
         "topk_per_group": A.topk_per_group,
@@ -730,6 +733,15 @@ def oracle_sql() -> dict[str, str]:
             "AS revenue_e2 FROM orders "
             "GROUP BY ROLLUP(year(o_orderdate), month(o_orderdate))"
         ),
+        "doc_split_assign": (
+            # identical md5-first-byte rule on both sides
+            "SELECT doc_id, CASE WHEN b <= 7 THEN 'train' "
+            "WHEN b = 8 THEN 'val' ELSE 'test' END AS split FROM ("
+            "SELECT doc_id, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) "
+            "AS INTEGER) % 10 AS b FROM documents)"
+        ),
+        # pack_token_chunks / decontaminate_ngrams: engine-defined layout /
+        # blake2b n-gram hashes — no SQL oracle; invariants pinned in tests
     }
     # max_df=50 provably drops nothing on the fixtures (max shingle df < 10),
     # so the guarded query shares the exact oracle.

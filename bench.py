@@ -78,6 +78,9 @@ QUERY_NAMES = [
     "heavy_hitter_tokens",
     "events_quantiles",
     "orders_rollup",
+    "doc_split_assign",
+    "pack_token_chunks",
+    "decontaminate_ngrams",
 ]
 
 

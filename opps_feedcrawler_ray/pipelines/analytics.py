@@ -1071,6 +1071,170 @@ def heavy_hitter_tokens(sf_dir: str, sketch_k: int = 64, pct: int = 2) -> pd.Dat
     return df.sort_values(["n", "token"], ascending=[False, True]).reset_index(drop=True)
 
 
+def doc_split_assign(sf_dir: str) -> rd.Dataset:
+    """Deterministic train/val/test split assignment — the standard
+    content-hash split a training-data pipeline needs so re-runs and
+    cross-engine rebuilds agree row-for-row: bucket = first byte of
+    md5(doc_id as text) mod 10 → train(0–7)/val(8)/test(9).  Stateless
+    map_batches, no shuffle; md5 on both sides makes it oracle-exact."""
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids = batch["doc_id"].to_pylist()
+        b = np.fromiter(
+            (hashlib.md5(str(i).encode()).digest()[0] % 10 for i in ids),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        split = np.where(b <= 7, "train", np.where(b == 8, "val", "test"))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "split": pa.array(split.tolist(), pa.string()),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def pack_token_chunks(sf_dir: str, budget: int = 512) -> pd.DataFrame:
+    """Training-shard PACKING: greedily pack documents into chunks of at
+    most ``budget`` tokens (docs above the budget get a chunk of their
+    own), preserving doc_id order within each pack partition.  The pack
+    runs per PARTITION (doc_id-range buckets) with batch-local greedy
+    state — embarrassingly parallel, engine-defined chunk ids (partition
+    major, rows-only check); invariants (every doc exactly once, chunk
+    totals ≤ budget unless single-doc, order preserved) are pinned by
+    tests."""
+    from .dedup import coarse_buckets
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    nb = coarse_buckets(docs.count(), rows_per_task=16384)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        nt = count_tokens(batch["text"].to_pylist())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(nt),
+                "part": pa.array((ids % nb).astype("int64")),
+            }
+        )
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        part = int(g["part"].iloc[0])
+        nt = g["n_tokens"].to_numpy()
+        chunk = np.empty(len(g), dtype=np.int64)
+        cid, acc = 0, 0
+        for i, t in enumerate(nt):
+            if acc and acc + t > budget:
+                cid += 1
+                acc = 0
+            acc += int(t)
+            chunk[i] = cid
+        out = pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "n_tokens": nt,
+                # chunk ids globally unique: partition-major composite
+                "chunk_id": part * 1_000_000_000 + chunk,
+            }
+        )
+        return out
+
+    return (
+        docs.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pack, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+def decontaminate_ngrams(sf_dir: str, n: int = 8) -> pd.DataFrame:
+    """Benchmark DECONTAMINATION: flag training docs sharing any word
+    ``n``-gram with a held-out set (here: the md5-split test docs of the
+    same table).  The held-out n-gram fingerprints are collected once
+    (test split ≪ corpus), broadcast, and each batch checks its rolling
+    64-bit n-gram hashes with ``np.isin`` — one streaming pass over the
+    corpus, no shuffle.  Returns flagged (train doc, #hits) rows."""
+    import hashlib
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def _grams(text: str) -> np.ndarray:
+        toks = [t for t in (text or "").split() if t]
+        if len(toks) < n:
+            return np.empty(0, dtype=np.uint64)
+        joined = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        return np.fromiter(
+            (
+                int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+                for s in joined
+            ),
+            dtype=np.uint64,
+            count=len(joined),
+        )
+
+    def _split_mask(ids: list) -> np.ndarray:
+        return np.fromiter(
+            (hashlib.md5(str(i).encode()).digest()[0] % 10 == 9 for i in ids),
+            dtype=bool,
+            count=len(ids),
+        )
+
+    def test_grams(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        keep = _split_mask(ids)
+        texts = batch["text"].to_pylist()
+        hs = [
+            _grams(t) for t, k in zip(texts, keep) if k
+        ]
+        u = (
+            np.unique(np.concatenate(hs))
+            if hs
+            else np.empty(0, dtype=np.uint64)
+        )
+        return pa.table({"g": pa.array(u.astype("int64"))})  # int64 view for Ray
+
+    heldout = np.unique(
+        docs.map_batches(test_grams, batch_format="pyarrow")
+        .to_pandas()["g"]
+        .to_numpy()
+    )  # |test-split n-grams| — small vs corpus; broadcast via closure
+
+    def flag(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        is_test = _split_mask(ids)
+        texts = batch["text"].to_pylist()
+        out_id, out_hits = [], []
+        # train/val docs only — test docs trivially self-match
+        for i, t, te in zip(ids, texts, is_test):
+            if te:
+                continue
+            hs = _grams(t)
+            hits = int(np.isin(hs.astype("int64"), heldout).sum()) if len(hs) else 0
+            if hits:
+                out_id.append(i)
+                out_hits.append(hits)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "n_hits": pa.array(out_hits, pa.int64()),
+            }
+        )
+
+    return (
+        docs.map_batches(flag, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def tfidf_top_terms(sf_dir: str, k: int = 3) -> pd.DataFrame:
     """TF-IDF top-k terms per document in TWO streaming passes and ZERO
     data-sized shuffles: (1) document-frequency partials per batch →

