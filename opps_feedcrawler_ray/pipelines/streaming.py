@@ -92,16 +92,15 @@ def sessionize_salted(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
         return batch
 
     def chunks_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized across all (user, day) cells at once: grouped diff →
+        # session-open flags → one grouped agg (no per-cell Python loop)
         g = g.sort_values(["user_id", "ts", "event_id"])
-        out = []
-        for (uid, day), cell in g.groupby(["user_id", "day"], sort=False):
-            d = cell["ts"].diff()
-            out.append(
-                (uid, day, np.int64((d.isna() | (d > gap)).sum()),
-                 np.int64(len(cell)), cell["ts"].iloc[0], cell["ts"].iloc[-1])
-            )
-        return pd.DataFrame(
-            out, columns=["user_id", "day", "n_local", "n_events", "first_ts", "last_ts"]
+        d = g.groupby(["user_id", "day"], sort=False)["ts"].diff()
+        return (
+            g.assign(news=(d.isna() | (d > gap)).astype("int64"))
+            .groupby(["user_id", "day"], as_index=False, sort=False)
+            .agg(n_local=("news", "sum"), n_events=("news", "size"),
+                 first_ts=("ts", "first"), last_ts=("ts", "last"))
         )
 
     def add_user_bucket(batch: pd.DataFrame) -> pd.DataFrame:
@@ -110,13 +109,15 @@ def sessionize_salted(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
 
     def merge_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "day"])
-        out = []
-        for uid, u in g.groupby("user_id", sort=False):
-            merges = int((u["first_ts"] - u["last_ts"].shift(1) <= gap).sum())
-            out.append(
-                (uid, np.int64(u["n_local"].sum() - merges), np.int64(u["n_events"].sum()))
-            )
-        return pd.DataFrame(out, columns=["user_id", "n_sessions", "n_events"])
+        prev_last = g.groupby("user_id", sort=False)["last_ts"].shift(1)
+        merged = (
+            g.assign(m=((g["first_ts"] - prev_last) <= gap).astype("int64"))
+            .groupby("user_id", as_index=False, sort=False)
+            .agg(n_local=("n_local", "sum"), m=("m", "sum"),
+                 n_events=("n_events", "sum"))
+        )
+        merged["n_sessions"] = (merged["n_local"] - merged["m"]).astype("int64")
+        return merged[["user_id", "n_sessions", "n_events"]]
 
     return (
         ev.map_batches(add_keys, batch_format="pandas")
@@ -221,25 +222,36 @@ def _day_boundary_rows(
 
 
 def _run_salted_user_day(
-    events_u: rd.Dataset, boundary: rd.Dataset, cell_fn, empty_fn, nb: int
+    events_u: rd.Dataset, boundary: rd.Dataset, bucket_fn, empty_fn, nb: int
 ) -> pd.DataFrame:
     """ONE coarse (user, day)-keyed shuffle of the full event log plus
     the tiny boundary rows; per-task work is bounded by ~rows/nb, and
-    each (user, day) cell sees at most one boundary row."""
+    each (user, day) cell sees at most one boundary row.
+
+    ``bucket_fn`` receives the bucket's EVENT rows with their cell's
+    boundary value merged in as a ``bval`` column (NaN when the cell has
+    no carry-in) and must compute the window VECTORIZED across all cells
+    at once (grouped cumcount/diff/cummax — pandas C kernels).  The
+    earlier per-(user, day) Python loop with a per-cell callback cost
+    ~150 µs × #cells per task (#cells ≈ rows, so effectively a per-row
+    loop in the hot path); this form is ~5× faster at sf0.1 and
+    row-count-independent in overhead."""
 
     def add_bb(b: pd.DataFrame) -> pd.DataFrame:
         b["bb"] = (b["user_id"].to_numpy() * 1000003 + b["day"].to_numpy()) % nb
         return b
 
     def in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for _, cell in g.groupby(["user_id", "day"], sort=False):
-            brow = cell.loc[cell["is_b"] == 1, "val"]
-            bval = int(brow.iloc[0]) if len(brow) else None
-            evc = cell[cell["is_b"] == 0]
-            if len(evc):
-                out.append(cell_fn(evc.sort_values(["ts_us", "event_id"]), bval))
-        return pd.concat(out, ignore_index=True) if out else empty_fn()
+        b = g[g["is_b"] == 1]
+        e = g[g["is_b"] == 0]
+        if not len(e):
+            return empty_fn()
+        e = e.merge(
+            b[["user_id", "day", "val"]].rename(columns={"val": "bval"}),
+            on=["user_id", "day"],
+            how="left",
+        )
+        return bucket_fn(e)
 
     return (
         events_u.union(boundary)
@@ -266,12 +278,14 @@ def user_event_seq_salted(sf_dir: str) -> pd.DataFrame:
         off = np.cumsum(counts)[:-1]
         return days[1:], off  # first day's offset is 0 → no boundary row
 
-    def cell(evc: pd.DataFrame, bval) -> pd.DataFrame:
-        base = bval or 0
+    def bucket(e: pd.DataFrame) -> pd.DataFrame:
+        e = e.sort_values(["user_id", "day", "ts_us", "event_id"])
+        base = e["bval"].fillna(0).to_numpy(dtype="int64")
+        rank = e.groupby(["user_id", "day"], sort=False).cumcount().to_numpy()
         return pd.DataFrame(
-            {"event_id": evc["event_id"].to_numpy(),
-             "user_id": evc["user_id"].to_numpy(),
-             "seq_in_user": base + np.arange(1, len(evc) + 1, dtype=np.int64)}
+            {"event_id": e["event_id"].to_numpy(),
+             "user_id": e["user_id"].to_numpy(),
+             "seq_in_user": (base + rank + 1).astype("int64")}
         )
 
     def empty() -> pd.DataFrame:
@@ -283,7 +297,7 @@ def user_event_seq_salted(sf_dir: str) -> pd.DataFrame:
     events_u = ev.map_batches(
         lambda b: _events_union_rows(b, False), batch_format="pandas"
     )
-    return _run_salted_user_day(events_u, boundary, cell, empty, nb)
+    return _run_salted_user_day(events_u, boundary, bucket, empty, nb)
 
 
 def events_lag_delta_salted(sf_dir: str) -> pd.DataFrame:
@@ -302,14 +316,20 @@ def events_lag_delta_salted(sf_dir: str) -> pd.DataFrame:
     def prev_last(days: np.ndarray, last_ts: np.ndarray):
         return days[1:], last_ts[:-1]
 
-    def cell(evc: pd.DataFrame, bval) -> pd.DataFrame:
-        us = evc["ts_us"].to_numpy()
-        delta = np.empty(len(us), dtype=np.int64)
-        delta[1:] = us[1:] - us[:-1]
-        delta[0] = us[0] - bval if bval is not None else -1
+    def bucket(e: pd.DataFrame) -> pd.DataFrame:
+        e = e.sort_values(["user_id", "day", "ts_us", "event_id"])
+        us = e["ts_us"].to_numpy()
+        d = e.groupby(["user_id", "day"], sort=False)["ts_us"].diff().to_numpy()
+        first = np.isnan(d)
+        bv = e["bval"].to_numpy(dtype="float64")  # NaN = no carry-in
+        no_carry = np.isnan(bv)
+        bvi = np.where(no_carry, 0, bv).astype("int64")
+        delta = np.where(
+            first, np.where(no_carry, np.int64(-1), us - bvi), np.nan_to_num(d)
+        ).astype("int64")
         return pd.DataFrame(
-            {"event_id": evc["event_id"].to_numpy(),
-             "user_id": evc["user_id"].to_numpy(),
+            {"event_id": e["event_id"].to_numpy(),
+             "user_id": e["user_id"].to_numpy(),
              "delta_us": delta}
         )
 
@@ -322,7 +342,7 @@ def events_lag_delta_salted(sf_dir: str) -> pd.DataFrame:
     events_u = ev.map_batches(
         lambda b: _events_union_rows(b, False), batch_format="pandas"
     )
-    return _run_salted_user_day(events_u, boundary, cell, empty, nb)
+    return _run_salted_user_day(events_u, boundary, bucket, empty, nb)
 
 
 def asof_last_purchase_salted(sf_dir: str) -> pd.DataFrame:
@@ -351,17 +371,29 @@ def asof_last_purchase_salted(sf_dir: str) -> pd.DataFrame:
         keep = run >= 0
         return days[1:][keep], run[keep]
 
-    def cell(evc: pd.DataFrame, bval) -> pd.DataFrame:
-        us = evc["ts_us"].to_numpy()
-        purch = us[evc["etype"].to_numpy() == 1]
-        marks = purch if bval is None else np.concatenate(([bval], purch))
-        if len(marks):
-            idx = np.searchsorted(marks, us, side="right") - 1
-            lp = np.where(idx >= 0, marks[np.maximum(idx, 0)], np.int64(-1))
-        else:
-            lp = np.full(len(us), -1, dtype=np.int64)
+    def bucket(e: pd.DataFrame) -> pd.DataFrame:
+        # etype DESC within equal ts: a purchase at the same timestamp as
+        # another event must be visible to it (backward-INCLUSIVE as-of,
+        # matching the searchsorted side='right' semantics + the oracle's
+        # e.ts >= m.ts), so purchases sort first and the grouped cummax
+        # below already contains them when the tied event is scanned
+        e = e.sort_values(
+            ["user_id", "day", "ts_us", "etype", "event_id"],
+            ascending=[True, True, True, False, True],
+        )
+        p = np.where(
+            e["etype"].to_numpy() == 1, e["ts_us"].to_numpy(), np.int64(-1)
+        )
+        cm = (
+            e.assign(__p=p)
+            .groupby(["user_id", "day"], sort=False)["__p"]
+            .cummax()
+            .to_numpy()
+        )
+        bv = e["bval"].fillna(-1).to_numpy(dtype="int64")
+        lp = np.maximum(cm, bv)
         return pd.DataFrame(
-            {"event_id": evc["event_id"].to_numpy(),
+            {"event_id": e["event_id"].to_numpy(),
              "last_purchase_ts": pd.Series(
                  np.where(lp >= 0, lp, np.int64(0)).view("datetime64[us]")
              ).mask(lp < 0)}
@@ -375,7 +407,7 @@ def asof_last_purchase_salted(sf_dir: str) -> pd.DataFrame:
     events_u = ev.map_batches(
         lambda b: _events_union_rows(b, True), batch_format="pandas"
     )
-    return _run_salted_user_day(events_u, boundary, cell, empty, nb)
+    return _run_salted_user_day(events_u, boundary, bucket, empty, nb)
 
 
 def top_spender_events(sf_dir: str, k: int = 10) -> pd.DataFrame:
