@@ -239,6 +239,12 @@ def _q_ivf_partitioned(sf_dir: str):
     return out[["query_idx", "vec_id", "cosine_e6"]]
 
 
+def _q_host_link_graph(sf_dir: str):
+    from opps_feedcrawler_ray.pipelines.webpipe import host_link_graph
+
+    return host_link_graph(sf_dir)
+
+
 def _q_langid(sf_dir: str):
     import pyarrow as pa
     import ray.data as rd
@@ -361,6 +367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_split_assign": A.doc_split_assign,
         "pack_token_chunks": A.pack_token_chunks,
         "decontaminate_ngrams": A.decontaminate_ngrams,
+        "host_link_graph": _q_host_link_graph,
         # crawl-engine operators
         "url_canonicalize": A.url_canonicalize,
         "topk_per_group": A.topk_per_group,
@@ -742,6 +749,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         # pack_token_chunks / decontaminate_ngrams: engine-defined layout /
         # blake2b n-gram hashes — no SQL oracle; invariants pinned in tests
+        "host_link_graph": (
+            # closed-form twin of the derived corpus' id-arithmetic links:
+            # 6 anchors per doc page at (doc*37 + 11k + 1) mod n_docs —
+            # checks the real parse→canonicalize→aggregate composition
+            "WITH n AS (SELECT COUNT(*) AS n FROM documents), "
+            "k AS (SELECT unnest(range(6)) AS k), "
+            "e AS (SELECT 'h' || CAST(doc_id % 16 AS VARCHAR) || '.example' AS src_host, "
+            "'h' || CAST(((doc_id * 37 + 11 * k + 1) % n.n) % 16 AS VARCHAR) "
+            "|| '.example' AS dst_host FROM documents CROSS JOIN k CROSS JOIN n) "
+            "SELECT src_host, dst_host, COUNT(*) AS n_links FROM e "
+            "GROUP BY src_host, dst_host"
+        ),
     }
     # max_df=50 provably drops nothing on the fixtures (max shingle df < 10),
     # so the guarded query shares the exact oracle.

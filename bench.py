@@ -81,6 +81,7 @@ QUERY_NAMES = [
     "doc_split_assign",
     "pack_token_chunks",
     "decontaminate_ngrams",
+    "host_link_graph",
 ]
 
 

@@ -173,3 +173,67 @@ def crawl_documents(
 
     files = sorted(glob.glob(os.path.join(cfg.out_dir, "crawl_log", "round=*", "*.parquet")))
     return rd.read_parquet(files).sort("fetch_seq")
+
+
+def host_link_graph(sf_dir: str, work_dir: str | None = None):
+    """Host→host LINK GRAPH over the derived pages corpus — the classic
+    Common-Crawl webgraph derivative: parse every doc page's anchors with
+    the frozen extractor, canonicalize the messy href forms
+    (HTTP://UPPER, :80, /./ dot-segments), and reduce to (src_host,
+    dst_host) edge counts via per-batch combiners + one ≤|hosts|²-key
+    groupby.  The corpus' links are id-arithmetic ((doc·37+11k+1) mod n,
+    k<6, provably distinct per page so the extractor's within-page dedup
+    drops nothing), which makes the whole parse→canonicalize→aggregate
+    composition checkable against a closed-form SQL oracle."""
+    import pandas as pd
+
+    from ..functions.extract import parse_links
+    from ..functions.urlnorm import canonicalize_batch, extract_host
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    work = work_dir or f"/tmp/opps_feedcrawler_ray/webpipe-{sf_tag}"
+    paths = build_pages_from_documents(os.path.join(sf_dir, "documents.parquet"),
+                                       os.path.join(work, "corpus"))
+    pages = rd.read_parquet(paths["pages"], columns=["url", "html"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        srcs: list[str] = []
+        dsts: list[str] = []
+        for u, h in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
+            if "/d/" not in u and "/priv/" not in u:
+                continue  # host roots / robots.txt — not document pages
+            links = parse_links(u, h)
+            if not links:
+                continue
+            _, _, hosts = canonicalize_batch(links)
+            sh = extract_host(u)
+            for dh in hosts:
+                if dh:
+                    srcs.append(sh)
+                    dsts.append(dh)
+        g = (
+            pd.DataFrame({"src_host": srcs, "dst_host": dsts})
+            .groupby(["src_host", "dst_host"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_links"})
+        )
+        return pa.Table.from_pandas(
+            g,
+            preserve_index=False,
+            # explicit schema: an all-roots batch yields EMPTY object
+            # columns, which would otherwise infer as Arrow null type
+            schema=pa.schema(
+                [("src_host", pa.string()), ("dst_host", pa.string()),
+                 ("n_links", pa.int64())]
+            ),
+        )
+
+    return (
+        pages.map_batches(partial, batch_format="pyarrow")
+        .groupby(["src_host", "dst_host"])
+        .sum("n_links")
+        .to_pandas()
+        .rename(columns={"sum(n_links)": "n_links"})
+        .sort_values(["src_host", "dst_host"])
+        .reset_index(drop=True)
+    )

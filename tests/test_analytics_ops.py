@@ -286,6 +286,30 @@ def test_decontaminate_ngrams_matches_bruteforce(ray_session):
     assert len(got) > 0  # duplicated fixture docs guarantee cross-split overlap
 
 
+def test_host_link_graph_matches_arithmetic(ray_session):
+    """The real extractor+canonicalizer pipeline must reproduce the
+    corpus' closed-form id-arithmetic link structure edge-for-edge."""
+    from opps_feedcrawler_ray.pipelines.webpipe import host_link_graph
+
+    got = host_link_graph(SF)
+    ids = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])["doc_id"].to_numpy()
+    n = len(ids)
+    rows = []
+    for did in ids:
+        for k in range(6):
+            t = (did * 37 + 11 * k + 1) % n
+            rows.append((f"h{did % 16}.example", f"h{t % 16}.example"))
+    exp = (
+        pd.DataFrame(rows, columns=["src_host", "dst_host"])
+        .groupby(["src_host", "dst_host"], as_index=False)
+        .size()
+        .rename(columns={"size": "n_links"})
+        .sort_values(["src_host", "dst_host"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
 def test_anti_join_bucket_sweep_invariant(ray_session, monkeypatch):
     """Survivor set must not depend on the coarse-bucket count (pure
     scheduling knob)."""
