@@ -245,6 +245,14 @@ def _q_host_link_graph(sf_dir: str):
     return host_link_graph(sf_dir)
 
 
+def _q_host_pagerank(sf_dir: str):
+    """Iterative distributed PageRank (rows-only: iterative algorithms
+    have no SQL oracle; a numpy power-iteration twin is pinned in tests)."""
+    from opps_feedcrawler_ray.pipelines.webpipe import host_pagerank
+
+    return host_pagerank(sf_dir, iters=5)
+
+
 def _q_langid(sf_dir: str):
     import pyarrow as pa
     import ray.data as rd
@@ -368,6 +376,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_token_chunks": A.pack_token_chunks,
         "decontaminate_ngrams": A.decontaminate_ngrams,
         "host_link_graph": _q_host_link_graph,
+        "host_pagerank": _q_host_pagerank,
+        "quality_score_model": A.quality_score_model,
         # crawl-engine operators
         "url_canonicalize": A.url_canonicalize,
         "topk_per_group": A.topk_per_group,
@@ -760,6 +770,17 @@ def oracle_sql() -> dict[str, str]:
             "|| '.example' AS dst_host FROM documents CROSS JOIN k CROSS JOIN n) "
             "SELECT src_host, dst_host, COUNT(*) AS n_links FROM e "
             "GROUP BY src_host, dst_host"
+        ),
+        # host_pagerank: iterative algorithm, rows-only (numpy twin in tests)
+        "quality_score_model": (
+            # the actor-pool integer linear model, term-for-term
+            "SELECT doc_id, score, score >= 380 AS keep FROM ("
+            "SELECT doc_id, CAST(LENGTH(text) "
+            "- 20 * (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.!?,;:]', '', 'g'))) "
+            "+ 5 * len(list_filter(string_split_regex(lower(text), '\\s+'), "
+            f"x -> x IN {_STOP_LIST})) "
+            "+ 3 * len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) "
+            "AS BIGINT) AS score FROM documents)"
         ),
     }
     # max_df=50 provably drops nothing on the fixtures (max shingle df < 10),

@@ -82,6 +82,8 @@ QUERY_NAMES = [
     "pack_token_chunks",
     "decontaminate_ngrams",
     "host_link_graph",
+    "host_pagerank",
+    "quality_score_model",
 ]
 
 

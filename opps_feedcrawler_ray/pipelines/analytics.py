@@ -1071,6 +1071,20 @@ def heavy_hitter_tokens(sf_dir: str, sketch_k: int = 64, pct: int = 2) -> pd.Dat
     return df.sort_values(["n", "token"], ascending=[False, True]).reset_index(drop=True)
 
 
+def quality_score_model(sf_dir: str) -> rd.Dataset:
+    """Model-scoring as an ACTOR-POOL stage (stages/scoring.py): the
+    integer linear "checkpoint" loads once per actor in ``__init__``,
+    batches score vectorized in ``__call__`` — the exact Ray shape a
+    real classifier stage uses, with a bit-exact oracle because the
+    model is integer-linear over the frozen quality features."""
+    from ..stages.scoring import QualityScorer
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return docs.map_batches(
+        QualityScorer, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1
+    )
+
+
 def doc_split_assign(sf_dir: str) -> rd.Dataset:
     """Deterministic train/val/test split assignment — the standard
     content-hash split a training-data pipeline needs so re-runs and

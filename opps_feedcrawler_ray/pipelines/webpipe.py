@@ -237,3 +237,82 @@ def host_link_graph(sf_dir: str, work_dir: str | None = None):
         .sort_values(["src_host", "dst_host"])
         .reset_index(drop=True)
     )
+
+
+def host_pagerank(
+    sf_dir: str, iters: int = 10, damping: float = 0.85, work_dir: str | None = None
+):
+    """ITERATIVE distributed PageRank over the host link graph — the
+    iterative-dataflow class (non-SQL-expressible; rows-only check with
+    a numpy power-iteration twin in tests).  Per iteration: the rank
+    vector (≤ |hosts| entries — tiny) broadcasts into a ``map_batches``
+    over the EDGE dataset, which emits weighted contributions per batch
+    (combiner), and one |hosts|-key groupby-sum closes the step.  Edges
+    never move after the initial build; only the small rank table does —
+    the standard scale shape for 10^9-edge graphs.  Ranks are held in
+    integer e9 units so the result is platform-exact and
+    iteration-order-free."""
+    import pandas as pd
+
+    edges_df = host_link_graph(sf_dir, work_dir=work_dir)
+    hosts = sorted(set(edges_df["src_host"]) | set(edges_df["dst_host"]))
+    n_hosts = len(hosts)
+    out_deg = edges_df.groupby("src_host")["n_links"].sum()
+
+    edges = rd.from_arrow(
+        pa.Table.from_pandas(edges_df, preserve_index=False)
+    ).materialize()  # iterate over a pinned edge dataset (built once)
+
+    # integer e9 ranks: contributions use exact integer division with
+    # per-src remainders assigned deterministically (largest-dst-last),
+    # so every iteration conserves mass exactly and any executor's
+    # summation order gives identical results
+    rank = {h: 1_000_000_000 // n_hosts for h in hosts}
+    # init slack (1e9 − Σ) re-enters via iteration 1's residual pool
+    for _ in range(iters):
+        r = dict(rank)
+        od = out_deg.to_dict()
+
+        def contribute(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            src_rank = df["src_host"].map(r).to_numpy(dtype="int64")
+            src_deg = df["src_host"].map(od).to_numpy(dtype="int64")
+            # exact per-edge share via floor division; the flooring
+            # remainder joins the uniformly-redistributed pool below, so
+            # total mass is conserved exactly every iteration
+            share = src_rank * df["n_links"].to_numpy() // src_deg
+            g = (
+                pd.DataFrame({"dst_host": df["dst_host"], "c": share})
+                .groupby("dst_host", as_index=False)["c"]
+                .sum()
+            )
+            return pa.Table.from_pandas(
+                g, preserve_index=False,
+                schema=pa.schema([("dst_host", pa.string()), ("c", pa.int64())]),
+            )
+
+        contrib = (
+            edges.map_batches(contribute, batch_format="pyarrow")
+            .groupby("dst_host")
+            .sum("c")
+            .to_pandas()
+            .rename(columns={"sum(c)": "c"})
+            .set_index("dst_host")["c"]
+        )
+        # damped rank = floor(contrib·d); the residual pool (teleport
+        # (1−d) + dangling + all flooring remainders) redistributes
+        # uniformly — exact integer split, remainder to the
+        # lexicographically first hosts (deterministic)
+        dm = int(round(damping * 1000))  # permille — int(0.85*1000) could truncate
+        new_rank = {
+            h: (int(contrib.get(h, 0)) * dm) // 1000 for h in hosts
+        }
+        pool = 1_000_000_000 - sum(new_rank.values())
+        per, rem = divmod(pool, n_hosts)
+        for i, h in enumerate(hosts):
+            new_rank[h] += per + (1 if i < rem else 0)
+        rank = new_rank
+    out = pd.DataFrame(
+        {"host": hosts, "rank_e9": [rank[h] for h in hosts]}
+    ).sort_values(["rank_e9", "host"], ascending=[False, True])
+    return out.reset_index(drop=True)

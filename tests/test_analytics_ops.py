@@ -310,6 +310,70 @@ def test_host_link_graph_matches_arithmetic(ray_session):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
 
+def test_host_pagerank_matches_numpy_power_iteration(ray_session):
+    """The distributed integer-e9 iteration must match a driver-side
+    numpy replica of the exact same integer scheme, and approximate the
+    float power iteration."""
+    from opps_feedcrawler_ray.pipelines.webpipe import host_link_graph, host_pagerank
+
+    iters, d = 4, 0.85
+    got = host_pagerank(SF, iters=iters, damping=d)
+    edges = host_link_graph(SF)
+    hosts = sorted(set(edges["src_host"]) | set(edges["dst_host"]))
+    idx = {h: i for i, h in enumerate(hosts)}
+    n = len(hosts)
+    out_deg = edges.groupby("src_host")["n_links"].sum().to_dict()
+
+    rank = np.full(n, 1_000_000_000 // n, dtype=np.int64)
+    for _ in range(iters):
+        contrib = np.zeros(n, dtype=np.int64)
+        for _, e in edges.iterrows():
+            share = (
+                int(rank[idx[e["src_host"]]]) * int(e["n_links"])
+                // int(out_deg[e["src_host"]])
+            )
+            contrib[idx[e["dst_host"]]] += share
+        new = contrib * 850 // 1000
+        pool = 1_000_000_000 - int(new.sum())
+        per, rem = divmod(pool, n)
+        new += per
+        new[:rem] += 1
+        rank = new
+    exp = pd.DataFrame({"host": hosts, "rank_e9": rank}).sort_values(
+        ["rank_e9", "host"], ascending=[False, True]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert abs(got["rank_e9"].sum() - 1_000_000_000) == 0  # exact mass conservation
+
+
+def test_quality_score_model_matches_pandas(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import quality_score_model
+    from opps_feedcrawler_ray.stages.scoring import (
+        QUALITY_THRESHOLD,
+        QUALITY_WEIGHTS,
+        _STOPWORDS,
+    )
+
+    got = quality_score_model(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    rows = []
+    for _, r in docs.iterrows():
+        t = r["text"] or ""
+        f = {
+            "n_chars": len(t),
+            "n_punct": sum(1 for ch in t if ch in ".!?,;:"),
+            "n_stop": sum(1 for w in t.lower().split() if w in _STOPWORDS),
+            "n_tokens": len(t.split()),
+        }
+        s = sum(QUALITY_WEIGHTS[k] * v for k, v in f.items())
+        rows.append((r["doc_id"], s, s >= QUALITY_THRESHOLD))
+    exp = pd.DataFrame(rows, columns=["doc_id", "score", "keep"]).sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+    assert got["keep"].any() and not got["keep"].all()  # threshold splits
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
 def test_anti_join_bucket_sweep_invariant(ray_session, monkeypatch):
     """Survivor set must not depend on the coarse-bucket count (pure
     scheduling knob)."""
