@@ -378,6 +378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_link_graph": _q_host_link_graph,
         "host_pagerank": _q_host_pagerank,
         "quality_score_model": A.quality_score_model,
+        "embedding_centroids": A.embedding_centroids,
         # crawl-engine operators
         "url_canonicalize": A.url_canonicalize,
         "topk_per_group": A.topk_per_group,
@@ -781,6 +782,15 @@ def oracle_sql() -> dict[str, str]:
             f"x -> x IN {_STOP_LIST})) "
             "+ 3 * len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) "
             "AS BIGINT) AS score FROM documents)"
+        ),
+        "embedding_centroids": (
+            # e6-rounded BEFORE summing → float-order-free on both sides
+            "SELECT label, i, COUNT(*) AS n_vecs, "
+            "CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) "
+            "AS BIGINT) AS sum_e6 FROM ("
+            "SELECT label, unnest(embedding) AS v, "
+            "generate_subscripts(embedding, 1) AS i FROM embeddings) "
+            "GROUP BY label, i"
         ),
     }
     # max_df=50 provably drops nothing on the fixtures (max shingle df < 10),

@@ -84,6 +84,7 @@ QUERY_NAMES = [
     "host_link_graph",
     "host_pagerank",
     "quality_score_model",
+    "embedding_centroids",
 ]
 
 

@@ -1071,6 +1071,53 @@ def heavy_hitter_tokens(sf_dir: str, sketch_k: int = 64, pct: int = 2) -> pd.Dat
     return df.sort_values(["n", "token"], ascending=[False, True]).reset_index(drop=True)
 
 
+def embedding_centroids(sf_dir: str) -> pd.DataFrame:
+    """Grouped VECTOR aggregate — per-label centroid sums over the
+    embedding column (the reduce inside k-means/cluster-update loops):
+    each batch stacks its vectors into one (n, dim) matrix and emits
+    per-(label, dim) integer e6 partial sums (combiner: ≤ |labels|·dim
+    rows per batch regardless of batch size), then one small groupby
+    closes the reduction.  Elements round to e6 integers BEFORE summing,
+    so the result is float-summation-order-free and oracle-exact; the
+    centroid itself is sum_e6 / n_vecs, left undivided to keep the
+    contract integer-only."""
+    emb = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out_label, out_i, out_n, out_s = [], [], [], []
+        for label, g in df.groupby("label"):  # ≤ |labels| groups per batch
+            m = np.stack(g["embedding"].to_numpy())
+            e6 = np.floor(m.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+            dim = e6.shape[1]
+            out_label.append(np.full(dim, label, dtype=np.int64))
+            out_i.append(np.arange(1, dim + 1, dtype=np.int64))  # 1-based like SQL
+            out_n.append(np.full(dim, len(g), dtype=np.int64))
+            out_s.append(e6.sum(axis=0))
+        return pa.table(
+            {
+                "label": pa.array(np.concatenate(out_label) if out_label else
+                                  np.empty(0, dtype=np.int64)),
+                "i": pa.array(np.concatenate(out_i) if out_i else
+                              np.empty(0, dtype=np.int64)),
+                "n_vecs": pa.array(np.concatenate(out_n) if out_n else
+                                   np.empty(0, dtype=np.int64)),
+                "sum_e6": pa.array(np.concatenate(out_s) if out_s else
+                                   np.empty(0, dtype=np.int64)),
+            }
+        )
+
+    return (
+        emb.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "i"])
+        .sum(["n_vecs", "sum_e6"])
+        .to_pandas()
+        .rename(columns={"sum(n_vecs)": "n_vecs", "sum(sum_e6)": "sum_e6"})
+        .sort_values(["label", "i"])
+        .reset_index(drop=True)
+    )
+
+
 def quality_score_model(sf_dir: str) -> rd.Dataset:
     """Model-scoring as an ACTOR-POOL stage (stages/scoring.py): the
     integer linear "checkpoint" loads once per actor in ``__init__``,

@@ -374,6 +374,23 @@ def test_quality_score_model_matches_pandas(ray_session):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
 
+def test_embedding_centroids_matches_numpy(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import embedding_centroids
+
+    got = embedding_centroids(SF)
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet", columns=["label", "embedding"])
+    rows = []
+    for label, g in emb.groupby("label"):
+        m = np.stack(g["embedding"].to_numpy())
+        e6 = np.floor(m.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+        for i in range(e6.shape[1]):
+            rows.append((label, i + 1, len(g), int(e6[:, i].sum())))
+    exp = pd.DataFrame(rows, columns=["label", "i", "n_vecs", "sum_e6"]).sort_values(
+        ["label", "i"]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
 def test_anti_join_bucket_sweep_invariant(ray_session, monkeypatch):
     """Survivor set must not depend on the coarse-bucket count (pure
     scheduling knob)."""
