@@ -1168,7 +1168,9 @@ def pack_token_chunks(sf_dir: str, budget: int = 512) -> pd.DataFrame:
     state — embarrassingly parallel, engine-defined chunk ids (partition
     major, rows-only check); invariants (every doc exactly once, chunk
     totals ≤ budget unless single-doc, order preserved) are pinned by
-    tests."""
+    tests.  PARTITIONING ASSUMPTION: packing quality is per-partition
+    (no chunk spans partitions) — the trade a distributed packer makes
+    for a shuffle-free single pass."""
     from .dedup import coarse_buckets
 
     docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
@@ -1221,7 +1223,11 @@ def decontaminate_ngrams(sf_dir: str, n: int = 8) -> pd.DataFrame:
     same table).  The held-out n-gram fingerprints are collected once
     (test split ≪ corpus), broadcast, and each batch checks its rolling
     64-bit n-gram hashes with ``np.isin`` — one streaming pass over the
-    corpus, no shuffle.  Returns flagged (train doc, #hits) rows."""
+    corpus, no shuffle.  Returns flagged (train doc, #hits) rows.
+    PARTITIONING ASSUMPTION: the held-out fingerprint set fits a
+    worker's heap (benchmark suites are ≪ the training corpus); a
+    held-out set that outgrows RAM shuffles both sides on gram-hash
+    buckets instead."""
     import hashlib
 
     docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
@@ -1261,10 +1267,11 @@ def decontaminate_ngrams(sf_dir: str, n: int = 8) -> pd.DataFrame:
         )
         return pa.table({"g": pa.array(u.astype("int64"))})  # int64 view for Ray
 
-    heldout = np.unique(
-        docs.map_batches(test_grams, batch_format="pyarrow")
-        .to_pandas()["g"]
-        .to_numpy()
+    hdf = docs.map_batches(test_grams, batch_format="pyarrow").to_pandas()
+    # an ALL-empty result can come back column-less — keep the typed shape
+    heldout = (
+        np.unique(hdf["g"].to_numpy()) if "g" in hdf.columns
+        else np.empty(0, dtype="int64")
     )  # |test-split n-grams| — small vs corpus; broadcast via closure
 
     def flag(batch: pa.Table) -> pa.Table:
@@ -1288,12 +1295,11 @@ def decontaminate_ngrams(sf_dir: str, n: int = 8) -> pd.DataFrame:
             }
         )
 
-    return (
-        docs.map_batches(flag, batch_format="pyarrow")
-        .to_pandas()
-        .sort_values("doc_id")
-        .reset_index(drop=True)
-    )
+    out = docs.map_batches(flag, batch_format="pyarrow").to_pandas()
+    if "doc_id" not in out.columns:  # all-empty blocks lose the schema
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "n_hits": pd.Series(dtype="int64")})
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def tfidf_top_terms(sf_dir: str, k: int = 3) -> pd.DataFrame:
@@ -1303,7 +1309,11 @@ def tfidf_top_terms(sf_dir: str, k: int = 3) -> pd.DataFrame:
     the broadcast idf table per batch, score and take the local top-k —
     a document never spans batches, so tf and the top-k are batch-local.
     Ordering key is the ROUNDED integer score (+ token asc), so ranking
-    is float-order-free on both sides of the oracle."""
+    is float-order-free on both sides of the oracle.  PARTITIONING
+    ASSUMPTION: the df/idf table is vocabulary-bounded and fits a
+    worker's heap; an unbounded web vocabulary calls for a min_df cut
+    (rare terms score ≈ tf·ln N and need no table entry) or feature
+    hashing before broadcast."""
     docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     n_docs = docs.count()
 

@@ -251,7 +251,13 @@ def host_pagerank(
     never move after the initial build; only the small rank table does —
     the standard scale shape for 10^9-edge graphs.  Ranks are held in
     integer e9 units so the result is platform-exact and
-    iteration-order-free."""
+    iteration-order-free.
+
+    PARTITIONING ASSUMPTION: the rank table fits a worker's heap
+    (|hosts| ≪ |edges|; ~100 M hosts × 16 B ≈ 1.6 GB is the ceiling).
+    Past that, the rank broadcast becomes a bucketed rank⋈edge
+    co-shuffle on hash(src_host) — same iteration body, one extra
+    exchange per step."""
     import pandas as pd
 
     edges_df = host_link_graph(sf_dir, work_dir=work_dir)

@@ -391,6 +391,25 @@ def test_embedding_centroids_matches_numpy(ray_session):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
 
+def test_pack_token_chunks_tiny_budget(ray_session):
+    """budget below every doc's token count → one chunk per doc."""
+    from opps_feedcrawler_ray.pipelines.analytics import pack_token_chunks
+
+    got = pack_token_chunks(SF, budget=1)
+    assert got["chunk_id"].nunique() == len(got)
+    assert (got.groupby("chunk_id").size() == 1).all()
+
+
+def test_decontaminate_ngrams_huge_n_empty(ray_session):
+    """n-gram window longer than any doc → no fingerprints, no hits,
+    and the empty-candidate fast path keeps the typed schema."""
+    from opps_feedcrawler_ray.pipelines.analytics import decontaminate_ngrams
+
+    got = decontaminate_ngrams(SF, n=100000)
+    assert list(got.columns) == ["doc_id", "n_hits"]
+    assert len(got) == 0
+
+
 def test_anti_join_bucket_sweep_invariant(ray_session, monkeypatch):
     """Survivor set must not depend on the coarse-bucket count (pure
     scheduling knob)."""
