@@ -379,6 +379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank": _q_host_pagerank,
         "quality_score_model": A.quality_score_model,
         "embedding_centroids": A.embedding_centroids,
+        "events_hopping_window": A.events_hopping_window,
         # crawl-engine operators
         "url_canonicalize": A.url_canonicalize,
         "topk_per_group": A.topk_per_group,
@@ -791,6 +792,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT label, unnest(embedding) AS v, "
             "generate_subscripts(embedding, 1) AS i FROM embeddings) "
             "GROUP BY label, i"
+        ),
+        "events_hopping_window": (
+            # 4 epoch-aligned 1h windows (15min hop) per event — pure
+            # integer epoch arithmetic on both sides
+            "SELECT window_start_us, event_type, COUNT(*) AS n, "
+            "CAST(SUM(v) AS BIGINT) AS value_e2 FROM ("
+            "SELECT (epoch_us(ts) // 900000000 - k) * 900000000 AS window_start_us, "
+            "event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v "
+            "FROM events CROSS JOIN (SELECT unnest(range(4)) AS k)) "
+            "GROUP BY window_start_us, event_type"
         ),
     }
     # max_df=50 provably drops nothing on the fixtures (max shingle df < 10),

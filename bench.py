@@ -85,6 +85,7 @@ QUERY_NAMES = [
     "host_pagerank",
     "quality_score_model",
     "embedding_centroids",
+    "events_hopping_window",
 ]
 
 

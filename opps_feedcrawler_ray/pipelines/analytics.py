@@ -1071,6 +1071,50 @@ def heavy_hitter_tokens(sf_dir: str, sketch_k: int = 64, pct: int = 2) -> pd.Dat
     return df.sort_values(["n", "token"], ascending=[False, True]).reset_index(drop=True)
 
 
+def events_hopping_window(sf_dir: str) -> pd.DataFrame:
+    """HOPPING-WINDOW aggregate (size 1 h, hop 15 min — the overlapped
+    streaming window sessionize/tumbling don't cover): each event
+    belongs to exactly size/hop = 4 epoch-aligned windows, exploded
+    VECTORIZED (np.repeat — no per-row Python), pre-aggregated per batch
+    (combiner), then one groupby over ~|windows|·|types| keys.  Window
+    membership is pure integer epoch arithmetic, identical in the
+    oracle, so counts and e2 sums hash-exact."""
+    size_us = 3_600_000_000
+    hop_us = 900_000_000
+    k = size_us // hop_us  # 4 windows per event
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        ts = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        v = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+        base = (ts // hop_us) * hop_us  # latest window start containing t
+        ks = np.tile(np.arange(k, dtype=np.int64), len(df))
+        starts = np.repeat(base, k) - ks * hop_us
+        g = (
+            pd.DataFrame(
+                {
+                    "window_start_us": starts,
+                    "event_type": np.repeat(df["event_type"].to_numpy(), k),
+                    "n": 1,
+                    "value_e2": np.repeat(v, k),
+                }
+            )
+            .groupby(["window_start_us", "event_type"], as_index=False)
+            .sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    df = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby(["window_start_us", "event_type"])
+        .sum(["n", "value_e2"])
+        .to_pandas()
+        .rename(columns={"sum(n)": "n", "sum(value_e2)": "value_e2"})
+    )
+    return df.sort_values(["window_start_us", "event_type"]).reset_index(drop=True)
+
+
 def embedding_centroids(sf_dir: str) -> pd.DataFrame:
     """Grouped VECTOR aggregate — per-label centroid sums over the
     embedding column (the reduce inside k-means/cluster-update loops):

@@ -374,6 +374,32 @@ def test_quality_score_model_matches_pandas(ray_session):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
 
+def test_events_hopping_window_matches_pandas(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import events_hopping_window
+
+    got = events_hopping_window(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "ts", "value"])
+    ts = ev["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    v = np.floor(ev["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+    rows = []
+    for t, et, val in zip(ts, ev["event_type"], v):
+        for k in range(4):
+            rows.append(((t // 900_000_000 - k) * 900_000_000, et, val))
+    exp = (
+        pd.DataFrame(rows, columns=["window_start_us", "event_type", "value_e2"])
+        .groupby(["window_start_us", "event_type"], as_index=False)
+        .agg(n=("value_e2", "size"), value_e2=("value_e2", "sum"))
+        .sort_values(["window_start_us", "event_type"])
+        .reset_index(drop=True)
+    )
+    # every event is in exactly size/hop windows
+    assert got["n"].sum() == 4 * len(ev)
+    pd.testing.assert_frame_equal(
+        got, exp[["window_start_us", "event_type", "n", "value_e2"]],
+        check_dtype=False,
+    )
+
+
 def test_embedding_centroids_matches_numpy(ray_session):
     from opps_feedcrawler_ray.pipelines.analytics import embedding_centroids
 
