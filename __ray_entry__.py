@@ -380,6 +380,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score_model": A.quality_score_model,
         "embedding_centroids": A.embedding_centroids,
         "events_hopping_window": A.events_hopping_window,
+        "part_lineitem_full_outer": A.part_lineitem_full_outer,
+        "supplier_names_by_nation": A.supplier_names_by_nation,
         # crawl-engine operators
         "url_canonicalize": A.url_canonicalize,
         "topk_per_group": A.topk_per_group,
@@ -802,6 +804,20 @@ def oracle_sql() -> dict[str, str]:
             "event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v "
             "FROM events CROSS JOIN (SELECT unnest(range(4)) AS k)) "
             "GROUP BY window_start_us, event_type"
+        ),
+        "part_lineitem_full_outer": (
+            "WITH a AS (SELECT p_partkey, p_size FROM part WHERE p_size > 45), "
+            "b AS (SELECT l_partkey, COUNT(*) AS n FROM lineitem "
+            "WHERE l_quantity > 49 GROUP BY l_partkey) "
+            "SELECT COALESCE(a.p_partkey, b.l_partkey) AS partkey, "
+            "CAST(COALESCE(a.p_size, -1) AS BIGINT) AS p_size, "
+            "COALESCE(b.n, 0) AS n_heavy "
+            "FROM a FULL OUTER JOIN b ON a.p_partkey = b.l_partkey"
+        ),
+        "supplier_names_by_nation": (
+            "SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, "
+            "string_agg(s_name, ',' ORDER BY s_name) AS names, "
+            "COUNT(*) AS n_suppliers FROM supplier GROUP BY s_nationkey"
         ),
     }
     # max_df=50 provably drops nothing on the fixtures (max shingle df < 10),

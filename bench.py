@@ -86,6 +86,8 @@ QUERY_NAMES = [
     "quality_score_model",
     "embedding_centroids",
     "events_hopping_window",
+    "part_lineitem_full_outer",
+    "supplier_names_by_nation",
 ]
 
 

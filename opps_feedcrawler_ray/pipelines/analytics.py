@@ -1071,6 +1071,108 @@ def heavy_hitter_tokens(sf_dir: str, sketch_k: int = 64, pct: int = 2) -> pd.Dat
     return df.sort_values(["n", "token"], ascending=[False, True]).reset_index(drop=True)
 
 
+def part_lineitem_full_outer(sf_dir: str) -> pd.DataFrame:
+    """FULL OUTER join as the bucketed one-exchange shuffle (completing
+    the join family: inner/broadcast/builtin/semi/anti/left/asof/range):
+    unmatched rows SURVIVE ON BOTH SIDES — left-only parts carry
+    n_heavy=0, right-only lineitem groups carry p_size=-1.  The right
+    side pre-aggregates per batch, so the exchange ships per-key partial
+    counts, never lineitem rows."""
+    from .dedup import coarse_buckets
+
+    part = rd.read_parquet(_t(sf_dir, "part"), columns=["p_partkey", "p_size"])
+    li = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_partkey", "l_quantity"])
+    nb = coarse_buckets(part.count(), rows_per_task=65536)
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater(batch["p_size"], 45))
+        k = t["p_partkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "partkey": pa.array(k, pa.int64()),
+                "p_size": pc.cast(t["p_size"], pa.int64()),
+                "n_heavy": pa.array(np.zeros(len(k), dtype=np.int64)),
+                "side": pa.array(np.zeros(len(k), dtype=np.int8)),
+                "__b": pa.array((k % nb).astype("int64")),
+            }
+        )
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater(batch["l_quantity"], 49.0))
+        k, n = np.unique(
+            t["l_partkey"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {
+                "partkey": pa.array(k, pa.int64()),
+                "p_size": pa.array(np.full(len(k), -1, dtype=np.int64)),
+                "n_heavy": pa.array(n.astype("int64")),
+                "side": pa.array(np.ones(len(k), dtype=np.int8)),
+                "__b": pa.array((k % nb).astype("int64")),
+            }
+        )
+
+    def full_outer(g: pd.DataFrame) -> pd.DataFrame:
+        left = g.loc[g["side"] == 0, ["partkey", "p_size"]]
+        right = (
+            g.loc[g["side"] == 1, ["partkey", "n_heavy"]]
+            .groupby("partkey", as_index=False)["n_heavy"]
+            .sum()
+        )
+        out = left.merge(right, on="partkey", how="outer")
+        out["p_size"] = out["p_size"].fillna(-1).astype("int64")
+        out["n_heavy"] = out["n_heavy"].fillna(0).astype("int64")
+        return out
+
+    return (
+        part.map_batches(tag_left, batch_format="pyarrow")
+        .union(li.map_batches(tag_right, batch_format="pyarrow"))
+        .groupby("__b")
+        .map_groups(full_outer, batch_format="pandas")
+        .to_pandas()
+        .sort_values("partkey")
+        .reset_index(drop=True)
+    )
+
+
+def supplier_names_by_nation(sf_dir: str) -> pd.DataFrame:
+    """Grouped COLLECT / string_agg: comma-joined supplier names per
+    nation in deterministic (sorted) order.  Coarse-bucketed on the
+    nation key; per-group state is bounded by the group's OWN payload
+    (the thing being collected), which is the inherent cost of a
+    collect — document, don't hide."""
+    from .dedup import coarse_buckets
+
+    sup = rd.read_parquet(_t(sf_dir, "supplier"), columns=["s_nationkey", "s_name"])
+    nb = coarse_buckets(sup.count(), rows_per_task=65536)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = batch["s_nationkey"].to_numpy(zero_copy_only=False).astype("int64")
+        return pa.table(
+            {
+                "s_nationkey": pa.array(k),
+                "s_name": pc.cast(batch["s_name"], pa.string()),
+                "__b": pa.array(k % nb),
+            }
+        )
+
+    def collect(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("s_name")
+        return (
+            g.groupby("s_nationkey", as_index=False)
+            .agg(names=("s_name", ",".join), n_suppliers=("s_name", "size"))
+        )
+
+    return (
+        sup.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(collect, batch_format="pandas")
+        .to_pandas()
+        .sort_values("s_nationkey")
+        .reset_index(drop=True)
+    )
+
+
 def events_hopping_window(sf_dir: str) -> pd.DataFrame:
     """HOPPING-WINDOW aggregate (size 1 h, hop 15 min — the overlapped
     streaming window sessionize/tumbling don't cover): each event

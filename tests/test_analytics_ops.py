@@ -374,6 +374,47 @@ def test_quality_score_model_matches_pandas(ray_session):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
 
+def test_full_outer_join_matches_pandas(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import part_lineitem_full_outer
+
+    got = part_lineitem_full_outer(SF)
+    part = pd.read_parquet(f"{SF}/part.parquet", columns=["p_partkey", "p_size"])
+    li = pd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_partkey", "l_quantity"])
+    a = part[part["p_size"] > 45][["p_partkey", "p_size"]].rename(
+        columns={"p_partkey": "partkey"}
+    )
+    b = (
+        li[li["l_quantity"] > 49.0]
+        .groupby("l_partkey", as_index=False)
+        .size()
+        .rename(columns={"l_partkey": "partkey", "size": "n_heavy"})
+    )
+    exp = a.merge(b, on="partkey", how="outer")
+    exp["p_size"] = exp["p_size"].fillna(-1).astype("int64")
+    exp["n_heavy"] = exp["n_heavy"].fillna(0).astype("int64")
+    exp = exp.sort_values("partkey").reset_index(drop=True)
+    # all three branches populated: matched, left-only, right-only
+    assert (exp["n_heavy"] == 0).any() and (exp["p_size"] == -1).any() and (
+        (exp["n_heavy"] > 0) & (exp["p_size"] >= 0)
+    ).any()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_supplier_names_by_nation_matches_pandas(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import supplier_names_by_nation
+
+    got = supplier_names_by_nation(SF)
+    sup = pd.read_parquet(f"{SF}/supplier.parquet", columns=["s_nationkey", "s_name"])
+    exp = (
+        sup.sort_values("s_name")
+        .groupby("s_nationkey", as_index=False)
+        .agg(names=("s_name", ",".join), n_suppliers=("s_name", "size"))
+        .sort_values("s_nationkey")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
 def test_events_hopping_window_matches_pandas(ray_session):
     from opps_feedcrawler_ray.pipelines.analytics import events_hopping_window
 
