@@ -245,6 +245,15 @@ def _q_host_link_graph(sf_dir: str):
     return host_link_graph(sf_dir)
 
 
+def _q_trainprep(sf_dir: str):
+    """Composed training-corpus prep flow (quality gate → dedup → split
+    → pack → partitioned write); returns the per-split manifest.
+    Engine-defined layout → rows-only; invariants pinned in tests."""
+    from opps_feedcrawler_ray.pipelines.trainprep import training_corpus_pipeline
+
+    return training_corpus_pipeline(sf_dir)
+
+
 def _q_host_pagerank(sf_dir: str):
     """Iterative distributed PageRank (rows-only: iterative algorithms
     have no SQL oracle; a numpy power-iteration twin is pinned in tests)."""
@@ -382,6 +391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_window": A.events_hopping_window,
         "part_lineitem_full_outer": A.part_lineitem_full_outer,
         "supplier_names_by_nation": A.supplier_names_by_nation,
+        "training_corpus_manifest": _q_trainprep,
         # crawl-engine operators
         "url_canonicalize": A.url_canonicalize,
         "topk_per_group": A.topk_per_group,

