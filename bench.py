@@ -229,7 +229,7 @@ def run_bench() -> dict:
         num_buckets=num_buckets,
         bucketed_dir=bucketed,
         checkpoint_every=2,
-        poll_chunk_rows=int(os.environ.get("BENCH_CHUNK", "1024")),
+        poll_chunk_rows=int(os.environ.get("BENCH_CHUNK", "0")) or None,
         fetch_strategy=os.environ.get("BENCH_FETCH", "objstore"),
         extract_concurrency=(
             (2, NUM_CPUS) if os.environ.get("BENCH_EXTRACT_POOL", "0") == "1" else None

@@ -55,7 +55,11 @@ class CrawlConfig:
     #           (constant memory — the 100 TB cold path)
     fetch_strategy: str = "actors"
     num_fetch_actors: int = 8
-    poll_chunk_rows: int = 1024       # ready-set block granularity (parallelism)
+    # ready-set block granularity (parallelism).  None → strategy default:
+    # 6144 for "direct" (each chunk decodes its touched bucket partitions
+    # whole, so decode amplification ≈ chunks-per-bucket — measured 1.4×
+    # faster than 1024 at bench scale), 1024 otherwise.
+    poll_chunk_rows: int | None = None
     priority_fn: object = None        # §2.10 hook: fn(next_round) -> priority float
     # §7.6 mega-host salting: {host: k} splits that host's frontier queue
     # across k sub-shards, each polled at budget//k per round (recombined
@@ -946,6 +950,9 @@ def crawl(cfg: CrawlConfig) -> dict:
     total_fetched = 0
     total_not_found = 0
     rounds_sec = 0.0  # steady-state round wall (incl. checkpoints)
+    chunk_rows = cfg.poll_chunk_rows or (
+        6144 if cfg.fetch_strategy == "direct" else 1024
+    )
 
     r = start_round
     while r < cfg.max_rounds:
@@ -954,7 +961,7 @@ def crawl(cfg: CrawlConfig) -> dict:
             [
                 a.poll_ready_meta.remote(
                     r,
-                    cfg.poll_chunk_rows,
+                    chunk_rows,
                     "bucket" if cfg.fetch_strategy in ("direct", "objstore") else "host",
                     cfg.num_buckets,
                 )
