@@ -683,6 +683,15 @@ def _event_value_hist(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def order_stat(v: np.ndarray, c: np.ndarray, k: int) -> int:
+    """k-th smallest (1-indexed) of the multiset encoded as a sorted
+    value histogram (values ``v`` with counts ``c``) — the pure kernel
+    under the distributed median/quantile walks (hypothesis-tested
+    against the expanded-array order statistic)."""
+    cum = np.cumsum(c)
+    return int(v[np.searchsorted(cum, max(k, 1))])
+
+
 def events_median_value(sf_dir: str) -> pd.DataFrame:
     """EXACT median per event type over the distributed value histogram
     (:func:`_event_value_hist`).  2*median is an exact integer for both
@@ -694,13 +703,10 @@ def events_median_value(sf_dir: str) -> pd.DataFrame:
         v = g["v_e2"].to_numpy()
         c = g["n"].to_numpy()
         n = int(c.sum())
-        cum = np.cumsum(c)
         if n % 2:
-            med2 = 2 * int(v[np.searchsorted(cum, n // 2 + 1)])
+            med2 = 2 * order_stat(v, c, n // 2 + 1)
         else:
-            med2 = int(v[np.searchsorted(cum, n // 2)]) + int(
-                v[np.searchsorted(cum, n // 2 + 1)]
-            )
+            med2 = order_stat(v, c, n // 2) + order_stat(v, c, n // 2 + 1)
         out.append((et, n, med2))
     return pd.DataFrame(out, columns=["event_type", "n", "med2_e2"])
 
@@ -716,11 +722,9 @@ def events_quantiles(sf_dir: str) -> pd.DataFrame:
         v = g["v_e2"].to_numpy()
         c = g["n"].to_numpy()
         n = int(c.sum())
-        cum = np.cumsum(c)
 
         def disc(q: float) -> int:
-            k = int(np.ceil(q * n))
-            return int(v[np.searchsorted(cum, max(k, 1))])
+            return order_stat(v, c, int(np.ceil(q * n)))
 
         out.append((et, n, int(v[0]), disc(0.1), disc(0.9), int(v[-1])))
     return pd.DataFrame(

@@ -523,6 +523,36 @@ def test_training_corpus_pipeline_invariants(ray_session, tmp_path):
     assert got_tot == exp_tot
 
 
+def test_order_stat_property():
+    """Histogram order statistic ≡ expanded-array order statistic, for
+    arbitrary multisets (ties, singletons, odd/even) — no Ray needed."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from opps_feedcrawler_ray.pipelines.analytics import order_stat
+
+    @given(
+        st.lists(
+            st.tuples(st.integers(-1000, 1000), st.integers(1, 5)),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    @settings(max_examples=300, deadline=None)
+    def prop(pairs):
+        d: dict[int, int] = {}
+        for val, cnt in pairs:
+            d[val] = d.get(val, 0) + cnt
+        v = np.array(sorted(d), dtype=np.int64)
+        c = np.array([d[x] for x in sorted(d)], dtype=np.int64)
+        expanded = np.sort(np.repeat(v, c))
+        n = len(expanded)
+        for k in {1, n, n // 2 + 1, max(n // 2, 1), int(np.ceil(0.9 * n))}:
+            assert order_stat(v, c, k) == int(expanded[k - 1])
+
+    prop()
+
+
 def test_anti_join_bucket_sweep_invariant(ray_session, monkeypatch):
     """Survivor set must not depend on the coarse-bucket count (pure
     scheduling knob)."""
