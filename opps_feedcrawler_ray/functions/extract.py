@@ -427,11 +427,26 @@ _ABS_HREF_RE = re.compile(
     r"^https?://[A-Za-z0-9._\-]+(?::[0-9]+)?"
     r"(?:/[^\\\s?#;]*)?(?:\?[^\\\s#;]+)?$"
 )
+# mixed-case scheme variant of the same SAFE shape: urljoin's ONLY effect
+# here is lowercasing the scheme — and only when the lowered scheme
+# equals the base's (a cross-scheme absolute href is returned RAW by
+# urljoin, uppercase scheme and all).  Netloc case is preserved either
+# way.  Fuzz-verified byte-identical alongside _ABS_HREF_RE.
+_ABS_HREF_ANYCASE_RE = re.compile(
+    r"^([Hh][Tt][Tt][Pp][Ss]?)(://[A-Za-z0-9._\-]+(?::[0-9]+)?"
+    r"(?:/[^\\\s?#;]*)?(?:\?[^\\\s#;]+)?)$"
+)
 
 
 def _finalize_links(url: str, raw: list[str]) -> list[str]:
     out: list[str] = []
     seen: set[str] = set()
+    if url.startswith("http://"):
+        base_scheme = "http"
+    elif url.startswith("https://"):
+        base_scheme = "https"
+    else:
+        base_scheme = None
     for href in raw:
         href = href.strip()
         if not href or href.startswith("#"):
@@ -439,9 +454,13 @@ def _finalize_links(url: str, raw: list[str]) -> list[str]:
         if _ABS_HREF_RE.match(href):
             absu = href
         else:
-            absu = urljoin(url, href).split("#", 1)[0]
-            if not absu.startswith(("http://", "https://")):
-                continue
+            m = _ABS_HREF_ANYCASE_RE.match(href) if base_scheme else None
+            if m and m.group(1).lower() == base_scheme:
+                absu = base_scheme + m.group(2)
+            else:
+                absu = urljoin(url, href).split("#", 1)[0]
+                if not absu.startswith(("http://", "https://")):
+                    continue
         if absu not in seen:
             seen.add(absu)
             out.append(absu)
