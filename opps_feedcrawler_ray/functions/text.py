@@ -98,6 +98,40 @@ def detect_lang(texts: list[str]) -> list[str]:
     return out
 
 
+def split_bucket(ids) -> np.ndarray:
+    """Deterministic dataset-split bucket (0–9) per doc id: first byte of
+    md5(str(id)) mod 10.  The SINGLE definition behind
+    ``doc_split_assign`` (train 0–7 / val 8 / test 9), decontamination's
+    held-out set, and the composed trainprep pipeline; the DuckDB oracle
+    mirrors it as ``CAST('0x' || substr(md5(id::VARCHAR), 1, 2) AS INT)
+    % 10``."""
+    import hashlib
+
+    return np.fromiter(
+        (hashlib.md5(str(i).encode()).digest()[0] % 10 for i in ids),
+        dtype=np.int64,
+        count=len(ids),
+    )
+
+
+def greedy_pack(n_tokens: np.ndarray, budget: int) -> np.ndarray:
+    """Greedy token-budget chunk assignment over an ordered doc sequence:
+    sequential fill, open a new chunk when adding the next doc would
+    exceed ``budget`` (a doc above the budget gets a chunk of its own).
+    Shared by the standalone packing operator and the trainprep
+    pipeline so the semantics cannot drift."""
+    chunk = np.empty(len(n_tokens), dtype=np.int64)
+    cid, acc = 0, 0
+    for i, t in enumerate(n_tokens):
+        t = int(t)
+        if acc and acc + t > budget:
+            cid += 1
+            acc = 0
+        acc += t
+        chunk[i] = cid
+    return chunk
+
+
 def doc_fingerprint(texts: list[str]) -> np.ndarray:
     """Whole-document 64-bit content fingerprint over normalized tokens
     (rolling-hash-free exact identity: whitespace-insensitive)."""

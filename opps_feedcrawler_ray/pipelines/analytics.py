@@ -670,7 +670,16 @@ def _event_value_hist(sf_dir: str) -> pd.DataFrame:
             n=("v_e2", "size")
         )
         g["__b"] = (g["v_e2"].to_numpy() % nb).astype("int64")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(
+            g,
+            preserve_index=False,
+            # explicit schema: an empty block would infer null-typed
+            # object columns and break downstream schema unification
+            schema=pa.schema(
+                [("event_type", pa.string()), ("v_e2", pa.int64()),
+                 ("n", pa.int64()), ("__b", pa.int64())]
+            ),
+        )
 
     def sum_hist(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby(["event_type", "v_e2"], as_index=False)["n"].sum()
@@ -749,7 +758,14 @@ def orders_rollup(sf_dir: str) -> pd.DataFrame:
         g = df.groupby(["year", "month"], as_index=False).agg(
             n_orders=("e2", "size"), revenue_e2=("e2", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(
+            g,
+            preserve_index=False,
+            schema=pa.schema(
+                [("year", pa.int64()), ("month", pa.int64()),
+                 ("n_orders", pa.int64()), ("revenue_e2", pa.int64())]
+            ),
+        )
 
     leaf = (
         orders.map_batches(partial, batch_format="pyarrow")
@@ -886,7 +902,13 @@ def orders_pivot_month_segment(sf_dir: str) -> pd.DataFrame:
         p = p.reset_index()
         for c in cols:
             p[c] = p[c].astype("int64")
-        return pa.Table.from_pandas(p, preserve_index=False)
+        return pa.Table.from_pandas(
+            p,
+            preserve_index=False,
+            schema=pa.schema(
+                [("month", pa.string())] + [(c, pa.int64()) for c in cols]
+            ),
+        )
 
     df = (
         joined.map_batches(partial, batch_format="pyarrow")
@@ -923,7 +945,13 @@ def purchase_click_users(sf_dir: str) -> pd.DataFrame:
         g = df.groupby("user_id", as_index=False).agg(
             is_p=("is_p", "max"), is_c=("is_c", "max")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(
+            g,
+            preserve_index=False,
+            schema=pa.schema(
+                [("user_id", pa.int64()), ("is_p", pa.int64()), ("is_c", pa.int64())]
+            ),
+        )
 
     df = (
         ev.map_batches(partial, batch_format="pyarrow")
@@ -1017,16 +1045,21 @@ def heavy_hitter_tokens(sf_dir: str, sketch_k: int = 64, pct: int = 2) -> pd.Dat
             cut = np.sort(n)[::-1][sketch_k]
             keep = n - cut > 0
             t, n = t[keep], n[keep] - cut
+        # total rides in-band under the EMPTY-STRING token — structurally
+        # collision-free because "" is filtered out of the token stream
+        # above (a real token can never be empty)
         out = pd.concat(
             [
                 pd.DataFrame({"token": t, "n": n}),
-                pd.DataFrame(
-                    {"token": ["\x00__total__"], "n": np.array([total], dtype="int64")}
-                ),
+                pd.DataFrame({"token": [""], "n": np.array([total], dtype="int64")}),
             ],
             ignore_index=True,
         )
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(
+            out,
+            preserve_index=False,
+            schema=pa.schema([("token", pa.string()), ("n", pa.int64())]),
+        )
 
     sk = (
         docs.map_batches(mg_partial, batch_format="pyarrow")
@@ -1042,9 +1075,9 @@ def heavy_hitter_tokens(sf_dir: str, sketch_k: int = 64, pct: int = 2) -> pd.Dat
     # ≈ 217 candidates survive — bounded driver state.  (A plain top-k
     # trim here would NOT be safe: >k non-hitters can out-count a
     # trimmed-down true hitter.)
-    total = int(sk.loc[sk["token"] == "\x00__total__", "n"].iloc[0])
+    total = int(sk.loc[sk["token"] == "", "n"].iloc[0])
     lower = total * (pct / 100.0 - 1.0 / (sketch_k + 1))
-    cand = sk[(sk["token"] != "\x00__total__") & (sk["n"] > lower)]
+    cand = sk[(sk["token"] != "") & (sk["n"] > lower)]
     if cand.empty:  # no possible hitter — skip pass 2 (empty aggregate
         # would drop the column schema entirely)
         return pd.DataFrame({"token": pd.Series(dtype=object),
@@ -1209,7 +1242,14 @@ def events_hopping_window(sf_dir: str) -> pd.DataFrame:
             .groupby(["window_start_us", "event_type"], as_index=False)
             .sum()
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(
+            g,
+            preserve_index=False,
+            schema=pa.schema(
+                [("window_start_us", pa.int64()), ("event_type", pa.string()),
+                 ("n", pa.int64()), ("value_e2", pa.int64())]
+            ),
+        )
 
     df = (
         ev.map_batches(partial, batch_format="pyarrow")
@@ -1291,14 +1331,9 @@ def doc_split_assign(sf_dir: str) -> rd.Dataset:
     docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
 
     def fn(batch: pa.Table) -> pa.Table:
-        import hashlib
+        from ..functions.text import split_bucket
 
-        ids = batch["doc_id"].to_pylist()
-        b = np.fromiter(
-            (hashlib.md5(str(i).encode()).digest()[0] % 10 for i in ids),
-            dtype=np.int64,
-            count=len(ids),
-        )
+        b = split_bucket(batch["doc_id"].to_pylist())
         split = np.where(b <= 7, "train", np.where(b == 8, "val", "test"))
         return pa.table(
             {
@@ -1338,17 +1373,12 @@ def pack_token_chunks(sf_dir: str, budget: int = 512) -> pd.DataFrame:
         )
 
     def pack(g: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.text import greedy_pack
+
         g = g.sort_values("doc_id")
         part = int(g["part"].iloc[0])
         nt = g["n_tokens"].to_numpy()
-        chunk = np.empty(len(g), dtype=np.int64)
-        cid, acc = 0, 0
-        for i, t in enumerate(nt):
-            if acc and acc + t > budget:
-                cid += 1
-                acc = 0
-            acc += int(t)
-            chunk[i] = cid
+        chunk = greedy_pack(nt, budget)
         out = pd.DataFrame(
             {
                 "doc_id": g["doc_id"].to_numpy(),
@@ -1397,11 +1427,9 @@ def decontaminate_ngrams(sf_dir: str, n: int = 8) -> pd.DataFrame:
         )
 
     def _split_mask(ids: list) -> np.ndarray:
-        return np.fromiter(
-            (hashlib.md5(str(i).encode()).digest()[0] % 10 == 9 for i in ids),
-            dtype=bool,
-            count=len(ids),
-        )
+        from ..functions.text import split_bucket
+
+        return split_bucket(ids) == 9
 
     def test_grams(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
@@ -1486,7 +1514,11 @@ def tfidf_top_terms(sf_dir: str, k: int = 3) -> pd.DataFrame:
     def df_partial(batch: pa.Table) -> pa.Table:
         d = explode(batch).drop_duplicates()
         g = d.groupby("token", as_index=False).agg(nd=("doc_id", "size"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(
+            g,
+            preserve_index=False,
+            schema=pa.schema([("token", pa.string()), ("nd", pa.int64())]),
+        )
 
     dfreq = (
         docs.map_batches(df_partial, batch_format="pyarrow")

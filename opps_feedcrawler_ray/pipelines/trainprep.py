@@ -19,7 +19,6 @@ every chunk within budget unless single-doc) are pinned in tests.
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 import numpy as np
@@ -27,7 +26,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
-from ..functions.text import count_tokens
+from ..functions.text import count_tokens, doc_fingerprint, greedy_pack, split_bucket
 from ..stages.scoring import QualityScorer
 
 
@@ -56,7 +55,7 @@ def training_corpus_pipeline(
     num_buckets: int | None = None,
 ) -> pd.DataFrame:
     """Run the full prep flow; returns the per-split manifest
-    (n_docs, n_chunks, n_tokens) and writes the packed corpus under
+    (n_docs, n_tokens) and writes the packed corpus under
     ``out_dir`` partitioned by split."""
     from .dedup import coarse_buckets
 
@@ -71,26 +70,18 @@ def training_corpus_pipeline(
         _GateStage, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1
     )
 
-    # ---- stage 2: exact dedup on content md5 — ONE bucket exchange,
-    # min-doc_id survivor (deterministic)
+    # ---- stage 2: exact dedup on the ENGINE's content fingerprint
+    # (doc_fingerprint: whitespace-insensitive blake2b-8, the same
+    # identity dedup.exact_dedup uses — one definition, no drift) —
+    # ONE bucket exchange, min-doc_id survivor (deterministic)
     def add_fp(batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        fp = np.fromiter(
-            (
-                int.from_bytes(
-                    hashlib.md5((t or "").encode()).digest()[:8], "big"
-                ) >> 1  # int64-safe
-                for t in texts
-            ),
-            dtype=np.int64,
-            count=len(texts),
-        )
+        fp = doc_fingerprint(batch["text"].to_pylist()).view(np.int64)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
                 "text": batch["text"],
                 "fp": pa.array(fp),
-                "__b": pa.array(fp % np.int64(nb)),
+                "__b": pa.array((fp % np.int64(nb)).astype("int64")),
             }
         )
 
@@ -110,11 +101,7 @@ def training_corpus_pipeline(
     # batch-local (the dedup shuffle already partitioned by fp-bucket)
     def assign_pack(batch: pd.DataFrame) -> pd.DataFrame:
         b = batch.sort_values("doc_id").reset_index(drop=True)
-        hb = np.fromiter(
-            (hashlib.md5(str(i).encode()).digest()[0] % 10 for i in b["doc_id"]),
-            dtype=np.int64,
-            count=len(b),
-        )
+        hb = split_bucket(b["doc_id"].tolist())
         b["split"] = np.where(hb <= 7, "train", np.where(hb == 8, "val", "test"))
         b["n_tokens"] = count_tokens(b["text"].tolist())
         nt_all = b["n_tokens"].to_numpy()
@@ -122,14 +109,7 @@ def training_corpus_pipeline(
         chunk = np.empty(len(b), dtype=np.int64)
         for s in ("train", "val", "test"):  # greedy pack per split, doc_id order
             pos = np.flatnonzero(split_all == s)
-            cid, acc = 0, 0
-            for i in pos:
-                t = int(nt_all[i])
-                if acc and acc + t > budget:
-                    cid += 1
-                    acc = 0
-                acc += t
-                chunk[i] = cid
+            chunk[pos] = greedy_pack(nt_all[pos], budget)
         b["chunk_in_block"] = chunk
         return b[["doc_id", "text", "split", "n_tokens", "chunk_in_block"]]
 
@@ -139,8 +119,10 @@ def training_corpus_pipeline(
     shutil.rmtree(out, ignore_errors=True)  # write_parquet appends on re-run
     packed.write_parquet(out, partition_cols=["split"])
 
-    # ---- manifest (small aggregate over the written layout)
-    man = rd.read_parquet(out, columns=["split", "n_tokens", "chunk_in_block"])
+    # ---- manifest (small aggregate over the written layout; chunk ids
+    # are block-local so a global chunk count is not meaningful — only
+    # doc/token totals are reported)
+    man = rd.read_parquet(out, columns=["split", "n_tokens"])
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         return batch.groupby("split", as_index=False).agg(

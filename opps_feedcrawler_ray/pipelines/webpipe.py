@@ -263,7 +263,11 @@ def host_pagerank(
     edges_df = host_link_graph(sf_dir, work_dir=work_dir)
     hosts = sorted(set(edges_df["src_host"]) | set(edges_df["dst_host"]))
     n_hosts = len(hosts)
-    out_deg = edges_df.groupby("src_host")["n_links"].sum()
+    if n_hosts == 0:  # linkless corpus → empty rank table, typed
+        return pd.DataFrame(
+            {"host": pd.Series(dtype=object), "rank_e9": pd.Series(dtype="int64")}
+        )
+    od = edges_df.groupby("src_host")["n_links"].sum().to_dict()  # invariant
 
     edges = rd.from_arrow(
         pa.Table.from_pandas(edges_df, preserve_index=False)
@@ -276,8 +280,7 @@ def host_pagerank(
     rank = {h: 1_000_000_000 // n_hosts for h in hosts}
     # init slack (1e9 − Σ) re-enters via iteration 1's residual pool
     for _ in range(iters):
-        r = dict(rank)
-        od = out_deg.to_dict()
+        r = rank  # rebound (never mutated) — no per-iteration copy
 
         def contribute(batch: pa.Table) -> pa.Table:
             df = batch.to_pandas()
