@@ -211,6 +211,12 @@ def _fast_canon(url: str) -> tuple[str, str, str] | None:
     m = _FAST_RE.match(url)
     if m is None:
         return None
+    # The path/query classes exclude space/\t\n\r but admit other unicode
+    # whitespace (\x0c, \xa0,  , ...) that the full path's url.strip()
+    # removes when trailing — fall back so both paths stay byte-identical.
+    # (Leading is impossible: the regex anchors at ^https?://.)
+    if url[-1].isspace():
+        return None
     scheme, host, path, q = m.groups()
     if "/." in path:
         return None

@@ -49,11 +49,14 @@ class CrawlConfig:
     actor_num_cpus: float = 0  # frontier actors are RPC-driven; callers hold the CPU slot
     extract_concurrency: int | None = None   # None → stateless tasks (elastic)
     bucketed_dir: str | None = None          # share an ingested layout across runs
+    # "objstore": bucket tables ray.put once at warm, zero-copy get +
+    #           vectorized searchsorted in every fetch task (default —
+    #           fastest measured; one object copy per node on a cluster);
     # "actors": bucket-affine FetchActor pool, pages read once per crawl,
-    #           no per-round shuffle (default — fastest, memory = corpus/K/actor);
-    # "shuffle": per-round groupby(bucket) + partition-pruned disk reads
-    #           (constant memory — the 100 TB cold path)
-    fetch_strategy: str = "actors"
+    #           no per-round shuffle (memory = corpus/K/actor);
+    # "direct"/"shuffle": partition-pruned disk reads per round
+    #           (constant memory — the 100 TB cold paths)
+    fetch_strategy: str = "objstore"
     num_fetch_actors: int = 8
     # ready-set block granularity (parallelism).  None → strategy default:
     # 6144 for "direct" (each chunk decodes its touched bucket partitions
@@ -202,23 +205,82 @@ class _FetchSim:
         return out.append_column("status", status)
 
 
+def _align_sorted_buckets(batch: pa.Table, nb: int, get_bucket) -> pa.Table:
+    """Shared J1 alignment kernel (used by the ``objstore`` and ``actors``
+    strategies): rows carrying ``url_hash`` → same rows + fetch columns via
+    a vectorized uint64 ``searchsorted`` against each touched bucket's
+    sorted hash column.  ``get_bucket(b)`` must return
+    ``(bucket table sorted by url_hash, sorted uint64 hash ndarray)``.
+    Output row order is bucket-grouped (stable); downstream ordering is
+    carried by fetch_seq, not physical row order."""
+    import numpy as np
+
+    hh = batch["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    buckets = hh % np.uint64(nb)
+    perm = np.argsort(buckets, kind="stable")
+    out = batch.take(pa.array(perm, pa.int64()))
+    hh = hh[perm]
+    buckets = buckets[perm]
+    n = batch.num_rows
+    found = np.zeros(n, dtype=bool)
+    pieces: list[pa.Table] = []
+    i = 0
+    while i < n:
+        b = int(buckets[i])
+        j = i
+        while j < n and buckets[j] == b:
+            j += 1
+        tbl, sh = get_bucket(b)
+        sub = hh[i:j]
+        idx = np.searchsorted(sh, sub)
+        ok = (idx < len(sh)) & (sh[np.minimum(idx, max(len(sh) - 1, 0))] == sub) if len(sh) else np.zeros(j - i, dtype=bool)
+        found[i:j] = ok
+        if ok.any():
+            pieces.append(tbl.take(pa.array(idx[ok], pa.int64())))
+        i = j
+    if pieces:
+        src = pa.concat_tables(pieces).combine_chunks()
+        pos = np.cumsum(found) - 1
+        pos[~found] = 0
+        taken = src.take(pa.array(pos, pa.int64()))
+        mask = pa.array(found)
+        all_found = bool(found.all())
+        for name in ("warc_ts", "html", "lang"):
+            col = taken[name].combine_chunks()
+            if not all_found:
+                col = pc.if_else(mask, col, pa.scalar(None, col.type))
+            out = out.append_column(name, col)
+    else:
+        for name, typ in (
+            ("warc_ts", pa.timestamp("us")), ("html", pa.binary()), ("lang", pa.string())
+        ):
+            out = out.append_column(name, pa.array([None] * n, typ))
+    status = pa.array(["fetched" if f else "not_found" for f in found], pa.string())
+    return out.append_column("status", status)
+
+
 @ray.remote
 class FetchActor:
     """Bucket-affine fetch-sim actor (J1, no-shuffle variant).
 
     Actor ``k`` of ``K`` serves exactly the buckets ``b % K == k`` and
-    caches each bucket's Arrow table + url→row index on first access —
-    across ROUNDS, so the pages side is read from disk once per crawl
-    instead of once per round.  Memory per actor = corpus/K and shrinks
-    as the pool grows; at 10^10-URL scale the cache would hold only the
-    url_hash→row-group index and read payloads lazily (same interface).
+    caches each bucket's hash-sorted Arrow table + sorted uint64 hash
+    array on first access — across ROUNDS, so the pages side is read from
+    disk once per crawl instead of once per round.  Row alignment is the
+    same vectorized ``searchsorted`` kernel the objstore strategy uses
+    (``_align_sorted_buckets``), not a per-row dict probe.  Memory per
+    actor = corpus/K and shrinks as the pool grows; at 10^10-URL scale the
+    cache would hold only the url_hash→row-group index and read payloads
+    lazily (same interface).
     """
 
-    def __init__(self, actor_id: int, pool_size: int, bucketed_dir: str) -> None:
+    def __init__(self, actor_id: int, pool_size: int, bucketed_dir: str,
+                 num_buckets: int = 0) -> None:
         self.actor_id = actor_id
         self.pool_size = pool_size
         self.dir = bucketed_dir
-        self.cache: dict[int, tuple[pa.Table, dict]] = {}
+        self.num_buckets = num_buckets
+        self.cache: dict[int, tuple] = {}
 
     def warm(self, num_buckets: int) -> int:
         """Eagerly load every bucket this actor owns (parallel across the
@@ -230,75 +292,30 @@ class FetchActor:
                 n += self._bucket(b)[0].num_rows
         return n
 
-    def _bucket(self, b: int) -> tuple[pa.Table, dict]:
+    def _bucket(self, b: int) -> tuple:
         hit = self.cache.get(b)
         if hit is None:
+            import numpy as np
             import pyarrow.dataset as pads
 
             ds = pads.dataset(self.dir, partitioning="hive")
             t = ds.to_table(
                 filter=pads.field("bucket") == b,
-                columns=["url", "warc_ts", "html", "lang"],
+                columns=["url_hash", "url", "warc_ts", "html", "lang"],
             ).combine_chunks()  # single-chunk columns: take() goes from ~8ms to ~µs
-            hit = (t, {u: i for i, u in enumerate(t["url"].to_pylist())})
+            h = t["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            perm = np.argsort(h, kind="stable")
+            hit = (t.take(pa.array(perm, pa.int64())).combine_chunks(), h[perm])
             self.cache[b] = hit
         return hit
 
     def fetch(self, table: pa.Table) -> pa.Table:
-        """Rows (url, bucket, ...) → same rows + warc_ts/html/lang/status.
-
-        Left-outer join against the cached buckets.  Only the REQUESTED
-        rows are ever taken/copied from the cache (taking the whole
-        bucket per call would copy the corpus once per round).  Output
-        row order is bucket-grouped (stable) — downstream ordering is
-        carried by fetch_seq, not by physical row order.
-        """
-        n = table.num_rows
-        urls = table["url"].to_pylist()
-        buckets = table["bucket"].to_pylist()
-        # stable bucket-grouped permutation of the input rows
-        perm = sorted(range(n), key=buckets.__getitem__)
-        out = table.take(pa.array(perm, pa.int64())).drop_columns(["bucket"])
-        found: list[bool] = []
-        pieces: list[pa.Table] = []
-        i = 0
-        while i < n:
-            b = buckets[perm[i]]
-            j = i
-            locs: list[int] = []
-            while j < n and buckets[perm[j]] == b:
-                loc = self._bucket(b)[1].get(urls[perm[j]])
-                found.append(loc is not None)
-                if loc is not None:
-                    locs.append(loc)
-                j += 1
-            if locs:
-                pieces.append(self._bucket(b)[0].take(pa.array(locs, pa.int64())))
-            i = j
-        if pieces:
-            src = pa.concat_tables(pieces)  # ONLY the hit rows
-            # position of each output row in src (misses point at 0, masked below)
-            pos = []
-            k = 0
-            for f in found:
-                pos.append(k if f else 0)
-                if f:
-                    k += 1
-            taken = src.take(pa.array(pos, pa.int64()))
-            all_found = all(found)
-            mask = pa.array(found)
-            for name in ("warc_ts", "html", "lang"):
-                col = taken[name].combine_chunks()
-                if not all_found:
-                    col = pc.if_else(mask, col, pa.scalar(None, col.type))
-                out = out.append_column(name, col)
-        else:
-            for name, typ in (
-                ("warc_ts", pa.timestamp("us")), ("html", pa.binary()), ("lang", pa.string())
-            ):
-                out = out.append_column(name, pa.array([None] * n, typ))
-        status = pa.array(["fetched" if f else "not_found" for f in found], pa.string())
-        return out.append_column("status", status)
+        """Rows (url_hash, bucket, ...) → same rows + warc_ts/html/lang/status
+        (left outer against the cached buckets; only requested rows are
+        ever taken/copied from the cache)."""
+        return _align_sorted_buckets(
+            table.drop_columns(["bucket"]), self.num_buckets, self._bucket
+        )
 
 
 class _FetchViaActors:
@@ -478,52 +495,8 @@ class _FetchViaObjectStore:
             ):
                 batch = batch.append_column(name, pa.array([], typ))
             return batch.append_column("status", pa.array([], pa.string()))
-        import numpy as np
-
-        hh = batch["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        buckets = hh % np.uint64(self.nb)
-        perm = np.argsort(buckets, kind="stable")
-        out = batch.take(pa.array(perm, pa.int64()))
-        hh = hh[perm]
-        buckets = buckets[perm]
-        n = batch.num_rows
-        found = np.zeros(n, dtype=bool)
-        pieces: list[pa.Table] = []
-        i = 0
-        while i < n:
-            b = int(buckets[i])
-            j = i
-            while j < n and buckets[j] == b:
-                j += 1
-            tbl, sh = ray.get(self.refs[b])  # zero-copy shared-memory read
-            sub = hh[i:j]
-            idx = np.searchsorted(sh, sub)
-            ok = (idx < len(sh)) & (sh[np.minimum(idx, max(len(sh) - 1, 0))] == sub) if len(sh) else np.zeros(j - i, dtype=bool)
-            found[i:j] = ok
-            if ok.any():
-                pieces.append(tbl.take(pa.array(idx[ok], pa.int64())))
-            i = j
-        if pieces:
-            src = pa.concat_tables(pieces).combine_chunks()
-            pos = np.cumsum(found) - 1
-            pos[~found] = 0
-            taken = src.take(pa.array(pos, pa.int64()))
-            mask = pa.array(found)
-            all_found = bool(found.all())
-            for name in ("warc_ts", "html", "lang"):
-                col = taken[name].combine_chunks()
-                if not all_found:
-                    col = pc.if_else(mask, col, pa.scalar(None, col.type))
-                out = out.append_column(name, col)
-        else:
-            for name, typ in (
-                ("warc_ts", pa.timestamp("us")), ("html", pa.binary()), ("lang", pa.string())
-            ):
-                out = out.append_column(name, pa.array([None] * n, typ))
-        status = pa.array(
-            ["fetched" if f else "not_found" for f in found], pa.string()
-        )
-        return out.append_column("status", status)
+        # zero-copy shared-memory read per touched bucket
+        return _align_sorted_buckets(batch, self.nb, lambda b: ray.get(self.refs[b]))
 
 
 class _AssignSeq:
@@ -829,7 +802,7 @@ def crawl(cfg: CrawlConfig) -> dict:
         # _bucket() are idempotent (equal values, atomic dict store).
         fetch_actors = [
             FetchActor.options(num_cpus=0, max_concurrency=4).remote(
-                i, cfg.num_fetch_actors, bucketed
+                i, cfg.num_fetch_actors, bucketed, cfg.num_buckets
             )
             for i in range(cfg.num_fetch_actors)
         ]
@@ -962,7 +935,7 @@ def crawl(cfg: CrawlConfig) -> dict:
                 a.poll_ready_meta.remote(
                     r,
                     chunk_rows,
-                    "bucket" if cfg.fetch_strategy in ("direct", "objstore") else "host",
+                    "host" if cfg.fetch_strategy == "shuffle" else "bucket",
                     cfg.num_buckets,
                 )
                 for a in actors
@@ -1115,7 +1088,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--buckets", type=int, default=32)
     ap.add_argument("--max-rounds", type=int, default=1000)
     ap.add_argument(
-        "--fetch", choices=["actors", "objstore", "direct", "shuffle"], default="actors"
+        "--fetch", choices=["actors", "objstore", "direct", "shuffle"], default="objstore"
     )
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--num-cpus", type=int, default=None, help="ray.init num_cpus (standalone runs)")

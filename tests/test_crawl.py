@@ -456,8 +456,9 @@ def test_fetch_strategy_equivalence(smoke):
     """All four J1 fetch strategies (actors RPC, objstore broadcast,
     storage-direct, shuffle groupby) must produce byte-identical crawl
     logs and seen sets — the strategy is an execution choice, never a
-    semantic one."""
-    for strat in ("objstore", "direct", "shuffle"):
+    semantic one.  (The smoke fixture runs the default, objstore; the
+    other three are compared against it.)"""
+    for strat in ("actors", "direct", "shuffle"):
         log, seen, _ = run_crawl(
             smoke["tmp"], smoke["corpus"], f"out_strat_{strat}", fetch_strategy=strat
         )

@@ -52,8 +52,8 @@ def test_canonicalize_idempotent_and_stable(scheme, host, port, path, query, fra
     port=st.sampled_from(["", ":80", ":443", ":0080", ":8080", ":"]),
     path=st.from_regex(r"(/(\.|\.\.|[A-Za-z0-9._~%\- ]{0,6})){0,4}/?", fullmatch=True),
     query=st.sampled_from(["", "?", "?a=1", "?a=%2f", "?a?b", "?%zz", "? x"]),
-    tail=st.sampled_from(["", "#f", "\n", " ", "\t"]),
-    lead=st.sampled_from(["", " ", "\n"]),
+    tail=st.sampled_from(["", "#f", "\n", " ", "\t", "\x0c", "\xa0", "\x85", "\x1f", " "]),
+    lead=st.sampled_from(["", " ", "\n", "\x0c", "\xa0"]),
 )
 @settings(max_examples=500, deadline=None)
 def test_fast_canon_equals_full_path(scheme, host, port, path, query, tail, lead):
@@ -92,6 +92,12 @@ def test_fast_canon_directed_edges():
         "http://example.com/a#f",          # fragment -> fallback
         "http://example.com/a\n",          # trailing newline
         "http://example.com/a b",          # space in path -> fallback
+        "http://example.com/a\x0c",        # trailing form-feed (str.strip ws) -> fallback
+        "http://example.com/a\xa0",        # trailing NBSP -> fallback
+        "http://example.com/a\x85",        # trailing NEL -> fallback
+        "http://example.com/a\x1f",        # \x1f is NOT str.strip-ws; both paths keep it
+        "http://example.com/a ",      # trailing line separator -> fallback
+        "http://example.com/a?x=1\x0c",    # trailing ws in query -> fallback
         "https://h/",
         "https://my_host.test/x",
     ]
