@@ -66,20 +66,41 @@ def coarse_buckets(
     return max(lo, min(hi, -(-int(n_rows) // rows_per_task)))
 
 
+def _cell_pair_indices(c: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized within-cell pair enumeration (round-4: replaces the
+    nested Python loops that were the innermost kernel of every LSH
+    path).  ``c`` = cell codes sorted into ascending runs; returns index
+    arrays (a_idx, b_idx) covering every within-cell pair with
+    a_idx < b_idx — O(pairs) numpy, zero Python-level iteration."""
+    n = len(c)
+    if n < 2:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+    sizes = np.diff(np.r_[starts, n])
+    pos = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes)
+    total = int(pos.sum())  # sum over cells of s*(s-1)/2
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    # element g (within-cell position p) pairs with the p elements before
+    # it in its cell: b_idx repeats g p times; a_idx walks the cell run
+    b_idx = np.repeat(np.arange(n, dtype=np.int64), pos)
+    run_ofs = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(pos) - pos, pos)
+    a_idx = np.repeat(np.arange(n, dtype=np.int64) - pos, pos) + run_ofs
+    return a_idx, b_idx
+
+
 def _pairs_in_cells(group: pd.DataFrame, cell_cols: list[str], id_col: str) -> pd.DataFrame:
     """One COARSE bucket holds many exact-key cells: per-cell candidate
-    pairing runs in pandas (C speed) instead of one Ray group per cell."""
-    a_out, b_out = [], []
-    cells = group.groupby(cell_cols)[id_col].agg(
-        lambda s: sorted(set(int(x) for x in s))
-    )
-    for ids in cells:
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a_out.append(ids[i])
-                b_out.append(ids[j])
-    return pd.DataFrame({"a": pd.Series(a_out, dtype="int64"),
-                         "b": pd.Series(b_out, dtype="int64")})
+    pairing runs as one vectorized numpy pass over all cells at once
+    instead of one Ray group per cell (or a Python loop per pair)."""
+    codes = group.groupby(cell_cols, sort=False).ngroup().to_numpy()
+    ids = group[id_col].to_numpy().astype(np.int64)
+    df = pd.DataFrame({"c": codes, "i": ids}).drop_duplicates()
+    df = df.sort_values(["c", "i"])
+    a_idx, b_idx = _cell_pair_indices(df["c"].to_numpy())
+    ii = df["i"].to_numpy()
+    return pd.DataFrame({"a": pd.Series(ii[a_idx], dtype="int64"),
+                         "b": pd.Series(ii[b_idx], dtype="int64")})
 
 
 def _verify_pairs_distributed(
@@ -89,58 +110,92 @@ def _verify_pairs_distributed(
     sim_fn,
     threshold: float,
     id_col: str,
+    feat_type: pa.DataType,
     prep_fn=None,
     pairs_per_task: int = 1024,
 ) -> pd.DataFrame:
-    """Distributed candidate-pair verification (round-3 rework: the
-    driver holds only the candidate PAIR list — never the per-doc
-    feature payloads, which on a boilerplate-heavy corpus are NOT small).
+    """Distributed candidate-pair verification (round-4 rework: zero
+    O(pairs) Python loops on the driver, and pairs ride the SHUFFLE as
+    rows instead of a whole-pair-list broadcast, so per-task memory is
+    bounded by the task's own bucket — ≤``pairs_per_task`` pairs plus
+    their ≤2× feature rows — not by the total candidate count).
 
-    Each pair is hashed to a verify bucket; ``make_feature_batch(batch,
-    bcast)`` recomputes each candidate doc's feature (shingle set / unit
-    vector) inside map_batches and replicates it to exactly the buckets
-    holding its pairs (``bcast`` = (sorted candidate-id array for the
-    vectorized np.isin prefilter, doc→buckets map)); one ``groupby(pb)``
-    verifies each bucket's pairs against its local feature map and emits
-    ONLY qualifying pairs.  Driver-received rows == verified output rows.
-    Per-task bound: ≤``pairs_per_task`` pairs plus their ≤2× feature rows."""
+    Shape: each pair hashes to a verify bucket ``pb``; the pair rows
+    (pb, a, b) enter the verify groupby as a Dataset unioned with the
+    feature rows.  ``make_feature_batch(batch, cand_arr)`` recomputes
+    each candidate doc's feature (shingle set / unit vector) inside
+    map_batches — ONE row per candidate doc, no replication logic in the
+    caller; this function replicates each feature row to exactly the
+    buckets holding its pairs via a vectorized searchsorted against the
+    (id → pb) routing arrays (broadcast once as two compact int64 numpy
+    arrays, ~16 B/pair).  One ``groupby(pb)`` then verifies each
+    bucket's pairs against its local feature rows and emits ONLY
+    qualifying pairs: driver-received rows == verified output rows."""
     import ray
 
     nb = max(1, min(1024, -(-len(cand) // pairs_per_task)))
-    pb = ((cand["a"].to_numpy() * 1000003 + cand["b"].to_numpy()) % nb).astype("int64")
-    cand = cand.assign(pb=pb)
-    doc_buckets: dict[int, list[int]] = {}
-    for a, b, p in zip(cand["a"].to_numpy(), cand["b"].to_numpy(), pb):
-        for d in (int(a), int(b)):
-            lst = doc_buckets.setdefault(d, [])
-            if int(p) not in lst:
-                lst.append(int(p))
-    cand_arr = np.array(sorted(doc_buckets), dtype=np.int64)
-    bcast_ref = ray.put((cand_arr, doc_buckets))
-    pairs_ref = ray.put(
-        {int(p): g[["a", "b"]].to_numpy() for p, g in cand.groupby("pb")}
+    a = cand["a"].to_numpy().astype(np.int64)
+    b = cand["b"].to_numpy().astype(np.int64)
+    pb = ((a * 1000003 + b) % nb).astype(np.int64)
+    # (id → pb) routing table, deduped + sorted by id — all numpy
+    rid = np.concatenate([a, b])
+    rpb = np.concatenate([pb, pb])
+    route = np.unique(np.stack([rid, rpb], axis=1), axis=0)
+    route_ids, route_pbs = route[:, 0], route[:, 1]
+    cand_arr = np.unique(rid)
+    route_ref = ray.put((route_ids, route_pbs))
+    cand_ref = ray.put(cand_arr)
+
+    null_i64 = lambda n: pa.array([None] * n, pa.int64())  # noqa: E731
+    verify_schema = pa.schema(
+        [("pb", pa.int64()), (id_col, pa.int64()), ("feat", feat_type),
+         ("a", pa.int64()), ("b", pa.int64())]
     )
 
     def feat(batch: pa.Table) -> pa.Table:
-        return make_feature_batch(batch, ray.get(bcast_ref))
+        rows = make_feature_batch(batch, ray.get(cand_ref))  # (id, feat)
+        ids = rows[id_col].to_numpy(zero_copy_only=False)
+        r_ids, r_pbs = ray.get(route_ref)
+        lo = np.searchsorted(r_ids, ids, side="left")
+        hi = np.searchsorted(r_ids, ids, side="right")
+        reps = hi - lo
+        total = int(reps.sum())
+        if total == 0:
+            return verify_schema.empty_table()
+        row_idx = np.repeat(np.arange(len(ids), dtype=np.int64), reps)
+        ofs = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(reps) - reps, reps)
+        out_pb = r_pbs[np.repeat(lo, reps) + ofs]
+        rep = rows.take(pa.array(row_idx, pa.int64()))
+        return pa.Table.from_arrays(
+            [pa.array(out_pb, pa.int64()), rep[id_col], rep["feat"],
+             null_i64(total), null_i64(total)],
+            schema=verify_schema,
+        )
+
+    pair_rows_tbl = pa.Table.from_arrays(
+        [pa.array(pb, pa.int64()), null_i64(len(a)),
+         pa.array([None] * len(a), feat_type),
+         pa.array(a, pa.int64()), pa.array(b, pa.int64())],
+        schema=verify_schema,
+    )
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
-        p = int(g["pb"].iloc[0])
-        pairs = ray.get(pairs_ref)[p]
+        is_pair = g["a"].notna()
+        fr = g[~is_pair]
         feats: dict[int, object] = {}
-        for i, f in zip(g[id_col], g["feat"]):
+        for i, f in zip(fr[id_col], fr["feat"]):
             i = int(i)
             if i not in feats:
                 feats[i] = prep_fn(f) if prep_fn is not None else f
         a_out, b_out, s_out = [], [], []
-        for a, b in pairs:
-            fa, fb = feats.get(int(a)), feats.get(int(b))
+        for pa_, pb_ in zip(g.loc[is_pair, "a"], g.loc[is_pair, "b"]):
+            fa, fb = feats.get(int(pa_)), feats.get(int(pb_))
             if fa is None or fb is None:
                 continue
             s = sim_fn(fa, fb)
             if s >= threshold:
-                a_out.append(int(a))
-                b_out.append(int(b))
+                a_out.append(int(pa_))
+                b_out.append(int(pb_))
                 s_out.append(float(s))
         return pd.DataFrame({"a": pd.Series(a_out, dtype="int64"),
                              "b": pd.Series(b_out, dtype="int64"),
@@ -148,6 +203,7 @@ def _verify_pairs_distributed(
 
     out = (
         ds.map_batches(feat, batch_format="pyarrow")
+        .union(rd.from_arrow(pair_rows_tbl))
         .groupby("pb")
         .map_groups(verify, batch_format="pandas")
         .to_pandas()
@@ -285,29 +341,26 @@ def minhash_lsh_dedup(
     else:
         cand = cand.drop_duplicates(subset=["a", "b"])
 
-        def mh_features(batch: pa.Table, bcast) -> pa.Table:
-            cand_arr, bmap = bcast
+        def mh_features(batch: pa.Table, cand_arr) -> pa.Table:
+            # ONE (id, feat) row per candidate doc — replication to verify
+            # buckets happens centrally (vectorized) in the verify helper
             ids = batch[id_col].to_numpy(zero_copy_only=False)
             keep = np.flatnonzero(np.isin(ids, cand_arr))
-            out_pb, out_id, out_feat = [], [], []
+            out_id, out_feat = [], []
             if len(keep):
                 texts = batch[text_col].take(pa.array(keep, pa.int64())).to_pylist()
                 for row, t in zip(keep, texts):
-                    i = int(ids[row])
-                    sh = sorted(shingles(t, k_shingle))
-                    for p in bmap[i]:
-                        out_pb.append(p)
-                        out_id.append(i)
-                        out_feat.append(sh)
+                    out_id.append(int(ids[row]))
+                    out_feat.append(sorted(shingles(t, k_shingle)))
             return pa.table(
-                {"pb": pa.array(out_pb, pa.int64()),
-                 id_col: pa.array(out_id, pa.int64()),
+                {id_col: pa.array(out_id, pa.int64()),
                  "feat": pa.array(out_feat, pa.list_(pa.uint64()))}
             )
 
         pair_rows = _verify_pairs_distributed(
             ds, cand, mh_features,
             sim_fn=jaccard, threshold=threshold, id_col=id_col,
+            feat_type=pa.list_(pa.uint64()),
             prep_fn=lambda f: set(int(x) for x in f),
         )
     if return_pairs:
@@ -361,27 +414,32 @@ def simhash_dedup(
         )
 
     def verify_coarse(group: pd.DataFrame) -> pd.DataFrame:
-        # coarse bucket → per-(chunk, chunk_key) cells grouped in pandas
-        # (C speed) instead of one Ray group per 16-bit key (~260k cells)
-        a_out, b_out, d_out = [], [], []
-        for _, cell in group.groupby(["chunk", "chunk_key"]):
-            rows = cell.drop_duplicates(subset=[id_col])
-            if len(rows) < 2:
-                continue
-            ids = rows[id_col].tolist()
-            sigs = [int(s) for s in rows["sig"]]
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    d = bin(sigs[i] ^ sigs[j]).count("1")
-                    if d <= max_hamming:
-                        a, b = sorted((ids[i], ids[j]))
-                        a_out.append(a)
-                        b_out.append(b)
-                        d_out.append(d)
+        # coarse bucket → per-(chunk, chunk_key) cells, pair enumeration
+        # and Hamming distance fully vectorized across all cells at once
+        # (one numpy pass instead of one Ray group per 16-bit key or a
+        # Python loop per pair)
+        df = group.drop_duplicates(subset=["chunk", "chunk_key", id_col])
+        codes = df.groupby(["chunk", "chunk_key"], sort=False).ngroup().to_numpy()
+        ids = df[id_col].to_numpy().astype(np.int64)
+        sigs = df["sig"].to_numpy().astype(np.uint64)
+        order = np.lexsort((ids, codes))  # ids ascending within each cell
+        codes, ids, sigs = codes[order], ids[order], sigs[order]
+        a_idx, b_idx = _cell_pair_indices(codes)
+        empty = pd.DataFrame(
+            {"a": pd.Series([], dtype="int64"),
+             "b": pd.Series([], dtype="int64"),
+             "hamming": pd.Series([], dtype="int64")}
+        )
+        if len(a_idx) == 0:
+            return empty
+        x = np.bitwise_xor(sigs[a_idx], sigs[b_idx])
+        d = np.unpackbits(x.view(np.uint8)).reshape(-1, 64).sum(axis=1).astype(np.int64)
+        keep = d <= max_hamming
+        # ids sorted within cells ⇒ a < b already
         return pd.DataFrame(
-            {"a": pd.Series(a_out, dtype="int64"),
-             "b": pd.Series(b_out, dtype="int64"),
-             "hamming": pd.Series(d_out, dtype="int64")}
+            {"a": pd.Series(ids[a_idx][keep], dtype="int64"),
+             "b": pd.Series(ids[b_idx][keep], dtype="int64"),
+             "hamming": pd.Series(d[keep], dtype="int64")}
         )
 
     def add_coarse(batch: pa.Table) -> pa.Table:
@@ -748,23 +806,20 @@ def embedding_dedup_pairs(
         return _empty_cosine_pairs()
     cand = cand.drop_duplicates(subset=["a", "b"])
 
-    def vec_features(batch: pa.Table, bcast) -> pa.Table:
-        cand_arr, bmap = bcast
+    def vec_features(batch: pa.Table, cand_arr) -> pa.Table:
+        # ONE (id, feat) row per candidate vector — replication to verify
+        # buckets happens centrally (vectorized) in the verify helper
         ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
         keep = np.flatnonzero(np.isin(ids, cand_arr))
-        out_pb, out_id, out_feat = [], [], []
+        out_id, out_feat = [], []
         if len(keep):
             vecs = batch[vec_col].take(pa.array(keep, pa.int64())).to_pylist()
             unit = _unit_rows(np.array(vecs, dtype=np.float64))
             for row, u in zip(keep, unit):
-                i = int(ids[row])
-                for p in bmap[i]:
-                    out_pb.append(p)
-                    out_id.append(i)
-                    out_feat.append(u.tolist())
+                out_id.append(int(ids[row]))
+                out_feat.append(u.tolist())
         return pa.table(
-            {"pb": pa.array(out_pb, pa.int64()),
-             id_col: pa.array(out_id, pa.int64()),
+            {id_col: pa.array(out_id, pa.int64()),
              "feat": pa.array(out_feat, pa.list_(pa.float64()))}
         )
 
@@ -772,6 +827,7 @@ def embedding_dedup_pairs(
         ds, cand, vec_features,
         sim_fn=lambda fa, fb: float(np.dot(fa, fb)),
         threshold=threshold, id_col=id_col,
+        feat_type=pa.list_(pa.float64()),
         prep_fn=lambda f: np.asarray(f, dtype=np.float64),
     ).rename(columns={"sim": "cosine"})
     if out.empty:

@@ -9,6 +9,7 @@ exact reference."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -168,3 +169,46 @@ def test_embedding_lsh_matches_exact(ray_session):
     exact01 = embedding_allpairs_cosine(ds01, threshold=0.5, n_blocks=4)
     assert list(zip(lsh01["a"], lsh01["b"])) == list(zip(exact01["a"], exact01["b"]))
     assert len(exact01) == 1
+
+
+def test_cell_pair_indices_matches_bruteforce():
+    """The vectorized within-cell pair-enumeration kernel (the innermost
+    step of every LSH path) must emit exactly the i<j pairs a nested loop
+    emits, for adversarial cell layouts: singletons, one giant cell,
+    empty input, duplicate ids pre-deduped by callers."""
+    from opps_feedcrawler_ray.pipelines.dedup import _cell_pair_indices, _pairs_in_cells
+
+    rng = np.random.default_rng(42)
+    for trial in range(20):
+        n_cells = int(rng.integers(1, 12))
+        sizes = rng.integers(0, 9, n_cells)
+        c = np.repeat(np.arange(n_cells), sizes)
+        a_idx, b_idx = _cell_pair_indices(c)
+        want = {
+            (i, j)
+            for s in range(n_cells)
+            for i in np.flatnonzero(c == s)
+            for j in np.flatnonzero(c == s)
+            if i < j
+        }
+        got = set(zip(a_idx.tolist(), b_idx.tolist()))
+        assert got == want and len(a_idx) == len(want), (trial, c)
+        assert (a_idx < b_idx).all() if len(a_idx) else True
+    # empty + all-singleton edges
+    for c in (np.empty(0, np.int64), np.arange(5)):
+        a_idx, b_idx = _cell_pair_indices(c)
+        assert len(a_idx) == 0 and len(b_idx) == 0
+
+    # _pairs_in_cells end-to-end vs brute force on a random frame
+    g = pd.DataFrame(
+        {"band": rng.integers(0, 3, 500), "band_key": rng.integers(0, 20, 500),
+         "doc_id": rng.integers(0, 60, 500)}
+    )
+    out = _pairs_in_cells(g, ["band", "band_key"], "doc_id")
+    brute = set()
+    for _, cell in g.groupby(["band", "band_key"]):
+        ids = sorted(set(int(x) for x in cell["doc_id"]))
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                brute.add((ids[i], ids[j]))
+    assert set(zip(out["a"], out["b"])) == brute
