@@ -45,6 +45,11 @@ class CrawlConfig:
     num_buckets: int = 32
     filter_capacity: int = 1 << 20
     store_exact: bool = True          # verification mode: exact dedup + seen-set export
+    # exact-store memtable cap per frontier shard: URL strings beyond this
+    # spill to hash-sorted parquet segments under out_dir/exact_spill/
+    # (membership keeps only 8 B/key hash arrays resident) — store_exact
+    # stays usable at 10^10-URL scale
+    exact_spill_threshold: int = 1 << 20
     checkpoint_every: int = 1         # rounds between checkpoints (0 = off)
     actor_num_cpus: float = 0  # frontier actors are RPC-driven; callers hold the CPU slot
     extract_concurrency: int | None = None   # None → stateless tasks (elastic)
@@ -753,7 +758,7 @@ def crawl(cfg: CrawlConfig) -> dict:
             )
     os.makedirs(cfg.out_dir, exist_ok=True)
     if not cfg.resume:  # fresh run: clear stale outputs (write_parquet appends)
-        for sub in ("crawl_log", "seen_set", "checkpoints"):
+        for sub in ("crawl_log", "seen_set", "checkpoints", "exact_spill"):
             shutil.rmtree(os.path.join(cfg.out_dir, sub), ignore_errors=True)
     else:
         shutil.rmtree(os.path.join(cfg.out_dir, "seen_set"), ignore_errors=True)
@@ -783,6 +788,8 @@ def crawl(cfg: CrawlConfig) -> dict:
             salt_hosts=cfg.salt_hosts,
             max_pages_per_host=cfg.max_pages_per_host,
             robots_sidecar=_sidecar,
+            exact_spill_dir=os.path.join(cfg.out_dir, "exact_spill", f"shard-{i:05d}"),
+            exact_spill_threshold=cfg.exact_spill_threshold,
         )
         for i in range(cfg.num_frontier_actors)
     ]

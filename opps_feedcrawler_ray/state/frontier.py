@@ -8,8 +8,10 @@ decision shard-local (no cross-actor coordination, no extra shuffle).
 
 State per shard:
   * ``CuckooFilter`` seen-set (approximate, NO false negatives) +
-    optional exact ``url_hash → url`` dict (verification mode / seen-set
-    export; disable at 10^10 scale via ``store_exact=False``);
+    optional exact store (verification mode / seen-set export) — a
+    bounded-memory LSM-lite (``state/exactstore.py``): URL strings spill
+    to hash-sorted parquet segments, only 8 B/key hash arrays stay
+    resident, so ``store_exact=True`` holds at 10^10-URL scale;
   * per-host priority heaps of pending URLs, key
     ``(-priority, round_discovered, url)`` — the §2.12 total order
     (priority DESC, round ASC, url ASC), no RNG, no wall clock;
@@ -39,6 +41,7 @@ import ray
 from ..functions.hashing import fingerprint64
 from ..functions.robots import RobotsRules, parse_robots
 from .cuckoo import CuckooFilter
+from .exactstore import ExactSeenStore
 
 COUNTER_KEYS = ("offered", "admitted", "fetched", "robots_blocked", "not_found")
 
@@ -59,6 +62,8 @@ class FrontierActor:
         salt_hosts: dict[str, int] | None = None,
         max_pages_per_host: int | None = None,
         robots_sidecar: str | None = None,
+        exact_spill_dir: str | None = None,
+        exact_spill_threshold: int = 1 << 20,
     ) -> None:
         self.shard_id = shard_id
         self.num_shards = num_shards
@@ -91,7 +96,14 @@ class FrontierActor:
                     f"the per-host page-cap invariant"
                 )
         self.seen = CuckooFilter(capacity=filter_capacity)
-        self.exact: dict[int, str] = {} if store_exact else None
+        # exact store (verification mode): bounded-memory LSM-lite — URL
+        # strings spill to hash-sorted parquet segments, only 8 B/key
+        # sorted hash arrays stay resident (state/exactstore.py)
+        self.exact: ExactSeenStore | None = (
+            ExactSeenStore(exact_spill_dir, exact_spill_threshold)
+            if store_exact
+            else None
+        )
         # per-host pending lists, sorted ascending by (-priority, round, url)
         # EXCEPT hosts in _dirty (appended since last sort) — offers are
         # O(1) appends, the sort is amortized once per poll (hot path:
@@ -200,11 +212,7 @@ class FrontierActor:
             # hit can be a fingerprint collision — never drop on it alone)
             mi = np.flatnonzero(maybe)
             if len(mi):
-                ex = self.exact
-                confirm = np.fromiter(
-                    (int(uniq[i]) not in ex for i in mi), dtype=bool, count=len(mi)
-                )
-                new_u[mi] = confirm
+                new_u[mi] = self.exact.confirm_new(uniq[mi])
             # insert into the filter ONLY keys the filter did not already
             # claim (scalar add()'s behavior: a filter hit skips insert)
             ins = ~maybe & new_u
@@ -224,7 +232,7 @@ class FrontierActor:
             rounds = sub["round"].to_pylist()
             for url, h, host, prio, rnd in zip(urls, hashes, hosts, prios, rounds):
                 if self.exact is not None:
-                    self.exact[h] = url  # seen even if robots-blocked below
+                    self.exact.add(h, url)  # seen even if robots-blocked below
                 if not self._allowed(host, url):
                     blocked += 1
                     continue  # seen but never fetched
@@ -234,6 +242,8 @@ class FrontierActor:
         self.counters["offered"] += n
         self.counters["admitted"] += admitted
         self.counters["robots_blocked"] += blocked
+        if self.exact is not None:
+            self.exact.maybe_spill()  # bounded memtable (once per batch)
         return {"offered": n, "admitted": admitted, "robots_blocked": blocked}
 
     # --------------------------------------------------------- recurring
@@ -423,16 +433,11 @@ class FrontierActor:
         }
 
     def export_seen(self) -> pa.Table:
-        """Seen-set shard for S6 export (verification mode only)."""
+        """Seen-set shard for S6 export (verification mode only): k-way
+        merge of the spill segments + memtable, sorted by url_hash."""
         if self.exact is None:
             raise RuntimeError("seen-set export requires store_exact=True")
-        items = sorted(self.exact.items())
-        return pa.table(
-            {
-                "url_hash": pa.array([k for k, _ in items], pa.uint64()),
-                "url": pa.array([v for _, v in items], pa.string()),
-            }
-        )
+        return self.exact.export()
 
     # -------------------------------------------------------- checkpoint
     def checkpoint(self, ckpt_dir: str, round_idx: int) -> dict:
@@ -455,7 +460,9 @@ class FrontierActor:
         )
         blob = {
             "filter": self.seen.to_bytes(),
-            "exact": self.exact,
+            # bounded: the memtable (≤ threshold entries) + segment paths;
+            # segment FILES are immutable and live outside the blob
+            "exact": self.exact.state_blob() if self.exact is not None else None,
             "robots": {h: r.to_tuple() for h, r in self.robots.items()},
             "counters": self.counters,
             "recurring": self.recurring,
@@ -485,7 +492,11 @@ class FrontierActor:
         with open(spath, "rb") as f:
             blob = pickle.load(f)
         self.seen = CuckooFilter.from_bytes(blob["filter"])
-        self.exact = blob["exact"]
+        self.exact = (
+            ExactSeenStore.from_blob(blob["exact"])
+            if blob["exact"] is not None
+            else None
+        )
         self.robots = {h: RobotsRules.from_tuple(t) for h, t in blob["robots"].items()}
         self.counters = blob["counters"]
         self.recurring = blob.get("recurring", {})

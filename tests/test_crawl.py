@@ -528,3 +528,18 @@ def test_store_exact_false_mode(ray_session, tmp_path_factory):
     crawl(CrawlConfig(**base, out_dir=f"{tmp}/part", max_rounds=2))
     crawl(CrawlConfig(**base, out_dir=f"{tmp}/part", resume=True))
     assert read_log(f"{tmp}/part").equals(log)
+
+
+def test_exact_spill_crawl_equivalence(smoke):
+    """Forcing the exact seen-set to spill every ~64 URLs must change
+    NOTHING: crawl log and exported seen set byte-identical to the
+    default (memtable-only) run — the disk-backed store is an execution
+    shape, never a semantic one."""
+    log, seen, _ = run_crawl(
+        smoke["tmp"], smoke["corpus"], "out_spill", exact_spill_threshold=64
+    )
+    assert log.equals(smoke["log"])
+    assert seen.equals(smoke["seen"])
+    import glob as _glob
+    segs = _glob.glob(f"{smoke['tmp']}/out_spill/exact_spill/shard-*/seg-*.parquet")
+    assert segs, "threshold 64 must actually force spills"
