@@ -298,13 +298,15 @@ def _q_fingerprints(sf_dir: str):
 
 
 def _q_media_image(sf_dir: str):
+    # round-4: REAL decode (fake=False) over hermetically-generated
+    # BMP/PPM payloads — the actual codec path, golden-pinned in tests
     import ray.data as rd
 
     from opps_feedcrawler_ray.stages.multimodal import decode_images, synth_media_table
 
-    media = rd.from_arrow(synth_media_table(64))
+    media = rd.from_arrow(synth_media_table(64, real=True))
     imgs = media.filter(lambda r: r["kind"] == "image")
-    feats = decode_images(imgs, concurrency=2, batch_size=8, fake=True)
+    feats = decode_images(imgs, concurrency=2, batch_size=8, fake=False)
 
     def summarize(batch):
         import numpy as np
@@ -325,11 +327,24 @@ def _q_media_audio(sf_dir: str):
 
     from opps_feedcrawler_ray.stages.multimodal import frame_audio, synth_media_table
 
-    media = rd.from_arrow(synth_media_table(64))
+    media = rd.from_arrow(synth_media_table(64, real=True))
     auds = media.filter(lambda r: r["kind"] == "audio")
-    return frame_audio(auds, concurrency=2, batch_size=8, fake=True).select_columns(
-        ["media_id", "n_frames"]
+    return frame_audio(auds, concurrency=2, batch_size=8, fake=False).select_columns(
+        ["media_id", "n_frames", "sample_rate"]
     )
+
+
+def _q_media_video(sf_dir: str):
+    # stride-sampled frames from concatenated-P6 video streams (real mode)
+    import ray.data as rd
+
+    from opps_feedcrawler_ray.stages.multimodal import sample_video_frames, synth_media_table
+
+    media = rd.from_arrow(synth_media_table(64, real=True))
+    vids = media.filter(lambda r: r["kind"] == "video")
+    return sample_video_frames(
+        vids, concurrency=2, batch_size=4, fake=False, stride=2
+    ).select_columns(["media_id", "frame_idx", "n_frames"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -415,6 +430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _q_fingerprints,
         "media_image_features": _q_media_image,
         "media_audio_frames": _q_media_audio,
+        "media_video_frames": _q_media_video,
     }
 
 
