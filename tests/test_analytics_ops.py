@@ -511,12 +511,22 @@ def test_training_corpus_pipeline_invariants(ray_session, tmp_path):
     for _, r in body.sample(50, random_state=0).iterrows():
         b = hashlib.md5(str(r["doc_id"]).encode()).digest()[0] % 10
         assert r["split"] == ("train" if b <= 7 else "val" if b == 8 else "test")
-    # chunks within budget unless single-doc: chunk ids are block-local,
-    # so the budget invariant is checked per written file
-    for p in glob.glob(f"{out}/split=*/*.parquet"):
-        f = pd.read_parquet(p)
-        fs = f.groupby("chunk_in_block")["n_tokens"].agg(["sum", "size"])
-        assert ((fs["sum"] <= budget) | (fs["size"] == 1)).all()
+    # chunk ids are GLOBAL per split (round-4): dense 0..n_chunks-1
+    # across all files, so "chunk N of split S" addresses one chunk
+    # corpus-wide without re-deriving offsets
+    for s, grp in body.groupby("split"):
+        ids = sorted(grp["chunk_id"].unique())
+        assert ids == list(range(len(ids))), s
+        n_manifest = int(manifest.set_index("split")["n_chunks"][s])
+        assert len(ids) == n_manifest
+    # budget invariant on the GLOBAL ids (a chunk never spans splits or
+    # exceeds the budget unless single-doc)
+    fs = body.groupby(["split", "chunk_id"])["n_tokens"].agg(["sum", "size"])
+    assert ((fs["sum"] <= budget) | (fs["size"] == 1)).all()
+    # addressing a specific chunk across files returns exactly one chunk
+    probe = body[(body["split"] == "train") & (body["chunk_id"] == 3)]
+    assert len(probe) >= 1
+    assert probe["n_tokens"].sum() <= budget or len(probe) == 1
     # manifest totals match the written corpus
     got_tot = manifest.set_index("split")["n_docs"].to_dict()
     exp_tot = body.groupby("split").size().to_dict()
