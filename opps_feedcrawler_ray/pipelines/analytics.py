@@ -165,7 +165,16 @@ def distinct_users(sf_dir: str) -> pd.DataFrame:
             ["event_type", "user_id"], as_index=False
         ).size().rename(columns={"size": "n"})
         df["__b"] = (df["user_id"].to_numpy() % nb).astype("int64")
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # explicit schema: an empty block would otherwise infer null-typed
+        # object columns and break downstream schema unification
+        return pa.Table.from_pandas(
+            df,
+            schema=pa.schema(
+                [("event_type", pa.string()), ("user_id", pa.int64()),
+                 ("n", pa.int64()), ("__b", pa.int64())]
+            ),
+            preserve_index=False,
+        )
 
     def sum_pairs(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby(["event_type", "user_id"], as_index=False)["n"].sum()

@@ -281,11 +281,15 @@ class FrontierActor:
                         continue
                     if not self._allowed(host, url):
                         # robots rules may have arrived post-registration.
-                        # Advance the cadence clock even though nothing was
-                        # emitted: a frozen-in-the-past due round would make
-                        # next_due_round() return nxt <= r forever, masking
-                        # other feeds' genuinely future dues from the
-                        # driver's idle fast-forward (re-checked next cycle).
+                        # The entry is treated as EMITTED for cadence
+                        # purposes: robots re-evaluates after a full
+                        # ``interval`` rounds, not next round.  Deliberate —
+                        # a frozen-in-the-past due round would make
+                        # next_due_round() return nxt <= r forever (masking
+                        # other feeds' future dues from the driver's idle
+                        # fast-forward), and a re-arm-next-round retry would
+                        # turn a permanently blocked feed into one idle
+                        # round per round until max_rounds.
                         ent[3] = round_idx
                         continue
                     self.heaps.setdefault(host, []).append((-prio, round_idx, url, h))
