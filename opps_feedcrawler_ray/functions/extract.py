@@ -247,34 +247,44 @@ _FAST_CDATA_END = {
 
 def _fast_extract_html(s: str) -> tuple[list[str], list[str]] | None:
     """(parts, hrefs) identical to _TextExtractor for the simple subset,
-    or None to request the full html.parser path."""
+    or None to request the full html.parser path.
+
+    The loop is the extractor's innermost kernel (~120 tags/page on a
+    web-shaped corpus): locals are pre-bound and all four groups are
+    fetched in ONE ``m.group(1, 2, 3, 4)`` C call (named lookups and
+    separate start()/end() calls were ~25% of extract CPU)."""
     if "<!" in s or "<?" in s:
         return None
     parts: list[str] = []
     hrefs: list[str] = []
+    append = parts.append
+    unescape = _html.unescape
+    drop_tags, block_tags, void_tags = DROP_TAGS, BLOCK_TAGS, VOID_TAGS
+    search = _FAST_TAG_RE.search
     drop = 0
     pos = 0
-    m = _FAST_TAG_RE.search(s, pos)
+    m = search(s, pos)
     while m is not None:
-        gap = s[pos : m.start()]
+        mstart, mend = m.span()
+        gap = s[pos:mstart]
         if "<" in gap or ">" in gap:
             return None
         if drop == 0 and gap:
-            parts.append(_html.unescape(gap) if "&" in gap else gap)
-        pos = m.end()
-        ename = m.group("ename")
+            append(unescape(gap) if "&" in gap else gap)
+        pos = mend
+        ename, name, attrs, selfclose = m.group(1, 2, 3, 4)
         if ename is not None:
             tag = ename.lower()
-            if tag in DROP_TAGS:
-                if tag not in VOID_TAGS and drop > 0:
+            if tag in drop_tags:
+                if tag not in void_tags and drop > 0:
                     drop -= 1
-            elif tag in BLOCK_TAGS:
-                parts.append("\n")
-            m = _FAST_TAG_RE.search(s, pos)
+            elif tag in block_tags:
+                append("\n")
+            m = search(s, pos)
             continue
-        tag = m.group("name").lower()
+        tag = name.lower()
         if tag == "a":
-            for am in _FAST_HREF_RE.finditer(m.group("attrs")):
+            for am in _FAST_HREF_RE.finditer(attrs):
                 if am.group(1).lower() == "href":
                     v = am.group(2)
                     if v is None:
@@ -282,17 +292,17 @@ def _fast_extract_html(s: str) -> tuple[list[str], list[str]] | None:
                     if v is None:
                         v = am.group(4)
                     if v:
-                        hrefs.append(_html.unescape(v) if "&" in v else v)
-        if m.group("selfclose"):
-            if tag in BLOCK_TAGS:
-                parts.append("\n")
-            m = _FAST_TAG_RE.search(s, pos)
+                        hrefs.append(unescape(v) if "&" in v else v)
+        if selfclose:
+            if tag in block_tags:
+                append("\n")
+            m = search(s, pos)
             continue
-        if tag in DROP_TAGS:
-            if tag not in VOID_TAGS:
+        if tag in drop_tags:
+            if tag not in void_tags:
                 drop += 1
-        elif tag in BLOCK_TAGS:
-            parts.append("\n")
+        elif tag in block_tags:
+            append("\n")
         if tag in _FAST_CDATA_END:
             # CDATA content mode: raw data (no tag parsing, no charref
             # conversion) up to the first WELL-FORMED matching end tag;
@@ -311,7 +321,7 @@ def _fast_extract_html(s: str) -> tuple[list[str], list[str]] | None:
             if drop > 0:
                 drop -= 1
             pos = em.end()
-        m = _FAST_TAG_RE.search(s, pos)
+        m = search(s, pos)
     tail = s[pos:]
     if "<" in tail or ">" in tail:
         return None

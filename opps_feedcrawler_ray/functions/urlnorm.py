@@ -104,8 +104,12 @@ def _remove_dot_segments(path: str) -> str:
     return "".join(output)
 
 
-def canonicalize_url(url: str) -> str | None:
-    """Canonical form per the module spec, or None if not canonicalizable."""
+def _canon_parts(url: str) -> tuple[str, str, str, str] | None:
+    """ONE-parse canonicalization core: (scheme, host, port, tail) of the
+    canonical form, or None.  ``tail`` = path + optional ?query.  Both
+    ``canonicalize_url`` and the batch fast path build their outputs from
+    this, so the URL is urlsplit exactly once (surt/host used to re-split
+    the canonical string — 2× the parse cost on the crawl's hot path)."""
     if not url:
         return None
     url = url.strip()
@@ -143,13 +147,38 @@ def canonicalize_url(url: str) -> str | None:
     if not path.startswith("/"):
         path = "/" + path
     query = _pct_normalize(parts.query)
-    out = f"{scheme}://{host}"
+    tail = f"{path}?{query}" if query else path
+    return scheme, host, port, tail
+
+
+def canonicalize_url(url: str) -> str | None:
+    """Canonical form per the module spec, or None if not canonicalizable."""
+    p = _canon_parts(url)
+    if p is None:
+        return None
+    scheme, host, port, tail = p
     if port:
-        out += f":{port}"
-    out += path
-    if query:
-        out += f"?{query}"
-    return out
+        return f"{scheme}://{host}:{port}{tail}"
+    return f"{scheme}://{host}{tail}"
+
+
+def _full_canon(url: str) -> tuple[str, str, str] | None:
+    """(canon, surt, host) from ONE parse — byte-identical to
+    ``(canonicalize_url(u), surt_form(c), extract_host(c))`` (pinned by
+    the full-vs-composed property test)."""
+    p = _canon_parts(url)
+    if p is None:
+        return None
+    scheme, host, port, tail = p
+    if host.startswith("["):
+        # IPv6: not reversible label-wise; extract_host keeps the brackets
+        surt_host = f"{host}:{port}" if port else host
+    else:
+        surt_host = ",".join(reversed(host.split(".")))
+        if port:
+            surt_host += f":{port}"
+    canon = f"{scheme}://{host}:{port}{tail}" if port else f"{scheme}://{host}{tail}"
+    return canon, surt_host + ")" + tail, host
 
 
 def surt_form(canon_url: str) -> str:
@@ -266,8 +295,8 @@ def canonicalize_batch(urls: list[str | None]) -> tuple[list[str | None], list[s
                 surts.append(f[1])
                 hosts.append(f[2])
                 continue
-        c = canonicalize_url(u) if u is not None else None
-        if c is None:
+        t = _full_canon(u) if u is not None else None
+        if t is None:
             if u is not None:
                 if len(cache) >= _CANON_CACHE_CAP:
                     cache.clear()
@@ -276,8 +305,7 @@ def canonicalize_batch(urls: list[str | None]) -> tuple[list[str | None], list[s
             surts.append(None)
             hosts.append(None)
         else:
-            s = surt_form(c)
-            h = extract_host(c)
+            c, s, h = t
             if len(cache) >= _CANON_CACHE_CAP:
                 cache.clear()
             cache[u] = (c, s, h)

@@ -244,14 +244,24 @@ def _align_sorted_buckets(batch: pa.Table, nb: int, get_bucket) -> pa.Table:
             pieces.append(tbl.take(pa.array(idx[ok], pa.int64())))
         i = j
     if pieces:
-        src = pa.concat_tables(pieces).combine_chunks()
-        pos = np.cumsum(found) - 1
-        pos[~found] = 0
-        taken = src.take(pa.array(pos, pa.int64()))
-        mask = pa.array(found)
         all_found = bool(found.all())
+        if all_found:
+            # hit rows were appended in output order (bucket-grouped,
+            # batch order within bucket) — src IS the aligned payload.
+            # Skipping the expander take avoids a second full copy of
+            # the html payload per fetch batch (~11 KB/row; the fetch
+            # stage is memory-bandwidth-bound at high concurrency).
+            taken = pa.concat_tables(pieces)
+        else:
+            src = pa.concat_tables(pieces).combine_chunks()
+            pos = np.cumsum(found) - 1
+            pos[~found] = 0
+            taken = src.take(pa.array(pos, pa.int64()))
+        mask = pa.array(found)
         for name in ("warc_ts", "html", "lang"):
-            col = taken[name].combine_chunks()
+            col = taken[name]
+            if isinstance(col, pa.ChunkedArray) and not all_found:
+                col = col.combine_chunks()
             if not all_found:
                 col = pc.if_else(mask, col, pa.scalar(None, col.type))
             out = out.append_column(name, col)

@@ -52,6 +52,46 @@ def test_canonicalize_idempotent_and_stable(scheme, host, port, path, query, fra
     port=st.sampled_from(["", ":80", ":443", ":0080", ":8080", ":"]),
     path=st.from_regex(r"(/(\.|\.\.|[A-Za-z0-9._~%\- ]{0,6})){0,4}/?", fullmatch=True),
     query=st.sampled_from(["", "?", "?a=1", "?a=%2f", "?a?b", "?%zz", "? x"]),
+    frag=st.sampled_from(["", "#f"]),
+    user=st.sampled_from(["", "u@", "u:p@"]),
+)
+@settings(max_examples=500, deadline=None)
+def test_full_canon_equals_composed(scheme, host, port, path, query, frag, user):
+    """_full_canon (the one-parse batch kernel) must be byte-identical to
+    composing the three public functions, including None cases."""
+    from opps_feedcrawler_ray.functions.urlnorm import _full_canon
+
+    u = f"{scheme}://{user}{host}{port}{path}{query}{frag}"
+    t = _full_canon(u)
+    c = canonicalize_url(u)
+    if c is None:
+        assert t is None, u
+    else:
+        assert t == (c, surt_form(c), extract_host(c)), u
+
+
+def test_full_canon_ipv6_and_edges():
+    from opps_feedcrawler_ray.functions.urlnorm import _full_canon
+
+    for u in (
+        "http://[2001:db8::1]/a", "https://[::1]:8443/x?q=1",
+        "http://[::1]:443/x", "http://example.com.:8080/a/../b%41?x=%2F",
+        "http://:80/x", "not-a-url", "", "ftp://h/a",
+    ):
+        t = _full_canon(u)
+        c = canonicalize_url(u)
+        if c is None:
+            assert t is None, u
+        else:
+            assert t == (c, surt_form(c), extract_host(c)), u
+
+
+@given(
+    scheme=st.sampled_from(["http", "https", "HTTP", "hTTp", "ftp"]),
+    host=st.from_regex(r"[A-Za-z0-9_.\-]{1,12}", fullmatch=True),
+    port=st.sampled_from(["", ":80", ":443", ":0080", ":8080", ":"]),
+    path=st.from_regex(r"(/(\.|\.\.|[A-Za-z0-9._~%\- ]{0,6})){0,4}/?", fullmatch=True),
+    query=st.sampled_from(["", "?", "?a=1", "?a=%2f", "?a?b", "?%zz", "? x"]),
     tail=st.sampled_from(["", "#f", "\n", " ", "\t", "\x0c", "\xa0", "\x85", "\x1f", " "]),
     lead=st.sampled_from(["", " ", "\n", "\x0c", "\xa0"]),
 )
