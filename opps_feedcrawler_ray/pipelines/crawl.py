@@ -825,13 +825,22 @@ def crawl(cfg: CrawlConfig) -> dict:
         ]
         ray.get([a.warm.remote(cfg.num_buckets) for a in fetch_actors])
     bucket_refs: dict | None = None
-    if cfg.fetch_strategy == "objstore":
+
+    def _submit_bucket_warm() -> None:
         # broadcast warm: one sorted bucket object per partition, loaded in
         # parallel tasks; round-0 fetch tasks block on any still-loading
-        # bucket (pipelined warm — no explicit barrier needed)
-        bucket_refs = {
-            b: _load_bucket_sorted.remote(bucketed, b) for b in range(cfg.num_buckets)
-        }
+        # bucket (pipelined warm — no explicit barrier needed).  Submitted
+        # AFTER the seed-offer tasks (round 4): Ray schedules in submission
+        # order, so submitting the 64-task ~corpus-sized warm first made
+        # the seed offer queue behind ~2 waves of bucket decode — the warm
+        # now overlaps the seed ray.get AND round-0 startup instead.
+        nonlocal bucket_refs
+        if cfg.fetch_strategy == "objstore" and bucket_refs is None:
+            bucket_refs = {
+                b: _load_bucket_sorted.remote(bucketed, b)
+                for b in range(cfg.num_buckets)
+            }
+
     _phase("actors")
     ckpt_dir = os.path.join(cfg.out_dir, "checkpoints")
     log_dir = os.path.join(cfg.out_dir, "crawl_log")
@@ -905,6 +914,7 @@ def crawl(cfg: CrawlConfig) -> dict:
                 for f, n in zip(seed_files, counts)
                 for s in range(0, n, step)
             ]
+            _submit_bucket_warm()  # queues behind the seed slices just submitted
             cfg.stats["seed_offered"] = sum(d["offered"] for d in ray.get(refs))
             seeds = rd.read_parquet(cfg.seeds_path)  # for the recurring pass below
         else:
@@ -935,6 +945,7 @@ def crawl(cfg: CrawlConfig) -> dict:
             cfg.stats["recurring_registered"] = int(reg.sum("admitted") or 0)
         _phase("seeds")
 
+    _submit_bucket_warm()  # no-op if already submitted (resume / fallback paths)
     extract = ExtractStage()
     rounds_run = 0
     total_fetched = 0
