@@ -66,7 +66,8 @@ class CrawlConfig:
     # ready-set block granularity (parallelism).  None → strategy default:
     # 6144 for "direct" (each chunk decodes its touched bucket partitions
     # whole, so decode amplification ≈ chunks-per-bucket — measured 1.4×
-    # faster than 1024 at bench scale), 1024 otherwise.
+    # faster than 1024 at bench scale), 2048 otherwise (round-4 sweep:
+    # fewer task boundaries beat 1024 at 32-way, neutral-or-better at 8).
     poll_chunk_rows: int | None = None
     priority_fn: object = None        # §2.10 hook: fn(next_round) -> priority float
     # §7.6 mega-host salting: {host: k} splits that host's frontier queue
@@ -952,7 +953,7 @@ def crawl(cfg: CrawlConfig) -> dict:
     total_not_found = 0
     rounds_sec = 0.0  # steady-state round wall (incl. checkpoints)
     chunk_rows = cfg.poll_chunk_rows or (
-        6144 if cfg.fetch_strategy == "direct" else 1024
+        6144 if cfg.fetch_strategy == "direct" else 2048
     )
 
     r = start_round
