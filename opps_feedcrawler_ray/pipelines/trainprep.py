@@ -143,7 +143,8 @@ def training_corpus_pipeline(
     @ray.remote
     def block_chunk_counts(block) -> dict:
         t = BlockAccessor.for_block(block).to_pandas()
-        if not len(t):
+        # empty groups can yield schemaless blocks — no rows, no columns
+        if not len(t) or "split" not in t.columns:
             return {}
         g = t.groupby("split")["chunk_in_block"].max()
         return {s: int(m) + 1 for s, m in g.items()}
@@ -161,6 +162,8 @@ def training_corpus_pipeline(
     @ray.remote
     def write_block(block, off: dict, idx: int) -> int:
         t = BlockAccessor.for_block(block).to_pandas()
+        if not len(t) or "split" not in t.columns:
+            return 0
         for s, grp in t.groupby("split"):
             grp = grp.copy()
             grp["chunk_id"] = (grp["chunk_in_block"] + off.get(s, 0)).astype("int64")
