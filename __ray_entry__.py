@@ -406,6 +406,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_window": A.events_hopping_window,
         "part_lineitem_full_outer": A.part_lineitem_full_outer,
         "supplier_names_by_nation": A.supplier_names_by_nation,
+        "lineitem_above_avg": A.lineitem_above_avg,
+        "orders_ntile": A.orders_ntile,
+        "events_first_last": A.events_first_last,
         "training_corpus_manifest": _q_trainprep,
         # crawl-engine operators
         "url_canonicalize": A.url_canonicalize,
@@ -844,6 +847,37 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, "
             "string_agg(s_name, ',' ORDER BY s_name) AS names, "
             "COUNT(*) AS n_suppliers FROM supplier GROUP BY s_nationkey"
+        ),
+        "lineitem_above_avg": (
+            # correlated subquery (qty > per-part AVG), written as the
+            # integer cross-multiplied inequality on BOTH sides so no
+            # float average crosses the hash boundary
+            "SELECT CAST(l.l_partkey AS BIGINT) AS l_partkey, "
+            "COUNT(*) AS n_above FROM lineitem l "
+            "WHERE CAST(FLOOR(l.l_quantity + 0.5) AS BIGINT) * "
+            "(SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey) > "
+            "(SELECT CAST(SUM(CAST(FLOOR(l3.l_quantity + 0.5) AS BIGINT)) AS BIGINT) "
+            "FROM lineitem l3 WHERE l3.l_partkey = l.l_partkey) "
+            "GROUP BY l.l_partkey"
+        ),
+        "orders_ntile": (
+            "SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey, "
+            "c.c_mktsegment AS seg, "
+            "CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS price_e2, "
+            "CAST(NTILE(4) OVER (PARTITION BY c.c_mktsegment "
+            "ORDER BY CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) DESC, "
+            "o.o_orderkey) AS BIGINT) AS quartile "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+        ),
+        "events_first_last": (
+            # grouped FIRST_VALUE/LAST_VALUE under the (ts, event_id)
+            # total order
+            "SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id, "
+            "CAST(FIRST_VALUE(event_id) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS BIGINT) AS first_event, "
+            "CAST(LAST_VALUE(event_id) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "UNBOUNDED FOLLOWING) AS BIGINT) AS last_event FROM events"
         ),
     }
     # max_df=50 provably drops nothing on the fixtures (max shingle df < 10),

@@ -89,6 +89,9 @@ QUERY_NAMES = [
     "part_lineitem_full_outer",
     "supplier_names_by_nation",
     "training_corpus_manifest",
+    "lineitem_above_avg",
+    "orders_ntile",
+    "events_first_last",
 ]
 
 

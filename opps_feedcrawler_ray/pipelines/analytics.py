@@ -1566,3 +1566,246 @@ def tfidf_top_terms(sf_dir: str, k: int = 3) -> pd.DataFrame:
         .sort_values(["doc_id", "tfidf_e4", "token"], ascending=[True, False, True])
         .reset_index(drop=True)
     )
+
+
+def lineitem_above_avg(sf_dir: str) -> pd.DataFrame:
+    """DECORRELATED correlated subquery (TPC-H Q17 shape): per part,
+    count lineitems whose quantity exceeds that part's average quantity.
+
+    Scale shape: the correlated `(SELECT AVG(...) WHERE l2.partkey =
+    l.partkey)` decorrelates into (1) per-batch (partkey → sum, count)
+    partials + a coarse-bucket grouped sum (the per-part aggregate table,
+    |parts| rows — orders of magnitude smaller than lineitem), (2) that
+    table broadcast via ray.put into a streaming filter pass.  The
+    comparison runs as integer cross-multiplication (qty·count > sum) so
+    no float average crosses the oracle boundary — the SQL twin uses the
+    identical inequality.  At 10^9 parts the broadcast side becomes the
+    bucketed exchange `customer_big_order_counts` already implements."""
+    import ray
+
+    from .dedup import coarse_buckets
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_partkey", "l_quantity"])
+    nb = coarse_buckets(li.count(), rows_per_task=65536)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["q"] = np.floor(df["l_quantity"].to_numpy() + 0.5).astype("int64")
+        g = df.groupby("l_partkey", as_index=False).agg(s=("q", "sum"), c=("q", "size"))
+        g["__b"] = (g["l_partkey"].to_numpy() % nb).astype("int64")
+        return pa.Table.from_pandas(
+            g,
+            schema=pa.schema([("l_partkey", pa.int64()), ("s", pa.int64()),
+                              ("c", pa.int64()), ("__b", pa.int64())]),
+            preserve_index=False,
+        )
+
+    def sum_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("l_partkey", as_index=False)[["s", "c"]].sum()
+
+    avg = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(sum_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    avg = avg.sort_values("l_partkey")  # sorted ONCE for batch searchsorted
+    avg_ref = ray.put(
+        (avg["l_partkey"].to_numpy().astype(np.int64),
+         avg["s"].to_numpy().astype(np.int64),
+         avg["c"].to_numpy().astype(np.int64))
+    )
+
+    def above(batch: pa.Table) -> pa.Table:
+        keys, s, c = ray.get(avg_ref)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = np.floor(batch["l_quantity"].to_numpy(zero_copy_only=False) + 0.5).astype(np.int64)
+        idx = np.searchsorted(keys, pk)
+        keep = q * c[idx] > s[idx]  # qty > avg, exactly, in integers
+        g = pd.DataFrame({"l_partkey": pk[keep]}).groupby(
+            "l_partkey", as_index=False
+        ).size().rename(columns={"size": "n_above"})
+        g["__b"] = (g["l_partkey"].to_numpy() % nb).astype("int64")
+        return pa.Table.from_pandas(
+            g,
+            schema=pa.schema([("l_partkey", pa.int64()), ("n_above", pa.int64()),
+                              ("__b", pa.int64())]),
+            preserve_index=False,
+        )
+
+    def sum_above(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("l_partkey", as_index=False)["n_above"].sum()
+
+    out = (
+        li.map_batches(above, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(sum_above, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("l_partkey").reset_index(drop=True)
+
+
+def orders_ntile(sf_dir: str) -> pd.DataFrame:
+    """NTILE(4) per market segment over integer order prices, tie-broken
+    by o_orderkey — the quantile-bucket window function.
+
+    Scale shape (no global sort): (1) per-batch (segment, price_e2)
+    histograms → coarse-bucket sums → a DOMAIN-bounded rank table (one
+    row per distinct price per segment) broadcast with each price's
+    strictly-higher-count and the segment total; (2) ONE bucketed
+    exchange on (segment, price_e2) orders the tied rows by orderkey so
+    global rank = n_higher + tie rank; NTILE comes from DuckDB's rule
+    (first n%4 buckets get one extra row) applied to the rank —
+    vectorized per group."""
+    import ray
+
+    from .dedup import coarse_buckets
+
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    seg_map = cust.to_pandas().sort_values("c_custkey")  # broadcast small side
+    seg_ref = ray.put(
+        (seg_map["c_custkey"].to_numpy().astype(np.int64),
+         seg_map["c_mktsegment"].to_numpy())
+    )
+    nb = coarse_buckets(orders.count(), rows_per_task=16384)
+
+    def with_seg(batch: pa.Table) -> pd.DataFrame:
+        ck, seg = ray.get(seg_ref)
+        df = batch.to_pandas()
+        idx = np.searchsorted(ck, df["o_custkey"].to_numpy().astype(np.int64))
+        df["seg"] = seg[idx]
+        df["price_e2"] = np.floor(df["o_totalprice"].to_numpy() * 100 + 0.5).astype("int64")
+        return df[["o_orderkey", "seg", "price_e2"]]
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        df = with_seg(batch)
+        g = df.groupby(["seg", "price_e2"], as_index=False).size()
+        g["__b"] = (g["price_e2"].to_numpy() % nb).astype("int64")
+        return pa.Table.from_pandas(
+            g,
+            schema=pa.schema([("seg", pa.string()), ("price_e2", pa.int64()),
+                              ("size", pa.int64()), ("__b", pa.int64())]),
+            preserve_index=False,
+        )
+
+    def hist_sum(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["seg", "price_e2"], as_index=False)["size"].sum()
+
+    hist = (
+        orders.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(hist_sum, batch_format="pandas")
+        .to_pandas()
+    )
+    # rank table: per (seg, price) the count of strictly-HIGHER-priced
+    # rows in the segment, plus per-seg totals (domain-bounded, tiny)
+    hist = hist.sort_values(["seg", "price_e2"], ascending=[True, False])
+    hist["n_higher"] = hist.groupby("seg")["size"].cumsum() - hist["size"]
+    totals = hist.groupby("seg", as_index=False)["size"].sum().rename(columns={"size": "n"})
+    rank_ref = ray.put(
+        (hist.set_index(["seg", "price_e2"])["n_higher"].to_dict(),
+         dict(zip(totals["seg"], totals["n"])))
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        df = with_seg(batch)
+        df["__b"] = (df["price_e2"].to_numpy() % nb).astype("int64")
+        return pa.Table.from_pandas(
+            df,
+            schema=pa.schema([("o_orderkey", pa.int64()), ("seg", pa.string()),
+                              ("price_e2", pa.int64()), ("__b", pa.int64())]),
+            preserve_index=False,
+        )
+
+    def ntile_group(g: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        n_higher, totals_d = _ray.get(rank_ref)
+        g = g.sort_values(["seg", "price_e2", "o_orderkey"],
+                          ascending=[True, False, True]).reset_index(drop=True)
+        tie = g.groupby(["seg", "price_e2"]).cumcount().to_numpy()
+        base = np.fromiter(
+            (n_higher[(s, p)] for s, p in zip(g["seg"], g["price_e2"])),
+            dtype=np.int64, count=len(g),
+        )
+        rank = base + tie  # 0-based global rank within segment
+        n = np.fromiter((totals_d[s] for s in g["seg"]), dtype=np.int64, count=len(g))
+        # DuckDB NTILE(4): first n%4 buckets hold n//4+1 rows
+        big, rem = n // 4, n % 4
+        cut = rem * (big + 1)
+        q = np.where(
+            rank < cut,
+            rank // np.maximum(big + 1, 1),
+            rem + (rank - cut) // np.maximum(big, 1),
+        ) + 1
+        return pd.DataFrame({"o_orderkey": g["o_orderkey"].astype("int64"),
+                             "seg": g["seg"],
+                             "price_e2": g["price_e2"].astype("int64"),
+                             "quartile": q.astype("int64")})
+
+    out = (
+        orders.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(ntile_group, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def events_first_last(sf_dir: str) -> pd.DataFrame:
+    """Grouped FIRST_VALUE / LAST_VALUE (argmin/argmax aggregate): per
+    user, the event_id of the earliest and latest event under the total
+    order (ts, event_id).
+
+    Scale shape: a pure combiner aggregate — each batch emits one
+    candidate (min-pair, max-pair) row per user it saw; a coarse-bucket
+    exchange merges candidates with vectorized idxmin/idxmax.  No sort,
+    no per-user group materialization."""
+    from .dedup import coarse_buckets
+
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "event_id"])
+    nb = coarse_buckets(ev.count(), rows_per_task=65536)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["ts_us"] = df["ts"].astype("datetime64[us]").astype("int64")
+        lo = df.loc[df.groupby("user_id")["ts_us"].idxmin()]
+        # tie-break inside the batch: smallest event_id among equal min ts
+        lo = df.merge(lo[["user_id", "ts_us"]], on=["user_id", "ts_us"]).groupby(
+            "user_id", as_index=False
+        ).agg(first_ts=("ts_us", "first"), first_event=("event_id", "min"))
+        hi = df.loc[df.groupby("user_id")["ts_us"].idxmax()]
+        hi = df.merge(hi[["user_id", "ts_us"]], on=["user_id", "ts_us"]).groupby(
+            "user_id", as_index=False
+        ).agg(last_ts=("ts_us", "max"), last_event=("event_id", "max"))
+        g = lo.merge(hi, on="user_id")
+        g["__b"] = (g["user_id"].to_numpy() % nb).astype("int64")
+        return pa.Table.from_pandas(
+            g,
+            schema=pa.schema([("user_id", pa.int64()), ("first_ts", pa.int64()),
+                              ("first_event", pa.int64()), ("last_ts", pa.int64()),
+                              ("last_event", pa.int64()), ("__b", pa.int64())]),
+            preserve_index=False,
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        # lexicographic (ts, event_id) min/max via sort + dedupe — no
+        # composite integer key (ts_us * shift would overflow int64)
+        lo = g.sort_values(["user_id", "first_ts", "first_event"]).drop_duplicates(
+            "user_id", keep="first"
+        )
+        hi = g.sort_values(["user_id", "last_ts", "last_event"]).drop_duplicates(
+            "user_id", keep="last"
+        )
+        return lo[["user_id", "first_event"]].merge(
+            hi[["user_id", "last_event"]], on="user_id"
+        )
+
+    out = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True)

@@ -573,3 +573,58 @@ def test_anti_join_bucket_sweep_invariant(ray_session, monkeypatch):
     monkeypatch.setattr(D, "coarse_buckets", lambda *a, **k: 7)
     swept = A.customer_no_big_order(SF).sort_values("c_custkey").reset_index(drop=True)
     pd.testing.assert_frame_equal(base, swept)
+
+
+def test_lineitem_above_avg_matches_pandas(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import lineitem_above_avg
+
+    got = lineitem_above_avg(SF).reset_index(drop=True)
+    li = pd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_partkey", "l_quantity"])
+    li["q"] = np.floor(li["l_quantity"].to_numpy() + 0.5).astype("int64")
+    agg = li.groupby("l_partkey").agg(s=("q", "sum"), c=("q", "size"))
+    m = li.join(agg, on="l_partkey")
+    keep = m[m["q"] * m["c"] > m["s"]]
+    exp = (
+        keep.groupby("l_partkey").size().rename("n_above").reset_index()
+        .sort_values("l_partkey").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_orders_ntile_matches_pandas(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import orders_ntile
+
+    got = orders_ntile(SF).reset_index(drop=True)
+    o = pd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    c = pd.read_parquet(f"{SF}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    m = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    m["price_e2"] = np.floor(m["o_totalprice"].to_numpy() * 100 + 0.5).astype("int64")
+    m = m.sort_values(["c_mktsegment", "price_e2", "o_orderkey"],
+                      ascending=[True, False, True]).reset_index(drop=True)
+    m["rank0"] = m.groupby("c_mktsegment").cumcount()
+    n = m.groupby("c_mktsegment")["o_orderkey"].transform("size").to_numpy()
+    r = m["rank0"].to_numpy()
+    big, rem = n // 4, n % 4
+    cut = rem * (big + 1)
+    q = np.where(r < cut, r // np.maximum(big + 1, 1),
+                 rem + (r - cut) // np.maximum(big, 1)) + 1
+    exp = pd.DataFrame({"o_orderkey": m["o_orderkey"].astype("int64"),
+                        "seg": m["c_mktsegment"], "price_e2": m["price_e2"],
+                        "quartile": q.astype("int64")})
+    exp = exp.sort_values("o_orderkey").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # quartile sizes: per segment the 4 buckets differ by at most one row
+    sizes = got.groupby(["seg", "quartile"]).size().groupby("seg")
+    assert ((sizes.max() - sizes.min()) <= 1).all()
+
+
+def test_events_first_last_matches_pandas(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import events_first_last
+
+    got = events_first_last(SF).reset_index(drop=True)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts", "event_id"])
+    ev = ev.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    exp = ev.groupby("user_id").agg(
+        first_event=("event_id", "first"), last_event=("event_id", "last")
+    ).reset_index().sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
