@@ -87,6 +87,11 @@ class ExactSeenStore:
     def add(self, h: int, url: str) -> None:
         self.mem[h] = url
 
+    def add_many(self, pairs) -> None:
+        """Bulk insert of (hash, url) pairs — one C-level dict.update
+        instead of a Python call per row (the offer hot path)."""
+        self.mem.update(pairs)
+
     def maybe_spill(self) -> None:
         """Spill the memtable if over threshold — called once per offer
         batch (not per row) so the check is O(1) amortized."""

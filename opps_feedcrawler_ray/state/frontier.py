@@ -228,17 +228,32 @@ class FrontierActor:
             urls = sub["url"].to_pylist()
             hashes = sub["url_hash"].to_pylist()
             hosts = sub["host"].to_pylist()
-            prios = sub["priority"].to_pylist()
+            negp = np.negative(
+                sub["priority"].to_numpy(zero_copy_only=False)
+            ).tolist()
             rounds = sub["round"].to_pylist()
-            for url, h, host, prio, rnd in zip(urls, hashes, hosts, prios, rounds):
-                if self.exact is not None:
-                    self.exact.add(h, url)  # seen even if robots-blocked below
-                if not self._allowed(host, url):
-                    blocked += 1
-                    continue  # seen but never fetched
-                self.heaps.setdefault(host, []).append((-prio, rnd, url, h))
-                self._dirty.add(host)
-                admitted += 1
+            if self.exact is not None:
+                # seen even if robots-blocked below — one C-level update
+                self.exact.add_many(zip(hashes, urls))
+            # hot loop: robots gate inlined (a self._allowed call per row
+            # pays Ray's actor-method tracing wrapper each time) and all
+            # attribute lookups pre-bound
+            robots_get = self.robots.get
+            heaps = self.heaps
+            dirty_add = self._dirty.add
+            for url, h, host, np_, rnd in zip(urls, hashes, hosts, negp, rounds):
+                rules = robots_get(host)
+                if rules is not None:
+                    parts = url.split("/", 3)
+                    if not rules.allowed("/" + parts[3] if len(parts) > 3 else "/"):
+                        blocked += 1
+                        continue  # seen but never fetched
+                lst = heaps.get(host)
+                if lst is None:
+                    lst = heaps[host] = []
+                lst.append((np_, rnd, url, h))
+                dirty_add(host)
+            admitted = sub.num_rows - blocked
         self.counters["offered"] += n
         self.counters["admitted"] += admitted
         self.counters["robots_blocked"] += blocked
