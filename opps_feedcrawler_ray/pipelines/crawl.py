@@ -699,8 +699,10 @@ def _load_robots_into_actors(cfg: CrawlConfig, actors: list, bucketed: str | Non
                 ray.get(refs)
             return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
 
+    from ..sources.io import read_pages_any
+
     (
-        rd.read_parquet(cfg.pages_path, columns=["url", "html"])
+        read_pages_any(cfg.pages_path, columns=["url", "html"])
         .map_batches(to_robots, batch_format="pyarrow")
         .map_batches(RobotsRouter(), batch_format="pyarrow")
         .sum("n")

@@ -26,6 +26,93 @@ def read_pages(path: str, columns: list[str] | None = None) -> rd.Dataset:
     return rd.read_parquet(path, columns=columns)
 
 
+def _pages_format(path: str) -> str:
+    """Detect the pages source format from the file (or first file in a
+    directory): parquet | jsonl | csv."""
+    p = path
+    if os.path.isdir(path):
+        for root, _dirs, files in sorted(os.walk(path)):
+            data = sorted(f for f in files if not f.startswith("_"))
+            if data:
+                p = os.path.join(root, data[0])
+                break
+    ext = p.rsplit(".", 1)[-1].lower()
+    if ext in ("jsonl", "json"):
+        return "jsonl"
+    if ext == "csv":
+        return "csv"
+    return "parquet"
+
+
+def _coerce_pages(batch: pa.Table) -> pa.Table:
+    """Coerce a text-format pages batch (jsonl/csv) to the PAGES schema:
+    ``html_b64`` (base64 string — binary survives text containers) or a
+    utf-8 ``html`` string → binary; ``warc_ts`` epoch-µs int or ISO
+    string → timestamp[us].  Not a hot path — runs once per source row
+    at ingest."""
+    import base64
+
+    cols = {}
+    cols["url"] = batch["url"].cast(pa.string())
+    ts = batch["warc_ts"]
+    if pa.types.is_timestamp(ts.type):
+        cols["warc_ts"] = ts.cast(pa.timestamp("us"))
+    elif pa.types.is_integer(ts.type):
+        cols["warc_ts"] = ts.cast(pa.int64()).cast(pa.timestamp("us"))
+    else:
+        # Arrow's string→timestamp cast parses ISO 8601 incl. fractional
+        # seconds (strptime has no %f)
+        cols["warc_ts"] = ts.cast(pa.string()).cast(pa.timestamp("us"))
+    if "html_b64" in batch.column_names:
+        cols["html"] = pa.array(
+            [base64.b64decode(v) if v is not None else None
+             for v in batch["html_b64"].to_pylist()],
+            pa.binary(),
+        )
+    else:
+        h = batch["html"]
+        cols["html"] = (
+            h.cast(pa.binary())
+            if not pa.types.is_string(h.type)
+            else pa.array(
+                [v.encode("utf-8") if v is not None else None for v in h.to_pylist()],
+                pa.binary(),
+            )
+        )
+    for name in ("text", "lang"):
+        cols[name] = batch[name].cast(pa.string()) if name in batch.column_names else pa.array([None] * batch.num_rows, pa.string())
+    return pa.table(cols)
+
+
+def read_pages_any(path: str, columns: list[str] | None = None) -> rd.Dataset:
+    """S1 over ANY supported container: parquet (native, column-pruned at
+    the read), JSONL, or CSV (both coerced to the PAGES schema —
+    ``html_b64`` carries the binary payload through text formats).  The
+    crawl's ingest accepts all three; the bucketed layout it produces is
+    always parquet."""
+    fmt = _pages_format(path)
+    if fmt == "parquet":
+        return rd.read_parquet(path, columns=columns)
+    ds = rd.read_json(path) if fmt == "jsonl" else rd.read_csv(path)
+    ds = ds.map_batches(_coerce_pages, batch_format="pyarrow")
+    if columns:
+        ds = ds.select_columns(columns)
+    return ds
+
+
+def write_pages_jsonl(table: pa.Table, path: str) -> None:
+    """Test/fixture helper: PAGES-schema table → JSONL with base64 html."""
+    import base64
+    import json as _json
+
+    with open(path, "w") as f:
+        for row in table.to_pylist():
+            row["html_b64"] = base64.b64encode(row.pop("html")).decode("ascii")
+            ts = row["warc_ts"]
+            row["warc_ts"] = ts.strftime("%Y-%m-%dT%H:%M:%S.%f") if ts is not None else None
+            f.write(_json.dumps(row, sort_keys=True) + "\n")
+
+
 def read_seeds(path: str) -> rd.Dataset:
     """S2: load the frontier seed list."""
     return rd.read_parquet(path)
@@ -101,7 +188,7 @@ def ingest_pages(pages_path: str, out_dir: str, num_buckets: int) -> str:
         return batch.append_column("url_hash", h).append_column("bucket", pa.array(b))
 
     (
-        rd.read_parquet(pages_path, columns=["url", "warc_ts", "html", "lang"])
+        read_pages_any(pages_path, columns=["url", "warc_ts", "html", "lang"])
         .map_batches(add_bucket, batch_format="pyarrow")
         .write_parquet(out_dir, partition_cols=["bucket"])
     )

@@ -543,3 +543,33 @@ def test_exact_spill_crawl_equivalence(smoke):
     import glob as _glob
     segs = _glob.glob(f"{smoke['tmp']}/out_spill/exact_spill/shard-*/seg-*.parquet")
     assert segs, "threshold 64 must actually force spills"
+
+
+def test_jsonl_pages_source_equivalence(smoke):
+    """S1 source breadth: the same corpus delivered as JSONL (html
+    base64-encoded through the text container) must produce a
+    byte-identical crawl log and seen set — the source format is a
+    container choice, never a semantic one."""
+    import pyarrow as pa
+
+    from opps_feedcrawler_ray.sources.io import read_pages_any, write_pages_jsonl
+
+    pages = pq.read_table(smoke["corpus"]["pages"])
+    jl = f"{smoke['tmp']}/pages.jsonl"
+    write_pages_jsonl(pages, jl)
+    # reader roundtrip: coerced table equals the parquet original
+    back = (
+        read_pages_any(jl)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    orig = pages.to_pandas().sort_values("url").reset_index(drop=True)
+    assert list(back["url"]) == list(orig["url"])
+    assert list(back["html"]) == list(orig["html"])
+    assert list(back["warc_ts"]) == list(orig["warc_ts"])
+    # full crawl from the JSONL source
+    corpus_jl = dict(smoke["corpus"], pages=jl)
+    log, seen, _ = run_crawl(smoke["tmp"], corpus_jl, "out_jsonl")
+    assert log.equals(smoke["log"])
+    assert seen.equals(smoke["seen"])
