@@ -262,6 +262,14 @@ def _q_host_pagerank(sf_dir: str):
     return host_pagerank(sf_dir, iters=5)
 
 
+def _q_host_components(sf_dir: str):
+    """Iterative connected components via min-label propagation
+    (rows-only: iterative; a union-find twin is pinned in tests)."""
+    from opps_feedcrawler_ray.pipelines.webpipe import host_components
+
+    return host_components(sf_dir)
+
+
 def _q_langid(sf_dir: str):
     import pyarrow as pa
     import ray.data as rd
@@ -401,6 +409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_ngrams": A.decontaminate_ngrams,
         "host_link_graph": _q_host_link_graph,
         "host_pagerank": _q_host_pagerank,
+        "host_components": _q_host_components,
         "quality_score_model": A.quality_score_model,
         "embedding_centroids": A.embedding_centroids,
         "events_hopping_window": A.events_hopping_window,

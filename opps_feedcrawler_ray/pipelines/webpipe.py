@@ -325,3 +325,82 @@ def host_pagerank(
         {"host": hosts, "rank_e9": [rank[h] for h in hosts]}
     ).sort_values(["rank_e9", "host"], ascending=[False, True])
     return out.reset_index(drop=True)
+
+
+def components_from_edges(edges_df, max_iters: int = 50):
+    """Distributed CONNECTED COMPONENTS over an undirected (src_host,
+    dst_host) edge list — iterative min-label propagation, the classic
+    non-SQL iterative-dataflow op alongside PageRank.
+
+    Per iteration: the label table (≤ |hosts| entries — the same
+    fits-a-heap assumption host_pagerank documents, with the same
+    bucketed co-shuffle fallback past ~10^8 hosts) broadcasts via
+    ray.put into a ``map_batches`` over the PINNED edge dataset; each
+    batch emits per-endpoint min-label proposals (combiner: one row per
+    (host) per batch), and one |hosts|-key groupby-min closes the step.
+    Converges in ≤ graph-diameter iterations; the driver early-exits on
+    fixpoint by comparing two |hosts|-sized dicts.  Component ids are
+    the lexicographically smallest member host — deterministic,
+    order-free, content-addressable."""
+    import ray
+
+    import pandas as pd
+
+    hosts = sorted(set(edges_df["src_host"]) | set(edges_df["dst_host"]))
+    if not hosts:
+        return pd.DataFrame(
+            {"host": pd.Series(dtype=object), "component": pd.Series(dtype=object)}
+        )
+    label = {h: h for h in hosts}  # min-string label
+    edges = rd.from_arrow(
+        pa.Table.from_pandas(
+            edges_df[["src_host", "dst_host"]].drop_duplicates(),
+            preserve_index=False,
+        )
+    ).materialize()
+
+    for _ in range(max_iters):
+        lab_ref = ray.put(label)
+
+        def propose(batch: pa.Table) -> pa.Table:
+            lab = ray.get(lab_ref)
+            df = batch.to_pandas()
+            ls = df["src_host"].map(lab)
+            ld = df["dst_host"].map(lab)
+            m = np.minimum(ls.to_numpy(dtype=object), ld.to_numpy(dtype=object))
+            g = (
+                pd.concat(
+                    [pd.DataFrame({"host": df["src_host"], "m": m}),
+                     pd.DataFrame({"host": df["dst_host"], "m": m})]
+                )
+                .groupby("host", as_index=False)["m"]
+                .min()
+            )
+            return pa.Table.from_pandas(
+                g, preserve_index=False,
+                schema=pa.schema([("host", pa.string()), ("m", pa.string())]),
+            )
+
+        prop = (
+            edges.map_batches(propose, batch_format="pyarrow")
+            .groupby("host")
+            .min("m")
+            .to_pandas()
+            .rename(columns={"min(m)": "m"})
+        )
+        new_label = dict(label)
+        for h, m in zip(prop["host"], prop["m"]):
+            if m < new_label[h]:
+                new_label[h] = m
+        if new_label == label:
+            break
+        label = new_label
+    out = pd.DataFrame({"host": hosts, "component": [label[h] for h in hosts]})
+    return out.sort_values("host").reset_index(drop=True)
+
+
+def host_components(sf_dir: str, work_dir: str | None = None):
+    """Connected components of the host link graph (rows-only driver
+    check; the propagation core is pinned against a union-find twin in
+    tests)."""
+    return components_from_edges(host_link_graph(sf_dir, work_dir=work_dir))

@@ -628,3 +628,56 @@ def test_events_first_last_matches_pandas(ray_session):
         first_event=("event_id", "first"), last_event=("event_id", "last")
     ).reset_index().sort_values("user_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_components_matches_union_find(ray_session):
+    """Min-label propagation must equal a driver-side union-find on
+    crafted multi-component graphs (chains, stars, singleton-free rings)
+    and a seeded random graph."""
+    from opps_feedcrawler_ray.pipelines.webpipe import components_from_edges
+
+    def union_find(edges):
+        parent = {}
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {x: find(x) for x in parent}
+
+    rng = np.random.default_rng(11)
+    cases = [
+        # two chains + a star (3 components)
+        [("a1", "a2"), ("a2", "a3"), ("b1", "b2"), ("c0", "c1"), ("c0", "c2"), ("c0", "c3")],
+        # ring
+        [("r0", "r1"), ("r1", "r2"), ("r2", "r0")],
+    ]
+    # random graph: 60 nodes, 40 edges -> several components
+    nodes = [f"h{i:02d}" for i in range(60)]
+    rand = [tuple(sorted(rng.choice(nodes, 2, replace=False))) for _ in range(40)]
+    cases.append(rand)
+    for edges in cases:
+        df = pd.DataFrame(edges, columns=["src_host", "dst_host"])
+        got = components_from_edges(df)
+        exp = union_find(edges)
+        assert dict(zip(got["host"], got["component"])) == exp
+        # component id is the lexicographically smallest member
+        for comp, grp in got.groupby("component"):
+            assert min(grp["host"]) == comp
+
+
+def test_host_components_over_corpus(ray_session):
+    """The corpus-derived host graph's components partition the host set
+    and every edge stays within one component."""
+    from opps_feedcrawler_ray.pipelines.webpipe import host_components, host_link_graph
+
+    comp = host_components(SF)
+    edges = host_link_graph(SF)
+    lab = dict(zip(comp["host"], comp["component"]))
+    assert set(lab) == set(edges["src_host"]) | set(edges["dst_host"])
+    assert all(lab[s] == lab[d] for s, d in zip(edges["src_host"], edges["dst_host"]))
