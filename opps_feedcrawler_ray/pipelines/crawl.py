@@ -44,6 +44,10 @@ class CrawlConfig:
     max_rounds: int = 1000
     num_buckets: int = 32
     filter_capacity: int = 1 << 20
+    # URL-seen filter kind: "cuckoo" (16-bit-fp cuckoo, deletable, ~12.8
+    # bits/key) or "bloom" (pure bit-OR inserts, ~16 bits/key) — both give
+    # NO false negatives; frozen in the checkpoint manifest
+    seen_filter: str = "cuckoo"
     store_exact: bool = True          # verification mode: exact dedup + seen-set export
     # exact-store memtable cap per frontier shard: URL strings beyond this
     # spill to hash-sorted parquet segments under out_dir/exact_spill/
@@ -718,6 +722,7 @@ def _write_manifest(cfg: CrawlConfig, round_idx: int, fetch_seq: int, lineage: l
         "num_shards": cfg.num_frontier_actors,
         "num_buckets": cfg.num_buckets,
         "politeness_budget": cfg.politeness_budget,
+        "seen_filter": cfg.seen_filter,
         "salt_hosts": cfg.salt_hosts,
         "max_pages_per_host": cfg.max_pages_per_host,
         "lineage": lineage,
@@ -803,6 +808,7 @@ def crawl(cfg: CrawlConfig) -> dict:
             robots_sidecar=_sidecar,
             exact_spill_dir=os.path.join(cfg.out_dir, "exact_spill", f"shard-{i:05d}"),
             exact_spill_threshold=cfg.exact_spill_threshold,
+            seen_filter=cfg.seen_filter,
         )
         for i in range(cfg.num_frontier_actors)
     ]
@@ -861,9 +867,12 @@ def crawl(cfg: CrawlConfig) -> dict:
             "politeness_budget": cfg.politeness_budget,
             "salt_hosts": cfg.salt_hosts,
             "max_pages_per_host": cfg.max_pages_per_host,
+            "seen_filter": cfg.seen_filter,
         }
         for key, want in frozen.items():
             have = manifest.get(key)
+            if key == "seen_filter" and have is None:
+                have = "cuckoo"  # pre-bloom manifests are all cuckoo
             if have != want:
                 raise ValueError(
                     f"cannot resume with a different {key} (manifest={have!r}, "
@@ -1121,6 +1130,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "--fetch", choices=["actors", "objstore", "direct", "shuffle"], default="objstore"
     )
+    ap.add_argument(
+        "--seen-filter", choices=["cuckoo", "bloom"], default="cuckoo",
+        help="URL-seen membership filter kind (both no-false-negative)"
+    )
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--num-cpus", type=int, default=None, help="ray.init num_cpus (standalone runs)")
     args = ap.parse_args(argv)
@@ -1141,6 +1154,7 @@ def main(argv: list[str] | None = None) -> int:
         num_buckets=args.buckets,
         max_rounds=args.max_rounds,
         fetch_strategy=args.fetch,
+        seen_filter=args.seen_filter,
         resume=args.resume,
     )
     stats = crawl(cfg)

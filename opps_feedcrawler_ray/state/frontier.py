@@ -40,6 +40,7 @@ import ray
 
 from ..functions.hashing import fingerprint64
 from ..functions.robots import RobotsRules, parse_robots
+from .bloom import make_seen_filter, seen_filter_from_bytes
 from .cuckoo import CuckooFilter
 from .exactstore import ExactSeenStore
 
@@ -64,6 +65,7 @@ class FrontierActor:
         robots_sidecar: str | None = None,
         exact_spill_dir: str | None = None,
         exact_spill_threshold: int = 1 << 20,
+        seen_filter: str = "cuckoo",
     ) -> None:
         self.shard_id = shard_id
         self.num_shards = num_shards
@@ -95,7 +97,9 @@ class FrontierActor:
                     f"{max_pages_per_host}: recombined emissions would break "
                     f"the per-host page-cap invariant"
                 )
-        self.seen = CuckooFilter(capacity=filter_capacity)
+        # north-rule "bloom/cuckoo URL-seen": either filter kind satisfies
+        # the no-false-negative contract; kind is frozen in the manifest
+        self.seen = make_seen_filter(seen_filter, filter_capacity)
         # exact store (verification mode): bounded-memory LSM-lite — URL
         # strings spill to hash-sorted parquet segments, only 8 B/key
         # sorted hash arrays stay resident (state/exactstore.py)
@@ -510,7 +514,7 @@ class FrontierActor:
         frontier = pq.read_table(fpath)
         with open(spath, "rb") as f:
             blob = pickle.load(f)
-        self.seen = CuckooFilter.from_bytes(blob["filter"])
+        self.seen = seen_filter_from_bytes(blob["filter"])
         self.exact = (
             ExactSeenStore.from_blob(blob["exact"])
             if blob["exact"] is not None

@@ -545,6 +545,22 @@ def test_exact_spill_crawl_equivalence(smoke):
     assert segs, "threshold 64 must actually force spills"
 
 
+def test_bloom_seen_filter_equivalence(smoke):
+    """The Bloom URL-seen filter (north rule: "bloom/cuckoo") must be a
+    pure execution-shape choice: crawl log and seen-set export byte-equal
+    to the default cuckoo run (no false positive fires at this corpus
+    size for either filter), and the filter kind is frozen in the
+    checkpoint manifest like every routing knob."""
+    log, seen, _ = run_crawl(smoke["tmp"], smoke["corpus"], "out_bloom", seen_filter="bloom")
+    assert log.equals(smoke["log"])
+    assert seen.equals(smoke["seen"])
+    with pytest.raises(ValueError, match="seen_filter"):
+        run_crawl(
+            smoke["tmp"], smoke["corpus"], "out_bloom",
+            seen_filter="cuckoo", resume=True,
+        )
+
+
 def test_jsonl_pages_source_equivalence(smoke):
     """S1 source breadth: the same corpus delivered as JSONL (html
     base64-encoded through the text container) must produce a

@@ -310,3 +310,66 @@ def test_extractor_registry_plugin():
     finally:
         ex.EXTRACTOR_REGISTRY.pop("html", None)
     assert ex.extract_text("http://h/x", b"<p>back</p>") == "back"
+
+
+# ----------------------------------------------------------------- bloom
+
+
+def test_bloom_no_false_negatives():
+    from opps_feedcrawler_ray.state.bloom import BloomFilter
+
+    f = BloomFilter(capacity=4096)
+    rng = np.random.default_rng(42)
+    keys = np.unique(rng.integers(1, 2**63, size=4000, dtype=np.uint64))
+    for k in keys:
+        assert f.add(int(k))
+    for k in keys:
+        assert f.contains(int(k))  # NEVER a false negative
+    assert not f.add(int(keys[0]))
+    assert f.count == len(keys)
+
+
+def test_bloom_fp_rate():
+    from opps_feedcrawler_ray.state.bloom import BloomFilter
+
+    f = BloomFilter(capacity=50_000)
+    rng = np.random.default_rng(7)
+    present = np.unique(rng.integers(1, 2**62, size=40_000, dtype=np.uint64))
+    f.insert_batch(present)
+    probe = rng.integers(2**62, 2**63, size=20_000, dtype=np.uint64)
+    fp = int(f.contains_batch(probe).sum())
+    assert fp / len(probe) < 0.01
+    # design load: about half the bits set at n == capacity·0.8
+    assert f.load_factor() < 0.55
+
+
+def test_bloom_serialization_roundtrip_and_dispatch():
+    from opps_feedcrawler_ray.state.bloom import BloomFilter, seen_filter_from_bytes
+
+    f = BloomFilter(capacity=1024)
+    keys = [fingerprint64(f"u{i}") for i in range(900)]
+    for k in keys:
+        f.add(k)
+    g = seen_filter_from_bytes(f.to_bytes())
+    assert isinstance(g, BloomFilter)
+    for k in keys:
+        assert g.contains(k)
+    assert g.count == f.count
+    assert not g.add(keys[0])
+    # untagged (cuckoo) blobs dispatch to CuckooFilter — pre-bloom
+    # checkpoints stay restorable
+    c = CuckooFilter(capacity=256)
+    c.add(keys[0])
+    h = seen_filter_from_bytes(c.to_bytes())
+    assert isinstance(h, CuckooFilter) and h.contains(keys[0])
+
+
+def test_bloom_batch_first_occurrence():
+    from opps_feedcrawler_ray.state.bloom import BloomFilter
+
+    f = BloomFilter(capacity=1024)
+    keys = np.array([fingerprint64(f"u{i}") for i in range(10)] * 2, dtype=np.uint64)
+    mask = f.add_batch(keys)
+    assert mask[:10].all() and not mask[10:].any()
+    assert not f.add_batch(keys).any()
+

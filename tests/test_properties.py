@@ -273,6 +273,21 @@ def test_cuckoo_never_false_negative(keys):
     assert all(g.contains(k) for k in keys)
 
 
+@given(st.lists(st.integers(min_value=1, max_value=2**63), min_size=1, max_size=300, unique=True))
+@settings(max_examples=100, deadline=None)
+def test_bloom_never_false_negative(keys):
+    from opps_feedcrawler_ray.state.bloom import BloomFilter
+
+    f = BloomFilter(capacity=64)  # deliberately undersized → saturating bits
+    ka = np.array(keys, dtype=np.uint64)
+    f.add_batch(ka)
+    assert f.contains_batch(ka).all()
+    g = BloomFilter.from_bytes(f.to_bytes())
+    assert g.contains_batch(ka).all()
+    # scalar/batch agreement
+    assert all(g.contains(int(k)) for k in keys)
+
+
 @given(st.text(alphabet="abcdef /\n", max_size=200), _paths)
 @settings(max_examples=150, deadline=None)
 def test_robots_never_crashes_and_robots_txt_fetchable(body, path):
