@@ -397,6 +397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_median_value": A.events_median_value,
         "customer_no_big_order": A.customer_no_big_order,
         "doc_token_counts": A.doc_token_counts,
+        "doc_repetition_stats": A.doc_repetition_stats,
         "orders_pivot_month_segment": A.orders_pivot_month_segment,
         "purchase_click_users": A.purchase_click_users,
         "tfidf_top_terms": A.tfidf_top_terms,
@@ -722,6 +723,37 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t AS token, COUNT(*) AS n FROM ("
             "SELECT unnest(string_split(text, ' ')) AS t FROM documents) "
             "WHERE t <> '' GROUP BY t"
+        ),
+        "doc_repetition_stats": (
+            # Gopher-style repetition signals; ties on top token/bigram
+            # break lexicographically, fractions are half-up e6 integers
+            # computed with the SAME float expression as the Ray side
+            "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
+            "FROM documents), "
+            "tstat AS (SELECT doc_id, COUNT(*) AS n_tokens, "
+            "COUNT(DISTINCT tok) AS n_distinct FROM toks GROUP BY doc_id), "
+            "tcnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks "
+            "GROUP BY doc_id, tok), "
+            "ttop AS (SELECT doc_id, tok AS top_token, c FROM ("
+            "SELECT doc_id, tok, c, ROW_NUMBER() OVER (PARTITION BY doc_id "
+            "ORDER BY c DESC, tok ASC) AS rn FROM tcnt) WHERE rn = 1), "
+            "bgs AS (SELECT doc_id, unnest(list_transform("
+            "generate_series(1, len(sp) - 1), i -> sp[i] || ' ' || sp[i + 1])) AS bg "
+            "FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents)), "
+            "bcnt AS (SELECT doc_id, bg, COUNT(*) AS c FROM bgs GROUP BY doc_id, bg), "
+            "btop AS (SELECT doc_id, bg AS top_bigram, c FROM ("
+            "SELECT doc_id, bg, c, ROW_NUMBER() OVER (PARTITION BY doc_id "
+            "ORDER BY c DESC, bg ASC) AS rn FROM bcnt) WHERE rn = 1) "
+            "SELECT t.doc_id, t.n_tokens, t.n_distinct, "
+            "CAST(FLOOR(1e6 * (t.n_tokens - t.n_distinct) / t.n_tokens + 0.5) "
+            "AS BIGINT) AS dup_token_frac_e6, "
+            "tt.top_token, "
+            "CAST(FLOOR(1e6 * tt.c / t.n_tokens + 0.5) AS BIGINT) AS top_token_frac_e6, "
+            "bt.top_bigram, "
+            "CAST(FLOOR(1e6 * bt.c / (t.n_tokens - 1) + 0.5) AS BIGINT) "
+            "AS top_bigram_frac_e6 "
+            "FROM tstat t JOIN ttop tt USING (doc_id) JOIN btop bt USING (doc_id) "
+            "ORDER BY doc_id"
         ),
         "orders_pivot_month_segment": (
             "SELECT strftime(o_orderdate, '%Y-%m') AS month, "

@@ -1809,3 +1809,70 @@ def events_first_last(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def doc_repetition_stats(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 — the
+    public "Scaling Language Models" heuristic family): per doc the
+    duplicate-token fraction, the most frequent token and its fraction,
+    and the most frequent word bigram and its fraction (ties broken
+    lexicographically — deterministic).  Fractions are half-up e6
+    integers computed with the SAME float expression as the oracle.
+
+    100 TB shape: purely batch-local — one Arrow split per batch, grouped
+    pandas kernels across ALL docs in the batch at once (no per-doc
+    Python loop), no shuffle of any kind; output is O(docs)."""
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = pc.split_pattern(batch["text"], " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = np.asarray(pc.list_flatten(toks).to_pylist(), dtype=object)
+        did = np.repeat(ids, lens)
+        df = pd.DataFrame({"doc_id": did, "tok": flat})
+        g = df.groupby("doc_id")
+        stat = g.agg(n_tokens=("tok", "size"), n_distinct=("tok", "nunique"))
+        tc = df.groupby(["doc_id", "tok"]).size().reset_index(name="c")
+        tc = tc.sort_values(["doc_id", "c", "tok"], ascending=[True, False, True])
+        ttop = tc.drop_duplicates("doc_id").set_index("doc_id")
+        # bigrams: adjacent tokens within the same doc (flat layout makes
+        # the boundary mask one vectorized compare)
+        same = did[1:] == did[:-1]
+        bdf = pd.DataFrame(
+            {
+                "doc_id": did[:-1][same],
+                "bg": pd.Series(flat[:-1][same]) + " " + pd.Series(flat[1:][same]),
+            }
+        )
+        bc = bdf.groupby(["doc_id", "bg"]).size().reset_index(name="c")
+        bc = bc.sort_values(["doc_id", "c", "bg"], ascending=[True, False, True])
+        btop = bc.drop_duplicates("doc_id").set_index("doc_id")
+        out = stat.join(ttop.rename(columns={"tok": "top_token", "c": "tc"}))
+        out = out.join(btop.rename(columns={"bg": "top_bigram", "c": "bc"}), how="inner")
+        n = out["n_tokens"].to_numpy(dtype=np.float64)
+        nd = out["n_distinct"].to_numpy(dtype=np.float64)
+        out["dup_token_frac_e6"] = np.floor(1e6 * (n - nd) / n + 0.5).astype("int64")
+        out["top_token_frac_e6"] = np.floor(
+            1e6 * out["tc"].to_numpy(dtype=np.float64) / n + 0.5
+        ).astype("int64")
+        out["top_bigram_frac_e6"] = np.floor(
+            1e6 * out["bc"].to_numpy(dtype=np.float64) / (n - 1.0) + 0.5
+        ).astype("int64")
+        out = out.reset_index()[
+            ["doc_id", "n_tokens", "n_distinct", "dup_token_frac_e6",
+             "top_token", "top_token_frac_e6", "top_bigram", "top_bigram_frac_e6"]
+        ]
+        return pa.Table.from_pandas(
+            out,
+            schema=pa.schema(
+                [("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+                 ("n_distinct", pa.int64()), ("dup_token_frac_e6", pa.int64()),
+                 ("top_token", pa.string()), ("top_token_frac_e6", pa.int64()),
+                 ("top_bigram", pa.string()), ("top_bigram_frac_e6", pa.int64())]
+            ),
+            preserve_index=False,
+        )
+
+    out = docs.map_batches(fn, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -681,3 +681,36 @@ def test_host_components_over_corpus(ray_session):
     lab = dict(zip(comp["host"], comp["component"]))
     assert set(lab) == set(edges["src_host"]) | set(edges["dst_host"])
     assert all(lab[s] == lab[d] for s, d in zip(edges["src_host"], edges["dst_host"]))
+
+
+def test_doc_repetition_stats_matches_brute(ray_session):
+    from collections import Counter
+
+    from opps_feedcrawler_ray.pipelines.analytics import doc_repetition_stats
+
+    got = doc_repetition_stats(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    rows = []
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        toks = text.split(" ")
+        n = len(toks)
+        if n < 2:
+            continue  # no bigram → dropped on both sides (inner join)
+        tc = Counter(toks)
+        top_tok, ttc = sorted(tc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        bgs = Counter(" ".join(p) for p in zip(toks, toks[1:]))
+        top_bg, btc = sorted(bgs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        rows.append(
+            {
+                "doc_id": did, "n_tokens": n, "n_distinct": len(tc),
+                "dup_token_frac_e6": int(np.floor(1e6 * (n - len(tc)) / n + 0.5)),
+                "top_token": top_tok,
+                "top_token_frac_e6": int(np.floor(1e6 * ttc / n + 0.5)),
+                "top_bigram": top_bg,
+                "top_bigram_frac_e6": int(np.floor(1e6 * btc / (n - 1) + 0.5)),
+            }
+        )
+    exp = pd.DataFrame(rows).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # repetitive word soup: duplicate fraction must be materially nonzero
+    assert (got["dup_token_frac_e6"] > 0).mean() > 0.9
