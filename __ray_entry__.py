@@ -398,6 +398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_no_big_order": A.customer_no_big_order,
         "doc_token_counts": A.doc_token_counts,
         "doc_repetition_stats": A.doc_repetition_stats,
+        "pii_redact_docs": A.pii_redact_docs,
         "orders_pivot_month_segment": A.orders_pivot_month_segment,
         "purchase_click_users": A.purchase_click_users,
         "tfidf_top_terms": A.tfidf_top_terms,
@@ -723,6 +724,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t AS token, COUNT(*) AS n FROM ("
             "SELECT unnest(string_split(text, ' ')) AS t FROM documents) "
             "WHERE t <> '' GROUP BY t"
+        ),
+        "pii_redact_docs": (
+            # same deterministic PII splice + the same RE2 patterns applied
+            # in the same order as functions/text.py PII_PATTERNS
+            "WITH aug AS (SELECT doc_id, text || ' contact user' || "
+            "CAST(doc_id AS VARCHAR) || '@mail' || CAST(doc_id % 7 AS VARCHAR) || "
+            "'.example.com call (555) 010-' || "
+            "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || "
+            "' from 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.' || "
+            "CAST(doc_id % 254 + 1 AS VARCHAR) AS t FROM documents) "
+            "SELECT doc_id, "
+            "regexp_replace(regexp_replace(regexp_replace(t, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+            "'\\(?\\d{3}\\)?[ -]\\d{3}-\\d{4}', '<PHONE>', 'g'), "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') "
+            "AS clean_text, "
+            "len(regexp_extract_all(t, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email, "
+            "len(regexp_extract_all(t, "
+            "'\\(?\\d{3}\\)?[ -]\\d{3}-\\d{4}')) AS n_phone, "
+            "len(regexp_extract_all(t, "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ipv4 "
+            "FROM aug"
         ),
         "doc_repetition_stats": (
             # Gopher-style repetition signals; ties on top token/bigram

@@ -231,3 +231,29 @@ def simhash(text: str) -> int:
 
 def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
+
+
+# ---------------------------------------------------------------- PII scrub
+# Classic training-data PII redaction patterns (RE2-safe — the same
+# engine behind both pyarrow.compute and DuckDB regexp functions, so an
+# oracle can replay the transform exactly).  Applied in a FIXED order
+# (email → phone → ipv4); replacement placeholders are angle-tagged.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\(?\d{3}\)?[ -]\d{3}-\d{4}", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(texts):
+    """Vectorized PII scrub over an Arrow string array: returns
+    (clean_array, {kind: count_array}) — counts are measured on the
+    INPUT text (pre-redaction), replacement is global per pattern."""
+    import pyarrow.compute as _pc
+
+    counts = {}
+    clean = texts
+    for kind, pat, tag in PII_PATTERNS:
+        counts[kind] = _pc.cast(_pc.count_substring_regex(texts, pattern=pat), "int64")
+        clean = _pc.replace_substring_regex(clean, pattern=pat, replacement=tag)
+    return clean, counts

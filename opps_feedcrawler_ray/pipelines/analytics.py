@@ -1876,3 +1876,39 @@ def doc_repetition_stats(sf_dir: str) -> pd.DataFrame:
 
     out = docs.map_batches(fn, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def pii_redact_docs(sf_dir: str) -> rd.Dataset:
+    """PII redaction stage (the training-data scrub every large corpus
+    pipeline carries): deterministic per-doc PII is spliced into the text
+    (the synthetic corpus has none), then emails/phones/IPv4s are counted
+    and globally replaced via RE2 — the same engine DuckDB's regexp
+    functions use, so the oracle replays the transform byte-for-byte.
+
+    100 TB shape: stateless map_batches, all-Arrow kernels (concat +
+    count/replace_substring_regex), zero shuffle."""
+    from ..functions.text import redact_pii
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        aug = pc.binary_join_element_wise(
+            batch["text"],
+            pa.array([f"contact user{i}@mail{i % 7}.example.com" for i in did]),
+            pa.array([f"call (555) 010-{i % 10000:04d}" for i in did]),
+            pa.array([f"from 192.168.{i % 256}.{i % 254 + 1}" for i in did]),
+            " ",
+        )
+        clean, counts = redact_pii(aug)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "clean_text": clean,
+                "n_email": counts["email"],
+                "n_phone": counts["phone"],
+                "n_ipv4": counts["ipv4"],
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow")

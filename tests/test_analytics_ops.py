@@ -714,3 +714,42 @@ def test_doc_repetition_stats_matches_brute(ray_session):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     # repetitive word soup: duplicate fraction must be materially nonzero
     assert (got["dup_token_frac_e6"] > 0).mean() > 0.9
+
+
+def test_redact_pii_directed():
+    import pyarrow as pa
+
+    from opps_feedcrawler_ray.functions.text import redact_pii
+
+    texts = pa.array(
+        [
+            "mail me at jo.doe+x@sub.example.co.uk today",
+            "call (212) 555-0187 or 646 555-0100 now",
+            "server at 10.0.0.1 and 255.255.255.0 up",
+            "no pii here at all",
+            "mixed: a@b.io, (555) 010-0001, 192.168.1.1",
+        ]
+    )
+    clean, counts = redact_pii(texts)
+    assert clean.to_pylist() == [
+        "mail me at <EMAIL> today",
+        "call <PHONE> or <PHONE> now",
+        "server at <IP> and <IP> up",
+        "no pii here at all",
+        "mixed: <EMAIL>, <PHONE>, <IP>",
+    ]
+    assert counts["email"].to_pylist() == [1, 0, 0, 0, 1]
+    assert counts["phone"].to_pylist() == [0, 2, 0, 0, 1]
+    assert counts["ipv4"].to_pylist() == [0, 0, 2, 0, 1]
+
+
+def test_pii_redact_docs_no_raw_pii_left(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import pii_redact_docs
+
+    got = pii_redact_docs(SF).to_pandas()
+    assert (got["n_email"] >= 1).all() and (got["n_phone"] >= 1).all()
+    assert (got["n_ipv4"] >= 1).all()
+    assert not got["clean_text"].str.contains("@").any()
+    assert got["clean_text"].str.contains("<EMAIL>").all()
+    assert got["clean_text"].str.contains("<PHONE>").all()
+    assert got["clean_text"].str.contains("<IP>").all()
