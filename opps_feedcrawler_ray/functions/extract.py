@@ -179,7 +179,10 @@ def decode_bytes(b: bytes | str) -> str:
 
 
 def detect_kind(url: str, body: bytes | str) -> str:
-    """Classify page bytes: 'robots' | 'rss' | 'atom' | 'html' (M7)."""
+    """Classify page bytes: 'robots' | 'rss' | 'atom' | 'sitemap' | 'html'
+    (M7).  Sitemaps (sitemaps.org protocol) are detected by their root
+    element — <urlset> or <sitemapindex> — never by URL, matching the
+    content-first rss/atom rule."""
     if url.endswith("/robots.txt"):
         return "robots"
     head = decode_bytes(body[:512] if isinstance(body, (bytes, bytearray)) else body[:512])
@@ -191,6 +194,8 @@ def detect_kind(url: str, body: bytes | str) -> str:
         return "rss"
     if head.startswith("<feed"):
         return "atom"
+    if head.startswith(("<urlset", "<sitemapindex")):
+        return "sitemap"
     return "html"
 
 
@@ -420,8 +425,8 @@ def extract_text(url: str, body: bytes | str, kind: str | None = None) -> str:
     custom = EXTRACTOR_REGISTRY.get(kind)
     if custom is not None:
         return custom(url, body)
-    if kind == "robots":
-        return ""
+    if kind in ("robots", "sitemap"):
+        return ""  # machine-readable listings carry no document text
     if kind in ("rss", "atom"):
         return extract_feed_text(body)
     return extract_html_text(body)
@@ -489,6 +494,16 @@ def extract_page(url: str, body: bytes | str, kind: str | None = None) -> tuple[
         return custom(url, body), []
     if kind == "robots":
         return "", []
+    if kind == "sitemap":
+        root = _parse_xml(body)
+        if root is None:
+            return "", []
+        raw = [
+            el.text.strip()
+            for el in root.iter()
+            if _local(el.tag) == "loc" and el.text and el.text.strip()
+        ]
+        return "", _finalize_links(url, raw)
     if kind in ("rss", "atom"):
         text = extract_feed_text(body)
         raw: list[str] = []
@@ -520,7 +535,17 @@ def parse_links(url: str, body: bytes | str, kind: str | None = None) -> list[st
     if kind == "robots":
         return []
     text = decode_bytes(body)
-    if kind in ("rss", "atom"):
+    if kind == "sitemap":
+        # sitemaps.org: <urlset><url><loc>…</loc></url></urlset> and
+        # <sitemapindex><sitemap><loc>…</loc></sitemap></sitemapindex>;
+        # both feed discovered URLs back into the frontier like any page
+        root = _parse_xml(body)
+        if root is None:
+            return []
+        for el in root.iter():
+            if _local(el.tag) == "loc" and el.text and el.text.strip():
+                raw.append(el.text.strip())
+    elif kind in ("rss", "atom"):
         root = _parse_xml(body)
         if root is None:
             return []

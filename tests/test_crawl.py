@@ -589,3 +589,49 @@ def test_jsonl_pages_source_equivalence(smoke):
     log, seen, _ = run_crawl(smoke["tmp"], corpus_jl, "out_jsonl")
     assert log.equals(smoke["log"])
     assert seen.equals(smoke["seen"])
+
+
+def test_sitemap_crawl_discovery(ray_session, tmp_path_factory):
+    """A seeded sitemap.xml feeds its <loc> URLs into the frontier: the
+    crawl fetches the sitemap (text ''), then the listed pages in the
+    next round — the sitemaps.org half of the feed-discovery surface."""
+    import datetime as dt
+
+    tmp = str(tmp_path_factory.mktemp("sitemap"))
+    host = "sm.example"
+    locs = [f"http://{host}/p/{i}" for i in range(3)]
+    sm_body = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        + "".join(f"<url><loc>{u}</loc></url>" for u in locs)
+        + "</urlset>"
+    ).encode()
+    urls = [f"http://{host}/sitemap.xml"] + locs
+    bodies = [sm_body] + [f"<html><body><p>page {i}</p></body></html>".encode() for i in range(3)]
+    texts = ["", "page 0", "page 1", "page 2"]
+    ts = dt.datetime(2024, 1, 1)
+    pages = pa.table(
+        {
+            "url": pa.array(urls),
+            "warc_ts": pa.array([ts] * 4, pa.timestamp("us")),
+            "html": pa.array(bodies, pa.binary()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 4),
+        }
+    )
+    pq.write_table(pages, f"{tmp}/pages.parquet")
+    pq.write_table(pa.table({"url": pa.array([urls[0]])}), f"{tmp}/seeds.parquet")
+    cfg = CrawlConfig(
+        pages_path=f"{tmp}/pages.parquet", seeds_path=f"{tmp}/seeds.parquet",
+        out_dir=f"{tmp}/out", num_frontier_actors=2, politeness_budget=8,
+        num_buckets=2, num_fetch_actors=2,
+    )
+    crawl(cfg)
+    log = read_log(f"{tmp}/out")
+    got = dict(zip(log["url"].to_pylist(), log["round"].to_pylist()))
+    assert got[urls[0]] == 0
+    assert all(got[u] == 1 for u in locs)
+    fetched = {u: t for u, t, s in zip(log["url"].to_pylist(), log["text"].to_pylist(),
+                                       log["status"].to_pylist()) if s == "fetched"}
+    assert fetched[urls[0]] == ""
+    assert fetched[locs[1]] == "page 1"

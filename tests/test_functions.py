@@ -373,3 +373,38 @@ def test_bloom_batch_first_occurrence():
     assert mask[:10].all() and not mask[10:].any()
     assert not f.add_batch(keys).any()
 
+
+
+# --------------------------------------------------------------- sitemap
+
+
+def test_sitemap_detect_extract_links():
+    from opps_feedcrawler_ray.functions.extract import detect_kind, extract_text, parse_links
+
+    sm = (
+        b'<?xml version="1.0" encoding="UTF-8"?>\n'
+        b'<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        b"<url><loc>http://s.example/a</loc><lastmod>2024-01-01</lastmod></url>"
+        b"<url><loc> http://s.example/b </loc></url>"
+        b"<url><loc>http://s.example/a</loc></url>"  # dup → first-wins
+        b"</urlset>"
+    )
+    url = "http://s.example/sitemap.xml"
+    assert detect_kind(url, sm) == "sitemap"
+    assert extract_text(url, sm) == ""  # no document text
+    assert parse_links(url, sm) == ["http://s.example/a", "http://s.example/b"]
+    # sitemap INDEX files link to child sitemaps the same way
+    idx = (
+        b"<sitemapindex><sitemap><loc>http://s.example/sm1.xml</loc></sitemap>"
+        b"<sitemap><loc>http://s.example/sm2.xml</loc></sitemap></sitemapindex>"
+    )
+    assert detect_kind("http://s.example/sitemap_index.xml", idx) == "sitemap"
+    assert parse_links("http://s.example/x", idx) == [
+        "http://s.example/sm1.xml",
+        "http://s.example/sm2.xml",
+    ]
+    # malformed XML → no links, no crash
+    assert parse_links(url, b"<urlset><loc>broken") == []
+    # html/rss detection unchanged (frozen goldens intact)
+    assert detect_kind("http://h/x", b"<html><body>hi</body></html>") == "html"
+    assert detect_kind("http://h/f", b"<rss><channel></channel></rss>") == "rss"
