@@ -313,3 +313,53 @@ def canonicalize_batch(urls: list[str | None]) -> tuple[list[str | None], list[s
             surts.append(s)
             hosts.append(h)
     return canons, surts, hosts
+
+
+def trap_mask(
+    urls,
+    max_url_len: int = 2048,
+    max_path_depth: int = 32,
+    max_segment_repeat: int = 3,
+):
+    """Crawler-trap guard (IRLbot-style URL hygiene — public literature:
+    Lee et al. 2009 identify unbounded-depth and repeating-segment loops
+    as the dominant frontier polluters): boolean KEEP mask over an Arrow
+    string array of CANONICAL urls.  A URL is rejected when it exceeds
+    ``max_url_len`` bytes, has more than ``max_path_depth`` path
+    segments, or repeats any single path segment more than
+    ``max_segment_repeat`` times (calendar/session-id loops like
+    /a/b/a/b/a/b).  Vectorized: one utf8_length + one split per batch,
+    repeat detection via a grouped pandas count over the exploded
+    segments — no per-URL Python parsing."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    n = len(urls)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    keep = pc.less_equal(pc.binary_length(urls), max_url_len).to_numpy(
+        zero_copy_only=False
+    )
+    # canonical form is scheme://host/path[?q] → slash count - 2 = path
+    # separators; segments = separators (root "/" counts 0 extra)
+    parts = pc.split_pattern(urls, "/")
+    n_seg = pc.list_value_length(parts).to_numpy(zero_copy_only=False) - 3
+    keep &= n_seg <= max_path_depth
+    if keep.any():
+        flat = np.asarray(pc.list_flatten(parts).to_pylist(), dtype=object)
+        lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+        idx = np.repeat(np.arange(n), lens)
+        off = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        pos = np.arange(len(flat)) - np.repeat(off, lens)
+        m = pos >= 3  # skip scheme, '', host — path segments only
+        seg = pd.DataFrame({"i": idx[m], "s": flat[m]})
+        seg = seg[seg["s"] != ""]
+        if len(seg):
+            rep = seg.groupby(["i", "s"]).size().groupby("i").max()
+            bad = rep.index.to_numpy()[rep.to_numpy() > max_segment_repeat]
+            keep[bad] = False
+    return keep

@@ -86,6 +86,12 @@ class CrawlConfig:
     # batch inside the round execution (the reference's post-save
     # publication surface).  Must be serializable (cloudpickle).
     sink_hook: object = None
+    # crawler-trap guard over DISCOVERED links (None = off): kwargs for
+    # functions.urlnorm.trap_mask, e.g. {"max_url_len": 2048,
+    # "max_path_depth": 32, "max_segment_repeat": 3}.  Rejected URLs
+    # never reach the frontier (they also never enter the seen set, so a
+    # later non-trap path to the same URL is unaffected).
+    trap_guard: dict | None = None
     resume: bool = False
     stats: dict = field(default_factory=dict)
 
@@ -547,12 +553,14 @@ class _OfferLinksStage:
     costs no extra execution — the log write downstream is the barrier."""
 
     def __init__(self, actors: list, next_round: int, priority_fn=None,
-                 salt_hosts: dict | None = None, sink_hook=None) -> None:
+                 salt_hosts: dict | None = None, sink_hook=None,
+                 trap_guard: dict | None = None) -> None:
         self.actors = actors
         self.next_round = next_round
         self.priority_fn = priority_fn
         self.salt_hosts = salt_hosts
         self.sink_hook = sink_hook
+        self.trap_guard = trap_guard
         self._canon = CanonicalizeStage()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -608,6 +616,15 @@ class _OfferLinksStage:
                 _, first_idx = np.unique(hh, return_index=True)
                 if len(first_idx) < len(hh):
                     cand = cand.take(pa.array(np.sort(first_idx), pa.int64()))
+                if self.trap_guard is not None and cand.num_rows:
+                    # crawler-trap hygiene on DISCOVERED links only (seeds
+                    # are operator-vetted): drop over-long / over-deep /
+                    # segment-looping URLs before they pollute the frontier
+                    from ..functions.urlnorm import trap_mask
+
+                    keep = trap_mask(cand["url"], **self.trap_guard)
+                    if not keep.all():
+                        cand = cand.filter(pa.array(keep))
                 shards = _shard_indices(
                     cand["host"], len(self.actors), self.salt_hosts, cand["url_hash"]
                 )
@@ -1032,7 +1049,8 @@ def crawl(cfg: CrawlConfig) -> dict:
         # every offer is ray.get-acked inside its task before the task ends,
         # so when write_parquet returns, round r+1's frontier is complete.
         offer_links = _OfferLinksStage(
-            actors, r + 1, cfg.priority_fn, cfg.salt_hosts, cfg.sink_hook
+            actors, r + 1, cfg.priority_fn, cfg.salt_hosts, cfg.sink_hook,
+            trap_guard=cfg.trap_guard,
         )
         staged = ready.map_batches(_AssignSeq(offsets_ref), batch_format="pyarrow")
         if cfg.fetch_strategy == "actors":

@@ -635,3 +635,62 @@ def test_sitemap_crawl_discovery(ray_session, tmp_path_factory):
                                        log["status"].to_pylist()) if s == "fetched"}
     assert fetched[urls[0]] == ""
     assert fetched[locs[1]] == "page 1"
+
+
+def test_trap_guard_stops_segment_loop(ray_session, tmp_path_factory):
+    """A self-deepening /t/t/t/... loop corpus: without the guard the
+    crawl chases the chain to its end; with max_segment_repeat=3 the
+    frontier rejects the 4th repetition and the crawl stops early.
+    Non-trap pages are unaffected."""
+    import datetime as dt
+
+    tmp = str(tmp_path_factory.mktemp("trap"))
+    host = "trap.example"
+    depth = 12
+    urls, bodies, texts = [], [], []
+    for d in range(depth + 1):
+        path = "/" + "/".join(["t"] * d) if d else "/"
+        nxt = "/" + "/".join(["t"] * (d + 1))
+        urls.append(f"http://{host}{path}")
+        bodies.append(
+            f'<html><body><p>depth {d}</p><a href="{nxt}">deeper</a>'
+            f'<a href="/leaf">leaf</a></body></html>'.encode()
+        )
+        texts.append(f"depth {d}\ndeeperleaf")
+    urls.append(f"http://{host}/leaf")
+    bodies.append(b"<html><body><p>leaf</p></body></html>")
+    texts.append("leaf")
+    ts = dt.datetime(2024, 1, 1)
+    pages = pa.table(
+        {
+            "url": pa.array(urls),
+            "warc_ts": pa.array([ts] * len(urls), pa.timestamp("us")),
+            "html": pa.array(bodies, pa.binary()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(urls)),
+        }
+    )
+    pq.write_table(pages, f"{tmp}/pages.parquet")
+    pq.write_table(pa.table({"url": pa.array([urls[0]])}), f"{tmp}/seeds.parquet")
+
+    def go(out, guard):
+        cfg = CrawlConfig(
+            pages_path=f"{tmp}/pages.parquet", seeds_path=f"{tmp}/seeds.parquet",
+            out_dir=f"{tmp}/{out}", num_frontier_actors=2, politeness_budget=8,
+            num_buckets=2, num_fetch_actors=2, trap_guard=guard,
+        )
+        crawl(cfg)
+        return read_log(f"{tmp}/{out}")
+
+    free = go("out_free", None)
+    # whole chain + leaf fetched, plus the chain's one-past-the-end
+    # not_found probe — the unguarded crawl chases the loop to its end
+    assert free.num_rows == depth + 3
+    assert sum(s == "fetched" for s in free["status"].to_pylist()) == depth + 2
+    guarded = go("out_guard", {"max_segment_repeat": 3})
+    got = sorted(guarded["url"].to_pylist())
+    # /, /t, /t/t, /t/t/t kept (≤3 repeats) + /leaf; /t/t/t/t rejected
+    assert f"http://{host}/t/t/t" in got
+    assert f"http://{host}/t/t/t/t" not in got
+    assert f"http://{host}/leaf" in got
+    assert guarded.num_rows == 5

@@ -408,3 +408,23 @@ def test_sitemap_detect_extract_links():
     # html/rss detection unchanged (frozen goldens intact)
     assert detect_kind("http://h/x", b"<html><body>hi</body></html>") == "html"
     assert detect_kind("http://h/f", b"<rss><channel></channel></rss>") == "rss"
+
+
+def test_trap_mask_directed():
+    import pyarrow as pa
+
+    from opps_feedcrawler_ray.functions.urlnorm import trap_mask
+
+    urls = pa.array(
+        [
+            "http://h.example/",                          # root → keep
+            "http://h.example/a/b/c",                     # shallow → keep
+            "http://h.example/" + "d/" * 40,              # 40 deep → drop
+            "http://h.example/cal/2024/cal/2024/cal/2024/cal/2024",  # repeat → drop
+            "http://h.example/a/a/a",                     # 3 repeats = limit → keep
+            "http://h.example/x?q=" + "z" * 3000,         # over-long → drop
+        ]
+    )
+    keep = trap_mask(urls, max_url_len=2048, max_path_depth=32, max_segment_repeat=3)
+    assert keep.tolist() == [True, True, False, False, True, False]
+    assert trap_mask(pa.array([], pa.string())).shape == (0,)
