@@ -399,6 +399,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_counts": A.doc_token_counts,
         "doc_repetition_stats": A.doc_repetition_stats,
         "pii_redact_docs": A.pii_redact_docs,
+        "lineitem_bloom_join": A.lineitem_bloom_join,
+        "stratified_sample_docs": A.stratified_sample_docs,
         "orders_pivot_month_segment": A.orders_pivot_month_segment,
         "purchase_click_users": A.purchase_click_users,
         "tfidf_top_terms": A.tfidf_top_terms,
@@ -724,6 +726,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t AS token, COUNT(*) AS n FROM ("
             "SELECT unnest(string_split(text, ' ')) AS t FROM documents) "
             "WHERE t <> '' GROUP BY t"
+        ),
+        "stratified_sample_docs": (
+            # same md5-of-id draw as the Ray side: deterministic, seedless
+            "SELECT source, doc_id, CAST(rn AS BIGINT) AS sample_rank FROM ("
+            "SELECT source, doc_id, ROW_NUMBER() OVER (PARTITION BY source "
+            "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn "
+            "FROM documents) WHERE rn <= 5 ORDER BY source, rn"
+        ),
+        "lineitem_bloom_join": (
+            "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, "
+            "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS o_price_e2 "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE o_totalprice > 480000"
         ),
         "pii_redact_docs": (
             # same deterministic PII splice + the same RE2 patterns applied

@@ -1912,3 +1912,106 @@ def pii_redact_docs(sf_dir: str) -> rd.Dataset:
         )
 
     return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def lineitem_bloom_join(sf_dir: str) -> rd.Dataset:
+    """Bloom-filter join pre-filter — THE bandwidth saver for selective
+    joins at 100 TB: the small (filtered) side's keys are sketched into
+    a Bloom filter (~2 B/key vs ~30 B/key for an exact set) and
+    broadcast once; big-side batches drop non-matching rows BEFORE any
+    join exchange.  No false negatives → no lost matches; false
+    positives are eliminated by the exact probe that follows.  At this
+    scale the small side also fits a broadcast lookup, so the exact
+    probe is batch-local and the whole join is shuffle-free; when it
+    doesn't, the same bloom mask feeds the bucketed shuffle join and
+    only ~selectivity of the big side crosses the wire."""
+    import ray
+
+    from ..state.bloom import BloomFilter
+
+    small = rd.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_totalprice"],
+        filter=(pc.field("o_totalprice") > 480000.0),
+    ).to_pandas()
+    keys = small["o_orderkey"].to_numpy(dtype=np.int64)
+    price_e2 = np.floor(small["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    bloom = BloomFilter(capacity=max(len(keys), 1), bits_per_key=10)
+    bloom.insert_batch(keys.astype(np.uint64))
+    # exact side: hash-sorted key array + aligned payload (searchsorted probe)
+    order = np.argsort(keys)
+    bloom_ref = ray.put(bloom)
+    keys_ref = ray.put(keys[order])
+    price_ref = ray.put(price_e2[order])
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bl = ray.get(bloom_ref)
+        lk = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        maybe = bl.contains_batch(lk.astype(np.uint64))
+        if not maybe.any():
+            return pa.table(
+                {"l_orderkey": pa.array([], pa.int64()),
+                 "l_linenumber": pa.array([], pa.int64()),
+                 "o_price_e2": pa.array([], pa.int64())}
+            )
+        t = batch.filter(pa.array(maybe))
+        sk = ray.get(keys_ref)
+        sp = ray.get(price_ref)
+        lk2 = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(sk, lk2)
+        pos[pos >= len(sk)] = len(sk) - 1
+        hit = sk[pos] == lk2  # kills bloom false positives exactly
+        t = t.filter(pa.array(hit))
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": pc.cast(t["l_linenumber"], pa.int64()),
+                "o_price_e2": pa.array(sp[pos[hit]], pa.int64()),
+            }
+        )
+
+    return rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_linenumber"]
+    ).map_batches(probe, batch_format="pyarrow")
+
+
+def stratified_sample_docs(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Deterministic stratified sampling: k docs per source, ranked by
+    md5(doc_id) — a seedless, shuffle-order-free "random" draw that any
+    engine reproduces bit-for-bit (same rule the split assigner uses).
+
+    100 TB shape: a LOSSLESS per-batch top-k combiner (a row in the
+    global per-source top-k has < k rows ranked above it in ANY batch,
+    so batch-local top-k can never drop a winner) cuts the exchange to
+    ≤ k rows per (source, batch); the final per-source cut is a
+    |sources|-key groupby."""
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "source"])
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        df = batch.to_pandas()
+        df["h"] = [
+            hashlib.md5(str(i).encode()).hexdigest() for i in df["doc_id"]
+        ]
+        df = df.sort_values(["source", "h", "doc_id"]).groupby("source").head(k)
+        return pa.Table.from_pandas(
+            df,
+            schema=pa.schema(
+                [("doc_id", pa.int64()), ("source", pa.string()), ("h", pa.string())]
+            ),
+            preserve_index=False,
+        )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "doc_id"]).head(k).copy()
+        g["sample_rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["source", "doc_id", "sample_rank"]]
+
+    out = (
+        docs.map_batches(local_topk, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(final_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["source", "sample_rank"]).reset_index(drop=True)

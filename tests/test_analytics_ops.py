@@ -753,3 +753,46 @@ def test_pii_redact_docs_no_raw_pii_left(ray_session):
     assert got["clean_text"].str.contains("<EMAIL>").all()
     assert got["clean_text"].str.contains("<PHONE>").all()
     assert got["clean_text"].str.contains("<IP>").all()
+
+
+def test_lineitem_bloom_join_matches_pandas(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import lineitem_bloom_join
+
+    got = (
+        lineitem_bloom_join(SF).to_pandas()
+        .sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
+    )
+    li = pd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"])
+    od = pd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    od = od[od.o_totalprice > 480000]
+    exp = li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+    exp["o_price_e2"] = np.floor(exp["o_totalprice"] * 100 + 0.5).astype("int64")
+    exp = (
+        exp[["l_orderkey", "l_linenumber", "o_price_e2"]]
+        .sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # the join is genuinely selective — the bloom mask earns its keep
+    assert 0 < len(got) < len(li) * 0.2
+
+
+def test_stratified_sample_docs_deterministic(ray_session):
+    import hashlib
+
+    from opps_feedcrawler_ray.pipelines.analytics import stratified_sample_docs
+
+    got = stratified_sample_docs(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "source"])
+    docs["h"] = [hashlib.md5(str(i).encode()).hexdigest() for i in docs["doc_id"]]
+    exp = (
+        docs.sort_values(["source", "h", "doc_id"])
+        .groupby("source").head(5).copy()
+    )
+    exp["sample_rank"] = exp.groupby("source").cumcount() + 1
+    exp = exp[["source", "doc_id", "sample_rank"]].sort_values(
+        ["source", "sample_rank"]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert (got.groupby("source").size() <= 5).all()
+    # two runs: identical draw (no RNG anywhere)
+    pd.testing.assert_frame_equal(got, stratified_sample_docs(SF), check_dtype=False)
