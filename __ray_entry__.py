@@ -401,6 +401,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact_docs": A.pii_redact_docs,
         "lineitem_bloom_join": A.lineitem_bloom_join,
         "stratified_sample_docs": A.stratified_sample_docs,
+        "orders_cube_year_priority": A.orders_cube_year_priority,
         "orders_pivot_month_segment": A.orders_pivot_month_segment,
         "purchase_click_users": A.purchase_click_users,
         "tfidf_top_terms": A.tfidf_top_terms,
@@ -726,6 +727,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t AS token, COUNT(*) AS n FROM ("
             "SELECT unnest(string_split(text, ' ')) AS t FROM documents) "
             "WHERE t <> '' GROUP BY t"
+        ),
+        "orders_cube_year_priority": (
+            "SELECT COALESCE(CAST(year(o_orderdate) AS BIGINT), -1) AS year, "
+            "COALESCE(o_orderpriority, 'ALL') AS o_orderpriority, "
+            "COUNT(*) AS n_orders, "
+            "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) "
+            "AS revenue_e2 "
+            "FROM orders GROUP BY CUBE(year(o_orderdate), o_orderpriority)"
         ),
         "stratified_sample_docs": (
             # same md5-of-id draw as the Ray side: deterministic, seedless

@@ -2015,3 +2015,52 @@ def stratified_sample_docs(sf_dir: str, k: int = 5) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values(["source", "sample_rank"]).reset_index(drop=True)
+
+
+def orders_cube_year_priority(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE(year, o_orderpriority) — completes the grouping-sets
+    family next to ROLLUP: all four groupings ((y,p), (y), (p), ())
+    derive from the SAME distributed leaf table, so the exchange stays
+    bounded by |years|·|priorities| regardless of input size.  Rollup
+    markers encode as -1 / 'ALL' on both sides."""
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderdate", "o_orderpriority", "o_totalprice"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["year"] = df["o_orderdate"].dt.year.astype("int64")
+        df["e2"] = np.floor(df["o_totalprice"].to_numpy() * 100.0 + 0.5).astype("int64")
+        g = df.groupby(["year", "o_orderpriority"], as_index=False).agg(
+            n_orders=("e2", "size"), revenue_e2=("e2", "sum")
+        )
+        return pa.Table.from_pandas(
+            g,
+            preserve_index=False,
+            schema=pa.schema(
+                [("year", pa.int64()), ("o_orderpriority", pa.string()),
+                 ("n_orders", pa.int64()), ("revenue_e2", pa.int64())]
+            ),
+        )
+
+    leaf = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby(["year", "o_orderpriority"])
+        .sum(["n_orders", "revenue_e2"])
+        .to_pandas()
+        .rename(columns={"sum(n_orders)": "n_orders", "sum(revenue_e2)": "revenue_e2"})
+    )
+    m = ["n_orders", "revenue_e2"]
+    by_y = leaf.groupby("year", as_index=False)[m].sum()
+    by_y["o_orderpriority"] = "ALL"
+    by_p = leaf.groupby("o_orderpriority", as_index=False)[m].sum()
+    by_p["year"] = -1
+    tot = pd.DataFrame(
+        {"year": [-1], "o_orderpriority": ["ALL"],
+         "n_orders": [leaf["n_orders"].sum()], "revenue_e2": [leaf["revenue_e2"].sum()]}
+    )
+    out = pd.concat([leaf, by_y, by_p, tot], ignore_index=True)[
+        ["year", "o_orderpriority", "n_orders", "revenue_e2"]
+    ]
+    out["year"] = out["year"].astype("int64")
+    return out.sort_values(["year", "o_orderpriority"]).reset_index(drop=True)

@@ -796,3 +796,28 @@ def test_stratified_sample_docs_deterministic(ray_session):
     assert (got.groupby("source").size() <= 5).all()
     # two runs: identical draw (no RNG anywhere)
     pd.testing.assert_frame_equal(got, stratified_sample_docs(SF), check_dtype=False)
+
+
+def test_orders_cube_matches_pandas(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import orders_cube_year_priority
+
+    got = orders_cube_year_priority(SF)
+    od = pd.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_orderdate", "o_orderpriority", "o_totalprice"]
+    )
+    od["year"] = od["o_orderdate"].dt.year.astype("int64")
+    od["e2"] = np.floor(od["o_totalprice"] * 100 + 0.5).astype("int64")
+    leaf = od.groupby(["year", "o_orderpriority"], as_index=False).agg(
+        n_orders=("e2", "size"), revenue_e2=("e2", "sum")
+    )
+    # every CUBE grouping must agree with a direct pandas aggregate
+    assert got[(got.year == -1) & (got.o_orderpriority == "ALL")]["n_orders"].iloc[0] == len(od)
+    for y in od["year"].unique():
+        row = got[(got.year == y) & (got.o_orderpriority == "ALL")]
+        assert row["revenue_e2"].iloc[0] == od[od.year == y]["e2"].sum()
+    for p in od["o_orderpriority"].unique():
+        row = got[(got.year == -1) & (got.o_orderpriority == p)]
+        assert row["n_orders"].iloc[0] == (od.o_orderpriority == p).sum()
+    merged = got.merge(leaf, on=["year", "o_orderpriority"], suffixes=("", "_exp"))
+    assert (merged["revenue_e2"] == merged["revenue_e2_exp"]).all()
+    assert len(got) == len(leaf) + od["year"].nunique() + od["o_orderpriority"].nunique() + 1
