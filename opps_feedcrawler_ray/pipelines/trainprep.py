@@ -58,10 +58,14 @@ def training_corpus_pipeline(
     out_dir: str | None = None,
     budget: int = 512,
     num_buckets: int | None = None,
+    scrub_pii: bool = False,
 ) -> pd.DataFrame:
     """Run the full prep flow; returns the per-split manifest
     (n_docs, n_tokens) and writes the packed corpus under
-    ``out_dir`` partitioned by split."""
+    ``out_dir`` partitioned by split.  ``scrub_pii=True`` inserts the
+    PII redaction stage (functions.text.redact_pii) between the gate
+    and the dedup — scrubbing BEFORE dedup so two docs differing only
+    in redacted PII collapse to one survivor."""
     from .dedup import coarse_buckets
 
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
@@ -74,6 +78,15 @@ def training_corpus_pipeline(
     gated = docs.map_batches(
         _GateStage, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1
     )
+
+    if scrub_pii:
+        from ..functions.text import redact_pii
+
+        def scrub(batch: pa.Table) -> pa.Table:
+            clean, _counts = redact_pii(batch["text"])
+            return pa.table({"doc_id": batch["doc_id"], "text": clean})
+
+        gated = gated.map_batches(scrub, batch_format="pyarrow")
 
     # ---- stage 2: exact dedup on the ENGINE's content fingerprint
     # (doc_fingerprint: whitespace-insensitive blake2b-8, the same
