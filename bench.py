@@ -92,6 +92,12 @@ QUERY_NAMES = [
     "lineitem_above_avg",
     "orders_ntile",
     "events_first_last",
+    "host_components",
+    "doc_repetition_stats",
+    "pii_redact_docs",
+    "lineitem_bloom_join",
+    "stratified_sample_docs",
+    "orders_cube_year_priority",
 ]
 
 
