@@ -381,7 +381,22 @@ class FrontierActor:
                 lst.sort()
                 self._dirty.discard(host)
             k = self.salt_hosts.get(host)
-            budget = max(1, self.budget // k) if k else self.budget
+            budget = self.budget
+            rr = self.robots.get(host)
+            if rr is not None and rr.crawl_delay and rr.crawl_delay > 1:
+                # Crawl-delay enforcement (de-facto robots extension; RFC
+                # 9309 leaves it out but crawlers honor it): the round is
+                # the scheduling quantum, so a host asking for d units
+                # between fetches gets budget/d slots per round, floor 1.
+                # Deterministic — no wall clock enters the rule.
+                budget = max(1, int(budget / rr.crawl_delay))
+            if k:
+                # salted hosts floor at 1 per sub-shard: recombined
+                # politeness stays ≤ the configured budget (k ≤ budget is
+                # validated), though a delay-scaled budget below k is
+                # effectively raised to k — a host both mega (salted) and
+                # delay-restricted resolves in favor of progress
+                budget = max(1, budget // k)
             if self.max_per_host is not None:
                 # salted hosts split the cap like the budget (cap//k per
                 # sub-shard → recombined total stays ≤ cap)

@@ -694,3 +694,53 @@ def test_trap_guard_stops_segment_loop(ray_session, tmp_path_factory):
     assert f"http://{host}/t/t/t/t" not in got
     assert f"http://{host}/leaf" in got
     assert guarded.num_rows == 5
+
+
+def test_crawl_delay_scales_politeness(ray_session, tmp_path_factory):
+    """A host declaring Crawl-delay: 4 with budget 8 emits ≤ 2 URLs per
+    round (budget/delay, floor 1); an identical host without the delay
+    drains at the full budget — the parsed delay actually throttles."""
+    import datetime as dt
+
+    tmp = str(tmp_path_factory.mktemp("cdelay"))
+    ts = dt.datetime(2024, 1, 1)
+    urls, bodies, texts = [], [], []
+    for host, delay in (("slow.example", "Crawl-delay: 4\n"), ("fast.example", "")):
+        urls.append(f"http://{host}/robots.txt")
+        bodies.append(f"User-agent: *\n{delay}".encode())
+        texts.append("")
+        root_links = "".join(f'<a href="/p/{i}">x</a>' for i in range(12))
+        urls.append(f"http://{host}/")
+        bodies.append(f"<html><body><p>root</p>{root_links}</body></html>".encode())
+        texts.append("root\n" + "x" * 12)
+        for i in range(12):
+            urls.append(f"http://{host}/p/{i}")
+            bodies.append(f"<html><body><p>pg {i}</p></body></html>".encode())
+            texts.append(f"pg {i}")
+    pages = pa.table(
+        {
+            "url": pa.array(urls),
+            "warc_ts": pa.array([ts] * len(urls), pa.timestamp("us")),
+            "html": pa.array(bodies, pa.binary()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(urls)),
+        }
+    )
+    pq.write_table(pages, f"{tmp}/pages.parquet")
+    pq.write_table(
+        pa.table({"url": pa.array(["http://slow.example/", "http://fast.example/"])}),
+        f"{tmp}/seeds.parquet",
+    )
+    cfg = CrawlConfig(
+        pages_path=f"{tmp}/pages.parquet", seeds_path=f"{tmp}/seeds.parquet",
+        out_dir=f"{tmp}/out", num_frontier_actors=2, politeness_budget=8,
+        num_buckets=2, num_fetch_actors=2,
+    )
+    crawl(cfg)
+    df = read_log(f"{tmp}/out").to_pandas()
+    per = df[df.status == "fetched"].groupby(["host", "round"]).size()
+    assert per["slow.example"].max() <= 2          # 8 / 4
+    assert per["fast.example"].max() == 8          # full budget
+    # both hosts' full page sets are eventually fetched
+    assert (df[df.host == "slow.example"].status == "fetched").sum() == 13
+    assert (df[df.host == "fast.example"].status == "fetched").sum() == 13
