@@ -402,6 +402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_bloom_join": A.lineitem_bloom_join,
         "stratified_sample_docs": A.stratified_sample_docs,
         "orders_cube_year_priority": A.orders_cube_year_priority,
+        "token_postings": A.token_postings,
         "orders_pivot_month_segment": A.orders_pivot_month_segment,
         "purchase_click_users": A.purchase_click_users,
         "tfidf_top_terms": A.tfidf_top_terms,
@@ -727,6 +728,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t AS token, COUNT(*) AS n FROM ("
             "SELECT unnest(string_split(text, ' ')) AS t FROM documents) "
             "WHERE t <> '' GROUP BY t"
+        ),
+        "token_postings": (
+            "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t "
+            "FROM documents), "
+            "d AS (SELECT DISTINCT doc_id, t FROM toks WHERE t <> '') "
+            "SELECT t AS token, COUNT(*) AS df, "
+            "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings "
+            "FROM d GROUP BY t HAVING COUNT(*) >= 20 ORDER BY token"
         ),
         "orders_cube_year_priority": (
             "SELECT COALESCE(CAST(year(o_orderdate) AS BIGINT), -1) AS year, "

@@ -129,3 +129,25 @@ def parse_robots(body: bytes | str, agent: str = _AGENT_TOKEN) -> RobotsRules:
         if d is not None:
             delay = d
     return RobotsRules(rules=rules, crawl_delay=delay)
+
+
+def extract_sitemaps(body: bytes | str) -> list[str]:
+    """``Sitemap:`` directives (the sitemaps.org robots extension):
+    global, group-independent, absolute URLs; first-occurrence order,
+    deduplicated.  Separate from :class:`RobotsRules` — the frozen rule
+    serialization is untouched."""
+    if isinstance(body, (bytes, bytearray)):
+        body = body.decode("utf-8", "replace")
+    out: list[str] = []
+    seen: set[str] = set()
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        if key.strip().lower() == "sitemap":
+            val = val.strip()
+            if val and val not in seen:
+                seen.add(val)
+                out.append(val)
+    return out

@@ -2064,3 +2064,57 @@ def orders_cube_year_priority(sf_dir: str) -> pd.DataFrame:
     ]
     out["year"] = out["year"].astype("int64")
     return out.sort_values(["year", "o_orderpriority"]).reset_index(drop=True)
+
+
+def token_postings(sf_dir: str, min_df: int = 20) -> pd.DataFrame:
+    """Inverted-index build — the retrieval-side primitive of a webtext
+    corpus: token → (document frequency, comma-joined sorted doc-id
+    posting list) for tokens in ≥ ``min_df`` docs.
+
+    100 TB shape: per-batch explode + (token, doc) dedup combiner, then
+    ONE groupby(token) exchange shipping exactly the posting pairs (the
+    index's own size — there is no smaller exchange that still builds
+    it); the merge is a vectorized per-group sort+join.  Postings are
+    strings so the oracle (string_agg ORDER BY) replays them exactly."""
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = pc.split_pattern(batch["text"], " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = np.asarray(pc.list_flatten(toks).to_pylist(), dtype=object)
+        df = pd.DataFrame({"token": flat, "doc_id": np.repeat(ids, lens)})
+        df = df[df["token"] != ""].drop_duplicates(["token", "doc_id"])
+        return pa.Table.from_pandas(
+            df,
+            schema=pa.schema([("token", pa.string()), ("doc_id", pa.int64())]),
+            preserve_index=False,
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g["doc_id"].to_numpy())
+        if len(ids) < min_df:
+            # typed empty frame: a plain empty object column would infer
+            # Arrow null and break downstream schema unification
+            return pd.DataFrame(
+                {
+                    "token": pd.Series([], dtype="string"),
+                    "df": pd.Series([], dtype="int64"),
+                    "postings": pd.Series([], dtype="string"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "token": [g["token"].iloc[0]],
+                "df": np.array([len(ids)], dtype=np.int64),
+                "postings": [",".join(map(str, ids))],
+            }
+        )
+
+    out = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("token").reset_index(drop=True)

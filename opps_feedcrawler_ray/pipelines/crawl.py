@@ -86,6 +86,11 @@ class CrawlConfig:
     # batch inside the round execution (the reference's post-save
     # publication surface).  Must be serializable (cloudpickle).
     sink_hook: object = None
+    # honor robots.txt "Sitemap:" directives (sitemaps.org extension):
+    # declared sitemap URLs are offered alongside the seeds in round 0,
+    # so a host's full page listing is discovered without being seeded.
+    # Off by default (changes frontier contents).
+    follow_robots_sitemaps: bool = False
     # crawler-trap guard over DISCOVERED links (None = off): kwargs for
     # functions.urlnorm.trap_mask, e.g. {"max_url_len": 2048,
     # "max_path_depth": 32, "max_segment_repeat": 3}.  Rejected URLs
@@ -972,6 +977,37 @@ def crawl(cfg: CrawlConfig) -> dict:
                 batch_format="pyarrow",
             )
             cfg.stats["recurring_registered"] = int(reg.sum("admitted") or 0)
+        if cfg.follow_robots_sitemaps:
+            # robots "Sitemap:" directives → round-0 offers, distributed:
+            # the sidecar (or the pages table's robots rows as fallback)
+            # maps to candidate URLs inside map_batches; the frontier
+            # dedups against seeds as usual
+            from ..functions.robots import extract_sitemaps
+
+            if _sidecar is not None:
+                src = rd.read_parquet(_sidecar, columns=["body"])
+            else:
+                def robots_rows(batch: pa.Table) -> pa.Table:
+                    return batch.filter(pc.ends_with(batch["url"], "/robots.txt"))
+
+                src = rd.read_parquet(bucketed, columns=["url", "html"]).map_batches(
+                    robots_rows, batch_format="pyarrow"
+                )
+
+            def to_sitemap_urls(batch: pa.Table) -> pa.Table:
+                col = "body" if "body" in batch.column_names else "html"
+                urls: list[str] = []
+                for b in batch[col].to_pylist():
+                    urls.extend(extract_sitemaps(b))
+                return pa.table({"url": pa.array(sorted(set(urls)), pa.string())})
+
+            sm_offers = _prepare_candidates(
+                src.map_batches(to_sitemap_urls, batch_format="pyarrow"),
+                default_priority=1.0,
+            ).map_batches(
+                _RouteToActors(actors, "offer", cfg.salt_hosts), batch_format="pyarrow"
+            )
+            cfg.stats["sitemap_offered"] = int(sm_offers.sum("offered") or 0)
         _phase("seeds")
 
     _submit_bucket_warm()  # no-op if already submitted (resume / fallback paths)

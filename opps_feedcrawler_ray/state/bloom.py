@@ -140,9 +140,16 @@ class BloomFilter:
         f.count = d["count"]
         return f
 
+    _POPCNT = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(
+        axis=1
+    ).astype(np.uint8)
+
     def load_factor(self) -> float:
-        """Fraction of set bits (design target ≈ 1 - e^{-kn/m} ≈ 0.5)."""
-        return float(np.unpackbits(self.words.view(np.uint8)).mean())
+        """Fraction of set bits (design target ≈ 1 - e^{-kn/m} ≈ 0.5).
+        Byte-popcount lookup — no 8× unpackbits allocation on a
+        multi-GB frontier-scale bit array."""
+        set_bits = int(self._POPCNT[self.words.view(np.uint8)].sum(dtype=np.int64))
+        return set_bits / float(self.num_bits)
 
 
 def seen_filter_from_bytes(b: bytes):

@@ -848,3 +848,33 @@ def test_training_corpus_pii_scrub(ray_session, tmp_path):
     manifest2 = training_corpus_pipeline(SF, out_dir=out2, budget=256)
     cols = ["split", "n_docs", "n_tokens"]
     pd.testing.assert_frame_equal(manifest[cols], manifest2[cols], check_dtype=False)
+
+
+def test_token_postings_matches_pandas(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import token_postings
+
+    got = token_postings(SF, min_df=10)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    pairs = set()
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        for t in text.split(" "):
+            if t:
+                pairs.add((t, did))
+    pdf = pd.DataFrame(list(pairs), columns=["token", "doc_id"])
+    g = pdf.groupby("token")["doc_id"]
+    exp = pd.DataFrame(
+        {
+            "token": g.count().index,
+            "df": g.count().to_numpy(),
+            "postings": [
+                ",".join(map(str, sorted(v))) for v in g.apply(list)
+            ],
+        }
+    )
+    exp = exp[exp["df"] >= 10].sort_values("token").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # posting lists address real docs: spot-check one token end-to-end
+    tok = exp["token"].iloc[0]
+    ids = [int(x) for x in exp["postings"].iloc[0].split(",")]
+    sub = docs[docs["doc_id"].isin(ids)]
+    assert all(tok in t.split(" ") for t in sub["text"])

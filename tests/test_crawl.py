@@ -744,3 +744,59 @@ def test_crawl_delay_scales_politeness(ray_session, tmp_path_factory):
     # both hosts' full page sets are eventually fetched
     assert (df[df.host == "slow.example"].status == "fetched").sum() == 13
     assert (df[df.host == "fast.example"].status == "fetched").sum() == 13
+
+
+def test_follow_robots_sitemaps(ray_session, tmp_path_factory):
+    """follow_robots_sitemaps=True: a sitemap declared only in robots.txt
+    (never linked, never seeded) is offered in round 0 and its pages are
+    discovered; with the flag off the same pages stay unfetched."""
+    import datetime as dt
+
+    tmp = str(tmp_path_factory.mktemp("rsm"))
+    host = "rsm.example"
+    locs = [f"http://{host}/hidden/{i}" for i in range(3)]
+    sm_body = (
+        "<urlset>" + "".join(f"<url><loc>{u}</loc></url>" for u in locs) + "</urlset>"
+    ).encode()
+    urls = [
+        f"http://{host}/robots.txt",
+        f"http://{host}/",
+        f"http://{host}/sitemap.xml",
+        *locs,
+    ]
+    bodies = [
+        f"User-agent: *\nSitemap: http://{host}/sitemap.xml\n".encode(),
+        b"<html><body><p>root</p></body></html>",  # links to nothing
+        sm_body,
+        *[f"<html><body><p>hidden {i}</p></body></html>".encode() for i in range(3)],
+    ]
+    texts = ["", "root", "", "hidden 0", "hidden 1", "hidden 2"]
+    ts = dt.datetime(2024, 1, 1)
+    pages = pa.table(
+        {
+            "url": pa.array(urls),
+            "warc_ts": pa.array([ts] * len(urls), pa.timestamp("us")),
+            "html": pa.array(bodies, pa.binary()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(urls)),
+        }
+    )
+    pq.write_table(pages, f"{tmp}/pages.parquet")
+    pq.write_table(pa.table({"url": pa.array([f"http://{host}/"])}), f"{tmp}/seeds.parquet")
+
+    def go(out, follow):
+        cfg = CrawlConfig(
+            pages_path=f"{tmp}/pages.parquet", seeds_path=f"{tmp}/seeds.parquet",
+            out_dir=f"{tmp}/{out}", num_frontier_actors=2, politeness_budget=8,
+            num_buckets=2, num_fetch_actors=2, follow_robots_sitemaps=follow,
+        )
+        stats = crawl(cfg)
+        return read_log(f"{tmp}/{out}"), cfg.stats
+
+    off, _ = go("out_off", False)
+    assert sorted(off["url"].to_pylist()) == [f"http://{host}/"]
+    on, stats = go("out_on", True)
+    got = dict(zip(on["url"].to_pylist(), on["round"].to_pylist()))
+    assert stats["sitemap_offered"] >= 1
+    assert got[f"http://{host}/sitemap.xml"] == 0  # offered with the seeds
+    assert all(got[u] == 1 for u in locs)          # discovered through it

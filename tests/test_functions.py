@@ -428,3 +428,23 @@ def test_trap_mask_directed():
     keep = trap_mask(urls, max_url_len=2048, max_path_depth=32, max_segment_repeat=3)
     assert keep.tolist() == [True, True, False, False, True, False]
     assert trap_mask(pa.array([], pa.string())).shape == (0,)
+
+
+def test_extract_sitemaps_directive():
+    from opps_feedcrawler_ray.functions.robots import extract_sitemaps, parse_robots
+
+    body = (
+        b"User-agent: *\nDisallow: /priv/\n"
+        b"Sitemap: http://h.example/sitemap.xml\n"
+        b"sitemap: http://h.example/sitemap2.xml  # comment\n"
+        b"Sitemap: http://h.example/sitemap.xml\n"  # dup → first-wins
+        b"Sitemap:\n"  # empty → ignored
+    )
+    assert extract_sitemaps(body) == [
+        "http://h.example/sitemap.xml",
+        "http://h.example/sitemap2.xml",
+    ]
+    assert extract_sitemaps(b"User-agent: *\nDisallow: /") == []
+    # rule parsing is untouched by the directive (frozen spec intact)
+    r = parse_robots(body)
+    assert not r.allowed("/priv/x") and r.allowed("/pub")
