@@ -1188,6 +1188,10 @@ def main(argv: list[str] | None = None) -> int:
         "--seen-filter", choices=["cuckoo", "bloom"], default="cuckoo",
         help="URL-seen membership filter kind (both no-false-negative)"
     )
+    ap.add_argument(
+        "--follow-robots-sitemaps", action="store_true",
+        help="offer robots.txt Sitemap: URLs alongside the seeds (round 0)"
+    )
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--num-cpus", type=int, default=None, help="ray.init num_cpus (standalone runs)")
     args = ap.parse_args(argv)
@@ -1209,6 +1213,7 @@ def main(argv: list[str] | None = None) -> int:
         max_rounds=args.max_rounds,
         fetch_strategy=args.fetch,
         seen_filter=args.seen_filter,
+        follow_robots_sitemaps=args.follow_robots_sitemaps,
         resume=args.resume,
     )
     stats = crawl(cfg)
