@@ -403,6 +403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_docs": A.stratified_sample_docs,
         "orders_cube_year_priority": A.orders_cube_year_priority,
         "token_postings": A.token_postings,
+        "user_funnel_stage": A.user_funnel_stage,
         "orders_pivot_month_segment": A.orders_pivot_month_segment,
         "purchase_click_users": A.purchase_click_users,
         "tfidf_top_terms": A.tfidf_top_terms,
@@ -728,6 +729,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t AS token, COUNT(*) AS n FROM ("
             "SELECT unnest(string_split(text, ' ')) AS t FROM documents) "
             "WHERE t <> '' GROUP BY t"
+        ),
+        "user_funnel_stage": (
+            # first-touch funnel: first view, first click AFTER it, first
+            # purchase after that (strict ts); universe = users with at
+            # least one funnel-type event (the same pre-filter both sides)
+            "WITH f AS (SELECT user_id, event_type, ts FROM events "
+            "WHERE event_type IN ('view', 'click', 'purchase')), "
+            "v AS (SELECT user_id, min(ts) AS t FROM f "
+            "WHERE event_type = 'view' GROUP BY user_id), "
+            "c AS (SELECT f.user_id, min(f.ts) AS t FROM f JOIN v "
+            "ON f.user_id = v.user_id AND f.ts > v.t "
+            "WHERE f.event_type = 'click' GROUP BY f.user_id), "
+            "p AS (SELECT f.user_id, min(f.ts) AS t FROM f JOIN c "
+            "ON f.user_id = c.user_id AND f.ts > c.t "
+            "WHERE f.event_type = 'purchase' GROUP BY f.user_id) "
+            "SELECT u.user_id, "
+            "CAST(CASE WHEN p.user_id IS NOT NULL THEN 3 "
+            "WHEN c.user_id IS NOT NULL THEN 2 "
+            "WHEN v.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) "
+            "AS funnel_stage "
+            "FROM (SELECT DISTINCT user_id FROM f) u "
+            "LEFT JOIN v ON u.user_id = v.user_id "
+            "LEFT JOIN c ON u.user_id = c.user_id "
+            "LEFT JOIN p ON u.user_id = p.user_id ORDER BY u.user_id"
         ),
         "token_postings": (
             "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t "

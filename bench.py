@@ -98,6 +98,8 @@ QUERY_NAMES = [
     "lineitem_bloom_join",
     "stratified_sample_docs",
     "orders_cube_year_priority",
+    "token_postings",
+    "user_funnel_stage",
 ]
 
 

@@ -2118,3 +2118,50 @@ def token_postings(sf_dir: str, min_df: int = 20) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("token").reset_index(drop=True)
+
+
+def user_funnel_stage(sf_dir: str) -> pd.DataFrame:
+    """First-touch funnel (view → click → purchase, strictly increasing
+    ts): per user the furthest stage reached — the standard product-
+    analytics ordered-sequence operator.  Greedy earliest-first rule on
+    BOTH sides: first view, then the first click after it, then the
+    first purchase after that.
+
+    100 TB shape: events pre-filtered to the three funnel types at the
+    read, ONE user-bucket exchange (coarse buckets), then vectorized
+    per-bucket pandas merges — the sequencing needs each user's events
+    co-located; no smaller exchange computes an ordered chain."""
+    from .dedup import coarse_buckets
+
+    ev = rd.read_parquet(
+        _t(sf_dir, "events"),
+        columns=["user_id", "event_type", "ts"],
+        filter=(pc.field("event_type").isin(["view", "click", "purchase"])),
+    )
+    nb = coarse_buckets(ev.count(), rows_per_task=65536)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("__b", pa.array(u % nb, pa.int64()))
+
+    def funnel(g: pd.DataFrame) -> pd.DataFrame:
+        v = g[g.event_type == "view"].groupby("user_id")["ts"].min().rename("vt")
+        c = g[g.event_type == "click"].merge(v, on="user_id")
+        c = c[c.ts > c.vt].groupby("user_id")["ts"].min().rename("ct")
+        p = g[g.event_type == "purchase"].merge(c, on="user_id")
+        p = p[p.ts > p.ct].groupby("user_id")["ts"].min().rename("pt")
+        out = pd.DataFrame({"user_id": g["user_id"].unique()})
+        out["funnel_stage"] = (
+            out["user_id"].isin(v.index).astype("int64")
+            + out["user_id"].isin(c.index).astype("int64")
+            + out["user_id"].isin(p.index).astype("int64")
+        )
+        return out
+
+    out = (
+        ev.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(funnel, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
