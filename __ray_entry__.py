@@ -404,6 +404,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cube_year_priority": A.orders_cube_year_priority,
         "token_postings": A.token_postings,
         "user_funnel_stage": A.user_funnel_stage,
+        "events_value_time_corr": A.events_value_time_corr,
         "orders_pivot_month_segment": A.orders_pivot_month_segment,
         "purchase_click_users": A.purchase_click_users,
         "tfidf_top_terms": A.tfidf_top_terms,
@@ -729,6 +730,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t AS token, COUNT(*) AS n FROM ("
             "SELECT unnest(string_split(text, ' ')) AS t FROM documents) "
             "WHERE t <> '' GROUP BY t"
+        ),
+        "events_value_time_corr": (
+            # exact integer moments -> identical final float expression
+            "WITH b AS (SELECT event_type, "
+            "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS x, "
+            "CAST(date_diff('second', TIMESTAMP '2024-01-01', ts) AS BIGINT) AS y "
+            "FROM events), "
+            "m AS (SELECT event_type, COUNT(*) AS n, "
+            "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, "
+            "CAST(SUM(x * y) AS BIGINT) AS sxy, "
+            "CAST(SUM(x * x) AS BIGINT) AS sxx, "
+            "CAST(SUM(y * y) AS BIGINT) AS syy FROM b GROUP BY event_type) "
+            "SELECT event_type, n, "
+            "CAST(FLOOR((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / "
+            "sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * "
+            "(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) * 1e6 + 0.5) "
+            "AS BIGINT) AS corr_e6 FROM m ORDER BY event_type"
         ),
         "user_funnel_stage": (
             # first-touch funnel: first view, first click AFTER it, first

@@ -100,6 +100,7 @@ QUERY_NAMES = [
     "orders_cube_year_priority",
     "token_postings",
     "user_funnel_stage",
+    "events_value_time_corr",
 ]
 
 

@@ -2165,3 +2165,50 @@ def user_funnel_stage(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def events_value_time_corr(sf_dir: str) -> pd.DataFrame:
+    """Grouped Pearson correlation of (value, time) per event type from
+    MERGEABLE integer moments — the combiner-shaped statistics aggregate:
+    each batch emits (n, Σx, Σy, Σxy, Σx², Σy²) as exact int64 (x = value
+    half-up e2, y = seconds since 2024-01-01 — the offset keeps Σxy far
+    inside int64 at any sf), one |event_types|-key groupby sums them, and
+    the correlation is derived from exact integers on the driver with the
+    SAME final float expression as the oracle (corr_e6 half-up)."""
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "value", "ts"])
+    epoch0 = pd.Timestamp("2024-01-01")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        x = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+        y = ((df["ts"] - epoch0).dt.total_seconds()).astype("int64").to_numpy()
+        df2 = pd.DataFrame(
+            {"event_type": df["event_type"], "n": 1, "sx": x, "sy": y,
+             "sxy": x * y, "sxx": x * x, "syy": y * y}
+        )
+        g = df2.groupby("event_type", as_index=False).sum()
+        return pa.Table.from_pandas(
+            g,
+            schema=pa.schema(
+                [("event_type", pa.string())]
+                + [(c, pa.int64()) for c in ("n", "sx", "sy", "sxy", "sxx", "syy")]
+            ),
+            preserve_index=False,
+        )
+
+    m = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .sum(["n", "sx", "sy", "sxy", "sxx", "syy"])
+        .to_pandas()
+        .rename(columns=lambda c: c[4:-1] if c.startswith("sum(") else c)
+    )
+    n = m["n"].to_numpy(dtype=np.float64)
+    sx = m["sx"].to_numpy(dtype=np.float64)
+    sy = m["sy"].to_numpy(dtype=np.float64)
+    cov = n * m["sxy"].to_numpy(dtype=np.float64) - sx * sy
+    vx = n * m["sxx"].to_numpy(dtype=np.float64) - sx * sx
+    vy = n * m["syy"].to_numpy(dtype=np.float64) - sy * sy
+    m["corr_e6"] = np.floor(cov / np.sqrt(vx * vy) * 1e6 + 0.5).astype("int64")
+    out = m[["event_type", "n", "corr_e6"]]
+    return out.sort_values("event_type").reset_index(drop=True)

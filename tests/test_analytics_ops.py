@@ -901,3 +901,24 @@ def test_user_funnel_stage_matches_brute(ray_session):
     exp = pd.DataFrame(rows).sort_values("user_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     assert set(got["funnel_stage"].unique()) >= {3}  # fixture reaches full depth
+
+
+def test_events_value_time_corr_matches_numpy(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import events_value_time_corr
+
+    got = events_value_time_corr(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "value", "ts"])
+    ev["x"] = np.floor(ev["value"] * 100 + 0.5).astype("int64")
+    ev["y"] = ((ev["ts"] - pd.Timestamp("2024-01-01")).dt.total_seconds()).astype("int64")
+    rows = []
+    for et, g in ev.groupby("event_type"):
+        n = float(len(g))
+        sx, sy = float(g.x.sum()), float(g.y.sum())
+        sxy = float((g.x * g.y).sum())
+        sxx, syy = float((g.x * g.x).sum()), float((g.y * g.y).sum())
+        corr = (n * sxy - sx * sy) / np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        rows.append({"event_type": et, "n": int(n), "corr_e6": int(np.floor(corr * 1e6 + 0.5))})
+        # value and time are independent in the fixture: |corr| small
+        assert abs(corr) < 0.2
+    exp = pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
