@@ -325,12 +325,16 @@ def trap_mask(
     Lee et al. 2009 identify unbounded-depth and repeating-segment loops
     as the dominant frontier polluters): boolean KEEP mask over an Arrow
     string array of CANONICAL urls.  A URL is rejected when it exceeds
-    ``max_url_len`` bytes, has more than ``max_path_depth`` path
-    segments, or repeats any single path segment more than
+    ``max_url_len`` bytes, has more than ``max_path_depth`` non-empty
+    PATH segments, or repeats any single path segment more than
     ``max_segment_repeat`` times (calendar/session-id loops like
-    /a/b/a/b/a/b).  Vectorized: one utf8_length + one split per batch,
-    repeat detection via a grouped pandas count over the exploded
-    segments — no per-URL Python parsing."""
+    /a/b/a/b/a/b/a/b — four repeats each at the default limit of 3).
+    The query string is excluded: depth and repeats are path properties,
+    and a ``?next=/x/y/x/y`` return-url parameter must not condemn a
+    depth-1 redirect link.  Vectorized: one binary_length + one
+    strip-query + one split per batch, repeat detection via a grouped
+    pandas count over the exploded segments — no per-URL Python
+    parsing."""
     import numpy as np
     import pandas as pd
     import pyarrow as pa
@@ -344,22 +348,24 @@ def trap_mask(
     keep = pc.less_equal(pc.binary_length(urls), max_url_len).to_numpy(
         zero_copy_only=False
     )
-    # canonical form is scheme://host/path[?q] → slash count - 2 = path
-    # separators; segments = separators (root "/" counts 0 extra)
-    parts = pc.split_pattern(urls, "/")
-    n_seg = pc.list_value_length(parts).to_numpy(zero_copy_only=False) - 3
-    keep &= n_seg <= max_path_depth
-    if keep.any():
-        flat = np.asarray(pc.list_flatten(parts).to_pylist(), dtype=object)
-        lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
-        idx = np.repeat(np.arange(n), lens)
-        off = np.concatenate(([0], np.cumsum(lens)))[:-1]
-        pos = np.arange(len(flat)) - np.repeat(off, lens)
-        m = pos >= 3  # skip scheme, '', host — path segments only
-        seg = pd.DataFrame({"i": idx[m], "s": flat[m]})
-        seg = seg[seg["s"] != ""]
-        if len(seg):
-            rep = seg.groupby(["i", "s"]).size().groupby("i").max()
-            bad = rep.index.to_numpy()[rep.to_numpy() > max_segment_repeat]
-            keep[bad] = False
+    # path-only view: everything before the first '?' (canonical form is
+    # scheme://host/path[?q]; '?' in a path percent-encodes, so the first
+    # literal '?' starts the query)
+    path_part = pc.list_element(pc.split_pattern(urls, "?", max_splits=1), 0)
+    parts = pc.split_pattern(path_part, "/")
+    flat = np.asarray(pc.list_flatten(parts).to_pylist(), dtype=object)
+    lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+    idx = np.repeat(np.arange(n), lens)
+    off = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    pos = np.arange(len(flat)) - np.repeat(off, lens)
+    m = (pos >= 3) & (flat != "")  # skip scheme, '', host; drop empties
+    seg = pd.DataFrame({"i": idx[m], "s": flat[m]})
+    if len(seg):
+        per = seg.groupby(["i", "s"]).size()
+        depth = per.groupby("i").sum()
+        deep = depth.index.to_numpy()[depth.to_numpy() > max_path_depth]
+        keep[deep] = False
+        rep = per.groupby("i").max()
+        bad = rep.index.to_numpy()[rep.to_numpy() > max_segment_repeat]
+        keep[bad] = False
     return keep

@@ -2171,9 +2171,12 @@ def events_value_time_corr(sf_dir: str) -> pd.DataFrame:
     """Grouped Pearson correlation of (value, time) per event type from
     MERGEABLE integer moments — the combiner-shaped statistics aggregate:
     each batch emits (n, Σx, Σy, Σxy, Σx², Σy²) as exact int64 (x = value
-    half-up e2, y = seconds since 2024-01-01 — the offset keeps Σxy far
-    inside int64 at any sf), one |event_types|-key groupby sums them, and
-    the correlation is derived from exact integers on the driver with the
+    half-up e2, y = seconds since 2024-01-01) — safe PER BATCH (≤4096
+    rows × y² ≤ 6.7e12 ≈ 2.7e16 ≪ 2^63); the final merge over the
+    metadata-sized moment rows runs on the driver in arbitrary-precision
+    Python ints, so no global Σy² can silently wrap at any sf (numpy
+    int64 sums wrap without warning; the oracle's HUGEINT errors loudly
+    instead).  The correlation derives from the exact integers with the
     SAME final float expression as the oracle (corr_e6 half-up)."""
     ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "value", "ts"])
     epoch0 = pd.Timestamp("2024-01-01")
@@ -2196,19 +2199,19 @@ def events_value_time_corr(sf_dir: str) -> pd.DataFrame:
             preserve_index=False,
         )
 
-    m = (
-        ev.map_batches(partial, batch_format="pyarrow")
-        .groupby("event_type")
-        .sum(["n", "sx", "sy", "sxy", "sxx", "syy"])
-        .to_pandas()
-        .rename(columns=lambda c: c[4:-1] if c.startswith("sum(") else c)
+    parts = ev.map_batches(partial, batch_format="pyarrow").to_pandas()
+    # exact big-int merge: one tiny row per (batch, type) reaches the
+    # driver; Python ints never overflow where an int64 groupby would wrap
+    cols = ["n", "sx", "sy", "sxy", "sxx", "syy"]
+    m = parts.groupby("event_type", as_index=False)[cols].agg(
+        lambda s: sum(int(v) for v in s)
     )
     n = m["n"].to_numpy(dtype=np.float64)
-    sx = m["sx"].to_numpy(dtype=np.float64)
-    sy = m["sy"].to_numpy(dtype=np.float64)
-    cov = n * m["sxy"].to_numpy(dtype=np.float64) - sx * sy
-    vx = n * m["sxx"].to_numpy(dtype=np.float64) - sx * sx
-    vy = n * m["syy"].to_numpy(dtype=np.float64) - sy * sy
+    sx = m["sx"].astype(np.float64).to_numpy()
+    sy = m["sy"].astype(np.float64).to_numpy()
+    cov = n * m["sxy"].astype(np.float64).to_numpy() - sx * sy
+    vx = n * m["sxx"].astype(np.float64).to_numpy() - sx * sx
+    vy = n * m["syy"].astype(np.float64).to_numpy() - sy * sy
     m["corr_e6"] = np.floor(cov / np.sqrt(vx * vy) * 1e6 + 0.5).astype("int64")
     out = m[["event_type", "n", "corr_e6"]]
     return out.sort_values("event_type").reset_index(drop=True)

@@ -93,7 +93,9 @@ class CrawlConfig:
     follow_robots_sitemaps: bool = False
     # crawler-trap guard over DISCOVERED links (None = off): kwargs for
     # functions.urlnorm.trap_mask, e.g. {"max_url_len": 2048,
-    # "max_path_depth": 32, "max_segment_repeat": 3}.  Rejected URLs
+    # "max_path_depth": 32, "max_segment_repeat": 3} — a path segment may
+    # appear AT MOST max_segment_repeat times (the 4th /a/b repetition is
+    # rejected at the default).  Query strings are exempt.  Rejected URLs
     # never reach the frontier (they also never enter the seen set, so a
     # later non-trap path to the same URL is unaffected).
     trap_guard: dict | None = None
@@ -650,6 +652,21 @@ class _OfferLinksStage:
         return out
 
 
+def _robots_host_body(batch: pa.Table) -> pa.Table:
+    """THE robots-row discovery rule over pages rows — shared by the
+    robots-preload fallback and the sitemap-directive fallback so the
+    two paths can never drift: url ends in /robots.txt → (host, body)."""
+    mask = pc.ends_with(batch["url"], pattern="/robots.txt")
+    sub = batch.filter(mask)
+    if sub.num_rows == 0:
+        return pa.table({"host": pa.array([], pa.string()),
+                         "body": pa.array([], pa.binary())})
+    hosts = [u[len("http://"):].split("/", 1)[0] if u.startswith("http://")
+             else u[len("https://"):].split("/", 1)[0]
+             for u in sub["url"].to_pylist()]
+    return pa.table({"host": pa.array(hosts, pa.string()), "body": sub["html"]})
+
+
 def _load_robots_into_actors(cfg: CrawlConfig, actors: list, bucketed: str | None = None) -> None:
     """Deliver each frontier shard its hosts' robots rules.  Fast path:
     the ingest sidecar ``_robots.parquet`` (one small read); fallback:
@@ -686,17 +703,7 @@ def _load_robots_into_actors(cfg: CrawlConfig, actors: list, bucketed: str | Non
 
     router_actors = actors
     salt_hosts = cfg.salt_hosts or {}
-
-    def to_robots(batch: pa.Table) -> pa.Table:
-        mask = pc.ends_with(batch["url"], pattern="/robots.txt")
-        sub = batch.filter(mask)
-        if sub.num_rows == 0:
-            return pa.table({"host": pa.array([], pa.string()),
-                             "body": pa.array([], pa.binary())})
-        hosts = [u[len("http://"):].split("/", 1)[0] if u.startswith("http://")
-                 else u[len("https://"):].split("/", 1)[0]
-                 for u in sub["url"].to_pylist()]
-        return pa.table({"host": pa.array(hosts, pa.string()), "body": sub["html"]})
+    to_robots = _robots_host_body
 
     class RobotsRouter:
         def __call__(self, batch: pa.Table) -> pa.Table:
@@ -987,17 +994,14 @@ def crawl(cfg: CrawlConfig) -> dict:
             if _sidecar is not None:
                 src = rd.read_parquet(_sidecar, columns=["body"])
             else:
-                def robots_rows(batch: pa.Table) -> pa.Table:
-                    return batch.filter(pc.ends_with(batch["url"], "/robots.txt"))
-
+                # same discovery rule as the robots preload fallback
                 src = rd.read_parquet(bucketed, columns=["url", "html"]).map_batches(
-                    robots_rows, batch_format="pyarrow"
+                    _robots_host_body, batch_format="pyarrow"
                 )
 
             def to_sitemap_urls(batch: pa.Table) -> pa.Table:
-                col = "body" if "body" in batch.column_names else "html"
                 urls: list[str] = []
-                for b in batch[col].to_pylist():
+                for b in batch["body"].to_pylist():
                     urls.extend(extract_sitemaps(b))
                 return pa.table({"url": pa.array(sorted(set(urls)), pa.string())})
 

@@ -134,7 +134,10 @@ class BloomFilter:
 
     @classmethod
     def from_bytes(cls, b: bytes) -> "BloomFilter":
-        d = pickle.loads(b)
+        return cls._from_dict(pickle.loads(b))
+
+    @classmethod
+    def _from_dict(cls, d: dict) -> "BloomFilter":
         words = np.frombuffer(d["words"], dtype=np.uint64).copy()
         f = cls(_words=words, _k=d["k"])
         f.count = d["count"]
@@ -155,13 +158,15 @@ class BloomFilter:
 def seen_filter_from_bytes(b: bytes):
     """Checkpoint-restore dispatcher: Bloom blobs are tagged with
     ``kind="bloom"``; untagged blobs are cuckoo (backward compatible with
-    every pre-bloom checkpoint)."""
+    every pre-bloom checkpoint).  The blob is unpickled ONCE — it holds
+    the multi-GB filter array at frontier scale, so a load-to-inspect +
+    load-again dispatch would double restore CPU and peak memory."""
     from .cuckoo import CuckooFilter
 
     d = pickle.loads(b)
     if isinstance(d, dict) and d.get("kind") == "bloom":
-        return BloomFilter.from_bytes(b)
-    return CuckooFilter.from_bytes(b)
+        return BloomFilter._from_dict(d)
+    return CuckooFilter._from_dict(d)
 
 
 def make_seen_filter(kind: str, capacity: int):

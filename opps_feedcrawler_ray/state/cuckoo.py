@@ -212,7 +212,10 @@ class CuckooFilter:
 
     @classmethod
     def from_bytes(cls, b: bytes) -> "CuckooFilter":
-        d = pickle.loads(b)
+        return cls._from_dict(pickle.loads(b))
+
+    @classmethod
+    def _from_dict(cls, d: dict) -> "CuckooFilter":
         table = np.frombuffer(d["table"], dtype=np.uint16).copy()
         f = cls(_table=table)
         f.num_buckets = d["num_buckets"]

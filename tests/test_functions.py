@@ -428,6 +428,17 @@ def test_trap_mask_directed():
     keep = trap_mask(urls, max_url_len=2048, max_path_depth=32, max_segment_repeat=3)
     assert keep.tolist() == [True, True, False, False, True, False]
     assert trap_mask(pa.array([], pa.string())).shape == (0,)
+    # query strings are exempt from depth/repeat: a return-url parameter
+    # must not condemn a depth-1 redirect, and trailing slashes add no depth
+    qs = pa.array(
+        [
+            "http://a.com/redirect?next=/x/y/x/y/x/y/x/y",
+            "http://a.com/p?u=" + "/".join(f"s{i}" for i in range(40)),
+            # exactly 32 DISTINCT segments (+ trailing slash) → keep
+            "http://a.com/" + "/".join(f"s{i}" for i in range(32)) + "/",
+        ]
+    )
+    assert trap_mask(qs).tolist() == [True, True, True]
 
 
 def test_extract_sitemaps_directive():
