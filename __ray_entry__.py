@@ -405,6 +405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_postings": A.token_postings,
         "user_funnel_stage": A.user_funnel_stage,
         "events_value_time_corr": A.events_value_time_corr,
+        "orders_upsert_latest": A.orders_upsert_latest,
         "orders_pivot_month_segment": A.orders_pivot_month_segment,
         "purchase_click_users": A.purchase_click_users,
         "tfidf_top_terms": A.tfidf_top_terms,
@@ -730,6 +731,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t AS token, COUNT(*) AS n FROM ("
             "SELECT unnest(string_split(text, ' ')) AS t FROM documents) "
             "WHERE t <> '' GROUP BY t"
+        ),
+        "orders_upsert_latest": (
+            # same deterministic update stream + latest-wins rule
+            "WITH b AS (SELECT o_orderkey, "
+            "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_e2, "
+            "CAST(o_orderdate AS TIMESTAMP) AS ts, 0 AS src FROM orders), "
+            "u AS (SELECT o_orderkey, "
+            "CAST(FLOOR(o_totalprice * 110 + 0.5) AS BIGINT) AS price_e2, "
+            "CAST(o_orderdate AS TIMESTAMP) + INTERVAL 30 DAY AS ts, 1 AS src "
+            "FROM orders WHERE o_orderkey % 10 = 0), "
+            "a AS (SELECT * FROM b UNION ALL SELECT * FROM u) "
+            "SELECT o_orderkey, price_e2, CAST(src AS BIGINT) AS src, "
+            "n_versions FROM ("
+            "SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey "
+            "ORDER BY ts DESC, src DESC) AS rn, "
+            "COUNT(*) OVER (PARTITION BY o_orderkey) AS n_versions FROM a) "
+            "WHERE rn = 1 ORDER BY o_orderkey"
         ),
         "events_value_time_corr": (
             # exact integer moments -> identical final float expression

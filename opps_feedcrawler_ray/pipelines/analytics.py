@@ -2215,3 +2215,75 @@ def events_value_time_corr(sf_dir: str) -> pd.DataFrame:
     m["corr_e6"] = np.floor(cov / np.sqrt(vx * vy) * 1e6 + 0.5).astype("int64")
     out = m[["event_type", "n", "corr_e6"]]
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def orders_upsert_latest(sf_dir: str) -> pd.DataFrame:
+    """MERGE / upsert (SCD latest-wins): a deterministic update stream
+    (every 10th order re-observed 30 days later at a new price) is
+    applied over the base table; the latest observation per key wins
+    and the version count is kept — the change-data-capture shape every
+    warehouse pipeline runs.
+
+    100 TB shape: per-batch combiner keeps ONE candidate (max (ts, src))
+    and a version count per key per batch, then one key-bucket exchange
+    merges candidates — the exchange carries keys, not history."""
+    from .dedup import coarse_buckets
+
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice", "o_orderdate"]
+    )
+    nb = coarse_buckets(orders.count(), rows_per_task=65536)
+
+    def versions(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        base = pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"],
+                "price_e2": np.floor(df["o_totalprice"].to_numpy() * 100.0 + 0.5).astype("int64"),
+                "ts": df["o_orderdate"],
+                "src": np.int64(0),
+            }
+        )
+        upd = df[df["o_orderkey"] % 10 == 0]
+        upd = pd.DataFrame(
+            {
+                "o_orderkey": upd["o_orderkey"],
+                "price_e2": np.floor(upd["o_totalprice"].to_numpy() * 110.0 + 0.5).astype("int64"),
+                "ts": upd["o_orderdate"] + pd.Timedelta(days=30),
+                "src": np.int64(1),
+            }
+        )
+        allv = pd.concat([base, upd], ignore_index=True)
+        # batch-local pre-reduce: latest candidate + version count per key
+        allv = allv.sort_values(["o_orderkey", "ts", "src"])
+        g = allv.groupby("o_orderkey", as_index=False)
+        latest = g.tail(1)
+        latest = latest.merge(
+            g.size().rename(columns={"size": "n_versions"}), on="o_orderkey"
+        )
+        latest["n_versions"] = latest["n_versions"].astype("int64")
+        latest["__b"] = (latest["o_orderkey"].to_numpy() % nb).astype("int64")
+        return pa.Table.from_pandas(
+            latest,
+            schema=pa.schema(
+                [("o_orderkey", pa.int64()), ("price_e2", pa.int64()),
+                 ("ts", pa.timestamp("us")), ("src", pa.int64()),
+                 ("n_versions", pa.int64()), ("__b", pa.int64())]
+            ),
+            preserve_index=False,
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderkey", "ts", "src"])
+        counts = g.groupby("o_orderkey", as_index=False)["n_versions"].sum()
+        latest = g.groupby("o_orderkey", as_index=False).tail(1)
+        out = latest.drop(columns=["n_versions", "__b"]).merge(counts, on="o_orderkey")
+        return out[["o_orderkey", "price_e2", "src", "n_versions"]]
+
+    out = (
+        orders.map_batches(versions, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("o_orderkey").reset_index(drop=True)

@@ -922,3 +922,25 @@ def test_events_value_time_corr_matches_numpy(ray_session):
         assert abs(corr) < 0.2
     exp = pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_orders_upsert_latest_matches_pandas(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import orders_upsert_latest
+
+    got = orders_upsert_latest(SF)
+    od = pd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderkey", "o_totalprice", "o_orderdate"])
+    upd_mask = od["o_orderkey"] % 10 == 0
+    exp = pd.DataFrame(
+        {
+            "o_orderkey": od["o_orderkey"],
+            "price_e2": np.where(
+                upd_mask,
+                np.floor(od["o_totalprice"] * 110 + 0.5),
+                np.floor(od["o_totalprice"] * 100 + 0.5),
+            ).astype("int64"),
+            "src": upd_mask.astype("int64"),
+            "n_versions": np.where(upd_mask, 2, 1).astype("int64"),
+        }
+    ).sort_values("o_orderkey").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert (got["src"] == 1).any() and (got["src"] == 0).any()
