@@ -406,6 +406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_funnel_stage": A.user_funnel_stage,
         "events_value_time_corr": A.events_value_time_corr,
         "orders_upsert_latest": A.orders_upsert_latest,
+        "part_fuzzy_name_match": A.part_fuzzy_name_match,
         "orders_pivot_month_segment": A.orders_pivot_month_segment,
         "purchase_click_users": A.purchase_click_users,
         "tfidf_top_terms": A.tfidf_top_terms,
@@ -731,6 +732,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t AS token, COUNT(*) AS n FROM ("
             "SELECT unnest(string_split(text, ' ')) AS t FROM documents) "
             "WHERE t <> '' GROUP BY t"
+        ),
+        "part_fuzzy_name_match": (
+            # same probe construction (middle char deleted) + first-char
+            # blocking + edit distance <= 1
+            "WITH n AS (SELECT DISTINCT p_name FROM part), "
+            "p AS (SELECT substr(p_name, 1, "
+            "CAST(FLOOR(length(p_name) / 2) AS INT)) || "
+            "substr(p_name, CAST(FLOOR(length(p_name) / 2) AS INT) + 2) "
+            "AS probe FROM n) "
+            "SELECT p.probe, n.p_name, "
+            "CAST(levenshtein(p.probe, n.p_name) AS BIGINT) AS dist "
+            "FROM p JOIN n ON substr(p.probe, 1, 1) = substr(n.p_name, 1, 1) "
+            "WHERE levenshtein(p.probe, n.p_name) <= 1 ORDER BY probe, p_name"
         ),
         "orders_upsert_latest": (
             # same deterministic update stream + latest-wins rule

@@ -101,6 +101,8 @@ QUERY_NAMES = [
     "token_postings",
     "user_funnel_stage",
     "events_value_time_corr",
+    "orders_upsert_latest",
+    "part_fuzzy_name_match",
 ]
 
 

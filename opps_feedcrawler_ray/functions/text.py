@@ -257,3 +257,27 @@ def redact_pii(texts):
         counts[kind] = _pc.cast(_pc.count_substring_regex(texts, pattern=pat), "int64")
         clean = _pc.replace_substring_regex(clean, pattern=pat, replacement=tag)
     return clean, counts
+
+
+def levenshtein(a: str, b: str, cap: int | None = None) -> int:
+    """Classic two-row DP edit distance; ``cap`` short-circuits once the
+    best possible distance exceeds it (banded early exit — the usual
+    similarity-join optimization, since blocking keys make most pairs
+    near misses)."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if cap is not None and abs(la - lb) > cap:
+        return cap + 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    prev = list(range(la + 1))
+    for j in range(1, lb + 1):
+        cur = [j] + [0] * la
+        cj = b[j - 1]
+        for i in range(1, la + 1):
+            cur[i] = min(prev[i] + 1, cur[i - 1] + 1, prev[i - 1] + (a[i - 1] != cj))
+        if cap is not None and min(cur) > cap:
+            return cap + 1
+        prev = cur
+    return prev[la]

@@ -2287,3 +2287,59 @@ def orders_upsert_latest(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def part_fuzzy_name_match(sf_dir: str) -> pd.DataFrame:
+    """Similarity join with blocking: deterministic typo probes (middle
+    character deleted from each distinct part name) matched back against
+    the name vocabulary at edit distance ≤ 1.  The blocking key (first
+    character) is what makes the class scale: candidate pairs are
+    bounded by block sizes, never |probes|×|names|; the DP kernel runs
+    only inside blocks and carries a distance cap for early exit.
+
+    100 TB shape: vocabulary extracted via per-batch distinct combiners
+    (name-cardinality-bounded exchange); the small name side broadcasts;
+    probes stream through map_batches."""
+    import ray
+
+    from ..functions.text import levenshtein
+
+    parts = rd.read_parquet(_t(sf_dir, "part"), columns=["p_name"])
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        return pa.table({"p_name": pc.unique(batch["p_name"])})
+
+    names = sorted(
+        set(
+            parts.map_batches(distinct_partial, batch_format="pyarrow")
+            .to_pandas()["p_name"]
+        )
+    )
+    by_first: dict[str, list[str]] = {}
+    for nm in names:
+        by_first.setdefault(nm[:1], []).append(nm)
+    block_ref = ray.put(by_first)
+
+    def probe_and_match(batch: pa.Table) -> pa.Table:
+        blocks = ray.get(block_ref)
+        out_p, out_n, out_d = [], [], []
+        for nm in batch["p_name"].to_pylist():
+            mid = len(nm) // 2
+            probe = nm[:mid] + nm[mid + 1:]
+            for cand in blocks.get(probe[:1], ()):
+                d = levenshtein(probe, cand, cap=1)
+                if d <= 1:
+                    out_p.append(probe)
+                    out_n.append(cand)
+                    out_d.append(d)
+        return pa.table(
+            {
+                "probe": pa.array(out_p, pa.string()),
+                "p_name": pa.array(out_n, pa.string()),
+                "dist": pa.array(out_d, pa.int64()),
+            }
+        )
+
+    probes = rd.from_pandas(pd.DataFrame({"p_name": names}))
+    out = probes.map_batches(probe_and_match, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["probe", "p_name"]).reset_index(drop=True)

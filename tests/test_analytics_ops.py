@@ -944,3 +944,24 @@ def test_orders_upsert_latest_matches_pandas(ray_session):
     ).sort_values("o_orderkey").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     assert (got["src"] == 1).any() and (got["src"] == 0).any()
+
+
+def test_part_fuzzy_name_match_brute(ray_session):
+    from opps_feedcrawler_ray.functions.text import levenshtein
+    from opps_feedcrawler_ray.pipelines.analytics import part_fuzzy_name_match
+
+    got = part_fuzzy_name_match(SF)
+    names = sorted(set(pd.read_parquet(f"{SF}/part.parquet", columns=["p_name"])["p_name"]))
+    rows = []
+    for nm in names:
+        mid = len(nm) // 2
+        probe = nm[:mid] + nm[mid + 1:]
+        for cand in names:  # UNBLOCKED brute force
+            d = levenshtein(probe, cand)
+            if d <= 1:
+                rows.append({"probe": probe, "p_name": cand, "dist": d})
+    exp = pd.DataFrame(rows).sort_values(["probe", "p_name"]).reset_index(drop=True)
+    # blocking must be lossless here: deleting a middle char never
+    # changes the first character, so brute == blocked
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert (got["dist"] == 1).any() and len(got) >= len(names)
