@@ -407,6 +407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_time_corr": A.events_value_time_corr,
         "orders_upsert_latest": A.orders_upsert_latest,
         "part_fuzzy_name_match": A.part_fuzzy_name_match,
+        "orders_percent_rank": A.orders_percent_rank,
         "orders_pivot_month_segment": A.orders_pivot_month_segment,
         "purchase_click_users": A.purchase_click_users,
         "tfidf_top_terms": A.tfidf_top_terms,
@@ -732,6 +733,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t AS token, COUNT(*) AS n FROM ("
             "SELECT unnest(string_split(text, ' ')) AS t FROM documents) "
             "WHERE t <> '' GROUP BY t"
+        ),
+        "orders_percent_rank": (
+            "SELECT o_orderkey, c_mktsegment, "
+            "CAST(FLOOR(percent_rank() OVER w * 1e6 + 0.5) AS BIGINT) AS pr_e6, "
+            "CAST(FLOOR(cume_dist() OVER w * 1e6 + 0.5) AS BIGINT) AS cd_e6 "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "WINDOW w AS (PARTITION BY c_mktsegment "
+            "ORDER BY CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))"
         ),
         "part_fuzzy_name_match": (
             # same probe construction (middle char deleted) + first-char

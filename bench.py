@@ -103,6 +103,7 @@ QUERY_NAMES = [
     "events_value_time_corr",
     "orders_upsert_latest",
     "part_fuzzy_name_match",
+    "orders_percent_rank",
 ]
 
 

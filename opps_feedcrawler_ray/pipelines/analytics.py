@@ -2343,3 +2343,81 @@ def part_fuzzy_name_match(sf_dir: str) -> pd.DataFrame:
     probes = rd.from_pandas(pd.DataFrame({"p_name": names}))
     out = probes.map_batches(probe_and_match, batch_format="pyarrow").to_pandas()
     return out.sort_values(["probe", "p_name"]).reset_index(drop=True)
+
+
+def orders_percent_rank(sf_dir: str) -> rd.Dataset:
+    """percent_rank + cume_dist for EVERY row without any per-group
+    sort: pass 1 builds per-(segment, price_e2) counts (the exchange is
+    bounded by the value DOMAIN, the median/quantile trick); the
+    cumulative tables broadcast once; pass 2 assigns each row its
+    below/tie counts via vectorized searchsorted.  Ties follow SQL
+    window semantics exactly: percent_rank = below/(n-1), cume_dist =
+    (below+ties)/n, on exact integers — the final doubles are the same
+    IEEE quotients the oracle's window functions produce.  At a price
+    domain too large to broadcast, the cum tables range-partition (the
+    same fallback the quantile family documents)."""
+    import ray
+
+    cust = rd.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+    seg_map_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        seg_map = ray.get(seg_map_ref)
+        df = batch.to_pandas()
+        df["c_mktsegment"] = df["o_custkey"].map(seg_map)
+        df["price_e2"] = np.floor(df["o_totalprice"].to_numpy() * 100.0 + 0.5).astype("int64")
+        g = df.groupby(["c_mktsegment", "price_e2"], as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "cnt"}),
+            schema=pa.schema([("c_mktsegment", pa.string()), ("price_e2", pa.int64()),
+                              ("cnt", pa.int64())]),
+            preserve_index=False,
+        )
+
+    hist = (
+        orders.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["c_mktsegment", "price_e2"])
+        .sum("cnt")
+        .to_pandas()
+        .rename(columns={"sum(cnt)": "cnt"})
+    )
+    cum: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray, int]] = {}
+    for seg, g in hist.groupby("c_mktsegment"):
+        g = g.sort_values("price_e2")
+        vals = g["price_e2"].to_numpy()
+        cnts = g["cnt"].to_numpy()
+        below = np.concatenate(([0], np.cumsum(cnts)))[:-1]
+        cum[seg] = (vals, below, cnts, int(cnts.sum()))
+    cum_ref = ray.put(cum)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        tables = ray.get(cum_ref)
+        seg_map = ray.get(seg_map_ref)
+        df = batch.to_pandas()
+        df["c_mktsegment"] = df["o_custkey"].map(seg_map)
+        price = np.floor(df["o_totalprice"].to_numpy() * 100.0 + 0.5).astype("int64")
+        pr = np.empty(len(df), dtype=np.float64)
+        cd = np.empty(len(df), dtype=np.float64)
+        segs = df["c_mktsegment"].to_numpy()
+        for seg in pd.unique(segs):
+            m = segs == seg
+            vals, below, cnts, n = tables[seg]
+            pos = np.searchsorted(vals, price[m])
+            b = below[pos].astype(np.float64)
+            t = cnts[pos].astype(np.float64)
+            pr[m] = b / (n - 1) if n > 1 else 0.0
+            cd[m] = (b + t) / n
+        out = pa.table(
+            {
+                "o_orderkey": pa.array(df["o_orderkey"].to_numpy(), pa.int64()),
+                "c_mktsegment": pa.array(segs, pa.string()),
+                "pr_e6": pa.array(np.floor(pr * 1e6 + 0.5).astype("int64"), pa.int64()),
+                "cd_e6": pa.array(np.floor(cd * 1e6 + 0.5).astype("int64"), pa.int64()),
+            }
+        )
+        return out
+
+    return orders.map_batches(assign, batch_format="pyarrow")

@@ -965,3 +965,26 @@ def test_part_fuzzy_name_match_brute(ray_session):
     # changes the first character, so brute == blocked
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     assert (got["dist"] == 1).any() and len(got) >= len(names)
+
+
+def test_orders_percent_rank_matches_pandas(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import orders_percent_rank
+
+    got = (
+        orders_percent_rank(SF).to_pandas()
+        .sort_values("o_orderkey").reset_index(drop=True)
+    )
+    od = pd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cu = pd.read_parquet(f"{SF}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    df = od.merge(cu, left_on="o_custkey", right_on="c_custkey")
+    df["p"] = np.floor(df["o_totalprice"] * 100 + 0.5).astype("int64")
+    pr = df.groupby("c_mktsegment")["p"].rank(method="min") - 1
+    n = df.groupby("c_mktsegment")["p"].transform("size")
+    df["pr_e6"] = np.floor(pr / (n - 1) * 1e6 + 0.5).astype("int64")
+    cd = df.groupby("c_mktsegment")["p"].rank(method="max")
+    df["cd_e6"] = np.floor(cd / n * 1e6 + 0.5).astype("int64")
+    exp = (
+        df[["o_orderkey", "c_mktsegment", "pr_e6", "cd_e6"]]
+        .sort_values("o_orderkey").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
