@@ -26,9 +26,11 @@ def read_pages(path: str, columns: list[str] | None = None) -> rd.Dataset:
     return rd.read_parquet(path, columns=columns)
 
 
-def _pages_format(path: str) -> str:
+def _pages_format(path: str) -> tuple[str, bool]:
     """Detect the pages source format from the file (or first file in a
-    directory): parquet | jsonl | csv."""
+    directory): (parquet | jsonl | csv, gzipped?).  Web-scale text dumps
+    ship gzipped as a rule, so ``.jsonl.gz`` / ``.csv.gz`` are
+    first-class."""
     p = path
     if os.path.isdir(path):
         for root, _dirs, files in sorted(os.walk(path)):
@@ -36,12 +38,16 @@ def _pages_format(path: str) -> str:
             if data:
                 p = os.path.join(root, data[0])
                 break
-    ext = p.rsplit(".", 1)[-1].lower()
+    name = p.lower()
+    gz = name.endswith(".gz")
+    if gz:
+        name = name[:-3]
+    ext = name.rsplit(".", 1)[-1]
     if ext in ("jsonl", "json"):
-        return "jsonl"
+        return "jsonl", gz
     if ext == "csv":
-        return "csv"
-    return "parquet"
+        return "csv", gz
+    return "parquet", False
 
 
 def _coerce_pages(batch: pa.Table) -> pa.Table:
@@ -90,10 +96,11 @@ def read_pages_any(path: str, columns: list[str] | None = None) -> rd.Dataset:
     ``html_b64`` carries the binary payload through text formats).  The
     crawl's ingest accepts all three; the bucketed layout it produces is
     always parquet."""
-    fmt = _pages_format(path)
+    fmt, gz = _pages_format(path)
     if fmt == "parquet":
         return rd.read_parquet(path, columns=columns)
-    ds = rd.read_json(path) if fmt == "jsonl" else rd.read_csv(path)
+    kw = {"arrow_open_stream_args": {"compression": "gzip"}} if gz else {}
+    ds = rd.read_json(path, **kw) if fmt == "jsonl" else rd.read_csv(path, **kw)
     ds = ds.map_batches(_coerce_pages, batch_format="pyarrow")
     if columns:
         ds = ds.select_columns(columns)

@@ -800,3 +800,27 @@ def test_follow_robots_sitemaps(ray_session, tmp_path_factory):
     assert stats["sitemap_offered"] >= 1
     assert got[f"http://{host}/sitemap.xml"] == 0  # offered with the seeds
     assert all(got[u] == 1 for u in locs)          # discovered through it
+
+
+def test_gzip_jsonl_pages_source_equivalence(smoke):
+    """S1 source breadth: the same JSONL source gzipped (.jsonl.gz — the
+    standard web-dump container) reads back identically and crawls to
+    the same log."""
+    import gzip
+
+    from opps_feedcrawler_ray.sources.io import read_pages_any, write_pages_jsonl
+
+    pages = pq.read_table(smoke["corpus"]["pages"])
+    jl = f"{smoke['tmp']}/pages_gz.jsonl"
+    write_pages_jsonl(pages, jl)
+    gz = f"{smoke['tmp']}/pages.jsonl.gz"
+    with open(jl, "rb") as f, gzip.open(gz, "wb") as g:
+        g.write(f.read())
+    back = read_pages_any(gz).to_pandas().sort_values("url").reset_index(drop=True)
+    orig = pages.to_pandas().sort_values("url").reset_index(drop=True)
+    assert list(back["url"]) == list(orig["url"])
+    assert list(back["html"]) == list(orig["html"])
+    corpus_gz = dict(smoke["corpus"], pages=gz)
+    log, seen, _ = run_crawl(smoke["tmp"], corpus_gz, "out_jsonl_gz")
+    assert log.equals(smoke["log"])
+    assert seen.equals(smoke["seen"])
