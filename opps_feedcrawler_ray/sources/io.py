@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
@@ -47,6 +48,8 @@ def _pages_format(path: str) -> tuple[str, bool]:
         return "jsonl", gz
     if ext == "csv":
         return "csv", gz
+    if ext == "warc":
+        return "warc", gz
     return "parquet", False
 
 
@@ -99,6 +102,8 @@ def read_pages_any(path: str, columns: list[str] | None = None) -> rd.Dataset:
     fmt, gz = _pages_format(path)
     if fmt == "parquet":
         return rd.read_parquet(path, columns=columns)
+    if fmt == "warc":
+        return read_pages_warc(path, columns=columns)
     kw = {"arrow_open_stream_args": {"compression": "gzip"}} if gz else {}
     ds = rd.read_json(path, **kw) if fmt == "jsonl" else rd.read_csv(path, **kw)
     ds = ds.map_batches(_coerce_pages, batch_format="pyarrow")
@@ -118,6 +123,106 @@ def write_pages_jsonl(table: pa.Table, path: str) -> None:
             ts = row["warc_ts"]
             row["warc_ts"] = ts.strftime("%Y-%m-%dT%H:%M:%S.%f") if ts is not None else None
             f.write(_json.dumps(row, sort_keys=True) + "\n")
+
+
+def write_pages_warc(table: pa.Table, path: str, member_gzip: bool = True) -> None:
+    """Test/fixture helper: PAGES-schema table → WARC/1.0 response
+    records (ISO 28500).  ``member_gzip=True`` writes one gzip member
+    per record — the Common-Crawl convention (a .warc.gz is a
+    CONCATENATION of per-record gzip streams, which stdlib gzip
+    decompresses transparently as one stream)."""
+    import gzip as _gzip
+
+    def record(row: dict) -> bytes:
+        body = row["html"] or b""
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            + b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
+        )
+        ts = row["warc_ts"]
+        date = ts.strftime("%Y-%m-%dT%H:%M:%SZ") if ts is not None else "1970-01-01T00:00:00Z"
+        hdr = (
+            "WARC/1.0\r\n"
+            "WARC-Type: response\r\n"
+            f"WARC-Target-URI: {row['url']}\r\n"
+            f"WARC-Date: {date}\r\n"
+            "Content-Type: application/http; msgtype=response\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n"
+        ).encode()
+        return hdr + http + b"\r\n\r\n"
+
+    with open(path, "wb") as f:
+        for row in table.to_pylist():
+            rec = record(row)
+            f.write(_gzip.compress(rec) if member_gzip else rec)
+
+
+def parse_warc_records(blob: bytes) -> pa.Table:
+    """WARC/1.0 bytes (plain or gzipped, incl. concatenated per-record
+    members) → PAGES-schema table.  Only ``response`` records map to
+    rows: url ← WARC-Target-URI, warc_ts ← WARC-Date, html ← the HTTP
+    payload body (headers stripped); text/lang are null — the engine
+    re-derives text with its own frozen extractor.  Sequential
+    Content-Length walk (the only correct WARC framing); one task per
+    WARC file — real dumps ship thousands of ~1 GB files, so files are
+    the natural parallelism unit."""
+    import gzip as _gzip
+
+    if blob[:2] == b"\x1f\x8b":
+        blob = _gzip.decompress(blob)  # multi-member safe
+    urls, tss, htmls = [], [], []
+    pos = 0
+    n = len(blob)
+    while pos < n:
+        end = blob.find(b"\r\n\r\n", pos)
+        if end == -1:
+            break
+        headers = blob[pos:end].decode("utf-8", "replace")
+        lines = headers.split("\r\n")
+        if not lines[0].startswith("WARC/"):
+            break
+        h = {}
+        for ln in lines[1:]:
+            k, _, v = ln.partition(":")
+            h[k.strip().lower()] = v.strip()
+        clen = int(h.get("content-length", "0"))
+        payload = blob[end + 4 : end + 4 + clen]
+        pos = end + 4 + clen
+        while blob[pos : pos + 2] == b"\r\n":  # record separator(s)
+            pos += 2
+        if h.get("warc-type") != "response":
+            continue
+        if payload[:5] == b"HTTP/":
+            j = payload.find(b"\r\n\r\n")
+            payload = payload[j + 4 :] if j != -1 else b""
+        urls.append(h.get("warc-target-uri", ""))
+        date = h.get("warc-date")
+        tss.append(
+            pd.Timestamp(date).tz_localize(None).to_pydatetime() if date else None
+        )
+        htmls.append(payload)
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array([None] * len(urls), pa.string()),
+            "lang": pa.array([None] * len(urls), pa.string()),
+        }
+    )
+
+
+def read_pages_warc(path: str, columns: list[str] | None = None) -> rd.Dataset:
+    """S1 over WARC: one parse task per .warc/.warc.gz file."""
+
+    def parse(batch: dict) -> pa.Table:
+        tables = [parse_warc_records(bytes(b)) for b in batch["bytes"]]
+        t = pa.concat_tables(tables) if tables else parse_warc_records(b"")
+        return t.select(columns) if columns else t
+
+    return rd.read_binary_files(path).map_batches(
+        parse, batch_format="numpy", batch_size=1
+    )
 
 
 def read_seeds(path: str) -> rd.Dataset:

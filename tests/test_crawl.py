@@ -824,3 +824,40 @@ def test_gzip_jsonl_pages_source_equivalence(smoke):
     log, seen, _ = run_crawl(smoke["tmp"], corpus_gz, "out_jsonl_gz")
     assert log.equals(smoke["log"])
     assert seen.equals(smoke["seen"])
+
+
+def test_warc_pages_source(smoke):
+    """S1 over WARC/1.0 (ISO 28500, per-record gzip members — the
+    Common-Crawl container): records round-trip through the parser, and
+    a crawl from the WARC source produces the same fetched set with
+    byte-identical extracted text (lang is not carried by WARC, so the
+    log differs ONLY in that column)."""
+    from opps_feedcrawler_ray.sources.io import (
+        parse_warc_records,
+        read_pages_any,
+        write_pages_warc,
+    )
+
+    pages = pq.read_table(smoke["corpus"]["pages"])
+    wpath = f"{smoke['tmp']}/pages.warc.gz"
+    write_pages_warc(pages, wpath, member_gzip=True)
+    back = read_pages_any(wpath).to_pandas().sort_values("url").reset_index(drop=True)
+    orig = pages.to_pandas().sort_values("url").reset_index(drop=True)
+    assert list(back["url"]) == list(orig["url"])
+    assert list(back["html"]) == list(orig["html"])
+    assert list(back["warc_ts"]) == list(orig["warc_ts"])
+    assert back["text"].isna().all() and back["lang"].isna().all()
+    # plain (non-gzip) container parses identically
+    wplain = f"{smoke['tmp']}/pages.warc"
+    write_pages_warc(pages, wplain, member_gzip=False)
+    t2 = parse_warc_records(open(wplain, "rb").read())
+    assert t2.num_rows == pages.num_rows
+    # crawl from WARC: same urls/rounds/text, lang null
+    corpus_w = dict(smoke["corpus"], pages=wpath)
+    log, seen, _ = run_crawl(smoke["tmp"], corpus_w, "out_warc")
+    assert seen.equals(smoke["seen"])
+    a = log.to_pandas().drop(columns=["lang"])
+    b = smoke["log"].to_pandas().drop(columns=["lang"])
+    pd_testing = __import__("pandas").testing
+    pd_testing.assert_frame_equal(a, b)
+    assert log.to_pandas()["lang"].isna().all()
