@@ -179,12 +179,19 @@ def decode_bytes(b: bytes | str) -> str:
 
 
 def detect_kind(url: str, body: bytes | str) -> str:
-    """Classify page bytes: 'robots' | 'rss' | 'atom' | 'sitemap' | 'html'
-    (M7).  Sitemaps (sitemaps.org protocol) are detected by their root
-    element — <urlset> or <sitemapindex> — never by URL, matching the
-    content-first rss/atom rule."""
+    """Classify page bytes: 'robots' | 'rss' | 'atom' | 'sitemap' |
+    'binary' | 'html' (M7).  Sitemaps (sitemaps.org protocol) are
+    detected by their root element — <urlset> or <sitemapindex> — never
+    by URL, matching the content-first rss/atom rule.  Well-known binary
+    magics (PDF, PNG, JPEG, GIF) classify as 'binary': no text, no
+    links — a real crawl hits them constantly and must not shred them
+    through an HTML parser."""
     if url.endswith("/robots.txt"):
         return "robots"
+    if isinstance(body, (bytes, bytearray)) and body[:4] in (
+        b"%PDF", b"\x89PNG", b"GIF8",
+    ) or (isinstance(body, (bytes, bytearray)) and body[:3] == b"\xff\xd8\xff"):
+        return "binary"
     head = decode_bytes(body[:512] if isinstance(body, (bytes, bytearray)) else body[:512])
     head = head.lstrip("﻿ \t\r\n").lower()
     if head.startswith("<?xml"):
@@ -425,8 +432,8 @@ def extract_text(url: str, body: bytes | str, kind: str | None = None) -> str:
     custom = EXTRACTOR_REGISTRY.get(kind)
     if custom is not None:
         return custom(url, body)
-    if kind in ("robots", "sitemap"):
-        return ""  # machine-readable listings carry no document text
+    if kind in ("robots", "sitemap", "binary"):
+        return ""  # machine-readable / non-text payloads carry no text
     if kind in ("rss", "atom"):
         return extract_feed_text(body)
     return extract_html_text(body)
@@ -492,7 +499,7 @@ def extract_page(url: str, body: bytes | str, kind: str | None = None) -> tuple[
     custom = EXTRACTOR_REGISTRY.get(kind)
     if custom is not None:
         return custom(url, body), []
-    if kind == "robots":
+    if kind in ("robots", "binary"):
         return "", []
     if kind == "sitemap":
         root = _parse_xml(body)
@@ -532,7 +539,7 @@ def parse_links(url: str, body: bytes | str, kind: str | None = None) -> list[st
     if kind is None:
         kind = detect_kind(url, body)
     raw: list[str] = []
-    if kind == "robots":
+    if kind in ("robots", "binary"):
         return []
     text = decode_bytes(body)
     if kind == "sitemap":

@@ -157,10 +157,11 @@ def write_pages_warc(table: pa.Table, path: str, member_gzip: bool = True) -> No
             f.write(_gzip.compress(rec) if member_gzip else rec)
 
 
-def parse_warc_records(blob: bytes) -> pa.Table:
+def parse_warc_records(blob: bytes, want_types: tuple = ("response",)) -> pa.Table:
     """WARC/1.0 bytes (plain or gzipped, incl. concatenated per-record
     members) → PAGES-schema table.  Only ``response`` records map to
-    rows: url ← WARC-Target-URI, warc_ts ← WARC-Date, html ← the HTTP
+    rows by default (``want_types`` admits e.g. "conversion" for WET):
+    url ← WARC-Target-URI, warc_ts ← WARC-Date, html ← the HTTP
     payload body (headers stripped); text/lang are null — the engine
     re-derives text with its own frozen extractor.  Sequential
     Content-Length walk (the only correct WARC framing); one task per
@@ -190,7 +191,7 @@ def parse_warc_records(blob: bytes) -> pa.Table:
         pos = end + 4 + clen
         while blob[pos : pos + 2] == b"\r\n":  # record separator(s)
             pos += 2
-        if h.get("warc-type") != "response":
+        if h.get("warc-type") not in want_types:
             continue
         if payload[:5] == b"HTTP/":
             j = payload.find(b"\r\n\r\n")
@@ -325,3 +326,44 @@ def write_crawl_log(ds: rd.Dataset, out_dir: str, round_idx: int) -> None:
 
 def pages_schema() -> pa.Schema:
     return PAGES
+
+
+def export_wet(crawl_log_path: str, out_dir: str) -> int:
+    """S3 companion: crawl log → WET (WARC conversion records — the
+    Common-Crawl extracted-text distribution format).  One
+    ``wet-<min fetch_seq>.warc.wet.gz`` per block (deterministic names,
+    resumable like every sink here); only fetched rows export.  Returns
+    the record count.  Runs as a streaming Dataset consumer — no
+    driver-side materialization."""
+    import gzip as _gzip
+
+    os.makedirs(out_dir, exist_ok=True)
+    ds = rd.read_parquet(crawl_log_path, columns=["url", "warc_ts", "text", "status", "fetch_seq"])
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["status"], "fetched"))
+        if t.num_rows == 0:
+            return pa.table({"n": pa.array([0], pa.int64())})
+        seq = int(pc.min(t["fetch_seq"]).as_py())
+        parts = []
+        for row in t.select(["url", "warc_ts", "text"]).to_pylist():
+            body = (row["text"] or "").encode("utf-8")
+            ts = row["warc_ts"]
+            date = ts.strftime("%Y-%m-%dT%H:%M:%SZ") if ts is not None else "1970-01-01T00:00:00Z"
+            hdr = (
+                "WARC/1.0\r\n"
+                "WARC-Type: conversion\r\n"
+                f"WARC-Target-URI: {row['url']}\r\n"
+                f"WARC-Date: {date}\r\n"
+                "Content-Type: text/plain\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n"
+            ).encode()
+            parts.append(_gzip.compress(hdr + body + b"\r\n\r\n"))
+        path = os.path.join(out_dir, f"wet-{seq:012d}.warc.wet.gz")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(b"".join(parts))
+        os.replace(tmp, path)
+        return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+    return int(ds.map_batches(write_block, batch_format="pyarrow").sum("n") or 0)

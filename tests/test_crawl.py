@@ -861,3 +861,27 @@ def test_warc_pages_source(smoke):
     pd_testing = __import__("pandas").testing
     pd_testing.assert_frame_equal(a, b)
     assert log.to_pandas()["lang"].isna().all()
+
+
+def test_wet_export_roundtrip(smoke):
+    """Crawl log → WET conversion records (the Common-Crawl extracted-
+    text distribution): every fetched row exports once, text bytes
+    identical, deterministic resumable file names."""
+    import glob as _glob
+    import gzip
+
+    from opps_feedcrawler_ray.sources.io import export_wet, parse_warc_records
+
+    out = f"{smoke['tmp']}/wet"
+    n = export_wet(f"{smoke['tmp']}/out/crawl_log", out)
+    df = smoke["log"].to_pandas()
+    fetched = df[df.status == "fetched"]
+    assert n == len(fetched)
+    files = sorted(_glob.glob(f"{out}/wet-*.warc.wet.gz"))
+    assert files
+    got = {}
+    for f in files:
+        t = parse_warc_records(gzip.decompress(open(f, "rb").read()), want_types=("conversion",))
+        for r in t.to_pylist():
+            got[r["url"]] = r["html"].decode("utf-8")
+    assert got == dict(zip(fetched["url"], fetched["text"]))

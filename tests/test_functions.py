@@ -459,3 +459,28 @@ def test_extract_sitemaps_directive():
     # rule parsing is untouched by the directive (frozen spec intact)
     r = parse_robots(body)
     assert not r.allowed("/priv/x") and r.allowed("/pub")
+
+
+def test_binary_payload_hygiene():
+    """PDF/PNG/JPEG/GIF payloads classify as 'binary': no text, no
+    links — never shredded through the HTML parser."""
+    from opps_feedcrawler_ray.functions.extract import (
+        detect_kind,
+        extract_page,
+        extract_text,
+        parse_links,
+    )
+
+    cases = [
+        b"%PDF-1.7\n1 0 obj <a href=http://x/>",
+        b"\x89PNG\r\n\x1a\n" + b"\x00" * 16,
+        b"\xff\xd8\xff\xe0JFIF",
+        b"GIF89a\x00\x01",
+    ]
+    for body in cases:
+        assert detect_kind("http://h/file", body) == "binary"
+        assert extract_text("http://h/file", body) == ""
+        assert parse_links("http://h/file", body) == []
+        assert extract_page("http://h/file", body) == ("", [])
+    # text payloads unaffected
+    assert detect_kind("http://h/x", b"<html><p>hi</p></html>") == "html"
