@@ -2377,12 +2377,15 @@ def orders_percent_rank(sf_dir: str) -> rd.Dataset:
             preserve_index=False,
         )
 
+    # domain-bounded partials merge on the DRIVER (one pandas groupby —
+    # no second all-to-all; (seg, price) keys would also trip the
+    # near-all-distinct Ray-aggregate pathology).  At a price domain too
+    # large for one heap, range-partition the value axis instead (the
+    # quantile family's documented fallback).
     hist = (
         orders.map_batches(hist_partial, batch_format="pyarrow")
-        .groupby(["c_mktsegment", "price_e2"])
-        .sum("cnt")
         .to_pandas()
-        .rename(columns={"sum(cnt)": "cnt"})
+        .groupby(["c_mktsegment", "price_e2"], as_index=False)["cnt"].sum()
     )
     cum: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray, int]] = {}
     for seg, g in hist.groupby("c_mktsegment"):
