@@ -484,3 +484,38 @@ def test_binary_payload_hygiene():
         assert extract_page("http://h/file", body) == ("", [])
     # text payloads unaffected
     assert detect_kind("http://h/x", b"<html><p>hi</p></html>") == "html"
+
+
+def test_warc_framing_robustness(tmp_path):
+    """Content-Length framing must survive payloads that CONTAIN the
+    record separator bytes, empty bodies, and unicode URLs — a find-based
+    splitter would corrupt all three."""
+    import datetime as dt
+
+    import pyarrow as pa
+
+    from opps_feedcrawler_ray.sources.io import parse_warc_records, write_pages_warc
+
+    rows = [
+        ("http://h.example/adversarial", b"<p>pre</p>\r\n\r\nWARC/1.0\r\n\r\n<p>post</p>"),
+        ("http://h.example/empty", b""),
+        ("http://h.example/unicode/é", b"<p>caf\xc3\xa9</p>"),
+        ("http://h.example/binaryish", bytes(range(256))),
+    ]
+    t = pa.table(
+        {
+            "url": pa.array([r[0] for r in rows]),
+            "warc_ts": pa.array([dt.datetime(2024, 1, 2, 3, 4, 5)] * len(rows), pa.timestamp("us")),
+            "html": pa.array([r[1] for r in rows], pa.binary()),
+            "text": pa.array([""] * len(rows)),
+            "lang": pa.array(["en"] * len(rows)),
+        }
+    )
+    for gz in (True, False):
+        p = str(tmp_path / (f"t{gz}.warc" + (".gz" if gz else "")))
+        write_pages_warc(t, p, member_gzip=gz)
+        back = parse_warc_records(open(p, "rb").read())
+        assert back.num_rows == len(rows)
+        assert back["url"].to_pylist() == [r[0] for r in rows]
+        assert back["html"].to_pylist() == [r[1] for r in rows]
+        assert back["warc_ts"][0].as_py() == dt.datetime(2024, 1, 2, 3, 4, 5)
