@@ -254,6 +254,12 @@ def _q_trainprep(sf_dir: str):
     return training_corpus_pipeline(sf_dir)
 
 
+def _q_doc_triangles(sf_dir: str):
+    from opps_feedcrawler_ray.pipelines.webpipe import doc_triangle_counts
+
+    return doc_triangle_counts(sf_dir)
+
+
 def _q_host_pagerank(sf_dir: str):
     """Iterative distributed PageRank (rows-only: iterative algorithms
     have no SQL oracle; a numpy power-iteration twin is pinned in tests)."""
@@ -421,6 +427,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_link_graph": _q_host_link_graph,
         "host_pagerank": _q_host_pagerank,
         "host_components": _q_host_components,
+        "doc_triangle_counts": _q_doc_triangles,
+        "events_daily_distinct_users": A.events_daily_distinct_users,
+        "user_mode_event": A.user_mode_event,
+        "purchase_days_no_click": A.purchase_days_no_click,
+        "events_daily_gapfill": A.events_daily_gapfill,
         "quality_score_model": A.quality_score_model,
         "embedding_centroids": A.embedding_centroids,
         "events_hopping_window": A.events_hopping_window,
@@ -985,6 +996,60 @@ def oracle_sql() -> dict[str, str]:
             "|| '.example' AS dst_host FROM documents CROSS JOIN k CROSS JOIN n) "
             "SELECT src_host, dst_host, COUNT(*) AS n_links FROM e "
             "GROUP BY src_host, dst_host"
+        ),
+        "doc_triangle_counts": (
+            # closed-form twin of the doc-level link graph: undirect +
+            # dedup the id-arithmetic edges, enumerate ordered triangles
+            # via a 3-way self-join, count each at all three vertices
+            "WITH n AS (SELECT COUNT(*) AS n FROM documents), "
+            "k AS (SELECT unnest(range(6)) AS k), "
+            "e0 AS (SELECT doc_id AS a, (doc_id * 37 + 11 * k + 1) % n.n AS b "
+            "FROM documents CROSS JOIN k CROSS JOIN n), "
+            "e1 AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b "
+            "FROM e0 WHERE a <> b), "
+            "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
+            "FROM e1 JOIN e1 e2 ON e1.b = e2.a "
+            "JOIN e1 e3 ON e1.a = e3.a AND e2.b = e3.b), "
+            "v AS (SELECT x AS doc_id FROM tri UNION ALL "
+            "SELECT y FROM tri UNION ALL SELECT z FROM tri) "
+            "SELECT doc_id, COUNT(*) AS n_triangles FROM v "
+            "GROUP BY doc_id ORDER BY doc_id"
+        ),
+        "events_daily_distinct_users": (
+            "SELECT event_type, date_trunc('day', ts) AS day, "
+            "COUNT(DISTINCT user_id) AS n_users FROM events "
+            "GROUP BY event_type, date_trunc('day', ts) "
+            "ORDER BY event_type, day"
+        ),
+        "user_mode_event": (
+            # deterministic mode: count DESC, value ASC tie-break
+            "SELECT user_id, event_type AS mode_event, n AS n_mode FROM ("
+            "SELECT user_id, event_type, COUNT(*) AS n, "
+            "ROW_NUMBER() OVER (PARTITION BY user_id "
+            "ORDER BY COUNT(*) DESC, event_type) AS rn "
+            "FROM events GROUP BY user_id, event_type) WHERE rn = 1 "
+            "ORDER BY user_id"
+        ),
+        "purchase_days_no_click": (
+            "(SELECT DISTINCT user_id, date_trunc('day', ts) AS day "
+            "FROM events WHERE event_type = 'purchase') EXCEPT "
+            "(SELECT DISTINCT user_id, date_trunc('day', ts) AS day "
+            "FROM events WHERE event_type = 'click') "
+            "ORDER BY user_id, day"
+        ),
+        "events_daily_gapfill": (
+            # spine bounds come from the UNFILTERED table, like the Ray side
+            "WITH d AS (SELECT event_type, date_trunc('day', ts) AS day, "
+            "COUNT(*) AS n FROM events WHERE value > 150 GROUP BY 1, 2), "
+            "b AS (SELECT date_trunc('day', min(ts)) AS mn, "
+            "date_trunc('day', max(ts)) AS mx FROM events), "
+            "s AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day "
+            "FROM b), "
+            "t AS (SELECT DISTINCT event_type FROM events WHERE value > 150) "
+            "SELECT t.event_type, s.day, CAST(COALESCE(d.n, 0) AS BIGINT) AS n "
+            "FROM t CROSS JOIN s LEFT JOIN d "
+            "ON t.event_type = d.event_type AND s.day = d.day "
+            "ORDER BY t.event_type, s.day"
         ),
         # host_pagerank: iterative algorithm, rows-only (numpy twin in tests)
         "quality_score_model": (

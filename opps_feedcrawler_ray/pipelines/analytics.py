@@ -2424,3 +2424,196 @@ def orders_percent_rank(sf_dir: str) -> rd.Dataset:
         return out
 
     return orders.map_batches(assign, batch_format="pyarrow")
+
+
+def events_daily_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """COUNT(DISTINCT user_id) per (event_type, day) — the windowed-cube
+    sibling of ``distinct_users``.  Same two-stage shape: per-batch
+    triple dedup (combiner) + a COARSE-BUCKET shuffle on user_id (equal
+    triples share a bucket because the bucket ignores the group columns),
+    per-bucket exact dedup in pandas, then a small ≤|types×days|-key
+    groupby-sum.  No shuffle ever keys on the raw high-cardinality
+    triple (the near-all-distinct-key pathology)."""
+    from .dedup import coarse_buckets
+
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts", "user_id"])
+    nb = coarse_buckets(ev.count(), rows_per_task=65536)
+
+    def triples(batch: pd.DataFrame) -> pa.Table:
+        batch["day"] = batch["ts"].dt.floor("D")
+        df = batch[["event_type", "day", "user_id"]].drop_duplicates()
+        df = df.assign(__b=(df["user_id"].to_numpy() % nb).astype("int64"))
+        return pa.Table.from_pandas(
+            df,
+            preserve_index=False,
+            schema=pa.schema(
+                [("event_type", pa.string()), ("day", pa.timestamp("us")),
+                 ("user_id", pa.int64()), ("__b", pa.int64())]
+            ),
+        )
+
+    def bucket_count(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["event_type", "day", "user_id"]].drop_duplicates()
+        return d.groupby(["event_type", "day"], as_index=False).agg(
+            n_users=("user_id", "size")
+        )
+
+    out = (
+        ev.map_batches(triples, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(bucket_count, batch_format="pandas")
+        .groupby(["event_type", "day"])
+        .sum("n_users")
+        .to_pandas()
+        .rename(columns={"sum(n_users)": "n_users"})
+    )
+    return out[["event_type", "day", "n_users"]].sort_values(
+        ["event_type", "day"]
+    ).reset_index(drop=True)
+
+
+def user_mode_event(sf_dir: str) -> pd.DataFrame:
+    """Grouped MODE with a deterministic tie-break (count DESC, value
+    ASC) — the statistical-mode aggregate.  Per-batch (user, type) count
+    partials OR-combine through ONE coarse-bucket exchange keyed on
+    user_id (every row of a user lands in one task); the argmax runs as
+    a vectorized grouped idxmax inside each bucket.  Exchange payload ≤
+    |users|·|types| partial rows, never event rows."""
+    from .dedup import coarse_buckets
+
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "event_type"])
+    nb = coarse_buckets(ev.count(), rows_per_task=65536)
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        g = batch.groupby(["user_id", "event_type"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+        g["__b"] = (g["user_id"].to_numpy() % nb).astype("int64")
+        return pa.Table.from_pandas(
+            g,
+            preserve_index=False,
+            schema=pa.schema(
+                [("user_id", pa.int64()), ("event_type", pa.string()),
+                 ("n", pa.int64()), ("__b", pa.int64())]
+            ),
+        )
+
+    def bucket_mode(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["user_id", "event_type"], as_index=False)["n"].sum()
+        # deterministic argmax: sort by (n desc, event_type asc), take head
+        s = s.sort_values(["user_id", "n", "event_type"],
+                          ascending=[True, False, True])
+        top = s.groupby("user_id", as_index=False).head(1)
+        return top.rename(columns={"event_type": "mode_event", "n": "n_mode"})[
+            ["user_id", "mode_event", "n_mode"]
+        ]
+
+    out = (
+        ev.map_batches(partial, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(bucket_mode, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def purchase_days_no_click(sf_dir: str) -> pd.DataFrame:
+    """EXCEPT over a composite high-cardinality key: (user_id, day)
+    pairs that saw a purchase but no click.  Set membership flags
+    OR-combine per batch, one coarse-bucket exchange on user_id
+    colocates equal pairs, and the per-bucket cut keeps has_a AND NOT
+    has_b — the general distributed EXCEPT shape (no sort, payload ≤
+    |distinct pairs|)."""
+    from .dedup import coarse_buckets
+
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "event_type"])
+    nb = coarse_buckets(ev.count(), rows_per_task=65536)
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        batch = batch[batch["event_type"].isin(["purchase", "click"])].copy()
+        batch["day"] = batch["ts"].dt.floor("D")
+        batch["is_p"] = (batch["event_type"] == "purchase").astype("int64")
+        batch["is_c"] = (batch["event_type"] == "click").astype("int64")
+        g = batch.groupby(["user_id", "day"], as_index=False).agg(
+            is_p=("is_p", "max"), is_c=("is_c", "max")
+        )
+        g["__b"] = (g["user_id"].to_numpy() % nb).astype("int64")
+        return pa.Table.from_pandas(
+            g,
+            preserve_index=False,
+            schema=pa.schema(
+                [("user_id", pa.int64()), ("day", pa.timestamp("us")),
+                 ("is_p", pa.int64()), ("is_c", pa.int64()), ("__b", pa.int64())]
+            ),
+        )
+
+    def bucket_except(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["user_id", "day"], as_index=False).agg(
+            is_p=("is_p", "max"), is_c=("is_c", "max")
+        )
+        return s[(s["is_p"] > 0) & (s["is_c"] == 0)][["user_id", "day"]]
+
+    out = (
+        ev.map_batches(partial, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(bucket_except, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["user_id", "day"]).reset_index(drop=True)
+
+
+def events_daily_gapfill(sf_dir: str, min_value: float = 150.0) -> pd.DataFrame:
+    """Date-spine GAP FILL: daily counts of high-value events per type,
+    zero-filled over the complete [min day, max day] calendar so
+    downstream time-series consumers never see missing rows.  The heavy
+    part (daily counts) is a distributed combiner + ≤|types×days|-key
+    groupby; the spine itself is metadata-sized (|days|·|types| rows)
+    and assembles on the driver — the standard split for a 100 TB input
+    whose OUTPUT grid is tiny."""
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts", "value"])
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        batch = batch[batch["value"] > min_value].copy()
+        batch["day"] = batch["ts"].dt.floor("D")
+        g = batch.groupby(["event_type", "day"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+        return pa.Table.from_pandas(
+            g,
+            preserve_index=False,
+            schema=pa.schema(
+                [("event_type", pa.string()), ("day", pa.timestamp("us")),
+                 ("n", pa.int64())]
+            ),
+        )
+
+    # the global day range comes from the UNFILTERED table (cheap
+    # min/max aggregate) so the spine is stable under the value filter
+    bounds = (
+        rd.read_parquet(_t(sf_dir, "events"), columns=["ts"])
+        .map_batches(
+            lambda b: pa.table(
+                {"mn": pa.array([pc.min(b["ts"]).as_py()], pa.timestamp("us")),
+                 "mx": pa.array([pc.max(b["ts"]).as_py()], pa.timestamp("us"))}
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    mn = bounds["mn"].min().floor("D")
+    mx = bounds["mx"].max().floor("D")
+
+    counts = (
+        ev.map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "day"])
+        .sum("n")
+        .to_pandas()
+        .rename(columns={"sum(n)": "n"})
+    )
+    types = sorted(counts["event_type"].unique())
+    spine = pd.MultiIndex.from_product(
+        [types, pd.date_range(mn, mx, freq="D")], names=["event_type", "day"]
+    ).to_frame(index=False)
+    out = spine.merge(counts, on=["event_type", "day"], how="left")
+    out["n"] = out["n"].fillna(0).astype("int64")
+    return out.sort_values(["event_type", "day"]).reset_index(drop=True)

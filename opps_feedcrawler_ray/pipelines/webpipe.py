@@ -404,3 +404,211 @@ def host_components(sf_dir: str, work_dir: str | None = None):
     check; the propagation core is pinned against a union-find twin in
     tests)."""
     return components_from_edges(host_link_graph(sf_dir, work_dir=work_dir))
+
+
+def doc_triangle_counts(sf_dir: str, work_dir: str | None = None):
+    """Distributed TRIANGLE COUNTING over the doc-level link graph — the
+    degree-orientation algorithm (Chiba–Nishizeki / Schank–Wagner node
+    iterator): orient each undirected edge from the lower-(degree, id)
+    endpoint to the higher, enumerate wedges at each apex (out-degree
+    after orientation is O(sqrt(m)), so wedge volume is bounded), and
+    close them with a co-shuffled membership probe against the oriented
+    edge set.  Every stage is a combiner + one coarse-bucket exchange:
+
+      1. parse pages → undirected (a,b) pairs, per-batch dedup,
+         pair-bucket shuffle for the global dedup;
+      2. degrees via node-bucketed partial sums (the degree table is
+         ≤|nodes| rows — same fits-a-heap broadcast assumption
+         host_pagerank documents, same bucketed-join fallback past it);
+      3. wedges per apex grouped by src bucket, emitted with the
+         vectorized ``_cell_pair_indices`` kernel (zero Python pairs);
+      4. wedge rows UNION edge rows co-shuffle on hash(u,v); per-bucket
+         membership is one ``np.isin`` over packed int64 keys (packing
+         assumes ids < 2^31; at web scale the key becomes a 128-bit
+         hash);
+      5. matched wedges emit 3 per-vertex partials → node-bucketed sum.
+
+    The corpus' links are id-arithmetic ((doc·37+11k+1) mod n), so the
+    whole parse→canonicalize→count composition has a closed-form SQL
+    oracle (like host_link_graph)."""
+    import pandas as pd
+
+    from ..functions.extract import parse_links
+    from ..functions.urlnorm import canonicalize_batch
+    from .dedup import _cell_pair_indices, coarse_buckets
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    work = work_dir or f"/tmp/opps_feedcrawler_ray/webpipe-{sf_tag}"
+    paths = build_pages_from_documents(os.path.join(sf_dir, "documents.parquet"),
+                                       os.path.join(work, "corpus"))
+    n_docs = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")
+    ).num_rows
+    pages = rd.read_parquet(paths["pages"], columns=["url", "html"])
+    nb = coarse_buckets(pages.count(), rows_per_task=16384)
+
+    def _doc_id(url: str) -> int:
+        return int(url.rsplit("/", 1)[1])
+
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("__b", pa.int64())])
+
+    def edge_partial(batch: pa.Table) -> pa.Table:
+        srcs: list[int] = []
+        dsts: list[int] = []
+        for u, h in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
+            if "/d/" not in u and "/priv/" not in u:
+                continue  # host roots / robots.txt — not document pages
+            links = parse_links(u, h)
+            if not links:
+                continue
+            canons, _, _ = canonicalize_batch(links)
+            sid = _doc_id(u)
+            for c in canons:
+                if c:
+                    srcs.append(sid)
+                    dsts.append(_doc_id(c))
+        s = np.asarray(srcs, dtype=np.int64)
+        d = np.asarray(dsts, dtype=np.int64)
+        a = np.minimum(s, d)
+        b = np.maximum(s, d)
+        keep = a != b  # self-links carry no triangles
+        df = pd.DataFrame({"a": a[keep], "b": b[keep]}).drop_duplicates()
+        df["__b"] = ((df["a"] * np.int64(n_docs) + df["b"]) % nb).astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False, schema=pair_schema)
+
+    def bucket_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["a", "b"]].drop_duplicates()
+
+    edges = (
+        pages.map_batches(edge_partial, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(bucket_dedup, batch_format="pandas")
+        .materialize()  # pinned: read again for degrees, then orientation
+    )
+
+    deg_schema = pa.schema([("node", pa.int64()), ("c", pa.int64()), ("__b", pa.int64())])
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        nodes = np.concatenate(
+            [batch["a"].to_numpy(zero_copy_only=False),
+             batch["b"].to_numpy(zero_copy_only=False)]
+        )
+        u, c = np.unique(nodes, return_counts=True)
+        df = pd.DataFrame({"node": u, "c": c.astype("int64")})
+        df["__b"] = (df["node"] % nb).astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False, schema=deg_schema)
+
+    def deg_sum(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("node", as_index=False)["c"].sum()
+
+    deg_df = (
+        edges.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(deg_sum, batch_format="pandas")
+        .to_pandas()
+    )
+    # degree-rank = (degree, id) lexicographic — a total order, so the
+    # orientation is acyclic; broadcast as two aligned sorted arrays
+    import ray
+
+    deg_nodes = deg_df["node"].to_numpy(dtype=np.int64)
+    order = np.argsort(deg_nodes)
+    deg_ref = ray.put((deg_nodes[order], deg_df["c"].to_numpy(dtype=np.int64)[order]))
+
+    def orient(batch: pa.Table) -> pa.Table:
+        nodes, degs = ray.get(deg_ref)
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        da = degs[np.searchsorted(nodes, a)]
+        db = degs[np.searchsorted(nodes, b)]
+        # lower (degree, id) endpoint becomes the wedge apex; the end's
+        # degree rides along so wedge ends can be RANK-ordered to match
+        a_first = (da < db) | ((da == db) & (a < b))
+        u = np.where(a_first, a, b)
+        v = np.where(a_first, b, a)
+        dv = np.where(a_first, db, da)
+        return pa.table(
+            {"u": pa.array(u, pa.int64()), "v": pa.array(v, pa.int64()),
+             "dv": pa.array(dv, pa.int64()),
+             "__b": pa.array((u % nb).astype("int64"), pa.int64())}
+        )
+
+    oriented = edges.map_batches(orient, batch_format="pyarrow").materialize()
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["u", "v"])
+        codes = g.groupby("u", sort=False).ngroup().to_numpy()
+        i, j = _cell_pair_indices(codes)
+        uu = g["u"].to_numpy()
+        vv = g["v"].to_numpy()
+        dvv = g["dv"].to_numpy()
+        # wedge ends ordered by the SAME (degree, id) rank the edge
+        # orientation uses, so the closing edge key matches exactly
+        # (vv[i] < vv[j] within a run, so ties keep id order)
+        swap = dvv[i] > dvv[j]
+        lo = np.where(swap, vv[j], vv[i])
+        hi = np.where(swap, vv[i], vv[j])
+        return pd.DataFrame(
+            {"u": lo, "v": hi, "apex": uu[i],
+             "kind": np.ones(len(i), dtype=np.int64)}
+        )
+
+    def tag_edges(batch: pd.DataFrame) -> pd.DataFrame:
+        n = len(batch)
+        u = batch["u"].to_numpy(dtype=np.int64)
+        v = batch["v"].to_numpy(dtype=np.int64)
+        # pandas blocks to match the wedge map_groups output block type
+        return pd.DataFrame(
+            {"u": u, "v": v,
+             "apex": np.full(n, -1, dtype=np.int64),
+             "kind": np.zeros(n, dtype=np.int64),
+             "__b": ((u * np.int64(n_docs) + v) % nb).astype("int64")}
+        )
+
+    def wedge_rows(g: pd.DataFrame) -> pd.DataFrame:
+        w = wedges(g)
+        if len(w) == 0:
+            return pd.DataFrame(
+                {"u": pd.Series(dtype="int64"), "v": pd.Series(dtype="int64"),
+                 "apex": pd.Series(dtype="int64"), "kind": pd.Series(dtype="int64"),
+                 "__b": pd.Series(dtype="int64")}
+            )
+        w["__b"] = ((w["u"] * np.int64(n_docs) + w["v"]) % nb).astype("int64")
+        return w
+
+    wedge_ds = (
+        oriented.groupby("__b").map_groups(wedge_rows, batch_format="pandas")
+    )
+    probe = wedge_ds.union(oriented.map_batches(tag_edges, batch_format="pandas"))
+
+    cnt_schema = pa.schema([("doc_id", pa.int64()), ("t", pa.int64()), ("__b", pa.int64())])
+
+    def close_wedges(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["u"].to_numpy(dtype=np.int64) * np.int64(n_docs) + g["v"].to_numpy(
+            dtype=np.int64
+        )
+        is_edge = g["kind"].to_numpy() == 0
+        hit = np.isin(key[~is_edge], key[is_edge])
+        w = g[~is_edge]
+        tri_nodes = np.concatenate(
+            [w["apex"].to_numpy(dtype=np.int64)[hit],
+             w["u"].to_numpy(dtype=np.int64)[hit],
+             w["v"].to_numpy(dtype=np.int64)[hit]]
+        )
+        u, c = np.unique(tri_nodes, return_counts=True)
+        df = pd.DataFrame({"doc_id": u, "t": c.astype("int64")})
+        df["__b"] = (df["doc_id"] % nb).astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False, schema=cnt_schema).to_pandas()
+
+    def count_sum(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("doc_id", as_index=False)["t"].sum()
+        return s.rename(columns={"t": "n_triangles"})
+
+    out = (
+        probe.groupby("__b")
+        .map_groups(close_wedges, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(count_sum, batch_format="pandas")
+        .to_pandas()
+    )
+    return out[["doc_id", "n_triangles"]].sort_values("doc_id").reset_index(drop=True)

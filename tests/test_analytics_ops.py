@@ -988,3 +988,88 @@ def test_orders_percent_rank_matches_pandas(ray_session):
         .sort_values("o_orderkey").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+# ---------------------------------------------------------- round-4 late ops
+def test_events_daily_distinct_users_matches_pandas(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import events_daily_distinct_users
+
+    got = events_daily_distinct_users(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "ts", "user_id"])
+    ev["day"] = ev["ts"].dt.floor("D")
+    exp = (
+        ev.groupby(["event_type", "day"])["user_id"]
+        .nunique()
+        .reset_index(name="n_users")
+        .sort_values(["event_type", "day"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_user_mode_event_matches_pandas(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import user_mode_event
+
+    got = user_mode_event(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "event_type"])
+    c = ev.groupby(["user_id", "event_type"], as_index=False).size()
+    c = c.sort_values(["user_id", "size", "event_type"], ascending=[True, False, True])
+    exp = (
+        c.groupby("user_id", as_index=False)
+        .head(1)
+        .rename(columns={"event_type": "mode_event", "size": "n_mode"})[
+            ["user_id", "mode_event", "n_mode"]
+        ]
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_purchase_days_no_click_is_set_except(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import purchase_days_no_click
+
+    got = purchase_days_no_click(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts", "event_type"])
+    ev["day"] = ev["ts"].dt.floor("D")
+    p = {(u, d) for u, d in ev.loc[ev["event_type"] == "purchase", ["user_id", "day"]].itertuples(index=False)}
+    c = {(u, d) for u, d in ev.loc[ev["event_type"] == "click", ["user_id", "day"]].itertuples(index=False)}
+    exp = pd.DataFrame(sorted(p - c), columns=["user_id", "day"])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_events_daily_gapfill_covers_full_spine(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import events_daily_gapfill
+
+    got = events_daily_gapfill(SF, min_value=150.0)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "ts", "value"])
+    ev["day"] = ev["ts"].dt.floor("D")
+    hi = ev[ev["value"] > 150.0]
+    days = pd.date_range(ev["day"].min(), ev["day"].max(), freq="D")
+    types = sorted(hi["event_type"].unique())
+    # complete grid, zero-filled
+    assert len(got) == len(days) * len(types)
+    assert (got.groupby("event_type")["day"].count() == len(days)).all()
+    exp_counts = hi.groupby(["event_type", "day"]).size()
+    for _, r in got.iterrows():
+        assert r["n"] == exp_counts.get((r["event_type"], r["day"]), 0)
+
+
+def test_doc_triangle_counts_matches_numpy_brute_force(ray_session, tmp_path):
+    from opps_feedcrawler_ray.pipelines.webpipe import doc_triangle_counts
+
+    got = doc_triangle_counts(SF, work_dir=str(tmp_path / "webpipe"))
+    n = len(pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"]))
+    # brute force: adjacency matrix over the id-arithmetic links
+    adj = np.zeros((n, n), dtype=bool)
+    for did in range(n):
+        for k in range(6):
+            t = (did * 37 + 11 * k + 1) % n
+            if t != did:
+                adj[did, t] = adj[t, did] = True
+    a = adj.astype(np.int64)
+    # per-node triangle count = diag(A^3) / 2
+    per_node = np.diag(a @ a @ a) // 2
+    exp = pd.DataFrame({"doc_id": np.arange(n), "n_triangles": per_node})
+    exp = exp[exp["n_triangles"] > 0].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
