@@ -86,6 +86,12 @@ class CrawlConfig:
     # batch inside the round execution (the reference's post-save
     # publication surface).  Must be serializable (cloudpickle).
     sink_hook: object = None
+    # conditional re-crawl for recurring feeds (If-Modified-Since
+    # semantics over the simulated fetch): a re-fetch whose content
+    # fingerprint equals the previous one is logged status="unchanged"
+    # with empty text/links and is NOT re-parsed.  Off by default — it
+    # changes recurring rows' log content, so goldens stay frozen.
+    skip_unchanged: bool = False
     # honor robots.txt "Sitemap:" directives (sitemaps.org extension):
     # declared sitemap URLs are offered alongside the seeds in round 0,
     # so a host's full page listing is discovered without being seeded.
@@ -592,6 +598,30 @@ class _OfferLinksStage:
                         int(m.sum()) - n_nf, n_nf, int(fs[m].min())
                     )
                 )
+        if batch.num_rows and "content_hash" in batch.column_names:
+            # conditional-re-crawl report-back: tracked (recurring) rows'
+            # content fingerprints go to the shard that scheduled them so
+            # the NEXT re-fetch can compare (If-Modified-Since analogue).
+            # content_hash==0 ⇔ untracked or not_found — nothing to record.
+            import numpy as np
+
+            ch = batch["content_hash"].to_numpy(zero_copy_only=False)
+            tracked = ch != 0
+            if tracked.any():
+                subs_t = batch["sub"].to_numpy(zero_copy_only=False)
+                hh = batch["url_hash"].to_numpy(zero_copy_only=False)
+                for s in np.unique(subs_t[tracked]):
+                    m = tracked & (subs_t == s)
+                    result_refs.append(
+                        self.actors[int(s)].record_content_hashes.remote(
+                            pa.table(
+                                {
+                                    "url_hash": pa.array(hh[m], pa.uint64()),
+                                    "content_hash": pa.array(ch[m], pa.uint64()),
+                                }
+                            )
+                        )
+                    )
         links = explode_links(batch, self.next_round, self.priority_fn)
         if links.num_rows:
             # raw-string pre-dedup BEFORE canonicalize: outlinks repeat
@@ -754,6 +784,7 @@ def _write_manifest(cfg: CrawlConfig, round_idx: int, fetch_seq: int, lineage: l
         "seen_filter": cfg.seen_filter,
         "salt_hosts": cfg.salt_hosts,
         "max_pages_per_host": cfg.max_pages_per_host,
+        "skip_unchanged": cfg.skip_unchanged,
         "lineage": lineage,
     }
     tmp = os.path.join(ckpt_root, "_MANIFEST.json.tmp")
@@ -897,11 +928,14 @@ def crawl(cfg: CrawlConfig) -> dict:
             "salt_hosts": cfg.salt_hosts,
             "max_pages_per_host": cfg.max_pages_per_host,
             "seen_filter": cfg.seen_filter,
+            "skip_unchanged": cfg.skip_unchanged,
         }
         for key, want in frozen.items():
             have = manifest.get(key)
             if key == "seen_filter" and have is None:
                 have = "cuckoo"  # pre-bloom manifests are all cuckoo
+            if key == "skip_unchanged" and have is None:
+                have = False  # pre-flag manifests never skipped
             if have != want:
                 raise ValueError(
                     f"cannot resume with a different {key} (manifest={have!r}, "
@@ -1015,7 +1049,7 @@ def crawl(cfg: CrawlConfig) -> dict:
         _phase("seeds")
 
     _submit_bucket_warm()  # no-op if already submitted (resume / fallback paths)
-    extract = ExtractStage()
+    extract = ExtractStage(skip_unchanged=cfg.skip_unchanged)
     rounds_run = 0
     total_fetched = 0
     total_not_found = 0
@@ -1118,6 +1152,7 @@ def crawl(cfg: CrawlConfig) -> dict:
             # granularity from extract task granularity
             staged = staged.map_batches(
                 ExtractStage,
+                fn_constructor_kwargs={"skip_unchanged": cfg.skip_unchanged},
                 batch_format="pyarrow",
                 concurrency=cfg.extract_concurrency,
                 num_cpus=1,
@@ -1196,6 +1231,11 @@ def main(argv: list[str] | None = None) -> int:
         "--follow-robots-sitemaps", action="store_true",
         help="offer robots.txt Sitemap: URLs alongside the seeds (round 0)"
     )
+    ap.add_argument(
+        "--skip-unchanged", action="store_true",
+        help="conditional re-crawl: log recurring re-fetches with unchanged "
+             "content as status=unchanged without re-parsing",
+    )
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--num-cpus", type=int, default=None, help="ray.init num_cpus (standalone runs)")
     args = ap.parse_args(argv)
@@ -1218,6 +1258,7 @@ def main(argv: list[str] | None = None) -> int:
         fetch_strategy=args.fetch,
         seen_filter=args.seen_filter,
         follow_robots_sitemaps=args.follow_robots_sitemaps,
+        skip_unchanged=args.skip_unchanged,
         resume=args.resume,
     )
     stats = crawl(cfg)

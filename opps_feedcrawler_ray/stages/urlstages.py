@@ -13,7 +13,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.extract import detect_kind, extract_page
-from ..functions.hashing import fingerprint64_batch
+from ..functions.hashing import fingerprint64, fingerprint64_batch
 from ..functions.urlnorm import canonicalize_batch
 
 
@@ -57,20 +57,52 @@ class ExtractStage:
     One pass over the batch: kind sniff, text extraction, outlink
     parsing.  Rows with null html (not-found fetches) pass through with
     empty text/links and their status preserved.
+
+    ``skip_unchanged`` (opt-in, needs the frontier's ``track`` /
+    ``prev_hash`` sidecar columns): a re-fetched RECURRING url whose
+    content fingerprint equals the last fetch's is NOT re-parsed — its
+    log row gets status="unchanged", empty text, no links (the
+    If-Modified-Since analogue for the simulated fetch).  Content
+    fingerprints of tracked rows ride along in a ``content_hash``
+    column for the offer stage to report back to the frontier.
     """
+
+    def __init__(self, skip_unchanged: bool = False) -> None:
+        self.skip_unchanged = skip_unchanged
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
         htmls = batch["html"].to_pylist()
+        n = batch.num_rows
+        cond = (
+            self.skip_unchanged
+            and "track" in batch.column_names
+            and "prev_hash" in batch.column_names
+        )
+        if cond:
+            track = batch["track"].to_numpy(zero_copy_only=False)
+            prev = batch["prev_hash"].to_numpy(zero_copy_only=False)
+            chash = np.zeros(n, dtype=np.uint64)
+            unchanged = np.zeros(n, dtype=bool)
         kinds: list[str] = []
         texts: list[str | None] = []
         links: list[list[str]] = []
-        for u, b in zip(urls, htmls):
+        for i, (u, b) in enumerate(zip(urls, htmls)):
             if b is None:
                 kinds.append("missing")
                 texts.append(None)
                 links.append([])
                 continue
+            if cond and track[i]:
+                ch = fingerprint64(b)
+                chash[i] = ch
+                if prev[i] != 0 and ch == prev[i]:
+                    # unchanged since the last fetch: skip the parse
+                    kinds.append("unchanged")
+                    texts.append("")
+                    links.append([])
+                    unchanged[i] = True
+                    continue
             k = detect_kind(u, b)
             kinds.append(k)
             text, lks = extract_page(u, b, k)  # ONE parse for text + links
@@ -83,6 +115,13 @@ class ExtractStage:
         out = out.append_column(
             "n_links", pa.array([len(x) for x in links], pa.int32())
         )
+        if cond:
+            if unchanged.any() and "status" in out.column_names:
+                st = np.asarray(out["status"].to_pylist(), dtype=object)
+                st[unchanged] = "unchanged"
+                idx = out.column_names.index("status")
+                out = out.set_column(idx, "status", pa.array(st, pa.string()))
+            out = out.append_column("content_hash", pa.array(chash, pa.uint64()))
         return out
 
 

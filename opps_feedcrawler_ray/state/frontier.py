@@ -127,6 +127,13 @@ class FrontierActor:
         # recurring hashes currently sitting in a heap (budget-starved):
         # prevents double-queueing; rebuilt from the heap on restore
         self._recurring_pending: dict[str, set[int]] = {}
+        # last-seen content fingerprint per RECURRING url_hash (bounded by
+        # |feeds| on this shard — tiny): powers the skip-unchanged
+        # conditional re-crawl (If-Modified-Since semantics over the
+        # simulated fetch).  _recurring_hashes is the flat membership
+        # index; rebuilt from ``recurring`` on restore.
+        self.content_hash: dict[int, int] = {}
+        self._recurring_hashes: set[int] = set()
         self._result_tokens: set[int] = set()
         if robots_sidecar is not None:
             self._load_robots_sidecar(robots_sidecar)
@@ -283,8 +290,25 @@ class FrontierActor:
         ):
             if iv and iv > 0 and self._allowed(host, url):
                 self.recurring.setdefault(host, {})[h] = [url, float(prio or 1.0), int(iv), 0]
+                self._recurring_hashes.add(h)
                 n += 1
         return {"admitted": n}
+
+    def record_content_hashes(self, table: pa.Table) -> int:
+        """Rows (url_hash, content_hash) from the extract stage → update
+        the last-seen content fingerprint of RECURRING urls (others are
+        ignored: they are fetched once, so there is nothing to compare a
+        future fetch against).  Idempotent — last write wins and equal
+        content yields equal hashes."""
+        n = 0
+        rh = self._recurring_hashes
+        for h, ch in zip(
+            table["url_hash"].to_pylist(), table["content_hash"].to_pylist()
+        ):
+            if h in rh:
+                self.content_hash[h] = ch
+                n += 1
+        return n
 
     def _emit_due_recurring(self, round_idx: int) -> None:
         for host, entries in self.recurring.items():
@@ -426,6 +450,22 @@ class FrontierActor:
             else:
                 del self.heaps[host]
         self._last_meta = meta
+        # conditional-re-crawl sidecar columns: track=1 marks a RECURRING
+        # url (its content hash is worth recording); prev_hash carries the
+        # last-seen content fingerprint (0 = none yet).  Fast path: no
+        # recurring feeds on this shard → constant zero columns.
+        if self._recurring_hashes:
+            rh = self._recurring_hashes
+            ch = self.content_hash
+            track = np.fromiter(
+                (h in rh for h in hashes), dtype=np.int8, count=len(hashes)
+            )
+            prev = np.fromiter(
+                (ch.get(h, 0) for h in hashes), dtype=np.uint64, count=len(hashes)
+            )
+        else:
+            track = np.zeros(len(hashes), dtype=np.int8)
+            prev = np.zeros(len(hashes), dtype=np.uint64)
         return pa.table(
             {
                 "url_hash": pa.array(hashes, pa.uint64()),
@@ -437,6 +477,8 @@ class FrontierActor:
                 ),
                 "host_rank": pa.array(ranks, pa.int64()),
                 "sub": pa.array([self.shard_id] * len(urls), pa.int32()),
+                "track": pa.array(track, pa.int8()),
+                "prev_hash": pa.array(prev, pa.uint64()),
             }
         )
 
@@ -504,6 +546,7 @@ class FrontierActor:
             "robots": {h: r.to_tuple() for h, r in self.robots.items()},
             "counters": self.counters,
             "recurring": self.recurring,
+            "content_hash": self.content_hash,
             "emitted": self.emitted,
             "round": round_idx,
         }
@@ -538,6 +581,10 @@ class FrontierActor:
         self.robots = {h: RobotsRules.from_tuple(t) for h, t in blob["robots"].items()}
         self.counters = blob["counters"]
         self.recurring = blob.get("recurring", {})
+        self.content_hash = blob.get("content_hash", {})
+        self._recurring_hashes = {
+            h for entries in self.recurring.values() for h in entries
+        }
         self.emitted = blob.get("emitted", {})
         self._recurring_pending = {}
         self._result_tokens = set()

@@ -885,3 +885,51 @@ def test_wet_export_roundtrip(smoke):
         for r in t.to_pylist():
             got[r["url"]] = r["html"].decode("utf-8")
     assert got == dict(zip(fetched["url"], fetched["text"]))
+
+
+def test_skip_unchanged_recurring(ray_session, tmp_path_factory):
+    """Conditional re-crawl (If-Modified-Since analogue): with
+    skip_unchanged=True a recurring re-fetch whose content fingerprint
+    equals the previous fetch's (the simulated pages table is static, so
+    every re-fetch qualifies) logs status="unchanged" with empty text and
+    no links and is NOT re-parsed; the first fetch and every
+    non-recurring row stay byte-identical to the default run."""
+    import pyarrow.compute as pc
+
+    tmp = str(tmp_path_factory.mktemp("skipunch"))
+    corpus = generate_corpus(f"{tmp}/corpus", n_hosts=3, n_pages=120)
+    seeds = pq.read_table(corpus["seeds"])
+    urls = seeds["url"].to_pylist()
+    recurring_url = urls[0]
+    iv = [4 if u == recurring_url else None for u in urls]
+    seeds_path = f"{tmp}/seeds_interval.parquet"
+    pq.write_table(seeds.append_column("interval", pa.array(iv, pa.int32())), seeds_path)
+
+    def run(name, **kw):
+        out = f"{tmp}/{name}"
+        cfg = CrawlConfig(
+            pages_path=corpus["pages"], seeds_path=seeds_path, out_dir=out,
+            num_frontier_actors=2, politeness_budget=8, num_buckets=4,
+            num_fetch_actors=2, max_rounds=18, **kw,
+        )
+        crawl(cfg)
+        return read_log(out)
+
+    log = run("out_skip", skip_unchanged=True)
+    base = run("out_base")
+
+    rec = log.filter(pc.equal(log["url"], recurring_url)).sort_by("round")
+    assert rec.num_rows >= 3  # cadence unaffected by the skip
+    st = rec["status"].to_pylist()
+    assert st[0] == "fetched" and all(s == "unchanged" for s in st[1:])
+    assert all(t == "" for t in rec["text"].to_pylist()[1:])
+    assert all(n == 0 for n in rec["n_links"].to_pylist()[1:])
+    # baseline re-parses every re-fetch: same rows, real text, "fetched"
+    rec_b = base.filter(pc.equal(base["url"], recurring_url)).sort_by("round")
+    assert rec_b.num_rows == rec.num_rows
+    assert all(s == "fetched" for s in rec_b["status"].to_pylist())
+    assert rec_b["text"].to_pylist()[1] == rec_b["text"].to_pylist()[0] != ""
+    # everything that is not a recurring re-fetch is byte-identical
+    keep = pc.invert(pc.equal(log["url"], recurring_url))
+    keep_b = pc.invert(pc.equal(base["url"], recurring_url))
+    assert log.filter(keep).equals(base.filter(keep_b))
