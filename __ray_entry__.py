@@ -417,6 +417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_pivot_month_segment": A.orders_pivot_month_segment,
         "purchase_click_users": A.purchase_click_users,
         "tfidf_top_terms": A.tfidf_top_terms,
+        "doc_lm_perplexity": A.doc_lm_perplexity,
         "customer_big_order_counts": A.customer_big_order_counts,
         "heavy_hitter_tokens": A.heavy_hitter_tokens,
         "events_quantiles": A.events_quantiles,
@@ -942,6 +943,24 @@ def oracle_sql() -> dict[str, str]:
             "CAST(FLOOR(tf.tf * ln(CAST(n.n AS DOUBLE) / df.nd) * 10000 + 0.5) "
             "AS BIGINT) DESC, tf.t ASC) AS rn "
             "FROM tf JOIN df ON tf.t = df.t CROSS JOIN n) WHERE rn <= 3"
+        ),
+        "doc_lm_perplexity": (
+            # Laplace-smoothed bigram LM trained on the corpus itself;
+            # nll rounded to e6 with the SAME floor(x+0.5) on both sides
+            "WITH lists AS (SELECT doc_id, "
+            "list_filter(string_split(text, ' '), x -> x <> '') AS toks "
+            "FROM documents), "
+            "big AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2 "
+            "FROM lists, UNNEST(range(1, len(toks))) AS t(i)), "
+            "c2 AS (SELECT w1, w2, COUNT(*)::BIGINT AS c2 FROM big GROUP BY w1, w2), "
+            "c1 AS (SELECT w1, COUNT(*)::BIGINT AS c1 FROM big GROUP BY w1), "
+            "v AS (SELECT COUNT(DISTINCT t)::BIGINT AS v FROM "
+            "(SELECT unnest(toks) AS t FROM lists)) "
+            "SELECT big.doc_id, COUNT(*)::BIGINT AS n_bigrams, "
+            "CAST(FLOOR(-SUM(LN((c2.c2 + 1.0) / (c1.c1 + v.v))) / COUNT(*) "
+            "* 1e6 + 0.5) AS BIGINT) AS nll_e6 "
+            "FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v "
+            "GROUP BY big.doc_id ORDER BY big.doc_id"
         ),
         "customer_big_order_counts": (
             "SELECT c_custkey, c_mktsegment, COUNT(o_custkey) AS n_big "

@@ -104,6 +104,7 @@ QUERY_NAMES = [
     "orders_upsert_latest",
     "part_fuzzy_name_match",
     "orders_percent_rank",
+    "doc_lm_perplexity",
 ]
 
 

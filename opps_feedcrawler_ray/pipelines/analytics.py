@@ -1568,6 +1568,110 @@ def tfidf_top_terms(sf_dir: str, k: int = 3) -> pd.DataFrame:
     )
 
 
+def doc_lm_perplexity(sf_dir: str) -> pd.DataFrame:
+    """Bigram language-model quality scoring (the CCNet/KenLM-style
+    perplexity filter, Wenzek et al. 2020, trained here on the corpus
+    itself): ONE explode pass emits per-batch partial bigram counts plus
+    distinct-token marker rows, ONE vocabulary-bounded groupby builds the
+    model, the context counts and vocabulary size are DERIVED from the
+    bigram table (no second corpus pass), and a final streaming pass
+    scores every document — per-doc mean negative log-likelihood under
+    Laplace smoothing as a rounded integer (``nll_e6``), float-order-free
+    vs the oracle.  PARTITIONING ASSUMPTION: the model table is bounded
+    by the number of DISTINCT observed bigrams and fits a worker heap
+    (same assumption as tfidf's idf table); a web-scale vocabulary calls
+    for a min-count cutoff (rare bigrams score at the unsmoothed floor)
+    or feature hashing before broadcast."""
+    import ray
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    # marker w2 for distinct-token rows: a token can never contain the
+    # split delimiter, so " " is unreachable as a real second word
+    _V = " "
+
+    def bigrams_of(batch: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern(batch["text"], pattern=" ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        tok = flat.to_pandas().to_numpy(dtype=object)
+        di = np.repeat(batch["doc_id"].to_numpy(zero_copy_only=False), lens)
+        keep = tok != ""
+        tok, di = tok[keep], di[keep]
+        if len(tok) < 2:
+            return pd.DataFrame({"doc_id": di[:0], "w1": tok[:0], "w2": tok[:0]})
+        same = di[:-1] == di[1:]
+        return pd.DataFrame(
+            {"doc_id": di[:-1][same], "w1": tok[:-1][same], "w2": tok[1:][same]}
+        )
+
+    _schema = pa.schema([("w1", pa.string()), ("w2", pa.string()), ("c", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = bigrams_of(batch)
+        g = b.groupby(["w1", "w2"], as_index=False).agg(c=("w1", "size"))
+        # distinct-token markers (vocabulary size needs LAST tokens too,
+        # which never appear as a bigram context): one row per distinct
+        # token in this batch, summed counts are ignored downstream
+        toks = pc.split_pattern(batch["text"], pattern=" ")
+        flat = pc.unique(pc.list_flatten(toks)).to_pandas()
+        flat = flat[flat != ""]
+        marks = pd.DataFrame({"w1": flat, "w2": _V, "c": 1})
+        return pa.Table.from_pandas(
+            pd.concat([g, marks], ignore_index=True), preserve_index=False,
+            schema=_schema,
+        )
+
+    model = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .sum("c")
+        .to_pandas()
+        .rename(columns={"sum(c)": "c"})
+    )
+    is_mark = model["w2"].to_numpy() == _V
+    vocab = int(is_mark.sum())
+    c2 = model[~is_mark].rename(columns={"c": "c2"})
+    c1 = c2.groupby("w1", as_index=False).agg(c1=("c2", "sum"))
+
+    model_ref = ray.put((c2, c1, vocab))
+
+    class _Score:
+        def __init__(self) -> None:
+            self._m = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self._m is None:
+                self._m = ray.get(model_ref)
+            c2, c1, vocab = self._m
+            b = bigrams_of(batch)
+            b = b.merge(c2, on=["w1", "w2"], how="left").merge(c1, on="w1", how="left")
+            cc2 = b["c2"].fillna(0).to_numpy(dtype="float64")
+            cc1 = b["c1"].fillna(0).to_numpy(dtype="float64")
+            b["nll"] = -np.log((cc2 + 1.0) / (cc1 + float(vocab)))
+            g = b.groupby("doc_id", as_index=False).agg(
+                n_bigrams=("nll", "size"), s=("nll", "sum")
+            )
+            g["nll_e6"] = np.floor(
+                g["s"].to_numpy() / g["n_bigrams"].to_numpy() * 1e6 + 0.5
+            ).astype("int64")
+            return pa.Table.from_pandas(
+                g[["doc_id", "n_bigrams", "nll_e6"]], preserve_index=False,
+                schema=pa.schema(
+                    [("doc_id", pa.int64()), ("n_bigrams", pa.int64()),
+                     ("nll_e6", pa.int64())]
+                ),
+            )
+
+    return (
+        docs.map_batches(_Score(), batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def lineitem_above_avg(sf_dir: str) -> pd.DataFrame:
     """DECORRELATED correlated subquery (TPC-H Q17 shape): per part,
     count lineitems whose quantity exceeds that part's average quantity.

@@ -1073,3 +1073,40 @@ def test_doc_triangle_counts_matches_numpy_brute_force(ray_session, tmp_path):
     exp = pd.DataFrame({"doc_id": np.arange(n), "n_triangles": per_node})
     exp = exp[exp["n_triangles"] > 0].reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_doc_lm_perplexity_matches_brute_force(ray_session, tmp_path):
+    """Bigram-LM scoring equals a from-first-principles recomputation
+    (Laplace p = (c2+1)/(c1+V)) on a tiny hand-buildable corpus."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opps_feedcrawler_ray.pipelines.analytics import doc_lm_perplexity
+
+    docs = ["a b a c", "b a  b", "c", "a b"]  # incl. double space + 1-token doc
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                  "text": pa.array(docs, pa.string())}),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = doc_lm_perplexity(str(tmp_path))
+
+    toks = [[t for t in d.split(" ") if t] for d in docs]
+    bigrams = [(i, a, b) for i, ts in enumerate(toks) for a, b in zip(ts, ts[1:])]
+    c2, c1 = {}, {}
+    for _, a, b in bigrams:
+        c2[(a, b)] = c2.get((a, b), 0) + 1
+        c1[a] = c1.get(a, 0) + 1
+    vocab = len({t for ts in toks for t in ts})
+    exp = []
+    for i, ts in enumerate(toks):
+        nll = [-math.log((c2[(a, b)] + 1.0) / (c1[a] + vocab))
+               for a, b in zip(ts, ts[1:])]
+        if nll:
+            exp.append((i, len(nll),
+                        int(math.floor(sum(nll) / len(nll) * 1e6 + 0.5))))
+    exp_df = pd.DataFrame(exp, columns=["doc_id", "n_bigrams", "nll_e6"])
+    pd.testing.assert_frame_equal(got, exp_df, check_dtype=False)
+    assert 2 not in got["doc_id"].to_numpy()  # 1-token doc has no score
