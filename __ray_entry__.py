@@ -363,6 +363,7 @@ def _q_media_video(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from opps_feedcrawler_ray.pipelines import analytics as A
+    from opps_feedcrawler_ray.pipelines import dedup as D
     from opps_feedcrawler_ray.pipelines import streaming as S
 
     return {
@@ -456,6 +457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "ngram_jaccard_maxdf": _q_ngram_jaccard_maxdf,
+        "dup_clusters": D.dup_clusters,
         "embedding_dups": _q_embedding_dups,
         "embedding_dups_lsh": _q_embedding_dups_lsh,
         "ann_cosine_topk": _q_ann,
@@ -709,6 +711,28 @@ def oracle_sql() -> dict[str, str]:
             "FROM sh x JOIN sh y ON x.doc_id < y.doc_id "
             "WHERE len(list_intersect(x.s, y.s)) > 0) "
             "WHERE jaccard_e4 >= 4000"
+        ),
+        "dup_clusters": (
+            # same pair semantics as ngram_jaccard_pairs, then connected
+            # components as min-reachable-id (recursive CTE); every doc
+            # labeled, keep=1 on each cluster's canonical (min-id) member
+            "WITH RECURSIVE toks AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z0-9_'']+') AS w FROM documents), "
+            "sh AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')] "
+            "ELSE list_distinct(list_transform(range(1, len(w) - 1), "
+            "i -> array_to_string(w[i:i+2], ' '))) END AS s FROM toks WHERE len(w) > 0), "
+            "pairs AS (SELECT a, b FROM ("
+            "SELECT x.doc_id AS a, y.doc_id AS b, "
+            "CAST(FLOOR(len(list_intersect(x.s, y.s)) * 10000.0 / "
+            "(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) + 0.5) AS BIGINT) AS j "
+            "FROM sh x JOIN sh y ON x.doc_id < y.doc_id "
+            "WHERE len(list_intersect(x.s, y.s)) > 0) WHERE j >= 4000), "
+            "edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs), "
+            "reach AS (SELECT doc_id, doc_id AS r FROM documents "
+            "UNION SELECT e.b AS doc_id, reach.r FROM reach JOIN edges e ON e.a = reach.doc_id) "
+            "SELECT doc_id, MIN(r) AS cluster_id, "
+            "CAST(CASE WHEN doc_id = MIN(r) THEN 1 ELSE 0 END AS BIGINT) AS keep "
+            "FROM reach GROUP BY doc_id ORDER BY doc_id"
         ),
         "embedding_dups": (
             "SELECT a, b, cosine_e6 FROM ("

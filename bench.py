@@ -105,6 +105,7 @@ QUERY_NAMES = [
     "part_fuzzy_name_match",
     "orders_percent_rank",
     "doc_lm_perplexity",
+    "dup_clusters",
 ]
 
 

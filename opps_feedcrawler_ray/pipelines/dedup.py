@@ -833,3 +833,66 @@ def embedding_dedup_pairs(
     if out.empty:
         return _empty_cosine_pairs()
     return out.drop_duplicates(subset=["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def dup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Near-duplicate CLUSTER dedup — the standard tail of every
+    near-dup pipeline: pair list → connected components → one canonical
+    (min-id) survivor per cluster, every document labeled.
+
+    Stages: (1) the oracle-checked exact n-gram-Jaccard pair pipeline
+    (same threshold/rounding as the ``ngram_jaccard_pairs`` query);
+    (2) union-find with min-id roots over the pair list — the pair list
+    is the SAME threshold-bounded object the pair queries already hold
+    on the driver, so labeling it there adds O(pairs·α) and no new
+    memory class (past ~10^8 pairs the distributed min-label propagation
+    in ``webpipe.components_from_edges`` is the drop-in replacement);
+    (3) the label table (only docs in ≥1 pair — tiny) broadcasts via
+    ``ray.put`` into ONE streaming pass over doc ids: singletons label
+    themselves, ``keep=1`` marks each cluster's canonical doc."""
+    import ray
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(docs, threshold=0.3999, k_shingle=3)
+    pairs["jaccard_e4"] = np.floor(pairs["jaccard_e4_raw"] + 0.5).astype("int64")
+    pairs = pairs[pairs["jaccard_e4"] >= 4000]
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pairs["a"].to_numpy(), pairs["b"].to_numpy()):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo  # min-id root ⇒ cluster_id = min member
+    labels = {x: find(x) for x in parent}
+    lab_ref = ray.put(labels)
+
+    def label(batch: pa.Table) -> pa.Table:
+        lab = ray.get(lab_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        cl = np.fromiter(
+            (lab.get(int(i), int(i)) for i in ids), dtype=np.int64, count=len(ids)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "cluster_id": pa.array(cl, pa.int64()),
+                "keep": pa.array((cl == ids).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        .map_batches(label, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )

@@ -212,3 +212,46 @@ def test_cell_pair_indices_matches_bruteforce():
             for j in range(i + 1, len(ids)):
                 brute.add((ids[i], ids[j]))
     assert set(zip(out["a"], out["b"])) == brute
+
+
+def test_dup_clusters_matches_bfs_components(ray_session):
+    """Union-find cluster labels equal an independent BFS transitive
+    closure over the same pair list; singletons label themselves and
+    exactly one keep=1 (the min id) per cluster."""
+    from opps_feedcrawler_ray.pipelines.dedup import dup_clusters, ngram_jaccard_pairs
+
+    got = dup_clusters(SF)
+    docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(docs, threshold=0.3999, k_shingle=3)
+    pairs["j"] = np.floor(pairs["jaccard_e4_raw"] + 0.5).astype("int64")
+    pairs = pairs[pairs["j"] >= 4000]
+
+    adj: dict[int, set[int]] = {}
+    for a, b in zip(pairs["a"], pairs["b"]):
+        adj.setdefault(int(a), set()).add(int(b))
+        adj.setdefault(int(b), set()).add(int(a))
+    label = {}
+    for start in sorted(adj):
+        if start in label:
+            continue
+        comp, stack = [], [start]
+        seen = {start}
+        while stack:
+            x = stack.pop()
+            comp.append(x)
+            for y in adj[x]:
+                if y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        m = min(comp)
+        for x in comp:
+            label[x] = m
+
+    ids = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])["doc_id"].to_pylist()
+    exp = pd.DataFrame(
+        {"doc_id": sorted(ids),
+         "cluster_id": [label.get(i, i) for i in sorted(ids)]}
+    )
+    exp["keep"] = (exp["cluster_id"] == exp["doc_id"]).astype("int64")
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert set(got.groupby("cluster_id")["keep"].sum()) == {1}
