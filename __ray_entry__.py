@@ -419,6 +419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_click_users": A.purchase_click_users,
         "tfidf_top_terms": A.tfidf_top_terms,
         "doc_lm_perplexity": A.doc_lm_perplexity,
+        "events_trailing_3d": A.events_trailing_3d,
         "customer_big_order_counts": A.customer_big_order_counts,
         "heavy_hitter_tokens": A.heavy_hitter_tokens,
         "events_quantiles": A.events_quantiles,
@@ -711,6 +712,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM sh x JOIN sh y ON x.doc_id < y.doc_id "
             "WHERE len(list_intersect(x.s, y.s)) > 0) "
             "WHERE jaccard_e4 >= 4000"
+        ),
+        "events_trailing_3d": (
+            # time-RANGE frame: equal-ts rows are peers on both sides
+            "SELECT event_id, user_id, "
+            "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER ("
+            "PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 3 DAY PRECEDING AND CURRENT ROW) AS BIGINT) "
+            "AS trail_e2 FROM events ORDER BY event_id"
         ),
         "dup_clusters": (
             # same pair semantics as ngram_jaccard_pairs, then connected

@@ -106,6 +106,7 @@ QUERY_NAMES = [
     "orders_percent_rank",
     "doc_lm_perplexity",
     "dup_clusters",
+    "events_trailing_3d",
 ]
 
 

@@ -558,6 +558,59 @@ def events_moving_sum3(sf_dir: str) -> pd.DataFrame:
     return ev.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
 
 
+def events_trailing_3d(sf_dir: str) -> pd.DataFrame:
+    """Time-RANGE windowed aggregate: per-user trailing-3-day sum
+    (``SUM(value_e2) OVER (PARTITION BY user_id ORDER BY ts RANGE
+    BETWEEN INTERVAL 3 DAY PRECEDING AND CURRENT ROW)``) — the
+    time-based sibling of the ROWS-frame ``events_moving_sum3``.
+
+    Scale shape: ONE user-bucket exchange (hash(user) % nb, not
+    per-user groups), then inside each bucket the frame bounds of
+    EVERY row come from two global ``searchsorted`` calls over a
+    composite (user-code · R + ts-offset) int64 key — zero per-user
+    Python.  R exceeds the bucket's time span + window, so a lower
+    bound can never bleed into the previous user's key range.  RANGE
+    peer semantics (ties at the current ts are in-frame) via the
+    ``side="right"`` upper bound.  Integer e2 values keep the sums
+    hash-exact vs the oracle."""
+    ev = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+    nb = 64
+    _w = 3 * 86400 * 10**6  # 3 days in microseconds
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b["__b"] = (b["user_id"].to_numpy(dtype="int64") % nb).astype("int64")
+        return b
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        uid = g["user_id"].to_numpy(dtype="int64")
+        codes = pd.factorize(uid)[0].astype("int64")  # ascending (g is sorted)
+        off = ts - ts.min()
+        r = off.max() + _w + 2
+        key = codes * r + off
+        v = np.floor(g["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+        cs = np.concatenate([[0], np.cumsum(v)])
+        lo = np.searchsorted(key, codes * r + (off - _w), side="left")
+        hi = np.searchsorted(key, key, side="right")  # last peer + 1
+        return pd.DataFrame(
+            {"event_id": g["event_id"].to_numpy(),
+             "user_id": uid,
+             "trail_e2": (cs[hi] - cs[lo]).astype("int64")}
+        )
+
+    return (
+        ev.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(bucket, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
 def orders_rank_in_segment(sf_dir: str) -> pd.DataFrame:
     """RANK() with ties per market segment over a broadcast join, kept
     scale-shaped by a COMBINER: each batch keeps only rows whose price is

@@ -1110,3 +1110,26 @@ def test_doc_lm_perplexity_matches_brute_force(ray_session, tmp_path):
     exp_df = pd.DataFrame(exp, columns=["doc_id", "n_bigrams", "nll_e6"])
     pd.testing.assert_frame_equal(got, exp_df, check_dtype=False)
     assert 2 not in got["doc_id"].to_numpy()  # 1-token doc has no score
+
+
+def test_events_trailing_3d_matches_pandas_brute(ray_session):
+    """Composite-key searchsorted window equals a per-user brute-force
+    recomputation (inclusive [t-3d, t] with equal-ts peers in-frame)."""
+    from opps_feedcrawler_ray.pipelines.analytics import events_trailing_3d
+
+    got = events_trailing_3d(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_id", "user_id", "ts", "value"])
+    ev["v"] = np.floor(ev["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+    ev["us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    w = 3 * 86400 * 10**6
+    out = []
+    for uid, g in ev.groupby("user_id"):
+        us, v = g["us"].to_numpy(), g["v"].to_numpy()
+        for eid, t in zip(g["event_id"].to_numpy(), us):
+            out.append((eid, uid, int(v[(us >= t - w) & (us <= t)].sum())))
+    exp = (
+        pd.DataFrame(out, columns=["event_id", "user_id", "trail_e2"])
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
