@@ -571,3 +571,37 @@ def parse_links(url: str, body: bytes | str, kind: str | None = None) -> list[st
             p.close()
             raw = p.hrefs
     return _finalize_links(url, raw)
+
+
+# --- rel=canonical (RFC 6596) -------------------------------------------
+_LINK_TAG_RE = re.compile(r"<link\b[^>]*>", re.I)
+_REL_CANON_RE = re.compile(r"""rel\s*=\s*(?:"canonical"|'canonical'|canonical(?=[\s/>]))""", re.I)
+_HREF_ATTR_RE = re.compile(r"""href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.I)
+
+
+def extract_canonical(url: str, body: bytes | str, kind: str | None = None) -> str | None:
+    """``<link rel="canonical" href=...>`` → absolute http(s) URL
+    (RFC 6596), or None.  First declaration in document order wins;
+    relative hrefs resolve against the fetched URL; attribute order
+    inside the tag is free.  Only HTML pages carry the annotation —
+    feeds/sitemaps/robots/binary return None.  Deliberately a separate
+    scan: the fused text+link extractor is frozen byte-identical, so
+    this opt-in feature must not touch it."""
+    if kind is None:
+        kind = detect_kind(url, body)
+    if kind != "html":
+        return None
+    text = decode_bytes(body)
+    for m in _LINK_TAG_RE.finditer(text):
+        tag = m.group(0)
+        if _REL_CANON_RE.search(tag):
+            hm = _HREF_ATTR_RE.search(tag)
+            if hm is None:
+                continue
+            href = _html.unescape(next(g for g in hm.groups() if g is not None)).strip()
+            if not href:
+                continue
+            absu = urljoin(url, href).split("#", 1)[0]
+            if absu.split(":", 1)[0].lower() in ("http", "https"):
+                return absu
+    return None

@@ -92,6 +92,11 @@ class CrawlConfig:
     # with empty text/links and is NOT re-parsed.  Off by default — it
     # changes recurring rows' log content, so goldens stay frozen.
     skip_unchanged: bool = False
+    # honor <link rel="canonical"> (RFC 6596): the declared canonical URL
+    # is recorded in the crawl log (extra ``canonical`` column) and offered
+    # to the frontier like a discovered outlink.  Off by default — it adds
+    # a log column, so goldens stay frozen.
+    honor_canonical: bool = False
     # honor robots.txt "Sitemap:" directives (sitemaps.org extension):
     # declared sitemap URLs are offered alongside the seeds in round 0,
     # so a host's full page listing is discovered without being seeded.
@@ -623,6 +628,27 @@ class _OfferLinksStage:
                         )
                     )
         links = explode_links(batch, self.next_round, self.priority_fn)
+        if "canonical" in batch.column_names:
+            # RFC 6596: declared canonical URLs are discovered URLs —
+            # offer them with the round's link priority; the frontier's
+            # seen filter dedups self-canonical declarations for free
+            cvals = [c for c in batch["canonical"].to_pylist() if c]
+            if cvals:
+                prio = (
+                    self.priority_fn(self.next_round)
+                    if self.priority_fn
+                    else 1.0 / (2 + self.next_round)
+                )
+                extra = pa.table(
+                    {
+                        "url": pa.array(cvals, pa.string()),
+                        "priority": pa.array([prio] * len(cvals), pa.float64()),
+                        "round": pa.array(
+                            [self.next_round] * len(cvals), pa.int32()
+                        ),
+                    }
+                )
+                links = pa.concat_tables([links, extra])
         if links.num_rows:
             # raw-string pre-dedup BEFORE canonicalize: outlinks repeat
             # heavily within a batch and priority/round are constant here,
@@ -673,7 +699,10 @@ class _OfferLinksStage:
                 result_refs += refs
         if result_refs:
             ray.get(result_refs)  # ack before this task completes (round barrier)
-        out = batch.select(LOG_COLUMNS)
+        cols = LOG_COLUMNS + (
+            ["canonical"] if "canonical" in batch.column_names else []
+        )
+        out = batch.select(cols)
         if self.sink_hook is not None:
             # §2.10 publication hook: side-effect per crawl-log batch (the
             # reference's post-save signal), inside the round execution so
@@ -1049,7 +1078,9 @@ def crawl(cfg: CrawlConfig) -> dict:
         _phase("seeds")
 
     _submit_bucket_warm()  # no-op if already submitted (resume / fallback paths)
-    extract = ExtractStage(skip_unchanged=cfg.skip_unchanged)
+    extract = ExtractStage(
+        skip_unchanged=cfg.skip_unchanged, honor_canonical=cfg.honor_canonical
+    )
     rounds_run = 0
     total_fetched = 0
     total_not_found = 0
@@ -1152,7 +1183,10 @@ def crawl(cfg: CrawlConfig) -> dict:
             # granularity from extract task granularity
             staged = staged.map_batches(
                 ExtractStage,
-                fn_constructor_kwargs={"skip_unchanged": cfg.skip_unchanged},
+                fn_constructor_kwargs={
+                    "skip_unchanged": cfg.skip_unchanged,
+                    "honor_canonical": cfg.honor_canonical,
+                },
                 batch_format="pyarrow",
                 concurrency=cfg.extract_concurrency,
                 num_cpus=1,
@@ -1236,6 +1270,11 @@ def main(argv: list[str] | None = None) -> int:
         help="conditional re-crawl: log recurring re-fetches with unchanged "
              "content as status=unchanged without re-parsing",
     )
+    ap.add_argument(
+        "--honor-canonical", action="store_true",
+        help="record <link rel=canonical> targets in the log and offer "
+             "them to the frontier (RFC 6596)",
+    )
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--num-cpus", type=int, default=None, help="ray.init num_cpus (standalone runs)")
     args = ap.parse_args(argv)
@@ -1259,6 +1298,7 @@ def main(argv: list[str] | None = None) -> int:
         seen_filter=args.seen_filter,
         follow_robots_sitemaps=args.follow_robots_sitemaps,
         skip_unchanged=args.skip_unchanged,
+        honor_canonical=args.honor_canonical,
         resume=args.resume,
     )
     stats = crawl(cfg)

@@ -12,7 +12,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.extract import detect_kind, extract_page
+from ..functions.extract import detect_kind, extract_canonical, extract_page
 from ..functions.hashing import fingerprint64, fingerprint64_batch
 from ..functions.urlnorm import canonicalize_batch
 
@@ -67,12 +67,16 @@ class ExtractStage:
     column for the offer stage to report back to the frontier.
     """
 
-    def __init__(self, skip_unchanged: bool = False) -> None:
+    def __init__(
+        self, skip_unchanged: bool = False, honor_canonical: bool = False
+    ) -> None:
         self.skip_unchanged = skip_unchanged
+        self.honor_canonical = honor_canonical
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
         htmls = batch["html"].to_pylist()
+        canon: list[str | None] = []
         n = batch.num_rows
         cond = (
             self.skip_unchanged
@@ -92,6 +96,7 @@ class ExtractStage:
                 kinds.append("missing")
                 texts.append(None)
                 links.append([])
+                canon.append(None)
                 continue
             if cond and track[i]:
                 ch = fingerprint64(b)
@@ -101,6 +106,7 @@ class ExtractStage:
                     kinds.append("unchanged")
                     texts.append("")
                     links.append([])
+                    canon.append(None)
                     unchanged[i] = True
                     continue
             k = detect_kind(u, b)
@@ -108,6 +114,8 @@ class ExtractStage:
             text, lks = extract_page(u, b, k)  # ONE parse for text + links
             texts.append(text)
             links.append(lks)
+            if self.honor_canonical:
+                canon.append(extract_canonical(u, b, k))
         out = batch.drop_columns(["html"])
         out = out.append_column("kind", pa.array(kinds, pa.string()))
         out = out.append_column("text", pa.array(texts, pa.string()))
@@ -115,6 +123,8 @@ class ExtractStage:
         out = out.append_column(
             "n_links", pa.array([len(x) for x in links], pa.int32())
         )
+        if self.honor_canonical:
+            out = out.append_column("canonical", pa.array(canon, pa.string()))
         if cond:
             if unchanged.any() and "status" in out.column_names:
                 st = np.asarray(out["status"].to_pylist(), dtype=object)

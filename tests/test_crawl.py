@@ -933,3 +933,58 @@ def test_skip_unchanged_recurring(ray_session, tmp_path_factory):
     keep = pc.invert(pc.equal(log["url"], recurring_url))
     keep_b = pc.invert(pc.equal(base["url"], recurring_url))
     assert log.filter(keep).equals(base.filter(keep_b))
+
+
+def test_honor_canonical_discovery(ray_session, tmp_path_factory):
+    """RFC 6596: with honor_canonical=True a page's declared canonical
+    URL is recorded in the log's ``canonical`` column and offered to the
+    frontier — an otherwise-unlinked page gets discovered through it.
+    Default runs carry no ``canonical`` column and never fetch it."""
+    import datetime as dt
+
+    tmp = str(tmp_path_factory.mktemp("canon"))
+    host = "canon.example"
+    pages = pa.table(
+        {
+            "url": pa.array(
+                [f"http://{host}/", f"http://{host}/a", f"http://{host}/true-home"]
+            ),
+            "warc_ts": pa.array([dt.datetime(2024, 1, 1)] * 3, pa.timestamp("us")),
+            "html": pa.array(
+                [
+                    b'<html><body><a href="/a">a</a></body></html>',
+                    b'<html><head><link rel="canonical" href="/true-home"></head>'
+                    b"<body><p>alias page</p></body></html>",
+                    b"<html><body><p>the canonical page</p></body></html>",
+                ],
+                pa.binary(),
+            ),
+            "text": pa.array(["a", "alias page", "the canonical page"]),
+            "lang": pa.array(["en"] * 3),
+        }
+    )
+    pq.write_table(pages, f"{tmp}/pages.parquet")
+    pq.write_table(pa.table({"url": pa.array([f"http://{host}/"])}), f"{tmp}/seeds.parquet")
+
+    def go(out, honor):
+        cfg = CrawlConfig(
+            pages_path=f"{tmp}/pages.parquet", seeds_path=f"{tmp}/seeds.parquet",
+            out_dir=f"{tmp}/{out}", num_frontier_actors=2, politeness_budget=8,
+            num_buckets=2, num_fetch_actors=2, honor_canonical=honor,
+        )
+        crawl(cfg)
+        return read_log(f"{tmp}/{out}")
+
+    off = go("out_off", False)
+    assert "canonical" not in off.column_names
+    assert f"http://{host}/true-home" not in off["url"].to_pylist()
+
+    on = go("out_on", True)
+    by_url = {u: c for u, c in zip(on["url"].to_pylist(), on["canonical"].to_pylist())}
+    assert by_url[f"http://{host}/a"] == f"http://{host}/true-home"
+    assert by_url[f"http://{host}/"] is None
+    assert f"http://{host}/true-home" in by_url  # discovered via the annotation
+    # everything else identical to the default run
+    import pyarrow.compute as pc
+    keep = pc.invert(pc.equal(on["url"], f"http://{host}/true-home"))
+    assert on.filter(keep).drop_columns(["canonical"]).equals(off)

@@ -519,3 +519,28 @@ def test_warc_framing_robustness(tmp_path):
         assert back["url"].to_pylist() == [r[0] for r in rows]
         assert back["html"].to_pylist() == [r[1] for r in rows]
         assert back["warc_ts"][0].as_py() == dt.datetime(2024, 1, 2, 3, 4, 5)
+
+
+def test_extract_canonical_matrix():
+    """rel=canonical parsing: attribute order, quoting styles, relative
+    resolution, first-declaration-wins, non-HTML kinds → None."""
+    from opps_feedcrawler_ray.functions.extract import extract_canonical
+
+    u = "http://h.example/dir/page"
+    cases = [
+        (b'<link rel="canonical" href="http://x.example/c">', "http://x.example/c"),
+        (b"<link href='/c' rel='canonical'>", "http://h.example/c"),
+        (b"<LINK REL=CANONICAL HREF=other>", "http://h.example/dir/other"),
+        (b'<link rel="stylesheet" href="/s.css"><link rel=canonical href="/c2">',
+         "http://h.example/c2"),
+        (b'<link rel="canonical" href="/first"><link rel="canonical" href="/second">',
+         "http://h.example/first"),
+        (b'<link rel="canonical" href="/c#frag">', "http://h.example/c"),
+        (b'<link rel="canonical" href="ftp://x/c">', None),
+        (b'<link rel="canonical">', None),
+        (b"<p>no links at all</p>", None),
+    ]
+    for body, want in cases:
+        html = b"<html><head>" + body + b"</head><body>x</body></html>"
+        assert extract_canonical(u, html) == want, body
+    assert extract_canonical(u, b'<rss version="2.0"><channel><link>http://x/c</link></channel></rss>') is None
