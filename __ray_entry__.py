@@ -420,6 +420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": A.tfidf_top_terms,
         "doc_lm_perplexity": A.doc_lm_perplexity,
         "events_trailing_3d": A.events_trailing_3d,
+        "active_users_7d": A.active_users_7d,
         "customer_big_order_counts": A.customer_big_order_counts,
         "heavy_hitter_tokens": A.heavy_hitter_tokens,
         "events_quantiles": A.events_quantiles,
@@ -712,6 +713,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM sh x JOIN sh y ON x.doc_id < y.doc_id "
             "WHERE len(list_intersect(x.s, y.s)) > 0) "
             "WHERE jaccard_e4 >= 4000"
+        ),
+        "active_users_7d": (
+            # trailing-7-day distinct users per (event_type, day); only
+            # observed days emit (the Ray side filters on the same spine)
+            "WITH ud AS (SELECT DISTINCT event_type, user_id, "
+            "date_trunc('day', ts) AS day FROM events), "
+            "spine AS (SELECT DISTINCT day FROM ud), "
+            "vis AS (SELECT DISTINCT u.event_type, u.user_id, s.day "
+            "FROM ud u JOIN spine s ON s.day BETWEEN u.day "
+            "AND u.day + INTERVAL 6 DAY) "
+            "SELECT event_type, day, COUNT(*)::BIGINT AS n_active "
+            "FROM vis GROUP BY event_type, day ORDER BY event_type, day"
         ),
         "events_trailing_3d": (
             # time-RANGE frame: equal-ts rows are peers on both sides

@@ -107,6 +107,7 @@ QUERY_NAMES = [
     "doc_lm_perplexity",
     "dup_clusters",
     "events_trailing_3d",
+    "active_users_7d",
 ]
 
 

@@ -558,6 +558,68 @@ def events_moving_sum3(sf_dir: str) -> pd.DataFrame:
     return ev.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
 
 
+def active_users_7d(sf_dir: str) -> pd.DataFrame:
+    """Trailing-window DISTINCT-COUNT: per (event_type, day), users
+    active in the trailing 7 days — the window × distinct combination
+    no cumsum trick covers (a user seen twice in the window must count
+    once).  Shape: (1) per-batch (type, user, day) dedup combiner →
+    ONE exchange bounded by the distinct activity triples (≪ events);
+    (2) each distinct triple fans out to its ≤7 visible days (bounded
+    ×7, filtered to the observed-day spine broadcast via ``ray.put``);
+    (3) one (type, day) exchange with an in-group ``nunique`` — group
+    count is |types|·|days|, group size ≤ |users|.  The triple set is
+    materialized once because the spine derives from it; at true scale
+    recompute instead of pinning."""
+    import ray
+
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "user_id", "ts"])
+
+    def dedup_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(day=b["ts"].dt.floor("D"))
+        return b[["event_type", "user_id", "day"]].drop_duplicates()
+
+    acts = (
+        ev.map_batches(dedup_partial, batch_format="pandas")
+        .groupby(["event_type", "user_id", "day"])
+        .count()
+        .materialize()
+    )
+    spine = set(acts.groupby("day").count().to_pandas()["day"])  # observed days
+    spine_ref = ray.put(spine)
+
+    def expand(b: pd.DataFrame) -> pd.DataFrame:
+        sp = ray.get(spine_ref)
+        n = len(b)
+        idx = np.tile(np.arange(n), 7)
+        off = np.repeat(np.arange(7), n)
+        out = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_numpy()[idx],
+                "user_id": b["user_id"].to_numpy()[idx],
+                "day": b["day"].to_numpy()[idx] + off * np.timedelta64(1, "D"),
+            }
+        )
+        return out[out["day"].isin(sp)]
+
+    def count_group(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "day": [g["day"].iloc[0]],
+                "n_active": [np.int64(g["user_id"].nunique())],
+            }
+        )
+
+    return (
+        acts.map_batches(expand, batch_format="pandas")
+        .groupby(["event_type", "day"])
+        .map_groups(count_group, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["event_type", "day"])
+        .reset_index(drop=True)
+    )
+
+
 def events_trailing_3d(sf_dir: str) -> pd.DataFrame:
     """Time-RANGE windowed aggregate: per-user trailing-3-day sum
     (``SUM(value_e2) OVER (PARTITION BY user_id ORDER BY ts RANGE

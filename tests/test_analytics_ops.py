@@ -1133,3 +1133,23 @@ def test_events_trailing_3d_matches_pandas_brute(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_active_users_7d_matches_pandas_brute(ray_session):
+    """Fan-out/dedup distinct window equals a per-(type, day) brute
+    recomputation over the raw events."""
+    from opps_feedcrawler_ray.pipelines.analytics import active_users_7d
+
+    got = active_users_7d(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "user_id", "ts"])
+    ev["day"] = ev["ts"].dt.floor("D")
+    days = sorted(ev["day"].unique())
+    rows = []
+    for et in sorted(ev["event_type"].unique()):
+        sub = ev[ev["event_type"] == et]
+        for d in days:
+            w = sub[(sub["day"] >= d - pd.Timedelta(days=6)) & (sub["day"] <= d)]
+            if len(w):
+                rows.append((et, d, w["user_id"].nunique()))
+    exp = pd.DataFrame(rows, columns=["event_type", "day", "n_active"])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
