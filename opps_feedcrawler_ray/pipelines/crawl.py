@@ -92,6 +92,13 @@ class CrawlConfig:
     # with empty text/links and is NOT re-parsed.  Off by default — it
     # changes recurring rows' log content, so goldens stay frozen.
     skip_unchanged: bool = False
+    # adaptive revisit policy for recurring feeds (Cho & Garcia-Molina
+    # 2003): an unchanged re-fetch doubles the feed's interval (capped at
+    # base·adaptive_max_factor); a changed one resets it to the registered
+    # base.  Independent of skip_unchanged — the page is still re-parsed
+    # unless that flag is also set.
+    adaptive_recrawl: bool = False
+    adaptive_max_factor: int = 8
     # honor <link rel="canonical"> (RFC 6596): the declared canonical URL
     # is recorded in the crawl log (extra ``canonical`` column) and offered
     # to the frontier like a discovered outlink.  Off by default — it adds
@@ -814,6 +821,7 @@ def _write_manifest(cfg: CrawlConfig, round_idx: int, fetch_seq: int, lineage: l
         "salt_hosts": cfg.salt_hosts,
         "max_pages_per_host": cfg.max_pages_per_host,
         "skip_unchanged": cfg.skip_unchanged,
+        "adaptive_recrawl": cfg.adaptive_recrawl,
         "lineage": lineage,
     }
     tmp = os.path.join(ckpt_root, "_MANIFEST.json.tmp")
@@ -898,6 +906,8 @@ def crawl(cfg: CrawlConfig) -> dict:
             exact_spill_dir=os.path.join(cfg.out_dir, "exact_spill", f"shard-{i:05d}"),
             exact_spill_threshold=cfg.exact_spill_threshold,
             seen_filter=cfg.seen_filter,
+            adaptive_recrawl=cfg.adaptive_recrawl,
+            adaptive_max_factor=cfg.adaptive_max_factor,
         )
         for i in range(cfg.num_frontier_actors)
     ]
@@ -958,13 +968,14 @@ def crawl(cfg: CrawlConfig) -> dict:
             "max_pages_per_host": cfg.max_pages_per_host,
             "seen_filter": cfg.seen_filter,
             "skip_unchanged": cfg.skip_unchanged,
+            "adaptive_recrawl": cfg.adaptive_recrawl,
         }
         for key, want in frozen.items():
             have = manifest.get(key)
             if key == "seen_filter" and have is None:
                 have = "cuckoo"  # pre-bloom manifests are all cuckoo
-            if key == "skip_unchanged" and have is None:
-                have = False  # pre-flag manifests never skipped
+            if key in ("skip_unchanged", "adaptive_recrawl") and have is None:
+                have = False  # pre-flag manifests never used these
             if have != want:
                 raise ValueError(
                     f"cannot resume with a different {key} (manifest={have!r}, "
@@ -1079,7 +1090,9 @@ def crawl(cfg: CrawlConfig) -> dict:
 
     _submit_bucket_warm()  # no-op if already submitted (resume / fallback paths)
     extract = ExtractStage(
-        skip_unchanged=cfg.skip_unchanged, honor_canonical=cfg.honor_canonical
+        skip_unchanged=cfg.skip_unchanged,
+        honor_canonical=cfg.honor_canonical,
+        track_content=cfg.skip_unchanged or cfg.adaptive_recrawl,
     )
     rounds_run = 0
     total_fetched = 0
@@ -1186,6 +1199,7 @@ def crawl(cfg: CrawlConfig) -> dict:
                 fn_constructor_kwargs={
                     "skip_unchanged": cfg.skip_unchanged,
                     "honor_canonical": cfg.honor_canonical,
+                    "track_content": cfg.skip_unchanged or cfg.adaptive_recrawl,
                 },
                 batch_format="pyarrow",
                 concurrency=cfg.extract_concurrency,
@@ -1271,6 +1285,11 @@ def main(argv: list[str] | None = None) -> int:
              "content as status=unchanged without re-parsing",
     )
     ap.add_argument(
+        "--adaptive-recrawl", action="store_true",
+        help="revisit policy: double a feed's interval on unchanged "
+             "content (capped), reset to base on change",
+    )
+    ap.add_argument(
         "--honor-canonical", action="store_true",
         help="record <link rel=canonical> targets in the log and offer "
              "them to the frontier (RFC 6596)",
@@ -1298,6 +1317,7 @@ def main(argv: list[str] | None = None) -> int:
         seen_filter=args.seen_filter,
         follow_robots_sitemaps=args.follow_robots_sitemaps,
         skip_unchanged=args.skip_unchanged,
+        adaptive_recrawl=args.adaptive_recrawl,
         honor_canonical=args.honor_canonical,
         resume=args.resume,
     )

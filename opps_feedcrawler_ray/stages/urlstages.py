@@ -68,10 +68,17 @@ class ExtractStage:
     """
 
     def __init__(
-        self, skip_unchanged: bool = False, honor_canonical: bool = False
+        self,
+        skip_unchanged: bool = False,
+        honor_canonical: bool = False,
+        track_content: bool | None = None,
     ) -> None:
         self.skip_unchanged = skip_unchanged
         self.honor_canonical = honor_canonical
+        # content-fingerprint tracking without parse suppression (the
+        # adaptive revisit policy needs the hashes but still re-parses);
+        # defaults to skip_unchanged for backward compatibility
+        self.track_content = skip_unchanged if track_content is None else track_content
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
@@ -79,7 +86,7 @@ class ExtractStage:
         canon: list[str | None] = []
         n = batch.num_rows
         cond = (
-            self.skip_unchanged
+            self.track_content
             and "track" in batch.column_names
             and "prev_hash" in batch.column_names
         )
@@ -101,7 +108,7 @@ class ExtractStage:
             if cond and track[i]:
                 ch = fingerprint64(b)
                 chash[i] = ch
-                if prev[i] != 0 and ch == prev[i]:
+                if self.skip_unchanged and prev[i] != 0 and ch == prev[i]:
                     # unchanged since the last fetch: skip the parse
                     kinds.append("unchanged")
                     texts.append("")

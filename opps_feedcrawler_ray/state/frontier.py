@@ -66,7 +66,16 @@ class FrontierActor:
         exact_spill_dir: str | None = None,
         exact_spill_threshold: int = 1 << 20,
         seen_filter: str = "cuckoo",
+        adaptive_recrawl: bool = False,
+        adaptive_max_factor: int = 8,
     ) -> None:
+        # revisit-policy adaptation (Cho & Garcia-Molina 2003): when a
+        # recurring re-fetch reports UNCHANGED content the interval
+        # doubles (capped at base·max_factor); a CHANGED report resets it
+        # to the registered base.  Purely shard-local state.
+        self.adaptive_recrawl = adaptive_recrawl
+        self.adaptive_max_factor = adaptive_max_factor
+        self._base_interval: dict[int, int] = {}
         self.shard_id = shard_id
         self.num_shards = num_shards
         self.budget = politeness_budget
@@ -131,9 +140,10 @@ class FrontierActor:
         # |feeds| on this shard — tiny): powers the skip-unchanged
         # conditional re-crawl (If-Modified-Since semantics over the
         # simulated fetch).  _recurring_hashes is the flat membership
-        # index; rebuilt from ``recurring`` on restore.
+        # index (url_hash → host, for adaptive interval lookups); rebuilt
+        # from ``recurring`` on restore.
         self.content_hash: dict[int, int] = {}
-        self._recurring_hashes: set[int] = set()
+        self._recurring_hashes: dict[int, str] = {}
         self._result_tokens: set[int] = set()
         if robots_sidecar is not None:
             self._load_robots_sidecar(robots_sidecar)
@@ -290,7 +300,8 @@ class FrontierActor:
         ):
             if iv and iv > 0 and self._allowed(host, url):
                 self.recurring.setdefault(host, {})[h] = [url, float(prio or 1.0), int(iv), 0]
-                self._recurring_hashes.add(h)
+                self._recurring_hashes[h] = host
+                self._base_interval[h] = int(iv)
                 n += 1
         return {"admitted": n}
 
@@ -299,15 +310,29 @@ class FrontierActor:
         the last-seen content fingerprint of RECURRING urls (others are
         ignored: they are fetched once, so there is nothing to compare a
         future fetch against).  Idempotent — last write wins and equal
-        content yields equal hashes."""
+        content yields equal hashes.  With ``adaptive_recrawl`` the
+        report also steers the revisit policy: unchanged content doubles
+        the feed's interval (capped at base·max_factor), changed content
+        resets it to the registered base."""
         n = 0
         rh = self._recurring_hashes
         for h, ch in zip(
             table["url_hash"].to_pylist(), table["content_hash"].to_pylist()
         ):
-            if h in rh:
-                self.content_hash[h] = ch
-                n += 1
+            host = rh.get(h)
+            if host is None:
+                continue
+            if self.adaptive_recrawl:
+                prev = self.content_hash.get(h)
+                ent = self.recurring[host][h]
+                base = self._base_interval.get(h, ent[2])
+                if prev is not None:
+                    if ch == prev:
+                        ent[2] = min(ent[2] * 2, base * self.adaptive_max_factor)
+                    else:
+                        ent[2] = base
+            self.content_hash[h] = ch
+            n += 1
         return n
 
     def _emit_due_recurring(self, round_idx: int) -> None:
@@ -547,6 +572,7 @@ class FrontierActor:
             "counters": self.counters,
             "recurring": self.recurring,
             "content_hash": self.content_hash,
+            "base_interval": self._base_interval,
             "emitted": self.emitted,
             "round": round_idx,
         }
@@ -583,7 +609,13 @@ class FrontierActor:
         self.recurring = blob.get("recurring", {})
         self.content_hash = blob.get("content_hash", {})
         self._recurring_hashes = {
-            h for entries in self.recurring.values() for h in entries
+            h: host for host, entries in self.recurring.items() for h in entries
+        }
+        # pre-adaptive blobs carry no base table: current interval = base
+        self._base_interval = blob.get("base_interval") or {
+            h: entries[h][2]
+            for entries in self.recurring.values()
+            for h in entries
         }
         self.emitted = blob.get("emitted", {})
         self._recurring_pending = {}

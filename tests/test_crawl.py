@@ -988,3 +988,53 @@ def test_honor_canonical_discovery(ray_session, tmp_path_factory):
     import pyarrow.compute as pc
     keep = pc.invert(pc.equal(on["url"], f"http://{host}/true-home"))
     assert on.filter(keep).drop_columns(["canonical"]).equals(off)
+
+
+def test_adaptive_recrawl_backoff(ray_session, tmp_path_factory):
+    """Revisit policy: with adaptive_recrawl=True a recurring feed whose
+    content never changes (the simulated corpus is static) backs off
+    exponentially — interval 2 doubles per unchanged re-fetch, capped at
+    base*8 — so fetch rounds are exactly 0, 2, 6, 14, 30 within 40
+    rounds.  Composes with skip_unchanged (same cadence, re-fetches
+    logged unchanged)."""
+    tmp = str(tmp_path_factory.mktemp("adapt"))
+    corpus = generate_corpus(f"{tmp}/corpus", n_hosts=3, n_pages=120)
+    seeds = pq.read_table(corpus["seeds"])
+    urls = seeds["url"].to_pylist()
+    rec = urls[0]
+    iv = [2 if u == rec else None for u in urls]
+    seeds_path = f"{tmp}/seeds_interval.parquet"
+    pq.write_table(seeds.append_column("interval", pa.array(iv, pa.int32())), seeds_path)
+
+    def run(name, **kw):
+        out = f"{tmp}/{name}"
+        cfg = CrawlConfig(
+            pages_path=corpus["pages"], seeds_path=seeds_path, out_dir=out,
+            num_frontier_actors=2, politeness_budget=8, num_buckets=4,
+            num_fetch_actors=2, max_rounds=40, **kw,
+        )
+        crawl(cfg)
+        return read_log(out)
+
+    log = run("out_adapt", adaptive_recrawl=True)
+    rec_rounds = sorted(
+        r for u, r in zip(log["url"].to_pylist(), log["round"].to_pylist()) if u == rec
+    )
+    assert rec_rounds == [0, 2, 6, 14, 30]
+    rec_status = [
+        s for u, s in zip(log["url"].to_pylist(), log["status"].to_pylist()) if u == rec
+    ]
+    assert rec_status == ["fetched"] * 5  # adaptive alone still re-parses
+
+    # fixed-interval twin re-fetches every 2 rounds — the backoff is real
+    fixed = run("out_fixed")
+    fixed_rounds = sorted(
+        r for u, r in zip(fixed["url"].to_pylist(), fixed["round"].to_pylist()) if u == rec
+    )
+    assert fixed_rounds == list(range(0, 40, 2))
+
+    both = run("out_both", adaptive_recrawl=True, skip_unchanged=True)
+    df = both.to_pandas()
+    b = df[df.url == rec].sort_values("round")
+    assert list(b["round"]) == [0, 2, 6, 14, 30]
+    assert list(b["status"]) == ["fetched"] + ["unchanged"] * 4
