@@ -421,6 +421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lm_perplexity": A.doc_lm_perplexity,
         "events_trailing_3d": A.events_trailing_3d,
         "active_users_7d": A.active_users_7d,
+        "events_segment_skew_join": A.events_segment_skew_join,
         "customer_big_order_counts": A.customer_big_order_counts,
         "heavy_hitter_tokens": A.heavy_hitter_tokens,
         "events_quantiles": A.events_quantiles,
@@ -713,6 +714,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM sh x JOIN sh y ON x.doc_id < y.doc_id "
             "WHERE len(list_intersect(x.s, y.s)) > 0) "
             "WHERE jaccard_e4 >= 4000"
+        ),
+        "events_segment_skew_join": (
+            # the hot/cold split is invisible in the answer — the plain
+            # join + aggregate is an exact oracle for the skew strategy
+            "SELECT c_mktsegment, event_type, COUNT(*) AS n, "
+            "CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT) AS value_e4 "
+            "FROM events JOIN customer ON user_id = c_custkey "
+            "GROUP BY c_mktsegment, event_type ORDER BY c_mktsegment, event_type"
         ),
         "active_users_7d": (
             # trailing-7-day distinct users per (event_type, day); only

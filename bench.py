@@ -108,6 +108,7 @@ QUERY_NAMES = [
     "dup_clusters",
     "events_trailing_3d",
     "active_users_7d",
+    "events_segment_skew_join",
 ]
 
 

@@ -137,3 +137,109 @@ def builtin_join(
         num_partitions=num_partitions,
         on=tuple(on),
     )
+
+
+class _HotSideJoiner:
+    def __init__(self, hot_keys_ref, hot_small_ref, on, schema) -> None:
+        self.hot_keys_ref = hot_keys_ref
+        self.hot_small_ref = hot_small_ref
+        self.on = on
+        self.schema = schema
+        self._state = None
+
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        if self._state is None:
+            self._state = (ray.get(self.hot_keys_ref), ray.get(self.hot_small_ref))
+        hot_keys, hot_small = self._state
+        sub = batch[batch[self.on].isin(hot_keys)]
+        out = sub.merge(hot_small, on=self.on, how="inner")
+        # explicit schema: a batch with zero hot rows must not infer
+        # null-typed object columns and break downstream union/unify
+        return pa.Table.from_pandas(
+            out[[f.name for f in self.schema]], preserve_index=False, schema=self.schema
+        )
+
+
+def skew_split_join(
+    big: rd.Dataset,
+    small: rd.Dataset | pd.DataFrame,
+    on: str,
+    hot_threshold: int = 100_000,
+    num_buckets: int = 16,
+) -> rd.Dataset:
+    """SKEW-SPLIT inner hash join — the canonical hot-key technique.
+
+    1. Exact big-side key histogram: per-batch partial counts → ONE
+       exchange bounded by |distinct keys|.  (At unbounded cardinality
+       swap in the Misra-Gries sketch from ``functions/sketch.py`` —
+       only the HOT set, tiny by definition, is ever needed.)
+    2. Keys with count > ``hot_threshold`` join MAP-SIDE: their dim rows
+       broadcast once via ``ray.put`` — a mega-key's rows never funnel
+       through a single shuffle partition.
+    3. Cold keys take the normal co-shuffle (:func:`shuffle_join`).
+    4. Result = union of the two halves (same column set, inner only —
+       outer variants would need dim-side orphan accounting across the
+       split).
+
+    The big side streams twice (hot pass + cold pass): at 100 TB two
+    pruned streaming reads beat shipping a hot key through one reducer.
+    Column names must not collide outside the key (asserted)."""
+    if isinstance(small, rd.Dataset):
+        small = small.to_pandas()
+    big_schema = big.schema()
+    overlap = (set(big_schema.names) & set(small.columns)) - {on}
+    assert not overlap, f"non-key column collision: {overlap}"
+
+    def key_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby([on], as_index=False).agg(__n=(on, "size"))
+
+    hist = (
+        big.map_batches(key_partial, batch_format="pandas")
+        .groupby(on)
+        .sum("__n")
+        .to_pandas()
+    )
+    hot_vals = set(hist.loc[hist["sum(__n)"] > hot_threshold, on].tolist())
+    hot_small = small[small[on].isin(hot_vals)]
+    cold_small = small[~small[on].isin(hot_vals)]
+
+    small_schema = pa.Schema.from_pandas(small)
+    out_fields = [pa.field(n, t) for n, t in zip(big_schema.names, big_schema.types)]
+    out_fields += [small_schema.field(c) for c in small.columns if c != on]
+    out_schema = pa.schema(out_fields)
+
+    halves = []
+    if hot_vals:
+        halves.append(
+            big.map_batches(
+                _HotSideJoiner(ray.put(hot_vals), ray.put(hot_small), on, out_schema),
+                batch_format="pandas",
+            )
+        )
+    if len(cold_small):
+        hot_ref = ray.put(hot_vals)
+
+        class _ColdFilter:
+            def __init__(self) -> None:
+                self._hot = None
+
+            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+                if self._hot is None:
+                    self._hot = ray.get(hot_ref)
+                return batch[~batch[on].isin(self._hot)]
+
+        cold_big = big.map_batches(_ColdFilter(), batch_format="pandas")
+        cold_joined = shuffle_join(
+            cold_big, rd.from_pandas(cold_small), on, how="inner",
+            num_buckets=num_buckets,
+        ).map_batches(
+            lambda b: pa.Table.from_pandas(
+                b[[f.name for f in out_schema]], preserve_index=False,
+                schema=out_schema,
+            ),
+            batch_format="pandas",
+        )
+        halves.append(cold_joined)
+    if not halves:
+        return rd.from_arrow(out_schema.empty_table())
+    return halves[0] if len(halves) == 1 else halves[0].union(halves[1])

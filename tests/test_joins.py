@@ -76,3 +76,49 @@ def test_salted_per_user_family_equals_plain(ray_session):
         salted = salted_fn(sf).sort_values("event_id").reset_index(drop=True)
         pd.testing.assert_frame_equal(plain[sorted(plain.columns)],
                                       salted[sorted(salted.columns)])
+
+
+def test_skew_split_join_equals_shuffle(ray_session):
+    """Hot/cold split must be invisible: skew_split_join == shuffle_join
+    on a corpus with a genuine mega-key, at thresholds that exercise
+    all-hot, mixed, and all-cold splits."""
+    import numpy as np
+
+    from opps_feedcrawler_ray.functions.joins import skew_split_join
+
+    rng = np.random.default_rng(7)
+    keys = np.concatenate([np.full(500, 3), rng.integers(0, 40, 300)])  # key 3 is hot
+    left = rd.from_arrow(
+        pa.table({"k": pa.array(keys, pa.int64()),
+                  "lv": pa.array(np.arange(len(keys)), pa.int64())})
+    )
+    right = pd.DataFrame({"k": np.arange(40, dtype="int64"),
+                          "name": [f"dim{i}" for i in range(40)]})
+    want = _norm(shuffle_join(left, rd.from_pandas(right), on="k", num_buckets=4).to_pandas())
+    for thr in (0, 100, 10**9):  # all-hot / mixed / all-cold
+        got = _norm(skew_split_join(left, right, on="k", hot_threshold=thr,
+                                    num_buckets=4).to_pandas())
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_skew_split_join_routes_hot_key_mapside(ray_session):
+    """At threshold 100 exactly one key is hot (the 500-row mega-key):
+    the histogram split is what the docstring claims."""
+    import numpy as np
+
+    import ray
+    from opps_feedcrawler_ray.functions import joins as J
+
+    rng = np.random.default_rng(7)
+    keys = np.concatenate([np.full(500, 3), rng.integers(0, 40, 300)])
+    left = rd.from_arrow(pa.table({"k": pa.array(keys, pa.int64())}))
+
+    def key_partial(batch):
+        return batch.groupby(["k"], as_index=False).agg(__n=("k", "size"))
+
+    hist = (
+        left.map_batches(key_partial, batch_format="pandas")
+        .groupby("k").sum("__n").to_pandas()
+    )
+    hot = set(hist.loc[hist["sum(__n)"] > 100, "k"].tolist())
+    assert hot == {3}
