@@ -367,3 +367,67 @@ def export_wet(crawl_log_path: str, out_dir: str) -> int:
         return pa.table({"n": pa.array([t.num_rows], pa.int64())})
 
     return int(ds.map_batches(write_block, batch_format="pyarrow").sum("n") or 0)
+
+
+def export_wat(crawl_log_path: str, out_dir: str) -> int:
+    """Crawl log → WAT (WARC metadata records — the Common-Crawl
+    metadata distribution next to WET): per fetched row one
+    ``WARC-Type: metadata`` record whose body is the JSON envelope of
+    everything the log knows about the fetch (host, round, fetch_seq,
+    language, link count, text length).  Deterministic resumable file
+    names (``wat-<min fetch_seq>.warc.wat.gz`` per block), streaming
+    Dataset consumer, no driver-side materialization — same layout
+    rules as :func:`export_wet`."""
+    import gzip as _gzip
+    import json as _json
+
+    os.makedirs(out_dir, exist_ok=True)
+    ds = rd.read_parquet(
+        crawl_log_path,
+        columns=["url", "host", "round", "fetch_seq", "warc_ts", "text",
+                 "lang", "n_links", "status"],
+    )
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["status"], "fetched"))
+        if t.num_rows == 0:
+            return pa.table({"n": pa.array([0], pa.int64())})
+        seq = int(pc.min(t["fetch_seq"]).as_py())
+        parts = []
+        for row in t.to_pylist():
+            ts = row["warc_ts"]
+            date = ts.strftime("%Y-%m-%dT%H:%M:%SZ") if ts is not None else "1970-01-01T00:00:00Z"
+            envelope = {
+                "Envelope": {
+                    "WARC-Header-Metadata": {
+                        "WARC-Target-URI": row["url"],
+                        "WARC-Date": date,
+                    },
+                    "Payload-Metadata": {
+                        "host": row["host"],
+                        "round": row["round"],
+                        "fetch_seq": row["fetch_seq"],
+                        "lang": row["lang"],
+                        "n_links": row["n_links"],
+                        "text_length": len(row["text"] or ""),
+                    },
+                }
+            }
+            body = _json.dumps(envelope, sort_keys=True).encode("utf-8")
+            hdr = (
+                "WARC/1.0\r\n"
+                "WARC-Type: metadata\r\n"
+                f"WARC-Target-URI: {row['url']}\r\n"
+                f"WARC-Date: {date}\r\n"
+                "Content-Type: application/json\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n"
+            ).encode()
+            parts.append(_gzip.compress(hdr + body + b"\r\n\r\n"))
+        path = os.path.join(out_dir, f"wat-{seq:012d}.warc.wat.gz")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(b"".join(parts))
+        os.replace(tmp, path)
+        return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+    return int(ds.map_batches(write_block, batch_format="pyarrow").sum("n") or 0)

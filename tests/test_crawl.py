@@ -1038,3 +1038,38 @@ def test_adaptive_recrawl_backoff(ray_session, tmp_path_factory):
     b = df[df.url == rec].sort_values("round")
     assert list(b["round"]) == [0, 2, 6, 14, 30]
     assert list(b["status"]) == ["fetched"] + ["unchanged"] * 4
+
+
+def test_wat_export_roundtrip(smoke):
+    """Crawl log → WAT metadata records (the Common-Crawl metadata
+    distribution next to WET): every fetched row exports once and the
+    JSON envelope round-trips the log's metadata exactly."""
+    import glob as _glob
+    import gzip
+    import json as _json
+
+    from opps_feedcrawler_ray.sources.io import export_wat, parse_warc_records
+
+    out = f"{smoke['tmp']}/wat"
+    n = export_wat(f"{smoke['tmp']}/out/crawl_log", out)
+    df = smoke["log"].to_pandas()
+    fetched = df[df.status == "fetched"].set_index("url")
+    assert n == len(fetched)
+    files = sorted(_glob.glob(f"{out}/wat-*.warc.wat.gz"))
+    assert files
+    seen = 0
+    for f in files:
+        t = parse_warc_records(
+            gzip.decompress(open(f, "rb").read()), want_types=("metadata",)
+        )
+        for r in t.to_pylist():
+            env = _json.loads(r["html"].decode("utf-8"))
+            pm = env["Envelope"]["Payload-Metadata"]
+            row = fetched.loc[r["url"]]
+            assert pm["fetch_seq"] == int(row["fetch_seq"])
+            assert pm["round"] == int(row["round"])
+            assert pm["host"] == row["host"]
+            assert pm["n_links"] == int(row["n_links"])
+            assert pm["text_length"] == len(row["text"] or "")
+            seen += 1
+    assert seen == n
