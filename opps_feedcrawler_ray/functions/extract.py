@@ -575,8 +575,15 @@ def parse_links(url: str, body: bytes | str, kind: str | None = None) -> list[st
 
 # --- rel=canonical (RFC 6596) -------------------------------------------
 _LINK_TAG_RE = re.compile(r"<link\b[^>]*>", re.I)
-_REL_CANON_RE = re.compile(r"""rel\s*=\s*(?:"canonical"|'canonical'|canonical(?=[\s/>]))""", re.I)
-_HREF_ATTR_RE = re.compile(r"""href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.I)
+# rel is a space-separated link-type token LIST (HTML spec): capture the
+# whole value, then membership-test the "canonical" token
+_REL_ATTR_RE = re.compile(
+    r"""(?<![-\w])rel\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.I
+)
+# left boundary: 'data-href=' / 'xhref=' must not match as href
+_HREF_ATTR_RE = re.compile(
+    r"""(?<![-\w])href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.I
+)
 
 
 def extract_canonical(url: str, body: bytes | str, kind: str | None = None) -> str | None:
@@ -594,7 +601,11 @@ def extract_canonical(url: str, body: bytes | str, kind: str | None = None) -> s
     text = decode_bytes(body)
     for m in _LINK_TAG_RE.finditer(text):
         tag = m.group(0)
-        if _REL_CANON_RE.search(tag):
+        rm = _REL_ATTR_RE.search(tag)
+        if rm is not None:
+            rel = next(g for g in rm.groups() if g is not None)
+            if "canonical" not in rel.lower().split():
+                continue
             hm = _HREF_ATTR_RE.search(tag)
             if hm is None:
                 continue

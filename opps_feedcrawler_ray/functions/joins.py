@@ -181,14 +181,16 @@ def skew_split_join(
        outer variants would need dim-side orphan accounting across the
        split).
 
-    The big side streams twice (hot pass + cold pass): at 100 TB two
-    pruned streaming reads beat shipping a hot key through one reducer.
-    Column names must not collide outside the key (asserted)."""
+    The big side streams three times (histogram + hot pass + cold pass):
+    at 100 TB three pruned streaming reads beat shipping a hot key
+    through one reducer (and the histogram pass reads the key column
+    only).  Column names must not collide outside the key."""
     if isinstance(small, rd.Dataset):
         small = small.to_pandas()
     big_schema = big.schema()
     overlap = (set(big_schema.names) & set(small.columns)) - {on}
-    assert not overlap, f"non-key column collision: {overlap}"
+    if overlap:
+        raise ValueError(f"non-key column collision: {overlap}")
 
     def key_partial(batch: pd.DataFrame) -> pd.DataFrame:
         return batch.groupby([on], as_index=False).agg(__n=(on, "size"))
@@ -209,15 +211,15 @@ def skew_split_join(
     out_schema = pa.schema(out_fields)
 
     halves = []
+    hot_ref = ray.put(hot_vals)  # ONE object-store copy, shared by both stages
     if hot_vals:
         halves.append(
             big.map_batches(
-                _HotSideJoiner(ray.put(hot_vals), ray.put(hot_small), on, out_schema),
+                _HotSideJoiner(hot_ref, ray.put(hot_small), on, out_schema),
                 batch_format="pandas",
             )
         )
     if len(cold_small):
-        hot_ref = ray.put(hot_vals)
 
         class _ColdFilter:
             def __init__(self) -> None:

@@ -575,13 +575,21 @@ def events_segment_skew_join(sf_dir: str) -> pd.DataFrame:
     ).rename(columns={"c_custkey": "user_id"})
     joined = skew_split_join(ev, cust, on="user_id", hot_threshold=80)
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
+    _pschema = pa.schema(
+        [("c_mktsegment", pa.string()), ("event_type", pa.string()),
+         ("n", pa.int64()), ("value_e4", pa.int64())]
+    )
+
+    def partial(b: pd.DataFrame) -> pa.Table:
         b = b.assign(
             value_e4=np.round(b["value"].to_numpy() * 10000).astype("int64")
         )
-        return b.groupby(["c_mktsegment", "event_type"], as_index=False).agg(
+        g = b.groupby(["c_mktsegment", "event_type"], as_index=False).agg(
             n=("value_e4", "size"), value_e4=("value_e4", "sum")
         )
+        # explicit schema: a zero-hot-key block yields an EMPTY frame here
+        # whose object columns would otherwise infer Arrow null type
+        return pa.Table.from_pandas(g, preserve_index=False, schema=_pschema)
 
     out = (
         joined.map_batches(partial, batch_format="pandas")
@@ -613,9 +621,17 @@ def active_users_7d(sf_dir: str) -> pd.DataFrame:
 
     ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "user_id", "ts"])
 
-    def dedup_partial(b: pd.DataFrame) -> pd.DataFrame:
+    _tschema = pa.schema(
+        [("event_type", pa.string()), ("user_id", pa.int64()),
+         ("day", pa.timestamp("ns"))]
+    )
+
+    def dedup_partial(b: pd.DataFrame) -> pa.Table:
         b = b.assign(day=b["ts"].dt.floor("D"))
-        return b[["event_type", "user_id", "day"]].drop_duplicates()
+        return pa.Table.from_pandas(
+            b[["event_type", "user_id", "day"]].drop_duplicates(),
+            preserve_index=False, schema=_tschema,  # empty-block safe
+        )
 
     acts = (
         ev.map_batches(dedup_partial, batch_format="pandas")
@@ -626,7 +642,7 @@ def active_users_7d(sf_dir: str) -> pd.DataFrame:
     spine = set(acts.groupby("day").count().to_pandas()["day"])  # observed days
     spine_ref = ray.put(spine)
 
-    def expand(b: pd.DataFrame) -> pd.DataFrame:
+    def expand(b: pd.DataFrame) -> pa.Table:
         sp = ray.get(spine_ref)
         n = len(b)
         idx = np.tile(np.arange(n), 7)
@@ -638,7 +654,9 @@ def active_users_7d(sf_dir: str) -> pd.DataFrame:
                 "day": b["day"].to_numpy()[idx] + off * np.timedelta64(1, "D"),
             }
         )
-        return out[out["day"].isin(sp)]
+        return pa.Table.from_pandas(
+            out[out["day"].isin(sp)], preserve_index=False, schema=_tschema,
+        )
 
     def count_group(g: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -685,12 +703,26 @@ def events_trailing_3d(sf_dir: str) -> pd.DataFrame:
         return b
 
     def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {"event_id": pd.Series(dtype="int64"),
+                 "user_id": pd.Series(dtype="int64"),
+                 "trail_e2": pd.Series(dtype="int64")}
+            )
         g = g.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
         ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
         uid = g["user_id"].to_numpy(dtype="int64")
         codes = pd.factorize(uid)[0].astype("int64")  # ascending (g is sorted)
         off = ts - ts.min()
         r = off.max() + _w + 2
+        if codes[-1] >= (2**62) // max(r, 1):
+            # composite key would overflow int64 and silently unsort —
+            # raise rather than return wrong frames; the fix is a higher
+            # bucket count (fewer users per bucket) or coarser ts units
+            raise ValueError(
+                f"trailing-window composite key overflow: {codes[-1] + 1} "
+                f"users x {r} us span in one bucket — raise nb above {nb}"
+            )
         key = codes * r + off
         v = np.floor(g["value"].to_numpy() * 100.0 + 0.5).astype("int64")
         cs = np.concatenate([[0], np.cumsum(v)])
@@ -1743,7 +1775,7 @@ def doc_lm_perplexity(sf_dir: str) -> pd.DataFrame:
     # split delimiter, so " " is unreachable as a real second word
     _V = " "
 
-    def bigrams_of(batch: pa.Table) -> pd.DataFrame:
+    def tokens_of(batch: pa.Table):
         toks = pc.split_pattern(batch["text"], pattern=" ")
         lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
         flat = pc.list_flatten(toks)
@@ -1752,7 +1784,9 @@ def doc_lm_perplexity(sf_dir: str) -> pd.DataFrame:
         tok = flat.to_pandas().to_numpy(dtype=object)
         di = np.repeat(batch["doc_id"].to_numpy(zero_copy_only=False), lens)
         keep = tok != ""
-        tok, di = tok[keep], di[keep]
+        return tok[keep], di[keep]
+
+    def bigrams_from(tok: np.ndarray, di: np.ndarray) -> pd.DataFrame:
         if len(tok) < 2:
             return pd.DataFrame({"doc_id": di[:0], "w1": tok[:0], "w2": tok[:0]})
         same = di[:-1] == di[1:]
@@ -1760,18 +1794,19 @@ def doc_lm_perplexity(sf_dir: str) -> pd.DataFrame:
             {"doc_id": di[:-1][same], "w1": tok[:-1][same], "w2": tok[1:][same]}
         )
 
+    def bigrams_of(batch: pa.Table) -> pd.DataFrame:
+        return bigrams_from(*tokens_of(batch))
+
     _schema = pa.schema([("w1", pa.string()), ("w2", pa.string()), ("c", pa.int64())])
 
     def partial(batch: pa.Table) -> pa.Table:
-        b = bigrams_of(batch)
+        tok, di = tokens_of(batch)  # ONE tokenization per batch
+        b = bigrams_from(tok, di)
         g = b.groupby(["w1", "w2"], as_index=False).agg(c=("w1", "size"))
         # distinct-token markers (vocabulary size needs LAST tokens too,
         # which never appear as a bigram context): one row per distinct
         # token in this batch, summed counts are ignored downstream
-        toks = pc.split_pattern(batch["text"], pattern=" ")
-        flat = pc.unique(pc.list_flatten(toks)).to_pandas()
-        flat = flat[flat != ""]
-        marks = pd.DataFrame({"w1": flat, "w2": _V, "c": 1})
+        marks = pd.DataFrame({"w1": pd.unique(tok), "w2": _V, "c": 1})
         return pa.Table.from_pandas(
             pd.concat([g, marks], ignore_index=True), preserve_index=False,
             schema=_schema,

@@ -822,6 +822,8 @@ def _write_manifest(cfg: CrawlConfig, round_idx: int, fetch_seq: int, lineage: l
         "max_pages_per_host": cfg.max_pages_per_host,
         "skip_unchanged": cfg.skip_unchanged,
         "adaptive_recrawl": cfg.adaptive_recrawl,
+        "adaptive_max_factor": cfg.adaptive_max_factor,
+        "honor_canonical": cfg.honor_canonical,
         "lineage": lineage,
     }
     tmp = os.path.join(ckpt_root, "_MANIFEST.json.tmp")
@@ -969,13 +971,20 @@ def crawl(cfg: CrawlConfig) -> dict:
             "seen_filter": cfg.seen_filter,
             "skip_unchanged": cfg.skip_unchanged,
             "adaptive_recrawl": cfg.adaptive_recrawl,
+            "adaptive_max_factor": cfg.adaptive_max_factor,
+            # honor_canonical changes the LOG SCHEMA (the canonical
+            # column) and which URLs get offered — flipping it on resume
+            # would mix parquet schemas across round partitions
+            "honor_canonical": cfg.honor_canonical,
         }
         for key, want in frozen.items():
             have = manifest.get(key)
             if key == "seen_filter" and have is None:
                 have = "cuckoo"  # pre-bloom manifests are all cuckoo
-            if key in ("skip_unchanged", "adaptive_recrawl") and have is None:
+            if key in ("skip_unchanged", "adaptive_recrawl", "honor_canonical") and have is None:
                 have = False  # pre-flag manifests never used these
+            if key == "adaptive_max_factor" and have is None:
+                have = cfg.adaptive_max_factor if not cfg.adaptive_recrawl else 8
             if have != want:
                 raise ValueError(
                     f"cannot resume with a different {key} (manifest={have!r}, "

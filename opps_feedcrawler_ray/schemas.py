@@ -44,6 +44,8 @@ READY = pa.schema(
         ("round", pa.int32()),
         ("host_rank", pa.int64()),  # 0-based rank within (host, round) politeness order
         ("sub", pa.int32()),        # emitting frontier shard (salted hosts span several)
+        ("track", pa.int8()),       # 1 = recurring url (content hash worth recording)
+        ("prev_hash", pa.uint64()), # last-seen content fingerprint (0 = none yet)
     ]
 )
 
@@ -58,9 +60,11 @@ CRAWL_LOG = pa.schema(
         ("text", pa.string()),
         ("lang", pa.string()),
         ("n_links", pa.int32()),
-        ("status", pa.string()),  # fetched | not_found
+        ("status", pa.string()),  # fetched | not_found | unchanged (skip_unchanged)
     ]
 )
+# opt-in log columns (present only when the flag is on, frozen in the
+# resume manifest): honor_canonical adds ("canonical", pa.string())
 
 SEEN_SET = pa.schema([("url_hash", pa.uint64()), ("url", pa.string())])
 

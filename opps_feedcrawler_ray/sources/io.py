@@ -393,6 +393,11 @@ def export_wat(crawl_log_path: str, out_dir: str) -> int:
         if t.num_rows == 0:
             return pa.table({"n": pa.array([0], pa.int64())})
         seq = int(pc.min(t["fetch_seq"]).as_py())
+        # metadata needs text LENGTH only — never ship the bodies
+        # (the log's bulk) through Python row dicts
+        t = t.append_column(
+            "text_length", pc.fill_null(pc.utf8_length(t["text"]), 0).cast(pa.int64())
+        ).drop_columns(["text"])
         parts = []
         for row in t.to_pylist():
             ts = row["warc_ts"]
@@ -409,7 +414,7 @@ def export_wat(crawl_log_path: str, out_dir: str) -> int:
                         "fetch_seq": row["fetch_seq"],
                         "lang": row["lang"],
                         "n_links": row["n_links"],
-                        "text_length": len(row["text"] or ""),
+                        "text_length": row["text_length"],
                     },
                 }
             }

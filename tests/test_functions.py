@@ -537,6 +537,10 @@ def test_extract_canonical_matrix():
          "http://h.example/first"),
         (b'<link rel="canonical" href="/c#frag">', "http://h.example/c"),
         (b'<link rel="canonical" href="ftp://x/c">', None),
+        (b'<link data-href="/wrong" rel="canonical" href="/right">',
+         "http://h.example/right"),
+        (b'<link rel=canonical data-href="/x">', None),
+        (b'<link rel="alternate canonical" href="/c3">', "http://h.example/c3"),
         (b'<link rel="canonical">', None),
         (b"<p>no links at all</p>", None),
     ]
