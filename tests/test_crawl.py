@@ -1073,3 +1073,42 @@ def test_wat_export_roundtrip(smoke):
             assert pm["text_length"] == len(row["text"] or "")
             seen += 1
     assert seen == n
+
+
+def test_adaptive_recrawl_resume_equivalence(ray_session, tmp_path_factory):
+    """The adaptive revisit state (adapted intervals + base-interval
+    table + content fingerprints) survives checkpoint/restore: a
+    kill-after-round-3 + resume run reproduces the uninterrupted run's
+    backoff cadence byte-for-byte."""
+    tmp = str(tmp_path_factory.mktemp("adapt_resume"))
+    corpus = generate_corpus(f"{tmp}/corpus", n_hosts=3, n_pages=120)
+    seeds = pq.read_table(corpus["seeds"])
+    urls = seeds["url"].to_pylist()
+    iv = [2 if u == urls[0] else None for u in urls]
+    seeds_path = f"{tmp}/seeds_interval.parquet"
+    pq.write_table(seeds.append_column("interval", pa.array(iv, pa.int32())), seeds_path)
+
+    base = dict(
+        pages_path=corpus["pages"], seeds_path=seeds_path,
+        num_frontier_actors=2, politeness_budget=8, num_buckets=4,
+        num_fetch_actors=2, adaptive_recrawl=True,
+    )
+    crawl(CrawlConfig(**base, out_dir=f"{tmp}/full", max_rounds=40))
+    full = read_log(f"{tmp}/full")
+
+    # kill AFTER the first backoff adaptation (round 2's re-fetch) so the
+    # restored run must carry the ADAPTED interval, not the base
+    crawl(CrawlConfig(**base, out_dir=f"{tmp}/part", max_rounds=4))
+    crawl(CrawlConfig(**base, out_dir=f"{tmp}/part", max_rounds=40, resume=True))
+    resumed = read_log(f"{tmp}/part")
+    assert resumed.equals(full)
+    rec_rounds = sorted(
+        r for u, r in zip(full["url"].to_pylist(), full["round"].to_pylist())
+        if u == urls[0]
+    )
+    assert rec_rounds == [0, 2, 6, 14, 30]
+
+    # resuming with the flag flipped must be rejected (frozen manifest)
+    with pytest.raises(ValueError, match="adaptive_recrawl"):
+        crawl(CrawlConfig(**{**base, "adaptive_recrawl": False},
+                          out_dir=f"{tmp}/part", max_rounds=40, resume=True))
