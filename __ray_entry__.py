@@ -260,6 +260,12 @@ def _q_doc_triangles(sf_dir: str):
     return doc_triangle_counts(sf_dir)
 
 
+def _q_doc_bfs_depth(sf_dir: str):
+    from opps_feedcrawler_ray.pipelines.webpipe import doc_bfs_depth
+
+    return doc_bfs_depth(sf_dir)
+
+
 def _q_host_pagerank(sf_dir: str):
     """Iterative distributed PageRank (rows-only: iterative algorithms
     have no SQL oracle; a numpy power-iteration twin is pinned in tests)."""
@@ -433,6 +439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank": _q_host_pagerank,
         "host_components": _q_host_components,
         "doc_triangle_counts": _q_doc_triangles,
+        "doc_bfs_depth": _q_doc_bfs_depth,
         "events_daily_distinct_users": A.events_daily_distinct_users,
         "user_mode_event": A.user_mode_event,
         "purchase_days_no_click": A.purchase_days_no_click,
@@ -1088,6 +1095,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT y FROM tri UNION ALL SELECT z FROM tri) "
             "SELECT doc_id, COUNT(*) AS n_triangles FROM v "
             "GROUP BY doc_id ORDER BY doc_id"
+        ),
+        "doc_bfs_depth": (
+            # min-reachable depth (recursive CTE, UNION-deduped, depth
+            # bounded) over the same closed-form directed links the
+            # triangle oracle proves equal to the parse pipeline
+            "WITH RECURSIVE n AS (SELECT COUNT(*) AS n FROM documents), "
+            "k AS (SELECT unnest(range(6)) AS k), "
+            "e0 AS (SELECT doc_id AS a, (doc_id * 37 + 11 * k + 1) % n.n AS b "
+            "FROM documents CROSS JOIN k CROSS JOIN n), "
+            "e AS (SELECT a, b FROM e0 WHERE a <> b), "
+            "reach AS (SELECT 0 AS doc_id, 0 AS d "
+            "UNION SELECT e.b, reach.d + 1 FROM reach "
+            "JOIN e ON e.a = reach.doc_id WHERE reach.d < 32) "
+            "SELECT doc_id, CAST(MIN(d) AS BIGINT) AS depth "
+            "FROM reach GROUP BY doc_id ORDER BY doc_id"
         ),
         "events_daily_distinct_users": (
             "SELECT event_type, date_trunc('day', ts) AS day, "

@@ -109,6 +109,7 @@ QUERY_NAMES = [
     "events_trailing_3d",
     "active_users_7d",
     "events_segment_skew_join",
+    "doc_bfs_depth",
 ]
 
 

@@ -612,3 +612,102 @@ def doc_triangle_counts(sf_dir: str, work_dir: str | None = None):
         .to_pandas()
     )
     return out[["doc_id", "n_triangles"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_bfs_depth(
+    sf_dir: str, work_dir: str | None = None, source: int = 0, max_depth: int = 32
+) -> pd.DataFrame:
+    """Distributed BFS (crawl-depth labeling from a seed) over the
+    DIRECTED doc link graph — the fourth iterative-graph op next to
+    PageRank, connected components and triangle counting, and the batch
+    twin of what the crawl's round counter computes live.
+
+    Per iteration the depth table (≤ reached nodes — the same
+    fits-a-heap broadcast assumption ``host_pagerank`` documents, with
+    the same bucketed co-shuffle fallback past it) broadcasts via
+    ``ray.put`` into ONE ``map_batches`` over the PINNED edge dataset;
+    each batch proposes ``depth[dst] = depth[src] + 1`` with a per-batch
+    min combiner, one |nodes|-key groupby-min closes the step, and the
+    driver early-exits on fixpoint (≤ graph-eccentricity iterations).
+    Edges never move — only the depth table does.  Oracle: recursive-CTE
+    min-reachable depth over the corpus' closed-form id-arithmetic
+    links (same closed form the triangle oracle proves equal to the
+    parse → canonicalize pipeline)."""
+    import pandas as pd
+
+    import ray
+
+    from ..functions.extract import parse_links
+    from ..functions.urlnorm import canonicalize_batch
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    work = work_dir or f"/tmp/opps_feedcrawler_ray/webpipe-{sf_tag}"
+    paths = build_pages_from_documents(
+        os.path.join(sf_dir, "documents.parquet"), os.path.join(work, "corpus")
+    )
+    pages = rd.read_parquet(paths["pages"], columns=["url", "html"])
+
+    def _doc_id(url: str) -> int:
+        return int(url.rsplit("/", 1)[1])
+
+    edge_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+    def edge_partial(batch: pa.Table) -> pa.Table:
+        srcs: list[int] = []
+        dsts: list[int] = []
+        for u, h in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
+            if "/d/" not in u and "/priv/" not in u:
+                continue  # host roots / robots.txt — not document pages
+            links = parse_links(u, h)
+            if not links:
+                continue
+            canons, _, _ = canonicalize_batch(links)
+            sid = _doc_id(u)
+            for c in canons:
+                if c:
+                    srcs.append(sid)
+                    dsts.append(_doc_id(c))
+        s = np.asarray(srcs, dtype=np.int64)
+        d = np.asarray(dsts, dtype=np.int64)
+        keep = s != d  # self-links never change a BFS depth
+        df = pd.DataFrame({"a": s[keep], "b": d[keep]}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False, schema=edge_schema)
+
+    edges = pages.map_batches(edge_partial, batch_format="pyarrow").materialize()
+
+    prop_schema = pa.schema([("doc_id", pa.int64()), ("nd", pa.int64())])
+    depth: dict[int, int] = {source: 0}
+    for _ in range(max_depth):
+        ref = ray.put(depth)
+
+        def propose(batch: pa.Table) -> pa.Table:
+            dmap = ray.get(ref)
+            df = batch.to_pandas()
+            da = df["a"].map(dmap)
+            m = da.notna()
+            g = (
+                pd.DataFrame(
+                    {"doc_id": df.loc[m, "b"].to_numpy(dtype="int64"),
+                     "nd": (da[m].to_numpy(dtype="float64") + 1).astype("int64")}
+                )
+                .groupby("doc_id", as_index=False)["nd"]
+                .min()
+            )
+            return pa.Table.from_pandas(g, preserve_index=False, schema=prop_schema)
+
+        prop = (
+            edges.map_batches(propose, batch_format="pyarrow")
+            .groupby("doc_id")
+            .min("nd")
+            .to_pandas()
+        )
+        changed = False
+        for did, nd in zip(prop["doc_id"].to_numpy(), prop["min(nd)"].to_numpy()):
+            did, nd = int(did), int(nd)
+            if did not in depth or nd < depth[did]:
+                depth[did] = nd
+                changed = True
+        if not changed:
+            break
+    out = pd.DataFrame(sorted(depth.items()), columns=["doc_id", "depth"])
+    return out.astype({"doc_id": "int64", "depth": "int64"})

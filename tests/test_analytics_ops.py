@@ -1153,3 +1153,28 @@ def test_active_users_7d_matches_pandas_brute(ray_session):
                 rows.append((et, d, w["user_id"].nunique()))
     exp = pd.DataFrame(rows, columns=["event_type", "day", "n_active"])
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_doc_bfs_depth_matches_python_bfs(ray_session):
+    """Distributed depth propagation equals a driver-side BFS over the
+    same parse-derived edge list (depths, reach set, and source)."""
+    from collections import deque
+
+    from opps_feedcrawler_ray.pipelines.webpipe import doc_bfs_depth
+
+    got = doc_bfs_depth(SF)
+    n = len(pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"]))
+    adj = {
+        a: sorted({(a * 37 + 11 * k + 1) % n for k in range(6)} - {a})
+        for a in range(n)
+    }
+    depth = {0: 0}
+    q = deque([0])
+    while q:
+        x = q.popleft()
+        for y in adj[x]:
+            if y not in depth:
+                depth[y] = depth[x] + 1
+                q.append(y)
+    exp = pd.DataFrame(sorted(depth.items()), columns=["doc_id", "depth"])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
