@@ -574,7 +574,9 @@ def parse_links(url: str, body: bytes | str, kind: str | None = None) -> list[st
 
 
 # --- rel=canonical (RFC 6596) -------------------------------------------
-_LINK_TAG_RE = re.compile(r"<link\b[^>]*>", re.I)
+# quoted attribute values may legally contain ">" — skip over them so the
+# tag match never truncates mid-attribute and corrupts the href
+_LINK_TAG_RE = re.compile(r"""<link\b(?:[^>"']|"[^"]*"|'[^']*')*>""", re.I)
 # rel is a space-separated link-type token LIST (HTML spec): capture the
 # whole value, then membership-test the "canonical" token
 _REL_ATTR_RE = re.compile(

@@ -541,6 +541,11 @@ def test_extract_canonical_matrix():
          "http://h.example/right"),
         (b'<link rel=canonical data-href="/x">', None),
         (b'<link rel="alternate canonical" href="/c3">', "http://h.example/c3"),
+        # ">" inside a quoted attribute must not truncate the tag
+        (b'<link title="a>b" rel="canonical" href="/c4">', "http://h.example/c4"),
+        # raw absolute form, like hrefs elsewhere — the offer path's
+        # canonicalizer percent-encodes later
+        (b'<link rel="canonical" href="/a>b">', "http://h.example/a>b"),
         (b'<link rel="canonical">', None),
         (b"<p>no links at all</p>", None),
     ]
