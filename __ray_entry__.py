@@ -428,6 +428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_trailing_3d": A.events_trailing_3d,
         "active_users_7d": A.active_users_7d,
         "events_segment_skew_join": A.events_segment_skew_join,
+        "source_lang_entropy": A.source_lang_entropy,
         "customer_big_order_counts": A.customer_big_order_counts,
         "heavy_hitter_tokens": A.heavy_hitter_tokens,
         "events_quantiles": A.events_quantiles,
@@ -721,6 +722,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM sh x JOIN sh y ON x.doc_id < y.doc_id "
             "WHERE len(list_intersect(x.s, y.s)) > 0) "
             "WHERE jaccard_e4 >= 4000"
+        ),
+        "source_lang_entropy": (
+            # Shannon entropy of each source's language mix; e6 half-up
+            # with the SAME float expression on both sides
+            "WITH c AS (SELECT source, lang, COUNT(*)::BIGINT AS n "
+            "FROM documents GROUP BY source, lang), "
+            "t AS (SELECT source, SUM(n)::BIGINT AS tot FROM c GROUP BY source) "
+            "SELECT c.source, CAST(COUNT(*) AS BIGINT) AS n_langs, "
+            "CAST(FLOOR(-SUM((c.n * 1.0 / t.tot) * LN(c.n * 1.0 / t.tot)) "
+            "* 1e6 + 0.5) AS BIGINT) AS entropy_e6 "
+            "FROM c JOIN t USING (source) GROUP BY c.source ORDER BY c.source"
         ),
         "events_segment_skew_join": (
             # the hot/cold split is invisible in the answer — the plain

@@ -110,6 +110,7 @@ QUERY_NAMES = [
     "active_users_7d",
     "events_segment_skew_join",
     "doc_bfs_depth",
+    "source_lang_entropy",
 ]
 
 

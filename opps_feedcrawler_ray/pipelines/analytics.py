@@ -558,6 +558,45 @@ def events_moving_sum3(sf_dir: str) -> pd.DataFrame:
     return ev.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
 
 
+def source_lang_entropy(sf_dir: str) -> pd.DataFrame:
+    """Corpus-mix diagnostics: Shannon entropy of each source's language
+    distribution — the information-theoretic aggregate data-mixing
+    dashboards track.  Shape: per-batch (source, lang) count combiner →
+    ONE exchange bounded by |sources|·|langs|; the entropy itself is
+    computed on the driver from that bounded table (grouped vectorized
+    p·ln p, rounded to e6 with the same floor(x+0.5) the oracle uses)."""
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["source", "lang"])
+
+    _schema = pa.schema(
+        [("source", pa.string()), ("lang", pa.string()), ("n", pa.int64())]
+    )
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        g = b.groupby(["source", "lang"], as_index=False).agg(n=("lang", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False, schema=_schema)
+
+    c = (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby(["source", "lang"])
+        .sum("n")
+        .to_pandas()
+        .rename(columns={"sum(n)": "n"})
+    )
+    tot = c.groupby("source")["n"].transform("sum").to_numpy(dtype="float64")
+    p = c["n"].to_numpy(dtype="float64") / tot
+    c = c.assign(term=-(p * np.log(p)))
+    out = c.groupby("source", as_index=False).agg(
+        n_langs=("lang", "size"), s=("term", "sum")
+    )
+    out["entropy_e6"] = np.floor(out["s"].to_numpy() * 1e6 + 0.5).astype("int64")
+    return (
+        out[["source", "n_langs", "entropy_e6"]]
+        .astype({"n_langs": "int64"})
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+
+
 def events_segment_skew_join(sf_dir: str) -> pd.DataFrame:
     """Fact ⋈ dim through the SKEW-SPLIT strategy
     (``functions.joins.skew_split_join``): users above the hot threshold

@@ -1178,3 +1178,26 @@ def test_doc_bfs_depth_matches_python_bfs(ray_session):
                 q.append(y)
     exp = pd.DataFrame(sorted(depth.items()), columns=["doc_id", "depth"])
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_source_lang_entropy_matches_math(ray_session):
+    """Entropy aggregate equals a from-first-principles recomputation,
+    and a single-language source has entropy exactly 0."""
+    import math
+
+    from opps_feedcrawler_ray.pipelines.analytics import source_lang_entropy
+
+    got = source_lang_entropy(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["source", "lang"])
+    rows = []
+    for src, g in docs.groupby("source"):
+        counts = g["lang"].value_counts()
+        p = counts / counts.sum()
+        h = float(-(p * p.map(math.log)).sum())
+        rows.append((src, len(counts), int(math.floor(h * 1e6 + 0.5))))
+    exp = pd.DataFrame(rows, columns=["source", "n_langs", "entropy_e6"])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # degenerate case: one language → H = 0 exactly
+    one = pd.DataFrame({"source": ["s"] * 4, "lang": ["en"] * 4})
+    p2 = one["lang"].value_counts() / 4
+    assert float(-(p2 * p2.map(math.log)).sum()) == 0.0
