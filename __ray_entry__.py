@@ -429,6 +429,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "active_users_7d": A.active_users_7d,
         "events_segment_skew_join": A.events_segment_skew_join,
         "source_lang_entropy": A.source_lang_entropy,
+        "users_weekly_purchasers": A.users_weekly_purchasers,
+        "orders_yoy_growth": A.orders_yoy_growth,
         "customer_big_order_counts": A.customer_big_order_counts,
         "heavy_hitter_tokens": A.heavy_hitter_tokens,
         "events_quantiles": A.events_quantiles,
@@ -722,6 +724,24 @@ def oracle_sql() -> dict[str, str]:
             "FROM sh x JOIN sh y ON x.doc_id < y.doc_id "
             "WHERE len(list_intersect(x.s, y.s)) > 0) "
             "WHERE jaccard_e4 >= 4000"
+        ),
+        "users_weekly_purchasers": (
+            # relational division: purchased in EVERY purchase week
+            "SELECT user_id FROM (SELECT DISTINCT user_id, "
+            "date_trunc('week', ts) AS w FROM events "
+            "WHERE event_type = 'purchase') GROUP BY user_id "
+            "HAVING COUNT(*) = (SELECT COUNT(DISTINCT date_trunc('week', ts)) "
+            "FROM events WHERE event_type = 'purchase') ORDER BY user_id"
+        ),
+        "orders_yoy_growth": (
+            # LAG over an aggregated series; the first year (no
+            # predecessor) is excluded on both sides
+            "SELECT year, rev_e2, delta_e2 FROM ("
+            "WITH y AS (SELECT CAST(strftime(o_orderdate, '%Y') AS BIGINT) AS year, "
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_e2 "
+            "FROM orders GROUP BY 1) "
+            "SELECT year, rev_e2, rev_e2 - LAG(rev_e2) OVER (ORDER BY year) AS delta_e2 "
+            "FROM y) WHERE delta_e2 IS NOT NULL ORDER BY year"
         ),
         "source_lang_entropy": (
             # Shannon entropy of each source's language mix; e6 half-up

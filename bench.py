@@ -111,6 +111,8 @@ QUERY_NAMES = [
     "events_segment_skew_join",
     "doc_bfs_depth",
     "source_lang_entropy",
+    "users_weekly_purchasers",
+    "orders_yoy_growth",
 ]
 
 

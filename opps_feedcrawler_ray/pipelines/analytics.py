@@ -558,6 +558,71 @@ def events_moving_sum3(sf_dir: str) -> pd.DataFrame:
     return ev.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
 
 
+def users_weekly_purchasers(sf_dir: str) -> pd.DataFrame:
+    """Relational DIVISION (the classic "FOR ALL" query): users with at
+    least one purchase in EVERY week the corpus has purchases.  Shape:
+    per-batch distinct (user, week) combiner → ONE exchange bounded by
+    |users|·|weeks| distinct pairs; the divisor cardinality and the
+    per-user week counts are tiny follow-up aggregates over that pinned
+    pair set.  Week = Monday-start truncation, the same rule as SQL
+    ``date_trunc('week', ts)``."""
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "event_type", "ts"])
+
+    _schema = pa.schema([("user_id", pa.int64()), ("week", pa.timestamp("ns"))])
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        b = b[b["event_type"] == "purchase"]
+        d = b["ts"].dt.normalize()
+        b = b.assign(week=d - pd.to_timedelta(d.dt.dayofweek, unit="D"))
+        return pa.Table.from_pandas(
+            b[["user_id", "week"]].drop_duplicates(), preserve_index=False,
+            schema=_schema,
+        )
+
+    pairs = (
+        ev.map_batches(partial, batch_format="pandas")
+        .groupby(["user_id", "week"])
+        .count()
+        .materialize()  # distinct pairs, read twice below (both tiny aggs)
+    )
+    n_weeks = pairs.groupby("week").count().count()
+    per_user = pairs.groupby("user_id").count().to_pandas()
+    out = per_user.loc[per_user["count()"] == n_weeks, ["user_id"]]
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def orders_yoy_growth(sf_dir: str) -> pd.DataFrame:
+    """Year-over-year revenue deltas — LAG over an AGGREGATED series:
+    per-batch (year, revenue) partials → one |years|-bounded exchange;
+    the lag/diff runs on the driver over that bounded series (first year
+    has no predecessor and is excluded on both sides)."""
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderdate", "o_totalprice"])
+
+    _schema = pa.schema([("year", pa.int64()), ("rev_e2", pa.int64())])
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        b = b.assign(
+            year=b["o_orderdate"].dt.year.astype("int64"),
+            rev_e2=np.round(b["o_totalprice"].to_numpy() * 100).astype("int64"),
+        )
+        g = b.groupby("year", as_index=False).agg(rev_e2=("rev_e2", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False, schema=_schema)
+
+    y = (
+        orders.map_batches(partial, batch_format="pandas")
+        .groupby("year")
+        .sum("rev_e2")
+        .to_pandas()
+        .rename(columns={"sum(rev_e2)": "rev_e2"})
+        .sort_values("year")
+        .reset_index(drop=True)
+    )
+    y["delta_e2"] = y["rev_e2"].diff()
+    y = y.dropna(subset=["delta_e2"])
+    y["delta_e2"] = y["delta_e2"].astype("int64")
+    return y[["year", "rev_e2", "delta_e2"]].reset_index(drop=True)
+
+
 def source_lang_entropy(sf_dir: str) -> pd.DataFrame:
     """Corpus-mix diagnostics: Shannon entropy of each source's language
     distribution — the information-theoretic aggregate data-mixing

@@ -1201,3 +1201,37 @@ def test_source_lang_entropy_matches_math(ray_session):
     one = pd.DataFrame({"source": ["s"] * 4, "lang": ["en"] * 4})
     p2 = one["lang"].value_counts() / 4
     assert float(-(p2 * p2.map(math.log)).sum()) == 0.0
+
+
+def test_users_weekly_purchasers_matches_pandas(ray_session):
+    """Relational division equals a direct set computation: qualifying
+    users' week sets equal the full purchase-week set."""
+    from opps_feedcrawler_ray.pipelines.analytics import users_weekly_purchasers
+
+    got = users_weekly_purchasers(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "event_type", "ts"])
+    p = ev[ev["event_type"] == "purchase"].copy()
+    d = p["ts"].dt.normalize()
+    p["week"] = d - pd.to_timedelta(d.dt.dayofweek, unit="D")
+    all_weeks = set(p["week"].unique())
+    exp = sorted(
+        u for u, g in p.groupby("user_id") if set(g["week"].unique()) == all_weeks
+    )
+    assert got["user_id"].tolist() == exp
+    # non-qualifying users genuinely miss a week (division is strict)
+    missing = set(p["user_id"].unique()) - set(exp)
+    for u in list(missing)[:3]:
+        assert set(p[p["user_id"] == u]["week"].unique()) != all_weeks
+
+
+def test_orders_yoy_growth_matches_pandas(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import orders_yoy_growth
+
+    got = orders_yoy_growth(SF)
+    o = pd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderdate", "o_totalprice"])
+    o["year"] = o["o_orderdate"].dt.year
+    o["rev_e2"] = np.round(o["o_totalprice"].to_numpy() * 100).astype("int64")
+    y = o.groupby("year", as_index=False)["rev_e2"].sum().sort_values("year")
+    y["delta_e2"] = y["rev_e2"].diff()
+    y = y.dropna(subset=["delta_e2"]).astype({"delta_e2": "int64", "year": "int64"})
+    pd.testing.assert_frame_equal(got, y.reset_index(drop=True), check_dtype=False)
