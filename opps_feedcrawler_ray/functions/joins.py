@@ -192,16 +192,30 @@ def skew_split_join(
     if overlap:
         raise ValueError(f"non-key column collision: {overlap}")
 
-    def key_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.groupby([on], as_index=False).agg(__n=(on, "size"))
+    # coarse-bucket aggregate (the repo's fast path for keyed combines):
+    # a raw groupby(key) pays per-distinct-key group overhead in the sort
+    # aggregate; equal keys share a bucket, so the per-key sum vectorizes
+    # inside ≤nb pandas tasks instead
+    _hschema = pa.schema(
+        [(on, dict(zip(big_schema.names, big_schema.types))[on]),
+         ("__n", pa.int64()), ("__b", pa.int64())]
+    )
+
+    def key_partial(batch: pd.DataFrame) -> pa.Table:
+        g = batch.groupby([on], as_index=False).agg(__n=(on, "size"))
+        g["__b"] = (_key_hash(g, [on]) % np.uint64(num_buckets)).astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False, schema=_hschema)
+
+    def key_sum(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(on, as_index=False)["__n"].sum()
 
     hist = (
         big.map_batches(key_partial, batch_format="pandas")
-        .groupby(on)
-        .sum("__n")
+        .groupby("__b")
+        .map_groups(key_sum, batch_format="pandas")
         .to_pandas()
     )
-    hot_vals = set(hist.loc[hist["sum(__n)"] > hot_threshold, on].tolist())
+    hot_vals = set(hist.loc[hist["__n"] > hot_threshold, on].tolist())
     hot_small = small[small[on].isin(hot_vals)]
     cold_small = small[~small[on].isin(hot_vals)]
 

@@ -567,27 +567,43 @@ def users_weekly_purchasers(sf_dir: str) -> pd.DataFrame:
     pair set.  Week = Monday-start truncation, the same rule as SQL
     ``date_trunc('week', ts)``."""
     ev = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "event_type", "ts"])
+    nb = 64
 
-    _schema = pa.schema([("user_id", pa.int64()), ("week", pa.timestamp("ns"))])
+    _schema = pa.schema(
+        [("user_id", pa.int64()), ("week", pa.timestamp("ns")), ("__b", pa.int64())]
+    )
 
     def partial(b: pd.DataFrame) -> pa.Table:
         b = b[b["event_type"] == "purchase"]
         d = b["ts"].dt.normalize()
         b = b.assign(week=d - pd.to_timedelta(d.dt.dayofweek, unit="D"))
+        d2 = b[["user_id", "week"]].drop_duplicates()
+        # user-keyed coarse bucket: ALL of a user's pair rows land in one
+        # bucket task, so the per-user distinct-week count completes there
+        d2 = d2.assign(__b=(d2["user_id"].to_numpy(dtype="int64") % nb))
+        return pa.Table.from_pandas(d2, preserve_index=False, schema=_schema)
+
+    def bucket_counts(g: pd.DataFrame) -> pa.Table:
+        c = (
+            g[["user_id", "week"]].drop_duplicates()
+            .groupby("user_id", as_index=False)
+            .agg(nw=("week", "size"))
+        )
         return pa.Table.from_pandas(
-            b[["user_id", "week"]].drop_duplicates(), preserve_index=False,
-            schema=_schema,
+            c, preserve_index=False,
+            schema=pa.schema([("user_id", pa.int64()), ("nw", pa.int64())]),
         )
 
-    pairs = (
-        ev.map_batches(partial, batch_format="pandas")
-        .groupby(["user_id", "week"])
-        .count()
-        .materialize()  # distinct pairs, read twice below (both tiny aggs)
+    dist = ev.map_batches(partial, batch_format="pandas").materialize()
+    # divisor cardinality: per-block unique weeks → driver union (no shuffle)
+    wk = dist.map_batches(
+        lambda t: pa.table({"week": pc.unique(t["week"])}), batch_format="pyarrow"
+    ).to_pandas()
+    n_weeks = wk["week"].nunique()
+    per_user = (
+        dist.groupby("__b").map_groups(bucket_counts, batch_format="pandas").to_pandas()
     )
-    n_weeks = pairs.groupby("week").count().count()
-    per_user = pairs.groupby("user_id").count().to_pandas()
-    out = per_user.loc[per_user["count()"] == n_weeks, ["user_id"]]
+    out = per_user.loc[per_user["nw"] == n_weeks, ["user_id"]]
     return out.sort_values("user_id").reset_index(drop=True)
 
 
@@ -713,14 +729,15 @@ def active_users_7d(sf_dir: str) -> pd.DataFrame:
     """Trailing-window DISTINCT-COUNT: per (event_type, day), users
     active in the trailing 7 days — the window × distinct combination
     no cumsum trick covers (a user seen twice in the window must count
-    once).  Shape: (1) per-batch (type, user, day) dedup combiner →
-    ONE exchange bounded by the distinct activity triples (≪ events);
-    (2) each distinct triple fans out to its ≤7 visible days (bounded
-    ×7, filtered to the observed-day spine broadcast via ``ray.put``);
-    (3) one (type, day) exchange with an in-group ``nunique`` — group
-    count is |types|·|days|, group size ≤ |users|.  The triple set is
-    materialized once because the spine derives from it; at true scale
-    recompute instead of pinning."""
+    once).  Shape: (1) BATCH-LOCAL distinct (type, user, day) — volume
+    reduction only, no global dedup exchange needed, since the final
+    in-group ``nunique`` dedups cross-batch repeats implicitly; (2) each
+    triple fans out to its ≤7 visible days (bounded ×7, filtered to the
+    observed-day spine broadcast via ``ray.put``); (3) the single
+    all-to-all: one (type, day) exchange with an in-group ``nunique`` —
+    group count is |types|·|days|, group size ≤ 7·|users| per batch
+    source.  The reduced triple set is materialized because the spine
+    derives from it; at true scale recompute instead of pinning."""
     import ray
 
     ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "user_id", "ts"])
@@ -734,16 +751,19 @@ def active_users_7d(sf_dir: str) -> pd.DataFrame:
         b = b.assign(day=b["ts"].dt.floor("D"))
         return pa.Table.from_pandas(
             b[["event_type", "user_id", "day"]].drop_duplicates(),
-            preserve_index=False, schema=_tschema,  # empty-block safe
+            preserve_index=False, schema=_tschema,
         )
 
-    acts = (
-        ev.map_batches(dedup_partial, batch_format="pandas")
-        .groupby(["event_type", "user_id", "day"])
-        .count()
-        .materialize()
+    # batch-local dedup is VOLUME REDUCTION only — no global triple
+    # exchange is needed, because the final per-(type, day) ``nunique``
+    # dedups cross-batch repeats implicitly.  ONE all-to-all total.
+    acts = ev.map_batches(dedup_partial, batch_format="pandas").materialize()
+    # observed-day spine: per-block unique days → driver union (no shuffle)
+    spine = set(
+        acts.map_batches(
+            lambda t: pa.table({"day": pc.unique(t["day"])}), batch_format="pyarrow"
+        ).to_pandas()["day"]
     )
-    spine = set(acts.groupby("day").count().to_pandas()["day"])  # observed days
     spine_ref = ray.put(spine)
 
     def expand(b: pd.DataFrame) -> pa.Table:
