@@ -695,11 +695,16 @@ def doc_bfs_depth(
             )
             return pa.Table.from_pandas(g, preserve_index=False, schema=prop_schema)
 
+        # per-batch proposals are already min-combined and node-bounded —
+        # the same fits-a-heap assumption the broadcast makes — so the
+        # final min runs driver-side instead of paying one sort exchange
+        # per iteration (blocks × |reached| rows cross, nothing shuffles)
         prop = (
             edges.map_batches(propose, batch_format="pyarrow")
-            .groupby("doc_id")
-            .min("nd")
             .to_pandas()
+            .groupby("doc_id", as_index=False)["nd"]
+            .min()
+            .rename(columns={"nd": "min(nd)"})
         )
         changed = False
         for did, nd in zip(prop["doc_id"].to_numpy(), prop["min(nd)"].to_numpy()):
