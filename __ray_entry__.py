@@ -430,6 +430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_segment_skew_join": A.events_segment_skew_join,
         "source_lang_entropy": A.source_lang_entropy,
         "users_weekly_purchasers": A.users_weekly_purchasers,
+        "segment_event_chi2": A.segment_event_chi2,
         "orders_yoy_growth": A.orders_yoy_growth,
         "customer_big_order_counts": A.customer_big_order_counts,
         "heavy_hitter_tokens": A.heavy_hitter_tokens,
@@ -724,6 +725,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM sh x JOIN sh y ON x.doc_id < y.doc_id "
             "WHERE len(list_intersect(x.s, y.s)) > 0) "
             "WHERE jaccard_e4 >= 4000"
+        ),
+        "segment_event_chi2": (
+            # chi-square independence statistic; e6 half-up with the SAME
+            # float expression on both sides
+            "WITH j AS (SELECT c_mktsegment AS seg, event_type AS et "
+            "FROM events JOIN customer ON user_id = c_custkey), "
+            "c AS (SELECT seg, et, COUNT(*)::DOUBLE AS o FROM j GROUP BY seg, et), "
+            "r AS (SELECT seg, SUM(o) AS rt FROM c GROUP BY seg), "
+            "k AS (SELECT et, SUM(o) AS ct FROM c GROUP BY et), "
+            "n AS (SELECT SUM(o) AS n FROM c) "
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_cells, "
+            "CAST((SELECT COUNT(*) FROM r) - 1 AS BIGINT) * "
+            "CAST((SELECT COUNT(*) FROM k) - 1 AS BIGINT) AS dof, "
+            "CAST(FLOOR(SUM(POWER(c.o - r.rt * k.ct / n.n, 2) / "
+            "(r.rt * k.ct / n.n)) * 1e6 + 0.5) AS BIGINT) AS chi2_e6 "
+            "FROM c JOIN r USING (seg) JOIN k USING (et) CROSS JOIN n"
         ),
         "users_weekly_purchasers": (
             # relational division: purchased in EVERY purchase week

@@ -113,6 +113,7 @@ QUERY_NAMES = [
     "source_lang_entropy",
     "users_weekly_purchasers",
     "orders_yoy_growth",
+    "segment_event_chi2",
 ]
 
 

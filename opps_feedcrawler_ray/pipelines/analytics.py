@@ -558,6 +558,56 @@ def events_moving_sum3(sf_dir: str) -> pd.DataFrame:
     return ev.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
 
 
+def segment_event_chi2(sf_dir: str) -> pd.DataFrame:
+    """Chi-square test of independence between customer segment and
+    event type — the statistical-hypothesis-testing aggregate (are the
+    two categoricals associated?).  Shape: broadcast dim join + per-batch
+    (segment, type) count combiner → ONE exchange bounded by the
+    |segments|·|types| contingency table; the statistic (observed vs
+    expected under independence) is vectorized driver math over those
+    ≤25 cells, rounded to integer e6 with the oracle's expression."""
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "event_type"])
+    cust = pd.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    ).rename(columns={"c_custkey": "user_id"})
+    joined = broadcast_join(ev, cust, on="user_id")
+
+    _schema = pa.schema(
+        [("seg", pa.string()), ("et", pa.string()), ("o", pa.int64())]
+    )
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        g = (
+            b.rename(columns={"c_mktsegment": "seg", "event_type": "et"})
+            .groupby(["seg", "et"], as_index=False)
+            .agg(o=("et", "size"))
+        )
+        return pa.Table.from_pandas(g, preserve_index=False, schema=_schema)
+
+    c = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby(["seg", "et"])
+        .sum("o")
+        .to_pandas()
+        .rename(columns={"sum(o)": "o"})
+    )
+    o = c["o"].to_numpy(dtype="float64")
+    rt = c.groupby("seg")["o"].transform("sum").to_numpy(dtype="float64")
+    ct = c.groupby("et")["o"].transform("sum").to_numpy(dtype="float64")
+    n = o.sum()
+    e = rt * ct / n
+    chi2 = float((np.power(o - e, 2) / e).sum())
+    return pd.DataFrame(
+        {
+            "n_cells": pd.array([len(c)], dtype="int64"),
+            "dof": pd.array(
+                [(c["seg"].nunique() - 1) * (c["et"].nunique() - 1)], dtype="int64"
+            ),
+            "chi2_e6": pd.array([int(np.floor(chi2 * 1e6 + 0.5))], dtype="int64"),
+        }
+    )
+
+
 def users_weekly_purchasers(sf_dir: str) -> pd.DataFrame:
     """Relational DIVISION (the classic "FOR ALL" query): users with at
     least one purchase in EVERY week the corpus has purchases.  Shape:

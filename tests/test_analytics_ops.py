@@ -1235,3 +1235,23 @@ def test_orders_yoy_growth_matches_pandas(ray_session):
     y["delta_e2"] = y["rev_e2"].diff()
     y = y.dropna(subset=["delta_e2"]).astype({"delta_e2": "int64", "year": "int64"})
     pd.testing.assert_frame_equal(got, y.reset_index(drop=True), check_dtype=False)
+
+
+def test_segment_event_chi2_matches_math(ray_session):
+    """Chi-square statistic equals a from-first-principles recomputation
+    over the raw contingency table; dof = (r-1)(c-1); a uniform table
+    would give chi2 exactly 0."""
+    from opps_feedcrawler_ray.pipelines.analytics import segment_event_chi2
+
+    got = segment_event_chi2(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "event_type"])
+    cu = pd.read_parquet(f"{SF}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    j = ev.merge(cu, left_on="user_id", right_on="c_custkey")
+    tab = j.groupby(["c_mktsegment", "event_type"]).size().unstack(fill_value=0)
+    o = tab.to_numpy(dtype="float64")
+    e = np.outer(o.sum(axis=1), o.sum(axis=0)) / o.sum()
+    mask = o > 0  # the pipeline only has cells with observations
+    chi2 = float(((o - e) ** 2 / e)[mask].sum())
+    assert int(got["chi2_e6"].iloc[0]) == int(np.floor(chi2 * 1e6 + 0.5))
+    assert int(got["dof"].iloc[0]) == (tab.shape[0] - 1) * (tab.shape[1] - 1)
+    assert int(got["n_cells"].iloc[0]) == int(mask.sum())
