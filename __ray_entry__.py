@@ -431,6 +431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_lang_entropy": A.source_lang_entropy,
         "users_weekly_purchasers": A.users_weekly_purchasers,
         "segment_event_chi2": A.segment_event_chi2,
+        "purchase_click_days_bag": A.purchase_click_days_bag,
         "orders_yoy_growth": A.orders_yoy_growth,
         "customer_big_order_counts": A.customer_big_order_counts,
         "heavy_hitter_tokens": A.heavy_hitter_tokens,
@@ -725,6 +726,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM sh x JOIN sh y ON x.doc_id < y.doc_id "
             "WHERE len(list_intersect(x.s, y.s)) > 0) "
             "WHERE jaccard_e4 >= 4000"
+        ),
+        "purchase_click_days_bag": (
+            # INTERSECT ALL (bag): min(multiplicity) copies survive;
+            # grouped to counts so the compare is row-stable
+            "SELECT user_id, day, COUNT(*)::BIGINT AS n FROM ("
+            "SELECT user_id, date_trunc('day', ts) AS day FROM events "
+            "WHERE event_type = 'purchase' "
+            "INTERSECT ALL "
+            "SELECT user_id, date_trunc('day', ts) AS day FROM events "
+            "WHERE event_type = 'click') "
+            "GROUP BY user_id, day ORDER BY user_id, day"
         ),
         "segment_event_chi2": (
             # chi-square independence statistic; e6 half-up with the SAME

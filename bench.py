@@ -114,6 +114,7 @@ QUERY_NAMES = [
     "users_weekly_purchasers",
     "orders_yoy_growth",
     "segment_event_chi2",
+    "purchase_click_days_bag",
 ]
 
 

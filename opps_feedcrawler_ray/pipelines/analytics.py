@@ -558,6 +558,59 @@ def events_moving_sum3(sf_dir: str) -> pd.DataFrame:
     return ev.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
 
 
+def purchase_click_days_bag(sf_dir: str) -> pd.DataFrame:
+    """INTERSECT ALL — BAG semantics (completes the set-op family next
+    to the distinct INTERSECT/EXCEPT): multiset intersection of the
+    (user, day) occurrences of purchases and clicks, i.e. per key
+    ``min(n_purchase, n_click)`` copies survive.  Shape: per-batch
+    (user, day) per-side count combiner → ONE user-keyed coarse-bucket
+    exchange (equal keys share a bucket) → vectorized per-key min; keys
+    with a zero side vanish, exactly like SQL INTERSECT ALL."""
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "event_type", "ts"])
+    nb = 64
+
+    _pschema = pa.schema(
+        [("user_id", pa.int64()), ("day", pa.timestamp("ns")),
+         ("p", pa.int64()), ("c", pa.int64()), ("__b", pa.int64())]
+    )
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        b = b[b["event_type"].isin(("purchase", "click"))]
+        b = b.assign(day=b["ts"].dt.floor("D"))
+        g = b.groupby(["user_id", "day", "event_type"], as_index=False).agg(
+            n=("event_type", "size")
+        )
+        is_p = g["event_type"].to_numpy() == "purchase"
+        n = g["n"].to_numpy(dtype="int64")
+        g = g.assign(p=np.where(is_p, n, 0), c=np.where(is_p, 0, n))
+        g = g.assign(__b=(g["user_id"].to_numpy(dtype="int64") % nb))
+        return pa.Table.from_pandas(
+            g[["user_id", "day", "p", "c", "__b"]], preserve_index=False,
+            schema=_pschema,
+        )
+
+    _oschema = pa.schema(
+        [("user_id", pa.int64()), ("day", pa.timestamp("ns")), ("n", pa.int64())]
+    )
+
+    def bucket(g: pd.DataFrame) -> pa.Table:
+        s = g.groupby(["user_id", "day"], as_index=False)[["p", "c"]].sum()
+        s = s.assign(n=np.minimum(s["p"].to_numpy(), s["c"].to_numpy()))
+        s = s[s["n"] > 0]
+        return pa.Table.from_pandas(
+            s[["user_id", "day", "n"]], preserve_index=False, schema=_oschema
+        )
+
+    return (
+        ev.map_batches(partial, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(bucket, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["user_id", "day"])
+        .reset_index(drop=True)
+    )
+
+
 def segment_event_chi2(sf_dir: str) -> pd.DataFrame:
     """Chi-square test of independence between customer segment and
     event type — the statistical-hypothesis-testing aggregate (are the

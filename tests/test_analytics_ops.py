@@ -1255,3 +1255,31 @@ def test_segment_event_chi2_matches_math(ray_session):
     assert int(got["chi2_e6"].iloc[0]) == int(np.floor(chi2 * 1e6 + 0.5))
     assert int(got["dof"].iloc[0]) == (tab.shape[0] - 1) * (tab.shape[1] - 1)
     assert int(got["n_cells"].iloc[0]) == int(mask.sum())
+
+
+def test_purchase_click_days_bag_matches_pandas(ray_session):
+    """Bag INTERSECT ALL equals per-key min of the two multisets, and
+    at least one key must exercise multiplicity > 1 (else the test
+    degenerates to distinct INTERSECT)."""
+    from opps_feedcrawler_ray.pipelines.analytics import purchase_click_days_bag
+
+    got = purchase_click_days_bag(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "event_type", "ts"])
+    ev["day"] = ev["ts"].dt.floor("D")
+    cnt = (
+        ev[ev["event_type"].isin(("purchase", "click"))]
+        .groupby(["user_id", "day", "event_type"])
+        .size()
+        .unstack(fill_value=0)
+    )
+    for col in ("purchase", "click"):
+        if col not in cnt.columns:
+            cnt[col] = 0
+    cnt["n"] = np.minimum(cnt["purchase"], cnt["click"])
+    exp = (
+        cnt[cnt["n"] > 0]["n"].reset_index()[["user_id", "day", "n"]]
+        .sort_values(["user_id", "day"])
+        .reset_index(drop=True)
+    )
+    exp.columns.name = None
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
