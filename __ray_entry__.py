@@ -432,6 +432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_weekly_purchasers": A.users_weekly_purchasers,
         "segment_event_chi2": A.segment_event_chi2,
         "purchase_click_days_bag": A.purchase_click_days_bag,
+        "user_event_pattern_counts": A.user_event_pattern_counts,
         "orders_yoy_growth": A.orders_yoy_growth,
         "customer_big_order_counts": A.customer_big_order_counts,
         "heavy_hitter_tokens": A.heavy_hitter_tokens,
@@ -726,6 +727,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM sh x JOIN sh y ON x.doc_id < y.doc_id "
             "WHERE len(list_intersect(x.s, y.s)) > 0) "
             "WHERE jaccard_e4 >= 4000"
+        ),
+        "user_event_pattern_counts": (
+            # MATCH_RECOGNIZE-lite: regex over the time-ordered
+            # event-initial string; same pattern both sides
+            "WITH s AS (SELECT user_id, "
+            "string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq "
+            "FROM events GROUP BY user_id) "
+            "SELECT user_id, CAST(len(regexp_extract_all(seq, 'v+c+p')) AS BIGINT) "
+            "AS n_funnels FROM s ORDER BY user_id"
         ),
         "purchase_click_days_bag": (
             # INTERSECT ALL (bag): min(multiplicity) copies survive;

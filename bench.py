@@ -115,6 +115,7 @@ QUERY_NAMES = [
     "orders_yoy_growth",
     "segment_event_chi2",
     "purchase_click_days_bag",
+    "user_event_pattern_counts",
 ]
 
 

@@ -558,6 +558,45 @@ def events_moving_sum3(sf_dir: str) -> pd.DataFrame:
     return ev.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
 
 
+def user_event_pattern_counts(sf_dir: str) -> pd.DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern matching: per user, count
+    non-overlapping ``view+ click+ purchase`` runs in the time-ordered
+    event stream (regex over the event-initial string — event types have
+    distinct initials).  Shape: ONE user-keyed coarse-bucket exchange;
+    inside each bucket the sort + per-user char-join build the sequences
+    (bounded: a user's whole stream fits a task — the same assumption
+    the as-of family documents) and one vectorized ``.str.count`` scores
+    every user at once.  Both sides count with the identical regex, so
+    non-overlapping greedy semantics match exactly."""
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "event_type", "ts", "event_id"])
+    nb = 64
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(ch=b["event_type"].str[0])
+        b["__b"] = (b["user_id"].to_numpy(dtype="int64") % nb).astype("int64")
+        return b[["user_id", "ch", "ts", "event_id", "__b"]]
+
+    _oschema = pa.schema([("user_id", pa.int64()), ("n_funnels", pa.int64())])
+
+    def bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        seq = g.groupby("user_id", sort=True)["ch"].agg("".join)
+        out = pd.DataFrame(
+            {"user_id": seq.index.to_numpy(dtype="int64"),
+             "n_funnels": seq.str.count("v+c+p").to_numpy(dtype="int64")}
+        )
+        return pa.Table.from_pandas(out, preserve_index=False, schema=_oschema)
+
+    return (
+        ev.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(bucket, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+
 def purchase_click_days_bag(sf_dir: str) -> pd.DataFrame:
     """INTERSECT ALL — BAG semantics (completes the set-op family next
     to the distinct INTERSECT/EXCEPT): multiset intersection of the

@@ -1283,3 +1283,24 @@ def test_purchase_click_days_bag_matches_pandas(ray_session):
     )
     exp.columns.name = None
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_user_event_pattern_counts_matches_re(ray_session):
+    """Sequence-pattern counts equal a direct re.findall over each
+    user's ordered initial string; the fixture must exercise both zero
+    and multi-match users."""
+    import re
+
+    from opps_feedcrawler_ray.pipelines.analytics import user_event_pattern_counts
+
+    got = user_event_pattern_counts(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "event_type", "ts", "event_id"])
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    ev["ch"] = ev["event_type"].str[0]
+    exp = (
+        ev.groupby("user_id")["ch"].agg("".join)
+        .map(lambda s: len(re.findall("v+c+p", s)))
+        .reset_index(name="n_funnels")
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert (got["n_funnels"] == 0).any() and (got["n_funnels"] > 1).any()
