@@ -433,6 +433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_event_chi2": A.segment_event_chi2,
         "purchase_click_days_bag": A.purchase_click_days_bag,
         "user_event_pattern_counts": A.user_event_pattern_counts,
+        "events_trailing_3d_max": A.events_trailing_3d_max,
         "orders_yoy_growth": A.orders_yoy_growth,
         "customer_big_order_counts": A.customer_big_order_counts,
         "heavy_hitter_tokens": A.heavy_hitter_tokens,
@@ -727,6 +728,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM sh x JOIN sh y ON x.doc_id < y.doc_id "
             "WHERE len(list_intersect(x.s, y.s)) > 0) "
             "WHERE jaccard_e4 >= 4000"
+        ),
+        "events_trailing_3d_max": (
+            # RANGE-frame extremum (prefix sums can't); peers in-frame
+            "SELECT event_id, user_id, "
+            "CAST(MAX(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER ("
+            "PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 3 DAY PRECEDING AND CURRENT ROW) AS BIGINT) "
+            "AS tmax_e2 FROM events ORDER BY event_id"
         ),
         "user_event_pattern_counts": (
             # MATCH_RECOGNIZE-lite: regex over the time-ordered

@@ -116,6 +116,7 @@ QUERY_NAMES = [
     "segment_event_chi2",
     "purchase_click_days_bag",
     "user_event_pattern_counts",
+    "events_trailing_3d_max",
 ]
 
 

@@ -1010,6 +1010,79 @@ def events_trailing_3d(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def events_trailing_3d_max(sf_dir: str) -> pd.DataFrame:
+    """Time-RANGE windowed EXTREMUM: per-user trailing-3-day MAX — the
+    aggregate prefix sums cannot express (max has no inverse), solved
+    with a SPARSE-TABLE range-maximum query built once per bucket:
+    level k holds the max of each 2^k-long run, and every row's frame
+    maximum is ``max(sp[k][lo], sp[k][hi-2^k+1])`` for k = ⌊log2 w⌋ —
+    two vectorized gathers per row, O(n log n) build, zero per-user
+    Python.  Frame bounds come from the same composite-key searchsorted
+    (and overflow guard) as ``events_trailing_3d``; RANGE peer semantics
+    included."""
+    ev = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+    nb = 64
+    _w = 3 * 86400 * 10**6
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b["__b"] = (b["user_id"].to_numpy(dtype="int64") % nb).astype("int64")
+        return b
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {"event_id": pd.Series(dtype="int64"),
+                 "user_id": pd.Series(dtype="int64"),
+                 "tmax_e2": pd.Series(dtype="int64")}
+            )
+        g = g.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        uid = g["user_id"].to_numpy(dtype="int64")
+        codes = pd.factorize(uid)[0].astype("int64")
+        off = ts - ts.min()
+        r = off.max() + _w + 2
+        if codes[-1] >= (2**62) // max(r, 1):
+            raise ValueError(
+                f"trailing-window composite key overflow: {codes[-1] + 1} "
+                f"users x {r} us span in one bucket — raise nb above {nb}"
+            )
+        key = codes * r + off
+        v = np.floor(g["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+        lo = np.searchsorted(key, codes * r + (off - _w), side="left")
+        hi = np.searchsorted(key, key, side="right") - 1  # last peer, inclusive
+        # sparse-table RMQ over v
+        n = len(v)
+        levels = [v]
+        k, span = 0, 1
+        while span * 2 <= n:
+            prev = levels[k]
+            levels.append(np.maximum(prev[: n - span * 2 + 1], prev[span : n - span + 1]))
+            k += 1
+            span *= 2
+        w = hi - lo + 1  # ≥ 1 (the row itself is always in-frame)
+        kk = np.log2(w).astype(np.int64)  # exact for powers of two
+        sp = np.int64(1) << kk
+        table = np.empty((len(levels), n), dtype="int64")
+        for i, lv in enumerate(levels):
+            table[i, : len(lv)] = lv
+        tmax = np.maximum(table[kk, lo], table[kk, hi - sp + 1])
+        return pd.DataFrame(
+            {"event_id": g["event_id"].to_numpy(), "user_id": uid,
+             "tmax_e2": tmax.astype("int64")}
+        )
+
+    return (
+        ev.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(bucket, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
 def orders_rank_in_segment(sf_dir: str) -> pd.DataFrame:
     """RANK() with ties per market segment over a broadcast join, kept
     scale-shaped by a COMBINER: each batch keeps only rows whose price is

@@ -1304,3 +1304,26 @@ def test_user_event_pattern_counts_matches_re(ray_session):
     )
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     assert (got["n_funnels"] == 0).any() and (got["n_funnels"] > 1).any()
+
+
+def test_events_trailing_3d_max_matches_pandas_brute(ray_session):
+    """Sparse-table RMQ window equals a per-user brute-force max over
+    the inclusive [t-3d, t] frame."""
+    from opps_feedcrawler_ray.pipelines.analytics import events_trailing_3d_max
+
+    got = events_trailing_3d_max(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_id", "user_id", "ts", "value"])
+    ev["v"] = np.floor(ev["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+    ev["us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    w = 3 * 86400 * 10**6
+    out = []
+    for uid, g in ev.groupby("user_id"):
+        us, v = g["us"].to_numpy(), g["v"].to_numpy()
+        for eid, t in zip(g["event_id"].to_numpy(), us):
+            out.append((eid, uid, int(v[(us >= t - w) & (us <= t)].max())))
+    exp = (
+        pd.DataFrame(out, columns=["event_id", "user_id", "tmax_e2"])
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
