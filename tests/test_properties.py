@@ -316,3 +316,76 @@ def test_hll_merge_equals_union(vals):
     hb.add_values(vals[half:])
     hu.add_values(vals)
     assert (ha.merge(hb).reg == hu.reg).all()
+
+
+# --- rel=canonical differential fuzz --------------------------------------
+def _reference_canonical(url: str, html_text: str):
+    """HTMLParser-based reference for extract_canonical's documented
+    semantics: first <link> in document order whose rel token list
+    contains 'canonical' and that has a non-empty href; relative hrefs
+    resolve against the page URL; only http(s) results count."""
+    from html.parser import HTMLParser
+    from urllib.parse import urljoin
+
+    found: list[str] = []
+
+    class _P(HTMLParser):
+        def handle_starttag(self, tag, attrs):
+            if tag != "link" or found:
+                return
+            d = {}
+            for k, v in attrs:
+                if k not in d:  # first occurrence wins, like the regex
+                    d[k] = v
+            rel = (d.get("rel") or "")
+            if "canonical" not in rel.lower().split():
+                return
+            href = (d.get("href") or "").strip()
+            if not href:
+                return
+            absu = urljoin(url, href).split("#", 1)[0]
+            if absu.split(":", 1)[0].lower() in ("http", "https"):
+                found.append(absu)
+
+    p = _P()
+    p.feed(html_text)
+    p.close()
+    return found[0] if found else None
+
+
+_ATTR_VAL = st.text(
+    alphabet=st.sampled_from(list("abc/:.?=&%")), min_size=0, max_size=8
+)
+_REL_VAL = st.sampled_from(
+    ["canonical", "alternate canonical", "CANONICAL", "stylesheet",
+     "alternate", "canonical alternate", ""]
+)
+
+
+@given(
+    rel=_REL_VAL,
+    href=_ATTR_VAL,
+    decoy=_ATTR_VAL,
+    order=st.permutations(["rel", "href", "data-href"]),
+    quote=st.sampled_from(['"', "'"]),
+    extra_tag=st.booleans(),
+)
+@settings(max_examples=300, deadline=None)
+def test_extract_canonical_matches_htmlparser_reference(
+    rel, href, decoy, order, quote, extra_tag
+):
+    from opps_feedcrawler_ray.functions.extract import extract_canonical
+
+    q = quote
+    parts = {
+        "rel": f"rel={q}{rel}{q}",
+        "href": f"href={q}{href}{q}",
+        "data-href": f"data-href={q}{decoy}{q}",
+    }
+    tag = "<link " + " ".join(parts[k] for k in order) + ">"
+    pre = '<link rel="stylesheet" href="/s.css">' if extra_tag else ""
+    html = f"<html><head>{pre}{tag}</head><body><p>x</p></body></html>"
+    url = "http://h.example/dir/page"
+    got = extract_canonical(url, html.encode())
+    want = _reference_canonical(url, html)
+    assert got == want, (tag, got, want)
