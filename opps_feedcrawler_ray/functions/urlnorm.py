@@ -369,3 +369,39 @@ def trap_mask(
         bad = rep.index.to_numpy()[rep.to_numpy() > max_segment_repeat]
         keep[bad] = False
     return keep
+
+
+def scope_mask(urls, allow: list[str] | None = None, deny: list[str] | None = None):
+    """Crawl-scope filter (Heritrix/Nutch-style allow/deny rules —
+    public crawler convention: regex url filters decide whether a
+    DISCOVERED url is in scope): boolean KEEP mask over an Arrow string
+    array of canonical urls.
+
+    * ``allow`` — list of regexes; when non-empty a url must match AT
+      LEAST ONE to be kept (whitelist scope, e.g. stay on two hosts).
+    * ``deny`` — list of regexes; a url matching ANY is dropped
+      (blacklist, e.g. ``\\.(jpg|css)$`` or ``/calendar/``), applied
+      AFTER allow — deny wins on conflict.
+
+    Vectorized: the pattern lists are OR-folded into one RE2 alternation
+    each and evaluated with a single ``pc.match_substring_regex`` call
+    per list (Arrow's re2 engine, no per-url Python).  Patterns are
+    unanchored (match anywhere in the url) per the Nutch/Heritrix
+    convention — anchor explicitly with ``^``/``$`` when needed."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    n = len(urls)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    keep = np.ones(n, dtype=bool)
+    if allow:
+        pat = "|".join(f"(?:{p})" for p in allow)
+        keep &= pc.match_substring_regex(urls, pat).to_numpy(zero_copy_only=False)
+    if deny:
+        pat = "|".join(f"(?:{p})" for p in deny)
+        keep &= ~pc.match_substring_regex(urls, pat).to_numpy(zero_copy_only=False)
+    return keep

@@ -117,6 +117,16 @@ class CrawlConfig:
     # never reach the frontier (they also never enter the seen set, so a
     # later non-trap path to the same URL is unaffected).
     trap_guard: dict | None = None
+    # crawl-scope url filter over DISCOVERED links (Heritrix/Nutch-style
+    # regex scope rules; None = off): kwargs for functions.urlnorm.
+    # scope_mask, e.g. {"allow": [r"^http://(a|b)\.com/"], "deny":
+    # [r"\.(jpg|css)$"]} — with a non-empty allow list a discovered url
+    # must match at least one allow pattern; any deny match drops it
+    # (deny wins).  Applies to outlinks, rel=canonical targets and
+    # robots Sitemap: offers; SEEDS are operator-vetted and exempt
+    # (same convention as trap_guard).  Out-of-scope urls never enter
+    # the seen set.  Frozen in the checkpoint manifest.
+    scope_filter: dict | None = None
     resume: bool = False
     stats: dict = field(default_factory=dict)
 
@@ -579,13 +589,15 @@ class _OfferLinksStage:
 
     def __init__(self, actors: list, next_round: int, priority_fn=None,
                  salt_hosts: dict | None = None, sink_hook=None,
-                 trap_guard: dict | None = None) -> None:
+                 trap_guard: dict | None = None,
+                 scope_filter: dict | None = None) -> None:
         self.actors = actors
         self.next_round = next_round
         self.priority_fn = priority_fn
         self.salt_hosts = salt_hosts
         self.sink_hook = sink_hook
         self.trap_guard = trap_guard
+        self.scope_filter = scope_filter
         self._canon = CanonicalizeStage()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -693,6 +705,14 @@ class _OfferLinksStage:
                     from ..functions.urlnorm import trap_mask
 
                     keep = trap_mask(cand["url"], **self.trap_guard)
+                    if not keep.all():
+                        cand = cand.filter(pa.array(keep))
+                if self.scope_filter is not None and cand.num_rows:
+                    # crawl-scope rules on DISCOVERED links only (seeds are
+                    # operator-vetted): one RE2 alternation pass per list
+                    from ..functions.urlnorm import scope_mask
+
+                    keep = scope_mask(cand["url"], **self.scope_filter)
                     if not keep.all():
                         cand = cand.filter(pa.array(keep))
                 shards = _shard_indices(
@@ -824,6 +844,8 @@ def _write_manifest(cfg: CrawlConfig, round_idx: int, fetch_seq: int, lineage: l
         "adaptive_recrawl": cfg.adaptive_recrawl,
         "adaptive_max_factor": cfg.adaptive_max_factor,
         "honor_canonical": cfg.honor_canonical,
+        "trap_guard": cfg.trap_guard,
+        "scope_filter": cfg.scope_filter,
         "lineage": lineage,
     }
     tmp = os.path.join(ckpt_root, "_MANIFEST.json.tmp")
@@ -976,6 +998,11 @@ def crawl(cfg: CrawlConfig) -> dict:
             # column) and which URLs get offered — flipping it on resume
             # would mix parquet schemas across round partitions
             "honor_canonical": cfg.honor_canonical,
+            # trap_guard / scope_filter change which DISCOVERED urls enter
+            # the frontier — flipping them on resume would silently change
+            # the crawl's reachable set vs the checkpointed seen filter
+            "trap_guard": cfg.trap_guard,
+            "scope_filter": cfg.scope_filter,
         }
         for key, want in frozen.items():
             have = manifest.get(key)
@@ -985,6 +1012,8 @@ def crawl(cfg: CrawlConfig) -> dict:
                 have = False  # pre-flag manifests never used these
             if key == "adaptive_max_factor" and have is None:
                 have = cfg.adaptive_max_factor if not cfg.adaptive_recrawl else 8
+            if key in ("trap_guard", "scope_filter") and key not in manifest:
+                continue  # pre-upgrade manifests didn't record these
             if have != want:
                 raise ValueError(
                     f"cannot resume with a different {key} (manifest={have!r}, "
@@ -1088,10 +1117,23 @@ def crawl(cfg: CrawlConfig) -> dict:
                     urls.extend(extract_sitemaps(b))
                 return pa.table({"url": pa.array(sorted(set(urls)), pa.string())})
 
-            sm_offers = _prepare_candidates(
+            sm_cand = _prepare_candidates(
                 src.map_batches(to_sitemap_urls, batch_format="pyarrow"),
                 default_priority=1.0,
-            ).map_batches(
+            )
+            if cfg.scope_filter is not None:
+                # sitemap targets are DISCOVERED urls — scope rules apply
+                from ..functions.urlnorm import scope_mask as _scope_mask
+
+                _sf = cfg.scope_filter
+
+                def in_scope(batch: pa.Table) -> pa.Table:
+                    if not batch.num_rows:
+                        return batch
+                    return batch.filter(pa.array(_scope_mask(batch["url"], **_sf)))
+
+                sm_cand = sm_cand.map_batches(in_scope, batch_format="pyarrow")
+            sm_offers = sm_cand.map_batches(
                 _RouteToActors(actors, "offer", cfg.salt_hosts), batch_format="pyarrow"
             )
             cfg.stats["sitemap_offered"] = int(sm_offers.sum("offered") or 0)
@@ -1177,7 +1219,7 @@ def crawl(cfg: CrawlConfig) -> dict:
         # so when write_parquet returns, round r+1's frontier is complete.
         offer_links = _OfferLinksStage(
             actors, r + 1, cfg.priority_fn, cfg.salt_hosts, cfg.sink_hook,
-            trap_guard=cfg.trap_guard,
+            trap_guard=cfg.trap_guard, scope_filter=cfg.scope_filter,
         )
         staged = ready.map_batches(_AssignSeq(offsets_ref), batch_format="pyarrow")
         if cfg.fetch_strategy == "actors":
@@ -1303,6 +1345,16 @@ def main(argv: list[str] | None = None) -> int:
         help="record <link rel=canonical> targets in the log and offer "
              "them to the frontier (RFC 6596)",
     )
+    ap.add_argument(
+        "--scope-allow", action="append", default=None, metavar="REGEX",
+        help="crawl-scope allow rule (repeatable): a discovered url must "
+             "match at least one to be offered; seeds are exempt",
+    )
+    ap.add_argument(
+        "--scope-deny", action="append", default=None, metavar="REGEX",
+        help="crawl-scope deny rule (repeatable): a discovered url matching "
+             "any is dropped (deny wins over allow)",
+    )
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--num-cpus", type=int, default=None, help="ray.init num_cpus (standalone runs)")
     args = ap.parse_args(argv)
@@ -1328,6 +1380,11 @@ def main(argv: list[str] | None = None) -> int:
         skip_unchanged=args.skip_unchanged,
         adaptive_recrawl=args.adaptive_recrawl,
         honor_canonical=args.honor_canonical,
+        scope_filter=(
+            {"allow": args.scope_allow, "deny": args.scope_deny}
+            if (args.scope_allow or args.scope_deny)
+            else None
+        ),
         resume=args.resume,
     )
     stats = crawl(cfg)

@@ -1112,3 +1112,98 @@ def test_adaptive_recrawl_resume_equivalence(ray_session, tmp_path_factory):
     with pytest.raises(ValueError, match="adaptive_recrawl"):
         crawl(CrawlConfig(**{**base, "adaptive_recrawl": False},
                           out_dir=f"{tmp}/part", max_rounds=40, resume=True))
+
+
+def test_scope_filter_allow_deny(ray_session, tmp_path_factory):
+    """Crawl-scope regex rules: a seed page links two hosts and a media
+    asset.  deny drops the asset everywhere; an allow list confines the
+    crawl to one host.  Seeds are exempt from scope (operator-vetted).
+    Scope state is frozen in the resume manifest."""
+    import datetime as dt
+    import pytest
+
+    tmp = str(tmp_path_factory.mktemp("scope"))
+    urls = [
+        "http://in.example/",          # seed
+        "http://in.example/a",
+        "http://in.example/pic.jpg",
+        "http://out.example/b",
+    ]
+    bodies = [
+        b'<html><body><a href="/a">a</a>'
+        b'<a href="/pic.jpg">p</a>'
+        b'<a href="http://out.example/b">b</a></body></html>',
+        b"<html><body><p>page a</p></body></html>",
+        b"\xff\xd8jpegish",
+        b"<html><body><p>page b</p></body></html>",
+    ]
+    texts = ["apb", "page a", "", "page b"]
+    ts = dt.datetime(2024, 1, 1)
+    pages = pa.table(
+        {
+            "url": pa.array(urls),
+            "warc_ts": pa.array([ts] * 4, pa.timestamp("us")),
+            "html": pa.array(bodies, pa.binary()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 4),
+        }
+    )
+    pq.write_table(pages, f"{tmp}/pages.parquet")
+    pq.write_table(pa.table({"url": pa.array([urls[0]])}), f"{tmp}/seeds.parquet")
+
+    def go(out, scope, **kw):
+        cfg = CrawlConfig(
+            pages_path=f"{tmp}/pages.parquet", seeds_path=f"{tmp}/seeds.parquet",
+            out_dir=f"{tmp}/{out}", num_frontier_actors=2, politeness_budget=8,
+            num_buckets=2, num_fetch_actors=2, scope_filter=scope, **kw,
+        )
+        crawl(cfg)
+        return sorted(read_log(f"{tmp}/{out}")["url"].to_pylist())
+
+    assert go("free", None) == sorted(urls)
+    assert go("deny", {"deny": [r"\.jpg$"]}) == sorted(
+        [urls[0], urls[1], urls[3]]
+    )
+    assert go("allow", {"allow": [r"^http://in\.example/"]}) == sorted(
+        [urls[0], urls[1], urls[2]]
+    )
+    # deny wins over allow
+    assert go("both", {"allow": [r"example"], "deny": [r"\.jpg$", "out\\."]}) == sorted(
+        [urls[0], urls[1]]
+    )
+    # frozen on resume: same scope resumes fine, a changed scope is rejected
+    scope = {"deny": [r"\.jpg$"]}
+    go("frozen", scope, max_rounds=1)
+    with pytest.raises(ValueError, match="scope_filter"):
+        crawl(CrawlConfig(
+            pages_path=f"{tmp}/pages.parquet", seeds_path=f"{tmp}/seeds.parquet",
+            out_dir=f"{tmp}/frozen", num_frontier_actors=2, politeness_budget=8,
+            num_buckets=2, num_fetch_actors=2, scope_filter=None,
+            resume=True,
+        ))
+
+
+def test_scope_mask_unit():
+    """scope_mask semantics: allow = at-least-one, deny = any, deny wins,
+    empty lists are no-ops, unanchored by convention."""
+    import numpy as np
+    from opps_feedcrawler_ray.functions.urlnorm import scope_mask
+
+    u = pa.array([
+        "http://a.com/x.html", "http://b.com/y.jpg",
+        "http://a.com/cal/1", "http://c.com/z",
+    ])
+    assert scope_mask(u).all()
+    assert scope_mask(u, allow=[], deny=[]).all()
+    np.testing.assert_array_equal(
+        scope_mask(u, allow=[r"^http://a\.com/", r"^http://b\.com/"]),
+        [True, True, True, False],
+    )
+    np.testing.assert_array_equal(
+        scope_mask(u, deny=[r"\.jpg$", "/cal/"]), [True, False, False, True]
+    )
+    np.testing.assert_array_equal(
+        scope_mask(u, allow=[r"a\.com"], deny=["/cal/"]),
+        [True, False, False, False],
+    )
+    assert scope_mask(pa.array([], pa.string()), allow=["x"]).shape == (0,)
