@@ -618,3 +618,66 @@ def extract_canonical(url: str, body: bytes | str, kind: str | None = None) -> s
             if absu.split(":", 1)[0].lower() in ("http", "https"):
                 return absu
     return None
+
+
+# --- meta refresh (WHATWG pragma directive; the hermetic 3xx analogue) ---
+_META_TAG_RE = re.compile(r"""<meta\b(?:[^>"']|"[^"]*"|'[^']*')*>""", re.I)
+_HTTP_EQUIV_RE = re.compile(
+    r"""(?<![-\w])http-equiv\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.I
+)
+_CONTENT_ATTR_RE = re.compile(
+    r"""(?<![-\w])content\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.I
+)
+# WHATWG refresh value: delay digits, then ';' or ',' separator, optional
+# case-insensitive "url=", the target (optionally quoted)
+_REFRESH_VALUE_RE = re.compile(
+    r"""^\s*(\d+)(?:\.\d*)?\s*[;,]\s*(?:url\s*=\s*)?(.+?)\s*$""", re.I | re.S
+)
+
+
+def extract_meta_refresh(
+    url: str, body: bytes | str, kind: str | None = None, max_delay: int = 0
+) -> str | None:
+    """``<meta http-equiv="refresh" content="N; url=...">`` → absolute
+    http(s) redirect target, or None.  The pages table has no HTTP
+    status line, so the WHATWG refresh pragma is the corpus's redirect
+    representation; crawler convention (documented by Google Search
+    Central) treats an immediate refresh as a permanent-redirect
+    analogue.  Rules: first declaration in document order wins; the
+    delay must be ≤ ``max_delay`` seconds (default 0 — immediate only);
+    relative targets resolve against the fetched URL; a self-target is
+    a reload, not a redirect → None.  Separate scan, same reason as
+    rel=canonical: the fused extractor is frozen byte-identical."""
+    if kind is None:
+        kind = detect_kind(url, body)
+    if kind != "html":
+        return None
+    text = decode_bytes(body)
+    for m in _META_TAG_RE.finditer(text):
+        tag = m.group(0)
+        hm = _HTTP_EQUIV_RE.search(tag)
+        if hm is None:
+            continue
+        if next(g for g in hm.groups() if g is not None).strip().lower() != "refresh":
+            continue
+        cm = _CONTENT_ATTR_RE.search(tag)
+        if cm is None:
+            continue
+        val = _html.unescape(next(g for g in cm.groups() if g is not None))
+        vm = _REFRESH_VALUE_RE.match(val)
+        if vm is None:
+            continue
+        if int(vm.group(1)) > max_delay:
+            continue
+        target = vm.group(2)
+        if len(target) >= 2 and target[0] == target[-1] and target[0] in "\"'":
+            target = target[1:-1].strip()
+        if not target:
+            continue
+        absu = urljoin(url, target).split("#", 1)[0]
+        if absu.split(":", 1)[0].lower() not in ("http", "https"):
+            continue
+        if absu == url:
+            return None  # self-refresh = reload, not a redirect
+        return absu
+    return None

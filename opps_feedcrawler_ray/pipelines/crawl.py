@@ -104,6 +104,16 @@ class CrawlConfig:
     # to the frontier like a discovered outlink.  Off by default — it adds
     # a log column, so goldens stay frozen.
     honor_canonical: bool = False
+    # follow <meta http-equiv=refresh> redirects (WHATWG pragma — the
+    # corpus's hermetic 3xx analogue, since the pages table carries no
+    # HTTP status): a page declaring an immediate refresh is logged
+    # status="redirect" with empty text/links (transitional content is
+    # not indexed) and the target is offered to the frontier.  Adds an
+    # opt-in ``redirect`` log column; off by default (changes log
+    # schema/content, so goldens stay frozen).
+    follow_meta_refresh: bool = False
+    # max declared delay (seconds) still treated as a redirect
+    refresh_max_delay: int = 0
     # honor robots.txt "Sitemap:" directives (sitemaps.org extension):
     # declared sitemap URLs are offered alongside the seeds in round 0,
     # so a host's full page listing is discovered without being seeded.
@@ -647,11 +657,13 @@ class _OfferLinksStage:
                         )
                     )
         links = explode_links(batch, self.next_round, self.priority_fn)
-        if "canonical" in batch.column_names:
-            # RFC 6596: declared canonical URLs are discovered URLs —
-            # offer them with the round's link priority; the frontier's
-            # seen filter dedups self-canonical declarations for free
-            cvals = [c for c in batch["canonical"].to_pylist() if c]
+        for decl_col in ("canonical", "redirect"):
+            if decl_col not in batch.column_names:
+                continue
+            # declared targets (RFC 6596 canonical / meta-refresh redirect)
+            # are discovered URLs — offer them with the round's link
+            # priority; the frontier's seen filter dedups self-references
+            cvals = [c for c in batch[decl_col].to_pylist() if c]
             if cvals:
                 prio = (
                     self.priority_fn(self.next_round)
@@ -726,9 +738,9 @@ class _OfferLinksStage:
                 result_refs += refs
         if result_refs:
             ray.get(result_refs)  # ack before this task completes (round barrier)
-        cols = LOG_COLUMNS + (
-            ["canonical"] if "canonical" in batch.column_names else []
-        )
+        cols = LOG_COLUMNS + [
+            c for c in ("canonical", "redirect") if c in batch.column_names
+        ]
         out = batch.select(cols)
         if self.sink_hook is not None:
             # §2.10 publication hook: side-effect per crawl-log batch (the
@@ -844,6 +856,8 @@ def _write_manifest(cfg: CrawlConfig, round_idx: int, fetch_seq: int, lineage: l
         "adaptive_recrawl": cfg.adaptive_recrawl,
         "adaptive_max_factor": cfg.adaptive_max_factor,
         "honor_canonical": cfg.honor_canonical,
+        "follow_meta_refresh": cfg.follow_meta_refresh,
+        "refresh_max_delay": cfg.refresh_max_delay,
         "trap_guard": cfg.trap_guard,
         "scope_filter": cfg.scope_filter,
         "lineage": lineage,
@@ -998,6 +1012,10 @@ def crawl(cfg: CrawlConfig) -> dict:
             # column) and which URLs get offered — flipping it on resume
             # would mix parquet schemas across round partitions
             "honor_canonical": cfg.honor_canonical,
+            # follow_meta_refresh changes the LOG SCHEMA (redirect column)
+            # and which URLs get offered, like honor_canonical above
+            "follow_meta_refresh": cfg.follow_meta_refresh,
+            "refresh_max_delay": cfg.refresh_max_delay,
             # trap_guard / scope_filter change which DISCOVERED urls enter
             # the frontier — flipping them on resume would silently change
             # the crawl's reachable set vs the checkpointed seen filter
@@ -1012,7 +1030,11 @@ def crawl(cfg: CrawlConfig) -> dict:
                 have = False  # pre-flag manifests never used these
             if key == "adaptive_max_factor" and have is None:
                 have = cfg.adaptive_max_factor if not cfg.adaptive_recrawl else 8
-            if key in ("trap_guard", "scope_filter") and key not in manifest:
+            if (
+                key in ("trap_guard", "scope_filter", "follow_meta_refresh",
+                        "refresh_max_delay")
+                and key not in manifest
+            ):
                 continue  # pre-upgrade manifests didn't record these
             if have != want:
                 raise ValueError(
@@ -1144,6 +1166,8 @@ def crawl(cfg: CrawlConfig) -> dict:
         skip_unchanged=cfg.skip_unchanged,
         honor_canonical=cfg.honor_canonical,
         track_content=cfg.skip_unchanged or cfg.adaptive_recrawl,
+        follow_refresh=cfg.follow_meta_refresh,
+        refresh_max_delay=cfg.refresh_max_delay,
     )
     rounds_run = 0
     total_fetched = 0
@@ -1346,6 +1370,15 @@ def main(argv: list[str] | None = None) -> int:
              "them to the frontier (RFC 6596)",
     )
     ap.add_argument(
+        "--follow-meta-refresh", action="store_true",
+        help="treat immediate <meta http-equiv=refresh> pages as "
+             "redirects: log status=redirect, offer the target",
+    )
+    ap.add_argument(
+        "--refresh-max-delay", type=int, default=0, metavar="SECONDS",
+        help="max declared refresh delay still treated as a redirect",
+    )
+    ap.add_argument(
         "--scope-allow", action="append", default=None, metavar="REGEX",
         help="crawl-scope allow rule (repeatable): a discovered url must "
              "match at least one to be offered; seeds are exempt",
@@ -1380,6 +1413,8 @@ def main(argv: list[str] | None = None) -> int:
         skip_unchanged=args.skip_unchanged,
         adaptive_recrawl=args.adaptive_recrawl,
         honor_canonical=args.honor_canonical,
+        follow_meta_refresh=args.follow_meta_refresh,
+        refresh_max_delay=args.refresh_max_delay,
         scope_filter=(
             {"allow": args.scope_allow, "deny": args.scope_deny}
             if (args.scope_allow or args.scope_deny)

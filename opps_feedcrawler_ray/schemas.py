@@ -60,11 +60,14 @@ CRAWL_LOG = pa.schema(
         ("text", pa.string()),
         ("lang", pa.string()),
         ("n_links", pa.int32()),
-        ("status", pa.string()),  # fetched | not_found | unchanged (skip_unchanged)
+        # fetched | not_found | unchanged (skip_unchanged) |
+        # redirect (follow_meta_refresh)
+        ("status", pa.string()),
     ]
 )
 # opt-in log columns (present only when the flag is on, frozen in the
-# resume manifest): honor_canonical adds ("canonical", pa.string())
+# resume manifest): honor_canonical adds ("canonical", pa.string());
+# follow_meta_refresh adds ("redirect", pa.string())
 
 SEEN_SET = pa.schema([("url_hash", pa.uint64()), ("url", pa.string())])
 

@@ -12,7 +12,12 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.extract import detect_kind, extract_canonical, extract_page
+from ..functions.extract import (
+    detect_kind,
+    extract_canonical,
+    extract_meta_refresh,
+    extract_page,
+)
 from ..functions.hashing import fingerprint64, fingerprint64_batch
 from ..functions.urlnorm import canonicalize_batch
 
@@ -72,9 +77,17 @@ class ExtractStage:
         skip_unchanged: bool = False,
         honor_canonical: bool = False,
         track_content: bool | None = None,
+        follow_refresh: bool = False,
+        refresh_max_delay: int = 0,
     ) -> None:
         self.skip_unchanged = skip_unchanged
         self.honor_canonical = honor_canonical
+        # meta-refresh redirects (opt-in): a page declaring an immediate
+        # <meta http-equiv=refresh> is logged status="redirect" with empty
+        # text and NO outlinks (its content is transitional by declaration);
+        # the target rides in a "redirect" column for the offer stage
+        self.follow_refresh = follow_refresh
+        self.refresh_max_delay = refresh_max_delay
         # content-fingerprint tracking without parse suppression (the
         # adaptive revisit policy needs the hashes but still re-parses);
         # defaults to skip_unchanged for backward compatibility
@@ -98,12 +111,15 @@ class ExtractStage:
         kinds: list[str] = []
         texts: list[str | None] = []
         links: list[list[str]] = []
+        redirects: list[str | None] = []
+        redirected = np.zeros(n, dtype=bool)
         for i, (u, b) in enumerate(zip(urls, htmls)):
             if b is None:
                 kinds.append("missing")
                 texts.append(None)
                 links.append([])
                 canon.append(None)
+                redirects.append(None)
                 continue
             if cond and track[i]:
                 ch = fingerprint64(b)
@@ -114,9 +130,22 @@ class ExtractStage:
                     texts.append("")
                     links.append([])
                     canon.append(None)
+                    redirects.append(None)
                     unchanged[i] = True
                     continue
             k = detect_kind(u, b)
+            if self.follow_refresh:
+                tgt = extract_meta_refresh(u, b, k, self.refresh_max_delay)
+                redirects.append(tgt)
+                if tgt is not None:
+                    # transitional page: follow the declared target, don't
+                    # index the interstitial's content or outlinks
+                    kinds.append(k)
+                    texts.append("")
+                    links.append([])
+                    canon.append(None)
+                    redirected[i] = True
+                    continue
             kinds.append(k)
             text, lks = extract_page(u, b, k)  # ONE parse for text + links
             texts.append(text)
@@ -132,6 +161,13 @@ class ExtractStage:
         )
         if self.honor_canonical:
             out = out.append_column("canonical", pa.array(canon, pa.string()))
+        if self.follow_refresh:
+            out = out.append_column("redirect", pa.array(redirects, pa.string()))
+            if redirected.any() and "status" in out.column_names:
+                st = np.asarray(out["status"].to_pylist(), dtype=object)
+                st[redirected] = "redirect"
+                idx = out.column_names.index("status")
+                out = out.set_column(idx, "status", pa.array(st, pa.string()))
         if cond:
             if unchanged.any() and "status" in out.column_names:
                 st = np.asarray(out["status"].to_pylist(), dtype=object)

@@ -1207,3 +1207,75 @@ def test_scope_mask_unit():
         [True, False, False, False],
     )
     assert scope_mask(pa.array([], pa.string()), allow=["x"]).shape == (0,)
+
+
+def test_follow_meta_refresh_e2e(ray_session, tmp_path_factory):
+    """Meta-refresh redirects: seed A declares an immediate refresh to B
+    (and also contains a regular link to D).  With --follow-meta-refresh
+    the interstitial's content is NOT indexed (status=redirect, empty
+    text, no outlinks → D stays undiscovered) and B is fetched; without
+    the flag A is a normal page (D discovered, B never found).  The flag
+    is frozen in the resume manifest."""
+    import datetime as dt
+    import pytest
+
+    tmp = str(tmp_path_factory.mktemp("refresh"))
+    urls = [
+        "http://r.example/",      # A: refresh → /b, also links /d
+        "http://r.example/b",     # B: redirect target
+        "http://r.example/d",     # D: only reachable via A's body link
+    ]
+    bodies = [
+        b'<html><head><meta http-equiv="refresh" content="0; url=/b"></head>'
+        b'<body><p>interstitial</p><a href="/d">d</a></body></html>',
+        b"<html><body><p>page b</p></body></html>",
+        b"<html><body><p>page d</p></body></html>",
+    ]
+    texts = ["interstitial\nd", "page b", "page d"]
+    ts = dt.datetime(2024, 1, 1)
+    pages = pa.table(
+        {
+            "url": pa.array(urls),
+            "warc_ts": pa.array([ts] * 3, pa.timestamp("us")),
+            "html": pa.array(bodies, pa.binary()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 3),
+        }
+    )
+    pq.write_table(pages, f"{tmp}/pages.parquet")
+    pq.write_table(pa.table({"url": pa.array([urls[0]])}), f"{tmp}/seeds.parquet")
+
+    def go(out, follow):
+        cfg = CrawlConfig(
+            pages_path=f"{tmp}/pages.parquet", seeds_path=f"{tmp}/seeds.parquet",
+            out_dir=f"{tmp}/{out}", num_frontier_actors=2, politeness_budget=8,
+            num_buckets=2, num_fetch_actors=2, follow_meta_refresh=follow,
+        )
+        crawl(cfg)
+        return read_log(f"{tmp}/{out}")
+
+    off = go("off", False)
+    by_url = {u: s for u, s in zip(off["url"].to_pylist(), off["status"].to_pylist())}
+    assert by_url == {urls[0]: "fetched", urls[2]: "fetched"}
+    assert "redirect" not in off.column_names
+
+    on = go("on", True)
+    row = {
+        u: (s, t, r) for u, s, t, r in zip(
+            on["url"].to_pylist(), on["status"].to_pylist(),
+            on["text"].to_pylist(), on["redirect"].to_pylist(),
+        )
+    }
+    assert set(row) == {urls[0], urls[1]}
+    assert row[urls[0]] == ("redirect", "", urls[1])
+    assert row[urls[1]] == ("fetched", "page b", None)
+    nl = dict(zip(on["url"].to_pylist(), on["n_links"].to_pylist()))
+    assert nl[urls[0]] == 0  # interstitial outlinks suppressed
+
+    with pytest.raises(ValueError, match="follow_meta_refresh"):
+        crawl(CrawlConfig(
+            pages_path=f"{tmp}/pages.parquet", seeds_path=f"{tmp}/seeds.parquet",
+            out_dir=f"{tmp}/on", num_frontier_actors=2, politeness_budget=8,
+            num_buckets=2, num_fetch_actors=2, follow_meta_refresh=False,
+            resume=True,
+        ))

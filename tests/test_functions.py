@@ -553,3 +553,36 @@ def test_extract_canonical_matrix():
         html = b"<html><head>" + body + b"</head><body>x</body></html>"
         assert extract_canonical(u, html) == want, body
     assert extract_canonical(u, b'<rss version="2.0"><channel><link>http://x/c</link></channel></rss>') is None
+
+
+def test_extract_meta_refresh_matrix():
+    """WHATWG refresh pragma parsing: quoting, attribute order, case,
+    comma separator, delay gating, self-target, entity quoting, non-HTML."""
+    from opps_feedcrawler_ray.functions.extract import extract_meta_refresh as f
+
+    u = "http://a.com/x"
+    assert f(u, b'<html><meta http-equiv="refresh" content="0; url=/y"></html>') == "http://a.com/y"
+    # attribute order free, value case-insensitive, unquoted attrs
+    assert f(u, b'<meta content="0;URL=http://b.com/z" http-equiv=Refresh>') == "http://b.com/z"
+    # comma separator + spaces around url=
+    assert f(u, b'<meta http-equiv="refresh" content="0,url = /comma">') == "http://a.com/comma"
+    # quoted target inside the content value
+    assert f(u, b"<meta http-equiv='refresh' content=\"0; url='/q'\">") == "http://a.com/q"
+    # html-entity quotes around the target
+    assert f(u, b'<meta http-equiv="refresh" content="0; url=&#39;/q&#39;">') == "http://a.com/q"
+    # delay gating: 5s is not a redirect at max_delay=0, is at 10
+    slow = b'<meta http-equiv="refresh" content="5; url=/y">'
+    assert f(u, slow) is None
+    assert f(u, slow, max_delay=10) == "http://a.com/y"
+    # bare reload (no url) and self-target (fragment stripped) → None
+    assert f(u, b'<meta http-equiv="refresh" content="0">') is None
+    assert f(u, b'<meta http-equiv="refresh" content="0; url=http://a.com/x#f">') is None
+    # name= meta must not match; non-http scheme rejected
+    assert f(u, b'<meta name="x" content="0; url=/nope">') is None
+    assert f(u, b'<meta http-equiv="refresh" content="0; url=ftp://a.com/f">') is None
+    # first declaration in document order wins
+    two = (b'<meta http-equiv="refresh" content="0; url=/first">'
+           b'<meta http-equiv="refresh" content="0; url=/second">')
+    assert f(u, two) == "http://a.com/first"
+    # non-HTML kinds never redirect
+    assert f("http://a.com/robots.txt", b"User-agent: *\n") is None
