@@ -410,6 +410,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_median_value": A.events_median_value,
         "customer_no_big_order": A.customer_no_big_order,
         "doc_token_counts": A.doc_token_counts,
+        "passage_dedup_docs": A.passage_dedup_docs,
         "doc_repetition_stats": A.doc_repetition_stats,
         "pii_redact_docs": A.pii_redact_docs,
         "lineitem_bloom_join": A.lineitem_bloom_join,
@@ -887,6 +888,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t AS token, COUNT(*) AS n FROM ("
             "SELECT unnest(string_split(text, ' ')) AS t FROM documents) "
             "WHERE t <> '' GROUP BY t"
+        ),
+        "passage_dedup_docs": (
+            # same passage derivation both sides: non-overlapping 5-token
+            # chunks (parallel unnests zip tok with pos), first corpus-wide
+            # occurrence by (doc_id, chunk_pos) survives
+            "WITH toks AS ("
+            "  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,"
+            "         unnest(range(len(string_split(text, ' ')))) AS pos"
+            "  FROM documents"
+            "), chunks AS ("
+            "  SELECT doc_id, pos // 5 AS cpos,"
+            "         string_agg(tok, ' ' ORDER BY pos) AS line"
+            "  FROM toks GROUP BY doc_id, pos // 5"
+            "), ranked AS ("
+            "  SELECT doc_id, cpos, line,"
+            "         row_number() OVER (PARTITION BY line"
+            "                            ORDER BY doc_id, cpos) AS rn"
+            "  FROM chunks)"
+            "SELECT doc_id, COUNT(*) AS n_chunks,"
+            "       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+            "         AS n_kept,"
+            "       string_agg(CASE WHEN rn = 1 THEN line END, ' '"
+            "                  ORDER BY cpos) AS text_clean "
+            "FROM ranked GROUP BY doc_id ORDER BY doc_id"
         ),
         "orders_percent_rank": (
             "SELECT o_orderkey, c_mktsegment, "

@@ -3249,3 +3249,97 @@ def events_daily_gapfill(sf_dir: str, min_value: float = 150.0) -> pd.DataFrame:
     out = spine.merge(counts, on=["event_type", "day"], how="left")
     out["n"] = out["n"].fillna(0).astype("int64")
     return out.sort_values(["event_type", "day"]).reset_index(drop=True)
+
+
+def passage_dedup_docs(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Passage-level exact dedup (the MassiveText/CCNet line-dedup rule
+    applied to ``k``-token passages — Rae et al. 2021 dedup repeated
+    passages, Wenzek et al. 2020 dedup lines): split every doc into
+    non-overlapping ``k``-token chunks; a chunk occurrence survives iff
+    it is the corpus-wide FIRST occurrence of that exact passage string
+    (minimal ``(doc_id, chunk_pos)``).  Returns per-doc ``n_chunks``,
+    ``n_kept`` and the cleaned text (kept passages re-joined in order;
+    a fully-duplicated doc cleans to NULL).
+
+    Scale shape: pass 1 is a per-batch combiner (distinct passages with
+    local min-key + count) into ONE coarse-bucketed exchange whose
+    per-bucket pandas groupby yields global winners; only passages with
+    corpus count ≥ 2 (the boilerplate set — tiny vs the corpus) reach
+    the driver and are broadcast into pass 2, a shuffle-free streaming
+    re-scan that drops every occurrence losing to the broadcast winner.
+    The exchange ships DISTINCT passages once each; at 100 TB you'd key
+    it on a 128-bit passage hash and keep strings worker-local — exact
+    strings keep the sandbox oracle-exact."""
+    from .dedup import coarse_buckets
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    nb = coarse_buckets(docs.count(), rows_per_task=8192)
+    POS_BITS = 20  # composite key doc_id<<20 | chunk_pos (≤1M chunks/doc)
+
+    def _chunks(text: str) -> list[str]:
+        toks = (text or "").split(" ")  # exact string_split semantics
+        return [" ".join(toks[i : i + k]) for i in range(0, len(toks), k)]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        assert ids.max(initial=0) < (1 << (63 - POS_BITS)), "doc_id overflows key"
+        rows_line, rows_key = [], []
+        for d, t in zip(ids, batch["text"].to_pylist()):
+            base = int(d) << POS_BITS
+            for p, c in enumerate(_chunks(t)):
+                rows_line.append(c)
+                rows_key.append(base + p)
+        df = pd.DataFrame({"line": rows_line, "key": rows_key})
+        agg = df.groupby("line", as_index=False).agg(key=("key", "min"), c=("key", "size"))
+        # deterministic cross-process bucket (builtin hash() is seeded
+        # per interpreter — equal lines MUST share a bucket across tasks)
+        agg["__b"] = (
+            pd.util.hash_array(agg["line"].to_numpy(dtype=object)) % nb
+        ).astype("int64")
+        return pa.Table.from_pandas(
+            agg,
+            schema=pa.schema(
+                [("line", pa.string()), ("key", pa.int64()),
+                 ("c", pa.int64()), ("__b", pa.int64())]
+            ),
+            preserve_index=False,
+        )
+
+    def winners(g: pd.DataFrame) -> pd.DataFrame:
+        w = g.groupby("line", as_index=False).agg(key=("key", "min"), c=("c", "sum"))
+        return w[w["c"] >= 2][["line", "key"]]
+
+    dup = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(winners, batch_format="pandas")
+        .to_pandas()
+    )
+    dup_map = (
+        dict(zip(dup["line"], dup["key"])) if len(dup) else {}
+    )  # boilerplate set — broadcast via closure
+
+    def clean(batch: pa.Table) -> pa.Table:
+        out_id, out_n, out_kept, out_text = [], [], [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            cs = _chunks(t)
+            base = int(d) << POS_BITS
+            kept = [
+                c for p, c in enumerate(cs)
+                if dup_map.get(c, base + p) == base + p
+            ]
+            out_id.append(d)
+            out_n.append(len(cs))
+            out_kept.append(len(kept))
+            out_text.append(" ".join(kept) if kept else None)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "n_chunks": pa.array(out_n, pa.int64()),
+                "n_kept": pa.array(out_kept, pa.int64()),
+                "text_clean": pa.array(out_text, pa.string()),
+            }
+        )
+
+    df = docs.map_batches(clean, batch_format="pyarrow").to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)

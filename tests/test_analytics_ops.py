@@ -1327,3 +1327,35 @@ def test_events_trailing_3d_max_matches_pandas_brute(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_passage_dedup_matches_bruteforce(ray_session):
+    """Passage dedup vs a driver-side brute force: global first-occurrence
+    rule over non-overlapping 5-token chunks, cleaned text reassembly,
+    and the fully-duplicated-doc → NULL convention."""
+    from opps_feedcrawler_ray.pipelines.analytics import passage_dedup_docs
+
+    k = 5
+    got = passage_dedup_docs(SF, k=k)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    docs = docs.sort_values("doc_id").reset_index(drop=True)
+
+    first: dict[str, tuple] = {}
+    chunks_of = {}
+    for d, t in zip(docs["doc_id"], docs["text"]):
+        toks = (t or "").split(" ")
+        cs = [" ".join(toks[i : i + k]) for i in range(0, len(toks), k)]
+        chunks_of[d] = cs
+        for p, c in enumerate(cs):
+            if c not in first or (d, p) < first[c]:
+                first[c] = (d, p)
+    rows = []
+    for d in docs["doc_id"]:
+        cs = chunks_of[d]
+        kept = [c for p, c in enumerate(cs) if first[c] == (d, p)]
+        rows.append((d, len(cs), len(kept), " ".join(kept) if kept else None))
+    want = pd.DataFrame(rows, columns=["doc_id", "n_chunks", "n_kept", "text_clean"])
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want, check_dtype=False
+    )
+    assert (got["n_kept"] < got["n_chunks"]).any()  # dedup actually fired
