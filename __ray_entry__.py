@@ -211,6 +211,15 @@ def _q_ivf_ann(sf_dir: str):
     return out[["query_idx", "vec_id", "cosine_e6"]]
 
 
+def _q_embedding_pca(sf_dir: str):
+    """Two-pass distributed PCA (moment partials -> driver eigh ->
+    streaming projection); rows-only by nature (no SQL eigensolver) —
+    test_ann pins it element-wise to driver-side numpy PCA."""
+    from opps_feedcrawler_ray.pipelines.ann import embedding_pca
+
+    return embedding_pca(sf_dir, n_components=2)
+
+
 def _q_ivf_partitioned(sf_dir: str):
     """IVF with a REAL cell-partitioned layout: build once (hive
     partition by cell), search reads only the probed cells (partition
@@ -481,6 +490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": _q_ann,
         "ann_ivf_topk": _q_ivf_ann,
         "ann_ivf_partitioned": _q_ivf_partitioned,
+        "embedding_pca": _q_embedding_pca,
         "langid": _q_langid,
         "doc_fingerprints": _q_fingerprints,
         "media_image_features": _q_media_image,

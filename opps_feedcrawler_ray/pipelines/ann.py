@@ -311,3 +311,71 @@ def ivf_topk(
         grp = grp.sort_values(["cosine", id_col], ascending=[False, True]).head(k)
         out.append(grp)
     return pd.concat(out).reset_index(drop=True) if out else partials
+
+
+def embedding_pca(sf_dir: str, n_components: int = 2) -> pd.DataFrame:
+    """Distributed PCA over the embedding column (the classic two-pass
+    method — e.g. Halko et al. 2011 §4 / any large-scale PCA writeup):
+    pass 1 accumulates per-batch moment partials (count, sum vector,
+    X^T X Gram matrix — each O(d^2), independent of rows); the driver
+    sums partials in a DETERMINISTIC order (sorted by each batch's min
+    vec_id — float addition isn't associative), eigendecomposes the
+    d x d covariance, and fixes each eigenvector's sign (largest-|.|
+    component positive); pass 2 streams the projection (one matmul per
+    batch against the broadcast components).  Driver memory: O(d^2 x
+    n_batches) for partials + the component matrix — never the corpus.
+    Returns (vec_id, pc1..pcN) sorted by vec_id."""
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def moments(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        x = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        return pa.table(
+            {
+                "key": pa.array([int(ids.min()) if len(ids) else -1], pa.int64()),
+                "n": pa.array([len(ids)], pa.int64()),
+                "s": pa.array([x.sum(axis=0).tolist()], pa.list_(pa.float64())),
+                "g": pa.array([(x.T @ x).ravel().tolist()], pa.list_(pa.float64())),
+            }
+        )
+
+    parts = emb.map_batches(moments, batch_format="pyarrow").to_pandas()
+    parts = parts[parts["n"] > 0].sort_values("key")
+    n = int(parts["n"].sum())
+    if n == 0:
+        return pd.DataFrame(
+            columns=["vec_id"] + [f"pc{i+1}" for i in range(n_components)]
+        )
+    s = np.sum(np.stack(parts["s"].to_numpy()), axis=0)
+    d = s.shape[0]
+    g = np.sum(np.stack(parts["g"].to_numpy()), axis=0).reshape(d, d)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    comps = vecs[:, ::-1][:, :n_components]  # top-N columns
+    # sign convention: each component's largest-|.| coordinate is positive
+    for j in range(comps.shape[1]):
+        i = int(np.argmax(np.abs(comps[:, j])))
+        if comps[i, j] < 0:
+            comps[:, j] = -comps[:, j]
+    w_ref = ray.put((mean, comps))
+
+    class _Project:
+        def __init__(self, ref) -> None:
+            self.mean, self.w = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            x = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+            p = (x - self.mean) @ self.w if len(x) else np.zeros((0, self.w.shape[1]))
+            cols = {"vec_id": batch["vec_id"]}
+            for j in range(self.w.shape[1]):
+                cols[f"pc{j+1}"] = pa.array(p[:, j], pa.float64())
+            return pa.table(cols)
+
+    df = (
+        emb.map_batches(_Project(w_ref), batch_format="pyarrow", concurrency=4)
+        .to_pandas()
+    )
+    return df.sort_values("vec_id").reset_index(drop=True)

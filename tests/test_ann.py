@@ -60,3 +60,33 @@ def test_ivf_centroids_deterministic(ray_session, tmp_path):
     c1 = _train_centroids(ds, 16, "embedding", "vec_id")
     c2 = _train_centroids(ds, 16, "embedding", "vec_id")
     assert np.array_equal(c1, c2)
+
+
+def test_embedding_pca_matches_numpy(ray_session):
+    """Two-pass distributed PCA == driver-side numpy PCA (same sign
+    convention), and the projection is centered."""
+    import numpy as np
+    import pandas as pd
+
+    from opps_feedcrawler_ray.pipelines.ann import embedding_pca
+
+    sf = "/root/testdata/sf0.01"
+    got = embedding_pca(sf, n_components=3)
+    ref = pd.read_parquet(f"{sf}/embeddings.parquet").sort_values("vec_id")
+    x = np.asarray(ref["embedding"].to_list(), dtype=np.float64)
+    xc = x - x.mean(axis=0)
+    vals, vecs = np.linalg.eigh(xc.T @ xc / len(x))
+    w = vecs[:, ::-1][:, :3]
+    for j in range(3):
+        i = int(np.argmax(np.abs(w[:, j])))
+        if w[i, j] < 0:
+            w[:, j] = -w[:, j]
+    want = xc @ w
+    assert got["vec_id"].tolist() == ref["vec_id"].tolist()
+    np.testing.assert_allclose(
+        got[["pc1", "pc2", "pc3"]].to_numpy(), want, atol=1e-9
+    )
+    # projections are centered and variance-ordered
+    np.testing.assert_allclose(got[["pc1", "pc2", "pc3"]].mean(), 0, atol=1e-9)
+    v = got[["pc1", "pc2", "pc3"]].var().to_numpy()
+    assert v[0] >= v[1] >= v[2]
