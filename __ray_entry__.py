@@ -420,6 +420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_no_big_order": A.customer_no_big_order,
         "doc_token_counts": A.doc_token_counts,
         "passage_dedup_docs": A.passage_dedup_docs,
+        "events_value_quantile_sketch": A.events_value_quantile_sketch,
         "doc_repetition_stats": A.doc_repetition_stats,
         "pii_redact_docs": A.pii_redact_docs,
         "lineitem_bloom_join": A.lineitem_bloom_join,

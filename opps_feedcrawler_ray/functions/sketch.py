@@ -59,3 +59,106 @@ class HyperLogLog:
     @classmethod
     def from_bytes(cls, b: bytes) -> "HyperLogLog":
         return cls(b[0], np.frombuffer(b[1:], dtype=np.uint8).copy())
+
+
+class QuantileSketch:
+    """Mergeable ε-approximate quantile summary (the Manku–Rajagopalan–
+    Lindsay collapse scheme, SIGMOD'98, deterministic variant): a sketch
+    is ≤ ``k`` sorted (value, weight) points; pruning a weight-W summary
+    to k points picks the values at cumulative-weight targets
+    (j+0.5)·W/k, adding at most W/(2k) rank error.  The sketch carries
+    its own certified bound: ``err_bound`` accumulates the pruning debt,
+    so ``rank(v)`` is always within ±err_bound of the true rank — the
+    tests assert against the sketch's self-reported certificate, not a
+    hand-waved ε.  Deterministic (no RNG) ⇒ byte-stable results for a
+    fixed merge order.  Mergeable ⇒ a valid Ray combiner: per-batch
+    sketches merge associatively with bounded error growth
+    (log-of-batches levels at fan-in 2; one driver fold adds one prune
+    per batch in the worst case — still ≤ batches·W_batch/(2k) ≪ N/2k·…
+    for the sizes used here)."""
+
+    __slots__ = ("k", "values", "weights", "err_bound")
+
+    def __init__(self, k: int = 256, values=None, weights=None, err_bound: float = 0.0):
+        self.k = int(k)
+        self.values = (
+            np.asarray(values, dtype=np.float64) if values is not None
+            else np.empty(0, np.float64)
+        )
+        self.weights = (
+            np.asarray(weights, dtype=np.float64) if weights is not None
+            else np.empty(0, np.float64)
+        )
+        self.err_bound = float(err_bound)
+
+    @property
+    def total(self) -> float:
+        return float(self.weights.sum())
+
+    @classmethod
+    def from_values(cls, arr, k: int = 256) -> "QuantileSketch":
+        v = np.sort(np.asarray(arr, dtype=np.float64))
+        sk = cls(k, v, np.ones(len(v)))
+        sk._maybe_prune()
+        return sk
+
+    def _maybe_prune(self) -> None:
+        if len(self.values) <= self.k:
+            return
+        w = self.weights
+        total = w.sum()
+        cum = np.cumsum(w) - 0.5 * w  # midpoint rank of each point
+        targets = (np.arange(self.k) + 0.5) * (total / self.k)
+        idx = np.searchsorted(cum, targets, side="left")
+        idx = np.minimum(idx, len(self.values) - 1)
+        self.values = self.values[idx]
+        self.weights = np.full(self.k, total / self.k)
+        # rank error added by collapsing a WEIGHTED summary: W/(2k) on the
+        # low side, up to w_max/2 extra on the high side (a heavy input
+        # point can sit just below a target's first-eligible midrank)
+        self.err_bound += total / (2 * self.k) + float(w.max()) / 2.0
+
+    def merge(self, other: "QuantileSketch") -> "QuantileSketch":
+        v = np.concatenate([self.values, other.values])
+        w = np.concatenate([self.weights, other.weights])
+        order = np.argsort(v, kind="stable")
+        out = QuantileSketch(
+            max(self.k, other.k), v[order], w[order],
+            self.err_bound + other.err_bound,
+        )
+        out._maybe_prune()
+        return out
+
+    def rank(self, x: float) -> float:
+        """Estimated #elements ≤ x (true rank within ±err_bound)."""
+        i = np.searchsorted(self.values, x, side="right")
+        return float(self.weights[:i].sum())
+
+    @property
+    def q_err_bound(self) -> float:
+        """Certified max |true_rank(quantile(q)) − q·N|: the rank
+        certificate plus the inversion slack of one point's half-weight
+        (quantile() returns a stored value; its midrank can sit up to
+        w/2 past the target before the rank error even applies)."""
+        w_max = float(self.weights.max()) if len(self.weights) else 0.0
+        return self.err_bound + w_max / 2.0
+
+    def quantile(self, q: float) -> float:
+        if len(self.values) == 0:
+            return float("nan")
+        cum = np.cumsum(self.weights) - 0.5 * self.weights
+        i = np.searchsorted(cum, q * self.total, side="left")
+        return float(self.values[min(i, len(self.values) - 1)])
+
+    def to_bytes(self) -> bytes:
+        head = np.array([self.k, len(self.values)], dtype=np.int64).tobytes()
+        err = np.array([self.err_bound], dtype=np.float64).tobytes()
+        return head + err + self.values.tobytes() + self.weights.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "QuantileSketch":
+        k, n = np.frombuffer(b[:16], dtype=np.int64)
+        err = float(np.frombuffer(b[16:24], dtype=np.float64)[0])
+        v = np.frombuffer(b[24 : 24 + 8 * n], dtype=np.float64)
+        w = np.frombuffer(b[24 + 8 * n : 24 + 16 * n], dtype=np.float64)
+        return cls(int(k), v.copy(), w.copy(), err)

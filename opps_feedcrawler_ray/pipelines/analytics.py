@@ -3343,3 +3343,47 @@ def passage_dedup_docs(sf_dir: str, k: int = 5) -> pd.DataFrame:
 
     df = docs.map_batches(clean, batch_format="pyarrow").to_pandas()
     return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def events_value_quantile_sketch(sf_dir: str, k: int = 256) -> pd.DataFrame:
+    """Per-type approximate quantiles via the mergeable MRL sketch
+    (functions.sketch.QuantileSketch) — the scale path for quantiles
+    over data too big to sort: each batch contributes one ≤k-point
+    sketch per event_type (a combiner — O(k) per batch regardless of
+    rows), the driver folds partials in a deterministic order, and the
+    result carries the sketch's own certified max rank error.  The
+    exact twin (events_quantiles) needs a full sort; this needs one
+    streaming pass and O(k · types · batches) driver bytes."""
+    from ..functions.sketch import QuantileSketch
+
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        types, sks, ns = [], [], []
+        for t, g in df.groupby("event_type"):
+            types.append(t)
+            sks.append(QuantileSketch.from_values(g["value"].to_numpy(), k).to_bytes())
+            ns.append(len(g))
+        return pa.table(
+            {
+                "event_type": pa.array(types, pa.string()),
+                "sk": pa.array(sks, pa.binary()),
+                "n": pa.array(ns, pa.int64()),
+            }
+        )
+
+    parts = ev.map_batches(partial, batch_format="pyarrow").to_pandas()
+    rows = []
+    for t, g in parts.groupby("event_type", sort=True):
+        blobs = sorted(g["sk"].tolist())  # order-stable fold
+        sk = QuantileSketch.from_bytes(blobs[0])
+        for b in blobs[1:]:
+            sk = sk.merge(QuantileSketch.from_bytes(b))
+        rows.append(
+            (t, int(g["n"].sum()), sk.quantile(0.5), sk.quantile(0.9),
+             sk.quantile(0.99), sk.q_err_bound)
+        )
+    return pd.DataFrame(
+        rows, columns=["event_type", "n", "p50", "p90", "p99", "err_bound"]
+    ).sort_values("event_type").reset_index(drop=True)

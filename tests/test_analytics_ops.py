@@ -1359,3 +1359,49 @@ def test_passage_dedup_matches_bruteforce(ray_session):
         got.reset_index(drop=True), want, check_dtype=False
     )
     assert (got["n_kept"] < got["n_chunks"]).any()  # dedup actually fired
+
+
+def test_quantile_sketch_certificate(ray_session):
+    """The MRL sketch's self-certified bound holds: every reported
+    quantile's true rank is within ±err_bound of its target, per type."""
+    import numpy as np
+
+    from opps_feedcrawler_ray.pipelines.analytics import events_value_quantile_sketch
+
+    got = events_value_quantile_sketch(SF, k=128)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "value"])
+    for _, r in got.iterrows():
+        vals = np.sort(ev.loc[ev["event_type"] == r["event_type"], "value"].to_numpy())
+        n = len(vals)
+        assert r["n"] == n
+        assert r["err_bound"] < 0.1 * n  # usefully tight at this k
+        for q, est in ((0.5, r["p50"]), (0.9, r["p90"]), (0.99, r["p99"])):
+            true_rank = np.searchsorted(vals, est, side="right")
+            assert abs(true_rank - q * n) <= r["err_bound"] + 1e-9
+
+
+def test_quantile_sketch_merge_properties():
+    """Sketch algebra: merge == from_values on the union (within the
+    summed certificate), byte roundtrip is exact, identity on small
+    inputs (n <= k is lossless, err_bound 0)."""
+    import numpy as np
+
+    from opps_feedcrawler_ray.functions.sketch import QuantileSketch
+
+    rng = np.random.default_rng(7)
+    a, b = rng.normal(0, 1, 5000), rng.exponential(2, 3000)
+    sa = QuantileSketch.from_values(a, k=64)
+    sb = QuantileSketch.from_values(b, k=64)
+    m = sa.merge(sb)
+    u = np.sort(np.concatenate([a, b]))
+    assert m.total == len(u)
+    for q in (0.05, 0.25, 0.5, 0.75, 0.95):
+        est = m.quantile(q)
+        true_rank = np.searchsorted(u, est, side="right")
+        assert abs(true_rank - q * len(u)) <= m.q_err_bound
+    small = QuantileSketch.from_values([3.0, 1.0, 2.0], k=64)
+    assert small.err_bound == 0 and small.quantile(0.5) == 2.0
+    rt = QuantileSketch.from_bytes(m.to_bytes())
+    np.testing.assert_array_equal(rt.values, m.values)
+    np.testing.assert_array_equal(rt.weights, m.weights)
+    assert rt.err_bound == m.err_bound

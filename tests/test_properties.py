@@ -389,3 +389,49 @@ def test_extract_canonical_matches_htmlparser_reference(
     got = extract_canonical(url, html.encode())
     want = _reference_canonical(url, html)
     assert got == want, (tag, got, want)
+
+
+def test_quantile_sketch_certificate_fuzz():
+    """MRL sketch certificate under adversarial shapes: random merge
+    trees over skewed / constant / shard-sorted parts — rank() stays
+    within err_bound and quantile() within q_err_bound everywhere."""
+    import numpy as np
+
+    from opps_feedcrawler_ray.functions.sketch import QuantileSketch
+
+    rng = np.random.default_rng(42)
+    for trial in range(10):
+        k = int(rng.choice([16, 32, 64]))
+        nb = int(rng.integers(1, 40))
+        dist = ["normal", "lognormal", "constant", "zipfy", "sorted"][trial % 5]
+        parts = []
+        for _ in range(nb):
+            n = int(rng.integers(1, 2000))
+            if dist == "normal":
+                v = rng.normal(0, 1, n)
+            elif dist == "lognormal":
+                v = rng.lognormal(0, 3, n)
+            elif dist == "constant":
+                v = np.full(n, 7.0)
+            elif dist == "zipfy":
+                v = np.floor(rng.pareto(0.5, n))
+            else:
+                v = np.sort(rng.uniform(0, 1, n)) + len(parts)
+            parts.append(v)
+        sks = [QuantileSketch.from_values(p, k=k) for p in parts]
+        while len(sks) > 1:
+            i, j = sorted(rng.choice(len(sks), 2, replace=False))
+            sks[i] = sks[i].merge(sks.pop(j))
+        sk = sks[0]
+        u = np.sort(np.concatenate(parts))
+        n_all = len(u)
+        assert abs(sk.total - n_all) < 1e-6
+        for x in u[:: max(1, n_all // 40)]:
+            tr = np.searchsorted(u, x, side="right")
+            assert abs(sk.rank(x) - tr) <= sk.err_bound + 1e-6
+        for q in (0.01, 0.1, 0.5, 0.9, 0.99):
+            est = sk.quantile(q)
+            tr = np.searchsorted(u, est, side="right")
+            tl = np.searchsorted(u, est, side="left")
+            dev = 0 if tl <= q * n_all <= tr else min(abs(tl - q * n_all), abs(tr - q * n_all))
+            assert dev <= sk.q_err_bound + 1e-6
