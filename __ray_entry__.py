@@ -421,6 +421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_counts": A.doc_token_counts,
         "passage_dedup_docs": A.passage_dedup_docs,
         "events_value_quantile_sketch": A.events_value_quantile_sketch,
+        "bm25_search": A.bm25_search,
         "doc_repetition_stats": A.doc_repetition_stats,
         "pii_redact_docs": A.pii_redact_docs,
         "lineitem_bloom_join": A.lineitem_bloom_join,
@@ -899,6 +900,34 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t AS token, COUNT(*) AS n FROM ("
             "SELECT unnest(string_split(text, ' ')) AS t FROM documents) "
             "WHERE t <> '' GROUP BY t"
+        ),
+        "bm25_search": (
+            # identical BM25 parameterisation both sides: k1=1.2 b=0.75,
+            # Lucene idf, half-up e6 integer scores
+            "WITH toks AS ("
+            "  SELECT doc_id, unnest(string_split(text, ' ')) AS t"
+            "  FROM documents"
+            "), toks_ne AS (SELECT doc_id, t FROM toks WHERE t <> ''),"
+            "tf AS ("
+            "  SELECT doc_id, t, COUNT(*) AS tf FROM toks_ne"
+            "  WHERE t IN ('table', 'scan', 'merge') GROUP BY doc_id, t"
+            "), dl AS ("
+            "  SELECT doc_id, COUNT(*) AS dl FROM toks_ne GROUP BY doc_id"
+            "), stats AS ("
+            "  SELECT (SELECT COUNT(*) FROM documents) AS n,"
+            # total tokens / total docs (a zero-token doc still counts,
+            # matching the Ray pass-1 reduction)
+            "         (SELECT COUNT(*) FROM toks_ne) * 1.0"
+            "           / (SELECT COUNT(*) FROM documents) AS avgdl"
+            "), df AS ("
+            "  SELECT t, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY t)"
+            "SELECT doc_id, CAST(FLOOR(SUM("
+            "  ln((n - df + 0.5) / (df + 0.5) + 1)"
+            "  * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))"
+            ") * 1e6 + 0.5) AS BIGINT) AS score_e6 "
+            "FROM tf JOIN dl USING (doc_id) CROSS JOIN stats "
+            "JOIN df USING (t) "
+            "GROUP BY doc_id ORDER BY score_e6 DESC, doc_id LIMIT 20"
         ),
         "passage_dedup_docs": (
             # same passage derivation both sides: non-overlapping 5-token

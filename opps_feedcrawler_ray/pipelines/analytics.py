@@ -3387,3 +3387,78 @@ def events_value_quantile_sketch(sf_dir: str, k: int = 256) -> pd.DataFrame:
     return pd.DataFrame(
         rows, columns=["event_type", "n", "p50", "p90", "p99", "err_bound"]
     ).sort_values("event_type").reset_index(drop=True)
+
+
+def bm25_search(
+    sf_dir: str, query: tuple = ("table", "scan", "merge"), k: int = 20
+) -> pd.DataFrame:
+    """BM25 ranked retrieval (Robertson-Sparck Jones probabilistic
+    ranking, the Lucene-parameterised form: k1=1.2, b=0.75, idf =
+    ln((N-df+0.5)/(df+0.5)+1)) of the top-``k`` documents for a fixed
+    query-term set.  Scale shape — TWO streaming passes, ZERO shuffles:
+    pass 1 reduces per-batch corpus statistics (doc count, total token
+    count, per-query-term document frequencies — O(|query|) per batch);
+    pass 2 scores only docs containing a query term against the
+    broadcast constants and keeps a per-batch partial top-k (the ANN
+    combiner pattern), so the driver merges O(k x batches) rows.
+    Scores ship as half-up e6 integers for oracle-exact comparison."""
+    K1, B = 1.2, 0.75
+    terms = list(query)
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        dfs = dict.fromkeys(terms, 0)
+        n_tok = 0
+        for t in batch["text"].to_pylist():
+            toks = [w for w in (t or "").split(" ") if w]
+            n_tok += len(toks)
+            s = set(toks)
+            for q in terms:
+                if q in s:
+                    dfs[q] += 1
+        return pa.table(
+            {
+                "n_docs": pa.array([batch.num_rows], pa.int64()),
+                "n_tok": pa.array([n_tok], pa.int64()),
+                **{f"df_{i}": pa.array([dfs[q]], pa.int64()) for i, q in enumerate(terms)},
+            }
+        )
+
+    st = docs.map_batches(stats, batch_format="pyarrow").to_pandas().sum()
+    n, avgdl = int(st["n_docs"]), st["n_tok"] / st["n_docs"]
+    idf = {
+        q: float(np.log((n - st[f"df_{i}"] + 0.5) / (st[f"df_{i}"] + 0.5) + 1.0))
+        for i, q in enumerate(terms)
+    }
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids, scores = [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            toks = [w for w in (t or "").split(" ") if w]
+            dl = len(toks)
+            s = 0.0
+            hit = False
+            for q in terms:
+                tf = toks.count(q)
+                if tf:
+                    hit = True
+                    s += idf[q] * tf * (K1 + 1) / (tf + K1 * (1 - B + B * dl / avgdl))
+            if hit:
+                ids.append(d)
+                scores.append(int(np.floor(s * 1e6 + 0.5)))
+        out = pd.DataFrame({"doc_id": ids, "score_e6": scores})
+        out = out.sort_values(
+            ["score_e6", "doc_id"], ascending=[False, True]
+        ).head(k)  # partial top-k: O(k) rows leave each batch
+        return pa.Table.from_pandas(
+            out,
+            schema=pa.schema([("doc_id", pa.int64()), ("score_e6", pa.int64())]),
+            preserve_index=False,
+        )
+
+    df = docs.map_batches(score, batch_format="pyarrow").to_pandas()
+    return (
+        df.sort_values(["score_e6", "doc_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
