@@ -124,6 +124,25 @@ def _q_ngram_jaccard(sf_dir: str):
     return df[["a", "b", "jaccard_e4"]].reset_index(drop=True)
 
 
+def _q_prefix_jaccard(sf_dir: str):
+    """Oracle-checked PPJoin-style prefix-filtered token-SET Jaccard:
+    DuckDB computes the exact all-pairs set Jaccard; the pipeline only
+    indexes each doc's rarest-token prefix.  Pipeline threshold sits
+    just below 0.9 and BOTH sides filter on the half-up e6 value from
+    the identical float expression ((inter/union)*1e6), so membership
+    and hashes match bit-for-bit."""
+    import numpy as np
+    import ray.data as rd
+
+    from opps_feedcrawler_ray.pipelines.dedup import prefix_jaccard_pairs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    df = prefix_jaccard_pairs(docs, threshold=0.8999)
+    df["jac_e6"] = np.floor(df["sim"] * 1e6 + 0.5).astype("int64")
+    df = df[df["jac_e6"] >= 900000]
+    return df[["a", "b", "jac_e6"]].sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def _q_ngram_jaccard_maxdf(sf_dir: str):
     """Same exact-Jaccard query with the ``max_df`` 100 TB stop-shingle
     guard ACTIVE (max_df=50).  On the fixtures the max shingle document
@@ -486,6 +505,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "ngram_jaccard_maxdf": _q_ngram_jaccard_maxdf,
+        "prefix_jaccard_pairs": _q_prefix_jaccard,
         "dup_clusters": D.dup_clusters,
         "embedding_dups": _q_embedding_dups,
         "embedding_dups_lsh": _q_embedding_dups_lsh,
@@ -900,6 +920,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t AS token, COUNT(*) AS n FROM ("
             "SELECT unnest(string_split(text, ' ')) AS t FROM documents) "
             "WHERE t <> '' GROUP BY t"
+        ),
+        "prefix_jaccard_pairs": (
+            # exact all-pairs token-set Jaccard; both sides filter on the
+            # half-up e6 of the SAME float expression (inter/union)*1e6
+            "WITH ts AS ("
+            "  SELECT doc_id, t FROM ("
+            "    SELECT doc_id, unnest(string_split(text, ' ')) AS t"
+            "    FROM documents) WHERE t <> '' GROUP BY doc_id, t"
+            "), sz AS (SELECT doc_id, COUNT(*) AS n FROM ts GROUP BY doc_id),"
+            "co AS ("
+            "  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS shared"
+            "  FROM ts x JOIN ts y ON x.t = y.t AND x.doc_id < y.doc_id"
+            "  GROUP BY x.doc_id, y.doc_id)"
+            "SELECT a, b, CAST(FLOOR((shared * 1.0 /"
+            "  (na.n + nb.n - shared)) * 1000000.0 + 0.5) AS BIGINT) AS jac_e6 "
+            "FROM co JOIN sz na ON na.doc_id = a JOIN sz nb ON nb.doc_id = b "
+            "WHERE CAST(FLOOR((shared * 1.0 / (na.n + nb.n - shared))"
+            "  * 1000000.0 + 0.5) AS BIGINT) >= 900000 "
+            "ORDER BY a, b"
         ),
         "bm25_search": (
             # identical BM25 parameterisation both sides: k1=1.2 b=0.75,

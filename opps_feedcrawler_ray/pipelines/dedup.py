@@ -896,3 +896,138 @@ def dup_clusters(sf_dir: str) -> pd.DataFrame:
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+
+
+# ------------------------------------------- prefix-filtered set join
+def prefix_jaccard_pairs(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+    n_buckets: int | None = None,
+) -> pd.DataFrame:
+    """All-pairs token-SET Jaccard ≥ threshold via PREFIX FILTERING (the
+    PPJoin family — Chaudhuri et al. ICDE'06, Xiao et al. WWW'08): sort
+    every doc's distinct-token set by one global total order; two sets
+    with Jaccard ≥ τ MUST share a token within each one's first
+    ``|s| − ⌈τ·|s|⌉ + 1`` tokens, so only PREFIX tokens enter the
+    inverted-index join — the long tail of each document never
+    generates candidates (contrast ngram_jaccard_pairs, which indexes
+    EVERY shingle).  Candidates are then verified exactly with
+    _verify_pairs_distributed (features re-derived, pairs ride the
+    shuffle).
+
+    The global order is ascending document frequency (rarest first —
+    minimizes candidates), ties broken by token hash.  Correctness
+    needs only SOME consistent total order, not an accurate df: at
+    100 TB a sampled frequency order works unchanged, and only the
+    (vocabulary-sized) df table is ever broadcast."""
+    import ray
+
+    from ..functions.hashing import fingerprint64
+
+    def _tok_hashes(text: str) -> np.ndarray:
+        toks = {w for w in (text or "").split(" ") if w}
+        if not toks:
+            return np.empty(0, np.int64)
+        return np.unique(
+            np.fromiter(
+                (fingerprint64(w) for w in toks), dtype=np.uint64, count=len(toks)
+            ).view(np.int64)
+        )
+
+    nb = n_buckets or coarse_buckets(ds.count(), rows_per_task=32, lo=256)
+
+    # ---- pass 1: per-token document frequency (vocabulary-bounded) ----
+    def tok_rows(batch: pa.Table) -> pa.Table:
+        out_h, out_c = [], []
+        for t in batch[text_col].to_pylist():
+            hs = _tok_hashes(t)
+            out_h.append(hs)
+            out_c.append(np.ones(len(hs), np.int64))
+        h = np.concatenate(out_h) if out_h else np.empty(0, np.int64)
+        tb = pa.table({"h": pa.array(h, pa.int64())})
+        return tb.append_column("hb", pa.array((h % nb).astype("int64")))
+
+    def df_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        co = g.groupby("h", as_index=False).size()
+        return pd.DataFrame(
+            {"h": co["h"].astype("int64"), "df": co["size"].astype("int64")}
+        )
+
+    df_tbl = (
+        ds.map_batches(tok_rows, batch_format="pyarrow")
+        .groupby("hb")
+        .map_groups(df_in_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    vh = np.sort(df_tbl["h"].to_numpy().astype(np.int64))
+    vdf = df_tbl.set_index("h")["df"].reindex(vh).to_numpy().astype(np.int64)
+    order_ref = ray.put((vh, vdf))
+
+    # ---- pass 2: emit PREFIX tokens only into the inverted index ----
+    def prefix_rows(batch: pa.Table) -> pa.Table:
+        vh_l, vdf_l = ray.get(order_ref)
+        out_h, out_id = [], []
+        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            hs = _tok_hashes(t)
+            n = len(hs)
+            if n == 0:
+                continue
+            dfs = vdf_l[np.searchsorted(vh_l, hs)]
+            ord_idx = np.lexsort((hs, dfs))  # (df asc, hash asc)
+            p = n - int(np.ceil(threshold * n)) + 1
+            pre = hs[ord_idx[:p]]
+            out_h.append(pre)
+            out_id.append(np.full(len(pre), i, np.int64))
+        h = np.concatenate(out_h) if out_h else np.empty(0, np.int64)
+        ids = np.concatenate(out_id) if out_id else np.empty(0, np.int64)
+        tb = pa.table(
+            {"h": pa.array(h, pa.int64()), id_col: pa.array(ids, pa.int64())}
+        )
+        return tb.append_column("hb", pa.array((h % nb).astype("int64")))
+
+    def cand_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=[id_col, "h"])[[id_col, "h"]]
+        m = g.merge(g, on="h", suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        m = m.drop_duplicates(subset=[f"{id_col}_a", f"{id_col}_b"])
+        return pd.DataFrame(
+            {"a": m[f"{id_col}_a"].astype("int64").to_numpy(),
+             "b": m[f"{id_col}_b"].astype("int64").to_numpy()}
+        )
+
+    cand = (
+        ds.map_batches(prefix_rows, batch_format="pyarrow")
+        .groupby("hb")
+        .map_groups(cand_in_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if cand.empty or "a" not in cand.columns:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64"),
+                             "sim": pd.Series([], dtype="float64")})
+    cand = cand.drop_duplicates(subset=["a", "b"]).reset_index(drop=True)
+
+    # ---- pass 3: exact verification (features re-derived per task) ----
+    def feat_batch(batch: pa.Table, cand_arr) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        keep = np.isin(ids, cand_arr)
+        rows_i, rows_f = [], []
+        for i, t in zip(ids[keep], np.asarray(batch[text_col].to_pylist(), object)[keep]):
+            rows_i.append(int(i))
+            rows_f.append(_tok_hashes(t).tolist())
+        return pa.table(
+            {id_col: pa.array(rows_i, pa.int64()),
+             "feat": pa.array(rows_f, pa.list_(pa.int64()))}
+        )
+
+    def jac(fa: np.ndarray, fb: np.ndarray) -> float:
+        inter = np.intersect1d(fa, fb, assume_unique=True).size
+        return inter / (len(fa) + len(fb) - inter)
+
+    out = _verify_pairs_distributed(
+        ds, cand, feat_batch, jac, threshold, id_col,
+        pa.list_(pa.int64()), prep_fn=lambda f: np.asarray(f, np.int64),
+    )
+    return out.sort_values(["a", "b"]).reset_index(drop=True)

@@ -255,3 +255,45 @@ def test_dup_clusters_matches_bfs_components(ray_session):
     exp["keep"] = (exp["cluster_id"] == exp["doc_id"]).astype("int64")
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     assert set(got.groupby("cluster_id")["keep"].sum()) == {1}
+
+
+def test_prefix_jaccard_matches_bruteforce(ray_session, tmp_path_factory):
+    """Prefix filtering loses NO qualifying pair: random small-vocab docs
+    (heavy overlap), several thresholds, compared against a driver-side
+    exact all-pairs token-set Jaccard."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from opps_feedcrawler_ray.pipelines.dedup import prefix_jaccard_pairs
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(80):
+        n = int(rng.integers(3, 20))
+        docs.append(" ".join(rng.choice(vocab, n, replace=True)))
+    # plant exact and near dups
+    docs[50] = docs[10]
+    docs[51] = docs[10] + " extra"
+    tmp = str(tmp_path_factory.mktemp("ppjoin"))
+    tbl = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                    "text": pa.array(docs)})
+    pq.write_table(tbl, f"{tmp}/docs.parquet")
+
+    def brute(th):
+        sets = [set(d.split()) for d in docs]
+        out = []
+        for a in range(len(sets)):
+            for b in range(a + 1, len(sets)):
+                u = len(sets[a] | sets[b])
+                if u and len(sets[a] & sets[b]) / u >= th:
+                    out.append((a, b))
+        return sorted(out)
+
+    ds = rd.read_parquet(f"{tmp}/docs.parquet")
+    for th in (0.5, 0.75, 0.9, 1.0):
+        got = prefix_jaccard_pairs(ds, threshold=th)
+        assert sorted(zip(got["a"], got["b"])) == brute(th), th
