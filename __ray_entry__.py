@@ -441,6 +441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "passage_dedup_docs": A.passage_dedup_docs,
         "events_value_quantile_sketch": A.events_value_quantile_sketch,
         "bm25_search": A.bm25_search,
+        "weighted_sample_docs": A.weighted_sample_docs,
         "doc_repetition_stats": A.doc_repetition_stats,
         "pii_redact_docs": A.pii_redact_docs,
         "lineitem_bloom_join": A.lineitem_bloom_join,
@@ -920,6 +921,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t AS token, COUNT(*) AS n FROM ("
             "SELECT unnest(string_split(text, ' ')) AS t FROM documents) "
             "WHERE t <> '' GROUP BY t"
+        ),
+        "weighted_sample_docs": (
+            # identical Efraimidis-Spirakis draw both sides: u from the
+            # first 8 md5 hex chars of the id, key = -ln((u+0.5)/2^32)/w
+            "SELECT doc_id, n_chars FROM ("
+            "  SELECT doc_id, n_chars FROM documents WHERE n_chars > 0"
+            "  ORDER BY -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+            "    AS BIGINT) + 0.5) / 4294967296.0) / n_chars, doc_id"
+            "  LIMIT 25"
+            ") ORDER BY doc_id"
         ),
         "prefix_jaccard_pairs": (
             # exact all-pairs token-set Jaccard; both sides filter on the

@@ -3462,3 +3462,46 @@ def bm25_search(
         .head(k)
         .reset_index(drop=True)
     )
+
+
+def weighted_sample_docs(sf_dir: str, k: int = 25, seed: int = 0) -> pd.DataFrame:
+    """Distributed weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006): each doc draws a deterministic uniform u from
+    md5(seed:doc_id) and gets key = −ln(u)/weight; the global k
+    smallest keys are the sample — provably equivalent to sequential
+    weighted draws without replacement.  Embarrassingly parallel: every
+    batch emits its own k smallest (a partial top-k combiner), the
+    driver merges O(k × batches) rows; no shuffle, no driver-side data.
+    Deterministic + seedable, so the sample is reproducible across
+    cluster sizes and retries (the md5 draw replaces RNG state — the
+    same trick the split assigner uses).  Weight = n_chars."""
+    import hashlib
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+    pre = f"{seed}:" if seed else ""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        w = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        m = w > 0
+        ids, w = ids[m], w[m]
+        u = np.fromiter(
+            (
+                int(hashlib.md5(f"{pre}{i}".encode()).hexdigest()[:8], 16)
+                for i in ids
+            ),
+            dtype=np.float64, count=len(ids),
+        )
+        key = -np.log((u + 0.5) / 4294967296.0) / w
+        order = np.lexsort((ids, key))[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], pa.int64()),
+                "n_chars": pa.array(w[order].astype(np.int64), pa.int64()),
+                "key": pa.array(key[order], pa.float64()),
+            }
+        )
+
+    df = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    df = df.sort_values(["key", "doc_id"]).head(k)
+    return df[["doc_id", "n_chars"]].sort_values("doc_id").reset_index(drop=True)

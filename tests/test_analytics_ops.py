@@ -1405,3 +1405,37 @@ def test_quantile_sketch_merge_properties():
     np.testing.assert_array_equal(rt.values, m.values)
     np.testing.assert_array_equal(rt.weights, m.weights)
     assert rt.err_bound == m.err_bound
+
+
+def test_weighted_sample_statistics(ray_session, tmp_path_factory):
+    """Efraimidis-Spirakis inclusion frequencies track weights: over many
+    seeds a doc with 9x the weight appears ~9x as often (small k regime),
+    and each seed's sample is deterministic and replacement-free."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opps_feedcrawler_ray.pipelines.analytics import weighted_sample_docs
+
+    tmp = str(tmp_path_factory.mktemp("wsample"))
+    n = 100
+    w = np.where(np.arange(n) < 10, 900, 100)  # 10 heavy docs
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "text": pa.array(["x"] * n),
+                  "lang": pa.array(["en"] * n),
+                  "source": pa.array(["s"] * n),
+                  "n_chars": pa.array(w, pa.int64())}),
+        f"{tmp}/documents.parquet",
+    )
+    hits = np.zeros(n)
+    for seed in range(60):
+        got = weighted_sample_docs(tmp, k=5, seed=seed)
+        ids = got["doc_id"].tolist()
+        assert len(ids) == len(set(ids)) == 5  # without replacement
+        rep = weighted_sample_docs(tmp, k=5, seed=seed)
+        assert rep["doc_id"].tolist() == ids  # deterministic per seed
+        hits[ids] += 1
+    heavy, light = hits[:10].mean(), hits[10:].mean()
+    # expected ratio 9 in the small-sample regime; allow wide noise band
+    assert heavy / max(light, 1e-9) > 3.5
