@@ -450,6 +450,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_postings": A.token_postings,
         "user_funnel_stage": A.user_funnel_stage,
         "events_value_time_corr": A.events_value_time_corr,
+        "events_mad_value": A.events_mad_value,
+        "supplier_ship_overlap": A.supplier_ship_overlap,
         "orders_upsert_latest": A.orders_upsert_latest,
         "part_fuzzy_name_match": A.part_fuzzy_name_match,
         "orders_percent_rank": A.orders_percent_rank,
@@ -1040,6 +1042,37 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts DESC, src DESC) AS rn, "
             "COUNT(*) OVER (PARTITION BY o_orderkey) AS n_versions FROM a) "
             "WHERE rn = 1 ORDER BY o_orderkey"
+        ),
+        "events_mad_value": (
+            # integer-exact robust stats: med2 = 2*median, mad4 = 4*MAD,
+            # Hampel 3-MAD cut as the pure integer test 2*dev2 > 3*mad4
+            "WITH b AS (SELECT event_type, "
+            "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v FROM events), "
+            "m AS (SELECT event_type, COUNT(*) AS n, "
+            "CAST(2 * median(v) AS BIGINT) AS med2 FROM b GROUP BY event_type), "
+            "d AS (SELECT b.event_type, m.n, m.med2, "
+            "ABS(2 * b.v - m.med2) AS dev2 FROM b JOIN m USING (event_type)), "
+            "md AS (SELECT event_type, CAST(2 * median(dev2) AS BIGINT) AS mad4 "
+            "FROM d GROUP BY event_type) "
+            "SELECT d.event_type, d.n, d.med2 AS med2_e2, md.mad4 AS mad4_e2, "
+            "CAST(SUM(CASE WHEN 2 * d.dev2 > 3 * md.mad4 THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_outliers "
+            "FROM d JOIN md USING (event_type) "
+            "GROUP BY d.event_type, d.n, d.med2, md.mad4 ORDER BY d.event_type"
+        ),
+        "supplier_ship_overlap": (
+            # interval-overlap self-join; (orderkey, linenumber) is NOT
+            # unique in the data, so unordered pairs = (ordered-with-self
+            # pair count - n)/2 — the same identity the sweep uses
+            "WITH i AS (SELECT l_suppkey, l_shipdate AS sd, "
+            "l_shipdate + to_days(CAST(l_quantity AS INT)) AS ed FROM lineitem), "
+            "t AS (SELECT a.l_suppkey, COUNT(*) AS cnt "
+            "FROM i a JOIN i b ON a.l_suppkey = b.l_suppkey "
+            "AND a.sd <= b.ed AND b.sd <= a.ed GROUP BY a.l_suppkey), "
+            "n AS (SELECT l_suppkey, COUNT(*) AS nr FROM i GROUP BY l_suppkey) "
+            "SELECT t.l_suppkey, CAST((t.cnt - n.nr) / 2 AS BIGINT) "
+            "AS n_overlap_pairs FROM t JOIN n USING (l_suppkey) "
+            "WHERE t.cnt > n.nr ORDER BY t.l_suppkey"
         ),
         "events_value_time_corr": (
             # exact integer moments -> identical final float expression

@@ -3505,3 +3505,104 @@ def weighted_sample_docs(sf_dir: str, k: int = 25, seed: int = 0) -> pd.DataFram
     df = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
     df = df.sort_values(["key", "doc_id"]).head(k)
     return df[["doc_id", "n_chars"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def events_mad_value(sf_dir: str) -> pd.DataFrame:
+    """Grouped ROBUST statistics: exact median-absolute-deviation and a
+    3-MAD outlier count per event type — the standard robust outlier
+    screen (Hampel identifier) that a mean/stddev z-score gets wrong on
+    heavy tails.
+
+    Scale shape: everything derives from the SAME domain-bounded
+    distributed value histogram the median/quantile family walks
+    (:func:`_event_value_hist`) — one combiner pass, shuffle payload
+    bounded by the distinct-e2-value DOMAIN, never row count.  The
+    dependent two-level aggregate (median of |x − median|) needs NO
+    second data pass: the deviation histogram is a re-keying of the
+    value histogram on the driver.  Integer-exact end to end: dev2 =
+    |2·v − med2| (2× scale absorbs the even-size half), mad4 =
+    2·median(dev2) = 4·MAD, and the Hampel cut |x − med| > 3·MAD
+    becomes the pure integer comparison 2·dev2 > 3·mad4 — no float
+    crosses the oracle."""
+    out = []
+    for et, g in _event_value_hist(sf_dir).groupby("event_type"):
+        g = g.sort_values("v_e2")
+        v = g["v_e2"].to_numpy()
+        c = g["n"].to_numpy()
+        n = int(c.sum())
+        if n % 2:
+            med2 = 2 * order_stat(v, c, n // 2 + 1)
+        else:
+            med2 = order_stat(v, c, n // 2) + order_stat(v, c, n // 2 + 1)
+        dev = pd.DataFrame({"d2": np.abs(2 * v - med2), "n": c})
+        dg = dev.groupby("d2", as_index=False)["n"].sum().sort_values("d2")
+        dv = dg["d2"].to_numpy()
+        dc = dg["n"].to_numpy()
+        if n % 2:
+            mad4 = 2 * order_stat(dv, dc, n // 2 + 1)
+        else:
+            mad4 = order_stat(dv, dc, n // 2) + order_stat(dv, dc, n // 2 + 1)
+        n_out = int(c[np.abs(2 * v - med2) * 2 > 3 * mad4].sum())
+        out.append((et, n, med2, mad4, n_out))
+    return pd.DataFrame(
+        out, columns=["event_type", "n", "med2_e2", "mad4_e2", "n_outliers"]
+    )
+
+
+def supplier_ship_overlap(sf_dir: str) -> pd.DataFrame:
+    """INTERVAL-OVERLAP self-join: per supplier, the number of pairs of
+    its lineitems whose shipment windows [shipdate, shipdate + quantity
+    days] overlap — the interval×interval join class (overlap, not the
+    point-in-range predicate events_range_join_count covers).
+
+    Scale shape: a naive approach is the O(n²) per-key self join; this
+    runs the sweep-count identity instead — for row i with interval
+    [s_i, e_i], #overlaps = #{starts ≤ e_i} − #{ends < s_i} − 1, so the
+    per-supplier pair count is two global searchsorted gathers over a
+    composite (supplier·R + day) int64 key, zero per-group Python.
+    Rows of OTHER suppliers cancel exactly: every earlier-supplier row
+    contributes one start and one end below this supplier's band.  One
+    supplier-bucket exchange (coarse buckets) co-locates each
+    supplier's rows; the exchange ships 3 int64 columns, not the table."""
+    from .dedup import coarse_buckets
+
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_suppkey", "l_shipdate", "l_quantity"]
+    )
+    nb = coarse_buckets(li.count(), rows_per_task=65536)
+    epoch0 = pd.Timestamp("1990-01-01")
+    R = np.int64(1 << 20)  # > any day index; supp·R ≤ 1e6·2^20 ≪ 2^63
+
+    def to_keys(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        supp = df["l_suppkey"].to_numpy().astype(np.int64)
+        s = ((pd.to_datetime(df["l_shipdate"]) - epoch0).dt.days).to_numpy().astype(np.int64)
+        e = s + df["l_quantity"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "l_suppkey": pa.array(supp, pa.int64()),
+                "skey": pa.array(supp * R + s, pa.int64()),
+                "ekey": pa.array(supp * R + e, pa.int64()),
+                "__b": pa.array(supp % nb, pa.int64()),
+            }
+        )
+
+    def count_overlaps(g: pd.DataFrame) -> pd.DataFrame:
+        sk = np.sort(g["skey"].to_numpy())
+        ek = np.sort(g["ekey"].to_numpy())
+        # per row: starts ≤ my end  minus  ends < my start  minus self
+        a = np.searchsorted(sk, g["ekey"].to_numpy(), side="right")
+        b = np.searchsorted(ek, g["skey"].to_numpy(), side="left")
+        per_row = a - b - 1
+        out = pd.DataFrame({"l_suppkey": g["l_suppkey"], "pr": per_row})
+        out = out.groupby("l_suppkey", as_index=False)["pr"].sum()
+        out["n_overlap_pairs"] = (out["pr"] // 2).astype("int64")
+        return out[out["n_overlap_pairs"] > 0][["l_suppkey", "n_overlap_pairs"]]
+
+    out = (
+        li.map_batches(to_keys, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(count_overlaps, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("l_suppkey").reset_index(drop=True)

@@ -1439,3 +1439,56 @@ def test_weighted_sample_statistics(ray_session, tmp_path_factory):
     heavy, light = hits[:10].mean(), hits[10:].mean()
     # expected ratio 9 in the small-sample regime; allow wide noise band
     assert heavy / max(light, 1e-9) > 3.5
+
+
+def test_events_mad_value_matches_numpy(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import events_mad_value
+
+    got = events_mad_value(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "value"])
+    ev["v"] = np.floor(ev["value"] * 100 + 0.5).astype("int64")
+    rows = []
+    for et, g in ev.groupby("event_type"):
+        v = np.sort(g["v"].to_numpy())
+        n = len(v)
+        # 2*median by direct order statistics on the expanded array
+        med2 = (
+            2 * v[n // 2] if n % 2 else int(v[n // 2 - 1]) + int(v[n // 2])
+        )
+        d = np.sort(np.abs(2 * v - med2))
+        mad4 = 2 * d[n // 2] if n % 2 else int(d[n // 2 - 1]) + int(d[n // 2])
+        n_out = int((2 * np.abs(2 * v - med2) > 3 * mad4).sum())
+        rows.append(
+            {"event_type": et, "n": n, "med2_e2": int(med2),
+             "mad4_e2": int(mad4), "n_outliers": n_out}
+        )
+    exp = pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp, check_dtype=False
+    )
+
+
+def test_supplier_ship_overlap_matches_brute(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import supplier_ship_overlap
+
+    got = supplier_ship_overlap(SF)
+    li = pd.read_parquet(
+        f"{SF}/lineitem.parquet", columns=["l_suppkey", "l_shipdate", "l_quantity"]
+    )
+    s = (pd.to_datetime(li["l_shipdate"]) - pd.Timestamp("1990-01-01")).dt.days.to_numpy()
+    e = s + li["l_quantity"].to_numpy().astype("int64")
+    rows = []
+    for supp, idx in pd.Series(range(len(li))).groupby(li["l_suppkey"].to_numpy()):
+        ii = idx.to_numpy()
+        ss, ee = s[ii], e[ii]
+        # brute O(n^2) overlap pair count
+        cnt = int(
+            ((ss[:, None] <= ee[None, :]) & (ss[None, :] <= ee[:, None])).sum()
+        )
+        pairs = (cnt - len(ii)) // 2
+        if pairs > 0:
+            rows.append({"l_suppkey": int(supp), "n_overlap_pairs": pairs})
+    exp = pd.DataFrame(rows).sort_values("l_suppkey").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp, check_dtype=False
+    )
