@@ -509,6 +509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "ngram_jaccard_maxdf": _q_ngram_jaccard_maxdf,
         "prefix_jaccard_pairs": _q_prefix_jaccard,
+        "exact_substring_pairs": D.exact_substring_pairs,
         "dup_clusters": D.dup_clusters,
         "embedding_dups": _q_embedding_dups,
         "embedding_dups_lsh": _q_embedding_dups_lsh,
@@ -743,6 +744,15 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT doc_id + 1000000, text FROM documents) "
             "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies "
             "FROM all_docs GROUP BY text"
+        ),
+        "exact_substring_pairs": (
+            # ground truth for the winnowing path: doc pairs sharing any
+            # verbatim 30-char substring, via the stride-1 t-gram self-join
+            "WITH g AS (SELECT doc_id, substring(text, CAST(i AS INT), 30) AS g "
+            "FROM documents, UNNEST(range(1, length(text) - 30 + 2)) AS t(i)) "
+            "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+            "FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id "
+            "ORDER BY doc_a, doc_b"
         ),
         "ngram_jaccard_pairs": (
             # rebuild the engine's word 3-shingles (words = [\w']+ on

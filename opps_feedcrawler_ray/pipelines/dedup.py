@@ -1031,3 +1031,112 @@ def prefix_jaccard_pairs(
         pa.list_(pa.int64()), prep_fn=lambda f: np.asarray(f, np.int64),
     )
     return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+# ----------------------------------------------- exact-substring pairs
+def _winnow_values(data: bytes, k: int, w: int) -> np.ndarray:
+    """Distinct winnowed fingerprint VALUES of a byte string (Schleimer,
+    Wilkerson & Aiken 2003, MOSS winnowing): Karp-Rabin hashes of every
+    k-gram (vectorized — k shifted adds in uint64 wraparound arithmetic),
+    then the minimum hash of each w-window.  Guarantee used by
+    :func:`exact_substring_pairs`: any shared substring of byte length
+    ≥ w + k − 1 contains one FULL window of identical gram hashes in
+    both strings, so its window-min value appears in both fingerprint
+    sets — no false negatives, ever (equal grams hash equal)."""
+    c = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    n = len(c) - k + 1
+    if n < w:
+        return np.empty(0, np.uint64)
+    B = 1099511628211  # FNV prime — odd, so powers stay full-period mod 2^64
+    powers = np.array(
+        [pow(B, k - 1 - j, 1 << 64) for j in range(k)], dtype=np.uint64
+    )
+    with np.errstate(over="ignore"):  # uint64 wraparound IS the modulus
+        h = np.zeros(n, np.uint64)
+        for j in range(k):
+            h += c[j : n + j] * powers[j]
+    wins = np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1)
+    return np.unique(wins)
+
+
+def exact_substring_pairs(
+    sf_dir: str, t: int = 30, k: int = 16
+) -> pd.DataFrame:
+    """EXACT-substring duplicate pairs: every pair of documents sharing
+    a verbatim substring of ≥ ``t`` characters — the exact-substring
+    dedup signal of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"), computed here with winnowed fingerprints
+    instead of a distributed suffix array.
+
+    Scale shape (the winnowing trade): stride-1 t-gram shingling ships
+    ~len(text) rows per doc; winnowing with window w = t − k + 1 ships a
+    provable ~2/(w+1) density subset with ZERO false negatives for
+    matches ≥ t (byte-space guarantee; ≥ t chars ⇒ ≥ t bytes).  One
+    fingerprint-bucket exchange emits candidate pairs (vectorized
+    `_pairs_in_cells`), then the shared distributed verifier routes the
+    two texts of each pair to a verify bucket and keeps only pairs whose
+    CHARACTER-level t-gram sets actually intersect — hash collisions and
+    sub-t matches die there, so the result equals the DuckDB
+    all-t-grams self-join oracle exactly.  A boilerplate-heavy corpus
+    would add a hot-fingerprint df guard exactly like
+    ``ngram_jaccard_pairs(max_df=...)``; the mechanism is shared."""
+    w = t - k + 1
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    nrows = docs.count()
+    nb = coarse_buckets(nrows, rows_per_task=16384)
+
+    def fp_stage(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_ids, out_fps = [], []
+        for i, txt in zip(ids, batch["text"].to_pylist()):
+            v = _winnow_values(txt.encode("utf-8"), k, w)
+            if len(v):
+                out_ids.append(np.full(len(v), i, np.int64))
+                out_fps.append(v.view(np.int64))  # int64 reinterpret: uint64
+                # ≥ 2^63 overflows Ray's aggregate key rebuild
+        if not out_ids:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "fp": pa.array([], pa.int64()),
+                 "__b": pa.array([], pa.int64())}
+            )
+        ids_c = np.concatenate(out_ids)
+        fps_c = np.concatenate(out_fps)
+        return pa.table(
+            {"doc_id": pa.array(ids_c, pa.int64()),
+             "fp": pa.array(fps_c, pa.int64()),
+             "__b": pa.array((fps_c % nb + nb) % nb, pa.int64())}
+        )
+
+    def cand_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return _pairs_in_cells(g, ["fp"], "doc_id")
+
+    cand = (
+        docs.map_batches(fp_stage, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(cand_in_bucket, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    if cand.empty:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64")})
+
+    def text_features(batch: pa.Table, cand_arr) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.isin(ids, cand_arr)
+        return pa.table(
+            {"doc_id": pa.array(ids[m], pa.int64()),
+             "feat": batch["text"].filter(pa.array(m))}
+        )
+
+    def grams(text: str) -> frozenset:
+        return frozenset(text[i : i + t] for i in range(len(text) - t + 1))
+
+    verified = _verify_pairs_distributed(
+        docs, cand, text_features,
+        sim_fn=lambda fa, fb: 0.0 if fa.isdisjoint(fb) else 1.0,
+        threshold=0.5, id_col="doc_id", feat_type=pa.string(), prep_fn=grams,
+    )
+    out = verified[["a", "b"]].rename(columns={"a": "doc_a", "b": "doc_b"})
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)

@@ -297,3 +297,44 @@ def test_prefix_jaccard_matches_bruteforce(ray_session, tmp_path_factory):
     for th in (0.5, 0.75, 0.9, 1.0):
         got = prefix_jaccard_pairs(ds, threshold=th)
         assert sorted(zip(got["a"], got["b"])) == brute(th), th
+
+
+def test_winnow_guarantee_no_false_negatives():
+    """Schleimer et al. guarantee: two strings sharing a substring of
+    byte length >= w + k - 1 MUST share a winnowed fingerprint value —
+    exercised over randomized contexts around a planted shared run."""
+    from opps_feedcrawler_ray.pipelines.dedup import _winnow_values
+
+    k, w = 16, 15
+    t = w + k - 1
+    rng = np.random.RandomState(7)
+    alpha = "abcdefghij "
+    for trial in range(50):
+        shared = "".join(alpha[i] for i in rng.randint(0, len(alpha), t))
+        ctx_a = "".join(alpha[i] for i in rng.randint(0, len(alpha), rng.randint(0, 80)))
+        ctx_b = "".join(alpha[i] for i in rng.randint(0, len(alpha), rng.randint(0, 80)))
+        a = (ctx_a + shared + ctx_a[::-1]).encode()
+        b = (ctx_b + shared + ctx_b[::-1]).encode()
+        fa, fb = _winnow_values(a, k, w), _winnow_values(b, k, w)
+        assert len(np.intersect1d(fa, fb)) > 0, trial
+
+
+def test_exact_substring_pairs_matches_brute(ray_session):
+    from opps_feedcrawler_ray.pipelines.dedup import exact_substring_pairs
+
+    got = exact_substring_pairs(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    t = 30
+    gs = {
+        r.doc_id: set(r.text[i : i + t] for i in range(len(r.text) - t + 1))
+        for r in docs.itertuples()
+    }
+    ids = sorted(gs)
+    exp = sorted(
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if gs[a] and not gs[a].isdisjoint(gs[b])
+    )
+    assert sorted(zip(got["doc_a"], got["doc_b"])) == exp
+    assert len(exp) > 0  # the fixture really contains long shared runs
