@@ -452,6 +452,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_time_corr": A.events_value_time_corr,
         "events_mad_value": A.events_mad_value,
         "supplier_ship_overlap": A.supplier_ship_overlap,
+        "lineitem_price_regression": A.lineitem_price_regression,
+        "events_unpivot_props": A.events_unpivot_props,
         "orders_upsert_latest": A.orders_upsert_latest,
         "part_fuzzy_name_match": A.part_fuzzy_name_match,
         "orders_percent_rank": A.orders_percent_rank,
@@ -1083,6 +1085,38 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t.l_suppkey, CAST((t.cnt - n.nr) / 2 AS BIGINT) "
             "AS n_overlap_pairs FROM t JOIN n USING (l_suppkey) "
             "WHERE t.cnt > n.nr ORDER BY t.l_suppkey"
+        ),
+        "lineitem_price_regression": (
+            # grouped OLS from exact integer moments; identical final
+            # float expressions both sides (slope/intercept/r2, e6)
+            "WITH b AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x, "
+            "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS y FROM lineitem), "
+            "m AS (SELECT l_returnflag, COUNT(*) AS n, "
+            "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, "
+            "CAST(SUM(x * y) AS BIGINT) AS sxy, "
+            "CAST(SUM(x * x) AS BIGINT) AS sxx, "
+            "CAST(SUM(y * y) AS BIGINT) AS syy FROM b GROUP BY l_returnflag) "
+            "SELECT l_returnflag, n, "
+            "CAST(FLOOR((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / "
+            "(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * 1e6 + 0.5) "
+            "AS BIGINT) AS slope_e6, "
+            "CAST(FLOOR((CAST(sy AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sxy) / "
+            "(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * 1e6 + 0.5) "
+            "AS BIGINT) AS intercept_e6, "
+            "CAST(FLOOR((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) * "
+            "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / "
+            "((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * "
+            "(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) * 1e6 + 0.5) "
+            "AS BIGINT) AS r2_e6 FROM m ORDER BY l_returnflag"
+        ),
+        "events_unpivot_props": (
+            # UNPIVOT to long format: two (key, val) rows per event
+            "SELECT event_id, key, val FROM ("
+            "SELECT event_id, 'value_e2' AS key, "
+            "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS val FROM events "
+            "UNION ALL SELECT event_id, 'user_id' AS key, "
+            "CAST(user_id AS BIGINT) AS val FROM events) "
+            "ORDER BY event_id, key"
         ),
         "events_value_time_corr": (
             # exact integer moments -> identical final float expression

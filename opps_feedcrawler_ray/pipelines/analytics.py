@@ -3606,3 +3606,92 @@ def supplier_ship_overlap(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("l_suppkey").reset_index(drop=True)
+
+
+def lineitem_price_regression(sf_dir: str) -> pd.DataFrame:
+    """Grouped ORDINARY-LEAST-SQUARES regression (the SQL REGR_* family):
+    per return flag, fit extendedprice = slope·quantity + intercept and
+    report r² — the statistics aggregate one level past correlation
+    (corr gives direction; regression gives the fitted model).
+
+    Scale shape: identical to :func:`events_value_time_corr` — per-batch
+    EXACT int64 moment combiners (y at e2; per-batch sums stay ≪ 2^63),
+    merged on the driver in arbitrary-precision Python ints, so no global
+    Σy² can silently wrap at any sf.  Slope/intercept/r² derive from the
+    exact integers with the SAME final float expressions as the oracle
+    (half-up e6) — no float ordering crosses the hash."""
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        x = df["l_quantity"].to_numpy().astype("int64")
+        y = np.floor(df["l_extendedprice"].to_numpy() * 100.0 + 0.5).astype("int64")
+        g = pd.DataFrame(
+            {"l_returnflag": df["l_returnflag"], "n": 1, "sx": x, "sy": y,
+             "sxy": x * y, "sxx": x * x, "syy": y * y}
+        ).groupby("l_returnflag", as_index=False).sum()
+        return pa.Table.from_pandas(
+            g,
+            schema=pa.schema(
+                [("l_returnflag", pa.string())]
+                + [(c, pa.int64()) for c in ("n", "sx", "sy", "sxy", "sxx", "syy")]
+            ),
+            preserve_index=False,
+        )
+
+    parts = li.map_batches(partial, batch_format="pyarrow").to_pandas()
+    cols = ["n", "sx", "sy", "sxy", "sxx", "syy"]
+    m = parts.groupby("l_returnflag", as_index=False)[cols].agg(
+        lambda s: sum(int(v) for v in s)
+    )
+    n = m["n"].astype(np.float64).to_numpy()
+    sx = m["sx"].astype(np.float64).to_numpy()
+    sy = m["sy"].astype(np.float64).to_numpy()
+    sxy = m["sxy"].astype(np.float64).to_numpy()
+    sxx = m["sxx"].astype(np.float64).to_numpy()
+    syy = m["syy"].astype(np.float64).to_numpy()
+    cov = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    m["slope_e6"] = np.floor(cov / vx * 1e6 + 0.5).astype("int64")
+    m["intercept_e6"] = np.floor((sy * sxx - sx * sxy) / vx * 1e6 + 0.5).astype("int64")
+    m["r2_e6"] = np.floor(cov * cov / (vx * vy) * 1e6 + 0.5).astype("int64")
+    out = m[["l_returnflag", "n", "slope_e6", "intercept_e6", "r2_e6"]]
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def events_unpivot_props(sf_dir: str) -> pd.DataFrame:
+    """UNPIVOT / melt — the inverse of the pivot reshape: each event row
+    fans out into one (event_id, key, val) long-format row per measure
+    (value at e2, and the user id), the shape feature stores and
+    key-value ingestion layers consume.
+
+    Scale shape: a pure stateless row-expanding ``map_batches`` (the
+    UNNEST direction of the reshape family) — zero shuffle, output is
+    k× the input rows but each task's expansion stays inside its own
+    batch."""
+    ev = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "value"]
+    )
+
+    def melt(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        eid = df["event_id"].to_numpy().astype("int64")
+        v_e2 = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+        uid = df["user_id"].to_numpy().astype("int64")
+        n = len(df)
+        return pa.table(
+            {
+                "event_id": pa.array(np.repeat(eid, 2), pa.int64()),
+                "key": pa.array(["value_e2", "user_id"] * n, pa.string()),
+                "val": pa.array(
+                    np.column_stack([v_e2, uid]).reshape(-1), pa.int64()
+                ),
+            }
+        )
+
+    out = ev.map_batches(melt, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["event_id", "key"]).reset_index(drop=True)

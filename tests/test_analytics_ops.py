@@ -1492,3 +1492,50 @@ def test_supplier_ship_overlap_matches_brute(ray_session):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), exp, check_dtype=False
     )
+
+
+def test_lineitem_price_regression_matches_numpy(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import lineitem_price_regression
+
+    got = lineitem_price_regression(SF)
+    li = pd.read_parquet(
+        f"{SF}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    rows = []
+    for rf, g in li.groupby("l_returnflag"):
+        x = g["l_quantity"].to_numpy().astype("float64")
+        y = np.floor(g["l_extendedprice"].to_numpy() * 100 + 0.5)
+        n = float(len(g))
+        cov = n * (x * y).sum() - x.sum() * y.sum()
+        vx = n * (x * x).sum() - x.sum() ** 2
+        vy = n * (y * y).sum() - y.sum() ** 2
+        slope = cov / vx
+        rows.append(
+            {"l_returnflag": rf, "n": int(n),
+             "slope_e6": int(np.floor(slope * 1e6 + 0.5)),
+             "intercept_e6": int(np.floor((y.sum() * (x * x).sum() - x.sum() * (x * y).sum()) / vx * 1e6 + 0.5)),
+             "r2_e6": int(np.floor(cov * cov / (vx * vy) * 1e6 + 0.5))}
+        )
+    exp = pd.DataFrame(rows).sort_values("l_returnflag").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_events_unpivot_props_matches_pandas(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import events_unpivot_props
+
+    got = events_unpivot_props(SF)
+    ev = pd.read_parquet(
+        f"{SF}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+    long = pd.concat(
+        [
+            pd.DataFrame({"event_id": ev["event_id"], "key": "value_e2",
+                          "val": np.floor(ev["value"] * 100 + 0.5).astype("int64")}),
+            pd.DataFrame({"event_id": ev["event_id"], "key": "user_id",
+                          "val": ev["user_id"].astype("int64")}),
+        ]
+    )
+    exp = long.sort_values(["event_id", "key"]).reset_index(drop=True)
+    assert len(got) == 2 * len(ev)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
