@@ -454,6 +454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_ship_overlap": A.supplier_ship_overlap,
         "lineitem_price_regression": A.lineitem_price_regression,
         "events_unpivot_props": A.events_unpivot_props,
+        "bpe_vocab": A.bpe_vocab,
         "orders_upsert_latest": A.orders_upsert_latest,
         "part_fuzzy_name_match": A.part_fuzzy_name_match,
         "orders_percent_rank": A.orders_percent_rank,

@@ -281,3 +281,62 @@ def levenshtein(a: str, b: str, cap: int | None = None) -> int:
             return cap + 1
         prev = cur
     return prev[la]
+
+
+def bpe_learn(word_counts: dict[str, int], n_merges: int) -> list[tuple[str, str]]:
+    """Learn BPE merges from a word → count table (Sennrich, Haddow &
+    Birch 2016, "Neural Machine Translation of Rare Words with Subword
+    Units").  Words start as character sequences; each step merges the
+    most frequent adjacent symbol pair (ties broken lexicographically so
+    training is deterministic and cluster-size-independent) and rewrites
+    the affected words.  Pure driver-side kernel: callers reduce the
+    corpus to the vocabulary-bounded word-count table first — the same
+    domain-not-data-bounded shape as the histogram aggregates."""
+    words = {w: tuple(w) for w in word_counts}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for w, syms in words.items():
+            c = word_counts[w]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + c
+        if not pair_counts:
+            break
+        # deterministic: max count, then lexicographically smallest pair
+        top = max(pair_counts.values())
+        best = min(p for p, c in pair_counts.items() if c == top)
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_words = {}
+        for w, syms in words.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == best[0] and syms[i + 1] == best[1]:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_words[w] = tuple(out)
+        words = new_words
+    return merges
+
+
+def bpe_encode(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Apply learned merges to a word in training order — the standard
+    greedy BPE segmenter (merge ranks define priority)."""
+    syms = list(word)
+    for a, b in merges:
+        i = 0
+        out = []
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms

@@ -3695,3 +3695,62 @@ def events_unpivot_props(sf_dir: str) -> pd.DataFrame:
 
     out = ev.map_batches(melt, batch_format="pyarrow").to_pandas()
     return out.sort_values(["event_id", "key"]).reset_index(drop=True)
+
+
+def bpe_vocab(sf_dir: str, n_merges: int = 40) -> pd.DataFrame:
+    """TOKENIZER TRAINING: learn a BPE merge table over the corpus
+    (Sennrich et al. 2016) — the step a real training-data pipeline runs
+    before token counting/packing ever happens.
+
+    Scale shape: the corpus reduces to a word → count table via per-batch
+    combiners + ONE coarse-bucket exchange (payload bounded by the
+    VOCABULARY, not the corpus — the exact reduction real BPE trainers
+    use); the merge loop then runs driver-side over that bounded table
+    (:func:`~opps_feedcrawler_ray.functions.text.bpe_learn`),
+    deterministic under any batch/cluster layout.  Iterative and
+    count-threshold driven — not SQL-expressible, so this query is
+    rows-only; the kernel is pinned by the published worked example and
+    an independent-recount property test."""
+    from .dedup import coarse_buckets
+    from ..functions.text import bpe_learn
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    nb = coarse_buckets(docs.count(), rows_per_task=16384)
+
+    def word_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(batch["text"], " "))
+        df = pd.DataFrame({"word": toks.to_pandas()})
+        df = df[df["word"] != ""]
+        g = df.groupby("word", as_index=False).agg(n=("word", "size"))
+        g["__b"] = (
+            np.frombuffer(
+                pd.util.hash_array(g["word"].to_numpy(object)).tobytes(),
+                dtype=np.uint64,
+            ).astype(np.int64)
+            % nb + nb
+        ) % nb
+        return pa.Table.from_pandas(
+            g,
+            schema=pa.schema(
+                [("word", pa.string()), ("n", pa.int64()), ("__b", pa.int64())]
+            ),
+            preserve_index=False,
+        )
+
+    def sum_counts(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("word", as_index=False)["n"].sum()
+
+    wc_df = (
+        docs.map_batches(word_partial, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(sum_counts, batch_format="pandas")
+        .to_pandas()  # vocabulary-bounded, never corpus-sized
+    )
+    merges = bpe_learn(dict(zip(wc_df["word"], wc_df["n"])), n_merges)
+    return pd.DataFrame(
+        {
+            "rank": pd.Series(range(len(merges)), dtype="int64"),
+            "left": [a for a, _ in merges],
+            "right": [b for _, b in merges],
+        }
+    )

@@ -1539,3 +1539,52 @@ def test_events_unpivot_props_matches_pandas(ray_session):
     exp = long.sort_values(["event_id", "key"]).reset_index(drop=True)
     assert len(got) == 2 * len(ev)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_bpe_learn_classic_example():
+    """The worked example from Sennrich et al. 2016 §3.2: with counts
+    {low:5, lower:2, newest:6, widest:3} the first merges are
+    (e,s) -> (es,t) -> (l,o) -> (lo,w)."""
+    from opps_feedcrawler_ray.functions.text import bpe_encode, bpe_learn
+
+    wc = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    m = bpe_learn(wc, 4)
+    assert m == [("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")]
+    assert bpe_encode("lowest", bpe_learn(wc, 6)) == ["low", "est"]
+
+
+def test_bpe_vocab_matches_driver_side_recount(ray_session):
+    """The distributed word-count reduction must agree with a single
+    pandas pass, and every learned merge must be reconstructible by an
+    INDEPENDENT recount: applying merges 0..i-1 to the raw words and
+    counting adjacent pairs, merge i is the (max count, lexicographic)
+    argmax."""
+    from opps_feedcrawler_ray.pipelines.analytics import bpe_vocab
+
+    got = bpe_vocab(SF, n_merges=12)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    words = pd.Series(
+        [w for t in docs["text"] for w in t.split(" ") if w != ""]
+    )
+    wc = words.value_counts().to_dict()
+    merges = list(zip(got["left"], got["right"]))
+    assert len(merges) == 12
+    seqs = {w: tuple(w) for w in wc}
+    for a, b in merges:
+        pc_: dict = {}
+        for w, syms in seqs.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pc_[p] = pc_.get(p, 0) + wc[w]
+        top = max(pc_.values())
+        assert (a, b) == min(p for p, c in pc_.items() if c == top)
+        nxt = {}
+        for w, syms in seqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b); i += 2
+                else:
+                    out.append(syms[i]); i += 1
+            nxt[w] = tuple(out)
+        seqs = nxt
