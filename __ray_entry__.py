@@ -455,6 +455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_price_regression": A.lineitem_price_regression,
         "events_unpivot_props": A.events_unpivot_props,
         "bpe_vocab": A.bpe_vocab,
+        "event_type_lift": A.event_type_lift,
         "orders_upsert_latest": A.orders_upsert_latest,
         "part_fuzzy_name_match": A.part_fuzzy_name_match,
         "orders_percent_rank": A.orders_percent_rank,
@@ -1086,6 +1087,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t.l_suppkey, CAST((t.cnt - n.nr) / 2 AS BIGINT) "
             "AS n_overlap_pairs FROM t JOIN n USING (l_suppkey) "
             "WHERE t.cnt > n.nr ORDER BY t.l_suppkey"
+        ),
+        "event_type_lift": (
+            # association rules over distinct (user, type) baskets;
+            # identical final float expressions (support/lift, e6)
+            "WITH d AS (SELECT DISTINCT user_id, event_type FROM events), "
+            "tot AS (SELECT COUNT(DISTINCT user_id) AS t FROM events), "
+            "s AS (SELECT event_type, COUNT(*) AS n FROM d GROUP BY event_type), "
+            "p AS (SELECT a.event_type AS type_a, b.event_type AS type_b, "
+            "COUNT(*) AS n_both FROM d a JOIN d b ON a.user_id = b.user_id "
+            "AND a.event_type < b.event_type GROUP BY 1, 2) "
+            "SELECT p.type_a, p.type_b, CAST(p.n_both AS BIGINT) AS n_both, "
+            "CAST(FLOOR(CAST(p.n_both AS DOUBLE) / tot.t * 1e6 + 0.5) AS BIGINT) "
+            "AS support_e6, "
+            "CAST(FLOOR(CAST(p.n_both AS DOUBLE) * tot.t / "
+            "(CAST(sa.n AS DOUBLE) * sb.n) * 1e6 + 0.5) AS BIGINT) AS lift_e6 "
+            "FROM p, tot "
+            "JOIN s sa ON sa.event_type = p.type_a "
+            "JOIN s sb ON sb.event_type = p.type_b "
+            "ORDER BY p.type_a, p.type_b"
         ),
         "lineitem_price_regression": (
             # grouped OLS from exact integer moments; identical final

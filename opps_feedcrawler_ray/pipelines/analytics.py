@@ -3754,3 +3754,83 @@ def bpe_vocab(sf_dir: str, n_merges: int = 40) -> pd.DataFrame:
             "right": [b for _, b in merges],
         }
     )
+
+
+def event_type_lift(sf_dir: str) -> pd.DataFrame:
+    """ASSOCIATION-RULE mining (market-basket support/lift, Agrawal &
+    Srikant 1994): for every unordered event-type pair, how many users
+    did both, and the lift vs independence — the co-occurrence analytics
+    class (frequent itemsets of size 2).
+
+    Scale shape: per-batch distinct (user, type) combiner → one
+    user-bucket exchange where each user's type SET completes → pair
+    fan-out bounded by |types|² per user (types ≤ 5 here; a wide-domain
+    deployment would Apriori-prune on min-support first, same exchange)
+    → the (a, b) count table is |types|²-bounded — the driver only ever
+    sees domain-sized tables.  Lift derives from exact integer counts
+    with the same final float expression as the oracle (e6 half-up)."""
+    from .dedup import coarse_buckets
+
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "event_type"])
+    nb = coarse_buckets(ev.count(), rows_per_task=65536)
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates()
+        df["__b"] = (df["user_id"].to_numpy().astype("int64") % nb).astype("int64")
+        return pa.Table.from_pandas(
+            df,
+            schema=pa.schema(
+                [("user_id", pa.int64()), ("event_type", pa.string()),
+                 ("__b", pa.int64())]
+            ),
+            preserve_index=False,
+        )
+
+    def pairs_per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "event_type"])
+        m = g.merge(g, on="user_id")
+        # unordered pairs (a < b) plus the diagonal for singleton counts
+        m = m[m["event_type_x"] <= m["event_type_y"]]
+        out = m.groupby(["event_type_x", "event_type_y"], as_index=False).agg(
+            n_users=("user_id", "size")
+        )
+        out["n_users"] = out["n_users"].astype("int64")
+        # also one row per bucket for the user-universe count
+        uni = pd.DataFrame(
+            {"event_type_x": [" "], "event_type_y": [" "],
+             "n_users": [g["user_id"].nunique()]}
+        )
+        return pd.concat([out, uni], ignore_index=True)
+
+    tab = (
+        ev.map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(pairs_per_user, batch_format="pandas")
+        .to_pandas()
+        .groupby(["event_type_x", "event_type_y"], as_index=False)["n_users"]
+        .sum()  # |types|²-bounded
+    )
+    total = int(tab[tab["event_type_x"] == " "]["n_users"].iloc[0])
+    tab = tab[tab["event_type_x"] != " "]
+    single = {
+        r.event_type_x: int(r.n_users)
+        for r in tab[tab["event_type_x"] == tab["event_type_y"]].itertuples()
+    }
+    out = tab[tab["event_type_x"] < tab["event_type_y"]].copy()
+    out = out.rename(columns={"event_type_x": "type_a", "event_type_y": "type_b",
+                              "n_users": "n_both"})
+    na = out["type_a"].map(single).astype("int64")
+    nb_ = out["type_b"].map(single).astype("int64")
+    out["support_e6"] = np.floor(
+        out["n_both"].to_numpy() / total * 1e6 + 0.5
+    ).astype("int64")
+    out["lift_e6"] = np.floor(
+        out["n_both"].to_numpy().astype("float64") * total
+        / (na.to_numpy().astype("float64") * nb_.to_numpy()) * 1e6 + 0.5
+    ).astype("int64")
+    out["n_both"] = out["n_both"].astype("int64")
+    return (
+        out[["type_a", "type_b", "n_both", "support_e6", "lift_e6"]]
+        .sort_values(["type_a", "type_b"])
+        .reset_index(drop=True)
+    )

@@ -1588,3 +1588,27 @@ def test_bpe_vocab_matches_driver_side_recount(ray_session):
                     out.append(syms[i]); i += 1
             nxt[w] = tuple(out)
         seqs = nxt
+
+
+def test_event_type_lift_matches_pandas(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import event_type_lift
+
+    got = event_type_lift(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "event_type"])
+    d = ev.drop_duplicates()
+    total = d["user_id"].nunique()
+    single = d.groupby("event_type")["user_id"].nunique()
+    m = d.merge(d, on="user_id")
+    m = m[m["event_type_x"] < m["event_type_y"]]
+    p = m.groupby(["event_type_x", "event_type_y"], as_index=False).agg(
+        n_both=("user_id", "size")
+    )
+    p = p.rename(columns={"event_type_x": "type_a", "event_type_y": "type_b"})
+    p["support_e6"] = np.floor(p["n_both"] / total * 1e6 + 0.5).astype("int64")
+    p["lift_e6"] = np.floor(
+        p["n_both"].astype("float64") * total
+        / (p["type_a"].map(single).astype("float64") * p["type_b"].map(single))
+        * 1e6 + 0.5
+    ).astype("int64")
+    exp = p.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
