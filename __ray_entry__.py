@@ -193,6 +193,19 @@ def _q_embedding_dups_lsh(sf_dir: str):
     return df[["a", "b", "cosine_e6"]].reset_index(drop=True)
 
 
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup cluster-then-prune (rows-only: the within-cluster scope
+    depends on the trained clustering, not SQL-expressible); test_dedup
+    pins n_clusters=1 equal to the exact all-pairs baseline and checks
+    the clustered output is an exact-cosine SUBSET of it."""
+    import ray.data as rd
+
+    from opps_feedcrawler_ray.pipelines.dedup import semantic_dedup_pairs
+
+    vecs = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_dedup_pairs(vecs, n_clusters=8, threshold=0.4)
+
+
 def _q_ann(sf_dir: str):
     import numpy as np
     import pyarrow.parquet as _pq
@@ -300,6 +313,15 @@ def _q_host_pagerank(sf_dir: str):
     from opps_feedcrawler_ray.pipelines.webpipe import host_pagerank
 
     return host_pagerank(sf_dir, iters=5)
+
+
+def _q_host_hits(sf_dir: str):
+    """HITS hubs/authorities (rows-only: iterative, no SQL oracle; a
+    replica twin with exact mass-conservation invariants is pinned in
+    tests)."""
+    from opps_feedcrawler_ray.pipelines.webpipe import host_hits
+
+    return host_hits(sf_dir, iters=5)
 
 
 def _q_host_components(sf_dir: str):
@@ -482,6 +504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_ngrams": A.decontaminate_ngrams,
         "host_link_graph": _q_host_link_graph,
         "host_pagerank": _q_host_pagerank,
+        "host_hits": _q_host_hits,
         "host_components": _q_host_components,
         "doc_triangle_counts": _q_doc_triangles,
         "doc_bfs_depth": _q_doc_bfs_depth,
@@ -517,6 +540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": D.dup_clusters,
         "embedding_dups": _q_embedding_dups,
         "embedding_dups_lsh": _q_embedding_dups_lsh,
+        "semantic_dedup_pairs": _q_semantic_dedup,
         "ann_cosine_topk": _q_ann,
         "ann_ivf_topk": _q_ivf_ann,
         "ann_ivf_partitioned": _q_ivf_partitioned,

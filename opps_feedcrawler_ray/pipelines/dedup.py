@@ -1146,3 +1146,78 @@ def exact_substring_pairs(
     )
     out = verified[["a", "b"]].rename(columns={"a": "doc_a", "b": "doc_b"})
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+# ------------------------------------------------------ semantic dedup
+def semantic_dedup_pairs(
+    ds: rd.Dataset,
+    n_clusters: int = 8,
+    threshold: float = 0.8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the embedding
+    space with k-means, then prune near-duplicates by exact pairwise
+    cosine WITHIN each cluster only — the published recipe that makes
+    embedding dedup sub-quadratic on web corpora (LAION/The Pile scale)
+    by accepting that cross-cluster pairs are, by construction of the
+    clustering, not near-duplicates.
+
+    Scale shape: centroids train on a hash-ordered bounded sample
+    (:func:`~..pipelines.ann._train_centroids`, shared with IVF) and
+    broadcast once; assignment is one stateless ``map_batches`` matmul;
+    ONE cluster-keyed exchange co-locates each cluster; the per-cluster
+    O(s²) matmul is the SemDeDup trade — cluster sizes are the
+    partitioning assumption, salted/split if a cluster outgrows a task
+    (same guard as the coarse-bucket family).  Within-cluster pairs are
+    EXACT (bit-equal cosines to the brute baseline — tested), and
+    n_clusters=1 degenerates to the exact all-pairs result."""
+    import ray
+
+    from .ann import _train_centroids, _unit
+
+    cents = _unit(_train_centroids(ds, n_clusters, vec_col, id_col))
+    cents_ref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        unit = _unit_rows(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
+        cell = np.argmax(unit @ ray.get(cents_ref).T, axis=1).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "cell": pa.array(cell, pa.int64()),
+                "unit": pa.array([u.tolist() for u in unit], pa.list_(pa.float64())),
+            }
+        )
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy().astype(np.int64)
+        U = np.array(g["unit"].to_list(), dtype=np.float64)
+        order = np.argsort(ids)
+        ids, U = ids[order], U[order]
+        sims = U @ U.T
+        ai, bi = np.triu_indices(len(ids), k=1)
+        keep = sims[ai, bi] >= threshold
+        return pd.DataFrame(
+            {
+                "a": pd.Series(ids[ai[keep]], dtype="int64"),
+                "b": pd.Series(ids[bi[keep]], dtype="int64"),
+                "cosine_e6": pd.Series(
+                    np.floor(sims[ai[keep], bi[keep]] * 1e6 + 0.5), dtype="int64"
+                ),
+            }
+        )
+
+    out = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(prune, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64"),
+                             "cosine_e6": pd.Series([], dtype="int64")})
+    return out.sort_values(["a", "b"]).reset_index(drop=True)

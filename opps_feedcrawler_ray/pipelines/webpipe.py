@@ -716,3 +716,84 @@ def doc_bfs_depth(
             break
     out = pd.DataFrame(sorted(depth.items()), columns=["doc_id", "depth"])
     return out.astype({"doc_id": "int64", "depth": "int64"})
+
+
+def host_hits(sf_dir: str, iters: int = 10, work_dir: str | None = None):
+    """HITS hubs & authorities (Kleinberg 1999) over the host link graph
+    — the mutually-recursive iterative-graph class PageRank's single
+    recursion doesn't cover (authority = pointed-to by good hubs, hub =
+    points at good authorities).
+
+    Same scale shape as :func:`host_pagerank`: edges pinned once, only
+    the two ≤|hosts|-entry score tables broadcast per iteration, one
+    |hosts|-key groupby-sum per half-step.  Scores live in integer e9
+    with exact L1 renormalization each half-step (floor scaling, the
+    remainder to the lexicographically first hosts), so results are
+    platform-exact, iteration-order-free, and mass-conserving — the
+    rows-only check rides a float-replica twin + exact invariants.
+    Raw sums stay < 2^63 while Σ(w)·1e9 < 2^63, i.e. up to ~9·10^9
+    weighted edges per destination; past that the half-step needs the
+    same bucketed co-shuffle fallback PageRank documents."""
+    import pandas as pd
+
+    edges_df = host_link_graph(sf_dir, work_dir=work_dir)
+    hosts = sorted(set(edges_df["src_host"]) | set(edges_df["dst_host"]))
+    n_hosts = len(hosts)
+    if n_hosts == 0:
+        return pd.DataFrame(
+            {"host": pd.Series(dtype=object),
+             "hub_e9": pd.Series(dtype="int64"),
+             "auth_e9": pd.Series(dtype="int64")}
+        )
+
+    edges = rd.from_arrow(
+        pa.Table.from_pandas(edges_df, preserve_index=False)
+    ).materialize()
+
+    def _renorm(raw: dict) -> dict:
+        total = sum(raw.values())
+        if total == 0:  # degenerate half-step: restart uniform
+            base, rem = divmod(1_000_000_000, n_hosts)
+            return {h: base + (1 if i < rem else 0) for i, h in enumerate(hosts)}
+        scaled = {h: raw.get(h, 0) * 1_000_000_000 // total for h in hosts}
+        pool = 1_000_000_000 - sum(scaled.values())
+        for i, h in enumerate(hosts):
+            if i < pool:
+                scaled[h] += 1
+        return scaled
+
+    def _half_step(scores: dict, src_col: str, dst_col: str) -> dict:
+        def contribute(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            s = df[src_col].map(scores).to_numpy(dtype="int64")
+            g = (
+                pd.DataFrame({"h": df[dst_col], "c": s * df["n_links"].to_numpy()})
+                .groupby("h", as_index=False)["c"]
+                .sum()
+            )
+            return pa.Table.from_pandas(
+                g, preserve_index=False,
+                schema=pa.schema([("h", pa.string()), ("c", pa.int64())]),
+            )
+
+        raw = (
+            edges.map_batches(contribute, batch_format="pyarrow")
+            .groupby("h")
+            .sum("c")
+            .to_pandas()
+            .rename(columns={"sum(c)": "c"})
+        )
+        return _renorm(dict(zip(raw["h"], raw["c"].astype("int64"))))
+
+    base, rem = divmod(1_000_000_000, n_hosts)
+    hub = {h: base + (1 if i < rem else 0) for i, h in enumerate(hosts)}
+    auth = dict(hub)
+    for _ in range(iters):
+        auth = _half_step(hub, "src_host", "dst_host")   # a ← Aᵀh
+        hub = _half_step(auth, "dst_host", "src_host")   # h ← A·a
+    out = pd.DataFrame(
+        {"host": hosts,
+         "hub_e9": [hub[h] for h in hosts],
+         "auth_e9": [auth[h] for h in hosts]}
+    ).sort_values(["auth_e9", "host"], ascending=[False, True])
+    return out.reset_index(drop=True)

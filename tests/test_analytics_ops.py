@@ -1612,3 +1612,63 @@ def test_event_type_lift_matches_pandas(ray_session):
     ).astype("int64")
     exp = p.sort_values(["type_a", "type_b"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_host_hits_matches_replica_and_float(ray_session):
+    """The distributed HITS iteration must match a driver-side replica
+    of the exact integer scheme, conserve mass exactly on both score
+    vectors, and rank-agree with a float HITS power iteration."""
+    from opps_feedcrawler_ray.pipelines.webpipe import host_hits, host_link_graph
+
+    iters = 4
+    got = host_hits(SF, iters=iters)
+    edges = host_link_graph(SF)
+    hosts = sorted(set(edges["src_host"]) | set(edges["dst_host"]))
+    idx = {h: i for i, h in enumerate(hosts)}
+    n = len(hosts)
+
+    def renorm(raw):
+        total = int(raw.sum())
+        if total == 0:
+            base, rem = divmod(1_000_000_000, n)
+            out = np.full(n, base, dtype=np.int64); out[:rem] += 1
+            return out
+        # python ints: raw * 1e9 overflows int64 (the engine computes
+        # this step in arbitrary-precision driver-side ints)
+        scaled = np.array(
+            [int(r) * 1_000_000_000 // total for r in raw], dtype=np.int64
+        )
+        pool = 1_000_000_000 - int(scaled.sum())
+        scaled[:pool] += 1
+        return scaled
+
+    def half(scores, src, dst):
+        raw = np.zeros(n, dtype=np.int64)
+        for _, e in edges.iterrows():
+            raw[idx[e[dst]]] += int(scores[idx[e[src]]]) * int(e["n_links"])
+        return renorm(raw)
+
+    base, rem = divmod(1_000_000_000, n)
+    hub = np.full(n, base, dtype=np.int64); hub[:rem] += 1
+    auth = hub.copy()
+    for _ in range(iters):
+        auth = half(hub, "src_host", "dst_host")
+        hub = half(auth, "dst_host", "src_host")
+    exp = pd.DataFrame(
+        {"host": hosts, "hub_e9": hub, "auth_e9": auth}
+    ).sort_values(["auth_e9", "host"], ascending=[False, True]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert got["hub_e9"].sum() == 1_000_000_000
+    assert got["auth_e9"].sum() == 1_000_000_000
+
+    # float HITS ranks the same hosts at the top
+    A = np.zeros((n, n))
+    for _, e in edges.iterrows():
+        A[idx[e["src_host"]], idx[e["dst_host"]]] = e["n_links"]
+    h = np.ones(n); a = np.ones(n)
+    for _ in range(iters):
+        a = A.T @ h; a /= a.sum()
+        h = A @ a; h /= h.sum()
+    top_float = {hosts[i] for i in np.argsort(-a)[:3]}
+    top_int = set(got.head(3)["host"])
+    assert top_float == top_int

@@ -338,3 +338,53 @@ def test_exact_substring_pairs_matches_brute(ray_session):
     )
     assert sorted(zip(got["doc_a"], got["doc_b"])) == exp
     assert len(exp) > 0  # the fixture really contains long shared runs
+
+
+def test_semantic_dedup_single_cluster_equals_brute(ray_session):
+    """n_clusters=1 degenerates SemDeDup to exact all-pairs: output must
+    equal the brute cosine baseline bit-for-bit (same e6 rounding)."""
+    from opps_feedcrawler_ray.pipelines.dedup import semantic_dedup_pairs
+
+    vecs = rd.read_parquet(f"{SF}/embeddings.parquet")
+    got = semantic_dedup_pairs(vecs, n_clusters=1, threshold=0.4)
+    df = pd.read_parquet(f"{SF}/embeddings.parquet")
+    U = np.array(df["embedding"].to_list(), dtype=np.float64)
+    U /= np.linalg.norm(U, axis=1, keepdims=True)
+    ids = df["vec_id"].to_numpy().astype(np.int64)
+    order = np.argsort(ids)
+    ids, U = ids[order], U[order]
+    sims = U @ U.T
+    ai, bi = np.triu_indices(len(ids), k=1)
+    keep = sims[ai, bi] >= 0.4
+    exp = pd.DataFrame(
+        {"a": ids[ai[keep]], "b": ids[bi[keep]],
+         "cosine_e6": np.floor(sims[ai[keep], bi[keep]] * 1e6 + 0.5).astype("int64")}
+    ).sort_values(["a", "b"]).reset_index(drop=True)
+    assert len(exp) > 0
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_semantic_dedup_clustered_is_exact_subset(ray_session):
+    """With real clustering the output is a SUBSET of the brute pairs
+    (SemDeDup's documented trade: cross-cluster pairs are skipped), and
+    every emitted cosine is bit-equal to the brute value — within-cluster
+    pruning is exact, only the scope is approximate."""
+    from opps_feedcrawler_ray.pipelines.dedup import semantic_dedup_pairs
+
+    vecs = rd.read_parquet(f"{SF}/embeddings.parquet")
+    got = semantic_dedup_pairs(vecs, n_clusters=6, threshold=0.4)
+    df = pd.read_parquet(f"{SF}/embeddings.parquet")
+    U = np.array(df["embedding"].to_list(), dtype=np.float64)
+    U /= np.linalg.norm(U, axis=1, keepdims=True)
+    ids = df["vec_id"].to_numpy().astype(np.int64)
+    idx = {int(i): n for n, i in enumerate(ids)}
+    brute = {}
+    for a, b in zip(ids[np.triu_indices(len(ids), k=1)[0]],
+                    ids[np.triu_indices(len(ids), k=1)[1]]):
+        s = float(U[idx[int(a)]] @ U[idx[int(b)]])
+        if s >= 0.4:
+            key = (min(int(a), int(b)), max(int(a), int(b)))
+            brute[key] = int(np.floor(s * 1e6 + 0.5))
+    assert len(got) > 0
+    for r in got.itertuples():
+        assert brute[(r.a, r.b)] == r.cosine_e6
