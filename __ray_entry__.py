@@ -478,6 +478,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_unpivot_props": A.events_unpivot_props,
         "bpe_vocab": A.bpe_vocab,
         "event_type_lift": A.event_type_lift,
+        "dsir_resample": A.dsir_resample,
         "orders_upsert_latest": A.orders_upsert_latest,
         "part_fuzzy_name_match": A.part_fuzzy_name_match,
         "orders_percent_rank": A.orders_percent_rank,

@@ -3834,3 +3834,98 @@ def event_type_lift(sf_dir: str) -> pd.DataFrame:
         .sort_values(["type_a", "type_b"])
         .reset_index(drop=True)
     )
+
+
+def dsir_resample(sf_dir: str, k: int = 100, dim: int = 4096, seed: int = 0) -> pd.DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    the log-likelihood ratio of a TARGET domain vs the raw corpus under
+    hashed-unigram bag-of-words models, then Gumbel-top-k resample —
+    the published recipe for tilting a web-scale corpus toward a
+    high-quality target distribution.  Target here = the English slice
+    (the stand-in for "quality" in the fixture corpus).
+
+    Scale shape: pass 1 accumulates the two ``dim``-bounded hashed
+    count vectors via per-batch combiners (payload = 2·dim ints per
+    batch, never rows); the smoothed log-ratio table broadcasts once;
+    pass 2 streams the corpus computing per-doc importance log-weights
+    plus a DETERMINISTIC md5-seeded Gumbel perturbation (the same
+    RNG-free draw the weighted sampler uses), with per-batch partial
+    top-k — the driver merges O(k × batches) rows.  Two streaming
+    passes, zero data-sized shuffles, reproducible across cluster
+    sizes and retries."""
+    import hashlib
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
+
+    def _buckets(text: str) -> np.ndarray:
+        toks = [t for t in text.lower().split(" ") if t]
+        if not toks:
+            return np.empty(0, np.int64)
+        return np.fromiter(
+            (int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % dim for t in toks),
+            dtype=np.int64, count=len(toks),
+        )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        tgt = np.zeros(dim, np.int64)
+        allc = np.zeros(dim, np.int64)
+        for txt, lang in zip(batch["text"].to_pylist(), batch["lang"].to_pylist()):
+            b = _buckets(txt)
+            if len(b) == 0:
+                continue
+            binc = np.bincount(b, minlength=dim)
+            allc += binc
+            if lang == "en":
+                tgt += binc
+        return pa.table(
+            {"bucket": pa.array(np.arange(dim), pa.int64()),
+             "tgt": pa.array(tgt, pa.int64()),
+             "all": pa.array(allc, pa.int64())}
+        )
+
+    cnt = (
+        docs.map_batches(count_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("bucket", as_index=False)[["tgt", "all"]]
+        .sum()  # dim-bounded — a combiner merge, not a data shuffle
+        .sort_values("bucket")
+    )
+    t = cnt["tgt"].to_numpy().astype(np.float64)
+    a = cnt["all"].to_numpy().astype(np.float64)
+    # add-1 smoothing keeps zero-count buckets finite
+    lr = np.log((t + 1.0) / (t.sum() + dim)) - np.log((a + 1.0) / (a.sum() + dim))
+
+    import ray
+
+    lr_ref = ray.put(lr)
+    pre = f"{seed}:" if seed else ""
+
+    def score_partial(batch: pa.Table) -> pa.Table:
+        table = ray.get(lr_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lws = np.empty(len(ids), np.float64)
+        for i, txt in enumerate(batch["text"].to_pylist()):
+            b = _buckets(txt)
+            lws[i] = float(table[b].sum()) if len(b) else -np.inf
+        u = np.fromiter(
+            (int(hashlib.md5(f"{pre}{i}".encode()).hexdigest()[:8], 16) for i in ids),
+            dtype=np.float64, count=len(ids),
+        )
+        gumbel = -np.log(-np.log((u + 0.5) / 4294967296.0))
+        key = lws + gumbel
+        order = np.lexsort((ids, -key))[:k]  # partial top-k per batch
+        return pa.table(
+            {"doc_id": pa.array(ids[order], pa.int64()),
+             "log_weight_e6": pa.array(
+                 np.floor(lws[order] * 1e6 + 0.5).astype(np.int64), pa.int64()),
+             "key": pa.array(key[order], pa.float64())}
+        )
+
+    df = docs.map_batches(score_partial, batch_format="pyarrow").to_pandas()
+    df = df.sort_values(["key", "doc_id"], ascending=[False, True]).head(k)
+    return (
+        df[["doc_id", "log_weight_e6"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )

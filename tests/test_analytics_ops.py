@@ -1672,3 +1672,50 @@ def test_host_hits_matches_replica_and_float(ray_session):
     top_float = {hosts[i] for i in np.argsort(-a)[:3]}
     top_int = set(got.head(3)["host"])
     assert top_float == top_int
+
+
+def test_dsir_resample_matches_pandas_and_tilts_target(ray_session):
+    """The two-pass DSIR pipeline must equal a single-process pandas
+    replica exactly (deterministic md5 Gumbel draw), and the resampled
+    set must be tilted toward the target (English) domain."""
+    import hashlib
+
+    from opps_feedcrawler_ray.pipelines.analytics import dsir_resample
+
+    k, dim = 50, 4096
+    got = dsir_resample(SF, k=k, dim=dim)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text", "lang"])
+
+    def buckets(text):
+        return np.array(
+            [int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % dim
+             for t in text.lower().split(" ") if t], dtype=np.int64
+        )
+
+    tgt = np.zeros(dim); allc = np.zeros(dim)
+    for r in docs.itertuples():
+        b = buckets(r.text)
+        if len(b) == 0:
+            continue
+        binc = np.bincount(b, minlength=dim)
+        allc += binc
+        if r.lang == "en":
+            tgt += binc
+    lr = np.log((tgt + 1.0) / (tgt.sum() + dim)) - np.log((allc + 1.0) / (allc.sum() + dim))
+    rows = []
+    for r in docs.itertuples():
+        b = buckets(r.text)
+        lw = float(lr[b].sum()) if len(b) else -np.inf
+        u = int(hashlib.md5(f"{r.doc_id}".encode()).hexdigest()[:8], 16)
+        g = -np.log(-np.log((u + 0.5) / 4294967296.0))
+        rows.append({"doc_id": r.doc_id, "lw": lw, "key": lw + g, "lang": r.lang})
+    rep = pd.DataFrame(rows).sort_values(["key", "doc_id"], ascending=[False, True]).head(k)
+    exp = pd.DataFrame(
+        {"doc_id": rep["doc_id"],
+         "log_weight_e6": np.floor(rep["lw"] * 1e6 + 0.5).astype("int64")}
+    ).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # importance tilt: the sample is more English than the corpus
+    sample_en = rep["lang"].eq("en").mean()
+    corpus_en = docs["lang"].eq("en").mean()
+    assert sample_en > corpus_en
