@@ -479,6 +479,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_vocab": A.bpe_vocab,
         "event_type_lift": A.event_type_lift,
         "dsir_resample": A.dsir_resample,
+        "events_running_total": A.events_running_total,
+        "user_retention_cohorts": A.user_retention_cohorts,
         "orders_upsert_latest": A.orders_upsert_latest,
         "part_fuzzy_name_match": A.part_fuzzy_name_match,
         "orders_percent_rank": A.orders_percent_rank,
@@ -1112,6 +1114,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t.l_suppkey, CAST((t.cnt - n.nr) / 2 AS BIGINT) "
             "AS n_overlap_pairs FROM t JOIN n USING (l_suppkey) "
             "WHERE t.cnt > n.nr ORDER BY t.l_suppkey"
+        ),
+        "events_running_total": (
+            # cumulative window frame over exact e2 integers
+            "SELECT event_id, user_id, "
+            "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_e2 "
+            "FROM events ORDER BY event_id"
+        ),
+        "user_retention_cohorts": (
+            # cohort = first active week; count users per (cohort, offset)
+            "WITH w AS (SELECT DISTINCT user_id, "
+            "CAST(FLOOR(date_diff('day', TIMESTAMP '2024-01-01', ts) / 7) "
+            "AS BIGINT) AS week FROM events), "
+            "f AS (SELECT user_id, MIN(week) AS cohort_week FROM w GROUP BY user_id) "
+            "SELECT f.cohort_week, w.week - f.cohort_week AS week_offset, "
+            "COUNT(*) AS n_users FROM w JOIN f USING (user_id) "
+            "GROUP BY f.cohort_week, week_offset "
+            "ORDER BY f.cohort_week, week_offset"
         ),
         "event_type_lift": (
             # association rules over distinct (user, type) baskets;

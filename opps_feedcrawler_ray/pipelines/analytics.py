@@ -3929,3 +3929,97 @@ def dsir_resample(sf_dir: str, k: int = 100, dim: int = 4096, seed: int = 0) -> 
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+
+
+def events_running_total(sf_dir: str) -> pd.DataFrame:
+    """Grouped RUNNING TOTAL — ``SUM(value) OVER (PARTITION BY user
+    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)`` — the cumulative
+    window frame the moving/lag/rank family doesn't cover.
+
+    Scale shape: one user-bucket exchange (the documented floor for
+    ordered per-user windows), then ONE grouped pandas cumsum across all
+    users in the bucket at once — no per-user Python.  Values ride as
+    exact e2 integers so the cumulative sums are associative-exact and
+    hash-equal to the oracle."""
+    from .dedup import coarse_buckets
+
+    ev = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "ts", "event_id", "value"]
+    )
+    nb = coarse_buckets(ev.count(), rows_per_task=65536)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["v_e2"] = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+        df["__b"] = (df["user_id"].to_numpy() % nb).astype("int64")
+        return pa.Table.from_pandas(
+            df[["user_id", "ts", "event_id", "v_e2", "__b"]],
+            schema=pa.schema([("user_id", pa.int64()), ("ts", pa.timestamp("us")),
+                              ("event_id", pa.int64()), ("v_e2", pa.int64()),
+                              ("__b", pa.int64())]),
+            preserve_index=False,
+        )
+
+    def cumsum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        g["running_e2"] = g.groupby("user_id")["v_e2"].cumsum().astype("int64")
+        return g[["event_id", "user_id", "running_e2"]]
+
+    out = (
+        ev.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(cumsum, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def user_retention_cohorts(sf_dir: str) -> pd.DataFrame:
+    """RETENTION COHORT analysis — the product-analytics matrix: users
+    cohorted by first-activity week, counted at each later week offset
+    they were active.
+
+    Scale shape: per-batch distinct (user, week) + per-batch min-week
+    combiners → ONE user-bucket exchange where each user's first week
+    and active-week set complete → (cohort_week, offset) counts — the
+    output exchange is bounded by |weeks|², never row count."""
+    from .dedup import coarse_buckets
+
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    nb = coarse_buckets(ev.count(), rows_per_task=65536)
+    epoch0 = pd.Timestamp("2024-01-01")  # Monday anchor for week index
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["week"] = ((df["ts"] - epoch0).dt.days // 7).astype("int64")
+        g = df[["user_id", "week"]].drop_duplicates()
+        g["__b"] = (g["user_id"].to_numpy() % nb).astype("int64")
+        return pa.Table.from_pandas(
+            g,
+            schema=pa.schema([("user_id", pa.int64()), ("week", pa.int64()),
+                              ("__b", pa.int64())]),
+            preserve_index=False,
+        )
+
+    def cohort_counts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "week"])
+        first = g.groupby("user_id")["week"].transform("min")
+        out = pd.DataFrame(
+            {"cohort_week": first, "week_offset": g["week"] - first}
+        )
+        out = out.groupby(["cohort_week", "week_offset"], as_index=False).agg(
+            n_users=("week_offset", "size")
+        )
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    out = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(cohort_counts, batch_format="pandas")
+        .to_pandas()
+        .groupby(["cohort_week", "week_offset"], as_index=False)["n_users"]
+        .sum()  # |weeks|²-bounded
+    )
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values(["cohort_week", "week_offset"]).reset_index(drop=True)

@@ -1719,3 +1719,40 @@ def test_dsir_resample_matches_pandas_and_tilts_target(ray_session):
     sample_en = rep["lang"].eq("en").mean()
     corpus_en = docs["lang"].eq("en").mean()
     assert sample_en > corpus_en
+
+
+def test_events_running_total_matches_pandas(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import events_running_total
+
+    got = events_running_total(SF)
+    ev = pd.read_parquet(
+        f"{SF}/events.parquet", columns=["user_id", "ts", "event_id", "value"]
+    )
+    ev["v_e2"] = np.floor(ev["value"] * 100 + 0.5).astype("int64")
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    ev["running_e2"] = ev.groupby("user_id")["v_e2"].cumsum()
+    exp = ev[["event_id", "user_id", "running_e2"]].sort_values(
+        "event_id"
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_user_retention_cohorts_matches_pandas(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import user_retention_cohorts
+
+    got = user_retention_cohorts(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts"])
+    ev["week"] = ((ev["ts"] - pd.Timestamp("2024-01-01")).dt.days // 7).astype("int64")
+    w = ev[["user_id", "week"]].drop_duplicates()
+    first = w.groupby("user_id")["week"].transform("min")
+    exp = (
+        pd.DataFrame({"cohort_week": first, "week_offset": w["week"] - first})
+        .groupby(["cohort_week", "week_offset"], as_index=False)
+        .size()
+        .rename(columns={"size": "n_users"})
+        .sort_values(["cohort_week", "week_offset"])
+        .reset_index(drop=True)
+    )
+    # every user appears in their own cohort at offset 0
+    assert exp[exp["week_offset"] == 0]["n_users"].sum() == w["user_id"].nunique()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
