@@ -161,6 +161,28 @@ def _q_ngram_jaccard_maxdf(sf_dir: str):
     return df[["a", "b", "jaccard_e4"]].reset_index(drop=True)
 
 
+def _q_ngram_containment(sf_dir: str):
+    """Oracle-checked exact shingle CONTAINMENT (shared/min set size,
+    Broder 1997) — the subset-document detector: a short doc quoted
+    whole inside a long one scores 1.0 here but low Jaccard.  Pipeline
+    threshold sits just below 0.8 and BOTH sides filter on the half-up
+    e4 value from the identical float expression
+    (shared*10000.0/min(na,nb)), so membership and hashes match
+    bit-for-bit."""
+    import numpy as np
+    import ray.data as rd
+
+    from opps_feedcrawler_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    df = ngram_jaccard_pairs(
+        docs, threshold=0.7999, k_shingle=3, metric="containment"
+    )
+    df["containment_e4"] = np.floor(df["jaccard_e4_raw"] + 0.5).astype("int64")
+    df = df[df["containment_e4"] >= 8000]
+    return df[["a", "b", "containment_e4"]].reset_index(drop=True)
+
+
 def _q_embedding_dups(sf_dir: str):
     """EXACT all-pairs cosine ≥ 0.5 (triangle block join, recall 1.0) —
     oracle-checked so this query can never silently return empty again.
@@ -481,6 +503,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_resample": A.dsir_resample,
         "events_running_total": A.events_running_total,
         "user_retention_cohorts": A.user_retention_cohorts,
+        "user_day_streaks": A.user_day_streaks,
+        "events_running_distinct": A.events_running_distinct,
+        "ngram_containment_pairs": _q_ngram_containment,
         "orders_upsert_latest": A.orders_upsert_latest,
         "part_fuzzy_name_match": A.part_fuzzy_name_match,
         "orders_percent_rank": A.orders_percent_rank,
@@ -806,6 +831,24 @@ def oracle_sql() -> dict[str, str]:
             "WHERE len(list_intersect(x.s, y.s)) > 0) "
             "WHERE jaccard_e4 >= 4000"
         ),
+        "ngram_containment_pairs": (
+            # same word 3-shingles; containment = shared / min set size
+            "WITH toks AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z0-9_'']+') AS w FROM documents), "
+            "sh AS (SELECT doc_id, CASE "
+            "WHEN len(w) < 3 THEN [array_to_string(w, ' ')] "
+            "ELSE list_distinct(list_transform(range(1, len(w) - 1), "
+            "i -> array_to_string(w[i:i+2], ' '))) END AS s "
+            "FROM toks WHERE len(w) > 0) "
+            "SELECT a, b, containment_e4 FROM ("
+            "SELECT x.doc_id AS a, y.doc_id AS b, "
+            "CAST(FLOOR(len(list_intersect(x.s, y.s)) * 10000.0 / "
+            "LEAST(len(x.s), len(y.s)) + 0.5) AS BIGINT) "
+            "AS containment_e4 "
+            "FROM sh x JOIN sh y ON x.doc_id < y.doc_id "
+            "WHERE len(list_intersect(x.s, y.s)) > 0) "
+            "WHERE containment_e4 >= 8000"
+        ),
         "events_trailing_3d_max": (
             # RANGE-frame extremum (prefix sums can't); peers in-frame
             "SELECT event_id, user_id, "
@@ -1122,6 +1165,29 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_e2 "
             "FROM events ORDER BY event_id"
+        ),
+        "user_day_streaks": (
+            # gaps-and-islands: consecutive epoch-days share day - ROW_NUMBER()
+            "WITH d AS (SELECT DISTINCT user_id, "
+            "date_diff('day', TIMESTAMP '1970-01-01', ts) AS day FROM events), "
+            "i AS (SELECT user_id, day, day - ROW_NUMBER() OVER ("
+            "PARTITION BY user_id ORDER BY day) AS isl FROM d), "
+            "s AS (SELECT user_id, isl, COUNT(*) AS len FROM i "
+            "GROUP BY user_id, isl) "
+            "SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days, "
+            "CAST(COUNT(*) AS BIGINT) AS n_streaks, "
+            "CAST(MAX(len) AS BIGINT) AS max_streak "
+            "FROM s GROUP BY user_id ORDER BY user_id"
+        ),
+        "events_running_distinct": (
+            # DISTINCT isn't frameable: first-occurrence flag + running sum
+            "WITH f AS (SELECT event_id, user_id, ts, "
+            "CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type "
+            "ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS fst FROM events) "
+            "SELECT event_id, user_id, CAST(SUM(fst) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_distinct_types "
+            "FROM f ORDER BY event_id"
         ),
         "user_retention_cohorts": (
             # cohort = first active week; count users per (cohort, offset)

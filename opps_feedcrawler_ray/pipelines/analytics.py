@@ -4023,3 +4023,92 @@ def user_retention_cohorts(sf_dir: str) -> pd.DataFrame:
     )
     out["n_users"] = out["n_users"].astype("int64")
     return out.sort_values(["cohort_week", "week_offset"]).reset_index(drop=True)
+
+
+def user_day_streaks(sf_dir: str) -> pd.DataFrame:
+    """GAPS-AND-ISLANDS — longest run of consecutive active days per
+    user, the classic ``day - ROW_NUMBER()`` island construction that no
+    fixed window frame expresses.
+
+    Scale shape: per-batch distinct (user, epoch-day) combiner shrinks
+    the exchange to the user×day domain (never raw event rows), then ONE
+    user-bucket exchange where each user's day set completes; islands
+    come from a single grouped cumcount subtraction across every user in
+    the bucket at once — no per-user Python."""
+    from .dedup import coarse_buckets
+
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    nb = coarse_buckets(ev.count(), rows_per_task=65536)
+    epoch = pd.Timestamp("1970-01-01")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["day"] = (df["ts"] - epoch).dt.days.astype("int64")
+        g = df[["user_id", "day"]].drop_duplicates()
+        g["__b"] = (g["user_id"].to_numpy() % nb).astype("int64")
+        return pa.Table.from_pandas(
+            g,
+            schema=pa.schema([("user_id", pa.int64()), ("day", pa.int64()),
+                              ("__b", pa.int64())]),
+            preserve_index=False,
+        )
+
+    def streaks(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day"]).sort_values(["user_id", "day"])
+        # island id: consecutive days share (day - rank-within-user)
+        g["isl"] = g["day"].to_numpy() - g.groupby("user_id").cumcount().to_numpy()
+        runs = g.groupby(["user_id", "isl"], as_index=False).agg(
+            length=("day", "size")
+        )
+        out = runs.groupby("user_id", as_index=False).agg(
+            n_active_days=("length", "sum"),
+            n_streaks=("length", "size"),
+            max_streak=("length", "max"),
+        )
+        return out.astype("int64")
+
+    out = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(streaks, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def events_running_distinct(sf_dir: str) -> pd.DataFrame:
+    """Grouped RUNNING DISTINCT COUNT — ``COUNT(DISTINCT event_type)``
+    up to each event per user, the cumulative-dedup window the plain
+    running total can't express (SQL needs a first-occurrence flag +
+    running sum because DISTINCT isn't frameable).
+
+    Scale shape: one user-bucket exchange, then a single vectorized pass
+    per bucket: sort by (user, ts, event_id), first-occurrence mask via
+    ``duplicated`` on (user, type), grouped cumsum — no per-user
+    Python."""
+    from .dedup import coarse_buckets
+
+    ev = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "ts", "event_id", "event_type"]
+    )
+    nb = coarse_buckets(ev.count(), rows_per_task=65536)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = (batch["user_id"].to_numpy(zero_copy_only=False) % nb).astype("int64")
+        return batch.append_column("__b", pa.array(b))
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        first = (~g.duplicated(["user_id", "event_type"])).astype("int64")
+        g["n_distinct_types"] = first.groupby(
+            g["user_id"].to_numpy()
+        ).cumsum().astype("int64")
+        return g[["event_id", "user_id", "n_distinct_types"]]
+
+    out = (
+        ev.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(running, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)

@@ -474,6 +474,7 @@ def ngram_jaccard_pairs(
     k_shingle: int = 3,
     max_df: int | None = None,
     n_buckets: int | None = None,
+    metric: str = "jaccard",
 ) -> pd.DataFrame:
     """All-pairs n-gram Jaccard ≥ threshold via shingle-bucket join:
     explode (shingle_hash, id), groupby shingle → co-occurring id pairs,
@@ -494,7 +495,16 @@ def ngram_jaccard_pairs(
     DISTRIBUTED, in a map_batches directly after the pair-count groupby
     — only qualifying pairs ever reach the driver (the co-occurrence
     set is near-quadratic on a real corpus; it never materializes
-    anywhere as a whole).  Shingle-bucket count adapts to input size."""
+    anywhere as a whole).  Shingle-bucket count adapts to input size.
+
+    ``metric``: ``"jaccard"`` (shared/union, symmetric resemblance) or
+    ``"containment"`` (shared/min(|A|,|B|), Broder's containment — the
+    quote-inclusion/subset-document detector Jaccard misses: a short doc
+    fully embedded in a long one has low Jaccard but containment 1.0).
+    Same single-exchange shape either way; only the distributed
+    threshold expression differs."""
+    if metric not in ("jaccard", "containment"):
+        raise ValueError(f"unknown metric {metric!r}")
 
     def sh_stage(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
@@ -600,14 +610,16 @@ def ngram_jaccard_pairs(
         shared = co["shared"].to_numpy().astype("float64")
         na = co["na"].to_numpy().astype("float64")
         nbq = co["nb"].to_numpy().astype("float64")
-        union = na + nbq - shared
-        j = shared / union
+        # denominator: union (resemblance) or min set size (containment);
+        # identical float expression to the DuckDB oracle on both paths
+        denom = na + nbq - shared if metric == "jaccard" else np.minimum(na, nbq)
+        j = shared / denom
         keep = j >= threshold
         return pd.DataFrame(
             {"a": co["a"].to_numpy()[keep].astype("int64"),
              "b": co["b"].to_numpy()[keep].astype("int64"),
              "jaccard": j[keep],
-             "jaccard_e4_raw": (shared * 10000.0 / union)[keep]}
+             "jaccard_e4_raw": (shared * 10000.0 / denom)[keep]}
         )
 
     out = (

@@ -1756,3 +1756,44 @@ def test_user_retention_cohorts_matches_pandas(ray_session):
     # every user appears in their own cohort at offset 0
     assert exp[exp["week_offset"] == 0]["n_users"].sum() == w["user_id"].nunique()
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_user_day_streaks_matches_pandas(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import user_day_streaks
+
+    got = user_day_streaks(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts"])
+    ev["day"] = (ev["ts"] - pd.Timestamp("1970-01-01")).dt.days.astype("int64")
+    d = ev[["user_id", "day"]].drop_duplicates().sort_values(["user_id", "day"])
+    d["isl"] = d["day"] - d.groupby("user_id").cumcount()
+    runs = d.groupby(["user_id", "isl"], as_index=False).agg(length=("day", "size"))
+    exp = (
+        runs.groupby("user_id", as_index=False)
+        .agg(n_active_days=("length", "sum"), n_streaks=("length", "size"),
+             max_streak=("length", "max"))
+        .astype("int64")
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    # sanity: islands partition the day set
+    assert (exp["n_active_days"] >= exp["max_streak"]).all()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_events_running_distinct_matches_pandas(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import events_running_distinct
+
+    got = events_running_distinct(SF)
+    ev = pd.read_parquet(
+        f"{SF}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
+    ).sort_values(["user_id", "ts", "event_id"])
+    first = (~ev.duplicated(["user_id", "event_type"])).astype("int64")
+    ev["n_distinct_types"] = first.groupby(ev["user_id"].to_numpy()).cumsum()
+    exp = ev[["event_id", "user_id", "n_distinct_types"]].sort_values(
+        "event_id"
+    ).reset_index(drop=True)
+    # final value per user == exact nunique
+    fin = exp.groupby("user_id")["n_distinct_types"].max()
+    nu = ev.groupby("user_id")["event_type"].nunique()
+    assert fin.equals(nu.astype("int64"))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

@@ -388,3 +388,39 @@ def test_semantic_dedup_clustered_is_exact_subset(ray_session):
     assert len(got) > 0
     for r in got.itertuples():
         assert brute[(r.a, r.b)] == r.cosine_e6
+
+
+def test_ngram_containment_detects_subset_doc(ray_session):
+    """Containment metric: a short doc fully embedded in a long one
+    scores 1.0 containment but well under 0.5 Jaccard — and both metrics
+    agree with a brute-force shingle-set recomputation."""
+    from opps_feedcrawler_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " " + " ".join(f"w{i} x{i} y{i}" for i in range(20))
+    other = "one two three four five six seven"
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": [short, long, other]})
+    ds = rd.from_arrow(t)
+    cont = ngram_jaccard_pairs(ds, threshold=0.9999, metric="containment")
+    assert list(zip(cont["a"], cont["b"])) == [(1, 2)]
+    jac = ngram_jaccard_pairs(ds, threshold=0.5, metric="jaccard")
+    assert jac.empty  # subset pair invisible to resemblance
+    # brute-force twin: containment == |A∩B| / min on raw shingle sets
+    sa, sb = shingles(short, 3), shingles(long, 3)
+    exp = len(sa & sb) / min(len(sa), len(sb))
+    assert abs(cont["jaccard"].iloc[0] - exp) < 1e-12
+
+
+def test_ngram_containment_vs_jaccard_on_fixtures(ray_session):
+    """On every co-occurring pair, containment >= jaccard (min <= union
+    denominator), and threshold=0 runs of both metrics pair identically."""
+    from opps_feedcrawler_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    jac = ngram_jaccard_pairs(ds, threshold=0.0, k_shingle=3)
+    con = ngram_jaccard_pairs(ds, threshold=0.0, k_shingle=3, metric="containment")
+    jm = {(a, b): v for a, b, v in zip(jac["a"], jac["b"], jac["jaccard"])}
+    cm = {(a, b): v for a, b, v in zip(con["a"], con["b"], con["jaccard"])}
+    assert set(jm) == set(cm)
+    assert all(cm[k] >= jm[k] - 1e-12 for k in jm)
