@@ -354,6 +354,14 @@ def _q_host_components(sf_dir: str):
     return host_components(sf_dir)
 
 
+def _q_host_kcore(sf_dir: str):
+    """Iterative k-core decomposition by parallel peeling (rows-only:
+    iterative; a brute sequential-peel twin is pinned in tests)."""
+    from opps_feedcrawler_ray.pipelines.webpipe import host_kcore
+
+    return host_kcore(sf_dir)
+
+
 def _q_langid(sf_dir: str):
     import pyarrow as pa
     import ray.data as rd
@@ -534,6 +542,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank": _q_host_pagerank,
         "host_hits": _q_host_hits,
         "host_components": _q_host_components,
+        "host_kcore": _q_host_kcore,
+        "top_tokens_per_lang": A.top_tokens_per_lang,
         "doc_triangle_counts": _q_doc_triangles,
         "doc_bfs_depth": _q_doc_bfs_depth,
         "events_daily_distinct_users": A.events_daily_distinct_users,
@@ -1002,6 +1012,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_mktsegment FROM customer WHERE NOT EXISTS ("
             "SELECT 1 FROM orders WHERE o_custkey = c_custkey "
             "AND o_totalprice > 450000)"
+        ),
+        "top_tokens_per_lang": (
+            # grouped top-k: rank on (n DESC, token ASC) — float-free
+            "WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS token "
+            "FROM documents), "
+            "c AS (SELECT lang, token, COUNT(*) AS n FROM t "
+            "WHERE token <> '' GROUP BY lang, token), "
+            "r AS (SELECT lang, token, n, ROW_NUMBER() OVER ("
+            "PARTITION BY lang ORDER BY n DESC, token) AS rn FROM c) "
+            "SELECT lang, token, CAST(n AS BIGINT) AS n, "
+            "CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 10 ORDER BY lang, rn"
         ),
         "doc_token_counts": (
             "SELECT t AS token, COUNT(*) AS n FROM ("

@@ -4025,6 +4025,71 @@ def user_retention_cohorts(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["cohort_week", "week_offset"]).reset_index(drop=True)
 
 
+def top_tokens_per_lang(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """GROUPED top-k heavy terms — the per-language vocabulary head
+    (stopword discovery / corpus fingerprinting input).
+
+    Scale shape: per-batch (lang, token) count combiner → ONE
+    token-bucket exchange (equal tokens co-locate, so per-bucket counts
+    are EXACT) → per-bucket, per-lang local top-k cut with the global
+    ordering key (n desc, token asc).  The local cut is a provable
+    superset of the global top-k (a bucket holds a token's entire
+    count), so the driver merges ≤ k·|langs|·n_buckets rows — never the
+    vocabulary."""
+    from ..functions.hashing import fingerprint64
+    from .dedup import coarse_buckets
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["lang", "text"])
+    nb = coarse_buckets(docs.count(), rows_per_task=256, lo=64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], pattern=" ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        df = pd.DataFrame(
+            {"lang": np.repeat(
+                np.asarray(batch["lang"].to_pylist(), dtype=object), lens),
+             "token": flat.to_pandas()}
+        )
+        g = df[df["token"] != ""].groupby(
+            ["lang", "token"], as_index=False
+        ).agg(n=("token", "size"))
+        # stable bucket hash on the batch-unique token set (bounded by
+        # per-batch vocabulary, not token occurrences)
+        g["__b"] = np.fromiter(
+            (fingerprint64(t) % nb for t in g["token"]),
+            dtype=np.int64, count=len(g),
+        )
+        return pa.Table.from_pandas(
+            g, preserve_index=False,
+            schema=pa.schema([("lang", pa.string()), ("token", pa.string()),
+                              ("n", pa.int64()), ("__b", pa.int64())]),
+        )
+
+    def local_topk(g: pd.DataFrame) -> pd.DataFrame:
+        co = g.groupby(["lang", "token"], as_index=False)["n"].sum()
+        top = (
+            co.sort_values(["lang", "n", "token"], ascending=[True, False, True])
+            .groupby("lang")
+            .head(k)
+        )
+        return top.reset_index(drop=True)
+
+    out = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(local_topk, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["lang", "n", "token"], ascending=[True, False, True])
+    )
+    out["rn"] = out.groupby("lang").cumcount().astype("int64") + 1
+    out = out[out["rn"] <= k]
+    out["n"] = out["n"].astype("int64")
+    return out[["lang", "token", "n", "rn"]].reset_index(drop=True)
+
+
 def user_day_streaks(sf_dir: str) -> pd.DataFrame:
     """GAPS-AND-ISLANDS — longest run of consecutive active days per
     user, the classic ``day - ROW_NUMBER()`` island construction that no

@@ -406,6 +406,95 @@ def host_components(sf_dir: str, work_dir: str | None = None):
     return components_from_edges(host_link_graph(sf_dir, work_dir=work_dir))
 
 
+def kcore_from_edges(edges_df) -> "pd.DataFrame":
+    """k-CORE DECOMPOSITION (coreness per host) over an undirected edge
+    list — iterative pruning (Batagelj–Zaveršnik semantics, parallel
+    peeling formulation): at level k, repeatedly drop every vertex whose
+    degree in the SURVIVING subgraph is < k until fixpoint; vertices
+    dropped before level k survives get coreness k−1.
+
+    Scale shape (same contract as host_pagerank / components): the
+    undirected-simple edge dataset is pinned ONCE; each peel round is a
+    single ``map_batches`` combiner over edges (alive-mask broadcast via
+    ray.put, per-batch endpoint degree partials) closed by one
+    |hosts|-key groupby-sum.  Only the |hosts|-bounded degree/alive
+    tables ever move — edges never re-shuffle.  Round count is
+    Σ_k (peel rounds at k) — O(k_max + longest removal chain), the
+    known bound for parallel peeling."""
+    import ray
+
+    import pandas as pd
+
+    # undirected simple graph: unordered pair dedup, self-loops dropped
+    a = np.minimum(edges_df["src_host"].to_numpy(dtype=object),
+                   edges_df["dst_host"].to_numpy(dtype=object))
+    b = np.maximum(edges_df["src_host"].to_numpy(dtype=object),
+                   edges_df["dst_host"].to_numpy(dtype=object))
+    und = pd.DataFrame({"u": a, "v": b})
+    und = und[und["u"] != und["v"]].drop_duplicates()
+    hosts = sorted(set(und["u"]) | set(und["v"]))
+    if not hosts:
+        return pd.DataFrame(
+            {"host": pd.Series(dtype=object),
+             "coreness": pd.Series(dtype="int64")}
+        )
+    edges = rd.from_arrow(
+        pa.Table.from_pandas(und, preserve_index=False)
+    ).materialize()
+
+    coreness = {h: 0 for h in hosts}
+    alive = set(hosts)
+    k = 1
+    while alive:
+        alive_ref = ray.put(alive)
+
+        def deg_partial(batch: pa.Table) -> pa.Table:
+            al = ray.get(alive_ref)
+            df = batch.to_pandas()
+            m = df["u"].isin(al) & df["v"].isin(al)
+            df = df[m]
+            g = (
+                pd.concat([df["u"].rename("host"), df["v"].rename("host")])
+                .value_counts()
+                .rename_axis("host")
+                .reset_index(name="d")
+            )
+            return pa.Table.from_pandas(
+                g, preserve_index=False,
+                schema=pa.schema([("host", pa.string()), ("d", pa.int64())]),
+            )
+
+        deg = (
+            edges.map_batches(deg_partial, batch_format="pyarrow")
+            .groupby("host")
+            .sum("d")
+            .to_pandas()
+            .rename(columns={"sum(d)": "d"})
+        )
+        dd = dict(zip(deg["host"], deg["d"])) if "host" in deg.columns else {}
+        drop = {h for h in alive if dd.get(h, 0) < k}
+        if not drop:
+            k += 1  # level-k core settled; survivors have coreness ≥ k
+            for h in alive:
+                coreness[h] = k - 1
+            continue
+        for h in drop:
+            coreness[h] = k - 1
+        alive -= drop
+    out = pd.DataFrame(
+        {"host": hosts, "coreness": [coreness[h] for h in hosts]}
+    )
+    out["coreness"] = out["coreness"].astype("int64")
+    return out.sort_values("host").reset_index(drop=True)
+
+
+def host_kcore(sf_dir: str, work_dir: str | None = None):
+    """Coreness of every host in the link graph (rows-only driver check;
+    the peeling core is pinned against a brute sequential-peel twin in
+    tests)."""
+    return kcore_from_edges(host_link_graph(sf_dir, work_dir=work_dir))
+
+
 def doc_triangle_counts(sf_dir: str, work_dir: str | None = None):
     """Distributed TRIANGLE COUNTING over the doc-level link graph — the
     degree-orientation algorithm (Chiba–Nishizeki / Schank–Wagner node

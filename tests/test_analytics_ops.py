@@ -1797,3 +1797,71 @@ def test_events_running_distinct_matches_pandas(ray_session):
     nu = ev.groupby("user_id")["event_type"].nunique()
     assert fin.equals(nu.astype("int64"))
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_kcore_on_synthetic_graph(ray_session):
+    """Peeling semantics pinned on a graph with varied coreness: a
+    5-clique (coreness 4) with a pendant path (coreness 1) and a
+    triangle bridged to the clique by one edge (coreness 2)."""
+    from opps_feedcrawler_ray.pipelines.webpipe import kcore_from_edges
+
+    clique = [(f"c{i}", f"c{j}") for i in range(5) for j in range(i + 1, 5)]
+    path = [("c0", "p1"), ("p1", "p2"), ("p2", "p3")]
+    tri = [("t1", "t2"), ("t2", "t3"), ("t1", "t3"), ("c1", "t1")]
+    e = pd.DataFrame(clique + path + tri, columns=["src_host", "dst_host"])
+    got = kcore_from_edges(e).set_index("host")["coreness"].to_dict()
+    exp = {f"c{i}": 4 for i in range(5)}
+    exp.update({"p1": 1, "p2": 1, "p3": 1, "t1": 2, "t2": 2, "t3": 2})
+    assert got == exp
+
+
+def test_host_kcore_matches_brute_peel(ray_session):
+    from opps_feedcrawler_ray.pipelines.webpipe import host_kcore, host_link_graph
+
+    SFD = "/root/testdata/sf0.001"
+    got = host_kcore(SFD)
+    e = host_link_graph(SFD)
+    u = np.minimum(e["src_host"], e["dst_host"])
+    v = np.maximum(e["src_host"], e["dst_host"])
+    und = pd.DataFrame({"u": u, "v": v})
+    und = und[und["u"] != und["v"]].drop_duplicates()
+    adj: dict[str, set] = {}
+    for a, b in zip(und["u"], und["v"]):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = {h: len(s) for h, s in adj.items()}
+    core: dict[str, int] = {}
+    while alive:
+        h = min(alive, key=lambda x: (alive[x], x))
+        k = alive[h]
+        core[h] = k
+        del alive[h]
+        for nb in adj[h]:
+            if nb in alive:
+                alive[nb] = max(alive[nb] - 1, k)
+    exp = pd.DataFrame(
+        {"host": sorted(core), "coreness": [core[h] for h in sorted(core)]}
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_top_tokens_per_lang_matches_pandas(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import top_tokens_per_lang
+
+    got = top_tokens_per_lang(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["lang", "text"])
+    rows = []
+    for r in docs.itertuples():
+        for t in r.text.split(" "):
+            if t:
+                rows.append((r.lang, t))
+    c = (
+        pd.DataFrame(rows, columns=["lang", "token"])
+        .groupby(["lang", "token"], as_index=False)
+        .size()
+        .rename(columns={"size": "n"})
+        .sort_values(["lang", "n", "token"], ascending=[True, False, True])
+    )
+    c["rn"] = c.groupby("lang").cumcount() + 1
+    exp = c[c["rn"] <= 10].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
