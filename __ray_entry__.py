@@ -472,6 +472,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": S.sessionize,
         "sessionize_salted": S.sessionize_salted,
         "events_range_join_count": S.events_range_join_count,
+        "asof_next_click": S.asof_next_click,
+        "session_stats": S.session_stats,
+        "events_ewma": S.events_ewma,
         "top_spender_events": S.top_spender_events,
         "revenue_by_nation": S.revenue_by_nation,
         "hll_distinct_users": _q_hll_distinct,
@@ -665,6 +668,37 @@ def oracle_sql() -> dict[str, str]:
             "WITH marks AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase') "
             "SELECT e.event_id, m.ts AS last_purchase_ts "
             "FROM events e ASOF LEFT JOIN marks m ON e.user_id = m.user_id AND e.ts >= m.ts"
+        ),
+        "asof_next_click": (
+            # forward as-of: DuckDB ASOF supports only the backward
+            # inequality, so the oracle is the correlated MIN form
+            "SELECT e.event_id, "
+            "(SELECT MIN(c.ts) FROM events c WHERE c.user_id = e.user_id "
+            "AND c.event_type = 'click' AND c.ts >= e.ts) AS next_click_ts "
+            "FROM events e"
+        ),
+        "session_stats": (
+            # dependent two-level session aggregate: open flags → session
+            # ids → per-session sizes → per-user stats + exact active time
+            "WITH l AS (SELECT user_id, ts, event_id, "
+            "LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts "
+            "FROM events), "
+            "s AS (SELECT user_id, ts, event_id, pts, "
+            "CASE WHEN pts IS NULL OR ts - pts > INTERVAL 30 MINUTE "
+            "THEN 1 ELSE 0 END AS news FROM l), "
+            "i AS (SELECT user_id, pts, ts, news, SUM(news) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS sid FROM s), "
+            "c AS (SELECT user_id, sid, COUNT(*) AS n FROM i "
+            "GROUP BY user_id, sid), "
+            "a AS (SELECT user_id, SUM(CASE WHEN news = 0 THEN "
+            "date_diff('microsecond', pts, ts) ELSE 0 END) AS active_us "
+            "FROM i GROUP BY user_id) "
+            "SELECT c.user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions, "
+            "CAST(MAX(n) AS BIGINT) AS max_session_events, "
+            "CAST(a.active_us AS BIGINT) AS active_us "
+            "FROM c JOIN a ON c.user_id = a.user_id "
+            "GROUP BY c.user_id, a.active_us ORDER BY c.user_id"
         ),
         "sessionize": (
             "WITH t AS (SELECT user_id, event_id, CASE WHEN "

@@ -521,3 +521,144 @@ def events_range_join_count(sf_dir: str, window_hours: int = 1) -> pd.DataFrame:
         .map_groups(count_in_bucket, batch_format="pandas")
         .to_pandas()
     )
+
+
+def asof_next_click(sf_dir: str) -> pd.DataFrame:
+    """As-of join, FORWARD direction (the complement of
+    :func:`asof_last_purchase`): for every event, the timestamp of the
+    same user's NEXT click at-or-after it — the "time to next action"
+    primitive behind response-latency and abandonment metrics.
+
+    Same bucketed shape as the backward join: groupby(user) → sorted
+    ``pd.merge_asof(direction='forward')`` per group; matches the SQL
+    ``MIN(c.ts) WHERE c.ts >= e.ts`` correlated form exactly (ties on
+    equal timestamps return that timestamp on both sides)."""
+    ev = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        marks = g.loc[g["event_type"] == "click", ["user_id", "ts"]].copy()
+        marks = marks.rename(columns={"ts": "next_click_ts"})
+        out = pd.merge_asof(
+            g[["event_id", "user_id", "ts"]],
+            marks,
+            left_on="ts",
+            right_on="next_click_ts",
+            by="user_id",
+            direction="forward",
+            allow_exact_matches=True,
+        )
+        return out[["event_id", "next_click_ts"]]
+
+    return ev.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+
+
+def session_stats(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    """SESSION-WINDOW AGGREGATE: per user, the session count, the
+    largest session's event count, and total active time (sum of
+    within-session gaps, exact microseconds) — the dependent
+    two-level aggregate :func:`sessionize` stops short of.
+
+    Scale shape: one coarse user-bucket exchange, then every window
+    statistic derives from a single vectorized pass across all users in
+    the bucket at once (grouped diff → open flags → cumsum session ids
+    → two grouped aggregates) — no per-user Python."""
+    from .dedup import coarse_buckets
+
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "event_id"])
+    nb = coarse_buckets(ev.count(), rows_per_task=65536)
+    gap_us = np.int64(gap_minutes) * 60_000_000
+
+    def add_ub(b: pd.DataFrame) -> pd.DataFrame:
+        b["ub"] = (b["user_id"].to_numpy() % nb).astype("int64")
+        return b
+
+    def stats_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        # exact integer microseconds: a float total_seconds() round-trip
+        # truncates ~1 us on large gaps (measured at sf0.01)
+        g["ts_us"] = g["ts"].astype("datetime64[us]").astype("int64")
+        dt = g.groupby("user_id", sort=False)["ts_us"].diff().to_numpy()
+        news = np.isnan(dt) | (dt > gap_us)
+        active = np.where(news, 0, np.nan_to_num(dt)).astype("int64")
+        sid = np.cumsum(news)  # globally increasing → unique per session
+        sizes = (
+            pd.DataFrame({"user_id": g["user_id"].to_numpy(), "sid": sid})
+            .groupby(["user_id", "sid"], as_index=False)
+            .size()
+        )
+        per_user = sizes.groupby("user_id", as_index=False).agg(
+            n_sessions=("size", "size"), max_session_events=("size", "max")
+        )
+        act = (
+            pd.DataFrame({"user_id": g["user_id"].to_numpy(), "a": active})
+            .groupby("user_id", as_index=False)["a"]
+            .sum()
+            .rename(columns={"a": "active_us"})
+        )
+        out = per_user.merge(act, on="user_id")
+        return out.astype("int64")
+
+    return (
+        ev.map_batches(add_ub, batch_format="pandas")
+        .groupby("ub")
+        .map_groups(stats_in_bucket, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+
+def events_ewma(sf_dir: str, alpha: float = 0.3) -> pd.DataFrame:
+    """Grouped EWMA — the LINEAR-RECURRENCE SCAN class
+    (y_i = (1−α)·y_{i−1} + α·x_i, y_0 = x_0): inherently sequential per
+    key, unlike every rank/diff/cumsum window in the repo, so it stands
+    in for online feature smoothing and anomaly baselines.
+
+    Scale shape: users are independent, so ONE user-bucket exchange
+    parallelizes across keys; inside a bucket the recurrence runs in
+    pandas' C ``groupby().ewm(adjust=False)`` kernel across all users at
+    once.  MEGA-USER PATH (documented contract, same as the *_salted
+    family): a single user's log split into segments composes
+    associatively — each segment reduces to (A, B) with
+    y_end = A·y_start + B, A = (1−α)^n — so a day-partitioned run needs
+    only a tiny per-(user, day) boundary pass to chain carries, exactly
+    the `_day_boundary_rows` shape.  Rows-only in the driver (recursive
+    float scan isn't SQL-expressible); pinned against an explicit
+    per-event Python recursion twin in tests."""
+    from .dedup import coarse_buckets
+
+    ev = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+    nb = coarse_buckets(ev.count(), rows_per_task=65536)
+
+    def add_ub(b: pd.DataFrame) -> pd.DataFrame:
+        b["ub"] = (b["user_id"].to_numpy() % nb).astype("int64")
+        return b
+
+    def scan_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        y = (
+            g.groupby("user_id", sort=False)["value"]
+            .ewm(alpha=alpha, adjust=False)
+            .mean()
+            .reset_index(drop=True)
+            .to_numpy()
+        )
+        return pd.DataFrame(
+            {"event_id": g["event_id"].to_numpy(),
+             "user_id": g["user_id"].to_numpy(),
+             "ewma": y}
+        )
+
+    return (
+        ev.map_batches(add_ub, batch_format="pandas")
+        .groupby("ub")
+        .map_groups(scan_in_bucket, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )

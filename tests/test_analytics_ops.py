@@ -1865,3 +1865,77 @@ def test_top_tokens_per_lang_matches_pandas(ray_session):
     c["rn"] = c.groupby("lang").cumcount() + 1
     exp = c[c["rn"] <= 10].reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_asof_next_click_matches_pandas(ray_session):
+    from opps_feedcrawler_ray.pipelines.streaming import asof_next_click
+
+    got = asof_next_click(SF).sort_values("event_id").reset_index(drop=True)
+    ev = pd.read_parquet(
+        f"{SF}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    clicks = ev[ev["event_type"] == "click"]
+    exp_rows = []
+    for r in ev.itertuples():
+        c = clicks[(clicks["user_id"] == r.user_id) & (clicks["ts"] >= r.ts)]
+        exp_rows.append((r.event_id, c["ts"].min() if len(c) else pd.NaT))
+    exp = pd.DataFrame(exp_rows, columns=["event_id", "next_click_ts"]).sort_values(
+        "event_id"
+    ).reset_index(drop=True)
+    exp["next_click_ts"] = exp["next_click_ts"].astype("datetime64[us]")
+    got["next_click_ts"] = got["next_click_ts"].astype("datetime64[us]")
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_session_stats_matches_pandas(ray_session):
+    from opps_feedcrawler_ray.pipelines.streaming import session_stats, sessionize
+
+    got = session_stats(SF)
+    ev = pd.read_parquet(
+        f"{SF}/events.parquet", columns=["user_id", "ts", "event_id"]
+    ).sort_values(["user_id", "ts", "event_id"])
+    us = ev["ts"].astype("datetime64[us]").astype("int64")
+    dt = us.groupby(ev["user_id"].to_numpy()).diff()
+    news = dt.isna() | (dt > 30 * 60_000_000)
+    sid = news.cumsum()
+    sizes = (
+        pd.DataFrame({"user_id": ev["user_id"].to_numpy(), "sid": sid})
+        .groupby(["user_id", "sid"], as_index=False)
+        .size()
+    )
+    exp = sizes.groupby("user_id", as_index=False).agg(
+        n_sessions=("size", "size"), max_session_events=("size", "max")
+    )
+    act = pd.DataFrame(
+        {"user_id": ev["user_id"].to_numpy(),
+         "a": np.where(news, 0, dt.fillna(0)).astype("int64")}
+    ).groupby("user_id", as_index=False)["a"].sum().rename(columns={"a": "active_us"})
+    exp = exp.merge(act, on="user_id").astype("int64").sort_values(
+        "user_id"
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # session COUNT must agree with the oracle-checked sessionize op
+    sz = sessionize(SF).sort_values("user_id").reset_index(drop=True)
+    assert got["n_sessions"].tolist() == sz["n_sessions"].tolist()
+
+
+def test_events_ewma_matches_recursion(ray_session):
+    """Pin the grouped C-kernel scan against an explicit per-event
+    Python recursion (y_0 = x_0; y = (1-a)y + ax)."""
+    from opps_feedcrawler_ray.pipelines.streaming import events_ewma
+
+    a = 0.3
+    got = events_ewma(SF, alpha=a)
+    ev = pd.read_parquet(
+        f"{SF}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    ).sort_values(["user_id", "ts", "event_id"])
+    state: dict[int, float] = {}
+    out = {}
+    for r in ev.itertuples():
+        y = r.value if r.user_id not in state else (
+            (1 - a) * state[r.user_id] + a * r.value
+        )
+        state[r.user_id] = y
+        out[r.event_id] = y
+    exp = got["event_id"].map(out).to_numpy()
+    assert np.allclose(got["ewma"].to_numpy(), exp, rtol=0, atol=1e-9)
