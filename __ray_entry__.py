@@ -475,6 +475,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_next_click": S.asof_next_click,
         "session_stats": S.session_stats,
         "events_ewma": S.events_ewma,
+        "events_late_arrivals": S.events_late_arrivals,
+        "orders_profile": A.orders_profile,
         "top_spender_events": S.top_spender_events,
         "revenue_by_nation": S.revenue_by_nation,
         "hll_distinct_users": _q_hll_distinct,
@@ -668,6 +670,43 @@ def oracle_sql() -> dict[str, str]:
             "WITH marks AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase') "
             "SELECT e.event_id, m.ts AS last_purchase_ts "
             "FROM events e ASOF LEFT JOIN marks m ON e.user_id = m.user_id AND e.ts >= m.ts"
+        ),
+        "orders_profile": (
+            # column profiler: per column, rows / nulls / exact distincts
+            "SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows, "
+            "CAST(n_nulls AS BIGINT) AS n_nulls, "
+            "CAST(n_distinct AS BIGINT) AS n_distinct FROM ("
+            "SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows, "
+            "COUNT(*) - COUNT(o_orderkey) AS n_nulls, "
+            "COUNT(DISTINCT o_orderkey) AS n_distinct FROM orders "
+            "UNION ALL SELECT 'o_custkey', COUNT(*), "
+            "COUNT(*) - COUNT(o_custkey), COUNT(DISTINCT o_custkey) FROM orders "
+            "UNION ALL SELECT 'o_orderstatus', COUNT(*), "
+            "COUNT(*) - COUNT(o_orderstatus), COUNT(DISTINCT o_orderstatus) "
+            "FROM orders "
+            "UNION ALL SELECT 'o_totalprice', COUNT(*), "
+            "COUNT(*) - COUNT(o_totalprice), COUNT(DISTINCT o_totalprice) "
+            "FROM orders "
+            "UNION ALL SELECT 'o_orderdate', COUNT(*), "
+            "COUNT(*) - COUNT(o_orderdate), COUNT(DISTINCT o_orderdate) "
+            "FROM orders "
+            "UNION ALL SELECT 'o_orderpriority', COUNT(*), "
+            "COUNT(*) - COUNT(o_orderpriority), COUNT(DISTINCT o_orderpriority) "
+            "FROM orders) ORDER BY col_name"
+        ),
+        "events_late_arrivals": (
+            # watermark = max event time over STRICT arrival predecessors
+            # (arrival order = event_id); late = lags the mark > 1 hour
+            "WITH w AS (SELECT event_id, ts, MAX(ts) OVER ("
+            "ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND 1 PRECEDING) AS wm FROM events), "
+            "f AS (SELECT date_trunc('hour', ts) AS win, "
+            "CASE WHEN wm IS NOT NULL AND "
+            "date_diff('microsecond', ts, wm) > 3600000000 "
+            "THEN 1 ELSE 0 END AS late FROM w) "
+            "SELECT win, CAST(SUM(1 - late) AS BIGINT) AS n_ontime, "
+            "CAST(SUM(late) AS BIGINT) AS n_late "
+            "FROM f GROUP BY win ORDER BY win"
         ),
         "asof_next_click": (
             # forward as-of: DuckDB ASOF supports only the backward

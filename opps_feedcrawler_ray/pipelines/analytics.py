@@ -4177,3 +4177,89 @@ def events_running_distinct(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def table_profile(sf_dir: str, table: str = "orders") -> pd.DataFrame:
+    """COLUMN PROFILER — the data-quality sweep every ingestion pipeline
+    runs first: per column, row count, null count, and EXACT distinct
+    count (the HLL twin ``hll_distinct_users`` covers the approximate
+    path; a profiler feeding schema-drift alerts needs exactness).
+
+    Scale shape: the null/row tallies are per-batch partials summed on
+    the driver (|columns| rows).  Exact distincts use the two-stage
+    shape of ``distinct_users`` generalized across columns: per-batch
+    DISTINCT (column, value) rows → ONE (column, value-hash)-bucket
+    exchange (equal values co-locate, so a per-bucket nunique is exact
+    and collision-free — hashing only routes, never identifies) →
+    |columns|·n_buckets partial counts to the driver.  Values ride as
+    repr() strings (injective for int64/float64/timestamp) so one
+    exchange serves every column type."""
+    from ..functions.hashing import fingerprint64
+    from .dedup import coarse_buckets
+
+    ds = rd.read_parquet(_t(sf_dir, table))
+    cols = ds.schema().names
+    nb = coarse_buckets(ds.count(), rows_per_task=65536)
+
+    def tally(batch: pa.Table) -> pa.Table:
+        names, n_rows, n_nulls = [], [], []
+        for c in cols:
+            names.append(c)
+            n_rows.append(batch.num_rows)
+            n_nulls.append(batch[c].null_count)
+        return pa.table(
+            {"col_name": pa.array(names, pa.string()),
+             "n_rows": pa.array(n_rows, pa.int64()),
+             "n_nulls": pa.array(n_nulls, pa.int64())}
+        )
+
+    counts = (
+        ds.map_batches(tally, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("col_name", as_index=False)[["n_rows", "n_nulls"]]
+        .sum()
+    )
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        frames = []
+        df = batch.to_pandas()
+        for c in cols:
+            # batch-local dedup first: the hash loop runs over the
+            # column's batch-distinct set, not its rows
+            vals = pd.Series(df[c].dropna().unique()).astype(str)
+            frames.append(pd.DataFrame({
+                "col_name": c,
+                "vb": np.fromiter(
+                    (fingerprint64(s) % nb for s in vals),
+                    dtype=np.int64, count=len(vals),
+                ),
+                "v": vals,
+            }))
+        out = pd.concat(frames, ignore_index=True)
+        return pa.Table.from_pandas(
+            out, preserve_index=False,
+            schema=pa.schema([("col_name", pa.string()), ("vb", pa.int64()),
+                              ("v", pa.string())]),
+        )
+
+    def nd_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        co = g.groupby("col_name", as_index=False)["v"].nunique()
+        return co.rename(columns={"v": "nd"})
+
+    nd = (
+        ds.map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby("vb")
+        .map_groups(nd_in_bucket, batch_format="pandas")
+        .to_pandas()
+        .groupby("col_name", as_index=False)["nd"]
+        .sum()
+        .rename(columns={"nd": "n_distinct"})
+    )
+    out = counts.merge(nd, on="col_name", how="left")
+    out["n_distinct"] = out["n_distinct"].fillna(0).astype("int64")
+    out[["n_rows", "n_nulls"]] = out[["n_rows", "n_nulls"]].astype("int64")
+    return out.sort_values("col_name").reset_index(drop=True)
+
+
+def orders_profile(sf_dir: str) -> pd.DataFrame:
+    return table_profile(sf_dir, "orders")

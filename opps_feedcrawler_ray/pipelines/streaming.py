@@ -662,3 +662,87 @@ def events_ewma(sf_dir: str, alpha: float = 0.3) -> pd.DataFrame:
         .sort_values("event_id")
         .reset_index(drop=True)
     )
+
+
+def events_late_arrivals(
+    sf_dir: str, lateness_hours: int = 1
+) -> pd.DataFrame:
+    """WATERMARK + LATE-DATA accounting — the event-time vs arrival-time
+    streaming concept (Dataflow/Beam semantics): arrival order is
+    ``event_id``; the watermark before each arrival is the max event
+    time seen so far minus nothing (raw high-water mark), and an arrival
+    is LATE when it lags that mark by more than ``lateness``.  Output:
+    per 1-hour tumbling event-time window, on-time vs late counts.
+
+    Scale shape — a GLOBAL ordered scan (not per-key like the *_salted
+    family): two-phase parallel prefix-max.  Phase 1: one pass over
+    contiguous arrival-range buckets computes each bucket's local
+    prefix-max and emits one (bucket, max) row; the driver prefix-folds
+    the ≤ n_buckets maxima into per-bucket carries (tiny).  Phase 2: a
+    second bucketed pass applies carry ∨ local prefix, flags lateness,
+    and pre-aggregates per (window) — the exchange closing the query is
+    |windows|-bounded."""
+    import ray
+
+    from .dedup import coarse_buckets
+
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "ts"])
+    n = ev.count()
+    nb = coarse_buckets(n, rows_per_task=65536)
+    span = max(1, -(-int(n) // nb))  # ceil: contiguous arrival ranges
+    late_us = np.int64(lateness_hours) * 3_600_000_000
+    hour_us = np.int64(3_600_000_000)
+
+    def add_rb(b: pd.DataFrame) -> pd.DataFrame:
+        b["ts_us"] = b["ts"].astype("datetime64[us]").astype("int64")
+        b["rb"] = (b["event_id"].to_numpy() // span).astype("int64")
+        return b[["event_id", "ts_us", "rb"]]
+
+    def bucket_max(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"rb": [np.int64(g["rb"].iloc[0])],
+             "mx": [np.int64(g["ts_us"].max())]}
+        )
+
+    ranged = ev.map_batches(add_rb, batch_format="pandas")
+    maxima = (
+        ranged.groupby("rb").map_groups(bucket_max, batch_format="pandas")
+        .to_pandas()
+        .sort_values("rb")
+    )
+    # driver-side prefix fold over <= nb rows: carry[b] = max of all
+    # buckets strictly before b (INT64_MIN when none)
+    carry_vals = np.concatenate(
+        ([np.iinfo(np.int64).min], np.maximum.accumulate(maxima["mx"].to_numpy())[:-1])
+    )
+    carry_ref = ray.put(dict(zip(maxima["rb"].to_numpy(), carry_vals)))
+
+    def flag_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        carries = ray.get(carry_ref)
+        g = g.sort_values("event_id")
+        ts = g["ts_us"].to_numpy()
+        local = np.concatenate(
+            ([np.iinfo(np.int64).min], np.maximum.accumulate(ts)[:-1])
+        )
+        wm = np.maximum(local, carries[int(g["rb"].iloc[0])])
+        late = (wm != np.iinfo(np.int64).min) & (wm - ts > late_us)
+        win = (ts // hour_us) * hour_us
+        out = (
+            pd.DataFrame({"win_us": win, "late": late.astype("int64")})
+            .groupby("win_us", as_index=False)
+            .agg(n_ontime=("late", lambda s: int((1 - s).sum())),
+                 n_late=("late", "sum"))
+        )
+        return out.astype("int64")
+
+    out = (
+        ranged.groupby("rb").map_groups(flag_in_bucket, batch_format="pandas")
+        .to_pandas()
+        .groupby("win_us", as_index=False)[["n_ontime", "n_late"]]
+        .sum()  # |windows|-bounded
+    )
+    out["win"] = pd.to_datetime(out["win_us"], unit="us")
+    out = out[["win", "n_ontime", "n_late"]].astype(
+        {"n_ontime": "int64", "n_late": "int64"}
+    )
+    return out.sort_values("win").reset_index(drop=True)

@@ -1939,3 +1939,45 @@ def test_events_ewma_matches_recursion(ray_session):
         out[r.event_id] = y
     exp = got["event_id"].map(out).to_numpy()
     assert np.allclose(got["ewma"].to_numpy(), exp, rtol=0, atol=1e-9)
+
+
+def test_events_late_arrivals_matches_pandas(ray_session):
+    """Global two-phase prefix-max scan vs a sequential driver twin."""
+    from opps_feedcrawler_ray.pipelines.streaming import events_late_arrivals
+
+    got = events_late_arrivals(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_id", "ts"]).sort_values(
+        "event_id"
+    )
+    us = ev["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    wm = np.concatenate(([np.iinfo(np.int64).min], np.maximum.accumulate(us)[:-1]))
+    late = (wm != np.iinfo(np.int64).min) & (wm - us > 3_600_000_000)
+    win = pd.to_datetime((us // 3_600_000_000) * 3_600_000_000, unit="us")
+    exp = (
+        pd.DataFrame({"win": win, "late": late.astype("int64")})
+        .groupby("win", as_index=False)
+        .agg(n_ontime=("late", lambda s: int((1 - s).sum())), n_late=("late", "sum"))
+        .sort_values("win")
+        .reset_index(drop=True)
+    )
+    assert (got["n_ontime"] + got["n_late"]).sum() == len(ev)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_table_profile_matches_pandas(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import table_profile
+
+    got = table_profile(SF, "orders")
+    df = pd.read_parquet(f"{SF}/orders.parquet")
+    exp = pd.DataFrame(
+        {"col_name": sorted(df.columns),
+         "n_rows": [len(df)] * len(df.columns),
+         "n_nulls": [int(df[c].isna().sum()) for c in sorted(df.columns)],
+         "n_distinct": [int(df[c].nunique()) for c in sorted(df.columns)]}
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # works on a second table with strings + lists absent
+    got2 = table_profile(SF, "nation")
+    nat = pd.read_parquet(f"{SF}/nation.parquet")
+    assert got2["n_rows"].eq(len(nat)).all()
+    assert got2.set_index("col_name").loc["n_name", "n_distinct"] == nat["n_name"].nunique()
