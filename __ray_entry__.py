@@ -477,6 +477,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ewma": S.events_ewma,
         "events_late_arrivals": S.events_late_arrivals,
         "orders_profile": A.orders_profile,
+        "purchase_click_days_except": A.purchase_click_days_except,
+        "event_transition_matrix": A.event_transition_matrix,
+        "part_pareto": A.part_pareto,
         "top_spender_events": S.top_spender_events,
         "revenue_by_nation": S.revenue_by_nation,
         "hll_distinct_users": _q_hll_distinct,
@@ -959,6 +962,37 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, date_trunc('day', ts) AS day FROM events "
             "WHERE event_type = 'click') "
             "GROUP BY user_id, day ORDER BY user_id, day"
+        ),
+        "purchase_click_days_except": (
+            # EXCEPT ALL (bag): max(0, n_left - n_right) copies survive
+            "SELECT user_id, day, COUNT(*)::BIGINT AS n FROM ("
+            "SELECT user_id, date_trunc('day', ts) AS day FROM events "
+            "WHERE event_type = 'purchase' "
+            "EXCEPT ALL "
+            "SELECT user_id, date_trunc('day', ts) AS day FROM events "
+            "WHERE event_type = 'click') "
+            "GROUP BY user_id, day ORDER BY user_id, day"
+        ),
+        "event_transition_matrix": (
+            # categorical LAG: consecutive-pair transition counts
+            "WITH s AS (SELECT user_id, event_type, "
+            "LAG(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS from_type FROM events) "
+            "SELECT from_type, event_type AS to_type, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM s "
+            "WHERE from_type IS NOT NULL "
+            "GROUP BY from_type, to_type ORDER BY from_type, to_type"
+        ),
+        "part_pareto": (
+            # skyline: no row <= on price and >= on size with one strict
+            "SELECT p_partkey, "
+            "CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS price_e2, "
+            "CAST(p_size AS BIGINT) AS p_size FROM part p "
+            "WHERE NOT EXISTS (SELECT 1 FROM part q "
+            "WHERE q.p_retailprice <= p.p_retailprice "
+            "AND q.p_size >= p.p_size "
+            "AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)) "
+            "ORDER BY p_partkey"
         ),
         "segment_event_chi2": (
             # chi-square independence statistic; e6 half-up with the SAME

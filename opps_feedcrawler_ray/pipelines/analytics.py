@@ -4263,3 +4263,151 @@ def table_profile(sf_dir: str, table: str = "orders") -> pd.DataFrame:
 
 def orders_profile(sf_dir: str) -> pd.DataFrame:
     return table_profile(sf_dir, "orders")
+
+
+def purchase_click_days_except(sf_dir: str) -> pd.DataFrame:
+    """EXCEPT ALL — BAG semantics (the multiset difference completing
+    the bag family next to ``purchase_click_days_bag``): per (user, day)
+    key, ``max(0, n_purchase − n_click)`` copies survive — SQL
+    ``EXCEPT ALL``'s multiplicity rule.  Same single-exchange shape as
+    the bag intersect: per-batch per-side count combiner → ONE
+    user-bucket exchange → vectorized per-key difference."""
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "event_type", "ts"])
+    nb = 64
+
+    _pschema = pa.schema(
+        [("user_id", pa.int64()), ("day", pa.timestamp("ns")),
+         ("p", pa.int64()), ("c", pa.int64()), ("__b", pa.int64())]
+    )
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        b = b[b["event_type"].isin(("purchase", "click"))]
+        b = b.assign(day=b["ts"].dt.floor("D"))
+        g = b.groupby(["user_id", "day", "event_type"], as_index=False).agg(
+            n=("event_type", "size")
+        )
+        is_p = g["event_type"].to_numpy() == "purchase"
+        n = g["n"].to_numpy(dtype="int64")
+        g = g.assign(p=np.where(is_p, n, 0), c=np.where(is_p, 0, n))
+        g = g.assign(__b=(g["user_id"].to_numpy(dtype="int64") % nb))
+        return pa.Table.from_pandas(
+            g[["user_id", "day", "p", "c", "__b"]], preserve_index=False,
+            schema=_pschema,
+        )
+
+    _oschema = pa.schema(
+        [("user_id", pa.int64()), ("day", pa.timestamp("ns")), ("n", pa.int64())]
+    )
+
+    def bucket(g: pd.DataFrame) -> pa.Table:
+        s = g.groupby(["user_id", "day"], as_index=False)[["p", "c"]].sum()
+        s = s.assign(
+            n=np.maximum(s["p"].to_numpy() - s["c"].to_numpy(), 0)
+        )
+        s = s[s["n"] > 0]
+        return pa.Table.from_pandas(
+            s[["user_id", "day", "n"]], preserve_index=False, schema=_oschema
+        )
+
+    return (
+        ev.map_batches(partial, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(bucket, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["user_id", "day"])
+        .reset_index(drop=True)
+    )
+
+
+def event_transition_matrix(sf_dir: str) -> pd.DataFrame:
+    """MARKOV TRANSITION COUNTS — categorical LAG: for every
+    consecutive pair in a user's time-ordered stream, count
+    (from_type → to_type) transitions; the behavioral-model input the
+    numeric lag/diff family doesn't cover.
+
+    Scale shape: one user-bucket exchange, grouped shift across all
+    users in the bucket at once, then a |types|²-bounded count
+    combiner closes the query."""
+    from .dedup import coarse_buckets
+
+    ev = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "ts", "event_id", "event_type"]
+    )
+    nb = coarse_buckets(ev.count(), rows_per_task=65536)
+
+    def add_ub(b: pd.DataFrame) -> pd.DataFrame:
+        b["ub"] = (b["user_id"].to_numpy() % nb).astype("int64")
+        return b
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        prev = g.groupby("user_id", sort=False)["event_type"].shift(1)
+        d = pd.DataFrame({"from_type": prev, "to_type": g["event_type"]})
+        d = d[d["from_type"].notna()]
+        out = d.groupby(["from_type", "to_type"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return (
+        ev.map_batches(add_ub, batch_format="pandas")
+        .groupby("ub")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .to_pandas()
+        .groupby(["from_type", "to_type"], as_index=False)["n"]
+        .sum()  # |types|²-bounded
+        .sort_values(["from_type", "to_type"])
+        .reset_index(drop=True)
+    )
+
+
+def _skyline(df: pd.DataFrame) -> pd.DataFrame:
+    """Skyline (Pareto frontier) of (minimize p_retailprice, maximize
+    p_size): a row survives iff no other row is ≤ on price AND ≥ on
+    size with at least one strict.  Vectorized sweep: per distinct
+    price, M2 = that price's max size; M1 = running max size over
+    STRICTLY smaller prices.  keep ⇔ size == M2 ∧ size > M1 (ties on
+    the frontier point all survive — equal pairs never dominate)."""
+    lvl = df.groupby("p_retailprice")["p_size"].max().sort_index()
+    m1 = lvl.cummax().shift(1, fill_value=np.iinfo(np.int64).min)
+    m2 = df["p_retailprice"].map(lvl)
+    m1v = df["p_retailprice"].map(m1)
+    keep = (df["p_size"] == m2) & (df["p_size"] > m1v)
+    return df[keep]
+
+
+def part_pareto(sf_dir: str) -> pd.DataFrame:
+    """SKYLINE QUERY (Börzsönyi et al. 2001): parts Pareto-optimal on
+    (cheapest price, largest size).
+
+    Scale shape: the skyline operator admits an exact combiner —
+    skyline(A ∪ B) = skyline(skyline(A) ∪ skyline(B)) — so each batch
+    reduces to its local frontier (typically O(log n) of the batch) and
+    the driver closes over the tiny candidate union.  No shuffle at
+    all: one streaming pass + a driver-side merge of frontiers."""
+    parts = rd.read_parquet(
+        _t(sf_dir, "part"), columns=["p_partkey", "p_retailprice", "p_size"]
+    )
+
+    def local_frontier(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        sk = _skyline(df)
+        return pa.Table.from_pandas(
+            sk, preserve_index=False,
+            schema=pa.schema([("p_partkey", pa.int64()),
+                              ("p_retailprice", pa.float64()),
+                              ("p_size", pa.int32())]),
+        )
+
+    cand = parts.map_batches(local_frontier, batch_format="pyarrow").to_pandas()
+    out = _skyline(cand).copy()
+    out["price_e2"] = np.floor(
+        out["p_retailprice"].to_numpy() * 100.0 + 0.5
+    ).astype("int64")
+    out["p_size"] = out["p_size"].astype("int64")
+    return (
+        out[["p_partkey", "price_e2", "p_size"]]
+        .sort_values("p_partkey")
+        .reset_index(drop=True)
+    )

@@ -1981,3 +1981,85 @@ def test_table_profile_matches_pandas(ray_session):
     nat = pd.read_parquet(f"{SF}/nation.parquet")
     assert got2["n_rows"].eq(len(nat)).all()
     assert got2.set_index("col_name").loc["n_name", "n_distinct"] == nat["n_name"].nunique()
+
+
+def test_skyline_combiner_property_and_brute(ray_session):
+    """skyline(A ∪ B) == skyline(skyline(A) ∪ skyline(B)), ties on the
+    frontier survive, and the sweep matches an O(n²) dominance check."""
+    from opps_feedcrawler_ray.pipelines.analytics import _skyline
+
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame(
+        {"p_partkey": np.arange(60),
+         "p_retailprice": rng.randint(1, 12, 60).astype("float64"),
+         "p_size": rng.randint(1, 12, 60)}
+    )
+    # plant an exact duplicate frontier pair
+    df.loc[58, ["p_retailprice", "p_size"]] = [1.0, 11]
+    df.loc[59, ["p_retailprice", "p_size"]] = [1.0, 11]
+
+    def brute(d):
+        keep = []
+        for i, p in d.iterrows():
+            dom = (
+                (d["p_retailprice"] <= p.p_retailprice)
+                & (d["p_size"] >= p.p_size)
+                & ((d["p_retailprice"] < p.p_retailprice) | (d["p_size"] > p.p_size))
+            )
+            if not dom.any():
+                keep.append(i)
+        return d.loc[keep]
+
+    got = _skyline(df).sort_values("p_partkey").reset_index(drop=True)
+    exp = brute(df).sort_values("p_partkey").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+    assert {58, 59} <= set(got["p_partkey"])
+    # combiner property over an arbitrary split
+    a, b = df.iloc[:30], df.iloc[30:]
+    merged = _skyline(pd.concat([_skyline(a), _skyline(b)], ignore_index=True))
+    pd.testing.assert_frame_equal(
+        merged.sort_values("p_partkey").reset_index(drop=True), exp
+    )
+
+
+def test_event_transition_matrix_matches_pandas(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import event_transition_matrix
+
+    got = event_transition_matrix(SF)
+    ev = pd.read_parquet(
+        f"{SF}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
+    ).sort_values(["user_id", "ts", "event_id"])
+    prev = ev.groupby("user_id")["event_type"].shift(1)
+    d = pd.DataFrame({"from_type": prev, "to_type": ev["event_type"]}).dropna()
+    exp = (
+        d.groupby(["from_type", "to_type"], as_index=False)
+        .size()
+        .rename(columns={"size": "n"})
+        .sort_values(["from_type", "to_type"])
+        .reset_index(drop=True)
+    )
+    # transitions = events - users-with-events
+    assert got["n"].sum() == len(ev) - ev["user_id"].nunique()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_bag_except_complements_intersect(ray_session):
+    """EXCEPT ALL + INTERSECT ALL partition the left bag: for every
+    (user, day), n_except + n_intersect == n_purchase_days."""
+    from opps_feedcrawler_ray.pipelines.analytics import (
+        purchase_click_days_bag,
+        purchase_click_days_except,
+    )
+
+    ex = purchase_click_days_except(SF).set_index(["user_id", "day"])["n"]
+    it = purchase_click_days_bag(SF).set_index(["user_id", "day"])["n"]
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "event_type", "ts"])
+    p = (
+        ev[ev["event_type"] == "purchase"]
+        .assign(day=lambda d: d["ts"].dt.floor("D"))
+        .groupby(["user_id", "day"])
+        .size()
+    )
+    total = ex.add(it, fill_value=0)
+    aligned = p.to_frame("np").join(total.rename("nt"), how="left").fillna(0)
+    assert (aligned["np"] == aligned["nt"]).all()
