@@ -478,6 +478,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_late_arrivals": S.events_late_arrivals,
         "orders_profile": A.orders_profile,
         "purchase_click_days_except": A.purchase_click_days_except,
+        "events_trimmed_mean": A.events_trimmed_mean,
+        "contacts_union_by_name": A.contacts_union_by_name,
+        "orders_diff": A.orders_diff,
         "event_transition_matrix": A.event_transition_matrix,
         "part_pareto": A.part_pareto,
         "top_spender_events": S.top_spender_events,
@@ -962,6 +965,52 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, date_trunc('day', ts) AS day FROM events "
             "WHERE event_type = 'click') "
             "GROUP BY user_id, day ORDER BY user_id, day"
+        ),
+        "events_trimmed_mean": (
+            # 10%-per-tail trimmed mean; k = n // 10 integer both sides,
+            # ties at the cut are value-identical so which copies drop
+            # doesn't change the sum
+            "WITH x AS (SELECT event_type, "
+            "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v FROM events), "
+            "r AS (SELECT event_type, v, ROW_NUMBER() OVER ("
+            "PARTITION BY event_type ORDER BY v) AS rn, "
+            "COUNT(*) OVER (PARTITION BY event_type) AS n FROM x), "
+            "t AS (SELECT event_type, n, n // 10 AS k, "
+            "SUM(CASE WHEN rn > n // 10 AND rn <= n - n // 10 "
+            "THEN v ELSE 0 END) AS s FROM r GROUP BY event_type, n) "
+            "SELECT event_type, CAST(n - 2 * k AS BIGINT) AS n_kept, "
+            "CAST(s AS BIGINT) AS trimmed_sum_e2, "
+            "CAST(FLOOR(CAST(s AS DOUBLE) * 10000 / (n - 2 * k) + 0.5) "
+            "AS BIGINT) AS trimmed_mean_e6 FROM t ORDER BY event_type"
+        ),
+        "contacts_union_by_name": (
+            # union-by-name with null fill for the absent column
+            "SELECT name, acctbal_e2, segment, kind FROM ("
+            "SELECT c_name AS name, "
+            "CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_e2, "
+            "c_mktsegment AS segment, 'customer' AS kind FROM customer "
+            "UNION ALL SELECT s_name, "
+            "CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT), "
+            "NULL, 'supplier' FROM supplier) ORDER BY kind, name"
+        ),
+        "orders_diff": (
+            # rebuild the deterministic v2 snapshot and classify keys
+            "WITH v1 AS (SELECT o_orderkey, "
+            "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS p FROM orders), "
+            "v2 AS (SELECT o_orderkey, "
+            "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) + "
+            "CASE WHEN o_orderpriority = '1-URGENT' THEN 100 ELSE 0 END AS p "
+            "FROM orders WHERE o_orderkey % 97 <> 0 "
+            "UNION ALL SELECT o_orderkey + 1000000000, "
+            "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) FROM orders "
+            "WHERE o_orderkey % 101 = 0), "
+            "j AS (SELECT v1.p AS p1, v2.p AS p2 FROM v1 "
+            "FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey) "
+            "SELECT status, CAST(COUNT(*) AS BIGINT) AS n FROM ("
+            "SELECT CASE WHEN p1 IS NULL THEN 'added' "
+            "WHEN p2 IS NULL THEN 'removed' "
+            "WHEN p1 <> p2 THEN 'changed' ELSE 'same' END AS status FROM j) "
+            "GROUP BY status ORDER BY status"
         ),
         "purchase_click_days_except": (
             # EXCEPT ALL (bag): max(0, n_left - n_right) copies survive

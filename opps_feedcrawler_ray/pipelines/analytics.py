@@ -4411,3 +4411,149 @@ def part_pareto(sf_dir: str) -> pd.DataFrame:
         .sort_values("p_partkey")
         .reset_index(drop=True)
     )
+
+
+def events_trimmed_mean(sf_dir: str) -> pd.DataFrame:
+    """ROBUST TRIMMED MEAN (10% each tail) per event type — the
+    order-statistic aggregate between the median and the plain mean.
+
+    Derives ENTIRELY from the domain-bounded value histogram
+    (:func:`_event_value_hist`): with cumulative counts, the kept mass
+    per value bucket is ``clip(min(cum, n−k) − max(cum_prev, k), 0)``
+    — so the trim needs no second data pass and no sort exchange.
+    Integer-exact: k = n // 10 (integer division both sides), sums in
+    e2 units, the e6 mean uses the identical float expression as the
+    oracle."""
+    rows = []
+    for et, g in _event_value_hist(sf_dir).groupby("event_type"):
+        g = g.sort_values("v_e2")
+        v = g["v_e2"].to_numpy()
+        c = g["n"].to_numpy()
+        n = int(c.sum())
+        k = n // 10
+        cum = np.cumsum(c)
+        lo = np.concatenate(([0], cum[:-1]))
+        kept = np.clip(np.minimum(cum, n - k) - np.maximum(lo, k), 0, None)
+        s = int((v * kept).sum())
+        n_kept = n - 2 * k
+        mean_e6 = int(np.floor(float(s) * 10000 / n_kept + 0.5))
+        rows.append((et, n_kept, s, mean_e6))
+    out = pd.DataFrame(
+        rows, columns=["event_type", "n_kept", "trimmed_sum_e2", "trimmed_mean_e6"]
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def contacts_union_by_name(sf_dir: str) -> pd.DataFrame:
+    """UNION BY NAME with schema evolution — the heterogenous-source
+    concat every ingestion layer needs: customer and supplier rows
+    merge on aligned column NAMES, with columns absent on one side
+    (here ``segment``) null-filled, plus a lineage ``kind`` column.
+    Ray Data's ``union`` requires identical schemas, so each side is
+    aligned in a stateless ``map_batches`` first — zero shuffles."""
+    cust = rd.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_name", "c_acctbal", "c_mktsegment"]
+    )
+    supp = rd.read_parquet(_t(sf_dir, "supplier"), columns=["s_name", "s_acctbal"])
+
+    _schema = pa.schema(
+        [("name", pa.string()), ("acctbal_e2", pa.int64()),
+         ("segment", pa.string()), ("kind", pa.string())]
+    )
+
+    def from_cust(b: pa.Table) -> pa.Table:
+        bal = np.floor(
+            b["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype("int64")
+        return pa.table(
+            {"name": b["c_name"], "acctbal_e2": pa.array(bal, pa.int64()),
+             "segment": b["c_mktsegment"],
+             "kind": pa.array(["customer"] * b.num_rows, pa.string())},
+            schema=_schema,
+        )
+
+    def from_supp(b: pa.Table) -> pa.Table:
+        bal = np.floor(
+            b["s_acctbal"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype("int64")
+        return pa.table(
+            {"name": b["s_name"], "acctbal_e2": pa.array(bal, pa.int64()),
+             "segment": pa.array([None] * b.num_rows, pa.string()),
+             "kind": pa.array(["supplier"] * b.num_rows, pa.string())},
+            schema=_schema,
+        )
+
+    out = (
+        cust.map_batches(from_cust, batch_format="pyarrow")
+        .union(supp.map_batches(from_supp, batch_format="pyarrow"))
+        .to_pandas()
+    )
+    return out.sort_values(["kind", "name"]).reset_index(drop=True)
+
+
+def orders_diff(sf_dir: str) -> pd.DataFrame:
+    """TABLE DIFF / CDC derivation — classify every key of two table
+    versions as added / removed / changed / same.  The v2 snapshot is
+    derived deterministically from v1 (so the oracle rebuilds it in
+    SQL): keys ≡ 0 (mod 97) are deleted, URGENT orders get a 1.00 price
+    bump, and keys ≡ 0 (mod 101) reappear shifted by +10^9 (inserts).
+
+    Scale shape: both versions stream through the SAME key-bucket
+    exchange (side-tagged rows) and every bucket classifies its keys
+    vectorized — the classic sort-free distributed diff; output is the
+    4-row status census."""
+    from .dedup import coarse_buckets
+
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_totalprice", "o_orderpriority"],
+    )
+    nb = coarse_buckets(orders.count(), rows_per_task=65536)
+
+    def sides(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["price_e2"] = np.floor(
+            df["o_totalprice"].to_numpy() * 100.0 + 0.5
+        ).astype("int64")
+        v1 = df[["o_orderkey", "price_e2"]].assign(side=0)
+        keep = df["o_orderkey"] % 97 != 0
+        bump = (df["o_orderpriority"] == "1-URGENT").to_numpy()
+        v2 = df.loc[keep, ["o_orderkey", "price_e2"]].copy()
+        v2["price_e2"] += np.where(bump[keep.to_numpy()], 100, 0)
+        v2["side"] = 1
+        ins = df.loc[df["o_orderkey"] % 101 == 0, ["o_orderkey", "price_e2"]].copy()
+        ins["o_orderkey"] += 1_000_000_000
+        ins["side"] = 1
+        out = pd.concat([v1, v2, ins], ignore_index=True)
+        out["kb"] = (out["o_orderkey"].to_numpy() % nb).astype("int64")
+        return pa.Table.from_pandas(
+            out, preserve_index=False,
+            schema=pa.schema([("o_orderkey", pa.int64()), ("price_e2", pa.int64()),
+                              ("side", pa.int64()), ("kb", pa.int64())]),
+        )
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["side"] == 0].set_index("o_orderkey")["price_e2"]
+        b = g[g["side"] == 1].set_index("o_orderkey")["price_e2"]
+        j = a.to_frame("p1").join(b.to_frame("p2"), how="outer")
+        status = np.where(
+            j["p1"].isna(), "added",
+            np.where(j["p2"].isna(), "removed",
+                     np.where(j["p1"] != j["p2"], "changed", "same")),
+        )
+        out = pd.DataFrame({"status": status}).groupby(
+            "status", as_index=False
+        ).size().rename(columns={"size": "n"})
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return (
+        orders.map_batches(sides, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(classify, batch_format="pandas")
+        .to_pandas()
+        .groupby("status", as_index=False)["n"]
+        .sum()  # 4-row census
+        .sort_values("status")
+        .reset_index(drop=True)
+    )

@@ -2063,3 +2063,54 @@ def test_bag_except_complements_intersect(ray_session):
     total = ex.add(it, fill_value=0)
     aligned = p.to_frame("np").join(total.rename("nt"), how="left").fillna(0)
     assert (aligned["np"] == aligned["nt"]).all()
+
+
+def test_events_trimmed_mean_matches_pandas(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import events_trimmed_mean
+
+    got = events_trimmed_mean(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "value"])
+    ev["v"] = np.floor(ev["value"] * 100 + 0.5).astype("int64")
+    rows = []
+    for et, g in ev.groupby("event_type"):
+        v = np.sort(g["v"].to_numpy())
+        k = len(v) // 10
+        kept = v[k: len(v) - k]
+        s = int(kept.sum())
+        rows.append((et, len(kept), s,
+                     int(np.floor(float(s) * 10000 / len(kept) + 0.5))))
+    exp = pd.DataFrame(
+        rows, columns=["event_type", "n_kept", "trimmed_sum_e2", "trimmed_mean_e6"]
+    ).sort_values("event_type").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_contacts_union_by_name(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import contacts_union_by_name
+
+    got = contacts_union_by_name(SF)
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    supp = pd.read_parquet(f"{SF}/supplier.parquet")
+    assert len(got) == len(cust) + len(supp)
+    sup = got[got["kind"] == "supplier"]
+    assert sup["segment"].isna().all()  # null-filled absent column
+    cus = got[got["kind"] == "customer"]
+    assert set(cus["segment"]) == set(cust["c_mktsegment"])
+    assert set(sup["name"]) == set(supp["s_name"])
+
+
+def test_orders_diff_census(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import orders_diff
+
+    got = orders_diff(SF).set_index("status")["n"].to_dict()
+    o = pd.read_parquet(
+        f"{SF}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderpriority"],
+    )
+    removed = int((o["o_orderkey"] % 97 == 0).sum())
+    added = int((o["o_orderkey"] % 101 == 0).sum())
+    surv = o[o["o_orderkey"] % 97 != 0]
+    changed = int((surv["o_orderpriority"] == "1-URGENT").sum())
+    same = len(surv) - changed
+    exp = {"added": added, "removed": removed, "changed": changed, "same": same}
+    assert got == {k: v for k, v in exp.items() if v > 0}
