@@ -479,6 +479,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_profile": A.orders_profile,
         "purchase_click_days_except": A.purchase_click_days_except,
         "events_trimmed_mean": A.events_trimmed_mean,
+        "events_time_weighted_avg": A.events_time_weighted_avg,
+        "events_global_rank": A.events_global_rank,
+        "docs_matching_all_terms": A.docs_matching_all_terms,
         "contacts_union_by_name": A.contacts_union_by_name,
         "orders_diff": A.orders_diff,
         "event_transition_matrix": A.event_transition_matrix,
@@ -965,6 +968,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, date_trunc('day', ts) AS day FROM events "
             "WHERE event_type = 'click') "
             "GROUP BY user_id, day ORDER BY user_id, day"
+        ),
+        "events_time_weighted_avg": (
+            # value held until the user's next event; whole seconds via
+            # integer floor division on epoch microseconds both sides
+            "WITH s AS (SELECT user_id, "
+            "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v, "
+            "epoch_us(ts) AS us, LEAD(epoch_us(ts)) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS nxt FROM events), "
+            "w AS (SELECT user_id, v * ((nxt - us) // 1000000) AS wv, "
+            "(nxt - us) // 1000000 AS dt FROM s WHERE nxt IS NOT NULL), "
+            "a AS (SELECT user_id, SUM(wv) AS sw, SUM(dt) AS sd FROM w "
+            "GROUP BY user_id) "
+            "SELECT user_id, CAST(sd AS BIGINT) AS held_s, "
+            "CAST(FLOOR(CAST(sw AS DOUBLE) * 10000 / sd + 0.5) AS BIGINT) "
+            "AS twa_e6 FROM a WHERE sd > 0 ORDER BY user_id"
+        ),
+        "events_global_rank": (
+            # global dense rank over the e2 value domain
+            "SELECT event_id, CAST(DENSE_RANK() OVER (ORDER BY "
+            "CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rnk "
+            "FROM events ORDER BY event_id"
+        ),
+        "docs_matching_all_terms": (
+            # conjunctive boolean retrieval over whitespace tokens
+            "SELECT doc_id FROM documents WHERE "
+            "list_has_all(string_split(text, ' '), "
+            "['data', 'spark', 'merge']) ORDER BY doc_id"
         ),
         "events_trimmed_mean": (
             # 10%-per-tail trimmed mean; k = n // 10 integer both sides,

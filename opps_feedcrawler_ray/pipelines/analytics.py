@@ -4557,3 +4557,141 @@ def orders_diff(sf_dir: str) -> pd.DataFrame:
         .sort_values("status")
         .reset_index(drop=True)
     )
+
+
+def events_time_weighted_avg(sf_dir: str) -> pd.DataFrame:
+    """TIME-WEIGHTED AVERAGE — each value weighted by how long it was
+    "held" (until the user's next event): the step-function integral
+    metric (position/price averaging), distinct from every count-based
+    mean.  Integer-exact: e2 values × whole seconds held, the e6 final
+    uses the identical float expression as the oracle.
+
+    Scale shape: one user-bucket exchange; holding times come from a
+    grouped shift across all users in the bucket at once."""
+    from .dedup import coarse_buckets
+
+    ev = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "ts", "event_id", "value"]
+    )
+    nb = coarse_buckets(ev.count(), rows_per_task=65536)
+
+    def add_ub(b: pd.DataFrame) -> pd.DataFrame:
+        b["ub"] = (b["user_id"].to_numpy() % nb).astype("int64")
+        return b
+
+    def twa_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        us = g["ts"].astype("datetime64[us]").astype("int64")
+        nxt = us.groupby(g["user_id"].to_numpy()).shift(-1)
+        held = nxt - us
+        m = held.notna()
+        v = np.floor(g["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+        dt_s = (held[m].to_numpy(dtype="int64")) // 1_000_000
+        d = pd.DataFrame(
+            {"user_id": g["user_id"].to_numpy()[m.to_numpy()],
+             "wv": v[m.to_numpy()] * dt_s, "dt": dt_s}
+        )
+        a = d.groupby("user_id", as_index=False)[["wv", "dt"]].sum()
+        a = a[a["dt"] > 0]
+        return pd.DataFrame(
+            {"user_id": a["user_id"].astype("int64"),
+             "held_s": a["dt"].astype("int64"),
+             "twa_e6": np.floor(
+                 a["wv"].to_numpy(dtype="float64") * 10000 / a["dt"].to_numpy()
+                 + 0.5
+             ).astype("int64")}
+        )
+
+    return (
+        ev.map_batches(add_ub, batch_format="pandas")
+        .groupby("ub")
+        .map_groups(twa_in_bucket, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+
+def events_global_rank(sf_dir: str) -> pd.DataFrame:
+    """GLOBAL DENSE RANK of every event's value — total-order
+    assignment WITHOUT a total sort: phase 1 reduces the stream to its
+    domain-bounded distinct-value set (the `_event_value_hist` shape,
+    values only); the driver sorts the ≤|domain| values once; phase 2
+    re-streams events and assigns ranks by a broadcast binary search.
+    The classic two-phase rank pattern for data whose value domain ≪
+    row count."""
+    import ray
+
+    from .dedup import coarse_buckets
+
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "value"])
+    nb = coarse_buckets(ev.count(), rows_per_task=65536)
+
+    def vals_partial(batch: pa.Table) -> pa.Table:
+        v = np.unique(
+            np.floor(
+                batch["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype("int64")
+        )
+        return pa.table(
+            {"v": pa.array(v, pa.int64()),
+             "__b": pa.array(v % nb, pa.int64())}
+        )
+
+    def uniq(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"v": g["v"].unique().astype("int64")})
+
+    vals = (
+        ev.map_batches(vals_partial, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(uniq, batch_format="pandas")
+        .to_pandas()["v"]
+        .to_numpy()
+    )
+    sorted_ref = ray.put(np.sort(vals))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        sv = ray.get(sorted_ref)
+        v = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype("int64")
+        return pa.table(
+            {"event_id": batch["event_id"],
+             "rnk": pa.array(np.searchsorted(sv, v) + 1, pa.int64())}
+        )
+
+    return (
+        ev.map_batches(assign, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
+def docs_matching_all_terms(
+    sf_dir: str, terms: tuple[str, ...] = ("data", "spark", "merge")
+) -> pd.DataFrame:
+    """CONJUNCTIVE (AND) term search — the boolean-retrieval primitive
+    under ``bm25_search``'s ranked layer: docs whose token set contains
+    EVERY query term.  Stateless vectorized filter (one compiled
+    word-boundary regex per term, no shuffle, no index) — the
+    full-scan baseline an inverted index (``token_postings``) would
+    accelerate."""
+    import re
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    pats = [re.compile(rf"(?:^| ){re.escape(t)}(?: |$)") for t in terms]
+
+    def filt(batch: pa.Table) -> pa.Table:
+        s = batch["text"].to_pandas()
+        m = np.ones(len(s), dtype=bool)
+        for p in pats:
+            m &= s.str.contains(p).to_numpy()
+        return pa.table({"doc_id": batch["doc_id"].filter(pa.array(m))})
+
+    return (
+        docs.map_batches(filt, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )

@@ -2114,3 +2114,55 @@ def test_orders_diff_census(ray_session):
     same = len(surv) - changed
     exp = {"added": added, "removed": removed, "changed": changed, "same": same}
     assert got == {k: v for k, v in exp.items() if v > 0}
+
+
+def test_events_time_weighted_avg_matches_pandas(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import events_time_weighted_avg
+
+    got = events_time_weighted_avg(SF)
+    ev = pd.read_parquet(
+        f"{SF}/events.parquet", columns=["user_id", "ts", "event_id", "value"]
+    ).sort_values(["user_id", "ts", "event_id"])
+    us = ev["ts"].astype("datetime64[us]").astype("int64")
+    nxt = us.groupby(ev["user_id"].to_numpy()).shift(-1)
+    m = nxt.notna()
+    dt = ((nxt[m] - us[m]).to_numpy(dtype="int64")) // 1_000_000
+    v = np.floor(ev["value"][m] * 100 + 0.5).astype("int64").to_numpy()
+    d = pd.DataFrame({"u": ev["user_id"][m].to_numpy(), "wv": v * dt, "dt": dt})
+    a = d.groupby("u", as_index=False).sum()
+    a = a[a["dt"] > 0]
+    exp = pd.DataFrame(
+        {"user_id": a["u"].astype("int64"), "held_s": a["dt"].astype("int64"),
+         "twa_e6": np.floor(a["wv"].astype("float64") * 10000 / a["dt"] + 0.5)
+         .astype("int64")}
+    ).sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_events_global_rank_matches_pandas(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import events_global_rank
+
+    got = events_global_rank(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_id", "value"])
+    v = np.floor(ev["value"] * 100 + 0.5).astype("int64")
+    exp = pd.DataFrame(
+        {"event_id": ev["event_id"],
+         "rnk": v.rank(method="dense").astype("int64")}
+    ).sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_docs_matching_all_terms(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import docs_matching_all_terms
+
+    got = docs_matching_all_terms(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    exp = sorted(
+        int(r.doc_id)
+        for r in docs.itertuples()
+        if {"data", "spark", "merge"} <= set(r.text.split(" "))
+    )
+    assert got["doc_id"].tolist() == exp
+    # AND is stricter than any single term
+    one = docs["text"].str.split(" ").apply(lambda t: "data" in t).sum()
+    assert len(got) <= one
