@@ -480,6 +480,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_click_days_except": A.purchase_click_days_except,
         "events_trimmed_mean": A.events_trimmed_mean,
         "events_time_weighted_avg": A.events_time_weighted_avg,
+        "events_hash_sample": A.events_hash_sample,
+        "nation_region_cross": A.nation_region_cross,
+        "user_activity_gini": A.user_activity_gini,
         "events_global_rank": A.events_global_rank,
         "docs_matching_all_terms": A.docs_matching_all_terms,
         "contacts_union_by_name": A.contacts_union_by_name,
@@ -968,6 +971,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, date_trunc('day', ts) AS day FROM events "
             "WHERE event_type = 'click') "
             "GROUP BY user_id, day ORDER BY user_id, day"
+        ),
+        "events_hash_sample": (
+            # deterministic ~10% Bernoulli gate, same md5-first-byte rule
+            # as split_bucket / doc_split_assign
+            "SELECT event_id, user_id, event_type FROM events "
+            "WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 2)) "
+            "AS INT) % 10 = 0 ORDER BY event_id"
+        ),
+        "nation_region_cross": (
+            "SELECT n_name, r_name, "
+            "CAST(n.n_regionkey = r.r_regionkey AS BIGINT) AS is_home "
+            "FROM nation n CROSS JOIN region r ORDER BY n_name, r_name"
+        ),
+        "user_activity_gini": (
+            # Gini over per-user counts; rank order within count ties is
+            # irrelevant to SUM(i*n), so both sides are order-free
+            "WITH c AS (SELECT user_id, COUNT(*) AS n FROM events "
+            "GROUP BY user_id), "
+            "r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n, user_id) AS i, "
+            "COUNT(*) OVER () AS k, SUM(n) OVER () AS s FROM c) "
+            "SELECT CAST(k AS BIGINT) AS n_users, CAST(s AS BIGINT) AS n_events, "
+            "CAST(FLOOR((2.0 * SUM(i * n) / (k * s) - (k + 1.0) / k) * 1e6 "
+            "+ 0.5) AS BIGINT) AS gini_e6 FROM r GROUP BY k, s"
         ),
         "events_time_weighted_avg": (
             # value held until the user's next event; whole seconds via

@@ -4695,3 +4695,125 @@ def docs_matching_all_terms(
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+
+
+def events_hash_sample(sf_dir: str) -> pd.DataFrame:
+    """DETERMINISTIC BERNOULLI SAMPLE (~10%) — hash-gated row filter
+    using the repo's single split-hash convention
+    (:func:`..functions.text.split_bucket`, md5 first byte mod 10), so
+    the sample is reproducible, layout-independent, and — unlike the
+    seeded reservoir ops — EXACTLY oracle-checkable in SQL.  Stateless
+    map, no shuffle; at 100 TB this is the row-filter pushdown shape."""
+    from ..functions.text import split_bucket
+
+    ev = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "event_type"]
+    )
+
+    def filt(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        keep = split_bucket(ids) == 0
+        return batch.filter(pa.array(keep))
+
+    return (
+        ev.map_batches(filt, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
+def nation_region_cross(sf_dir: str) -> pd.DataFrame:
+    """CROSS JOIN — the cartesian member of the join family: every
+    (nation, region) combination with a home-region flag.  Implemented
+    as the broadcast nested-loop shape (small side ``ray.put`` once,
+    cartesian emitted per batch) — the only correct distributed plan
+    for a true cross product."""
+    import ray
+
+    nat = rd.read_parquet(
+        _t(sf_dir, "nation"), columns=["n_name", "n_regionkey"]
+    )
+    reg = pd.read_parquet(
+        _t(sf_dir, "region"), columns=["r_regionkey", "r_name"]
+    )
+    reg_ref = ray.put(reg)
+
+    def cross(batch: pa.Table) -> pa.Table:
+        r = ray.get(reg_ref)
+        df = batch.to_pandas()
+        m = df.merge(r, how="cross")
+        m["is_home"] = (
+            m["n_regionkey"].to_numpy() == m["r_regionkey"].to_numpy()
+        ).astype("int64")
+        return pa.Table.from_pandas(
+            m[["n_name", "r_name", "is_home"]], preserve_index=False,
+            schema=pa.schema([("n_name", pa.string()), ("r_name", pa.string()),
+                              ("is_home", pa.int64())]),
+        )
+
+    return (
+        nat.map_batches(cross, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["n_name", "r_name"])
+        .reset_index(drop=True)
+    )
+
+
+def user_activity_gini(sf_dir: str) -> pd.DataFrame:
+    """GINI COEFFICIENT of per-user event counts — the inequality /
+    skew-diagnostic aggregate (is crawl or traffic volume concentrated
+    on a few keys?).
+
+    Exactness without a global sort: ties in the rank formula
+    contribute ``n·Σi`` regardless of intra-tie order, so Σ i·nᵢ over
+    the sorted counts collapses onto the COUNT-HISTOGRAM — for each
+    distinct count value c with frequency f starting at rank base:
+    c·(f·base + f(f+1)/2).  Per-user counts reduce in one user-bucket
+    exchange; the histogram of counts is domain-bounded; the driver
+    folds the closed form with exact integers and applies the oracle's
+    identical float expression once."""
+    from .dedup import coarse_buckets
+
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id"])
+    nb = coarse_buckets(ev.count(), rows_per_task=65536)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.to_pandas().groupby("user_id", as_index=False).size()
+            .rename(columns={"size": "n"})
+        )
+        g["__b"] = (g["user_id"].to_numpy() % nb).astype("int64")
+        return pa.Table.from_pandas(
+            g, preserve_index=False,
+            schema=pa.schema([("user_id", pa.int64()), ("n", pa.int64()),
+                              ("__b", pa.int64())]),
+        )
+
+    def count_hist(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("user_id", as_index=False)["n"].sum()
+        h = c.groupby("n", as_index=False).size().rename(columns={"size": "f"})
+        return h.astype("int64")
+
+    hist = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(count_hist, batch_format="pandas")
+        .to_pandas()
+        .groupby("n", as_index=False)["f"]
+        .sum()  # ≤ |distinct count values| rows
+        .sort_values("n")
+    )
+    base = 0
+    S = 0  # Σ i·n over the (virtually) sorted counts — exact ints
+    k = int(hist["f"].sum())
+    s = int((hist["n"] * hist["f"]).sum())
+    for c, f in zip(hist["n"], hist["f"]):
+        c, f = int(c), int(f)
+        S += c * (f * base + f * (f + 1) // 2)
+        base += f
+    gini = 2.0 * S / (k * s) - (k + 1.0) / k
+    return pd.DataFrame(
+        {"n_users": [np.int64(k)], "n_events": [np.int64(s)],
+         "gini_e6": [np.int64(np.floor(gini * 1e6 + 0.5))]}
+    )

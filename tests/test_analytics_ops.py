@@ -2166,3 +2166,43 @@ def test_docs_matching_all_terms(ray_session):
     # AND is stricter than any single term
     one = docs["text"].str.split(" ").apply(lambda t: "data" in t).sum()
     assert len(got) <= one
+
+
+def test_events_hash_sample_deterministic(ray_session):
+    from opps_feedcrawler_ray.functions.text import split_bucket
+    from opps_feedcrawler_ray.pipelines.analytics import events_hash_sample
+
+    a = events_hash_sample(SF)
+    b = events_hash_sample(SF)
+    pd.testing.assert_frame_equal(a, b)  # reproducible, layout-free
+    ev = pd.read_parquet(
+        f"{SF}/events.parquet", columns=["event_id", "user_id", "event_type"]
+    )
+    keep = split_bucket(ev["event_id"].to_numpy()) == 0
+    exp = ev[keep].sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, exp)
+    assert 0.03 < len(a) / len(ev) < 0.2  # ~10%
+
+
+def test_user_activity_gini_matches_brute(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import user_activity_gini
+
+    got = user_activity_gini(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id"])
+    n = np.sort(ev.groupby("user_id").size().to_numpy())
+    k, s = len(n), int(n.sum())
+    i = np.arange(1, k + 1)
+    gini = 2.0 * int((i * n).sum()) / (k * s) - (k + 1.0) / k
+    assert got["n_users"].iloc[0] == k and got["n_events"].iloc[0] == s
+    assert got["gini_e6"].iloc[0] == int(np.floor(gini * 1e6 + 0.5))
+    assert 0 <= got["gini_e6"].iloc[0] < 1_000_000
+
+
+def test_nation_region_cross(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import nation_region_cross
+
+    got = nation_region_cross(SF)
+    nat = pd.read_parquet(f"{SF}/nation.parquet")
+    reg = pd.read_parquet(f"{SF}/region.parquet")
+    assert len(got) == len(nat) * len(reg)
+    assert got["is_home"].sum() == len(nat)  # each nation has ONE home region
