@@ -481,6 +481,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_trimmed_mean": A.events_trimmed_mean,
         "events_time_weighted_avg": A.events_time_weighted_avg,
         "events_hash_sample": A.events_hash_sample,
+        "purchase_attribution": A.purchase_attribution,
+        "nation_share_of_region": A.nation_share_of_region,
+        "orders_digest": A.orders_digest,
         "nation_region_cross": A.nation_region_cross,
         "user_activity_gini": A.user_activity_gini,
         "events_global_rank": A.events_global_rank,
@@ -971,6 +974,38 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, date_trunc('day', ts) AS day FROM events "
             "WHERE event_type = 'click') "
             "GROUP BY user_id, day ORDER BY user_id, day"
+        ),
+        "purchase_attribution": (
+            # bounded-lookback as-of: click within [ts - 7d, ts) → attributed
+            "WITH p AS (SELECT user_id, ts, date_trunc('day', ts) AS day "
+            "FROM events WHERE event_type = 'purchase'), "
+            "c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'), "
+            "f AS (SELECT day, CASE WHEN EXISTS (SELECT 1 FROM c "
+            "WHERE c.user_id = p.user_id AND c.ts >= p.ts - INTERVAL 7 DAY "
+            "AND c.ts < p.ts) THEN 1 ELSE 0 END AS a FROM p) "
+            "SELECT day, CAST(SUM(a) AS BIGINT) AS n_attributed, "
+            "CAST(SUM(1 - a) AS BIGINT) AS n_organic "
+            "FROM f GROUP BY day ORDER BY day"
+        ),
+        "nation_share_of_region": (
+            # ratio-to-parent: nation revenue over its region total
+            "WITH nr AS (SELECT r.r_name, n.n_name, "
+            "SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS revenue_e2 "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "JOIN region r ON n.n_regionkey = r.r_regionkey "
+            "GROUP BY r.r_name, n.n_name) "
+            "SELECT r_name, n_name, CAST(revenue_e2 AS BIGINT) AS revenue_e2, "
+            "CAST(FLOOR(CAST(revenue_e2 AS DOUBLE) * 1e6 / "
+            "SUM(CAST(revenue_e2 AS DOUBLE)) OVER (PARTITION BY r_name) + 0.5) "
+            "AS BIGINT) AS share_e6 FROM nr ORDER BY r_name, n_name"
+        ),
+        "orders_digest": (
+            # commutative md5-prefix sum over the canonical row string
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            "CAST(SUM(CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) "
+            "|| '|' || o_orderstatus || '|' || o_orderpriority), 1, 8)) "
+            "AS BIGINT)) AS BIGINT) AS digest FROM orders"
         ),
         "events_hash_sample": (
             # deterministic ~10% Bernoulli gate, same md5-first-byte rule

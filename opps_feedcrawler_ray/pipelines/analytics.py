@@ -4817,3 +4817,153 @@ def user_activity_gini(sf_dir: str) -> pd.DataFrame:
         {"n_users": [np.int64(k)], "n_events": [np.int64(s)],
          "gini_e6": [np.int64(np.floor(gini * 1e6 + 0.5))]}
     )
+
+
+def purchase_attribution(sf_dir: str, window_days: int = 7) -> pd.DataFrame:
+    """AS-OF WITH TOLERANCE — attribution: a purchase is ATTRIBUTED when
+    the same user clicked within the preceding ``window_days`` (half-open
+    [ts − w, ts)), else organic; completing the as-of family (backward /
+    forward / bounded-lookback).  Output: per purchase day, attributed
+    vs organic counts.
+
+    Scale shape: one user-bucket exchange; inside a bucket each user's
+    sorted click-timestamp vector answers all of that user's lookback
+    probes via two binary searches per purchase (the range-join
+    kernel), then a |days|-bounded count combiner closes."""
+    from .dedup import coarse_buckets
+
+    ev = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "ts", "event_type"]
+    )
+    nb = coarse_buckets(ev.count(), rows_per_task=65536)
+    w_us = np.int64(window_days) * 86_400_000_000
+    day_us = np.int64(86_400_000_000)
+
+    def add_ub(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["event_type"].isin(("purchase", "click"))].copy()
+        b["ub"] = (b["user_id"].to_numpy() % nb).astype("int64")
+        return b
+
+    def attribute(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"]).reset_index(drop=True)
+        us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        uid = g["user_id"].to_numpy()
+        is_p = (g["event_type"] == "purchase").to_numpy()
+        att = np.zeros(len(g), dtype=bool)
+        for seg in np.split(
+            np.arange(len(g)), np.flatnonzero(uid[1:] != uid[:-1]) + 1
+        ):
+            if not len(seg):
+                continue
+            cts = us[seg][~is_p[seg]]  # user's sorted click times
+            pm = seg[is_p[seg]]
+            if len(pm) and len(cts):
+                lo = np.searchsorted(cts, us[pm] - w_us, side="left")
+                hi = np.searchsorted(cts, us[pm], side="left")
+                att[pm] = hi > lo
+        day = (us[is_p] // day_us) * day_us
+        out = (
+            pd.DataFrame({"day_us": day, "a": att[is_p].astype("int64")})
+            .groupby("day_us", as_index=False)
+            .agg(n_attributed=("a", "sum"), n_organic=("a", lambda s: int((1 - s).sum())))
+        )
+        return out.astype("int64")
+
+    out = (
+        ev.map_batches(add_ub, batch_format="pandas")
+        .groupby("ub")
+        .map_groups(attribute, batch_format="pandas")
+        .to_pandas()
+        .groupby("day_us", as_index=False)[["n_attributed", "n_organic"]]
+        .sum()  # |days|-bounded
+    )
+    out["day"] = pd.to_datetime(out["day_us"], unit="us")
+    return (
+        out[["day", "n_attributed", "n_organic"]]
+        .astype({"n_attributed": "int64", "n_organic": "int64"})
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+
+
+def nation_share_of_region(sf_dir: str) -> pd.DataFrame:
+    """RATIO-TO-PARENT reporting — each nation's revenue share within
+    its region (the window-over-aggregate class: SUM OVER (PARTITION BY
+    parent) against grouped detail rows).  Reuses the broadcast-join
+    revenue rollup; the |nations|-sized result computes shares
+    driver-side with the oracle's identical float expression."""
+    from ..functions.joins import broadcast_join
+
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    cust = pd.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
+    ).rename(columns={"c_custkey": "o_custkey"})
+    nation = pd.read_parquet(
+        _t(sf_dir, "nation"), columns=["n_nationkey", "n_name", "n_regionkey"]
+    ).rename(columns={"n_nationkey": "c_nationkey"})
+    region = pd.read_parquet(_t(sf_dir, "region"), columns=["r_regionkey", "r_name"])
+    j = broadcast_join(orders, cust, on="o_custkey")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["revenue_e2"] = np.floor(
+            batch["o_totalprice"].to_numpy() * 100.0 + 0.5
+        ).astype("int64")
+        return batch.groupby("c_nationkey", as_index=False).agg(
+            revenue_e2=("revenue_e2", "sum")
+        )
+
+    nat = (
+        j.map_batches(partial, batch_format="pandas")
+        .groupby("c_nationkey")
+        .sum("revenue_e2")
+        .to_pandas()
+        .rename(columns={"sum(revenue_e2)": "revenue_e2"})
+        .merge(nation, on="c_nationkey")
+        .merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    )
+    tot = nat.groupby("r_name")["revenue_e2"].transform("sum")
+    nat["share_e6"] = np.floor(
+        nat["revenue_e2"].to_numpy(dtype="float64") * 1e6
+        / tot.to_numpy(dtype="float64") + 0.5
+    ).astype("int64")
+    return (
+        nat[["r_name", "n_name", "revenue_e2", "share_e6"]]
+        .sort_values(["r_name", "n_name"])
+        .reset_index(drop=True)
+    )
+
+
+def orders_digest(sf_dir: str) -> pd.DataFrame:
+    """ORDER-INVARIANT TABLE CHECKSUM — the replication/migration
+    verification primitive: a commutative sum of per-row md5 prefixes
+    over a canonical string form, so any partitioning / block order /
+    shuffle of the same rows yields the SAME digest.  Per-batch partial
+    sums; the driver folds ≤ n_batches integers."""
+    import hashlib
+
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderstatus", "o_orderpriority"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        rows = (
+            df["o_orderkey"].astype(str)
+            + "|" + df["o_orderstatus"] + "|" + df["o_orderpriority"]
+        )
+        s = int(
+            np.fromiter(
+                (int(hashlib.md5(r.encode()).hexdigest()[:8], 16) for r in rows),
+                dtype=np.int64, count=len(rows),
+            ).sum()
+        )
+        return pa.table(
+            {"n": pa.array([len(rows)], pa.int64()),
+             "d": pa.array([s], pa.int64())}
+        )
+
+    p = orders.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        {"n_rows": [np.int64(p["n"].sum())], "digest": [np.int64(p["d"].sum())]}
+    )

@@ -2206,3 +2206,71 @@ def test_nation_region_cross(ray_session):
     reg = pd.read_parquet(f"{SF}/region.parquet")
     assert len(got) == len(nat) * len(reg)
     assert got["is_home"].sum() == len(nat)  # each nation has ONE home region
+
+
+def test_purchase_attribution_matches_brute(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import purchase_attribution
+
+    got = purchase_attribution(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts", "event_type"])
+    p = ev[ev["event_type"] == "purchase"]
+    c = ev[ev["event_type"] == "click"]
+    rows = []
+    w = pd.Timedelta(days=7)
+    for r in p.itertuples():
+        hit = (
+            (c["user_id"] == r.user_id) & (c["ts"] >= r.ts - w) & (c["ts"] < r.ts)
+        ).any()
+        rows.append((r.ts.floor("D"), int(hit)))
+    exp = (
+        pd.DataFrame(rows, columns=["day", "a"])
+        .groupby("day", as_index=False)
+        .agg(n_attributed=("a", "sum"), n_organic=("a", lambda s: int((1 - s).sum())))
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    got2 = got.copy()
+    got2["day"] = got2["day"].astype("datetime64[us]")
+    exp["day"] = exp["day"].astype("datetime64[us]")
+    pd.testing.assert_frame_equal(got2, exp, check_dtype=False)
+
+
+def test_nation_share_of_region_sums_to_one(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import nation_share_of_region
+
+    got = nation_share_of_region(SF)
+    # shares within each region sum to ~1e6 (rounding slack: one ulp/nation)
+    s = got.groupby("r_name")["share_e6"].sum()
+    n = got.groupby("r_name")["n_name"].size()
+    assert ((s - 1_000_000).abs() <= n).all()
+    # revenue matches a plain pandas recompute
+    o = pd.read_parquet(f"{SF}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    c = pd.read_parquet(f"{SF}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nat = pd.read_parquet(f"{SF}/nation.parquet")
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey").merge(
+        nat, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    j["e2"] = np.floor(j["o_totalprice"] * 100 + 0.5).astype("int64")
+    exp = j.groupby("n_name")["e2"].sum()
+    m = got.set_index("n_name")["revenue_e2"]
+    assert m.reindex(exp.index).fillna(0).astype("int64").equals(exp)
+
+
+def test_orders_digest_order_invariant(ray_session):
+    import hashlib
+
+    from opps_feedcrawler_ray.pipelines.analytics import orders_digest
+
+    got = orders_digest(SF)
+    df = pd.read_parquet(
+        f"{SF}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_orderpriority"],
+    ).sample(frac=1.0, random_state=3)  # any row order → same digest
+    s = sum(
+        int(hashlib.md5(
+            f"{r.o_orderkey}|{r.o_orderstatus}|{r.o_orderpriority}".encode()
+        ).hexdigest()[:8], 16)
+        for r in df.itertuples()
+    )
+    assert got["n_rows"].iloc[0] == len(df)
+    assert got["digest"].iloc[0] == s
