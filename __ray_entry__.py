@@ -482,6 +482,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_time_weighted_avg": A.events_time_weighted_avg,
         "events_hash_sample": A.events_hash_sample,
         "purchase_attribution": A.purchase_attribution,
+        "events_ks_test": A.events_ks_test,
+        "doc_clean_md5": A.doc_clean_md5,
         "nation_share_of_region": A.nation_share_of_region,
         "orders_digest": A.orders_digest,
         "nation_region_cross": A.nation_region_cross,
@@ -974,6 +976,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, date_trunc('day', ts) AS day FROM events "
             "WHERE event_type = 'click') "
             "GROUP BY user_id, day ORDER BY user_id, day"
+        ),
+        "events_ks_test": (
+            # KS numerator via cross-multiplied cumulative counts — the
+            # whole statistic is integer until the final e6 ratio
+            "WITH x AS (SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v, "
+            "CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a "
+            "FROM events WHERE event_type IN ('click', 'purchase')), "
+            "g AS (SELECT v, SUM(is_a) AS a, SUM(1 - is_a) AS b FROM x "
+            "GROUP BY v), "
+            "c AS (SELECT v, SUM(a) OVER (ORDER BY v) AS ca, "
+            "SUM(b) OVER (ORDER BY v) AS cb FROM g), "
+            "t AS (SELECT SUM(a) AS na, SUM(b) AS nb FROM g) "
+            "SELECT CAST(t.na AS BIGINT) AS n_click, "
+            "CAST(t.nb AS BIGINT) AS n_purchase, "
+            "CAST(MAX(ABS(c.ca * t.nb - c.cb * t.na)) AS BIGINT) AS d_num, "
+            "CAST(FLOOR(CAST(MAX(ABS(c.ca * t.nb - c.cb * t.na)) AS DOUBLE) "
+            "* 1e6 / (t.na * t.nb) + 0.5) AS BIGINT) AS ks_e6 "
+            "FROM c, t GROUP BY t.na, t.nb"
+        ),
+        "doc_clean_md5": (
+            # byte-identical normalization: NFC → lower → \s+ → ' ' → trim
+            "SELECT doc_id, md5(trim(regexp_replace(lower(nfc_normalize(text)), "
+            "'\\s+', ' ', 'g'))) AS clean_md5 FROM documents ORDER BY doc_id"
         ),
         "purchase_attribution": (
             # bounded-lookback as-of: click within [ts - 7d, ts) → attributed

@@ -4967,3 +4967,65 @@ def orders_digest(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(
         {"n_rows": [np.int64(p["n"].sum())], "digest": [np.int64(p["d"].sum())]}
     )
+
+
+def events_ks_test(sf_dir: str) -> pd.DataFrame:
+    """TWO-SAMPLE KOLMOGOROV–SMIRNOV statistic between the click and
+    purchase value distributions — the distribution-drift test beyond
+    the chi-square independence op.  INTEGER-EXACT: D's numerator is
+    max |ca·nb − cb·na| over the merged e2 value grid (cross-multiplied
+    cumulative counts — no float CDFs), derived entirely from the
+    domain-bounded per-type value histogram; only the final e6 ratio
+    touches floats, with the oracle's identical expression."""
+    h = _event_value_hist(sf_dir)
+    h = h[h["event_type"].isin(("click", "purchase"))]
+    g = (
+        h.pivot_table(index="v_e2", columns="event_type", values="n",
+                      aggfunc="sum", fill_value=0)
+        .reindex(columns=["click", "purchase"], fill_value=0)
+        .sort_index()
+    )
+    ca = g["click"].to_numpy(dtype="int64").cumsum()
+    cb = g["purchase"].to_numpy(dtype="int64").cumsum()
+    na, nb = int(ca[-1]), int(cb[-1])
+    d_num = int(np.abs(ca * nb - cb * na).max())
+    d_den = na * nb
+    return pd.DataFrame(
+        {"n_click": [np.int64(na)], "n_purchase": [np.int64(nb)],
+         "d_num": [np.int64(d_num)],
+         "ks_e6": [np.int64(np.floor(float(d_num) * 1e6 / d_den + 0.5))]}
+    )
+
+
+def doc_clean_md5(sf_dir: str) -> pd.DataFrame:
+    """TEXT NORMALIZATION stage — the LLM-corpus cleaning transform
+    (NFC unicode normalize → lowercase → collapse whitespace runs →
+    strip), verified by per-doc md5 of the cleaned text so the oracle
+    pins every byte.  Stateless vectorized map, zero shuffles."""
+    import hashlib
+    import re
+    import unicodedata
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ws = re.compile(r"\s+")
+
+    def clean(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        out = [
+            hashlib.md5(
+                ws.sub(" ", unicodedata.normalize("NFC", t or "").lower())
+                .strip()
+                .encode()
+            ).hexdigest()
+            for t in texts
+        ]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "clean_md5": pa.array(out, pa.string())}
+        )
+
+    return (
+        docs.map_batches(clean, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )

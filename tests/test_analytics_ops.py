@@ -2274,3 +2274,39 @@ def test_orders_digest_order_invariant(ray_session):
     )
     assert got["n_rows"].iloc[0] == len(df)
     assert got["digest"].iloc[0] == s
+
+
+def test_events_ks_test_matches_scipy_free_brute(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import events_ks_test
+
+    got = events_ks_test(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "value"])
+    a = np.sort(np.floor(ev.loc[ev["event_type"] == "click", "value"] * 100 + 0.5))
+    b = np.sort(np.floor(ev.loc[ev["event_type"] == "purchase", "value"] * 100 + 0.5))
+    grid = np.unique(np.concatenate([a, b]))
+    ca = np.searchsorted(a, grid, side="right")
+    cb = np.searchsorted(b, grid, side="right")
+    d = np.abs(ca / len(a) - cb / len(b)).max()
+    assert got["n_click"].iloc[0] == len(a)
+    assert got["n_purchase"].iloc[0] == len(b)
+    # cross-multiplied integer numerator agrees with the float CDF gap
+    assert abs(got["d_num"].iloc[0] / (len(a) * len(b)) - d) < 1e-12
+
+
+def test_doc_clean_md5_normalizes(ray_session):
+    import hashlib
+
+    from opps_feedcrawler_ray.pipelines.analytics import doc_clean_md5
+
+    got = doc_clean_md5(SF).set_index("doc_id")["clean_md5"]
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    import re
+    import unicodedata
+
+    for r in docs.head(50).itertuples():
+        c = re.sub(r"\s+", " ", unicodedata.normalize("NFC", r.text).lower()).strip()
+        assert got[r.doc_id] == hashlib.md5(c.encode()).hexdigest()
+    # idempotence: cleaning already-clean text changes nothing
+    t = "  A  B\t\nC "
+    c1 = re.sub(r"\s+", " ", t.lower()).strip()
+    assert re.sub(r"\s+", " ", c1.lower()).strip() == c1
