@@ -117,6 +117,33 @@ QUERY_NAMES = [
     "purchase_click_days_bag",
     "user_event_pattern_counts",
     "events_trailing_3d_max",
+    "user_day_streaks",
+    "events_running_distinct",
+    "ngram_containment_pairs",
+    "top_tokens_per_lang",
+    "host_kcore",
+    "asof_next_click",
+    "session_stats",
+    "events_ewma",
+    "events_late_arrivals",
+    "orders_profile",
+    "part_pareto",
+    "event_transition_matrix",
+    "purchase_click_days_except",
+    "events_trimmed_mean",
+    "contacts_union_by_name",
+    "orders_diff",
+    "events_time_weighted_avg",
+    "events_global_rank",
+    "docs_matching_all_terms",
+    "events_hash_sample",
+    "nation_region_cross",
+    "user_activity_gini",
+    "purchase_attribution",
+    "nation_share_of_region",
+    "orders_digest",
+    "events_ks_test",
+    "doc_clean_md5",
 ]
 
 
