@@ -74,6 +74,16 @@ class CrawlConfig:
     # fewer task boundaries beat 1024 at 32-way, neutral-or-better at 8).
     poll_chunk_rows: int | None = None
     priority_fn: object = None        # §2.10 hook: fn(next_round) -> priority float
+    # in-degree link prioritization (Cho, García-Molina & Page 1998,
+    # "Efficient crawling through URL ordering" — the backlink-count
+    # ordering): a discovered URL's priority is boosted by
+    # ln(1 + (in-batch in-link count − 1)) on top of the round's base
+    # priority, so pages many fetched pages point at are fetched earlier
+    # within their round.  Aliased raw forms that canonicalize to the
+    # same URL pool their counts.  Deterministic (no RNG); off by
+    # default — it reorders rows within a round, so goldens stay frozen.
+    # Frozen in the checkpoint manifest (it changes frontier order).
+    indegree_priority: bool = False
     # §7.6 mega-host salting: {host: k} splits that host's frontier queue
     # across k sub-shards, each polled at budget//k per round (recombined
     # politeness stays ≤ budget; fetch_seq recombines via (host, sub)
@@ -600,7 +610,8 @@ class _OfferLinksStage:
     def __init__(self, actors: list, next_round: int, priority_fn=None,
                  salt_hosts: dict | None = None, sink_hook=None,
                  trap_guard: dict | None = None,
-                 scope_filter: dict | None = None) -> None:
+                 scope_filter: dict | None = None,
+                 indegree_priority: bool = False) -> None:
         self.actors = actors
         self.next_round = next_round
         self.priority_fn = priority_fn
@@ -608,6 +619,7 @@ class _OfferLinksStage:
         self.sink_hook = sink_hook
         self.trap_guard = trap_guard
         self.scope_filter = scope_filter
+        self.indegree_priority = indegree_priority
         self._canon = CanonicalizeStage()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -681,25 +693,49 @@ class _OfferLinksStage:
                 )
                 links = pa.concat_tables([links, extra])
         if links.num_rows:
-            # raw-string pre-dedup BEFORE canonicalize: outlinks repeat
-            # heavily within a batch and priority/round are constant here,
-            # so first-occurrence == any-occurrence; cuts canonicalize work
-            uniq = pc.unique(links["url"])
-            if len(uniq) < links.num_rows:
+            if self.indegree_priority:
+                # in-degree ordering (Cho et al. 1998): keep per-URL raw
+                # occurrence counts through the dedup; aliased forms pool
+                # after canonicalization below
+                vc = pc.value_counts(links["url"])
+                base = links["priority"][0].as_py()
+                urls = vc.field("values")
+                w = vc.field("counts")
                 links = pa.table(
                     {
-                        "url": uniq,
-                        "priority": pa.array(
-                            [links["priority"][0].as_py()] * len(uniq), pa.float64()
-                        ),
+                        "url": urls,
+                        "priority": pa.array([base] * len(urls), pa.float64()),
                         "round": pa.array(
-                            [self.next_round] * len(uniq), pa.int32()
+                            [self.next_round] * len(urls), pa.int32()
                         ),
+                        "w": w,
                     }
                 )
+            else:
+                # raw-string pre-dedup BEFORE canonicalize: outlinks repeat
+                # heavily within a batch and priority/round are constant
+                # here, so first-occurrence == any-occurrence; cuts
+                # canonicalize work
+                uniq = pc.unique(links["url"])
+                if len(uniq) < links.num_rows:
+                    links = pa.table(
+                        {
+                            "url": uniq,
+                            "priority": pa.array(
+                                [links["priority"][0].as_py()] * len(uniq),
+                                pa.float64(),
+                            ),
+                            "round": pa.array(
+                                [self.next_round] * len(uniq), pa.int32()
+                            ),
+                        }
+                    )
             cand = self._canon(links)
             if "priority" in cand.column_names and "round" in cand.column_names:
-                cand = cand.select(["url", "url_hash", "surt", "host", "priority", "round"])
+                keep_cols = ["url", "url_hash", "surt", "host", "priority", "round"]
+                if "w" in cand.column_names:
+                    keep_cols.append("w")
+                cand = cand.select(keep_cols)
                 # J4 pre-dedup: outlinks repeat heavily within a batch; one
                 # np.unique here cuts frontier-actor traffic several-fold.
                 # Safe: duplicates carry identical (priority, round) so
@@ -707,9 +743,31 @@ class _OfferLinksStage:
                 import numpy as np
 
                 hh = cand["url_hash"].to_numpy(zero_copy_only=False)
-                _, first_idx = np.unique(hh, return_index=True)
-                if len(first_idx) < len(hh):
-                    cand = cand.take(pa.array(np.sort(first_idx), pa.int64()))
+                if "w" in cand.column_names:
+                    # merge aliased canonical forms: sum their counts, then
+                    # boost priority by ln(1 + (in-links − 1)) — w == 1
+                    # leaves the base priority untouched (flag-off parity
+                    # for singly-linked URLs)
+                    _, first_idx, inv = np.unique(
+                        hh, return_index=True, return_inverse=True
+                    )
+                    wsum = np.bincount(
+                        inv, weights=cand["w"].to_numpy(zero_copy_only=False)
+                    )
+                    order = np.argsort(first_idx)
+                    cand = cand.take(pa.array(first_idx[order], pa.int64()))
+                    prio = cand["priority"].to_numpy(zero_copy_only=False) + (
+                        np.log1p(wsum[order] - 1.0)
+                    )
+                    cand = cand.set_column(
+                        cand.schema.get_field_index("priority"),
+                        "priority", pa.array(prio, pa.float64()),
+                    )
+                    cand = cand.drop_columns(["w"])
+                else:
+                    _, first_idx = np.unique(hh, return_index=True)
+                    if len(first_idx) < len(hh):
+                        cand = cand.take(pa.array(np.sort(first_idx), pa.int64()))
                 if self.trap_guard is not None and cand.num_rows:
                     # crawler-trap hygiene on DISCOVERED links only (seeds
                     # are operator-vetted): drop over-long / over-deep /
@@ -860,6 +918,7 @@ def _write_manifest(cfg: CrawlConfig, round_idx: int, fetch_seq: int, lineage: l
         "refresh_max_delay": cfg.refresh_max_delay,
         "trap_guard": cfg.trap_guard,
         "scope_filter": cfg.scope_filter,
+        "indegree_priority": cfg.indegree_priority,
         "lineage": lineage,
     }
     tmp = os.path.join(ckpt_root, "_MANIFEST.json.tmp")
@@ -1021,6 +1080,10 @@ def crawl(cfg: CrawlConfig) -> dict:
             # the crawl's reachable set vs the checkpointed seen filter
             "trap_guard": cfg.trap_guard,
             "scope_filter": cfg.scope_filter,
+            # indegree_priority changes frontier ORDER — resuming with a
+            # different setting would interleave rounds ordered by two
+            # different rules
+            "indegree_priority": cfg.indegree_priority,
         }
         for key, want in frozen.items():
             have = manifest.get(key)
@@ -1032,7 +1095,7 @@ def crawl(cfg: CrawlConfig) -> dict:
                 have = cfg.adaptive_max_factor if not cfg.adaptive_recrawl else 8
             if (
                 key in ("trap_guard", "scope_filter", "follow_meta_refresh",
-                        "refresh_max_delay")
+                        "refresh_max_delay", "indegree_priority")
                 and key not in manifest
             ):
                 continue  # pre-upgrade manifests didn't record these
@@ -1244,6 +1307,7 @@ def crawl(cfg: CrawlConfig) -> dict:
         offer_links = _OfferLinksStage(
             actors, r + 1, cfg.priority_fn, cfg.salt_hosts, cfg.sink_hook,
             trap_guard=cfg.trap_guard, scope_filter=cfg.scope_filter,
+            indegree_priority=cfg.indegree_priority,
         )
         staged = ready.map_batches(_AssignSeq(offsets_ref), batch_format="pyarrow")
         if cfg.fetch_strategy == "actors":
@@ -1375,6 +1439,11 @@ def main(argv: list[str] | None = None) -> int:
              "redirects: log status=redirect, offer the target",
     )
     ap.add_argument(
+        "--indegree-priority", action="store_true",
+        help="boost discovered-URL priority by in-batch in-link count "
+             "(backlink ordering, Cho et al. 1998)",
+    )
+    ap.add_argument(
         "--refresh-max-delay", type=int, default=0, metavar="SECONDS",
         help="max declared refresh delay still treated as a redirect",
     )
@@ -1413,6 +1482,7 @@ def main(argv: list[str] | None = None) -> int:
         skip_unchanged=args.skip_unchanged,
         adaptive_recrawl=args.adaptive_recrawl,
         honor_canonical=args.honor_canonical,
+        indegree_priority=args.indegree_priority,
         follow_meta_refresh=args.follow_meta_refresh,
         refresh_max_delay=args.refresh_max_delay,
         scope_filter=(

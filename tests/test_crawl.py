@@ -1279,3 +1279,67 @@ def test_follow_meta_refresh_e2e(ray_session, tmp_path_factory):
             num_buckets=2, num_fetch_actors=2, follow_meta_refresh=False,
             resume=True,
         ))
+
+
+def test_indegree_priority_orders_by_backlinks(ray_session, tmp_path_factory):
+    """Backlink ordering (Cho et al. 1998): /popular is linked from all
+    five seeds, /aardvark from one — with --indegree-priority the
+    heavily-linked page is fetched FIRST in round 1 despite sorting
+    after /aardvark; with the flag off the frozen §2.12 url-ASC order
+    holds.  The flag is frozen in the manifest: resuming with the other
+    setting must be rejected."""
+    import datetime as dt
+
+    import pytest
+
+    tmp = str(tmp_path_factory.mktemp("indeg"))
+    host = "pop.example"
+    urls, bodies, texts = [], [], []
+    for i in range(5):
+        links = '<a href="/popular">p</a>'
+        if i == 0:
+            links += '<a href="/aardvark">a</a>'
+        urls.append(f"http://{host}/s{i}")
+        bodies.append(f"<html><body><p>seed {i}</p>{links}</body></html>".encode())
+        texts.append(f"seed {i}\npa" if i == 0 else f"seed {i}\np")
+    for leaf in ("popular", "aardvark"):
+        urls.append(f"http://{host}/{leaf}")
+        bodies.append(f"<html><body><p>{leaf}</p></body></html>".encode())
+        texts.append(leaf)
+    ts = dt.datetime(2024, 1, 1)
+    pages = pa.table(
+        {"url": pa.array(urls),
+         "warc_ts": pa.array([ts] * len(urls), pa.timestamp("us")),
+         "html": pa.array(bodies, pa.binary()),
+         "text": pa.array(texts),
+         "lang": pa.array(["en"] * len(urls))}
+    )
+    pq.write_table(pages, f"{tmp}/pages.parquet")
+    pq.write_table(
+        pa.table({"url": pa.array([f"http://{host}/s{i}" for i in range(5)])}),
+        f"{tmp}/seeds.parquet",
+    )
+
+    def go(out, flag):
+        cfg = CrawlConfig(
+            pages_path=f"{tmp}/pages.parquet", seeds_path=f"{tmp}/seeds.parquet",
+            out_dir=f"{tmp}/{out}", num_frontier_actors=2, politeness_budget=8,
+            num_buckets=2, num_fetch_actors=2, indegree_priority=flag,
+        )
+        crawl(cfg)
+        log = read_log(f"{tmp}/{out}").to_pandas()
+        return log.set_index("url")["fetch_seq"].to_dict()
+
+    on = go("out_on", True)
+    assert on[f"http://{host}/popular"] < on[f"http://{host}/aardvark"]
+    off = go("out_off", False)
+    assert off[f"http://{host}/aardvark"] < off[f"http://{host}/popular"]
+    # manifest freeze: flipping the flag on resume is config drift
+    cfg_drift = CrawlConfig(
+        pages_path=f"{tmp}/pages.parquet", seeds_path=f"{tmp}/seeds.parquet",
+        out_dir=f"{tmp}/out_on", num_frontier_actors=2, politeness_budget=8,
+        num_buckets=2, num_fetch_actors=2, indegree_priority=False,
+        resume=True,
+    )
+    with pytest.raises(ValueError, match="indegree_priority"):
+        crawl(cfg_drift)
