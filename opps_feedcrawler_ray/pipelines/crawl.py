@@ -137,6 +137,21 @@ class CrawlConfig:
     # never reach the frontier (they also never enter the seen set, so a
     # later non-trap path to the same URL is unaffected).
     trap_guard: dict | None = None
+    # transient-failure RETRY with exponential backoff: a fetch logged
+    # status="error" is re-queued by its frontier shard — the n-th retry
+    # comes due at failed_round + 2^(n−1) — until ``max_retries``
+    # attempts are exhausted (then the URL is dropped permanently; every
+    # attempt left its own status="error" log row).  0 = off (frozen
+    # goldens).  When on, the crawl log gains an opt-in ``attempt``
+    # column.  Frozen in the checkpoint manifest (changes round
+    # contents and log schema).
+    max_retries: int = 0
+    # hermetic failure model for exercising the retry path (the corpus
+    # fetch is simulated, so transient 5xx must be injected): e.g.
+    # {"mod": 7, "fail_attempts": 1} — a url whose url_hash % mod == 0
+    # fails its first ``fail_attempts`` attempts, then succeeds.
+    # Deterministic; None = no injected failures.
+    fail_inject: dict | None = None
     # crawl-scope url filter over DISCOVERED links (Heritrix/Nutch-style
     # regex scope rules; None = off): kwargs for functions.urlnorm.
     # scope_mask, e.g. {"allow": [r"^http://(a|b)\.com/"], "deny":
@@ -601,6 +616,44 @@ class _AssignSeq:
         return batch.append_column("fetch_seq", seq)
 
 
+class _FailureInject:
+    """Hermetic transient-failure model (strategy-independent: runs AFTER
+    whichever fetch stage, BEFORE extract): a successfully-aligned row
+    whose url_hash % mod == 0 with attempt < fail_attempts becomes
+    status="error" with null html — the simulated 5xx.  Extract treats
+    null-html rows as pass-through, exactly like not_found."""
+
+    def __init__(self, mod: int, fail_attempts: int = 1) -> None:
+        self.mod = mod
+        self.fail_attempts = fail_attempts
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        import numpy as np
+
+        hh = batch["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        att = batch["attempt"].to_numpy(zero_copy_only=False)
+        st = batch["status"].to_numpy(zero_copy_only=False)
+        fail = (
+            (hh % np.uint64(self.mod) == 0)
+            & (att < self.fail_attempts)
+            & (st == "fetched")
+        )
+        if not fail.any():
+            return batch
+        status = pa.array(np.where(fail, "error", st), pa.string())
+        html = batch["html"].to_pandas()
+        html[fail] = None
+        out = batch.set_column(
+            batch.schema.get_field_index("status"), "status", status
+        )
+        return out.set_column(
+            out.schema.get_field_index("html"), "html",
+            pa.array(html, pa.binary()),
+        )
+
+
 class _OfferLinksStage:
     """Fused link-frontier stage: explode outlinks, canonicalize, route to
     frontier shards, block on offer acks; emits the batch in crawl-log
@@ -611,7 +664,8 @@ class _OfferLinksStage:
                  salt_hosts: dict | None = None, sink_hook=None,
                  trap_guard: dict | None = None,
                  scope_filter: dict | None = None,
-                 indegree_priority: bool = False) -> None:
+                 indegree_priority: bool = False,
+                 max_retries: int = 0) -> None:
         self.actors = actors
         self.next_round = next_round
         self.priority_fn = priority_fn
@@ -620,6 +674,7 @@ class _OfferLinksStage:
         self.trap_guard = trap_guard
         self.scope_filter = scope_filter
         self.indegree_priority = indegree_priority
+        self.max_retries = max_retries
         self._canon = CanonicalizeStage()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -631,19 +686,34 @@ class _OfferLinksStage:
             nf_mask = pc.equal(batch["status"], "not_found")
             subs = batch["sub"].to_numpy(zero_copy_only=False)
             nf = nf_mask.to_numpy(zero_copy_only=False)
+            err = pc.equal(batch["status"], "error").to_numpy(zero_copy_only=False)
             fs = batch["fetch_seq"].to_numpy(zero_copy_only=False)
             import numpy as np
 
             for s in np.unique(subs):
                 m = subs == s
                 n_nf = int(nf[m].sum())
+                n_err = int(err[m].sum())
                 # token = the sub-batch's min fetch_seq (globally unique per
                 # batch) → record_results is idempotent under task retries
                 result_refs.append(
                     self.actors[int(s)].record_results.remote(
-                        int(m.sum()) - n_nf, n_nf, int(fs[m].min())
+                        int(m.sum()) - n_nf - n_err, n_nf, int(fs[m].min())
                     )
                 )
+            if self.max_retries and err.any():
+                # route failures back to their owning shard for backoff
+                # re-queueing (the failure happened in round next_round-1)
+                fail_cols = batch.select(
+                    ["url_hash", "url", "host", "priority", "attempt"]
+                )
+                for s in np.unique(subs[err]):
+                    sub_t = fail_cols.filter(pa.array(err & (subs == s)))
+                    result_refs.append(
+                        self.actors[int(s)].schedule_retries.remote(
+                            sub_t, self.next_round - 1, self.max_retries
+                        )
+                    )
         if batch.num_rows and "content_hash" in batch.column_names:
             # conditional-re-crawl report-back: tracked (recurring) rows'
             # content fingerprints go to the shard that scheduled them so
@@ -799,6 +869,8 @@ class _OfferLinksStage:
         cols = LOG_COLUMNS + [
             c for c in ("canonical", "redirect") if c in batch.column_names
         ]
+        if self.max_retries and "attempt" in batch.column_names:
+            cols.append("attempt")  # opt-in log column, like canonical
         out = batch.select(cols)
         if self.sink_hook is not None:
             # §2.10 publication hook: side-effect per crawl-log batch (the
@@ -919,6 +991,8 @@ def _write_manifest(cfg: CrawlConfig, round_idx: int, fetch_seq: int, lineage: l
         "trap_guard": cfg.trap_guard,
         "scope_filter": cfg.scope_filter,
         "indegree_priority": cfg.indegree_priority,
+        "max_retries": cfg.max_retries,
+        "fail_inject": cfg.fail_inject,
         "lineage": lineage,
     }
     tmp = os.path.join(ckpt_root, "_MANIFEST.json.tmp")
@@ -1084,6 +1158,9 @@ def crawl(cfg: CrawlConfig) -> dict:
             # different setting would interleave rounds ordered by two
             # different rules
             "indegree_priority": cfg.indegree_priority,
+            # retry policy changes round contents and the log schema
+            "max_retries": cfg.max_retries,
+            "fail_inject": cfg.fail_inject,
         }
         for key, want in frozen.items():
             have = manifest.get(key)
@@ -1095,7 +1172,8 @@ def crawl(cfg: CrawlConfig) -> dict:
                 have = cfg.adaptive_max_factor if not cfg.adaptive_recrawl else 8
             if (
                 key in ("trap_guard", "scope_filter", "follow_meta_refresh",
-                        "refresh_max_delay", "indegree_priority")
+                        "refresh_max_delay", "indegree_priority",
+                        "max_retries", "fail_inject")
                 and key not in manifest
             ):
                 continue  # pre-upgrade manifests didn't record these
@@ -1308,6 +1386,7 @@ def crawl(cfg: CrawlConfig) -> dict:
             actors, r + 1, cfg.priority_fn, cfg.salt_hosts, cfg.sink_hook,
             trap_guard=cfg.trap_guard, scope_filter=cfg.scope_filter,
             indegree_priority=cfg.indegree_priority,
+            max_retries=cfg.max_retries,
         )
         staged = ready.map_batches(_AssignSeq(offsets_ref), batch_format="pyarrow")
         if cfg.fetch_strategy == "actors":
@@ -1328,6 +1407,10 @@ def crawl(cfg: CrawlConfig) -> dict:
                 staged.map_batches(add_bucket, batch_format="pyarrow")
                 .groupby("bucket")
                 .map_groups(fetch_group, batch_format="pyarrow")
+            )
+        if cfg.fail_inject:
+            staged = staged.map_batches(
+                _FailureInject(**cfg.fail_inject), batch_format="pyarrow"
             )
         if cfg.extract_concurrency:
             # actor-pool extract: separate operator → fetch output blocks are
@@ -1444,6 +1527,11 @@ def main(argv: list[str] | None = None) -> int:
              "(backlink ordering, Cho et al. 1998)",
     )
     ap.add_argument(
+        "--max-retries", type=int, default=0,
+        help="re-queue status=error fetches with exponential backoff "
+             "(n-th retry after 2^(n-1) rounds); 0 = off",
+    )
+    ap.add_argument(
         "--refresh-max-delay", type=int, default=0, metavar="SECONDS",
         help="max declared refresh delay still treated as a redirect",
     )
@@ -1483,6 +1571,7 @@ def main(argv: list[str] | None = None) -> int:
         adaptive_recrawl=args.adaptive_recrawl,
         honor_canonical=args.honor_canonical,
         indegree_priority=args.indegree_priority,
+        max_retries=args.max_retries,
         follow_meta_refresh=args.follow_meta_refresh,
         refresh_max_delay=args.refresh_max_delay,
         scope_filter=(

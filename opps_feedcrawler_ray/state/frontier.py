@@ -145,6 +145,17 @@ class FrontierActor:
         self.content_hash: dict[int, int] = {}
         self._recurring_hashes: dict[int, str] = {}
         self._result_tokens: set[int] = set()
+        # transient-failure RETRY queue (exponential backoff): host →
+        # {url_hash: [url, priority, attempts_done, due_round]}.  Due
+        # entries re-enter the host's heap at poll time (bypassing the
+        # seen filter — the URL IS seen; a retry is the point) but NOT
+        # the politeness budget.  ``_retry_attempts`` (url_hash →
+        # attempts so far) feeds the ready-set ``attempt`` column; an
+        # entry pops when its row is emitted and is re-added only if the
+        # fetch fails again.  Bounded by in-flight retries.
+        self.retry: dict[str, dict[int, list]] = {}
+        self._retry_attempts: dict[int, int] = {}
+        self.gave_up = 0
         if robots_sidecar is not None:
             self._load_robots_sidecar(robots_sidecar)
 
@@ -366,14 +377,62 @@ class FrontierActor:
                     ent[3] = round_idx
 
     def next_due_round(self) -> int | None:
-        """Earliest future round at which a recurring entry re-emits (the
-        driver fast-forwards idle gaps instead of running empty rounds)."""
+        """Earliest future round at which a recurring entry re-emits or a
+        retry comes due (the driver fast-forwards idle gaps instead of
+        running empty rounds)."""
         due = [
             ent[3] + ent[2]
             for entries in self.recurring.values()
             for ent in entries.values()
         ]
+        due += [
+            ent[3] for entries in self.retry.values() for ent in entries.values()
+        ]
         return min(due) if due else None
+
+    # ------------------------------------------------------------- retry
+    def schedule_retries(
+        self, table: pa.Table, failed_round: int, max_retries: int
+    ) -> dict[str, int]:
+        """Rows (url_hash, url, host, priority, attempt) that failed in
+        ``failed_round``: re-queue with exponential backoff — the n-th
+        retry comes due at failed_round + 2^(n−1) — until ``max_retries``
+        attempts are exhausted, then give up permanently (the crawl log
+        already carries each attempt's status="error" row)."""
+        scheduled = 0
+        for h, url, host, prio, att in zip(
+            table["url_hash"].to_pylist(), table["url"].to_pylist(),
+            table["host"].to_pylist(), table["priority"].to_pylist(),
+            table["attempt"].to_pylist(),
+        ):
+            attempts_done = int(att) + 1
+            if attempts_done > max_retries:
+                self.gave_up += 1
+                self._retry_attempts.pop(int(h), None)
+                continue
+            due = failed_round + (1 << (attempts_done - 1))
+            self.retry.setdefault(host, {})[int(h)] = [
+                url, float(prio), attempts_done, int(due)
+            ]
+            self._retry_attempts[int(h)] = attempts_done
+            scheduled += 1
+        return {"scheduled": scheduled, "gave_up": self.gave_up}
+
+    def _emit_due_retries(self, round_idx: int) -> None:
+        """Push due retry entries back into their host heaps (seen-filter
+        bypass by construction; politeness still applies at poll)."""
+        for host in list(self.retry):
+            entries = self.retry[host]
+            due_hashes = [h for h, ent in entries.items() if ent[3] <= round_idx]
+            if not due_hashes:
+                continue
+            heap = self.heaps.setdefault(host, [])
+            for h in due_hashes:
+                url, prio, attempts_done, due = entries.pop(h)
+                heap.append((-prio, due, url, h))
+            self._dirty.add(host)
+            if not entries:
+                del self.retry[host]
 
     # -------------------------------------------------------------- poll
     def poll_ready_meta(
@@ -422,6 +481,8 @@ class FrontierActor:
         self._result_tokens.clear()  # round boundary: new token scope
         if self.recurring:
             self._emit_due_recurring(round_idx)
+        if self.retry:
+            self._emit_due_retries(round_idx)
         urls, hashes, hosts, prios, ranks = [], [], [], [], []
         meta: dict[str, int] = {}
         for host in sorted(self.heaps):
@@ -491,8 +552,18 @@ class FrontierActor:
         else:
             track = np.zeros(len(hashes), dtype=np.int8)
             prev = np.zeros(len(hashes), dtype=np.uint64)
+        if self._retry_attempts:
+            # pop on emit: if this attempt fails again, schedule_retries
+            # re-adds with the incremented count; on success it's gone
+            ra = self._retry_attempts
+            attempt = np.fromiter(
+                (ra.pop(h, 0) for h in hashes), dtype=np.int32, count=len(hashes)
+            )
+        else:
+            attempt = np.zeros(len(hashes), dtype=np.int32)
         return pa.table(
             {
+                "attempt": pa.array(attempt, pa.int32()),
                 "url_hash": pa.array(hashes, pa.uint64()),
                 "url": pa.array(urls, pa.string()),
                 "host": pa.array(hosts, pa.string()),
@@ -534,6 +605,7 @@ class FrontierActor:
             "pending": self.pending_count(),
             "seen": self.seen.count,
             "load_factor": self.seen.load_factor(),
+            "gave_up": self.gave_up,
             **self.counters,
         }
 
@@ -574,6 +646,9 @@ class FrontierActor:
             "content_hash": self.content_hash,
             "base_interval": self._base_interval,
             "emitted": self.emitted,
+            "retry": self.retry,
+            "retry_attempts": self._retry_attempts,
+            "gave_up": self.gave_up,
             "round": round_idx,
         }
         fpath = os.path.join(ckpt_dir, f"shard-{self.shard_id:05d}.parquet")
@@ -618,6 +693,10 @@ class FrontierActor:
             for h in entries
         }
         self.emitted = blob.get("emitted", {})
+        # pre-retry blobs carry no retry state
+        self.retry = blob.get("retry", {})
+        self._retry_attempts = blob.get("retry_attempts", {})
+        self.gave_up = blob.get("gave_up", 0)
         self._recurring_pending = {}
         self._result_tokens = set()
         self.heaps = {}

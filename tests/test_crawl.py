@@ -1343,3 +1343,107 @@ def test_indegree_priority_orders_by_backlinks(ray_session, tmp_path_factory):
     )
     with pytest.raises(ValueError, match="indegree_priority"):
         crawl(cfg_drift)
+
+
+def test_retry_backoff_recovers_transient_failures(ray_session, tmp_path_factory):
+    """Exponential-backoff retry: with the hermetic failure model
+    (url_hash % 3 == 0 fails its first attempt), every affected page is
+    logged status=error once, retried at failed_round + 1, and fetched
+    on the second attempt (attempt=1 in the log).  The final corpus
+    coverage equals the no-failure run; the attempt column appears only
+    when max_retries > 0."""
+    import datetime as dt
+
+    tmp = str(tmp_path_factory.mktemp("retry"))
+    host = "retry.example"
+    n = 12
+    urls, bodies, texts = [], [], []
+    for i in range(n):
+        nxt = f'<a href="/p{i + 1}">n</a>' if i + 1 < n else ""
+        urls.append(f"http://{host}/p{i}")
+        bodies.append(f"<html><body><p>page {i}</p>{nxt}</body></html>".encode())
+        texts.append(f"page {i}\nn" if nxt else f"page {i}")
+    ts = dt.datetime(2024, 1, 1)
+    pages = pa.table(
+        {"url": pa.array(urls),
+         "warc_ts": pa.array([ts] * n, pa.timestamp("us")),
+         "html": pa.array(bodies, pa.binary()),
+         "text": pa.array(texts),
+         "lang": pa.array(["en"] * n)}
+    )
+    pq.write_table(pages, f"{tmp}/pages.parquet")
+    pq.write_table(pa.table({"url": pa.array([urls[0]])}), f"{tmp}/seeds.parquet")
+
+    def go(out, max_retries, inject):
+        cfg = CrawlConfig(
+            pages_path=f"{tmp}/pages.parquet", seeds_path=f"{tmp}/seeds.parquet",
+            out_dir=f"{tmp}/{out}", num_frontier_actors=2, politeness_budget=4,
+            num_buckets=2, num_fetch_actors=2,
+            max_retries=max_retries, fail_inject=inject,
+        )
+        crawl(cfg)
+        return read_log(f"{tmp}/{out}").to_pandas()
+
+    clean = go("out_clean", 0, None)
+    assert "attempt" not in clean.columns  # goldens frozen
+    log = go("out_retry", 3, {"mod": 3, "fail_attempts": 1})
+    assert "attempt" in log.columns
+    errs = log[log["status"] == "error"]
+    assert len(errs) > 0
+    fetched = log[log["status"] == "fetched"]
+    # every page the clean run fetched is eventually fetched here too
+    assert set(fetched["url"]) == set(clean.loc[clean["status"] == "fetched", "url"])
+    for u in errs["url"]:
+        rows = log[log["url"] == u].sort_values("round")
+        sts = rows["status"].tolist()
+        assert sts.count("error") == 1 and sts[-1] == "fetched"
+        # backoff cadence: first retry lands exactly 1 round after failure
+        r_err = int(rows.iloc[0]["round"])
+        r_ok = int(rows.iloc[-1]["round"])
+        assert r_ok == r_err + 1
+        assert int(rows.iloc[-1]["attempt"]) == 1
+    # failed-then-retried rows never double-count in lineage: fetched
+    # counter == fetched log rows (checked by comparing statuses)
+    assert (log["status"] == "fetched").sum() == len(fetched)
+
+
+def test_retry_gives_up_after_max_retries(ray_session, tmp_path_factory):
+    """A url that ALWAYS fails (fail_attempts > max_retries) is retried
+    exactly max_retries times at rounds r+1, r+2 (2^0, then 2^1) and
+    then dropped: one error row per attempt, no fetched row, crawl
+    terminates."""
+    import datetime as dt
+
+    tmp = str(tmp_path_factory.mktemp("giveup"))
+    host = "giveup.example"
+    # find a url whose hash % 2 == 0 → always fails under mod=2 model
+    from opps_feedcrawler_ray.functions.hashing import fingerprint64
+
+    target = None
+    for i in range(50):
+        u = f"http://{host}/p{i}"
+        if fingerprint64(u) % 2 == 0:
+            target = u
+            break
+    assert target is not None
+    ts = dt.datetime(2024, 1, 1)
+    pages = pa.table(
+        {"url": pa.array([target]),
+         "warc_ts": pa.array([ts], pa.timestamp("us")),
+         "html": pa.array([b"<html><body><p>x</p></body></html>"], pa.binary()),
+         "text": pa.array(["x"]),
+         "lang": pa.array(["en"])}
+    )
+    pq.write_table(pages, f"{tmp}/pages.parquet")
+    pq.write_table(pa.table({"url": pa.array([target])}), f"{tmp}/seeds.parquet")
+    cfg = CrawlConfig(
+        pages_path=f"{tmp}/pages.parquet", seeds_path=f"{tmp}/seeds.parquet",
+        out_dir=f"{tmp}/out", num_frontier_actors=2, politeness_budget=4,
+        num_buckets=2, num_fetch_actors=2,
+        max_retries=2, fail_inject={"mod": 2, "fail_attempts": 99},
+    )
+    crawl(cfg)
+    log = read_log(f"{tmp}/out").to_pandas().sort_values("round")
+    assert log["status"].tolist() == ["error"] * 3  # initial + 2 retries
+    assert log["attempt"].tolist() == [0, 1, 2]
+    assert log["round"].tolist() == [0, 1, 3]  # backoff 2^0 then 2^1
