@@ -405,3 +405,32 @@ def scope_mask(urls, allow: list[str] | None = None, deny: list[str] | None = No
         pat = "|".join(f"(?:{p})" for p in deny)
         keep &= ~pc.match_substring_regex(urls, pat).to_numpy(zero_copy_only=False)
     return keep
+
+
+def compile_param_rules(names: list[str]) -> tuple[frozenset, tuple]:
+    """Pre-split exact names and ``foo*`` wildcard prefixes for
+    :func:`strip_query_params` (compiled ONCE per stage, not per URL)."""
+    exact = frozenset(n for n in names if not n.endswith("*"))
+    prefixes = tuple(n[:-1] for n in names if n.endswith("*"))
+    return exact, prefixes
+
+
+def strip_query_params(
+    canon_url: str, exact: frozenset, prefixes: tuple
+) -> str:
+    """Remove query parameters whose NAME matches an exact rule or a
+    ``prefix*`` wildcard from an already-CANONICAL url (the tracking-
+    param scrub: utm_*, fbclid, gclid...).  Remaining parameters keep
+    their original order; an emptied query drops its '?'.  The result
+    is still canonical — parameter removal never un-normalizes
+    percent-encoding or paths — so re-hashing it is valid."""
+    i = canon_url.find("?")
+    if i < 0:
+        return canon_url
+    kept = []
+    for p in canon_url[i + 1:].split("&"):
+        name = p.split("=", 1)[0]
+        if name in exact or any(name.startswith(px) for px in prefixes):
+            continue
+        kept.append(p)
+    return canon_url[:i] + ("?" + "&".join(kept) if kept else "")

@@ -137,6 +137,13 @@ class CrawlConfig:
     # never reach the frontier (they also never enter the seen set, so a
     # later non-trap path to the same URL is unaffected).
     trap_guard: dict | None = None
+    # tracking-parameter scrub (opt-in): query parameter names (exact or
+    # ``prefix*`` wildcards, e.g. ["utm_*", "gclid", "fbclid"]) removed
+    # from every canonicalized URL BEFORE hashing/dedup — alias forms of
+    # a page that differ only in tracking params collapse to one crawl.
+    # Applied after the frozen canonicalizer (its spec is untouched).
+    # Frozen in the checkpoint manifest (changes dedup identity).
+    strip_params: list | None = None
     # transient-failure RETRY with exponential backoff: a fetch logged
     # status="error" is re-queued by its frontier shard — the n-th retry
     # comes due at failed_round + 2^(n−1) — until ``max_retries``
@@ -226,11 +233,14 @@ class _RouteToActors:
         return pa.table({k: pa.array([v], pa.int64()) for k, v in totals.items()})
 
 
-def _prepare_candidates(ds: rd.Dataset, default_priority: float | None = None) -> rd.Dataset:
+def _prepare_candidates(
+    ds: rd.Dataset, default_priority: float | None = None,
+    strip_params: list | None = None,
+) -> rd.Dataset:
     """url (+priority, round) → canonical url, surt, host, url_hash rows."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        return _prepare_candidates_table(batch, default_priority)
+        return _prepare_candidates_table(batch, default_priority, strip_params)
 
     return ds.map_batches(fn, batch_format="pyarrow")
 
@@ -507,7 +517,8 @@ class _FetchDirect:
 
 @ray.remote
 def _offer_seed_slice(
-    seeds_path: str, row_start: int, row_count: int, actors: list, salt_hosts: dict | None
+    seeds_path: str, row_start: int, row_count: int, actors: list,
+    salt_hosts: dict | None, strip_params: list | None = None,
 ) -> dict:
     """Seed-offer task: read one row-slice of the seed list, canonicalize,
     route to frontier shards.  Plain parallel tasks (one per slice) —
@@ -531,13 +542,15 @@ def _offer_seed_slice(
         return {"offered": 0, "admitted": 0, "robots_blocked": 0}
     t = pf.read_row_groups(groups)
     t = t.slice(row_start - first_off, row_count)
-    ds_like = _prepare_candidates_table(t, default_priority=1.0)
+    ds_like = _prepare_candidates_table(t, default_priority=1.0, strip_params=strip_params)
     counts = _RouteToActors(actors, "offer", salt_hosts)(ds_like)
     return {k: counts[k][0].as_py() for k in counts.column_names}
 
 
-def _prepare_candidates_table(t: pa.Table, default_priority: float) -> pa.Table:
-    canon = CanonicalizeStage()
+def _prepare_candidates_table(
+    t: pa.Table, default_priority: float, strip_params: list | None = None
+) -> pa.Table:
+    canon = CanonicalizeStage(strip_params=strip_params)
     out = canon(t)
     if "priority" not in out.column_names:
         out = out.append_column(
@@ -665,7 +678,8 @@ class _OfferLinksStage:
                  trap_guard: dict | None = None,
                  scope_filter: dict | None = None,
                  indegree_priority: bool = False,
-                 max_retries: int = 0) -> None:
+                 max_retries: int = 0,
+                 strip_params: list | None = None) -> None:
         self.actors = actors
         self.next_round = next_round
         self.priority_fn = priority_fn
@@ -675,7 +689,7 @@ class _OfferLinksStage:
         self.scope_filter = scope_filter
         self.indegree_priority = indegree_priority
         self.max_retries = max_retries
-        self._canon = CanonicalizeStage()
+        self._canon = CanonicalizeStage(strip_params=strip_params)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         # lineage: report this batch's fetched/not_found counts back to the
@@ -993,6 +1007,7 @@ def _write_manifest(cfg: CrawlConfig, round_idx: int, fetch_seq: int, lineage: l
         "indegree_priority": cfg.indegree_priority,
         "max_retries": cfg.max_retries,
         "fail_inject": cfg.fail_inject,
+        "strip_params": cfg.strip_params,
         "lineage": lineage,
     }
     tmp = os.path.join(ckpt_root, "_MANIFEST.json.tmp")
@@ -1161,6 +1176,8 @@ def crawl(cfg: CrawlConfig) -> dict:
             # retry policy changes round contents and the log schema
             "max_retries": cfg.max_retries,
             "fail_inject": cfg.fail_inject,
+            # param scrubbing changes dedup identity (url_hash inputs)
+            "strip_params": cfg.strip_params,
         }
         for key, want in frozen.items():
             have = manifest.get(key)
@@ -1173,7 +1190,7 @@ def crawl(cfg: CrawlConfig) -> dict:
             if (
                 key in ("trap_guard", "scope_filter", "follow_meta_refresh",
                         "refresh_max_delay", "indegree_priority",
-                        "max_retries", "fail_inject")
+                        "max_retries", "fail_inject", "strip_params")
                 and key not in manifest
             ):
                 continue  # pre-upgrade manifests didn't record these
@@ -1226,7 +1243,7 @@ def crawl(cfg: CrawlConfig) -> dict:
             n_slices = max(2, cfg.num_frontier_actors * 2)
             step = max(1, -(-sum(counts) // n_slices))
             refs = [
-                _offer_seed_slice.remote(f, s, step, actors, cfg.salt_hosts)
+                _offer_seed_slice.remote(f, s, step, actors, cfg.salt_hosts, cfg.strip_params)
                 for f, n in zip(seed_files, counts)
                 for s in range(0, n, step)
             ]
@@ -1235,14 +1252,16 @@ def crawl(cfg: CrawlConfig) -> dict:
             seeds = rd.read_parquet(cfg.seeds_path)  # for the recurring pass below
         else:
             seeds = rd.read_parquet(cfg.seeds_path)
-            offers = _prepare_candidates(seeds, default_priority=1.0).map_batches(
+            offers = _prepare_candidates(
+                seeds, default_priority=1.0, strip_params=cfg.strip_params
+            ).map_batches(
                 _RouteToActors(actors, "offer", cfg.salt_hosts), batch_format="pyarrow"
             )
             cfg.stats["seed_offered"] = int(offers.sum("offered") or 0)
         if "interval" in seeds.schema().names:
             # per-feed re-crawl scheduling (the reference's core operating
             # mode): seeds with interval>0 re-emit every interval rounds
-            canon = CanonicalizeStage()
+            canon = CanonicalizeStage(strip_params=cfg.strip_params)
 
             def keep_recurring(batch: pa.Table) -> pa.Table:
                 t = canon(batch)
@@ -1387,6 +1406,7 @@ def crawl(cfg: CrawlConfig) -> dict:
             trap_guard=cfg.trap_guard, scope_filter=cfg.scope_filter,
             indegree_priority=cfg.indegree_priority,
             max_retries=cfg.max_retries,
+            strip_params=cfg.strip_params,
         )
         staged = ready.map_batches(_AssignSeq(offsets_ref), batch_format="pyarrow")
         if cfg.fetch_strategy == "actors":
@@ -1527,6 +1547,11 @@ def main(argv: list[str] | None = None) -> int:
              "(backlink ordering, Cho et al. 1998)",
     )
     ap.add_argument(
+        "--strip-param", action="append", default=None, metavar="NAME",
+        help="remove this query parameter (or NAME* prefix) from every "
+             "canonical URL before dedup (tracking-param scrub); repeatable",
+    )
+    ap.add_argument(
         "--max-retries", type=int, default=0,
         help="re-queue status=error fetches with exponential backoff "
              "(n-th retry after 2^(n-1) rounds); 0 = off",
@@ -1572,6 +1597,7 @@ def main(argv: list[str] | None = None) -> int:
         honor_canonical=args.honor_canonical,
         indegree_priority=args.indegree_priority,
         max_retries=args.max_retries,
+        strip_params=args.strip_param,
         follow_meta_refresh=args.follow_meta_refresh,
         refresh_max_delay=args.refresh_max_delay,
         scope_filter=(

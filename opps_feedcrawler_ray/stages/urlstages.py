@@ -19,7 +19,12 @@ from ..functions.extract import (
     extract_page,
 )
 from ..functions.hashing import fingerprint64, fingerprint64_batch
-from ..functions.urlnorm import canonicalize_batch
+from ..functions.urlnorm import (
+    canonicalize_batch,
+    compile_param_rules,
+    strip_query_params,
+    surt_form,
+)
 
 
 class CanonicalizeStage:
@@ -29,13 +34,31 @@ class CanonicalizeStage:
     (the canonical form REPLACES the raw string downstream).
     """
 
-    def __init__(self, url_col: str = "url", keep: list[str] | None = None) -> None:
+    def __init__(self, url_col: str = "url", keep: list[str] | None = None,
+                 strip_params: list[str] | None = None) -> None:
         self.url_col = url_col
         self.keep = keep
+        # opt-in tracking-param scrub (utm_*, gclid, ...): applied AFTER
+        # the frozen canonicalizer, then surt/hash recompute — the frozen
+        # canon spec itself is untouched
+        self._strip_rules = (
+            compile_param_rules(strip_params) if strip_params else None
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch[self.url_col].to_pylist()
         canon, surt, host = canonicalize_batch(urls)
+        if self._strip_rules is not None:
+            exact, pfx = self._strip_rules
+            stripped = [
+                strip_query_params(c, exact, pfx) if c and "?" in c else c
+                for c in canon
+            ]
+            surt = [
+                surt_form(s) if s is not None and s != c else su
+                for s, c, su in zip(stripped, canon, surt)
+            ]
+            canon = stripped
         mask = np.array([c is not None for c in canon], dtype=bool)
         canon_v = [c for c in canon if c is not None]
         hashes = fingerprint64_batch(canon_v)

@@ -1447,3 +1447,50 @@ def test_retry_gives_up_after_max_retries(ray_session, tmp_path_factory):
     assert log["status"].tolist() == ["error"] * 3  # initial + 2 retries
     assert log["attempt"].tolist() == [0, 1, 2]
     assert log["round"].tolist() == [0, 1, 3]  # backoff 2^0 then 2^1
+
+
+def test_strip_params_collapses_tracking_aliases(ray_session, tmp_path_factory):
+    """Tracking-param scrub: /page?utm_source=a and /page?utm_source=b
+    and bare /page are ONE crawl identity with strip_params=['utm_*'];
+    without the flag they are three distinct fetch probes."""
+    import datetime as dt
+
+    tmp = str(tmp_path_factory.mktemp("strip"))
+    host = "strip.example"
+    # corpus holds the BARE url only; seed page links to two utm aliases
+    urls = [f"http://{host}/", f"http://{host}/page"]
+    bodies = [
+        (f'<html><body><a href="/page?utm_source=a">x</a>'
+         f'<a href="/page?utm_source=b">y</a></body></html>').encode(),
+        b"<html><body><p>content</p></body></html>",
+    ]
+    texts = ["xy", "content"]
+    ts = dt.datetime(2024, 1, 1)
+    pages = pa.table(
+        {"url": pa.array(urls),
+         "warc_ts": pa.array([ts] * 2, pa.timestamp("us")),
+         "html": pa.array(bodies, pa.binary()),
+         "text": pa.array(texts),
+         "lang": pa.array(["en"] * 2)}
+    )
+    pq.write_table(pages, f"{tmp}/pages.parquet")
+    pq.write_table(pa.table({"url": pa.array([urls[0]])}), f"{tmp}/seeds.parquet")
+
+    def go(out, strip):
+        cfg = CrawlConfig(
+            pages_path=f"{tmp}/pages.parquet", seeds_path=f"{tmp}/seeds.parquet",
+            out_dir=f"{tmp}/{out}", num_frontier_actors=2, politeness_budget=8,
+            num_buckets=2, num_fetch_actors=2, strip_params=strip,
+        )
+        crawl(cfg)
+        return read_log(f"{tmp}/{out}").to_pandas()
+
+    off = go("out_off", None)
+    # two utm aliases probe the corpus separately and miss (not_found)
+    assert (off["status"] == "not_found").sum() == 2
+    assert f"http://{host}/page" not in set(off["url"])
+    on = go("out_on", ["utm_*"])
+    # both aliases collapse to the bare url, which EXISTS → one fetch
+    on_page = on[on["url"] == f"http://{host}/page"]
+    assert len(on_page) == 1 and on_page["status"].iloc[0] == "fetched"
+    assert (on["status"] == "not_found").sum() == 0

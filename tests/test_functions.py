@@ -586,3 +586,24 @@ def test_extract_meta_refresh_matrix():
     assert f(u, two) == "http://a.com/first"
     # non-HTML kinds never redirect
     assert f("http://a.com/robots.txt", b"User-agent: *\n") is None
+
+
+def test_strip_query_params_unit():
+    from opps_feedcrawler_ray.functions.urlnorm import (
+        compile_param_rules,
+        strip_query_params,
+    )
+
+    ex, px = compile_param_rules(["utm_*", "gclid", "fbclid"])
+    f = lambda u: strip_query_params(u, ex, px)
+    assert f("http://a.com/p?utm_source=x&id=1") == "http://a.com/p?id=1"
+    assert f("http://a.com/p?id=1&utm_medium=m&gclid=g") == "http://a.com/p?id=1"
+    # all params stripped → '?' dropped
+    assert f("http://a.com/p?utm_a=1&utm_b=2") == "http://a.com/p"
+    # no query / no match → unchanged
+    assert f("http://a.com/p") == "http://a.com/p"
+    assert f("http://a.com/p?keep=1&also=2") == "http://a.com/p?keep=1&also=2"
+    # exact match is not a prefix match: 'gclid2' survives 'gclid'
+    assert f("http://a.com/p?gclid2=x") == "http://a.com/p?gclid2=x"
+    # remaining order preserved; valueless params handled
+    assert f("http://a.com/p?b=2&utm_x&a=1") == "http://a.com/p?b=2&a=1"
