@@ -483,6 +483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hash_sample": A.events_hash_sample,
         "purchase_attribution": A.purchase_attribution,
         "events_ks_test": A.events_ks_test,
+        "split_contamination": A.split_contamination,
         "doc_clean_md5": A.doc_clean_md5,
         "nation_share_of_region": A.nation_share_of_region,
         "orders_digest": A.orders_digest,
@@ -976,6 +977,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, date_trunc('day', ts) AS day FROM events "
             "WHERE event_type = 'click') "
             "GROUP BY user_id, day ORDER BY user_id, day"
+        ),
+        "split_contamination": (
+            # word 8-grams; every ordered split pair sharing a gram
+            # counts the later split's distinct contaminated docs
+            "WITH toks AS (SELECT doc_id, "
+            "list_filter(string_split(text, ' '), x -> x <> '') AS w "
+            "FROM documents), "
+            "g AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 6), "
+            "i -> array_to_string(w[i:i+7], ' '))) AS gram FROM toks "
+            "WHERE len(w) >= 8), "
+            "s AS (SELECT doc_id, CASE WHEN b <= 7 THEN 0 WHEN b = 8 THEN 1 "
+            "ELSE 2 END AS r FROM (SELECT doc_id, "
+            "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) "
+            "AS INTEGER) % 10 AS b FROM documents)), "
+            "gs AS (SELECT DISTINCT g.gram, s.r, g.doc_id FROM g "
+            "JOIN s USING (doc_id)), "
+            "w AS (SELECT DISTINCT a.r AS ra, b.r AS rb, b.doc_id AS d "
+            "FROM gs a JOIN gs b ON a.gram = b.gram AND a.r < b.r) "
+            "SELECT CASE ra WHEN 0 THEN 'train' WHEN 1 THEN 'val' "
+            "ELSE 'test' END AS from_split, "
+            "CASE rb WHEN 1 THEN 'val' ELSE 'test' END AS to_split, "
+            "CAST(COUNT(*) AS BIGINT) AS n_contaminated FROM w "
+            "GROUP BY ra, rb ORDER BY from_split, to_split"
         ),
         "events_ks_test": (
             # KS numerator via cross-multiplied cumulative counts — the

@@ -144,6 +144,7 @@ QUERY_NAMES = [
     "orders_digest",
     "events_ks_test",
     "doc_clean_md5",
+    "split_contamination",
 ]
 
 

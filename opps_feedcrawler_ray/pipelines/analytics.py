@@ -5029,3 +5029,104 @@ def doc_clean_md5(sf_dir: str) -> pd.DataFrame:
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+
+
+def split_contamination(sf_dir: str, n_gram: int = 8) -> pd.DataFrame:
+    """CROSS-SPLIT CONTAMINATION MATRIX — the eval-hygiene sweep
+    (Brown et al. 2020 §4 / GPT-3 appendix C): for every ordered split
+    pair (train→val, train→test, val→test), how many docs of the LATER
+    split share at least one word 8-gram with any doc of the earlier
+    one.  Complements ``decontaminate_ngrams`` (which gates against an
+    external held-out set) by auditing the engine's OWN split
+    assignment.
+
+    Scale shape: distinct (gram-hash, split-rank, doc) rows → ONE
+    gram-bucket exchange where each gram's split membership completes
+    (emit (rank_a, rank_b, doc_b) contamination witnesses, bounded by
+    pairs × docs) → ONE doc-bucket distinct exchange → 3-row census.
+    Both exchanges are combiner-fed; raw text never re-shuffles."""
+    from ..functions.hashing import fingerprint64
+    from ..functions.text import split_bucket
+    from .dedup import coarse_buckets
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    nb = coarse_buckets(docs.count(), rows_per_task=256, lo=64)
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        rank = np.where(split_bucket(ids) <= 7, 0,
+                        np.where(split_bucket(ids) == 8, 1, 2))
+        out_g, out_r, out_d = [], [], []
+        for i, txt in enumerate(batch["text"].to_pylist()):
+            w = [t for t in (txt or "").split(" ") if t]
+            if len(w) < n_gram:
+                continue
+            gs = {
+                fingerprint64(" ".join(w[j:j + n_gram]))
+                for j in range(len(w) - n_gram + 1)
+            }
+            out_g.extend(gs)
+            out_r.extend([int(rank[i])] * len(gs))
+            out_d.extend([int(ids[i])] * len(gs))
+        gh = np.array(out_g, dtype=np.uint64).view(np.int64)
+        return pa.table(
+            {"g": pa.array(gh, pa.int64()),
+             "r": pa.array(out_r, pa.int64()),
+             "d": pa.array(out_d, pa.int64()),
+             "gb": pa.array(gh % nb, pa.int64())}
+        )
+
+    def witnesses(g: pd.DataFrame) -> pd.DataFrame:
+        # per gram: which split ranks are present; every doc of a higher
+        # rank is contaminated by EACH lower rank present (all ordered
+        # pairs — a gram spanning all three splits witnesses train→val,
+        # train→test AND val→test, like the SQL a.rank < b.rank join)
+        g = g.drop_duplicates(["g", "r", "d"])
+        has0 = g.groupby("g")["r"].transform("min") == 0
+        has1 = (g["r"] == 1).groupby(g["g"].to_numpy()).transform("max")
+        parts = []
+        for ra, rb, m in (
+            (0, 1, (g["r"] == 1) & has0),
+            (0, 2, (g["r"] == 2) & has0),
+            (1, 2, (g["r"] == 2) & has1),
+        ):
+            if m.any():
+                parts.append(pd.DataFrame(
+                    {"ra": ra, "rb": rb, "d": g["d"][m].to_numpy()}
+                ))
+        if not parts:
+            return pd.DataFrame(
+                {"ra": pd.Series([], dtype="int64"),
+                 "rb": pd.Series([], dtype="int64"),
+                 "d": pd.Series([], dtype="int64"),
+                 "db": pd.Series([], dtype="int64")}
+            )
+        out = pd.concat(parts, ignore_index=True).drop_duplicates()
+        out["db"] = out["d"] % 64
+        return out.astype("int64")
+
+    def distinct_docs(g: pd.DataFrame) -> pd.DataFrame:
+        co = g.drop_duplicates(["ra", "rb", "d"]).groupby(
+            ["ra", "rb"], as_index=False
+        ).agg(n_contaminated=("d", "size"))
+        return co.astype("int64")
+
+    out = (
+        docs.map_batches(gram_rows, batch_format="pyarrow")
+        .groupby("gb")
+        .map_groups(witnesses, batch_format="pandas")
+        .groupby("db")
+        .map_groups(distinct_docs, batch_format="pandas")
+        .to_pandas()
+        .groupby(["ra", "rb"], as_index=False)["n_contaminated"]
+        .sum()
+    )
+    names = {0: "train", 1: "val", 2: "test"}
+    out["from_split"] = out["ra"].map(names)
+    out["to_split"] = out["rb"].map(names)
+    out["n_contaminated"] = out["n_contaminated"].astype("int64")
+    return (
+        out[["from_split", "to_split", "n_contaminated"]]
+        .sort_values(["from_split", "to_split"])
+        .reset_index(drop=True)
+    )

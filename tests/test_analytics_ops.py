@@ -2310,3 +2310,41 @@ def test_doc_clean_md5_normalizes(ray_session):
     t = "  A  B\t\nC "
     c1 = re.sub(r"\s+", " ", t.lower()).strip()
     assert re.sub(r"\s+", " ", c1.lower()).strip() == c1
+
+
+def test_split_contamination_matches_brute(ray_session):
+    from opps_feedcrawler_ray.functions.text import split_bucket
+    from opps_feedcrawler_ray.pipelines.analytics import split_contamination
+
+    got = split_contamination(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    b = split_bucket(docs["doc_id"].to_numpy())
+    rank = np.where(b <= 7, 0, np.where(b == 8, 1, 2))
+    grams: list[tuple[int, int, str]] = []
+    for (r, txt) in zip(rank, docs["text"]):
+        w = [t for t in txt.split(" ") if t]
+        for j in range(len(w) - 7):
+            grams.append((int(r), " ".join(w[j:j + 8])))
+    gdf = pd.DataFrame(grams, columns=["r", "gram"])
+    gdf["d"] = np.repeat(
+        docs["doc_id"].to_numpy(),
+        [max(len([t for t in x.split(" ") if t]) - 7, 0) for x in docs["text"]],
+    )
+    gdf = gdf.drop_duplicates()
+    j = gdf.merge(gdf, on="gram", suffixes=("_a", "_b"))
+    j = j[j["r_a"] < j["r_b"]]
+    exp = (
+        j[["r_a", "r_b", "d_b"]].drop_duplicates()
+        .groupby(["r_a", "r_b"], as_index=False)
+        .size()
+        .rename(columns={"size": "n_contaminated"})
+    )
+    names = {0: "train", 1: "val", 2: "test"}
+    exp["from_split"] = exp["r_a"].map(names)
+    exp["to_split"] = exp["r_b"].map(names)
+    exp = exp[["from_split", "to_split", "n_contaminated"]].sort_values(
+        ["from_split", "to_split"]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # the planted exact dups guarantee at least one contaminated pair
+    assert got["n_contaminated"].sum() > 0
