@@ -484,6 +484,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_attribution": A.purchase_attribution,
         "events_ks_test": A.events_ks_test,
         "split_contamination": A.split_contamination,
+        "langid_confusion": A.langid_confusion,
+        "source_stats_incremental": A.source_stats_incremental,
         "doc_clean_md5": A.doc_clean_md5,
         "nation_share_of_region": A.nation_share_of_region,
         "orders_digest": A.orders_digest,
@@ -977,6 +979,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, date_trunc('day', ts) AS day FROM events "
             "WHERE event_type = 'click') "
             "GROUP BY user_id, day ORDER BY user_id, day"
+        ),
+        "source_stats_incremental": (
+            # IVM merge-on-read must equal the plain aggregate
+            "SELECT source, COUNT(*) AS n_docs, "
+            "CAST(SUM(n_chars) AS BIGINT) AS sum_chars, "
+            "ROUND(SUM(n_chars) * 1.0 / COUNT(*), 6) AS avg_chars "
+            "FROM documents GROUP BY source ORDER BY source"
         ),
         "split_contamination": (
             # word 8-grams; every ordered split pair sharing a gram

@@ -145,6 +145,7 @@ QUERY_NAMES = [
     "events_ks_test",
     "doc_clean_md5",
     "split_contamination",
+    "source_stats_incremental",
 ]
 
 

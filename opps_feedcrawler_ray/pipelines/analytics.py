@@ -5130,3 +5130,86 @@ def split_contamination(sf_dir: str, n_gram: int = 8) -> pd.DataFrame:
         .sort_values(["from_split", "to_split"])
         .reset_index(drop=True)
     )
+
+
+def langid_confusion(sf_dir: str) -> pd.DataFrame:
+    """LANGUAGE-ID CONFUSION MATRIX — classifier-quality diagnostics:
+    counts per (labeled lang, predicted lang) over the n-gram heuristic
+    detector.  Rows-only in the driver (the detector isn't
+    SQL-expressible); pinned against an in-process recompute twin.
+    Per-batch count combiner → |langs|²-bounded close."""
+    from ..functions.text import detect_lang
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pred = detect_lang(batch["text"].to_pylist())
+        g = (
+            pd.DataFrame({"lang": batch["lang"].to_pylist(), "pred": pred})
+            .groupby(["lang", "pred"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return pa.Table.from_pandas(
+            g, preserve_index=False,
+            schema=pa.schema([("lang", pa.string()), ("pred", pa.string()),
+                              ("n", pa.int64())]),
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "pred"])
+        .sum("n")
+        .to_pandas()
+        .rename(columns={"sum(n)": "n"})
+        .astype({"n": "int64"})
+        .sort_values(["lang", "pred"])
+        .reset_index(drop=True)
+    )
+
+
+def source_stats_incremental(sf_dir: str) -> pd.DataFrame:
+    """INCREMENTAL VIEW MAINTENANCE demo — merge-on-read: the
+    ``source_stats`` aggregate is maintained as a BASE partial (even
+    doc_ids, the 'materialized' view) merged with a DELTA partial (odd
+    doc_ids, 'new arrivals') — the mergeable-aggregate contract every
+    streaming refresh needs.  Output equals plain ``source_stats``
+    (same oracle SQL), proving the partition-merge identity."""
+
+    def half(parity: int):
+        ds = rd.read_parquet(
+            _t(sf_dir, "documents"), columns=["doc_id", "source", "n_chars"]
+        )
+
+        def partial(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df = df[df["doc_id"] % 2 == parity]
+            g = df.groupby("source", as_index=False).agg(
+                n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum")
+            )
+            return pa.Table.from_pandas(
+                g, preserve_index=False,
+                schema=pa.schema([("source", pa.string()), ("n_docs", pa.int64()),
+                                  ("sum_chars", pa.int64())]),
+            )
+
+        return (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("source")
+            .sum(["n_docs", "sum_chars"])
+            .to_pandas()
+            .rename(columns={"sum(n_docs)": "n_docs",
+                             "sum(sum_chars)": "sum_chars"})
+        )
+
+    base, delta = half(0), half(1)
+    merged = (
+        pd.concat([base, delta], ignore_index=True)
+        .groupby("source", as_index=False)[["n_docs", "sum_chars"]]
+        .sum()
+    )
+    merged["avg_chars"] = (
+        merged["sum_chars"] * 1.0 / merged["n_docs"]
+    ).round(6)
+    merged[["n_docs", "sum_chars"]] = merged[["n_docs", "sum_chars"]].astype("int64")
+    return merged.sort_values("source").reset_index(drop=True)

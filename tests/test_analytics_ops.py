@@ -2348,3 +2348,36 @@ def test_split_contamination_matches_brute(ray_session):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     # the planted exact dups guarantee at least one contaminated pair
     assert got["n_contaminated"].sum() > 0
+
+
+def test_langid_confusion_matches_recompute(ray_session):
+    from opps_feedcrawler_ray.functions.text import detect_lang
+    from opps_feedcrawler_ray.pipelines.analytics import langid_confusion
+
+    got = langid_confusion(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["lang", "text"])
+    pred = detect_lang(docs["text"].tolist())
+    exp = (
+        pd.DataFrame({"lang": docs["lang"], "pred": pred})
+        .groupby(["lang", "pred"], as_index=False)
+        .size()
+        .rename(columns={"size": "n"})
+        .sort_values(["lang", "pred"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert got["n"].sum() == len(docs)  # every doc classified once
+
+
+def test_source_stats_incremental_equals_full(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import (
+        source_stats,
+        source_stats_incremental,
+    )
+
+    inc = source_stats_incremental(SF)
+    full = source_stats(SF).sort_values("source").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        inc, full[["source", "n_docs", "sum_chars", "avg_chars"]],
+        check_dtype=False,
+    )
