@@ -485,6 +485,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ks_test": A.events_ks_test,
         "split_contamination": A.split_contamination,
         "langid_confusion": A.langid_confusion,
+        "source_dup_factor": A.source_dup_factor,
+        "embedding_quantize_int8": A.embedding_quantize_int8,
         "source_stats_incremental": A.source_stats_incremental,
         "doc_clean_md5": A.doc_clean_md5,
         "nation_share_of_region": A.nation_share_of_region,
@@ -979,6 +981,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, date_trunc('day', ts) AS day FROM events "
             "WHERE event_type = 'click') "
             "GROUP BY user_id, day ORDER BY user_id, day"
+        ),
+        "source_dup_factor": (
+            # duplication inflation: docs vs distinct md5 texts
+            "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct, "
+            "CAST(FLOOR(COUNT(*) * 1e6 / COUNT(DISTINCT md5(text)) + 0.5) "
+            "AS BIGINT) AS dup_ratio_e6 "
+            "FROM documents GROUP BY source ORDER BY source"
         ),
         "source_stats_incremental": (
             # IVM merge-on-read must equal the plain aggregate

@@ -5213,3 +5213,92 @@ def source_stats_incremental(sf_dir: str) -> pd.DataFrame:
     ).round(6)
     merged[["n_docs", "sum_chars"]] = merged[["n_docs", "sum_chars"]].astype("int64")
     return merged.sort_values("source").reset_index(drop=True)
+
+
+def source_dup_factor(sf_dir: str) -> pd.DataFrame:
+    """CORPUS DUPLICATION INFLATION per source — the health metric dedup
+    planning starts from: docs vs distinct exact texts (md5 identity),
+    and the inflation ratio.  Scale shape: per-batch distinct
+    (source, md5) combiner → ONE md5-bucket exchange (exact per-bucket
+    distinct, hash routes / values identify) → |sources|-bounded
+    census."""
+    import hashlib
+
+    from .dedup import coarse_buckets
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["source", "text"])
+    nb = coarse_buckets(docs.count(), rows_per_task=65536)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"source": batch["source"].to_pylist(),
+             "md5": [hashlib.md5((t or "").encode()).hexdigest()
+                     for t in batch["text"].to_pylist()]}
+        )
+        g = df.groupby(["source", "md5"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+        g["__b"] = np.fromiter(
+            (int(m[:8], 16) % nb for m in g["md5"]), dtype=np.int64, count=len(g)
+        )
+        return pa.Table.from_pandas(
+            g, preserve_index=False,
+            schema=pa.schema([("source", pa.string()), ("md5", pa.string()),
+                              ("n", pa.int64()), ("__b", pa.int64())]),
+        )
+
+    def census(g: pd.DataFrame) -> pd.DataFrame:
+        co = g.groupby(["source", "md5"], as_index=False)["n"].sum()
+        out = co.groupby("source", as_index=False).agg(
+            n_docs=("n", "sum"), n_distinct=("n", "size")
+        )
+        return out.astype({"n_docs": "int64", "n_distinct": "int64"})
+
+    out = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(census, batch_format="pandas")
+        .to_pandas()
+        .groupby("source", as_index=False)[["n_docs", "n_distinct"]]
+        .sum()
+    )
+    out["dup_ratio_e6"] = np.floor(
+        out["n_docs"].to_numpy(dtype="float64") * 1e6
+        / out["n_distinct"].to_numpy(dtype="float64") + 0.5
+    ).astype("int64")
+    out[["n_docs", "n_distinct"]] = out[["n_docs", "n_distinct"]].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def embedding_quantize_int8(sf_dir: str) -> pd.DataFrame:
+    """VECTOR QUANTIZATION (symmetric per-vector int8): the 4×-smaller
+    ANN storage path — q = round(x·127/max|x|) — with per-vector
+    reconstruction-error accounting.  Rows-only in the driver (float
+    rounding in SQL would be fragile); pinned against a numpy twin and
+    a max-error bound ≤ scale/2 in tests.  Stateless vectorized
+    map_batches, zero shuffles; output is the (vec_id, scale_e9,
+    max_err_e6) manifest a quantized shard layout would carry."""
+    emb = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        vecs = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        mx = np.abs(vecs).max(axis=1)
+        mx = np.where(mx == 0, 1.0, mx)
+        scale = mx / 127.0
+        q = np.clip(np.round(vecs / scale[:, None]), -127, 127)
+        err = np.abs(q * scale[:, None] - vecs).max(axis=1)
+        return pa.table(
+            {"vec_id": pa.array(ids, pa.int64()),
+             "scale_e9": pa.array(
+                 np.floor(scale * 1e9 + 0.5).astype("int64"), pa.int64()),
+             "max_err_e6": pa.array(
+                 np.floor(err * 1e6 + 0.5).astype("int64"), pa.int64())}
+        )
+
+    return (
+        emb.map_batches(quantize, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )

@@ -2381,3 +2381,43 @@ def test_source_stats_incremental_equals_full(ray_session):
         inc, full[["source", "n_docs", "sum_chars", "avg_chars"]],
         check_dtype=False,
     )
+
+
+def test_source_dup_factor_matches_pandas(ray_session):
+    import hashlib
+
+    from opps_feedcrawler_ray.pipelines.analytics import source_dup_factor
+
+    got = source_dup_factor(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["source", "text"])
+    docs["md5"] = [hashlib.md5(t.encode()).hexdigest() for t in docs["text"]]
+    exp = docs.groupby("source").agg(
+        n_docs=("md5", "size"), n_distinct=("md5", "nunique")
+    ).reset_index()
+    exp["dup_ratio_e6"] = np.floor(
+        exp["n_docs"] * 1e6 / exp["n_distinct"] + 0.5
+    ).astype("int64")
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert (got["dup_ratio_e6"] >= 1_000_000).all()
+
+
+def test_embedding_quantize_int8_bounds(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import embedding_quantize_int8
+
+    got = embedding_quantize_int8(SF)
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    assert len(got) == len(emb)
+    v = np.asarray(emb["embedding"].tolist(), dtype=np.float64)
+    mx = np.abs(v).max(axis=1)
+    mx = np.where(mx == 0, 1.0, mx)
+    scale = mx / 127.0
+    q = np.clip(np.round(v / scale[:, None]), -127, 127)
+    err = np.abs(q * scale[:, None] - v).max(axis=1)
+    m = got.set_index("vec_id")
+    ids = emb["vec_id"].to_numpy()
+    assert (m.loc[ids, "scale_e9"].to_numpy()
+            == np.floor(scale * 1e9 + 0.5).astype("int64")).all()
+    assert (m.loc[ids, "max_err_e6"].to_numpy()
+            == np.floor(err * 1e6 + 0.5).astype("int64")).all()
+    # symmetric-quantization bound: error <= scale/2 (+1 ulp of rounding)
+    assert (err <= scale / 2 + 1e-12).all()
