@@ -487,6 +487,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_confusion": A.langid_confusion,
         "source_dup_factor": A.source_dup_factor,
         "embedding_quantize_int8": A.embedding_quantize_int8,
+        "orders_scd2": A.orders_scd2,
+        "referential_integrity_audit": A.referential_integrity_audit,
+        "orders_benford": A.orders_benford,
         "source_stats_incremental": A.source_stats_incremental,
         "doc_clean_md5": A.doc_clean_md5,
         "nation_share_of_region": A.nation_share_of_region,
@@ -989,6 +992,52 @@ def oracle_sql() -> dict[str, str]:
             "CAST(FLOOR(COUNT(*) * 1e6 / COUNT(DISTINCT md5(text)) + 0.5) "
             "AS BIGINT) AS dup_ratio_e6 "
             "FROM documents GROUP BY source ORDER BY source"
+        ),
+        "orders_scd2": (
+            # SCD2 validity intervals of o_orderpriority per customer
+            "WITH w AS (SELECT o_custkey, o_orderkey, o_orderpriority, "
+            "CAST(FLOOR(EPOCH(o_orderdate) / 86400) AS BIGINT) AS d, "
+            "LAG(o_orderpriority) OVER (PARTITION BY o_custkey "
+            "ORDER BY o_orderdate, o_orderkey) AS prev FROM orders), "
+            "c AS (SELECT o_custkey, o_orderkey, o_orderpriority, d FROM w "
+            "WHERE prev IS NULL OR prev <> o_orderpriority) "
+            "SELECT o_custkey AS custkey, o_orderpriority AS priority, "
+            "d AS valid_from, "
+            "COALESCE(LEAD(d) OVER (PARTITION BY o_custkey "
+            "ORDER BY d, o_orderkey), 9999999) AS valid_to, "
+            "CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey "
+            "ORDER BY d, o_orderkey) AS BIGINT) AS version "
+            "FROM c ORDER BY custkey, version"
+        ),
+        "referential_integrity_audit": (
+            # orphan FK counts across the star schema
+            "SELECT fk, n_rows, n_orphans FROM ("
+            "SELECT 'lineitem->orders' AS fk, COUNT(*) AS n_rows, "
+            "CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_orphans FROM lineitem l "
+            "LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "UNION ALL "
+            "SELECT 'orders->customer', COUNT(*), "
+            "CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) "
+            "AS BIGINT) FROM orders o "
+            "LEFT JOIN customer c ON o.o_custkey = c.c_custkey "
+            "UNION ALL "
+            "SELECT 'customer->nation', COUNT(*), "
+            "CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) "
+            "AS BIGINT) FROM customer c "
+            "LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey"
+            ") ORDER BY fk"
+        ),
+        "orders_benford": (
+            # first-significant-digit census of o_totalprice
+            "WITH d AS (SELECT CAST(FLOOR(o_totalprice / POWER(10, "
+            "FLOOR(LOG10(o_totalprice)))) AS BIGINT) AS digit FROM orders "
+            "WHERE o_totalprice > 0), "
+            "g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit), "
+            "t AS (SELECT SUM(n) AS total FROM g) "
+            "SELECT digit, CAST(n AS BIGINT) AS n, "
+            "CAST(FLOOR(n * 1e6 / total + 0.5) AS BIGINT) AS pct_e6 "
+            "FROM g, t WHERE n > 0 ORDER BY digit"
         ),
         "source_stats_incremental": (
             # IVM merge-on-read must equal the plain aggregate

@@ -5302,3 +5302,143 @@ def embedding_quantize_int8(sf_dir: str) -> pd.DataFrame:
         .sort_values("vec_id")
         .reset_index(drop=True)
     )
+
+
+def orders_scd2(sf_dir: str) -> pd.DataFrame:
+    """SLOWLY-CHANGING-DIMENSION TYPE 2 history build: collapse each
+    customer's order stream into validity intervals of
+    ``o_orderpriority`` — a new version opens whenever the priority
+    differs from the previous order (ordered by date, orderkey), and
+    closes at the next change (open intervals carry the 9999999
+    sentinel so no NULL reaches the value hash).  Scale shape: ONE
+    custkey-bucket exchange; inside each bucket every per-customer
+    lag/lead/cumcount is a grouped pandas kernel across all customers
+    at once (no per-cell loop)."""
+    from .dedup import coarse_buckets
+
+    SENTINEL = 9999999
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    nb = coarse_buckets(orders.count(), rows_per_task=65536)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = batch["o_custkey"].to_numpy(zero_copy_only=False).astype("int64") % nb
+        return batch.append_column("__b", pa.array(b, pa.int64()))
+
+    def scd2(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        prev = g.groupby("o_custkey")["o_orderpriority"].shift()
+        ch = g[prev.isna() | (prev != g["o_orderpriority"])].copy()
+        ch["valid_from"] = (
+            ch["o_orderdate"].astype("int64") // 86_400_000_000
+        ).astype("int64")
+        ch["version"] = (ch.groupby("o_custkey").cumcount() + 1).astype("int64")
+        ch["valid_to"] = (
+            ch.groupby("o_custkey")["valid_from"].shift(-1)
+            .fillna(SENTINEL).astype("int64")
+        )
+        out = ch.rename(
+            columns={"o_custkey": "custkey", "o_orderpriority": "priority"}
+        )[["custkey", "priority", "valid_from", "valid_to", "version"]]
+        return out
+
+    return (
+        orders.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(scd2, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["custkey", "version"])
+        .reset_index(drop=True)
+    )
+
+
+def referential_integrity_audit(sf_dir: str) -> pd.DataFrame:
+    """DATA-QUALITY GATE: orphan foreign keys across the star schema
+    (lineitem→orders, orders→customer, customer→nation).  Each edge is
+    ONE key-bucket exchange carrying pre-aggregated (key, n) child
+    partials and distinct parent keys — the per-bucket orphan count is
+    a vectorized ``isin`` — so the driver only ever sees 3 rows.  The
+    100 TB story: no broadcast of the (possibly huge) parent key set;
+    both sides co-shuffle on the same key hash."""
+    from .dedup import coarse_buckets
+
+    edges = [
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ]
+    rows = []
+    for fk, child, ckey, parent, pkey in edges:
+        ch = rd.read_parquet(_t(sf_dir, child), columns=[ckey])
+        pr = rd.read_parquet(_t(sf_dir, parent), columns=[pkey])
+        n_rows = ch.count()
+        nb = coarse_buckets(n_rows, rows_per_task=262144)
+        schema = pa.schema([("k", pa.int64()), ("n", pa.int64()),
+                            ("side", pa.int64()), ("__b", pa.int64())])
+
+        def child_partial(batch: pa.Table, _k=ckey) -> pa.Table:
+            v = batch[_k].to_numpy(zero_copy_only=False).astype("int64")
+            ks, ns = np.unique(v, return_counts=True)
+            return pa.Table.from_arrays(
+                [pa.array(ks, pa.int64()),
+                 pa.array(ns.astype("int64"), pa.int64()),
+                 pa.array(np.zeros(len(ks), dtype="int64"), pa.int64()),
+                 pa.array(ks % nb, pa.int64())], schema=schema)
+
+        def parent_partial(batch: pa.Table, _k=pkey) -> pa.Table:
+            ks = np.unique(batch[_k].to_numpy(zero_copy_only=False).astype("int64"))
+            return pa.Table.from_arrays(
+                [pa.array(ks, pa.int64()),
+                 pa.array(np.ones(len(ks), dtype="int64"), pa.int64()),
+                 pa.array(np.ones(len(ks), dtype="int64"), pa.int64()),
+                 pa.array(ks % nb, pa.int64())], schema=schema)
+
+        def orphan_count(g: pd.DataFrame) -> pd.DataFrame:
+            pk = g.loc[g["side"] == 1, "k"]
+            c = g[g["side"] == 0]
+            n = int(c.loc[~c["k"].isin(pk), "n"].sum())
+            return pd.DataFrame({"n_orphans": pd.array([n], dtype="int64")})
+
+        both = ch.map_batches(child_partial, batch_format="pyarrow").union(
+            pr.map_batches(parent_partial, batch_format="pyarrow")
+        )
+        orphans = int(
+            both.groupby("__b").map_groups(orphan_count, batch_format="pandas")
+            .to_pandas()["n_orphans"].sum()
+        )
+        rows.append({"fk": fk, "n_rows": n_rows, "n_orphans": orphans})
+    out = pd.DataFrame(rows).astype({"n_rows": "int64", "n_orphans": "int64"})
+    return out.sort_values("fk").reset_index(drop=True)
+
+
+def orders_benford(sf_dir: str) -> pd.DataFrame:
+    """BENFORD FIRST-DIGIT CENSUS over ``o_totalprice`` — the classic
+    anomaly screen for value distributions.  Pure streaming aggregate:
+    each batch reduces to a length-9 bincount, partials sum on the
+    driver; zero shuffles, zero data-sized driver state.  Digit
+    extraction is floor(p / 10^floor(log10 p)) on IEEE doubles —
+    bit-identical in numpy and DuckDB's libm."""
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        p = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        p = p[p > 0]
+        d = np.floor(p / np.power(10.0, np.floor(np.log10(p)))).astype("int64")
+        counts = np.bincount(d, minlength=10)[1:10]
+        return pa.table({"digit": pa.array(np.arange(1, 10), pa.int64()),
+                         "n": pa.array(counts.astype("int64"), pa.int64())})
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("digit").sum("n").to_pandas()
+        .rename(columns={"sum(n)": "n"})
+    )
+    total = int(agg["n"].sum())
+    agg["pct_e6"] = np.floor(
+        agg["n"].to_numpy(dtype="float64") * 1e6 / total + 0.5
+    ).astype("int64")
+    agg = agg[agg["n"] > 0]
+    agg["n"] = agg["n"].astype("int64")
+    return agg.sort_values("digit").reset_index(drop=True)

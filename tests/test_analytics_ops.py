@@ -2421,3 +2421,68 @@ def test_embedding_quantize_int8_bounds(ray_session):
             == np.floor(err * 1e6 + 0.5).astype("int64")).all()
     # symmetric-quantization bound: error <= scale/2 (+1 ulp of rounding)
     assert (err <= scale / 2 + 1e-12).all()
+
+
+def test_orders_scd2_matches_pandas(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import orders_scd2
+
+    got = orders_scd2(SF)
+    o = pd.read_parquet(
+        f"{SF}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    prev = o.groupby("o_custkey")["o_orderpriority"].shift()
+    ch = o[prev.isna() | (prev != o["o_orderpriority"])].copy()
+    ch["valid_from"] = (ch["o_orderdate"].astype("int64") // 86_400_000_000).astype("int64")
+    ch["version"] = (ch.groupby("o_custkey").cumcount() + 1).astype("int64")
+    ch["valid_to"] = (
+        ch.groupby("o_custkey")["valid_from"].shift(-1).fillna(9999999).astype("int64")
+    )
+    exp = ch.rename(columns={"o_custkey": "custkey", "o_orderpriority": "priority"})[
+        ["custkey", "priority", "valid_from", "valid_to", "version"]
+    ].sort_values(["custkey", "version"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # SCD2 invariants: v1 exists per customer, intervals chain, one open tail
+    g = got.groupby("custkey")
+    assert (g["version"].min() == 1).all()
+    assert (g["valid_to"].apply(lambda s: (s == 9999999).sum()) == 1).all()
+    chained = got.groupby("custkey").apply(
+        lambda d: (d["valid_to"].iloc[:-1].to_numpy() == d["valid_from"].iloc[1:].to_numpy()).all()
+    )
+    assert chained.all()
+
+
+def test_referential_integrity_audit_clean_and_detects(ray_session, tmp_path):
+    import shutil
+
+    from opps_feedcrawler_ray.pipelines.analytics import referential_integrity_audit
+
+    got = referential_integrity_audit(SF)
+    assert list(got["fk"]) == sorted(
+        ["lineitem->orders", "orders->customer", "customer->nation"]
+    )
+    assert (got["n_orphans"] == 0).all()
+    assert (got["n_rows"] > 0).all()
+    # inject orphans: copy sf dir, bump some orders.o_custkey out of range
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]:
+        shutil.copy(f"{SF}/{t}.parquet", tmp_path / f"{t}.parquet")
+    o = pd.read_parquet(tmp_path / "orders.parquet")
+    o.loc[o.index[:7], "o_custkey"] = 10_000_000
+    o.to_parquet(tmp_path / "orders.parquet", index=False)
+    got2 = referential_integrity_audit(str(tmp_path))
+    assert int(got2.loc[got2["fk"] == "orders->customer", "n_orphans"].iloc[0]) == 7
+
+
+def test_orders_benford_matches_pandas(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import orders_benford
+
+    got = orders_benford(SF)
+    p = pd.read_parquet(f"{SF}/orders.parquet", columns=["o_totalprice"])["o_totalprice"]
+    p = p[p > 0].to_numpy()
+    d = np.floor(p / np.power(10.0, np.floor(np.log10(p)))).astype("int64")
+    exp = pd.Series(d).value_counts().sort_index()
+    m = got.set_index("digit")["n"]
+    assert m.to_dict() == exp.to_dict()
+    assert int(got["n"].sum()) == len(p)
+    assert got["digit"].between(1, 9).all()
