@@ -265,6 +265,21 @@ def _q_ivf_ann(sf_dir: str):
     return out[["query_idx", "vec_id", "cosine_e6"]]
 
 
+def _q_hard_negatives(sf_dir: str):
+    from opps_feedcrawler_ray.pipelines.ann import hard_negatives
+
+    return hard_negatives(sf_dir, n_queries=20, k=5)
+
+
+def _q_kcenter_coreset(sf_dir: str):
+    """Greedy k-center (farthest-point) coreset — iterative argmax has
+    no SQL form; rows-only, pinned element-wise to a numpy twin in
+    test_ann."""
+    from opps_feedcrawler_ray.pipelines.ann import kcenter_coreset
+
+    return kcenter_coreset(sf_dir, k=16)
+
+
 def _q_embedding_pca(sf_dir: str):
     """Two-pass distributed PCA (moment partials -> driver eigh ->
     streaming projection); rows-only by nature (no SQL eigensolver) —
@@ -613,6 +628,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": _q_ivf_ann,
         "ann_ivf_partitioned": _q_ivf_partitioned,
         "embedding_pca": _q_embedding_pca,
+        "ann_hard_negatives": _q_hard_negatives,
+        "kcenter_coreset": _q_kcenter_coreset,
+        "events_autocorr": A.events_autocorr,
         "langid": _q_langid,
         "doc_fingerprints": _q_fingerprints,
         "media_image_features": _q_media_image,
@@ -1365,6 +1383,41 @@ def oracle_sql() -> dict[str, str]:
             "ROW_NUMBER() OVER (PARTITION BY q.query_idx ORDER BY "
             "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) DESC, e.vec_id ASC) AS rn "
             "FROM embeddings e CROSS JOIN q) WHERE rn <= 10"
+        ),
+        "ann_hard_negatives": (
+            # top-5 cross-label cosine neighbours for the first 20 vectors
+            "WITH q AS (SELECT vec_id AS query_id, label AS qlabel, "
+            "CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 20), "
+            "s AS (SELECT q.query_id, e.vec_id AS neg_id, "
+            "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS cos "
+            "FROM embeddings e JOIN q ON e.label <> q.qlabel), "
+            "r AS (SELECT query_id, neg_id, cos, "
+            "ROW_NUMBER() OVER (PARTITION BY query_id "
+            "ORDER BY cos DESC, neg_id ASC) AS rank FROM s) "
+            "SELECT query_id, neg_id, "
+            "CAST(FLOOR(cos * 1e6 + 0.5) AS BIGINT) AS cosine_e6, "
+            "CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5 "
+            "ORDER BY query_id, rank"
+        ),
+        "events_autocorr": (
+            # lag-1 autocorrelation from exact integer moments (same
+            # final float expression as events_value_time_corr)
+            "WITH b AS (SELECT event_type, "
+            "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS x, "
+            "LAG(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER "
+            "(PARTITION BY user_id, event_type ORDER BY ts, event_id) AS y "
+            "FROM events), "
+            "p AS (SELECT event_type, x, y FROM b WHERE y IS NOT NULL), "
+            "m AS (SELECT event_type, COUNT(*) AS n, "
+            "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, "
+            "CAST(SUM(x * y) AS BIGINT) AS sxy, "
+            "CAST(SUM(x * x) AS BIGINT) AS sxx, "
+            "CAST(SUM(y * y) AS BIGINT) AS syy FROM p GROUP BY event_type) "
+            "SELECT event_type, n AS n_pairs, "
+            "CAST(FLOOR((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / "
+            "sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * "
+            "(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) * 1e6 + 0.5) "
+            "AS BIGINT) AS autocorr_e6 FROM m ORDER BY event_type"
         ),
         "events_median_value": (
             # 2*median is integer-exact for odd (2a) and even (a+b) sizes

@@ -5442,3 +5442,64 @@ def orders_benford(sf_dir: str) -> pd.DataFrame:
     agg = agg[agg["n"] > 0]
     agg["n"] = agg["n"].astype("int64")
     return agg.sort_values("digit").reset_index(drop=True)
+
+
+def events_autocorr(sf_dir: str) -> pd.DataFrame:
+    """LAG-1 SERIAL AUTOCORRELATION of event values per event type,
+    pairs formed inside each (user, type) stream ordered by (ts,
+    event_id) — the drift/seasonality screen for behavioural data.
+    Same exactness trick as :func:`events_value_time_corr`: values are
+    half-up e2 integers, each user-bucket emits exact int64 moment rows
+    (n, Σx, Σy, Σxy, Σx², Σy²), the driver merges them in
+    arbitrary-precision Python ints, and the final float expression is
+    IDENTICAL to the oracle's.  ONE user-bucket exchange; per-bucket
+    lag is a grouped pandas ``shift`` across all users at once."""
+    from .dedup import coarse_buckets
+
+    ev = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "event_type", "ts", "event_id", "value"]
+    )
+    nb = coarse_buckets(ev.count(), rows_per_task=131072)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = batch["user_id"].to_numpy(zero_copy_only=False).astype("int64") % nb
+        return batch.append_column("__b", pa.array(b, pa.int64()))
+
+    def moments(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_type", "ts", "event_id"])
+        x = np.floor(g["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+        g = g.assign(x=x)
+        g["y"] = g.groupby(["user_id", "event_type"])["x"].shift()
+        p = g.dropna(subset=["y"])
+        xx = p["x"].to_numpy()
+        yy = p["y"].to_numpy().astype("int64")
+        df2 = pd.DataFrame(
+            {"event_type": p["event_type"].to_numpy(), "n": 1, "sx": xx, "sy": yy,
+             "sxy": xx * yy, "sxx": xx * xx, "syy": yy * yy}
+        )
+        out = df2.groupby("event_type", as_index=False).sum()
+        return out.astype({c: "int64" for c in ("n", "sx", "sy", "sxy", "sxx", "syy")})
+
+    parts = (
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(moments, batch_format="pandas")
+        .to_pandas()
+    )
+    cols = ["n", "sx", "sy", "sxy", "sxx", "syy"]
+    m = parts.groupby("event_type", as_index=False)[cols].agg(
+        lambda s: sum(int(v) for v in s)
+    )
+    n = m["n"].to_numpy(dtype=np.float64)
+    sx = m["sx"].astype(np.float64).to_numpy()
+    sy = m["sy"].astype(np.float64).to_numpy()
+    sxy = m["sxy"].astype(np.float64).to_numpy()
+    sxx = m["sxx"].astype(np.float64).to_numpy()
+    syy = m["syy"].astype(np.float64).to_numpy()
+    corr = (n * sxy - sx * sy) / np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    out = pd.DataFrame(
+        {"event_type": m["event_type"],
+         "n_pairs": m["n"].astype("int64"),
+         "autocorr_e6": np.floor(corr * 1e6 + 0.5).astype("int64")}
+    )
+    return out.sort_values("event_type").reset_index(drop=True)

@@ -379,3 +379,134 @@ def embedding_pca(sf_dir: str, n_components: int = 2) -> pd.DataFrame:
         .to_pandas()
     )
     return df.sort_values("vec_id").reset_index(drop=True)
+
+
+class _HardNegTopK:
+    """Per-batch partial top-k of cross-label cosine similarity: the
+    query matrix AND its labels ride one broadcast ref; candidates
+    sharing a query's label are masked to -inf before the partial
+    top-k, so only true negatives survive."""
+
+    def __init__(self, ref, k: int) -> None:
+        self.ref = ref
+        self.k = k
+        self._st = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._st is None:
+            self._st = ray.get(self.ref)  # (qids, qlabels, Q unit matrix)
+        qids, qlabels, Q = self._st
+        V = _unit(np.asarray(batch["embedding"].to_pylist(), dtype=np.float64))
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
+        labels = batch["label"].to_numpy(zero_copy_only=False).astype("int64")
+        sims = Q @ V.T  # (n_q, n_batch)
+        sims[qlabels[:, None] == labels[None, :]] = -np.inf
+        k = min(self.k, sims.shape[1])
+        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        rows_q, rows_id, rows_s = [], [], []
+        for qi in range(sims.shape[0]):
+            sel = part[qi][np.isfinite(sims[qi, part[qi]])]
+            rows_q.extend([int(qids[qi])] * len(sel))
+            rows_id.extend(ids[sel].tolist())
+            rows_s.extend(sims[qi, sel].tolist())
+        return pa.table(
+            {"query_id": pa.array(rows_q, pa.int64()),
+             "neg_id": pa.array(rows_id, pa.int64()),
+             "cosine": pa.array(rows_s, pa.float64())}
+        )
+
+
+def hard_negatives(sf_dir: str, n_queries: int = 20, k: int = 5) -> pd.DataFrame:
+    """CONTRASTIVE-TRAINING HARD-NEGATIVE MINING: for each of the first
+    ``n_queries`` vectors (by vec_id), the ``k`` most-cosine-similar
+    vectors with a DIFFERENT label — the batch-construction primitive
+    for contrastive/embedding training.  Scale shape identical to
+    :func:`brute_force_topk`: one broadcast of the (small) query block,
+    per-batch masked matmul + partial top-k, O(k·q·n_blocks) rows to
+    the driver."""
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    emb = rd.read_parquet(path, columns=["vec_id", "embedding", "label"])
+    qdf = (
+        rd.read_parquet(path, columns=["vec_id", "embedding", "label"])
+        .filter(expr=f"vec_id < {n_queries}")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    Q = _unit(np.asarray(qdf["embedding"].tolist(), dtype=np.float64))
+    ref = ray.put(
+        (qdf["vec_id"].to_numpy().astype("int64"),
+         qdf["label"].to_numpy().astype("int64"), Q)
+    )
+    partials = emb.map_batches(
+        _HardNegTopK(ref, k), batch_format="pyarrow"
+    ).to_pandas()
+    out = []
+    for qid, grp in partials.groupby("query_id"):
+        grp = grp.sort_values(["cosine", "neg_id"], ascending=[False, True]).head(k)
+        grp = grp.assign(rank=np.arange(1, len(grp) + 1, dtype="int64"))
+        out.append(grp)
+    res = pd.concat(out).reset_index(drop=True)
+    res["cosine_e6"] = np.floor(res["cosine"] * 1e6 + 0.5).astype("int64")
+    return res[["query_id", "neg_id", "cosine_e6", "rank"]].sort_values(
+        ["query_id", "rank"]
+    ).reset_index(drop=True)
+
+
+def kcenter_coreset(sf_dir: str, k: int = 16) -> pd.DataFrame:
+    """DIVERSE-CORESET SELECTION (greedy k-center / farthest-point
+    traversal) over the embedding table — the data-curation primitive
+    for picking a maximally spread subset (dedup's dual: keep the
+    SPREAD, not the survivors).  Exact greedy: k distributed passes,
+    each one broadcast of the ≤k selected unit vectors, per-batch
+    vectorized min-distance + local argmax, O(1) rows per block to the
+    driver.  Deterministic: starts at the smallest vec_id, ties on
+    distance break toward the smaller vec_id."""
+    import os
+
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    first_id = int(emb.min("vec_id"))
+    first = emb.filter(expr=f"vec_id == {first_id}").to_pandas()
+    sel_ids = [first_id]
+    sel_vecs = _unit(np.asarray(first["embedding"].tolist(), dtype=np.float64))
+    dists = [0.0]
+
+    def farthest(batch: pa.Table, S: np.ndarray, chosen: frozenset) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
+        if len(ids) == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "d": pa.array([], pa.float64())})
+        V = _unit(np.asarray(batch["embedding"].to_pylist(), dtype=np.float64))
+        d = 1.0 - (V @ S.T).max(axis=1)  # min cosine distance to selected
+        mask = np.fromiter((int(i) in chosen for i in ids), dtype=bool, count=len(ids))
+        d[mask] = -np.inf
+        # local argmax with smaller-id tiebreak: sort by (-d, id), take head
+        order = np.lexsort((ids, -d))
+        j = order[0]
+        return pa.table({"vec_id": pa.array([int(ids[j])], pa.int64()),
+                         "d": pa.array([float(d[j])], pa.float64())})
+
+    for _ in range(1, k):
+        S_ref = ray.put(sel_vecs)
+        chosen = set(sel_ids)
+
+        def step(batch: pa.Table, _ref=S_ref, _ch=frozenset(chosen)) -> pa.Table:
+            return farthest(batch, ray.get(_ref), _ch)
+
+        cand = emb.map_batches(step, batch_format="pyarrow").to_pandas()
+        cand = cand.sort_values(["d", "vec_id"], ascending=[False, True])
+        best_id, best_d = int(cand["vec_id"].iloc[0]), float(cand["d"].iloc[0])
+        row = emb.filter(expr=f"vec_id == {best_id}").to_pandas()
+        sel_ids.append(best_id)
+        dists.append(best_d)
+        sel_vecs = np.vstack(
+            [sel_vecs, _unit(np.asarray(row["embedding"].tolist(), dtype=np.float64))]
+        )
+    return pd.DataFrame(
+        {"rank": np.arange(1, k + 1, dtype="int64"),
+         "vec_id": np.asarray(sel_ids, dtype="int64"),
+         "dist_e6": np.floor(np.asarray(dists) * 1e6 + 0.5).astype("int64")}
+    )

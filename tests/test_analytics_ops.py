@@ -2486,3 +2486,27 @@ def test_orders_benford_matches_pandas(ray_session):
     assert m.to_dict() == exp.to_dict()
     assert int(got["n"].sum()) == len(p)
     assert got["digit"].between(1, 9).all()
+
+
+def test_events_autocorr_matches_pandas(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import events_autocorr
+
+    got = events_autocorr(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(
+        ["user_id", "event_type", "ts", "event_id"]
+    )
+    ev["x"] = np.floor(ev["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+    ev["y"] = ev.groupby(["user_id", "event_type"])["x"].shift()
+    p = ev.dropna(subset=["y"]).copy()
+    p["y"] = p["y"].astype("int64")
+    rows = []
+    for et, g in p.groupby("event_type"):
+        x = g["x"].to_numpy(dtype="float64")
+        y = g["y"].to_numpy(dtype="float64")
+        n = float(len(g))
+        corr = (n * (x * y).sum() - x.sum() * y.sum()) / np.sqrt(
+            (n * (x * x).sum() - x.sum() ** 2) * (n * (y * y).sum() - y.sum() ** 2)
+        )
+        rows.append((et, len(g), int(np.floor(corr * 1e6 + 0.5))))
+    exp = pd.DataFrame(rows, columns=["event_type", "n_pairs", "autocorr_e6"])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

@@ -6,6 +6,7 @@ pseudo-centroids could not guarantee on clustered embeddings."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow.parquet as pq
 import ray.data as rd
 
@@ -90,3 +91,56 @@ def test_embedding_pca_matches_numpy(ray_session):
     np.testing.assert_allclose(got[["pc1", "pc2", "pc3"]].mean(), 0, atol=1e-9)
     v = got[["pc1", "pc2", "pc3"]].var().to_numpy()
     assert v[0] >= v[1] >= v[2]
+
+
+def test_hard_negatives_matches_numpy(ray_session):
+    from opps_feedcrawler_ray.pipelines.ann import _unit, hard_negatives
+
+    got = hard_negatives(SF, n_queries=10, k=4)
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    V = _unit(np.asarray(emb["embedding"].tolist(), dtype=np.float64))
+    ids = emb["vec_id"].to_numpy()
+    labels = emb["label"].to_numpy()
+    rows = []
+    for qid in sorted(ids[ids < 10]):
+        qi = int(np.where(ids == qid)[0][0])
+        sims = V[qi] @ V.T
+        mask = labels == labels[qi]
+        sims[mask] = -np.inf
+        order = np.lexsort((ids, -sims))[:4]
+        for r, j in enumerate(order, 1):
+            rows.append((qid, int(ids[j]),
+                         int(np.floor(sims[j] * 1e6 + 0.5)), r))
+    exp = pd.DataFrame(rows, columns=["query_id", "neg_id", "cosine_e6", "rank"])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # every mined negative must truly carry a different label
+    lab = dict(zip(ids.tolist(), labels.tolist()))
+    assert all(lab[q] != lab[n] for q, n in zip(got["query_id"], got["neg_id"]))
+
+
+def test_kcenter_coreset_matches_greedy_twin(ray_session):
+    from opps_feedcrawler_ray.pipelines.ann import _unit, kcenter_coreset
+
+    k = 8
+    got = kcenter_coreset(SF, k=k)
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    V = _unit(np.asarray(emb["embedding"].tolist(), dtype=np.float64))
+    ids = emb["vec_id"].to_numpy().astype("int64")
+    start = int(ids.min())
+    sel = [start]
+    dists = [0.0]
+    for _ in range(1, k):
+        S = V[np.isin(ids, sel)]
+        d = 1.0 - (V @ S.T).max(axis=1)
+        d[np.isin(ids, sel)] = -np.inf
+        j = np.lexsort((ids, -d))[0]
+        sel.append(int(ids[j]))
+        dists.append(float(d[j]))
+    assert got["vec_id"].tolist() == sel
+    assert got["dist_e6"].tolist() == [int(np.floor(x * 1e6 + 0.5)) for x in dists]
+    # diversity invariant: selection distances are non-increasing
+    d6 = got["dist_e6"].to_numpy()[1:]
+    assert (np.diff(d6) <= 0).all()
+    # determinism
+    again = kcenter_coreset(SF, k=k)
+    pd.testing.assert_frame_equal(got, again)
