@@ -631,6 +631,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_hard_negatives": _q_hard_negatives,
         "kcenter_coreset": _q_kcenter_coreset,
         "events_autocorr": A.events_autocorr,
+        "zorder_layout": A.zorder_layout,
+        "balanced_resample": A.balanced_resample,
+        "doc_char_chunks": A.doc_char_chunks,
         "langid": _q_langid,
         "doc_fingerprints": _q_fingerprints,
         "media_image_features": _q_media_image,
@@ -1383,6 +1386,58 @@ def oracle_sql() -> dict[str, str]:
             "ROW_NUMBER() OVER (PARTITION BY q.query_idx ORDER BY "
             "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) DESC, e.vec_id ASC) AS rn "
             "FROM embeddings e CROSS JOIN q) WHERE rn <= 10"
+        ),
+        "zorder_layout": (
+            # Morton-interleave (o_custkey & 0xFFFF, epoch-day & 0xFFFF),
+            # orderkey-tiebroken global rank, 1024-row files
+            "WITH k AS (SELECT o_orderkey AS okey, o_custkey AS ck, "
+            "CAST(FLOOR(EPOCH(o_orderdate) / 86400) AS BIGINT) AS day "
+            "FROM orders), "
+            "z AS (SELECT okey, ck, day, ("
+            + " + ".join(
+                f"((((ck % 65536) >> {i}) & 1) << {2 * i})" for i in range(16)
+            )
+            + " + "
+            + " + ".join(
+                f"((((day % 65536) >> {i}) & 1) << {2 * i + 1})" for i in range(16)
+            )
+            + ") * 1048576 + (okey % 1048576) AS zfull FROM k), "
+            "r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY zfull, okey) - 1 "
+            "AS rnk FROM z) "
+            "SELECT rnk // 1024 AS file_id, COUNT(*) AS n, "
+            "MIN(ck) AS min_ck, MAX(ck) AS max_ck, "
+            "MIN(day) AS min_day, MAX(day) AS max_day "
+            "FROM r GROUP BY 1 ORDER BY file_id"
+        ),
+        "balanced_resample": (
+            # hash-thinned class balancing: k = n_label // n_min
+            "WITH c AS (SELECT CAST(label AS BIGINT) AS label, "
+            "COUNT(*) AS n_before FROM embeddings GROUP BY 1), "
+            "m AS (SELECT MIN(n_before) AS n_min FROM c), "
+            "k AS (SELECT label, n_before, "
+            "GREATEST(1, n_before // n_min) AS k_div FROM c, m), "
+            "f AS (SELECT CAST(e.label AS BIGINT) AS label, e.vec_id "
+            "FROM embeddings e JOIN k ON CAST(e.label AS BIGINT) = k.label "
+            "WHERE ((CAST(e.vec_id AS HUGEINT) * 2654435761) % 4294967296) "
+            "% k.k_div = 0), "
+            "a AS (SELECT label, COUNT(*) AS n_after, "
+            "CAST(SUM(vec_id) AS BIGINT) AS id_sum FROM f GROUP BY label) "
+            "SELECT k.label, k.n_before, k.k_div, "
+            "COALESCE(a.n_after, 0) AS n_after, "
+            "COALESCE(a.id_sum, 0) AS id_sum "
+            "FROM k LEFT JOIN a ON k.label = a.label ORDER BY k.label"
+        ),
+        "doc_char_chunks": (
+            # 500-char windows, 100-char overlap (stride 400)
+            "WITH d AS (SELECT doc_id, text, LENGTH(text) AS n, "
+            "GREATEST(1, CAST(CEIL((LENGTH(text) - 100) / 400.0) AS BIGINT)) "
+            "AS nc FROM documents), "
+            "c AS (SELECT doc_id, text, n, "
+            "UNNEST(generate_series(0, nc - 1)) AS i FROM d) "
+            "SELECT doc_id, i AS chunk_idx, i * 400 AS start_c, "
+            "LEAST(500, n - i * 400) AS len_c, "
+            "md5(SUBSTR(text, i * 400 + 1, LEAST(500, n - i * 400))) "
+            "AS chunk_md5 FROM c ORDER BY doc_id, chunk_idx"
         ),
         "ann_hard_negatives": (
             # top-5 cross-label cosine neighbours for the first 20 vectors

@@ -5503,3 +5503,168 @@ def events_autocorr(sf_dir: str) -> pd.DataFrame:
          "autocorr_e6": np.floor(corr * 1e6 + 0.5).astype("int64")}
     )
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def _zorder_interleave(x: np.ndarray, y: np.ndarray, bits: int = 16) -> np.ndarray:
+    """Bit-interleave two masked non-negative int arrays into a Morton
+    (Z-order) key: x takes even bit positions, y odd."""
+    z = np.zeros(len(x), dtype=np.int64)
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def zorder_layout(sf_dir: str, rows_per_file: int = 1024) -> pd.DataFrame:
+    """Z-ORDER (Morton) STORAGE LAYOUT over (o_custkey, order day): the
+    multi-dimensional clustering step a lakehouse runs before writing,
+    so 2-D range predicates prune files on BOTH columns.  Returns the
+    per-file min/max manifest (what a file-skipping planner consumes).
+    Scale shape: global rank WITHOUT a global sort — rows co-shuffle on
+    the zkey's high bits (bounded bucket count), per-bucket local rank
+    + broadcast cumulative bucket offsets give the exact global rank,
+    per-bucket partial file stats merge in the metadata-sized driver
+    manifest."""
+    from .dedup import coarse_buckets  # noqa: F401  (same bucketing family)
+
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    HB = 32  # bucket on zfull's high bits (drop 20 tiebreak + 12 low z bits)
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype("int64")
+        day = (
+            batch["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+        ).astype("int64")
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype("int64")
+        z = _zorder_interleave(ck & 0xFFFF, day & 0xFFFF)
+        zfull = z * 1048576 + (ok % 1048576)
+        return pa.table(
+            {"zfull": pa.array(zfull, pa.int64()),
+             "okey": pa.array(ok, pa.int64()),
+             "ck": pa.array(ck, pa.int64()),
+             "day": pa.array(day, pa.int64()),
+             "__hb": pa.array(zfull >> HB, pa.int64())}
+        )
+
+    keyed_ds = orders.map_batches(keyed, batch_format="pyarrow")
+    # pass 1: bucket histogram -> exact global offsets (bounded rows)
+    counts = (
+        keyed_ds.groupby("__hb").count().to_pandas().sort_values("__hb")
+    )
+    counts["offset"] = counts["count()"].cumsum().shift(fill_value=0).astype("int64")
+    offsets = dict(zip(counts["__hb"].astype("int64"), counts["offset"]))
+
+    def file_stats(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["zfull", "okey"])
+        base = offsets[int(g["__hb"].iloc[0])]
+        rank = base + np.arange(len(g), dtype=np.int64)
+        g = g.assign(file_id=(rank // rows_per_file).astype("int64"))
+        out = g.groupby("file_id", as_index=False).agg(
+            n=("okey", "size"), min_ck=("ck", "min"), max_ck=("ck", "max"),
+            min_day=("day", "min"), max_day=("day", "max"),
+        )
+        return out.astype({c: "int64" for c in out.columns})
+
+    parts = (
+        keyed_ds.groupby("__hb").map_groups(file_stats, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("file_id", as_index=False).agg(
+        n=("n", "sum"), min_ck=("min_ck", "min"), max_ck=("max_ck", "max"),
+        min_day=("min_day", "min"), max_day=("max_day", "max"),
+    )
+    return out.sort_values("file_id").reset_index(drop=True).astype(
+        {c: "int64" for c in out.columns}
+    )
+
+
+def balanced_resample(sf_dir: str) -> pd.DataFrame:
+    """CLASS-BALANCING DOWNSAMPLE of the embedding table: each label is
+    hash-thinned by an integer divisor k = floor(n_label / n_min) so
+    every class lands within one hash-stride of the minority count —
+    the deterministic (seedless, shardable) way to balance a training
+    set.  Two streaming passes: per-label counts (tiny) → broadcast
+    divisors → filtered per-label aggregate; the kept-row identity is
+    value-checked via the order-free id sum."""
+    emb = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "label"])
+    counts = emb.groupby("label").count().to_pandas()
+    n_min = int(counts["count()"].min())
+    kdiv = {
+        int(r["label"]): max(1, int(r["count()"]) // n_min)
+        for _, r in counts.iterrows()
+    }  # |labels| entries — rides the task closure, no broadcast needed
+
+    def keep_stats(batch: pa.Table, kd=kdiv) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
+        labels = batch["label"].to_numpy(zero_copy_only=False).astype("int64")
+        h = (ids * 2654435761) % 4294967296
+        ks = np.fromiter((kd[int(l)] for l in labels), dtype=np.int64, count=len(labels))
+        kept = (h % ks) == 0
+        df = pd.DataFrame({"label": labels[kept], "one": 1, "vec_id": ids[kept]})
+        g = df.groupby("label", as_index=False).agg(
+            n_after=("one", "sum"), id_sum=("vec_id", "sum")
+        )
+        return pa.Table.from_pandas(
+            g, preserve_index=False,
+            schema=pa.schema([("label", pa.int64()), ("n_after", pa.int64()),
+                              ("id_sum", pa.int64())]),
+        )
+
+    agg = (
+        emb.map_batches(keep_stats, batch_format="pyarrow")
+        .groupby("label").sum(["n_after", "id_sum"]).to_pandas()
+        .rename(columns={"sum(n_after)": "n_after", "sum(id_sum)": "id_sum"})
+    )
+    before = counts.rename(columns={"count()": "n_before"})
+    before["label"] = before["label"].astype("int64")
+    out = before.merge(agg, on="label", how="left").fillna(0)
+    out["k_div"] = out["label"].map(kdiv).astype("int64")
+    out = out.astype({"n_before": "int64", "n_after": "int64", "id_sum": "int64"})
+    return out[["label", "n_before", "k_div", "n_after", "id_sum"]].sort_values(
+        "label"
+    ).reset_index(drop=True)
+
+
+def doc_char_chunks(sf_dir: str, window: int = 500, overlap: int = 100) -> pd.DataFrame:
+    """RAG-STYLE OVERLAPPING CHUNKING: fixed character windows with
+    overlap (stride = window − overlap), one row per chunk with its
+    span and content md5 — the retrieval-index export next to
+    :func:`pack_token_chunks`'s training-side packing.  Stateless
+    flat-map, zero shuffles; chunk counts derive from text length so
+    the layout is reproducible shard-by-shard."""
+    import hashlib
+
+    stride = window - overlap
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        ids, idxs, starts, lens, md5s = [], [], [], [], []
+        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            t = text or ""
+            n = len(t)
+            n_chunks = max(1, -((-(n - overlap)) // stride))
+            for i in range(n_chunks):
+                s = i * stride
+                ln = min(window, n - s)
+                ids.append(did)
+                idxs.append(i)
+                starts.append(s)
+                lens.append(ln)
+                md5s.append(hashlib.md5(t[s:s + ln].encode()).hexdigest())
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "chunk_idx": pa.array(idxs, pa.int64()),
+             "start_c": pa.array(starts, pa.int64()),
+             "len_c": pa.array(lens, pa.int64()),
+             "chunk_md5": pa.array(md5s, pa.string())}
+        )
+
+    return (
+        docs.map_batches(chunks, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )

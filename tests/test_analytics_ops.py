@@ -2510,3 +2510,82 @@ def test_events_autocorr_matches_pandas(ray_session):
         rows.append((et, len(g), int(np.floor(corr * 1e6 + 0.5))))
     exp = pd.DataFrame(rows, columns=["event_type", "n_pairs", "autocorr_e6"])
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_zorder_layout_matches_pandas_and_prunes(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import (
+        _zorder_interleave, zorder_layout,
+    )
+
+    got = zorder_layout(SF, rows_per_file=128)
+    o = pd.read_parquet(f"{SF}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    ck = o["o_custkey"].to_numpy().astype("int64")
+    day = (o["o_orderdate"].astype("int64") // 86_400_000_000).to_numpy().astype("int64")
+    ok = o["o_orderkey"].to_numpy().astype("int64")
+    z = _zorder_interleave(ck & 0xFFFF, day & 0xFFFF) * 1048576 + (ok % 1048576)
+    df = pd.DataFrame({"z": z, "okey": ok, "ck": ck, "day": day}).sort_values(
+        ["z", "okey"]
+    )
+    df["file_id"] = (np.arange(len(df)) // 128).astype("int64")
+    exp = df.groupby("file_id", as_index=False).agg(
+        n=("okey", "size"), min_ck=("ck", "min"), max_ck=("ck", "max"),
+        min_day=("day", "min"), max_day=("day", "max"),
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert int(got["n"].sum()) == len(o)
+    # layout quality: z-order's total 2-D bounding area must beat the
+    # natural (orderkey-ordered) layout's for the same file size
+    nat = pd.DataFrame({"ck": ck, "day": day, "okey": ok}).sort_values("okey")
+    nat["file_id"] = (np.arange(len(nat)) // 128).astype("int64")
+    def area(g):
+        spans = g.groupby("file_id").agg(
+            a=("ck", lambda s: s.max() - s.min() + 1),
+            b=("day", lambda s: s.max() - s.min() + 1))
+        return float((spans["a"] * spans["b"]).sum())
+    got_area = float(((got["max_ck"] - got["min_ck"] + 1)
+                      * (got["max_day"] - got["min_day"] + 1)).sum())
+    assert got_area < area(nat)
+
+
+def test_balanced_resample_balances(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import balanced_resample
+
+    got = balanced_resample(SF)
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "label"])
+    counts = emb.groupby("label").size()
+    n_min = int(counts.min())
+    for _, r in got.iterrows():
+        lab, nb, k = int(r["label"]), int(r["n_before"]), int(r["k_div"])
+        assert nb == int(counts[lab])
+        assert k == max(1, nb // n_min)
+        ids = emb.loc[emb["label"] == lab, "vec_id"].to_numpy().astype("int64")
+        kept = ids[((ids * 2654435761) % 4294967296) % k == 0]
+        assert int(r["n_after"]) == len(kept)
+        assert int(r["id_sum"]) == int(kept.sum())
+    # balance: every class lands within ~2x of the smallest kept class
+    after = got["n_after"].to_numpy(dtype="float64")
+    assert after.max() <= 2.5 * max(after.min(), 1.0)
+
+
+def test_doc_char_chunks_reassemble(ray_session):
+    import hashlib
+
+    from opps_feedcrawler_ray.pipelines.analytics import doc_char_chunks
+
+    got = doc_char_chunks(SF, window=500, overlap=100)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    text = dict(zip(docs["doc_id"], docs["text"]))
+    assert set(got["doc_id"]) == set(docs["doc_id"])
+    for did, g in got.groupby("doc_id"):
+        t = text[did]
+        g = g.sort_values("chunk_idx")
+        assert g["chunk_idx"].tolist() == list(range(len(g)))
+        # spans tile the doc with the declared overlap
+        assert g["start_c"].iloc[0] == 0
+        assert int(g["start_c"].iloc[-1] + g["len_c"].iloc[-1]) == len(t)
+        for _, r in g.iterrows():
+            seg = t[int(r["start_c"]):int(r["start_c"]) + int(r["len_c"])]
+            assert hashlib.md5(seg.encode()).hexdigest() == r["chunk_md5"]
+        if len(g) > 1:
+            assert (np.diff(g["start_c"].to_numpy()) == 400).all()
