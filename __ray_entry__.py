@@ -634,6 +634,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_layout": A.zorder_layout,
         "balanced_resample": A.balanced_resample,
         "doc_char_chunks": A.doc_char_chunks,
+        "welch_ttest": A.welch_ttest,
+        "woe_iv": A.woe_iv,
+        "doc_augment": A.doc_augment,
         "langid": _q_langid,
         "doc_fingerprints": _q_fingerprints,
         "media_image_features": _q_media_image,
@@ -1386,6 +1389,57 @@ def oracle_sql() -> dict[str, str]:
             "ROW_NUMBER() OVER (PARTITION BY q.query_idx ORDER BY "
             "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) DESC, e.vec_id ASC) AS rn "
             "FROM embeddings e CROSS JOIN q) WHERE rn <= 10"
+        ),
+        "welch_ttest": (
+            # Welch t + Satterthwaite df vs the 'click' baseline, from
+            # exact integer moments (x = value e2)
+            "WITH b AS (SELECT event_type, "
+            "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS x FROM events), "
+            "m AS (SELECT event_type, COUNT(*) AS n, "
+            "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sxx "
+            "FROM b GROUP BY event_type), "
+            "c AS (SELECT CAST(n AS DOUBLE) AS n2, CAST(sx AS DOUBLE) AS sx2, "
+            "CAST(sxx AS DOUBLE) AS sxx2 FROM m WHERE event_type = 'click'), "
+            "e AS (SELECT event_type, n, CAST(n AS DOUBLE) AS n1, "
+            "CAST(sx AS DOUBLE) AS sx1, CAST(sxx AS DOUBLE) AS sxx1, "
+            "n2, sx2, sxx2 FROM m, c WHERE event_type <> 'click'), "
+            "v AS (SELECT event_type, n, n1, sx1, n2, sx2, "
+            "((n1 * sxx1 - sx1 * sx1) / (n1 * (n1 - 1))) / n1 AS a, "
+            "((n2 * sxx2 - sx2 * sx2) / (n2 * (n2 - 1))) / n2 AS bb FROM e), "
+            "s AS (SELECT event_type, n, n1, sx1, n2, sx2, a, bb, "
+            "a + bb AS ss FROM v) "
+            "SELECT event_type, n, "
+            "CAST(FLOOR((sx1 / n1 - sx2 / n2) / sqrt(ss) * 1e6 + 0.5) AS BIGINT) "
+            "AS t_e6, "
+            "CAST(FLOOR(ss * ss / (a * a / (n1 - 1) + bb * bb / (n2 - 1)) "
+            "* 1e3 + 0.5) AS BIGINT) AS df_e3 "
+            "FROM s ORDER BY event_type"
+        ),
+        "woe_iv": (
+            # decile WOE + e9-integer IV terms (order-free exact sum)
+            "WITH t AS (SELECT c_custkey, "
+            "NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile "
+            "FROM customer), "
+            "g AS (SELECT o_custkey AS k FROM orders "
+            "WHERE o_totalprice > 450000 GROUP BY o_custkey), "
+            "j AS (SELECT t.decile, "
+            "CASE WHEN g.k IS NULL THEN 0 ELSE 1 END AS good "
+            "FROM t LEFT JOIN g ON t.c_custkey = g.k), "
+            "d AS (SELECT decile, COUNT(*) AS n, "
+            "CAST(SUM(good) AS BIGINT) AS n_good, "
+            "COUNT(*) - CAST(SUM(good) AS BIGINT) AS n_bad "
+            "FROM j GROUP BY decile), "
+            "tot AS (SELECT CAST(SUM(n_good) AS DOUBLE) AS G, "
+            "CAST(SUM(n_bad) AS DOUBLE) AS B FROM d), "
+            "w AS (SELECT decile, n, n_good, n_bad, "
+            "LN((CAST(n_good AS DOUBLE) / G) / (CAST(n_bad AS DOUBLE) / B)) AS woe, "
+            "CAST(n_good AS DOUBLE) / G - CAST(n_bad AS DOUBLE) / B AS dsh "
+            "FROM d, tot) "
+            "SELECT CAST(decile AS BIGINT) AS decile, n, n_good, n_bad, "
+            "CAST(FLOOR(woe * 1e6 + 0.5) AS BIGINT) AS woe_e6, "
+            "(SELECT CAST(SUM(CAST(FLOOR(dsh * woe * 1e9 + 0.5) AS BIGINT)) "
+            "AS BIGINT) FROM w) AS iv_e9 "
+            "FROM w ORDER BY decile"
         ),
         "zorder_layout": (
             # Morton-interleave (o_custkey & 0xFFFF, epoch-day & 0xFFFF),

@@ -5668,3 +5668,175 @@ def doc_char_chunks(sf_dir: str, window: int = 500, overlap: int = 100) -> pd.Da
         .sort_values(["doc_id", "chunk_idx"])
         .reset_index(drop=True)
     )
+
+
+def welch_ttest(sf_dir: str) -> pd.DataFrame:
+    """WELCH'S UNEQUAL-VARIANCE T-TEST of every event type's value
+    distribution against the 'click' baseline — the A/B-testing
+    primitive for continuous metrics (chi-square's categorical sibling
+    :func:`segment_event_chi2`).  Exactness contract: per-batch integer
+    moments (x = value e2) merge exactly; t and the Welch–Satterthwaite
+    df derive from the SAME float expression as the oracle, so the e6/e3
+    roundings agree."""
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        x = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+        g = pd.DataFrame({"event_type": df["event_type"], "n": 1, "sx": x,
+                          "sxx": x * x}).groupby("event_type", as_index=False).sum()
+        return pa.Table.from_pandas(
+            g, preserve_index=False,
+            schema=pa.schema([("event_type", pa.string()), ("n", pa.int64()),
+                              ("sx", pa.int64()), ("sxx", pa.int64())]),
+        )
+
+    parts = ev.map_batches(partial, batch_format="pyarrow").to_pandas()
+    m = parts.groupby("event_type", as_index=False)[["n", "sx", "sxx"]].agg(
+        lambda s: sum(int(v) for v in s)
+    )
+    base = m[m["event_type"] == "click"].iloc[0]
+    n2, sx2, sxx2 = float(base["n"]), float(base["sx"]), float(base["sxx"])
+    v2 = (n2 * sxx2 - sx2 * sx2) / (n2 * (n2 - 1.0))
+    b = v2 / n2
+    rows = []
+    for _, r in m[m["event_type"] != "click"].iterrows():
+        n1, sx1, sxx1 = float(r["n"]), float(r["sx"]), float(r["sxx"])
+        v1 = (n1 * sxx1 - sx1 * sx1) / (n1 * (n1 - 1.0))
+        a = v1 / n1
+        s = a + b
+        t = (sx1 / n1 - sx2 / n2) / np.sqrt(s)
+        df_w = s * s / (a * a / (n1 - 1.0) + b * b / (n2 - 1.0))
+        rows.append((r["event_type"], int(r["n"]),
+                     int(np.floor(t * 1e6 + 0.5)),
+                     int(np.floor(df_w * 1e3 + 0.5))))
+    out = pd.DataFrame(rows, columns=["event_type", "n", "t_e6", "df_e3"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def woe_iv(sf_dir: str, threshold: float = 450000.0) -> pd.DataFrame:
+    """WEIGHT-OF-EVIDENCE / INFORMATION-VALUE supervised binning: decile
+    the customers by account balance (exact NTILE semantics — no sort:
+    bounded high-bits histogram → broadcast offsets → per-bucket local
+    rank), label each customer good/bad by whether ANY order exceeds
+    ``threshold``, and score each decile's separation.  The IV terms are
+    rounded to e9 integers PER DECILE before summing, so the total is
+    exact regardless of float summation order on either side."""
+    import ray
+
+    from .dedup import coarse_buckets  # noqa: F401
+
+    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_acctbal"])
+    n_total = cust.count()
+    q, rem = divmod(n_total, 10)
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        bal = np.floor(
+            batch["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype("int64")
+        ck = batch["c_custkey"].to_numpy(zero_copy_only=False).astype("int64")
+        return pa.table({"bal_e2": pa.array(bal, pa.int64()),
+                         "ck": pa.array(ck, pa.int64()),
+                         "__hb": pa.array(bal // 1024, pa.int64())})
+
+    keyed_ds = cust.map_batches(keyed, batch_format="pyarrow")
+    counts = keyed_ds.groupby("__hb").count().to_pandas().sort_values("__hb")
+    counts["offset"] = counts["count()"].cumsum().shift(fill_value=0).astype("int64")
+    offsets = dict(zip(counts["__hb"].astype("int64"), counts["offset"]))
+
+    big = (
+        rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+        .filter(expr=f"o_totalprice > {threshold}")
+        .groupby("o_custkey").count().to_pandas()
+    )
+    big_ref = ray.put(frozenset(int(k) for k in big["o_custkey"]))
+
+    def decile_stats(g: pd.DataFrame, _ref=big_ref, _off=offsets) -> pd.DataFrame:
+        good_set = ray.get(_ref)
+        g = g.sort_values(["bal_e2", "ck"])
+        r = _off[int(g["__hb"].iloc[0])] + np.arange(len(g), dtype=np.int64)
+        # NTILE(10): first `rem` tiles take q+1 rows
+        decile = np.where(
+            r < rem * (q + 1), r // (q + 1), rem + (r - rem * (q + 1)) // q
+        ) + 1
+        good = g["ck"].isin(good_set).to_numpy()
+        out = pd.DataFrame({"decile": decile.astype("int64"),
+                            "n": 1, "n_good": good.astype("int64")})
+        return out.groupby("decile", as_index=False).sum().astype("int64")
+
+    d = (
+        keyed_ds.groupby("__hb").map_groups(decile_stats, batch_format="pandas")
+        .to_pandas()
+        .groupby("decile", as_index=False)[["n", "n_good"]].sum()
+    )
+    d["n_bad"] = d["n"] - d["n_good"]
+    G = float(d["n_good"].sum())
+    B = float(d["n_bad"].sum())
+    gs = d["n_good"].to_numpy(dtype="float64") / G
+    bs = d["n_bad"].to_numpy(dtype="float64") / B
+    woe = np.log(gs / bs)
+    term_e9 = np.floor((gs - bs) * woe * 1e9 + 0.5).astype("int64")
+    out = pd.DataFrame({
+        "decile": d["decile"].astype("int64"),
+        "n": d["n"].astype("int64"),
+        "n_good": d["n_good"].astype("int64"),
+        "n_bad": d["n_bad"].astype("int64"),
+        "woe_e6": np.floor(woe * 1e6 + 0.5).astype("int64"),
+        "iv_e9": np.int64(term_e9.sum()),
+    })
+    return out.sort_values("decile").reset_index(drop=True)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    z = x
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def doc_augment(sf_dir: str, n_variants: int = 2, drop_pct: int = 10) -> pd.DataFrame:
+    """DETERMINISTIC DATA AUGMENTATION (token dropout): each document
+    emits variant 0 (identity) plus ``n_variants`` copies with ~10 % of
+    whitespace tokens dropped, selected by a seedless splitmix64 hash of
+    (doc_id, variant, token index) — reproducible shard-by-shard with
+    NO shared RNG state, the only augmentation scheme that stays
+    deterministic under Ray's nondeterministic block order.  Stateless
+    map_batches, zero shuffles."""
+    import hashlib
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def augment(batch: pa.Table) -> pa.Table:
+        ids, variants, ntoks, md5s = [], [], [], []
+        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            toks = (text or "").split()
+            idx = np.arange(len(toks), dtype=np.uint64)
+            for v in range(n_variants + 1):
+                if v == 0:
+                    kept = toks
+                else:
+                    with np.errstate(over="ignore"):
+                        seed = np.uint64(did) * np.uint64(
+                            0x9E3779B97F4A7C15
+                        ) + np.uint64(v) * np.uint64(0xBF58476D1CE4E5B9)
+                        h = _splitmix64(seed + idx)
+                    keep = (h % np.uint64(100)) >= np.uint64(drop_pct)
+                    kept = [t for t, k in zip(toks, keep) if k]
+                ids.append(did)
+                variants.append(v)
+                ntoks.append(len(kept))
+                md5s.append(hashlib.md5(" ".join(kept).encode()).hexdigest())
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "variant": pa.array(variants, pa.int64()),
+             "n_tokens": pa.array(ntoks, pa.int64()),
+             "aug_md5": pa.array(md5s, pa.string())}
+        )
+
+    return (
+        docs.map_batches(augment, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["doc_id", "variant"])
+        .reset_index(drop=True)
+    )

@@ -2589,3 +2589,88 @@ def test_doc_char_chunks_reassemble(ray_session):
             assert hashlib.md5(seg.encode()).hexdigest() == r["chunk_md5"]
         if len(g) > 1:
             assert (np.diff(g["start_c"].to_numpy()) == 400).all()
+
+
+def test_welch_ttest_matches_scipy_style_twin(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import welch_ttest
+
+    got = welch_ttest(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "value"])
+    x = np.floor(ev["value"].to_numpy() * 100.0 + 0.5)
+    ev = ev.assign(x=x)
+    base = ev[ev["event_type"] == "click"]["x"].to_numpy()
+    rows = []
+    for et, g in ev[ev["event_type"] != "click"].groupby("event_type"):
+        a = g["x"].to_numpy()
+        v1, v2 = a.var(ddof=1), base.var(ddof=1)
+        aa, bb = v1 / len(a), v2 / len(base)
+        t = (a.mean() - base.mean()) / np.sqrt(aa + bb)
+        dfw = (aa + bb) ** 2 / (aa * aa / (len(a) - 1) + bb * bb / (len(base) - 1))
+        rows.append((et, len(a), t, dfw))
+    exp = pd.DataFrame(rows, columns=["event_type", "n", "t", "df"])
+    m = got.set_index("event_type")
+    for _, r in exp.iterrows():
+        assert int(m.loc[r["event_type"], "n"]) == r["n"]
+        # same statistic to ~1e-4 (twin uses a different but equivalent formula)
+        assert abs(m.loc[r["event_type"], "t_e6"] / 1e6 - r["t"]) < 1e-4
+        assert abs(m.loc[r["event_type"], "df_e3"] / 1e3 - r["df"]) < 0.5
+
+
+def test_woe_iv_matches_pandas(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import woe_iv
+
+    got = woe_iv(SF)
+    c = pd.read_parquet(f"{SF}/customer.parquet", columns=["c_custkey", "c_acctbal"])
+    o = pd.read_parquet(f"{SF}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    big = set(o.loc[o["o_totalprice"] > 450000, "o_custkey"])
+    c = c.sort_values(["c_acctbal", "c_custkey"]).reset_index(drop=True)
+    n = len(c)
+    q, rem = divmod(n, 10)
+    r = np.arange(n)
+    c["decile"] = np.where(r < rem * (q + 1), r // (q + 1),
+                           rem + (r - rem * (q + 1)) // q) + 1
+    c["good"] = c["c_custkey"].isin(big).astype(int)
+    d = c.groupby("decile").agg(n=("good", "size"), n_good=("good", "sum"))
+    d["n_bad"] = d["n"] - d["n_good"]
+    G, B = float(d["n_good"].sum()), float(d["n_bad"].sum())
+    gs, bs = d["n_good"] / G, d["n_bad"] / B
+    woe = np.log(gs / bs)
+    assert got["decile"].tolist() == list(range(1, 11))
+    assert got["n"].tolist() == d["n"].tolist()
+    assert got["n_good"].tolist() == d["n_good"].tolist()
+    assert got["woe_e6"].tolist() == np.floor(woe * 1e6 + 0.5).astype(int).tolist()
+    iv = int(np.floor((gs - bs) * woe * 1e9 + 0.5).astype("int64").sum())
+    assert (got["iv_e9"] == iv).all()
+    # monotone-ish sanity: IV positive (balance separates the outcome)
+    assert iv > 0
+
+
+def test_doc_augment_deterministic_and_drops(ray_session):
+    import hashlib
+
+    from opps_feedcrawler_ray.pipelines.analytics import _splitmix64, doc_augment
+
+    got = doc_augment(SF, n_variants=2, drop_pct=10)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    assert len(got) == 3 * len(docs)
+    text = dict(zip(docs["doc_id"], docs["text"]))
+    for (did, v), g in got.groupby(["doc_id", "variant"]):
+        toks = text[did].split()
+        if v == 0:
+            kept = toks
+        else:
+            idx = np.arange(len(toks), dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                seed = np.uint64(did) * np.uint64(0x9E3779B97F4A7C15) + np.uint64(
+                    v) * np.uint64(0xBF58476D1CE4E5B9)
+                h = _splitmix64(seed + idx)
+            keep = (h % np.uint64(100)) >= np.uint64(10)
+            kept = [t for t, k in zip(toks, keep) if k]
+        assert int(g["n_tokens"].iloc[0]) == len(kept)
+        assert g["aug_md5"].iloc[0] == hashlib.md5(" ".join(kept).encode()).hexdigest()
+    # dropout actually fires: variants have strictly fewer tokens overall
+    n0 = got.loc[got["variant"] == 0, "n_tokens"].sum()
+    n1 = got.loc[got["variant"] == 1, "n_tokens"].sum()
+    assert 0.8 * n0 < n1 < n0
+    again = doc_augment(SF, n_variants=2, drop_pct=10)
+    pd.testing.assert_frame_equal(got, again)
