@@ -157,8 +157,22 @@ class CrawlConfig:
     # fetch is simulated, so transient 5xx must be injected): e.g.
     # {"mod": 7, "fail_attempts": 1} — a url whose url_hash % mod == 0
     # fails its first ``fail_attempts`` attempts, then succeeds.
-    # Deterministic; None = no injected failures.
+    # Deterministic; None = no injected failures.  Optional "hosts":
+    # [...] additionally fails EVERY row of the listed hosts while
+    # attempt < fail_attempts — the host-concentrated outage that
+    # exercises the circuit breaker.
     fail_inject: dict | None = None
+    # per-host error-rate CIRCUIT BREAKER: when a host's status="error"
+    # fraction over the last completed round reaches this threshold
+    # (with ≥ breaker_min_attempts rows observed), the host is suspended
+    # — queue kept, not polled — for breaker_cooldown rounds, then
+    # resumes.  The host-level complement of per-URL max_retries: a
+    # flapping URL backs off alone, a dying HOST stops burning its
+    # politeness budget.  0.0 = off (frozen goldens).  Frozen in the
+    # checkpoint manifest (changes which rounds a host's rows land in).
+    breaker_threshold: float = 0.0
+    breaker_min_attempts: int = 8
+    breaker_cooldown: int = 2
     # crawl-scope url filter over DISCOVERED links (Heritrix/Nutch-style
     # regex scope rules; None = off): kwargs for functions.urlnorm.
     # scope_mask, e.g. {"allow": [r"^http://(a|b)\.com/"], "deny":
@@ -636,9 +650,11 @@ class _FailureInject:
     status="error" with null html — the simulated 5xx.  Extract treats
     null-html rows as pass-through, exactly like not_found."""
 
-    def __init__(self, mod: int, fail_attempts: int = 1) -> None:
+    def __init__(self, mod: int = 0, fail_attempts: int = 1,
+                 hosts: list[str] | None = None) -> None:
         self.mod = mod
         self.fail_attempts = fail_attempts
+        self.hosts = frozenset(hosts) if hosts else None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -648,11 +664,15 @@ class _FailureInject:
         hh = batch["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
         att = batch["attempt"].to_numpy(zero_copy_only=False)
         st = batch["status"].to_numpy(zero_copy_only=False)
-        fail = (
-            (hh % np.uint64(self.mod) == 0)
-            & (att < self.fail_attempts)
-            & (st == "fetched")
-        )
+        fail = np.zeros(len(hh), dtype=bool)
+        if self.mod:
+            fail |= hh % np.uint64(self.mod) == 0
+        if self.hosts is not None:
+            hosts = batch["host"].to_numpy(zero_copy_only=False)
+            fail |= np.fromiter(
+                (h in self.hosts for h in hosts), dtype=bool, count=len(hosts)
+            )
+        fail &= (att < self.fail_attempts) & (st == "fetched")
         if not fail.any():
             return batch
         status = pa.array(np.where(fail, "error", st), pa.string())
@@ -679,7 +699,8 @@ class _OfferLinksStage:
                  scope_filter: dict | None = None,
                  indegree_priority: bool = False,
                  max_retries: int = 0,
-                 strip_params: list | None = None) -> None:
+                 strip_params: list | None = None,
+                 breaker: bool = False) -> None:
         self.actors = actors
         self.next_round = next_round
         self.priority_fn = priority_fn
@@ -689,6 +710,7 @@ class _OfferLinksStage:
         self.scope_filter = scope_filter
         self.indegree_priority = indegree_priority
         self.max_retries = max_retries
+        self.breaker = breaker
         self._canon = CanonicalizeStage(strip_params=strip_params)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -704,6 +726,9 @@ class _OfferLinksStage:
             fs = batch["fetch_seq"].to_numpy(zero_copy_only=False)
             import numpy as np
 
+            hosts_np = (
+                batch["host"].to_numpy(zero_copy_only=False) if self.breaker else None
+            )
             for s in np.unique(subs):
                 m = subs == s
                 n_nf = int(nf[m].sum())
@@ -715,6 +740,22 @@ class _OfferLinksStage:
                         int(m.sum()) - n_nf - n_err, n_nf, int(fs[m].min())
                     )
                 )
+                if self.breaker:
+                    # circuit-breaker evidence: per-host (rows, errors) for
+                    # this sub-batch — same idempotency token scope
+                    uh, inv = np.unique(hosts_np[m], return_inverse=True)
+                    n_per = np.bincount(inv).astype("int64")
+                    e_per = np.bincount(
+                        inv, weights=err[m].astype("float64")
+                    ).astype("int64")
+                    result_refs.append(
+                        self.actors[int(s)].record_host_errors.remote(
+                            pa.table({"host": pa.array(uh.astype(object), pa.string()),
+                                      "n": pa.array(n_per, pa.int64()),
+                                      "n_err": pa.array(e_per, pa.int64())}),
+                            int(fs[m].min()),
+                        )
+                    )
             if self.max_retries and err.any():
                 # route failures back to their owning shard for backoff
                 # re-queueing (the failure happened in round next_round-1)
@@ -1008,6 +1049,9 @@ def _write_manifest(cfg: CrawlConfig, round_idx: int, fetch_seq: int, lineage: l
         "max_retries": cfg.max_retries,
         "fail_inject": cfg.fail_inject,
         "strip_params": cfg.strip_params,
+        "breaker_threshold": cfg.breaker_threshold,
+        "breaker_min_attempts": cfg.breaker_min_attempts,
+        "breaker_cooldown": cfg.breaker_cooldown,
         "lineage": lineage,
     }
     tmp = os.path.join(ckpt_root, "_MANIFEST.json.tmp")
@@ -1094,6 +1138,9 @@ def crawl(cfg: CrawlConfig) -> dict:
             seen_filter=cfg.seen_filter,
             adaptive_recrawl=cfg.adaptive_recrawl,
             adaptive_max_factor=cfg.adaptive_max_factor,
+            breaker_threshold=cfg.breaker_threshold,
+            breaker_min_attempts=cfg.breaker_min_attempts,
+            breaker_cooldown=cfg.breaker_cooldown,
         )
         for i in range(cfg.num_frontier_actors)
     ]
@@ -1178,6 +1225,10 @@ def crawl(cfg: CrawlConfig) -> dict:
             "fail_inject": cfg.fail_inject,
             # param scrubbing changes dedup identity (url_hash inputs)
             "strip_params": cfg.strip_params,
+            # the breaker changes WHICH rounds a host's rows land in
+            "breaker_threshold": cfg.breaker_threshold,
+            "breaker_min_attempts": cfg.breaker_min_attempts,
+            "breaker_cooldown": cfg.breaker_cooldown,
         }
         for key, want in frozen.items():
             have = manifest.get(key)
@@ -1194,6 +1245,8 @@ def crawl(cfg: CrawlConfig) -> dict:
                 and key not in manifest
             ):
                 continue  # pre-upgrade manifests didn't record these
+            if key.startswith("breaker_") and key not in manifest:
+                continue  # pre-breaker manifests didn't record these
             if have != want:
                 raise ValueError(
                     f"cannot resume with a different {key} (manifest={have!r}, "
@@ -1407,6 +1460,7 @@ def crawl(cfg: CrawlConfig) -> dict:
             indegree_priority=cfg.indegree_priority,
             max_retries=cfg.max_retries,
             strip_params=cfg.strip_params,
+            breaker=cfg.breaker_threshold > 0,
         )
         staged = ready.map_batches(_AssignSeq(offsets_ref), batch_format="pyarrow")
         if cfg.fetch_strategy == "actors":
@@ -1557,6 +1611,15 @@ def main(argv: list[str] | None = None) -> int:
              "(n-th retry after 2^(n-1) rounds); 0 = off",
     )
     ap.add_argument(
+        "--breaker-threshold", type=float, default=0.0, metavar="RATE",
+        help="per-host circuit breaker: suspend a host for "
+             "--breaker-cooldown rounds when its error fraction over the "
+             "last round reaches RATE (>= --breaker-min-attempts rows "
+             "observed); 0 = off",
+    )
+    ap.add_argument("--breaker-min-attempts", type=int, default=8)
+    ap.add_argument("--breaker-cooldown", type=int, default=2)
+    ap.add_argument(
         "--refresh-max-delay", type=int, default=0, metavar="SECONDS",
         help="max declared refresh delay still treated as a redirect",
     )
@@ -1597,6 +1660,9 @@ def main(argv: list[str] | None = None) -> int:
         honor_canonical=args.honor_canonical,
         indegree_priority=args.indegree_priority,
         max_retries=args.max_retries,
+        breaker_threshold=args.breaker_threshold,
+        breaker_min_attempts=args.breaker_min_attempts,
+        breaker_cooldown=args.breaker_cooldown,
         strip_params=args.strip_param,
         follow_meta_refresh=args.follow_meta_refresh,
         refresh_max_delay=args.refresh_max_delay,

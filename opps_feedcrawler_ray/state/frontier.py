@@ -68,6 +68,9 @@ class FrontierActor:
         seen_filter: str = "cuckoo",
         adaptive_recrawl: bool = False,
         adaptive_max_factor: int = 8,
+        breaker_threshold: float = 0.0,
+        breaker_min_attempts: int = 8,
+        breaker_cooldown: int = 2,
     ) -> None:
         # revisit-policy adaptation (Cho & Garcia-Molina 2003): when a
         # recurring re-fetch reports UNCHANGED content the interval
@@ -156,6 +159,23 @@ class FrontierActor:
         self.retry: dict[str, dict[int, list]] = {}
         self._retry_attempts: dict[int, int] = {}
         self.gave_up = 0
+        # per-host error-rate CIRCUIT BREAKER (host-level sibling of the
+        # per-URL retry queue): when a host's status="error" fraction over
+        # the last completed round reaches ``breaker_threshold`` (with at
+        # least ``breaker_min_attempts`` rows observed), the host is
+        # suspended — its queue is kept but not polled — for
+        # ``breaker_cooldown`` rounds, then resumes automatically.  0.0 =
+        # off.  Stats arrive per round via :meth:`record_host_errors` and
+        # are evaluated (then cleared) at the NEXT poll, so the decision
+        # uses exactly one round's evidence.  Deterministic (counts only,
+        # no wall clock); suspension changes WHICH rounds a host's rows
+        # appear in, never the frozen within-round ordering rule.
+        self.breaker_threshold = breaker_threshold
+        self.breaker_min = breaker_min_attempts
+        self.breaker_cooldown = breaker_cooldown
+        self._breaker_stats: dict[str, list[int]] = {}  # host → [rows, errors]
+        self._suspended: dict[str, int] = {}  # host → last suspended round
+        self._breaker_next_due: int | None = None
         if robots_sidecar is not None:
             self._load_robots_sidecar(robots_sidecar)
 
@@ -388,6 +408,8 @@ class FrontierActor:
         due += [
             ent[3] for entries in self.retry.values() for ent in entries.values()
         ]
+        if self._breaker_next_due is not None:
+            due.append(self._breaker_next_due)
         return min(due) if due else None
 
     # ------------------------------------------------------------- retry
@@ -483,9 +505,26 @@ class FrontierActor:
             self._emit_due_recurring(round_idx)
         if self.retry:
             self._emit_due_retries(round_idx)
+        self._breaker_next_due = None
+        if self.breaker_threshold:
+            # evaluate last round's evidence, then clear the window: a host
+            # at/over the error-rate threshold (with enough observations)
+            # sits out ``breaker_cooldown`` rounds starting now
+            for host, (rows, errs) in self._breaker_stats.items():
+                if rows >= self.breaker_min and errs >= self.breaker_threshold * rows:
+                    self._suspended[host] = round_idx + self.breaker_cooldown - 1
+            self._breaker_stats.clear()
         urls, hashes, hosts, prios, ranks = [], [], [], [], []
         meta: dict[str, int] = {}
         for host in sorted(self.heaps):
+            if self.breaker_threshold and self._suspended.get(host, -1) >= round_idx:
+                # suspended: keep the queue, skip the round; surface the
+                # resume round so the driver's idle fast-forward can't
+                # strand a shard whose only pending hosts are cooling down
+                d = self._suspended[host] + 1
+                if self._breaker_next_due is None or d < self._breaker_next_due:
+                    self._breaker_next_due = d
+                continue
             lst = self.heaps[host]
             if host in self._dirty:
                 lst.sort()
@@ -595,6 +634,29 @@ class FrontierActor:
         self.counters["fetched"] += fetched
         self.counters["not_found"] += not_found
 
+    def record_host_errors(self, table: pa.Table, token: int | None = None) -> int:
+        """Circuit-breaker evidence: rows (host, n, n_err) — per-host row
+        and status="error" counts from one offer-stage batch.  Idempotent
+        under task retries via the same fetch_seq-token scope as
+        :meth:`record_results` (a replayed batch must not double-count a
+        host toward suspension).  Accumulates until the next poll
+        evaluates and clears the window."""
+        if token is not None:
+            tok = ("breaker", token)
+            if tok in self._result_tokens:
+                return 0
+            self._result_tokens.add(tok)
+        n = 0
+        for host, rows, errs in zip(
+            table["host"].to_pylist(), table["n"].to_pylist(),
+            table["n_err"].to_pylist(),
+        ):
+            st = self._breaker_stats.setdefault(host, [0, 0])
+            st[0] += int(rows)
+            st[1] += int(errs)
+            n += 1
+        return n
+
     # ------------------------------------------------------------- state
     def pending_count(self) -> int:
         return sum(len(h) for h in self.heaps.values())
@@ -649,6 +711,8 @@ class FrontierActor:
             "retry": self.retry,
             "retry_attempts": self._retry_attempts,
             "gave_up": self.gave_up,
+            "breaker_stats": self._breaker_stats,
+            "suspended": self._suspended,
             "round": round_idx,
         }
         fpath = os.path.join(ckpt_dir, f"shard-{self.shard_id:05d}.parquet")
@@ -697,6 +761,10 @@ class FrontierActor:
         self.retry = blob.get("retry", {})
         self._retry_attempts = blob.get("retry_attempts", {})
         self.gave_up = blob.get("gave_up", 0)
+        # pre-breaker blobs carry no breaker state
+        self._breaker_stats = blob.get("breaker_stats", {})
+        self._suspended = blob.get("suspended", {})
+        self._breaker_next_due = None
         self._recurring_pending = {}
         self._result_tokens = set()
         self.heaps = {}

@@ -1494,3 +1494,86 @@ def test_strip_params_collapses_tracking_aliases(ray_session, tmp_path_factory):
     on_page = on[on["url"] == f"http://{host}/page"]
     assert len(on_page) == 1 and on_page["status"].iloc[0] == "fetched"
     assert (on["status"] == "not_found").sum() == 0
+
+
+def _breaker_fixture(tmp: str, n_bad: int = 12, n_ok: int = 12):
+    """Two-host corpus: ok.example is a 1-link-per-page chain (keeps the
+    crawl alive round after round); the seed also links to n_bad pages on
+    bad.example, whose fetches the failure model will reject."""
+    import datetime as dt
+
+    urls, bodies, texts = [], [], []
+    bad_links = "".join(f'<a href="http://bad.example/b{i}">b</a>' for i in range(n_bad))
+    for i in range(n_ok):
+        nxt = f'<a href="/p{i + 1}">n</a>' if i + 1 < n_ok else ""
+        extra = bad_links if i == 0 else ""
+        urls.append(f"http://ok.example/p{i}")
+        bodies.append(f"<html><body><p>ok {i}</p>{nxt}{extra}</body></html>".encode())
+        texts.append(None)
+    for i in range(n_bad):
+        urls.append(f"http://bad.example/b{i}")
+        bodies.append(f"<html><body><p>bad {i}</p></body></html>".encode())
+        texts.append(None)
+    from opps_feedcrawler_ray.functions.extract import extract_text
+
+    texts = [extract_text(u, b) for u, b in zip(urls, bodies)]
+    ts = dt.datetime(2024, 1, 1)
+    pages = pa.table(
+        {"url": pa.array(urls),
+         "warc_ts": pa.array([ts] * len(urls), pa.timestamp("us")),
+         "html": pa.array(bodies, pa.binary()),
+         "text": pa.array(texts),
+         "lang": pa.array(["en"] * len(urls))}
+    )
+    pq.write_table(pages, f"{tmp}/pages.parquet")
+    pq.write_table(pa.table({"url": pa.array(["http://ok.example/p0"])}),
+                   f"{tmp}/seeds.parquet")
+
+
+def test_circuit_breaker_suspends_and_resumes_failing_host(
+    ray_session, tmp_path_factory
+):
+    """Per-host circuit breaker: bad.example fails every fetch; with
+    budget=4 its 12 queued urls would drain in rounds 1-3, but a 0.5
+    error-rate threshold (min 4 rows, cooldown 2) suspends the host
+    after each failing round, so its attempts land in rounds 1, 4, 7
+    instead.  ok.example's chain crawls on unaffected, and the breaker
+    state survives checkpointing."""
+    tmp = str(tmp_path_factory.mktemp("breaker"))
+    _breaker_fixture(tmp)
+
+    def go(out, threshold, min_attempts=4):
+        cfg = CrawlConfig(
+            pages_path=f"{tmp}/pages.parquet", seeds_path=f"{tmp}/seeds.parquet",
+            out_dir=f"{tmp}/{out}", num_frontier_actors=2, politeness_budget=4,
+            num_buckets=2, num_fetch_actors=2,
+            fail_inject={"hosts": ["bad.example"], "fail_attempts": 99},
+            breaker_threshold=threshold, breaker_min_attempts=min_attempts,
+            breaker_cooldown=2,
+        )
+        crawl(cfg)
+        return read_log(f"{tmp}/{out}").to_pandas()
+
+    # breaker OFF: bad host drains consecutively (budget 4 × 3 rounds)
+    off = go("out_off", 0.0)
+    bad_off = off[off["host"] == "bad.example"]
+    assert sorted(bad_off["round"].unique().tolist()) == [1, 2, 3]
+    assert (bad_off["status"] == "error").all()
+
+    # breaker ON: each failing round triggers a 2-round suspension
+    on = go("out_on", 0.5)
+    bad_on = on[on["host"] == "bad.example"]
+    assert sorted(bad_on["round"].unique().tolist()) == [1, 4, 7]
+    assert (bad_on["status"] == "error").all()
+    assert len(bad_on) == len(bad_off) == 12  # nothing lost, only delayed
+    # the healthy host's chain is untouched by the neighbour's outage
+    ok_on = on[(on["host"] == "ok.example") & (on["status"] == "fetched")]
+    ok_off = off[(off["host"] == "ok.example") & (off["status"] == "fetched")]
+    assert set(ok_on["url"]) == set(ok_off["url"])
+    assert len(ok_on) == 12
+
+    # min-attempts guard: same failure pattern but min=8 never trips
+    # (only 4 observations per round), so the host drains like breaker-off
+    guarded = go("out_guard", 0.5, min_attempts=8)
+    bad_g = guarded[guarded["host"] == "bad.example"]
+    assert sorted(bad_g["round"].unique().tolist()) == [1, 2, 3]
