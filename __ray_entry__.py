@@ -637,6 +637,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "welch_ttest": A.welch_ttest,
         "woe_iv": A.woe_iv,
         "doc_augment": A.doc_augment,
+        "events_psi": A.events_psi,
+        "embedding_fisher": A.embedding_fisher,
         "langid": _q_langid,
         "doc_fingerprints": _q_fingerprints,
         "media_image_features": _q_media_image,
@@ -1389,6 +1391,60 @@ def oracle_sql() -> dict[str, str]:
             "ROW_NUMBER() OVER (PARTITION BY q.query_idx ORDER BY "
             "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) DESC, e.vec_id ASC) AS rn "
             "FROM embeddings e CROSS JOIN q) WHERE rn <= 10"
+        ),
+        "events_psi": (
+            # PSI per event type: 10 log2 value bins, Laplace-smoothed,
+            # e9-integer terms (order-free exact total)
+            "WITH e AS (SELECT event_type, "
+            "LEAST(9, CAST(FLOOR(LOG2(1 + value)) AS BIGINT)) AS bin, "
+            "CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS cur "
+            "FROM events), "
+            "t AS (SELECT DISTINCT event_type FROM events), "
+            "grid AS (SELECT event_type, UNNEST(generate_series(0, 9)) AS bin "
+            "FROM t), "
+            "c AS (SELECT event_type, bin, CAST(SUM(1 - cur) AS BIGINT) AS n_ref, "
+            "CAST(SUM(cur) AS BIGINT) AS n_cur FROM e GROUP BY event_type, bin), "
+            "m AS (SELECT g.event_type, g.bin, COALESCE(c.n_ref, 0) AS n_ref, "
+            "COALESCE(c.n_cur, 0) AS n_cur FROM grid g LEFT JOIN c "
+            "ON g.event_type = c.event_type AND g.bin = c.bin), "
+            "tt AS (SELECT event_type, SUM(n_ref) AS tr, SUM(n_cur) AS tc "
+            "FROM m GROUP BY event_type), "
+            "x AS (SELECT m.event_type, m.bin, m.n_ref, m.n_cur, "
+            "CAST(FLOOR(((m.n_cur + 1.0) / (tt.tc + 10.0) - "
+            "(m.n_ref + 1.0) / (tt.tr + 10.0)) * "
+            "LN(((m.n_cur + 1.0) / (tt.tc + 10.0)) / "
+            "((m.n_ref + 1.0) / (tt.tr + 10.0))) * 1e9 + 0.5) AS BIGINT) "
+            "AS term_e9 FROM m JOIN tt ON m.event_type = tt.event_type) "
+            "SELECT event_type, bin, n_ref, n_cur, term_e9, "
+            "CAST(SUM(term_e9) OVER (PARTITION BY event_type) AS BIGINT) "
+            "AS psi_e9 FROM x ORDER BY event_type, bin"
+        ),
+        "embedding_fisher": (
+            # per-label within-class variance + centroid offset (e4-int
+            # vectors, exact moments, e9-int between terms)
+            "WITH u AS (SELECT CAST(label AS BIGINT) AS label, "
+            "UNNEST(generate_series(0, 63)) AS dim, "
+            "CAST(FLOOR(UNNEST(CAST(embedding AS DOUBLE[])) * 1e4 + 0.5) "
+            "AS BIGINT) AS x FROM embeddings), "
+            "m AS (SELECT label, dim, COUNT(*) AS n, "
+            "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sxx "
+            "FROM u GROUP BY label, dim), "
+            "g AS (SELECT dim, CAST(SUM(n) AS BIGINT) AS nn, "
+            "CAST(SUM(sx) AS BIGINT) AS gx FROM m GROUP BY dim), "
+            "j AS (SELECT m.label, m.n, m.sxx, m.sx, "
+            "(CAST(m.sx AS DOUBLE) * CAST(g.nn AS DOUBLE) - "
+            "CAST(g.gx AS DOUBLE) * CAST(m.n AS DOUBLE)) / "
+            "(CAST(m.n AS DOUBLE) * CAST(g.nn AS DOUBLE)) AS md "
+            "FROM m JOIN g ON m.dim = g.dim), "
+            "f AS (SELECT label, MAX(n) AS n, "
+            "CAST(SUM(n * sxx - sx * sx) AS BIGINT) AS wnum, "
+            "CAST(SUM(CAST(FLOOR(md * md * 10 + 0.5) AS BIGINT)) AS BIGINT) "
+            "AS bsum FROM j GROUP BY label) "
+            "SELECT label, n, "
+            "CAST(FLOOR(CAST(wnum AS DOUBLE) / (n * n * 64) / 100 + 0.5) "
+            "AS BIGINT) AS within_e6, "
+            "CAST(FLOOR(bsum / 64000.0 + 0.5) AS BIGINT) AS between_e6 "
+            "FROM f ORDER BY label"
         ),
         "welch_ttest": (
             # Welch t + Satterthwaite df vs the 'click' baseline, from

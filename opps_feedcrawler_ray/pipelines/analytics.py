@@ -5840,3 +5840,112 @@ def doc_augment(sf_dir: str, n_variants: int = 2, drop_pct: int = 10) -> pd.Data
         .sort_values(["doc_id", "variant"])
         .reset_index(drop=True)
     )
+
+
+def events_psi(sf_dir: str, split: str = "2024-01-16") -> pd.DataFrame:
+    """POPULATION STABILITY INDEX per event type — the binned drift
+    metric ML monitoring runs next to the KS test
+    (:func:`events_ks_test`): values land in 10 log2 width bins,
+    reference = events before ``split``, current = after; shares are
+    Laplace-smoothed (+1/bin) so empty bins stay finite, and each bin's
+    PSI term is rounded to an e9 integer BEFORE summing, making the
+    total exact under any summation order.  ONE streaming combiner pass
+    (per-batch (type, bin, period) counts), |types|x10x2 rows to the
+    driver."""
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts", "value"])
+    split_ts = pd.Timestamp(split)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        v = df["value"].to_numpy(dtype="float64")
+        b = np.minimum(9, np.floor(np.log2(1.0 + v))).astype("int64")
+        cur = (df["ts"] >= split_ts).to_numpy()
+        g = pd.DataFrame({"event_type": df["event_type"], "bin": b,
+                          "cur": cur.astype("int64"), "n": 1}).groupby(
+            ["event_type", "bin", "cur"], as_index=False
+        ).sum()
+        return pa.Table.from_pandas(
+            g, preserve_index=False,
+            schema=pa.schema([("event_type", pa.string()), ("bin", pa.int64()),
+                              ("cur", pa.int64()), ("n", pa.int64())]),
+        )
+
+    parts = (
+        ev.map_batches(partial, batch_format="pyarrow").to_pandas()
+        .groupby(["event_type", "bin", "cur"], as_index=False)["n"].sum()
+    )
+    # full (type x bin) grid: smoothing counts absent bins too
+    types = sorted(parts["event_type"].unique())
+    grid = pd.MultiIndex.from_product(
+        [types, range(10)], names=["event_type", "bin"]
+    ).to_frame(index=False)
+    ref = parts[parts["cur"] == 0].rename(columns={"n": "n_ref"})
+    cur = parts[parts["cur"] == 1].rename(columns={"n": "n_cur"})
+    m = grid.merge(ref[["event_type", "bin", "n_ref"]], how="left").merge(
+        cur[["event_type", "bin", "n_cur"]], how="left"
+    ).fillna(0).astype({"n_ref": "int64", "n_cur": "int64"})
+    tot = m.groupby("event_type")[["n_ref", "n_cur"]].transform("sum")
+    p = (m["n_ref"] + 1.0) / (tot["n_ref"] + 10.0)
+    qq = (m["n_cur"] + 1.0) / (tot["n_cur"] + 10.0)
+    m["term_e9"] = np.floor((qq - p) * np.log(qq / p) * 1e9 + 0.5).astype("int64")
+    m["psi_e9"] = m.groupby("event_type")["term_e9"].transform("sum").astype("int64")
+    return m.sort_values(["event_type", "bin"]).reset_index(drop=True)
+
+
+def embedding_fisher(sf_dir: str) -> pd.DataFrame:
+    """CLASS-SEPARABILITY DIAGNOSTICS of the embedding space: per label,
+    the mean within-class per-dimension variance and the squared
+    distance of the class centroid from the global centroid (the
+    between-class scatter contribution) — the Fisher-criterion view of
+    whether labels are learnable from the vectors.  Exactness: vectors
+    are e4 integers, per-(label, dim) moments merge exactly, and the
+    between-term is e9-rounded PER DIMENSION before summing.  ONE
+    combiner pass; (labels x dims) moment rows to the driver."""
+    emb = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["embedding", "label"])
+    D = 64
+
+    def moments(batch: pa.Table) -> pa.Table:
+        x = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        x4 = np.floor(x * 1e4 + 0.5).astype("int64")
+        labels = batch["label"].to_numpy(zero_copy_only=False).astype("int64")
+        rows = []
+        for lab in np.unique(labels):
+            sub = x4[labels == lab]
+            rows.append((int(lab), len(sub), sub.sum(axis=0), (sub * sub).sum(axis=0)))
+        out = {"label": pa.array([r[0] for r in rows for _ in range(D)], pa.int64()),
+               "dim": pa.array([d for _ in rows for d in range(D)], pa.int64()),
+               "n": pa.array([r[1] for r in rows for _ in range(D)], pa.int64()),
+               "sx": pa.array(np.concatenate([r[2] for r in rows]), pa.int64()),
+               "sxx": pa.array(np.concatenate([r[3] for r in rows]), pa.int64())}
+        return pa.table(out)
+
+    parts = (
+        emb.map_batches(moments, batch_format="pyarrow").to_pandas()
+        .groupby(["label", "dim"], as_index=False).sum()
+    )
+    # exact global per-dim sums
+    g = parts.groupby("dim", as_index=False)[["n", "sx"]].sum().rename(
+        columns={"n": "N", "sx": "gx"}
+    )
+    m = parts.merge(g, on="dim")
+    n = m["n"].to_numpy(dtype="float64")
+    sx = m["sx"].to_numpy(dtype="float64")
+    N = m["N"].to_numpy(dtype="float64")
+    gx = m["gx"].to_numpy(dtype="float64")
+    md = (sx * N - gx * n) / (n * N)  # centroid offset, e4 units
+    m["bterm_e9"] = np.floor(md * md * 10.0 + 0.5).astype("int64")
+    # exact integer reductions per label (python ints — no overflow)
+    out_rows = []
+    for lab, grp in m.groupby("label"):
+        nl = int(grp["n"].iloc[0])
+        wnum_l = sum(int(a) * int(b) - int(c) * int(c)
+                     for a, b, c in zip(grp["n"], grp["sxx"], grp["sx"]))
+        within = float(wnum_l) / (nl * nl * D)  # e8 units
+        between_e9 = int(grp["bterm_e9"].sum())
+        out_rows.append(
+            (int(lab), nl,
+             int(np.floor(within / 100.0 + 0.5)),     # e8 → e6
+             int(np.floor(between_e9 / (D * 1000.0) + 0.5)))  # mean over dims, e6
+        )
+    out = pd.DataFrame(out_rows, columns=["label", "n", "within_e6", "between_e6"])
+    return out.sort_values("label").reset_index(drop=True)

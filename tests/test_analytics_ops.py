@@ -2674,3 +2674,55 @@ def test_doc_augment_deterministic_and_drops(ray_session):
     assert 0.8 * n0 < n1 < n0
     again = doc_augment(SF, n_variants=2, drop_pct=10)
     pd.testing.assert_frame_equal(got, again)
+
+
+def test_events_psi_matches_pandas(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import events_psi
+
+    got = events_psi(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "ts", "value"])
+    ev["bin"] = np.minimum(9, np.floor(np.log2(1.0 + ev["value"].to_numpy()))).astype(int)
+    ev["cur"] = (ev["ts"] >= pd.Timestamp("2024-01-16")).astype(int)
+    for (et, b), g in got.groupby(["event_type", "bin"]):
+        sub = ev[(ev["event_type"] == et) & (ev["bin"] == b)]
+        assert int(g["n_ref"].iloc[0]) == int((sub["cur"] == 0).sum())
+        assert int(g["n_cur"].iloc[0]) == int((sub["cur"] == 1).sum())
+    # per-type: full 10-bin grid, psi total equals the term sum, psi >= 0ish
+    for et, g in got.groupby("event_type"):
+        assert g["bin"].tolist() == list(range(10))
+        assert (g["psi_e9"] == g["term_e9"].sum()).all()
+        tot = ev[ev["event_type"] == et]
+        tr, tc = (tot["cur"] == 0).sum(), (tot["cur"] == 1).sum()
+        p = (g["n_ref"] + 1.0) / (tr + 10.0)
+        q = (g["n_cur"] + 1.0) / (tc + 10.0)
+        exp = np.floor((q - p) * np.log(q / p) * 1e9 + 0.5).astype("int64")
+        assert g["term_e9"].tolist() == exp.tolist()
+
+
+def test_embedding_fisher_matches_numpy(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import embedding_fisher
+
+    got = embedding_fisher(SF)
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    x4 = np.floor(np.asarray(emb["embedding"].tolist(), dtype=np.float64) * 1e4
+                  + 0.5).astype("int64")
+    labels = emb["label"].to_numpy().astype("int64")
+    D = x4.shape[1]
+    N = len(x4)
+    gx = x4.sum(axis=0)
+    rows = []
+    for lab in np.unique(labels):
+        sub = x4[labels == lab]
+        n = len(sub)
+        sx = sub.sum(axis=0)
+        sxx = (sub * sub).sum(axis=0)
+        wnum = int((n * sxx - sx * sx).sum())
+        within = wnum / (n * n * D)
+        md = (sx.astype(float) * N - gx.astype(float) * n) / (float(n) * N)
+        be9 = int(np.floor(md * md * 10.0 + 0.5).astype("int64").sum())
+        rows.append((int(lab), n, int(np.floor(within / 100.0 + 0.5)),
+                     int(np.floor(be9 / (D * 1000.0) + 0.5))))
+    exp = pd.DataFrame(rows, columns=["label", "n", "within_e6", "between_e6"])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # scatter sanity: labelled clusters sit away from the global centroid
+    assert (got["between_e6"] > 0).any()
