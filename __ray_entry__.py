@@ -639,6 +639,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_augment": A.doc_augment,
         "events_psi": A.events_psi,
         "embedding_fisher": A.embedding_fisher,
+        "events_cume_dist": A.events_cume_dist,
+        "purchase_no_recent_click": A.purchase_no_recent_click,
+        "token_zipf_fit": A.token_zipf_fit,
         "langid": _q_langid,
         "doc_fingerprints": _q_fingerprints,
         "media_image_features": _q_media_image,
@@ -1391,6 +1394,42 @@ def oracle_sql() -> dict[str, str]:
             "ROW_NUMBER() OVER (PARTITION BY q.query_idx ORDER BY "
             "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) DESC, e.vec_id ASC) AS rn "
             "FROM embeddings e CROSS JOIN q) WHERE rn <= 10"
+        ),
+        "events_cume_dist": (
+            "SELECT event_id, CAST(FLOOR(CUME_DIST() OVER ("
+            "PARTITION BY event_type "
+            "ORDER BY CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) * 1e9 + 0.5) "
+            "AS BIGINT) AS cd_e9 FROM events ORDER BY event_id"
+        ),
+        "purchase_no_recent_click": (
+            # range anti-join: no click in the preceding hour
+            "SELECT event_id FROM events e WHERE event_type = 'purchase' "
+            "AND NOT EXISTS (SELECT 1 FROM events c "
+            "WHERE c.user_id = e.user_id AND c.event_type = 'click' "
+            "AND c.ts >= e.ts - INTERVAL 1 HOUR AND c.ts < e.ts) "
+            "ORDER BY event_id"
+        ),
+        "token_zipf_fit": (
+            # OLS slope of ln(freq) on ln(rank), top-100 tokens,
+            # e9-integer per-term sums (order-free exact)
+            "WITH tok AS (SELECT t AS token, COUNT(*) AS n FROM "
+            "(SELECT unnest(string_split(text, ' ')) AS t FROM documents) "
+            "WHERE t <> '' GROUP BY t), "
+            "top AS (SELECT token, CAST(n AS BIGINT) AS n, "
+            "CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS BIGINT) "
+            "AS rank FROM tok ORDER BY n DESC, token ASC LIMIT 100), "
+            "s AS (SELECT "
+            "CAST(SUM(CAST(FLOOR(LN(rank) * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS sx, "
+            "CAST(SUM(CAST(FLOOR(LN(n) * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS sy, "
+            "CAST(SUM(CAST(FLOOR(LN(rank) * LN(n) * 1e9 + 0.5) AS BIGINT)) "
+            "AS BIGINT) AS sxy, "
+            "CAST(SUM(CAST(FLOOR(LN(rank) * LN(rank) * 1e9 + 0.5) AS BIGINT)) "
+            "AS BIGINT) AS sxx, "
+            "CAST(COUNT(*) AS DOUBLE) AS kk FROM top) "
+            "SELECT rank, token, n, "
+            "CAST(FLOOR((kk * (sxy / 1e9) - (sx / 1e9) * (sy / 1e9)) / "
+            "(kk * (sxx / 1e9) - (sx / 1e9) * (sx / 1e9)) * 1e6 + 0.5) "
+            "AS BIGINT) AS slope_e6 FROM top, s ORDER BY rank"
         ),
         "events_psi": (
             # PSI per event type: 10 log2 value bins, Laplace-smoothed,

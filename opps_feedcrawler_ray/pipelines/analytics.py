@@ -5949,3 +5949,181 @@ def embedding_fisher(sf_dir: str) -> pd.DataFrame:
         )
     out = pd.DataFrame(out_rows, columns=["label", "n", "within_e6", "between_e6"])
     return out.sort_values("label").reset_index(drop=True)
+
+
+def events_cume_dist(sf_dir: str) -> pd.DataFrame:
+    """CUME_DIST window function per event type WITHOUT a total sort —
+    the two-phase domain-bounded pattern of :func:`events_global_rank`:
+    phase 1 reduces the stream to per-(type, value) counts, the driver
+    cumsums the ≤|domain| rows, phase 2 re-streams events and assigns
+    count_le/n by broadcast binary search.  cd_e9 = half-up e9 of the
+    single float division, identical to the oracle's."""
+    import ray
+
+    from .dedup import coarse_buckets
+
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "event_type", "value"])
+    nb = coarse_buckets(ev.count(), rows_per_task=65536)
+
+    def counts_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"event_type": batch["event_type"].to_pylist(),
+             "v": np.floor(
+                 batch["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+             ).astype("int64")}
+        )
+        g = df.groupby(["event_type", "v"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+        g["__b"] = g["v"].to_numpy() % nb
+        return pa.Table.from_pandas(
+            g, preserve_index=False,
+            schema=pa.schema([("event_type", pa.string()), ("v", pa.int64()),
+                              ("n", pa.int64()), ("__b", pa.int64())]),
+        )
+
+    def merge_counts(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["event_type", "v"], as_index=False)["n"].sum()
+
+    counts = (
+        ev.map_batches(counts_partial, batch_format="pyarrow")
+        .groupby("__b").map_groups(merge_counts, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["event_type", "v"])
+    )
+    counts["le"] = counts.groupby("event_type")["n"].cumsum().astype("int64")
+    totals = counts.groupby("event_type")["n"].sum().to_dict()
+    # broadcast per-type (sorted values, cumulative counts) tables
+    lut = {
+        et: (g["v"].to_numpy(), g["le"].to_numpy(), int(totals[et]))
+        for et, g in counts.groupby("event_type")
+    }
+    lut_ref = ray.put(lut)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        tab = ray.get(lut_ref)
+        ids = batch["event_id"].to_numpy(zero_copy_only=False).astype("int64")
+        v = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype("int64")
+        ets = batch["event_type"].to_numpy(zero_copy_only=False)
+        cd = np.empty(len(ids), dtype="int64")
+        for et in np.unique(ets):
+            vs, le, n = tab[et]
+            m = ets == et
+            idx = np.searchsorted(vs, v[m], side="left")
+            cd[m] = np.floor(le[idx] / float(n) * 1e9 + 0.5).astype("int64")
+        return pa.table({"event_id": pa.array(ids, pa.int64()),
+                         "cd_e9": pa.array(cd, pa.int64())})
+
+    return (
+        ev.map_batches(assign, batch_format="pyarrow")
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+
+
+def purchase_no_recent_click(sf_dir: str) -> pd.DataFrame:
+    """RANGE ANTI-JOIN: purchases with NO click by the same user in the
+    preceding hour — the negative form of the event-window joins
+    (:func:`events_trailing_3d` counts, this one vetoes).  ONE
+    user-bucket exchange; inside each bucket the composite-key
+    (uid·R + ts) searchsorted window counts clicks for ALL users'
+    purchases at once, and count == 0 selects — no per-user loop."""
+    from .dedup import coarse_buckets
+
+    ev = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "ts"]
+    )
+    nb = coarse_buckets(ev.count(), rows_per_task=131072)
+    W = 3_600_000_000  # 1 hour in µs
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = batch["user_id"].to_numpy(zero_copy_only=False).astype("int64") % nb
+        return batch.append_column("__b", pa.array(b, pa.int64()))
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["event_type"].isin(["click", "purchase"])]
+        if not len(g):
+            return pd.DataFrame({"event_id": pd.array([], dtype="int64")})
+        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        uid = g["user_id"].to_numpy().astype("int64")
+        lo, hi = ts.min(), ts.max()
+        R = (hi - lo) + W + 2  # composite stride: no cross-user bleed
+        key = uid * R + (ts - lo)
+        clicks = np.sort(key[(g["event_type"] == "click").to_numpy()])
+        pm = (g["event_type"] == "purchase").to_numpy()
+        pk = key[pm]
+        left = np.searchsorted(clicks, pk - W, side="left")
+        right = np.searchsorted(clicks, pk, side="left")
+        keep = (right - left) == 0
+        return pd.DataFrame(
+            {"event_id": g.loc[pm, "event_id"].to_numpy()[keep].astype("int64")}
+        )
+
+    return (
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b").map_groups(anti, batch_format="pandas")
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+
+
+def token_zipf_fit(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """ZIPF'S-LAW FIT over the corpus vocabulary: OLS slope of
+    ln(frequency) on ln(rank) for the top-k tokens — the canonical
+    sanity check that a text corpus is natural language (slope ≈ −1)
+    rather than boilerplate or noise.  Token counts reduce through ONE
+    token-bucket exchange with per-bucket top-k partials (≤ k rows per
+    bucket reach the driver); every OLS sum is built from e9-integer
+    per-term roundings, so the fit is exact under any summation
+    order."""
+    from .dedup import coarse_buckets
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    nb = coarse_buckets(docs.count(), rows_per_task=8192)
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        from ..functions.hashing import fingerprint64
+
+        c: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            c.update(w for w in (t or "").split(" ") if w)
+        toks = np.array(list(c.keys()), dtype=object)
+        ns = np.fromiter(c.values(), dtype=np.int64, count=len(c))
+        # deterministic token hash — Python's hash() is per-process salted
+        # and would split a token's counts across buckets between workers
+        b = np.fromiter(
+            (fingerprint64(t) & 0x7FFFFFFF for t in toks),
+            dtype=np.int64, count=len(toks),
+        ) % nb
+        return pa.table({"token": pa.array(toks, pa.string()),
+                         "n": pa.array(ns, pa.int64()),
+                         "__b": pa.array(b, pa.int64())})
+
+    def topk_partial(g: pd.DataFrame) -> pd.DataFrame:
+        co = g.groupby("token", as_index=False)["n"].sum()
+        co = co.sort_values(["n", "token"], ascending=[False, True]).head(k)
+        return co.astype({"n": "int64"})
+
+    cand = (
+        docs.map_batches(tok_partial, batch_format="pyarrow")
+        .groupby("__b").map_groups(topk_partial, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["n", "token"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    cand["rank"] = np.arange(1, len(cand) + 1, dtype="int64")
+    x = np.log(cand["rank"].to_numpy(dtype="float64"))
+    y = np.log(cand["n"].to_numpy(dtype="float64"))
+    sx = int(np.floor(x * 1e9 + 0.5).astype("int64").sum())
+    sy = int(np.floor(y * 1e9 + 0.5).astype("int64").sum())
+    sxy = int(np.floor(x * y * 1e9 + 0.5).astype("int64").sum())
+    sxx = int(np.floor(x * x * 1e9 + 0.5).astype("int64").sum())
+    K = float(len(cand))
+    fx, fy, fxy, fxx = (s / 1e9 for s in (sx, sy, sxy, sxx))
+    slope = (K * fxy - fx * fy) / (K * fxx - fx * fx)
+    out = cand[["rank", "token", "n"]].copy()
+    out["slope_e6"] = np.int64(int(np.floor(slope * 1e6 + 0.5)))
+    return out
