@@ -642,6 +642,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cume_dist": A.events_cume_dist,
         "purchase_no_recent_click": A.purchase_no_recent_click,
         "token_zipf_fit": A.token_zipf_fit,
+        "orders_gaps_islands": A.orders_gaps_islands,
+        "customer_rfm": A.customer_rfm,
+        "source_vocab_jaccard": A.source_vocab_jaccard,
         "langid": _q_langid,
         "doc_fingerprints": _q_fingerprints,
         "media_image_features": _q_media_image,
@@ -1394,6 +1397,48 @@ def oracle_sql() -> dict[str, str]:
             "ROW_NUMBER() OVER (PARTITION BY q.query_idx ORDER BY "
             "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) DESC, e.vec_id ASC) AS rn "
             "FROM embeddings e CROSS JOIN q) WHERE rn <= 10"
+        ),
+        "orders_gaps_islands": (
+            # gaps-and-islands: runs of orders <=30 days apart per customer
+            "WITH o AS (SELECT o_custkey, o_orderdate, o_orderkey, "
+            "CASE WHEN datediff('day', LAG(o_orderdate) OVER ("
+            "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), o_orderdate) <= 30 "
+            "THEN 0 ELSE 1 END AS brk FROM orders), "
+            "g AS (SELECT o_custkey, SUM(brk) OVER ("
+            "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+            "ROWS UNBOUNDED PRECEDING) AS isl FROM o), "
+            "s AS (SELECT o_custkey, isl, COUNT(*) AS sz FROM g GROUP BY 1, 2) "
+            "SELECT o_custkey AS custkey, CAST(COUNT(*) AS BIGINT) AS n_islands, "
+            "CAST(MAX(sz) AS BIGINT) AS max_island FROM s GROUP BY 1 ORDER BY custkey"
+        ),
+        "customer_rfm": (
+            # RFM quartiles: NTILE(4) per metric, custkey tiebreak;
+            # monetary tiles bin on $1000 grain (bounded tile domain)
+            "WITH a AS (SELECT o_custkey AS custkey, "
+            "CAST(datediff('day', MAX(o_orderdate), "
+            "(SELECT MAX(o_orderdate) FROM orders)) AS BIGINT) "
+            "AS recency_days, CAST(COUNT(*) AS BIGINT) AS freq, "
+            "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) "
+            "AS monetary_e2 FROM orders GROUP BY o_custkey) "
+            "SELECT custkey, recency_days, freq, monetary_e2, "
+            "CAST(NTILE(4) OVER (ORDER BY recency_days ASC, custkey ASC) AS BIGINT) AS r_tile, "
+            "CAST(NTILE(4) OVER (ORDER BY freq DESC, custkey ASC) AS BIGINT) AS f_tile, "
+            "CAST(NTILE(4) OVER (ORDER BY CAST(FLOOR(monetary_e2 / 100000) AS BIGINT) DESC, "
+            "custkey ASC) AS BIGINT) AS m_tile FROM a ORDER BY custkey"
+        ),
+        "source_vocab_jaccard": (
+            # distinct-token vocabulary Jaccard per source pair
+            "WITH v AS (SELECT DISTINCT source, t FROM (SELECT source, "
+            "unnest(string_split(text, ' ')) AS t FROM documents) WHERE t <> ''), "
+            "c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY source), "
+            "i AS (SELECT a.source AS source_a, b.source AS source_b, "
+            "CAST(COUNT(*) AS BIGINT) AS shared_terms FROM v a "
+            "JOIN v b ON a.t = b.t AND a.source < b.source GROUP BY 1, 2) "
+            "SELECT i.source_a, i.source_b, i.shared_terms, "
+            "CAST(FLOOR(i.shared_terms * 1e6 / (ca.n + cb.n - i.shared_terms) + 0.5) "
+            "AS BIGINT) AS jaccard_e6 FROM i "
+            "JOIN c ca ON ca.source = i.source_a JOIN c cb ON cb.source = i.source_b "
+            "ORDER BY source_a, source_b"
         ),
         "events_cume_dist": (
             "SELECT event_id, CAST(FLOOR(CUME_DIST() OVER ("

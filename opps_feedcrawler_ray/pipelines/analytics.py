@@ -6127,3 +6127,280 @@ def token_zipf_fit(sf_dir: str, k: int = 100) -> pd.DataFrame:
     out = cand[["rank", "token", "n"]].copy()
     out["slope_e6"] = np.int64(int(np.floor(slope * 1e6 + 0.5)))
     return out
+
+
+def orders_gaps_islands(sf_dir: str) -> pd.DataFrame:
+    """GAPS-AND-ISLANDS: per customer, maximal runs of orders where
+    consecutive order dates are ≤ 30 days apart.  The classic
+    LAG + windowed-SUM SQL idiom runs here as ONE customer-bucket
+    exchange; inside each bucket a single lexsorted pass computes
+    break flags and island ids for ALL customers at once (grouped
+    diff/cumsum — no per-customer loop)."""
+    from .dedup import coarse_buckets
+
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    nb = coarse_buckets(orders.count(), rows_per_task=131072)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = batch["o_custkey"].to_numpy(zero_copy_only=False).astype("int64") % nb
+        return batch.append_column("__b", pa.array(b, pa.int64()))
+
+    def islands(g: pd.DataFrame) -> pd.DataFrame:
+        out_schema = {"custkey": "int64", "n_islands": "int64", "max_island": "int64"}
+        if not len(g):
+            return pd.DataFrame({k: pd.array([], dtype=v) for k, v in out_schema.items()})
+        days = (g["o_orderdate"].astype("datetime64[s]").astype("int64") // 86400).to_numpy()
+        ck = g["o_custkey"].to_numpy().astype("int64")
+        ok = g["o_orderkey"].to_numpy().astype("int64")
+        order = np.lexsort((ok, days, ck))
+        ck, days = ck[order], days[order]
+        new_cust = np.r_[True, ck[1:] != ck[:-1]]
+        gap = np.r_[0, np.diff(days)]
+        brk = new_cust | (gap > 30)
+        isl = np.cumsum(brk)  # globally unique island ids across customers
+        sz = pd.DataFrame({"ck": ck, "isl": isl}).groupby(
+            ["ck", "isl"], as_index=False, sort=False
+        ).size()
+        out = sz.groupby("ck", as_index=False).agg(
+            n_islands=("isl", "size"), max_island=("size", "max")
+        ).rename(columns={"ck": "custkey"})
+        return out.astype(out_schema)
+
+    return (
+        orders.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b").map_groups(islands, batch_format="pandas")
+        .to_pandas().sort_values("custkey").reset_index(drop=True)
+    )
+
+
+def _ntile4(rank_1based: np.ndarray, n: int) -> np.ndarray:
+    """SQL NTILE(4) bucket for a 1-based global rank: the first n%4
+    buckets get ceil(n/4) rows, the rest floor(n/4) (DuckDB rule)."""
+    q, m = divmod(int(n), 4)
+    big = (q + 1) * m
+    r = rank_1based.astype("int64")
+    return np.where(
+        r <= big, (r - 1) // (q + 1), m + (r - big - 1) // max(q, 1)
+    ).astype("int64") + 1
+
+
+def customer_rfm(sf_dir: str) -> pd.DataFrame:
+    """RFM SEGMENTATION: per customer Recency (days since last order,
+    vs the corpus max date), Frequency (order count) and Monetary
+    (exact cents), each quartile-binned with NTILE(4) and a custkey
+    tiebreak (monetary tiles bin on $1000 grain so the tile domain is
+    bounded).  Scale shape — NO global sort: (1) one custkey-bucket
+    exchange reduces orders to per-customer aggregates; (2) per-batch
+    metric histograms (domain-bounded: days / order-count / $1000
+    grains) give each distinct metric value its strictly-lower count;
+    (3) one (metric, value)-bucket exchange tie-ranks customers inside
+    each value by custkey; (4) one custkey-bucket pivot reassembles the
+    three tiles per customer."""
+    import ray
+
+    from .dedup import coarse_buckets
+
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    nb = coarse_buckets(orders.count(), rows_per_task=65536)
+
+    agg_schema = pa.schema([
+        ("custkey", pa.int64()), ("last_day", pa.int64()),
+        ("freq", pa.int64()), ("monetary_e2", pa.int64()),
+    ])
+
+    def agg_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["last_day"] = df["o_orderdate"].astype("datetime64[s]").astype("int64") // 86400
+        df["m_e2"] = np.floor(df["o_totalprice"].to_numpy() * 100 + 0.5).astype("int64")
+        g = df.groupby("o_custkey", as_index=False).agg(
+            last_day=("last_day", "max"), freq=("m_e2", "size"), monetary_e2=("m_e2", "sum")
+        ).rename(columns={"o_custkey": "custkey"})
+        g["__b"] = g["custkey"].to_numpy() % nb
+        return pa.Table.from_pandas(
+            g, preserve_index=False, schema=agg_schema.append(pa.field("__b", pa.int64()))
+        )
+
+    def agg_merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("custkey", as_index=False).agg(
+            last_day=("last_day", "max"), freq=("freq", "sum"), monetary_e2=("monetary_e2", "sum")
+        )
+
+    agg = (
+        orders.map_batches(agg_partial, batch_format="pyarrow")
+        .groupby("__b").map_groups(agg_merge, batch_format="pandas")
+        .materialize()
+    )
+    gmax_day = int(agg.max("last_day"))
+
+    # metric encoding: 0=recency ASC, 1=freq DESC, 2=monetary-grain DESC —
+    # all normalized to ASC int values so one rank rule serves all three
+    def metric_values(df: pd.DataFrame) -> dict[int, np.ndarray]:
+        return {
+            0: (gmax_day - df["last_day"].to_numpy()).astype("int64"),
+            1: (-df["freq"].to_numpy()).astype("int64"),
+            2: (-(df["monetary_e2"].to_numpy() // 100000)).astype("int64"),
+        }
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        vals = metric_values(df)
+        parts = [
+            pd.DataFrame({"metric": m, "v": v}).groupby(
+                ["metric", "v"], as_index=False
+            ).size() for m, v in vals.items()
+        ]
+        return pa.Table.from_pandas(
+            pd.concat(parts, ignore_index=True), preserve_index=False,
+            schema=pa.schema([("metric", pa.int64()), ("v", pa.int64()), ("size", pa.int64())]),
+        )
+
+    hist = (
+        agg.map_batches(hist_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["metric", "v"], as_index=False)["size"].sum()
+        .sort_values(["metric", "v"])
+    )
+    n_total = int(hist.loc[hist["metric"] == 0, "size"].sum())
+    hist["n_before"] = hist.groupby("metric")["size"].cumsum() - hist["size"]
+    nb_ref = ray.put(hist.set_index(["metric", "v"])["n_before"].to_dict())
+
+    def tie_rows(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        vals = metric_values(df)
+        parts = []
+        for m, v in vals.items():
+            p = df[["custkey", "last_day", "freq", "monetary_e2"]].copy()
+            p["metric"], p["v"] = m, v
+            parts.append(p)
+        out = pd.concat(parts, ignore_index=True)
+        out["__b"] = (out["metric"].to_numpy() * 1000003 + out["v"].to_numpy()) % nb
+        return pa.Table.from_pandas(
+            out, preserve_index=False,
+            schema=pa.schema([
+                ("custkey", pa.int64()), ("last_day", pa.int64()), ("freq", pa.int64()),
+                ("monetary_e2", pa.int64()), ("metric", pa.int64()), ("v", pa.int64()),
+                ("__b", pa.int64()),
+            ]),
+        )
+
+    def tie_rank(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ["custkey", "last_day", "freq", "monetary_e2", "metric", "tile"]
+        if not len(g):
+            return pd.DataFrame({c: pd.array([], dtype="int64") for c in cols})
+        import ray as _ray
+        n_before = _ray.get(nb_ref)
+        g = g.sort_values(["metric", "v", "custkey"])
+        tr = g.groupby(["metric", "v"]).cumcount().to_numpy()
+        base = g.set_index(["metric", "v"]).index.map(n_before).to_numpy().astype("int64")
+        g = g.reset_index(drop=True)
+        g["tile"] = _ntile4(base + tr + 1, n_total)
+        return g[cols].astype("int64")
+
+    def pivot(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"custkey": "int64", "recency_days": "int64", "freq": "int64",
+                "monetary_e2": "int64", "r_tile": "int64", "f_tile": "int64",
+                "m_tile": "int64"}
+        if not len(g):
+            return pd.DataFrame({k: pd.array([], dtype=v) for k, v in cols.items()})
+        w = g.pivot_table(index="custkey", columns="metric", values="tile",
+                          aggfunc="first").rename(columns={0: "r_tile", 1: "f_tile", 2: "m_tile"})
+        meta = g.groupby("custkey").agg(
+            last_day=("last_day", "first"), freq=("freq", "first"),
+            monetary_e2=("monetary_e2", "first")
+        )
+        out = meta.join(w).reset_index()
+        out["recency_days"] = gmax_day - out["last_day"]
+        return out[list(cols)].astype(cols)
+
+    def tag_custkey(batch: pa.Table) -> pa.Table:
+        b = batch["custkey"].to_numpy(zero_copy_only=False) % nb
+        return batch.append_column("__b2", pa.array(b, pa.int64()))
+
+    return (
+        agg.map_batches(tie_rows, batch_format="pyarrow")
+        .groupby("__b").map_groups(tie_rank, batch_format="pandas")
+        .map_batches(tag_custkey, batch_format="pyarrow")
+        .groupby("__b2").map_groups(pivot, batch_format="pandas")
+        .to_pandas().sort_values("custkey").reset_index(drop=True)
+    )
+
+
+def source_vocab_jaccard(sf_dir: str) -> pd.DataFrame:
+    """CROSS-SOURCE VOCABULARY OVERLAP (mirror / shared-boilerplate
+    detection): Jaccard similarity of the distinct-token vocabularies
+    of every source pair.  ONE token-bucket exchange holds each token's
+    full source set in one task (per-batch (token, source) dedup first,
+    so duplicate tokens never ride the shuffle twice per source); pair
+    emission inside a bucket is the vectorized per-cell kernel shared
+    with the LSH dedup paths.  Only O(|sources|² + |sources|) counter
+    rows per bucket reach the driver."""
+    from .dedup import _pairs_in_cells, coarse_buckets
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["text", "source"])
+    nb = coarse_buckets(docs.count(), rows_per_task=8192)
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import fingerprint64
+
+        texts = batch["text"].to_pylist()
+        srcs = batch["source"].to_pylist()
+        toks, owners = [], []
+        for t, s in zip(texts, srcs):
+            ws = [w for w in (t or "").split(" ") if w]
+            toks.extend(ws)
+            owners.extend([s] * len(ws))
+        df = pd.DataFrame({"token": toks, "source": owners}).drop_duplicates()
+        uniq = df["token"].unique()
+        h = {t: (fingerprint64(t) & 0x7FFFFFFF) % nb for t in uniq}
+        df["__b"] = df["token"].map(h).astype("int64")
+        return pa.Table.from_pandas(
+            df, preserve_index=False,
+            schema=pa.schema([("token", pa.string()), ("source", pa.string()),
+                              ("__b", pa.int64())]),
+        )
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"source_a": "object", "source_b": "object", "n": "int64"}
+        if not len(g):
+            return pd.DataFrame({"source_a": pd.array([], dtype="string"),
+                                 "source_b": pd.array([], dtype="string"),
+                                 "n": pd.array([], dtype="int64")})
+        g = g.drop_duplicates(["token", "source"])
+        # vocab-size rows: source_b = "" sentinel
+        voc = g.groupby("source", as_index=False)["token"].nunique().rename(
+            columns={"source": "source_a", "token": "n"})
+        voc["source_b"] = ""
+        # pair rows: per token, all source pairs (codes are lexicographic)
+        su = np.sort(g["source"].unique())
+        g = g.assign(scode=np.searchsorted(su, g["source"].to_numpy()).astype("int64"))
+        pairs = _pairs_in_cells(g, ["token"], "scode")
+        pc = pairs.groupby(["a", "b"], as_index=False).size()
+        pc["source_a"] = su[pc["a"].to_numpy()]
+        pc["source_b"] = su[pc["b"].to_numpy()]
+        pc = pc.rename(columns={"size": "n"})
+        return pd.concat(
+            [voc[["source_a", "source_b", "n"]], pc[["source_a", "source_b", "n"]]],
+            ignore_index=True,
+        ).astype(cols)
+
+    rows = (
+        docs.map_batches(tok_partial, batch_format="pyarrow")
+        .groupby("__b").map_groups(bucket_counts, batch_format="pandas")
+        .to_pandas()
+    )
+    voc = rows[rows["source_b"] == ""].groupby("source_a")["n"].sum()
+    inter = (
+        rows[rows["source_b"] != ""]
+        .groupby(["source_a", "source_b"], as_index=False)["n"].sum()
+        .rename(columns={"n": "shared_terms"})
+    )
+    na = voc.reindex(inter["source_a"]).to_numpy().astype("int64")
+    nbv = voc.reindex(inter["source_b"]).to_numpy().astype("int64")
+    sh = inter["shared_terms"].to_numpy().astype("int64")
+    inter["jaccard_e6"] = np.floor(sh * 1e6 / (na + nbv - sh) + 0.5).astype("int64")
+    inter["shared_terms"] = inter["shared_terms"].astype("int64")
+    return inter.sort_values(["source_a", "source_b"]).reset_index(drop=True)

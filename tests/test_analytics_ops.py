@@ -2726,3 +2726,78 @@ def test_embedding_fisher_matches_numpy(ray_session):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     # scatter sanity: labelled clusters sit away from the global centroid
     assert (got["between_e6"] > 0).any()
+
+
+def test_ntile4_matches_duckdb_rule():
+    import duckdb
+
+    from opps_feedcrawler_ray.pipelines.analytics import _ntile4
+
+    con = duckdb.connect()
+    for n in (1, 2, 3, 4, 5, 7, 8, 100, 101, 102, 103):
+        exp = [r[0] for r in con.execute(
+            f"SELECT NTILE(4) OVER (ORDER BY x) FROM range({n}) t(x) ORDER BY x"
+        ).fetchall()]
+        got = _ntile4(np.arange(1, n + 1, dtype="int64"), n).tolist()
+        assert got == exp, f"n={n}"
+
+
+def test_orders_gaps_islands_matches_brute(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import orders_gaps_islands
+
+    got = orders_gaps_islands(SF)
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    o["day"] = o["o_orderdate"].astype("datetime64[s]").astype("int64") // 86400
+    rows = []
+    for ck, g in o.sort_values(["day", "o_orderkey"]).groupby("o_custkey"):
+        days = g["day"].to_numpy()
+        sizes, cur = [], 1
+        for i in range(1, len(days)):
+            if days[i] - days[i - 1] <= 30:
+                cur += 1
+            else:
+                sizes.append(cur)
+                cur = 1
+        sizes.append(cur)
+        rows.append((int(ck), len(sizes), max(sizes)))
+    exp = pd.DataFrame(rows, columns=["custkey", "n_islands", "max_island"]).sort_values(
+        "custkey"
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_customer_rfm_tiles_are_balanced_quartiles(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import customer_rfm
+
+    got = customer_rfm(SF)
+    n = len(got)
+    q, m = divmod(n, 4)
+    for col in ("r_tile", "f_tile", "m_tile"):
+        counts = got[col].value_counts().sort_index()
+        assert counts.index.tolist() == [1, 2, 3, 4]
+        exp_sizes = [q + 1 if i < m else q for i in range(4)]
+        assert counts.tolist() == exp_sizes, col
+    # recency tile 1 holds the most recent buyers
+    assert got.loc[got["r_tile"] == 1, "recency_days"].max() <= \
+        got.loc[got["r_tile"] == 4, "recency_days"].min()
+
+
+def test_source_vocab_jaccard_matches_brute(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import source_vocab_jaccard
+
+    got = source_vocab_jaccard(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    vocab = {
+        s: set(w for t in g["text"] for w in (t or "").split(" ") if w)
+        for s, g in docs.groupby("source")
+    }
+    names = sorted(vocab)
+    rows = []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            inter = len(vocab[a] & vocab[b])
+            if inter:
+                un = len(vocab[a] | vocab[b])
+                rows.append((a, b, inter, int(np.floor(inter * 1e6 / un + 0.5))))
+    exp = pd.DataFrame(rows, columns=["source_a", "source_b", "shared_terms", "jaccard_e6"])
+    pd.testing.assert_frame_equal(got, exp.reset_index(drop=True), check_dtype=False)
