@@ -146,6 +146,12 @@ QUERY_NAMES = [
     "doc_clean_md5",
     "split_contamination",
     "source_stats_incremental",
+    "events_cume_dist",
+    "purchase_no_recent_click",
+    "token_zipf_fit",
+    "orders_gaps_islands",
+    "customer_rfm",
+    "source_vocab_jaccard",
 ]
 
 
