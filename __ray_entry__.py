@@ -645,6 +645,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_gaps_islands": A.orders_gaps_islands,
         "customer_rfm": A.customer_rfm,
         "source_vocab_jaccard": A.source_vocab_jaccard,
+        "sequential_pattern_support": A.sequential_pattern_support,
+        "events_dow_seasonality": A.events_dow_seasonality,
+        "events_anomaly_ids": A.events_anomaly_ids,
         "langid": _q_langid,
         "doc_fingerprints": _q_fingerprints,
         "media_image_features": _q_media_image,
@@ -1397,6 +1400,52 @@ def oracle_sql() -> dict[str, str]:
             "ROW_NUMBER() OVER (PARTITION BY q.query_idx ORDER BY "
             "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) DESC, e.vec_id ASC) AS rn "
             "FROM embeddings e CROSS JOIN q) WHERE rn <= 10"
+        ),
+        "sequential_pattern_support": (
+            # users whose first occurrence of type a precedes first of b
+            "WITH f AS (SELECT user_id, event_type, MIN(ts) AS t0 "
+            "FROM events GROUP BY 1, 2) "
+            "SELECT a.event_type AS etype_a, b.event_type AS etype_b, "
+            "CAST(COUNT(*) AS BIGINT) AS support FROM f a "
+            "JOIN f b ON a.user_id = b.user_id AND a.t0 < b.t0 "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "events_dow_seasonality": (
+            # weekday mean value relative to the type's overall mean
+            "WITH e AS (SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow, "
+            "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v_e2 FROM events), "
+            "d AS (SELECT event_type, dow, CAST(SUM(v_e2) AS BIGINT) AS s, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2), "
+            "t AS (SELECT event_type, CAST(SUM(s) AS BIGINT) AS st, "
+            "CAST(SUM(n) AS BIGINT) AS nt FROM d GROUP BY 1) "
+            "SELECT d.event_type, d.dow, d.n, "
+            "CAST(FLOOR((CAST(d.s AS DOUBLE) * t.nt) / (CAST(d.n AS DOUBLE) * t.st) "
+            "* 1e6 + 0.5) AS BIGINT) AS index_e6 "
+            "FROM d JOIN t USING(event_type) ORDER BY event_type, dow"
+        ),
+        "events_anomaly_ids": (
+            # integer-exact Hampel cut: 2*|2v - med2| > 3*mad4 per type
+            "WITH e AS (SELECT event_id, event_type, "
+            "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v FROM events), "
+            "r AS (SELECT event_type, v, ROW_NUMBER() OVER ("
+            "PARTITION BY event_type ORDER BY v) AS rn, "
+            "COUNT(*) OVER (PARTITION BY event_type) AS n FROM e), "
+            "m AS (SELECT event_type, CAST(SUM(CASE "
+            "WHEN n % 2 = 1 AND rn = (n + 1) // 2 THEN 2 * v "
+            "WHEN n % 2 = 0 AND rn IN (n // 2, n // 2 + 1) THEN v "
+            "ELSE 0 END) AS BIGINT) AS med2 FROM r GROUP BY event_type), "
+            "d AS (SELECT e.event_type, ABS(2 * e.v - m.med2) AS d2 "
+            "FROM e JOIN m USING(event_type)), "
+            "dr AS (SELECT event_type, d2, ROW_NUMBER() OVER ("
+            "PARTITION BY event_type ORDER BY d2) AS rn, "
+            "COUNT(*) OVER (PARTITION BY event_type) AS n FROM d), "
+            "md AS (SELECT event_type, CAST(SUM(CASE "
+            "WHEN n % 2 = 1 AND rn = (n + 1) // 2 THEN 2 * d2 "
+            "WHEN n % 2 = 0 AND rn IN (n // 2, n // 2 + 1) THEN d2 "
+            "ELSE 0 END) AS BIGINT) AS mad4 FROM dr GROUP BY event_type) "
+            "SELECT e.event_id, e.event_type FROM e "
+            "JOIN m USING(event_type) JOIN md USING(event_type) "
+            "WHERE 2 * ABS(2 * e.v - m.med2) > 3 * md.mad4 ORDER BY event_id"
         ),
         "orders_gaps_islands": (
             # gaps-and-islands: runs of orders <=30 days apart per customer

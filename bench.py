@@ -152,6 +152,9 @@ QUERY_NAMES = [
     "orders_gaps_islands",
     "customer_rfm",
     "source_vocab_jaccard",
+    "sequential_pattern_support",
+    "events_dow_seasonality",
+    "events_anomaly_ids",
 ]
 
 

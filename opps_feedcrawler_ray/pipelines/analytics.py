@@ -6404,3 +6404,147 @@ def source_vocab_jaccard(sf_dir: str) -> pd.DataFrame:
     inter["jaccard_e6"] = np.floor(sh * 1e6 / (na + nbv - sh) + 0.5).astype("int64")
     inter["shared_terms"] = inter["shared_terms"].astype("int64")
     return inter.sort_values(["source_a", "source_b"]).reset_index(drop=True)
+
+
+def sequential_pattern_support(sf_dir: str) -> pd.DataFrame:
+    """SEQUENTIAL-PATTERN SUPPORT (PrefixSpan's length-2 core): for
+    every ordered pair of event types (a, b), the number of users whose
+    FIRST occurrence of a precedes their first occurrence of b.  ONE
+    user-bucket exchange over per-batch (user, type, min ts) partials;
+    inside a bucket the pair emission is the shared vectorized per-cell
+    kernel over users sorted by first-occurrence time, so ties are
+    adjacent and the strict < filter is one array compare.  Only
+    O(|types|²) counter rows per bucket reach the driver."""
+    from .dedup import _cell_pair_indices, coarse_buckets
+
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "event_type", "ts"])
+    nb = coarse_buckets(ev.count(), rows_per_task=131072)
+
+    def first_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["t0"] = df["ts"].astype("datetime64[us]").astype("int64")
+        g = df.groupby(["user_id", "event_type"], as_index=False)["t0"].min()
+        g["__b"] = g["user_id"].to_numpy() % nb
+        return pa.Table.from_pandas(
+            g, preserve_index=False,
+            schema=pa.schema([("user_id", pa.int64()), ("event_type", pa.string()),
+                              ("t0", pa.int64()), ("__b", pa.int64())]),
+        )
+
+    def pair_counts(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"etype_a": pd.array([], dtype="string"),
+                                 "etype_b": pd.array([], dtype="string"),
+                                 "support": pd.array([], dtype="int64")})
+        g = g.groupby(["user_id", "event_type"], as_index=False)["t0"].min()
+        g = g.sort_values(["user_id", "t0", "event_type"]).reset_index(drop=True)
+        uid, codes = pd.factorize(g["user_id"], sort=False)[0], None
+        a_idx, b_idx = _cell_pair_indices(uid)
+        t0 = g["t0"].to_numpy()
+        keep = t0[a_idx] < t0[b_idx]  # ties (equal first-occurrence) excluded
+        et = g["event_type"].to_numpy()
+        pairs = pd.DataFrame({"etype_a": et[a_idx[keep]], "etype_b": et[b_idx[keep]]})
+        out = pairs.groupby(["etype_a", "etype_b"], as_index=False).size().rename(
+            columns={"size": "support"})
+        return out.astype({"support": "int64"})
+
+    rows = (
+        ev.map_batches(first_partial, batch_format="pyarrow")
+        .groupby("__b").map_groups(pair_counts, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        rows.groupby(["etype_a", "etype_b"], as_index=False)["support"].sum()
+        .astype({"support": "int64"})
+        .sort_values(["etype_a", "etype_b"]).reset_index(drop=True)
+    )
+
+
+def events_dow_seasonality(sf_dir: str) -> pd.DataFrame:
+    """DAY-OF-WEEK SEASONALITY INDEX per event type: mean value on each
+    weekday relative to the type's overall mean (1e6-scaled).  Pure
+    combiner shape — per-batch (type, dow) sum/count partials are
+    domain-bounded (|types|·7 rows per block), so the reduction is a
+    driver-side combine with NO exchange; the ratio is one float
+    expression replicated verbatim in the oracle."""
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        # DuckDB dayofweek(): 0=Sunday..6=Saturday; pandas: 0=Monday
+        df["dow"] = (df["ts"].dt.dayofweek.astype("int64") + 1) % 7
+        df["v_e2"] = np.floor(df["value"].to_numpy() * 100 + 0.5).astype("int64")
+        g = df.groupby(["event_type", "dow"], as_index=False).agg(
+            s=("v_e2", "sum"), n=("v_e2", "size"))
+        return pa.Table.from_pandas(
+            g, preserve_index=False,
+            schema=pa.schema([("event_type", pa.string()), ("dow", pa.int64()),
+                              ("s", pa.int64()), ("n", pa.int64())]),
+        )
+
+    d = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["event_type", "dow"], as_index=False)[["s", "n"]].sum()
+    )
+    t = d.groupby("event_type", as_index=False)[["s", "n"]].sum().rename(
+        columns={"s": "st", "n": "nt"})
+    out = d.merge(t, on="event_type")
+    out["index_e6"] = np.floor(
+        (out["s"].to_numpy().astype("float64") * out["nt"].to_numpy())
+        / (out["n"].to_numpy().astype("float64") * out["st"].to_numpy())
+        * 1e6 + 0.5
+    ).astype("int64")
+    out = out[["event_type", "dow", "n", "index_e6"]].astype(
+        {"dow": "int64", "n": "int64"})
+    return out.sort_values(["event_type", "dow"]).reset_index(drop=True)
+
+
+def events_anomaly_ids(sf_dir: str) -> pd.DataFrame:
+    """ROBUST OUTLIER IDs: every event whose value fails the 3-MAD
+    Hampel cut for its type.  The median and MAD derive from the SAME
+    domain-bounded value histogram the quantile family walks
+    (:func:`_event_value_hist`) — integer-exact (med2 = 2·median,
+    mad4 = 4·MAD, cut 2·|2v − med2| > 3·mad4), so no float crosses the
+    oracle; the flag pass is one streaming broadcast-cut scan."""
+    import ray
+
+    cuts = {}
+    for et, g in _event_value_hist(sf_dir).groupby("event_type"):
+        g = g.sort_values("v_e2")
+        v = g["v_e2"].to_numpy()
+        c = g["n"].to_numpy()
+        n = int(c.sum())
+        if n % 2:
+            med2 = 2 * order_stat(v, c, n // 2 + 1)
+        else:
+            med2 = order_stat(v, c, n // 2) + order_stat(v, c, n // 2 + 1)
+        dg = pd.DataFrame({"d2": np.abs(2 * v - med2), "n": c}).groupby(
+            "d2", as_index=False)["n"].sum().sort_values("d2")
+        dv, dc = dg["d2"].to_numpy(), dg["n"].to_numpy()
+        if n % 2:
+            mad4 = 2 * order_stat(dv, dc, n // 2 + 1)
+        else:
+            mad4 = order_stat(dv, dc, n // 2) + order_stat(dv, dc, n // 2 + 1)
+        cuts[et] = (int(med2), int(mad4))
+    cuts_ref = ray.put(cuts)
+
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "event_type", "value"])
+
+    def flag(batch: pa.Table) -> pa.Table:
+        cu = ray.get(cuts_ref)
+        ids = batch["event_id"].to_numpy(zero_copy_only=False).astype("int64")
+        v = np.floor(batch["value"].to_numpy(zero_copy_only=False) * 100 + 0.5).astype("int64")
+        ets = batch["event_type"].to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(ids), dtype=bool)
+        for et in np.unique(ets):
+            med2, mad4 = cu[et]
+            m = ets == et
+            keep[m] = 2 * np.abs(2 * v[m] - med2) > 3 * mad4
+        return pa.table({"event_id": pa.array(ids[keep], pa.int64()),
+                         "event_type": pa.array(ets[keep], pa.string())})
+
+    return (
+        ev.map_batches(flag, batch_format="pyarrow")
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
