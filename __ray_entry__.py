@@ -648,6 +648,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequential_pattern_support": A.sequential_pattern_support,
         "events_dow_seasonality": A.events_dow_seasonality,
         "events_anomaly_ids": A.events_anomaly_ids,
+        "cohort_ltv": A.cohort_ltv,
+        "orders_grouping_sets": A.orders_grouping_sets,
+        "doc_ngram_novelty": A.doc_ngram_novelty,
         "langid": _q_langid,
         "doc_fingerprints": _q_fingerprints,
         "media_image_features": _q_media_image,
@@ -1400,6 +1403,49 @@ def oracle_sql() -> dict[str, str]:
             "ROW_NUMBER() OVER (PARTITION BY q.query_idx ORDER BY "
             "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) DESC, e.vec_id ASC) AS rn "
             "FROM embeddings e CROSS JOIN q) WHERE rn <= 10"
+        ),
+        "cohort_ltv": (
+            # first-order-month cohorts x months-since-first LTV curve
+            "WITH f AS (SELECT o_custkey, MIN(EXTRACT(year FROM o_orderdate) * 12 "
+            "+ EXTRACT(month FROM o_orderdate) - 1) AS cm FROM orders GROUP BY 1), "
+            "o AS (SELECT o.o_custkey, f.cm, "
+            "(EXTRACT(year FROM o.o_orderdate) * 12 "
+            "+ EXTRACT(month FROM o.o_orderdate) - 1) - f.cm AS age, "
+            "CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS r "
+            "FROM orders o JOIN f ON f.o_custkey = o.o_custkey), "
+            "c AS (SELECT CAST((cm // 12) * 100 + (cm % 12) + 1 AS BIGINT) AS cohort_ym, "
+            "CAST(age AS BIGINT) AS age_months, "
+            "CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS active_customers, "
+            "CAST(SUM(r) AS BIGINT) AS revenue_e2 FROM o GROUP BY 1, 2) "
+            "SELECT cohort_ym, age_months, active_customers, revenue_e2, "
+            "CAST(SUM(revenue_e2) OVER (PARTITION BY cohort_ym ORDER BY age_months "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_revenue_e2 "
+            "FROM c ORDER BY cohort_ym, age_months"
+        ),
+        "orders_grouping_sets": (
+            "SELECT o_orderstatus, o_orderpriority, "
+            "CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS grouping_id, "
+            "CAST(COUNT(*) AS BIGINT) AS n_orders, "
+            "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) "
+            "AS revenue_e2 FROM orders "
+            "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) "
+            "ORDER BY grouping_id, o_orderstatus, o_orderpriority"
+        ),
+        "doc_ngram_novelty": (
+            # fraction of a doc's distinct word 3-grams first seen in it
+            # (tokens = text split on ' ', empties dropped, as in the engine)
+            "WITH toks AS (SELECT doc_id, "
+            "list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents), "
+            "sh AS (SELECT doc_id, list_distinct(list_transform("
+            "range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))) AS s "
+            "FROM toks WHERE len(w) >= 3), "
+            "gr AS (SELECT doc_id, unnest(s) AS g FROM sh), "
+            "fm AS (SELECT g, MIN(doc_id) AS fd FROM gr GROUP BY g) "
+            "SELECT gr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams, "
+            "CAST(SUM(CASE WHEN fm.fd = gr.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS novel, "
+            "CAST(FLOOR(SUM(CASE WHEN fm.fd = gr.doc_id THEN 1 ELSE 0 END) * 1e6 "
+            "/ COUNT(*) + 0.5) AS BIGINT) AS novelty_e6 "
+            "FROM gr JOIN fm USING(g) GROUP BY gr.doc_id ORDER BY doc_id"
         ),
         "sequential_pattern_support": (
             # users whose first occurrence of type a precedes first of b

@@ -155,6 +155,9 @@ QUERY_NAMES = [
     "sequential_pattern_support",
     "events_dow_seasonality",
     "events_anomaly_ids",
+    "cohort_ltv",
+    "orders_grouping_sets",
+    "doc_ngram_novelty",
 ]
 
 

@@ -6548,3 +6548,169 @@ def events_anomaly_ids(sf_dir: str) -> pd.DataFrame:
         ev.map_batches(flag, batch_format="pyarrow")
         .to_pandas().sort_values("event_id").reset_index(drop=True)
     )
+
+
+def cohort_ltv(sf_dir: str) -> pd.DataFrame:
+    """COHORT LIFETIME-VALUE CURVE: customers cohorted by first-order
+    month; per (cohort, months-since-first) cell the active-customer
+    count, revenue, and the cohort's cumulative revenue.  ONE
+    custkey-bucket exchange computes each customer's cohort and its
+    per-(cohort, age) contributions locally (a customer lives in exactly
+    one bucket, so distinct-customer counts are bucket-complete); only
+    the DOMAIN-bounded (cohort × age) grid reaches the driver, which
+    cumsums the curve."""
+    from .dedup import coarse_buckets
+
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    nb = coarse_buckets(orders.count(), rows_per_task=131072)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = batch["o_custkey"].to_numpy(zero_copy_only=False).astype("int64") % nb
+        return batch.append_column("__b", pa.array(b, pa.int64()))
+
+    def cells(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"cohort_ym": "int64", "age_months": "int64",
+                "active_customers": "int64", "revenue_e2": "int64"}
+        if not len(g):
+            return pd.DataFrame({k: pd.array([], dtype=v) for k, v in cols.items()})
+        dt = g["o_orderdate"].astype("datetime64[s]")
+        g = g.assign(
+            ym=(dt.dt.year * 12 + (dt.dt.month - 1)).astype("int64"),
+            r=np.floor(g["o_totalprice"].to_numpy() * 100 + 0.5).astype("int64"),
+        )
+        first = g.groupby("o_custkey")["ym"].transform("min")
+        g["cohort"] = first
+        g["age_months"] = g["ym"] - first
+        out = g.groupby(["cohort", "age_months"], as_index=False).agg(
+            active_customers=("o_custkey", "nunique"), revenue_e2=("r", "sum"))
+        out["cohort_ym"] = (out["cohort"] // 12) * 100 + out["cohort"] % 12 + 1
+        return out[list(cols)].astype(cols)
+
+    grid = (
+        orders.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b").map_groups(cells, batch_format="pandas")
+        .to_pandas()
+        .groupby(["cohort_ym", "age_months"], as_index=False)[
+            ["active_customers", "revenue_e2"]].sum()
+        .sort_values(["cohort_ym", "age_months"])
+    )
+    grid["cum_revenue_e2"] = grid.groupby("cohort_ym")["revenue_e2"].cumsum()
+    return grid.astype("int64").reset_index(drop=True)
+
+
+def orders_grouping_sets(sf_dir: str) -> pd.DataFrame:
+    """GROUPING SETS ((status), (priority), ()) — the arbitrary-set
+    sibling of the ROLLUP/CUBE operators, with the standard GROUPING()
+    bit id.  Each set is an independent domain-bounded combiner pass
+    over the SAME per-batch partials (one stream read, three tiny
+    reductions on the driver — no exchange)."""
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderstatus", "o_orderpriority", "o_totalprice"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["r"] = np.floor(df["o_totalprice"].to_numpy() * 100 + 0.5).astype("int64")
+        g = df.groupby(["o_orderstatus", "o_orderpriority"], as_index=False).agg(
+            n=("r", "size"), rev=("r", "sum"))
+        return pa.Table.from_pandas(
+            g, preserve_index=False,
+            schema=pa.schema([("o_orderstatus", pa.string()),
+                              ("o_orderpriority", pa.string()),
+                              ("n", pa.int64()), ("rev", pa.int64())]),
+        )
+
+    base = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["o_orderstatus", "o_orderpriority"], as_index=False)[["n", "rev"]]
+        .sum()
+    )
+    # GROUPING() bits (status, priority): 0b01 = priority aggregated away,
+    # 0b10 = status aggregated away, 0b11 = grand total
+    by_status = base.groupby("o_orderstatus", as_index=False)[["n", "rev"]].sum()
+    by_status["o_orderpriority"] = None
+    by_status["grouping_id"] = 1
+    by_prio = base.groupby("o_orderpriority", as_index=False)[["n", "rev"]].sum()
+    by_prio["o_orderstatus"] = None
+    by_prio["grouping_id"] = 2
+    total = pd.DataFrame(
+        {"o_orderstatus": [None], "o_orderpriority": [None],
+         "n": [base["n"].sum()], "rev": [base["rev"].sum()], "grouping_id": [3]}
+    )
+    out = pd.concat([by_status, by_prio, total], ignore_index=True)[
+        ["o_orderstatus", "o_orderpriority", "grouping_id", "n", "rev"]
+    ]
+    out = out.rename(columns={"n": "n_orders", "rev": "revenue_e2"})
+    out["grouping_id"] = out["grouping_id"].astype("int64")
+    out[["n_orders", "revenue_e2"]] = out[["n_orders", "revenue_e2"]].astype("int64")
+    return out.sort_values(
+        ["grouping_id", "o_orderstatus", "o_orderpriority"],
+        na_position="last",
+    ).reset_index(drop=True)
+
+
+def doc_ngram_novelty(sf_dir: str, n: int = 3) -> pd.DataFrame:
+    """N-GRAM NOVELTY per document: the fraction of a doc's distinct
+    word 3-grams whose FIRST corpus occurrence (by doc_id order) is this
+    doc — the 'new text rate' curation metric that separates original
+    content from recombined boilerplate.  ONE gram-bucket exchange holds
+    each gram's full posting in one task (min doc_id is bucket-local
+    truth); per-doc partial (total, novel) counters flow through one
+    doc-bucket combine — no driver-side data beyond the final per-doc
+    table."""
+    from .dedup import coarse_buckets
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    nb = coarse_buckets(docs.count(), rows_per_task=4096)
+
+    def grams(batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import fingerprint64
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        gid, gh = [], []
+        for did, t in zip(ids, batch["text"].to_pylist()):
+            ws = [w for w in (t or "").split(" ") if w]
+            seen = {fingerprint64(" ".join(ws[i:i + n])) & 0x7FFFFFFFFFFFFFFF
+                    for i in range(len(ws) - n + 1)}
+            gid.extend([did] * len(seen))
+            gh.extend(seen)
+        gh = np.asarray(gh, dtype="int64")
+        return pa.table({"doc_id": pa.array(gid, pa.int64()),
+                         "g": pa.array(gh, pa.int64()),
+                         "__b": pa.array(gh % nb, pa.int64())})
+
+    def bucket_partial(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"doc_id": "int64", "n_grams": "int64", "novel": "int64"}
+        if not len(g):
+            return pd.DataFrame({k: pd.array([], dtype=v) for k, v in cols.items()})
+        first = g.groupby("g")["doc_id"].transform("min")
+        g = g.assign(nv=(g["doc_id"] == first).astype("int64"))
+        out = g.groupby("doc_id", as_index=False).agg(
+            n_grams=("g", "size"), novel=("nv", "sum"))
+        return out.astype(cols)
+
+    def tag_doc(batch: pa.Table) -> pa.Table:
+        b = batch["doc_id"].to_numpy(zero_copy_only=False) % nb
+        return batch.append_column("__b2", pa.array(b, pa.int64()))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"doc_id": "int64", "n_grams": "int64", "novel": "int64",
+                "novelty_e6": "int64"}
+        if not len(g):
+            return pd.DataFrame({k: pd.array([], dtype=v) for k, v in cols.items()})
+        out = g.groupby("doc_id", as_index=False)[["n_grams", "novel"]].sum()
+        out["novelty_e6"] = np.floor(
+            out["novel"].to_numpy() * 1e6 / out["n_grams"].to_numpy() + 0.5
+        ).astype("int64")
+        return out.astype(cols)
+
+    return (
+        docs.map_batches(grams, batch_format="pyarrow")
+        .groupby("__b").map_groups(bucket_partial, batch_format="pandas")
+        .map_batches(tag_doc, batch_format="pyarrow")
+        .groupby("__b2").map_groups(combine, batch_format="pandas")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
