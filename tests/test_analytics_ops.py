@@ -2801,3 +2801,131 @@ def test_source_vocab_jaccard_matches_brute(ray_session):
                 rows.append((a, b, inter, int(np.floor(inter * 1e6 / un + 0.5))))
     exp = pd.DataFrame(rows, columns=["source_a", "source_b", "shared_terms", "jaccard_e6"])
     pd.testing.assert_frame_equal(got, exp.reset_index(drop=True), check_dtype=False)
+
+
+def test_sequential_pattern_support_matches_brute(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import sequential_pattern_support
+
+    got = sequential_pattern_support(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "event_type", "ts"])
+    first = ev.groupby(["user_id", "event_type"], as_index=False)["ts"].min()
+    rows = []
+    for _, g in first.groupby("user_id"):
+        for _, a in g.iterrows():
+            for _, b in g.iterrows():
+                if a["ts"] < b["ts"]:
+                    rows.append((a["event_type"], b["event_type"]))
+    exp = (
+        pd.DataFrame(rows, columns=["etype_a", "etype_b"])
+        .groupby(["etype_a", "etype_b"], as_index=False).size()
+        .rename(columns={"size": "support"})
+        .sort_values(["etype_a", "etype_b"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_events_dow_seasonality_matches_pandas(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import events_dow_seasonality
+
+    got = events_dow_seasonality(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "ts", "value"])
+    ev["dow"] = (ev["ts"].dt.dayofweek.astype("int64") + 1) % 7
+    ev["v"] = np.floor(ev["value"].to_numpy() * 100 + 0.5).astype("int64")
+    d = ev.groupby(["event_type", "dow"], as_index=False).agg(s=("v", "sum"), n=("v", "size"))
+    t = d.groupby("event_type", as_index=False)[["s", "n"]].sum().rename(
+        columns={"s": "st", "n": "nt"})
+    exp = d.merge(t, on="event_type")
+    exp["index_e6"] = np.floor(
+        exp["s"].astype("float64") * exp["nt"] / (exp["n"].astype("float64") * exp["st"])
+        * 1e6 + 0.5
+    ).astype("int64")
+    exp = exp[["event_type", "dow", "n", "index_e6"]].sort_values(
+        ["event_type", "dow"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # every type's weekday indexes straddle 1e6 (it's a relative index)
+    spans = got.groupby("event_type")["index_e6"]
+    assert (spans.min() <= 1_000_000).all() and (spans.max() >= 1_000_000).all()
+
+
+def test_events_anomaly_ids_matches_brute(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import events_anomaly_ids
+
+    got = events_anomaly_ids(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_id", "event_type", "value"])
+    ev["v"] = np.floor(ev["value"].to_numpy() * 100 + 0.5).astype("int64")
+    keep = []
+    for et, g in ev.groupby("event_type"):
+        v = np.sort(g["v"].to_numpy())
+        n = len(v)
+        med2 = 2 * v[n // 2] if n % 2 else v[n // 2 - 1] + v[n // 2]
+        d2 = np.sort(np.abs(2 * g["v"].to_numpy() - med2))
+        mad4 = 2 * d2[n // 2] if n % 2 else d2[n // 2 - 1] + d2[n // 2]
+        m = 2 * np.abs(2 * g["v"].to_numpy() - med2) > 3 * mad4
+        keep.extend(zip(g.loc[m, "event_id"], [et] * int(m.sum())))
+    exp = pd.DataFrame(keep, columns=["event_id", "event_type"]).sort_values(
+        "event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert len(got) < len(ev)  # the cut keeps a minority
+
+
+def test_cohort_ltv_matches_pandas(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import cohort_ltv
+
+    got = cohort_ltv(SF)
+    o = pd.read_parquet(f"{SF}/orders.parquet",
+                        columns=["o_custkey", "o_orderdate", "o_totalprice"])
+    dt = o["o_orderdate"].astype("datetime64[s]")
+    o["ym"] = (dt.dt.year * 12 + dt.dt.month - 1).astype("int64")
+    o["r"] = np.floor(o["o_totalprice"].to_numpy() * 100 + 0.5).astype("int64")
+    o["cohort"] = o.groupby("o_custkey")["ym"].transform("min")
+    o["age_months"] = o["ym"] - o["cohort"]
+    o["cohort_ym"] = (o["cohort"] // 12) * 100 + o["cohort"] % 12 + 1
+    exp = o.groupby(["cohort_ym", "age_months"], as_index=False).agg(
+        active_customers=("o_custkey", "nunique"), revenue_e2=("r", "sum"))
+    exp = exp.sort_values(["cohort_ym", "age_months"]).reset_index(drop=True)
+    exp["cum_revenue_e2"] = exp.groupby("cohort_ym")["revenue_e2"].cumsum()
+    pd.testing.assert_frame_equal(got, exp.astype("int64"), check_dtype=False)
+    # the curve is non-decreasing within each cohort
+    assert (got.groupby("cohort_ym")["cum_revenue_e2"].diff().dropna() >= 0).all()
+
+
+def test_orders_grouping_sets_internally_consistent(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import orders_grouping_sets
+
+    got = orders_grouping_sets(SF)
+    by_status = got[got["grouping_id"] == 1]
+    by_prio = got[got["grouping_id"] == 2]
+    total = got[got["grouping_id"] == 3]
+    assert len(total) == 1
+    # every grouping set partitions the same universe
+    for sub in (by_status, by_prio):
+        assert sub["n_orders"].sum() == total["n_orders"].iloc[0]
+        assert sub["revenue_e2"].sum() == total["revenue_e2"].iloc[0]
+    o = pd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderstatus", "o_totalprice"])
+    exp = o.groupby("o_orderstatus").size()
+    for st, n in exp.items():
+        assert int(by_status.loc[by_status["o_orderstatus"] == st, "n_orders"].iloc[0]) == n
+
+
+def test_doc_ngram_novelty_matches_brute(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import doc_ngram_novelty
+
+    got = doc_ngram_novelty(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    first: dict[str, int] = {}
+    per_doc = {}
+    for did, t in sorted(zip(docs["doc_id"], docs["text"])):
+        ws = [w for w in (t or "").split(" ") if w]
+        grams = {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+        if not grams:
+            continue
+        per_doc[did] = grams
+        for g in grams:
+            first.setdefault(g, did)
+    rows = []
+    for did, grams in per_doc.items():
+        novel = sum(1 for g in grams if first[g] == did)
+        rows.append((did, len(grams), novel, int(np.floor(novel * 1e6 / len(grams) + 0.5))))
+    exp = pd.DataFrame(rows, columns=["doc_id", "n_grams", "novel", "novelty_e6"]).sort_values(
+        "doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
