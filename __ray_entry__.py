@@ -377,6 +377,15 @@ def _q_host_kcore(sf_dir: str):
     return host_kcore(sf_dir)
 
 
+def _q_host_communities(sf_dir: str):
+    """Label-propagation community detection (rows-only: iterative, no
+    SQL oracle; synthetic structural twins — cliques, bridges, paths —
+    are pinned in tests)."""
+    from opps_feedcrawler_ray.pipelines.webpipe import host_communities
+
+    return host_communities(sf_dir)
+
+
 def _q_langid(sf_dir: str):
     import pyarrow as pa
     import ray.data as rd
@@ -588,6 +597,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_hits": _q_host_hits,
         "host_components": _q_host_components,
         "host_kcore": _q_host_kcore,
+        "host_communities": _q_host_communities,
         "top_tokens_per_lang": A.top_tokens_per_lang,
         "doc_triangle_counts": _q_doc_triangles,
         "doc_bfs_depth": _q_doc_bfs_depth,
@@ -645,6 +655,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_gaps_islands": A.orders_gaps_islands,
         "customer_rfm": A.customer_rfm,
         "source_vocab_jaccard": A.source_vocab_jaccard,
+        "events_percentile_cont": A.events_percentile_cont,
+        "segment_event_mutual_info": A.segment_event_mutual_info,
         "sequential_pattern_support": A.sequential_pattern_support,
         "events_dow_seasonality": A.events_dow_seasonality,
         "events_anomaly_ids": A.events_anomaly_ids,
@@ -1288,6 +1300,29 @@ def oracle_sql() -> dict[str, str]:
             "AND q.p_size >= p.p_size "
             "AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)) "
             "ORDER BY p_partkey"
+        ),
+        "events_percentile_cont": (
+            # interpolated quantiles at q in {.25,.75}: 4*result is an
+            # exact integer ((n-1)*q has fractional part in {0,.25,.5,.75})
+            "SELECT event_type, COUNT(*) AS n, "
+            "CAST(FLOOR(quantile_cont(v, 0.25) * 4 + 0.5) AS BIGINT) AS p25_e2x4, "
+            "CAST(FLOOR(quantile_cont(v, 0.75) * 4 + 0.5) AS BIGINT) AS p75_e2x4 "
+            "FROM (SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v "
+            "FROM events) GROUP BY event_type"
+        ),
+        "segment_event_mutual_info": (
+            # mutual information (nats); e6 half-up with the SAME float
+            # expression on both sides
+            "WITH j AS (SELECT c_mktsegment AS seg, event_type AS et "
+            "FROM events JOIN customer ON user_id = c_custkey), "
+            "c AS (SELECT seg, et, COUNT(*)::DOUBLE AS o FROM j GROUP BY seg, et), "
+            "r AS (SELECT seg, SUM(o) AS rt FROM c GROUP BY seg), "
+            "k AS (SELECT et, SUM(o) AS ct FROM c GROUP BY et), "
+            "n AS (SELECT SUM(o) AS n FROM c) "
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_cells, "
+            "CAST(FLOOR(SUM((c.o / n.n) * ln(c.o * n.n / (r.rt * k.ct))) "
+            "* 1e6 + 0.5) AS BIGINT) AS mi_e6 "
+            "FROM c JOIN r USING (seg) JOIN k USING (et) CROSS JOIN n"
         ),
         "segment_event_chi2": (
             # chi-square independence statistic; e6 half-up with the SAME

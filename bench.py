@@ -158,6 +158,9 @@ QUERY_NAMES = [
     "cohort_ltv",
     "orders_grouping_sets",
     "doc_ngram_novelty",
+    "events_percentile_cont",
+    "segment_event_mutual_info",
+    "host_communities",
 ]
 
 

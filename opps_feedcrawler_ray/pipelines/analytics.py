@@ -6714,3 +6714,82 @@ def doc_ngram_novelty(sf_dir: str, n: int = 3) -> pd.DataFrame:
         .groupby("__b2").map_groups(combine, batch_format="pandas")
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
+
+
+def events_percentile_cont(sf_dir: str) -> pd.DataFrame:
+    """INTERPOLATED percentiles (SQL PERCENTILE_CONT / quantile_cont)
+    per event type from the SAME domain-bounded value histogram the
+    discrete-quantile family walks (:func:`_event_value_hist`) — no new
+    exchange.  At q ∈ {0.25, 0.75} the interpolation position
+    h = (n−1)·q has a fractional part in {0, ¼, ½, ¾}, so 4·result is
+    an EXACT integer (4a + frac4·(b−a)): the value hashes bit-equal vs
+    DuckDB's quantile_cont with no float crossing the oracle."""
+    out = []
+    for et, g in _event_value_hist(sf_dir).groupby("event_type"):
+        g = g.sort_values("v_e2")
+        v = g["v_e2"].to_numpy()
+        c = g["n"].to_numpy()
+        n = int(c.sum())
+
+        def cont4(qn: int, qd: int = 4) -> int:
+            # h = (n-1)*qn/qd;  lo = floor(h);  frac4 = 4*(h - lo)
+            num = (n - 1) * qn
+            lo, rem = divmod(num, qd)
+            frac4 = rem * 4 // qd
+            a = order_stat(v, c, lo + 1)
+            if frac4 == 0:
+                return 4 * a
+            b = order_stat(v, c, lo + 2)
+            return 4 * a + frac4 * (b - a)
+
+        out.append((et, n, cont4(1), cont4(3)))
+    return pd.DataFrame(
+        out, columns=["event_type", "n", "p25_e2x4", "p75_e2x4"]
+    ).astype({"n": "int64", "p25_e2x4": "int64", "p75_e2x4": "int64"})
+
+
+def segment_event_mutual_info(sf_dir: str) -> pd.DataFrame:
+    """MUTUAL INFORMATION between customer market segment and event type
+    (nats, 1e6-scaled) — the information-theoretic sibling of the
+    chi-square independence test: MI = Σ p(s,t)·ln(p(s,t)/(p(s)p(t))).
+    Same scale shape as :func:`segment_event_chi2`: broadcast dim join +
+    per-batch count combiner → ONE exchange bounded by the
+    |segments|·|types| contingency table; the statistic is vectorized
+    driver math over those ≤25 cells with the oracle's expression."""
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "event_type"])
+    cust = pd.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    ).rename(columns={"c_custkey": "user_id"})
+    joined = broadcast_join(ev, cust, on="user_id")
+
+    _schema = pa.schema(
+        [("seg", pa.string()), ("et", pa.string()), ("o", pa.int64())]
+    )
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        g = (
+            b.rename(columns={"c_mktsegment": "seg", "event_type": "et"})
+            .groupby(["seg", "et"], as_index=False)
+            .agg(o=("et", "size"))
+        )
+        return pa.Table.from_pandas(g, preserve_index=False, schema=_schema)
+
+    c = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby(["seg", "et"])
+        .sum("o")
+        .to_pandas()
+        .rename(columns={"sum(o)": "o"})
+        .sort_values(["seg", "et"])
+    )
+    o = c["o"].to_numpy(dtype="float64")
+    rt = c.groupby("seg")["o"].transform("sum").to_numpy(dtype="float64")
+    ct = c.groupby("et")["o"].transform("sum").to_numpy(dtype="float64")
+    n = o.sum()
+    mi = float(((o / n) * np.log(o * n / (rt * ct))).sum())
+    return pd.DataFrame(
+        {
+            "n_cells": pd.array([len(c)], dtype="int64"),
+            "mi_e6": pd.array([int(np.floor(mi * 1e6 + 0.5))], dtype="int64"),
+        }
+    )

@@ -495,6 +495,109 @@ def host_kcore(sf_dir: str, work_dir: str | None = None):
     return kcore_from_edges(host_link_graph(sf_dir, work_dir=work_dir))
 
 
+def communities_from_edges(edges_df, max_iters: int = 20):
+    """LABEL-PROPAGATION COMMUNITY DETECTION (Raghavan, Albert & Kumara
+    2007) over an undirected weighted (src_host, dst_host, n_links) edge
+    list — the community sibling of :func:`components_from_edges` (which
+    finds reachability, not density).
+
+    Deterministic synchronous variant: every node adopts the label with
+    the largest total incident edge weight among its neighbors, with the
+    node's CURRENT label cast as a weight-1 self-vote (the standard
+    oscillation damper for synchronous sweeps — a 2-node swap is broken
+    by the tie rule below instead of flip-flopping forever) and ties
+    broken by the lexicographically smallest label.  No RNG, no
+    visit-order dependence ⇒ byte-stable output.
+
+    Scale shape (same as PageRank/components): labels (≤ |hosts| — the
+    documented fits-a-heap assumption with the bucketed co-shuffle
+    fallback past ~10^8 hosts) broadcast via ray.put into a
+    ``map_batches`` over the PINNED edge dataset; each batch emits
+    (host, neighbor_label, weight) partials combined per batch, one
+    |hosts·labels|-key groupby-sum closes the step, and the argmax over
+    that bounded table runs as vectorized driver math.  Early exit on
+    fixpoint.  Community ids are the smallest member host."""
+    import ray
+
+    import pandas as pd
+
+    e = edges_df[["src_host", "dst_host", "n_links"]]
+    e = e[e["src_host"] != e["dst_host"]]  # self-loops don't vote
+    hosts = sorted(set(e["src_host"]) | set(e["dst_host"]))
+    if not hosts:
+        return pd.DataFrame(
+            {"host": pd.Series(dtype=object), "community": pd.Series(dtype=object)}
+        )
+    # undirected: collapse (a,b)+(b,a) weights onto the sorted pair once
+    und = e.assign(
+        a=np.minimum(e["src_host"], e["dst_host"]),
+        b=np.maximum(e["src_host"], e["dst_host"]),
+    ).groupby(["a", "b"], as_index=False)["n_links"].sum()
+    edges = rd.from_arrow(
+        pa.Table.from_pandas(und, preserve_index=False)
+    ).materialize()
+
+    label = {h: h for h in hosts}
+    for _ in range(max_iters):
+        lab_ref = ray.put(label)
+
+        def votes(batch: pa.Table) -> pa.Table:
+            lab = ray.get(lab_ref)
+            df = batch.to_pandas()
+            w = df["n_links"].to_numpy(dtype="int64")
+            g = (
+                pd.concat(
+                    [pd.DataFrame({"host": df["a"], "lbl": df["b"].map(lab), "w": w}),
+                     pd.DataFrame({"host": df["b"], "lbl": df["a"].map(lab), "w": w})]
+                )
+                .groupby(["host", "lbl"], as_index=False)["w"]
+                .sum()
+            )
+            return pa.Table.from_pandas(
+                g, preserve_index=False,
+                schema=pa.schema([("host", pa.string()), ("lbl", pa.string()),
+                                  ("w", pa.int64())]),
+            )
+
+        tally = (
+            edges.map_batches(votes, batch_format="pyarrow")
+            .groupby(["host", "lbl"])
+            .sum("w")
+            .to_pandas()
+            .rename(columns={"sum(w)": "w"})
+        )
+        # weight-1 self-vote with the node's current label
+        self_rows = pd.DataFrame(
+            {"host": hosts, "lbl": [label[h] for h in hosts], "w": 1}
+        )
+        tally = (
+            pd.concat([tally, self_rows])
+            .groupby(["host", "lbl"], as_index=False)["w"]
+            .sum()
+        )
+        # argmax by (w DESC, lbl ASC): sort once, take the first row per host
+        tally = tally.sort_values(
+            ["host", "w", "lbl"], ascending=[True, False, True]
+        )
+        win = tally.drop_duplicates("host", keep="first")
+        new_label = dict(zip(win["host"], win["lbl"]))
+        if new_label == label:
+            break
+        label = new_label
+    # canonicalize: community id = smallest member host
+    out = pd.DataFrame({"host": hosts, "community": [label[h] for h in hosts]})
+    rep = out.groupby("community")["host"].min().to_dict()
+    out["community"] = out["community"].map(rep)
+    return out.sort_values("host").reset_index(drop=True)
+
+
+def host_communities(sf_dir: str, work_dir: str | None = None):
+    """Label-propagation communities of the host link graph (rows-only
+    driver check; the propagation core is pinned by synthetic
+    structural twins — cliques, bridges, paths — in tests)."""
+    return communities_from_edges(host_link_graph(sf_dir, work_dir=work_dir))
+
+
 def doc_triangle_counts(sf_dir: str, work_dir: str | None = None):
     """Distributed TRIANGLE COUNTING over the doc-level link graph — the
     degree-orientation algorithm (Chiba–Nishizeki / Schank–Wagner node

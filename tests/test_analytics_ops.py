@@ -2929,3 +2929,79 @@ def test_doc_ngram_novelty_matches_brute(ray_session):
     exp = pd.DataFrame(rows, columns=["doc_id", "n_grams", "novel", "novelty_e6"]).sort_values(
         "doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_events_percentile_cont_matches_numpy(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import events_percentile_cont
+
+    got = events_percentile_cont(SF).sort_values("event_type").reset_index(drop=True)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "value"])
+    ev["v"] = np.floor(ev["value"].to_numpy() * 100 + 0.5).astype("int64")
+    rows = []
+    for et, g in ev.groupby("event_type"):
+        v = g["v"].to_numpy(dtype="float64")
+        rows.append((
+            et, len(v),
+            int(round(np.percentile(v, 25, method="linear") * 4)),
+            int(round(np.percentile(v, 75, method="linear") * 4)),
+        ))
+    exp = pd.DataFrame(rows, columns=["event_type", "n", "p25_e2x4", "p75_e2x4"])
+    pd.testing.assert_frame_equal(got, exp.sort_values("event_type").reset_index(drop=True),
+                                  check_dtype=False)
+
+
+def test_segment_event_mutual_info_matches_pandas(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import segment_event_mutual_info
+
+    got = segment_event_mutual_info(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "event_type"])
+    cu = pd.read_parquet(f"{SF}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    j = ev.merge(cu, left_on="user_id", right_on="c_custkey")
+    c = j.groupby(["c_mktsegment", "event_type"]).size().astype("float64")
+    n = c.sum()
+    rt = c.groupby("c_mktsegment").transform("sum")
+    ct = c.groupby("event_type").transform("sum")
+    mi = float(((c / n) * np.log(c * n / (rt * ct))).sum())
+    assert int(got["n_cells"].iloc[0]) == len(c)
+    assert int(got["mi_e6"].iloc[0]) == int(np.floor(mi * 1e6 + 0.5))
+    assert got["mi_e6"].iloc[0] >= 0  # MI is non-negative
+
+
+def test_communities_on_synthetic_graphs(ray_session):
+    from opps_feedcrawler_ray.pipelines.webpipe import communities_from_edges
+
+    # two 4-cliques joined by a single bridge edge -> exactly 2 communities
+    def clique(names):
+        return [(a, b) for i, a in enumerate(names) for b in names[i + 1:]]
+
+    c1 = [f"a{i}.com" for i in range(4)]
+    c2 = [f"b{i}.com" for i in range(4)]
+    edges = clique(c1) + clique(c2) + [(c1[3], c2[0])]
+    df = pd.DataFrame(edges, columns=["src_host", "dst_host"]).assign(n_links=1)
+    got = communities_from_edges(df)
+    comm = got.set_index("host")["community"].to_dict()
+    assert len(set(comm.values())) == 2
+    assert len({comm[h] for h in c1}) == 1 and len({comm[h] for h in c2}) == 1
+    assert comm[c1[0]] != comm[c2[0]]
+
+    # a path converges to one community (min labels spread monotonically)
+    p = [f"p{i}.com" for i in range(5)]
+    pdf = pd.DataFrame(
+        [(p[i], p[i + 1]) for i in range(4)], columns=["src_host", "dst_host"]
+    ).assign(n_links=1)
+    gp = communities_from_edges(pdf)
+    assert gp["community"].nunique() == 1
+
+    # deterministic: two runs byte-equal
+    pd.testing.assert_frame_equal(got, communities_from_edges(df))
+
+
+def test_host_communities_refine_components(ray_session):
+    from opps_feedcrawler_ray.pipelines.webpipe import host_communities, host_components
+
+    comm = host_communities(SF).set_index("host")["community"]
+    comp = host_components(SF).set_index("host")["component"]
+    assert set(comm.index) == set(comp.index)
+    # every community lies entirely within one connected component
+    m = pd.DataFrame({"community": comm, "component": comp})
+    assert (m.groupby("community")["component"].nunique() == 1).all()
