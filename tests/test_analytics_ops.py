@@ -2992,6 +2992,12 @@ def test_communities_on_synthetic_graphs(ray_session):
     gp = communities_from_edges(pdf)
     assert gp["community"].nunique() == 1
 
+    # a complete graph converges to ONE community (the synchronous rule
+    # oscillates here; the semi-synchronous parity sweeps must not)
+    k = [f"k{i}.com" for i in range(6)]
+    kdf = pd.DataFrame(clique(k), columns=["src_host", "dst_host"]).assign(n_links=1)
+    assert communities_from_edges(kdf)["community"].nunique() == 1
+
     # deterministic: two runs byte-equal
     pd.testing.assert_frame_equal(got, communities_from_edges(df))
 
