@@ -109,6 +109,15 @@ class CrawlConfig:
     # unless that flag is also set.
     adaptive_recrawl: bool = False
     adaptive_max_factor: int = 8
+    # cross-URL content-digest dedup (Heritrix's "content-seen" test —
+    # mirror/alias killer): a fetched body whose fingerprint was first
+    # seen in a STRICTLY earlier round is logged status="dup_content"
+    # with empty text/links and is NOT parsed; its outlinks are dropped
+    # (the original copy's links won).  Within-round copies all parse —
+    # visibility advances only at round boundaries (seal), so the
+    # verdict is deterministic under any batch schedule.  Off by
+    # default (changes log content, so goldens stay frozen).
+    content_dedup: bool = False
     # honor <link rel="canonical"> (RFC 6596): the declared canonical URL
     # is recorded in the crawl log (extra ``canonical`` column) and offered
     # to the frontier like a discovered outlink.  Off by default — it adds
@@ -1041,6 +1050,7 @@ def _write_manifest(cfg: CrawlConfig, round_idx: int, fetch_seq: int, lineage: l
         "adaptive_recrawl": cfg.adaptive_recrawl,
         "adaptive_max_factor": cfg.adaptive_max_factor,
         "honor_canonical": cfg.honor_canonical,
+        "content_dedup": cfg.content_dedup,
         "follow_meta_refresh": cfg.follow_meta_refresh,
         "refresh_max_delay": cfg.refresh_max_delay,
         "trap_guard": cfg.trap_guard,
@@ -1207,6 +1217,10 @@ def crawl(cfg: CrawlConfig) -> dict:
             # column) and which URLs get offered — flipping it on resume
             # would mix parquet schemas across round partitions
             "honor_canonical": cfg.honor_canonical,
+            # content_dedup changes log content AND which urls get
+            # offered (dup pages emit no outlinks) — flipping it on
+            # resume would diverge from the checkpointed sealed set
+            "content_dedup": cfg.content_dedup,
             # follow_meta_refresh changes the LOG SCHEMA (redirect column)
             # and which URLs get offered, like honor_canonical above
             "follow_meta_refresh": cfg.follow_meta_refresh,
@@ -1234,7 +1248,8 @@ def crawl(cfg: CrawlConfig) -> dict:
             have = manifest.get(key)
             if key == "seen_filter" and have is None:
                 have = "cuckoo"  # pre-bloom manifests are all cuckoo
-            if key in ("skip_unchanged", "adaptive_recrawl", "honor_canonical") and have is None:
+            if key in ("skip_unchanged", "adaptive_recrawl", "honor_canonical",
+                       "content_dedup") and have is None:
                 have = False  # pre-flag manifests never used these
             if key == "adaptive_max_factor" and have is None:
                 have = cfg.adaptive_max_factor if not cfg.adaptive_recrawl else 8
@@ -1381,6 +1396,8 @@ def crawl(cfg: CrawlConfig) -> dict:
         track_content=cfg.skip_unchanged or cfg.adaptive_recrawl,
         follow_refresh=cfg.follow_meta_refresh,
         refresh_max_delay=cfg.refresh_max_delay,
+        content_dedup=cfg.content_dedup,
+        content_actors=actors if cfg.content_dedup else None,
     )
     rounds_run = 0
     total_fetched = 0
@@ -1496,6 +1513,8 @@ def crawl(cfg: CrawlConfig) -> dict:
                     "skip_unchanged": cfg.skip_unchanged,
                     "honor_canonical": cfg.honor_canonical,
                     "track_content": cfg.skip_unchanged or cfg.adaptive_recrawl,
+                    "content_dedup": cfg.content_dedup,
+                    "content_actors": actors if cfg.content_dedup else None,
                 },
                 batch_format="pyarrow",
                 concurrency=cfg.extract_concurrency,
@@ -1509,6 +1528,11 @@ def crawl(cfg: CrawlConfig) -> dict:
             print(f"[crawl] stats round={r}\n{final_ds.stats()}", file=_sys.stderr, flush=True)
 
         _t1 = _time.time()
+        if cfg.content_dedup:
+            # round-boundary seal: this round's content fingerprints
+            # become visible to round r+1's dup test — before the
+            # checkpoint, so a resume replays identical verdicts
+            ray.get([a.seal_content.remote() for a in actors])
         if cfg.checkpoint_every and (r % cfg.checkpoint_every == 0):
             lineage = ray.get([a.checkpoint.remote(ckpt_dir, r) for a in actors])
             _write_manifest(cfg, r, fetch_seq, lineage)
@@ -1586,6 +1610,12 @@ def main(argv: list[str] | None = None) -> int:
              "content (capped), reset to base on change",
     )
     ap.add_argument(
+        "--content-dedup", action="store_true",
+        help="cross-URL content-digest dedup (Heritrix content-seen "
+             "test): bodies first seen in an earlier round are logged "
+             "status=dup_content without re-parsing",
+    )
+    ap.add_argument(
         "--honor-canonical", action="store_true",
         help="record <link rel=canonical> targets in the log and offer "
              "them to the frontier (RFC 6596)",
@@ -1656,6 +1686,7 @@ def main(argv: list[str] | None = None) -> int:
         seen_filter=args.seen_filter,
         follow_robots_sitemaps=args.follow_robots_sitemaps,
         skip_unchanged=args.skip_unchanged,
+        content_dedup=args.content_dedup,
         adaptive_recrawl=args.adaptive_recrawl,
         honor_canonical=args.honor_canonical,
         indegree_priority=args.indegree_priority,

@@ -102,9 +102,22 @@ class ExtractStage:
         track_content: bool | None = None,
         follow_refresh: bool = False,
         refresh_max_delay: int = 0,
+        content_dedup: bool = False,
+        content_actors: list | None = None,
     ) -> None:
         self.skip_unchanged = skip_unchanged
         self.honor_canonical = honor_canonical
+        # cross-URL content-digest dedup (Heritrix "content-seen" test):
+        # a fetched body whose fingerprint was sealed by a STRICTLY
+        # EARLIER round (on a different URL — or the same one, absent
+        # skip_unchanged) is logged status="dup_content" with empty
+        # text/links and is NOT parsed.  Within-round copies all parse
+        # (visibility is round-granular — deterministic under any batch
+        # schedule).  The seen set shards across the frontier actors by
+        # hash % n; the stage checks+stages each batch with one RPC per
+        # touched shard.
+        self.content_dedup = content_dedup and content_actors is not None
+        self.content_actors = content_actors
         # meta-refresh redirects (opt-in): a page declaring an immediate
         # <meta http-equiv=refresh> is logged status="redirect" with empty
         # text and NO outlinks (its content is transitional by declaration);
@@ -136,6 +149,32 @@ class ExtractStage:
         links: list[list[str]] = []
         redirects: list[str | None] = []
         redirected = np.zeros(n, dtype=bool)
+        dup = np.zeros(n, dtype=bool)
+        duped = np.zeros(n, dtype=bool)
+        body_hash = None
+        if self.content_dedup and n:
+            import ray
+
+            # one fingerprint pass over the batch's fetched bodies, one
+            # check+stage RPC per touched shard (hash % n_shards routing)
+            body_hash = np.zeros(n, dtype=np.uint64)
+            idxs = [i for i, b in enumerate(htmls) if b is not None]
+            if idxs:
+                for i in idxs:
+                    body_hash[i] = fingerprint64(htmls[i])
+                ns = len(self.content_actors)
+                shards = (body_hash[idxs] % np.uint64(ns)).astype(np.int64)
+                refs, groups = [], []
+                for s in np.unique(shards):
+                    g = [i for i, sh in zip(idxs, shards) if sh == s]
+                    refs.append(
+                        self.content_actors[int(s)].check_stage_content.remote(
+                            body_hash[g]
+                        )
+                    )
+                    groups.append(g)
+                for g, m in zip(groups, ray.get(refs)):
+                    dup[g] = m
         for i, (u, b) in enumerate(zip(urls, htmls)):
             if b is None:
                 kinds.append("missing")
@@ -145,7 +184,7 @@ class ExtractStage:
                 redirects.append(None)
                 continue
             if cond and track[i]:
-                ch = fingerprint64(b)
+                ch = int(body_hash[i]) if body_hash is not None else fingerprint64(b)
                 chash[i] = ch
                 if self.skip_unchanged and prev[i] != 0 and ch == prev[i]:
                     # unchanged since the last fetch: skip the parse
@@ -156,6 +195,17 @@ class ExtractStage:
                     redirects.append(None)
                     unchanged[i] = True
                     continue
+            if dup[i]:
+                # content-digest dup (sealed in an earlier round): the
+                # body was already extracted once — skip the parse, emit
+                # no outlinks (the original copy's links won)
+                kinds.append("dup_content")
+                texts.append("")
+                links.append([])
+                canon.append(None)
+                redirects.append(None)
+                duped[i] = True
+                continue
             k = detect_kind(u, b)
             if self.follow_refresh:
                 tgt = extract_meta_refresh(u, b, k, self.refresh_max_delay)
@@ -191,6 +241,11 @@ class ExtractStage:
                 st[redirected] = "redirect"
                 idx = out.column_names.index("status")
                 out = out.set_column(idx, "status", pa.array(st, pa.string()))
+        if duped.any() and "status" in out.column_names:
+            st = np.asarray(out["status"].to_pylist(), dtype=object)
+            st[duped] = "dup_content"
+            idx = out.column_names.index("status")
+            out = out.set_column(idx, "status", pa.array(st, pa.string()))
         if cond:
             if unchanged.any() and "status" in out.column_names:
                 st = np.asarray(out["status"].to_pylist(), dtype=object)

@@ -159,6 +159,17 @@ class FrontierActor:
         self.retry: dict[str, dict[int, list]] = {}
         self._retry_attempts: dict[int, int] = {}
         self.gave_up = 0
+        # cross-URL CONTENT-DIGEST dedup (the Heritrix "content-seen"
+        # test, distinct from skip_unchanged's same-URL comparison):
+        # ``_content_seen`` holds fingerprints SEALED at a round
+        # boundary; ``_content_pending`` stages this round's sightings.
+        # Round-granular visibility keeps the dup verdict independent of
+        # batch scheduling order within a round (deterministic).  Shard
+        # routing is hash % num_shards — orthogonal to the host-keyed URL
+        # shards.  8 B/hash; at 10^10 pages this set takes the same
+        # exact-store spill path the URL seen-set uses (exactstore.py).
+        self._content_seen: set[int] = set()
+        self._content_pending: set[int] = set()
         # per-host error-rate CIRCUIT BREAKER (host-level sibling of the
         # per-URL retry queue): when a host's status="error" fraction over
         # the last completed round reaches ``breaker_threshold`` (with at
@@ -365,6 +376,33 @@ class FrontierActor:
             self.content_hash[h] = ch
             n += 1
         return n
+
+    def check_stage_content(self, hashes) -> "np.ndarray":
+        """Content-seen test (Heritrix's content-digest dedup, applied
+        cross-URL): returns a bool mask of content fingerprints already
+        SEALED (first fetched in a strictly earlier round), and stages
+        every incoming fingerprint into the pending set, visible only
+        after the next :meth:`seal_content`.  Both halves are idempotent
+        (set semantics; the visible set is frozen for the whole round),
+        so Ray task retries of the extract stage cannot change any
+        verdict."""
+        h = np.asarray(hashes, dtype=np.uint64)
+        seen = self._content_seen
+        mask = np.fromiter(
+            (int(x) in seen for x in h), dtype=bool, count=len(h)
+        )
+        self._content_pending.update(int(x) for x in h)
+        return mask
+
+    def seal_content(self) -> int:
+        """Round-boundary seal: this round's staged content fingerprints
+        become visible to the NEXT round's dup test.  Called by the
+        crawl loop after the round's log write (the round barrier) and
+        BEFORE the checkpoint, so a resumed run re-tests later rounds
+        against exactly the sealed set the original run used."""
+        self._content_seen |= self._content_pending
+        self._content_pending.clear()
+        return len(self._content_seen)
 
     def _emit_due_recurring(self, round_idx: int) -> None:
         for host, entries in self.recurring.items():
@@ -713,6 +751,13 @@ class FrontierActor:
             "gave_up": self.gave_up,
             "breaker_stats": self._breaker_stats,
             "suspended": self._suspended,
+            # sealed content-digest set as a compact uint64 array (the
+            # pending set is empty here: seal_content runs before every
+            # checkpoint); sorted → byte-stable blobs for equal state
+            "content_seen": np.fromiter(
+                sorted(self._content_seen), dtype=np.uint64,
+                count=len(self._content_seen),
+            ) if self._content_seen else None,
             "round": round_idx,
         }
         fpath = os.path.join(ckpt_dir, f"shard-{self.shard_id:05d}.parquet")
@@ -761,6 +806,9 @@ class FrontierActor:
         self.retry = blob.get("retry", {})
         self._retry_attempts = blob.get("retry_attempts", {})
         self.gave_up = blob.get("gave_up", 0)
+        cs = blob.get("content_seen")
+        self._content_seen = set(map(int, cs)) if cs is not None else set()
+        self._content_pending = set()
         # pre-breaker blobs carry no breaker state
         self._breaker_stats = blob.get("breaker_stats", {})
         self._suspended = blob.get("suspended", {})

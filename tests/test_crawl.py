@@ -1577,3 +1577,114 @@ def test_circuit_breaker_suspends_and_resumes_failing_host(
     guarded = go("out_guard", 0.5, min_attempts=8)
     bad_g = guarded[guarded["host"] == "bad.example"]
     assert sorted(bad_g["round"].unique().tolist()) == [1, 2, 3]
+
+
+def test_content_dedup_cross_url(ray_session, tmp_path_factory):
+    """Heritrix-style content-seen test: with content_dedup=True a body
+    whose fingerprint was sealed in an EARLIER round logs
+    status="dup_content" with empty text/links and is not parsed (its
+    outlinks are dropped — the duplicate's subtree stays undiscovered),
+    while SAME-round copies all parse (visibility is round-granular, so
+    the verdict is schedule-independent).  Everything else is
+    byte-identical to the default run."""
+    import datetime as dt
+
+    import pyarrow.compute as pc
+
+    tmp = str(tmp_path_factory.mktemp("contentdedup"))
+    host = "dup.example"
+    # shared byte-identical body B: a relative link ("z") that resolves
+    # differently per page URL, plus the pointer to the later duplicate
+    body = b'<html><body><a href="z">z</a><a href="/dup/c">c</a></body></html>'
+    pages = pa.table(
+        {
+            "url": pa.array(
+                [
+                    f"http://{host}/",
+                    f"http://{host}/a",      # body B, fetched round 1
+                    f"http://{host}/a2",     # body B, SAME round copy
+                    f"http://{host}/z",      # /a's relative link target
+                    f"http://{host}/dup/c",  # body B again, fetched round 2
+                    f"http://{host}/dup/z",  # only reachable via /dup/c's parse
+                ]
+            ),
+            "warc_ts": pa.array([dt.datetime(2024, 1, 1)] * 6, pa.timestamp("us")),
+            "html": pa.array(
+                [
+                    b'<html><body><a href="/a">a</a><a href="/a2">a2</a></body></html>',
+                    body,
+                    body,
+                    b"<html><body><p>z page</p></body></html>",
+                    body,
+                    b"<html><body><p>the hidden page</p></body></html>",
+                ],
+                pa.binary(),
+            ),
+            "text": pa.array(["", "", "", "", "", ""]),
+            "lang": pa.array(["en"] * 6),
+        }
+    )
+    pq.write_table(pages, f"{tmp}/pages.parquet")
+    pq.write_table(pa.table({"url": pa.array([f"http://{host}/"])}), f"{tmp}/seeds.parquet")
+
+    def go(out, dedup):
+        cfg = CrawlConfig(
+            pages_path=f"{tmp}/pages.parquet", seeds_path=f"{tmp}/seeds.parquet",
+            out_dir=f"{tmp}/{out}", num_frontier_actors=2, politeness_budget=8,
+            num_buckets=2, num_fetch_actors=2, content_dedup=dedup,
+        )
+        crawl(cfg)
+        return read_log(f"{tmp}/{out}")
+
+    on = go("out_on", True)
+    off = go("out_off", False)
+
+    by_url = {u: i for i, u in enumerate(on["url"].to_pylist())}
+    # same-round copies both parse: /a and /a2 carry body B in round 1
+    for u in (f"http://{host}/a", f"http://{host}/a2"):
+        i = by_url[u]
+        assert on["status"][i].as_py() == "fetched"
+        assert on["round"][i].as_py() == 1
+        assert on["n_links"][i].as_py() > 0
+    # the round-2 copy is a content dup: no parse, no text, no outlinks
+    i = by_url[f"http://{host}/dup/c"]
+    assert on["status"][i].as_py() == "dup_content"
+    assert on["text"][i].as_py() == ""
+    assert on["n_links"][i].as_py() == 0
+    # its subtree stays undiscovered; the default run fetches it
+    assert f"http://{host}/dup/z" not in by_url
+    off_urls = off["url"].to_pylist()
+    assert f"http://{host}/dup/z" in off_urls
+    # all rows except the dup and its subtree are byte-identical
+    drop = [f"http://{host}/dup/c", f"http://{host}/dup/z"]
+    keep_on = pc.invert(pc.is_in(on["url"], value_set=pa.array(drop)))
+    keep_off = pc.invert(pc.is_in(off["url"], value_set=pa.array(drop)))
+    assert on.filter(keep_on).equals(off.filter(keep_off))
+    # determinism: a second flag-on run is byte-equal
+    assert go("out_on2", True).equals(on)
+
+
+def test_content_seen_checkpoint_roundtrip(ray_session, tmp_path_factory):
+    """The sealed content-digest set survives checkpoint/restore
+    byte-exactly, and a pre-feature blob restores to an empty set."""
+    from opps_feedcrawler_ray.state.frontier import FrontierActor
+
+    import numpy as np
+    import ray
+
+    tmp = str(tmp_path_factory.mktemp("cseen"))
+    f = FrontierActor.remote(0, 1)
+    h = np.array([11, 22, 33], dtype=np.uint64)
+    assert not ray.get(f.check_stage_content.remote(h)).any()  # nothing sealed
+    # staged but unsealed: still invisible within the same round
+    assert not ray.get(f.check_stage_content.remote(h)).any()
+    ray.get(f.seal_content.remote())
+    assert ray.get(f.check_stage_content.remote(h)).all()
+    ray.get(f.checkpoint.remote(tmp, 3))
+    g = FrontierActor.remote(0, 1)
+    ray.get(g.restore.remote(tmp))
+    assert ray.get(g.check_stage_content.remote(h)).all()
+    # a fresh hash is still unseen after restore
+    assert not ray.get(
+        g.check_stage_content.remote(np.array([44], dtype=np.uint64))
+    ).any()
