@@ -377,6 +377,27 @@ def _q_host_kcore(sf_dir: str):
     return host_kcore(sf_dir)
 
 
+def _q_ann_pq(sf_dir: str):
+    """Product-quantization ADC top-k (rows-only: trained codebooks +
+    asymmetric distances have no SQL oracle; recall-vs-brute and
+    reconstruction twins are pinned in test_ann)."""
+    import numpy as np
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+
+    from opps_feedcrawler_ray.pipelines.ann import pq_topk
+
+    emb = _pq.read_table(f"{sf_dir}/embeddings.parquet")
+    order = {v: i for i, v in enumerate(emb["vec_id"].to_pylist())}
+    queries = np.array(
+        [emb["embedding"][order[q]].as_py() for q in (0, 1, 2)], dtype=np.float64
+    )
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    # m=32 subspaces x 64 codewords: 32 B/vector (8x vs float32), the
+    # config that holds recall@10 >= 0.7 on these near-random embeddings
+    return pq_topk(ds, queries, k=10, m=32, ksub=64)
+
+
 def _q_host_communities(sf_dir: str):
     """Label-propagation community detection (rows-only: iterative, no
     SQL oracle; synthetic structural twins — cliques, bridges, paths —
@@ -637,6 +658,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": _q_ann,
         "ann_ivf_topk": _q_ivf_ann,
         "ann_ivf_partitioned": _q_ivf_partitioned,
+        "ann_pq_topk": _q_ann_pq,
         "embedding_pca": _q_embedding_pca,
         "ann_hard_negatives": _q_hard_negatives,
         "kcenter_coreset": _q_kcenter_coreset,
@@ -655,6 +677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_gaps_islands": A.orders_gaps_islands,
         "customer_rfm": A.customer_rfm,
         "source_vocab_jaccard": A.source_vocab_jaccard,
+        "events_bootstrap_ci": A.events_bootstrap_ci,
         "events_percentile_cont": A.events_percentile_cont,
         "segment_event_mutual_info": A.segment_event_mutual_info,
         "sequential_pattern_support": A.sequential_pattern_support,

@@ -161,6 +161,8 @@ QUERY_NAMES = [
     "events_percentile_cont",
     "segment_event_mutual_info",
     "host_communities",
+    "events_bootstrap_ci",
+    "ann_pq_topk",
 ]
 
 

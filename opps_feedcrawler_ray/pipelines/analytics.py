@@ -6793,3 +6793,76 @@ def segment_event_mutual_info(sf_dir: str) -> pd.DataFrame:
             "mi_e6": pd.array([int(np.floor(mi * 1e6 + 0.5))], dtype="int64"),
         }
     )
+
+
+def events_bootstrap_ci(sf_dir: str, n_replicas: int = 200) -> pd.DataFrame:
+    """POISSON-BOOTSTRAP 95 % confidence interval for each event type's
+    mean value (Chamandy, Muralidharan, Najmi & Naidu 2012 — the
+    streaming bootstrap: per replica b, every row gets an independent
+    Poisson(1) weight, so a replica is computable as a weighted SUM
+    without ever materializing a resample).  Weights are DETERMINISTIC
+    — Poisson inverse-CDF over u = splitmix64(event_id·B + b)/2⁶⁴ — so
+    the interval is reproducible across runs, partitionings, and
+    cluster sizes (no RNG state).  Scale shape: per-batch partials are
+    (type, replica, Σwv, Σw) — domain-bounded at |types|·B rows per
+    block regardless of data size — combined on the driver; the
+    percentile cut runs over B replica means per type.  Cost is B
+    weighted sums per row, the bootstrap's irreducible price (B
+    tunable).  Rows-only (the hash-driven resample isn't reasonably
+    SQL-expressible); twin test replays the exact rule in pandas."""
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "event_type", "value"])
+    B = int(n_replicas)
+    # Poisson(1) inverse CDF thresholds, scaled to uint64 range
+    import math as _math
+
+    pk = np.cumsum(np.exp(-1.0) / np.array([_math.factorial(k) for k in range(12)]))
+    thresholds = np.minimum(pk * float(2**64), float(2**64 - 1)).astype(np.uint64)
+
+    _schema = pa.schema(
+        [("event_type", pa.string()), ("b", pa.int64()),
+         ("swv", pa.int64()), ("sw", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype("int64")
+        ets = batch["event_type"].to_numpy(zero_copy_only=False)
+        # (n, B) Poisson(1) weights from one vectorized mix per replica
+        u = _splitmix64(ids[:, None] * np.uint64(B) + np.arange(B, dtype=np.uint64)[None, :])
+        w = np.searchsorted(thresholds, u, side="left").astype("int64")  # (n, B)
+        rows = []
+        for et in np.unique(ets):
+            m = ets == et
+            swv = (w[m] * v[m][:, None]).sum(axis=0)  # (B,)
+            sw = w[m].sum(axis=0)
+            rows.append(pd.DataFrame(
+                {"event_type": et, "b": np.arange(B, dtype="int64"),
+                 "swv": swv, "sw": sw}
+            ))
+        return pa.Table.from_pandas(
+            pd.concat(rows) if rows else pd.DataFrame(
+                {"event_type": [], "b": [], "swv": [], "sw": []}
+            ),
+            preserve_index=False, schema=_schema,
+        )
+
+    agg = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["event_type", "b"], as_index=False)[["swv", "sw"]].sum()
+    )
+    out = []
+    for et, g in agg.groupby("event_type"):
+        means = g["swv"].to_numpy(dtype="float64") / np.maximum(
+            g["sw"].to_numpy(dtype="float64"), 1.0
+        )
+        means.sort()
+        lo = means[int(np.floor(0.025 * (len(means) - 1)))]
+        hi = means[int(np.ceil(0.975 * (len(means) - 1)))]
+        out.append((et, len(means),
+                    int(np.floor(lo * 1e4 + 0.5)), int(np.floor(hi * 1e4 + 0.5))))
+    return pd.DataFrame(
+        out, columns=["event_type", "n_replicas", "lo_e6", "hi_e6"]
+    ).sort_values("event_type").reset_index(drop=True)

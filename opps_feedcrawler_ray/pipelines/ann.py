@@ -510,3 +510,166 @@ def kcenter_coreset(sf_dir: str, k: int = 16) -> pd.DataFrame:
          "vec_id": np.asarray(sel_ids, dtype="int64"),
          "dist_e6": np.floor(np.asarray(dists) * 1e6 + 0.5).astype("int64")}
     )
+
+
+def pq_train(
+    ds: rd.Dataset,
+    m: int = 8,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_per_code: int = 64,
+    n_iter: int = 10,
+) -> np.ndarray:
+    """PRODUCT-QUANTIZATION codebook training (Jégou, Douze & Schmid
+    2011): the d-dim space splits into ``m`` subspaces of d/m dims; each
+    subspace gets its own ``ksub``-centroid L2 k-means codebook, so a
+    vector compresses to m uint8 codes (here 64 floats → 8 bytes, 32×).
+    Training runs on the SAME bounded hash-ordered sample the IVF
+    trainer uses (≤ sample_per_code·ksub rows with the smallest
+    splitmix64(id) — exact, order-independent, O(codebook) driver
+    memory at any corpus size); seeded k-means++ init + Lloyd rounds
+    with dead-centroid reseeding keep it deterministic.  Returns
+    codebooks shaped (m, ksub, d//m)."""
+    budget = sample_per_code * ksub
+    n = ds.count()
+    frac = min(1.0, (4.0 * budget) / max(n, 1))
+    thresh = np.uint64(min(int(frac * float(2**64 - 1)), 2**64 - 1) & (2**64 - 1))
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mk = _mix64(ids)
+        keep = np.flatnonzero(mk <= thresh)
+        vecs = (
+            batch[vec_col].take(pa.array(keep, pa.int64())).to_pylist()
+            if len(keep) else []
+        )
+        return pa.table(
+            {"m": pa.array(mk[keep], pa.uint64()),
+             "v": pa.array(vecs, pa.list_(pa.float64()))}
+        )
+
+    samp = ds.map_batches(sample, batch_format="pyarrow").to_pandas()
+    samp = samp.sort_values("m").head(budget)
+    X = np.array(samp["v"].to_list(), dtype=np.float64)  # RAW vectors: PQ is L2
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.default_rng(fingerprint64("pq-kmeans") % (2**32))
+    books = np.empty((m, ksub, dsub))
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        if len(S) <= ksub:  # degenerate tiny corpus: pad deterministically
+            pad = rng.standard_normal((ksub - len(S), dsub)) * 1e-6
+            books[j] = np.vstack([S, pad]) if len(S) else pad
+            continue
+        C = np.empty((ksub, dsub))
+        C[0] = S[int(rng.integers(len(S)))]
+        d2 = ((S - C[0]) ** 2).sum(1)
+        for c in range(1, ksub):  # kmeans++ (L2)
+            p = np.maximum(d2, 1e-12)
+            C[c] = S[int(rng.choice(len(S), p=p / p.sum()))]
+            d2 = np.minimum(d2, ((S - C[c]) ** 2).sum(1))
+        for _ in range(n_iter):
+            D = ((S[:, None, :] - C[None]) ** 2).sum(2)
+            a = D.argmin(1)
+            for c in range(ksub):
+                mem = S[a == c]
+                C[c] = mem.mean(0) if len(mem) else S[int(D.min(1).argmax())]
+        books[j] = C
+    return books
+
+
+def pq_encode(
+    ds: rd.Dataset,
+    books: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Streaming PQ ENCODE: broadcast the codebooks once, one vectorized
+    argmin per subspace per batch → m uint8 codes per vector (the
+    compressed index a 100 TB corpus actually stores; 8 B/vector here).
+    Returns (id, code list<uint8>) sorted by id."""
+    m, ksub, dsub = books.shape
+    books_ref = ray.put(books)
+
+    def enc(batch: pa.Table) -> pa.Table:
+        B = ray.get(books_ref)
+        V = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        codes = np.empty((len(V), m), dtype=np.uint8)
+        for j in range(m):
+            S = V[:, j * dsub : (j + 1) * dsub]
+            codes[:, j] = ((S[:, None, :] - B[j][None]) ** 2).sum(2).argmin(1)
+        return pa.table(
+            {id_col: batch[id_col],
+             "code": pa.array(list(codes), pa.list_(pa.uint8()))}
+        )
+
+    out = ds.map_batches(enc, batch_format="pyarrow").to_pandas()
+    return out.sort_values(id_col).reset_index(drop=True)
+
+
+def pq_topk(
+    ds: rd.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """PQ approximate top-k via ASYMMETRIC DISTANCE COMPUTATION (ADC,
+    Jégou et al. 2011 §IV): the query precomputes an (m × ksub) lookup
+    table of exact subspace distances to every codeword; a database
+    vector's approximate L2² is then m table gathers summed — computed
+    here fused with the encode (encode-on-the-fly keeps the demo
+    hermetic; a stored index would map_batches over the code column
+    instead, reading 8 B/vector).  Per-batch partial top-k (smallest
+    distance, id-ASC ties) → O(k·queries·blocks) driver merge — the
+    same combiner shape as :func:`brute_force_topk`.  Returns
+    (query_idx, id, adc_e6)."""
+    q = np.asarray(queries, dtype=np.float64)
+    books = pq_train(ds, m=m, ksub=ksub, vec_col=vec_col, id_col=id_col)
+    dsub = books.shape[2]
+    # lut[qi, j, c] = ||q_sub - codeword||²  (exact per-subspace)
+    lut = np.stack([
+        ((q[:, j * dsub : (j + 1) * dsub][:, None, :] - books[j][None]) ** 2).sum(2)
+        for j in range(books.shape[0])
+    ], axis=1)  # (n_q, m, ksub)
+    books_ref = ray.put(books)
+    lut_ref = ray.put(lut)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        B = ray.get(books_ref)
+        L = ray.get(lut_ref)
+        V = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mj, ks, dj = B.shape
+        codes = np.empty((len(V), mj), dtype=np.int64)
+        for j in range(mj):
+            S = V[:, j * dj : (j + 1) * dj]
+            codes[:, j] = ((S[:, None, :] - B[j][None]) ** 2).sum(2).argmin(1)
+        out_q, out_id, out_d = [], [], []
+        for qi in range(L.shape[0]):
+            adc = L[qi, np.arange(mj)[None, :], codes].sum(1)  # (n_rows,)
+            kk = min(k, len(adc))
+            # smallest-distance partial top-k, deterministic id-ASC ties
+            order = np.lexsort((ids, adc))[:kk]
+            out_q.extend([qi] * kk)
+            out_id.extend(ids[order])
+            out_d.extend(adc[order])
+        return pa.table(
+            {"query_idx": pa.array(out_q, pa.int64()),
+             id_col: pa.array(out_id, pa.int64()),
+             "adc": pa.array(out_d, pa.float64())}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = []
+    for qi, grp in partials.groupby("query_idx"):
+        grp = grp.sort_values(["adc", id_col], ascending=[True, True]).head(k)
+        out.append(grp)
+    res = pd.concat(out).reset_index(drop=True) if out else partials
+    res["adc_e6"] = np.floor(res["adc"] * 1e6 + 0.5).astype("int64")
+    return res[["query_idx", id_col, "adc_e6"]]

@@ -3011,3 +3011,36 @@ def test_host_communities_refine_components(ray_session):
     # every community lies entirely within one connected component
     m = pd.DataFrame({"community": comm, "component": comp})
     assert (m.groupby("community")["component"].nunique() == 1).all()
+
+
+def test_events_bootstrap_ci_matches_replay_and_covers(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import _splitmix64, events_bootstrap_ci
+
+    B = 50
+    got = events_bootstrap_ci(SF, n_replicas=B)
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    ev["v"] = np.floor(ev["value"].to_numpy() * 100 + 0.5).astype("int64")
+    import math
+
+    pk = np.cumsum(np.exp(-1.0) / np.array([math.factorial(k) for k in range(12)]))
+    thresholds = np.minimum(pk * float(2**64), float(2**64 - 1)).astype(np.uint64)
+    rows = []
+    for et, g in ev.groupby("event_type"):
+        ids = g["event_id"].to_numpy().astype(np.uint64)
+        u = _splitmix64(ids[:, None] * np.uint64(B)
+                        + np.arange(B, dtype=np.uint64)[None, :])
+        w = np.searchsorted(thresholds, u, side="left").astype("int64")
+        means = np.sort((w * g["v"].to_numpy()[:, None]).sum(0)
+                        / np.maximum(w.sum(0), 1.0))
+        lo = means[int(np.floor(0.025 * (B - 1)))]
+        hi = means[int(np.ceil(0.975 * (B - 1)))]
+        rows.append((et, B, int(np.floor(lo * 1e4 + 0.5)), int(np.floor(hi * 1e4 + 0.5))))
+        # coverage sanity: the plain sample mean falls inside the CI
+        mean_e6 = g["v"].mean() * 1e4
+        assert lo * 1e4 <= mean_e6 <= hi * 1e4, et
+    exp = pd.DataFrame(rows, columns=["event_type", "n_replicas", "lo_e6", "hi_e6"]).sort_values(
+        "event_type").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # deterministic across runs
+    pd.testing.assert_frame_equal(got, events_bootstrap_ci(SF, n_replicas=B))
