@@ -338,6 +338,12 @@ def _q_doc_triangles(sf_dir: str):
     return doc_triangle_counts(sf_dir)
 
 
+def _q_doc_adamic_adar(sf_dir: str):
+    from opps_feedcrawler_ray.pipelines.webpipe import doc_adamic_adar
+
+    return doc_adamic_adar(sf_dir, k=20)
+
+
 def _q_doc_bfs_depth(sf_dir: str):
     from opps_feedcrawler_ray.pipelines.webpipe import doc_bfs_depth
 
@@ -621,6 +627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_communities": _q_host_communities,
         "top_tokens_per_lang": A.top_tokens_per_lang,
         "doc_triangle_counts": _q_doc_triangles,
+        "doc_adamic_adar": _q_doc_adamic_adar,
         "doc_bfs_depth": _q_doc_bfs_depth,
         "events_daily_distinct_users": A.events_daily_distinct_users,
         "user_mode_event": A.user_mode_event,
@@ -678,6 +685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_rfm": A.customer_rfm,
         "source_vocab_jaccard": A.source_vocab_jaccard,
         "events_bootstrap_ci": A.events_bootstrap_ci,
+        "purchase_survival_km": A.purchase_survival_km,
         "events_percentile_cont": A.events_percentile_cont,
         "segment_event_mutual_info": A.segment_event_mutual_info,
         "sequential_pattern_support": A.sequential_pattern_support,
@@ -2340,6 +2348,54 @@ def oracle_sql() -> dict[str, str]:
             "SELECT y FROM tri UNION ALL SELECT z FROM tri) "
             "SELECT doc_id, COUNT(*) AS n_triangles FROM v "
             "GROUP BY doc_id ORDER BY doc_id"
+        ),
+        "purchase_survival_km": (
+            # Kaplan-Meier: the recursive CTE forces the SAME sequential
+            # ascending-t double-product order the Ray driver fold uses
+            "WITH RECURSIVE f AS (SELECT user_id, MIN(epoch_us(ts)) AS t0, "
+            "MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tp "
+            "FROM events GROUP BY user_id), "
+            "mx AS (SELECT MAX(epoch_us(ts)) AS m FROM events), "
+            "dur AS (SELECT (COALESCE(tp, m) - t0) // 86400000000 AS t_day, "
+            "CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS e FROM f CROSS JOIN mx), "
+            "cen AS (SELECT t_day, CAST(SUM(e) AS BIGINT) AS d, COUNT(*) AS c "
+            "FROM dur GROUP BY t_day), "
+            "kr AS (SELECT t_day, d, CAST(SUM(c) OVER (ORDER BY t_day DESC) AS BIGINT) "
+            "AS n_risk FROM cen), "
+            "km AS (SELECT t_day, n_risk, d, ROW_NUMBER() OVER (ORDER BY t_day) AS rn "
+            "FROM kr WHERE d > 0), "
+            "s AS (SELECT rn, t_day, n_risk, d, "
+            "(n_risk - d) * 1.0 / n_risk AS sv FROM km WHERE rn = 1 "
+            "UNION ALL SELECT km.rn, km.t_day, km.n_risk, km.d, "
+            "s.sv * ((km.n_risk - km.d) * 1.0 / km.n_risk) "
+            "FROM km JOIN s ON km.rn = s.rn + 1) "
+            "SELECT t_day, n_risk, d, "
+            "CAST(FLOOR(1000000.0 * d / n_risk + 0.5) AS BIGINT) AS hazard_e6, "
+            "CAST(FLOOR(sv * 1000000 + 0.5) AS BIGINT) AS surv_e6 "
+            "FROM s ORDER BY t_day"
+        ),
+        "doc_adamic_adar": (
+            # closed-form twin: undirect + dedup the id-arithmetic edges,
+            # wedge pairs per common neighbor z weighted by the SAME
+            # integer floor(1e9/ln(deg z) + .5), existing edges excluded
+            "WITH n AS (SELECT COUNT(*) AS n FROM documents), "
+            "k AS (SELECT unnest(range(6)) AS k), "
+            "e0 AS (SELECT doc_id AS a, (doc_id * 37 + 11 * k + 1) % n.n AS b "
+            "FROM documents CROSS JOIN k CROSS JOIN n), "
+            "e1 AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b "
+            "FROM e0 WHERE a <> b), "
+            "adj AS (SELECT a AS z, b AS x FROM e1 UNION ALL SELECT b, a FROM e1), "
+            "deg AS (SELECT z AS node, CAST(FLOOR(1000000000.0 / "
+            "LN(GREATEST(COUNT(*), 2)) + 0.5) AS BIGINT) AS w FROM adj GROUP BY z), "
+            "wp AS (SELECT n1.x AS a, n2.x AS b, n1.z AS z FROM adj n1 "
+            "JOIN adj n2 ON n1.z = n2.z AND n1.x < n2.x), "
+            "sc AS (SELECT wp.a, wp.b, COUNT(*) AS cn, "
+            "CAST(SUM(deg.w) AS BIGINT) AS aa_e9 FROM wp "
+            "JOIN deg ON wp.z = deg.node "
+            "WHERE NOT EXISTS (SELECT 1 FROM e1 WHERE e1.a = wp.a AND e1.b = wp.b) "
+            "GROUP BY wp.a, wp.b) "
+            "SELECT a, b, cn, aa_e9 FROM sc "
+            "ORDER BY aa_e9 DESC, a, b LIMIT 20"
         ),
         "doc_bfs_depth": (
             # min-reachable depth (recursive CTE, UNION-deduped, depth

@@ -163,6 +163,8 @@ QUERY_NAMES = [
     "host_communities",
     "events_bootstrap_ci",
     "ann_pq_topk",
+    "doc_adamic_adar",
+    "purchase_survival_km",
 ]
 
 

@@ -6866,3 +6866,101 @@ def events_bootstrap_ci(sf_dir: str, n_replicas: int = 200) -> pd.DataFrame:
     return pd.DataFrame(
         out, columns=["event_type", "n_replicas", "lo_e6", "hi_e6"]
     ).sort_values("event_type").reset_index(drop=True)
+
+
+def purchase_survival_km(sf_dir: str) -> pd.DataFrame:
+    """KAPLAN-MEIER survival estimator (Kaplan & Meier 1958) for
+    time-to-first-purchase: each user enters at their first event of any
+    type; the event is their first purchase (any purchase is ≥ the
+    global first, so per-user MIN timestamps suffice); users who never
+    purchase are right-CENSORED at the corpus' max timestamp.  Duration
+    is whole days (integer µs arithmetic).  Output: one row per event
+    time t with the at-risk count n(t) (reverse cumsum), event count
+    d(t), hazard_e6 = floor(1e6·d/n + ½), and the survival curve
+    S(t) = Π_{t'≤t}(1 − d/n).
+
+    Exactness: n, d are exact ints; hazard is one float div + floor
+    replicated verbatim in SQL; S(t) is a SEQUENTIAL double product in
+    ascending-t order on BOTH sides — the oracle forces the identical
+    multiply order with a recursive CTE (windowed PRODUCT would be
+    segment-tree-associated and could differ in the last ulp).
+
+    Scale shape: per-batch (user, min ts, min purchase ts) partials →
+    ONE user-bucket exchange where per-user firsts complete; each bucket
+    emits a DOMAIN-BOUNDED (t_day, d, c) census (≤ span-days rows), so
+    only |days|-sized tables and the final ≤|event-times| KM fold reach
+    the driver."""
+    from .dedup import coarse_buckets
+
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "event_type", "ts"])
+    nb = coarse_buckets(ev.count(), rows_per_task=65536)
+
+    DAY_US = 86_400_000_000
+
+    _p_schema = pa.schema(
+        [("user_id", pa.int64()), ("t0", pa.int64()), ("tp", pa.int64()),
+         ("__b", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        us = df["ts"].astype("datetime64[us]").astype("int64")
+        df = df.assign(us=us)
+        g0 = df.groupby("user_id", as_index=False)["us"].min().rename(columns={"us": "t0"})
+        gp = (
+            df[df["event_type"] == "purchase"]
+            .groupby("user_id", as_index=False)["us"].min().rename(columns={"us": "tp"})
+        )
+        m = g0.merge(gp, on="user_id", how="left")
+        m["tp"] = m["tp"].fillna(-1).astype("int64")
+        m["__b"] = (m["user_id"] % nb).astype("int64")
+        return pa.Table.from_pandas(m, preserve_index=False, schema=_p_schema)
+
+    def census(g: pd.DataFrame, horizon_us: int) -> pd.DataFrame:
+        cols = {"t_day": "int64", "d": "int64", "c": "int64"}
+        if not len(g):
+            return pd.DataFrame({k: pd.array([], dtype=v) for k, v in cols.items()})
+        BIG = np.int64(2**62)  # "no purchase" sentinel that min() ignores
+        g = g.assign(tp=np.where(g["tp"].to_numpy() < 0, BIG, g["tp"].to_numpy()))
+        f = g.groupby("user_id", as_index=False).agg(t0=("t0", "min"), tp=("tp", "min"))
+        has_p = f["tp"].to_numpy() < BIG
+        end = np.where(has_p, f["tp"].to_numpy(), horizon_us)
+        t = (end - f["t0"].to_numpy()) // DAY_US
+        out = pd.DataFrame({"t_day": t, "e": has_p.astype("int64")})
+        cen = out.groupby("t_day", as_index=False).agg(d=("e", "sum"), c=("e", "size"))
+        return cen.astype(cols)
+
+    # horizon needs one cheap pass; Ray's Dataset.max returns a scalar
+    import datetime as _dt
+
+    mx = rd.read_parquet(_t(sf_dir, "events"), columns=["ts"]).max("ts")
+    if isinstance(mx, _dt.datetime):
+        horizon = int(mx.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000)
+    else:  # pandas / numpy timestamp
+        horizon = int(pd.Timestamp(mx).value // 1000)
+
+    cen = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(lambda g: census(g, horizon), batch_format="pandas")
+        .to_pandas()
+        .groupby("t_day", as_index=False)[["d", "c"]].sum()
+        .sort_values("t_day")
+    )
+    # KM fold over the ≤|days| census: reverse-cumsum at-risk, event rows only
+    n_risk = cen["c"].to_numpy()[::-1].cumsum()[::-1]
+    cen = cen.assign(n_risk=n_risk)
+    km = cen[cen["d"] > 0].reset_index(drop=True)
+    sv = 1.0
+    surv, haz = [], []
+    for n_i, d_i in zip(km["n_risk"].to_numpy(), km["d"].to_numpy()):
+        haz.append(int(np.floor(1e6 * d_i / n_i + 0.5)))
+        sv = sv * ((n_i - d_i) / n_i)  # sequential: matches the recursive CTE
+        surv.append(int(np.floor(sv * 1e6 + 0.5)))
+    return pd.DataFrame(
+        {"t_day": km["t_day"].astype("int64"),
+         "n_risk": km["n_risk"].astype("int64"),
+         "d": km["d"].astype("int64"),
+         "hazard_e6": pd.array(haz, dtype="int64"),
+         "surv_e6": pd.array(surv, dtype="int64")}
+    )

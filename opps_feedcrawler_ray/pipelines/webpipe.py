@@ -614,36 +614,18 @@ def host_communities(sf_dir: str, work_dir: str | None = None):
     return communities_from_edges(host_link_graph(sf_dir, work_dir=work_dir))
 
 
-def doc_triangle_counts(sf_dir: str, work_dir: str | None = None):
-    """Distributed TRIANGLE COUNTING over the doc-level link graph — the
-    degree-orientation algorithm (Chiba–Nishizeki / Schank–Wagner node
-    iterator): orient each undirected edge from the lower-(degree, id)
-    endpoint to the higher, enumerate wedges at each apex (out-degree
-    after orientation is O(sqrt(m)), so wedge volume is bounded), and
-    close them with a co-shuffled membership probe against the oriented
-    edge set.  Every stage is a combiner + one coarse-bucket exchange:
-
-      1. parse pages → undirected (a,b) pairs, per-batch dedup,
-         pair-bucket shuffle for the global dedup;
-      2. degrees via node-bucketed partial sums (the degree table is
-         ≤|nodes| rows — same fits-a-heap broadcast assumption
-         host_pagerank documents, same bucketed-join fallback past it);
-      3. wedges per apex grouped by src bucket, emitted with the
-         vectorized ``_cell_pair_indices`` kernel (zero Python pairs);
-      4. wedge rows UNION edge rows co-shuffle on hash(u,v); per-bucket
-         membership is one ``np.isin`` over packed int64 keys (packing
-         assumes ids < 2^31; at web scale the key becomes a 128-bit
-         hash);
-      5. matched wedges emit 3 per-vertex partials → node-bucketed sum.
-
-    The corpus' links are id-arithmetic ((doc·37+11k+1) mod n), so the
-    whole parse→canonicalize→count composition has a closed-form SQL
-    oracle (like host_link_graph)."""
+def _doc_link_edges(sf_dir: str, work_dir: str | None = None):
+    """Shared first stage of the doc-graph family (triangles, link
+    prediction): parse the derived corpus' pages, canonicalize hrefs,
+    and reduce to the globally-deduped UNDIRECTED edge set (a < b,
+    self-links dropped) via per-batch dedup + one pair-bucket exchange.
+    Returns ``(edges_dataset (materialized: consumed more than once),
+    n_docs, nb)``."""
     import pandas as pd
 
     from ..functions.extract import parse_links
     from ..functions.urlnorm import canonicalize_batch
-    from .dedup import _cell_pair_indices, coarse_buckets
+    from .dedup import coarse_buckets
 
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
     work = work_dir or f"/tmp/opps_feedcrawler_ray/webpipe-{sf_tag}"
@@ -679,7 +661,7 @@ def doc_triangle_counts(sf_dir: str, work_dir: str | None = None):
         d = np.asarray(dsts, dtype=np.int64)
         a = np.minimum(s, d)
         b = np.maximum(s, d)
-        keep = a != b  # self-links carry no triangles
+        keep = a != b  # self-links carry no triangles / no prediction value
         df = pd.DataFrame({"a": a[keep], "b": b[keep]}).drop_duplicates()
         df["__b"] = ((df["a"] * np.int64(n_docs) + df["b"]) % nb).astype("int64")
         return pa.Table.from_pandas(df, preserve_index=False, schema=pair_schema)
@@ -691,8 +673,41 @@ def doc_triangle_counts(sf_dir: str, work_dir: str | None = None):
         pages.map_batches(edge_partial, batch_format="pyarrow")
         .groupby("__b")
         .map_groups(bucket_dedup, batch_format="pandas")
-        .materialize()  # pinned: read again for degrees, then orientation
+        .materialize()
     )
+    return edges, n_docs, nb
+
+
+def doc_triangle_counts(sf_dir: str, work_dir: str | None = None):
+    """Distributed TRIANGLE COUNTING over the doc-level link graph — the
+    degree-orientation algorithm (Chiba–Nishizeki / Schank–Wagner node
+    iterator): orient each undirected edge from the lower-(degree, id)
+    endpoint to the higher, enumerate wedges at each apex (out-degree
+    after orientation is O(sqrt(m)), so wedge volume is bounded), and
+    close them with a co-shuffled membership probe against the oriented
+    edge set.  Every stage is a combiner + one coarse-bucket exchange:
+
+      1. parse pages → undirected (a,b) pairs, per-batch dedup,
+         pair-bucket shuffle for the global dedup;
+      2. degrees via node-bucketed partial sums (the degree table is
+         ≤|nodes| rows — same fits-a-heap broadcast assumption
+         host_pagerank documents, same bucketed-join fallback past it);
+      3. wedges per apex grouped by src bucket, emitted with the
+         vectorized ``_cell_pair_indices`` kernel (zero Python pairs);
+      4. wedge rows UNION edge rows co-shuffle on hash(u,v); per-bucket
+         membership is one ``np.isin`` over packed int64 keys (packing
+         assumes ids < 2^31; at web scale the key becomes a 128-bit
+         hash);
+      5. matched wedges emit 3 per-vertex partials → node-bucketed sum.
+
+    The corpus' links are id-arithmetic ((doc·37+11k+1) mod n), so the
+    whole parse→canonicalize→count composition has a closed-form SQL
+    oracle (like host_link_graph)."""
+    import pandas as pd
+
+    from .dedup import _cell_pair_indices
+
+    edges, n_docs, nb = _doc_link_edges(sf_dir, work_dir)
 
     deg_schema = pa.schema([("node", pa.int64()), ("c", pa.int64()), ("__b", pa.int64())])
 
@@ -1005,3 +1020,143 @@ def host_hits(sf_dir: str, iters: int = 10, work_dir: str | None = None):
          "auth_e9": [auth[h] for h in hosts]}
     ).sort_values(["auth_e9", "host"], ascending=[False, True])
     return out.reset_index(drop=True)
+
+
+def doc_adamic_adar(
+    sf_dir: str, k: int = 20, work_dir: str | None = None, max_degree: int | None = None
+) -> "pd.DataFrame":
+    """LINK PREDICTION over the doc link graph: top-k non-adjacent pairs
+    by the Adamic–Adar index AA(x,y) = Σ_{z ∈ N(x)∩N(y)} 1/ln(deg z)
+    (Adamic & Adar 2003) — the classic who-should-link-to-whom score.
+
+    Exactness: each common neighbor contributes the INTEGER
+    floor(1e9/ln(deg) + 0.5) (deg ≥ 2 for any common neighbor, so ln>0);
+    integer sums are order-free and the oracle replays the identical
+    floor expression, so the score hashes bit-equal.
+
+    Scale shape (all combiner + bucket exchanges, shared with
+    :func:`doc_triangle_counts` via :func:`_doc_link_edges`):
+
+      1. undirected deduped edges (one pair-bucket exchange);
+      2. degree table via node-bucketed partial sums, broadcast once
+         (same fits-a-heap assumption/fallback PageRank documents);
+      3. adjacency rows grouped by the CENTER vertex z; per-z neighbor
+         pairs via the vectorized ``_cell_pair_indices`` kernel, each
+         carrying z's integer weight — wedge volume is Σ deg², so
+         ``max_degree`` (skip hubs: their 1/ln(deg) ≈ 0 contribution)
+         is the documented web-scale cap, off at test scale;
+      4. wedge rows UNION edge-marker rows co-shuffle on the pair key;
+         per-bucket: drop already-adjacent pairs (np.isin on packed
+         keys), sum weights, LOSSLESS local top-k (a pair lives in
+         exactly one bucket) → O(k·buckets) driver merge."""
+    import pandas as pd
+    import ray
+
+    from .dedup import _cell_pair_indices
+
+    edges, n_docs, nb = _doc_link_edges(sf_dir, work_dir)
+
+    deg_schema = pa.schema([("node", pa.int64()), ("c", pa.int64()), ("__b", pa.int64())])
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        nodes = np.concatenate(
+            [batch["a"].to_numpy(zero_copy_only=False),
+             batch["b"].to_numpy(zero_copy_only=False)]
+        )
+        u, c = np.unique(nodes, return_counts=True)
+        df = pd.DataFrame({"node": u, "c": c.astype("int64")})
+        df["__b"] = (df["node"] % nb).astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False, schema=deg_schema)
+
+    def deg_sum(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("node", as_index=False)["c"].sum()
+
+    deg_df = (
+        edges.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(deg_sum, batch_format="pandas")
+        .to_pandas()
+    )
+    nodes_sorted = deg_df["node"].to_numpy(dtype=np.int64)
+    order = np.argsort(nodes_sorted)
+    nodes_sorted = nodes_sorted[order]
+    degs_sorted = deg_df["c"].to_numpy(dtype=np.int64)[order]
+    # integer per-neighbor contribution, the exactness trick
+    w_sorted = np.floor(1e9 / np.log(np.maximum(degs_sorted, 2)) + 0.5).astype(np.int64)
+    deg_ref = ray.put((nodes_sorted, degs_sorted, w_sorted))
+
+    adj_schema = pa.schema([("z", pa.int64()), ("x", pa.int64()), ("__b", pa.int64())])
+
+    def adj_rows(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        z = np.concatenate([a, b])
+        x = np.concatenate([b, a])
+        return pa.table(
+            {"z": pa.array(z, pa.int64()), "x": pa.array(x, pa.int64()),
+             "__b": pa.array((z % nb).astype("int64"), pa.int64())}
+        )
+
+    wedge_cols = {"u": "int64", "v": "int64", "w": "int64",
+                  "kind": "int64", "__b2": "int64"}
+
+    def _empty_wedges() -> pd.DataFrame:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in wedge_cols.items()})
+
+    def wedge_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        nodes, degs, ws = ray.get(deg_ref)
+        if max_degree is not None:
+            zi = np.searchsorted(nodes, g["z"].to_numpy(dtype=np.int64))
+            g = g[degs[zi] <= max_degree]
+        g = g.sort_values(["z", "x"])
+        codes = g.groupby("z", sort=False).ngroup().to_numpy()
+        i, j = _cell_pair_indices(codes)
+        if len(i) == 0:
+            return _empty_wedges()
+        xs = g["x"].to_numpy(dtype=np.int64)
+        zs = g["z"].to_numpy(dtype=np.int64)
+        u = np.minimum(xs[i], xs[j])
+        v = np.maximum(xs[i], xs[j])
+        w = ws[np.searchsorted(nodes, zs[i])]
+        df = pd.DataFrame({"u": u, "v": v, "w": w,
+                           "kind": np.ones(len(u), dtype=np.int64)})
+        df["__b2"] = ((df["u"] * np.int64(n_docs) + df["v"]) % nb).astype("int64")
+        return df.astype(wedge_cols)
+
+    def edge_markers(batch: pd.DataFrame) -> pd.DataFrame:
+        u = batch["a"].to_numpy(dtype=np.int64)
+        v = batch["b"].to_numpy(dtype=np.int64)
+        df = pd.DataFrame({"u": u, "v": v,
+                           "w": np.zeros(len(u), dtype=np.int64),
+                           "kind": np.zeros(len(u), dtype=np.int64)})
+        df["__b2"] = ((df["u"] * np.int64(n_docs) + df["v"]) % nb).astype("int64")
+        return df.astype(wedge_cols)
+
+    out_cols = {"a": "int64", "b": "int64", "cn": "int64", "aa_e9": "int64"}
+
+    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["u"].to_numpy(dtype=np.int64) * np.int64(n_docs) + g["v"].to_numpy(
+            dtype=np.int64
+        )
+        is_edge = g["kind"].to_numpy() == 0
+        wr = g[~is_edge].loc[~np.isin(key[~is_edge], key[is_edge])]
+        if not len(wr):
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in out_cols.items()})
+        s = wr.groupby(["u", "v"], as_index=False).agg(
+            cn=("w", "size"), aa_e9=("w", "sum")
+        )
+        s = s.sort_values(["aa_e9", "u", "v"], ascending=[False, True, True]).head(k)
+        return s.rename(columns={"u": "a", "v": "b"}).astype(out_cols)
+
+    probe = (
+        edges.map_batches(adj_rows, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(wedge_pairs, batch_format="pandas")
+        .union(edges.map_batches(edge_markers, batch_format="pandas"))
+    )
+    parts = probe.groupby("__b2").map_groups(score_bucket, batch_format="pandas").to_pandas()
+    return (
+        parts.sort_values(["aa_e9", "a", "b"], ascending=[False, True, True])
+        .head(k)
+        .reset_index(drop=True)[["a", "b", "cn", "aa_e9"]]
+    )

@@ -3044,3 +3044,69 @@ def test_events_bootstrap_ci_matches_replay_and_covers(ray_session):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     # deterministic across runs
     pd.testing.assert_frame_equal(got, events_bootstrap_ci(SF, n_replicas=B))
+
+
+def test_doc_adamic_adar_matches_numpy_brute_force(ray_session, tmp_path):
+    from opps_feedcrawler_ray.pipelines.webpipe import doc_adamic_adar
+
+    k = 20
+    got = doc_adamic_adar(SF, k=k, work_dir=str(tmp_path / "webpipe"))
+    n = len(pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"]))
+    adj = np.zeros((n, n), dtype=bool)
+    for did in range(n):
+        for kk in range(6):
+            t = (did * 37 + 11 * kk + 1) % n
+            if t != did:
+                adj[did, t] = adj[t, did] = True
+    deg = adj.sum(1)
+    w = np.floor(1e9 / np.log(np.maximum(deg, 2)) + 0.5).astype(np.int64)
+    rows = []
+    for a in range(n):
+        for b in range(a + 1, n):
+            if adj[a, b]:
+                continue
+            common = np.flatnonzero(adj[a] & adj[b])
+            if len(common):
+                rows.append((a, b, len(common), int(w[common].sum())))
+    exp = (
+        pd.DataFrame(rows, columns=["a", "b", "cn", "aa_e9"])
+        .sort_values(["aa_e9", "a", "b"], ascending=[False, True, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # determinism
+    pd.testing.assert_frame_equal(got, doc_adamic_adar(SF, k=k, work_dir=str(tmp_path / "webpipe")))
+
+
+def test_purchase_survival_km_matches_pandas_replay(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import purchase_survival_km
+
+    got = purchase_survival_km(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "event_type", "ts"])
+    us = ev["ts"].astype("datetime64[us]").astype("int64")
+    ev = ev.assign(us=us)
+    t0 = ev.groupby("user_id")["us"].min()
+    tp = ev[ev["event_type"] == "purchase"].groupby("user_id")["us"].min()
+    horizon = int(ev["us"].max())
+    DAY = 86_400_000_000
+    rows = []
+    for uid, start in t0.items():
+        end = tp.get(uid, horizon)
+        rows.append(((int(end) - int(start)) // DAY, uid in tp.index))
+    dur = pd.DataFrame(rows, columns=["t", "e"])
+    cen = dur.groupby("t", as_index=False).agg(d=("e", "sum"), c=("e", "size")).sort_values("t")
+    n_risk = cen["c"].to_numpy()[::-1].cumsum()[::-1]
+    cen["n_risk"] = n_risk
+    km = cen[cen["d"] > 0].reset_index(drop=True)
+    sv, surv, haz = 1.0, [], []
+    for n_i, d_i in zip(km["n_risk"], km["d"]):
+        haz.append(int(np.floor(1e6 * d_i / n_i + 0.5)))
+        sv *= (n_i - d_i) / n_i
+        surv.append(int(np.floor(sv * 1e6 + 0.5)))
+    exp = pd.DataFrame({"t_day": km["t"], "n_risk": km["n_risk"], "d": km["d"],
+                        "hazard_e6": haz, "surv_e6": surv}).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # KM invariants: survival non-increasing, at-risk non-increasing in t
+    assert (np.diff(got["surv_e6"].to_numpy()) <= 0).all()
+    assert (np.diff(got["n_risk"].to_numpy()) <= 0).all()
