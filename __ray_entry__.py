@@ -686,6 +686,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_vocab_jaccard": A.source_vocab_jaccard,
         "events_bootstrap_ci": A.events_bootstrap_ci,
         "purchase_survival_km": A.purchase_survival_km,
+        "bpe_encode_docs": A.bpe_encode_docs,
+        "doc_compression_ratio": A.doc_compression_ratio,
         "events_percentile_cont": A.events_percentile_cont,
         "segment_event_mutual_info": A.segment_event_mutual_info,
         "sequential_pattern_support": A.sequential_pattern_support,

@@ -165,6 +165,8 @@ QUERY_NAMES = [
     "ann_pq_topk",
     "doc_adamic_adar",
     "purchase_survival_km",
+    "bpe_encode_docs",
+    "doc_compression_ratio",
 ]
 
 

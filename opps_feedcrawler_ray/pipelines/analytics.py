@@ -3697,20 +3697,11 @@ def events_unpivot_props(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["event_id", "key"]).reset_index(drop=True)
 
 
-def bpe_vocab(sf_dir: str, n_merges: int = 40) -> pd.DataFrame:
-    """TOKENIZER TRAINING: learn a BPE merge table over the corpus
-    (Sennrich et al. 2016) — the step a real training-data pipeline runs
-    before token counting/packing ever happens.
-
-    Scale shape: the corpus reduces to a word → count table via per-batch
-    combiners + ONE coarse-bucket exchange (payload bounded by the
-    VOCABULARY, not the corpus — the exact reduction real BPE trainers
-    use); the merge loop then runs driver-side over that bounded table
-    (:func:`~opps_feedcrawler_ray.functions.text.bpe_learn`),
-    deterministic under any batch/cluster layout.  Iterative and
-    count-threshold driven — not SQL-expressible, so this query is
-    rows-only; the kernel is pinned by the published worked example and
-    an independent-recount property test."""
+def _bpe_merges(sf_dir: str, n_merges: int) -> list:
+    """Shared trainer behind :func:`bpe_vocab` and
+    :func:`bpe_encode_docs`: corpus → vocabulary-bounded word-count
+    table (per-batch combiners + ONE coarse-bucket exchange) →
+    deterministic driver-side merge loop."""
     from .dedup import coarse_buckets
     from ..functions.text import bpe_learn
 
@@ -3746,7 +3737,24 @@ def bpe_vocab(sf_dir: str, n_merges: int = 40) -> pd.DataFrame:
         .map_groups(sum_counts, batch_format="pandas")
         .to_pandas()  # vocabulary-bounded, never corpus-sized
     )
-    merges = bpe_learn(dict(zip(wc_df["word"], wc_df["n"])), n_merges)
+    return bpe_learn(dict(zip(wc_df["word"], wc_df["n"])), n_merges)
+
+
+def bpe_vocab(sf_dir: str, n_merges: int = 40) -> pd.DataFrame:
+    """TOKENIZER TRAINING: learn a BPE merge table over the corpus
+    (Sennrich et al. 2016) — the step a real training-data pipeline runs
+    before token counting/packing ever happens.
+
+    Scale shape: the corpus reduces to a word → count table via per-batch
+    combiners + ONE coarse-bucket exchange (payload bounded by the
+    VOCABULARY, not the corpus — the exact reduction real BPE trainers
+    use); the merge loop then runs driver-side over that bounded table
+    (:func:`~opps_feedcrawler_ray.functions.text.bpe_learn`),
+    deterministic under any batch/cluster layout.  Iterative and
+    count-threshold driven — not SQL-expressible, so this query is
+    rows-only; the kernel is pinned by the published worked example and
+    an independent-recount property test."""
+    merges = _bpe_merges(sf_dir, n_merges)
     return pd.DataFrame(
         {
             "rank": pd.Series(range(len(merges)), dtype="int64"),
@@ -6964,3 +6972,110 @@ def purchase_survival_km(sf_dir: str) -> pd.DataFrame:
          "hazard_e6": pd.array(haz, dtype="int64"),
          "surv_e6": pd.array(surv, dtype="int64")}
     )
+
+
+class _BpeEncodeStage:
+    """Actor-pool BPE ENCODER: the merge table loads ONCE per actor in
+    ``__init__`` (broadcast via ray.put); ``__call__`` encodes each
+    batch's DISTINCT words once through a per-actor memo dict that
+    persists across batches — the standard segmenter-with-cache shape a
+    real tokenizer service uses (vocabulary-bounded state, not
+    corpus-bounded)."""
+
+    def __init__(self, merges_ref):
+        import ray
+
+        from ..functions.text import bpe_encode
+
+        self._merges = ray.get(merges_ref)
+        self._encode = bpe_encode
+        self._memo: dict[str, int] = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        n_words = np.zeros(len(ids), dtype=np.int64)
+        n_toks = np.zeros(len(ids), dtype=np.int64)
+        memo, enc, merges = self._memo, self._encode, self._merges
+        for i, t in enumerate(batch["text"].to_pylist()):
+            words = [w for w in (t or "").split(" ") if w]
+            n_words[i] = len(words)
+            tot = 0
+            for w in words:
+                n = memo.get(w)
+                if n is None:
+                    n = len(enc(w, merges))
+                    memo[w] = n
+                tot += n
+            n_toks[i] = tot
+        fert = np.floor(n_toks * 1e6 / np.maximum(n_words, 1) + 0.5).astype("int64")
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "n_words": pa.array(n_words, pa.int64()),
+             "n_bpe_tokens": pa.array(n_toks, pa.int64()),
+             "fertility_e6": pa.array(fert, pa.int64())}
+        )
+
+
+def bpe_encode_docs(sf_dir: str, n_merges: int = 40) -> pd.DataFrame:
+    """TOKENIZER APPLICATION — the encode half of the BPE story
+    (:func:`bpe_vocab` trains, this op segments the corpus with the
+    learned merges): per-doc word count, BPE token count, and fertility
+    (tokens/word, e6) — the statistic tokenizer evaluations report.
+
+    Scale shape: train on the vocabulary-bounded reduction, broadcast
+    the merge list once, then ONE streaming actor-pool pass
+    (:class:`_BpeEncodeStage`, per-actor word→length memo) — no
+    shuffle, output is one row per doc.  Greedy rank-ordered BPE
+    segmentation is iterative per word — not SQL-expressible, so
+    rows-only; the twin test replays encode in pure Python."""
+    import ray
+
+    merges_ref = ray.put(_bpe_merges(sf_dir, n_merges))
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    # autoscaling pool capped below the CPU budget so upstream read
+    # tasks always have a slot (fixed pools == num_cpus can deadlock)
+    out = docs.map_batches(
+        _BpeEncodeStage,
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+        fn_constructor_args=(merges_ref,),
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_compression_ratio(sf_dir: str, level: int = 6) -> pd.DataFrame:
+    """COMPRESSION-RATIO quality signal: zlib-compressed size over raw
+    UTF-8 size per document (e6 half-up) — the classic
+    repetitive-boilerplate detector (highly compressible ⇒ templated /
+    repeated text; the Gopher pipeline's repetition filters approximate
+    exactly this signal, Rae et al. 2021).  Flags docs whose ratio
+    falls below ``0.4`` as repetitive.
+
+    Scale shape: stateless vectorized-per-row ``map_batches`` — zero
+    shuffle, one streaming pass, CPU-bound compression distributed
+    across the pool.  zlib output bytes are deterministic for a fixed
+    level, but no SQL engine exposes zlib ⇒ rows-only; the twin test
+    replays the exact rule."""
+    import zlib
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def ratios(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        raw_len = np.zeros(len(ids), dtype=np.int64)
+        comp_len = np.zeros(len(ids), dtype=np.int64)
+        for i, t in enumerate(batch["text"].to_pylist()):
+            b = (t or "").encode("utf-8")
+            raw_len[i] = len(b)
+            comp_len[i] = len(zlib.compress(b, level))
+        ratio = np.floor(comp_len * 1e6 / np.maximum(raw_len, 1) + 0.5).astype("int64")
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "raw_bytes": pa.array(raw_len, pa.int64()),
+             "zlib_bytes": pa.array(comp_len, pa.int64()),
+             "ratio_e6": pa.array(ratio, pa.int64()),
+             "repetitive": pa.array(ratio < 400_000)}
+        )
+
+    out = docs.map_batches(ratios, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -3110,3 +3110,50 @@ def test_purchase_survival_km_matches_pandas_replay(ray_session):
     # KM invariants: survival non-increasing, at-risk non-increasing in t
     assert (np.diff(got["surv_e6"].to_numpy()) <= 0).all()
     assert (np.diff(got["n_risk"].to_numpy()) <= 0).all()
+
+
+def test_bpe_encode_docs_matches_pure_python_replay(ray_session):
+    from opps_feedcrawler_ray.functions.text import bpe_encode, bpe_learn
+    from opps_feedcrawler_ray.pipelines.analytics import bpe_encode_docs
+
+    n_merges = 25
+    got = bpe_encode_docs(SF, n_merges=n_merges)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    wc: dict[str, int] = {}
+    for t in docs["text"]:
+        for w in (t or "").split(" "):
+            if w:
+                wc[w] = wc.get(w, 0) + 1
+    merges = bpe_learn(wc, n_merges)
+    rows = []
+    for did, t in zip(docs["doc_id"], docs["text"]):
+        words = [w for w in (t or "").split(" ") if w]
+        toks = sum(len(bpe_encode(w, merges)) for w in words)
+        fert = int(np.floor(toks * 1e6 / max(len(words), 1) + 0.5))
+        rows.append((did, len(words), toks, fert))
+    exp = pd.DataFrame(rows, columns=["doc_id", "n_words", "n_bpe_tokens",
+                                      "fertility_e6"]).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # BPE invariant: tokens per word between 1 and len(word)
+    assert (got["n_bpe_tokens"] >= got["n_words"]).all()
+
+
+def test_doc_compression_ratio_matches_zlib_replay(ray_session):
+    import zlib
+
+    from opps_feedcrawler_ray.pipelines.analytics import doc_compression_ratio
+
+    got = doc_compression_ratio(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    rows = []
+    for did, t in zip(docs["doc_id"], docs["text"]):
+        b = (t or "").encode("utf-8")
+        c = len(zlib.compress(b, 6))
+        ratio = int(np.floor(c * 1e6 / max(len(b), 1) + 0.5))
+        rows.append((did, len(b), c, ratio, ratio < 400_000))
+    exp = pd.DataFrame(rows, columns=["doc_id", "raw_bytes", "zlib_bytes",
+                                      "ratio_e6", "repetitive"]).sort_values(
+        "doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # a pathologically repetitive doc is flagged, normal prose is not
+    assert got["ratio_e6"].between(1, 2_000_000).all()
