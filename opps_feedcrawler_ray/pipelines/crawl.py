@@ -54,6 +54,17 @@ class CrawlConfig:
     # (membership keeps only 8 B/key hash arrays resident) — store_exact
     # stays usable at 10^10-URL scale
     exact_spill_threshold: int = 1 << 20
+    # pending-QUEUE disk spill (frontier-memory bound at 10^10 URLs —
+    # the pending frontier dwarfs the seen set): when a host's sorted
+    # queue exceeds ``pending_spill_threshold`` rows after a poll, the
+    # tail beyond ``pending_spill_keep`` rows is written to immutable
+    # sorted parquet segments under out_dir/pending_spill/; segments
+    # reload only when the resident head can no longer prove it
+    # dominates every spilled row, so emitted order is byte-identical
+    # to the no-spill run (tested).  0 = off.  Not manifest-frozen —
+    # spill is semantically invisible, like fetch_strategy.
+    pending_spill_threshold: int = 0
+    pending_spill_keep: int | None = None
     checkpoint_every: int = 1         # rounds between checkpoints (0 = off)
     actor_num_cpus: float = 0  # frontier actors are RPC-driven; callers hold the CPU slot
     extract_concurrency: int | None = None   # None → stateless tasks (elastic)
@@ -1113,7 +1124,8 @@ def crawl(cfg: CrawlConfig) -> dict:
             )
     os.makedirs(cfg.out_dir, exist_ok=True)
     if not cfg.resume:  # fresh run: clear stale outputs (write_parquet appends)
-        for sub in ("crawl_log", "seen_set", "checkpoints", "exact_spill"):
+        for sub in ("crawl_log", "seen_set", "checkpoints", "exact_spill",
+                    "pending_spill"):
             shutil.rmtree(os.path.join(cfg.out_dir, sub), ignore_errors=True)
     else:
         shutil.rmtree(os.path.join(cfg.out_dir, "seen_set"), ignore_errors=True)
@@ -1145,6 +1157,11 @@ def crawl(cfg: CrawlConfig) -> dict:
             robots_sidecar=_sidecar,
             exact_spill_dir=os.path.join(cfg.out_dir, "exact_spill", f"shard-{i:05d}"),
             exact_spill_threshold=cfg.exact_spill_threshold,
+            pending_spill_dir=os.path.join(
+                cfg.out_dir, "pending_spill", f"shard-{i:05d}"
+            ),
+            pending_spill_threshold=cfg.pending_spill_threshold,
+            pending_spill_keep=cfg.pending_spill_keep,
             seen_filter=cfg.seen_filter,
             adaptive_recrawl=cfg.adaptive_recrawl,
             adaptive_max_factor=cfg.adaptive_max_factor,
@@ -1663,6 +1680,16 @@ def main(argv: list[str] | None = None) -> int:
         help="crawl-scope deny rule (repeatable): a discovered url matching "
              "any is dropped (deny wins over allow)",
     )
+    ap.add_argument(
+        "--pending-spill-threshold", type=int, default=0, metavar="ROWS",
+        help="spill a host's pending queue beyond this many rows to sorted "
+             "parquet segments (frontier memory bound at 10^10 URLs); "
+             "0 = off; emitted order is byte-identical either way",
+    )
+    ap.add_argument(
+        "--pending-spill-keep", type=int, default=None, metavar="ROWS",
+        help="resident head rows kept per spilled host (default 4x budget)",
+    )
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--num-cpus", type=int, default=None, help="ray.init num_cpus (standalone runs)")
     args = ap.parse_args(argv)
@@ -1702,6 +1729,8 @@ def main(argv: list[str] | None = None) -> int:
             if (args.scope_allow or args.scope_deny)
             else None
         ),
+        pending_spill_threshold=args.pending_spill_threshold,
+        pending_spill_keep=args.pending_spill_keep,
         resume=args.resume,
     )
     stats = crawl(cfg)

@@ -71,6 +71,9 @@ class FrontierActor:
         breaker_threshold: float = 0.0,
         breaker_min_attempts: int = 8,
         breaker_cooldown: int = 2,
+        pending_spill_dir: str | None = None,
+        pending_spill_threshold: int = 0,
+        pending_spill_keep: int | None = None,
     ) -> None:
         # revisit-policy adaptation (Cho & Garcia-Molina 2003): when a
         # recurring re-fetch reports UNCHANGED content the interval
@@ -126,6 +129,36 @@ class FrontierActor:
         # heappush per offer was the frontier's bottleneck at scale)
         self.heaps: dict[str, list[tuple[float, int, str, int]]] = {}
         self._dirty: set[str] = set()
+        # pending-queue DISK SPILL (the frontier-memory complement of the
+        # exact store's LSM: at 10^10 URLs the pending frontier dwarfs the
+        # seen set).  When a host's sorted queue exceeds ``threshold``
+        # rows after a poll, the tail beyond ``keep`` rows is written as
+        # an immutable sorted parquet segment; only the best ``keep``
+        # rows stay resident.  Per host we track segment paths, the
+        # BOUNDARY (best spilled key — every spilled row sorts ≥ it is
+        # false; it's the MINIMUM spilled key) and the spilled row count.
+        # Poll reloads a host's segments only when the in-memory head can
+        # no longer PROVE it dominates every spilled row (head shorter
+        # than the budget, or its budget-th key ≥ boundary) — so emitted
+        # order is byte-identical to the no-spill run by construction.
+        self._pdir = pending_spill_dir
+        self._pthresh = int(pending_spill_threshold or 0)
+        self._pkeep = int(
+            pending_spill_keep
+            if pending_spill_keep is not None
+            else max(politeness_budget * 4, 64)
+        )
+        if self._pthresh and self._pthresh <= self._pkeep:
+            raise ValueError(
+                f"pending_spill_threshold={self._pthresh} must exceed "
+                f"pending_spill_keep={self._pkeep} (otherwise every poll spills)"
+            )
+        if self._pthresh and not pending_spill_dir:
+            raise ValueError("pending_spill_threshold requires pending_spill_dir")
+        self._pspill: dict[str, list[str]] = {}
+        self._pboundary: dict[str, tuple] = {}
+        self._pspill_rows: dict[str, int] = {}
+        self._pseg_counter = 0
         self.robots: dict[str, RobotsRules] = {}
         self.counters = dict.fromkeys(COUNTER_KEYS, 0)
         self._last_meta: dict[str, int] = {}
@@ -494,6 +527,66 @@ class FrontierActor:
             if not entries:
                 del self.retry[host]
 
+    # ---------------------------------------------------- pending spill
+    def _spill_tail(self, host: str, rest: list) -> list:
+        """``rest`` (sorted) exceeded the spill threshold: keep the best
+        ``_pkeep`` rows resident, write the tail as one immutable sorted
+        parquet segment (atomic tmp+rename), and lower the host's
+        boundary to the tail's best key.  Returns the kept head."""
+        keep, tail = rest[: self._pkeep], rest[self._pkeep:]
+        os.makedirs(self._pdir, exist_ok=True)
+        self._pseg_counter += 1
+        path = os.path.join(
+            self._pdir, f"pseg-{self.shard_id:05d}-{self._pseg_counter:010d}.parquet"
+        )
+        t = pa.table(
+            {
+                "negp": pa.array([r[0] for r in tail], pa.float64()),
+                "round": pa.array([r[1] for r in tail], pa.int64()),
+                "url": pa.array([r[2] for r in tail], pa.string()),
+                "h": pa.array([r[3] for r in tail], pa.uint64()),
+            }
+        )
+        tmp = path + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+        self._pspill.setdefault(host, []).append(path)
+        b = (tail[0][0], int(tail[0][1]), tail[0][2], int(tail[0][3]))
+        cur = self._pboundary.get(host)
+        self._pboundary[host] = b if cur is None or b < cur else cur
+        self._pspill_rows[host] = self._pspill_rows.get(host, 0) + len(tail)
+        return keep
+
+    def _reload_spill(self, host: str, lst: list) -> list:
+        """Merge every spilled segment of ``host`` back into its resident
+        list (segment files are consumed) and re-sort.  Called only when
+        the resident head can no longer prove it dominates the spill."""
+        for p in self._pspill.pop(host):
+            t = pq.read_table(p)
+            lst.extend(
+                zip(
+                    t["negp"].to_pylist(),
+                    (int(x) for x in t["round"].to_pylist()),
+                    t["url"].to_pylist(),
+                    (int(x) for x in t["h"].to_pylist()),
+                )
+            )
+            os.remove(p)
+        self._pboundary.pop(host, None)
+        self._pspill_rows.pop(host, None)
+        lst.sort()
+        return lst
+
+    def _drop_spill(self, host: str) -> None:
+        """Host queue discarded (page cap reached): drop its segments."""
+        for p in self._pspill.pop(host, []):
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+        self._pboundary.pop(host, None)
+        self._pspill_rows.pop(host, None)
+
     # -------------------------------------------------------------- poll
     def poll_ready_meta(
         self,
@@ -554,7 +647,12 @@ class FrontierActor:
             self._breaker_stats.clear()
         urls, hashes, hosts, prios, ranks = [], [], [], [], []
         meta: dict[str, int] = {}
-        for host in sorted(self.heaps):
+        poll_hosts = (
+            sorted(set(self.heaps) | set(self._pspill))
+            if self._pspill
+            else sorted(self.heaps)
+        )
+        for host in poll_hosts:
             if self.breaker_threshold and self._suspended.get(host, -1) >= round_idx:
                 # suspended: keep the queue, skip the round; surface the
                 # resume round so the driver's idle fast-forward can't
@@ -563,7 +661,9 @@ class FrontierActor:
                 if self._breaker_next_due is None or d < self._breaker_next_due:
                     self._breaker_next_due = d
                 continue
-            lst = self.heaps[host]
+            lst = self.heaps.get(host)
+            if lst is None:
+                lst = self.heaps[host] = []
             if host in self._dirty:
                 lst.sort()
                 self._dirty.discard(host)
@@ -591,8 +691,17 @@ class FrontierActor:
                 left = cap - self.emitted.get(host, 0)
                 if left <= 0:
                     del self.heaps[host]  # cap reached: discard the queue
+                    if host in self._pspill:
+                        self._drop_spill(host)
                     continue
                 budget = min(budget, left)
+            if host in self._pspill and (
+                len(lst) < budget or lst[budget - 1] >= self._pboundary[host]
+            ):
+                # the resident head cannot prove it dominates the spill:
+                # merge the segments back before emitting (byte-identical
+                # order to the no-spill run by construction)
+                lst = self._reload_spill(host, lst)
             take = lst[:budget]
             if take:
                 negp, _rnd, u, h = zip(*take)  # C-level column split
@@ -609,6 +718,8 @@ class FrontierActor:
                     self.emitted[host] = self.emitted.get(host, 0) + len(take)
             rest = lst[budget:]
             if rest:
+                if self._pthresh and len(rest) > self._pthresh:
+                    rest = self._spill_tail(host, rest)  # sorted head kept
                 self.heaps[host] = rest  # still sorted
             else:
                 del self.heaps[host]
@@ -697,7 +808,9 @@ class FrontierActor:
 
     # ------------------------------------------------------------- state
     def pending_count(self) -> int:
-        return sum(len(h) for h in self.heaps.values())
+        return sum(len(h) for h in self.heaps.values()) + sum(
+            self._pspill_rows.values()
+        )
 
     def stats(self) -> dict:
         return {
@@ -758,6 +871,15 @@ class FrontierActor:
                 sorted(self._content_seen), dtype=np.uint64,
                 count=len(self._content_seen),
             ) if self._content_seen else None,
+            # pending-spill metadata only: segment FILES are immutable on
+            # disk (same pattern as the exact store); the counter persists
+            # so post-resume spills never collide with listed segments
+            "pending_spill": {
+                "segs": self._pspill,
+                "boundary": self._pboundary,
+                "rows": self._pspill_rows,
+                "counter": self._pseg_counter,
+            },
             "round": round_idx,
         }
         fpath = os.path.join(ckpt_dir, f"shard-{self.shard_id:05d}.parquet")
@@ -815,6 +937,21 @@ class FrontierActor:
         self._breaker_next_due = None
         self._recurring_pending = {}
         self._result_tokens = set()
+        ps = blob.get("pending_spill")  # pre-spill blobs carry none
+        if ps:
+            self._pspill = ps["segs"]
+            self._pboundary = ps["boundary"]
+            self._pspill_rows = ps["rows"]
+            self._pseg_counter = ps["counter"]
+            for host, paths in self._pspill.items():
+                for p in paths:
+                    if not os.path.exists(p):
+                        raise FileNotFoundError(
+                            f"pending-spill segment missing on resume: {p}"
+                        )
+        else:
+            self._pspill, self._pboundary, self._pspill_rows = {}, {}, {}
+            self._pseg_counter = 0
         self.heaps = {}
         self._dirty = set()
         for h, url, host, prio, rnd in zip(

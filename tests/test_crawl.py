@@ -1688,3 +1688,54 @@ def test_content_seen_checkpoint_roundtrip(ray_session, tmp_path_factory):
     assert not ray.get(
         g.check_stage_content.remote(np.array([44], dtype=np.uint64))
     ).any()
+
+
+def test_pending_spill_crawl_equivalence(smoke):
+    """Forcing pending-queue spill (threshold far below queue sizes) must
+    change NOTHING: crawl log and seen set byte-identical to the
+    in-memory run — segments reload exactly when the resident head can
+    no longer prove it dominates the spill, so emitted order is
+    preserved by construction."""
+    log, seen, _ = run_crawl(
+        smoke["tmp"], smoke["corpus"], "out_pspill",
+        pending_spill_threshold=12, pending_spill_keep=8,
+    )
+    assert log.equals(smoke["log"])
+    assert seen.equals(smoke["seen"])
+    import glob as _glob
+    segs = _glob.glob(
+        f"{smoke['tmp']}/out_pspill/pending_spill/shard-*/pseg-*.parquet"
+    )
+    # segments consumed on reload may be gone by crawl end; the spill
+    # must at least have happened — assert via a fresh partial run
+    cfg = CrawlConfig(
+        pages_path=smoke["corpus"]["pages"], seeds_path=smoke["corpus"]["seeds"],
+        out_dir=f"{smoke['tmp']}/out_pspill2", num_frontier_actors=2,
+        politeness_budget=8, num_buckets=4, num_fetch_actors=2,
+        pending_spill_threshold=12, pending_spill_keep=8, max_rounds=2,
+    )
+    crawl(cfg)
+    segs2 = _glob.glob(
+        f"{smoke['tmp']}/out_pspill2/pending_spill/shard-*/pseg-*.parquet"
+    )
+    assert segs2, "threshold 12 must force spills on this corpus"
+    # kill + resume WITH live spill segments: final log byte-equal
+    crawl(CrawlConfig(
+        pages_path=smoke["corpus"]["pages"], seeds_path=smoke["corpus"]["seeds"],
+        out_dir=f"{smoke['tmp']}/out_pspill2", num_frontier_actors=2,
+        politeness_budget=8, num_buckets=4, num_fetch_actors=2,
+        pending_spill_threshold=12, pending_spill_keep=8, resume=True,
+    ))
+    assert read_log(f"{smoke['tmp']}/out_pspill2").equals(smoke["log"])
+
+
+def test_pending_spill_validation():
+    from opps_feedcrawler_ray.state.frontier import FrontierActor
+
+    cls = FrontierActor.__ray_actor_class__ if hasattr(
+        FrontierActor, "__ray_actor_class__") else FrontierActor
+    with pytest.raises(ValueError, match="must exceed"):
+        cls(0, 1, pending_spill_dir="/tmp/x", pending_spill_threshold=8,
+            pending_spill_keep=8)
+    with pytest.raises(ValueError, match="requires pending_spill_dir"):
+        cls(0, 1, pending_spill_threshold=100)
