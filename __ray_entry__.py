@@ -688,6 +688,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_survival_km": A.purchase_survival_km,
         "bpe_encode_docs": A.bpe_encode_docs,
         "doc_compression_ratio": A.doc_compression_ratio,
+        "orders_urgent_logreg": A.orders_urgent_logreg,
         "events_percentile_cont": A.events_percentile_cont,
         "segment_event_mutual_info": A.segment_event_mutual_info,
         "sequential_pattern_support": A.sequential_pattern_support,

@@ -167,6 +167,7 @@ QUERY_NAMES = [
     "purchase_survival_km",
     "bpe_encode_docs",
     "doc_compression_ratio",
+    "orders_urgent_logreg",
 ]
 
 

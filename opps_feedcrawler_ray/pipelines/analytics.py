@@ -7079,3 +7079,84 @@ def doc_compression_ratio(sf_dir: str, level: int = 6) -> pd.DataFrame:
 
     out = docs.map_batches(ratios, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def orders_urgent_logreg(
+    sf_dir: str, n_iters: int = 20, lr: float = 0.5
+) -> pd.DataFrame:
+    """DISTRIBUTED MODEL TRAINING: full-batch gradient-descent logistic
+    regression predicting ``o_orderpriority = '1-URGENT'`` from order
+    price — the canonical data-parallel optimizer loop (each iteration:
+    broadcast weights → per-batch partial gradients → driver reduce →
+    update), the shape every distributed SGD/L-BFGS trainer scales by.
+
+    Determinism at any partitioning: each ROW's gradient contribution is
+    floored to an e9 INTEGER before summation (int64 sums are order-free;
+    float gradient sums would drift with block layout), and the weight
+    update runs in double on the driver from those exact integers — so
+    training is bit-reproducible across cluster sizes.  The feature
+    dataset (2 floats/row) is projected once and pinned; per iteration
+    only the (dim+1)-integer partial vector moves.  Iterative → no SQL
+    oracle (rows-only); the twin test replays the exact rule in numpy
+    and pins a quality floor (training loss decreases; final accuracy
+    beats the majority class)."""
+    feats = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_totalprice", "o_orderpriority"]
+    )
+
+    def featurize(batch: pa.Table) -> pa.Table:
+        x = batch["o_totalprice"].to_numpy(zero_copy_only=False) / 500_000.0
+        y = pc.equal(batch["o_orderpriority"], "1-URGENT").to_numpy(
+            zero_copy_only=False
+        ).astype("float64")
+        return pa.table(
+            {"x": pa.array(x, pa.float64()), "y": pa.array(y, pa.float64())}
+        )
+
+    ds = feats.map_batches(featurize, batch_format="pyarrow").materialize()
+    n = ds.count()
+
+    _g_schema = pa.schema(
+        [("g0", pa.int64()), ("g1", pa.int64()), ("nll", pa.int64()),
+         ("correct", pa.int64())]
+    )
+
+    history = []
+    w = np.zeros(2, dtype=np.float64)  # [bias, price coef]
+    for it in range(n_iters):
+        w0, w1 = float(w[0]), float(w[1])
+
+        def grad_partial(batch: pa.Table) -> pa.Table:
+            x = batch["x"].to_numpy(zero_copy_only=False)
+            y = batch["y"].to_numpy(zero_copy_only=False)
+            z = w0 + w1 * x
+            p = 1.0 / (1.0 + np.exp(-z))
+            r = p - y
+            # e9-integer per-ROW contributions -> order-free int sums
+            g0 = int(np.floor(r * 1e9 + 0.5).astype("int64").sum())
+            g1 = int(np.floor(r * x * 1e9 + 0.5).astype("int64").sum())
+            eps = 1e-12
+            nll = int(
+                np.floor(
+                    -(y * np.log(p + eps) + (1 - y) * np.log(1 - p + eps)) * 1e9
+                    + 0.5
+                ).astype("int64").sum()
+            )
+            correct = int(((p >= 0.5) == (y >= 0.5)).sum())
+            return pa.table(
+                {"g0": [g0], "g1": [g1], "nll": [nll], "correct": [correct]},
+                schema=_g_schema,
+            )
+
+        agg = (
+            ds.map_batches(grad_partial, batch_format="pyarrow")
+            .to_pandas()[["g0", "g1", "nll", "correct"]].sum()
+        )
+        history.append(
+            (it, int(np.floor(w[0] * 1e6 + 0.5)), int(np.floor(w[1] * 1e6 + 0.5)),
+             int(agg["nll"] // max(n, 1)), int(agg["correct"]))
+        )
+        w = w - lr * np.array([agg["g0"], agg["g1"]], dtype=np.float64) / (1e9 * n)
+    return pd.DataFrame(
+        history, columns=["iter", "w0_e6", "w1_e6", "mean_nll_e9", "n_correct"]
+    ).astype("int64")

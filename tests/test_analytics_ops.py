@@ -3157,3 +3157,39 @@ def test_doc_compression_ratio_matches_zlib_replay(ray_session):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     # a pathologically repetitive doc is flagged, normal prose is not
     assert got["ratio_e6"].between(1, 2_000_000).all()
+
+
+def test_orders_urgent_logreg_matches_numpy_replay(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import orders_urgent_logreg
+
+    got = orders_urgent_logreg(SF, n_iters=10)
+    od = pd.read_parquet(f"{SF}/orders.parquet",
+                         columns=["o_totalprice", "o_orderpriority"])
+    x = od["o_totalprice"].to_numpy() / 500_000.0
+    y = (od["o_orderpriority"] == "1-URGENT").to_numpy().astype("float64")
+    n = len(x)
+    w = np.zeros(2)
+    rows = []
+    for it in range(10):
+        z = w[0] + w[1] * x
+        p = 1.0 / (1.0 + np.exp(-z))
+        r = p - y
+        g0 = int(np.floor(r * 1e9 + 0.5).astype("int64").sum())
+        g1 = int(np.floor(r * x * 1e9 + 0.5).astype("int64").sum())
+        eps = 1e-12
+        nll = int(np.floor(-(y * np.log(p + eps) + (1 - y) * np.log(1 - p + eps))
+                           * 1e9 + 0.5).astype("int64").sum())
+        correct = int(((p >= 0.5) == (y >= 0.5)).sum())
+        rows.append((it, int(np.floor(w[0] * 1e6 + 0.5)),
+                     int(np.floor(w[1] * 1e6 + 0.5)), nll // n, correct))
+        w = w - 0.5 * np.array([g0, g1], dtype="float64") / (1e9 * n)
+    exp = pd.DataFrame(rows, columns=["iter", "w0_e6", "w1_e6",
+                                      "mean_nll_e9", "n_correct"]).astype("int64")
+    pd.testing.assert_frame_equal(got, exp)
+    # training actually learns: loss decreases, beats majority class
+    nlls = got["mean_nll_e9"].to_numpy()
+    assert nlls[-1] < nlls[0]
+    majority = max((y == 1).sum(), (y == 0).sum())
+    assert got["n_correct"].iloc[-1] >= majority
+    # bit-reproducible across runs/partitionings
+    pd.testing.assert_frame_equal(got, orders_urgent_logreg(SF, n_iters=10))
