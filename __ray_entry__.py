@@ -473,6 +473,21 @@ def _q_media_image(sf_dir: str):
     return feats.map_batches(summarize, batch_format="pyarrow")
 
 
+def _q_media_image_dups(sf_dir: str):
+    """Perceptual-hash (aHash) near-duplicate image pairs over a
+    deterministic corpus with planted jittered copies — banding + exact
+    Hamming verify; brute-force-parity + recall-guarantee twins in
+    test_multimodal (rows-only: codec + popcount, no SQL analogue)."""
+    import ray.data as rd
+
+    from opps_feedcrawler_ray.stages.multimodal import (
+        image_phash_dups, synth_image_dup_table,
+    )
+
+    ds = rd.from_arrow(synth_image_dup_table(96))
+    return image_phash_dups(ds, max_hamming=4)
+
+
 def _q_media_audio(sf_dir: str):
     import ray.data as rd
 
@@ -700,6 +715,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": _q_langid,
         "doc_fingerprints": _q_fingerprints,
         "media_image_features": _q_media_image,
+        "media_image_dups": _q_media_image_dups,
         "media_audio_frames": _q_media_audio,
         "media_video_frames": _q_media_video,
     }

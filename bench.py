@@ -168,6 +168,7 @@ QUERY_NAMES = [
     "bpe_encode_docs",
     "doc_compression_ratio",
     "orders_urgent_logreg",
+    "media_image_dups",
 ]
 
 

@@ -416,3 +416,171 @@ def synth_media_table(n: int = 64, real: bool = False) -> pa.Table:
          "payload": pa.array(payloads, pa.binary()), "meta": pa.array(metas)},
         schema=MEDIA_SCHEMA,
     )
+
+
+# --------------------------------------------------- perceptual-hash dedup
+def average_hash64(img: np.ndarray) -> int:
+    """64-bit AVERAGE HASH (aHash): grayscale → 8×8 mean-pool → one bit
+    per cell (above/below the 64-cell mean).  The classic cheap
+    perceptual fingerprint: small jitter/noise/resize leaves most bits
+    unchanged, so near-duplicate images sit within a small Hamming
+    distance.  Deterministic integer pipeline (luma in integer e4)."""
+    # integer ITU-R BT.601 luma (scaled by 1e4) — no float ordering
+    lum = (
+        img[:, :, 0].astype(np.int64) * 2989
+        + img[:, :, 1].astype(np.int64) * 5870
+        + img[:, :, 2].astype(np.int64) * 1141
+    )
+    h, w = lum.shape
+    ys = (np.arange(9, dtype=np.int64) * h) // 8
+    xs = (np.arange(9, dtype=np.int64) * w) // 8
+    cells = np.empty((8, 8), dtype=np.int64)
+    csum = lum.cumsum(0).cumsum(1)
+    z = np.zeros((h + 1, w + 1), dtype=np.int64)
+    z[1:, 1:] = csum
+    for i in range(8):
+        for j in range(8):
+            a, b, c, d = ys[i], ys[i + 1], xs[j], xs[j + 1]
+            area = max((b - a) * (d - c), 1)
+            cells[i, j] = (z[b, d] - z[a, d] - z[b, c] + z[a, c]) // area
+    bits = (cells.ravel() * 64 > cells.sum()).astype(np.uint64)
+    return int((bits << np.arange(64, dtype=np.uint64)).sum())
+
+
+class ImagePHashStage:
+    """Actor-pool stage: decode (BMP/PPM) → 64-bit average hash per
+    image.  Same shape as :class:`ImageDecodeStage` — codec dispatch
+    bound once per actor, small batches, Arrow in/out."""
+
+    OUT_SCHEMA = pa.schema([("media_id", pa.int64()), ("phash", pa.uint64())])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, hashes = [], []
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            img = decode_bmp(payload) if payload[:2] == b"BM" else decode_ppm(payload)
+            ids.append(mid)
+            hashes.append(average_hash64(img))
+        return pa.table(
+            {"media_id": pa.array(ids, pa.int64()),
+             "phash": pa.array(hashes, pa.uint64())},
+            schema=self.OUT_SCHEMA,
+        )
+
+
+def synth_image_dup_table(n: int = 96) -> pa.Table:
+    """Deterministic image corpus WITH planted near-duplicates: every
+    3rd image is a jittered copy (±1 on a few random pixels — far under
+    the aHash bit-flip threshold) of the previous base image; bases are
+    independent random images (aHash collisions across independent
+    64-px images are possible but rare)."""
+    ids, kinds, payloads, metas = [], [], [], []
+    base = None
+    for i in range(n):
+        rng = np.random.default_rng(5000 + i)
+        if i % 3 == 2 and base is not None:
+            img = base.astype(np.int64)
+            idx = rng.integers(0, img.size, size=max(img.size // 50, 1))
+            flat = img.ravel()
+            flat[idx] = np.clip(flat[idx] + rng.integers(-1, 2, size=len(idx)), 0, 255)
+            img = img.astype(np.uint8)
+        else:
+            h, w = 24 + (i * 5) % 17, 24 + (i * 11) % 17
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            base = img
+        payloads.append(encode_bmp(img) if i % 2 == 0 else encode_ppm(img))
+        ids.append(i)
+        kinds.append("image")
+        metas.append(json.dumps({"height": img.shape[0], "width": img.shape[1]},
+                                sort_keys=True))
+    return pa.table(
+        {"media_id": pa.array(ids, pa.int64()), "kind": pa.array(kinds),
+         "payload": pa.array(payloads, pa.binary()), "meta": pa.array(metas)},
+        schema=MEDIA_SCHEMA,
+    )
+
+
+def image_phash_dups(
+    ds: rd.Dataset, max_hamming: int = 4, concurrency: int = 2, batch_size: int = 16
+):
+    """NEAR-DUPLICATE IMAGE detection: perceptual hash (aHash) per image
+    via the actor-pool decode stage, then the SimHash banding recipe on
+    the 64-bit hashes — 4×16-bit pigeonhole bands (Hamming ≤ 4 with ≤ 3
+    differing bands ⇒ at least one band matches exactly... Hamming ≤ 3
+    guarantees a clean band; at 4 a miss is possible only if every
+    flipped bit lands in a distinct band AND all four bands differ —
+    the standard recall/band tradeoff, widened here by also bucketing
+    on band value so candidates stay tiny) → vectorized within-bucket
+    pair emission → exact popcount verify ≤ max_hamming.
+
+    Scale shape: payloads never leave the phash stage (8 B/image after
+    it); ONE band-bucket exchange; per-bucket pairs via the shared
+    ``_cell_pair_indices`` kernel; exact verify is vectorized xor +
+    bit_count.  Returns (a, b, hamming) pairs, a < b, sorted."""
+    import pandas as pd
+
+    from ..pipelines.dedup import _cell_pair_indices
+
+    hashes = ds.map_batches(
+        ImagePHashStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ph = batch["phash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        out_id = np.repeat(ids, 4)
+        out_ph = np.repeat(ph, 4)
+        band = np.tile(np.arange(4, dtype=np.int64), len(ids))
+        key = ((out_ph >> (band.astype(np.uint64) * np.uint64(16)))
+               & np.uint64(0xFFFF)).astype(np.int64)
+        return pa.table(
+            {"id": pa.array(out_id, pa.int64()),
+             "ph": pa.array(out_ph, pa.uint64()),
+             "band": pa.array(band, pa.int64()),
+             "key": pa.array(key, pa.int64())}
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"a": "int64", "b": "int64", "hamming": "int64"}
+        if len(g) < 2:
+            return pd.DataFrame({k: pd.Series(dtype=v) for k, v in cols.items()})
+        g = g.sort_values(["band", "key", "id"])
+        cell = (g["band"].to_numpy() << np.int64(16)) | g["key"].to_numpy()
+        i, j = _cell_pair_indices(cell)
+        if not len(i):
+            return pd.DataFrame({k: pd.Series(dtype=v) for k, v in cols.items()})
+        ids = g["id"].to_numpy(dtype=np.int64)
+        ph = g["ph"].to_numpy().astype(np.uint64)
+        x = ph[i] ^ ph[j]
+        ham = np.zeros(len(x), dtype=np.int64)
+        for s in range(8):  # vectorized popcount via byte table
+            ham += np.unpackbits(
+                ((x >> np.uint64(8 * s)) & np.uint64(0xFF)).astype(np.uint8)[:, None],
+                axis=1,
+            ).sum(1).astype(np.int64)
+        keep = (ham <= max_hamming) & (ids[i] != ids[j])
+        df = pd.DataFrame(
+            {"a": np.minimum(ids[i][keep], ids[j][keep]),
+             "b": np.maximum(ids[i][keep], ids[j][keep]),
+             "hamming": ham[keep]}
+        ).drop_duplicates(["a", "b"])
+        return df.astype(cols)
+
+    # band+key bucketing: a (band, key) cell holds all images sharing that
+    # band value — pairs are emitted per cell, deduped across bands here
+    parts = (
+        hashes.map_batches(band_rows, batch_format="pyarrow")
+        .groupby("key")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        parts.drop_duplicates(["a", "b"])
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )

@@ -161,3 +161,45 @@ def test_fake_mode_plumbing_unchanged(ray_session):
         media.filter(lambda r: r["kind"] == "audio"), concurrency=2, batch_size=4, fake=True
     ).to_pandas()
     assert len(auds) == 8 and (auds["sample_rate"] == 0).all()
+
+
+def test_image_phash_dups_finds_planted_near_dups(ray_session):
+    import ray.data as rd
+
+    from opps_feedcrawler_ray.stages.multimodal import (
+        ImagePHashStage, average_hash64, decode_bmp, decode_ppm,
+        image_phash_dups, synth_image_dup_table,
+    )
+
+    t = synth_image_dup_table(96)
+    ds = rd.from_arrow(t)
+    got = image_phash_dups(ds, max_hamming=4)
+
+    # brute-force twin over the same hashes
+    hashes = {}
+    for mid, payload in zip(t["media_id"].to_pylist(), t["payload"].to_pylist()):
+        img = decode_bmp(payload) if payload[:2] == b"BM" else decode_ppm(payload)
+        hashes[mid] = average_hash64(img)
+    brute = {}
+    ids = sorted(hashes)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ham = bin(hashes[a] ^ hashes[b]).count("1")
+            if ham <= 4:
+                brute[(a, b)] = ham
+    reported = {(a, b): h for a, b, h in got.itertuples(index=False, name=None)}
+    # soundness: every reported pair is a true <=4 pair with correct distance
+    assert set(reported) <= set(brute)
+    for k, v in reported.items():
+        assert brute[k] == v
+    # recall guarantee: Hamming <= 3 pigeonholes into a clean 16-bit band
+    assert {k for k, v in brute.items() if v <= 3} <= set(reported)
+    # the planted jittered copies are found (phash equal or near-equal)
+    planted = [(i - 1, i) for i in range(2, 96, 3)]
+    found_planted = sum(1 for p in planted if p in reported)
+    assert found_planted >= len(planted) * 3 // 4, (found_planted, len(planted))
+    # determinism
+    import pandas as pd
+
+    again = image_phash_dups(ds, max_hamming=4)
+    pd.testing.assert_frame_equal(got, again)
