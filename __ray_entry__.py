@@ -704,6 +704,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_encode_docs": A.bpe_encode_docs,
         "doc_compression_ratio": A.doc_compression_ratio,
         "orders_urgent_logreg": A.orders_urgent_logreg,
+        "events_cusum_changepoint": A.events_cusum_changepoint,
         "events_percentile_cont": A.events_percentile_cont,
         "segment_event_mutual_info": A.segment_event_mutual_info,
         "sequential_pattern_support": A.sequential_pattern_support,
@@ -2367,6 +2368,32 @@ def oracle_sql() -> dict[str, str]:
             "SELECT y FROM tri UNION ALL SELECT z FROM tri) "
             "SELECT doc_id, COUNT(*) AS n_triangles FROM v "
             "GROUP BY doc_id ORDER BY doc_id"
+        ),
+        "events_cusum_changepoint": (
+            # CUSUM fold forced sequential (ascending day) by recursion —
+            # identical double ops to the Ray driver fold
+            "WITH RECURSIVE daily AS (SELECT event_type, "
+            "date_trunc('day', ts) AS day, "
+            "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s, "
+            "COUNT(*) AS n FROM events GROUP BY 1, 2), "
+            "m AS (SELECT event_type, SUM(s) * 1.0 / SUM(n) AS m FROM daily "
+            "GROUP BY event_type), "
+            "dd AS (SELECT d.event_type, d.day, d.s * 1.0 / d.n AS vbar, m.m, "
+            "ROW_NUMBER() OVER (PARTITION BY d.event_type ORDER BY d.day) AS rn "
+            "FROM daily d JOIN m ON d.event_type = m.event_type), "
+            "rec AS (SELECT event_type, rn, day, GREATEST(0, vbar - m) AS cs "
+            "FROM dd WHERE rn = 1 "
+            "UNION ALL SELECT dd.event_type, dd.rn, dd.day, "
+            "GREATEST(0, rec.cs + (dd.vbar - dd.m)) FROM dd "
+            "JOIN rec ON dd.event_type = rec.event_type AND dd.rn = rec.rn + 1), "
+            "pk AS (SELECT event_type, COUNT(*) AS n_days, MAX(cs) AS peak, "
+            "CAST(SUM(CASE WHEN cs > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos_days "
+            "FROM rec GROUP BY event_type) "
+            "SELECT pk.event_type, pk.n_days, "
+            "(SELECT MIN(day) FROM rec WHERE rec.event_type = pk.event_type "
+            "AND rec.cs = pk.peak) AS peak_day, "
+            "CAST(FLOOR(pk.peak + 0.5) AS BIGINT) AS peak_cusum_e2, "
+            "pk.n_pos_days FROM pk"
         ),
         "purchase_survival_km": (
             # Kaplan-Meier: the recursive CTE forces the SAME sequential

@@ -169,6 +169,7 @@ QUERY_NAMES = [
     "doc_compression_ratio",
     "orders_urgent_logreg",
     "media_image_dups",
+    "events_cusum_changepoint",
 ]
 
 

@@ -7160,3 +7160,65 @@ def orders_urgent_logreg(
     return pd.DataFrame(
         history, columns=["iter", "w0_e6", "w1_e6", "mean_nll_e9", "n_correct"]
     ).astype("int64")
+
+
+def events_cusum_changepoint(sf_dir: str) -> pd.DataFrame:
+    """CHANGE-POINT DETECTION via one-sided CUSUM (Page 1954): per event
+    type, the cumulative-sum statistic s_d = max(0, s_{d−1} + (x̄_d − m))
+    over the DAILY mean value series (m = the type's global mean), whose
+    peak marks the most sustained upward drift.  Reports the peak, its
+    first day, and how many days the statistic was armed (> 0).
+
+    Exactness: daily/global means are single divisions of exact e2
+    integers; the recursion is a SEQUENTIAL double fold in ascending-day
+    order on BOTH sides — the oracle forces the identical order with a
+    recursive CTE (the Kaplan-Meier trick), so doubles match bit-for-bit
+    and the e2 half-up peak hashes equal.
+
+    Scale shape: per-batch (type, day, Σe2, n) combiners → ONE exchange
+    bounded by the |types|·|days| DOMAIN; the driver folds the ≤domain
+    table."""
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts", "value"])
+
+    _schema = pa.schema(
+        [("event_type", pa.string()), ("day", pa.timestamp("us")),
+         ("s", pa.int64()), ("n", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["day"] = df["ts"].dt.floor("D")
+        df["e2"] = np.floor(df["value"].to_numpy() * 100 + 0.5).astype("int64")
+        g = df.groupby(["event_type", "day"], as_index=False).agg(
+            s=("e2", "sum"), n=("e2", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False, schema=_schema)
+
+    daily = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .sum(["s", "n"])
+        .to_pandas()
+        .rename(columns={"sum(s)": "s", "sum(n)": "n"})
+        .sort_values(["event_type", "day"])
+    )
+    out = []
+    for et, g in daily.groupby("event_type"):
+        S = int(g["s"].sum())
+        N = int(g["n"].sum())
+        m = S / N  # one exact-int division, replicated in SQL
+        cs = 0.0
+        peak, peak_day, n_pos = -1.0, None, 0
+        for day, s_i, n_i in zip(g["day"], g["s"], g["n"]):
+            cs = max(0.0, cs + (int(s_i) / int(n_i) - m))
+            if cs > 0:
+                n_pos += 1
+            if cs > peak:
+                peak, peak_day = cs, day
+        out.append(
+            (et, len(g), peak_day, int(np.floor(peak + 0.5)), n_pos)
+        )
+    return pd.DataFrame(
+        out, columns=["event_type", "n_days", "peak_day", "peak_cusum_e2",
+                      "n_pos_days"]
+    ).astype({"n_days": "int64", "peak_cusum_e2": "int64", "n_pos_days": "int64"})

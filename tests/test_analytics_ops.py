@@ -3193,3 +3193,57 @@ def test_orders_urgent_logreg_matches_numpy_replay(ray_session):
     assert got["n_correct"].iloc[-1] >= majority
     # bit-reproducible across runs/partitionings
     pd.testing.assert_frame_equal(got, orders_urgent_logreg(SF, n_iters=10))
+
+
+def test_events_cusum_changepoint_detects_planted_shift(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opps_feedcrawler_ray.pipelines.analytics import events_cusum_changepoint
+
+    # 30 days, one event/day; mean shifts +10 from day 20 on
+    base = pd.Timestamp("2024-01-01")
+    days = [base + pd.Timedelta(days=i) for i in range(30)]
+    vals = [5.0] * 20 + [15.0] * 10
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array(range(30), pa.int64()),
+            "event_type": pa.array(["a"] * 30),
+            "ts": pa.array(days, pa.timestamp("us")),
+            "user_id": pa.array([1] * 30, pa.int64()),
+            "value": pa.array(vals, pa.float64()),
+            "props": pa.array(["{}"] * 30),
+        }),
+        str(tmp_path / "events.parquet"),
+    )
+    got = events_cusum_changepoint(str(tmp_path))
+    assert len(got) == 1
+    r = got.iloc[0]
+    # peak at the END of the drift (cumsum of +10-ish increments over the
+    # last 10 days, minus the global-mean offset), armed from the shift on
+    m = np.mean(vals)
+    exp_peak = sum(15.0 - m for _ in range(10))  # drift segment total
+    assert r["peak_day"] == days[-1]
+    assert abs(r["peak_cusum_e2"] - int(np.floor(exp_peak * 100 + 0.5))) <= 1
+    assert r["n_days"] == 30
+    # replay twin on the real testdata
+    got2 = events_cusum_changepoint(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+    ev["day"] = ev["ts"].dt.floor("D")
+    ev["e2"] = np.floor(ev["value"].to_numpy() * 100 + 0.5).astype("int64")
+    rows = []
+    for et, g in ev.groupby("event_type"):
+        d = g.groupby("day").agg(s=("e2", "sum"), n=("e2", "size")).sort_index()
+        m = int(d["s"].sum()) / int(d["n"].sum())
+        cs, peak, peak_day, n_pos = 0.0, -1.0, None, 0
+        for day, (s_i, n_i) in d.iterrows():
+            cs = max(0.0, cs + (int(s_i) / int(n_i) - m))
+            if cs > 0:
+                n_pos += 1
+            if cs > peak:
+                peak, peak_day = cs, day
+        rows.append((et, len(d), peak_day, int(np.floor(peak + 0.5)), n_pos))
+    exp = pd.DataFrame(rows, columns=["event_type", "n_days", "peak_day",
+                                      "peak_cusum_e2", "n_pos_days"])
+    pd.testing.assert_frame_equal(got2.reset_index(drop=True), exp, check_dtype=False)
