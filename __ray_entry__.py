@@ -705,6 +705,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_compression_ratio": A.doc_compression_ratio,
         "orders_urgent_logreg": A.orders_urgent_logreg,
         "events_cusum_changepoint": A.events_cusum_changepoint,
+        "doc_coverage_select": A.doc_coverage_select,
         "events_percentile_cont": A.events_percentile_cont,
         "segment_event_mutual_info": A.segment_event_mutual_info,
         "sequential_pattern_support": A.sequential_pattern_support,

@@ -170,6 +170,7 @@ QUERY_NAMES = [
     "orders_urgent_logreg",
     "media_image_dups",
     "events_cusum_changepoint",
+    "doc_coverage_select",
 ]
 
 

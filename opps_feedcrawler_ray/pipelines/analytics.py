@@ -7222,3 +7222,81 @@ def events_cusum_changepoint(sf_dir: str) -> pd.DataFrame:
         out, columns=["event_type", "n_days", "peak_day", "peak_cusum_e2",
                       "n_pos_days"]
     ).astype({"n_days": "int64", "peak_cusum_e2": "int64", "n_pos_days": "int64"})
+
+
+def doc_coverage_select(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """SUBMODULAR CORPUS SELECTION — greedy MAX-COVERAGE (Nemhauser,
+    Wolsey & Fisher 1978: the greedy (1−1/e) guarantee): pick ``k`` docs
+    maximizing distinct-token coverage, the canonical diversity-driven
+    data-curation selector (the lexical cousin of the k-center coreset).
+
+    Each round: broadcast the covered-token hash set (sorted int64
+    array) → per-batch vectorized gains (np.isin over each doc's
+    DISTINCT token hashes) → per-batch partial argmax (gain DESC,
+    doc_id ASC) → tiny driver reduce; the winner's tokens join the
+    covered set.  Tokenization happens ONCE into a pinned (doc_id,
+    hashes) dataset — k passes ship only gains.  Deterministic by the
+    total tie order.  Iterative/greedy → rows-only; the twin replays
+    the exact greedy in pure Python."""
+    from ..functions.hashing import fingerprint64
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def tokenize(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        out = []
+        for t in batch["text"].to_pylist():
+            hs = {fingerprint64(w) & 0x7FFFFFFFFFFFFFFF
+                  for w in (t or "").split(" ") if w}
+            out.append(np.fromiter(hs, dtype=np.int64, count=len(hs)))
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "h": pa.array([x.tolist() for x in out], pa.list_(pa.int64()))}
+        )
+
+    tok = docs.map_batches(tokenize, batch_format="pyarrow").materialize()
+
+    import ray
+
+    _schema = pa.schema([("doc_id", pa.int64()), ("gain", pa.int64())])
+    covered = np.empty(0, dtype=np.int64)
+    chosen: set[int] = set()
+    rows = []
+    for rank in range(k):
+        cov_ref = ray.put(np.sort(covered))
+        chosen_ref = ray.put(chosen)
+
+        def best_partial(batch: pa.Table) -> pa.Table:
+            cov = ray.get(cov_ref)
+            ch = ray.get(chosen_ref)
+            best_gain, best_id = -1, None
+            for did, hs in zip(batch["doc_id"].to_pylist(), batch["h"].to_pylist()):
+                if did in ch:
+                    continue
+                a = np.asarray(hs, dtype=np.int64)
+                if len(cov):
+                    g = int((~np.isin(a, cov, assume_unique=True)).sum())
+                else:
+                    g = len(a)
+                if g > best_gain or (g == best_gain and did < best_id):
+                    best_gain, best_id = g, did
+            if best_id is None:
+                return pa.table({"doc_id": [], "gain": []}, schema=_schema)
+            return pa.table({"doc_id": [best_id], "gain": [best_gain]},
+                            schema=_schema)
+
+        parts = tok.map_batches(best_partial, batch_format="pyarrow").to_pandas()
+        if not len(parts):
+            break
+        parts = parts.sort_values(["gain", "doc_id"], ascending=[False, True])
+        wid, wgain = int(parts.iloc[0]["doc_id"]), int(parts.iloc[0]["gain"])
+        # fetch the winner's tokens (one tiny targeted filter pass)
+        wtok = (
+            tok.filter(expr=f"doc_id == {wid}").to_pandas()["h"].iloc[0]
+        )
+        covered = np.union1d(covered, np.asarray(wtok, dtype=np.int64))
+        chosen.add(wid)
+        rows.append((rank, wid, wgain, len(covered)))
+    return pd.DataFrame(
+        rows, columns=["rank", "doc_id", "gain", "covered_total"]
+    ).astype("int64")

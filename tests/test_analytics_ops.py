@@ -3247,3 +3247,34 @@ def test_events_cusum_changepoint_detects_planted_shift(ray_session, tmp_path):
     exp = pd.DataFrame(rows, columns=["event_type", "n_days", "peak_day",
                                       "peak_cusum_e2", "n_pos_days"])
     pd.testing.assert_frame_equal(got2.reset_index(drop=True), exp, check_dtype=False)
+
+
+def test_doc_coverage_select_matches_greedy_twin(ray_session):
+    from opps_feedcrawler_ray.functions.hashing import fingerprint64
+    from opps_feedcrawler_ray.pipelines.analytics import doc_coverage_select
+
+    k = 6
+    got = doc_coverage_select(SF, k=k)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    toks = {
+        int(r.doc_id): {fingerprint64(w) & 0x7FFFFFFFFFFFFFFF
+                        for w in (r.text or "").split(" ") if w}
+        for r in docs.itertuples()
+    }
+    covered: set[int] = set()
+    chosen: set[int] = set()
+    rows = []
+    for rank in range(k):
+        best = min(
+            ((-(len(ts - covered)), did) for did, ts in toks.items()
+             if did not in chosen),
+        )
+        gain, wid = -best[0], best[1]
+        covered |= toks[wid]
+        chosen.add(wid)
+        rows.append((rank, wid, gain, len(covered)))
+    exp = pd.DataFrame(rows, columns=["rank", "doc_id", "gain", "covered_total"])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # submodularity: marginal gains non-increasing
+    assert (np.diff(got["gain"].to_numpy()) <= 0).all()
+    pd.testing.assert_frame_equal(got, doc_coverage_select(SF, k=k))
