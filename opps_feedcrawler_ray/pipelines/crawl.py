@@ -95,6 +95,19 @@ class CrawlConfig:
     # default — it reorders rows within a round, so goldens stay frozen.
     # Frozen in the checkpoint manifest (it changes frontier order).
     indegree_priority: bool = False
+    # FOCUSED CRAWLING (Shark-Search lineage — Hersovici et al. 1998; De
+    # Bra's fish search): outlinks inherit a relevance boost from their
+    # PARENT page's text — priority = base + focus_boost·ln(1 + hits)
+    # where hits = case-insensitive occurrence count of the configured
+    # keywords in the parent's extracted text (capped at 8).  A URL
+    # discovered from several parents keeps the MAX boosted priority
+    # (aliased canonical forms too).  Zero-hit parents contribute the
+    # exact base priority, so an all-irrelevant corpus is byte-identical
+    # to flag-off.  Deterministic; frozen in the checkpoint manifest
+    # (changes frontier order).  Mutually exclusive with
+    # indegree_priority (two competing order rules).
+    focus_keywords: list | None = None
+    focus_boost: float = 0.5
     # §7.6 mega-host salting: {host: k} splits that host's frontier queue
     # across k sub-shards, each polled at budget//k per round (recombined
     # politeness stays ≤ budget; fetch_seq recombines via (host, sub)
@@ -720,7 +733,9 @@ class _OfferLinksStage:
                  indegree_priority: bool = False,
                  max_retries: int = 0,
                  strip_params: list | None = None,
-                 breaker: bool = False) -> None:
+                 breaker: bool = False,
+                 focus_keywords: list | None = None,
+                 focus_boost: float = 0.5) -> None:
         self.actors = actors
         self.next_round = next_round
         self.priority_fn = priority_fn
@@ -731,7 +746,46 @@ class _OfferLinksStage:
         self.indegree_priority = indegree_priority
         self.max_retries = max_retries
         self.breaker = breaker
+        self.focus_keywords = [k.lower() for k in focus_keywords] if focus_keywords else None
+        self.focus_boost = focus_boost
         self._canon = CanonicalizeStage(strip_params=strip_params)
+
+    def _explode_focused(self, batch: pa.Table) -> pa.Table:
+        """Shark-search explode: each parent's outlinks carry priority =
+        base + boost·ln(1 + keyword hits in the parent's text, cap 8)."""
+        import numpy as np
+
+        ll = batch["links"]
+        if isinstance(ll, pa.ChunkedArray):
+            ll = ll.combine_chunks()
+        flat = pc.list_flatten(ll)
+        if len(flat) == 0:
+            return pa.table(
+                {"url": pa.array([], pa.string()),
+                 "priority": pa.array([], pa.float64()),
+                 "round": pa.array([], pa.int32())}
+            )
+        base = (
+            self.priority_fn(self.next_round)
+            if self.priority_fn
+            else 1.0 / (2 + self.next_round)
+        )
+        kws = self.focus_keywords
+        scores = np.fromiter(
+            (
+                min(sum((t or "").lower().count(k) for k in kws), 8)
+                for t in batch["text"].to_pylist()
+            ),
+            dtype=np.float64, count=batch.num_rows,
+        )
+        lens = pc.list_value_length(ll).to_numpy(zero_copy_only=False)
+        prio = base + self.focus_boost * np.log1p(np.repeat(scores, lens))
+        n = len(flat)
+        return pa.table(
+            {"url": flat,
+             "priority": pa.array(prio, pa.float64()),
+             "round": pa.array(np.full(n, self.next_round, dtype=np.int32))}
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         # lineage: report this batch's fetched/not_found counts back to the
@@ -813,7 +867,11 @@ class _OfferLinksStage:
                             )
                         )
                     )
-        links = explode_links(batch, self.next_round, self.priority_fn)
+        links = (
+            self._explode_focused(batch)
+            if self.focus_keywords
+            else explode_links(batch, self.next_round, self.priority_fn)
+        )
         for decl_col in ("canonical", "redirect"):
             if decl_col not in batch.column_names:
                 continue
@@ -855,6 +913,22 @@ class _OfferLinksStage:
                         ),
                         "w": w,
                     }
+                )
+            elif self.focus_keywords:
+                # focused mode: priorities vary per parent — raw pre-dedup
+                # keeps the MAX priority per url (deterministic)
+                import numpy as np
+
+                urls_np = links["url"].to_numpy(zero_copy_only=False)
+                pr_np = links["priority"].to_numpy(zero_copy_only=False)
+                uu, inv = np.unique(urls_np, return_inverse=True)
+                pm = np.full(len(uu), -np.inf)
+                np.maximum.at(pm, inv, pr_np)
+                links = pa.table(
+                    {"url": pa.array(uu, pa.string()),
+                     "priority": pa.array(pm, pa.float64()),
+                     "round": pa.array(
+                         np.full(len(uu), self.next_round, dtype=np.int32))}
                 )
             else:
                 # raw-string pre-dedup BEFORE canonicalize: outlinks repeat
@@ -909,6 +983,21 @@ class _OfferLinksStage:
                         "priority", pa.array(prio, pa.float64()),
                     )
                     cand = cand.drop_columns(["w"])
+                elif self.focus_keywords:
+                    # aliased canonical forms merge keeping MAX priority
+                    _, first_idx, inv = np.unique(
+                        hh, return_index=True, return_inverse=True
+                    )
+                    pmax = np.full(len(first_idx), -np.inf)
+                    np.maximum.at(
+                        pmax, inv, cand["priority"].to_numpy(zero_copy_only=False)
+                    )
+                    order = np.argsort(first_idx)
+                    cand = cand.take(pa.array(first_idx[order], pa.int64()))
+                    cand = cand.set_column(
+                        cand.schema.get_field_index("priority"),
+                        "priority", pa.array(pmax[order], pa.float64()),
+                    )
                 else:
                     _, first_idx = np.unique(hh, return_index=True)
                     if len(first_idx) < len(hh):
@@ -1067,6 +1156,8 @@ def _write_manifest(cfg: CrawlConfig, round_idx: int, fetch_seq: int, lineage: l
         "trap_guard": cfg.trap_guard,
         "scope_filter": cfg.scope_filter,
         "indegree_priority": cfg.indegree_priority,
+        "focus_keywords": cfg.focus_keywords,
+        "focus_boost": cfg.focus_boost,
         "max_retries": cfg.max_retries,
         "fail_inject": cfg.fail_inject,
         "strip_params": cfg.strip_params,
@@ -1108,6 +1199,11 @@ def crawl(cfg: CrawlConfig) -> dict:
         raise ValueError(
             f"unknown fetch_strategy {cfg.fetch_strategy!r}: use 'actors', "
             f"'objstore', 'direct' or 'shuffle'"
+        )
+    if cfg.focus_keywords and cfg.indegree_priority:
+        raise ValueError(
+            "focus_keywords and indegree_priority are mutually exclusive: "
+            "two competing discovered-URL ordering rules"
         )
     for h, k in (cfg.salt_hosts or {}).items():
         if k > cfg.politeness_budget:
@@ -1251,6 +1347,9 @@ def crawl(cfg: CrawlConfig) -> dict:
             # different setting would interleave rounds ordered by two
             # different rules
             "indegree_priority": cfg.indegree_priority,
+            # focused crawling changes frontier ORDER the same way
+            "focus_keywords": cfg.focus_keywords,
+            "focus_boost": cfg.focus_boost,
             # retry policy changes round contents and the log schema
             "max_retries": cfg.max_retries,
             "fail_inject": cfg.fail_inject,
@@ -1273,7 +1372,8 @@ def crawl(cfg: CrawlConfig) -> dict:
             if (
                 key in ("trap_guard", "scope_filter", "follow_meta_refresh",
                         "refresh_max_delay", "indegree_priority",
-                        "max_retries", "fail_inject", "strip_params")
+                        "max_retries", "fail_inject", "strip_params",
+                        "focus_keywords", "focus_boost")
                 and key not in manifest
             ):
                 continue  # pre-upgrade manifests didn't record these
@@ -1495,6 +1595,8 @@ def crawl(cfg: CrawlConfig) -> dict:
             max_retries=cfg.max_retries,
             strip_params=cfg.strip_params,
             breaker=cfg.breaker_threshold > 0,
+            focus_keywords=cfg.focus_keywords,
+            focus_boost=cfg.focus_boost,
         )
         staged = ready.map_batches(_AssignSeq(offsets_ref), batch_format="pyarrow")
         if cfg.fetch_strategy == "actors":
@@ -1681,6 +1783,17 @@ def main(argv: list[str] | None = None) -> int:
              "any is dropped (deny wins over allow)",
     )
     ap.add_argument(
+        "--focus-keyword", action="append", default=None, metavar="WORD",
+        help="focused crawling (repeatable): outlinks of pages whose text "
+             "mentions WORD get a relevance-boosted priority "
+             "(Shark-Search-style); mutually exclusive with "
+             "--indegree-priority",
+    )
+    ap.add_argument(
+        "--focus-boost", type=float, default=0.5,
+        help="priority boost scale for --focus-keyword (default 0.5)",
+    )
+    ap.add_argument(
         "--pending-spill-threshold", type=int, default=0, metavar="ROWS",
         help="spill a host's pending queue beyond this many rows to sorted "
              "parquet segments (frontier memory bound at 10^10 URLs); "
@@ -1731,6 +1844,8 @@ def main(argv: list[str] | None = None) -> int:
         ),
         pending_spill_threshold=args.pending_spill_threshold,
         pending_spill_keep=args.pending_spill_keep,
+        focus_keywords=args.focus_keyword,
+        focus_boost=args.focus_boost,
         resume=args.resume,
     )
     stats = crawl(cfg)

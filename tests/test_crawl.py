@@ -1739,3 +1739,92 @@ def test_pending_spill_validation():
             pending_spill_keep=8)
     with pytest.raises(ValueError, match="requires pending_spill_dir"):
         cls(0, 1, pending_spill_threshold=100)
+
+
+def test_focused_crawl_prioritizes_relevant_parents(ray_session, tmp_path_factory):
+    """Shark-Search-style focused crawling: outlinks of a page whose text
+    mentions the focus keyword outrank outlinks of an irrelevant page,
+    so the relevant branch is fetched first under a tight politeness
+    budget.  Flag off: url-ASC tie order mixes the branches.  An
+    all-irrelevant corpus is byte-identical to flag-off."""
+    import datetime as dt
+
+    tmp = str(tmp_path_factory.mktemp("focus"))
+    host = "focus.example"
+    ts = dt.datetime(2024, 1, 1)
+
+    def page(path, body, links=()):
+        anchors = "".join(f'<a href="{l}">x</a>' for l in links)
+        return (f"http://{host}{path}",
+                f"<html><body><p>{body}</p>{anchors}</body></html>".encode())
+
+    rows = [
+        page("/", "hub", ["/alpha", "/beta"]),
+        # /alpha mentions the keyword; /beta does not.  url-ASC would fetch
+        # the a* children before the b* children anyway, so name the
+        # RELEVANT page's children z* — focus must overcome url order.
+        page("/alpha", "all about quantum computing and quantum error",
+             ["/z1", "/z2", "/z3"]),
+        page("/beta", "nothing interesting here", ["/a1", "/a2", "/a3"]),
+        page("/z1", "q page"), page("/z2", "q page"), page("/z3", "q page"),
+        page("/a1", "b page"), page("/a2", "b page"), page("/a3", "b page"),
+    ]
+    from opps_feedcrawler_ray.functions.extract import extract_text
+
+    pages = pa.table({
+        "url": pa.array([r[0] for r in rows]),
+        "warc_ts": pa.array([ts] * len(rows), pa.timestamp("us")),
+        "html": pa.array([r[1] for r in rows], pa.binary()),
+        "text": pa.array([extract_text(r[0], r[1]) for r in rows]),
+        "lang": pa.array(["en"] * len(rows)),
+    })
+    pq.write_table(pages, f"{tmp}/pages.parquet")
+    pq.write_table(pa.table({"url": pa.array([f"http://{host}/"])}),
+                   f"{tmp}/seeds.parquet")
+
+    def go(out, focus, budget=3):
+        cfg = CrawlConfig(
+            pages_path=f"{tmp}/pages.parquet", seeds_path=f"{tmp}/seeds.parquet",
+            out_dir=f"{tmp}/{out}", num_frontier_actors=2,
+            politeness_budget=budget, num_buckets=2, num_fetch_actors=2,
+            focus_keywords=focus,
+        )
+        crawl(cfg)
+        return read_log(f"{tmp}/{out}").to_pandas()
+
+    on = go("out_on", ["quantum"])
+    seq = {u: s for u, s in zip(on["url"], on["fetch_seq"])}
+    # round 2 has 6 candidates and budget 3: the relevant /z* children all
+    # beat the irrelevant /a* children despite losing the url-ASC tie order
+    for z in ("/z1", "/z2", "/z3"):
+        for a in ("/a1", "/a2", "/a3"):
+            assert seq[f"http://{host}{z}"] < seq[f"http://{host}{a}"]
+
+    off = go("out_off", None)
+    seq_off = {u: s for u, s in zip(off["url"], off["fetch_seq"])}
+    assert seq_off[f"http://{host}/a1"] < seq_off[f"http://{host}/z1"]
+
+    # no-keyword corpus parity: focus on a word that appears nowhere is
+    # byte-identical to flag-off
+    import pandas as pd
+
+    on2 = go("out_parity", ["zzznotthere"])
+    pd.testing.assert_frame_equal(on2, off)
+
+    # manifest freeze: flipping the keyword list on resume is rejected
+    cfg = CrawlConfig(
+        pages_path=f"{tmp}/pages.parquet", seeds_path=f"{tmp}/seeds.parquet",
+        out_dir=f"{tmp}/out_on", num_frontier_actors=2, politeness_budget=3,
+        num_buckets=2, num_fetch_actors=2, focus_keywords=["different"],
+        resume=True,
+    )
+    with pytest.raises(ValueError, match="focus_keywords"):
+        crawl(cfg)
+    # mutual exclusion with indegree ordering
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        crawl(CrawlConfig(
+            pages_path=f"{tmp}/pages.parquet", seeds_path=f"{tmp}/seeds.parquet",
+            out_dir=f"{tmp}/out_bad", num_frontier_actors=2,
+            politeness_budget=3, num_buckets=2, num_fetch_actors=2,
+            focus_keywords=["quantum"], indegree_priority=True,
+        ))
