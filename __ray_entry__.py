@@ -344,6 +344,12 @@ def _q_doc_adamic_adar(sf_dir: str):
     return doc_adamic_adar(sf_dir, k=20)
 
 
+def _q_doc_clustering(sf_dir: str):
+    from opps_feedcrawler_ray.pipelines.webpipe import doc_clustering_coeff
+
+    return doc_clustering_coeff(sf_dir)
+
+
 def _q_doc_bfs_depth(sf_dir: str):
     from opps_feedcrawler_ray.pipelines.webpipe import doc_bfs_depth
 
@@ -486,6 +492,20 @@ def _q_media_image_dups(sf_dir: str):
 
     ds = rd.from_arrow(synth_image_dup_table(96))
     return image_phash_dups(ds, max_hamming=4)
+
+
+def _q_media_audio_dups(sf_dir: str):
+    """Energy-envelope audio fingerprint near-dup pairs over a corpus
+    with planted noise-jittered copies — the shared 64-bit banding
+    engine over the WAV stage (rows-only; brute-parity twins)."""
+    import ray.data as rd
+
+    from opps_feedcrawler_ray.stages.multimodal import (
+        audio_fp_dups, synth_audio_dup_table,
+    )
+
+    ds = rd.from_arrow(synth_audio_dup_table(60))
+    return audio_fp_dups(ds, max_hamming=4)
 
 
 def _q_media_audio(sf_dir: str):
@@ -643,6 +663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens_per_lang": A.top_tokens_per_lang,
         "doc_triangle_counts": _q_doc_triangles,
         "doc_adamic_adar": _q_doc_adamic_adar,
+        "doc_clustering_coeff": _q_doc_clustering,
         "doc_bfs_depth": _q_doc_bfs_depth,
         "events_daily_distinct_users": A.events_daily_distinct_users,
         "user_mode_event": A.user_mode_event,
@@ -718,6 +739,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _q_fingerprints,
         "media_image_features": _q_media_image,
         "media_image_dups": _q_media_image_dups,
+        "media_audio_dups": _q_media_audio_dups,
         "media_audio_frames": _q_media_audio,
         "media_video_frames": _q_media_video,
     }
@@ -2443,6 +2465,30 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY wp.a, wp.b) "
             "SELECT a, b, cn, aa_e9 FROM sc "
             "ORDER BY aa_e9 DESC, a, b LIMIT 20"
+        ),
+        "doc_clustering_coeff": (
+            # degrees + triangles from the closed-form edges; identical
+            # float expression for the e6 coefficient
+            "WITH n AS (SELECT COUNT(*) AS n FROM documents), "
+            "k AS (SELECT unnest(range(6)) AS k), "
+            "e0 AS (SELECT doc_id AS a, (doc_id * 37 + 11 * k + 1) % n.n AS b "
+            "FROM documents CROSS JOIN k CROSS JOIN n), "
+            "e1 AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b "
+            "FROM e0 WHERE a <> b), "
+            "adj AS (SELECT a AS z, b AS x FROM e1 UNION ALL SELECT b, a FROM e1), "
+            "deg AS (SELECT z AS doc_id, COUNT(*) AS degree FROM adj GROUP BY z), "
+            "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e1 "
+            "JOIN e1 e2 ON e1.b = e2.a "
+            "JOIN e1 e3 ON e1.a = e3.a AND e2.b = e3.b), "
+            "v AS (SELECT x AS doc_id FROM tri UNION ALL SELECT y FROM tri "
+            "UNION ALL SELECT z FROM tri), "
+            "tc AS (SELECT doc_id, COUNT(*) AS n_triangles FROM v GROUP BY doc_id) "
+            "SELECT deg.doc_id, deg.degree, "
+            "CAST(COALESCE(tc.n_triangles, 0) AS BIGINT) AS n_triangles, "
+            "CAST(FLOOR(2.0 * COALESCE(tc.n_triangles, 0) * 1000000 / "
+            "(deg.degree * (deg.degree - 1.0)) + 0.5) AS BIGINT) AS cc_e6 "
+            "FROM deg LEFT JOIN tc ON deg.doc_id = tc.doc_id "
+            "WHERE deg.degree >= 2 ORDER BY deg.doc_id"
         ),
         "doc_bfs_depth": (
             # min-reachable depth (recursive CTE, UNION-deduped, depth

@@ -171,6 +171,8 @@ QUERY_NAMES = [
     "media_image_dups",
     "events_cusum_changepoint",
     "doc_coverage_select",
+    "media_audio_dups",
+    "doc_clustering_coeff",
 ]
 
 

@@ -1160,3 +1160,51 @@ def doc_adamic_adar(
         .head(k)
         .reset_index(drop=True)[["a", "b", "cn", "aa_e9"]]
     )
+
+
+def doc_clustering_coeff(sf_dir: str, work_dir: str | None = None) -> "pd.DataFrame":
+    """LOCAL CLUSTERING COEFFICIENT per doc (Watts & Strogatz 1998):
+    c(v) = 2·T(v) / (deg(v)·(deg(v)−1)) over the undirected doc link
+    graph — triangles from the existing degree-orientation pipeline
+    (:func:`doc_triangle_counts`), degrees from the shared edge build;
+    both tables are node-bounded, so the final join is a driver-side
+    merge of two ≤|nodes| frames (the PageRank fits-a-heap assumption).
+    e6 half-up with the identical float expression in the oracle."""
+    import pandas as pd
+
+    tri = doc_triangle_counts(sf_dir, work_dir)
+    edges, n_docs, nb = _doc_link_edges(sf_dir, work_dir)
+
+    deg_schema = pa.schema([("node", pa.int64()), ("c", pa.int64()), ("__b", pa.int64())])
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        nodes = np.concatenate(
+            [batch["a"].to_numpy(zero_copy_only=False),
+             batch["b"].to_numpy(zero_copy_only=False)]
+        )
+        u, c = np.unique(nodes, return_counts=True)
+        df = pd.DataFrame({"node": u, "c": c.astype("int64")})
+        df["__b"] = (df["node"] % nb).astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False, schema=deg_schema)
+
+    deg = (
+        edges.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(
+            lambda g: g.groupby("node", as_index=False)["c"].sum(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .rename(columns={"node": "doc_id", "c": "degree"})
+    )
+    out = deg[deg["degree"] >= 2].merge(tri, on="doc_id", how="left")
+    out["n_triangles"] = out["n_triangles"].fillna(0).astype("int64")
+    d = out["degree"].to_numpy(dtype="float64")
+    t = out["n_triangles"].to_numpy(dtype="float64")
+    out["cc_e6"] = np.floor(2.0 * t * 1e6 / (d * (d - 1.0)) + 0.5).astype("int64")
+    return (
+        out[["doc_id", "degree", "n_triangles", "cc_e6"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "degree": "int64"})
+    )

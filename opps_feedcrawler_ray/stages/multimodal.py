@@ -518,10 +518,6 @@ def image_phash_dups(
     it); ONE band-bucket exchange; per-bucket pairs via the shared
     ``_cell_pair_indices`` kernel; exact verify is vectorized xor +
     bit_count.  Returns (a, b, hamming) pairs, a < b, sorted."""
-    import pandas as pd
-
-    from ..pipelines.dedup import _cell_pair_indices
-
     hashes = ds.map_batches(
         ImagePHashStage,
         batch_format="pyarrow",
@@ -529,10 +525,27 @@ def image_phash_dups(
         concurrency=concurrency,
         num_cpus=1,
     )
+    return hash64_near_dup_pairs(hashes, max_hamming=max_hamming)
+
+
+def hash64_near_dup_pairs(
+    hashes: rd.Dataset,
+    max_hamming: int = 4,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+):
+    """Shared 64-bit-fingerprint near-dup engine (images, audio, any
+    perceptual hash): 4×16-bit pigeonhole banding → one band-bucket
+    exchange → vectorized within-cell pairs → exact xor+popcount verify
+    ≤ ``max_hamming``.  Hamming ≤ 3 recall is GUARANTEED; = 4 is the
+    documented band tradeoff.  Input: a Dataset of (id, hash64)."""
+    import pandas as pd
+
+    from ..pipelines.dedup import _cell_pair_indices
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        ids = batch["media_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ph = batch["phash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ph = batch[hash_col].to_numpy(zero_copy_only=False).astype(np.uint64)
         out_id = np.repeat(ids, 4)
         out_ph = np.repeat(ph, 4)
         band = np.tile(np.arange(4, dtype=np.int64), len(ids))
@@ -584,3 +597,95 @@ def image_phash_dups(
         .sort_values(["a", "b"])
         .reset_index(drop=True)
     )
+
+
+# ------------------------------------------------- audio fingerprint dedup
+def audio_fingerprint64(samples: np.ndarray) -> int:
+    """64-bit AUDIO fingerprint (Haitsma & Kalker 2002 shape, collapsed
+    to one word): split the clip into 65 equal frames, compute integer
+    frame energies, emit one bit per CONSECUTIVE-FRAME energy increase —
+    an energy-envelope signature robust to low-level noise and small
+    gain changes (energy differences preserve order under mild
+    perturbation).  Integer end-to-end: samples are quantized to e4
+    ints before squaring, so no float ordering enters the bits."""
+    n = len(samples)
+    if n < 66:
+        samples = np.pad(samples, (0, 66 - n))
+        n = 66
+    q = np.floor(samples * 1e4 + 0.5).astype(np.int64)
+    bounds = (np.arange(66, dtype=np.int64) * n) // 65
+    sq = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(q * q, out=sq[1:])
+    sizes = np.maximum(np.diff(bounds), 1)
+    energies = (sq[bounds[1:]] - sq[bounds[:-1]]) // sizes  # mean energy/frame
+    bits = (np.diff(energies) > 0).astype(np.uint64)  # 64 bits
+    return int((bits << np.arange(64, dtype=np.uint64)).sum())
+
+
+class AudioFingerprintStage:
+    """Actor-pool stage: WAV decode → 64-bit energy-envelope fingerprint
+    (payloads reduce to 8 B each; same shape as :class:`ImagePHashStage`)."""
+
+    OUT_SCHEMA = pa.schema([("media_id", pa.int64()), ("afp", pa.uint64())])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fps = [], []
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            samples, _sr = decode_wav(payload)
+            ids.append(mid)
+            fps.append(audio_fingerprint64(samples.astype(np.float64)))
+        return pa.table(
+            {"media_id": pa.array(ids, pa.int64()),
+             "afp": pa.array(fps, pa.uint64())},
+            schema=self.OUT_SCHEMA,
+        )
+
+
+def synth_audio_dup_table(n: int = 60) -> pa.Table:
+    """Deterministic WAV corpus with planted near-duplicates: every 3rd
+    clip is the previous base clip with low-level noise (±2e-3 — far
+    under the energy-envelope flip threshold); bases are distinct
+    multi-tone clips."""
+    ids, kinds, payloads, metas = [], [], [], []
+    base = None
+    for i in range(n):
+        rng = np.random.default_rng(7000 + i)
+        if i % 3 == 2 and base is not None:
+            s = np.clip(base + rng.uniform(-2e-3, 2e-3, len(base)), -1, 1)
+        else:
+            t = np.arange(2000 + (i * 131) % 1500, dtype=np.float64)
+            f1, f2 = 3 + i % 11, 17 + (i * 7) % 23
+            s = 0.4 * np.sin(2 * np.pi * t * f1 / 500.0) + 0.3 * np.sin(
+                2 * np.pi * t * f2 / 500.0 + i
+            )
+            # per-clip amplitude envelope so energy profiles differ
+            s *= 0.5 + 0.5 * np.abs(np.sin(2 * np.pi * t * (1 + i % 5) / len(t)))
+            base = s
+        payloads.append(encode_wav(s))
+        ids.append(i)
+        kinds.append("audio")
+        metas.append(json.dumps({"sample_rate": 8000}, sort_keys=True))
+    return pa.table(
+        {"media_id": pa.array(ids, pa.int64()), "kind": pa.array(kinds),
+         "payload": pa.array(payloads, pa.binary()), "meta": pa.array(metas)},
+        schema=MEDIA_SCHEMA,
+    )
+
+
+def audio_fp_dups(
+    ds: rd.Dataset, max_hamming: int = 4, concurrency: int = 2, batch_size: int = 16
+):
+    """NEAR-DUPLICATE AUDIO detection: energy-envelope fingerprints via
+    the actor-pool WAV stage, then the SHARED 64-bit banding engine
+    (:func:`hash64_near_dup_pairs`) — one exchange, exact popcount
+    verify.  Returns (a, b, hamming), a < b, sorted."""
+    fps = ds.map_batches(
+        AudioFingerprintStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    return hash64_near_dup_pairs(fps, max_hamming=max_hamming, hash_col="afp")

@@ -3278,3 +3278,25 @@ def test_doc_coverage_select_matches_greedy_twin(ray_session):
     # submodularity: marginal gains non-increasing
     assert (np.diff(got["gain"].to_numpy()) <= 0).all()
     pd.testing.assert_frame_equal(got, doc_coverage_select(SF, k=k))
+
+
+def test_doc_clustering_coeff_matches_numpy_brute_force(ray_session, tmp_path):
+    from opps_feedcrawler_ray.pipelines.webpipe import doc_clustering_coeff
+
+    got = doc_clustering_coeff(SF, work_dir=str(tmp_path / "webpipe"))
+    n = len(pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"]))
+    adj = np.zeros((n, n), dtype=bool)
+    for did in range(n):
+        for k in range(6):
+            t = (did * 37 + 11 * k + 1) % n
+            if t != did:
+                adj[did, t] = adj[t, did] = True
+    a = adj.astype(np.int64)
+    tri = np.diag(a @ a @ a) // 2
+    deg = adj.sum(1)
+    keep = deg >= 2
+    cc = np.floor(2.0 * tri[keep] * 1e6 / (deg[keep] * (deg[keep] - 1.0)) + 0.5)
+    exp = pd.DataFrame({"doc_id": np.flatnonzero(keep), "degree": deg[keep],
+                        "n_triangles": tri[keep], "cc_e6": cc.astype("int64")})
+    pd.testing.assert_frame_equal(got, exp.reset_index(drop=True), check_dtype=False)
+    assert got["cc_e6"].between(0, 1_000_000).all()

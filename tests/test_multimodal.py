@@ -203,3 +203,40 @@ def test_image_phash_dups_finds_planted_near_dups(ray_session):
 
     again = image_phash_dups(ds, max_hamming=4)
     pd.testing.assert_frame_equal(got, again)
+
+
+def test_audio_fp_dups_finds_planted_near_dups(ray_session):
+    import ray.data as rd
+
+    from opps_feedcrawler_ray.stages.multimodal import (
+        audio_fingerprint64, audio_fp_dups, decode_wav, synth_audio_dup_table,
+    )
+
+    t = synth_audio_dup_table(60)
+    ds = rd.from_arrow(t)
+    got = audio_fp_dups(ds, max_hamming=4)
+
+    # brute-force twin over the same fingerprints
+    fps = {}
+    for mid, payload in zip(t["media_id"].to_pylist(), t["payload"].to_pylist()):
+        s, _ = decode_wav(payload)
+        fps[mid] = audio_fingerprint64(s.astype(np.float64))
+    brute = {}
+    ids = sorted(fps)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ham = bin(fps[a] ^ fps[b]).count("1")
+            if ham <= 4:
+                brute[(a, b)] = ham
+    reported = {(a, b): h for a, b, h in got.itertuples(index=False, name=None)}
+    assert set(reported) <= set(brute)
+    for k, v in reported.items():
+        assert brute[k] == v
+    assert {k for k, v in brute.items() if v <= 3} <= set(reported)
+    planted = [(i - 1, i) for i in range(2, 60, 3)]
+    found = sum(1 for p in planted if p in reported)
+    assert found >= len(planted) * 3 // 4, (found, len(planted))
+    # determinism
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, audio_fp_dups(ds, max_hamming=4))
