@@ -678,7 +678,8 @@ def _doc_link_edges(sf_dir: str, work_dir: str | None = None):
     return edges, n_docs, nb
 
 
-def doc_triangle_counts(sf_dir: str, work_dir: str | None = None):
+def doc_triangle_counts(sf_dir: str, work_dir: str | None = None,
+                        _edges=None):
     """Distributed TRIANGLE COUNTING over the doc-level link graph — the
     degree-orientation algorithm (Chiba–Nishizeki / Schank–Wagner node
     iterator): orient each undirected edge from the lower-(degree, id)
@@ -707,7 +708,9 @@ def doc_triangle_counts(sf_dir: str, work_dir: str | None = None):
 
     from .dedup import _cell_pair_indices
 
-    edges, n_docs, nb = _doc_link_edges(sf_dir, work_dir)
+    # callers that already built the edge dataset (clustering coeff)
+    # pass it in — the corpus parse happens once
+    edges, n_docs, nb = _edges or _doc_link_edges(sf_dir, work_dir)
 
     deg_schema = pa.schema([("node", pa.int64()), ("c", pa.int64()), ("__b", pa.int64())])
 
@@ -1172,8 +1175,8 @@ def doc_clustering_coeff(sf_dir: str, work_dir: str | None = None) -> "pd.DataFr
     e6 half-up with the identical float expression in the oracle."""
     import pandas as pd
 
-    tri = doc_triangle_counts(sf_dir, work_dir)
     edges, n_docs, nb = _doc_link_edges(sf_dir, work_dir)
+    tri = doc_triangle_counts(sf_dir, work_dir, _edges=(edges, n_docs, nb))
 
     deg_schema = pa.schema([("node", pa.int64()), ("c", pa.int64()), ("__b", pa.int64())])
 
