@@ -6938,14 +6938,11 @@ def purchase_survival_km(sf_dir: str) -> pd.DataFrame:
         cen = out.groupby("t_day", as_index=False).agg(d=("e", "sum"), c=("e", "size"))
         return cen.astype(cols)
 
-    # horizon needs one cheap pass; Ray's Dataset.max returns a scalar
-    import datetime as _dt
-
+    # horizon needs one cheap pass; pd.Timestamp handles every scalar
+    # flavor Dataset.max can return, and .value//1000 is EXACT µs (a
+    # float .timestamp() round-trip can land 1 µs low — hash-breaking)
     mx = rd.read_parquet(_t(sf_dir, "events"), columns=["ts"]).max("ts")
-    if isinstance(mx, _dt.datetime):
-        horizon = int(mx.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000)
-    else:  # pandas / numpy timestamp
-        horizon = int(pd.Timestamp(mx).value // 1000)
+    horizon = int(pd.Timestamp(mx).value // 1000)
 
     cen = (
         ev.map_batches(partial, batch_format="pyarrow")
@@ -7258,7 +7255,12 @@ def doc_coverage_select(sf_dir: str, k: int = 10) -> pd.DataFrame:
 
     import ray
 
-    _schema = pa.schema([("doc_id", pa.int64()), ("gain", pa.int64())])
+    # each partial also carries its candidate's token list, so the round
+    # winner's tokens are already on the driver — no extra dataset pass
+    _schema = pa.schema(
+        [("doc_id", pa.int64()), ("gain", pa.int64()),
+         ("h", pa.list_(pa.int64()))]
+    )
     covered = np.empty(0, dtype=np.int64)
     chosen: set[int] = set()
     rows = []
@@ -7269,7 +7271,7 @@ def doc_coverage_select(sf_dir: str, k: int = 10) -> pd.DataFrame:
         def best_partial(batch: pa.Table) -> pa.Table:
             cov = ray.get(cov_ref)
             ch = ray.get(chosen_ref)
-            best_gain, best_id = -1, None
+            best_gain, best_id, best_h = -1, None, None
             for did, hs in zip(batch["doc_id"].to_pylist(), batch["h"].to_pylist()):
                 if did in ch:
                     continue
@@ -7279,22 +7281,22 @@ def doc_coverage_select(sf_dir: str, k: int = 10) -> pd.DataFrame:
                 else:
                     g = len(a)
                 if g > best_gain or (g == best_gain and did < best_id):
-                    best_gain, best_id = g, did
+                    best_gain, best_id, best_h = g, did, hs
             if best_id is None:
-                return pa.table({"doc_id": [], "gain": []}, schema=_schema)
-            return pa.table({"doc_id": [best_id], "gain": [best_gain]},
-                            schema=_schema)
+                return pa.table({"doc_id": [], "gain": [], "h": []}, schema=_schema)
+            return pa.table(
+                {"doc_id": [best_id], "gain": [best_gain], "h": [best_h]},
+                schema=_schema,
+            )
 
         parts = tok.map_batches(best_partial, batch_format="pyarrow").to_pandas()
         if not len(parts):
             break
         parts = parts.sort_values(["gain", "doc_id"], ascending=[False, True])
         wid, wgain = int(parts.iloc[0]["doc_id"]), int(parts.iloc[0]["gain"])
-        # fetch the winner's tokens (one tiny targeted filter pass)
-        wtok = (
-            tok.filter(expr=f"doc_id == {wid}").to_pandas()["h"].iloc[0]
+        covered = np.union1d(
+            covered, np.asarray(parts.iloc[0]["h"], dtype=np.int64)
         )
-        covered = np.union1d(covered, np.asarray(wtok, dtype=np.int64))
         chosen.add(wid)
         rows.append((rank, wid, wgain, len(covered)))
     return pd.DataFrame(

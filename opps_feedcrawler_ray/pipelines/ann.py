@@ -581,6 +581,19 @@ def pq_train(
     return books
 
 
+def _pq_codes(V: "np.ndarray", books: "np.ndarray") -> "np.ndarray":
+    """Per-subspace nearest-codeword assignment: (n, d) vectors + (m,
+    ksub, d/m) codebooks -> (n, m) int codes.  The single encode kernel
+    both the stored-index path (:func:`pq_encode`) and the fused
+    demo path (:func:`pq_topk`) share."""
+    m, ksub, dsub = books.shape
+    codes = np.empty((len(V), m), dtype=np.int64)
+    for j in range(m):
+        S = V[:, j * dsub : (j + 1) * dsub]
+        codes[:, j] = ((S[:, None, :] - books[j][None]) ** 2).sum(2).argmin(1)
+    return codes
+
+
 def pq_encode(
     ds: rd.Dataset,
     books: np.ndarray,
@@ -597,10 +610,7 @@ def pq_encode(
     def enc(batch: pa.Table) -> pa.Table:
         B = ray.get(books_ref)
         V = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
-        codes = np.empty((len(V), m), dtype=np.uint8)
-        for j in range(m):
-            S = V[:, j * dsub : (j + 1) * dsub]
-            codes[:, j] = ((S[:, None, :] - B[j][None]) ** 2).sum(2).argmin(1)
+        codes = _pq_codes(V, B).astype(np.uint8)
         return pa.table(
             {id_col: batch[id_col],
              "code": pa.array(list(codes), pa.list_(pa.uint8()))}
@@ -645,11 +655,8 @@ def pq_topk(
         L = ray.get(lut_ref)
         V = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        mj, ks, dj = B.shape
-        codes = np.empty((len(V), mj), dtype=np.int64)
-        for j in range(mj):
-            S = V[:, j * dj : (j + 1) * dj]
-            codes[:, j] = ((S[:, None, :] - B[j][None]) ** 2).sum(2).argmin(1)
+        mj = B.shape[0]
+        codes = _pq_codes(V, B)
         out_q, out_id, out_d = [], [], []
         for qi in range(L.shape[0]):
             adc = L[qi, np.arange(mj)[None, :], codes].sum(1)  # (n_rows,)

@@ -678,8 +678,38 @@ def _doc_link_edges(sf_dir: str, work_dir: str | None = None):
     return edges, n_docs, nb
 
 
+def _doc_degrees(edges, nb: int) -> "pd.DataFrame":
+    """Node degree table of the undirected edge dataset: per-batch unique
+    counts -> node-bucketed sums.  Node-bounded output (the fits-a-heap
+    assumption host_pagerank documents, same bucketed-join fallback past
+    it).  Shared by triangles / link prediction / clustering coeff."""
+    import pandas as pd
+
+    deg_schema = pa.schema([("node", pa.int64()), ("c", pa.int64()), ("__b", pa.int64())])
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        nodes = np.concatenate(
+            [batch["a"].to_numpy(zero_copy_only=False),
+             batch["b"].to_numpy(zero_copy_only=False)]
+        )
+        u, c = np.unique(nodes, return_counts=True)
+        df = pd.DataFrame({"node": u, "c": c.astype("int64")})
+        df["__b"] = (df["node"] % nb).astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False, schema=deg_schema)
+
+    def deg_sum(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("node", as_index=False)["c"].sum()
+
+    return (
+        edges.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(deg_sum, batch_format="pandas")
+        .to_pandas()
+    )
+
+
 def doc_triangle_counts(sf_dir: str, work_dir: str | None = None,
-                        _edges=None):
+                        _edges=None, _deg_df=None):
     """Distributed TRIANGLE COUNTING over the doc-level link graph — the
     degree-orientation algorithm (Chiba–Nishizeki / Schank–Wagner node
     iterator): orient each undirected edge from the lower-(degree, id)
@@ -711,28 +741,7 @@ def doc_triangle_counts(sf_dir: str, work_dir: str | None = None,
     # callers that already built the edge dataset (clustering coeff)
     # pass it in — the corpus parse happens once
     edges, n_docs, nb = _edges or _doc_link_edges(sf_dir, work_dir)
-
-    deg_schema = pa.schema([("node", pa.int64()), ("c", pa.int64()), ("__b", pa.int64())])
-
-    def deg_partial(batch: pa.Table) -> pa.Table:
-        nodes = np.concatenate(
-            [batch["a"].to_numpy(zero_copy_only=False),
-             batch["b"].to_numpy(zero_copy_only=False)]
-        )
-        u, c = np.unique(nodes, return_counts=True)
-        df = pd.DataFrame({"node": u, "c": c.astype("int64")})
-        df["__b"] = (df["node"] % nb).astype("int64")
-        return pa.Table.from_pandas(df, preserve_index=False, schema=deg_schema)
-
-    def deg_sum(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby("node", as_index=False)["c"].sum()
-
-    deg_df = (
-        edges.map_batches(deg_partial, batch_format="pyarrow")
-        .groupby("__b")
-        .map_groups(deg_sum, batch_format="pandas")
-        .to_pandas()
-    )
+    deg_df = _deg_df if _deg_df is not None else _doc_degrees(edges, nb)
     # degree-rank = (degree, id) lexicographic — a total order, so the
     # orientation is acyclic; broadcast as two aligned sorted arrays
     import ray
@@ -1058,28 +1067,7 @@ def doc_adamic_adar(
     from .dedup import _cell_pair_indices
 
     edges, n_docs, nb = _doc_link_edges(sf_dir, work_dir)
-
-    deg_schema = pa.schema([("node", pa.int64()), ("c", pa.int64()), ("__b", pa.int64())])
-
-    def deg_partial(batch: pa.Table) -> pa.Table:
-        nodes = np.concatenate(
-            [batch["a"].to_numpy(zero_copy_only=False),
-             batch["b"].to_numpy(zero_copy_only=False)]
-        )
-        u, c = np.unique(nodes, return_counts=True)
-        df = pd.DataFrame({"node": u, "c": c.astype("int64")})
-        df["__b"] = (df["node"] % nb).astype("int64")
-        return pa.Table.from_pandas(df, preserve_index=False, schema=deg_schema)
-
-    def deg_sum(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby("node", as_index=False)["c"].sum()
-
-    deg_df = (
-        edges.map_batches(deg_partial, batch_format="pyarrow")
-        .groupby("__b")
-        .map_groups(deg_sum, batch_format="pandas")
-        .to_pandas()
-    )
+    deg_df = _doc_degrees(edges, nb)
     nodes_sorted = deg_df["node"].to_numpy(dtype=np.int64)
     order = np.argsort(nodes_sorted)
     nodes_sorted = nodes_sorted[order]
@@ -1176,30 +1164,11 @@ def doc_clustering_coeff(sf_dir: str, work_dir: str | None = None) -> "pd.DataFr
     import pandas as pd
 
     edges, n_docs, nb = _doc_link_edges(sf_dir, work_dir)
-    tri = doc_triangle_counts(sf_dir, work_dir, _edges=(edges, n_docs, nb))
-
-    deg_schema = pa.schema([("node", pa.int64()), ("c", pa.int64()), ("__b", pa.int64())])
-
-    def deg_partial(batch: pa.Table) -> pa.Table:
-        nodes = np.concatenate(
-            [batch["a"].to_numpy(zero_copy_only=False),
-             batch["b"].to_numpy(zero_copy_only=False)]
-        )
-        u, c = np.unique(nodes, return_counts=True)
-        df = pd.DataFrame({"node": u, "c": c.astype("int64")})
-        df["__b"] = (df["node"] % nb).astype("int64")
-        return pa.Table.from_pandas(df, preserve_index=False, schema=deg_schema)
-
-    deg = (
-        edges.map_batches(deg_partial, batch_format="pyarrow")
-        .groupby("__b")
-        .map_groups(
-            lambda g: g.groupby("node", as_index=False)["c"].sum(),
-            batch_format="pandas",
-        )
-        .to_pandas()
-        .rename(columns={"node": "doc_id", "c": "degree"})
+    deg_df = _doc_degrees(edges, nb)
+    tri = doc_triangle_counts(
+        sf_dir, work_dir, _edges=(edges, n_docs, nb), _deg_df=deg_df
     )
+    deg = deg_df.rename(columns={"node": "doc_id", "c": "degree"})
     out = deg[deg["degree"] >= 2].merge(tri, on="doc_id", how="left")
     out["n_triangles"] = out["n_triangles"].fillna(0).astype("int64")
     d = out["degree"].to_numpy(dtype="float64")

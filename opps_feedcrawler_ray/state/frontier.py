@@ -159,6 +159,11 @@ class FrontierActor:
         self._pboundary: dict[str, tuple] = {}
         self._pspill_rows: dict[str, int] = {}
         self._pseg_counter = 0
+        # segments consumed by a reload/drop since the last durable
+        # checkpoint: their files MUST outlive that checkpoint (it still
+        # references them for resume) — deleted only after the NEXT
+        # checkpoint (which no longer lists them) is atomically published
+        self._pspill_consumed: list[str] = []
         self.robots: dict[str, RobotsRules] = {}
         self.counters = dict.fromkeys(COUNTER_KEYS, 0)
         self._last_meta: dict[str, int] = {}
@@ -559,8 +564,11 @@ class FrontierActor:
 
     def _reload_spill(self, host: str, lst: list) -> list:
         """Merge every spilled segment of ``host`` back into its resident
-        list (segment files are consumed) and re-sort.  Called only when
-        the resident head can no longer prove it dominates the spill."""
+        list and re-sort.  Called only when the resident head can no
+        longer prove it dominates the spill.  Files are NOT deleted here:
+        the last durable checkpoint may still reference them for resume —
+        they join ``_pspill_consumed`` and are garbage-collected after the
+        next checkpoint publishes."""
         for p in self._pspill.pop(host):
             t = pq.read_table(p)
             lst.extend(
@@ -571,19 +579,16 @@ class FrontierActor:
                     (int(x) for x in t["h"].to_pylist()),
                 )
             )
-            os.remove(p)
+            self._pspill_consumed.append(p)
         self._pboundary.pop(host, None)
         self._pspill_rows.pop(host, None)
         lst.sort()
         return lst
 
     def _drop_spill(self, host: str) -> None:
-        """Host queue discarded (page cap reached): drop its segments."""
-        for p in self._pspill.pop(host, []):
-            try:
-                os.remove(p)
-            except OSError:
-                pass
+        """Host queue discarded (page cap reached): release its segments
+        (files persist until the next checkpoint stops referencing them)."""
+        self._pspill_consumed.extend(self._pspill.pop(host, []))
         self._pboundary.pop(host, None)
         self._pspill_rows.pop(host, None)
 
@@ -891,6 +896,15 @@ class FrontierActor:
             tmp = path + ".tmp"
             write(tmp)
             os.replace(tmp, path)
+        # the new checkpoint no longer references consumed segments — now
+        # (and only now) their files are safe to delete; a crash anywhere
+        # before this point leaves every referenced file on disk
+        for p in self._pspill_consumed:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+        self._pspill_consumed = []
         return {
             "partition_id": self.shard_id,
             "round": round_idx,
@@ -952,6 +966,7 @@ class FrontierActor:
         else:
             self._pspill, self._pboundary, self._pspill_rows = {}, {}, {}
             self._pseg_counter = 0
+        self._pspill_consumed = []  # orphans from the killed run are inert
         self.heaps = {}
         self._dirty = set()
         for h, url, host, prio, rnd in zip(
