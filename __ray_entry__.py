@@ -727,6 +727,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_urgent_logreg": A.orders_urgent_logreg,
         "events_cusum_changepoint": A.events_cusum_changepoint,
         "doc_coverage_select": A.doc_coverage_select,
+        "events_holt_forecast": A.events_holt_forecast,
         "events_percentile_cont": A.events_percentile_cont,
         "segment_event_mutual_info": A.segment_event_mutual_info,
         "sequential_pattern_support": A.sequential_pattern_support,
@@ -2391,6 +2392,34 @@ def oracle_sql() -> dict[str, str]:
             "SELECT y FROM tri UNION ALL SELECT z FROM tri) "
             "SELECT doc_id, COUNT(*) AS n_triangles FROM v "
             "GROUP BY doc_id ORDER BY doc_id"
+        ),
+        "events_holt_forecast": (
+            # Holt double-exponential smoothing: the two-state recursion
+            # forced sequential by the recursive CTE (identical double ops)
+            "WITH RECURSIVE daily AS (SELECT event_type, "
+            "date_trunc('day', ts) AS day, "
+            "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s, "
+            "COUNT(*) AS n FROM events GROUP BY 1, 2), "
+            "dd AS (SELECT event_type, d.s * 1.0 / d.n AS x, "
+            "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn "
+            "FROM daily d), "
+            "x2 AS (SELECT event_type, x AS xx FROM dd WHERE rn = 2), "
+            "rec AS (SELECT dd.event_type, dd.rn, dd.x AS s, "
+            "COALESCE(x2.xx - dd.x, 0) AS b FROM dd "
+            "LEFT JOIN x2 ON dd.event_type = x2.event_type WHERE dd.rn = 1 "
+            "UNION ALL SELECT dd.event_type, dd.rn, "
+            "0.5 * dd.x + 0.5 * (rec.s + rec.b), "
+            "0.25 * ((0.5 * dd.x + 0.5 * (rec.s + rec.b)) - rec.s) "
+            "+ 0.75 * rec.b FROM dd "
+            "JOIN rec ON dd.event_type = rec.event_type AND dd.rn = rec.rn + 1), "
+            "fin AS (SELECT event_type, MAX(rn) AS n_days FROM rec "
+            "GROUP BY event_type) "
+            "SELECT fin.event_type, fin.n_days, "
+            "CAST(FLOOR(r.s * 10000 + 0.5) AS BIGINT) AS level_e6, "
+            "CAST(FLOOR(r.b * 10000 + 0.5) AS BIGINT) AS trend_e6, "
+            "CAST(FLOOR((r.s + r.b) * 10000 + 0.5) AS BIGINT) AS forecast_e6 "
+            "FROM fin JOIN rec r ON r.event_type = fin.event_type "
+            "AND r.rn = fin.n_days"
         ),
         "events_cusum_changepoint": (
             # CUSUM fold forced sequential (ascending day) by recursion —

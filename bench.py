@@ -173,6 +173,7 @@ QUERY_NAMES = [
     "doc_coverage_select",
     "media_audio_dups",
     "doc_clustering_coeff",
+    "events_holt_forecast",
 ]
 
 

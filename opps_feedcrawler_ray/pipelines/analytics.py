@@ -7302,3 +7302,60 @@ def doc_coverage_select(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return pd.DataFrame(
         rows, columns=["rank", "doc_id", "gain", "covered_total"]
     ).astype("int64")
+
+
+def events_holt_forecast(sf_dir: str) -> pd.DataFrame:
+    """FORECASTING: Holt double-exponential smoothing (Holt 1957) over
+    each event type's daily-mean series — level s_t = α·x_t +
+    (1−α)(s_{t−1}+b_{t−1}), trend b_t = β(s_t−s_{t−1}) + (1−β)b_{t−1},
+    init s_1 = x_1, b_1 = x_2−x_1 (0 for a one-day series); reports the
+    final level/trend and the one-step-ahead forecast s+b.
+
+    Exactness: α=0.5 and β=0.25 are exact binary fractions; x_t and the
+    folds are the SAME double ops on both sides, forced sequential by the
+    oracle's recursive CTE (the KM/CUSUM trick).  Scale shape: the
+    |types|·|days| domain-bounded daily-mean exchange (shared shape with
+    :func:`events_cusum_changepoint`), then an O(days) driver fold."""
+    ALPHA, BETA = 0.5, 0.25
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts", "value"])
+
+    _schema = pa.schema(
+        [("event_type", pa.string()), ("day", pa.timestamp("us")),
+         ("s", pa.int64()), ("n", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["day"] = df["ts"].dt.floor("D")
+        df["e2"] = np.floor(df["value"].to_numpy() * 100 + 0.5).astype("int64")
+        g = df.groupby(["event_type", "day"], as_index=False).agg(
+            s=("e2", "sum"), n=("e2", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False, schema=_schema)
+
+    daily = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .sum(["s", "n"])
+        .to_pandas()
+        .rename(columns={"sum(s)": "s", "sum(n)": "n"})
+        .sort_values(["event_type", "day"])
+    )
+    out = []
+    for et, g in daily.groupby("event_type"):
+        x = g["s"].to_numpy(dtype="int64") / g["n"].to_numpy(dtype="int64")
+        s = x[0]
+        b = (x[1] - x[0]) if len(x) > 1 else 0.0
+        for t in range(1, len(x)):
+            s_new = ALPHA * x[t] + (1 - ALPHA) * (s + b)
+            b = BETA * (s_new - s) + (1 - BETA) * b
+            s = s_new
+        out.append(
+            (et, len(x), int(np.floor(s * 1e4 + 0.5)),
+             int(np.floor(b * 1e4 + 0.5)), int(np.floor((s + b) * 1e4 + 0.5)))
+        )
+    return pd.DataFrame(
+        out, columns=["event_type", "n_days", "level_e6", "trend_e6",
+                      "forecast_e6"]
+    ).astype({"n_days": "int64", "level_e6": "int64", "trend_e6": "int64",
+              "forecast_e6": "int64"})

@@ -3300,3 +3300,54 @@ def test_doc_clustering_coeff_matches_numpy_brute_force(ray_session, tmp_path):
                         "n_triangles": tri[keep], "cc_e6": cc.astype("int64")})
     pd.testing.assert_frame_equal(got, exp.reset_index(drop=True), check_dtype=False)
     assert got["cc_e6"].between(0, 1_000_000).all()
+
+
+def test_events_holt_forecast_tracks_planted_trend(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opps_feedcrawler_ray.pipelines.analytics import events_holt_forecast
+
+    # pure linear series: Holt converges to level=last x, trend=slope
+    base = pd.Timestamp("2024-01-01")
+    n = 40
+    days = [base + pd.Timedelta(days=i) for i in range(n)]
+    vals = [10.0 + 2.0 * i for i in range(n)]
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array(range(n), pa.int64()),
+            "event_type": pa.array(["a"] * n),
+            "ts": pa.array(days, pa.timestamp("us")),
+            "user_id": pa.array([1] * n, pa.int64()),
+            "value": pa.array(vals, pa.float64()),
+            "props": pa.array(["{}"] * n),
+        }),
+        str(tmp_path / "events.parquet"),
+    )
+    got = events_holt_forecast(str(tmp_path))
+    r = got.iloc[0]
+    # a linear series is tracked exactly after the exact init
+    assert abs(r["level_e6"] - int(vals[-1] * 1e6)) <= 2
+    assert abs(r["trend_e6"] - 2_000_000) <= 2
+    assert abs(r["forecast_e6"] - int((vals[-1] + 2.0) * 1e6)) <= 2
+    # replay twin on real testdata
+    got2 = events_holt_forecast(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "ts", "value"])
+    ev["day"] = ev["ts"].dt.floor("D")
+    ev["e2"] = np.floor(ev["value"].to_numpy() * 100 + 0.5).astype("int64")
+    rows = []
+    for et, g in ev.groupby("event_type"):
+        d = g.groupby("day").agg(s=("e2", "sum"), n=("e2", "size")).sort_index()
+        x = d["s"].to_numpy(dtype="int64") / d["n"].to_numpy(dtype="int64")
+        s = x[0]
+        b = (x[1] - x[0]) if len(x) > 1 else 0.0
+        for t in range(1, len(x)):
+            s_new = 0.5 * x[t] + 0.5 * (s + b)
+            b = 0.25 * (s_new - s) + 0.75 * b
+            s = s_new
+        rows.append((et, len(x), int(np.floor(s * 1e4 + 0.5)),
+                     int(np.floor(b * 1e4 + 0.5)),
+                     int(np.floor((s + b) * 1e4 + 0.5))))
+    exp = pd.DataFrame(rows, columns=["event_type", "n_days", "level_e6",
+                                      "trend_e6", "forecast_e6"])
+    pd.testing.assert_frame_equal(got2.reset_index(drop=True), exp, check_dtype=False)
