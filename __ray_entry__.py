@@ -410,6 +410,25 @@ def _q_ann_pq(sf_dir: str):
     return pq_topk(ds, queries, k=10, m=32, ksub=64)
 
 
+def _q_ann_ivfpq(sf_dir: str):
+    """IVF+PQ composed index (coarse cells + residual product codes,
+    ADC over probed cells only) — rows-only; recall/self-hit/probe-set
+    twins in test_ann."""
+    import numpy as np
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+
+    from opps_feedcrawler_ray.pipelines.ann import ivfpq_topk
+
+    emb = _pq.read_table(f"{sf_dir}/embeddings.parquet")
+    order = {v: i for i, v in enumerate(emb["vec_id"].to_pylist())}
+    queries = np.array(
+        [emb["embedding"][order[q]].as_py() for q in (0, 1, 2)], dtype=np.float64
+    )
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return ivfpq_topk(ds, queries, k=10, n_cells=16, n_probe=6, m=32, ksub=64)
+
+
 def _q_host_communities(sf_dir: str):
     """Label-propagation community detection (rows-only: iterative, no
     SQL oracle; synthetic structural twins — cliques, bridges, paths —
@@ -702,6 +721,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": _q_ivf_ann,
         "ann_ivf_partitioned": _q_ivf_partitioned,
         "ann_pq_topk": _q_ann_pq,
+        "ann_ivfpq_topk": _q_ann_ivfpq,
         "embedding_pca": _q_embedding_pca,
         "ann_hard_negatives": _q_hard_negatives,
         "kcenter_coreset": _q_kcenter_coreset,

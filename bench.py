@@ -174,6 +174,7 @@ QUERY_NAMES = [
     "media_audio_dups",
     "doc_clustering_coeff",
     "events_holt_forecast",
+    "ann_ivfpq_topk",
 ]
 
 

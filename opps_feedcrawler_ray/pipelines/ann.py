@@ -680,3 +680,99 @@ def pq_topk(
     res = pd.concat(out).reset_index(drop=True) if out else partials
     res["adc_e6"] = np.floor(res["adc"] * 1e6 + 0.5).astype("int64")
     return res[["query_idx", id_col, "adc_e6"]]
+
+
+def ivfpq_topk(
+    ds: rd.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 32,
+    ksub: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """IVF+PQ — the billion-scale ANN index shape (Jégou et al. 2011
+    §V, the FAISS ``IVFPQ`` layout): a coarse quantizer routes each
+    vector to its nearest centroid CELL, and the RESIDUAL (vector −
+    centroid) is product-quantized to ``m`` bytes.  Search probes only
+    the ``n_probe`` nearest cells per query and ranks rows by asymmetric
+    distance against a per-(query, cell) LUT of exact subspace distances
+    to (query − centroid).
+
+    Scale shape: the residual+cell dataset is the stored index (cell
+    int8-ish + m uint8 codes per vector ≈ 33 B here vs 512 B raw); the
+    coarse route makes search read ~n_probe/n_cells of the corpus (cell
+    partition pruning — :func:`ivf_build`'s layout applies unchanged)
+    and the LUT stack (n_q × n_probe × m × ksub doubles) broadcasts
+    once.  Composes the existing pieces: pinned IVF centroids,
+    :func:`pq_train` over residuals, the shared :func:`_pq_codes`
+    encode kernel, per-batch partial top-k.  Rows-only (trained
+    codebooks; recall/self-hit/determinism twins in test_ann)."""
+    q = _unit(np.asarray(queries, dtype=np.float64))
+    dim = q.shape[1]
+    cents = _pinned_centroids(dim, n_cells)
+    cents_ref = ray.put(cents)
+
+    def residual(batch: pa.Table) -> pa.Table:
+        V = _unit(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
+        cell = np.argmax(V @ cents.T, axis=1).astype(np.int64)
+        r = V - cents[cell]
+        return pa.table(
+            {id_col: batch[id_col],
+             "cell": pa.array(cell, pa.int64()),
+             "resid": pa.array([x.tolist() for x in r], pa.list_(pa.float64()))}
+        )
+
+    rds = ds.map_batches(residual, batch_format="pyarrow").materialize()
+    books = pq_train(rds, m=m, ksub=ksub, vec_col="resid", id_col=id_col)
+    dsub = books.shape[2]
+
+    probe = np.argsort(-(q @ cents.T), axis=1)[:, :n_probe]  # (n_q, n_probe)
+    # per-(query, probed cell) LUT over (q - centroid) residual space
+    luts = np.empty((len(q), n_probe, m, ksub), dtype=np.float64)
+    for qi in range(len(q)):
+        for pi, c in enumerate(probe[qi]):
+            t = q[qi] - cents[int(c)]
+            for j in range(m):
+                luts[qi, pi, j] = (
+                    (t[j * dsub : (j + 1) * dsub][None, :] - books[j]) ** 2
+                ).sum(1)
+    books_ref = ray.put(books)
+    lut_ref = ray.put((probe, luts))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        B = ray.get(books_ref)
+        pr, L = ray.get(lut_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cell = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        R = np.array(batch["resid"].to_pylist(), dtype=np.float64)
+        codes = _pq_codes(R, B)  # (n, m)
+        out_q, out_id, out_d = [], [], []
+        mj = B.shape[0]
+        for qi in range(pr.shape[0]):
+            for pi in range(pr.shape[1]):
+                sel = np.flatnonzero(cell == pr[qi, pi])
+                if not len(sel):
+                    continue
+                adc = L[qi, pi][np.arange(mj)[None, :], codes[sel]].sum(1)
+                kk = min(k, len(adc))
+                order = np.lexsort((ids[sel], adc))[:kk]
+                out_q.extend([qi] * kk)
+                out_id.extend(ids[sel][order])
+                out_d.extend(adc[order])
+        return pa.table(
+            {"query_idx": pa.array(out_q, pa.int64()),
+             id_col: pa.array(out_id, pa.int64()),
+             "adc": pa.array(out_d, pa.float64())}
+        )
+
+    partials = rds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = []
+    for qi, grp in partials.groupby("query_idx"):
+        grp = grp.sort_values(["adc", id_col], ascending=[True, True]).head(k)
+        out.append(grp)
+    res = pd.concat(out).reset_index(drop=True) if out else partials
+    res["adc_e6"] = np.floor(res["adc"] * 1e6 + 0.5).astype("int64")
+    return res[["query_idx", id_col, "adc_e6"]]

@@ -184,3 +184,40 @@ def test_pq_encode_and_adc_topk(ray_session):
         assert int(ids[qi]) in approx          # a stored vector finds itself
         assert len(exact & approx) >= 5        # recall@10 >= 0.5 (measured 7-8)
     pd.testing.assert_frame_equal(got, pq_topk(ds, q, k=10, m=m, ksub=ksub))
+
+
+def test_ivfpq_topk_recall_and_determinism(ray_session):
+    """IVFPQ composition: probed-cell coverage, ADC recall vs exact L2
+    over unit vectors restricted to probed cells (the IVF term) and vs
+    global exact (end-to-end), self-hit, and determinism."""
+    import ray.data as rd
+
+    from opps_feedcrawler_ray.pipelines.ann import _pinned_centroids, _unit, ivfpq_topk
+
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet").sort_values(
+        "vec_id").reset_index(drop=True)
+    V = _unit(np.asarray(emb["embedding"].tolist(), dtype=np.float64))
+    ids = emb["vec_id"].to_numpy().astype("int64")
+    q = V[:3]
+    n_cells, n_probe = 16, 6
+    got = ivfpq_topk(ds, q, k=10, n_cells=n_cells, n_probe=n_probe, m=32, ksub=64)
+    assert (got.groupby("query_idx").size() == 10).all()
+
+    cents = _pinned_centroids(V.shape[1], n_cells)
+    cell = np.argmax(V @ cents.T, axis=1)
+    for qi in range(3):
+        probed = set(np.argsort(-(q[qi] @ cents.T))[:n_probe].tolist())
+        in_probe = np.isin(cell, list(probed))
+        # oracle restricted to probed cells (isolates PQ error from IVF)
+        d = ((V[in_probe] - q[qi]) ** 2).sum(1)
+        pids = ids[in_probe]
+        exact_probed = set(pids[np.lexsort((pids, d))[:10]].tolist())
+        approx = set(got.loc[got["query_idx"] == qi, "vec_id"].tolist())
+        assert int(ids[qi]) in approx                      # self-hit
+        assert len(exact_probed & approx) >= 5             # PQ recall >= 0.5
+        # results only come from probed cells
+        assert all(cell[np.searchsorted(ids, a)] in probed for a in approx)
+    pd.testing.assert_frame_equal(
+        got, ivfpq_topk(ds, q, k=10, n_cells=n_cells, n_probe=n_probe, m=32, ksub=64)
+    )
