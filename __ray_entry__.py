@@ -429,6 +429,15 @@ def _q_ann_ivfpq(sf_dir: str):
     return ivfpq_topk(ds, queries, k=10, n_cells=16, n_probe=6, m=32, ksub=64)
 
 
+def _q_dedup_cascade(sf_dir: str):
+    """Composed exact → MinHash-LSH → SimHash dedup funnel (rows-only:
+    chained approximate stages; funnel-arithmetic + exact-stage-recount
+    + determinism twins in test_dedup)."""
+    from opps_feedcrawler_ray.pipelines.dedup import dedup_cascade
+
+    return dedup_cascade(sf_dir)
+
+
 def _q_host_communities(sf_dir: str):
     """Label-propagation community detection (rows-only: iterative, no
     SQL oracle; synthetic structural twins — cliques, bridges, paths —
@@ -748,6 +757,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cusum_changepoint": A.events_cusum_changepoint,
         "doc_coverage_select": A.doc_coverage_select,
         "events_holt_forecast": A.events_holt_forecast,
+        "dedup_cascade": _q_dedup_cascade,
         "events_percentile_cont": A.events_percentile_cont,
         "segment_event_mutual_info": A.segment_event_mutual_info,
         "sequential_pattern_support": A.sequential_pattern_support,

@@ -175,6 +175,7 @@ QUERY_NAMES = [
     "doc_clustering_coeff",
     "events_holt_forecast",
     "ann_ivfpq_topk",
+    "dedup_cascade",
 ]
 
 

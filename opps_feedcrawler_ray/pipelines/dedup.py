@@ -1233,3 +1233,48 @@ def semantic_dedup_pairs(
                              "b": pd.Series([], dtype="int64"),
                              "cosine_e6": pd.Series([], dtype="int64")})
     return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def dedup_cascade(
+    sf_dir: str,
+    minhash_threshold: float = 0.8,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+) -> pd.DataFrame:
+    """COMPOSED DEDUP CASCADE — the funnel a production corpus actually
+    runs (cheapest-first, each stage sees only the prior stage's
+    survivors): (1) EXACT content-fingerprint dedup, (2) MinHash-LSH
+    near-dup at ``minhash_threshold`` Jaccard, (3) SimHash at
+    ``max_hamming`` — three different duplicate definitions, one pass
+    each, every stage the already-tested distributed operator.  Returns
+    the funnel table (stage, n_in, n_dropped, n_out).
+
+    Scale shape: nothing new — each stage streams over the previous
+    survivors (materialized once per stage boundary: each is consumed
+    by both the next stage and its count), all shuffles/buckets are the
+    component operators' own.  Rows-only (three chained approximate
+    stages have no SQL twin); the test pins stage-1 against an exact
+    pandas recount, funnel-arithmetic consistency, idempotence of stage
+    1 on its own output, and determinism."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=[id_col, "text"]
+    )
+    n0 = docs.count()
+    s1 = exact_dedup(docs, id_col=id_col).materialize()
+    n1 = s1.count()
+    s2 = minhash_lsh_dedup(
+        s1, id_col=id_col, threshold=minhash_threshold
+    ).materialize()
+    n2 = s2.count()
+    pairs3 = simhash_dedup(s2, id_col=id_col, max_hamming=max_hamming)
+    n3 = n2 - len(_pairs_to_dropped(zip(pairs3["a"], pairs3["b"])))
+    return pd.DataFrame(
+        {
+            "stage": ["exact", "minhash_lsh", "simhash"],
+            "n_in": pd.array([n0, n1, n2], dtype="int64"),
+            "n_dropped": pd.array([n0 - n1, n1 - n2, n2 - n3], dtype="int64"),
+            "n_out": pd.array([n1, n2, n3], dtype="int64"),
+        }
+    )

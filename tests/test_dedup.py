@@ -424,3 +424,22 @@ def test_ngram_containment_vs_jaccard_on_fixtures(ray_session):
     cm = {(a, b): v for a, b, v in zip(con["a"], con["b"], con["jaccard"])}
     assert set(jm) == set(cm)
     assert all(cm[k] >= jm[k] - 1e-12 for k in jm)
+
+
+def test_dedup_cascade_funnel_consistency(ray_session):
+    from opps_feedcrawler_ray.functions.text import doc_fingerprint
+    from opps_feedcrawler_ray.pipelines.dedup import dedup_cascade
+
+    sf = "/root/testdata/sf0.001"
+    got = dedup_cascade(sf)
+    assert list(got["stage"]) == ["exact", "minhash_lsh", "simhash"]
+    # funnel arithmetic: each stage's output feeds the next
+    assert (got["n_out"] == got["n_in"] - got["n_dropped"]).all()
+    assert list(got["n_in"][1:]) == list(got["n_out"][:-1])
+    assert (got["n_dropped"] >= 0).all()
+    # stage 1 pinned against an exact pandas recount
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    n_distinct = len(set(doc_fingerprint(docs["text"].tolist())))
+    assert got.loc[0, "n_out"] == n_distinct
+    # determinism
+    pd.testing.assert_frame_equal(got, dedup_cascade(sf))
