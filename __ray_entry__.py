@@ -758,6 +758,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_coverage_select": A.doc_coverage_select,
         "events_holt_forecast": A.events_holt_forecast,
         "dedup_cascade": _q_dedup_cascade,
+        "source_simpson_diversity": A.source_simpson_diversity,
+        "lineitem_weighted_median": A.lineitem_weighted_median,
         "events_percentile_cont": A.events_percentile_cont,
         "segment_event_mutual_info": A.segment_event_mutual_info,
         "sequential_pattern_support": A.sequential_pattern_support,
@@ -2422,6 +2424,32 @@ def oracle_sql() -> dict[str, str]:
             "SELECT y FROM tri UNION ALL SELECT z FROM tri) "
             "SELECT doc_id, COUNT(*) AS n_triangles FROM v "
             "GROUP BY doc_id ORDER BY doc_id"
+        ),
+        "source_simpson_diversity": (
+            # pure-integer Simpson index: ratio of integer sums, floor e6
+            "WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token "
+            "FROM documents), "
+            "t2 AS (SELECT source, token, COUNT(*) AS n FROM tok "
+            "WHERE token <> '' GROUP BY 1, 2), "
+            "a AS (SELECT source, CAST(SUM(n * (n - 1)) AS BIGINT) AS nn, "
+            "CAST(SUM(n) AS BIGINT) AS N FROM t2 GROUP BY source) "
+            "SELECT source, N AS n_tokens, "
+            "CAST((1000000 * (N * (N - 1) - nn)) // "
+            "GREATEST(N * (N - 1), 1) AS BIGINT) AS simpson_e6 "
+            "FROM a ORDER BY source"
+        ),
+        "lineitem_weighted_median": (
+            # weighted order statistic: first price whose 2*cumw >= W
+            "WITH h AS (SELECT l_returnflag, "
+            "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS p_e2, "
+            "CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS w "
+            "FROM lineitem GROUP BY 1, 2), "
+            "c AS (SELECT l_returnflag, p_e2, w, "
+            "SUM(w) OVER (PARTITION BY l_returnflag ORDER BY p_e2) AS cum, "
+            "SUM(w) OVER (PARTITION BY l_returnflag) AS tot FROM h) "
+            "SELECT l_returnflag, CAST(ANY_VALUE(tot) AS BIGINT) AS total_qty, "
+            "CAST(MIN(CASE WHEN 2 * cum >= tot THEN p_e2 END) AS BIGINT) "
+            "AS wmedian_price_e2 FROM c GROUP BY l_returnflag"
         ),
         "events_holt_forecast": (
             # Holt double-exponential smoothing: the two-state recursion

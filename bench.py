@@ -176,6 +176,8 @@ QUERY_NAMES = [
     "events_holt_forecast",
     "ann_ivfpq_topk",
     "dedup_cascade",
+    "source_simpson_diversity",
+    "lineitem_weighted_median",
 ]
 
 

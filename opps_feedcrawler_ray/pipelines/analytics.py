@@ -7359,3 +7359,125 @@ def events_holt_forecast(sf_dir: str) -> pd.DataFrame:
                       "forecast_e6"]
     ).astype({"n_days": "int64", "level_e6": "int64", "trend_e6": "int64",
               "forecast_e6": "int64"})
+
+
+def source_simpson_diversity(sf_dir: str) -> pd.DataFrame:
+    """SIMPSON DIVERSITY index per source over its token distribution —
+    1 − Σ nᵢ(nᵢ−1)/(N(N−1)), the probability two tokens drawn without
+    replacement differ (Simpson 1949; the ecology/corpus-diversity
+    complement of the entropy diagnostic).  EXACT integers end-to-end:
+    the statistic is a ratio of integer sums, e6-floored identically in
+    the oracle — no log/float enters at all.
+
+    Scale shape: per-batch (source, token) count combiner → ONE
+    token-bucket exchange where each (source, token) total completes →
+    per-source Σn(n−1) partials (vocabulary-bounded) → |sources|-row
+    driver table."""
+    from .dedup import coarse_buckets
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["source", "text"])
+    nb = coarse_buckets(docs.count(), rows_per_task=8192)
+
+    _schema = pa.schema(
+        [("source", pa.string()), ("token", pa.string()),
+         ("n", pa.int64()), ("__b", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        rows = []
+        for src, t in zip(df["source"], df["text"]):
+            for w in (t or "").split(" "):
+                if w:
+                    rows.append((src, w))
+        g = pd.DataFrame(rows, columns=["source", "token"]).groupby(
+            ["source", "token"], as_index=False
+        ).agg(n=("token", "size"))
+        g["__b"] = (
+            pd.util.hash_array(g["token"].to_numpy(object)).astype("int64")
+            % nb + nb
+        ) % nb
+        return pa.Table.from_pandas(g, preserve_index=False, schema=_schema)
+
+    _p2 = pa.schema([("source", pa.string()), ("nn", pa.int64()), ("N", pa.int64())])
+
+    def bucket_close(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"source": "object", "nn": "int64", "N": "int64"}
+        if not len(g):
+            return pd.DataFrame({k: pd.Series(dtype=v) for k, v in cols.items()})
+        tot = g.groupby(["source", "token"], as_index=False)["n"].sum()
+        tot["nn"] = tot["n"] * (tot["n"] - 1)
+        out = tot.groupby("source", as_index=False).agg(
+            nn=("nn", "sum"), N=("n", "sum")
+        )
+        return out[["source", "nn", "N"]]
+
+    agg = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(bucket_close, batch_format="pandas")
+        .to_pandas()
+        .groupby("source", as_index=False)[["nn", "N"]].sum()
+        .sort_values("source")
+    )
+    # exact integer floor of 1e6·(1 − nn/(N(N−1))) — python bigints (the
+    # 1e6·N² intermediate would silently wrap int64 past ~3e6 tokens)
+    simpson_e6 = [
+        (1_000_000 * (int(N) * (int(N) - 1) - int(nn)))
+        // max(int(N) * (int(N) - 1), 1)
+        for nn, N in zip(agg["nn"], agg["N"])
+    ]
+    return pd.DataFrame(
+        {"source": agg["source"], "n_tokens": agg["N"].astype("int64"),
+         "simpson_e6": pd.array(simpson_e6, dtype="int64")}
+    ).reset_index(drop=True)
+
+
+def lineitem_weighted_median(sf_dir: str) -> pd.DataFrame:
+    """WEIGHTED MEDIAN (weighted order statistic): per return-flag, the
+    smallest price whose cumulative QUANTITY weight reaches half the
+    total — the robust 'typical traded price' (each row votes with its
+    quantity, not once).  Exact: prices live on an integer e2 domain;
+    the rule 2·cumw ≥ W is pure integer comparison, replicated by the
+    oracle's windowed cumsum.
+
+    Scale shape: per-batch (flag, price_e2, Σqty) histogram combiners →
+    ONE exchange bounded by the price DOMAIN (not row count) → per-flag
+    sorted cumsum on the driver over ≤|domain| rows."""
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+    )
+
+    _schema = pa.schema(
+        [("flag", pa.string()), ("p_e2", pa.int64()), ("w", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["p_e2"] = np.floor(
+            df["l_extendedprice"].to_numpy() * 100 + 0.5
+        ).astype("int64")
+        df["w"] = np.floor(df["l_quantity"].to_numpy() + 0.5).astype("int64")
+        g = df.groupby(["l_returnflag", "p_e2"], as_index=False).agg(w=("w", "sum"))
+        g = g.rename(columns={"l_returnflag": "flag"})
+        return pa.Table.from_pandas(g, preserve_index=False, schema=_schema)
+
+    hist = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby(["flag", "p_e2"])
+        .sum("w")
+        .to_pandas()
+        .rename(columns={"sum(w)": "w"})
+        .sort_values(["flag", "p_e2"])
+    )
+    out = []
+    for flag, g in hist.groupby("flag"):
+        w = g["w"].to_numpy(dtype="int64")
+        W = int(w.sum())
+        cum = np.cumsum(w)
+        idx = int(np.searchsorted(2 * cum, W, side="left"))
+        out.append((flag, W, int(g["p_e2"].to_numpy()[idx])))
+    return pd.DataFrame(
+        out, columns=["l_returnflag", "total_qty", "wmedian_price_e2"]
+    ).astype({"total_qty": "int64", "wmedian_price_e2": "int64"})

@@ -3351,3 +3351,43 @@ def test_events_holt_forecast_tracks_planted_trend(ray_session, tmp_path):
     exp = pd.DataFrame(rows, columns=["event_type", "n_days", "level_e6",
                                       "trend_e6", "forecast_e6"])
     pd.testing.assert_frame_equal(got2.reset_index(drop=True), exp, check_dtype=False)
+
+
+def test_source_simpson_diversity_matches_pandas_replay(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import source_simpson_diversity
+
+    got = source_simpson_diversity(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["source", "text"])
+    rows = []
+    for src, g in docs.groupby("source"):
+        counts = {}
+        for t in g["text"]:
+            for w in (t or "").split(" "):
+                if w:
+                    counts[w] = counts.get(w, 0) + 1
+        N = sum(counts.values())
+        nn = sum(n * (n - 1) for n in counts.values())
+        rows.append((src, N, (1_000_000 * (N * (N - 1) - nn)) // max(N * (N - 1), 1)))
+    exp = pd.DataFrame(rows, columns=["source", "n_tokens", "simpson_e6"])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert got["simpson_e6"].between(0, 1_000_000).all()
+
+
+def test_lineitem_weighted_median_matches_brute(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import lineitem_weighted_median
+
+    got = lineitem_weighted_median(SF)
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_returnflag", "l_extendedprice", "l_quantity"])
+    li["p"] = np.floor(li["l_extendedprice"].to_numpy() * 100 + 0.5).astype("int64")
+    li["w"] = np.floor(li["l_quantity"].to_numpy() + 0.5).astype("int64")
+    for _, r in got.iterrows():
+        g = li[li["l_returnflag"] == r["l_returnflag"]].sort_values("p")
+        W = int(g["w"].sum())
+        assert W == r["total_qty"]
+        cum = g["w"].cumsum()
+        wm = int(g.loc[2 * cum >= W, "p"].iloc[0])
+        assert wm == r["wmedian_price_e2"]
+        # the weighted-median property: each side holds >= half the weight
+        assert int(g.loc[g["p"] <= wm, "w"].sum()) * 2 >= W
+        assert int(g.loc[g["p"] >= wm, "w"].sum()) * 2 >= W
