@@ -760,6 +760,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_cascade": _q_dedup_cascade,
         "source_simpson_diversity": A.source_simpson_diversity,
         "lineitem_weighted_median": A.lineitem_weighted_median,
+        "events_mannwhitney": A.events_mannwhitney,
+        "events_spearman_corr": A.events_spearman_corr,
+        "customer_loo_encoding": A.customer_loo_encoding,
+        "nb_lang_predict": A.nb_lang_predict,
         "events_percentile_cont": A.events_percentile_cont,
         "segment_event_mutual_info": A.segment_event_mutual_info,
         "sequential_pattern_support": A.sequential_pattern_support,
@@ -2437,6 +2441,105 @@ def oracle_sql() -> dict[str, str]:
             "CAST((1000000 * (N * (N - 1) - nn)) // "
             "GREATEST(N * (N - 1), 1) AS BIGINT) AS simpson_e6 "
             "FROM a ORDER BY source"
+        ),
+        "events_mannwhitney": (
+            # Mann-Whitney U vs the 'click' baseline: exact integer
+            # doubled rank sums (u2 = 2*U1) from per-value counts, tie
+            # correction Σ(t³−t), z from the identical float expression
+            "WITH b AS (SELECT event_type, "
+            "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v FROM events), "
+            "h AS (SELECT event_type, v, COUNT(*) AS n FROM b GROUP BY 1, 2), "
+            "ty AS (SELECT DISTINCT event_type AS et FROM h "
+            "WHERE event_type <> 'click'), "
+            "c AS (SELECT ty.et, h.v, "
+            "CAST(SUM(CASE WHEN h.event_type = ty.et THEN h.n ELSE 0 END) "
+            "AS BIGINT) AS c1, "
+            "CAST(SUM(CASE WHEN h.event_type = 'click' THEN h.n ELSE 0 END) "
+            "AS BIGINT) AS c2 "
+            "FROM ty JOIN h ON h.event_type = ty.et OR h.event_type = 'click' "
+            "GROUP BY 1, 2), "
+            "r AS (SELECT et, v, c1, c2, c1 + c2 AS t, "
+            "COALESCE(SUM(c1 + c2) OVER (PARTITION BY et ORDER BY v "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sm "
+            "FROM c), "
+            "a AS (SELECT et, CAST(SUM(c1) AS BIGINT) AS n1, "
+            "CAST(SUM(c2) AS BIGINT) AS n2, "
+            "CAST(SUM(c1 * (2 * sm + t + 1)) AS BIGINT) AS r12, "
+            "CAST(SUM(t * t * t - t) AS BIGINT) AS tie "
+            "FROM r GROUP BY et), "
+            "f AS (SELECT et, n1, n2, n1 + n2 AS nn, "
+            "r12 - n1 * (n1 + 1) AS u2, tie FROM a) "
+            "SELECT et AS event_type, n1, n2, CAST(u2 AS BIGINT) AS u2, "
+            "CAST(FLOOR((CAST(u2 AS DOUBLE) / 2 - CAST(n1 AS DOUBLE) * n2 / 2) "
+            "/ sqrt(CAST(n1 AS DOUBLE) * n2 / 12 * ((nn + 1) - "
+            "CAST(tie AS DOUBLE) / (CAST(nn AS DOUBLE) * (nn - 1)))) "
+            "* 1e6 + 0.5) AS BIGINT) AS z_e6 "
+            "FROM f ORDER BY event_type"
+        ),
+        "events_spearman_corr": (
+            # Spearman rho(value, hour) per type: doubled average ranks
+            # (2*min_rank + tied - 1) are exact integers; one float expr
+            "WITH b AS (SELECT event_type, "
+            "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v, "
+            "CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h FROM events), "
+            "rr AS (SELECT event_type, "
+            "2 * RANK() OVER (PARTITION BY event_type ORDER BY v) "
+            "+ COUNT(*) OVER (PARTITION BY event_type, v) - 1 AS rx2, "
+            "2 * RANK() OVER (PARTITION BY event_type ORDER BY h) "
+            "+ COUNT(*) OVER (PARTITION BY event_type, h) - 1 AS ry2 "
+            "FROM b), "
+            "a AS (SELECT event_type, COUNT(*) AS n, "
+            "CAST(SUM(rx2 * ry2) AS BIGINT) AS sxy, "
+            "CAST(SUM(rx2) AS BIGINT) AS sx, CAST(SUM(ry2) AS BIGINT) AS sy, "
+            "CAST(SUM(rx2 * rx2) AS BIGINT) AS sxx, "
+            "CAST(SUM(ry2 * ry2) AS BIGINT) AS syy FROM rr GROUP BY 1) "
+            "SELECT event_type, CAST(n AS BIGINT) AS n, "
+            "CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE) "
+            "/ sqrt(CAST(n * sxx - sx * sx AS DOUBLE) "
+            "* CAST(n * syy - sy * sy AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) "
+            "AS rho_e6 FROM a ORDER BY event_type"
+        ),
+        "customer_loo_encoding": (
+            # leave-one-out target encoding: (S_seg - x) / (n_seg - 1),
+            # integer e2 balances, e6-rounded dollars
+            "WITH b AS (SELECT c_custkey, c_mktsegment, "
+            "CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS x FROM customer), "
+            "w AS (SELECT c_custkey, c_mktsegment, "
+            "CAST(SUM(x) OVER (PARTITION BY c_mktsegment) AS BIGINT) - x AS rest, "
+            "COUNT(*) OVER (PARTITION BY c_mktsegment) - 1 AS m FROM b) "
+            "SELECT c_custkey, c_mktsegment, "
+            "CAST(FLOOR(CAST(rest AS DOUBLE) / m * 1e4 + 0.5) AS BIGINT) "
+            "AS loo_e6 FROM w ORDER BY c_custkey"
+        ),
+        "nb_lang_predict": (
+            # multinomial NB with Laplace smoothing: e6-integer token
+            # log-probs => exact integer scores; ties -> smaller lang
+            "WITH tok AS (SELECT doc_id, lang, "
+            "unnest(string_split(text, ' ')) AS t FROM documents), "
+            "tk AS (SELECT doc_id, lang, t FROM tok WHERE t <> ''), "
+            "dc AS (SELECT doc_id, t, COUNT(*) AS c FROM tk GROUP BY 1, 2), "
+            "lc AS (SELECT lang, t, COUNT(*) AS c FROM tk GROUP BY 1, 2), "
+            "tot AS (SELECT lang, COUNT(*) AS n FROM tk GROUP BY 1), "
+            "v AS (SELECT COUNT(DISTINCT t) AS vv FROM tk), "
+            "nd AS (SELECT lang, COUNT(*) AS d FROM documents GROUP BY 1), "
+            "ndt AS (SELECT COUNT(*) AS dd FROM documents), "
+            "pr AS (SELECT nd.lang, CAST(FLOOR(LN(CAST(nd.d AS DOUBLE) / ndt.dd) "
+            "* 1e6 + 0.5) AS BIGINT) AS p FROM nd CROSS JOIN ndt), "
+            "sc AS (SELECT dc.doc_id, lg.lang AS cand, "
+            "CAST(SUM(dc.c * CAST(FLOOR(LN(CAST(COALESCE(lc.c, 0) + 1 AS DOUBLE) "
+            "/ (tot.n + v.vv)) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS s "
+            "FROM dc CROSS JOIN (SELECT DISTINCT lang FROM documents) lg "
+            "JOIN tot ON tot.lang = lg.lang CROSS JOIN v "
+            "LEFT JOIN lc ON lc.lang = lg.lang AND lc.t = dc.t "
+            "GROUP BY 1, 2), "
+            "fin AS (SELECT sc.doc_id, sc.cand, sc.s + pr.p AS score, "
+            "ROW_NUMBER() OVER (PARTITION BY sc.doc_id "
+            "ORDER BY sc.s + pr.p DESC, sc.cand ASC) AS rn "
+            "FROM sc JOIN pr ON pr.lang = sc.cand) "
+            "SELECT f.doc_id, d.lang, f.cand AS pred, "
+            "CAST(f.score AS BIGINT) AS score "
+            "FROM fin f JOIN documents d USING (doc_id) "
+            "WHERE rn = 1 ORDER BY doc_id"
         ),
         "lineitem_weighted_median": (
             # weighted order statistic: first price whose 2*cumw >= W

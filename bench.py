@@ -178,6 +178,10 @@ QUERY_NAMES = [
     "dedup_cascade",
     "source_simpson_diversity",
     "lineitem_weighted_median",
+    "events_mannwhitney",
+    "events_spearman_corr",
+    "customer_loo_encoding",
+    "nb_lang_predict",
 ]
 
 

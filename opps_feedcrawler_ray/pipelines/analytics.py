@@ -7481,3 +7481,301 @@ def lineitem_weighted_median(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(
         out, columns=["l_returnflag", "total_qty", "wmedian_price_e2"]
     ).astype({"total_qty": "int64", "wmedian_price_e2": "int64"})
+
+
+def events_mannwhitney(sf_dir: str) -> pd.DataFrame:
+    """MANN-WHITNEY U rank-sum test (tie-corrected normal approximation)
+    of every event type's value distribution against the 'click'
+    baseline — the NONPARAMETRIC sibling of :func:`welch_ttest` (no
+    normality assumption; compares whole distributions by rank).
+
+    Exactness contract: everything up to the z-score is INTEGER —
+    average ranks are half-integers, so 2·R1 (``r12``) and 2·U1
+    (``u2``) are exact int64 derived from the domain-bounded value
+    histogram; the tie term Σ(t³−t) is integer too.  z replicates the
+    oracle's float expression verbatim.
+
+    Scale shape: rides the SAME distributed (type, v_e2) histogram as
+    the median/quantile/MAD family (:func:`_event_value_hist`) — the
+    shuffle payload is bounded by the value DOMAIN, not the row count;
+    rank sums come from cumulative counts over ≤|domain| rows on the
+    driver.  No sort exchange, no second data pass."""
+    import math
+
+    hist = _event_value_hist(sf_dir)
+    click = (
+        hist[hist["event_type"] == "click"][["v_e2", "n"]]
+        .rename(columns={"n": "c2"})
+    )
+    out = []
+    for et, g in hist[hist["event_type"] != "click"].groupby("event_type"):
+        m = (
+            g[["v_e2", "n"]].rename(columns={"n": "c1"})
+            .merge(click, on="v_e2", how="outer")
+            .fillna(0)
+            .sort_values("v_e2")
+        )
+        c1 = m["c1"].to_numpy(dtype="int64")
+        c2 = m["c2"].to_numpy(dtype="int64")
+        t = c1 + c2
+        sm = np.cumsum(t) - t  # count of strictly-smaller values
+        n1, n2 = int(c1.sum()), int(c2.sum())
+        nn = n1 + n2
+        # 2·(rank sum of sample 1): avg rank of value v is sm + (t+1)/2
+        r12 = int((c1 * (2 * sm + t + 1)).sum())
+        u2 = r12 - n1 * (n1 + 1)  # 2·U1
+        tie = int((t * t * t - t).sum())
+        z = (u2 / 2 - float(n1) * n2 / 2) / math.sqrt(
+            float(n1) * n2 / 12 * ((nn + 1) - float(tie) / (float(nn) * (nn - 1)))
+        )
+        out.append((et, n1, n2, u2, int(np.floor(z * 1e6 + 0.5))))
+    return (
+        pd.DataFrame(out, columns=["event_type", "n1", "n2", "u2", "z_e6"])
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+
+
+def events_spearman_corr(sf_dir: str) -> pd.DataFrame:
+    """SPEARMAN RANK CORRELATION between event value and hour-of-day per
+    event type (tie-handled via average ranks) — the rank-based,
+    outlier-robust sibling of the Pearson op
+    (:func:`events_value_time_corr`).
+
+    Exactness contract: doubled average ranks (2·min_rank + t − 1) are
+    exact integers; all five moment sums (Σrx·ry, Σrx, Σry, Σrx²,
+    Σry²) are exact Python ints folded from the contingency table, and
+    ρ replicates the oracle's single float expression.
+
+    Scale shape: per-batch (type, v_e2, hour) count combiners → one
+    coarse-bucket exchange bounded by |value domain|·24, NOT the row
+    count; ranks derive from the two MARGINAL histograms, and the
+    cross-moment Σ rx·ry folds over the contingency cells — no per-row
+    ranks ever materialize, no sort exchange."""
+    import math
+
+    from .dedup import coarse_buckets
+
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "value", "ts"])
+    nb = coarse_buckets(ev.count(), rows_per_task=65536)
+
+    _schema = pa.schema(
+        [("event_type", pa.string()), ("v_e2", pa.int64()),
+         ("hour", pa.int64()), ("n", pa.int64()), ("__b", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["v_e2"] = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+        df["hour"] = df["ts"].dt.hour.astype("int64")
+        g = df.groupby(["event_type", "v_e2", "hour"], as_index=False).agg(
+            n=("hour", "size")
+        )
+        g["__b"] = (g["v_e2"].to_numpy() % nb).astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False, schema=_schema)
+
+    def sum_cells(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["event_type", "v_e2", "hour"], as_index=False)["n"].sum()
+
+    cells = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(sum_cells, batch_format="pandas")
+        .to_pandas()  # ≤ |value domain|·24 rows — domain-bounded
+    )
+    out = []
+    for et, g in cells.groupby("event_type"):
+        # marginal value histogram → doubled average rank per value
+        mv = g.groupby("v_e2", as_index=False)["n"].sum().sort_values("v_e2")
+        cv = mv["n"].to_numpy(dtype="int64")
+        rx2 = 2 * (np.cumsum(cv) - cv) + cv + 1  # = 2·avg_rank, integer
+        rx_of = dict(zip(mv["v_e2"], rx2))
+        mh = g.groupby("hour", as_index=False)["n"].sum().sort_values("hour")
+        ch = mh["n"].to_numpy(dtype="int64")
+        ry2 = 2 * (np.cumsum(ch) - ch) + ch + 1
+        ry_of = dict(zip(mh["hour"], ry2))
+        n_tot = int(cv.sum())
+        rxs = np.array([rx_of[v] for v in g["v_e2"]], dtype="int64")
+        rys = np.array([ry_of[h] for h in g["hour"]], dtype="int64")
+        ns = g["n"].to_numpy(dtype="int64")
+        sxy = int((ns * rxs * rys).sum())
+        sx = int((cv * rx2).sum())
+        sy = int((ch * ry2).sum())
+        sxx = int((cv * rx2 * rx2).sum())
+        syy = int((ch * ry2 * ry2).sum())
+        num = n_tot * sxy - sx * sy  # exact Python int
+        dx = n_tot * sxx - sx * sx
+        dy = n_tot * syy - sy * sy
+        rho = float(num) / math.sqrt(float(dx) * float(dy))
+        out.append((et, n_tot, int(np.floor(rho * 1e6 + 0.5))))
+    return (
+        pd.DataFrame(out, columns=["event_type", "n", "rho_e6"])
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+
+
+def customer_loo_encoding(sf_dir: str) -> pd.DataFrame:
+    """LEAVE-ONE-OUT TARGET ENCODING of the customer market segment
+    against account balance — the leakage-safe categorical encoder for
+    model training (each row's encoded value excludes its OWN target:
+    (S_seg − x_i)/(n_seg − 1)).
+
+    Scale shape: per-batch (segment, n, Σbal_e2) combiners fold to a
+    ≤|segments| table, broadcast once; the encode pass is stateless and
+    streaming (zero shuffles — the classic broadcast-small-side shape).
+    Integer e2 balances end-to-end; the division replicates the
+    oracle's float expression."""
+    cust = rd.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment", "c_acctbal"]
+    )
+
+    _schema = pa.schema(
+        [("c_mktsegment", pa.string()), ("n", pa.int64()), ("s", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        x = np.floor(df["c_acctbal"].to_numpy() * 100.0 + 0.5).astype("int64")
+        g = pd.DataFrame({"c_mktsegment": df["c_mktsegment"], "n": 1, "s": x}).groupby(
+            "c_mktsegment", as_index=False
+        ).sum()
+        return pa.Table.from_pandas(g, preserve_index=False, schema=_schema)
+
+    parts = cust.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("c_mktsegment", as_index=False)[["n", "s"]].sum()
+    seg_n = dict(zip(agg["c_mktsegment"], agg["n"].astype(int)))
+    seg_s = dict(zip(agg["c_mktsegment"], agg["s"].astype(int)))
+
+    def encode(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        x = np.floor(df["c_acctbal"].to_numpy() * 100.0 + 0.5).astype("int64")
+        n = df["c_mktsegment"].map(seg_n).to_numpy(dtype="int64")
+        s = df["c_mktsegment"].map(seg_s).to_numpy(dtype="int64")
+        # LOO mean in dollars, e6-rounded: (S−x)/(n−1) is e2 dollars → ×1e4
+        loo = np.floor((s - x).astype("float64") / (n - 1) * 1e4 + 0.5).astype("int64")
+        return pa.table(
+            {
+                "c_custkey": batch["c_custkey"],
+                "c_mktsegment": batch["c_mktsegment"],
+                "loo_e6": pa.array(loo, pa.int64()),
+            }
+        )
+
+    return (
+        cust.map_batches(encode, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+
+
+def nb_lang_predict(sf_dir: str) -> pd.DataFrame:
+    """MULTINOMIAL NAIVE BAYES language classifier — distributed
+    GENERATIVE-MODEL TRAINING (count-based MLE with Laplace smoothing)
+    + broadcast model scoring, the supervised sibling of the heuristic
+    :func:`langid` and the discriminative :func:`orders_urgent_logreg`.
+
+    Train: per-(lang, token) counts via one vocabulary-bounded exchange
+    (the same reduction BPE/tf-idf use); log-probabilities are frozen
+    to e6 INTEGERS (floor(ln((c+1)/(tot+V))·1e6+0.5)) so document
+    scores are exact integer sums — order-free, bit-equal to the
+    oracle regardless of summation order.  Predict: model broadcast
+    once; each batch tokenizes in Arrow, maps tokens to vocab codes via
+    searchsorted, and accumulates the (doc × lang) score matrix with
+    one np.add.at — no per-row Python.  Ties break on the smaller
+    lang."""
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang", "text"])
+
+    _schema = pa.schema(
+        [("lang", pa.string()), ("token", pa.string()), ("c", pa.int64())]
+    )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], pattern=" ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).to_pandas()
+        langs = batch["lang"].to_pandas()
+        df = pd.DataFrame(
+            {"lang": np.repeat(langs.to_numpy(), lens), "token": flat}
+        )
+        df = df[df["token"] != ""]
+        g = df.groupby(["lang", "token"], as_index=False).agg(c=("token", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False, schema=_schema)
+
+    lc = (
+        docs.map_batches(count_partial, batch_format="pyarrow")
+        .groupby(["lang", "token"])
+        .sum("c")
+        .to_pandas()
+        .rename(columns={"sum(c)": "c"})
+    )  # ≤ |langs|·|vocab| rows — vocabulary-bounded
+
+    # doc counts per lang (priors) — tiny combiner
+    nd = (
+        docs.map_batches(
+            lambda b: pa.table(
+                {"lang": b["lang"], "d": pa.array(np.ones(b.num_rows, dtype="int64"))}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("lang")
+        .sum("d")
+        .to_pandas()
+        .rename(columns={"sum(d)": "d"})
+        .sort_values("lang")
+    )
+    langs = nd["lang"].tolist()
+    n_docs = int(nd["d"].sum())
+    prior = {
+        l: int(np.floor(np.log(float(d) / n_docs) * 1e6 + 0.5))
+        for l, d in zip(nd["lang"], nd["d"].astype(int))
+    }
+
+    vocab = np.sort(lc["token"].unique())
+    vv = len(vocab)
+    tot = lc.groupby("lang")["c"].sum().to_dict()
+    # lp[token_code, lang_idx] = e6 integer log P(token | lang), smoothed
+    lp = np.zeros((vv, len(langs)), dtype="int64")
+    for j, l in enumerate(langs):
+        c = np.zeros(vv, dtype="int64")
+        sub = lc[lc["lang"] == l]
+        c[np.searchsorted(vocab, sub["token"].to_numpy())] = sub["c"].to_numpy()
+        tl = int(tot.get(l, 0))
+        lp[:, j] = np.floor(
+            np.log((c + 1).astype("float64") / (tl + vv)) * 1e6 + 0.5
+        ).astype("int64")
+    prior_vec = np.array([prior[l] for l in langs], dtype="int64")
+    lang_arr = np.array(langs)
+
+    import ray
+
+    model_ref = ray.put((vocab, lp, prior_vec, lang_arr))
+
+    def score(batch: pa.Table, _ref=model_ref) -> pa.Table:
+        voc, lpm, pv, la = ray.get(_ref)
+        toks = pc.split_pattern(batch["text"], pattern=" ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(batch.num_rows), lens)
+        keep = flat != ""
+        flat, doc_idx = flat[keep], doc_idx[keep]
+        codes = np.searchsorted(voc, flat)
+        scores = np.tile(pv, (batch.num_rows, 1))  # priors
+        np.add.at(scores, doc_idx, lpm[codes])
+        best = np.argmax(scores, axis=1)  # first (lex-smallest lang) wins ties
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "pred": pa.array(la[best]),
+                "score": pa.array(scores[np.arange(len(best)), best], pa.int64()),
+            }
+        )
+
+    return (
+        docs.map_batches(score, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )

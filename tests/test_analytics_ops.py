@@ -3391,3 +3391,103 @@ def test_lineitem_weighted_median_matches_brute(ray_session):
         # the weighted-median property: each side holds >= half the weight
         assert int(g.loc[g["p"] <= wm, "w"].sum()) * 2 >= W
         assert int(g.loc[g["p"] >= wm, "w"].sum()) * 2 >= W
+
+
+def test_events_mannwhitney_matches_rankdata_twin(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import events_mannwhitney
+
+    got = events_mannwhitney(SF).set_index("event_type")
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "value"])
+    ev["v"] = np.floor(ev["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+    base = ev[ev["event_type"] == "click"]["v"]
+    for et, g in ev[ev["event_type"] != "click"].groupby("event_type"):
+        comb = pd.concat([g["v"], base]).rank(method="average").to_numpy()
+        n1, n2 = len(g), len(base)
+        r1 = comb[: n1].sum()
+        u1 = r1 - n1 * (n1 + 1) / 2
+        assert int(got.loc[et, "u2"]) == int(round(2 * u1))
+        t = pd.concat([g["v"], base]).value_counts().to_numpy(dtype="float64")
+        nn = n1 + n2
+        sigma = np.sqrt(
+            n1 * n2 / 12.0 * ((nn + 1) - (t**3 - t).sum() / (nn * (nn - 1.0)))
+        )
+        z = (u1 - n1 * n2 / 2.0) / sigma
+        assert abs(got.loc[et, "z_e6"] / 1e6 - z) < 1e-5
+
+
+def test_events_spearman_corr_matches_pandas_twin(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import events_spearman_corr
+
+    got = events_spearman_corr(SF).set_index("event_type")
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "value", "ts"])
+    ev["v"] = np.floor(ev["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+    ev["h"] = ev["ts"].dt.hour
+    for et, g in ev.groupby("event_type"):
+        rho = g["v"].rank(method="average").corr(g["h"].rank(method="average"))
+        assert int(got.loc[et, "n"]) == len(g)
+        assert abs(got.loc[et, "rho_e6"] / 1e6 - rho) < 1e-5
+
+
+def test_customer_loo_encoding_exact(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import customer_loo_encoding
+
+    got = customer_loo_encoding(SF)
+    c = pd.read_parquet(
+        f"{SF}/customer.parquet", columns=["c_custkey", "c_mktsegment", "c_acctbal"]
+    ).sort_values("c_custkey").reset_index(drop=True)
+    x = np.floor(c["c_acctbal"].to_numpy() * 100.0 + 0.5).astype("int64")
+    s = pd.Series(x).groupby(c["c_mktsegment"].to_numpy()).transform("sum")
+    n = pd.Series(x).groupby(c["c_mktsegment"].to_numpy()).transform("size")
+    loo = np.floor((s - x).astype("float64") / (n - 1) * 1e4 + 0.5).astype("int64")
+    assert got["c_custkey"].tolist() == c["c_custkey"].tolist()
+    assert got["loo_e6"].tolist() == loo.tolist()
+    # leakage-safety: a customer's own balance does not move its encoding
+    # (encoding depends only on segment siblings) — exact by construction
+
+
+def test_nb_lang_predict_matches_pure_python_replay(ray_session):
+    import math
+    from collections import Counter
+
+    from opps_feedcrawler_ray.pipelines.analytics import nb_lang_predict
+
+    got = nb_lang_predict(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "lang", "text"])
+    lc: dict[str, Counter] = {}
+    tot: Counter = Counter()
+    nd: Counter = Counter()
+    vocab: set[str] = set()
+    for _, r in docs.iterrows():
+        toks = [t for t in r["text"].split(" ") if t]
+        lc.setdefault(r["lang"], Counter()).update(toks)
+        tot[r["lang"]] += len(toks)
+        nd[r["lang"]] += 1
+        vocab.update(toks)
+    vv = len(vocab)
+    n_docs = len(docs)
+    langs = sorted(nd)
+    prior = {
+        l: int(math.floor(math.log(nd[l] / n_docs) * 1e6 + 0.5)) for l in langs
+    }
+    preds, scores = [], []
+    for _, r in docs.iterrows():
+        best, best_s = None, None
+        cnt = Counter(t for t in r["text"].split(" ") if t)
+        for l in langs:
+            s = prior[l] + sum(
+                c * int(math.floor(
+                    math.log((lc[l].get(t, 0) + 1) / (tot[l] + vv)) * 1e6 + 0.5
+                ))
+                for t, c in cnt.items()
+            )
+            if best_s is None or s > best_s:
+                best, best_s = l, s
+        preds.append(best)
+        scores.append(best_s)
+    exp = docs.assign(pred=preds, score=scores).sort_values("doc_id")
+    assert got["pred"].tolist() == exp["pred"].tolist()
+    assert got["score"].tolist() == exp["score"].tolist()
+    # the trained model actually classifies: better than the majority class
+    acc = (got["pred"] == got["lang"]).mean()
+    maj = docs["lang"].value_counts(normalize=True).max()
+    assert acc >= maj
