@@ -681,3 +681,75 @@ def extract_meta_refresh(
             return None  # self-refresh = reload, not a redirect
         return absu
     return None
+
+
+# --- robots meta + rel=nofollow (REP HTML bindings) -----------------------
+# <a ...> tag matcher with the same quoted-attribute skip as _LINK_TAG_RE
+_A_TAG_RE = re.compile(r"""<a\b(?:[^>"']|"[^"]*"|'[^']*')*>""", re.I)
+# left boundary: 'data-name=' must not match as name
+_NAME_ATTR_RE = re.compile(
+    r"""(?<![-\w])name\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.I
+)
+
+
+def extract_robots_directives(
+    url: str, body: bytes | str, kind: str | None = None
+) -> tuple[bool, bool, frozenset[str]]:
+    """HTML bindings of the Robots Exclusion Protocol (meta robots +
+    rel=nofollow, per the Google Search Central / WHATWG conventions):
+    returns ``(noindex, nofollow_page, nofollow_targets)``.
+
+    - ``<meta name="robots" content="...">``: comma-separated directive
+      list; ``noindex`` suppresses indexing the page's content,
+      ``nofollow`` suppresses following ALL its outlinks, ``none`` is
+      shorthand for both.  Multiple meta tags union (most restrictive
+      wins); name/content order inside the tag is free.
+    - ``<a rel="nofollow" href=...>``: rel is a space-separated token
+      list; a target linked with nofollow anywhere on the page lands in
+      ``nofollow_targets``, finalized through the SAME pipeline as
+      :func:`parse_links` so set membership matches the extractor's
+      links column exactly.
+
+    Deliberately a separate scan (the rel=canonical / meta-refresh
+    precedent): the fused text+link extractor is frozen byte-identical,
+    so this opt-in feature must not touch it."""
+    if kind is None:
+        kind = detect_kind(url, body)
+    if kind != "html":
+        return False, False, frozenset()
+    text = decode_bytes(body)
+    noindex = nofollow = False
+    for m in _META_TAG_RE.finditer(text):
+        tag = m.group(0)
+        nm = _NAME_ATTR_RE.search(tag)
+        if nm is None:
+            continue
+        if next(g for g in nm.groups() if g is not None).strip().lower() != "robots":
+            continue
+        cm = _CONTENT_ATTR_RE.search(tag)
+        if cm is None:
+            continue
+        val = _html.unescape(next(g for g in cm.groups() if g is not None)).lower()
+        toks = {t.strip() for t in val.split(",")}
+        if "none" in toks:
+            noindex = nofollow = True
+        if "noindex" in toks:
+            noindex = True
+        if "nofollow" in toks:
+            nofollow = True
+    raw: list[str] = []
+    if not nofollow:  # page-level nofollow suppresses every link anyway
+        for m in _A_TAG_RE.finditer(text):
+            tag = m.group(0)
+            rm = _REL_ATTR_RE.search(tag)
+            if rm is None:
+                continue
+            if "nofollow" not in next(
+                g for g in rm.groups() if g is not None
+            ).lower().split():
+                continue
+            hm = _HREF_ATTR_RE.search(tag)
+            if hm is None:
+                continue
+            raw.append(_html.unescape(next(g for g in hm.groups() if g is not None)))
+    return noindex, nofollow, frozenset(_finalize_links(url, raw))

@@ -147,6 +147,13 @@ class CrawlConfig:
     # to the frontier like a discovered outlink.  Off by default — it adds
     # a log column, so goldens stay frozen.
     honor_canonical: bool = False
+    # REP HTML bindings (opt-in): honor <meta name=robots> noindex /
+    # nofollow / none and per-link rel=nofollow.  A noindex page logs
+    # status="noindex" with empty text (its links are still followed —
+    # the standard crawler reading); a nofollow/none page offers NO
+    # outlinks; rel=nofollow targets are dropped from links/n_links.
+    # Off by default — it changes log content, so goldens stay frozen.
+    honor_nofollow: bool = False
     # follow <meta http-equiv=refresh> redirects (WHATWG pragma — the
     # corpus's hermetic 3xx analogue, since the pages table carries no
     # HTTP status): a page declaring an immediate refresh is logged
@@ -1150,6 +1157,7 @@ def _write_manifest(cfg: CrawlConfig, round_idx: int, fetch_seq: int, lineage: l
         "adaptive_recrawl": cfg.adaptive_recrawl,
         "adaptive_max_factor": cfg.adaptive_max_factor,
         "honor_canonical": cfg.honor_canonical,
+        "honor_nofollow": cfg.honor_nofollow,
         "content_dedup": cfg.content_dedup,
         "follow_meta_refresh": cfg.follow_meta_refresh,
         "refresh_max_delay": cfg.refresh_max_delay,
@@ -1330,6 +1338,9 @@ def crawl(cfg: CrawlConfig) -> dict:
             # column) and which URLs get offered — flipping it on resume
             # would mix parquet schemas across round partitions
             "honor_canonical": cfg.honor_canonical,
+            # honor_nofollow changes log content (noindex text blanking,
+            # filtered links) and which URLs get offered
+            "honor_nofollow": cfg.honor_nofollow,
             # content_dedup changes log content AND which urls get
             # offered (dup pages emit no outlinks) — flipping it on
             # resume would diverge from the checkpointed sealed set
@@ -1373,7 +1384,7 @@ def crawl(cfg: CrawlConfig) -> dict:
                 key in ("trap_guard", "scope_filter", "follow_meta_refresh",
                         "refresh_max_delay", "indegree_priority",
                         "max_retries", "fail_inject", "strip_params",
-                        "focus_keywords", "focus_boost")
+                        "focus_keywords", "focus_boost", "honor_nofollow")
                 and key not in manifest
             ):
                 continue  # pre-upgrade manifests didn't record these
@@ -1510,6 +1521,7 @@ def crawl(cfg: CrawlConfig) -> dict:
     extract = ExtractStage(
         skip_unchanged=cfg.skip_unchanged,
         honor_canonical=cfg.honor_canonical,
+        honor_nofollow=cfg.honor_nofollow,
         track_content=cfg.skip_unchanged or cfg.adaptive_recrawl,
         follow_refresh=cfg.follow_meta_refresh,
         refresh_max_delay=cfg.refresh_max_delay,
@@ -1740,6 +1752,11 @@ def main(argv: list[str] | None = None) -> int:
              "them to the frontier (RFC 6596)",
     )
     ap.add_argument(
+        "--honor-nofollow", action="store_true",
+        help="honor <meta name=robots> noindex/nofollow and per-link "
+             "rel=nofollow (REP HTML bindings)",
+    )
+    ap.add_argument(
         "--follow-meta-refresh", action="store_true",
         help="treat immediate <meta http-equiv=refresh> pages as "
              "redirects: log status=redirect, offer the target",
@@ -1829,6 +1846,7 @@ def main(argv: list[str] | None = None) -> int:
         content_dedup=args.content_dedup,
         adaptive_recrawl=args.adaptive_recrawl,
         honor_canonical=args.honor_canonical,
+        honor_nofollow=args.honor_nofollow,
         indegree_priority=args.indegree_priority,
         max_retries=args.max_retries,
         breaker_threshold=args.breaker_threshold,

@@ -17,6 +17,7 @@ from ..functions.extract import (
     extract_canonical,
     extract_meta_refresh,
     extract_page,
+    extract_robots_directives,
 )
 from ..functions.hashing import fingerprint64, fingerprint64_batch
 from ..functions.urlnorm import (
@@ -104,9 +105,17 @@ class ExtractStage:
         refresh_max_delay: int = 0,
         content_dedup: bool = False,
         content_actors: list | None = None,
+        honor_nofollow: bool = False,
     ) -> None:
         self.skip_unchanged = skip_unchanged
         self.honor_canonical = honor_canonical
+        # REP HTML bindings (opt-in): <meta name=robots> noindex blanks
+        # the page's logged text (status="noindex"; links still followed
+        # — the standard crawler reading), nofollow/none drops ALL its
+        # outlinks, and per-link rel=nofollow drops just those targets
+        # from the links column (so n_links = links FOLLOWED under the
+        # flag).  Separate scan; the frozen extractor is untouched.
+        self.honor_nofollow = honor_nofollow
         # cross-URL content-digest dedup (Heritrix "content-seen" test):
         # a fetched body whose fingerprint was sealed by a STRICTLY
         # EARLIER round (on a different URL — or the same one, absent
@@ -151,6 +160,7 @@ class ExtractStage:
         redirected = np.zeros(n, dtype=bool)
         dup = np.zeros(n, dtype=bool)
         duped = np.zeros(n, dtype=bool)
+        noindexed = np.zeros(n, dtype=bool)
         body_hash = None
         if self.content_dedup and n:
             import ray
@@ -221,6 +231,15 @@ class ExtractStage:
                     continue
             kinds.append(k)
             text, lks = extract_page(u, b, k)  # ONE parse for text + links
+            if self.honor_nofollow and k == "html":
+                ni, nf_all, nf_set = extract_robots_directives(u, b, k)
+                if nf_all:
+                    lks = []
+                elif nf_set:
+                    lks = [x for x in lks if x not in nf_set]
+                if ni:
+                    text = ""
+                    noindexed[i] = True
             texts.append(text)
             links.append(lks)
             if self.honor_canonical:
@@ -244,6 +263,11 @@ class ExtractStage:
         if duped.any() and "status" in out.column_names:
             st = np.asarray(out["status"].to_pylist(), dtype=object)
             st[duped] = "dup_content"
+            idx = out.column_names.index("status")
+            out = out.set_column(idx, "status", pa.array(st, pa.string()))
+        if noindexed.any() and "status" in out.column_names:
+            st = np.asarray(out["status"].to_pylist(), dtype=object)
+            st[noindexed] = "noindex"
             idx = out.column_names.index("status")
             out = out.set_column(idx, "status", pa.array(st, pa.string()))
         if cond:

@@ -1828,3 +1828,93 @@ def test_focused_crawl_prioritizes_relevant_parents(ray_session, tmp_path_factor
             politeness_budget=3, num_buckets=2, num_fetch_actors=2,
             focus_keywords=["quantum"], indegree_priority=True,
         ))
+
+
+def test_honor_nofollow_rep_html_bindings(ray_session, tmp_path_factory):
+    """REP HTML bindings: with honor_nofollow=True (a) rel=nofollow
+    targets are dropped from links/n_links and never fetched, (b) a
+    <meta name=robots content=nofollow> page offers no outlinks, (c) a
+    noindex page logs status="noindex" with empty text but its links
+    ARE still followed.  Default runs are byte-identical to a corpus
+    crawl without the flag."""
+    import datetime as dt
+
+    import pyarrow.compute as pc
+
+    tmp = str(tmp_path_factory.mktemp("nofollow"))
+    host = "nofol.example"
+    pages = pa.table(
+        {
+            "url": pa.array(
+                [f"http://{host}/", f"http://{host}/a", f"http://{host}/b",
+                 f"http://{host}/c", f"http://{host}/d", f"http://{host}/meta"]
+            ),
+            "warc_ts": pa.array([dt.datetime(2024, 1, 1)] * 6, pa.timestamp("us")),
+            "html": pa.array(
+                [
+                    b'<html><body><a href="/a">a</a>'
+                    b'<a rel="sponsored nofollow" href="/b">b</a>'
+                    b'<a href="/meta">m</a></body></html>',
+                    b'<html><head><meta name="robots" content="noindex"></head>'
+                    b'<body><p>private-ish text</p><a href="/c">c</a></body></html>',
+                    b"<html><body><p>page b</p></body></html>",
+                    b"<html><body><p>page c</p></body></html>",
+                    b"<html><body><p>page d</p></body></html>",
+                    b'<html><head><meta name=robots content="nofollow"></head>'
+                    b'<body><p>hub</p><a href="/d">d</a></body></html>',
+                ],
+                pa.binary(),
+            ),
+            "text": pa.array(["a b m", "private-ish text c", "page b",
+                              "page c", "page d", "hub d"]),
+            "lang": pa.array(["en"] * 6),
+        }
+    )
+    pq.write_table(pages, f"{tmp}/pages.parquet")
+    pq.write_table(
+        pa.table({"url": pa.array([f"http://{host}/"])}), f"{tmp}/seeds.parquet"
+    )
+
+    def go(out, honor):
+        cfg = CrawlConfig(
+            pages_path=f"{tmp}/pages.parquet", seeds_path=f"{tmp}/seeds.parquet",
+            out_dir=f"{tmp}/{out}", num_frontier_actors=2, politeness_budget=8,
+            num_buckets=2, num_fetch_actors=2, honor_nofollow=honor,
+        )
+        crawl(cfg)
+        return read_log(f"{tmp}/{out}")
+
+    off = go("out_off", False)
+    urls_off = off["url"].to_pylist()
+    # without the flag every page is reached, /a keeps its text
+    for p in ("", "/a", "/b", "/c", "/d", "/meta"):
+        assert f"http://{host}{p or '/'}" in urls_off or p == ""
+    assert f"http://{host}/b" in urls_off and f"http://{host}/d" in urls_off
+    a_off = off.filter(pc.equal(off["url"], f"http://{host}/a"))
+    assert a_off["text"].to_pylist() == ["private-ish text\nc"]
+    assert a_off["status"].to_pylist() == ["fetched"]
+
+    on = go("out_on", True)
+    urls_on = on["url"].to_pylist()
+    # (a) rel=nofollow target never fetched; root's n_links drops to 2
+    assert f"http://{host}/b" not in urls_on
+    root = on.filter(pc.equal(on["url"], f"http://{host}/"))
+    assert root["n_links"].to_pylist() == [2]
+    # (b) meta-nofollow hub emits no outlinks -> /d never fetched
+    assert f"http://{host}/d" not in urls_on
+    meta = on.filter(pc.equal(on["url"], f"http://{host}/meta"))
+    assert meta["n_links"].to_pylist() == [0]
+    assert meta["status"].to_pylist() == ["fetched"]  # indexable, just nofollow
+    # (c) noindex page: blank text, status=noindex, links still followed
+    a_on = on.filter(pc.equal(on["url"], f"http://{host}/a"))
+    assert a_on["text"].to_pylist() == [""]
+    assert a_on["status"].to_pylist() == ["noindex"]
+    assert a_on["n_links"].to_pylist() == [1]
+    assert f"http://{host}/c" in urls_on
+    # untouched rows byte-identical to the default run
+    same = [f"http://{host}/", f"http://{host}/c"]
+    for u in same:
+        ron = on.filter(pc.equal(on["url"], u)).drop_columns(["n_links"])
+        roff = off.filter(pc.equal(off["url"], u)).drop_columns(["n_links"])
+        assert ron["text"].to_pylist() == roff["text"].to_pylist()
+        assert ron["status"].to_pylist() == roff["status"].to_pylist()

@@ -607,3 +607,45 @@ def test_strip_query_params_unit():
     assert f("http://a.com/p?gclid2=x") == "http://a.com/p?gclid2=x"
     # remaining order preserved; valueless params handled
     assert f("http://a.com/p?b=2&utm_x&a=1") == "http://a.com/p?b=2&a=1"
+
+
+def test_extract_robots_directives_matrix():
+    from opps_feedcrawler_ray.functions.extract import extract_robots_directives as f
+
+    u = "http://h.example/dir/"
+    # meta robots: comma list, case-insensitive name/content, whitespace
+    assert f(u, b'<html><head><meta name=robots content="noindex, nofollow">'
+                b"</head></html>") == (True, True, frozenset())
+    assert f(u, b'<html><head><meta name="ROBOTS" content=" NOINDEX ">'
+                b"</head></html>") == (True, False, frozenset())
+    # none == noindex + nofollow
+    assert f(u, b"<html><head><meta name=robots content=none></head></html>") == (
+        True, True, frozenset())
+    # attribute order free; multiple metas union (most restrictive wins)
+    assert f(u, b'<html><head><meta content="noindex" name="robots">'
+                b'<meta name="robots" content="nofollow"></head></html>') == (
+        True, True, frozenset())
+    # data-name decoy must NOT match; unrelated meta names ignored
+    assert f(u, b'<html><head><meta data-name=robots content=noindex>'
+                b'<meta name=viewport content=noindex></head></html>') == (
+        False, False, frozenset())
+    # rel=nofollow: token list, relative href resolution, unquoted attrs
+    ni, nf, s = f(u, b'<html><body><a rel="external nofollow" href="/a">x</a>'
+                     b'<a href="b">y</a><a rel=nofollow href=c>z</a></body></html>')
+    assert (ni, nf) == (False, False)
+    assert s == frozenset({"http://h.example/a", "http://h.example/dir/c"})
+    # rel without nofollow, and href-less anchors, contribute nothing
+    assert f(u, b'<html><body><a rel="external" href="/a">x</a>'
+                b"<a rel=nofollow>bare</a></body></html>") == (
+        False, False, frozenset())
+    # page-level nofollow short-circuits the per-link scan
+    assert f(u, b'<html><head><meta name=robots content=nofollow></head>'
+                b'<body><a rel=nofollow href="/a">x</a></body></html>') == (
+        False, True, frozenset())
+    # non-HTML kinds never carry directives
+    assert f("http://h.example/robots.txt", b"User-agent: *\nDisallow: /x") == (
+        False, False, frozenset())
+    # quoted '>' inside attribute values does not truncate the tag
+    ni, nf, s = f(u, b'<html><body><a title="a > b" rel="nofollow" href="/q">'
+                     b"x</a></body></html>")
+    assert s == frozenset({"http://h.example/q"})
