@@ -389,6 +389,15 @@ def _q_host_kcore(sf_dir: str):
     return host_kcore(sf_dir)
 
 
+def _q_host_spanning_forest(sf_dir: str):
+    """Borůvka maximum spanning forest — the web-graph backbone
+    (rows-only: iterative; a Kruskal twin under the same edge total
+    order is pinned in tests — unique-MSF ⇒ exact equality)."""
+    from opps_feedcrawler_ray.pipelines.webpipe import host_spanning_forest
+
+    return host_spanning_forest(sf_dir)
+
+
 def _q_ann_pq(sf_dir: str):
     """Product-quantization ADC top-k (rows-only: trained codebooks +
     asymmetric distances have no SQL oracle; recall-vs-brute and
@@ -687,6 +696,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_hits": _q_host_hits,
         "host_components": _q_host_components,
         "host_kcore": _q_host_kcore,
+        "host_spanning_forest": _q_host_spanning_forest,
         "host_communities": _q_host_communities,
         "top_tokens_per_lang": A.top_tokens_per_lang,
         "doc_triangle_counts": _q_doc_triangles,

@@ -93,6 +93,7 @@ QUERY_NAMES = [
     "orders_ntile",
     "events_first_last",
     "host_components",
+    "host_spanning_forest",
     "doc_repetition_stats",
     "pii_redact_docs",
     "lineitem_bloom_join",

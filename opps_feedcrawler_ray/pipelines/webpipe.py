@@ -1180,3 +1180,109 @@ def doc_clustering_coeff(sf_dir: str, work_dir: str | None = None) -> "pd.DataFr
         .reset_index(drop=True)
         .astype({"doc_id": "int64", "degree": "int64"})
     )
+
+
+def max_spanning_forest_from_edges(edges_df) -> "pd.DataFrame":
+    """Distributed BORŮVKA MAXIMUM SPANNING FOREST over the weighted
+    host graph — the web-graph BACKBONE (the strongest inter-host links
+    that keep every component connected), the classic parallel-MST
+    algorithm (Borůvka 1926; the GraphX/Pregel staple next to PageRank
+    / components / k-core in this family).
+
+    Determinism: edges carry the TOTAL ORDER key (−weight, u, v) — all
+    effective weights distinct ⇒ the spanning forest is UNIQUE, so
+    Borůvka here equals driver-side Kruskal exactly (the twin test).
+
+    Scale shape: directed counts fold to undirected (u<v) edges via one
+    ≤|hosts|²-bounded groupby; the edge dataset is PINNED (materialized
+    once); per round the ≤|hosts| component-label dict broadcasts via
+    ray.put into a map_batches that emits ONE best-edge candidate per
+    (component, batch) (combiner), the driver reduces ≤|comps| rows and
+    union-finds the merges.  Components at least halve per round ⇒
+    ≤log₂|hosts| rounds; only label tables and candidate rows ever move
+    after the pin."""
+    import ray
+
+    import pandas as pd
+
+    und = edges_df.copy()
+    u = np.minimum(und["src_host"], und["dst_host"])
+    v = np.maximum(und["src_host"], und["dst_host"])
+    und = (
+        pd.DataFrame({"u": u, "v": v, "w": und["n_links"]})
+        .groupby(["u", "v"], as_index=False)["w"].sum()
+    )
+    und = und[und["u"] != und["v"]].reset_index(drop=True)  # self-loops never span
+    hosts = sorted(set(und["u"]) | set(und["v"]))
+    if not hosts:
+        return pd.DataFrame({
+            "src_host": pd.Series(dtype=object), "dst_host": pd.Series(dtype=object),
+            "n_links": pd.Series(dtype="int64")})
+    edges = rd.from_arrow(
+        pa.Table.from_pandas(und, preserve_index=False)
+    ).materialize()
+
+    parent = {h: h for h in hosts}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    chosen: set[tuple[str, str, int]] = set()
+    _schema = pa.schema([("comp", pa.string()), ("u", pa.string()),
+                         ("v", pa.string()), ("w", pa.int64())])
+    for _ in range(max(1, int(np.ceil(np.log2(len(hosts)))) + 1)):
+        label = {h: find(h) for h in hosts}
+        lab_ref = ray.put(label)
+
+        def best_per_comp(batch: pa.Table, _ref=lab_ref) -> pa.Table:
+            lab = ray.get(_ref)
+            df = batch.to_pandas()
+            cu = df["u"].map(lab)
+            cv = df["v"].map(lab)
+            keep = (cu != cv).to_numpy()
+            df = df[keep]
+            if not len(df):
+                return pa.Table.from_pandas(
+                    pd.DataFrame({"comp": [], "u": [], "v": [], "w": []}),
+                    preserve_index=False, schema=_schema)
+            d = pd.concat([
+                df.assign(comp=cu[keep].to_numpy()),
+                df.assign(comp=cv[keep].to_numpy()),
+            ])
+            # total order (−w, u, v): one best candidate per component
+            d = d.sort_values(["comp", "w", "u", "v"],
+                              ascending=[True, False, True, True])
+            d = d.drop_duplicates("comp")[["comp", "u", "v", "w"]]
+            return pa.Table.from_pandas(d, preserve_index=False, schema=_schema)
+
+        cand = edges.map_batches(best_per_comp, batch_format="pyarrow").to_pandas()
+        if not len(cand):
+            break
+        best = (
+            cand.sort_values(["comp", "w", "u", "v"],
+                             ascending=[True, False, True, True])
+            .drop_duplicates("comp")
+        )
+        merged = False
+        # deterministic merge order (comp ascending) — the chosen SET is
+        # order-independent anyway (unique-MSF property)
+        for _, r in best.iterrows():
+            ru, rv = find(r["u"]), find(r["v"])
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+                chosen.add((r["u"], r["v"], int(r["w"])))
+                merged = True
+        if not merged:
+            break
+    out = pd.DataFrame(sorted(chosen), columns=["src_host", "dst_host", "n_links"])
+    return out.reset_index(drop=True)
+
+
+def host_spanning_forest(sf_dir: str, work_dir: str | None = None):
+    """Maximum spanning forest of the host link graph (rows-only driver
+    check; the Borůvka core is pinned against a Kruskal twin in
+    tests)."""
+    return max_spanning_forest_from_edges(host_link_graph(sf_dir, work_dir=work_dir))

@@ -3491,3 +3491,86 @@ def test_nb_lang_predict_matches_pure_python_replay(ray_session):
     acc = (got["pred"] == got["lang"]).mean()
     maj = docs["lang"].value_counts(normalize=True).max()
     assert acc >= maj
+
+
+def _kruskal_msf(edges):
+    """Driver-side Kruskal twin under the same total order (-w, u, v)."""
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    chosen = []
+    for u, v, w in sorted(edges, key=lambda e: (-e[2], e[0], e[1])):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+            chosen.append((u, v, w))
+    return sorted(chosen)
+
+
+def test_host_spanning_forest_matches_kruskal(ray_session):
+    from opps_feedcrawler_ray.pipelines.webpipe import (
+        host_link_graph,
+        max_spanning_forest_from_edges,
+    )
+
+    edges_df = host_link_graph(SF)
+    got = max_spanning_forest_from_edges(edges_df)
+    # fold directed counts to the same undirected (u<v) weights
+    und = {}
+    for s, d, w in edges_df.itertuples(index=False):
+        if s == d:
+            continue
+        k = (min(s, d), max(s, d))
+        und[k] = und.get(k, 0) + int(w)
+    exp = _kruskal_msf([(u, v, w) for (u, v), w in und.items()])
+    assert list(map(tuple, got.to_numpy())) == exp
+    # spanning property: |forest| == |hosts| − |components|
+    hosts = set()
+    for u, v in und:
+        hosts.update((u, v))
+    parent = {h: h for h in hosts}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in und:
+        parent[find(u)] = find(v)
+    n_comp = len({find(h) for h in hosts})
+    assert len(got) == len(hosts) - n_comp
+
+
+def test_max_spanning_forest_structural():
+    """Synthetic shapes: a weighted triangle drops its weakest edge; two
+    disjoint cliques yield a forest (no bridge invented); a path keeps
+    every edge."""
+    from opps_feedcrawler_ray.pipelines.webpipe import max_spanning_forest_from_edges
+
+    tri = pd.DataFrame(
+        {"src_host": ["a", "b", "a"], "dst_host": ["b", "c", "c"],
+         "n_links": [5, 3, 1]}
+    )
+    got = max_spanning_forest_from_edges(tri)
+    assert list(map(tuple, got.to_numpy())) == [("a", "b", 5), ("b", "c", 3)]
+    # two components: K3 (uniform weights -> lex tie-break) + an edge
+    two = pd.DataFrame(
+        {"src_host": ["a", "b", "a", "x"], "dst_host": ["b", "c", "c", "y"],
+         "n_links": [2, 2, 2, 7]}
+    )
+    got = max_spanning_forest_from_edges(two)
+    assert list(map(tuple, got.to_numpy())) == [
+        ("a", "b", 2), ("a", "c", 2), ("x", "y", 7)]
+    # path: all edges kept; reverse-direction counts pool
+    path = pd.DataFrame(
+        {"src_host": ["a", "b", "b"], "dst_host": ["b", "a", "c"],
+         "n_links": [1, 2, 1]}
+    )
+    got = max_spanning_forest_from_edges(path)
+    assert list(map(tuple, got.to_numpy())) == [("a", "b", 3), ("b", "c", 1)]
