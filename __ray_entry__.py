@@ -771,6 +771,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_simpson_diversity": A.source_simpson_diversity,
         "lineitem_weighted_median": A.lineitem_weighted_median,
         "events_mannwhitney": A.events_mannwhitney,
+        "events_decision_stump": A.events_decision_stump,
         "events_spearman_corr": A.events_spearman_corr,
         "customer_loo_encoding": A.customer_loo_encoding,
         "nb_lang_predict": A.nb_lang_predict,
@@ -2451,6 +2452,39 @@ def oracle_sql() -> dict[str, str]:
             "CAST((1000000 * (N * (N - 1) - nn)) // "
             "GREATEST(N * (N - 1), 1) AS BIGINT) AS simpson_e6 "
             "FROM a ORDER BY source"
+        ),
+        "events_decision_stump": (
+            # histogram split search: per type the one-vs-rest threshold
+            # maximizing sum(c^2/n) over the children (variance reduction);
+            # ties -> smaller threshold; same float expr both sides
+            "WITH b AS (SELECT event_type, "
+            "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v FROM events), "
+            "vals AS (SELECT DISTINCT v FROM b), "
+            "ty AS (SELECT DISTINCT event_type AS et FROM b), "
+            "tot AS (SELECT COUNT(*) AS n FROM b), "
+            "ctot AS (SELECT event_type, COUNT(*) AS c FROM b GROUP BY 1), "
+            "hv AS (SELECT event_type, v, COUNT(*) AS c FROM b GROUP BY 1, 2), "
+            "h AS (SELECT v, COUNT(*) AS nv FROM b GROUP BY 1), "
+            "grid AS (SELECT ty.et, vals.v, COALESCE(hv.c, 0) AS c "
+            "FROM ty CROSS JOIN vals "
+            "LEFT JOIN hv ON hv.event_type = ty.et AND hv.v = vals.v), "
+            "cum AS (SELECT et, v, "
+            "CAST(SUM(c) OVER (PARTITION BY et ORDER BY v) AS BIGINT) AS cl "
+            "FROM grid), "
+            "nlc AS (SELECT v, CAST(SUM(nv) OVER (ORDER BY v) AS BIGINT) AS nl "
+            "FROM h), "
+            "j AS (SELECT cum.et, cum.v, cum.cl, nlc.nl, tot.n, ctot.c AS ct "
+            "FROM cum JOIN nlc USING (v) CROSS JOIN tot "
+            "JOIN ctot ON ctot.event_type = cum.et WHERE nlc.nl < tot.n), "
+            "s AS (SELECT et, v, cl, nl, "
+            "CAST(cl AS DOUBLE) * cl / nl "
+            "+ CAST(ct - cl AS DOUBLE) * (ct - cl) / (n - nl) AS score FROM j), "
+            "r AS (SELECT et, v, cl, nl, score, ROW_NUMBER() OVER "
+            "(PARTITION BY et ORDER BY score DESC, v ASC) AS rn FROM s) "
+            "SELECT et AS event_type, v AS threshold_e2, nl AS n_left, "
+            "cl AS pos_left, "
+            "CAST(FLOOR(score * 1e6 + 0.5) AS BIGINT) AS score_e6 "
+            "FROM r WHERE rn = 1 ORDER BY et"
         ),
         "events_mannwhitney": (
             # Mann-Whitney U vs the 'click' baseline: exact integer

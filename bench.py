@@ -180,6 +180,7 @@ QUERY_NAMES = [
     "source_simpson_diversity",
     "lineitem_weighted_median",
     "events_mannwhitney",
+    "events_decision_stump",
     "events_spearman_corr",
     "customer_loo_encoding",
     "nb_lang_predict",

@@ -7779,3 +7779,49 @@ def nb_lang_predict(sf_dir: str) -> pd.DataFrame:
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+
+
+def events_decision_stump(sf_dir: str) -> pd.DataFrame:
+    """DECISION-STUMP TRAINING (the CART/C4.5 split-search kernel): for
+    each event type, the best one-vs-rest value threshold "v ≤ t" by
+    variance reduction (equivalently, maximizing Σ c²/n over the two
+    children — the Gini/Brier split criterion for a binary target).
+    This is the histogram-based split search real distributed
+    tree-learners (XGBoost/LightGBM-style) run per feature.
+
+    Exactness contract: child counts (cL, nL) are exact integers from
+    the domain-bounded value histogram; the split score replicates the
+    oracle's float expression; ties break on the smaller threshold.
+
+    Scale shape: rides :func:`_event_value_hist` — per-batch (type,
+    v_e2) count combiners, ONE exchange bounded by the value DOMAIN;
+    the split scan is two cumsums over ≤|domain| rows on the driver
+    (exactly how histogram-split tree learners bound their exchange by
+    #bins, not #rows)."""
+    hist = _event_value_hist(sf_dir)
+    piv = (
+        hist.pivot_table(index="v_e2", columns="event_type", values="n",
+                         aggfunc="sum", fill_value=0)
+        .sort_index()
+    )
+    vals = piv.index.to_numpy(dtype="int64")
+    tv = piv.to_numpy(dtype="int64").sum(axis=1)
+    nl = np.cumsum(tv)  # rows with v <= vals[i]
+    n_tot = int(nl[-1])
+    keep = nl < n_tot  # both children non-empty
+    out = []
+    for et in sorted(piv.columns):
+        cl = np.cumsum(piv[et].to_numpy(dtype="int64"))
+        ct = int(cl[-1])
+        cL = cl[keep]
+        nL = nl[keep]
+        cR = ct - cL
+        nR = n_tot - nL
+        score = (cL.astype("float64") * cL) / nL + (cR.astype("float64") * cR) / nR
+        i = int(np.argmax(score))  # first max -> smallest threshold
+        out.append((et, int(vals[keep][i]), int(nL[i]), int(cL[i]),
+                    int(np.floor(score[i] * 1e6 + 0.5))))
+    return pd.DataFrame(
+        out, columns=["event_type", "threshold_e2", "n_left", "pos_left",
+                      "score_e6"]
+    )

@@ -3574,3 +3574,29 @@ def test_max_spanning_forest_structural():
     )
     got = max_spanning_forest_from_edges(path)
     assert list(map(tuple, got.to_numpy())) == [("a", "b", 3), ("b", "c", 1)]
+
+
+def test_events_decision_stump_matches_brute(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import events_decision_stump
+
+    got = events_decision_stump(SF).set_index("event_type")
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "value"])
+    v = np.floor(ev["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+    n = len(v)
+    for et in ev["event_type"].unique():
+        y = (ev["event_type"] == et).to_numpy()
+        best = None
+        for th in np.unique(v)[:-1]:  # both children non-empty
+            left = v <= th
+            nl, cl = int(left.sum()), int(y[left].sum())
+            cr, nr = int(y.sum()) - cl, n - nl
+            score = (float(cl) * cl) / nl + (float(cr) * cr) / nr
+            if best is None or score > best[0]:
+                best = (score, int(th), nl, cl)
+        assert int(got.loc[et, "threshold_e2"]) == best[1]
+        assert int(got.loc[et, "n_left"]) == best[2]
+        assert int(got.loc[et, "pos_left"]) == best[3]
+        assert int(got.loc[et, "score_e6"]) == int(np.floor(best[0] * 1e6 + 0.5))
+        # splitting can only improve sum(c^2/n) (Jensen): beats no-split
+        ct = int(y.sum())
+        assert best[0] >= (float(ct) * ct) / n - 1e-9
