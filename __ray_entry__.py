@@ -398,6 +398,16 @@ def _q_host_spanning_forest(sf_dir: str):
     return host_spanning_forest(sf_dir)
 
 
+def _q_doc_neighborhood_function(sf_dir: str):
+    """HyperBall neighborhood function N(t) + effective diameter over
+    the doc link graph (rows-only: iterative + sketch-estimated; tests
+    pin it against an exact boolean-matrix BFS within the p=8 HLL error
+    band, with an exact-fixpoint saturation round)."""
+    from opps_feedcrawler_ray.pipelines.webpipe import doc_neighborhood_function
+
+    return doc_neighborhood_function(sf_dir)
+
+
 def _q_ann_pq(sf_dir: str):
     """Product-quantization ADC top-k (rows-only: trained codebooks +
     asymmetric distances have no SQL oracle; recall-vs-brute and
@@ -697,6 +707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_components": _q_host_components,
         "host_kcore": _q_host_kcore,
         "host_spanning_forest": _q_host_spanning_forest,
+        "doc_neighborhood_function": _q_doc_neighborhood_function,
         "host_communities": _q_host_communities,
         "top_tokens_per_lang": A.top_tokens_per_lang,
         "doc_triangle_counts": _q_doc_triangles,

@@ -184,6 +184,7 @@ QUERY_NAMES = [
     "events_spearman_corr",
     "customer_loo_encoding",
     "nb_lang_predict",
+    "doc_neighborhood_function",
 ]
 
 

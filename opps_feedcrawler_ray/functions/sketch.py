@@ -61,6 +61,37 @@ class HyperLogLog:
         return cls(b[0], np.frombuffer(b[1:], dtype=np.uint8).copy())
 
 
+def hll_init_rows(hashes: np.ndarray, p: int) -> np.ndarray:
+    """One single-element HLL register row per uint64 hash — the
+    HyperBall per-node initializer.  Returns uint8 [n, 2**p]."""
+    h = hashes.astype(np.uint64)
+    n, m = len(h), 1 << p
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rem = (h << np.uint64(p)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    rank = np.full(n, 64 - p + 1, dtype=np.uint8)
+    nz = rem != 0
+    if nz.any():
+        bits = 63 - np.floor(np.log2(rem[nz].astype(np.float64))).astype(np.int64)
+        rank[nz] = (bits + 1).astype(np.uint8)
+    regs = np.zeros((n, m), dtype=np.uint8)
+    regs[np.arange(n), idx] = rank
+    return regs
+
+
+def hll_estimate_rows(regs: np.ndarray) -> np.ndarray:
+    """Vectorized per-row HLL cardinality estimate (same bias/small-range
+    corrections as ``HyperLogLog.estimate``) over a uint8 [n, m] register
+    matrix.  Returns float64 [n]."""
+    m = float(regs.shape[1])
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(2.0 ** -regs.astype(np.float64), axis=1)
+    zeros = np.count_nonzero(regs == 0, axis=1)
+    small = (est <= 2.5 * m) & (zeros > 0)
+    if small.any():
+        est[small] = m * np.log(m / zeros[small])
+    return est
+
+
 class QuantileSketch:
     """Mergeable ε-approximate quantile summary (the Manku–Rajagopalan–
     Lindsay collapse scheme, SIGMOD'98, deterministic variant): a sketch

@@ -1286,3 +1286,158 @@ def host_spanning_forest(sf_dir: str, work_dir: str | None = None):
     check; the Borůvka core is pinned against a Kruskal twin in
     tests)."""
     return max_spanning_forest_from_edges(host_link_graph(sf_dir, work_dir=work_dir))
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (np.asarray(x, dtype=np.uint64) + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    z = x
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def doc_neighborhood_function(
+    sf_dir: str, p: int = 8, max_iters: int = 32, work_dir: str | None = None
+):
+    """HYPERBALL (Boldi & Vigna, "In-Core Computation of Geometric
+    Centralities with HyperBall", 2013 — the HADI/ANF lineage):
+    estimate the NEIGHBORHOOD FUNCTION N(t) = |{(u,v): dist(u,v) <= t}|
+    of the undirected doc link graph with one p=8 HyperLogLog counter
+    per node, from which the effective diameter falls out.  This is THE
+    scale algorithm for graph-distance statistics: exact all-pairs BFS
+    is O(V*E) and unshardable, HyperBall is max-iters passes of a
+    256 B/node max-merge — the same message shape as PageRank.
+
+    Per iteration: the register matrix broadcasts (``ray.put`` once per
+    round) into a ``map_batches`` over the PINNED edge dataset; each
+    batch max-merges its sources' registers per destination
+    (``np.maximum.reduceat`` — a combiner, so at most |batch dsts| rows
+    leave), one node-bucket exchange max-merges across batches, and the
+    driver folds the node-bounded result into the matrix (monotone
+    union, so the fold is order-free and idempotent).  Counters are
+    DETERMINISTIC (splitmix64 of the node id seeds the registers), so
+    every run and every cluster size yields identical estimates.
+
+    Convergence: N(t) is non-decreasing and saturates exactly when
+    every ball stops growing; we stop at the first round where no
+    register changes (exact fixpoint, not an epsilon test).
+
+    PARTITIONING ASSUMPTION (same family as host_pagerank's): the
+    register matrix fits a worker heap — |V| * 2^p bytes (10^8 nodes at
+    p=8 is 25.6 GB; drop to p=6 / 6.4 GB or switch the broadcast to a
+    bucketed counter<->edge co-shuffle on hash(node) past that; the
+    iteration body is unchanged).
+
+    Rows-only driver check (iterative + sketch-estimated, not
+    SQL-expressible); tests pin it against an EXACT boolean-matrix BFS
+    neighborhood function at small scale and assert per-t relative
+    error within the p=8 HLL band plus run-to-run determinism.
+
+    Returns one row per round t: (t int64, est_pairs float64).
+    """
+    import pandas as pd
+    import ray
+
+    from ..functions.sketch import hll_estimate_rows, hll_init_rows
+
+    edges, _n_docs, nb = _doc_link_edges(sf_dir, work_dir=work_dir)
+    # node universe = endpoints of the deduped edge set (isolated docs
+    # carry no distance information; consistent with the graph family)
+    nodes = (
+        edges.map_batches(
+            lambda b: pa.table(
+                {"node": np.unique(np.concatenate([
+                    b["a"].to_numpy(zero_copy_only=False),
+                    b["b"].to_numpy(zero_copy_only=False),
+                ]))}
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["node"]
+        .unique()
+    )
+    nodes = np.sort(nodes.astype(np.int64))
+    n = len(nodes)
+    if n == 0:
+        return pd.DataFrame({"t": pd.Series(dtype="int64"),
+                             "est_pairs": pd.Series(dtype="float64")})
+
+    regs = hll_init_rows(_splitmix64(nodes.astype(np.uint64)), p)
+    rows_out = [(0, float(np.sum(hll_estimate_rows(regs))))]
+
+    out_schema = pa.schema(
+        [("node", pa.int64()), ("regs", pa.binary()), ("__b", pa.int64())]
+    )
+    m = 1 << p
+
+    for t in range(1, max_iters + 1):
+        regs_ref = ray.put(regs)
+
+        def propagate(batch: pa.Table, _ref=regs_ref) -> pa.Table:
+            R = ray.get(_ref)
+            a = batch["a"].to_numpy(zero_copy_only=False)
+            b = batch["b"].to_numpy(zero_copy_only=False)
+            src = np.concatenate([a, b])
+            dst = np.concatenate([b, a])
+            si = np.searchsorted(nodes, src)
+            di = np.searchsorted(nodes, dst)
+            order = np.argsort(di, kind="stable")
+            di_s = di[order]
+            rows = R[si[order]]
+            starts = np.flatnonzero(np.r_[True, di_s[1:] != di_s[:-1]])
+            merged = np.maximum.reduceat(rows, starts, axis=0)
+            dsts = nodes[di_s[starts]]
+            return pa.Table.from_arrays(
+                [
+                    pa.array(dsts, type=pa.int64()),
+                    pa.array([r.tobytes() for r in merged], type=pa.binary()),
+                    pa.array(dsts % nb, type=pa.int64()),
+                ],
+                schema=out_schema,
+            )
+
+        def merge_group(g, _m=m):
+            mat = np.frombuffer(b"".join(g["regs"]), dtype=np.uint8).reshape(-1, _m)
+            node = g["node"].to_numpy()
+            order = np.argsort(node, kind="stable")
+            node_s = node[order]
+            starts = np.flatnonzero(np.r_[True, node_s[1:] != node_s[:-1]])
+            merged = np.maximum.reduceat(mat[order], starts, axis=0)
+            return pd.DataFrame(
+                {"node": node_s[starts], "regs": [r.tobytes() for r in merged]}
+            )
+
+        inc = (
+            edges.map_batches(propagate, batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(merge_group, batch_format="pandas")
+            .to_pandas()
+        )
+        new = regs.copy()
+        if len(inc):
+            ii = np.searchsorted(nodes, inc["node"].to_numpy())
+            mat = np.frombuffer(b"".join(inc["regs"]), dtype=np.uint8).reshape(-1, m)
+            np.maximum.at(new, ii, mat)
+        if np.array_equal(new, regs):  # exact fixpoint — every ball closed
+            break
+        regs = new
+        rows_out.append((t, float(np.sum(hll_estimate_rows(regs)))))
+
+    return pd.DataFrame(rows_out, columns=["t", "est_pairs"]).astype(
+        {"t": "int64", "est_pairs": "float64"}
+    )
+
+
+def effective_diameter(nf: "pd.DataFrame", q: float = 0.9) -> float:
+    """Standard interpolated effective diameter from a neighborhood
+    function table (t, est_pairs): smallest (fractional) t where
+    N(t) >= q * N(max)."""
+    ts = nf["t"].to_numpy()
+    ns = nf["est_pairs"].to_numpy(dtype=np.float64)
+    target = q * ns[-1]
+    k = int(np.argmax(ns >= target))
+    if k == 0:
+        return float(ts[0])
+    lo, hi = ns[k - 1], ns[k]
+    frac = 0.0 if hi == lo else (target - lo) / (hi - lo)
+    return float(ts[k - 1] + frac * (ts[k] - ts[k - 1]))

@@ -3600,3 +3600,48 @@ def test_events_decision_stump_matches_brute(ray_session):
         # splitting can only improve sum(c^2/n) (Jensen): beats no-split
         ct = int(y.sum())
         assert best[0] >= (float(ct) * ct) / n - 1e-9
+
+
+def test_doc_neighborhood_function_vs_exact_bfs(ray_session, tmp_path):
+    """HyperBall N(t) tracks the EXACT boolean-matrix BFS neighborhood
+    function within the p=8 HLL error band at every t, saturates at the
+    true diameter, and is run-to-run deterministic."""
+    from opps_feedcrawler_ray.pipelines.webpipe import (
+        doc_neighborhood_function, effective_diameter)
+
+    got = doc_neighborhood_function(SF, work_dir=str(tmp_path / "webpipe"))
+    n = len(pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"]))
+    adj = np.zeros((n, n), dtype=bool)
+    for did in range(n):
+        for k in range(6):
+            t = (did * 37 + 11 * k + 1) % n
+            if t != did:
+                adj[did, t] = adj[t, did] = True
+    # exact N(t): reach_0 = I restricted to non-isolated nodes
+    live = adj.any(axis=1)
+    reach = np.eye(n, dtype=bool) & live[:, None] & live[None, :]
+    exact = [int(reach.sum())]
+    while True:
+        nxt = reach | (reach @ adj)
+        nxt &= live[:, None]
+        if (nxt == reach).all():
+            break
+        reach = nxt
+        exact.append(int(reach.sum()))
+    true_diam = len(exact) - 1
+    # saturation round matches the true diameter exactly (fixpoint stop)
+    assert got["t"].max() == true_diam
+    # per-t estimate within the p=8 relative-error band (1.04/sqrt(256)
+    # = 6.5% per counter; allow 3 sigma on the summed estimate)
+    for t_i, est in zip(got["t"], got["est_pairs"]):
+        rel = abs(est - exact[t_i]) / exact[t_i]
+        assert rel < 0.20, (t_i, est, exact[t_i], rel)
+    # monotone non-decreasing
+    assert (np.diff(got["est_pairs"].to_numpy()) >= 0).all()
+    # effective diameter lands within 1 round of the exact one
+    tgt = 0.9 * exact[-1]
+    exact_eff = next(i for i, v in enumerate(exact) if v >= tgt)
+    assert abs(effective_diameter(got) - exact_eff) <= 1.0
+    # deterministic across runs
+    again = doc_neighborhood_function(SF, work_dir=str(tmp_path / "webpipe2"))
+    pd.testing.assert_frame_equal(got, again)
