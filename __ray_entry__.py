@@ -398,6 +398,15 @@ def _q_host_spanning_forest(sf_dir: str):
     return host_spanning_forest(sf_dir)
 
 
+def _q_events_gbm_stumps(sf_dir: str):
+    """Histogram-GBM boosted-stump training (rows-only: iterative model
+    training; tests pin a bit-exact single-process replay of the
+    integer-residual recipe plus loss-decrease and accuracy floors)."""
+    from opps_feedcrawler_ray.pipelines.analytics import events_gbm_stumps
+
+    return events_gbm_stumps(sf_dir)
+
+
 def _q_doc_neighborhood_function(sf_dir: str):
     """HyperBall neighborhood function N(t) + effective diameter over
     the doc link graph (rows-only: iterative + sketch-estimated; tests
@@ -783,6 +792,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_weighted_median": A.lineitem_weighted_median,
         "events_mannwhitney": A.events_mannwhitney,
         "events_decision_stump": A.events_decision_stump,
+        "events_gbm_stumps": _q_events_gbm_stumps,
         "events_spearman_corr": A.events_spearman_corr,
         "customer_loo_encoding": A.customer_loo_encoding,
         "nb_lang_predict": A.nb_lang_predict,

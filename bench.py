@@ -185,6 +185,7 @@ QUERY_NAMES = [
     "customer_loo_encoding",
     "nb_lang_predict",
     "doc_neighborhood_function",
+    "events_gbm_stumps",
 ]
 
 

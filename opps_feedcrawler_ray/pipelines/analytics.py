@@ -7825,3 +7825,134 @@ def events_decision_stump(sf_dir: str) -> pd.DataFrame:
         out, columns=["event_type", "threshold_e2", "n_left", "pos_left",
                       "score_e6"]
     )
+
+
+def events_gbm_stumps(sf_dir: str, rounds: int = 5) -> pd.DataFrame:
+    """GRADIENT-BOOSTED STUMP TRAINING (histogram GBM — the
+    XGBoost/LightGBM approximate split-finding loop, Chen & Guestrin
+    2016 / Ke et al. 2017): ``rounds`` squared-loss boosting rounds of
+    one-split trees over two binned features (value e2, hour-of-day)
+    predicting the binary target ``event_type == 'purchase'``.
+
+    Per round: the ensemble-so-far broadcasts into one ``map_batches``
+    pass over events, which (a) reconstructs every row's current score
+    F(x) by replaying the broadcast stumps (vectorized), (b) forms the
+    integer residual r = y·1e9 − F, and (c) emits per-(feature, bin)
+    partials (n, Σr) — a combiner, so the exchange is bounded by the
+    BIN DOMAIN (|v_e2 domain| + 24), never the row count.  The driver
+    closes the round with two cumsum scans (the histogram split search)
+    and picks the (feature, threshold) maximizing the variance-reduction
+    score SL²/nL + SR²/nR; leaf values are lr=½ of the child residual
+    mean, floored to e9 integers.
+
+    Exactness contract: y, F, and r are int64 e9 units end-to-end, so
+    every Σr is an order-free integer sum ⇒ bit-identical models across
+    runs, batch layouts, and cluster sizes.  Rows-only driver check
+    (iterative training); tests pin an exact single-process numpy
+    replay, loss monotonicity, and accuracy > majority-class.
+
+    Returns one row per boosting round:
+    (round, feature, threshold, left_e9, right_e9).
+    """
+    from .dedup import coarse_buckets
+
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "value", "ts"])
+    nb = coarse_buckets(ev.count(), rows_per_task=65536)
+    E9 = np.int64(1_000_000_000)
+
+    # round 0 base score: exact integer mean of y in e9 units
+    def base_partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        return pa.table({"pos": [int((et == "purchase").sum())],
+                         "n": [len(et)]})
+
+    tot = (
+        ev.map_batches(base_partial, batch_format="pyarrow")
+        .sum(["pos", "n"])
+    )
+    pos_tot, n_tot = int(tot["sum(pos)"]), int(tot["sum(n)"])
+    if n_tot == 0:
+        return pd.DataFrame({c: pd.Series(dtype="int64" if c != "feature" else object)
+                             for c in ["round", "feature", "threshold",
+                                       "left_e9", "right_e9"]})
+    base_e9 = (pos_tot * int(E9)) // n_tot
+
+    hist_schema = pa.schema([("f", pa.int8()), ("bin", pa.int64()),
+                             ("n", pa.int64()), ("s", pa.int64()),
+                             ("__b", pa.int64())])
+    stumps: list[tuple[int, int, int, int]] = []  # (f, thr, left_e9, right_e9)
+
+    def _features(df: pd.DataFrame):
+        v = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+        h = df["ts"].dt.hour.to_numpy().astype("int64")
+        return v, h
+
+    def _score(v: np.ndarray, h: np.ndarray, model) -> np.ndarray:
+        F = np.full(len(v), base_e9, dtype=np.int64)
+        for f, thr, lv, rv in model:
+            x = v if f == 0 else h
+            F += np.where(x <= thr, np.int64(lv), np.int64(rv))
+        return F
+
+    for _ in range(rounds):
+        model = tuple(stumps)  # rebound, picklable, broadcast via closure
+
+        def resid_hist(batch: pa.Table, _model=model) -> pa.Table:
+            df = batch.to_pandas()
+            v, h = _features(df)
+            y = (df["event_type"].to_numpy() == "purchase").astype(np.int64) * E9
+            r = y - _score(v, h, _model)
+            parts = []
+            for f, x in ((0, v), (1, h)):
+                g = pd.DataFrame({"bin": x, "r": r}).groupby("bin")
+                agg = g["r"].agg(["size", "sum"]).reset_index()
+                parts.append(pd.DataFrame({
+                    "f": np.int8(f), "bin": agg["bin"].astype("int64"),
+                    "n": agg["size"].astype("int64"),
+                    "s": agg["sum"].astype("int64"),
+                }))
+            out = pd.concat(parts, ignore_index=True)
+            out["__b"] = ((out["bin"] * 2 + out["f"]) % nb).astype("int64")
+            return pa.Table.from_pandas(out, preserve_index=False,
+                                        schema=hist_schema)
+
+        def hist_sum(g: pd.DataFrame) -> pd.DataFrame:
+            return g.groupby(["f", "bin"], as_index=False)[["n", "s"]].sum()
+
+        hist = (
+            ev.map_batches(resid_hist, batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(hist_sum, batch_format="pandas")
+            .to_pandas()
+        )
+        best = None  # (score, f, thr, SL, nL, SR, nR) — max score, tie → smaller (f, thr)
+        for f in (0, 1):
+            hf = hist[hist["f"] == f].sort_values("bin")
+            bins = hf["bin"].to_numpy()
+            nL = np.cumsum(hf["n"].to_numpy())
+            sL = np.cumsum(hf["s"].to_numpy())
+            keep = nL < n_tot
+            if not keep.any():
+                continue
+            nl, sl = nL[keep], sL[keep]
+            nr, sr = n_tot - nl, int(sL[-1]) - sl
+            sc = (sl.astype("float64") ** 2) / nl + (sr.astype("float64") ** 2) / nr
+            i = int(np.argmax(sc))  # first max ⇒ smallest threshold
+            cand = (float(sc[i]), -f, -int(bins[keep][i]),
+                    int(sl[i]), int(nl[i]), int(sr[i]), int(nr[i]))
+            if best is None or cand[:3] > best[:3]:
+                best = cand
+        if best is None:
+            break
+        _, nf, nthr, SL, nL_, SR, nR_ = best
+        f, thr = -nf, -nthr
+        left = SL // (2 * nL_)   # lr = 1/2, floor division — exact ints
+        right = SR // (2 * nR_)
+        stumps.append((f, thr, left, right))
+
+    return pd.DataFrame(
+        [(i, "v_e2" if f == 0 else "hour", thr, lv, rv)
+         for i, (f, thr, lv, rv) in enumerate(stumps)],
+        columns=["round", "feature", "threshold", "left_e9", "right_e9"],
+    ).astype({"round": "int64", "threshold": "int64",
+              "left_e9": "int64", "right_e9": "int64"})
