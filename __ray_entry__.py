@@ -398,6 +398,15 @@ def _q_host_spanning_forest(sf_dir: str):
     return host_spanning_forest(sf_dir)
 
 
+def _q_hybrid_search_rrf(sf_dir: str):
+    """BM25 + dense-cosine hybrid retrieval fused with reciprocal-rank
+    fusion (rows-only: the dense leg is not SQL-expressible; tests pin
+    a full in-process replay of both legs and the integer fusion)."""
+    from opps_feedcrawler_ray.pipelines.ann import hybrid_search_rrf
+
+    return hybrid_search_rrf(sf_dir)
+
+
 def _q_events_gbm_stumps(sf_dir: str):
     """Histogram-GBM boosted-stump training (rows-only: iterative model
     training; tests pin a bit-exact single-process replay of the
@@ -793,6 +802,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mannwhitney": A.events_mannwhitney,
         "events_decision_stump": A.events_decision_stump,
         "events_gbm_stumps": _q_events_gbm_stumps,
+        "hybrid_search_rrf": _q_hybrid_search_rrf,
         "events_spearman_corr": A.events_spearman_corr,
         "customer_loo_encoding": A.customer_loo_encoding,
         "nb_lang_predict": A.nb_lang_predict,

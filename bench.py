@@ -186,6 +186,7 @@ QUERY_NAMES = [
     "nb_lang_predict",
     "doc_neighborhood_function",
     "events_gbm_stumps",
+    "hybrid_search_rrf",
 ]
 
 

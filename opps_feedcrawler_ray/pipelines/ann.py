@@ -776,3 +776,77 @@ def ivfpq_topk(
     res = pd.concat(out).reset_index(drop=True) if out else partials
     res["adc_e6"] = np.floor(res["adc"] * 1e6 + 0.5).astype("int64")
     return res[["query_idx", id_col, "adc_e6"]]
+
+
+def hybrid_search_rrf(
+    sf_dir: str,
+    terms: tuple = ("table", "scan", "merge"),
+    k: int = 10,
+    k_lex: int = 50,
+    k_dense: int = 50,
+    rrf_k: int = 60,
+) -> pd.DataFrame:
+    """HYBRID RETRIEVAL with RECIPROCAL-RANK FUSION (Cormack, Clarke &
+    Buettcher, SIGIR 2009 — the standard BM25 + dense-vector fusion
+    every RAG stack runs): the lexical leg is the distributed BM25
+    ranking over ``documents.text``, the dense leg is the exact
+    distributed cosine top-k over ``embeddings`` against a
+    corpus-derived query vector (the mean of the lexical leg's top-3
+    doc embeddings — a deterministic pseudo-relevance query, no
+    external data), and the driver fuses the two O(k) rank lists with
+    score = Σ 1/(rrf_k + rank).
+
+    Scale shape: both legs are existing streaming operators (BM25: two
+    passes, zero shuffles; dense: broadcast query + per-batch partial
+    top-k), the fusion itself touches only 2·k rows on the driver.
+    The doc_id ↔ vec_id identity is positional (the testdata tables
+    share the 0..N-1 id space).
+
+    Exactness: ranks are integers; the fused score ships as an e9
+    integer computed from integer ranks only ⇒ platform-exact.
+    Rows-only driver check (the dense leg is not SQL-expressible);
+    tests pin a full single-process replay of both legs and the fusion.
+
+    Returns (doc_id, rrf_e9, lex_rank, dense_rank) — top-``k`` by
+    fused score DESC, doc_id ASC; absent-from-a-leg ranks report 0.
+    """
+    from .analytics import bm25_search
+
+    lex = bm25_search(sf_dir, query=terms, k=k_lex)
+    lex = lex.reset_index(drop=True)
+    lex_rank = {int(d): i + 1 for i, d in enumerate(lex["doc_id"])}
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    seed_ids = np.array(sorted(int(d) for d in lex["doc_id"].head(3)), dtype=np.int64)
+
+    def pick_seeds(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isin(ids, seed_ids)))
+
+    seed = (
+        emb.map_batches(pick_seeds, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    qv = _unit(np.array(seed["embedding"].to_list(), dtype=np.float64)).mean(axis=0)
+    dense = brute_force_topk(emb, qv[None, :], k=k_dense)
+    dense_rank = {int(v): i + 1 for i, v in enumerate(dense["vec_id"])}
+
+    ids = sorted(set(lex_rank) | set(dense_rank))
+    rows = []
+    for d in ids:
+        rl, rd_ = lex_rank.get(d, 0), dense_rank.get(d, 0)
+        s = 0
+        if rl:
+            s += 1_000_000_000 // (rrf_k + rl)
+        if rd_:
+            s += 1_000_000_000 // (rrf_k + rd_)
+        rows.append((d, s, rl, rd_))
+    out = pd.DataFrame(rows, columns=["doc_id", "rrf_e9", "lex_rank", "dense_rank"])
+    out = out.sort_values(["rrf_e9", "doc_id"], ascending=[False, True]).head(k)
+    return out.reset_index(drop=True).astype(
+        {"doc_id": "int64", "rrf_e9": "int64",
+         "lex_rank": "int64", "dense_rank": "int64"}
+    )

@@ -221,3 +221,44 @@ def test_ivfpq_topk_recall_and_determinism(ray_session):
     pd.testing.assert_frame_equal(
         got, ivfpq_topk(ds, q, k=10, n_cells=n_cells, n_probe=n_probe, m=32, ksub=64)
     )
+
+
+def test_hybrid_search_rrf_matches_replay(ray_session):
+    """RRF fusion equals an in-process replay: the dense leg re-ranked
+    brute-force in numpy from the parquet, the fusion recomputed from
+    integer ranks — and the distributed result is run-to-run stable."""
+    from opps_feedcrawler_ray.pipelines.analytics import bm25_search
+    from opps_feedcrawler_ray.pipelines.ann import _unit, hybrid_search_rrf
+
+    sf = "/root/testdata/sf0.001"
+    got = hybrid_search_rrf(sf, k=10, k_lex=50, k_dense=50)
+
+    lex = bm25_search(sf, k=50).reset_index(drop=True)
+    lex_rank = {int(d): i + 1 for i, d in enumerate(lex["doc_id"])}
+    emb = pq.read_table(f"{sf}/embeddings.parquet").to_pandas()
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    V = _unit(np.array(emb["embedding"].to_list(), dtype=np.float64))
+    ids = emb["vec_id"].to_numpy(dtype="int64")
+    seeds = sorted(int(d) for d in lex["doc_id"].head(3))
+    qv = V[np.searchsorted(ids, seeds)].mean(axis=0)
+    qv = qv / np.linalg.norm(qv)
+    sims = V @ qv
+    order = np.lexsort((ids, -sims))[:50]
+    dense_rank = {int(ids[i]): r + 1 for r, i in enumerate(order)}
+
+    rows = []
+    for d in sorted(set(lex_rank) | set(dense_rank)):
+        rl, rd_ = lex_rank.get(d, 0), dense_rank.get(d, 0)
+        s = (1_000_000_000 // (60 + rl) if rl else 0) + (
+            1_000_000_000 // (60 + rd_) if rd_ else 0)
+        rows.append((d, s, rl, rd_))
+    exp = (
+        pd.DataFrame(rows, columns=["doc_id", "rrf_e9", "lex_rank", "dense_rank"])
+        .sort_values(["rrf_e9", "doc_id"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "rrf_e9": "int64",
+                 "lex_rank": "int64", "dense_rank": "int64"})
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    pd.testing.assert_frame_equal(got, hybrid_search_rrf(sf, k=10))
