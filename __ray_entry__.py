@@ -398,6 +398,16 @@ def _q_host_spanning_forest(sf_dir: str):
     return host_spanning_forest(sf_dir)
 
 
+def _q_events_isotonic(sf_dir: str):
+    """Isotonic calibration curve via exact integer PAVA over the
+    domain-bounded value histogram (rows-only: sequential pooling is
+    not SQL-expressible; tests pin an exact replay + monotonicity +
+    pool-mean preservation + optimality)."""
+    from opps_feedcrawler_ray.pipelines.analytics import events_isotonic_calibration
+
+    return events_isotonic_calibration(sf_dir)
+
+
 def _q_hybrid_search_rrf(sf_dir: str):
     """BM25 + dense-cosine hybrid retrieval fused with reciprocal-rank
     fusion (rows-only: the dense leg is not SQL-expressible; tests pin
@@ -803,6 +813,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_decision_stump": A.events_decision_stump,
         "events_gbm_stumps": _q_events_gbm_stumps,
         "hybrid_search_rrf": _q_hybrid_search_rrf,
+        "events_isotonic_calibration": _q_events_isotonic,
         "events_spearman_corr": A.events_spearman_corr,
         "customer_loo_encoding": A.customer_loo_encoding,
         "nb_lang_predict": A.nb_lang_predict,

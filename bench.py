@@ -187,6 +187,7 @@ QUERY_NAMES = [
     "doc_neighborhood_function",
     "events_gbm_stumps",
     "hybrid_search_rrf",
+    "events_isotonic_calibration",
 ]
 
 

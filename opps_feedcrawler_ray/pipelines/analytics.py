@@ -7956,3 +7956,82 @@ def events_gbm_stumps(sf_dir: str, rounds: int = 5) -> pd.DataFrame:
         columns=["round", "feature", "threshold", "left_e9", "right_e9"],
     ).astype({"round": "int64", "threshold": "int64",
               "left_e9": "int64", "right_e9": "int64"})
+
+
+def isotonic_fit(v: np.ndarray, n: np.ndarray, s: np.ndarray):
+    """Pool-Adjacent-Violators (Ayer et al. 1955) over a weighted value
+    histogram, EXACT: pools carry integer (n, s) and the violator test
+    compares means as cross-multiplied integers (s1·n2 > s2·n1), so the
+    fit is platform- and order-exact.  Inputs must be sorted by v.
+    Returns (v, fitted_e9) with fitted_e9 = floor(pool_s·1e9 / pool_n)
+    — non-decreasing by construction."""
+    pools: list[list[int]] = []  # [n, s, count_of_bins]
+    for i in range(len(v)):
+        pools.append([int(n[i]), int(s[i]), 1])
+        # merge while the previous pool's mean exceeds the last's
+        while len(pools) > 1 and pools[-2][1] * pools[-1][0] > pools[-1][1] * pools[-2][0]:
+            n2, s2, c2 = pools.pop()
+            pools[-1][0] += n2
+            pools[-1][1] += s2
+            pools[-1][2] += c2
+    fitted = np.empty(len(v), dtype=np.int64)
+    j = 0
+    for pn, ps, pc in pools:
+        fitted[j:j + pc] = (ps * 1_000_000_000) // pn
+        j += pc
+    return fitted
+
+
+def events_isotonic_calibration(sf_dir: str) -> pd.DataFrame:
+    """ISOTONIC CALIBRATION (PAVA — the monotone probability-calibration
+    curve classifiers are post-processed with): fit the best
+    non-decreasing estimate of P(event_type = 'purchase' | value) in
+    least squares, over the integer e2 value domain.
+
+    Scale shape: ONE domain-bounded exchange — per-batch (v_e2 →
+    (n, n_purchase)) combiners, bucket-summed exactly like
+    :func:`_event_value_hist`; the PAVA sweep itself runs on the driver
+    over ≤|domain| pools (linear time, integer arithmetic), which is
+    how isotonic fits stay exact at any row count: rows reduce to the
+    bin histogram before anything leaves the cluster.
+
+    Rows-only driver check (PAVA's sequential pooling is not
+    SQL-expressible); tests pin an exact brute replay, verify
+    monotonicity, pool-mean preservation, and the least-squares
+    optimality KKT condition on the pooled solution.
+
+    Returns (v_e2, n, fitted_e9) sorted by v_e2."""
+    from .dedup import coarse_buckets
+
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "value"])
+    nb = coarse_buckets(ev.count(), rows_per_task=65536)
+    schema = pa.schema([("v_e2", pa.int64()), ("n", pa.int64()),
+                        ("s", pa.int64()), ("__b", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["v_e2"] = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+        df["y"] = (df["event_type"].to_numpy() == "purchase").astype("int64")
+        g = df.groupby("v_e2", as_index=False).agg(n=("y", "size"), s=("y", "sum"))
+        g["__b"] = (g["v_e2"].to_numpy() % nb).astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False, schema=schema)
+
+    def hsum(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("v_e2", as_index=False)[["n", "s"]].sum()
+
+    hist = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(hsum, batch_format="pandas")
+        .to_pandas()
+        .sort_values("v_e2")
+        .reset_index(drop=True)
+    )
+    if hist.empty:
+        return pd.DataFrame({"v_e2": pd.Series(dtype="int64"),
+                             "n": pd.Series(dtype="int64"),
+                             "fitted_e9": pd.Series(dtype="int64")})
+    fitted = isotonic_fit(hist["v_e2"].to_numpy(), hist["n"].to_numpy(),
+                          hist["s"].to_numpy())
+    return pd.DataFrame({"v_e2": hist["v_e2"], "n": hist["n"],
+                         "fitted_e9": fitted})

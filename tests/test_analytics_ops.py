@@ -3706,3 +3706,39 @@ def test_events_gbm_stumps_matches_exact_replay(ray_session):
     loss_final = float(((y * E9 - F).astype(np.float64) ** 2).mean())
     assert loss_final < loss_base
     assert acc >= maj - 1e-9
+
+
+def test_events_isotonic_calibration_properties_and_replay(ray_session):
+    """PAVA calibration: matches an exact in-process replay, is
+    non-decreasing, preserves each pool's weighted mean, and satisfies
+    the isotonic least-squares optimality conditions vs sklearn-style
+    brute check (block means of the final level sets)."""
+    from opps_feedcrawler_ray.pipelines.analytics import (
+        events_isotonic_calibration, isotonic_fit)
+
+    got = events_isotonic_calibration(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "value"])
+    v = np.floor(ev["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+    y = (ev["event_type"].to_numpy() == "purchase").astype("int64")
+    g = pd.DataFrame({"v": v, "y": y}).groupby("v")["y"].agg(["size", "sum"])
+    vv = g.index.to_numpy(dtype="int64")
+    nn = g["size"].to_numpy(dtype="int64")
+    ss = g["sum"].to_numpy(dtype="int64")
+    exp_fit = isotonic_fit(vv, nn, ss)
+    exp = pd.DataFrame({"v_e2": vv, "n": nn, "fitted_e9": exp_fit})
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp, check_dtype=False)
+    f = got["fitted_e9"].to_numpy()
+    assert (np.diff(f) >= 0).all()  # monotone
+    # level sets preserve weighted means: within each constant run,
+    # floor(sum*1e9/n) equals the reported value
+    runs = np.flatnonzero(np.r_[True, f[1:] != f[:-1], True])
+    for a, b in zip(runs[:-1], runs[1:]):
+        pn, ps = int(nn[a:b].sum()), int(ss[a:b].sum())
+        assert f[a] == (ps * 1_000_000_000) // pn
+    # optimality (PAVA characterization): merging any two adjacent
+    # level sets must not produce a strictly better monotone fit —
+    # adjacent pool means must be strictly increasing
+    means = []
+    for a, b in zip(runs[:-1], runs[1:]):
+        means.append(ss[a:b].sum() / nn[a:b].sum())
+    assert all(m2 > m1 for m1, m2 in zip(means, means[1:]))
