@@ -812,6 +812,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mannwhitney": A.events_mannwhitney,
         "events_decision_stump": A.events_decision_stump,
         "events_gbm_stumps": _q_events_gbm_stumps,
+        "events_type_regression": A.events_type_regression,
+        "events_hbos_outliers": A.events_hbos_outliers,
         "hybrid_search_rrf": _q_hybrid_search_rrf,
         "events_isotonic_calibration": _q_events_isotonic,
         "events_spearman_corr": A.events_spearman_corr,
@@ -2891,6 +2893,40 @@ def oracle_sql() -> dict[str, str]:
             "CAST(LAST_VALUE(event_id) OVER (PARTITION BY user_id "
             "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
             "UNBOUNDED FOLLOWING) AS BIGINT) AS last_event FROM events"
+        ),
+        "events_type_regression": (
+            # grouped OLS (regr_slope family) from exact integer moments
+            # in HUGEINT; // truncates toward zero on both sides
+            "WITH b AS (SELECT event_type, "
+            "CAST(EXTRACT(hour FROM ts) AS HUGEINT) AS x, "
+            "CAST(FLOOR(value * 100 + 0.5) AS HUGEINT) AS y FROM events), "
+            "m AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n, "
+            "SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, "
+            "SUM(x * x) AS sxx FROM b GROUP BY event_type) "
+            "SELECT event_type, CAST(n AS BIGINT) AS n, "
+            "CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0 "
+            "ELSE ((n * sxy - sx * sy) * 1000000000) // (n * sxx - sx * sx) "
+            "END AS BIGINT) AS slope_e9, "
+            "CAST(CASE WHEN n * sxx - sx * sx = 0 "
+            "THEN (sy * 1000000000) // n "
+            "ELSE ((sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx) "
+            "* 1000000000) // (n * (n * sxx - sx * sx)) "
+            "END AS BIGINT) AS intercept_e9 "
+            "FROM m ORDER BY event_type"
+        ),
+        "events_hbos_outliers": (
+            # integer HBOS: rarity = f(value bin) * f(hour bin), bottom-20
+            "WITH e AS (SELECT event_id, "
+            "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v_e2, "
+            "CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour FROM events), "
+            "fv AS (SELECT v_e2, CAST(COUNT(*) AS BIGINT) AS f_v "
+            "FROM e GROUP BY v_e2), "
+            "fh AS (SELECT hour, CAST(COUNT(*) AS BIGINT) AS f_h "
+            "FROM e GROUP BY hour) "
+            "SELECT e.event_id, e.v_e2, e.hour, fv.f_v, fh.f_h, "
+            "fv.f_v * fh.f_h AS rarity "
+            "FROM e JOIN fv USING (v_e2) JOIN fh USING (hour) "
+            "ORDER BY rarity, e.event_id LIMIT 20"
         ),
     }
     # max_df=50 provably drops nothing on the fixtures (max shingle df < 10),

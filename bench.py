@@ -188,6 +188,8 @@ QUERY_NAMES = [
     "events_gbm_stumps",
     "hybrid_search_rrf",
     "events_isotonic_calibration",
+    "events_type_regression",
+    "events_hbos_outliers",
 ]
 
 

@@ -8035,3 +8035,151 @@ def events_isotonic_calibration(sf_dir: str) -> pd.DataFrame:
                           hist["s"].to_numpy())
     return pd.DataFrame({"v_e2": hist["v_e2"], "n": hist["n"],
                          "fitted_e9": fitted})
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Integer division truncating toward zero — DuckDB's ``//``
+    semantics (Python's ``//`` floors), so oracle comparisons of
+    negative rationals are exact."""
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+def events_type_regression(sf_dir: str) -> pd.DataFrame:
+    """GROUPED OLS REGRESSION (the SQL ``regr_slope``/``regr_intercept``
+    family): per event type, the least-squares line of value-e2 on
+    hour-of-day, computed EXACTLY from five integer moments per group
+    (n, Σx, Σy, Σxy, Σx²) — the classic one-pass mergeable-moments
+    shape: per-batch combiners, one |types|-bounded exchange, and the
+    closed form evaluated on the driver in arbitrary-precision ints
+    (slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²)), shipped as
+    truncate-toward-zero e9 integers so the DuckDB oracle (HUGEINT
+    arithmetic, same truncation) matches hash-exactly.
+
+    Returns (event_type, n, slope_e9, intercept_e9) sorted by type."""
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "value", "ts"])
+
+    schema = pa.schema([("event_type", pa.string()), ("n", pa.int64()),
+                        ("sx", pa.int64()), ("sy", pa.int64()),
+                        ("sxy", pa.int64()), ("sxx", pa.int64())])
+
+    def moments(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        x = df["ts"].dt.hour.to_numpy().astype("int64")
+        y = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+        g = pd.DataFrame({"event_type": df["event_type"], "x": x, "y": y,
+                          "xy": x * y, "xx": x * x})
+        agg = g.groupby("event_type", as_index=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sxy=("xy", "sum"), sxx=("xx", "sum"))
+        return pa.Table.from_pandas(agg, preserve_index=False, schema=schema)
+
+    mom = (
+        ev.map_batches(moments, batch_format="pyarrow")
+        .groupby("event_type")
+        .sum(["n", "sx", "sy", "sxy", "sxx"])
+        .to_pandas()
+    )
+    mom.columns = [c.replace("sum(", "").replace(")", "") for c in mom.columns]
+    rows = []
+    for _, r in mom.sort_values("event_type").iterrows():
+        n, sx, sy, sxy, sxx = (int(r["n"]), int(r["sx"]), int(r["sy"]),
+                               int(r["sxy"]), int(r["sxx"]))
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        if den == 0:
+            slope = 0
+            intercept = _tdiv(sy * 1_000_000_000, n)
+        else:
+            slope = _tdiv(num * 1_000_000_000, den)
+            intercept = _tdiv((sy * den - num * sx) * 1_000_000_000, n * den)
+        rows.append((r["event_type"], n, slope, intercept))
+    return pd.DataFrame(
+        rows, columns=["event_type", "n", "slope_e9", "intercept_e9"]
+    ).astype({"n": "int64", "slope_e9": "int64", "intercept_e9": "int64"})
+
+
+def events_hbos_outliers(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """HISTOGRAM-BASED OUTLIER SCORING (HBOS, Goldstein & Dengel 2012)
+    with an INTEGER rarity score: an event is anomalous when both its
+    value bin and its hour bin are rare, scored by the exact product
+    f_value · f_hour of the two global bin frequencies (smaller =
+    more anomalous — the integer-exact monotone transform of the usual
+    Σ log(1/f) score for two features).
+
+    Scale shape: TWO domain-bounded histogram reduces (value e2 domain,
+    24 hours) broadcast back into ONE streaming scoring pass with a
+    per-batch partial bottom-k — no row ever shuffles; the driver
+    merges O(k · batches) candidates.  Fully integer ⇒ oracle-exact.
+
+    Returns the ``k`` most anomalous rows
+    (event_id, v_e2, hour, f_v, f_h, rarity), rarity ASC, event_id ASC.
+    """
+    import ray
+
+    from .dedup import coarse_buckets
+
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "value", "ts"])
+    nb = coarse_buckets(ev.count(), rows_per_task=65536)
+
+    vh_schema = pa.schema([("v_e2", pa.int64()), ("n", pa.int64()),
+                           ("__b", pa.int64())])
+
+    def v_partial(batch: pa.Table) -> pa.Table:
+        v = np.floor(batch["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+                     ).astype("int64")
+        u, c = np.unique(v, return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(u), pa.array(c.astype("int64")), pa.array(u % nb)],
+            schema=vh_schema)
+
+    def v_sum(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("v_e2", as_index=False)["n"].sum()
+
+    vhist = (
+        ev.map_batches(v_partial, batch_format="pyarrow")
+        .groupby("__b").map_groups(v_sum, batch_format="pandas")
+        .to_pandas()
+    )
+
+    def h_partial(batch: pa.Table) -> pa.Table:
+        h = batch["ts"].to_pandas().dt.hour.to_numpy().astype("int64")
+        u, c = np.unique(h, return_counts=True)
+        return pa.table({"hour": u, "n": c.astype("int64")})
+
+    hhist = (
+        ev.map_batches(h_partial, batch_format="pyarrow")
+        .to_pandas().groupby("hour", as_index=False)["n"].sum()
+    )  # 24-row partial table — driver sum is the combiner's tiny tail
+
+    v_keys = vhist["v_e2"].to_numpy(dtype="int64")
+    v_cnts = vhist["n"].to_numpy(dtype="int64")
+    vo = np.argsort(v_keys)
+    v_keys, v_cnts = v_keys[vo], v_cnts[vo]
+    h_cnt = np.zeros(24, dtype=np.int64)
+    h_cnt[hhist["hour"].to_numpy()] = hhist["n"].to_numpy()
+    ref = ray.put((v_keys, v_cnts, h_cnt))
+
+    out_schema = pa.schema([("event_id", pa.int64()), ("v_e2", pa.int64()),
+                            ("hour", pa.int64()), ("f_v", pa.int64()),
+                            ("f_h", pa.int64()), ("rarity", pa.int64())])
+
+    def score(batch: pa.Table, _ref=ref, _k=k) -> pa.Table:
+        vk, vc, hc = ray.get(_ref)
+        df = batch.to_pandas()
+        v = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+        h = df["ts"].dt.hour.to_numpy().astype("int64")
+        fv = vc[np.searchsorted(vk, v)]
+        fh = hc[h]
+        rarity = fv * fh
+        order = np.lexsort((df["event_id"].to_numpy(), rarity))[:_k]
+        return pa.Table.from_arrays(
+            [pa.array(df["event_id"].to_numpy()[order]),
+             pa.array(v[order]), pa.array(h[order]),
+             pa.array(fv[order]), pa.array(fh[order]),
+             pa.array(rarity[order])],
+            schema=out_schema)
+
+    cand = ev.map_batches(score, batch_format="pyarrow").to_pandas()
+    out = cand.sort_values(["rarity", "event_id"]).head(k).reset_index(drop=True)
+    return out.astype({c: "int64" for c in out.columns})

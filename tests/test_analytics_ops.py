@@ -3742,3 +3742,47 @@ def test_events_isotonic_calibration_properties_and_replay(ray_session):
     for a, b in zip(runs[:-1], runs[1:]):
         means.append(ss[a:b].sum() / nn[a:b].sum())
     assert all(m2 > m1 for m1, m2 in zip(means, means[1:]))
+
+
+def test_events_type_regression_matches_pandas_brute(ray_session):
+    """Grouped OLS equals the closed-form slope/intercept recomputed
+    per group from raw rows in exact Python ints."""
+    from opps_feedcrawler_ray.pipelines.analytics import (
+        _tdiv, events_type_regression)
+
+    got = events_type_regression(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "value", "ts"])
+    x = ev["ts"].dt.hour.to_numpy().astype("int64")
+    y = np.floor(ev["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+    for _, r in got.iterrows():
+        m = (ev["event_type"] == r["event_type"]).to_numpy()
+        n = int(m.sum())
+        sx, sy = int(x[m].sum()), int(y[m].sum())
+        sxy, sxx = int((x[m] * y[m]).sum()), int((x[m] * x[m]).sum())
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        assert r["n"] == n
+        assert r["slope_e9"] == (_tdiv(num * 10**9, den) if den else 0)
+        exp_int = (_tdiv((sy * den - num * sx) * 10**9, n * den) if den
+                   else _tdiv(sy * 10**9, n))
+        assert r["intercept_e9"] == exp_int
+
+
+def test_events_hbos_outliers_matches_pandas_brute(ray_session):
+    """Integer HBOS bottom-k equals a full in-process frequency join."""
+    from opps_feedcrawler_ray.pipelines.analytics import events_hbos_outliers
+
+    got = events_hbos_outliers(SF, k=20)
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "value", "ts"])
+    ev["v_e2"] = np.floor(ev["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+    ev["hour"] = ev["ts"].dt.hour.astype("int64")
+    ev["f_v"] = ev.groupby("v_e2")["event_id"].transform("size").astype("int64")
+    ev["f_h"] = ev.groupby("hour")["event_id"].transform("size").astype("int64")
+    ev["rarity"] = ev["f_v"] * ev["f_h"]
+    exp = (
+        ev.sort_values(["rarity", "event_id"]).head(20)
+        [["event_id", "v_e2", "hour", "f_v", "f_h", "rarity"]]
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
