@@ -398,6 +398,15 @@ def _q_host_spanning_forest(sf_dir: str):
     return host_spanning_forest(sf_dir)
 
 
+def _q_token_cms(sf_dir: str):
+    """Count-Min-sketch token frequencies with the certified N·e/w
+    bound (rows-only: sketch estimates have no SQL equal; tests pin the
+    exact-count sandwich and combiner order-independence)."""
+    from opps_feedcrawler_ray.pipelines.analytics import token_cms_counts
+
+    return token_cms_counts(sf_dir)
+
+
 def _q_events_isotonic(sf_dir: str):
     """Isotonic calibration curve via exact integer PAVA over the
     domain-bounded value histogram (rows-only: sequential pooling is
@@ -816,6 +825,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hbos_outliers": A.events_hbos_outliers,
         "hybrid_search_rrf": _q_hybrid_search_rrf,
         "events_isotonic_calibration": _q_events_isotonic,
+        "token_cms_counts": _q_token_cms,
         "events_spearman_corr": A.events_spearman_corr,
         "customer_loo_encoding": A.customer_loo_encoding,
         "nb_lang_predict": A.nb_lang_predict,

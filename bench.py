@@ -190,6 +190,7 @@ QUERY_NAMES = [
     "events_isotonic_calibration",
     "events_type_regression",
     "events_hbos_outliers",
+    "token_cms_counts",
 ]
 
 

@@ -193,3 +193,56 @@ class QuantileSketch:
         v = np.frombuffer(b[24 : 24 + 8 * n], dtype=np.float64)
         w = np.frombuffer(b[24 + 8 * n : 24 + 16 * n], dtype=np.float64)
         return cls(int(k), v.copy(), w.copy(), err)
+
+
+class CountMinSketch:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005): ``d`` rows of
+    ``w`` int64 counters; point estimate = min over rows; guarantees
+    est >= true and est <= true + e·N/w per row with prob 1/2 (so over
+    d independent rows, + eN/w w.p. 1 − 2^−d).  Rows hash via
+    independent splitmix64 mixes of the engine's pinned 64-bit token
+    fingerprint ⇒ deterministic.  Merge = elementwise sum — an exact
+    combiner, so per-batch sketches reduce associatively and only
+    d·w·8 bytes ever move per batch."""
+
+    __slots__ = ("d", "w", "tab")
+
+    def __init__(self, d: int = 4, w: int = 2048, tab: np.ndarray | None = None):
+        self.d, self.w = int(d), int(w)
+        self.tab = tab if tab is not None else np.zeros((d, w), dtype=np.int64)
+
+    @staticmethod
+    def _mix(h: np.ndarray, salt: int) -> np.ndarray:
+        x = h.astype(np.uint64) + np.uint64((salt * 0x9E3779B97F4A7C15) % 2**64)
+        z = x
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+    def add_hashes(self, hashes: np.ndarray, counts: np.ndarray) -> None:
+        """Vectorized bulk add: ``counts[i]`` occurrences of the item
+        whose base fingerprint is ``hashes[i]``."""
+        c = counts.astype(np.int64)
+        for r in range(self.d):
+            idx = (self._mix(hashes, r + 1) % np.uint64(self.w)).astype(np.int64)
+            np.add.at(self.tab[r], idx, c)
+
+    def query_hashes(self, hashes: np.ndarray) -> np.ndarray:
+        ests = np.empty((self.d, len(hashes)), dtype=np.int64)
+        for r in range(self.d):
+            idx = (self._mix(hashes, r + 1) % np.uint64(self.w)).astype(np.int64)
+            ests[r] = self.tab[r][idx]
+        return ests.min(axis=0)
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        assert (self.d, self.w) == (other.d, other.w)
+        return CountMinSketch(self.d, self.w, self.tab + other.tab)
+
+    def to_bytes(self) -> bytes:
+        return np.array([self.d, self.w], dtype=np.int64).tobytes() + self.tab.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "CountMinSketch":
+        d, w = np.frombuffer(b[:16], dtype=np.int64)
+        return cls(int(d), int(w),
+                   np.frombuffer(b[16:], dtype=np.int64).reshape(int(d), int(w)).copy())

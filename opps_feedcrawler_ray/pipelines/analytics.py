@@ -8183,3 +8183,62 @@ def events_hbos_outliers(sf_dir: str, k: int = 20) -> pd.DataFrame:
     cand = ev.map_batches(score, batch_format="pyarrow").to_pandas()
     out = cand.sort_values(["rarity", "event_id"]).head(k).reset_index(drop=True)
     return out.astype({c: "int64" for c in out.columns})
+
+
+def token_cms_counts(
+    sf_dir: str,
+    probe: tuple = ("the", "a", "of", "to", "data", "table", "scan", "merge"),
+    d: int = 4,
+    w: int = 2048,
+) -> pd.DataFrame:
+    """COUNT-MIN SKETCH token frequencies (Cormode & Muthukrishnan
+    2005) with the sketch's own CERTIFIED error bound in-band: ONE
+    streaming pass builds a d×w counter sketch per batch (vectorized
+    over the batch's value_counts — per-unique-token hashing, not
+    per-occurrence) and sketches merge by elementwise sum — an exact
+    combiner, so only d·w·8 = 64 KB moves per batch no matter the
+    vocabulary or row count.  Point estimates for the ``probe`` tokens
+    come off the merged sketch; ``bound`` = N·e/w is the classic
+    per-row Markov bound the tests assert as a hard sandwich
+    (exact ≤ est ≤ exact + bound, the left inequality deterministic).
+
+    Rows-only driver check (a sketch estimate has no SQL equal); tests
+    pin the sandwich against exact pandas recounts plus merge
+    order-independence.
+
+    Returns (token, est_n, n_total, bound) per probe token."""
+    from ..functions.hashing import fingerprint64
+    from ..functions.sketch import CountMinSketch
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+
+    def cms_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(batch["text"], pattern=" "))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        vc = pc.value_counts(toks)
+        uniq = vc.field("values").to_pylist()
+        cnts = vc.field("counts").to_numpy(zero_copy_only=False).astype("int64")
+        sk = CountMinSketch(d, w)
+        if uniq:
+            hashes = np.array([fingerprint64(t) for t in uniq], dtype=np.uint64)
+            sk.add_hashes(hashes, cnts)
+        return pa.table({"sketch": pa.array([sk.to_bytes()], pa.binary()),
+                         "n": pa.array([int(cnts.sum())], pa.int64())})
+
+    parts = docs.map_batches(cms_partial, batch_format="pyarrow").to_pandas()
+    merged = CountMinSketch(d, w)
+    n_total = 0
+    for _, r in parts.iterrows():
+        merged = merged.merge(CountMinSketch.from_bytes(r["sketch"]))
+        n_total += int(r["n"])
+    ph = np.array([fingerprint64(t) for t in probe], dtype=np.uint64)
+    est = merged.query_hashes(ph)
+    bound = int(np.ceil(n_total * np.e / w))
+    return pd.DataFrame({
+        "token": list(probe),
+        "est_n": est.astype("int64"),
+        "n_total": np.int64(n_total),
+        "bound": np.int64(bound),
+    })

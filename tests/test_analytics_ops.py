@@ -3786,3 +3786,37 @@ def test_events_hbos_outliers_matches_pandas_brute(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_token_cms_counts_certified_sandwich(ray_session):
+    """CMS estimates sandwich the exact counts: exact <= est (always,
+    by construction) and est <= exact + N*e/w (the certified bound);
+    merging order does not change the sketch (exact combiner)."""
+    from opps_feedcrawler_ray.functions.hashing import fingerprint64
+    from opps_feedcrawler_ray.functions.sketch import CountMinSketch
+    from opps_feedcrawler_ray.pipelines.analytics import token_cms_counts
+
+    got = token_cms_counts(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    from collections import Counter
+    exact = Counter()
+    for t in docs["text"]:
+        exact.update(w for w in (t or "").split(" ") if w)
+    n_total = sum(exact.values())
+    assert int(got["n_total"].iloc[0]) == n_total
+    for _, r in got.iterrows():
+        e = exact.get(r["token"], 0)
+        assert e <= r["est_n"] <= e + r["bound"], (r["token"], e, dict(r))
+    # exact-combiner property: splitting the stream differently yields
+    # the identical sketch
+    items = list(exact.items())
+    h = np.array([fingerprint64(t) for t, _ in items], dtype=np.uint64)
+    c = np.array([n for _, n in items], dtype=np.int64)
+    a, b = CountMinSketch(), CountMinSketch()
+    a.add_hashes(h[::2], c[::2]); a.add_hashes(h[1::2], c[1::2])
+    b.add_hashes(h, c)
+    assert np.array_equal(a.tab, b.tab)
+    # and the one-shot sketch's point queries equal the pipeline's
+    probe = got["token"].tolist()
+    ph = np.array([fingerprint64(t) for t in probe], dtype=np.uint64)
+    assert np.array_equal(b.query_hashes(ph), got["est_n"].to_numpy())
