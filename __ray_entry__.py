@@ -398,6 +398,16 @@ def _q_host_spanning_forest(sf_dir: str):
     return host_spanning_forest(sf_dir)
 
 
+def _q_textrank(sf_dir: str):
+    """TextRank keyword extraction — PageRank over the token
+    co-occurrence graph (rows-only: iterative; tests pin the edge build
+    against a pure-Python replay and the ranking against the float
+    power iteration)."""
+    from opps_feedcrawler_ray.pipelines.analytics import textrank_keywords
+
+    return textrank_keywords(sf_dir)
+
+
 def _q_token_cms(sf_dir: str):
     """Count-Min-sketch token frequencies with the certified N·e/w
     bound (rows-only: sketch estimates have no SQL equal; tests pin the
@@ -826,6 +836,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_search_rrf": _q_hybrid_search_rrf,
         "events_isotonic_calibration": _q_events_isotonic,
         "token_cms_counts": _q_token_cms,
+        "textrank_keywords": _q_textrank,
         "events_spearman_corr": A.events_spearman_corr,
         "customer_loo_encoding": A.customer_loo_encoding,
         "nb_lang_predict": A.nb_lang_predict,

@@ -191,6 +191,7 @@ QUERY_NAMES = [
     "events_type_regression",
     "events_hbos_outliers",
     "token_cms_counts",
+    "textrank_keywords",
 ]
 
 

@@ -8242,3 +8242,90 @@ def token_cms_counts(
         "n_total": np.int64(n_total),
         "bound": np.int64(bound),
     })
+
+
+def _textrank_edges(sf_dir: str, min_len: int = 4) -> pd.DataFrame:
+    """Distributed token co-occurrence edge build for TextRank:
+    per-batch counts of ADJACENT filtered-token pairs (window 2 over
+    tokens of length >= ``min_len``), canonicalized a < b, then one
+    coarse-bucket exchange sums them — the shuffled payload is bounded
+    by the DISTINCT-pair vocabulary, not token occurrences.  Returns
+    (a, b, w) with a < b."""
+    from .dedup import coarse_buckets
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    nb = coarse_buckets(docs.count(), rows_per_task=4096)
+    schema = pa.schema([("a", pa.string()), ("b", pa.string()),
+                        ("w", pa.int64()), ("__b", pa.int64())])
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        lst = pc.split_pattern(batch["text"], pattern=" ")
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        toks = lst.values.to_pandas()
+        lens = np.diff(lst.offsets.to_numpy(zero_copy_only=False))
+        doc = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        keep = toks.str.len().to_numpy() >= min_len
+        toks, doc = toks[keep].to_numpy(), doc[keep]
+        if len(toks) < 2:
+            return pa.Table.from_pandas(
+                pd.DataFrame({"a": [], "b": [], "w": [], "__b": []}),
+                preserve_index=False, schema=schema)
+        same = doc[:-1] == doc[1:]
+        u, v = toks[:-1][same], toks[1:][same]
+        lo = np.minimum(u, v)
+        hi = np.maximum(u, v)
+        g = (pd.DataFrame({"a": lo, "b": hi})
+             .groupby(["a", "b"], as_index=False).size()
+             .rename(columns={"size": "w"}))
+        g = g[g["a"] != g["b"]]  # self-loops carry no rank
+        # seed-stable bucket key (PYTHONHASHSEED varies across workers;
+        # the same pair MUST route to one bucket or its counts split)
+        key = pd.util.hash_array((g["a"] + "\x1f" + g["b"]).to_numpy())
+        g["__b"] = (key % np.uint64(nb)).astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False, schema=schema)
+
+    def pair_sum(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["a", "b"], as_index=False)["w"].sum()
+
+    return (
+        docs.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(pair_sum, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+def textrank_keywords(sf_dir: str, k: int = 25, iters: int = 10,
+                      damping: float = 0.85, min_len: int = 4) -> pd.DataFrame:
+    """TEXTRANK keyword extraction (Mihalcea & Tarau, EMNLP 2004):
+    PageRank over the corpus-level token co-occurrence graph (window 2,
+    tokens of length >= ``min_len``), returning the top-``k`` keywords.
+
+    Scale shape: the edge build is a per-batch pair-count combiner +
+    ONE vocabulary-bounded exchange (:func:`_textrank_edges`); the rank
+    loop is the shared integer-e9 PageRank core (edges pinned, only the
+    |vocab|-bounded rank table moves per iteration — the fits-a-heap
+    assumption host_pagerank documents, same bucketed fallback past
+    it).  Undirected co-occurrence feeds the directed core as two
+    opposite arcs of equal weight.  Fully integer ⇒ platform-exact.
+
+    Rows-only driver check (iterative); tests pin the edge build
+    against a per-doc pure-Python replay and the ranking against the
+    float power iteration within integer-flooring tolerance.
+
+    Returns (token, rank_e9), rank DESC, token ASC, top-k."""
+    from .webpipe import _integer_pagerank
+
+    und = _textrank_edges(sf_dir, min_len=min_len)
+    if und.empty:
+        return pd.DataFrame({"token": pd.Series(dtype=object),
+                             "rank_e9": pd.Series(dtype="int64")})
+    both = pd.concat([
+        und.rename(columns={"a": "src", "b": "dst"}),
+        und.rename(columns={"b": "src", "a": "dst"}),
+    ], ignore_index=True)[["src", "dst", "w"]]
+    ranks = _integer_pagerank(both, iters=iters, damping=damping)
+    out = ranks.rename(columns={"node": "token"}).sort_values(
+        ["rank_e9", "token"], ascending=[False, True]).head(k)
+    return out.reset_index(drop=True)

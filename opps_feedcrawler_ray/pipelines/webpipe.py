@@ -261,70 +261,86 @@ def host_pagerank(
     import pandas as pd
 
     edges_df = host_link_graph(sf_dir, work_dir=work_dir)
-    hosts = sorted(set(edges_df["src_host"]) | set(edges_df["dst_host"]))
-    n_hosts = len(hosts)
-    if n_hosts == 0:  # linkless corpus → empty rank table, typed
+    if len(edges_df) == 0:  # linkless corpus → empty rank table, typed
         return pd.DataFrame(
             {"host": pd.Series(dtype=object), "rank_e9": pd.Series(dtype="int64")}
         )
-    od = edges_df.groupby("src_host")["n_links"].sum().to_dict()  # invariant
+    core = _integer_pagerank(
+        edges_df.rename(columns={"src_host": "src", "dst_host": "dst",
+                                 "n_links": "w"}),
+        iters=iters, damping=damping,
+    )
+    out = core.rename(columns={"node": "host"}).sort_values(
+        ["rank_e9", "host"], ascending=[False, True]
+    )
+    return out.reset_index(drop=True)
+
+
+def _integer_pagerank(edges_df, iters: int = 10, damping: float = 0.85):
+    """Shared integer-e9 PageRank core over a weighted DIRECTED edge
+    table (columns src, dst, w) — the iteration body host_pagerank
+    documents: the rank vector broadcasts into a ``map_batches`` over
+    the pinned edge dataset (per-batch contribution combiners), one
+    |nodes|-key groupby-sum closes each step, and all arithmetic is
+    exact integer division with the residual pool (teleport + dangling
+    + flooring remainders) redistributed uniformly, so any executor's
+    summation order gives identical results.  Returns an UNSORTED
+    (node, rank_e9) frame."""
+    import pandas as pd
+
+    nodes = sorted(set(edges_df["src"]) | set(edges_df["dst"]))
+    n_nodes = len(nodes)
+    od = edges_df.groupby("src")["w"].sum().to_dict()  # invariant
 
     edges = rd.from_arrow(
-        pa.Table.from_pandas(edges_df, preserve_index=False)
+        pa.Table.from_pandas(edges_df[["src", "dst", "w"]], preserve_index=False)
     ).materialize()  # iterate over a pinned edge dataset (built once)
 
-    # integer e9 ranks: contributions use exact integer division with
-    # per-src remainders assigned deterministically (largest-dst-last),
-    # so every iteration conserves mass exactly and any executor's
-    # summation order gives identical results
-    rank = {h: 1_000_000_000 // n_hosts for h in hosts}
+    rank = {h: 1_000_000_000 // n_nodes for h in nodes}
     # init slack (1e9 − Σ) re-enters via iteration 1's residual pool
     for _ in range(iters):
         r = rank  # rebound (never mutated) — no per-iteration copy
 
         def contribute(batch: pa.Table) -> pa.Table:
             df = batch.to_pandas()
-            src_rank = df["src_host"].map(r).to_numpy(dtype="int64")
-            src_deg = df["src_host"].map(od).to_numpy(dtype="int64")
+            src_rank = df["src"].map(r).to_numpy(dtype="int64")
+            src_deg = df["src"].map(od).to_numpy(dtype="int64")
             # exact per-edge share via floor division; the flooring
             # remainder joins the uniformly-redistributed pool below, so
             # total mass is conserved exactly every iteration
-            share = src_rank * df["n_links"].to_numpy() // src_deg
+            share = src_rank * df["w"].to_numpy() // src_deg
             g = (
-                pd.DataFrame({"dst_host": df["dst_host"], "c": share})
-                .groupby("dst_host", as_index=False)["c"]
+                pd.DataFrame({"dst": df["dst"], "c": share})
+                .groupby("dst", as_index=False)["c"]
                 .sum()
             )
             return pa.Table.from_pandas(
                 g, preserve_index=False,
-                schema=pa.schema([("dst_host", pa.string()), ("c", pa.int64())]),
+                schema=pa.schema([("dst", pa.string()), ("c", pa.int64())]),
             )
 
         contrib = (
             edges.map_batches(contribute, batch_format="pyarrow")
-            .groupby("dst_host")
+            .groupby("dst")
             .sum("c")
             .to_pandas()
             .rename(columns={"sum(c)": "c"})
-            .set_index("dst_host")["c"]
+            .set_index("dst")["c"]
         )
         # damped rank = floor(contrib·d); the residual pool (teleport
         # (1−d) + dangling + all flooring remainders) redistributes
         # uniformly — exact integer split, remainder to the
-        # lexicographically first hosts (deterministic)
+        # lexicographically first nodes (deterministic)
         dm = int(round(damping * 1000))  # permille — int(0.85*1000) could truncate
         new_rank = {
-            h: (int(contrib.get(h, 0)) * dm) // 1000 for h in hosts
+            h: (int(contrib.get(h, 0)) * dm) // 1000 for h in nodes
         }
         pool = 1_000_000_000 - sum(new_rank.values())
-        per, rem = divmod(pool, n_hosts)
-        for i, h in enumerate(hosts):
+        per, rem = divmod(pool, n_nodes)
+        for i, h in enumerate(nodes):
             new_rank[h] += per + (1 if i < rem else 0)
         rank = new_rank
-    out = pd.DataFrame(
-        {"host": hosts, "rank_e9": [rank[h] for h in hosts]}
-    ).sort_values(["rank_e9", "host"], ascending=[False, True])
-    return out.reset_index(drop=True)
+    return pd.DataFrame({"node": nodes, "rank_e9": [rank[h] for h in nodes]})
 
 
 def components_from_edges(edges_df, max_iters: int = 50):

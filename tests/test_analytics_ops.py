@@ -3820,3 +3820,48 @@ def test_token_cms_counts_certified_sandwich(ray_session):
     probe = got["token"].tolist()
     ph = np.array([fingerprint64(t) for t in probe], dtype=np.uint64)
     assert np.array_equal(b.query_hashes(ph), got["est_n"].to_numpy())
+
+
+def test_textrank_edges_and_ranking(ray_session):
+    """TextRank: the distributed edge build equals a per-doc pure-Python
+    replay; the integer ranking approximates the float power iteration
+    on the same graph; deterministic across runs."""
+    from collections import Counter
+
+    from opps_feedcrawler_ray.pipelines.analytics import (
+        _textrank_edges, textrank_keywords)
+
+    edges = _textrank_edges(SF, min_len=4)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    exp = Counter()
+    for t in docs["text"]:
+        toks = [w for w in (t or "").split(" ") if len(w) >= 4]
+        for u, v in zip(toks, toks[1:]):
+            if u != v:
+                exp[(min(u, v), max(u, v))] += 1
+    got = {(r["a"], r["b"]): int(r["w"]) for _, r in edges.iterrows()}
+    assert got == dict(exp)
+
+    k = 15
+    kw = textrank_keywords(SF, k=k, iters=8)
+    # float power-iteration reference over the undirected graph
+    vocab = sorted({t for p in exp for t in p})
+    idx = {t: i for i, t in enumerate(vocab)}
+    n = len(vocab)
+    W = np.zeros((n, n))
+    for (u, v), w in exp.items():
+        W[idx[u], idx[v]] += w
+        W[idx[v], idx[u]] += w
+    deg = W.sum(axis=1)
+    P = W / deg[:, None]
+    r = np.full(n, 1.0 / n)
+    for _ in range(8):
+        r = 0.85 * (P.T @ r) + 0.15 / n
+        r = r / r.sum()
+    top = pd.DataFrame({"token": vocab, "r": r}).sort_values(
+        ["r", "token"], ascending=[False, True]).head(k)
+    # integer flooring perturbs low-rank ties; require heavy overlap and
+    # identical leaders
+    assert kw["token"].iloc[0] == top["token"].iloc[0]
+    assert len(set(kw["token"]) & set(top["token"])) >= k - 3
+    pd.testing.assert_frame_equal(kw, textrank_keywords(SF, k=k, iters=8))
