@@ -833,6 +833,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gbm_stumps": _q_events_gbm_stumps,
         "events_type_regression": A.events_type_regression,
         "events_hbos_outliers": A.events_hbos_outliers,
+        "conformal_token_interval": A.conformal_token_interval,
         "hybrid_search_rrf": _q_hybrid_search_rrf,
         "events_isotonic_calibration": _q_events_isotonic,
         "token_cms_counts": _q_token_cms,
@@ -2934,6 +2935,29 @@ def oracle_sql() -> dict[str, str]:
             "* 1000000000) // (n * (n * sxx - sx * sx)) "
             "END AS BIGINT) AS intercept_e9 "
             "FROM m ORDER BY event_type"
+        ),
+        "conformal_token_interval": (
+            # split-conformal: q_hat = ceil((n_cal+1)*0.9)-th smallest
+            # |n_tokens - n_chars//6| on the md5 val split (bucket 8);
+            # coverage counted on the test split (bucket 9) — all integer
+            "WITH f AS (SELECT "
+            "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) "
+            "AS INT) % 10 AS bucket, "
+            "ABS(CAST(len(list_filter(string_split(text, ' '), "
+            "x -> x <> '')) AS BIGINT) "
+            "- CAST(LENGTH(text) AS BIGINT) // 6) AS r FROM documents), "
+            "cal AS (SELECT r FROM f WHERE bucket = 8), "
+            "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM cal), "
+            "q AS (SELECT r AS q_hat FROM cal CROSS JOIN n "
+            "ORDER BY r LIMIT 1 OFFSET "
+            "(SELECT CAST(-((-(n_cal + 1) * 90) // 100) AS BIGINT) - 1 "
+            "FROM n)), "
+            "t AS (SELECT r FROM f WHERE bucket = 9) "
+            "SELECT q.q_hat, n.n_cal, "
+            "CAST(COUNT(*) AS BIGINT) AS n_test, "
+            "CAST(SUM(CASE WHEN t.r <= q.q_hat THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_covered FROM t CROSS JOIN q CROSS JOIN n "
+            "GROUP BY q.q_hat, n.n_cal"
         ),
         "events_hbos_outliers": (
             # integer HBOS: rarity = f(value bin) * f(hour bin), bottom-20

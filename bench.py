@@ -192,6 +192,7 @@ QUERY_NAMES = [
     "events_hbos_outliers",
     "token_cms_counts",
     "textrank_keywords",
+    "conformal_token_interval",
 ]
 
 

@@ -8329,3 +8329,76 @@ def textrank_keywords(sf_dir: str, k: int = 25, iters: int = 10,
     out = ranks.rename(columns={"node": "token"}).sort_values(
         ["rank_e9", "token"], ascending=[False, True]).head(k)
     return out.reset_index(drop=True)
+
+
+def conformal_token_interval(sf_dir: str, alpha_pct: int = 10) -> pd.DataFrame:
+    """SPLIT-CONFORMAL PREDICTION (Vovk et al.; Papadopoulos et al.
+    2002 — the distribution-free uncertainty wrapper every production
+    model stage needs): calibrate a prediction interval for a doc's
+    token count predicted by the fixed published rule
+    ``pred = n_chars // 6``, using the engine's deterministic val split
+    (md5 bucket 8) as the calibration set, and report the held-out
+    test-split (bucket 9) coverage.
+
+    q̂ = the ⌈(n_cal+1)·(1−α)⌉-th smallest absolute residual on the
+    calibration split — the split-conformal quantile that guarantees
+    ≥ 1−α marginal coverage under exchangeability.
+
+    Scale shape: ONE residual-domain-bounded histogram exchange on the
+    calibration split (per-batch combiners), the order statistic read
+    off the histogram (:func:`order_stat`); test coverage is a second
+    streaming counting pass against the broadcast q̂ — no row ever
+    shuffles.  Fully integer ⇒ oracle-exact.
+
+    Returns one row: (q_hat, n_cal, n_test, n_covered)."""
+    from ..functions.text import split_bucket
+    from .dedup import coarse_buckets
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    nb = coarse_buckets(docs.count(), rows_per_task=65536)
+
+    def _features(batch: pa.Table):
+        texts = batch["text"].to_pylist()
+        n_chars = np.array([len(t or "") for t in texts], dtype=np.int64)
+        n_tokens = np.array(
+            [sum(1 for w in (t or "").split(" ") if w) for t in texts],
+            dtype=np.int64)
+        resid = np.abs(n_tokens - n_chars // 6)
+        bucket = split_bucket(batch["doc_id"].to_pylist())
+        return resid, bucket
+
+    hist_schema = pa.schema([("r", pa.int64()), ("n", pa.int64()),
+                             ("__b", pa.int64())])
+
+    def cal_hist(batch: pa.Table) -> pa.Table:
+        resid, bucket = _features(batch)
+        r = resid[bucket == 8]
+        u, c = np.unique(r, return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(u), pa.array(c.astype("int64")), pa.array(u % nb)],
+            schema=hist_schema)
+
+    def hsum(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("r", as_index=False)["n"].sum()
+
+    hist = (
+        docs.map_batches(cal_hist, batch_format="pyarrow")
+        .groupby("__b").map_groups(hsum, batch_format="pandas")
+        .to_pandas().sort_values("r").reset_index(drop=True)
+    )
+    n_cal = int(hist["n"].sum())
+    k = -(-((n_cal + 1) * (100 - alpha_pct)) // 100)  # ceil
+    k = min(k, n_cal)  # degenerate tiny-cal guard (q̂ = max residual)
+    q_hat = order_stat(hist["r"].to_numpy(), hist["n"].to_numpy(), k)
+
+    def test_cover(batch: pa.Table) -> pa.Table:
+        resid, bucket = _features(batch)
+        t = resid[bucket == 9]
+        return pa.table({"n_test": [int(len(t))],
+                         "n_covered": [int((t <= q_hat).sum())]})
+
+    cov = docs.map_batches(test_cover, batch_format="pyarrow").to_pandas().sum()
+    return pd.DataFrame({
+        "q_hat": [int(q_hat)], "n_cal": [n_cal],
+        "n_test": [int(cov["n_test"])], "n_covered": [int(cov["n_covered"])],
+    }).astype("int64")

@@ -3865,3 +3865,31 @@ def test_textrank_edges_and_ranking(ray_session):
     assert kw["token"].iloc[0] == top["token"].iloc[0]
     assert len(set(kw["token"]) & set(top["token"])) >= k - 3
     pd.testing.assert_frame_equal(kw, textrank_keywords(SF, k=k, iters=8))
+
+
+def test_conformal_token_interval_coverage_guarantee(ray_session):
+    """Split-conformal: q_hat equals the exact calibration order
+    statistic and the test-split coverage meets the 1-alpha guarantee
+    within the finite-sample slack 1/(n_cal+1)."""
+    from opps_feedcrawler_ray.functions.text import split_bucket
+    from opps_feedcrawler_ray.pipelines.analytics import conformal_token_interval
+
+    got = conformal_token_interval(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    n_chars = docs["text"].str.len().to_numpy(dtype="int64")
+    n_tokens = np.array(
+        [sum(1 for w in t.split(" ") if w) for t in docs["text"]], dtype="int64")
+    resid = np.abs(n_tokens - n_chars // 6)
+    b = split_bucket(docs["doc_id"].to_list())
+    cal = np.sort(resid[b == 8])
+    n_cal = len(cal)
+    k = -(-((n_cal + 1) * 90) // 100)
+    q_exp = int(cal[min(k, n_cal) - 1])
+    assert int(got["q_hat"].iloc[0]) == q_exp
+    assert int(got["n_cal"].iloc[0]) == n_cal
+    test = resid[b == 9]
+    assert int(got["n_test"].iloc[0]) == len(test)
+    assert int(got["n_covered"].iloc[0]) == int((test <= q_exp).sum())
+    # marginal coverage guarantee with finite-sample slack
+    cov = got["n_covered"].iloc[0] / max(got["n_test"].iloc[0], 1)
+    assert cov >= 0.9 - 1.0 / (n_cal + 1) - 0.05  # data-split noise band
