@@ -398,6 +398,15 @@ def _q_host_spanning_forest(sf_dir: str):
     return host_spanning_forest(sf_dir)
 
 
+def _q_user_overlap_sketch(sf_dir: str):
+    """Theta/KMV-sketch pairwise distinct-user overlaps (rows-only:
+    sketch estimate; tests pin the exact-intersection error band and
+    combiner order-independence)."""
+    from opps_feedcrawler_ray.pipelines.analytics import user_overlap_sketch
+
+    return user_overlap_sketch(sf_dir)
+
+
 def _q_textrank(sf_dir: str):
     """TextRank keyword extraction — PageRank over the token
     co-occurrence graph (rows-only: iterative; tests pin the edge build
@@ -838,6 +847,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_isotonic_calibration": _q_events_isotonic,
         "token_cms_counts": _q_token_cms,
         "textrank_keywords": _q_textrank,
+        "user_overlap_sketch": _q_user_overlap_sketch,
         "events_spearman_corr": A.events_spearman_corr,
         "customer_loo_encoding": A.customer_loo_encoding,
         "nb_lang_predict": A.nb_lang_predict,

@@ -193,6 +193,7 @@ QUERY_NAMES = [
     "token_cms_counts",
     "textrank_keywords",
     "conformal_token_interval",
+    "user_overlap_sketch",
 ]
 
 

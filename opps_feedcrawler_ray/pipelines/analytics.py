@@ -8402,3 +8402,62 @@ def conformal_token_interval(sf_dir: str, alpha_pct: int = 10) -> pd.DataFrame:
         "q_hat": [int(q_hat)], "n_cal": [n_cal],
         "n_test": [int(cov["n_test"])], "n_covered": [int(cov["n_covered"])],
     }).astype("int64")
+
+
+def user_overlap_sketch(sf_dir: str, k: int = 1024) -> pd.DataFrame:
+    """THETA/KMV SKETCH SET INTERSECTION (Beyer et al. 2007; the
+    DataSketches theta-sketch operation): estimate the number of
+    DISTINCT users shared by every pair of event types from k-minimum-
+    value sketches — the scale answer when exact distinct-intersections
+    would need a full user×type shuffle.
+
+    Per batch: distinct user hashes per type reduce to the k smallest
+    (a mergeable combiner — ≤ k·8 bytes per type per batch moves);
+    the driver merges per-type KMVs, then estimates each pairwise
+    intersection with the standard theta rule: θ = min(θ_A, θ_B),
+    est = |{h ∈ A ∩ B : h < θ}| · 2⁶⁴/θ.  Hashes are splitmix64 of the
+    user id ⇒ deterministic.
+
+    Rows-only driver check (sketch estimate); tests pin the exact
+    pandas intersections within the 1/√k error band plus determinism
+    and the merge-order-free combiner property.
+
+    Returns (type_a, type_b, est_n) for type_a < type_b."""
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "user_id"])
+    U64 = float(2**64)
+
+    def kmv_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out_t, out_h = [], []
+        for et, g in df.groupby("event_type"):
+            h = np.sort(_splitmix64(np.unique(g["user_id"].to_numpy())
+                                    .astype(np.uint64)))[:k]
+            out_t.append(et)
+            out_h.append(h.tobytes())
+        return pa.table({"event_type": pa.array(out_t, pa.string()),
+                         "kmv": pa.array(out_h, pa.binary())})
+
+    parts = ev.map_batches(kmv_partial, batch_format="pyarrow").to_pandas()
+    sketches: dict[str, np.ndarray] = {}
+    for _, r in parts.iterrows():
+        h = np.frombuffer(r["kmv"], dtype=np.uint64)
+        prev = sketches.get(r["event_type"])
+        merged = h if prev is None else np.union1d(prev, h)  # distinct+sorted
+        sketches[r["event_type"]] = merged[:k]
+
+    types = sorted(sketches)
+    rows = []
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            A, B = sketches[a], sketches[b]
+            # θ = k-th min of each sketch (the sketch is exact below θ);
+            # a sketch with < k entries saw its whole set — θ = 2^64
+            th_a = float(A[-1]) if len(A) == k else U64
+            th_b = float(B[-1]) if len(B) == k else U64
+            theta = min(th_a, th_b)
+            common = np.intersect1d(A, B)
+            m = int((common < theta).sum()) if theta < U64 else len(common)
+            est = int(round(m * U64 / theta)) if theta < U64 else m
+            rows.append((a, b, est))
+    return pd.DataFrame(rows, columns=["type_a", "type_b", "est_n"]).astype(
+        {"est_n": "int64"})

@@ -3893,3 +3893,42 @@ def test_conformal_token_interval_coverage_guarantee(ray_session):
     # marginal coverage guarantee with finite-sample slack
     cov = got["n_covered"].iloc[0] / max(got["n_test"].iloc[0], 1)
     assert cov >= 0.9 - 1.0 / (n_cal + 1) - 0.05  # data-split noise band
+
+
+def test_user_overlap_sketch_error_band(ray_session):
+    """Theta-sketch pairwise user overlaps land within the KMV error
+    band of the exact intersections, and a single-shot driver KMV
+    yields the identical estimates (merge = exact combiner)."""
+    from opps_feedcrawler_ray.pipelines.analytics import (
+        _splitmix64, user_overlap_sketch)
+
+    k = 1024
+    got = user_overlap_sketch(SF, k=k)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "user_id"])
+    users = {et: set(g["user_id"]) for et, g in ev.groupby("event_type")}
+    for _, r in got.iterrows():
+        exact = len(users[r["type_a"]] & users[r["type_b"]])
+        if exact >= 200:
+            assert abs(r["est_n"] - exact) / exact < 0.15, (dict(r), exact)
+        else:
+            assert abs(r["est_n"] - exact) <= max(30, 0.3 * exact)
+    # single-shot KMV from the raw data gives the same estimates
+    sk = {}
+    for et, us in users.items():
+        h = np.sort(_splitmix64(np.array(sorted(us), dtype=np.uint64)))[:k]
+        sk[et] = h
+    types = sorted(sk)
+    U64 = float(2**64)
+    rows = []
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            A, B = sk[a], sk[b]
+            th = min(float(A[-1]) if len(A) == k else U64,
+                     float(B[-1]) if len(B) == k else U64)
+            common = np.intersect1d(A, B)
+            m = int((common < th).sum()) if th < U64 else len(common)
+            est = int(round(m * U64 / th)) if th < U64 else m
+            rows.append((a, b, est))
+    exp = pd.DataFrame(rows, columns=["type_a", "type_b", "est_n"]).astype(
+        {"est_n": "int64"})
+    pd.testing.assert_frame_equal(got, exp)
