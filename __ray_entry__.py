@@ -843,6 +843,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_regression": A.events_type_regression,
         "events_hbos_outliers": A.events_hbos_outliers,
         "conformal_token_interval": A.conformal_token_interval,
+        "events_seasonal_decompose": A.events_seasonal_decompose,
         "hybrid_search_rrf": _q_hybrid_search_rrf,
         "events_isotonic_calibration": _q_events_isotonic,
         "token_cms_counts": _q_token_cms,
@@ -2945,6 +2946,29 @@ def oracle_sql() -> dict[str, str]:
             "* 1000000000) // (n * (n * sxx - sx * sx)) "
             "END AS BIGINT) AS intercept_e9 "
             "FROM m ORDER BY event_type"
+        ),
+        "events_seasonal_decompose": (
+            # additive decomposition: daily mean (floor e6) -> centered
+            # 7-day MA trend -> truncating dow seasonal -> remainder;
+            # full windows only; all-integer on both sides
+            "WITH d AS (SELECT strftime(ts, '%Y-%m-%d') AS day, "
+            "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1), "
+            "m AS (SELECT day, (s * 1000000) // n AS mv FROM d), "
+            "w AS (SELECT day, mv, "
+            "CAST(SUM(mv) OVER win AS BIGINT) AS ws, "
+            "COUNT(*) OVER win AS cnt FROM m "
+            "WINDOW win AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)), "
+            "core AS (SELECT day, mv, ws // 7 AS trend, mv - ws // 7 AS x, "
+            "CAST(dayofweek(CAST(day AS DATE)) AS BIGINT) AS dow "
+            "FROM w WHERE cnt = 7), "
+            "sea AS (SELECT dow, CAST(SUM(x) AS BIGINT) // "
+            "CAST(COUNT(*) AS BIGINT) AS sv FROM core GROUP BY dow) "
+            "SELECT core.day, CAST(mv AS BIGINT) AS mean_e6, "
+            "CAST(trend AS BIGINT) AS trend_e6, "
+            "CAST(sea.sv AS BIGINT) AS seasonal_e6, "
+            "CAST(x - sea.sv AS BIGINT) AS remainder_e6 "
+            "FROM core JOIN sea USING (dow) ORDER BY core.day"
         ),
         "conformal_token_interval": (
             # split-conformal: q_hat = ceil((n_cal+1)*0.9)-th smallest

@@ -194,6 +194,7 @@ QUERY_NAMES = [
     "textrank_keywords",
     "conformal_token_interval",
     "user_overlap_sketch",
+    "events_seasonal_decompose",
 ]
 
 

@@ -8461,3 +8461,69 @@ def user_overlap_sketch(sf_dir: str, k: int = 1024) -> pd.DataFrame:
             rows.append((a, b, est))
     return pd.DataFrame(rows, columns=["type_a", "type_b", "est_n"]).astype(
         {"est_n": "int64"})
+
+
+def events_seasonal_decompose(sf_dir: str) -> pd.DataFrame:
+    """CLASSICAL ADDITIVE SEASONAL DECOMPOSITION (the moving-average
+    method behind STL's ancestor, Macaulay 1931): daily mean value →
+    centered 7-day moving-average TREND → day-of-week SEASONAL index
+    (mean of the detrended series per weekday) → REMAINDER, all in
+    exact integers (daily mean frozen as floor(Σv·1e6/n); seasonal
+    means truncate toward zero like the DuckDB oracle's ``//``).
+
+    Scale shape: ONE |days|-bounded exchange (per-batch (day → Σv, n)
+    combiners); the decomposition itself walks ≤|days| rows on the
+    driver — rows reduce to the daily census before anything moves,
+    the same domain-bound contract as the histogram family.
+
+    Returns one row per day with a full 7-day window:
+    (day, mean_e6, trend_e6, seasonal_e6, remainder_e6)."""
+    from .dedup import coarse_buckets
+
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "value"])
+    nb = coarse_buckets(ev.count(), rows_per_task=65536)
+    schema = pa.schema([("day", pa.string()), ("s", pa.int64()),
+                        ("n", pa.int64()), ("__b", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["day"] = df["ts"].dt.strftime("%Y-%m-%d")
+        df["v"] = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+        g = df.groupby("day", as_index=False).agg(s=("v", "sum"), n=("v", "size"))
+        g["__b"] = pd.util.hash_array(g["day"].to_numpy()).astype("int64") % nb
+        return pa.Table.from_pandas(g, preserve_index=False, schema=schema)
+
+    def dsum(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("day", as_index=False)[["s", "n"]].sum()
+
+    daily = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("__b").map_groups(dsum, batch_format="pandas")
+        .to_pandas().sort_values("day").reset_index(drop=True)
+    )
+    if len(daily) < 7:
+        return pd.DataFrame({c: pd.Series(dtype="int64" if c != "day" else object)
+                             for c in ["day", "mean_e6", "trend_e6",
+                                       "seasonal_e6", "remainder_e6"]})
+    m = (daily["s"].to_numpy() * 1_000_000) // daily["n"].to_numpy()
+    # centered 7-day MA (floor of the exact integer mean), full windows only
+    csum = np.concatenate([[0], np.cumsum(m)])
+    trend = (csum[7:] - csum[:-7]) // 7  # trend[i] centers day i+3
+    days = daily["day"].to_numpy()
+    core = slice(3, len(m) - 3)
+    x = m[core] - trend  # detrended
+    dts = pd.to_datetime(days[core])
+    dow = ((dts.dayofweek.to_numpy() + 1) % 7).astype("int64")  # DuckDB 0=Sun
+    sea = np.zeros(7, dtype=np.int64)
+    for d in range(7):
+        sel = dow == d
+        if sel.any():
+            sea[d] = _tdiv(int(x[sel].sum()), int(sel.sum()))
+    return pd.DataFrame({
+        "day": days[core],
+        "mean_e6": m[core],
+        "trend_e6": trend,
+        "seasonal_e6": sea[dow],
+        "remainder_e6": x - sea[dow],
+    }).astype({c: "int64" for c in ["mean_e6", "trend_e6", "seasonal_e6",
+                                    "remainder_e6"]})

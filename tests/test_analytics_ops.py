@@ -3932,3 +3932,31 @@ def test_user_overlap_sketch_error_band(ray_session):
     exp = pd.DataFrame(rows, columns=["type_a", "type_b", "est_n"]).astype(
         {"est_n": "int64"})
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_events_seasonal_decompose_identity_and_replay(ray_session):
+    """Decomposition identity holds exactly (mean = trend + seasonal +
+    remainder), trend is the exact 7-day MA, and dow seasonal values
+    match a pandas replay."""
+    from opps_feedcrawler_ray.pipelines.analytics import (
+        _tdiv, events_seasonal_decompose)
+
+    got = events_seasonal_decompose(SF)
+    assert (got["mean_e6"] == got["trend_e6"] + got["seasonal_e6"]
+            + got["remainder_e6"]).all()
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["ts", "value"])
+    v = np.floor(ev["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+    g = pd.DataFrame({"day": ev["ts"].dt.strftime("%Y-%m-%d"), "v": v}) \
+        .groupby("day")["v"].agg(["sum", "size"]).sort_index()
+    m = (g["sum"].to_numpy() * 1_000_000) // g["size"].to_numpy()
+    csum = np.concatenate([[0], np.cumsum(m)])
+    trend = (csum[7:] - csum[:-7]) // 7
+    days = g.index.to_numpy()[3:len(m) - 3]
+    assert list(got["day"]) == list(days)
+    assert np.array_equal(got["trend_e6"].to_numpy(), trend)
+    x = m[3:len(m) - 3] - trend
+    dow = ((pd.to_datetime(days).dayofweek.to_numpy() + 1) % 7)
+    for d in np.unique(dow):
+        sel = dow == d
+        exp = _tdiv(int(x[sel].sum()), int(sel.sum()))
+        assert (got.loc[sel, "seasonal_e6"] == exp).all()
