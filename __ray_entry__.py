@@ -844,6 +844,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hbos_outliers": A.events_hbos_outliers,
         "conformal_token_interval": A.conformal_token_interval,
         "events_seasonal_decompose": A.events_seasonal_decompose,
+        "events_cuped_adjust": A.events_cuped_adjust,
         "hybrid_search_rrf": _q_hybrid_search_rrf,
         "events_isotonic_calibration": _q_events_isotonic,
         "token_cms_counts": _q_token_cms,
@@ -2946,6 +2947,38 @@ def oracle_sql() -> dict[str, str]:
             "* 1000000000) // (n * (n * sxx - sx * sx)) "
             "END AS BIGINT) AS intercept_e9 "
             "FROM m ORDER BY event_type"
+        ),
+        "events_cuped_adjust": (
+            # CUPED: per-user pre(X)/post(Y) totals; pooled theta =
+            # cov/var from exact integer moments; identical double
+            # expression tree on both sides
+            "WITH u AS (SELECT user_id, "
+            "CAST(SUM(CASE WHEN EXTRACT(day FROM ts) <= 15 "
+            "THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) ELSE 0 END) "
+            "AS BIGINT) AS x, "
+            "CAST(SUM(CASE WHEN EXTRACT(day FROM ts) > 15 "
+            "THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) ELSE 0 END) "
+            "AS BIGINT) AS y FROM events GROUP BY user_id), "
+            "m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, "
+            "CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy, "
+            "CAST(SUM(x * y) AS HUGEINT) AS sxy, "
+            "CAST(SUM(x * x) AS HUGEINT) AS sxx FROM u), "
+            "t AS (SELECT CASE WHEN n * sxx - sx * sx = 0 THEN 0.0 "
+            "ELSE CAST(n * sxy - sx * sy AS DOUBLE) "
+            "/ CAST(n * sxx - sx * sx AS DOUBLE) END AS theta, "
+            "CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS gx FROM m), "
+            "g AS (SELECT user_id % 2 AS grp, "
+            "CAST(COUNT(*) AS BIGINT) AS n_users, "
+            "CAST(SUM(x) AS BIGINT) AS sxg, CAST(SUM(y) AS BIGINT) AS syg "
+            "FROM u GROUP BY 1) "
+            "SELECT CAST(grp AS BIGINT) AS grp, n_users, "
+            "CAST(FLOOR(CAST(syg AS DOUBLE) / CAST(n_users AS DOUBLE) "
+            "* 1e6 + 0.5) AS BIGINT) AS mean_y_e6, "
+            "CAST(FLOOR((CAST(syg AS DOUBLE) / CAST(n_users AS DOUBLE) "
+            "- t.theta * (CAST(sxg AS DOUBLE) / CAST(n_users AS DOUBLE) "
+            "- t.gx)) * 1e6 + 0.5) AS BIGINT) AS mean_adj_e6, "
+            "CAST(FLOOR(t.theta * 1e6 + 0.5) AS BIGINT) AS theta_e6 "
+            "FROM g CROSS JOIN t ORDER BY grp"
         ),
         "events_seasonal_decompose": (
             # additive decomposition: daily mean (floor e6) -> centered

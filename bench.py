@@ -195,6 +195,7 @@ QUERY_NAMES = [
     "conformal_token_interval",
     "user_overlap_sketch",
     "events_seasonal_decompose",
+    "events_cuped_adjust",
 ]
 
 

@@ -8527,3 +8527,72 @@ def events_seasonal_decompose(sf_dir: str) -> pd.DataFrame:
         "remainder_e6": x - sea[dow],
     }).astype({c: "int64" for c in ["mean_e6", "trend_e6", "seasonal_e6",
                                     "remainder_e6"]})
+
+
+def events_cuped_adjust(sf_dir: str) -> pd.DataFrame:
+    """CUPED VARIANCE REDUCTION (Deng, Xu, Kohavi & Walker, WSDM 2013 —
+    the standard pre-experiment covariate adjustment in A/B analysis):
+    per user, X = pre-period value total (days 1–15), Y = post-period
+    total; θ = cov(X,Y)/var(X) pooled over all users; each arm
+    (user_id % 2) reports its raw and CUPED-adjusted mean
+    Ȳ_g − θ·(X̄_g − X̄).
+
+    Scale shape: ONE user-bucket exchange builds the per-user (X, Y)
+    table from per-batch combiners; the pooled moments (n, ΣX, ΣY,
+    ΣXY, ΣX²) and per-arm sums are EXACT integers reduced from that
+    bounded table, and the driver evaluates the closed form in doubles
+    with the same expression tree the DuckDB oracle uses ⇒ hash-exact.
+
+    Returns (grp, n_users, mean_y_e6, mean_adj_e6, theta_e6) per arm."""
+    from .dedup import coarse_buckets
+
+    ev = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "ts", "value"])
+    nb = coarse_buckets(ev.count(), rows_per_task=65536)
+    schema = pa.schema([("user_id", pa.int64()), ("x", pa.int64()),
+                        ("y", pa.int64()), ("__b", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        v = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+        pre = df["ts"].dt.day.to_numpy() <= 15
+        g = pd.DataFrame({"user_id": df["user_id"],
+                          "x": np.where(pre, v, 0),
+                          "y": np.where(pre, 0, v)})
+        agg = g.groupby("user_id", as_index=False)[["x", "y"]].sum()
+        agg["__b"] = (agg["user_id"].to_numpy() % nb).astype("int64")
+        return pa.Table.from_pandas(agg, preserve_index=False, schema=schema)
+
+    def usum(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("user_id", as_index=False)[["x", "y"]].sum()
+
+    users = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("__b").map_groups(usum, batch_format="pandas")
+        .to_pandas()
+    )
+    x = users["x"].to_numpy(dtype="int64")
+    y = users["y"].to_numpy(dtype="int64")
+    n = len(users)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxy, sxx = int((x * y).sum()), int((x * x).sum())
+    den = n * sxx - sx * sx
+    theta = float(n * sxy - sx * sy) / float(den) if den else 0.0
+    gx = float(sx) / float(n)
+    rows = []
+    for grp in (0, 1):
+        sel = (users["user_id"].to_numpy() % 2) == grp
+        ng = int(sel.sum())
+        if ng == 0:
+            rows.append((grp, 0, 0, 0, int(np.floor(theta * 1e6 + 0.5))))
+            continue
+        sxg, syg = int(x[sel].sum()), int(y[sel].sum())
+        mean_y = float(syg) / float(ng)
+        mean_adj = mean_y - theta * (float(sxg) / float(ng) - gx)
+        rows.append((grp, ng,
+                     int(np.floor(mean_y * 1e6 + 0.5)),
+                     int(np.floor(mean_adj * 1e6 + 0.5)),
+                     int(np.floor(theta * 1e6 + 0.5))))
+    return pd.DataFrame(
+        rows, columns=["grp", "n_users", "mean_y_e6", "mean_adj_e6", "theta_e6"]
+    ).astype("int64")

@@ -3960,3 +3960,36 @@ def test_events_seasonal_decompose_identity_and_replay(ray_session):
         sel = dow == d
         exp = _tdiv(int(x[sel].sum()), int(sel.sum()))
         assert (got.loc[sel, "seasonal_e6"] == exp).all()
+
+
+def test_events_cuped_adjust_variance_reduction(ray_session):
+    """CUPED: matches a pandas replay AND actually reduces the pooled
+    variance of the adjusted metric (the whole point of theta)."""
+    from opps_feedcrawler_ray.pipelines.analytics import events_cuped_adjust
+
+    got = events_cuped_adjust(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+    v = np.floor(ev["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+    pre = ev["ts"].dt.day.to_numpy() <= 15
+    u = pd.DataFrame({"user_id": ev["user_id"],
+                      "x": np.where(pre, v, 0),
+                      "y": np.where(pre, 0, v)}).groupby("user_id").sum()
+    x, y = u["x"].to_numpy(dtype="int64"), u["y"].to_numpy(dtype="int64")
+    n = len(u)
+    sx, sy, sxy, sxx = map(int, (x.sum(), y.sum(), (x * y).sum(), (x * x).sum()))
+    den = n * sxx - sx * sx
+    theta = float(n * sxy - sx * sy) / float(den)
+    gx = float(sx) / n
+    for grp in (0, 1):
+        sel = (u.index.to_numpy() % 2) == grp
+        ng = int(sel.sum())
+        mean_y = float(x[sel].sum()) * 0 + float(y[sel].sum()) / ng
+        mean_adj = mean_y - theta * (float(x[sel].sum()) / ng - gx)
+        row = got[got["grp"] == grp].iloc[0]
+        assert row["n_users"] == ng
+        assert row["mean_y_e6"] == int(np.floor(mean_y * 1e6 + 0.5))
+        assert row["mean_adj_e6"] == int(np.floor(mean_adj * 1e6 + 0.5))
+    # variance reduction: Var(Y - theta X) <= Var(Y) (strict when corr != 0)
+    yf, xf = y.astype(float), x.astype(float)
+    assert np.var(yf - theta * xf) <= np.var(yf) + 1e-9
