@@ -454,6 +454,15 @@ def _q_events_gbm_stumps(sf_dir: str):
     return events_gbm_stumps(sf_dir)
 
 
+def _q_doc_harmonic_centrality(sf_dir: str):
+    """HyperBall harmonic centrality over the doc link graph (rows-only:
+    iterative sketch; tests pin the per-node exact-BFS error band and
+    determinism)."""
+    from opps_feedcrawler_ray.pipelines.webpipe import doc_harmonic_centrality
+
+    return doc_harmonic_centrality(sf_dir)
+
+
 def _q_doc_neighborhood_function(sf_dir: str):
     """HyperBall neighborhood function N(t) + effective diameter over
     the doc link graph (rows-only: iterative + sketch-estimated; tests
@@ -764,6 +773,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_kcore": _q_host_kcore,
         "host_spanning_forest": _q_host_spanning_forest,
         "doc_neighborhood_function": _q_doc_neighborhood_function,
+        "doc_harmonic_centrality": _q_doc_harmonic_centrality,
         "host_communities": _q_host_communities,
         "top_tokens_per_lang": A.top_tokens_per_lang,
         "doc_triangle_counts": _q_doc_triangles,

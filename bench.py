@@ -196,6 +196,7 @@ QUERY_NAMES = [
     "user_overlap_sketch",
     "events_seasonal_decompose",
     "events_cuped_adjust",
+    "doc_harmonic_centrality",
 ]
 
 

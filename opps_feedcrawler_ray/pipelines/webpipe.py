@@ -1352,6 +1352,23 @@ def doc_neighborhood_function(
     Returns one row per round t: (t int64, est_pairs float64).
     """
     import pandas as pd
+
+    nodes, per_round = _hyperball_rounds(sf_dir, p=p, max_iters=max_iters,
+                                         work_dir=work_dir)
+    rows_out = [(t, float(np.sum(est))) for t, est in enumerate(per_round)]
+    return pd.DataFrame(rows_out, columns=["t", "est_pairs"]).astype(
+        {"t": "int64", "est_pairs": "float64"}
+    )
+
+
+def _hyperball_rounds(
+    sf_dir: str, p: int = 8, max_iters: int = 32, work_dir: str | None = None
+):
+    """Shared HyperBall iteration (see :func:`doc_neighborhood_function`
+    for the full algorithm/shape notes).  Returns ``(nodes, per_round)``
+    where ``per_round[t]`` is the float64 per-node ball-size estimate
+    |B(u, t)| after round t (t = 0 .. saturation)."""
+    import pandas as pd
     import ray
 
     from ..functions.sketch import hll_estimate_rows, hll_init_rows
@@ -1375,11 +1392,10 @@ def doc_neighborhood_function(
     nodes = np.sort(nodes.astype(np.int64))
     n = len(nodes)
     if n == 0:
-        return pd.DataFrame({"t": pd.Series(dtype="int64"),
-                             "est_pairs": pd.Series(dtype="float64")})
+        return nodes, [np.zeros(0, dtype=np.float64)]
 
     regs = hll_init_rows(_splitmix64(nodes.astype(np.uint64)), p)
-    rows_out = [(0, float(np.sum(hll_estimate_rows(regs))))]
+    per_round = [hll_estimate_rows(regs)]
 
     out_schema = pa.schema(
         [("node", pa.int64()), ("regs", pa.binary()), ("__b", pa.int64())]
@@ -1437,11 +1453,45 @@ def doc_neighborhood_function(
         if np.array_equal(new, regs):  # exact fixpoint — every ball closed
             break
         regs = new
-        rows_out.append((t, float(np.sum(hll_estimate_rows(regs)))))
+        per_round.append(hll_estimate_rows(regs))
 
-    return pd.DataFrame(rows_out, columns=["t", "est_pairs"]).astype(
-        {"t": "int64", "est_pairs": "float64"}
-    )
+    return nodes, per_round
+
+
+def doc_harmonic_centrality(
+    sf_dir: str, k: int = 25, p: int = 8, max_iters: int = 32,
+    work_dir: str | None = None,
+):
+    """HARMONIC CENTRALITY via HyperBall (Boldi & Vigna 2013 — the
+    paper's headline application): H(u) = Σ_{v≠u} 1/dist(u, v),
+    estimated per node from the ball-growth telescope
+    Σ_t (|B(u,t)| − |B(u,t−1)|)/t over the shared HyperBall rounds
+    (:func:`_hyperball_rounds` — one node-bucket register exchange per
+    round, nothing extra for centrality: the per-node estimates are
+    free off the same counters).  Growth increments clip at ≥ 0 (HLL
+    estimates are monotone in the registers but the bias correction can
+    wobble a hair).  Deterministic.
+
+    Rows-only driver check; tests pin the exact BFS harmonic
+    centralities at small scale (rank agreement + per-node band).
+
+    Returns top-``k`` (doc_id, harmonic_e6), harmonic DESC, doc_id ASC.
+    """
+    import pandas as pd
+
+    nodes, per_round = _hyperball_rounds(sf_dir, p=p, max_iters=max_iters,
+                                         work_dir=work_dir)
+    if len(nodes) == 0:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "harmonic_e6": pd.Series(dtype="int64")})
+    harm = np.zeros(len(nodes), dtype=np.float64)
+    for t in range(1, len(per_round)):
+        harm += np.maximum(per_round[t] - per_round[t - 1], 0.0) / t
+    out = pd.DataFrame({
+        "doc_id": nodes,
+        "harmonic_e6": np.floor(harm * 1e6 + 0.5).astype("int64"),
+    }).sort_values(["harmonic_e6", "doc_id"], ascending=[False, True]).head(k)
+    return out.reset_index(drop=True)
 
 
 def effective_diameter(nf: "pd.DataFrame", q: float = 0.9) -> float:
