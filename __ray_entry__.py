@@ -855,6 +855,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conformal_token_interval": A.conformal_token_interval,
         "events_seasonal_decompose": A.events_seasonal_decompose,
         "events_cuped_adjust": A.events_cuped_adjust,
+        "token_typo_pairs": A.token_typo_pairs,
         "hybrid_search_rrf": _q_hybrid_search_rrf,
         "events_isotonic_calibration": _q_events_isotonic,
         "token_cms_counts": _q_token_cms,
@@ -2957,6 +2958,14 @@ def oracle_sql() -> dict[str, str]:
             "* 1000000000) // (n * (n * sxx - sx * sx)) "
             "END AS BIGINT) AS intercept_e9 "
             "FROM m ORDER BY event_type"
+        ),
+        "token_typo_pairs": (
+            # FastSS = exactly the Levenshtein-1 pairs over the distinct
+            # customer names
+            "WITH tok AS (SELECT DISTINCT c_name AS t FROM customer) "
+            "SELECT a.t AS tok_a, b.t AS tok_b FROM tok a JOIN tok b "
+            "ON a.t < b.t AND levenshtein(a.t, b.t) = 1 "
+            "ORDER BY tok_a, tok_b"
         ),
         "events_cuped_adjust": (
             # CUPED: per-user pre(X)/post(Y) totals; pooled theta =

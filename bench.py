@@ -197,6 +197,7 @@ QUERY_NAMES = [
     "events_seasonal_decompose",
     "events_cuped_adjust",
     "doc_harmonic_centrality",
+    "token_typo_pairs",
 ]
 
 

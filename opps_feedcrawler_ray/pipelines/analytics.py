@@ -8596,3 +8596,116 @@ def events_cuped_adjust(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(
         rows, columns=["grp", "n_users", "mean_y_e6", "mean_adj_e6", "theta_e6"]
     ).astype("int64")
+
+
+def _ed1(a: str, b: str) -> bool:
+    """Exact edit-distance-1 test (substitution / single insert-delete;
+    the FastSS verify kernel — O(len), no DP table)."""
+    la, lb = len(a), len(b)
+    if la == lb:
+        return sum(1 for x, y in zip(a, b) if x != y) == 1
+    if abs(la - lb) != 1:
+        return False
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # a is shorter: b must equal a with one char inserted
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def token_typo_pairs(sf_dir: str) -> pd.DataFrame:
+    """STRING-SIMILARITY SELF-JOIN at edit distance 1 via DELETION
+    NEIGHBORHOODS (FastSS, Bocek et al. 2007 — the signature scheme
+    that makes fuzzy joins scale: a string emits itself plus its
+    |t| single-deletion variants as join keys; two strings are within
+    one edit IFF they share a key, so candidate generation is an
+    EQUI-join, never a quadratic scan), over the distinct customer
+    names (the digit-structured key space where one-typo collisions
+    actually live).
+
+    Scale shape: distinct names reduce vocabulary-bounded (per-batch
+    unique + one seed-stable name-bucket exchange); each name then
+    emits |t|+1 keys into ONE key-bucket exchange; per key the
+    candidate pairs enumerate via np.triu over the (tiny — names
+    agreeing everywhere but the deleted position) key group and verify
+    with the exact O(len) kernel before anything leaves the task; only
+    verified pairs (deduped across shared keys) reach the driver —
+    output-sized, never candidate-sized.
+
+    Oracle-exact vs DuckDB ``levenshtein(a, b) = 1`` over the same
+    distinct-name set (FastSS covers exactly the substitution /
+    single-indel pairs Levenshtein-1 admits).
+
+    Returns (tok_a, tok_b) with tok_a < tok_b, sorted."""
+    from .dedup import coarse_buckets
+
+    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_name"])
+    nb = coarse_buckets(cust.count(), rows_per_task=4096)
+
+    tok_schema = pa.schema([("t", pa.string()), ("__b", pa.int64())])
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        s = batch["c_name"].to_pandas().drop_duplicates()
+        key = pd.util.hash_array(s.to_numpy())
+        return pa.Table.from_pandas(
+            pd.DataFrame({"t": s, "__b": (key % np.uint64(nb)).astype("int64")}),
+            preserve_index=False, schema=tok_schema)
+
+    def tok_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["t"]].drop_duplicates()
+
+    toks = (
+        cust.map_batches(tok_partial, batch_format="pyarrow")
+        .groupby("__b").map_groups(tok_distinct, batch_format="pandas")
+    )
+
+    key_schema = pa.schema([("k", pa.string()), ("t", pa.string()),
+                            ("__b", pa.int64())])
+
+    def emit_keys(batch: pa.Table) -> pa.Table:
+        ks, ts = [], []
+        for t in batch["t"].to_pylist():
+            ks.append(t)
+            ts.append(t)
+            for i in range(len(t)):
+                ks.append(t[:i] + t[i + 1:])
+                ts.append(t)
+        df = pd.DataFrame({"k": ks, "t": ts})
+        df["__b"] = (pd.util.hash_array(df["k"].to_numpy())
+                     % np.uint64(nb)).astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False, schema=key_schema)
+
+    pair_schema = pa.schema([("tok_a", pa.string()), ("tok_b", pa.string())])
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, kg in g.groupby("k"):
+            u = np.sort(kg["t"].unique())
+            if len(u) < 2:
+                continue
+            ii, jj = np.triu_indices(len(u), k=1)
+            for i, j in zip(ii, jj):
+                a, b = u[i], u[j]
+                if _ed1(a, b):
+                    out_a.append(a)
+                    out_b.append(b)
+        # explicit string dtype: an empty object column would infer a
+        # null-typed block and break downstream schema unification
+        return pd.DataFrame({"tok_a": pd.Series(out_a, dtype="string"),
+                             "tok_b": pd.Series(out_b, dtype="string")}
+                            ).drop_duplicates()
+
+    pairs = (
+        toks.map_batches(emit_keys, batch_format="pyarrow")
+        .groupby("__b").map_groups(pairs_in_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if pairs.empty:  # typed empty result (schema-stable for the oracle)
+        return pd.DataFrame({"tok_a": pd.Series(dtype=object),
+                             "tok_b": pd.Series(dtype=object)})
+    # cross-bucket dedup: a pair can surface under several shared keys
+    # (different buckets); verified-pair volume is output-sized
+    pairs = pairs.drop_duplicates().sort_values(["tok_a", "tok_b"])
+    return pairs.reset_index(drop=True)

@@ -4040,3 +4040,16 @@ def test_doc_harmonic_centrality_vs_exact_bfs(ray_session, tmp_path):
     assert len(got) == k and set(got["doc_id"]).issubset(set(g.index))
     got2 = doc_harmonic_centrality(SF, k=k, work_dir=str(tmp_path / "w2"))
     pd.testing.assert_frame_equal(got, got2)
+
+
+def test_token_typo_pairs_matches_brute_levenshtein(ray_session):
+    """FastSS deletion-neighborhood join returns EXACTLY the
+    Levenshtein-1 pairs a brute all-pairs scan finds."""
+    from opps_feedcrawler_ray.pipelines.analytics import _ed1, token_typo_pairs
+
+    got = token_typo_pairs(SF)
+    cust = pd.read_parquet(f"{SF}/customer.parquet", columns=["c_name"])
+    vocab = sorted(set(cust["c_name"]))
+    exp = [(a, b) for i, a in enumerate(vocab) for b in vocab[i + 1:]
+           if abs(len(a) - len(b)) <= 1 and _ed1(a, b)]
+    assert list(map(tuple, got.to_numpy())) == exp
