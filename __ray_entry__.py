@@ -856,6 +856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_seasonal_decompose": A.events_seasonal_decompose,
         "events_cuped_adjust": A.events_cuped_adjust,
         "token_typo_pairs": A.token_typo_pairs,
+        "token_pmi_collocations": A.token_pmi_collocations,
         "hybrid_search_rrf": _q_hybrid_search_rrf,
         "events_isotonic_calibration": _q_events_isotonic,
         "token_cms_counts": _q_token_cms,
@@ -2958,6 +2959,35 @@ def oracle_sql() -> dict[str, str]:
             "* 1000000000) // (n * (n * sxx - sx * sx)) "
             "END AS BIGINT) AS intercept_e9 "
             "FROM m ORDER BY event_type"
+        ),
+        "token_pmi_collocations": (
+            # PMI over adjacent filtered-token pairs: ln of exact integer
+            # cross-products, identical double expression both sides
+            "WITH tk AS (SELECT doc_id, t, idx FROM ("
+            "SELECT doc_id, unnest(string_split(text, ' ')) AS t, "
+            "generate_subscripts(string_split(text, ' '), 1) AS idx "
+            "FROM documents) WHERE LENGTH(t) >= 4), "
+            "seq AS (SELECT doc_id, t, "
+            "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY idx) AS rn "
+            "FROM tk), "
+            "adj AS (SELECT a.t AS u, b.t AS v FROM seq a JOIN seq b "
+            "ON a.doc_id = b.doc_id AND b.rn = a.rn + 1), "
+            "pr AS (SELECT least(u, v) AS a, greatest(u, v) AS b, "
+            "CAST(COUNT(*) AS HUGEINT) AS w FROM adj WHERE u <> v "
+            "GROUP BY 1, 2), "
+            "np AS (SELECT CAST(SUM(w) AS HUGEINT) AS n_pairs FROM pr), "
+            "mg AS (SELECT t, CAST(COUNT(*) AS HUGEINT) AS n FROM tk "
+            "GROUP BY t), "
+            "nt AS (SELECT CAST(SUM(n) AS HUGEINT) AS n_tok FROM mg), "
+            "sc AS (SELECT pr.a, pr.b, pr.w, "
+            "ln(CAST(pr.w * nt.n_tok * nt.n_tok AS DOUBLE)) "
+            "- ln(CAST(np.n_pairs * ma.n * mb.n AS DOUBLE)) AS pmi "
+            "FROM pr CROSS JOIN np CROSS JOIN nt "
+            "JOIN mg ma ON ma.t = pr.a JOIN mg mb ON mb.t = pr.b "
+            "WHERE pr.w >= 5) "
+            "SELECT a AS tok_a, b AS tok_b, CAST(w AS BIGINT) AS n_pair, "
+            "CAST(FLOOR(pmi * 1e6 + 0.5) AS BIGINT) AS pmi_e6 FROM sc "
+            "ORDER BY pmi_e6 DESC, tok_a, tok_b LIMIT 25"
         ),
         "token_typo_pairs": (
             # FastSS = exactly the Levenshtein-1 pairs over the distinct

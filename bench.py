@@ -198,6 +198,7 @@ QUERY_NAMES = [
     "events_cuped_adjust",
     "doc_harmonic_centrality",
     "token_typo_pairs",
+    "token_pmi_collocations",
 ]
 
 

@@ -8709,3 +8709,70 @@ def token_typo_pairs(sf_dir: str) -> pd.DataFrame:
     # (different buckets); verified-pair volume is output-sized
     pairs = pairs.drop_duplicates().sort_values(["tok_a", "tok_b"])
     return pairs.reset_index(drop=True)
+
+
+def token_pmi_collocations(sf_dir: str, k: int = 25, min_count: int = 5,
+                           min_len: int = 4) -> pd.DataFrame:
+    """COLLOCATION MINING by pointwise mutual information (Church &
+    Hanks 1990): rank adjacent token pairs by PMI = ln(p(a,b) /
+    (p(a)·p(b))) with a ``min_count`` support floor — the classic
+    corpus-statistics operator behind phrase detection
+    (word2vec-style "new_york" merging).
+
+    Scale shape: pair counts ride the SAME vocabulary-bounded exchange
+    as TextRank (:func:`_textrank_edges`); token marginals are one
+    value_counts combiner + a vocabulary-bounded sum; PMI evaluates on
+    the driver over ≤|pairs| rows as ln(x) − ln(y) of EXACT integer
+    cross-products, the identical double expression the DuckDB oracle
+    uses ⇒ hash-exact.
+
+    Returns top-``k`` (tok_a, tok_b, n_pair, pmi_e6), pmi DESC then
+    pair ASC."""
+    from .dedup import coarse_buckets
+
+    all_pairs = _textrank_edges(sf_dir, min_len=min_len)
+    pairs = all_pairs[all_pairs["w"] >= min_count]
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    nb = coarse_buckets(docs.count(), rows_per_task=4096)
+    cnt_schema = pa.schema([("t", pa.string()), ("n", pa.int64()),
+                            ("__b", pa.int64())])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(batch["text"], pattern=" "))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        s = toks.to_pandas()
+        s = s[s.str.len() >= min_len]
+        vc = s.value_counts()
+        df = pd.DataFrame({"t": vc.index, "n": vc.to_numpy().astype("int64")})
+        df["__b"] = (pd.util.hash_array(df["t"].to_numpy())
+                     % np.uint64(nb)).astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False, schema=cnt_schema)
+
+    def csum(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("t", as_index=False)["n"].sum()
+
+    marg = (
+        docs.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("__b").map_groups(csum, batch_format="pandas")
+        .to_pandas()
+    )
+    n_tok = int(marg["n"].sum())
+    cnt = dict(zip(marg["t"], marg["n"].astype(int)))
+    # N_pairs = total ADJACENT pair occurrences = sum of all edge weights
+    # BEFORE the support floor (one edge build, reused)
+    n_pairs = int(all_pairs["w"].sum())
+
+    rows = []
+    for _, r in pairs.iterrows():
+        a, b, w = r["a"], r["b"], int(r["w"])
+        x = w * n_tok * n_tok
+        y = n_pairs * cnt[a] * cnt[b]
+        pmi = np.log(float(x)) - np.log(float(y))
+        rows.append((a, b, w, int(np.floor(pmi * 1e6 + 0.5))))
+    out = pd.DataFrame(rows, columns=["tok_a", "tok_b", "n_pair", "pmi_e6"])
+    out = out.sort_values(["pmi_e6", "tok_a", "tok_b"],
+                          ascending=[False, True, True]).head(k)
+    return out.reset_index(drop=True).astype(
+        {"n_pair": "int64", "pmi_e6": "int64"})

@@ -4053,3 +4053,38 @@ def test_token_typo_pairs_matches_brute_levenshtein(ray_session):
     exp = [(a, b) for i, a in enumerate(vocab) for b in vocab[i + 1:]
            if abs(len(a) - len(b)) <= 1 and _ed1(a, b)]
     assert list(map(tuple, got.to_numpy())) == exp
+
+
+def test_token_pmi_collocations_matches_brute(ray_session):
+    """PMI collocations equal a per-doc pure-Python recount + the same
+    ln(x) − ln(y) expression over exact integer cross-products."""
+    from collections import Counter
+
+    from opps_feedcrawler_ray.pipelines.analytics import token_pmi_collocations
+
+    got = token_pmi_collocations(SF, k=25, min_count=5)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    pair_c, tok_c = Counter(), Counter()
+    for t in docs["text"]:
+        toks = [w for w in (t or "").split(" ") if len(w) >= 4]
+        tok_c.update(toks)
+        for u, v in zip(toks, toks[1:]):
+            if u != v:
+                pair_c[(min(u, v), max(u, v))] += 1
+    n_tok = sum(tok_c.values())
+    n_pairs = sum(pair_c.values())
+    rows = []
+    for (a, b), w in pair_c.items():
+        if w < 5:
+            continue
+        pmi = np.log(float(w * n_tok * n_tok)) - np.log(
+            float(n_pairs * tok_c[a] * tok_c[b]))
+        rows.append((a, b, w, int(np.floor(pmi * 1e6 + 0.5))))
+    exp = (
+        pd.DataFrame(rows, columns=["tok_a", "tok_b", "n_pair", "pmi_e6"])
+        .sort_values(["pmi_e6", "tok_a", "tok_b"],
+                     ascending=[False, True, True]).head(25)
+        .reset_index(drop=True)
+        .astype({"n_pair": "int64", "pmi_e6": "int64"})
+    )
+    pd.testing.assert_frame_equal(got, exp)
