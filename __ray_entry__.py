@@ -857,6 +857,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cuped_adjust": A.events_cuped_adjust,
         "token_typo_pairs": A.token_typo_pairs,
         "token_pmi_collocations": A.token_pmi_collocations,
+        "events_anova_f": A.events_anova_f,
+        "events_kruskal_wallis": A.events_kruskal_wallis,
+        "lang_temperature_sample": A.lang_temperature_sample,
         "hybrid_search_rrf": _q_hybrid_search_rrf,
         "events_isotonic_calibration": _q_events_isotonic,
         "token_cms_counts": _q_token_cms,
@@ -2988,6 +2991,86 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a AS tok_a, b AS tok_b, CAST(w AS BIGINT) AS n_pair, "
             "CAST(FLOOR(pmi * 1e6 + 0.5) AS BIGINT) AS pmi_e6 FROM sc "
             "ORDER BY pmi_e6 DESC, tok_a, tok_b LIMIT 25"
+        ),
+        "events_anova_f": (
+            # one-way ANOVA: exact integer moments per type; the single
+            # float reduction sum(Sg^2/ng) folds sequentially in
+            # event_type order via a recursive CTE so the add order (and
+            # hence the double) matches the driver bit-for-bit
+            "WITH RECURSIVE ev AS (SELECT event_type, "
+            "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v FROM events), "
+            "m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(v) AS BIGINT) AS s, "
+            "CAST(SUM(CAST(v AS HUGEINT) * v) AS HUGEINT) AS q "
+            "FROM ev GROUP BY event_type), "
+            "ord AS (SELECT *, ROW_NUMBER() OVER (ORDER BY event_type) "
+            "AS rn FROM m), "
+            "fold(rn, acc) AS ("
+            "SELECT rn, CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / "
+            "CAST(n AS DOUBLE) FROM ord WHERE rn = 1 "
+            "UNION ALL SELECT o.rn, f.acc + CAST(o.s AS DOUBLE) * "
+            "CAST(o.s AS DOUBLE) / CAST(o.n AS DOUBLE) "
+            "FROM fold f JOIN ord o ON o.rn = f.rn + 1), "
+            "lastf AS (SELECT acc FROM fold ORDER BY rn DESC LIMIT 1), "
+            "tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nr, "
+            "CAST(SUM(s) AS BIGINT) AS st, CAST(SUM(q) AS HUGEINT) AS qt, "
+            "CAST(COUNT(*) AS BIGINT) AS k FROM m) "
+            "SELECT tot.nr AS n_rows, tot.k AS n_groups, "
+            "CAST(FLOOR(((lastf.acc - CAST(tot.st AS DOUBLE) * "
+            "CAST(tot.st AS DOUBLE) / CAST(tot.nr AS DOUBLE)) "
+            "/ (tot.k - 1)) / ((CAST(tot.qt AS DOUBLE) - lastf.acc) "
+            "/ (tot.nr - tot.k)) * 1e6 + 0.5) AS BIGINT) AS f_e6 "
+            "FROM tot, lastf"
+        ),
+        "events_kruskal_wallis": (
+            # Kruskal-Wallis: doubled average ranks (2*sm + t + 1) keep
+            # every per-group rank sum integer; sum(R2g^2/ng) folds via
+            # the same recursive-CTE sequential-order trick as ANOVA
+            "WITH RECURSIVE ev AS (SELECT event_type, "
+            "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v FROM events), "
+            "h AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS t FROM ev "
+            "GROUP BY v), "
+            "hh AS (SELECT v, t, CAST(SUM(t) OVER (ORDER BY v) - t "
+            "AS BIGINT) AS sm FROM h), "
+            "g AS (SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(CAST(2 * hh.sm + hh.t + 1 AS HUGEINT)) AS HUGEINT) "
+            "AS r2 FROM ev e JOIN hh ON hh.v = e.v GROUP BY e.event_type), "
+            "ord AS (SELECT *, ROW_NUMBER() OVER (ORDER BY event_type) "
+            "AS rn FROM g), "
+            "fold(rn, acc) AS ("
+            "SELECT rn, CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE) / "
+            "CAST(n AS DOUBLE) FROM ord WHERE rn = 1 "
+            "UNION ALL SELECT o.rn, f.acc + CAST(o.r2 AS DOUBLE) * "
+            "CAST(o.r2 AS DOUBLE) / CAST(o.n AS DOUBLE) "
+            "FROM fold f JOIN ord o ON o.rn = f.rn + 1), "
+            "lastf AS (SELECT acc FROM fold ORDER BY rn DESC LIMIT 1), "
+            "tie AS (SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tie "
+            "FROM h), "
+            "tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nr, "
+            "CAST(COUNT(*) AS BIGINT) AS k FROM g) "
+            "SELECT tot.nr AS n_rows, tot.k AS n_groups, "
+            "CAST(FLOOR(((12.0 / (CAST(tot.nr AS DOUBLE) * "
+            "CAST(tot.nr + 1 AS DOUBLE)) * (lastf.acc / 4.0) "
+            "- 3.0 * CAST(tot.nr + 1 AS DOUBLE)) "
+            "/ (1.0 - CAST(tie.tie AS DOUBLE) / "
+            "(CAST(tot.nr AS DOUBLE) * CAST(tot.nr AS DOUBLE) * "
+            "CAST(tot.nr AS DOUBLE) - CAST(tot.nr AS DOUBLE)))) "
+            "* 1e6 + 0.5) AS BIGINT) AS h_e6 "
+            "FROM tot, lastf, tie"
+        ),
+        "lang_temperature_sample": (
+            # temperature mixing: acceptance rate (n_min/n_i)^(1-alpha)
+            # per language, md5-u32 gate replayed bit-for-bit
+            "WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM documents GROUP BY lang), "
+            "mn AS (SELECT CAST(MIN(n) AS BIGINT) AS n_min FROM c), "
+            "thr AS (SELECT c.lang, CAST(FLOOR(POWER("
+            "CAST(mn.n_min AS DOUBLE) / CAST(c.n AS DOUBLE), 0.5) "
+            "* 4294967296.0) AS BIGINT) AS cut FROM c, mn) "
+            "SELECT d.doc_id, d.lang FROM documents d "
+            "JOIN thr ON thr.lang = d.lang "
+            "WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), "
+            "1, 8)) AS BIGINT) < thr.cut ORDER BY d.doc_id"
         ),
         "token_typo_pairs": (
             # FastSS = exactly the Levenshtein-1 pairs over the distinct

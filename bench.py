@@ -199,6 +199,9 @@ QUERY_NAMES = [
     "doc_harmonic_centrality",
     "token_typo_pairs",
     "token_pmi_collocations",
+    "events_anova_f",
+    "events_kruskal_wallis",
+    "lang_temperature_sample",
 ]
 
 

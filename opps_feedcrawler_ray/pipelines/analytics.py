@@ -8776,3 +8776,154 @@ def token_pmi_collocations(sf_dir: str, k: int = 25, min_count: int = 5,
                           ascending=[False, True, True]).head(k)
     return out.reset_index(drop=True).astype(
         {"n_pair": "int64", "pmi_e6": "int64"})
+
+
+def events_anova_f(sf_dir: str) -> pd.DataFrame:
+    """ONE-WAY ANOVA F-test of event value across ALL event types — the
+    parametric k-group mean-difference test (the k-group extension of
+    :func:`welch_ttest`; its nonparametric twin is
+    :func:`events_kruskal_wallis`).
+
+    Exactness contract: the per-group moments (n, Σv, Σv²) are EXACT
+    integers off the domain-bounded value histogram; the one float
+    reduction Σ Sg²/ng folds SEQUENTIALLY in event_type order — the
+    oracle's recursive CTE forces the identical add order, so the
+    double (and its e6 floor) hash-match bit-for-bit.
+
+    Scale shape: rides the SAME distributed (type, v_e2) histogram as
+    the median/quantile/MAD/Mann-Whitney family
+    (:func:`_event_value_hist`) — shuffle payload bounded by the value
+    DOMAIN, not the row count; the fold runs over k ≤ |types| rows on
+    the driver.  No extra data pass."""
+    hist = _event_value_hist(sf_dir)
+    v = hist["v_e2"].to_numpy(dtype="int64")
+    n = hist["n"].to_numpy(dtype="int64")
+    hist = hist.assign(s=v * n, q=(v * v) * n)
+    m = (
+        hist.groupby("event_type", as_index=False)
+        .agg(n=("n", "sum"), s=("s", "sum"), q=("q", "sum"))
+        .sort_values("event_type")
+    )
+    k = len(m)
+    N = int(m["n"].sum())
+    S = int(m["s"].sum())
+    Q = int(m["q"].sum())  # python int — no int64 wrap at any sf
+    acc = 0.0
+    for sg, ng in zip(m["s"], m["n"]):
+        # same expression tree as the oracle's CTE step:
+        # acc + CAST(s AS DOUBLE) * s / n
+        acc = acc + float(sg) * float(sg) / float(ng)
+    ssb = acc - float(S) * float(S) / float(N)
+    ssw = float(Q) - acc
+    f = (ssb / (k - 1)) / (ssw / (N - k))
+    return pd.DataFrame(
+        {"n_rows": pd.array([N], dtype="int64"),
+         "n_groups": pd.array([k], dtype="int64"),
+         "f_e6": pd.array([int(np.floor(f * 1e6 + 0.5))], dtype="int64")}
+    )
+
+
+def events_kruskal_wallis(sf_dir: str) -> pd.DataFrame:
+    """KRUSKAL-WALLIS H rank test across ALL event types — the k-group
+    nonparametric ANOVA (extends :func:`events_mannwhitney` from 2 to k
+    samples), tie-corrected.
+
+    Exactness contract: doubled average ranks (2·sm + t + 1) make every
+    per-group rank sum R2g an exact integer; the tie term Σ(t³−t) is
+    integer; the single float reduction Σ R2g²/ng folds sequentially in
+    event_type order, mirrored by the oracle's recursive CTE ⇒
+    hash-exact.
+
+    Scale shape: the global value histogram (strictly-smaller counts)
+    and the per-group rank sums all derive from ONE domain-bounded
+    (type, v_e2) histogram exchange — no sort, no per-row ranks."""
+    hist = _event_value_hist(sf_dir)
+    # global per-value tie counts + strictly-smaller cumulative
+    h = hist.groupby("v_e2", as_index=False)["n"].sum().sort_values("v_e2")
+    t = h["n"].to_numpy(dtype="int64")
+    sm = np.cumsum(t) - t
+    r2_of = dict(zip(h["v_e2"], 2 * sm + t + 1))  # 2·avg_rank per value
+    hist = hist.assign(
+        r2=hist["n"].to_numpy(dtype="int64")
+        * np.array([r2_of[x] for x in hist["v_e2"]], dtype="int64")
+    )
+    m = (
+        hist.groupby("event_type", as_index=False)
+        .agg(n=("n", "sum"), r2=("r2", "sum"))
+        .sort_values("event_type")
+    )
+    k = len(m)
+    N = int(m["n"].sum())
+    tie = int((t * t * t - t).sum())
+    acc = 0.0
+    for r2g, ng in zip(m["r2"], m["n"]):
+        acc = acc + float(r2g) * float(r2g) / float(ng)
+    h_unc = 12.0 / (float(N) * float(N + 1)) * (acc / 4.0) - 3.0 * float(N + 1)
+    corr = 1.0 - float(tie) / (float(N) * float(N) * float(N) - float(N))
+    hstat = h_unc / corr
+    return pd.DataFrame(
+        {"n_rows": pd.array([N], dtype="int64"),
+         "n_groups": pd.array([k], dtype="int64"),
+         "h_e6": pd.array([int(np.floor(hstat * 1e6 + 0.5))], dtype="int64")}
+    )
+
+
+def lang_temperature_sample(sf_dir: str, alpha: float = 0.5) -> pd.DataFrame:
+    """TEMPERATURE-BASED DATA MIXING (the multilingual-balancing sampler
+    from mBERT/XLM-R-style training, Conneau et al. 2020): resample the
+    corpus so language i's share follows p_i ∝ n_i^alpha — low-resource
+    languages are kept whole while high-resource ones downsample.  The
+    per-doc acceptance rate is a_i = (n_min / n_i)^(1 − alpha) (the
+    smallest language keeps everything), decided by a DETERMINISTIC
+    md5 gate: keep doc iff u32(md5(doc_id)) < floor(a_i · 2^32) — the
+    same hash-gate convention as ``doc_split_assign`` /
+    ``events_hash_sample``, so the DuckDB oracle replays the draw
+    bit-for-bit (seedless, shuffle-order-free).
+
+    Scale shape: pass 1 is a |langs|-bounded count combiner (no
+    exchange); thresholds broadcast; pass 2 is one streaming filter —
+    zero shuffles end-to-end."""
+    import hashlib
+    import math
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang"])
+
+    _p = pa.schema([("lang", pa.string()), ("n", pa.int64())])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        vc = batch["lang"].to_pandas().value_counts()
+        return pa.Table.from_pandas(
+            pd.DataFrame({"lang": vc.index, "n": vc.to_numpy().astype("int64")}),
+            preserve_index=False, schema=_p,
+        )
+
+    counts = (
+        docs.map_batches(count_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("lang", as_index=False)["n"].sum()  # ≤ |langs| rows
+    )
+    n_min = int(counts["n"].min())
+    # floor(((n_min/n_i) ** (1-alpha)) * 2^32), identical double expr as
+    # the oracle's POWER(CAST(n_min AS DOUBLE)/n, 1-alpha)
+    thr = {
+        lang: int(math.floor(
+            math.pow(float(n_min) / float(n), 1.0 - alpha) * 4294967296.0))
+        for lang, n in zip(counts["lang"], counts["n"])
+    }
+
+    def gate(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        u32 = np.fromiter(
+            (int.from_bytes(
+                hashlib.md5(str(i).encode()).digest()[:4], "big")
+             for i in df["doc_id"]),
+            dtype=np.int64, count=len(df),
+        )
+        cut = df["lang"].map(thr).to_numpy(dtype="int64")
+        return pa.Table.from_pandas(
+            df[u32 < cut], preserve_index=False,
+            schema=pa.schema([("doc_id", pa.int64()), ("lang", pa.string())]),
+        )
+
+    out = docs.map_batches(gate, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

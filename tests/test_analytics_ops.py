@@ -4088,3 +4088,67 @@ def test_token_pmi_collocations_matches_brute(ray_session):
         .astype({"n_pair": "int64", "pmi_e6": "int64"})
     )
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_events_anova_f_matches_brute(ray_session):
+    """Distributed ANOVA F (histogram moments + sequential fold) matches
+    a textbook group-mean recompute to e6 granularity."""
+    from opps_feedcrawler_ray.pipelines.analytics import events_anova_f
+
+    got = events_anova_f(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "value"])
+    v = np.floor(ev["value"].to_numpy() * 100.0 + 0.5)
+    g = ev["event_type"]
+    mean = v.mean()
+    ssb = sum(len(x) * (x.mean() - mean) ** 2
+              for _, x in pd.Series(v).groupby(g.values))
+    ssw = sum(((x - x.mean()) ** 2).sum()
+              for _, x in pd.Series(v).groupby(g.values))
+    k, n = g.nunique(), len(v)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert int(got["n_rows"].iloc[0]) == n
+    assert int(got["n_groups"].iloc[0]) == k
+    assert abs(got["f_e6"].iloc[0] / 1e6 - f) < 5e-6
+
+
+def test_events_kruskal_wallis_matches_brute(ray_session):
+    """Distributed Kruskal-Wallis H equals the textbook average-rank
+    formula (tie-corrected) to e6 granularity."""
+    from opps_feedcrawler_ray.pipelines.analytics import events_kruskal_wallis
+
+    got = events_kruskal_wallis(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "value"])
+    v = pd.Series(np.floor(ev["value"].to_numpy() * 100.0 + 0.5))
+    r = v.rank(method="average")
+    n = len(v)
+    h = 12.0 / (n * (n + 1)) * sum(
+        rg.sum() ** 2 / len(rg) for _, rg in r.groupby(ev["event_type"].values)
+    ) - 3 * (n + 1)
+    t = v.value_counts().to_numpy()
+    h /= 1.0 - float((t ** 3 - t).sum()) / (n ** 3 - n)
+    assert int(got["n_rows"].iloc[0]) == n
+    assert abs(got["h_e6"].iloc[0] / 1e6 - h) < 5e-6
+
+
+def test_lang_temperature_sample_replay_and_shares(ray_session):
+    """The md5 temperature gate replays exactly; the smallest language
+    keeps every doc and larger languages keep ~sqrt-scaled shares."""
+    import hashlib
+    import math
+
+    from opps_feedcrawler_ray.pipelines.analytics import lang_temperature_sample
+
+    got = lang_temperature_sample(SF, alpha=0.5)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "lang"])
+    n = docs["lang"].value_counts()
+    n_min = int(n.min())
+    thr = {lg: int(math.floor(math.pow(float(n_min) / float(c), 0.5)
+                              * 4294967296.0)) for lg, c in n.items()}
+    keep = docs[[
+        int.from_bytes(hashlib.md5(str(i).encode()).digest()[:4], "big")
+        < thr[lg] for i, lg in zip(docs["doc_id"], docs["lang"])
+    ]].sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, keep)
+    # the minimum language is kept whole
+    lmin = n.idxmin()
+    assert (got["lang"] == lmin).sum() == n_min
