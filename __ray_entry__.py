@@ -860,6 +860,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_anova_f": A.events_anova_f,
         "events_kruskal_wallis": A.events_kruskal_wallis,
         "lang_temperature_sample": A.lang_temperature_sample,
+        "user_type_als": A.user_type_als,
         "hybrid_search_rrf": _q_hybrid_search_rrf,
         "events_isotonic_calibration": _q_events_isotonic,
         "token_cms_counts": _q_token_cms,

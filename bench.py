@@ -202,6 +202,7 @@ QUERY_NAMES = [
     "events_anova_f",
     "events_kruskal_wallis",
     "lang_temperature_sample",
+    "user_type_als",
 ]
 
 

@@ -8927,3 +8927,170 @@ def lang_temperature_sample(sf_dir: str, alpha: float = 0.5) -> pd.DataFrame:
 
     out = docs.map_batches(gate, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _als_init_q(types: list) -> np.ndarray:
+    """Deterministic rank-2 item-factor init: two md5-derived uniforms in
+    [0.5, 1.5) per type, pre-quantized to e6 so every replica starts from
+    the identical integer state."""
+    import hashlib
+
+    q = np.empty((len(types), 2), dtype="float64")
+    for i, t in enumerate(types):
+        d = hashlib.md5(str(t).encode()).digest()
+        u0 = int.from_bytes(d[:4], "big") / 4294967296.0
+        u1 = int.from_bytes(d[4:8], "big") / 4294967296.0
+        q[i] = (0.5 + u0, 0.5 + u1)
+    return np.floor(q * 1e6 + 0.5) / 1e6
+
+
+def user_type_als(
+    sf_dir: str, n_iters: int = 4, lam: float = 0.1
+) -> pd.DataFrame:
+    """MATRIX FACTORIZATION by ALTERNATING LEAST SQUARES (Koren, Bell &
+    Volinsky 2009; the Spark-MLlib/implicit-feedback recommender shape):
+    factor the user × event-type count matrix into rank-2 user/item
+    factors.  Each half-step is a closed-form ridge solve.
+
+    Distributed shape: the (user, type, c) count table is built by ONE
+    user-bucket exchange (a user's rows are bucket-complete) and PINNED;
+    per iteration the k×2 item-factor matrix broadcasts into a
+    map_batches pass that (a) solves every user's 2×2 ridge system
+    vectorized, (b) quantizes the user factors to e6, and (c) emits
+    per-type integer normal-equation partials (Σ u·uᵀ, Σ c·u as e12/e6
+    ints) — int sums are ORDER-FREE, so training is bit-reproducible
+    across any partitioning / cluster size, and user factors never
+    materialize globally.  The driver re-solves the k item systems from
+    the exact integer sums.  Iterative float solve → no SQL oracle
+    (rows-only); the twin replays the rule exactly and pins a
+    loss-decrease floor."""
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "event_type"])
+    from .dedup import coarse_buckets
+
+    nb = coarse_buckets(ev.count(), rows_per_task=65536)
+
+    _c_schema = pa.schema(
+        [("user_id", pa.int64()), ("event_type", pa.string()),
+         ("c", pa.int64()), ("__b", pa.int64())]
+    )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(["user_id", "event_type"], as_index=False).agg(
+            c=("event_type", "size")
+        )
+        g["__b"] = (g["user_id"].to_numpy() % nb).astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False, schema=_c_schema)
+
+    def sum_counts(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["user_id", "event_type"], as_index=False)["c"].sum()
+
+    counts = (
+        ev.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(sum_counts, batch_format="pandas")
+        .materialize()  # |users|·|types|-bounded, pinned across iterations
+        # (block layout preserves bucket-completeness: a user's rows
+        # never split across blocks, which the per-user solve requires)
+    )
+    types = sorted(
+        counts.groupby("event_type").count().to_pandas()["event_type"]
+    )
+    t_idx = {t: i for i, t in enumerate(types)}
+    k = len(types)
+    Q = _als_init_q(types)
+
+    _p_schema = pa.schema(
+        [("ti", pa.int64()), ("a00", pa.int64()), ("a01", pa.int64()),
+         ("a11", pa.int64()), ("b0", pa.int64()), ("b1", pa.int64())]
+    )
+
+    def user_halfstep(df: pd.DataFrame, Qcur: np.ndarray) -> np.ndarray:
+        """Solve every user's 2x2 ridge system vectorized; returns the
+        e6-quantized user factor aligned to df's rows.  Callers pass df
+        pre-sorted by (user_id, event_type) so the per-user float add
+        order is layout-independent and the e6 quantization is
+        bit-reproducible across any partitioning."""
+        ti = df["event_type"].map(t_idx).to_numpy()
+        c = df["c"].to_numpy(dtype="float64")
+        q = Qcur[ti]  # (rows, 2)
+        # per-user A = sum q qT + lam I, b = sum c q (grouped sums)
+        uid, inv = np.unique(df["user_id"].to_numpy(), return_inverse=True)
+        nA = len(uid)
+        a00 = np.bincount(inv, q[:, 0] * q[:, 0], nA) + lam
+        a01 = np.bincount(inv, q[:, 0] * q[:, 1], nA)
+        a11 = np.bincount(inv, q[:, 1] * q[:, 1], nA) + lam
+        b0 = np.bincount(inv, c * q[:, 0], nA)
+        b1 = np.bincount(inv, c * q[:, 1], nA)
+        det = a00 * a11 - a01 * a01
+        u0 = (a11 * b0 - a01 * b1) / det
+        u1 = (a00 * b1 - a01 * b0) / det
+        U = np.floor(np.stack([u0, u1], axis=1) * 1e6 + 0.5) / 1e6
+        return U[inv]
+
+    for _ in range(n_iters):
+        Qcur = Q.copy()
+
+        def item_partial(batch: pa.Table, _Q=Qcur) -> pa.Table:
+            df = batch.to_pandas()
+            if not len(df):
+                return _p_schema.empty_table()
+            df = df.sort_values(["user_id", "event_type"], kind="mergesort")
+            u = user_halfstep(df, _Q)
+            ti = df["event_type"].map(t_idx).to_numpy(dtype="int64")
+            c = df["c"].to_numpy(dtype="float64")
+            # e12 / e6 integer contributions -> order-free int64 sums
+            p = pd.DataFrame({
+                "ti": ti,
+                "a00": np.floor(u[:, 0] * u[:, 0] * 1e12 + 0.5).astype("int64"),
+                "a01": np.floor(u[:, 0] * u[:, 1] * 1e12 + 0.5).astype("int64"),
+                "a11": np.floor(u[:, 1] * u[:, 1] * 1e12 + 0.5).astype("int64"),
+                "b0": np.floor(c * u[:, 0] * 1e6 + 0.5).astype("int64"),
+                "b1": np.floor(c * u[:, 1] * 1e6 + 0.5).astype("int64"),
+            })
+            g = p.groupby("ti", as_index=False).sum()
+            return pa.Table.from_pandas(g, preserve_index=False,
+                                        schema=_p_schema)
+
+        parts = (
+            counts.map_batches(item_partial, batch_format="pyarrow",
+                               batch_size=None)
+            .to_pandas()  # <= blocks x k tiny integer rows
+            .groupby("ti", as_index=False).sum()
+        )
+        for _, r in parts.iterrows():
+            A = np.array(
+                [[r["a00"] / 1e12 + lam, r["a01"] / 1e12],
+                 [r["a01"] / 1e12, r["a11"] / 1e12]]
+            )
+            b = np.array([r["b0"] / 1e6, r["b1"] / 1e6])
+            qi = np.linalg.solve(A, b)
+            Q[int(r["ti"])] = np.floor(qi * 1e6 + 0.5) / 1e6
+
+    Qfinal = Q.copy()
+
+    _s_schema = pa.schema([("sse", pa.int64())])
+
+    def sse_partial(batch: pa.Table, _Q=Qfinal) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df):
+            return _s_schema.empty_table()
+        df = df.sort_values(["user_id", "event_type"], kind="mergesort")
+        u = user_halfstep(df, _Q)
+        q = _Q[df["event_type"].map(t_idx).to_numpy()]
+        r = df["c"].to_numpy(dtype="float64") - (u * q).sum(axis=1)
+        sse = int(np.floor(r * r * 1e6 + 0.5).astype("int64").sum())
+        return pa.Table.from_pandas(pd.DataFrame({"sse": [sse]}),
+                                    preserve_index=False, schema=_s_schema)
+
+    sse = int(
+        counts.map_batches(sse_partial, batch_format="pyarrow",
+                           batch_size=None)
+        .to_pandas()["sse"].sum()
+    )
+    return pd.DataFrame({
+        "event_type": types,
+        "q0_e6": np.floor(Qfinal[:, 0] * 1e6 + 0.5).astype("int64"),
+        "q1_e6": np.floor(Qfinal[:, 1] * 1e6 + 0.5).astype("int64"),
+        "sse_e6": pd.array([sse] * k, dtype="int64"),
+    })

@@ -4152,3 +4152,73 @@ def test_lang_temperature_sample_replay_and_shares(ray_session):
     # the minimum language is kept whole
     lmin = n.idxmin()
     assert (got["lang"] == lmin).sum() == n_min
+
+
+def test_user_type_als_replay_and_loss(ray_session):
+    """Distributed ALS equals a single-process exact replay (quantized
+    integer partials make it partitioning-independent), and more
+    iterations do not increase the SSE."""
+    from opps_feedcrawler_ray.pipelines.analytics import (
+        _als_init_q, user_type_als,
+    )
+
+    got = user_type_als(SF, n_iters=4, lam=0.1)
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "event_type"])
+    counts = (
+        ev.groupby(["user_id", "event_type"], as_index=False)
+        .agg(c=("event_type", "size"))
+        .sort_values(["user_id", "event_type"], kind="mergesort")
+    )
+    types = sorted(counts["event_type"].unique())
+    t_idx = {t: i for i, t in enumerate(types)}
+    lam = 0.1
+    Q = _als_init_q(types)
+
+    def solve_users(Qc):
+        ti = counts["event_type"].map(t_idx).to_numpy()
+        c = counts["c"].to_numpy(dtype="float64")
+        q = Qc[ti]
+        uid, inv = np.unique(counts["user_id"].to_numpy(),
+                             return_inverse=True)
+        nA = len(uid)
+        a00 = np.bincount(inv, q[:, 0] * q[:, 0], nA) + lam
+        a01 = np.bincount(inv, q[:, 0] * q[:, 1], nA)
+        a11 = np.bincount(inv, q[:, 1] * q[:, 1], nA) + lam
+        b0 = np.bincount(inv, c * q[:, 0], nA)
+        b1 = np.bincount(inv, c * q[:, 1], nA)
+        det = a00 * a11 - a01 * a01
+        U = np.stack([(a11 * b0 - a01 * b1) / det,
+                      (a00 * b1 - a01 * b0) / det], axis=1)
+        return np.floor(U * 1e6 + 0.5) / 1e6, inv, ti, c
+
+    for _ in range(4):
+        U, inv, ti, c = solve_users(Q)
+        u = U[inv]
+        p = pd.DataFrame({
+            "ti": ti,
+            "a00": np.floor(u[:, 0] * u[:, 0] * 1e12 + 0.5).astype("int64"),
+            "a01": np.floor(u[:, 0] * u[:, 1] * 1e12 + 0.5).astype("int64"),
+            "a11": np.floor(u[:, 1] * u[:, 1] * 1e12 + 0.5).astype("int64"),
+            "b0": np.floor(c * u[:, 0] * 1e6 + 0.5).astype("int64"),
+            "b1": np.floor(c * u[:, 1] * 1e6 + 0.5).astype("int64"),
+        }).groupby("ti", as_index=False).sum()
+        for _, r in p.iterrows():
+            A = np.array([[r["a00"] / 1e12 + lam, r["a01"] / 1e12],
+                          [r["a01"] / 1e12, r["a11"] / 1e12]])
+            b = np.array([r["b0"] / 1e6, r["b1"] / 1e6])
+            Q[int(r["ti"])] = np.floor(np.linalg.solve(A, b) * 1e6 + 0.5) / 1e6
+
+    U, inv, ti, c = solve_users(Q)
+    u = U[inv]
+    resid = c - (u * Q[ti]).sum(axis=1)
+    sse = int(np.floor(resid * resid * 1e6 + 0.5).astype("int64").sum())
+    exp = pd.DataFrame({
+        "event_type": types,
+        "q0_e6": np.floor(Q[:, 0] * 1e6 + 0.5).astype("int64"),
+        "q1_e6": np.floor(Q[:, 1] * 1e6 + 0.5).astype("int64"),
+        "sse_e6": pd.array([sse] * len(types), dtype="int64"),
+    })
+    pd.testing.assert_frame_equal(got, exp)
+    one = user_type_als(SF, n_iters=1, lam=0.1)
+    assert got["sse_e6"].iloc[0] <= one["sse_e6"].iloc[0]
