@@ -280,6 +280,15 @@ def _q_kcenter_coreset(sf_dir: str):
     return kcenter_coreset(sf_dir, k=16)
 
 
+def _q_embedding_kmeans(sf_dir: str):
+    """Distributed Lloyd's k-means (broadcast centroids -> e6-integer
+    partial sums -> driver update); rows-only by nature (iterative float
+    EM) — test_ann pins it to an exact single-process replay."""
+    from opps_feedcrawler_ray.pipelines.ann import embedding_kmeans
+
+    return embedding_kmeans(sf_dir, k=8, n_iters=5)
+
+
 def _q_embedding_pca(sf_dir: str):
     """Two-pass distributed PCA (moment partials -> driver eigh ->
     streaming projection); rows-only by nature (no SQL eigensolver) —
@@ -819,6 +828,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_pq_topk": _q_ann_pq,
         "ann_ivfpq_topk": _q_ann_ivfpq,
         "embedding_pca": _q_embedding_pca,
+        "embedding_kmeans": _q_embedding_kmeans,
         "ann_hard_negatives": _q_hard_negatives,
         "kcenter_coreset": _q_kcenter_coreset,
         "events_autocorr": A.events_autocorr,

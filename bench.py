@@ -164,6 +164,7 @@ QUERY_NAMES = [
     "host_communities",
     "events_bootstrap_ci",
     "ann_pq_topk",
+    "embedding_kmeans",
     "doc_adamic_adar",
     "purchase_survival_km",
     "bpe_encode_docs",

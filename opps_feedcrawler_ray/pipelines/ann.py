@@ -850,3 +850,124 @@ def hybrid_search_rrf(
         {"doc_id": "int64", "rrf_e9": "int64",
          "lex_rank": "int64", "dense_rank": "int64"}
     )
+
+
+def embedding_kmeans(
+    sf_dir: str, k: int = 8, n_iters: int = 5
+) -> "pd.DataFrame":
+    """DISTRIBUTED LLOYD'S K-MEANS over the embeddings table — the
+    standalone clustering operator (the IVF index trains centroids on a
+    SAMPLE; this is the full-data EM loop every distributed k-means
+    implementation runs).
+
+    Per iteration the k×dim centroid matrix broadcasts into ONE
+    map_batches pass that assigns each vector to its nearest centroid
+    (vectorized squared-euclidean argmin) and emits per-(cell, dim)
+    partial sums — each coordinate floored to an e6 INTEGER per row
+    before summation, so the reduce is ORDER-FREE and the whole training
+    is bit-reproducible across any partitioning or cluster size.  The
+    driver folds ≤ k·dim integer rows per block and recomputes
+    centroids; empty cells keep their previous centroid.  Iterative →
+    rows-only (no SQL oracle); the twin replays the exact rule
+    single-process and pins the Lloyd inertia-decrease guarantee.
+
+    Init: the k corpus vectors with the smallest splitmix64(vec_id) — a
+    deterministic hash-ordered draw (no RNG state, no data order
+    dependence), quantized e6 like every later centroid.
+
+    Returns one row per cluster: (cell, n_members, sse_e6) — sse is the
+    cluster's exact-integer within-cluster squared error."""
+    import pandas as pd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).materialize()  # pinned across iterations
+
+    # -- deterministic init: k smallest mix64(vec_id) vectors ----------
+    def init_sample(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _mix64(ids)
+        order = np.argsort(m, kind="stable")[:k]
+        return pa.table({
+            "m": pa.array(m[order], pa.uint64()),
+            "v": pa.array(
+                batch["embedding"].take(pa.array(order, pa.int64())).to_pylist(),
+                pa.list_(pa.float64())),
+        })
+
+    samp = (
+        ds.map_batches(init_sample, batch_format="pyarrow")
+        .to_pandas().sort_values("m").head(k)
+    )
+    C = np.array(samp["v"].to_list(), dtype="float64")
+    C = np.floor(C * 1e6 + 0.5) / 1e6
+    dim = C.shape[1]
+
+    _p_schema = pa.schema(
+        [("cell", pa.int64()), ("d", pa.int64()), ("s_e6", pa.int64()),
+         ("n", pa.int64())]
+    )
+
+    def assign_mat(batch: pa.Table, Cc: np.ndarray):
+        X = np.array(batch["embedding"].to_pylist(), dtype="float64")
+        # squared euclidean argmin, vectorized over the batch
+        d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ Cc.T) \
+            + (Cc * Cc).sum(axis=1)[None, :]
+        return X, np.argmin(d2, axis=1)
+
+    for _ in range(n_iters):
+        Ccur = C.copy()
+
+        def partial(batch: pa.Table, _C=Ccur) -> pa.Table:
+            if not batch.num_rows:
+                return _p_schema.empty_table()
+            X, a = assign_mat(batch, _C)
+            xq = np.floor(X * 1e6 + 0.5).astype("int64")  # per-row e6 ints
+            cells, inv = np.unique(a, return_inverse=True)
+            ncell = len(cells)
+            s = np.zeros((ncell, X.shape[1]), dtype="int64")
+            np.add.at(s, inv, xq)
+            n = np.bincount(inv, minlength=ncell).astype("int64")
+            return pa.table({
+                "cell": pa.array(np.repeat(cells, X.shape[1]), pa.int64()),
+                "d": pa.array(np.tile(np.arange(X.shape[1]), ncell), pa.int64()),
+                "s_e6": pa.array(s.ravel(), pa.int64()),
+                "n": pa.array(np.repeat(n, X.shape[1]), pa.int64()),
+            })
+
+        parts = (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .to_pandas()  # <= blocks x k x dim small integer rows
+            .groupby(["cell", "d"], as_index=False).sum()
+        )
+        for cell, g in parts.groupby("cell"):
+            g = g.sort_values("d")
+            n = int(g["n"].iloc[0])  # n is replicated across the dim rows
+            cvec = g["s_e6"].to_numpy(dtype="float64") / 1e6 / n
+            C[int(cell)] = np.floor(cvec * 1e6 + 0.5) / 1e6
+
+    Cfinal = C.copy()
+    _s_schema = pa.schema(
+        [("cell", pa.int64()), ("n", pa.int64()), ("sse_e6", pa.int64())]
+    )
+
+    def sse_partial(batch: pa.Table, _C=Cfinal) -> pa.Table:
+        if not batch.num_rows:
+            return _s_schema.empty_table()
+        X, a = assign_mat(batch, _C)
+        r = X - _C[a]
+        e = np.floor((r * r).sum(axis=1) * 1e6 + 0.5).astype("int64")
+        df = pd.DataFrame({"cell": a.astype("int64"), "sse_e6": e})
+        g = df.groupby("cell", as_index=False).agg(
+            n=("sse_e6", "size"), sse_e6=("sse_e6", "sum"))
+        return pa.Table.from_pandas(
+            g[["cell", "n", "sse_e6"]], preserve_index=False, schema=_s_schema)
+
+    out = (
+        ds.map_batches(sse_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("cell", as_index=False).sum()
+        .sort_values("cell").reset_index(drop=True)
+        .astype({"cell": "int64", "n": "int64", "sse_e6": "int64"})
+    )
+    return out

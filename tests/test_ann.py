@@ -262,3 +262,47 @@ def test_hybrid_search_rrf_matches_replay(ray_session):
     )
     pd.testing.assert_frame_equal(got, exp)
     pd.testing.assert_frame_equal(got, hybrid_search_rrf(sf, k=10))
+
+
+def test_embedding_kmeans_matches_replay_and_lloyd(ray_session):
+    """Distributed Lloyd's k-means equals an exact single-process replay
+    (e6-integer partials make it layout-independent) and inertia does
+    not increase with more iterations."""
+    from opps_feedcrawler_ray.pipelines.ann import _mix64, embedding_kmeans
+
+    sf = "/root/testdata/sf0.001"
+    k, n_iters = 8, 5
+    got = embedding_kmeans(sf, k=k, n_iters=n_iters)
+
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    X = np.array(emb["embedding"].to_list(), dtype="float64")
+    ids = emb["vec_id"].to_numpy().astype(np.int64)
+    order = np.argsort(_mix64(ids), kind="stable")[:k]
+    C = np.floor(X[order] * 1e6 + 0.5) / 1e6
+    dim = X.shape[1]
+    for _ in range(n_iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d2, axis=1)
+        xq = np.floor(X * 1e6 + 0.5).astype("int64")
+        for c in range(k):
+            m = a == c
+            if m.any():
+                s = xq[m].sum(axis=0)
+                C[c] = np.floor(s / 1e6 / m.sum() * 1e6 + 0.5) / 1e6
+    d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    a = np.argmin(d2, axis=1)
+    r = X - C[a]
+    e = np.floor((r * r).sum(axis=1) * 1e6 + 0.5).astype("int64")
+    exp = (
+        pd.DataFrame({"cell": a.astype("int64"), "sse_e6": e})
+        .groupby("cell", as_index=False)
+        .agg(n=("sse_e6", "size"), sse_e6=("sse_e6", "sum"))
+        [["cell", "n", "sse_e6"]]
+        .sort_values("cell").reset_index(drop=True)
+        .astype({"cell": "int64", "n": "int64", "sse_e6": "int64"})
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    one = embedding_kmeans(sf, k=k, n_iters=1)
+    assert got["sse_e6"].sum() <= one["sse_e6"].sum()
+    assert got["n"].sum() == len(X)
