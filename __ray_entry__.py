@@ -280,6 +280,16 @@ def _q_kcenter_coreset(sf_dir: str):
     return kcenter_coreset(sf_dir, k=16)
 
 
+def _q_doc_betweenness(sf_dir: str):
+    """Source-parallel exact Brandes betweenness (per-source passes
+    fan out over a broadcast CSR; e9-integer dependency partials);
+    rows-only by nature (shortest-path DAG recursion has no SQL oracle)
+    — twin tests pin structural graphs and a full brute Brandes."""
+    from opps_feedcrawler_ray.pipelines.webpipe import doc_betweenness
+
+    return doc_betweenness(sf_dir, k=20)
+
+
 def _q_embedding_kmeans(sf_dir: str):
     """Distributed Lloyd's k-means (broadcast centroids -> e6-integer
     partial sums -> driver update); rows-only by nature (iterative float
@@ -829,6 +839,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivfpq_topk": _q_ann_ivfpq,
         "embedding_pca": _q_embedding_pca,
         "embedding_kmeans": _q_embedding_kmeans,
+        "doc_betweenness": _q_doc_betweenness,
         "ann_hard_negatives": _q_hard_negatives,
         "kcenter_coreset": _q_kcenter_coreset,
         "events_autocorr": A.events_autocorr,

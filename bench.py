@@ -165,6 +165,7 @@ QUERY_NAMES = [
     "events_bootstrap_ci",
     "ann_pq_topk",
     "embedding_kmeans",
+    "doc_betweenness",
     "doc_adamic_adar",
     "purchase_survival_km",
     "bpe_encode_docs",

@@ -1507,3 +1507,133 @@ def effective_diameter(nf: "pd.DataFrame", q: float = 0.9) -> float:
     lo, hi = ns[k - 1], ns[k]
     frac = 0.0 if hi == lo else (target - lo) / (hi - lo)
     return float(ts[k - 1] + frac * (ts[k] - ts[k - 1]))
+
+
+def _brandes_source_pass(
+    src: int, indptr: np.ndarray, indices: np.ndarray, n: int
+) -> np.ndarray:
+    """One exact Brandes (2001) source pass over a CSR adjacency:
+    BFS shortest-path DAG + backward dependency accumulation.  Serial
+    per source (deterministic), returns the per-node dependency vector
+    delta (float64)."""
+    sigma = np.zeros(n, dtype=np.float64)
+    dist = np.full(n, -1, dtype=np.int64)
+    sigma[src] = 1.0
+    dist[src] = 0
+    order: list[np.ndarray] = []
+    frontier = np.array([src], dtype=np.int64)
+    while len(frontier):
+        order.append(frontier)
+        # gather all neighbors of the frontier in one CSR slice pass
+        starts, ends = indptr[frontier], indptr[frontier + 1]
+        counts = ends - starts
+        if not counts.sum():
+            break
+        flat = np.concatenate(
+            [indices[s:e] for s, e in zip(starts, ends)]
+        )
+        srcs = np.repeat(frontier, counts)
+        d = dist[frontier[0]] + 1
+        # path counts: sigma[w] += sigma[v] for tree/DAG edges v->w
+        new_mask = dist[flat] == -1
+        dist[flat[new_mask]] = d
+        dag_mask = dist[flat] == d
+        np.add.at(sigma, flat[dag_mask], sigma[srcs[dag_mask]])
+        frontier = np.unique(flat[new_mask])
+    delta = np.zeros(n, dtype=np.float64)
+    for frontier in reversed(order[1:]):
+        for w in frontier:
+            # predecessors of w: neighbors at dist[w]-1
+            nbrs = indices[indptr[w]:indptr[w + 1]]
+            preds = nbrs[dist[nbrs] == dist[w] - 1]
+            contrib = sigma[preds] / sigma[w] * (1.0 + delta[w])
+            np.add.at(delta, preds, contrib)
+    delta[src] = 0.0
+    return delta
+
+
+def doc_betweenness(
+    sf_dir: str, k: int = 20, work_dir: str | None = None,
+    k_sources: int | None = None, max_sources: int = 1024,
+) -> "pd.DataFrame":
+    """BETWEENNESS CENTRALITY (Brandes 2001) over the undirected doc
+    link graph — the shortest-path centrality that PageRank/harmonic
+    miss (a bridge node scores high even with low degree).
+
+    Distributed shape: betweenness parallelizes over SOURCES — each
+    source's BFS + dependency accumulation is independent, so the
+    source list becomes the Dataset and each task runs exact Brandes
+    passes against a read-only CSR adjacency shipped ONCE via
+    ``ray.put`` (one copy per node on a cluster; the graph-fits-a-node
+    assumption is the standard parallel-Brandes trade — Madduri & Bader
+    2009 — and the documented fallback past it is the Brandes-Pich 2007
+    SAMPLED-source estimator, exposed as ``k_sources``: the same code
+    path over the splitmix64-smallest source subset, unbiased up to the
+    n/k rescale).  Per-source dependency vectors quantize to e9
+    integers before summation, so the reduce is ORDER-FREE and the
+    result bit-reproducible across partitionings.  Per task only the
+    nonzero (node, bc_e9) partials leave; the driver folds ≤|nodes|
+    integer rows.
+
+    Returns the top-``k`` nodes by raw pair-dependency sum ``bc2_e9``
+    (undirected double-count kept integer; halve for the textbook
+    value), ties broken by doc_id."""
+    import pandas as pd
+
+    import ray
+
+    from .ann import _mix64
+
+    edges, n_docs, nb = _doc_link_edges(sf_dir, work_dir)
+    e = edges.to_pandas()  # |edges| rows — the pinned-graph assumption
+    a = e["a"].to_numpy(dtype="int64")
+    b = e["b"].to_numpy(dtype="int64")
+    n = n_docs
+    # CSR over both directions (undirected)
+    src = np.concatenate([a, b])
+    dst = np.concatenate([b, a])
+    o = np.lexsort((dst, src))
+    src, dst = src[o], dst[o]
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(indptr, src + 1, 1)
+    indptr = np.cumsum(indptr)
+    graph_ref = ray.put((indptr, dst, n))
+
+    sources = np.arange(n, dtype=np.int64)
+    if k_sources is None and n > max_sources:
+        # auto-engage the Brandes-Pich sampled estimator past the exact
+        # budget: per-source cost is O(V+E) serial python, so exact
+        # all-sources Brandes stops paying past ~1k sources
+        k_sources = max_sources
+    if k_sources is not None and k_sources < n:
+        sources = sources[np.argsort(_mix64(sources), kind="stable")[:k_sources]]
+        sources.sort()
+    src_ds = rd.from_arrow(pa.table({"s": pa.array(sources, pa.int64())}))
+    src_ds = src_ds.repartition(max(2, min(64, len(sources) // 8 or 1)))
+
+    part_schema = pa.schema([("doc_id", pa.int64()), ("bc2_e9", pa.int64())])
+
+    def source_pass(batch: pa.Table) -> pa.Table:
+        indptr_, indices_, n_ = ray.get(graph_ref)
+        acc = np.zeros(n_, dtype=np.int64)
+        for s in batch["s"].to_numpy(zero_copy_only=False):
+            delta = _brandes_source_pass(int(s), indptr_, indices_, n_)
+            acc += np.floor(delta * 1e9 + 0.5).astype(np.int64)
+        nz = np.flatnonzero(acc)
+        return pa.table({
+            "doc_id": pa.array(nz.astype("int64"), pa.int64()),
+            "bc2_e9": pa.array(acc[nz], pa.int64()),
+        })
+
+    bc = (
+        src_ds.map_batches(source_pass, batch_format="pyarrow",
+                           batch_size=None)
+        .to_pandas()  # ≤ tasks × |nodes| integer rows, node-bounded
+        .groupby("doc_id", as_index=False)["bc2_e9"].sum()
+    )
+    out = (
+        bc.sort_values(["bc2_e9", "doc_id"], ascending=[False, True])
+        .head(k).reset_index(drop=True)
+        .astype({"doc_id": "int64", "bc2_e9": "int64"})
+    )
+    return out

@@ -4222,3 +4222,81 @@ def test_user_type_als_replay_and_loss(ray_session):
     pd.testing.assert_frame_equal(got, exp)
     one = user_type_als(SF, n_iters=1, lam=0.1)
     assert got["sse_e6"].iloc[0] <= one["sse_e6"].iloc[0]
+
+
+def test_brandes_kernel_structural_graphs():
+    """The per-source Brandes kernel reproduces textbook betweenness on
+    a path and a star (no Ray needed — pure kernel)."""
+    from opps_feedcrawler_ray.pipelines.webpipe import _brandes_source_pass
+
+    def bc_total(edge_list, n):
+        src = np.array([e[0] for e in edge_list] + [e[1] for e in edge_list])
+        dst = np.array([e[1] for e in edge_list] + [e[0] for e in edge_list])
+        o = np.lexsort((dst, src))
+        src, dst = src[o], dst[o]
+        indptr = np.zeros(n + 1, dtype=np.int64)
+        np.add.at(indptr, src + 1, 1)
+        indptr = np.cumsum(indptr)
+        acc = np.zeros(n)
+        for s in range(n):
+            acc += _brandes_source_pass(s, indptr, dst.astype(np.int64), n)
+        return acc / 2.0  # undirected double count
+
+    # path 0-1-2-3-4: bc = [0, 3, 4, 3, 0]
+    got = bc_total([(0, 1), (1, 2), (2, 3), (3, 4)], 5)
+    assert np.allclose(got, [0, 3, 4, 3, 0])
+    # star center 0 with 4 leaves: bc(center) = C(4,2) = 6, leaves 0
+    got = bc_total([(0, 1), (0, 2), (0, 3), (0, 4)], 5)
+    assert np.allclose(got, [6, 0, 0, 0, 0])
+    # diamond 0-1, 0-2, 1-3, 2-3: two equal shortest paths 0..3 ->
+    # bc(1) = bc(2) = 0.5 each (split), bc(0) = bc(3) = 0.5 (1-2 pairs)
+    got = bc_total([(0, 1), (0, 2), (1, 3), (2, 3)], 4)
+    assert np.allclose(got, [0.5, 0.5, 0.5, 0.5])
+
+
+def test_doc_betweenness_matches_brute(ray_session, tmp_path):
+    """Distributed source-parallel Brandes matches an independent
+    pure-python Brandes over the same parsed edge set."""
+    from collections import deque
+
+    from opps_feedcrawler_ray.pipelines.webpipe import (
+        _doc_link_edges, doc_betweenness,
+    )
+
+    # k = all nodes: compare the full centrality vector (top-k ORDER
+    # among exact ties is only deterministic after the engine's e9
+    # quantization, which a float brute recompute can't replicate)
+    got = doc_betweenness(SF, k=500, work_dir=str(tmp_path / "wp"))
+    edges, n, _nb = _doc_link_edges(SF, work_dir=str(tmp_path / "wp"))
+    e = edges.to_pandas()
+    adj = [[] for _ in range(n)]
+    for a, b in zip(e["a"], e["b"]):
+        adj[int(a)].append(int(b))
+        adj[int(b)].append(int(a))
+    bc = np.zeros(n)
+    for s in range(n):
+        sigma = np.zeros(n); sigma[s] = 1
+        dist = np.full(n, -1); dist[s] = 0
+        order, q = [], deque([s])
+        preds = [[] for _ in range(n)]
+        while q:
+            v = q.popleft(); order.append(v)
+            for w in adj[v]:
+                if dist[w] < 0:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        delta = np.zeros(n)
+        for w in reversed(order):
+            for v in preds[w]:
+                delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+        delta[s] = 0
+        bc += delta
+    exp = pd.DataFrame({"doc_id": np.arange(n), "bc2": bc})
+    m = exp.merge(got, on="doc_id", how="left").fillna({"bc2_e9": 0})
+    assert np.allclose(m["bc2_e9"].to_numpy() / 1e9, m["bc2"].to_numpy(),
+                       rtol=1e-6, atol=1e-6)
+    # every brute-nonzero node is present in the engine output
+    assert set(exp.loc[exp["bc2"] > 1e-6, "doc_id"]).issubset(set(got["doc_id"]))
