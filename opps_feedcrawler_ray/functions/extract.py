@@ -753,3 +753,26 @@ def extract_robots_directives(
                 continue
             raw.append(_html.unescape(next(g for g in hm.groups() if g is not None)))
     return noindex, nofollow, frozenset(_finalize_links(url, raw))
+
+
+# --- soft-404 detection ---------------------------------------------------
+# An HTTP-200 page whose CONTENT says "not found" (Bar-Yossef, Broder,
+# Kumar & Tomkins, WWW 2004 "Sic transit gloria telae").  The published
+# method probes a random sibling URL over live HTTP; a batch engine over
+# an archived pages table uses the standard signature heuristic instead:
+# a SHORT page whose opening text carries a not-found marker.  The rule
+# is FROZEN (status values feed the crawl log contract):
+#   soft404(text) ⇔ len(text) ≤ 512 and the first 256 chars (lowercased)
+#   match _SOFT404_RE.
+_SOFT404_RE = re.compile(
+    r"(?:\b404\b|page not found|file not found|document not found"
+    r"|does not exist|no longer (?:available|exists)|cannot be found)"
+)
+
+
+def detect_soft404(text: str | None, max_chars: int = 512) -> bool:
+    """Frozen soft-404 signature heuristic (see module comment above).
+    Long pages never match — real content can mention '404'."""
+    if text is None or len(text) > max_chars:
+        return False
+    return _SOFT404_RE.search(text[:256].lower()) is not None

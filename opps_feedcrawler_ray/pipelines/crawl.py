@@ -154,6 +154,11 @@ class CrawlConfig:
     # outlinks; rel=nofollow targets are dropped from links/n_links.
     # Off by default — it changes log content, so goldens stay frozen.
     honor_nofollow: bool = False
+    # soft-404 screening (opt-in): an HTTP-200 page whose extracted text
+    # matches the FROZEN not-found signature (Bar-Yossef et al. WWW'04;
+    # functions.extract.detect_soft404) logs status="soft404" with empty
+    # text and offers NO outlinks.  Off by default (changes log content).
+    soft404_detect: bool = False
     # follow <meta http-equiv=refresh> redirects (WHATWG pragma — the
     # corpus's hermetic 3xx analogue, since the pages table carries no
     # HTTP status): a page declaring an immediate refresh is logged
@@ -1158,6 +1163,7 @@ def _write_manifest(cfg: CrawlConfig, round_idx: int, fetch_seq: int, lineage: l
         "adaptive_max_factor": cfg.adaptive_max_factor,
         "honor_canonical": cfg.honor_canonical,
         "honor_nofollow": cfg.honor_nofollow,
+        "soft404_detect": cfg.soft404_detect,
         "content_dedup": cfg.content_dedup,
         "follow_meta_refresh": cfg.follow_meta_refresh,
         "refresh_max_delay": cfg.refresh_max_delay,
@@ -1341,6 +1347,8 @@ def crawl(cfg: CrawlConfig) -> dict:
             # honor_nofollow changes log content (noindex text blanking,
             # filtered links) and which URLs get offered
             "honor_nofollow": cfg.honor_nofollow,
+            # soft404 changes log content and which URLs get offered
+            "soft404_detect": cfg.soft404_detect,
             # content_dedup changes log content AND which urls get
             # offered (dup pages emit no outlinks) — flipping it on
             # resume would diverge from the checkpointed sealed set
@@ -1384,7 +1392,8 @@ def crawl(cfg: CrawlConfig) -> dict:
                 key in ("trap_guard", "scope_filter", "follow_meta_refresh",
                         "refresh_max_delay", "indegree_priority",
                         "max_retries", "fail_inject", "strip_params",
-                        "focus_keywords", "focus_boost", "honor_nofollow")
+                        "focus_keywords", "focus_boost", "honor_nofollow",
+                        "soft404_detect")
                 and key not in manifest
             ):
                 continue  # pre-upgrade manifests didn't record these
@@ -1522,6 +1531,7 @@ def crawl(cfg: CrawlConfig) -> dict:
         skip_unchanged=cfg.skip_unchanged,
         honor_canonical=cfg.honor_canonical,
         honor_nofollow=cfg.honor_nofollow,
+        soft404_detect=cfg.soft404_detect,
         track_content=cfg.skip_unchanged or cfg.adaptive_recrawl,
         follow_refresh=cfg.follow_meta_refresh,
         refresh_max_delay=cfg.refresh_max_delay,
@@ -1757,6 +1767,11 @@ def main(argv: list[str] | None = None) -> int:
              "rel=nofollow (REP HTML bindings)",
     )
     ap.add_argument(
+        "--soft404-detect", action="store_true",
+        help="screen soft 404s: a 200 page whose text matches the frozen "
+             "not-found signature logs status=soft404, no text/outlinks",
+    )
+    ap.add_argument(
         "--follow-meta-refresh", action="store_true",
         help="treat immediate <meta http-equiv=refresh> pages as "
              "redirects: log status=redirect, offer the target",
@@ -1847,6 +1862,7 @@ def main(argv: list[str] | None = None) -> int:
         adaptive_recrawl=args.adaptive_recrawl,
         honor_canonical=args.honor_canonical,
         honor_nofollow=args.honor_nofollow,
+        soft404_detect=args.soft404_detect,
         indegree_priority=args.indegree_priority,
         max_retries=args.max_retries,
         breaker_threshold=args.breaker_threshold,

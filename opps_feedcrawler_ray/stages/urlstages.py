@@ -14,6 +14,7 @@ import pyarrow.compute as pc
 
 from ..functions.extract import (
     detect_kind,
+    detect_soft404,
     extract_canonical,
     extract_meta_refresh,
     extract_page,
@@ -106,6 +107,7 @@ class ExtractStage:
         content_dedup: bool = False,
         content_actors: list | None = None,
         honor_nofollow: bool = False,
+        soft404_detect: bool = False,
     ) -> None:
         self.skip_unchanged = skip_unchanged
         self.honor_canonical = honor_canonical
@@ -116,6 +118,12 @@ class ExtractStage:
         # from the links column (so n_links = links FOLLOWED under the
         # flag).  Separate scan; the frozen extractor is untouched.
         self.honor_nofollow = honor_nofollow
+        # soft-404 screening (opt-in): an HTTP-200 page whose extracted
+        # text matches the FROZEN not-found signature (functions.extract
+        # detect_soft404, Bar-Yossef et al. 2004) is treated like a real
+        # 404 — status="soft404", empty text, outlinks suppressed (404
+        # boilerplate links are navigation noise)
+        self.soft404_detect = soft404_detect
         # cross-URL content-digest dedup (Heritrix "content-seen" test):
         # a fetched body whose fingerprint was sealed by a STRICTLY
         # EARLIER round (on a different URL — or the same one, absent
@@ -161,6 +169,7 @@ class ExtractStage:
         dup = np.zeros(n, dtype=bool)
         duped = np.zeros(n, dtype=bool)
         noindexed = np.zeros(n, dtype=bool)
+        soft404ed = np.zeros(n, dtype=bool)
         body_hash = None
         if self.content_dedup and n:
             import ray
@@ -240,10 +249,16 @@ class ExtractStage:
                 if ni:
                     text = ""
                     noindexed[i] = True
+            if self.soft404_detect and k == "html" and detect_soft404(text):
+                text = ""
+                lks = []
+                soft404ed[i] = True
             texts.append(text)
             links.append(lks)
             if self.honor_canonical:
-                canon.append(extract_canonical(u, b, k))
+                canon.append(
+                    None if soft404ed[i] else extract_canonical(u, b, k)
+                )
         out = batch.drop_columns(["html"])
         out = out.append_column("kind", pa.array(kinds, pa.string()))
         out = out.append_column("text", pa.array(texts, pa.string()))
@@ -268,6 +283,11 @@ class ExtractStage:
         if noindexed.any() and "status" in out.column_names:
             st = np.asarray(out["status"].to_pylist(), dtype=object)
             st[noindexed] = "noindex"
+            idx = out.column_names.index("status")
+            out = out.set_column(idx, "status", pa.array(st, pa.string()))
+        if soft404ed.any() and "status" in out.column_names:
+            st = np.asarray(out["status"].to_pylist(), dtype=object)
+            st[soft404ed] = "soft404"
             idx = out.column_names.index("status")
             out = out.set_column(idx, "status", pa.array(st, pa.string()))
         if cond:

@@ -1918,3 +1918,95 @@ def test_honor_nofollow_rep_html_bindings(ray_session, tmp_path_factory):
         roff = off.filter(pc.equal(off["url"], u)).drop_columns(["n_links"])
         assert ron["text"].to_pylist() == roff["text"].to_pylist()
         assert ron["status"].to_pylist() == roff["status"].to_pylist()
+
+
+def test_detect_soft404_matrix():
+    """Frozen soft-404 signature rule: short not-found pages match,
+    long/real content never does."""
+    from opps_feedcrawler_ray.functions.extract import detect_soft404
+
+    assert detect_soft404("404 Page Not Found")
+    assert detect_soft404("Error: the page you requested does not exist.")
+    assert detect_soft404("This document is no longer available")
+    assert detect_soft404("ERROR 404")
+    assert not detect_soft404("")  # empty ≠ not-found marker
+    assert not detect_soft404(None)
+    assert not detect_soft404("regular article about nothing special")
+    # a long page mentioning 404 is real content, not a soft 404
+    assert not detect_soft404("the 404 incident " + "word " * 200)
+    # marker must appear near the top
+    assert not detect_soft404("x" * 300 + " page not found")
+
+
+def test_soft404_detect_e2e(ray_session, tmp_path_factory):
+    """--soft404-detect: a 200 page whose body says 'Page Not Found'
+    logs status=soft404 with empty text and suppressed outlinks (its
+    boilerplate link target stays undiscovered); with the flag off it
+    is a normal fetched page.  The flag is frozen in the manifest."""
+    import datetime as dt
+
+    import pytest
+
+    tmp = str(tmp_path_factory.mktemp("soft404"))
+    urls = [
+        "http://s.example/",       # seed, links to /gone and /real
+        "http://s.example/gone",   # soft 404, links to /home (boilerplate)
+        "http://s.example/real",   # normal page
+        "http://s.example/home",   # only reachable from the soft 404
+    ]
+    bodies = [
+        b'<html><body><p>index</p><a href="/gone">g</a>'
+        b'<a href="/real">r</a></body></html>',
+        b'<html><body><p>404 Page Not Found</p>'
+        b'<a href="/home">home</a></body></html>',
+        b"<html><body><p>real content here</p></body></html>",
+        b"<html><body><p>home page</p></body></html>",
+    ]
+    texts = ["index\ng r", "404 Page Not Found\nhome", "real content here",
+             "home page"]
+    ts = dt.datetime(2024, 1, 1)
+    pages = pa.table({
+        "url": pa.array(urls),
+        "warc_ts": pa.array([ts] * 4, pa.timestamp("us")),
+        "html": pa.array(bodies, pa.binary()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * 4),
+    })
+    pq.write_table(pages, f"{tmp}/pages.parquet")
+    pq.write_table(pa.table({"url": pa.array([urls[0]])}),
+                   f"{tmp}/seeds.parquet")
+
+    def go(out, flag):
+        cfg = CrawlConfig(
+            pages_path=f"{tmp}/pages.parquet",
+            seeds_path=f"{tmp}/seeds.parquet",
+            out_dir=f"{tmp}/{out}", num_frontier_actors=2,
+            politeness_budget=8, num_buckets=2, num_fetch_actors=2,
+            soft404_detect=flag,
+        )
+        crawl(cfg)
+        return read_log(f"{tmp}/{out}")
+
+    off = go("off", False)
+    st_off = dict(zip(off["url"].to_pylist(), off["status"].to_pylist()))
+    assert st_off == {u: "fetched" for u in urls}  # /home discovered
+
+    on = go("on", True)
+    row = {
+        u: (s, t, n) for u, s, t, n in zip(
+            on["url"].to_pylist(), on["status"].to_pylist(),
+            on["text"].to_pylist(), on["n_links"].to_pylist())
+    }
+    assert set(row) == {urls[0], urls[1], urls[2]}  # /home NOT discovered
+    assert row[urls[1]] == ("soft404", "", 0)
+    assert row[urls[2]] == ("fetched", "real content here", 0)
+    assert row[urls[0]][0] == "fetched"
+
+    with pytest.raises(ValueError, match="soft404_detect"):
+        crawl(CrawlConfig(
+            pages_path=f"{tmp}/pages.parquet",
+            seeds_path=f"{tmp}/seeds.parquet",
+            out_dir=f"{tmp}/on", num_frontier_actors=2, politeness_budget=8,
+            num_buckets=2, num_fetch_actors=2, soft404_detect=False,
+            resume=True,
+        ))
