@@ -882,6 +882,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_kruskal_wallis": A.events_kruskal_wallis,
         "lang_temperature_sample": A.lang_temperature_sample,
         "user_type_als": A.user_type_als,
+        "doc_blocklist_filter": A.doc_blocklist_filter,
+        "events_kendall_tau": A.events_kendall_tau,
         "hybrid_search_rrf": _q_hybrid_search_rrf,
         "events_isotonic_calibration": _q_events_isotonic,
         "token_cms_counts": _q_token_cms,
@@ -3193,6 +3195,44 @@ def oracle_sql() -> dict[str, str]:
             "fv.f_v * fh.f_h AS rarity "
             "FROM e JOIN fv USING (v_e2) JOIN fh USING (hour) "
             "ORDER BY rarity, e.event_id LIMIT 20"
+        ),
+        "doc_blocklist_filter": (
+            # word-boundary blocklist hits; RE2 on both sides so the
+            # non-overlapping match counts agree exactly
+            "SELECT doc_id, n_hits FROM (SELECT doc_id, "
+            "CAST(len(regexp_extract_all(lower(text), "
+            "'\\b(?:spark|dup|skew)\\b')) AS BIGINT) AS n_hits "
+            "FROM documents) WHERE n_hits > 0"
+        ),
+        "events_kendall_tau": (
+            # Kendall tau-b: C/D brute-forced by an O(n^2) self-join per
+            # type (each unordered pair counted twice, halved at the
+            # end); tie terms from integer marginals; the tau expression
+            # mirrors the engine's single float formula term-by-term
+            "WITH b AS (SELECT event_type, "
+            "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v, "
+            "CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h FROM events), "
+            "p AS (SELECT x.event_type AS event_type, "
+            "CAST(SUM(CASE WHEN (x.v < y.v AND x.h < y.h) "
+            "OR (x.v > y.v AND x.h > y.h) THEN 1 ELSE 0 END) AS BIGINT) AS c2, "
+            "CAST(SUM(CASE WHEN (x.v < y.v AND x.h > y.h) "
+            "OR (x.v > y.v AND x.h < y.h) THEN 1 ELSE 0 END) AS BIGINT) AS d2 "
+            "FROM b x JOIN b y ON x.event_type = y.event_type GROUP BY 1), "
+            "t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM b "
+            "GROUP BY 1), "
+            "tv AS (SELECT event_type, CAST(SUM(c * (c - 1) // 2) AS BIGINT) "
+            "AS n1 FROM (SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS c "
+            "FROM b GROUP BY 1, 2) GROUP BY 1), "
+            "th AS (SELECT event_type, CAST(SUM(c * (c - 1) // 2) AS BIGINT) "
+            "AS n2 FROM (SELECT event_type, h, CAST(COUNT(*) AS BIGINT) AS c "
+            "FROM b GROUP BY 1, 2) GROUP BY 1) "
+            "SELECT t.event_type, t.n, c2 // 2 AS conc, d2 // 2 AS disc, "
+            "CAST(FLOOR((CAST(c2 AS DOUBLE) / 2 - CAST(d2 AS DOUBLE) / 2) "
+            "/ sqrt(CAST(t.n * (t.n - 1) // 2 - n1 AS DOUBLE) "
+            "* CAST(t.n * (t.n - 1) // 2 - n2 AS DOUBLE)) * 1e6 + 0.5) "
+            "AS BIGINT) AS tau_e6 "
+            "FROM t JOIN p USING (event_type) JOIN tv USING (event_type) "
+            "JOIN th USING (event_type) ORDER BY t.event_type"
         ),
     }
     # max_df=50 provably drops nothing on the fixtures (max shingle df < 10),

@@ -205,6 +205,8 @@ QUERY_NAMES = [
     "events_kruskal_wallis",
     "lang_temperature_sample",
     "user_type_als",
+    "doc_blocklist_filter",
+    "events_kendall_tau",
 ]
 
 

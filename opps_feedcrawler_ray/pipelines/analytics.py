@@ -9094,3 +9094,125 @@ def user_type_als(
         "q1_e6": np.floor(Qfinal[:, 1] * 1e6 + 0.5).astype("int64"),
         "sse_e6": pd.array([sse] * k, dtype="int64"),
     })
+
+
+def doc_blocklist_filter(
+    sf_dir: str, terms: tuple = ("spark", "dup", "skew")
+) -> rd.Dataset:
+    """SAFETY-WORDLIST SCREENING — the blocklist gate every training-data
+    pipeline runs before packing (flag documents whose text hits any
+    listed term; the flagged set is reviewed/dropped, the complement
+    flows on).  Word-boundary counting on RE2 (pyarrow
+    ``count_substring_regex`` — the same engine as DuckDB's regexp
+    functions, so hit counts agree exactly).
+
+    Scale shape: the compiled alternation broadcasts inside the task
+    closure; one stateless streaming pass, zero shuffles; only flagged
+    rows leave the scan.  Returns (doc_id, n_hits) for flagged docs."""
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    pattern = r"\b(?:" + "|".join(terms) + r")\b"
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(pc.utf8_lower(batch["text"]),
+                                     pattern=pattern)
+        t = pa.table({"doc_id": batch["doc_id"],
+                      "n_hits": pc.cast(n, pa.int64())})
+        return t.filter(pc.greater(t["n_hits"], 0))
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def events_kendall_tau(sf_dir: str) -> pd.DataFrame:
+    """KENDALL TAU-B rank correlation between event value and hour of
+    day per event type — the third rank-correlation sibling (Pearson →
+    Spearman → Kendall), tie-corrected.
+
+    Exactness contract: the concordant/discordant pair counts C and D
+    are EXACT integers computed from 2-D PREFIX SUMS over the
+    domain-bounded (value, hour) contingency table — NO pair
+    materialization (the oracle brute-forces the same counts with an
+    O(n²) self-join; this side is O(|domain|)).  The tie terms are
+    integer marginals; tau-b replicates the oracle's one float
+    expression.
+
+    Scale shape: rides the SAME (type, v_e2, hour) contingency exchange
+    as Spearman — shuffle payload bounded by |value domain|·24, never
+    the row count; the prefix-sum walk runs over ≤|domain| driver
+    rows."""
+    import math
+
+    from .dedup import coarse_buckets
+
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "value", "ts"])
+    nb = coarse_buckets(ev.count(), rows_per_task=65536)
+
+    _schema = pa.schema(
+        [("event_type", pa.string()), ("v_e2", pa.int64()),
+         ("hour", pa.int64()), ("n", pa.int64()), ("__b", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["v_e2"] = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+        df["hour"] = df["ts"].dt.hour.astype("int64")
+        g = df.groupby(["event_type", "v_e2", "hour"], as_index=False).agg(
+            n=("hour", "size")
+        )
+        g["__b"] = (g["v_e2"].to_numpy() % nb).astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False, schema=_schema)
+
+    def sum_cells(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["event_type", "v_e2", "hour"], as_index=False)["n"].sum()
+
+    cells = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(sum_cells, batch_format="pandas")
+        .to_pandas()
+    )
+    out = []
+    for et, g in cells.groupby("event_type"):
+        vs = np.sort(g["v_e2"].unique())
+        vi = {v: i for i, v in enumerate(vs)}
+        M = np.zeros((len(vs), 24), dtype="int64")
+        M[[vi[v] for v in g["v_e2"]], g["hour"].to_numpy()] = (
+            g["n"].to_numpy(dtype="int64")
+        )
+        # 2-D inclusive prefix sums -> strictly-less-in-both /
+        # strictly-greater-in-both counts per cell
+        P = M.cumsum(axis=0).cumsum(axis=1)
+        less_both = np.zeros_like(M)
+        less_both[1:, 1:] = P[:-1, :-1]
+        S = M[::-1, ::-1].cumsum(axis=0).cumsum(axis=1)[::-1, ::-1]
+        greater_both = np.zeros_like(M)
+        greater_both[:-1, :-1] = S[1:, 1:]
+        # discordant: less in v & greater in h (and the mirror)
+        Pv = M.cumsum(axis=0)  # v <= vi per column
+        Sh = M[:, ::-1].cumsum(axis=1)[:, ::-1]  # h >= hi per row
+        lv_gh = np.zeros_like(M)
+        # strictly less v, strictly greater h: prefix over v of suffix over h
+        T = Sh.cumsum(axis=0)
+        lv_gh[1:, :-1] = T[:-1, 1:]
+        gv_lh = np.zeros_like(M)
+        T2 = M[:, :].cumsum(axis=1)          # h <= hi per row
+        T3 = T2[::-1, :].cumsum(axis=0)[::-1, :]  # suffix over v of prefix h
+        gv_lh[:-1, 1:] = T3[1:, :-1]
+        c2 = int((M * (less_both + greater_both)).sum())  # 2·C
+        d2 = int((M * (lv_gh + gv_lh)).sum())             # 2·D
+        n_tot = int(M.sum())
+        n0 = n_tot * (n_tot - 1) // 2
+        tv = M.sum(axis=1)
+        th = M.sum(axis=0)
+        n1 = int((tv * (tv - 1) // 2).sum())
+        n2 = int((th * (th - 1) // 2).sum())
+        tau = (c2 / 2 - d2 / 2) / math.sqrt(
+            float(n0 - n1) * float(n0 - n2)
+        )
+        out.append((et, n_tot, c2 // 2, d2 // 2,
+                    int(np.floor(tau * 1e6 + 0.5))))
+    return (
+        pd.DataFrame(out, columns=["event_type", "n", "conc", "disc", "tau_e6"])
+        .sort_values("event_type").reset_index(drop=True)
+        .astype({"n": "int64", "conc": "int64", "disc": "int64",
+                 "tau_e6": "int64"})
+    )

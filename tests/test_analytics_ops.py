@@ -4300,3 +4300,51 @@ def test_doc_betweenness_matches_brute(ray_session, tmp_path):
                        rtol=1e-6, atol=1e-6)
     # every brute-nonzero node is present in the engine output
     assert set(exp.loc[exp["bc2"] > 1e-6, "doc_id"]).issubset(set(got["doc_id"]))
+
+
+def test_doc_blocklist_filter_matches_re_twin(ray_session):
+    import re
+
+    from opps_feedcrawler_ray.pipelines.analytics import doc_blocklist_filter
+
+    got = (
+        doc_blocklist_filter(SF).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    pat = re.compile(r"\b(?:spark|dup|skew)\b")
+    hits = docs["text"].str.lower().map(lambda t: len(pat.findall(t)))
+    exp = (
+        pd.DataFrame({"doc_id": docs["doc_id"], "n_hits": hits.astype("int64")})
+        .query("n_hits > 0").sort_values("doc_id").reset_index(drop=True)
+    )
+    assert len(exp) > 0  # fixture sanity: the terms do occur
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_events_kendall_tau_matches_brute_pairs(ray_session):
+    import math
+
+    from opps_feedcrawler_ray.pipelines.analytics import events_kendall_tau
+
+    got = events_kendall_tau(SF).set_index("event_type")
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "value", "ts"])
+    ev["v"] = np.floor(ev["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+    ev["h"] = ev["ts"].dt.hour.astype("int64")
+    for et, g in ev.groupby("event_type"):
+        v = g["v"].to_numpy()
+        h = g["h"].to_numpy()
+        sv = np.sign(v[:, None] - v[None, :])
+        sh = np.sign(h[:, None] - h[None, :])
+        prod = sv * sh
+        conc = int(np.triu(prod == 1, 1).sum())
+        disc = int(np.triu(prod == -1, 1).sum())
+        n = len(g)
+        n0 = n * (n - 1) // 2
+        n1 = int((pd.Series(v).value_counts().map(lambda c: c * (c - 1) // 2)).sum())
+        n2 = int((pd.Series(h).value_counts().map(lambda c: c * (c - 1) // 2)).sum())
+        tau = (conc - disc) / math.sqrt(float(n0 - n1) * float(n0 - n2))
+        assert int(got.loc[et, "n"]) == n
+        assert int(got.loc[et, "conc"]) == conc
+        assert int(got.loc[et, "disc"]) == disc
+        assert abs(got.loc[et, "tau_e6"] / 1e6 - tau) < 2e-6
