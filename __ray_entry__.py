@@ -884,6 +884,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_type_als": A.user_type_als,
         "doc_blocklist_filter": A.doc_blocklist_filter,
         "events_kendall_tau": A.events_kendall_tau,
+        "lineitem_mode_quantity": A.lineitem_mode_quantity,
         "hybrid_search_rrf": _q_hybrid_search_rrf,
         "events_isotonic_calibration": _q_events_isotonic,
         "token_cms_counts": _q_token_cms,
@@ -3233,6 +3234,20 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS tau_e6 "
             "FROM t JOIN p USING (event_type) JOIN tv USING (event_type) "
             "JOIN th USING (event_type) ORDER BY t.event_type"
+        ),
+        "lineitem_mode_quantity": (
+            # grouped MODE with deterministic max-count / min-value
+            # tie-break; quantities are integral so FLOOR(x+0.5) is exact
+            "WITH c AS (SELECT l_returnflag, "
+            "CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS q, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY 1, 2), "
+            "r AS (SELECT l_returnflag, q, n, "
+            "ROW_NUMBER() OVER (PARTITION BY l_returnflag "
+            "ORDER BY n DESC, q ASC) AS rn, "
+            "CAST(SUM(n) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot "
+            "FROM c) "
+            "SELECT l_returnflag, q AS mode_qty, n AS n_mode, tot AS n_rows "
+            "FROM r WHERE rn = 1 ORDER BY l_returnflag"
         ),
     }
     # max_df=50 provably drops nothing on the fixtures (max shingle df < 10),

@@ -207,6 +207,7 @@ QUERY_NAMES = [
     "user_type_als",
     "doc_blocklist_filter",
     "events_kendall_tau",
+    "lineitem_mode_quantity",
 ]
 
 

@@ -9216,3 +9216,55 @@ def events_kendall_tau(sf_dir: str) -> pd.DataFrame:
         .astype({"n": "int64", "conc": "int64", "disc": "int64",
                  "tau_e6": "int64"})
     )
+
+
+def lineitem_mode_quantity(sf_dir: str) -> pd.DataFrame:
+    """Grouped statistical MODE (most frequent value, smallest-value
+    tie-break) — the missing member of the SQL aggregate family next to
+    median/quantiles/MAD.  Per return flag: the modal l_quantity, its
+    frequency, and the group row count.
+
+    Scale shape: the classic domain-bounded histogram exchange —
+    per-batch (flag, qty) count partials (TPC-H quantities are integers
+    1..50, so ≤ |flags|·50 rows leave every block), coarse-bucketed
+    pandas sums, then the argmax walks ≤ |domain| driver rows.  The
+    deterministic tie-break (max count, then MIN quantity) keeps the
+    answer partitioning-independent."""
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_returnflag", "l_quantity"])
+    from .dedup import coarse_buckets
+
+    nb = coarse_buckets(li.count(), rows_per_task=65536)
+    _schema = pa.schema(
+        [("l_returnflag", pa.string()), ("q", pa.int64()),
+         ("n", pa.int64()), ("__b", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["q"] = np.floor(df["l_quantity"].to_numpy() + 0.5).astype("int64")
+        g = df.groupby(["l_returnflag", "q"], as_index=False).agg(
+            n=("q", "size")
+        )
+        g["__b"] = (g["q"].to_numpy() % nb).astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False, schema=_schema)
+
+    def sum_cells(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["l_returnflag", "q"], as_index=False)["n"].sum()
+
+    cells = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(sum_cells, batch_format="pandas")
+        .to_pandas()
+    )
+    out = []
+    for flag, g in cells.groupby("l_returnflag"):
+        g = g.sort_values(["n", "q"], ascending=[False, True])
+        out.append((flag, int(g["q"].iloc[0]), int(g["n"].iloc[0]),
+                    int(g["n"].sum())))
+    return (
+        pd.DataFrame(out, columns=["l_returnflag", "mode_qty", "n_mode", "n_rows"])
+        .sort_values("l_returnflag").reset_index(drop=True)
+        .astype({"mode_qty": "int64", "n_mode": "int64", "n_rows": "int64"})
+    )

@@ -4348,3 +4348,19 @@ def test_events_kendall_tau_matches_brute_pairs(ray_session):
         assert int(got.loc[et, "conc"]) == conc
         assert int(got.loc[et, "disc"]) == disc
         assert abs(got.loc[et, "tau_e6"] / 1e6 - tau) < 2e-6
+
+
+def test_lineitem_mode_quantity_matches_pandas_twin(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import lineitem_mode_quantity
+
+    got = lineitem_mode_quantity(SF).set_index("l_returnflag")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_returnflag", "l_quantity"])
+    li["q"] = np.floor(li["l_quantity"].to_numpy() + 0.5).astype("int64")
+    for flag, g in li.groupby("l_returnflag"):
+        vc = g["q"].value_counts()
+        top = int(vc.max())
+        mode = int(min(vc[vc == top].index))
+        assert int(got.loc[flag, "mode_qty"]) == mode
+        assert int(got.loc[flag, "n_mode"]) == top
+        assert int(got.loc[flag, "n_rows"]) == len(g)
