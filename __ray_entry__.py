@@ -290,6 +290,17 @@ def _q_doc_betweenness(sf_dir: str):
     return doc_betweenness(sf_dir, k=20)
 
 
+def _q_embedding_dbscan(sf_dir: str):
+    """DBSCAN density clustering (exact eps-neighbor edges -> core set
+    -> union-find components -> border attachment -> one broadcast
+    labeling pass); rows-only by nature (density clustering) —
+    test_ann pins it to a textbook sequential replay and planted
+    blobs."""
+    from opps_feedcrawler_ray.pipelines.ann import embedding_dbscan
+
+    return embedding_dbscan(sf_dir, threshold=0.5, min_pts=4)
+
+
 def _q_embedding_kmeans(sf_dir: str):
     """Distributed Lloyd's k-means (broadcast centroids -> e6-integer
     partial sums -> driver update); rows-only by nature (iterative float
@@ -885,6 +896,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_blocklist_filter": A.doc_blocklist_filter,
         "events_kendall_tau": A.events_kendall_tau,
         "lineitem_mode_quantity": A.lineitem_mode_quantity,
+        "embedding_dbscan": _q_embedding_dbscan,
         "hybrid_search_rrf": _q_hybrid_search_rrf,
         "events_isotonic_calibration": _q_events_isotonic,
         "token_cms_counts": _q_token_cms,

@@ -208,6 +208,7 @@ QUERY_NAMES = [
     "doc_blocklist_filter",
     "events_kendall_tau",
     "lineitem_mode_quantity",
+    "embedding_dbscan",
 ]
 
 

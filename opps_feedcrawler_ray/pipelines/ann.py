@@ -971,3 +971,108 @@ def embedding_kmeans(
         .astype({"cell": "int64", "n": "int64", "sse_e6": "int64"})
     )
     return out
+
+
+def dbscan_embeddings(
+    ds: "rd.Dataset",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.5,
+    min_pts: int = 4,
+    n_blocks: int = 8,
+) -> "rd.Dataset":
+    """DENSITY-BASED CLUSTERING (DBSCAN, Ester et al. KDD'96) over an
+    embedding column, with cosine >= ``threshold`` as the eps-neighbor
+    predicate.  A point is CORE when its eps-neighborhood (including
+    itself) holds >= ``min_pts`` points; clusters are the connected
+    components of the core-core neighbor graph; non-core points adjacent
+    to a core become BORDER members of that core's cluster (smallest
+    cluster id when several qualify — deterministic); everything else is
+    NOISE.
+
+    Scale shape: the eps-neighbor edge list comes from the
+    oracle-checked exact all-pairs baseline (1-Bucket-Theta triangle
+    partitioning — one shuffle, quadratic work spread over B(B+1)/2
+    tasks); at corpus scale the sub-quadratic ``embedding_dedup_pairs``
+    banded sign-LSH is the drop-in edge source (same (a, b, cosine)
+    output).  Degrees, the core set, and union-find all walk the
+    threshold-BOUNDED pair list on the driver (the same object the pair
+    queries already hold; past ~10^8 pairs the distributed min-label
+    propagation in ``webpipe.components_from_edges`` replaces the
+    union-find).  Final labeling is ONE streaming broadcast pass over
+    the ids — the corpus itself is never materialized."""
+    from .dedup import embedding_allpairs_cosine
+
+    pairs = embedding_allpairs_cosine(
+        ds, vec_col=vec_col, id_col=id_col, threshold=threshold,
+        n_blocks=n_blocks,
+    )
+    a = pairs["a"].to_numpy(dtype=np.int64)
+    b = pairs["b"].to_numpy(dtype=np.int64)
+    ids_in_pairs, deg = np.unique(np.concatenate([a, b]), return_counts=True)
+    # neighborhood size counts the point itself
+    core = set(ids_in_pairs[deg + 1 >= min_pts].tolist())
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for pa_, pb_ in zip(a, b):
+        ia, ib = int(pa_), int(pb_)
+        if ia in core and ib in core:
+            ra, rb = find(ia), find(ib)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo  # min-id root => cluster id = min core member
+    cluster: dict[int, int] = {c: find(c) for c in core}
+    # border attachment: smallest cluster id among core neighbors
+    border: dict[int, int] = {}
+    for pa_, pb_ in zip(a, b):
+        ia, ib = int(pa_), int(pb_)
+        for p, q in ((ia, ib), (ib, ia)):
+            if p not in core and q in core:
+                c = cluster[q]
+                if p not in border or c < border[p]:
+                    border[p] = c
+    label_map = {i: (c, 0) for i, c in cluster.items()}
+    label_map.update({i: (c, 1) for i, c in border.items()})
+    lab_ref = ray.put(label_map)
+
+    def label(batch: pa.Table) -> pa.Table:
+        lab = ray.get(lab_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cl = np.full(len(ids), -1, dtype=np.int64)
+        role = np.full(len(ids), 2, dtype=np.int64)  # 0 core / 1 border / 2 noise
+        for j, i in enumerate(ids):
+            hit = lab.get(int(i))
+            if hit is not None:
+                cl[j], role[j] = hit
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "cluster": pa.array(cl, pa.int64()),
+            "role": pa.array(role, pa.int64()),
+        })
+
+    return ds.select_columns([id_col]).map_batches(label, batch_format="pyarrow")
+
+
+def embedding_dbscan(
+    sf_dir: str, threshold: float = 0.5, min_pts: int = 4
+) -> "pd.DataFrame":
+    """Driver-contract wrapper: DBSCAN over the embeddings table
+    (rows-only: density clustering is not SQL-expressible; the twin test
+    replays the textbook sequential DBSCAN and checks label-for-label
+    equality, plus planted-blob recovery on synthetic data)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return (
+        dbscan_embeddings(ds, threshold=threshold, min_pts=min_pts)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )

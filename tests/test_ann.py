@@ -306,3 +306,93 @@ def test_embedding_kmeans_matches_replay_and_lloyd(ray_session):
     one = embedding_kmeans(sf, k=k, n_iters=1)
     assert got["sse_e6"].sum() <= one["sse_e6"].sum()
     assert got["n"].sum() == len(X)
+
+
+def _brute_dbscan(ids, V, threshold, min_pts):
+    """Textbook DBSCAN with the engine's deterministic disambiguation:
+    clusters = components of the core-core neighbor graph labeled by
+    min core id; border points attach to the min-labeled core
+    neighbor."""
+    import numpy as np
+
+    n = len(ids)
+    norms = np.linalg.norm(V, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    U = V / norms
+    sims = U @ U.T
+    nbr = sims >= threshold
+    np.fill_diagonal(nbr, True)
+    core = nbr.sum(axis=1) >= min_pts
+    label = {int(ids[i]): -1 for i in range(n)}
+    role = {int(ids[i]): 2 for i in range(n)}
+    seen = set()
+    for i in np.argsort(ids):
+        if not core[i] or i in seen:
+            continue
+        comp = {i}
+        stack = [i]
+        while stack:
+            v = stack.pop()
+            for w in np.nonzero(nbr[v] & core)[0]:
+                if w not in comp:
+                    comp.add(int(w)); stack.append(int(w))
+        seen |= comp
+        cid = int(min(ids[j] for j in comp))
+        for j in comp:
+            label[int(ids[j])] = cid
+            role[int(ids[j])] = 0
+    for i in range(n):
+        if core[i]:
+            continue
+        cand = [label[int(ids[j])] for j in np.nonzero(nbr[i] & core)[0] if j != i]
+        if cand:
+            label[int(ids[i])] = min(cand)
+            role[int(ids[i])] = 1
+    return label, role
+
+
+def test_embedding_dbscan_matches_brute_twin(ray_session):
+    from opps_feedcrawler_ray.pipelines.ann import embedding_dbscan
+
+    got = embedding_dbscan(SF, threshold=0.5, min_pts=4)
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    ids = emb["vec_id"].to_numpy(dtype="int64")
+    V = np.array(emb["embedding"].to_list(), dtype="float64")
+    label, role = _brute_dbscan(ids, V, 0.5, 4)
+    assert len(got) == len(ids)
+    for _, r in got.iterrows():
+        assert int(r["cluster"]) == label[int(r["vec_id"])]
+        assert int(r["role"]) == role[int(r["vec_id"])]
+
+
+def test_dbscan_recovers_planted_blobs(ray_session):
+    import ray.data as rd
+
+    from opps_feedcrawler_ray.pipelines.ann import dbscan_embeddings
+
+    rng = np.random.RandomState(7)
+    dim = 16
+    centers = np.eye(dim)[:3] * 10.0
+    rows = []
+    vid = 0
+    for c in range(3):
+        for _ in range(20):
+            rows.append((vid, (centers[c] + rng.normal(0, 0.3, dim)).tolist()))
+            vid += 1
+    # isolated noise points: near-orthogonal directions far from blobs
+    for j in range(5):
+        v = np.zeros(dim); v[8 + j] = 10.0
+        rows.append((vid, v.tolist())); vid += 1
+    df = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    ds = rd.from_pandas(df)
+    got = (dbscan_embeddings(ds, threshold=0.9, min_pts=4)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    # each blob is exactly one cluster labeled by its min member id
+    for c in range(3):
+        blob = got.iloc[c * 20:(c + 1) * 20]
+        assert set(blob["cluster"]) == {c * 20}
+        assert set(blob["role"]) <= {0, 1}
+    noise = got.iloc[60:]
+    assert (noise["cluster"] == -1).all()
+    assert (noise["role"] == 2).all()
