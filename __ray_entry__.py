@@ -636,6 +636,21 @@ def _q_media_image_dups(sf_dir: str):
     return image_phash_dups(ds, max_hamming=4)
 
 
+def _q_media_video_scenes(sf_dir: str):
+    """Shot-boundary detection over planted-scene concatenated-P6
+    videos (real codec): full-frame mean-abs-diff threshold, one row
+    per video with the boundary list (rows-only; planted-cut recovery
+    + replay twins in test_multimodal)."""
+    import ray.data as rd
+
+    from opps_feedcrawler_ray.stages.multimodal import (
+        detect_video_scenes, synth_video_scene_table,
+    )
+
+    ds = rd.from_arrow(synth_video_scene_table(24))
+    return detect_video_scenes(ds, concurrency=2, batch_size=4, fake=False)
+
+
 def _q_media_audio_dups(sf_dir: str):
     """Energy-envelope audio fingerprint near-dup pairs over a corpus
     with planted noise-jittered copies — the shared 64-bit banding
@@ -918,6 +933,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_image_features": _q_media_image,
         "media_image_dups": _q_media_image_dups,
         "media_audio_dups": _q_media_audio_dups,
+        "media_video_scenes": _q_media_video_scenes,
         "media_audio_frames": _q_media_audio,
         "media_video_frames": _q_media_video,
     }

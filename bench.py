@@ -209,6 +209,7 @@ QUERY_NAMES = [
     "events_kendall_tau",
     "lineitem_mode_quantity",
     "embedding_dbscan",
+    "media_video_scenes",
 ]
 
 

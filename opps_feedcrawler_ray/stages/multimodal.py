@@ -689,3 +689,113 @@ def audio_fp_dups(
         num_cpus=1,
     )
     return hash64_near_dup_pairs(fps, max_hamming=max_hamming, hash_col="afp")
+
+
+# --------------------------------------------------- shot-boundary detection
+class VideoSceneStage:
+    """SHOT-BOUNDARY (scene-cut) detection — the classic pairwise
+    frame-difference detector (threshold on mean absolute luma change,
+    the baseline every shot-detection survey starts from).  One output
+    row per video: frame count, detected scene count, and the boundary
+    frame indices (frame i starts a new scene when
+    mean|luma_i - luma_{i-1}| > threshold on mean-pooled thumbnails).
+
+    Real mode decodes the concatenated-P6 stream with the hermetic
+    codec; payloads never leave the stage — only the tiny boundary rows
+    flow on.  Deterministic: the score is the full-frame mean absolute
+    RGB difference (no pooling — pooling averages away most of the
+    inter-scene signal), floored to an e3 integer before the
+    comparison.  Uniform-random scene changes score ≈ 85, small-jitter
+    within-scene diffs ≈ 3, so the default threshold 30 sits mid-gap."""
+
+    def __init__(self, fake: bool = True, threshold: float = 30.0) -> None:
+        self.fake = fake
+        self.thr_e3 = int(round(threshold * 1e3))
+
+    def _frames(self, payload: bytes, meta: dict) -> list[np.ndarray]:
+        if self.fake:
+            n = int(meta.get("n_frames", 8))
+            h = int(meta.get("height", 16))
+            w = int(meta.get("width", 16))
+            frames = [_fold_bytes(payload[i:] + payload[:i], h, w)
+                      for i in range(n)]
+        else:
+            frames = decode_ppm_stream(payload)
+        return [f.astype(np.float64) for f in frames]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, nf, ns, bounds = [], [], [], []
+        for mid, payload, meta_s in zip(
+            batch["media_id"].to_pylist(),
+            batch["payload"].to_pylist(),
+            batch["meta"].to_pylist(),
+        ):
+            meta = json.loads(meta_s) if meta_s else {}
+            frames = self._frames(payload, meta)
+            cuts = []
+            for i in range(1, len(frames)):
+                d_e3 = int(np.floor(
+                    float(np.abs(frames[i] - frames[i - 1]).mean()) * 1e3 + 0.5
+                ))
+                if d_e3 > self.thr_e3:
+                    cuts.append(i)
+            ids.append(mid)
+            nf.append(len(frames))
+            ns.append(len(cuts) + 1)
+            bounds.append(cuts)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "n_frames": pa.array(nf, pa.int32()),
+                "n_scenes": pa.array(ns, pa.int32()),
+                "boundaries": pa.array(bounds, pa.list_(pa.int32())),
+            }
+        )
+
+
+def detect_video_scenes(
+    ds: rd.Dataset, concurrency: int = 4, batch_size: int = 8,
+    fake: bool = True, threshold: float = 30.0,
+) -> rd.Dataset:
+    """Actor-pool shot-boundary detection over a media table (small
+    batches — video payloads dominate block size)."""
+    return ds.map_batches(
+        VideoSceneStage,
+        fn_constructor_kwargs={"fake": fake, "threshold": threshold},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def synth_video_scene_table(n: int = 24) -> pa.Table:
+    """Deterministic planted-scene video corpus: each video holds
+    1 + i%4 scenes; frames WITHIN a scene are a random base image plus
+    small (±4) jitter, scene changes draw a fresh base — so true cuts
+    have mean luma diff ≈ 85 and within-scene diffs ≈ 4.  The true
+    boundary list rides the meta JSON for the recovery test."""
+    ids, kinds, payloads, metas = [], [], [], []
+    for i in range(n):
+        rng = np.random.default_rng(5000 + i)
+        h, w = 12, 12
+        n_scenes = 1 + i % 4
+        frames, true_bounds = [], []
+        for s in range(n_scenes):
+            base = rng.integers(0, 256, (h, w, 3), dtype=np.int64)
+            if s > 0:
+                true_bounds.append(len(frames))
+            for _ in range(3 + (i + s) % 3):
+                jit = rng.integers(-4, 5, (h, w, 3))
+                frames.append(np.clip(base + jit, 0, 255).astype(np.uint8))
+        ids.append(i)
+        kinds.append("video")
+        payloads.append(encode_ppm_stream(frames))
+        metas.append(json.dumps(
+            {"width": w, "height": h, "n_frames": len(frames),
+             "true_bounds": true_bounds}, sort_keys=True))
+    return pa.table(
+        {"media_id": pa.array(ids, pa.int64()), "kind": pa.array(kinds),
+         "payload": pa.array(payloads, pa.binary()), "meta": pa.array(metas)},
+        schema=MEDIA_SCHEMA,
+    )

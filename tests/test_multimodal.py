@@ -240,3 +240,48 @@ def test_audio_fp_dups_finds_planted_near_dups(ray_session):
     import pandas as pd
 
     pd.testing.assert_frame_equal(got, audio_fp_dups(ds, max_hamming=4))
+
+
+def test_video_scene_detection_recovers_planted_cuts(ray_session):
+    import json
+
+    from opps_feedcrawler_ray.stages.multimodal import (
+        detect_video_scenes, synth_video_scene_table,
+    )
+
+    tbl = synth_video_scene_table(24)
+    got = (
+        detect_video_scenes(rd.from_arrow(tbl), concurrency=2, batch_size=4,
+                            fake=False)
+        .to_pandas().sort_values("media_id").reset_index(drop=True)
+    )
+    assert len(got) == 24
+    metas = [json.loads(m) for m in tbl["meta"].to_pylist()]
+    for i, row in got.iterrows():
+        true_bounds = metas[i]["true_bounds"]
+        assert list(row["boundaries"]) == true_bounds
+        assert int(row["n_scenes"]) == 1 + i % 4
+        assert int(row["n_frames"]) == metas[i]["n_frames"]
+
+
+def test_video_scene_stage_matches_replay_twin(ray_session):
+    import json
+
+    import numpy as np
+
+    from opps_feedcrawler_ray.stages.multimodal import (
+        VideoSceneStage, decode_ppm_stream, synth_video_scene_table,
+    )
+
+    tbl = synth_video_scene_table(6)
+    out = VideoSceneStage(fake=False, threshold=30.0)(tbl).to_pandas()
+    for i in range(6):
+        frames = [f.astype(np.float64)
+                  for f in decode_ppm_stream(tbl["payload"][i].as_py())]
+        cuts = [
+            j for j in range(1, len(frames))
+            if int(np.floor(float(np.abs(frames[j] - frames[j - 1]).mean())
+                            * 1e3 + 0.5)) > 30000
+        ]
+        assert list(out["boundaries"][i]) == cuts
+        assert int(out["n_scenes"][i]) == len(cuts) + 1
