@@ -911,6 +911,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_blocklist_filter": A.doc_blocklist_filter,
         "events_kendall_tau": A.events_kendall_tau,
         "lineitem_mode_quantity": A.lineitem_mode_quantity,
+        "orders_ivm_agg": A.orders_ivm_agg,
         "embedding_dbscan": _q_embedding_dbscan,
         "hybrid_search_rrf": _q_hybrid_search_rrf,
         "events_isotonic_calibration": _q_events_isotonic,
@@ -3262,6 +3263,28 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS tau_e6 "
             "FROM t JOIN p USING (event_type) JOIN tv USING (event_type) "
             "JOIN th USING (event_type) ORDER BY t.event_type"
+        ),
+        "orders_ivm_agg": (
+            # incremental view maintenance: v1 aggregate, delta aggregate
+            # from the deterministic CDC rule (same as orders_diff), and
+            # the rebuilt-v2 aggregate the base+delta merge must equal
+            "WITH v1 AS (SELECT o_orderpriority, "
+            "CAST(COUNT(*) AS BIGINT) AS n_v1, "
+            "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) "
+            "AS BIGINT) AS sum_v1_e2 FROM orders GROUP BY 1), "
+            "v2rows AS (SELECT o_orderpriority, "
+            "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) + "
+            "CASE WHEN o_orderpriority = '1-URGENT' THEN 100 ELSE 0 END AS p "
+            "FROM orders WHERE o_orderkey % 97 <> 0 "
+            "UNION ALL SELECT o_orderpriority, "
+            "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) FROM orders "
+            "WHERE o_orderkey % 101 = 0), "
+            "v2 AS (SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_v2, "
+            "CAST(SUM(p) AS BIGINT) AS sum_v2_e2 FROM v2rows GROUP BY 1) "
+            "SELECT o_orderpriority, n_v1, sum_v1_e2, "
+            "n_v2 - n_v1 AS d_n, sum_v2_e2 - sum_v1_e2 AS d_s, "
+            "n_v2, sum_v2_e2 "
+            "FROM v1 JOIN v2 USING (o_orderpriority) ORDER BY o_orderpriority"
         ),
         "lineitem_mode_quantity": (
             # grouped MODE with deterministic max-count / min-value

@@ -210,6 +210,7 @@ QUERY_NAMES = [
     "lineitem_mode_quantity",
     "embedding_dbscan",
     "media_video_scenes",
+    "orders_ivm_agg",
 ]
 
 

@@ -9268,3 +9268,75 @@ def lineitem_mode_quantity(sf_dir: str) -> pd.DataFrame:
         .sort_values("l_returnflag").reset_index(drop=True)
         .astype({"mode_qty": "int64", "n_mode": "int64", "n_rows": "int64"})
     )
+
+
+def orders_ivm_agg(sf_dir: str) -> pd.DataFrame:
+    """INCREMENTAL VIEW MAINTENANCE — update a grouped aggregate from a
+    CDC delta WITHOUT re-aggregating the new snapshot (the O(|delta|)
+    path every materialized-view engine runs).  Uses the same
+    deterministic v1→v2 rule as ``orders_diff`` (keys ≡ 0 mod 97
+    deleted, URGENT orders bumped +1.00, keys ≡ 0 mod 101 re-inserted
+    shifted), so the oracle can rebuild v2 in SQL and aggregate it
+    directly — the engine's base ⊕ delta merge must land on exactly
+    that.
+
+    Per priority group: the v1 aggregate, the delta aggregate (computed
+    from delta rows ONLY), and their merge — with the IVM identity
+    n_v2 = n_v1 + d_n, sum_v2 = sum_v1 + d_sum baked into the output.
+
+    Scale shape: ONE streaming pass over v1 emits per-batch integer
+    partials for BOTH the base and the delta aggregate (≤ |priorities|
+    rows per block — pure combiner, no data-sized exchange); the driver
+    folds ≤ |groups| rows.  At 100 TB the base aggregate would already
+    be materialized and only the delta pass runs."""
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_totalprice", "o_orderpriority"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["p"] = np.floor(
+            df["o_totalprice"].to_numpy() * 100.0 + 0.5
+        ).astype("int64")
+        key = df["o_orderkey"].to_numpy()
+        removed = key % 97 == 0
+        urgent = (df["o_orderpriority"] == "1-URGENT").to_numpy()
+        inserted = key % 101 == 0
+        # delta contributions per v1 row (additive over groups)
+        d_n = inserted.astype("int64") - removed.astype("int64")
+        d_s = (
+            inserted * df["p"].to_numpy()
+            - removed * df["p"].to_numpy()
+            # price bump applies to rows that SURVIVE into v2
+            + (urgent & ~removed) * 100
+        ).astype("int64")
+        g = (
+            pd.DataFrame({
+                "o_orderpriority": df["o_orderpriority"],
+                "n_v1": 1, "s_v1": df["p"], "d_n": d_n, "d_s": d_s,
+            })
+            .groupby("o_orderpriority", as_index=False)
+            .agg(n_v1=("n_v1", "sum"), s_v1=("s_v1", "sum"),
+                 d_n=("d_n", "sum"), d_s=("d_s", "sum"))
+        )
+        return pa.Table.from_pandas(
+            g, preserve_index=False,
+            schema=pa.schema([
+                ("o_orderpriority", pa.string()), ("n_v1", pa.int64()),
+                ("s_v1", pa.int64()), ("d_n", pa.int64()), ("d_s", pa.int64()),
+            ]),
+        )
+
+    parts = orders.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("o_orderpriority", as_index=False).sum()
+    agg["n_v2"] = agg["n_v1"] + agg["d_n"]
+    agg["sum_v2_e2"] = agg["s_v1"] + agg["d_s"]
+    return (
+        agg.rename(columns={"s_v1": "sum_v1_e2"})
+        .sort_values("o_orderpriority").reset_index(drop=True)
+        [["o_orderpriority", "n_v1", "sum_v1_e2", "d_n", "d_s",
+          "n_v2", "sum_v2_e2"]]
+        .astype({c: "int64" for c in
+                 ["n_v1", "sum_v1_e2", "d_n", "d_s", "n_v2", "sum_v2_e2"]})
+    )

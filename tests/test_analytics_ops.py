@@ -4364,3 +4364,28 @@ def test_lineitem_mode_quantity_matches_pandas_twin(ray_session):
         assert int(got.loc[flag, "mode_qty"]) == mode
         assert int(got.loc[flag, "n_mode"]) == top
         assert int(got.loc[flag, "n_rows"]) == len(g)
+
+
+def test_orders_ivm_agg_identity_and_v2_parity(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import orders_ivm_agg
+
+    got = orders_ivm_agg(SF)
+    # the IVM identity holds per group
+    assert (got["n_v2"] == got["n_v1"] + got["d_n"]).all()
+    assert (got["sum_v2_e2"] == got["sum_v1_e2"] + got["d_s"]).all()
+    # base+delta equals a direct re-aggregate of the rebuilt v2 snapshot
+    o = pd.read_parquet(
+        f"{SF}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderpriority"],
+    )
+    o["p"] = np.floor(o["o_totalprice"].to_numpy() * 100.0 + 0.5).astype("int64")
+    kept = o[o["o_orderkey"] % 97 != 0].copy()
+    kept["p"] += np.where(kept["o_orderpriority"] == "1-URGENT", 100, 0)
+    ins = o[o["o_orderkey"] % 101 == 0]
+    v2 = pd.concat([kept, ins], ignore_index=True)
+    exp = v2.groupby("o_orderpriority", as_index=False).agg(
+        n_v2=("p", "size"), sum_v2_e2=("p", "sum")
+    )
+    m = got.merge(exp, on="o_orderpriority", suffixes=("", "_exp"))
+    assert (m["n_v2"] == m["n_v2_exp"]).all()
+    assert (m["sum_v2_e2"] == m["sum_v2_e2_exp"]).all()
