@@ -912,6 +912,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_kendall_tau": A.events_kendall_tau,
         "lineitem_mode_quantity": A.lineitem_mode_quantity,
         "orders_ivm_agg": A.orders_ivm_agg,
+        "data_quality_checks": A.data_quality_checks,
         "embedding_dbscan": _q_embedding_dbscan,
         "hybrid_search_rrf": _q_hybrid_search_rrf,
         "events_isotonic_calibration": _q_events_isotonic,
@@ -3263,6 +3264,37 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS tau_e6 "
             "FROM t JOIN p USING (event_type) JOIN tv USING (event_type) "
             "JOIN th USING (event_type) ORDER BY t.event_type"
+        ),
+        "data_quality_checks": (
+            # constraint-audit census: PK uniqueness, two FK checks,
+            # range/domain checks — one row per constraint
+            "SELECT 'events_user_positive' AS constraint_name, "
+            "CAST(COUNT(*) AS BIGINT) AS n_checked, "
+            "CAST(SUM(CASE WHEN user_id < 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_violations FROM events "
+            "UNION ALL SELECT 'events_value_cap450', "
+            "CAST(COUNT(*) AS BIGINT), "
+            "CAST(SUM(CASE WHEN value > 450.0 THEN 1 ELSE 0 END) AS BIGINT) "
+            "FROM events "
+            "UNION ALL SELECT 'lineitem_fk_orders', "
+            "(SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem), "
+            "(SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l "
+            "LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "WHERE o.o_orderkey IS NULL) "
+            "UNION ALL SELECT 'lineitem_qty_range', "
+            "(SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem), "
+            "(SELECT CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 "
+            "THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem) "
+            "UNION ALL SELECT 'orders_fk_customer', "
+            "(SELECT CAST(COUNT(*) AS BIGINT) FROM orders), "
+            "(SELECT CAST(COUNT(*) AS BIGINT) FROM orders o "
+            "LEFT JOIN customer c ON o.o_custkey = c.c_custkey "
+            "WHERE c.c_custkey IS NULL) "
+            "UNION ALL SELECT 'orders_pk_unique', "
+            "(SELECT CAST(COUNT(*) AS BIGINT) FROM orders), "
+            "(SELECT CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) "
+            "FROM orders) "
+            "ORDER BY constraint_name"
         ),
         "orders_ivm_agg": (
             # incremental view maintenance: v1 aggregate, delta aggregate

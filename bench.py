@@ -211,6 +211,7 @@ QUERY_NAMES = [
     "embedding_dbscan",
     "media_video_scenes",
     "orders_ivm_agg",
+    "data_quality_checks",
 ]
 
 

@@ -9340,3 +9340,133 @@ def orders_ivm_agg(sf_dir: str) -> pd.DataFrame:
         .astype({c: "int64" for c in
                  ["n_v1", "sum_v1_e2", "d_n", "d_s", "n_v2", "sum_v2_e2"]})
     )
+
+
+def data_quality_checks(sf_dir: str) -> pd.DataFrame:
+    """DATA-VALIDATION SUITE — the constraint-audit pass every 100 TB
+    ingest runs before training (Great-Expectations-style): primary-key
+    uniqueness, referential integrity, range and domain checks, each
+    reported as (constraint_name, n_checked, n_violations).
+
+    Scale shapes per constraint class: PK uniqueness routes the key
+    column through ONE bucket exchange (in-bucket size − nunique — the
+    honest exact-uniqueness cost); the big-big FK check co-shuffles
+    per-batch (key, multiplicity) child partials with parent key-marker
+    rows (bucket-complete membership); the small-dim FK check broadcasts
+    the parent keyset once (``ray.put`` + ``np.isin``); range/domain
+    checks are pure streaming combiners (zero exchange)."""
+    import ray
+
+    from .dedup import coarse_buckets
+
+    out: list[tuple[str, int, int]] = []
+
+    # ---- PK uniqueness: orders.o_orderkey (one bucket exchange)
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey"])
+    n_orders = orders.count()
+    nb = coarse_buckets(n_orders, rows_per_task=65536)
+
+    def route(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"k": pa.array(k, pa.int64()),
+                         "__b": pa.array(k % nb, pa.int64())})
+
+    def dup_excess(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"x": [int(len(g) - g["k"].nunique())]})
+
+    dups = (
+        orders.map_batches(route, batch_format="pyarrow")
+        .groupby("__b").map_groups(dup_excess, batch_format="pandas")
+        .to_pandas()["x"].sum()
+    )
+    out.append(("orders_pk_unique", n_orders, int(dups)))
+
+    # ---- small-dim FK: orders.o_custkey ⊆ customer.c_custkey (broadcast)
+    cust_keys = np.sort(
+        rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey"])
+        .to_pandas()["c_custkey"].to_numpy().astype(np.int64)
+    )
+    keys_ref = ray.put(cust_keys)
+
+    def fk_small(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        c = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bad = int((~np.isin(c, ks)).sum())
+        return pa.table({"n": pa.array([len(c)], pa.int64()),
+                         "bad": pa.array([bad], pa.int64())})
+
+    fk1 = orders.map_batches(fk_small, batch_format="pyarrow").to_pandas()
+    out.append(("orders_fk_customer", int(fk1["n"].sum()), int(fk1["bad"].sum())))
+
+    # ---- big-big FK: lineitem.l_orderkey ⊆ orders.o_orderkey
+    # (co-shuffled (key, multiplicity) child partials + parent markers)
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_quantity"])
+    n_li = li.count()
+    nb2 = coarse_buckets(n_li, rows_per_task=65536)
+    _fk_schema = pa.schema([("k", pa.int64()), ("n", pa.int64()),
+                            ("__b", pa.int64())])
+
+    def child_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"k": batch["l_orderkey"].to_numpy(zero_copy_only=False)
+             .astype(np.int64)}
+        )
+        g = df.groupby("k", as_index=False).agg(n=("k", "size"))
+        g["__b"] = (g["k"].to_numpy() % nb2).astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False, schema=_fk_schema)
+
+    def parent_marker(batch: pa.Table) -> pa.Table:
+        k = np.unique(
+            batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        return pa.table({"k": pa.array(k, pa.int64()),
+                         "n": pa.array(np.full(len(k), -1), pa.int64()),
+                         "__b": pa.array(k % nb2, pa.int64())})
+
+    def orphan_rows(g: pd.DataFrame) -> pd.DataFrame:
+        parents = set(g.loc[g["n"] < 0, "k"].tolist())
+        child = g[g["n"] > 0]
+        bad = int(child.loc[~child["k"].isin(parents), "n"].sum())
+        return pd.DataFrame({"x": [bad]})
+
+    both = li.map_batches(child_partial, batch_format="pyarrow").union(
+        orders.map_batches(parent_marker, batch_format="pyarrow")
+    )
+    orphans = (
+        both.groupby("__b").map_groups(orphan_rows, batch_format="pandas")
+        .to_pandas()["x"].sum()
+    )
+    out.append(("lineitem_fk_orders", n_li, int(orphans)))
+
+    # ---- range/domain checks: streaming combiners, zero exchange
+    def qty_range(batch: pa.Table) -> pa.Table:
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        bad = int(((q < 1) | (q > 50)).sum())
+        return pa.table({"n": pa.array([len(q)], pa.int64()),
+                         "bad": pa.array([bad], pa.int64())})
+
+    r = li.map_batches(qty_range, batch_format="pyarrow").to_pandas()
+    out.append(("lineitem_qty_range", int(r["n"].sum()), int(r["bad"].sum())))
+
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["value", "user_id"])
+
+    def value_cap(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n": pa.array([len(v)], pa.int64()),
+            "cap": pa.array([int((v > 450.0).sum())], pa.int64()),
+            "uid": pa.array([int((u < 1).sum())], pa.int64()),
+        })
+
+    e = ev.map_batches(value_cap, batch_format="pyarrow").to_pandas()
+    out.append(("events_value_cap450", int(e["n"].sum()), int(e["cap"].sum())))
+    out.append(("events_user_positive", int(e["n"].sum()), int(e["uid"].sum())))
+
+    return (
+        pd.DataFrame(out, columns=["constraint_name", "n_checked", "n_violations"])
+        .sort_values("constraint_name").reset_index(drop=True)
+        .astype({"n_checked": "int64", "n_violations": "int64"})
+    )

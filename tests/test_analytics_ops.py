@@ -4389,3 +4389,33 @@ def test_orders_ivm_agg_identity_and_v2_parity(ray_session):
     m = got.merge(exp, on="o_orderpriority", suffixes=("", "_exp"))
     assert (m["n_v2"] == m["n_v2_exp"]).all()
     assert (m["sum_v2_e2"] == m["sum_v2_e2_exp"]).all()
+
+
+def test_data_quality_checks_matches_pandas_twin(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import data_quality_checks
+
+    got = data_quality_checks(SF).set_index("constraint_name")
+    o = pd.read_parquet(f"{SF}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey"])
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity"])
+    c = pd.read_parquet(f"{SF}/customer.parquet", columns=["c_custkey"])
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["value", "user_id"])
+    exp = {
+        "orders_pk_unique": (len(o), len(o) - o["o_orderkey"].nunique()),
+        "orders_fk_customer": (
+            len(o), int((~o["o_custkey"].isin(c["c_custkey"])).sum())),
+        "lineitem_fk_orders": (
+            len(li), int((~li["l_orderkey"].isin(o["o_orderkey"])).sum())),
+        "lineitem_qty_range": (
+            len(li),
+            int(((li["l_quantity"] < 1) | (li["l_quantity"] > 50)).sum())),
+        "events_value_cap450": (len(ev), int((ev["value"] > 450.0).sum())),
+        "events_user_positive": (len(ev), int((ev["user_id"] < 1).sum())),
+    }
+    assert len(got) == len(exp)
+    for name, (n, bad) in exp.items():
+        assert int(got.loc[name, "n_checked"]) == n
+        assert int(got.loc[name, "n_violations"]) == bad
+    # fixture sanity: at least one constraint actually fires
+    assert got["n_violations"].sum() > 0
