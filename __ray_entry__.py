@@ -913,6 +913,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_mode_quantity": A.lineitem_mode_quantity,
         "orders_ivm_agg": A.orders_ivm_agg,
         "data_quality_checks": A.data_quality_checks,
+        "join_size_estimate": A.join_size_estimate,
         "embedding_dbscan": _q_embedding_dbscan,
         "hybrid_search_rrf": _q_hybrid_search_rrf,
         "events_isotonic_calibration": _q_events_isotonic,

@@ -212,6 +212,7 @@ QUERY_NAMES = [
     "media_video_scenes",
     "orders_ivm_agg",
     "data_quality_checks",
+    "join_size_estimate",
 ]
 
 

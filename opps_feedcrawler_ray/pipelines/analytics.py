@@ -9470,3 +9470,88 @@ def data_quality_checks(sf_dir: str) -> pd.DataFrame:
         .sort_values("constraint_name").reset_index(drop=True)
         .astype({"n_checked": "int64", "n_violations": "int64"})
     )
+
+
+def join_size_estimate(sf_dir: str, d: int = 4, w: int = 8192) -> pd.DataFrame:
+    """JOIN-SIZE ESTIMATION by Count-Min inner product (Cormode &
+    Muthukrishnan 2005 §4.2) — the query-optimizer primitive that
+    decides broadcast vs shuffle vs skew-split BEFORE any exchange
+    runs.  |A ⋈ B| = Σ_k f_A(k)·f_B(k) is estimated as
+    min_r ⟨CMS_A[r], CMS_B[r]⟩; collisions only add, so the estimate is
+    a certified UPPER-side bracket: exact ≤ est ≤ exact + (e/w)·|A|·|B|
+    per row (min over d rows in practice far tighter).
+
+    Scale shape: each side streams once, emitting one d×w sketch per
+    batch (exact elementwise-sum combiners — d·w·8 bytes per block, no
+    key exchange at all); the EXACT twin answer rides one (key,
+    multiplicity)-bucket co-shuffle for the test/report.  Output: one
+    row with both sizes, the estimate, and the certified slack."""
+    import math
+
+    from ..functions.sketch import CountMinSketch
+    from .dedup import coarse_buckets
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_orderkey"])
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey"])
+
+    def sketch_side(col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            k = batch[col].to_numpy(zero_copy_only=False).astype(np.uint64)
+            keys, counts = np.unique(k, return_counts=True)
+            cms = CountMinSketch(d, w)
+            cms.add_hashes(keys, counts)
+            return pa.table({"sk": pa.array([cms.to_bytes()], pa.binary()),
+                             "n": pa.array([len(k)], pa.int64())})
+        return fn
+
+    def fold(ds_part) -> tuple[CountMinSketch, int]:
+        rows = ds_part.to_pandas()
+        cms = CountMinSketch.from_bytes(rows["sk"].iloc[0])
+        for b in rows["sk"].iloc[1:]:
+            cms = cms.merge(CountMinSketch.from_bytes(b))
+        return cms, int(rows["n"].sum())
+
+    cms_a, n_a = fold(li.map_batches(sketch_side("l_orderkey"),
+                                     batch_format="pyarrow"))
+    cms_b, n_b = fold(orders.map_batches(sketch_side("o_orderkey"),
+                                         batch_format="pyarrow"))
+    est = int(min(int(np.dot(cms_a.tab[r], cms_b.tab[r]))
+                  for r in range(d)))
+    bound = int(math.ceil(math.e / w * n_a * n_b))
+
+    # exact join size: one (key, multiplicity)-bucket co-shuffle
+    nb = coarse_buckets(n_a, rows_per_task=65536)
+    _schema = pa.schema([("k", pa.int64()), ("n", pa.int64()),
+                         ("side", pa.int64()), ("__b", pa.int64())])
+
+    def side_partial(col: str, side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            k = batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            keys, counts = np.unique(k, return_counts=True)
+            return pa.table({"k": pa.array(keys, pa.int64()),
+                             "n": pa.array(counts.astype(np.int64), pa.int64()),
+                             "side": pa.array(np.full(len(keys), side), pa.int64()),
+                             "__b": pa.array(keys % nb, pa.int64())},
+                            schema=_schema)
+        return fn
+
+    def bucket_product(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["side"] == 0].groupby("k")["n"].sum()
+        b = g[g["side"] == 1].groupby("k")["n"].sum()
+        j = a.to_frame("na").join(b.to_frame("nb"), how="inner")
+        return pd.DataFrame({"x": [int((j["na"] * j["nb"]).sum())]})
+
+    exact = int(
+        li.map_batches(side_partial("l_orderkey", 0), batch_format="pyarrow")
+        .union(orders.map_batches(side_partial("o_orderkey", 1),
+                                  batch_format="pyarrow"))
+        .groupby("__b").map_groups(bucket_product, batch_format="pandas")
+        .to_pandas()["x"].sum()
+    )
+    return pd.DataFrame({
+        "n_lineitem": pd.array([n_a], dtype="int64"),
+        "n_orders": pd.array([n_b], dtype="int64"),
+        "exact_rows": pd.array([exact], dtype="int64"),
+        "est_rows": pd.array([est], dtype="int64"),
+        "bound_rows": pd.array([bound], dtype="int64"),
+    })

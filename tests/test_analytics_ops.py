@@ -4419,3 +4419,24 @@ def test_data_quality_checks_matches_pandas_twin(ray_session):
         assert int(got.loc[name, "n_violations"]) == bad
     # fixture sanity: at least one constraint actually fires
     assert got["n_violations"].sum() > 0
+
+
+def test_join_size_estimate_sandwich_and_exact(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import join_size_estimate
+
+    got = join_size_estimate(SF)
+    li = pd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_orderkey"])
+    o = pd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderkey"])
+    true = int(
+        li["l_orderkey"].value_counts()
+        .to_frame("na")
+        .join(o["o_orderkey"].value_counts().to_frame("nb"), how="inner")
+        .prod(axis=1).sum()
+    )
+    assert int(got["exact_rows"].iloc[0]) == true
+    assert int(got["n_lineitem"].iloc[0]) == len(li)
+    assert int(got["n_orders"].iloc[0]) == len(o)
+    est = int(got["est_rows"].iloc[0])
+    bound = int(got["bound_rows"].iloc[0])
+    # CMS inner product is a certified upper-side bracket
+    assert true <= est <= true + bound
