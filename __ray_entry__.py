@@ -280,6 +280,15 @@ def _q_kcenter_coreset(sf_dir: str):
     return kcenter_coreset(sf_dir, k=16)
 
 
+def _q_doc_sssp(sf_dir: str):
+    """Weighted SSSP (distributed Bellman-Ford relax-to-fixpoint over
+    pinned edges, deterministic id-arithmetic weights); rows-only —
+    test pins it to a Dijkstra replay over the same edge list."""
+    from opps_feedcrawler_ray.pipelines.webpipe import doc_sssp
+
+    return doc_sssp(sf_dir, source=0)
+
+
 def _q_doc_betweenness(sf_dir: str):
     """Source-parallel exact Brandes betweenness (per-source passes
     fan out over a broadcast CSR; e9-integer dependency partials);
@@ -866,6 +875,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pca": _q_embedding_pca,
         "embedding_kmeans": _q_embedding_kmeans,
         "doc_betweenness": _q_doc_betweenness,
+        "doc_sssp": _q_doc_sssp,
         "ann_hard_negatives": _q_hard_negatives,
         "kcenter_coreset": _q_kcenter_coreset,
         "events_autocorr": A.events_autocorr,

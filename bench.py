@@ -213,6 +213,7 @@ QUERY_NAMES = [
     "orders_ivm_agg",
     "data_quality_checks",
     "join_size_estimate",
+    "doc_sssp",
 ]
 
 

@@ -865,28 +865,12 @@ def doc_triangle_counts(sf_dir: str, work_dir: str | None = None,
     return out[["doc_id", "n_triangles"]].sort_values("doc_id").reset_index(drop=True)
 
 
-def doc_bfs_depth(
-    sf_dir: str, work_dir: str | None = None, source: int = 0, max_depth: int = 32
-) -> pd.DataFrame:
-    """Distributed BFS (crawl-depth labeling from a seed) over the
-    DIRECTED doc link graph — the fourth iterative-graph op next to
-    PageRank, connected components and triangle counting, and the batch
-    twin of what the crawl's round counter computes live.
-
-    Per iteration the depth table (≤ reached nodes — the same
-    fits-a-heap broadcast assumption ``host_pagerank`` documents, with
-    the same bucketed co-shuffle fallback past it) broadcasts via
-    ``ray.put`` into ONE ``map_batches`` over the PINNED edge dataset;
-    each batch proposes ``depth[dst] = depth[src] + 1`` with a per-batch
-    min combiner, one |nodes|-key groupby-min closes the step, and the
-    driver early-exits on fixpoint (≤ graph-eccentricity iterations).
-    Edges never move — only the depth table does.  Oracle: recursive-CTE
-    min-reachable depth over the corpus' closed-form id-arithmetic
-    links (same closed form the triangle oracle proves equal to the
-    parse → canonicalize pipeline)."""
+def _doc_directed_edges(sf_dir: str, work_dir: str | None = None) -> "rd.Dataset":
+    """DIRECTED, self-loop-free, per-batch-deduped doc→doc link edges
+    (a, b) from the derived corpus — the shared edge build for BFS depth
+    and weighted SSSP (parse → canonicalize → id arithmetic, the same
+    pipeline the triangle/link-graph oracles pin)."""
     import pandas as pd
-
-    import ray
 
     from ..functions.extract import parse_links
     from ..functions.urlnorm import canonicalize_batch
@@ -920,11 +904,37 @@ def doc_bfs_depth(
                     dsts.append(_doc_id(c))
         s = np.asarray(srcs, dtype=np.int64)
         d = np.asarray(dsts, dtype=np.int64)
-        keep = s != d  # self-links never change a BFS depth
+        keep = s != d  # self-links never change a distance
         df = pd.DataFrame({"a": s[keep], "b": d[keep]}).drop_duplicates()
         return pa.Table.from_pandas(df, preserve_index=False, schema=edge_schema)
 
-    edges = pages.map_batches(edge_partial, batch_format="pyarrow").materialize()
+    return pages.map_batches(edge_partial, batch_format="pyarrow").materialize()
+
+
+def doc_bfs_depth(
+    sf_dir: str, work_dir: str | None = None, source: int = 0, max_depth: int = 32
+) -> pd.DataFrame:
+    """Distributed BFS (crawl-depth labeling from a seed) over the
+    DIRECTED doc link graph — the fourth iterative-graph op next to
+    PageRank, connected components and triangle counting, and the batch
+    twin of what the crawl's round counter computes live.
+
+    Per iteration the depth table (≤ reached nodes — the same
+    fits-a-heap broadcast assumption ``host_pagerank`` documents, with
+    the same bucketed co-shuffle fallback past it) broadcasts via
+    ``ray.put`` into ONE ``map_batches`` over the PINNED edge dataset;
+    each batch proposes ``depth[dst] = depth[src] + 1`` with a per-batch
+    min combiner, one |nodes|-key groupby-min closes the step, and the
+    driver early-exits on fixpoint (≤ graph-eccentricity iterations).
+    Edges never move — only the depth table does.  Oracle: recursive-CTE
+    min-reachable depth over the corpus' closed-form id-arithmetic
+    links (same closed form the triangle oracle proves equal to the
+    parse → canonicalize pipeline)."""
+    import pandas as pd
+
+    import ray
+
+    edges = _doc_directed_edges(sf_dir, work_dir)
 
     prop_schema = pa.schema([("doc_id", pa.int64()), ("nd", pa.int64())])
     depth: dict[int, int] = {source: 0}
@@ -1637,3 +1647,74 @@ def doc_betweenness(
         .astype({"doc_id": "int64", "bc2_e9": "int64"})
     )
     return out
+
+
+def doc_sssp(
+    sf_dir: str, work_dir: str | None = None, source: int = 0,
+    max_iters: int = 64,
+) -> pd.DataFrame:
+    """WEIGHTED single-source shortest paths (distributed Bellman-Ford)
+    over the directed doc link graph — the weighted sibling of
+    ``doc_bfs_depth`` (hop counts can't express transfer costs; this is
+    the relax-until-fixpoint loop Pregel/GraphX ship as SSSP).
+
+    Edge weights are deterministic id arithmetic, w(a, b) =
+    1 + (7a + 13b) mod 5 — derivable by the twin without shipping a
+    weight column.  Per iteration the ≤|reached| distance table
+    broadcasts (``ray.put``) into ONE ``map_batches`` over the PINNED
+    edge dataset; each batch relaxes dist[b] = dist[a] + w with a
+    per-batch min combiner (node-bounded output), the driver folds the
+    proposals and early-exits on fixpoint.  Edges never move.  Weights
+    are positive so Bellman-Ford converges in ≤ |V| rounds; rows-only
+    (weighted recursive-CTE oracles explode on cyclic graphs) — the
+    twin replays Dijkstra over the same edge list."""
+    import pandas as pd
+
+    import ray
+
+    edges = _doc_directed_edges(sf_dir, work_dir)
+
+    prop_schema = pa.schema([("doc_id", pa.int64()), ("nd", pa.int64())])
+    dist: dict[int, int] = {source: 0}
+    for _ in range(max_iters):
+        ref = ray.put(dist)
+
+        def relax(batch: pa.Table) -> pa.Table:
+            dmap = ray.get(ref)
+            df = batch.to_pandas()
+            da = df["a"].map(dmap)
+            m = da.notna()
+            if not m.any():
+                return pa.Table.from_pandas(
+                    pd.DataFrame({"doc_id": [], "nd": []}),
+                    preserve_index=False, schema=prop_schema,
+                )
+            aa = df.loc[m, "a"].to_numpy(dtype="int64")
+            bb = df.loc[m, "b"].to_numpy(dtype="int64")
+            w = 1 + (7 * aa + 13 * bb) % 5
+            g = (
+                pd.DataFrame(
+                    {"doc_id": bb,
+                     "nd": da[m].to_numpy(dtype="float64").astype("int64") + w}
+                )
+                .groupby("doc_id", as_index=False)["nd"]
+                .min()
+            )
+            return pa.Table.from_pandas(g, preserve_index=False, schema=prop_schema)
+
+        prop = (
+            edges.map_batches(relax, batch_format="pyarrow")
+            .to_pandas()
+            .groupby("doc_id", as_index=False)["nd"]
+            .min()
+        )
+        changed = False
+        for did, nd in zip(prop["doc_id"].to_numpy(), prop["nd"].to_numpy()):
+            did, nd = int(did), int(nd)
+            if did not in dist or nd < dist[did]:
+                dist[did] = nd
+                changed = True
+        if not changed:
+            break
+    out = pd.DataFrame(sorted(dist.items()), columns=["doc_id", "dist"])
+    return out.astype({"doc_id": "int64", "dist": "int64"})

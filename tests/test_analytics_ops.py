@@ -4440,3 +4440,36 @@ def test_join_size_estimate_sandwich_and_exact(ray_session):
     bound = int(got["bound_rows"].iloc[0])
     # CMS inner product is a certified upper-side bracket
     assert true <= est <= true + bound
+
+
+def test_doc_sssp_matches_dijkstra_twin(ray_session, tmp_path):
+    import heapq
+
+    from opps_feedcrawler_ray.pipelines.webpipe import (
+        _doc_directed_edges, doc_sssp,
+    )
+
+    got = doc_sssp(SF, work_dir=str(tmp_path / "wp"), source=0)
+    e = _doc_directed_edges(SF, work_dir=str(tmp_path / "wp")).to_pandas()
+    adj: dict[int, list[tuple[int, int]]] = {}
+    for a, b in zip(e["a"].to_numpy(), e["b"].to_numpy()):
+        w = int(1 + (7 * a + 13 * b) % 5)
+        adj.setdefault(int(a), []).append((int(b), w))
+    dist = {0: 0}
+    pq = [(0, 0)]
+    while pq:
+        d, v = heapq.heappop(pq)
+        if d > dist.get(v, 1 << 60):
+            continue
+        for nb, w in adj.get(v, []):
+            nd = d + w
+            if nd < dist.get(nb, 1 << 60):
+                dist[nb] = nd
+                heapq.heappush(pq, (nd, nb))
+    exp = pd.DataFrame(sorted(dist.items()), columns=["doc_id", "dist"])
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.astype({"doc_id": "int64", "dist": "int64"}),
+        check_dtype=False,
+    )
+    # weighted distances differ from hop counts somewhere (weights matter)
+    assert len(got) > 1
