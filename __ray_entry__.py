@@ -924,6 +924,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_ivm_agg": A.orders_ivm_agg,
         "data_quality_checks": A.data_quality_checks,
         "join_size_estimate": A.join_size_estimate,
+        "lineitem_qty_means": A.lineitem_qty_means,
         "embedding_dbscan": _q_embedding_dbscan,
         "hybrid_search_rrf": _q_hybrid_search_rrf,
         "events_isotonic_calibration": _q_events_isotonic,
@@ -3328,6 +3329,28 @@ def oracle_sql() -> dict[str, str]:
             "n_v2 - n_v1 AS d_n, sum_v2_e2 - sum_v1_e2 AS d_s, "
             "n_v2, sum_v2_e2 "
             "FROM v1 JOIN v2 USING (o_orderpriority) ORDER BY o_orderpriority"
+        ),
+        "lineitem_qty_means": (
+            # Pythagorean means from per-distinct-value integer floors:
+            # ln(q) e9 and 1/q e12 are exact int64 sums on both sides;
+            # each mean is the engine's float expression verbatim
+            "WITH c AS (SELECT l_returnflag, "
+            "CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS q, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY 1, 2), "
+            "a AS (SELECT l_returnflag, CAST(SUM(n) AS BIGINT) AS n, "
+            "CAST(SUM(n * q) AS BIGINT) AS s_q, "
+            "CAST(SUM(n * CAST(FLOOR(ln(CAST(q AS DOUBLE)) * 1e9) AS BIGINT)) "
+            "AS BIGINT) AS s_ln, "
+            "CAST(SUM(n * CAST(FLOOR(1e12 / q) AS BIGINT)) AS BIGINT) AS s_r "
+            "FROM c GROUP BY 1) "
+            "SELECT l_returnflag, n, "
+            "CAST(FLOOR(CAST(s_q AS DOUBLE) / n * 1e6 + 0.5) AS BIGINT) "
+            "AS mean_e6, "
+            "CAST(FLOOR(exp(CAST(s_ln AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9)) "
+            "* 1e6 + 0.5) AS BIGINT) AS geo_e6, "
+            "CAST(FLOOR(CAST(n AS DOUBLE) * 1e12 / CAST(s_r AS DOUBLE) "
+            "* 1e6 + 0.5) AS BIGINT) AS harm_e6 "
+            "FROM a ORDER BY l_returnflag"
         ),
         "lineitem_mode_quantity": (
             # grouped MODE with deterministic max-count / min-value

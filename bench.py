@@ -214,6 +214,7 @@ QUERY_NAMES = [
     "data_quality_checks",
     "join_size_estimate",
     "doc_sssp",
+    "lineitem_qty_means",
 ]
 
 

@@ -9555,3 +9555,67 @@ def join_size_estimate(sf_dir: str, d: int = 4, w: int = 8192) -> pd.DataFrame:
         "est_rows": pd.array([est], dtype="int64"),
         "bound_rows": pd.array([bound], dtype="int64"),
     })
+
+
+def lineitem_qty_means(sf_dir: str) -> pd.DataFrame:
+    """PYTHAGOREAN MEANS — grouped arithmetic, GEOMETRIC and HARMONIC
+    means (the two non-linear aggregate cousins the SUM/AVG family
+    misses; geometric = rate compounding, harmonic = rate averaging).
+
+    Exactness contract: quantities are integers 1..50, so ln(q) and 1/q
+    are floored to e9/e12 INTEGERS per distinct value and summed as
+    int64 — order-free and partitioning-free; each final mean is ONE
+    float expression replicated verbatim in the oracle (floor parity of
+    ln/recip over the whole domain verified against DuckDB).
+
+    Scale shape: the same (flag, qty) domain-bounded histogram exchange
+    as the mode aggregate — ≤ |flags|·50 rows leave any block."""
+    import math
+
+    from .dedup import coarse_buckets
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_returnflag", "l_quantity"])
+    nb = coarse_buckets(li.count(), rows_per_task=65536)
+    _schema = pa.schema(
+        [("l_returnflag", pa.string()), ("q", pa.int64()),
+         ("n", pa.int64()), ("__b", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["q"] = np.floor(df["l_quantity"].to_numpy() + 0.5).astype("int64")
+        g = df.groupby(["l_returnflag", "q"], as_index=False).agg(n=("q", "size"))
+        g["__b"] = (g["q"].to_numpy() % nb).astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False, schema=_schema)
+
+    def sum_cells(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["l_returnflag", "q"], as_index=False)["n"].sum()
+
+    cells = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(sum_cells, batch_format="pandas")
+        .to_pandas()
+    )
+    out = []
+    for flag, g in cells.groupby("l_returnflag"):
+        q = g["q"].to_numpy(dtype="int64")
+        nq = g["n"].to_numpy(dtype="int64")
+        n = int(nq.sum())
+        s_q = int((nq * q).sum())
+        s_ln = int((nq * np.floor(np.log(q.astype("float64")) * 1e9)
+                    .astype("int64")).sum())
+        s_r = int((nq * np.floor(1e12 / q).astype("int64")).sum())
+        mean_e6 = int(np.floor(float(s_q) / n * 1e6 + 0.5))
+        geo_e6 = int(np.floor(
+            math.exp(float(s_ln) / (float(n) * 1e9)) * 1e6 + 0.5))
+        harm_e6 = int(np.floor(float(n) * 1e12 / float(s_r) * 1e6 + 0.5))
+        out.append((flag, n, mean_e6, geo_e6, harm_e6))
+    return (
+        pd.DataFrame(out, columns=["l_returnflag", "n", "mean_e6",
+                                   "geo_e6", "harm_e6"])
+        .sort_values("l_returnflag").reset_index(drop=True)
+        .astype({"n": "int64", "mean_e6": "int64", "geo_e6": "int64",
+                 "harm_e6": "int64"})
+    )

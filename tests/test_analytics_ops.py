@@ -4473,3 +4473,23 @@ def test_doc_sssp_matches_dijkstra_twin(ray_session, tmp_path):
     )
     # weighted distances differ from hop counts somewhere (weights matter)
     assert len(got) > 1
+
+
+def test_lineitem_qty_means_matches_scipy_free_twin(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import lineitem_qty_means
+
+    got = lineitem_qty_means(SF).set_index("l_returnflag")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_returnflag", "l_quantity"])
+    li["q"] = np.floor(li["l_quantity"].to_numpy() + 0.5).astype("int64")
+    for flag, g in li.groupby("l_returnflag"):
+        q = g["q"].to_numpy(dtype="float64")
+        assert int(got.loc[flag, "n"]) == len(q)
+        assert abs(got.loc[flag, "mean_e6"] / 1e6 - q.mean()) < 2e-6
+        assert abs(got.loc[flag, "geo_e6"] / 1e6
+                   - np.exp(np.log(q).mean())) < 2e-5
+        assert abs(got.loc[flag, "harm_e6"] / 1e6
+                   - len(q) / (1.0 / q).sum()) < 2e-5
+        # AM >= GM >= HM (strict unless all equal)
+        assert (got.loc[flag, "mean_e6"] >= got.loc[flag, "geo_e6"]
+                >= got.loc[flag, "harm_e6"])
