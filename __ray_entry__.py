@@ -299,6 +299,15 @@ def _q_doc_betweenness(sf_dir: str):
     return doc_betweenness(sf_dir, k=20)
 
 
+def _q_ann_ranking_eval(sf_dir: str):
+    """Offline retrieval evaluation: precision@k + NDCG@k of the exact
+    cosine retriever under label-match relevance (rows-only; full
+    pandas replay twin in test_ann)."""
+    from opps_feedcrawler_ray.pipelines.ann import ann_ranking_eval
+
+    return ann_ranking_eval(sf_dir, n_queries=20, k=10)
+
+
 def _q_embedding_dbscan(sf_dir: str):
     """DBSCAN density clustering (exact eps-neighbor edges -> core set
     -> union-find components -> border attachment -> one broadcast
@@ -926,6 +935,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_size_estimate": A.join_size_estimate,
         "lineitem_qty_means": A.lineitem_qty_means,
         "embedding_dbscan": _q_embedding_dbscan,
+        "ann_ranking_eval": _q_ann_ranking_eval,
         "hybrid_search_rrf": _q_hybrid_search_rrf,
         "events_isotonic_calibration": _q_events_isotonic,
         "token_cms_counts": _q_token_cms,

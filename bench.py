@@ -215,6 +215,7 @@ QUERY_NAMES = [
     "join_size_estimate",
     "doc_sssp",
     "lineitem_qty_means",
+    "ann_ranking_eval",
 ]
 
 

@@ -1076,3 +1076,95 @@ def embedding_dbscan(
         dbscan_embeddings(ds, threshold=threshold, min_pts=min_pts)
         .to_pandas().sort_values("vec_id").reset_index(drop=True)
     )
+
+
+def ann_ranking_eval(
+    sf_dir: str, n_queries: int = 20, k: int = 10
+) -> "pd.DataFrame":
+    """RANKING-METRIC EVALUATION (precision@k + NDCG@k, binary
+    label-match relevance) of the exact cosine retriever — the offline
+    eval harness every embedding/recommender pipeline runs next to its
+    index build.  Query set = the first ``n_queries`` vec_ids (same
+    deterministic draw as hard-negative mining); a retrieved vector is
+    relevant when it shares the query's label (self excluded).
+
+    Scale shape: retrieval is the broadcast-query partial-top-k
+    (O(k·q·blocks) driver rows); judging labels for the retrieved ids
+    is ONE streaming ``np.isin`` filter pass against the broadcast
+    retrieved-id array (k·q rows out, never the corpus); per-label
+    totals (for the IDCG cap) ride a |labels|-bounded combiner.  All
+    metrics are floored to e6 integers — rows-only, pinned by a full
+    pandas replay twin."""
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    emb = rd.read_parquet(path, columns=["vec_id", "embedding", "label"])
+    qdf = (
+        rd.read_parquet(path, columns=["vec_id", "embedding", "label"])
+        .filter(expr=f"vec_id < {n_queries}")
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    top = brute_force_topk(
+        emb, np.asarray(qdf["embedding"].tolist(), dtype=np.float64), k=k + 1
+    )
+
+    # labels of the retrieved ids: one broadcast-filter streaming pass
+    want = np.unique(top["vec_id"].to_numpy(dtype=np.int64))
+    want_ref = ray.put(want)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        w = ray.get(want_ref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.isin(ids, w)
+        return pa.table({
+            "vec_id": pa.array(ids[m], pa.int64()),
+            "label": pa.array(
+                batch["label"].to_numpy(zero_copy_only=False)
+                .astype(np.int64)[m], pa.int64()),
+        })
+
+    lab = (
+        emb.map_batches(pick, batch_format="pyarrow").to_pandas()
+        .drop_duplicates("vec_id").set_index("vec_id")["label"]
+    )
+
+    # per-label corpus totals: |labels|-bounded combiner
+    def lab_partial(batch: pa.Table) -> pa.Table:
+        lb, n = np.unique(
+            batch["label"].to_numpy(zero_copy_only=False).astype(np.int64),
+            return_counts=True,
+        )
+        return pa.table({"label": pa.array(lb, pa.int64()),
+                         "n": pa.array(n.astype(np.int64), pa.int64())})
+
+    totals = (
+        emb.map_batches(lab_partial, batch_format="pyarrow").to_pandas()
+        .groupby("label")["n"].sum()
+    )
+
+    out = []
+    disc = 1.0 / np.log2(np.arange(2, k + 2, dtype=np.float64))
+    for qi, grp in top.groupby("query_idx"):
+        qid = int(qdf["vec_id"].iloc[int(qi)])
+        qlab = int(qdf["label"].iloc[int(qi)])
+        grp = grp.sort_values(["cosine", "vec_id"], ascending=[False, True])
+        hits = grp[grp["vec_id"] != qid].head(k)
+        rel = (lab.loc[hits["vec_id"]].to_numpy(dtype=np.int64) == qlab
+               ).astype(np.float64)
+        n_rel = int(totals.get(qlab, 0)) - 1
+        dcg = float((rel * disc[: len(rel)]).sum())
+        idcg = float(disc[: min(k, max(n_rel, 0))].sum())
+        ndcg = dcg / idcg if idcg > 0 else 0.0
+        out.append((
+            qid, qlab, n_rel,
+            int(np.floor(rel.sum() / k * 1e6 + 0.5)),
+            int(np.floor(ndcg * 1e6 + 0.5)),
+        ))
+    return pd.DataFrame(
+        out, columns=["query_id", "label", "n_rel", "prec_e6", "ndcg_e6"]
+    ).sort_values("query_id").reset_index(drop=True).astype(
+        {"query_id": "int64", "label": "int64", "n_rel": "int64",
+         "prec_e6": "int64", "ndcg_e6": "int64"}
+    )

@@ -396,3 +396,33 @@ def test_dbscan_recovers_planted_blobs(ray_session):
     noise = got.iloc[60:]
     assert (noise["cluster"] == -1).all()
     assert (noise["role"] == 2).all()
+
+
+def test_ann_ranking_eval_matches_pandas_replay(ray_session):
+    from opps_feedcrawler_ray.pipelines.ann import ann_ranking_eval
+
+    n_q, k = 10, 8
+    got = ann_ranking_eval(SF, n_queries=n_q, k=k).set_index("query_id")
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    V = np.array(emb["embedding"].to_list(), dtype="float64")
+    norms = np.linalg.norm(V, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    U = V / norms
+    ids = emb["vec_id"].to_numpy(dtype="int64")
+    labs = emb["label"].to_numpy(dtype="int64")
+    disc = 1.0 / np.log2(np.arange(2, k + 2, dtype=np.float64))
+    assert len(got) == n_q
+    for qpos in np.nonzero(ids < n_q)[0]:
+        qid, qlab = int(ids[qpos]), int(labs[qpos])
+        sims = U[qpos] @ U.T
+        order = np.lexsort((ids, -sims))
+        order = order[ids[order] != qid][:k]
+        rel = (labs[order] == qlab).astype("float64")
+        n_rel = int((labs == qlab).sum()) - 1
+        dcg = float((rel * disc[: len(rel)]).sum())
+        idcg = float(disc[: min(k, max(n_rel, 0))].sum())
+        ndcg = dcg / idcg if idcg > 0 else 0.0
+        assert int(got.loc[qid, "n_rel"]) == n_rel
+        assert int(got.loc[qid, "prec_e6"]) == int(
+            np.floor(rel.sum() / k * 1e6 + 0.5))
+        assert abs(got.loc[qid, "ndcg_e6"] / 1e6 - ndcg) < 2e-6
