@@ -934,6 +934,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "data_quality_checks": A.data_quality_checks,
         "join_size_estimate": A.join_size_estimate,
         "lineitem_qty_means": A.lineitem_qty_means,
+        "orders_benford_digits": A.orders_benford_digits,
         "embedding_dbscan": _q_embedding_dbscan,
         "ann_ranking_eval": _q_ann_ranking_eval,
         "hybrid_search_rrf": _q_hybrid_search_rrf,
@@ -3339,6 +3340,23 @@ def oracle_sql() -> dict[str, str]:
             "n_v2 - n_v1 AS d_n, sum_v2_e2 - sum_v1_e2 AS d_s, "
             "n_v2, sum_v2_e2 "
             "FROM v1 JOIN v2 USING (o_orderpriority) ORDER BY o_orderpriority"
+        ),
+        "orders_benford_digits": (
+            # first-significant-digit census of the cent-integer price;
+            # digit via string head (no float log10 edges), reference
+            # curve via the same log10 floor on both sides
+            "WITH p AS (SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) "
+            "AS v FROM orders), "
+            "c AS (SELECT CAST(SUBSTR(CAST(v AS VARCHAR), 1, 1) AS BIGINT) "
+            "AS digit, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY 1), "
+            "t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c) "
+            "SELECT d.digit, COALESCE(c.n, 0) AS n, "
+            "CAST(FLOOR(CAST(COALESCE(c.n, 0) AS DOUBLE) / t.total * 1e6 "
+            "+ 0.5) AS BIGINT) AS share_e6, "
+            "CAST(FLOOR(log10(1.0 + 1.0 / d.digit) * 1e6 + 0.5) AS BIGINT) "
+            "AS benford_e6 "
+            "FROM (SELECT CAST(d AS BIGINT) AS digit FROM range(1, 10) r(d)) d "
+            "LEFT JOIN c USING (digit) CROSS JOIN t ORDER BY d.digit"
         ),
         "lineitem_qty_means": (
             # Pythagorean means from per-distinct-value integer floors:

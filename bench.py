@@ -216,6 +216,7 @@ QUERY_NAMES = [
     "doc_sssp",
     "lineitem_qty_means",
     "ann_ranking_eval",
+    "orders_benford_digits",
 ]
 
 

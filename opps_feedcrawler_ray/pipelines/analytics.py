@@ -9619,3 +9619,48 @@ def lineitem_qty_means(sf_dir: str) -> pd.DataFrame:
         .astype({"n": "int64", "mean_e6": "int64", "geo_e6": "int64",
                  "harm_e6": "int64"})
     )
+
+
+def orders_benford_digits(sf_dir: str) -> pd.DataFrame:
+    """BENFORD'S-LAW digit audit (Newcomb 1881 / Benford 1938) — the
+    data-forensics screen that flags fabricated or unit-mixed numeric
+    columns: the distribution of FIRST significant digits of
+    o_totalprice (in cents) against the log10(1 + 1/d) reference.
+
+    Exactness: the first digit is pure integer math (repeated //10 —
+    no float log10 edge at powers of ten); shares and the reference
+    curve are e6-floored from exact integers, the reference via the
+    same log10 expression on both sides.
+
+    Scale shape: a 9-bin digit census is the smallest possible combiner
+    — ≤ 9 rows leave every block, zero exchange, driver folds 9·blocks
+    rows."""
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        p = np.floor(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype("int64")
+        d = p.copy()
+        while (d > 9).any():
+            d = np.where(d > 9, d // 10, d)
+        dig, n = np.unique(d, return_counts=True)
+        return pa.table({"digit": pa.array(dig, pa.int64()),
+                         "n": pa.array(n.astype(np.int64), pa.int64())})
+
+    cnt = (
+        orders.map_batches(partial, batch_format="pyarrow").to_pandas()
+        .groupby("digit", as_index=False)["n"].sum()
+    )
+    total = int(cnt["n"].sum())
+    full = pd.DataFrame({"digit": np.arange(1, 10, dtype="int64")}).merge(
+        cnt, on="digit", how="left"
+    ).fillna({"n": 0})
+    full["n"] = full["n"].astype("int64")
+    full["share_e6"] = np.floor(
+        full["n"].to_numpy() / total * 1e6 + 0.5
+    ).astype("int64")
+    full["benford_e6"] = np.floor(
+        np.log10(1.0 + 1.0 / full["digit"].to_numpy()) * 1e6 + 0.5
+    ).astype("int64")
+    return full.sort_values("digit").reset_index(drop=True)

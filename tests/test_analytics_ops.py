@@ -4493,3 +4493,20 @@ def test_lineitem_qty_means_matches_scipy_free_twin(ray_session):
         # AM >= GM >= HM (strict unless all equal)
         assert (got.loc[flag, "mean_e6"] >= got.loc[flag, "geo_e6"]
                 >= got.loc[flag, "harm_e6"])
+
+
+def test_orders_benford_digits_matches_pandas_twin(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import orders_benford_digits
+
+    got = orders_benford_digits(SF)
+    o = pd.read_parquet(f"{SF}/orders.parquet", columns=["o_totalprice"])
+    p = np.floor(o["o_totalprice"].to_numpy() * 100.0 + 0.5).astype("int64")
+    first = pd.Series([int(str(v)[0]) for v in p])
+    vc = first.value_counts()
+    assert len(got) == 9
+    assert int(got["n"].sum()) == len(p)
+    for _, r in got.iterrows():
+        assert int(r["n"]) == int(vc.get(int(r["digit"]), 0))
+        assert abs(r["share_e6"] / 1e6 - int(vc.get(int(r["digit"]), 0)) / len(p)) < 2e-6
+        assert abs(r["benford_e6"] / 1e6
+                   - np.log10(1 + 1 / int(r["digit"]))) < 2e-6
