@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -436,3 +437,103 @@ def export_wat(crawl_log_path: str, out_dir: str) -> int:
         return pa.table({"n": pa.array([t.num_rows], pa.int64())})
 
     return int(ds.map_batches(write_block, batch_format="pyarrow").sum("n") or 0)
+
+
+def export_warc_revisits(
+    crawl_log_path: str, pages_path: str, out_dir: str
+) -> int:
+    """Crawl log → WARC ``revisit`` records (WARC/1.1 §6.7.2,
+    identical-payload-digest profile) — the record type Common Crawl
+    emits when the content-seen test (``--content-seen``) suppresses a
+    duplicate body: each ``status="dup_content"`` row becomes a
+    body-less record carrying the payload digest and
+    ``WARC-Refers-To-Target-URI`` of the ORIGINAL copy (the
+    min-fetch_seq fetched row with the same digest).  Completes the
+    response/conversion/metadata/revisit record family.
+
+    Scale shape: digests are recomputed in ONE streaming pass over the
+    pages table filtered by a broadcast url→fetch_seq map of the log's
+    rows (log-sized driver map — the same fits-a-heap assumption the
+    rank-table broadcasts document, with a url-bucket co-shuffle as the
+    fallback past it); only (digest, url, seq) triples reach the
+    driver, bodies never do.  Dup rows are few by construction, so the
+    record build is driver-trivial.  Deterministic single
+    ``revisit-<min seq>.warc.gz`` (atomic tmp+rename, resumable)."""
+    import gzip as _gzip
+
+    import ray
+
+    from ..functions.hashing import fingerprint64
+
+    os.makedirs(out_dir, exist_ok=True)
+    log = rd.read_parquet(
+        crawl_log_path, columns=["url", "warc_ts", "status", "fetch_seq"]
+    ).to_pandas()
+    dups = log[log["status"] == "dup_content"]
+    if dups.empty:
+        return 0
+    fetched = log[log["status"].isin(["fetched", "dup_content"])]
+    seq_map = dict(zip(fetched["url"], fetched["fetch_seq"].astype("int64")))
+    map_ref = ray.put(seq_map)
+
+    def digest(batch: pa.Table) -> pa.Table:
+        m = ray.get(map_ref)
+        urls, seqs, digs = [], [], []
+        for u, b in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
+            s = m.get(u)
+            if s is None or b is None:
+                continue
+            urls.append(u)
+            seqs.append(int(s))
+            # reinterpret to int64 (the repo-wide hash-key convention)
+            digs.append(int(np.int64(np.uint64(fingerprint64(b)))))
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "fetch_seq": pa.array(seqs, pa.int64()),
+                         "digest": pa.array(digs, pa.int64())})
+
+    d = (
+        rd.read_parquet(pages_path, columns=["url", "html"])
+        .map_batches(digest, batch_format="pyarrow")
+        .to_pandas()
+    )
+    dup_urls = set(dups["url"])
+    originals = (
+        d[~d["url"].isin(dup_urls)]
+        .sort_values(["digest", "fetch_seq"])
+        .drop_duplicates("digest")
+        .set_index("digest")
+    )
+    dd = d[d["url"].isin(dup_urls)].merge(
+        dups[["url", "warc_ts", "fetch_seq"]], on="url",
+        suffixes=("_page", ""),
+    ).sort_values("fetch_seq")
+    parts = []
+    for _, row in dd.iterrows():
+        dig = int(row["digest"])
+        ref_url = (
+            str(originals.loc[dig, "url"]) if dig in originals.index else ""
+        )
+        ts = row["warc_ts"]
+        date = (ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+                if ts is not None else "1970-01-01T00:00:00Z")
+        hexd = f"{int(np.uint64(np.int64(dig))):016x}"
+        hdr = (
+            "WARC/1.1\r\n"
+            "WARC-Type: revisit\r\n"
+            f"WARC-Target-URI: {row['url']}\r\n"
+            f"WARC-Date: {date}\r\n"
+            "WARC-Profile: http://netpreserve.org/warc/1.1/revisit/"
+            "identical-payload-digest\r\n"
+            f"WARC-Payload-Digest: blake2b64:{hexd}\r\n"
+            f"WARC-Refers-To-Target-URI: {ref_url}\r\n"
+            "Content-Type: application/http; msgtype=response\r\n"
+            "Content-Length: 0\r\n\r\n"
+        ).encode()
+        parts.append(_gzip.compress(hdr + b"\r\n\r\n"))
+    seq0 = int(dd["fetch_seq"].min())
+    path = os.path.join(out_dir, f"revisit-{seq0:012d}.warc.gz")
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(b"".join(parts))
+    os.replace(tmp, path)
+    return len(parts)

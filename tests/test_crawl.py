@@ -2010,3 +2010,67 @@ def test_soft404_detect_e2e(ray_session, tmp_path_factory):
             num_buckets=2, num_fetch_actors=2, soft404_detect=False,
             resume=True,
         ))
+
+
+def test_warc_revisit_export_for_content_dups(ray_session, tmp_path_factory):
+    """The content-seen dup rows export as WARC/1.1 revisit records
+    (identical-payload-digest profile) pointing at the original copy —
+    completing the response/conversion/metadata/revisit family."""
+    import datetime as dt
+    import gzip
+    import re
+
+    from opps_feedcrawler_ray.functions.hashing import fingerprint64
+    from opps_feedcrawler_ray.sources.io import export_warc_revisits
+
+    tmp = str(tmp_path_factory.mktemp("revisit"))
+    host = "rv.example"
+    body = b'<html><body><a href="/dup/c">c</a><p>shared body</p></body></html>'
+    pages = pa.table(
+        {
+            "url": pa.array([
+                f"http://{host}/",
+                f"http://{host}/a",      # body B, fetched round 1
+                f"http://{host}/dup/c",  # body B again, fetched round 2
+            ]),
+            "warc_ts": pa.array([dt.datetime(2024, 1, 1)] * 3, pa.timestamp("us")),
+            "html": pa.array([
+                b'<html><body><a href="/a">a</a></body></html>', body, body,
+            ], pa.binary()),
+            "text": pa.array(["", "", ""]),
+            "lang": pa.array(["en"] * 3),
+        }
+    )
+    pq.write_table(pages, f"{tmp}/pages.parquet")
+    pq.write_table(pa.table({"url": pa.array([f"http://{host}/"])}),
+                   f"{tmp}/seeds.parquet")
+    cfg = CrawlConfig(
+        pages_path=f"{tmp}/pages.parquet", seeds_path=f"{tmp}/seeds.parquet",
+        out_dir=f"{tmp}/out", num_frontier_actors=2, politeness_budget=8,
+        num_buckets=2, num_fetch_actors=2, content_dedup=True,
+    )
+    crawl(cfg)
+    log = read_log(f"{tmp}/out")
+    dups = [u for u, s in zip(log["url"].to_pylist(), log["status"].to_pylist())
+            if s == "dup_content"]
+    assert dups == [f"http://{host}/dup/c"]
+
+    n = export_warc_revisits(f"{tmp}/out/crawl_log", f"{tmp}/pages.parquet",
+                             f"{tmp}/revisits")
+    assert n == 1
+    import glob as _glob
+
+    files = sorted(_glob.glob(f"{tmp}/revisits/revisit-*.warc.gz"))
+    assert len(files) == 1
+    blob = gzip.decompress(open(files[0], "rb").read()).decode()
+    assert "WARC-Type: revisit" in blob
+    assert f"WARC-Target-URI: http://{host}/dup/c" in blob
+    assert f"WARC-Refers-To-Target-URI: http://{host}/a" in blob
+    hexd = re.search(r"WARC-Payload-Digest: blake2b64:([0-9a-f]{16})", blob)
+    assert hexd and hexd.group(1) == f"{int(fingerprint64(body)):016x}"
+    # deterministic: a second export writes identical bytes
+    export_warc_revisits(f"{tmp}/out/crawl_log", f"{tmp}/pages.parquet",
+                         f"{tmp}/revisits2")
+    blob2 = gzip.decompress(open(sorted(
+        _glob.glob(f"{tmp}/revisits2/revisit-*.warc.gz"))[0], "rb").read())
+    assert gzip.decompress(open(files[0], "rb").read()) == blob2
