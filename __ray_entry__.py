@@ -308,6 +308,30 @@ def _q_ann_ranking_eval(sf_dir: str):
     return ann_ranking_eval(sf_dir, n_queries=20, k=10)
 
 
+def _q_embedding_topk_pairs(sf_dir: str):
+    """Global top-k similarity join (closest pairs, no threshold):
+    per-block-pair local top-k provably contains the global answer
+    (rows-only: float cosine ranking; brute-matrix twin in
+    test_dedup)."""
+    import ray.data as rd
+
+    from opps_feedcrawler_ray.pipelines.dedup import embedding_topk_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return embedding_topk_pairs(ds, k=20)
+
+
+def _q_part_snm_pairs(sf_dir: str):
+    """Sorted-neighborhood entity-resolution blocking (range-sorted
+    window pairs + boundary-fragment stitching), token-Jaccard
+    verified; oracle = ROW_NUMBER rank self-join with the same integer
+    Jaccard."""
+    from opps_feedcrawler_ray.pipelines.dedup import part_snm_pairs
+
+    return part_snm_pairs(sf_dir, window=5, threshold_e4=6000)
+
+
 def _q_embedding_dbscan(sf_dir: str):
     """DBSCAN density clustering (exact eps-neighbor edges -> core set
     -> union-find components -> border attachment -> one broadcast
@@ -935,6 +959,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_size_estimate": A.join_size_estimate,
         "lineitem_qty_means": A.lineitem_qty_means,
         "orders_benford_digits": A.orders_benford_digits,
+        "events_daily_dense": A.events_daily_dense,
+        "part_snm_pairs": _q_part_snm_pairs,
+        "embedding_topk_pairs": _q_embedding_topk_pairs,
         "embedding_dbscan": _q_embedding_dbscan,
         "ann_ranking_eval": _q_ann_ranking_eval,
         "hybrid_search_rrf": _q_hybrid_search_rrf,
@@ -3340,6 +3367,39 @@ def oracle_sql() -> dict[str, str]:
             "n_v2 - n_v1 AS d_n, sum_v2_e2 - sum_v1_e2 AS d_s, "
             "n_v2, sum_v2_e2 "
             "FROM v1 JOIN v2 USING (o_orderpriority) ORDER BY o_orderpriority"
+        ),
+        "part_snm_pairs": (
+            # sorted-neighborhood blocking: rank self-join within the
+            # window, integer token-Jaccard (e4 truncating div) verify
+            "WITH t AS (SELECT p_partkey, "
+            "ROW_NUMBER() OVER (ORDER BY p_name, p_partkey) AS rn, "
+            "list_distinct(list_filter(string_split(p_name, ' '), "
+            "x -> x <> '')) AS tok FROM part), "
+            "p AS (SELECT LEAST(x.p_partkey, y.p_partkey) AS a, "
+            "GREATEST(x.p_partkey, y.p_partkey) AS b, "
+            "CAST(len(list_intersect(x.tok, y.tok)) AS BIGINT) * 10000 "
+            "// CAST(len(list_distinct(list_concat(x.tok, y.tok))) AS BIGINT) "
+            "AS sim_e4 "
+            "FROM t x JOIN t y ON y.rn > x.rn AND y.rn - x.rn < 5) "
+            "SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, sim_e4 "
+            "FROM p WHERE sim_e4 >= 6000 ORDER BY a, b"
+        ),
+        "events_daily_dense": (
+            # calendar-spine densification: every (type, day) cell over
+            # the global min..max day range, zero-filled
+            "WITH d AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+            "b AS (SELECT MIN(CAST(day AS DATE)) AS lo, "
+            "MAX(CAST(day AS DATE)) AS hi FROM d), "
+            "spine AS (SELECT strftime(CAST(b.lo AS TIMESTAMP) "
+            "+ i * INTERVAL 1 DAY, '%Y-%m-%d') AS day "
+            "FROM b, range(0, 1000000) r(i) "
+            "WHERE i <= date_diff('day', b.lo, b.hi)), "
+            "ty AS (SELECT DISTINCT event_type FROM events) "
+            "SELECT ty.event_type, spine.day, COALESCE(d.n, 0) AS n "
+            "FROM ty CROSS JOIN spine "
+            "LEFT JOIN d ON d.event_type = ty.event_type AND d.day = spine.day "
+            "ORDER BY ty.event_type, spine.day"
         ),
         "orders_benford_digits": (
             # first-significant-digit census of the cent-integer price;

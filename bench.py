@@ -217,6 +217,9 @@ QUERY_NAMES = [
     "lineitem_qty_means",
     "ann_ranking_eval",
     "orders_benford_digits",
+    "events_daily_dense",
+    "part_snm_pairs",
+    "embedding_topk_pairs",
 ]
 
 

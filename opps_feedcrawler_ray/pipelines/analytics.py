@@ -9664,3 +9664,42 @@ def orders_benford_digits(sf_dir: str) -> pd.DataFrame:
         np.log10(1.0 + 1.0 / full["digit"].to_numpy()) * 1e6 + 0.5
     ).astype("int64")
     return full.sort_values("digit").reset_index(drop=True)
+
+
+def events_daily_dense(sf_dir: str) -> pd.DataFrame:
+    """TIME-SERIES DENSIFICATION (gap filling / spine join) — daily
+    event counts per type INCLUDING explicit zero rows for days with no
+    events, over the global [min_day, max_day] calendar spine.  The
+    reshape every downstream window/forecast operator assumes (a 7-day
+    MA over a gappy series is silently wrong).
+
+    Scale shape: one |types|·|days|-bounded count combiner (the same
+    domain-bounded exchange as the seasonal family); the spine is pure
+    driver arithmetic over the tiny aggregate — the raw rows are
+    touched exactly once."""
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts"])
+
+    _schema = pa.schema([("event_type", pa.string()), ("day", pa.string()),
+                         ("n", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["day"] = df["ts"].dt.strftime("%Y-%m-%d")
+        g = df.groupby(["event_type", "day"], as_index=False).agg(
+            n=("day", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False, schema=_schema)
+
+    cnt = (
+        ev.map_batches(partial, batch_format="pyarrow").to_pandas()
+        .groupby(["event_type", "day"], as_index=False)["n"].sum()
+    )
+    days = pd.date_range(cnt["day"].min(), cnt["day"].max(), freq="D")
+    spine = pd.MultiIndex.from_product(
+        [sorted(cnt["event_type"].unique()),
+         days.strftime("%Y-%m-%d")],
+        names=["event_type", "day"],
+    ).to_frame(index=False)
+    out = spine.merge(cnt, on=["event_type", "day"], how="left").fillna({"n": 0})
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["event_type", "day"]).reset_index(drop=True)

@@ -1278,3 +1278,186 @@ def dedup_cascade(
             "n_out": pd.array([n1, n2, n3], dtype="int64"),
         }
     )
+
+
+def part_snm_pairs(sf_dir: str, window: int = 5, threshold_e4: int = 6000) -> pd.DataFrame:
+    """SORTED-NEIGHBORHOOD blocking (Hernández & Stolfo 1995) — the
+    third entity-resolution blocking family next to key-bucket (FastSS,
+    shingles) and LSH banding: sort records by a blocking key, slide a
+    ``window``, verify only pairs within it.  Here: parts sorted by
+    (p_name, p_partkey), window pairs verified by distinct-token
+    Jaccard ≥ threshold (integer e4 — exact on both sides).
+
+    Scale shape: ONE range-partitioned sort (Ray's sample sort), then
+    every block emits its own window pairs locally; cross-block pairs
+    are recovered from the per-block BOUNDARY FRAGMENTS (first/last
+    window−1 rows + a row count — O(blocks·window) rows, never the
+    data) stitched on the driver with exact global ranks, so the
+    result is identical to a single sorted pass by construction.
+    Oracle: the ROW_NUMBER rank self-join with the same token-Jaccard
+    expression."""
+    parts = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    ).sort(["p_name", "p_partkey"])
+    w = int(window)
+
+    def _toks(name: str) -> set:
+        return set(name.split(" ")) - {""}
+
+    def _sim_e4(ta: set, tb: set) -> int:
+        inter = len(ta & tb)
+        union = len(ta | tb)
+        return (inter * 10000) // union if union else 0
+
+    _schema = pa.schema([
+        ("kind", pa.int64()), ("a", pa.int64()), ("b", pa.int64()),
+        ("sim_e4", pa.int64()), ("p_partkey", pa.int64()),
+        ("p_name", pa.string()), ("pos", pa.int64()), ("n", pa.int64()),
+    ])
+
+    def block_pairs(batch: pa.Table) -> pa.Table:
+        keys = batch["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        names = batch["p_name"].to_pylist()
+        toks = [_toks(s) for s in names]
+        n = len(keys)
+        rows = {c: [] for c in ("kind", "a", "b", "sim_e4",
+                                "p_partkey", "p_name", "pos", "n")}
+        for i in range(n):
+            for j in range(i + 1, min(i + w, n)):
+                s = _sim_e4(toks[i], toks[j])
+                if s >= threshold_e4:
+                    lo, hi = sorted((int(keys[i]), int(keys[j])))
+                    rows["kind"].append(0); rows["a"].append(lo)
+                    rows["b"].append(hi); rows["sim_e4"].append(s)
+                    rows["p_partkey"].append(0); rows["p_name"].append("")
+                    rows["pos"].append(0); rows["n"].append(0)
+        # boundary fragments: first/last w-1 rows with in-block positions
+        frag = sorted(set(range(min(w - 1, n))) | set(range(max(0, n - w + 1), n)))
+        for p in frag:
+            rows["kind"].append(1); rows["a"].append(0); rows["b"].append(0)
+            rows["sim_e4"].append(0); rows["p_partkey"].append(int(keys[p]))
+            rows["p_name"].append(names[p]); rows["pos"].append(p)
+            rows["n"].append(n)
+        return pa.table(rows, schema=_schema)
+
+    res = parts.map_batches(
+        block_pairs, batch_format="pyarrow"
+    ).to_pandas()  # block order preserved ⇒ fragments arrive in sort order
+    pairs = res[res["kind"] == 0][["a", "b", "sim_e4"]]
+    frags = res[res["kind"] == 1]
+    # exact global ranks from cumulative block counts (fragments carry
+    # their block's size; blocks appear in order, positions reset per block)
+    out_rows = []
+    granks, gkeys, gtoks, gblk = [], [], [], []
+    offset = 0
+    blk = -1
+    prev_pos = None
+    for _, r in frags.iterrows():
+        pos = int(r["pos"])
+        if prev_pos is None or pos <= prev_pos:
+            if prev_pos is not None:
+                offset += last_n
+            blk += 1
+        prev_pos = pos
+        last_n = int(r["n"])
+        granks.append(offset + pos)
+        gkeys.append(int(r["p_partkey"]))
+        gtoks.append(_toks(r["p_name"]))
+        gblk.append(blk)
+    for i in range(len(granks)):
+        for j in range(i + 1, len(granks)):
+            if granks[j] - granks[i] >= w:
+                break
+            if gblk[i] == gblk[j]:
+                continue  # same block: already emitted distributed
+            s = _sim_e4(gtoks[i], gtoks[j])
+            if s >= threshold_e4:
+                lo, hi = sorted((gkeys[i], gkeys[j]))
+                out_rows.append((lo, hi, s))
+    cross = pd.DataFrame(out_rows, columns=["a", "b", "sim_e4"])
+    allp = pd.concat([pairs, cross], ignore_index=True)
+    return (
+        allp.sort_values(["a", "b"]).reset_index(drop=True)
+        .astype({"a": "int64", "b": "int64", "sim_e4": "int64"})
+    )
+
+
+def embedding_topk_pairs(
+    ds: rd.Dataset,
+    k: int = 20,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_blocks: int = 8,
+) -> pd.DataFrame:
+    """GLOBAL TOP-K SIMILARITY JOIN — the k most-cosine-similar pairs
+    corpus-wide, NO threshold (the "closest pairs" query dedup
+    thresholds can't answer: you don't know the cutoff until you see
+    the data).  Rides the same 1-Bucket-Theta block-pair partitioning
+    as the exact all-pairs baseline, but each task keeps only its LOCAL
+    top-k (a pair lives in exactly one block-pair group, so the union
+    of local top-k lists provably contains the global top-k); the
+    driver merges ≤ k·B(B+1)/2 candidate rows.  Ordering is
+    deterministic: cosine e9-floored DESC, then (a, b) ASC."""
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        unit = _unit_rows(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
+        my_block = (ids % n_blocks).astype(np.int64)
+        out_id, out_pair, out_block, out_vec = [], [], [], []
+        for row in range(len(ids)):
+            b = int(my_block[row])
+            for other in range(n_blocks):
+                lo, hi = (b, other) if b <= other else (other, b)
+                out_id.append(int(ids[row]))
+                out_pair.append(lo * n_blocks + hi)
+                out_block.append(b)
+                out_vec.append(unit[row].tolist())
+        return pa.table({
+            id_col: pa.array(out_id, pa.int64()),
+            "pair_key": pa.array(out_pair, pa.int32()),
+            "block": pa.array(out_block, pa.int32()),
+            "unit": pa.array(out_vec, pa.list_(pa.float64())),
+        })
+
+    def local_topk(group: pd.DataFrame) -> pd.DataFrame:
+        pk = int(group["pair_key"].iloc[0])
+        lo, hi = pk // n_blocks, pk % n_blocks
+        rows = group.drop_duplicates(subset=[id_col, "block"])
+        if lo == hi:
+            ids = rows[id_col].to_numpy(dtype=np.int64)
+            if len(ids) < 2:
+                return _empty_cosine_pairs()
+            U = np.array([np.asarray(u) for u in rows["unit"]])
+            pairs = _cross_pairs(ids, U, ids, U, -2.0, within=True)
+        else:
+            ra = rows[rows["block"] == lo]
+            rb = rows[rows["block"] == hi]
+            if ra.empty or rb.empty:
+                return _empty_cosine_pairs()
+            pairs = _cross_pairs(
+                ra[id_col].to_numpy(dtype=np.int64),
+                np.array([np.asarray(u) for u in ra["unit"]]),
+                rb[id_col].to_numpy(dtype=np.int64),
+                np.array([np.asarray(u) for u in rb["unit"]]),
+                -2.0, within=False,
+            )
+        pairs["cos_e9"] = np.floor(pairs["cosine"] * 1e9 + 0.5).astype("int64")
+        return (
+            pairs.sort_values(["cos_e9", "a", "b"],
+                              ascending=[False, True, True])
+            .head(k)[["a", "b", "cos_e9"]]
+        )
+
+    cand = (
+        ds.map_batches(replicate, batch_format="pyarrow")
+        .groupby("pair_key")
+        .map_groups(local_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        cand.drop_duplicates(subset=["a", "b"])
+        .sort_values(["cos_e9", "a", "b"], ascending=[False, True, True])
+        .head(k)
+        .reset_index(drop=True)
+        .astype({"a": "int64", "b": "int64", "cos_e9": "int64"})
+    )

@@ -4510,3 +4510,22 @@ def test_orders_benford_digits_matches_pandas_twin(ray_session):
         assert abs(r["share_e6"] / 1e6 - int(vc.get(int(r["digit"]), 0)) / len(p)) < 2e-6
         assert abs(r["benford_e6"] / 1e6
                    - np.log10(1 + 1 / int(r["digit"]))) < 2e-6
+
+
+def test_events_daily_dense_fills_gaps(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import events_daily_dense
+
+    got = events_daily_dense(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "ts"])
+    ev["day"] = ev["ts"].dt.strftime("%Y-%m-%d")
+    cnt = ev.groupby(["event_type", "day"]).size()
+    days = pd.date_range(ev["day"].min(), ev["day"].max(), freq="D")
+    types = sorted(ev["event_type"].unique())
+    # full grid: |types| x |days| rows, no holes
+    assert len(got) == len(types) * len(days)
+    g = got.set_index(["event_type", "day"])["n"]
+    for t in types:
+        for d in days.strftime("%Y-%m-%d"):
+            assert int(g.loc[(t, d)]) == int(cnt.get((t, d), 0))
+    # total counts conserved
+    assert int(got["n"].sum()) == len(ev)

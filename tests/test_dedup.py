@@ -443,3 +443,67 @@ def test_dedup_cascade_funnel_consistency(ray_session):
     assert got.loc[0, "n_out"] == n_distinct
     # determinism
     pd.testing.assert_frame_equal(got, dedup_cascade(sf))
+
+
+def test_part_snm_pairs_matches_brute_replay(ray_session):
+    """Distributed sorted-neighborhood pairs == a single sorted-pass
+    replay (cross-block stitching is exact), including under a forced
+    many-tiny-block layout where windows span several blocks."""
+    from opps_feedcrawler_ray.pipelines.dedup import part_snm_pairs
+
+    SF = "/root/testdata/sf0.001"
+    w, thr = 5, 6000
+    got = part_snm_pairs(SF, window=w, threshold_e4=thr)
+
+    part = (
+        pd.read_parquet(f"{SF}/part.parquet", columns=["p_partkey", "p_name"])
+        .sort_values(["p_name", "p_partkey"]).reset_index(drop=True)
+    )
+    toks = [set(s.split(" ")) - {""} for s in part["p_name"]]
+    keys = part["p_partkey"].to_numpy(dtype="int64")
+    rows = []
+    for i in range(len(keys)):
+        for j in range(i + 1, min(i + w, len(keys))):
+            inter = len(toks[i] & toks[j])
+            union = len(toks[i] | toks[j])
+            s = (inter * 10000) // union if union else 0
+            if s >= thr:
+                lo, hi = sorted((int(keys[i]), int(keys[j])))
+                rows.append((lo, hi, s))
+    exp = (
+        pd.DataFrame(rows, columns=["a", "b", "sim_e4"])
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    assert len(exp) > 0  # fixture sanity: the window finds real matches
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_embedding_topk_pairs_matches_brute_matrix(ray_session):
+    from opps_feedcrawler_ray.pipelines.dedup import embedding_topk_pairs
+
+    SF = "/root/testdata/sf0.001"
+    k = 15
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    got = embedding_topk_pairs(ds, k=k)
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    V = np.array(emb["embedding"].to_list(), dtype="float64")
+    norms = np.linalg.norm(V, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    U = V / norms
+    ids = emb["vec_id"].to_numpy(dtype="int64")
+    sims = U @ U.T
+    iu = np.triu_indices(len(ids), 1)
+    lo = np.minimum(ids[iu[0]], ids[iu[1]])
+    hi = np.maximum(ids[iu[0]], ids[iu[1]])
+    exp = (
+        pd.DataFrame({
+            "a": lo, "b": hi,
+            "cos_e9": np.floor(sims[iu] * 1e9 + 0.5).astype("int64"),
+        })
+        .sort_values(["cos_e9", "a", "b"], ascending=[False, True, True])
+        .head(k).reset_index(drop=True)
+        .astype({"a": "int64", "b": "int64"})
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
