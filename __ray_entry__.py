@@ -960,6 +960,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_qty_means": A.lineitem_qty_means,
         "orders_benford_digits": A.orders_benford_digits,
         "events_daily_dense": A.events_daily_dense,
+        "events_value_zscore": A.events_value_zscore,
         "part_snm_pairs": _q_part_snm_pairs,
         "embedding_topk_pairs": _q_embedding_topk_pairs,
         "embedding_dbscan": _q_embedding_dbscan,
@@ -3367,6 +3368,21 @@ def oracle_sql() -> dict[str, str]:
             "n_v2 - n_v1 AS d_n, sum_v2_e2 - sum_v1_e2 AS d_s, "
             "n_v2, sum_v2_e2 "
             "FROM v1 JOIN v2 USING (o_orderpriority) ORDER BY o_orderpriority"
+        ),
+        "events_value_zscore": (
+            # per-row population z-score from exact integer moments;
+            # identical float expression tree on both sides
+            "WITH b AS (SELECT event_id, event_type, "
+            "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS x FROM events), "
+            "a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(x) AS BIGINT) AS s1, CAST(SUM(x * x) AS BIGINT) AS s2 "
+            "FROM b GROUP BY 1) "
+            "SELECT b.event_id, b.event_type, b.x AS v_e2, "
+            "CAST(FLOOR((b.x - CAST(s1 AS DOUBLE) / n) "
+            "/ sqrt(CAST(s2 AS DOUBLE) / n "
+            "- (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) "
+            "* 1e6 + 0.5) AS BIGINT) AS z_e6 "
+            "FROM b JOIN a USING (event_type) ORDER BY b.event_id"
         ),
         "part_snm_pairs": (
             # sorted-neighborhood blocking: rank self-join within the

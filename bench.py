@@ -220,6 +220,7 @@ QUERY_NAMES = [
     "events_daily_dense",
     "part_snm_pairs",
     "embedding_topk_pairs",
+    "events_value_zscore",
 ]
 
 

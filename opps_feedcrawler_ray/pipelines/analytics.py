@@ -9703,3 +9703,55 @@ def events_daily_dense(sf_dir: str) -> pd.DataFrame:
     out = spine.merge(cnt, on=["event_type", "day"], how="left").fillna({"n": 0})
     out["n"] = out["n"].astype("int64")
     return out.sort_values(["event_type", "day"]).reset_index(drop=True)
+
+
+def events_value_zscore(sf_dir: str) -> rd.Dataset:
+    """FEATURE STANDARDIZATION — per-row z-score of event value within
+    its type ((x − μ)/σ, population σ), the preprocessing transform
+    every numeric feature pipeline runs before model training.
+
+    Scale shape: exact integer (n, Σx, Σx²) moment combiners fold to a
+    ≤|types| table, broadcast into a second stateless streaming encode
+    pass (zero shuffles — the broadcast-group-stats transform shape).
+    μ, σ and z replicate the oracle's float expressions from the SAME
+    integers, so hashes match exactly."""
+    ev = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "event_type", "value"])
+
+    _schema = pa.schema([("event_type", pa.string()), ("n", pa.int64()),
+                         ("s1", pa.int64()), ("s2", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        x = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+        g = pd.DataFrame({"event_type": df["event_type"], "n": 1,
+                          "s1": x, "s2": x * x}).groupby(
+            "event_type", as_index=False
+        ).sum()
+        return pa.Table.from_pandas(g, preserve_index=False, schema=_schema)
+
+    agg = (
+        ev.map_batches(partial, batch_format="pyarrow").to_pandas()
+        .groupby("event_type", as_index=False)[["n", "s1", "s2"]].sum()
+    )
+    t_n = dict(zip(agg["event_type"], agg["n"].astype(int)))
+    t_s1 = dict(zip(agg["event_type"], agg["s1"].astype(int)))
+    t_s2 = dict(zip(agg["event_type"], agg["s2"].astype(int)))
+
+    def encode(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        x = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+        n = df["event_type"].map(t_n).to_numpy(dtype="float64")
+        s1 = df["event_type"].map(t_s1).to_numpy(dtype="float64")
+        s2 = df["event_type"].map(t_s2).to_numpy(dtype="float64")
+        mu = s1 / n
+        sd = np.sqrt(s2 / n - mu * mu)
+        z = np.floor((x - mu) / sd * 1e6 + 0.5).astype("int64")
+        return pa.table({
+            "event_id": batch["event_id"],
+            "event_type": batch["event_type"],
+            "v_e2": pa.array(x, pa.int64()),
+            "z_e6": pa.array(z, pa.int64()),
+        })
+
+    return ev.map_batches(encode, batch_format="pyarrow")

@@ -4529,3 +4529,26 @@ def test_events_daily_dense_fills_gaps(ray_session):
             assert int(g.loc[(t, d)]) == int(cnt.get((t, d), 0))
     # total counts conserved
     assert int(got["n"].sum()) == len(ev)
+
+
+def test_events_value_zscore_matches_pandas_twin(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import events_value_zscore
+
+    got = (events_value_zscore(SF).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    ev["x"] = np.floor(ev["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+    g = ev.groupby("event_type")["x"]
+    mu = g.transform("mean")
+    sd = g.transform(lambda s: s.std(ddof=0))
+    z = (ev["x"] - mu) / sd
+    m = got.set_index("event_id")
+    for eid, zz in zip(ev["event_id"], z):
+        assert abs(m.loc[eid, "z_e6"] / 1e6 - zz) < 2e-6
+    # standardization invariant: per-type mean(z) ~ 0, std(z) ~ 1
+    j = got.merge(ev[["event_id", "event_type"]], on="event_id",
+                  suffixes=("", "_r"))
+    for _, grp in j.groupby("event_type"):
+        assert abs(grp["z_e6"].mean() / 1e6) < 1e-3
+        assert abs(grp["z_e6"].std(ddof=0) / 1e6 - 1.0) < 1e-3
