@@ -221,6 +221,7 @@ QUERY_NAMES = [
     "part_snm_pairs",
     "embedding_topk_pairs",
     "events_value_zscore",
+    "logreg_lambda_sweep",
 ]
 
 

@@ -9755,3 +9755,103 @@ def events_value_zscore(sf_dir: str) -> rd.Dataset:
         })
 
     return ev.map_batches(encode, batch_format="pyarrow")
+
+
+def logreg_lambda_sweep(
+    sf_dir: str, lambdas: tuple = (0.0, 0.01, 0.1, 1.0),
+    n_iters: int = 15, lr: float = 0.5,
+) -> pd.DataFrame:
+    """HYPERPARAMETER SEARCH (model selection) — train the URGENT-order
+    logistic regression under EVERY L2 strength SIMULTANEOUSLY: one
+    data pass per iteration computes the gradient partials for all
+    |λ| models at once (the grid rides the broadcast, not extra
+    epochs), then a deterministic holdout split (o_orderkey % 5 == 0)
+    scores each model and the smallest-λ val-NLL argmin is selected.
+
+    Determinism: per-row gradient/NLL contributions floor to e9
+    integers per λ before summation (order-free int64 reduce, as in
+    ``orders_urgent_logreg``); the L2 term is applied on the driver in
+    doubles from exact state — training is bit-reproducible across any
+    partitioning.  Rows-only (iterative); the twin replays the rule in
+    numpy and pins selection + regularization monotonicity."""
+    feats = rd.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_totalprice", "o_orderpriority"],
+    )
+
+    def featurize(batch: pa.Table) -> pa.Table:
+        x = batch["o_totalprice"].to_numpy(zero_copy_only=False) / 500_000.0
+        y = pc.equal(batch["o_orderpriority"], "1-URGENT").to_numpy(
+            zero_copy_only=False
+        ).astype("float64")
+        val = (
+            batch["o_orderkey"].to_numpy(zero_copy_only=False) % 5 == 0
+        ).astype("float64")
+        return pa.table({"x": pa.array(x, pa.float64()),
+                         "y": pa.array(y, pa.float64()),
+                         "val": pa.array(val, pa.float64())})
+
+    ds = feats.map_batches(featurize, batch_format="pyarrow").materialize()
+    L = len(lambdas)
+    _schema = pa.schema([("li", pa.int64()), ("g0", pa.int64()),
+                         ("g1", pa.int64()), ("vnll", pa.int64()),
+                         ("vcorrect", pa.int64()), ("ntr", pa.int64()),
+                         ("nval", pa.int64())])
+
+    W = np.zeros((L, 2), dtype=np.float64)
+    for _ in range(n_iters):
+        Wc = W.copy()
+
+        def sweep_partial(batch: pa.Table) -> pa.Table:
+            x = batch["x"].to_numpy(zero_copy_only=False)
+            y = batch["y"].to_numpy(zero_copy_only=False)
+            val = batch["val"].to_numpy(zero_copy_only=False) > 0.5
+            tr = ~val
+            rows = {c: [] for c in ("li", "g0", "g1", "vnll", "vcorrect",
+                                    "ntr", "nval")}
+            eps = 1e-12
+            for li in range(L):
+                z = Wc[li, 0] + Wc[li, 1] * x
+                p = 1.0 / (1.0 + np.exp(-z))
+                r = p - y
+                rows["li"].append(li)
+                rows["g0"].append(int(np.floor(
+                    r[tr] * 1e9 + 0.5).astype("int64").sum()))
+                rows["g1"].append(int(np.floor(
+                    (r * x)[tr] * 1e9 + 0.5).astype("int64").sum()))
+                nllv = -(y * np.log(p + eps) + (1 - y) * np.log(1 - p + eps))
+                rows["vnll"].append(int(np.floor(
+                    nllv[val] * 1e9 + 0.5).astype("int64").sum()))
+                rows["vcorrect"].append(int(((p >= 0.5) == (y >= 0.5))[val].sum()))
+                rows["ntr"].append(int(tr.sum()))
+                rows["nval"].append(int(val.sum()))
+            return pa.table(rows, schema=_schema)
+
+        agg = (
+            ds.map_batches(sweep_partial, batch_format="pyarrow").to_pandas()
+            .groupby("li", as_index=False).sum()
+        ).set_index("li")
+        for li in range(L):
+            n_tr = max(int(agg.loc[li, "ntr"]), 1)
+            g = np.array([agg.loc[li, "g0"], agg.loc[li, "g1"]],
+                         dtype=np.float64) / (1e9 * n_tr)
+            g[1] += lambdas[li] * W[li, 1]  # L2 on the coef, not the bias
+            W[li] = W[li] - lr * g
+        last = agg
+
+    out = []
+    best = None
+    for li in range(L):
+        nval = max(int(last.loc[li, "nval"]), 1)
+        vnll = int(last.loc[li, "vnll"] // nval)
+        out.append((int(round(lambdas[li] * 1e6)),
+                    int(np.floor(W[li, 0] * 1e6 + 0.5)),
+                    int(np.floor(W[li, 1] * 1e6 + 0.5)),
+                    vnll, int(last.loc[li, "vcorrect"])))
+        if best is None or vnll < out[best][3]:
+            best = li
+    df = pd.DataFrame(
+        out, columns=["lambda_e6", "w0_e6", "w1_e6", "val_nll_e9", "val_correct"]
+    )
+    df["selected"] = (np.arange(L) == best).astype("int64")
+    return df.astype("int64")

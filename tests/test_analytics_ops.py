@@ -4552,3 +4552,45 @@ def test_events_value_zscore_matches_pandas_twin(ray_session):
     for _, grp in j.groupby("event_type"):
         assert abs(grp["z_e6"].mean() / 1e6) < 1e-3
         assert abs(grp["z_e6"].std(ddof=0) / 1e6 - 1.0) < 1e-3
+
+
+def test_logreg_lambda_sweep_matches_numpy_replay(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import logreg_lambda_sweep
+
+    lambdas, n_iters, lr = (0.0, 0.01, 0.1, 1.0), 15, 0.5
+    got = logreg_lambda_sweep(SF, lambdas=lambdas, n_iters=n_iters, lr=lr)
+    o = pd.read_parquet(
+        f"{SF}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderpriority"],
+    )
+    x = o["o_totalprice"].to_numpy() / 500_000.0
+    y = (o["o_orderpriority"] == "1-URGENT").to_numpy().astype("float64")
+    val = (o["o_orderkey"].to_numpy() % 5 == 0)
+    tr = ~val
+    eps = 1e-12
+    for li, lam in enumerate(lambdas):
+        w = np.zeros(2)
+        for _ in range(n_iters):
+            z = w[0] + w[1] * x
+            p = 1.0 / (1.0 + np.exp(-z))
+            r = p - y
+            g0 = int(np.floor(r[tr] * 1e9 + 0.5).astype("int64").sum())
+            g1 = int(np.floor((r * x)[tr] * 1e9 + 0.5).astype("int64").sum())
+            nllv = -(y * np.log(p + eps) + (1 - y) * np.log(1 - p + eps))
+            vnll = int(np.floor(nllv[val] * 1e9 + 0.5).astype("int64").sum())
+            vcorrect = int(((p >= 0.5) == (y >= 0.5))[val].sum())
+            g = np.array([g0, g1], dtype="float64") / (1e9 * int(tr.sum()))
+            g[1] += lam * w[1]
+            w = w - lr * g
+        row = got[got["lambda_e6"] == int(round(lam * 1e6))].iloc[0]
+        assert int(row["w0_e6"]) == int(np.floor(w[0] * 1e6 + 0.5))
+        assert int(row["w1_e6"]) == int(np.floor(w[1] * 1e6 + 0.5))
+        assert int(row["val_nll_e9"]) == vnll // int(val.sum())
+        assert int(row["val_correct"]) == vcorrect
+    # exactly one selected model: the val-NLL argmin
+    assert int(got["selected"].sum()) == 1
+    assert (got.loc[got["selected"] == 1, "val_nll_e9"].iloc[0]
+            == got["val_nll_e9"].min())
+    # heavier L2 shrinks the coefficient magnitude (monotone)
+    mags = got.sort_values("lambda_e6")["w1_e6"].abs().to_numpy()
+    assert (np.diff(mags) <= 0).all()
