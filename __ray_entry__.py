@@ -962,6 +962,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_dense": A.events_daily_dense,
         "events_value_zscore": A.events_value_zscore,
         "logreg_lambda_sweep": A.logreg_lambda_sweep,
+        "events_zorder_prune_stats": A.events_zorder_prune_stats,
         "part_snm_pairs": _q_part_snm_pairs,
         "embedding_topk_pairs": _q_embedding_topk_pairs,
         "embedding_dbscan": _q_embedding_dbscan,

@@ -222,6 +222,7 @@ QUERY_NAMES = [
     "embedding_topk_pairs",
     "events_value_zscore",
     "logreg_lambda_sweep",
+    "events_zorder_prune_stats",
 ]
 
 

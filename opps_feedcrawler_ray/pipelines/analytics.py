@@ -9855,3 +9855,125 @@ def logreg_lambda_sweep(
     )
     df["selected"] = (np.arange(L) == best).astype("int64")
     return df.astype("int64")
+
+
+def _morton_interleave16(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized 16+16-bit Morton (Z-order) interleave → uint32 keys
+    (a in even bits, b in odd)."""
+
+    def spread(x: np.ndarray) -> np.ndarray:
+        x = x.astype(np.uint64) & np.uint64(0xFFFF)
+        x = (x | (x << np.uint64(8))) & np.uint64(0x00FF00FF)
+        x = (x | (x << np.uint64(4))) & np.uint64(0x0F0F0F0F)
+        x = (x | (x << np.uint64(2))) & np.uint64(0x33333333)
+        x = (x | (x << np.uint64(1))) & np.uint64(0x55555555)
+        return x
+
+    return spread(a) | (spread(b) << np.uint64(1))
+
+
+def events_zorder_prune_stats(
+    sf_dir: str, work_dir: str | None = None, row_group_size: int = 512
+) -> pd.DataFrame:
+    """Z-ORDER (Morton space-filling-curve) DATA LAYOUT — the
+    multi-column clustering trick behind Delta/Iceberg ZORDER BY: sort
+    rows by the bit-interleave of (user_id, day) so parquet row-group
+    min/max stats prune reads for filters on EITHER or BOTH columns,
+    where a 1-D sort prunes only its own column.
+
+    The operator writes the events table twice — sorted by user_id
+    (the naive layout) and by the Morton key — with small row groups,
+    then scores three representative filter boxes (user-only, day-only,
+    user×day) purely from parquet FOOTER metadata (row-group min/max
+    overlap — exactly what a reader's predicate pushdown consults; no
+    data is read to score).  Output: row groups touched per (layout,
+    query), the measurable 'prune at the read' win.
+
+    Scale shape: key computation is a stateless vectorized pass; each
+    layout is ONE range-partitioned sort + streaming write; scoring
+    walks footers only.  Rows-only (layout physics, not SQL); the twin
+    asserts both layouts return identical query answers and pins the
+    pruning invariants."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    work = work_dir or f"/tmp/opps_feedcrawler_ray/zorder-{sf_tag}"
+    ev = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts"])
+
+    # global day origin + extents (one tiny combiner) — the filter boxes
+    # below are FRACTIONS of the data's own (user, day) extents so the
+    # operator is scale-factor independent
+    def extent(b: pa.Table) -> pa.Table:
+        d = (b["ts"].to_numpy(zero_copy_only=False)
+             .astype("datetime64[D]").astype("int64"))
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype("int64")
+        return pa.table({"dlo": pa.array([int(d.min())], pa.int64()),
+                         "dhi": pa.array([int(d.max())], pa.int64()),
+                         "uhi": pa.array([int(u.max())], pa.int64())})
+
+    ext = ev.map_batches(extent, batch_format="pyarrow").to_pandas()
+    lo_day = int(ext["dlo"].min())
+    n_days = int(ext["dhi"].max()) - lo_day + 1
+    n_users = int(ext["uhi"].max()) + 1
+
+    def add_keys(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = (
+            batch["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]").astype("int64") - lo_day
+        )
+        z = _morton_interleave16(u.astype(np.uint64), day.astype(np.uint64))
+        return pa.table({
+            "event_id": batch["event_id"],
+            "user_id": pa.array(u, pa.int64()),
+            "day": pa.array(day.astype(np.int64), pa.int64()),
+            "zkey": pa.array(z.astype(np.int64), pa.int64()),
+        })
+
+    keyed_ds = ev.map_batches(add_keys, batch_format="pyarrow")
+    layouts = {
+        "user_sorted": keyed_ds.sort("user_id"),
+        "zorder": keyed_ds.sort("zkey"),
+    }
+    import shutil
+
+    u1, u2 = n_users // 8, n_users // 4          # a 1/8-wide user slice
+    d1, d2 = n_days // 4, n_days // 2            # a 1/4-wide day slice
+    boxes = {
+        "user_box": (u1, u2, None, None),
+        "day_box": (None, None, d1, d2),
+        "user_day_box": (u1, u2, d1, d2),
+    }
+    out = []
+    for name, ds_sorted in layouts.items():
+        path = os.path.join(work, name)
+        shutil.rmtree(path, ignore_errors=True)
+        ds_sorted.write_parquet(path, row_group_size=row_group_size)
+        rgs = []  # (u_min, u_max, d_min, d_max) per row group
+        for fn in sorted(os.listdir(path)):
+            if not fn.endswith(".parquet"):
+                continue
+            pf = _pq.ParquetFile(os.path.join(path, fn))
+            ui = pf.schema_arrow.names.index("user_id")
+            di = pf.schema_arrow.names.index("day")
+            for g in range(pf.metadata.num_row_groups):
+                rg = pf.metadata.row_group(g)
+                su, sd = rg.column(ui).statistics, rg.column(di).statistics
+                rgs.append((su.min, su.max, sd.min, sd.max))
+        for qname, (ulo, uhi, dlo, dhi) in boxes.items():
+            touched = 0
+            for (umin, umax, dmin, dmax) in rgs:
+                if ulo is not None and (umax < ulo or umin >= uhi):
+                    continue
+                if dlo is not None and (dmax < dlo or dmin >= dhi):
+                    continue
+                touched += 1
+            out.append((name, qname, len(rgs), touched))
+    return (
+        pd.DataFrame(out, columns=["layout", "query", "n_rowgroups", "touched"])
+        .sort_values(["layout", "query"]).reset_index(drop=True)
+        .astype({"n_rowgroups": "int64", "touched": "int64"})
+    )

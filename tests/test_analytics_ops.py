@@ -4594,3 +4594,57 @@ def test_logreg_lambda_sweep_matches_numpy_replay(ray_session):
     # heavier L2 shrinks the coefficient magnitude (monotone)
     mags = got.sort_values("lambda_e6")["w1_e6"].abs().to_numpy()
     assert (np.diff(mags) <= 0).all()
+
+
+def test_events_zorder_pruning_invariants(ray_session, tmp_path):
+    import glob as _glob
+
+    from opps_feedcrawler_ray.pipelines.analytics import (
+        _morton_interleave16, events_zorder_prune_stats,
+    )
+
+    # Morton kernel: known interleaves
+    a = np.array([0, 1, 0, 3], dtype=np.uint64)
+    b = np.array([0, 0, 1, 3], dtype=np.uint64)
+    assert list(_morton_interleave16(a, b)) == [0, 1, 2, 15]
+
+    # sf0.01: 1500 users x 150 days — extents wide enough that the
+    # pruning geometry is robust, still only 10k rows
+    SF01 = "/root/testdata/sf0.01"
+    got = events_zorder_prune_stats(
+        SF01, work_dir=str(tmp_path / "zo"), row_group_size=64
+    ).set_index(["layout", "query"])
+    # same total row-group population scanned per layout
+    nz = int(got.loc[("zorder", "day_box"), "n_rowgroups"])
+    nu = int(got.loc[("user_sorted", "day_box"), "n_rowgroups"])
+    assert nz > 4 and nu > 4
+    # day-only filter: the user-sorted layout is nearly day-blind
+    # (>=90% of groups touched); z-order must touch strictly fewer
+    us_day = int(got.loc[("user_sorted", "day_box"), "touched"])
+    zo_day = int(got.loc[("zorder", "day_box"), "touched"])
+    assert us_day * 10 >= nu * 9
+    assert zo_day < us_day
+    # 2-D box: z-order beats the 1-D layout's day blindness
+    assert (int(got.loc[("zorder", "user_day_box"), "touched"])
+            < int(got.loc[("user_sorted", "user_day_box"), "touched"]))
+    # user-only filter: the 1-D sort prunes sharply (its home turf),
+    # and z-order still prunes rather than scanning everything
+    assert int(got.loc[("user_sorted", "user_box"), "touched"]) < nu // 2
+    assert int(got.loc[("zorder", "user_box"), "touched"]) < nz
+    # correctness: both layouts hold the same box rows
+    ev = pd.read_parquet(f"{SF01}/events.parquet", columns=["user_id", "ts"])
+    n_users = int(ev["user_id"].max()) + 1
+    days = ev["ts"].dt.normalize()
+    n_days = (days.max() - days.min()).days + 1
+    u1, u2 = n_users // 8, n_users // 4
+    d1, d2 = n_days // 4, n_days // 2
+    ids = {}
+    for name in ("user_sorted", "zorder"):
+        rows = pd.concat([
+            pd.read_parquet(f)
+            for f in _glob.glob(str(tmp_path / "zo" / name / "*.parquet"))
+        ])
+        m = rows[(rows["user_id"] >= u1) & (rows["user_id"] < u2)
+                 & (rows["day"] >= d1) & (rows["day"] < d2)]
+        ids[name] = set(m["event_id"])
+    assert ids["user_sorted"] == ids["zorder"] and len(ids["zorder"]) > 0
