@@ -963,6 +963,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_zscore": A.events_value_zscore,
         "logreg_lambda_sweep": A.logreg_lambda_sweep,
         "events_zorder_prune_stats": A.events_zorder_prune_stats,
+        "revenue_monthly_sortmerge": A.revenue_monthly_sortmerge,
         "part_snm_pairs": _q_part_snm_pairs,
         "embedding_topk_pairs": _q_embedding_topk_pairs,
         "embedding_dbscan": _q_embedding_dbscan,
@@ -3370,6 +3371,16 @@ def oracle_sql() -> dict[str, str]:
             "n_v2 - n_v1 AS d_n, sum_v2_e2 - sum_v1_e2 AS d_s, "
             "n_v2, sum_v2_e2 "
             "FROM v1 JOIN v2 USING (o_orderpriority) ORDER BY o_orderpriority"
+        ),
+        "revenue_monthly_sortmerge": (
+            # plain SQL join — the engine side must reproduce it through
+            # the range-partitioned sort-merge strategy
+            "SELECT strftime(o_orderdate, '%Y-%m') AS month, "
+            "CAST(COUNT(*) AS BIGINT) AS n_items, "
+            "CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) "
+            "AS BIGINT) AS revenue_e2 "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY 1 ORDER BY 1"
         ),
         "events_value_zscore": (
             # per-row population z-score from exact integer moments;

@@ -223,6 +223,7 @@ QUERY_NAMES = [
     "events_value_zscore",
     "logreg_lambda_sweep",
     "events_zorder_prune_stats",
+    "revenue_monthly_sortmerge",
 ]
 
 

@@ -259,3 +259,73 @@ def skew_split_join(
     if not halves:
         return rd.from_arrow(out_schema.empty_table())
     return halves[0] if len(halves) == 1 else halves[0].union(halves[1])
+
+
+def sort_merge_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str,
+    n_ranges: int = 64,
+    how: str = "inner",
+    sample_every: int = 64,
+) -> rd.Dataset:
+    """RANGE-PARTITIONED SORT-MERGE join — the strategy the
+    broadcast / hash-shuffle / bloom / skew-split family was missing:
+    both sides are routed by ORDERED key ranges (so each partition's
+    output is key-ordered — the property downstream merge/as-of
+    consumers want for free), then joined partition-locally on sorted
+    frames.
+
+    The range boundaries come from a deterministic sample of the LEFT
+    side's keys (every ``sample_every``-th key per batch after an
+    in-batch sort — bounded O(rows/sample_every) driver rows, the same
+    sample-sort recipe Ray's own sort uses); each side then crosses ONE
+    exchange routed by ``searchsorted(boundaries, key)``.  Skewed key
+    ranges split by widening n_ranges; a single mega-KEY still funnels
+    to one partition — that is the skew_split_join's job, not this
+    strategy's."""
+    assert how == "inner", "sort_merge_join implements inner joins"
+
+    def sample_keys(batch: pd.DataFrame) -> pd.DataFrame:
+        k = np.sort(batch[on].to_numpy())
+        return pd.DataFrame({on: k[::sample_every]})
+
+    samp = np.sort(
+        left.map_batches(sample_keys, batch_format="pandas")
+        .to_pandas()[on].to_numpy()
+    )
+    if len(samp) == 0:
+        bounds = np.array([], dtype="int64")
+    else:
+        qs = (np.arange(1, n_ranges) * len(samp)) // n_ranges
+        bounds = np.unique(samp[qs])
+    bounds_ref = ray.put(bounds)
+    left_cols = left.schema().names
+    right_cols = right.schema().names
+    all_cols = left_cols + [c for c in right_cols if c not in left_cols]
+
+    def route(side: int, my_cols: list[str]):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            b = ray.get(bounds_ref)
+            out = batch.copy()
+            out["__rng"] = np.searchsorted(
+                b, out[on].to_numpy(), side="right"
+            ).astype("int64")
+            out["__side"] = np.int8(side)
+            for c in all_cols:  # pad to the union schema (as shuffle_join)
+                if c not in my_cols:
+                    out[c] = None
+            return out[all_cols + ["__side", "__rng"]]
+        return fn
+
+    def merge_range(g: pd.DataFrame) -> pd.DataFrame:
+        a = (g.loc[g["__side"] == 0, left_cols]
+             .sort_values(on, kind="mergesort"))
+        b = (g.loc[g["__side"] == 1, right_cols]
+             .sort_values(on, kind="mergesort"))
+        return a.merge(b, on=on, how="inner", suffixes=("", "_r"), sort=True)
+
+    both = left.map_batches(route(0, left_cols), batch_format="pandas").union(
+        right.map_batches(route(1, right_cols), batch_format="pandas")
+    )
+    return both.groupby("__rng").map_groups(merge_range, batch_format="pandas")

@@ -9977,3 +9977,55 @@ def events_zorder_prune_stats(
         .sort_values(["layout", "query"]).reset_index(drop=True)
         .astype({"n_rowgroups": "int64", "touched": "int64"})
     )
+
+
+def revenue_monthly_sortmerge(sf_dir: str) -> pd.DataFrame:
+    """Monthly gross revenue via the RANGE-PARTITIONED SORT-MERGE join
+    (``functions.joins.sort_merge_join``) — the ordered-partition join
+    strategy, oracle-checked against the plain SQL join so the routing
+    + merge machinery is hash-verified end-to-end.
+
+    Scale shape: one boundary sample of the left keys, ONE ordered-range
+    exchange for both sides, per-range sorted merges; the joined stream
+    reduces through a |months|-bounded combiner."""
+    from ..functions.joins import sort_merge_join
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_extendedprice"])
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_orderdate"])
+
+    def prep_o(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return pa.Table.from_pandas(
+            pd.DataFrame({
+                "l_orderkey": df["o_orderkey"].astype("int64"),
+                "month": df["o_orderdate"].astype("datetime64[ns]")
+                .dt.strftime("%Y-%m"),
+            }),
+            preserve_index=False,
+            schema=pa.schema([("l_orderkey", pa.int64()), ("month", pa.string())]),
+        )
+
+    om = orders.map_batches(prep_o, batch_format="pyarrow")
+    joined = sort_merge_join(li, om, on="l_orderkey", n_ranges=32)
+
+    _schema = pa.schema([("month", pa.string()), ("n_items", pa.int64()),
+                         ("revenue_e2", pa.int64())])
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        p = np.floor(
+            batch["l_extendedprice"].to_numpy() * 100.0 + 0.5
+        ).astype("int64")
+        g = pd.DataFrame({"month": batch["month"], "n_items": 1,
+                          "revenue_e2": p}).groupby(
+            "month", as_index=False
+        ).sum()
+        return pa.Table.from_pandas(g, preserve_index=False, schema=_schema)
+
+    return (
+        joined.map_batches(partial, batch_format="pandas").to_pandas()
+        .groupby("month", as_index=False)[["n_items", "revenue_e2"]].sum()
+        .sort_values("month").reset_index(drop=True)
+        .astype({"n_items": "int64", "revenue_e2": "int64"})
+    )

@@ -122,3 +122,30 @@ def test_skew_split_join_routes_hot_key_mapside(ray_session):
     )
     hot = set(hist.loc[hist["sum(__n)"] > 100, "k"].tolist())
     assert hot == {3}
+
+
+def test_sort_merge_join_matches_pandas_and_is_range_ordered(ray_session):
+    from opps_feedcrawler_ray.functions.joins import sort_merge_join
+
+    SF = "/root/testdata/sf0.001"
+    li = rd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity"])
+    o = rd.read_parquet(f"{SF}/orders.parquet",
+                        columns=["o_orderkey", "o_orderpriority"]).map_batches(
+        lambda b: b.rename_columns(["l_orderkey", "o_orderpriority"]),
+        batch_format="pyarrow",
+    )
+    got = sort_merge_join(li, o, on="l_orderkey", n_ranges=7).to_pandas()
+    ldf = pd.read_parquet(f"{SF}/lineitem.parquet",
+                          columns=["l_orderkey", "l_quantity"])
+    odf = pd.read_parquet(f"{SF}/orders.parquet",
+                          columns=["o_orderkey", "o_orderpriority"]).rename(
+        columns={"o_orderkey": "l_orderkey"})
+    exp = ldf.merge(odf, on="l_orderkey", how="inner")
+    key = ["l_orderkey", "l_quantity", "o_orderpriority"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True)[key],
+        exp.sort_values(key).reset_index(drop=True)[key],
+        check_dtype=False,
+    )
+    assert len(got) == len(exp) > 0
