@@ -964,6 +964,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "logreg_lambda_sweep": A.logreg_lambda_sweep,
         "events_zorder_prune_stats": A.events_zorder_prune_stats,
         "revenue_monthly_sortmerge": A.revenue_monthly_sortmerge,
+        "events_kanonymity_audit": A.events_kanonymity_audit,
         "part_snm_pairs": _q_part_snm_pairs,
         "embedding_topk_pairs": _q_embedding_topk_pairs,
         "embedding_dbscan": _q_embedding_dbscan,
@@ -3371,6 +3372,15 @@ def oracle_sql() -> dict[str, str]:
             "n_v2 - n_v1 AS d_n, sum_v2_e2 - sum_v1_e2 AS d_s, "
             "n_v2, sum_v2_e2 "
             "FROM v1 JOIN v2 USING (o_orderpriority) ORDER BY o_orderpriority"
+        ),
+        "events_kanonymity_audit": (
+            # k-anonymity: QI combos with fewer than 5 rows
+            "SELECT event_type, "
+            "CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour, "
+            "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) // 5000 AS vbucket, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM events "
+            "GROUP BY 1, 2, 3 HAVING COUNT(*) < 5 "
+            "ORDER BY event_type, hour, vbucket"
         ),
         "revenue_monthly_sortmerge": (
             # plain SQL join — the engine side must reproduce it through

@@ -224,6 +224,7 @@ QUERY_NAMES = [
     "logreg_lambda_sweep",
     "events_zorder_prune_stats",
     "revenue_monthly_sortmerge",
+    "events_kanonymity_audit",
 ]
 
 

@@ -10029,3 +10029,46 @@ def revenue_monthly_sortmerge(sf_dir: str) -> pd.DataFrame:
         .sort_values("month").reset_index(drop=True)
         .astype({"n_items": "int64", "revenue_e2": "int64"})
     )
+
+
+def events_kanonymity_audit(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """PRIVACY AUDIT — k-anonymity over the quasi-identifier tuple
+    (event_type, hour-of-day, value bucket): every QI combination
+    observed by FEWER than ``k`` rows is a re-identification risk the
+    release pipeline must generalize or suppress (Sweeney 2002).
+    Returns the violating combinations with their group sizes.
+
+    Scale shape: the QI census is a domain-bounded combiner
+    (|types|·24·|value buckets| rows per block ceiling); the HAVING-<k
+    cut runs on the folded census — no data-sized exchange."""
+    from .dedup import coarse_buckets
+
+    ev = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "ts", "value"])
+    nb = coarse_buckets(ev.count(), rows_per_task=65536)
+    _schema = pa.schema([("event_type", pa.string()), ("hour", pa.int64()),
+                         ("vbucket", pa.int64()), ("n", pa.int64()),
+                         ("__b", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["hour"] = df["ts"].dt.hour.astype("int64")
+        v = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+        df["vbucket"] = v // 5000
+        g = df.groupby(["event_type", "hour", "vbucket"], as_index=False).agg(
+            n=("hour", "size")
+        )
+        g["__b"] = ((g["hour"] * 31 + g["vbucket"]) % nb).astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False, schema=_schema)
+
+    def cut(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["event_type", "hour", "vbucket"], as_index=False)["n"].sum()
+        return s[s["n"] < k]
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("__b").map_groups(cut, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["event_type", "hour", "vbucket"]).reset_index(drop=True)
+        .astype({"hour": "int64", "vbucket": "int64", "n": "int64"})
+    )

@@ -4648,3 +4648,22 @@ def test_events_zorder_pruning_invariants(ray_session, tmp_path):
                  & (rows["day"] >= d1) & (rows["day"] < d2)]
         ids[name] = set(m["event_id"])
     assert ids["user_sorted"] == ids["zorder"] and len(ids["zorder"]) > 0
+
+
+def test_events_kanonymity_audit_matches_pandas_twin(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import events_kanonymity_audit
+
+    got = events_kanonymity_audit(SF, k=5)
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+    ev["hour"] = ev["ts"].dt.hour.astype("int64")
+    ev["vbucket"] = (
+        np.floor(ev["value"].to_numpy() * 100.0 + 0.5).astype("int64") // 5000
+    )
+    g = ev.groupby(["event_type", "hour", "vbucket"]).size()
+    exp = (
+        g[g < 5].reset_index(name="n")
+        .sort_values(["event_type", "hour", "vbucket"]).reset_index(drop=True)
+    )
+    assert len(exp) > 0  # small-group combos exist at sf0.001
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
