@@ -343,6 +343,17 @@ def _q_embedding_dbscan(sf_dir: str):
     return embedding_dbscan(sf_dir, threshold=0.5, min_pts=4)
 
 
+def _q_embedding_bisecting(sf_dir: str):
+    """Bisecting k-means (divisive hierarchical clustering): split-tree
+    broadcast, state-free leaf re-derivation per pass; rows-only —
+    exact single-process replay twin in test_ann."""
+    from opps_feedcrawler_ray.pipelines.ann import embedding_bisecting_kmeans
+
+    # k=5/n_iters=3 keeps the pass count ((k-1)·(2+iters)+1) modest —
+    # the sandbox embeddings are tiny, so fixed per-pass cost dominates
+    return embedding_bisecting_kmeans(sf_dir, k=5, n_iters=3)
+
+
 def _q_embedding_kmeans(sf_dir: str):
     """Distributed Lloyd's k-means (broadcast centroids -> e6-integer
     partial sums -> driver update); rows-only by nature (iterative float
@@ -907,6 +918,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivfpq_topk": _q_ann_ivfpq,
         "embedding_pca": _q_embedding_pca,
         "embedding_kmeans": _q_embedding_kmeans,
+        "embedding_bisecting_kmeans": _q_embedding_bisecting,
         "doc_betweenness": _q_doc_betweenness,
         "doc_sssp": _q_doc_sssp,
         "ann_hard_negatives": _q_hard_negatives,

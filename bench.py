@@ -225,6 +225,7 @@ QUERY_NAMES = [
     "events_zorder_prune_stats",
     "revenue_monthly_sortmerge",
     "events_kanonymity_audit",
+    "embedding_bisecting_kmeans",
 ]
 
 

@@ -1168,3 +1168,162 @@ def ann_ranking_eval(
         {"query_id": "int64", "label": "int64", "n_rel": "int64",
          "prec_e6": "int64", "ndcg_e6": "int64"}
     )
+
+
+def embedding_bisecting_kmeans(
+    sf_dir: str, k: int = 6, n_iters: int = 4
+) -> "pd.DataFrame":
+    """HIERARCHICAL (divisive) CLUSTERING — bisecting k-means
+    (Steinbach, Karypis & Kumar 2000): repeatedly split the
+    largest-SSE leaf with a 2-means run until ``k`` leaves exist.
+    Produces a cluster TREE (heap-numbered leaf ids encode the split
+    path), the structure flat k-means can't give.
+
+    State-free distributed shape: no per-row labels are ever stored —
+    each pass broadcasts the SPLIT TREE (a dict of e6-quantized
+    centroid pairs) and every batch re-derives its rows' leaves by
+    walking it (vectorized nearest-of-two at each level, depth ≤ number
+    of splits); partials are the same order-free e6-integer sums as
+    ``embedding_kmeans``, so the whole tree is bit-reproducible across
+    any partitioning.  Each split costs 2 + n_iters passes over the
+    pinned dataset.  Rows-only (iterative); the twin replays the exact
+    rule single-process and checks SSE monotonicity along splits."""
+    import pandas as pd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).materialize()
+
+    def walk_leaves(X: np.ndarray, tree: dict) -> np.ndarray:
+        lab = np.ones(len(X), dtype=np.int64)
+        while True:
+            active = np.array([(2 * l) in tree for l in lab])
+            if not active.any():
+                return lab
+            for l in np.unique(lab[active]):
+                m = lab == l
+                ca, cb = tree[2 * l], tree[2 * l + 1]
+                da = ((X[m] - ca) ** 2).sum(axis=1)
+                db = ((X[m] - cb) ** 2).sum(axis=1)
+                lab[m] = np.where(da <= db, 2 * l, 2 * l + 1)
+
+    def leaf_stats(tree: dict) -> pd.DataFrame:
+        """One pass: per-leaf (n, sse_e6) under the current tree."""
+        _schema = pa.schema([("leaf", pa.int64()), ("n", pa.int64()),
+                             ("sse_e6", pa.int64())])
+
+        def partial(batch: pa.Table) -> pa.Table:
+            if not batch.num_rows:
+                return _schema.empty_table()
+            X = np.array(batch["embedding"].to_pylist(), dtype="float64")
+            lab = walk_leaves(X, tree)
+            leaves, inv = np.unique(lab, return_inverse=True)
+            # residual vs the leaf's own centroid (exact mean of members
+            # is unknown without state; SSE here is vs the leaf centroid
+            # stored in the tree — for the root use the e6 global mean)
+            sse = np.zeros(len(leaves), dtype="int64")
+            for i, l in enumerate(leaves):
+                c = tree.get(int(l))
+                m = inv == i
+                if c is None:
+                    r = X[m] - np.floor(X[m].mean(axis=0) * 1e6 + 0.5) / 1e6
+                else:
+                    r = X[m] - c
+                sse[i] = int(np.floor((r * r).sum(axis=1) * 1e6 + 0.5)
+                             .astype("int64").sum())
+            n = np.bincount(inv).astype("int64")
+            return pa.table({"leaf": pa.array(leaves, pa.int64()),
+                             "n": pa.array(n, pa.int64()),
+                             "sse_e6": pa.array(sse, pa.int64())})
+
+        return (
+            ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+            .groupby("leaf", as_index=False).sum()
+        )
+
+    def two_means(target: int, tree: dict) -> tuple:
+        """2-means restricted to the target leaf's members."""
+        # deterministic init: the two leaf members with smallest mix64(id)
+        def init_partial(batch: pa.Table) -> pa.Table:
+            X = np.array(batch["embedding"].to_pylist(), dtype="float64")
+            if not len(X):
+                return pa.table({"m": pa.array([], pa.uint64()),
+                                 "v": pa.array([], pa.list_(pa.float64()))})
+            lab = walk_leaves(X, tree)
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            m = lab == target
+            mix = _mix64(ids[m])
+            order = np.argsort(mix, kind="stable")[:2]
+            return pa.table({
+                "m": pa.array(mix[order], pa.uint64()),
+                "v": pa.array([X[m][o].tolist() for o in order],
+                              pa.list_(pa.float64())),
+            })
+
+        samp = (
+            ds.map_batches(init_partial, batch_format="pyarrow")
+            .to_pandas().sort_values("m").head(2)
+        )
+        C2 = np.floor(
+            np.array(samp["v"].to_list(), dtype="float64") * 1e6 + 0.5
+        ) / 1e6
+        _p = pa.schema([("cell", pa.int64()), ("d", pa.int64()),
+                        ("s_e6", pa.int64()), ("n", pa.int64())])
+        for _ in range(n_iters):
+            Cc = C2.copy()
+
+            def partial(batch: pa.Table, _C=Cc) -> pa.Table:
+                if not batch.num_rows:
+                    return _p.empty_table()
+                X = np.array(batch["embedding"].to_pylist(), dtype="float64")
+                lab = walk_leaves(X, tree)
+                m = lab == target
+                Xm = X[m]
+                if not len(Xm):
+                    return _p.empty_table()
+                d2 = ((Xm[:, None, :] - _C[None, :, :]) ** 2).sum(axis=2)
+                a = np.argmin(d2, axis=1)
+                xq = np.floor(Xm * 1e6 + 0.5).astype("int64")
+                cells, inv = np.unique(a, return_inverse=True)
+                s = np.zeros((len(cells), Xm.shape[1]), dtype="int64")
+                np.add.at(s, inv, xq)
+                n = np.bincount(inv, minlength=len(cells)).astype("int64")
+                dim = Xm.shape[1]
+                return pa.table({
+                    "cell": pa.array(np.repeat(cells, dim), pa.int64()),
+                    "d": pa.array(np.tile(np.arange(dim), len(cells)), pa.int64()),
+                    "s_e6": pa.array(s.ravel(), pa.int64()),
+                    "n": pa.array(np.repeat(n, dim), pa.int64()),
+                })
+
+            parts = (
+                ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+                .groupby(["cell", "d"], as_index=False).sum()
+            )
+            for cell, g in parts.groupby("cell"):
+                g = g.sort_values("d")
+                n = int(g["n"].iloc[0])
+                C2[int(cell)] = np.floor(
+                    g["s_e6"].to_numpy(dtype="float64") / 1e6 / n * 1e6 + 0.5
+                ) / 1e6
+        return C2[0], C2[1]
+
+    tree: dict = {}
+    leaves = [1]
+    while len(leaves) < k:
+        stats = leaf_stats(tree).set_index("leaf")
+        # largest SSE splits next; min leaf id breaks ties
+        target = int(
+            stats.sort_values(["sse_e6", "leaf"], ascending=[False, True])
+            .index[0]
+        )
+        ca, cb = two_means(target, tree)
+        tree[2 * target] = ca
+        tree[2 * target + 1] = cb
+        leaves = [l for l in leaves if l != target] + [2 * target, 2 * target + 1]
+
+    out = leaf_stats(tree)
+    return (
+        out.sort_values("leaf").reset_index(drop=True)
+        .astype({"leaf": "int64", "n": "int64", "sse_e6": "int64"})
+    )

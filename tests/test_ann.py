@@ -426,3 +426,73 @@ def test_ann_ranking_eval_matches_pandas_replay(ray_session):
         assert int(got.loc[qid, "prec_e6"]) == int(
             np.floor(rel.sum() / k * 1e6 + 0.5))
         assert abs(got.loc[qid, "ndcg_e6"] / 1e6 - ndcg) < 2e-6
+
+
+def test_bisecting_kmeans_matches_replay_twin(ray_session):
+    from opps_feedcrawler_ray.pipelines.ann import (
+        _mix64, embedding_bisecting_kmeans,
+    )
+
+    SFD = "/root/testdata/sf0.001"
+    k, n_iters = 5, 3
+    got = embedding_bisecting_kmeans(SFD, k=k, n_iters=n_iters)
+    emb = pd.read_parquet(f"{SFD}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    X = np.array(emb["embedding"].to_list(), dtype="float64")
+    ids = emb["vec_id"].to_numpy(dtype="int64")
+
+    def walk(tree):
+        lab = np.ones(len(X), dtype="int64")
+        while True:
+            act = np.array([(2 * l) in tree for l in lab])
+            if not act.any():
+                return lab
+            for l in np.unique(lab[act]):
+                m = lab == l
+                da = ((X[m] - tree[2 * l]) ** 2).sum(axis=1)
+                db = ((X[m] - tree[2 * l + 1]) ** 2).sum(axis=1)
+                lab[m] = np.where(da <= db, 2 * l, 2 * l + 1)
+
+    def stats(tree):
+        lab = walk(tree)
+        rows = []
+        for l in np.unique(lab):
+            m = lab == l
+            c = tree.get(int(l))
+            if c is None:
+                c = np.floor(X[m].mean(axis=0) * 1e6 + 0.5) / 1e6
+            r = X[m] - c
+            rows.append((int(l), int(m.sum()),
+                         int(np.floor((r * r).sum(axis=1) * 1e6 + 0.5)
+                             .astype("int64").sum())))
+        return pd.DataFrame(rows, columns=["leaf", "n", "sse_e6"])
+
+    tree, leaves = {}, [1]
+    while len(leaves) < k:
+        st = stats(tree).set_index("leaf")
+        target = int(st.sort_values(["sse_e6", "leaf"],
+                                    ascending=[False, True]).index[0])
+        lab = walk(tree)
+        m = lab == target
+        mix = _mix64(ids[m])
+        order = np.argsort(mix, kind="stable")[:2]
+        C2 = np.floor(X[m][order] * 1e6 + 0.5) / 1e6
+        for _ in range(n_iters):
+            Xm = X[walk(tree) == target]
+            d2 = ((Xm[:, None, :] - C2[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)
+            xq = np.floor(Xm * 1e6 + 0.5).astype("int64")
+            for cell in np.unique(a):
+                mm = a == cell
+                C2[cell] = np.floor(
+                    xq[mm].sum(axis=0).astype("float64") / 1e6 / mm.sum()
+                    * 1e6 + 0.5
+                ) / 1e6
+        tree[2 * target] = C2[0]
+        tree[2 * target + 1] = C2[1]
+        leaves = [l for l in leaves if l != target] + [2 * target, 2 * target + 1]
+    exp = (stats(tree).sort_values("leaf").reset_index(drop=True)
+           .astype({"leaf": "int64", "n": "int64", "sse_e6": "int64"}))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert len(got) == k
+    assert int(got["n"].sum()) == len(X)
