@@ -308,6 +308,15 @@ def _q_ann_ranking_eval(sf_dir: str):
     return ann_ranking_eval(sf_dir, n_queries=20, k=10)
 
 
+def _q_golden_records(sf_dir: str):
+    """Golden-record survivorship after cluster dedup (longest-text
+    survivor, min-id canonical key, deterministic ties); oracle =
+    recursive-CTE transitive closure + windowed argmax."""
+    from opps_feedcrawler_ray.pipelines.dedup import golden_records
+
+    return golden_records(sf_dir)
+
+
 def _q_embedding_topk_pairs(sf_dir: str):
     """Global top-k similarity join (closest pairs, no threshold):
     per-block-pair local top-k provably contains the global answer
@@ -977,6 +986,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_zorder_prune_stats": A.events_zorder_prune_stats,
         "revenue_monthly_sortmerge": A.revenue_monthly_sortmerge,
         "events_kanonymity_audit": A.events_kanonymity_audit,
+        "golden_records": _q_golden_records,
         "part_snm_pairs": _q_part_snm_pairs,
         "embedding_topk_pairs": _q_embedding_topk_pairs,
         "embedding_dbscan": _q_embedding_dbscan,
@@ -3384,6 +3394,37 @@ def oracle_sql() -> dict[str, str]:
             "n_v2 - n_v1 AS d_n, sum_v2_e2 - sum_v1_e2 AS d_s, "
             "n_v2, sum_v2_e2 "
             "FROM v1 JOIN v2 USING (o_orderpriority) ORDER BY o_orderpriority"
+        ),
+        "golden_records": (
+            # cluster labels as in dup_clusters, then per-cluster
+            # survivorship: longest-text member (tie min doc_id) carries
+            # the content, min id is the canonical key
+            "WITH RECURSIVE toks AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z0-9_'']+') AS w FROM documents), "
+            "sh AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')] "
+            "ELSE list_distinct(list_transform(range(1, len(w) - 1), "
+            "i -> array_to_string(w[i:i+2], ' '))) END AS s FROM toks WHERE len(w) > 0), "
+            "pairs AS (SELECT a, b FROM ("
+            "SELECT x.doc_id AS a, y.doc_id AS b, "
+            "CAST(FLOOR(len(list_intersect(x.s, y.s)) * 10000.0 / "
+            "(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) + 0.5) AS BIGINT) AS j "
+            "FROM sh x JOIN sh y ON x.doc_id < y.doc_id "
+            "WHERE len(list_intersect(x.s, y.s)) > 0) WHERE j >= 4000), "
+            "edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs), "
+            "reach AS (SELECT doc_id, doc_id AS r FROM documents "
+            "UNION SELECT e.b AS doc_id, reach.r FROM reach JOIN edges e ON e.a = reach.doc_id), "
+            "lab AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id), "
+            "j AS (SELECT lab.cluster_id, d.doc_id, d.n_chars, d.lang, "
+            "ROW_NUMBER() OVER (PARTITION BY lab.cluster_id "
+            "ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn "
+            "FROM lab JOIN documents d USING (doc_id)), "
+            "agg AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members, "
+            "CAST(MIN(doc_id) AS BIGINT) AS canonical_id FROM j GROUP BY 1) "
+            "SELECT CAST(agg.cluster_id AS BIGINT) AS cluster_id, agg.n_members, "
+            "agg.canonical_id, CAST(j.doc_id AS BIGINT) AS survivor_id, "
+            "CAST(j.n_chars AS BIGINT) AS max_chars, j.lang AS survivor_lang "
+            "FROM agg JOIN j ON j.cluster_id = agg.cluster_id AND j.rn = 1 "
+            "ORDER BY cluster_id"
         ),
         "events_kanonymity_audit": (
             # k-anonymity: QI combos with fewer than 5 rows

@@ -226,6 +226,7 @@ QUERY_NAMES = [
     "revenue_monthly_sortmerge",
     "events_kanonymity_audit",
     "embedding_bisecting_kmeans",
+    "golden_records",
 ]
 
 

@@ -847,23 +847,12 @@ def embedding_dedup_pairs(
     return out.drop_duplicates(subset=["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
 
 
-def dup_clusters(sf_dir: str) -> pd.DataFrame:
-    """Near-duplicate CLUSTER dedup — the standard tail of every
-    near-dup pipeline: pair list → connected components → one canonical
-    (min-id) survivor per cluster, every document labeled.
-
-    Stages: (1) the oracle-checked exact n-gram-Jaccard pair pipeline
-    (same threshold/rounding as the ``ngram_jaccard_pairs`` query);
-    (2) union-find with min-id roots over the pair list — the pair list
-    is the SAME threshold-bounded object the pair queries already hold
-    on the driver, so labeling it there adds O(pairs·α) and no new
-    memory class (past ~10^8 pairs the distributed min-label propagation
-    in ``webpipe.components_from_edges`` is the drop-in replacement);
-    (3) the label table (only docs in ≥1 pair — tiny) broadcasts via
-    ``ray.put`` into ONE streaming pass over doc ids: singletons label
-    themselves, ``keep=1`` marks each cluster's canonical doc."""
-    import ray
-
+def _ngram_cluster_labels(sf_dir: str) -> dict:
+    """Near-dup cluster labels (doc_id → min-member-id) for docs that
+    appear in at least one qualifying n-gram-Jaccard pair — the shared
+    union-find tail of ``dup_clusters`` and ``golden_records``.  The
+    pair list is threshold-bounded; singletons are implicit (label =
+    own id)."""
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     pairs = ngram_jaccard_pairs(docs, threshold=0.3999, k_shingle=3)
     pairs["jaccard_e4"] = np.floor(pairs["jaccard_e4_raw"] + 0.5).astype("int64")
@@ -884,7 +873,27 @@ def dup_clusters(sf_dir: str) -> pd.DataFrame:
         if ra != rb:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo  # min-id root ⇒ cluster_id = min member
-    labels = {x: find(x) for x in parent}
+    return {x: find(x) for x in parent}
+
+
+def dup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Near-duplicate CLUSTER dedup — the standard tail of every
+    near-dup pipeline: pair list → connected components → one canonical
+    (min-id) survivor per cluster, every document labeled.
+
+    Stages: (1) the oracle-checked exact n-gram-Jaccard pair pipeline
+    (same threshold/rounding as the ``ngram_jaccard_pairs`` query);
+    (2) union-find with min-id roots over the pair list — the pair list
+    is the SAME threshold-bounded object the pair queries already hold
+    on the driver, so labeling it there adds O(pairs·α) and no new
+    memory class (past ~10^8 pairs the distributed min-label propagation
+    in ``webpipe.components_from_edges`` is the drop-in replacement);
+    (3) the label table (only docs in ≥1 pair — tiny) broadcasts via
+    ``ray.put`` into ONE streaming pass over doc ids: singletons label
+    themselves, ``keep=1`` marks each cluster's canonical doc."""
+    import ray
+
+    labels = _ngram_cluster_labels(sf_dir)
     lab_ref = ray.put(labels)
 
     def label(batch: pa.Table) -> pa.Table:
@@ -1460,4 +1469,73 @@ def embedding_topk_pairs(
         .head(k)
         .reset_index(drop=True)
         .astype({"a": "int64", "b": "int64", "cos_e9": "int64"})
+    )
+
+
+def golden_records(sf_dir: str) -> pd.DataFrame:
+    """GOLDEN-RECORD SURVIVORSHIP (master-data consolidation) — the
+    step after cluster dedup: per near-dup cluster, merge the members
+    into one canonical record under explicit field-level survivorship
+    rules (longest text wins the content, min id is the canonical key —
+    ties broken by min doc_id, so the result is deterministic).
+
+    Scale shape: cluster labels (threshold-bounded union-find, shared
+    with ``dup_clusters``) broadcast once; ONE streaming pass over the
+    documents emits per-batch per-cluster LOSSLESS argmax partials
+    (n, max-chars member, its id and lang, min id — each combiner-safe
+    under the same tie rule); the driver folds ≤ |clusters| rows.
+    Output: one row per cluster (singletons included)."""
+    import ray
+
+    labels = _ngram_cluster_labels(sf_dir)
+    lab_ref = ray.put(labels)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        lab = ray.get(lab_ref)
+        df = batch.to_pandas()
+        df["cluster_id"] = [
+            lab.get(int(i), int(i)) for i in df["doc_id"].to_numpy()
+        ]
+        # lossless per-batch survivorship partials under the tie rule
+        df = df.sort_values(["n_chars", "doc_id"],
+                            ascending=[False, True])
+        best = df.drop_duplicates("cluster_id")
+        agg = df.groupby("cluster_id", as_index=False).agg(
+            n_members=("doc_id", "size"), canonical_id=("doc_id", "min")
+        )
+        out = agg.merge(
+            best[["cluster_id", "doc_id", "n_chars", "lang"]]
+            .rename(columns={"doc_id": "survivor_id",
+                             "n_chars": "max_chars",
+                             "lang": "survivor_lang"}),
+            on="cluster_id",
+        )
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["max_chars", "survivor_id"],
+                          ascending=[False, True])
+        best = g.drop_duplicates("cluster_id")
+        agg = g.groupby("cluster_id", as_index=False).agg(
+            n_members=("n_members", "sum"), canonical_id=("canonical_id", "min")
+        )
+        return agg.merge(
+            best[["cluster_id", "survivor_id", "max_chars", "survivor_lang"]],
+            on="cluster_id",
+        )
+
+    parts = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "n_chars", "lang"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return (
+        fold(parts)
+        .sort_values("cluster_id").reset_index(drop=True)
+        .astype({"cluster_id": "int64", "n_members": "int64",
+                 "canonical_id": "int64", "survivor_id": "int64",
+                 "max_chars": "int64"})
+        [["cluster_id", "n_members", "canonical_id", "survivor_id",
+          "max_chars", "survivor_lang"]]
     )

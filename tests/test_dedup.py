@@ -507,3 +507,29 @@ def test_embedding_topk_pairs_matches_brute_matrix(ray_session):
         .astype({"a": "int64", "b": "int64"})
     )
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_golden_records_matches_pandas_twin(ray_session):
+    from opps_feedcrawler_ray.pipelines.dedup import (
+        _ngram_cluster_labels, golden_records,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    got = golden_records(SF)
+    lab = _ngram_cluster_labels(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "n_chars", "lang"])
+    docs["cluster_id"] = [lab.get(int(i), int(i)) for i in docs["doc_id"]]
+    rows = []
+    for cid, g in docs.groupby("cluster_id"):
+        g = g.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        rows.append((int(cid), len(g), int(g["doc_id"].min()),
+                     int(g["doc_id"].iloc[0]), int(g["n_chars"].iloc[0]),
+                     g["lang"].iloc[0]))
+    exp = pd.DataFrame(rows, columns=["cluster_id", "n_members",
+                                      "canonical_id", "survivor_id",
+                                      "max_chars", "survivor_lang"])
+    exp = exp.sort_values("cluster_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # at least one real (multi-member) cluster exists in the fixture
+    assert (exp["n_members"] > 1).any()
