@@ -987,6 +987,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_monthly_sortmerge": A.revenue_monthly_sortmerge,
         "events_kanonymity_audit": A.events_kanonymity_audit,
         "golden_records": _q_golden_records,
+        "events_synthesize": A.events_synthesize,
         "part_snm_pairs": _q_part_snm_pairs,
         "embedding_topk_pairs": _q_embedding_topk_pairs,
         "embedding_dbscan": _q_embedding_dbscan,

@@ -227,6 +227,7 @@ QUERY_NAMES = [
     "events_kanonymity_audit",
     "embedding_bisecting_kmeans",
     "golden_records",
+    "events_synthesize",
 ]
 
 

@@ -10072,3 +10072,97 @@ def events_kanonymity_audit(sf_dir: str, k: int = 5) -> pd.DataFrame:
         .sort_values(["event_type", "hour", "vbucket"]).reset_index(drop=True)
         .astype({"hour": "int64", "vbucket": "int64", "n": "int64"})
     )
+
+
+def events_synthesize(sf_dir: str, n_rows: int = 20000) -> rd.Dataset:
+    """SYNTHETIC DATA GENERATION — draw ``n_rows`` synthetic events
+    whose (event_type), (value | type) and (hour | type) MARGINALS
+    follow the source table's empirical distributions (the
+    privacy-friendly stand-in corpus pattern: share the shape, not the
+    rows).  Values come from the real per-type value histogram via
+    inverse-CDF, so every synthetic value is a value the source could
+    produce.
+
+    Determinism: "randomness" is the splitmix64 stream of the synthetic
+    row index (three decorrelated salts for type/value/hour) — no RNG
+    state, identical output at any partitioning or cluster size.
+
+    Scale shape: the fitted model is three domain-bounded histograms
+    (one tiny exchange over the source); generation is an
+    embarrassingly parallel ``ray.data.range(n)`` map with the model
+    broadcast once."""
+    import ray
+
+    from .dedup import coarse_buckets
+
+    ev = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "ts", "value"])
+    nb = coarse_buckets(ev.count(), rows_per_task=65536)
+    _schema = pa.schema([("event_type", pa.string()), ("v_e2", pa.int64()),
+                         ("hour", pa.int64()), ("n", pa.int64()),
+                         ("__b", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["v_e2"] = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+        df["hour"] = df["ts"].dt.hour.astype("int64")
+        g = df.groupby(["event_type", "v_e2", "hour"], as_index=False).agg(
+            n=("hour", "size"))
+        g["__b"] = (g["v_e2"].to_numpy() % nb).astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False, schema=_schema)
+
+    def sum_cells(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["event_type", "v_e2", "hour"], as_index=False)["n"].sum()
+
+    cells = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("__b").map_groups(sum_cells, batch_format="pandas")
+        .to_pandas()
+    )
+    types = sorted(cells["event_type"].unique())
+    t_tot = cells.groupby("event_type")["n"].sum()
+    type_cdf = np.cumsum([int(t_tot[t]) for t in types]).astype("float64")
+    type_cdf /= type_cdf[-1]
+    model = {}
+    for t in types:
+        g = cells[cells["event_type"] == t]
+        vg = g.groupby("v_e2")["n"].sum().sort_index()
+        hg = g.groupby("hour")["n"].sum().sort_index()
+        model[t] = (
+            vg.index.to_numpy(dtype="int64"),
+            (vg.cumsum() / vg.sum()).to_numpy(dtype="float64"),
+            hg.index.to_numpy(dtype="int64"),
+            (hg.cumsum() / hg.sum()).to_numpy(dtype="float64"),
+        )
+    ref = ray.put((types, type_cdf, model))
+
+    def mix(i: np.ndarray, salt: int) -> np.ndarray:
+        x = i.astype(np.uint64) + np.uint64((salt * 0x9E3779B97F4A7C15) % 2**64)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return (x ^ (x >> np.uint64(31))).astype(np.float64) / 2.0**64
+
+    def gen(batch: pa.Table) -> pa.Table:
+        tys, tcdf, mdl = ray.get(ref)
+        i = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ti = np.searchsorted(tcdf, mix(i, 1), side="right")
+        ti = np.minimum(ti, len(tys) - 1)
+        v = np.zeros(len(i), dtype="int64")
+        h = np.zeros(len(i), dtype="int64")
+        for k in np.unique(ti):
+            m = ti == k
+            vals, vcdf, hours, hcdf = mdl[tys[int(k)]]
+            v[m] = vals[np.minimum(
+                np.searchsorted(vcdf, mix(i[m], 2), side="right"),
+                len(vals) - 1)]
+            h[m] = hours[np.minimum(
+                np.searchsorted(hcdf, mix(i[m], 3), side="right"),
+                len(hours) - 1)]
+        return pa.table({
+            "synth_id": pa.array(i, pa.int64()),
+            "event_type": pa.array([tys[int(k)] for k in ti], pa.string()),
+            "v_e2": pa.array(v, pa.int64()),
+            "hour": pa.array(h, pa.int64()),
+        })
+
+    return rd.range(n_rows).map_batches(gen, batch_format="pyarrow")

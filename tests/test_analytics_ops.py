@@ -4667,3 +4667,36 @@ def test_events_kanonymity_audit_matches_pandas_twin(ray_session):
     )
     assert len(exp) > 0  # small-group combos exist at sf0.001
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_events_synthesize_marginals_and_determinism(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import events_synthesize
+
+    n = 20000
+    got = (events_synthesize(SF, n_rows=n).to_pandas()
+           .sort_values("synth_id").reset_index(drop=True))
+    got2 = (events_synthesize(SF, n_rows=n).to_pandas()
+            .sort_values("synth_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, got2)  # bit-deterministic
+    assert len(got) == n and got["synth_id"].is_unique
+
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+    ev["v_e2"] = np.floor(ev["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+    ev["hour"] = ev["ts"].dt.hour.astype("int64")
+    # every synthetic value/hour exists in the source domain per type
+    for t, g in got.groupby("event_type"):
+        src = ev[ev["event_type"] == t]
+        assert set(g["v_e2"]).issubset(set(src["v_e2"]))
+        assert set(g["hour"]).issubset(set(src["hour"]))
+    # type marginal tracks the source within 4 sigma
+    src_share = ev["event_type"].value_counts(normalize=True)
+    syn_share = got["event_type"].value_counts(normalize=True)
+    for t in src_share.index:
+        p = src_share[t]
+        tol = 4 * np.sqrt(p * (1 - p) / n)
+        assert abs(syn_share.get(t, 0.0) - p) < tol + 1e-9
+    # per-type value mean tracks the source within a loose band
+    for t, g in got.groupby("event_type"):
+        src = ev.loc[ev["event_type"] == t, "v_e2"]
+        assert abs(g["v_e2"].mean() - src.mean()) < 6 * src.std() / np.sqrt(len(g))
