@@ -645,3 +645,73 @@ def verify_integrity(out_dir: str) -> dict:
     changed = sorted(k for k in set(exp) & set(cur) if exp[k] != cur[k])
     return {"ok": not (missing or extra or changed),
             "missing": missing, "changed": changed, "extra": extra}
+
+
+def compact_parquet_dir(
+    src_dir: str, out_dir: str, target_bytes: int = 64 * 1024 * 1024
+) -> dict:
+    """SMALL-FILES COMPACTION — the sink-maintenance pass every
+    long-running resumable pipeline needs: a per-block/per-round writer
+    (this engine's crawl log, trainprep shards) accumulates many small
+    parquet files whose per-file open/footer cost eventually dominates
+    reads.  Plans bins with FIRST-FIT-DECREASING over file sizes
+    (footer metadata only — no data read to plan; a file larger than
+    ``target_bytes`` keeps its own bin), then rewrites each bin as ONE
+    file in a parallel Ray task (atomic tmp+rename, deterministic
+    ``compact-<bin>.parquet`` names ⇒ a killed compaction re-runs
+    idempotently).  Row order within a bin follows the plan's file
+    order (path-sorted), so re-compaction is reproducible.
+
+    This is deliberately raw-``ray.remote`` orchestration: "merge THESE
+    files into exactly one output" is a file-level contract the Dataset
+    write path can't express.  Returns the plan summary."""
+    import glob as _glob
+
+    import ray as _ray2
+
+    files = sorted(
+        f for f in _glob.glob(os.path.join(src_dir, "**/*.parquet"),
+                              recursive=True)
+        if os.path.isfile(f)
+    )
+    sizes = {f: os.path.getsize(f) for f in files}
+    # first-fit-decreasing (size desc, path asc tie — deterministic)
+    order = sorted(files, key=lambda f: (-sizes[f], f))
+    bins: list[list[str]] = []
+    room: list[int] = []
+    for f in order:
+        placed = False
+        for i in range(len(bins)):
+            if sizes[f] <= room[i]:
+                bins[i].append(f)
+                room[i] -= sizes[f]
+                placed = True
+                break
+        if not placed:
+            bins.append([f])
+            room.append(max(0, target_bytes - sizes[f]))
+    # stable content order inside each bin: path order
+    bins = [sorted(b) for b in bins]
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    @_ray2.remote
+    def rewrite(bin_idx: int, paths: list) -> int:
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq2
+
+        t = _pa.concat_tables([_pq2.read_table(p) for p in paths])
+        out = os.path.join(out_dir, f"compact-{bin_idx:05d}.parquet")
+        tmp = out + f".tmp-{bin_idx}"
+        _pq2.write_table(t, tmp)
+        os.replace(tmp, out)
+        return t.num_rows
+
+    rows = _ray2.get([rewrite.remote(i, b) for i, b in enumerate(bins)])
+    return {
+        "n_input_files": len(files),
+        "n_output_files": len(bins),
+        "total_rows": int(sum(rows)),
+        "total_bytes_in": int(sum(sizes.values())),
+        "bins": [[os.path.relpath(p, src_dir) for p in b] for b in bins],
+    }

@@ -2105,3 +2105,39 @@ def test_integrity_manifest_roundtrip_and_tamper(smoke, tmp_path):
     assert not rep["ok"]
     assert rep["changed"] == [victim]
     assert rep["missing"] == [] and rep["extra"] == []
+
+
+def test_compact_parquet_dir_preserves_content(smoke, tmp_path):
+    """FFD compaction merges the round-partitioned crawl-log shards into
+    few bounded files with identical logical content."""
+    import glob as _glob
+
+    import pandas as pd
+
+    from opps_feedcrawler_ray.sources.io import compact_parquet_dir
+
+    src = f"{smoke['tmp']}/out/crawl_log"
+    out = str(tmp_path / "compacted")
+    plan = compact_parquet_dir(src, out, target_bytes=1 << 30)
+    files = sorted(_glob.glob(f"{out}/compact-*.parquet"))
+    assert len(files) == plan["n_output_files"] <= plan["n_input_files"]
+    assert plan["total_rows"] == smoke["log"].num_rows
+    before = pd.concat(
+        [pd.read_parquet(f) for f in
+         sorted(_glob.glob(f"{src}/**/*.parquet", recursive=True))]
+    )
+    after = pd.concat([pd.read_parquet(f) for f in files])
+    key = ["url"]
+    pd.testing.assert_frame_equal(
+        before.sort_values(key).reset_index(drop=True)[sorted(before.columns)],
+        after.sort_values(key).reset_index(drop=True)[sorted(after.columns)],
+        check_dtype=False,
+    )
+    # a huge target packs everything into one file; a tiny target keeps
+    # every file separate (oversize files get their own bin)
+    assert plan["n_output_files"] == 1 or plan["n_input_files"] == 1
+    plan2 = compact_parquet_dir(src, str(tmp_path / "c2"), target_bytes=1)
+    assert plan2["n_output_files"] == plan2["n_input_files"]
+    # deterministic planning
+    plan3 = compact_parquet_dir(src, str(tmp_path / "c3"), target_bytes=1 << 30)
+    assert plan3["bins"] == plan["bins"]
