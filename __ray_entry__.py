@@ -352,6 +352,15 @@ def _q_embedding_dbscan(sf_dir: str):
     return embedding_dbscan(sf_dir, threshold=0.5, min_pts=4)
 
 
+def _q_embedding_silhouette(sf_dir: str):
+    """Simplified (centroid) silhouette validation of the k-means
+    clustering — per-cluster mean silhouette from one streaming pass
+    over broadcast centroids (rows-only; exact replay twin)."""
+    from opps_feedcrawler_ray.pipelines.ann import embedding_silhouette
+
+    return embedding_silhouette(sf_dir, k=8, n_iters=5)
+
+
 def _q_embedding_bisecting(sf_dir: str):
     """Bisecting k-means (divisive hierarchical clustering): split-tree
     broadcast, state-free leaf re-derivation per pass; rows-only —
@@ -928,6 +937,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pca": _q_embedding_pca,
         "embedding_kmeans": _q_embedding_kmeans,
         "embedding_bisecting_kmeans": _q_embedding_bisecting,
+        "embedding_silhouette": _q_embedding_silhouette,
         "doc_betweenness": _q_doc_betweenness,
         "doc_sssp": _q_doc_sssp,
         "ann_hard_negatives": _q_hard_negatives,

@@ -228,6 +228,7 @@ QUERY_NAMES = [
     "embedding_bisecting_kmeans",
     "golden_records",
     "events_synthesize",
+    "embedding_silhouette",
 ]
 
 

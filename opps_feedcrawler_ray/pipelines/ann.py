@@ -1327,3 +1327,122 @@ def embedding_bisecting_kmeans(
         out.sort_values("leaf").reset_index(drop=True)
         .astype({"leaf": "int64", "n": "int64", "sse_e6": "int64"})
     )
+
+
+def embedding_silhouette(
+    sf_dir: str, k: int = 8, n_iters: int = 5
+) -> "pd.DataFrame":
+    """CLUSTERING VALIDATION — the simplified SILHOUETTE coefficient
+    (Rousseeuw 1987; centroid variant, the form big-data libraries ship
+    because the exact one is O(n²)): per point, a = distance to its own
+    cluster's centroid, b = distance to the nearest OTHER centroid,
+    s = (b − a)/max(a, b); reported as the per-cluster mean and count.
+    The internal-quality counterpart to the label-based ranking eval.
+
+    Scale shape: reuses ``embedding_kmeans``'s bit-reproducible
+    training for the centroids (broadcast once); scoring is ONE
+    streaming pass emitting |k|-bounded (cluster, Σs_e6, n) partials.
+    Rows-only (iterative centroids); the twin recomputes s per point
+    from the SAME centroids and checks the k-means SSE output is
+    consistent with cluster sizes."""
+    import pandas as pd
+
+    # train centroids exactly as embedding_kmeans does (shared code path
+    # would return only (cell, n, sse) — we need the centroid matrix, so
+    # run the same deterministic loop via its public pieces)
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).materialize()
+
+    def init_sample(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _mix64(ids)
+        order = np.argsort(m, kind="stable")[:k]
+        return pa.table({
+            "m": pa.array(m[order], pa.uint64()),
+            "v": pa.array(
+                batch["embedding"].take(pa.array(order, pa.int64())).to_pylist(),
+                pa.list_(pa.float64())),
+        })
+
+    samp = (
+        ds.map_batches(init_sample, batch_format="pyarrow")
+        .to_pandas().sort_values("m").head(k)
+    )
+    C = np.floor(np.array(samp["v"].to_list(), dtype="float64") * 1e6 + 0.5) / 1e6
+
+    _p_schema = pa.schema(
+        [("cell", pa.int64()), ("d", pa.int64()), ("s_e6", pa.int64()),
+         ("n", pa.int64())]
+    )
+    for _ in range(n_iters):
+        Cc = C.copy()
+
+        def partial(batch: pa.Table, _C=Cc) -> pa.Table:
+            if not batch.num_rows:
+                return _p_schema.empty_table()
+            X = np.array(batch["embedding"].to_pylist(), dtype="float64")
+            d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ _C.T) \
+                + (_C * _C).sum(axis=1)[None, :]
+            a = np.argmin(d2, axis=1)
+            xq = np.floor(X * 1e6 + 0.5).astype("int64")
+            cells, inv = np.unique(a, return_inverse=True)
+            s = np.zeros((len(cells), X.shape[1]), dtype="int64")
+            np.add.at(s, inv, xq)
+            n = np.bincount(inv, minlength=len(cells)).astype("int64")
+            dim = X.shape[1]
+            return pa.table({
+                "cell": pa.array(np.repeat(cells, dim), pa.int64()),
+                "d": pa.array(np.tile(np.arange(dim), len(cells)), pa.int64()),
+                "s_e6": pa.array(s.ravel(), pa.int64()),
+                "n": pa.array(np.repeat(n, dim), pa.int64()),
+            })
+
+        parts = (
+            ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+            .groupby(["cell", "d"], as_index=False).sum()
+        )
+        for cell, g in parts.groupby("cell"):
+            g = g.sort_values("d")
+            n = int(g["n"].iloc[0])
+            C[int(cell)] = np.floor(
+                g["s_e6"].to_numpy(dtype="float64") / 1e6 / n * 1e6 + 0.5
+            ) / 1e6
+
+    Cf = C.copy()
+    _s_schema = pa.schema([("cell", pa.int64()), ("n", pa.int64()),
+                           ("sil_sum_e6", pa.int64())])
+
+    def score(batch: pa.Table, _C=Cf) -> pa.Table:
+        if not batch.num_rows:
+            return _s_schema.empty_table()
+        X = np.array(batch["embedding"].to_pylist(), dtype="float64")
+        d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ _C.T) \
+            + (_C * _C).sum(axis=1)[None, :]
+        d2 = np.maximum(d2, 0.0)
+        own = np.argmin(d2, axis=1)
+        d = np.sqrt(d2)
+        a = d[np.arange(len(X)), own]
+        d_masked = d.copy()
+        d_masked[np.arange(len(X)), own] = np.inf
+        b = d_masked.min(axis=1)
+        denom = np.maximum(a, b)
+        s = np.where(denom > 0, (b - a) / denom, 0.0)
+        se = np.floor(s * 1e6 + 0.5).astype("int64")
+        df = pd.DataFrame({"cell": own.astype("int64"), "sil_sum_e6": se})
+        g = df.groupby("cell", as_index=False).agg(
+            n=("sil_sum_e6", "size"), sil_sum_e6=("sil_sum_e6", "sum"))
+        return pa.Table.from_pandas(
+            g[["cell", "n", "sil_sum_e6"]], preserve_index=False,
+            schema=_s_schema)
+
+    out = (
+        ds.map_batches(score, batch_format="pyarrow").to_pandas()
+        .groupby("cell", as_index=False).sum()
+    )
+    out["mean_sil_e6"] = (out["sil_sum_e6"] // out["n"]).astype("int64")
+    return (
+        out[["cell", "n", "mean_sil_e6"]]
+        .sort_values("cell").reset_index(drop=True)
+        .astype({"cell": "int64", "n": "int64", "mean_sil_e6": "int64"})
+    )

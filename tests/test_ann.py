@@ -496,3 +496,50 @@ def test_bisecting_kmeans_matches_replay_twin(ray_session):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     assert len(got) == k
     assert int(got["n"].sum()) == len(X)
+
+
+def test_embedding_silhouette_matches_replay_and_kmeans(ray_session):
+    from opps_feedcrawler_ray.pipelines.ann import (
+        _mix64, embedding_kmeans, embedding_silhouette,
+    )
+
+    SFD = "/root/testdata/sf0.001"
+    k, it = 6, 4
+    got = embedding_silhouette(SFD, k=k, n_iters=it).set_index("cell")
+    km = embedding_kmeans(SFD, k=k, n_iters=it).set_index("cell")
+    # the silhouette run trains the SAME centroids: cluster sizes agree
+    for c in km.index:
+        assert int(got.loc[c, "n"]) == int(km.loc[c, "n"])
+
+    # exact replay of training + scoring
+    emb = pd.read_parquet(f"{SFD}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    X = np.array(emb["embedding"].to_list(), dtype="float64")
+    ids = emb["vec_id"].to_numpy(dtype="int64")
+    order = np.argsort(_mix64(ids), kind="stable")[:k]
+    C = np.floor(X[order] * 1e6 + 0.5) / 1e6
+    for _ in range(it):
+        d2 = (X * X).sum(axis=1)[:, None] - 2 * (X @ C.T) + (C * C).sum(axis=1)
+        a = np.argmin(d2, axis=1)
+        xq = np.floor(X * 1e6 + 0.5).astype("int64")
+        for cell in np.unique(a):
+            m = a == cell
+            C[cell] = np.floor(
+                xq[m].sum(axis=0).astype("float64") / 1e6 / m.sum() * 1e6 + 0.5
+            ) / 1e6
+    d2 = np.maximum(
+        (X * X).sum(axis=1)[:, None] - 2 * (X @ C.T) + (C * C).sum(axis=1), 0.0
+    )
+    own = np.argmin(d2, axis=1)
+    d = np.sqrt(d2)
+    av = d[np.arange(len(X)), own]
+    dm = d.copy()
+    dm[np.arange(len(X)), own] = np.inf
+    bv = dm.min(axis=1)
+    s = np.where(np.maximum(av, bv) > 0, (bv - av) / np.maximum(av, bv), 0.0)
+    se = np.floor(s * 1e6 + 0.5).astype("int64")
+    for c in np.unique(own):
+        m = own == c
+        assert int(got.loc[int(c), "mean_sil_e6"]) == int(se[m].sum()) // int(m.sum())
+    # silhouette lives in [-1, 1]
+    assert got["mean_sil_e6"].between(-1_000_000, 1_000_000).all()
