@@ -998,6 +998,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_kanonymity_audit": A.events_kanonymity_audit,
         "golden_records": _q_golden_records,
         "events_synthesize": A.events_synthesize,
+        "events_psi_drift": A.events_psi_drift,
         "part_snm_pairs": _q_part_snm_pairs,
         "embedding_topk_pairs": _q_embedding_topk_pairs,
         "embedding_dbscan": _q_embedding_dbscan,
@@ -3405,6 +3406,31 @@ def oracle_sql() -> dict[str, str]:
             "n_v2 - n_v1 AS d_n, sum_v2_e2 - sum_v1_e2 AS d_s, "
             "n_v2, sum_v2_e2 "
             "FROM v1 JOIN v2 USING (o_orderpriority) ORDER BY o_orderpriority"
+        ),
+        "events_psi_drift": (
+            # PSI between the first/second half of the day range: e9
+            # integer per-bin contributions (identical clip+ln exprs)
+            "WITH lohi AS (SELECT MIN(CAST(ts AS DATE)) AS lo, "
+            "MAX(CAST(ts AS DATE)) AS hi FROM events), "
+            "b AS (SELECT event_type, "
+            "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) // 5000 AS vb, "
+            "date_diff('day', lohi.lo, CAST(ts AS DATE)) AS di, "
+            "date_diff('day', lohi.lo, lohi.hi) // 2 AS mid "
+            "FROM events, lohi), "
+            "h AS (SELECT event_type, vb, "
+            "CAST(SUM(CASE WHEN di <= mid THEN 1 ELSE 0 END) AS BIGINT) AS na, "
+            "CAST(SUM(CASE WHEN di > mid THEN 1 ELSE 0 END) AS BIGINT) AS nbb "
+            "FROM b GROUP BY 1, 2), "
+            "t AS (SELECT event_type, CAST(SUM(na) AS BIGINT) AS n_a, "
+            "CAST(SUM(nbb) AS BIGINT) AS n_b FROM h GROUP BY 1) "
+            "SELECT t.event_type, t.n_a, t.n_b, "
+            "CAST(SUM(CAST(FLOOR((GREATEST(CAST(na AS DOUBLE) / t.n_a, 1e-6) "
+            "- GREATEST(CAST(nbb AS DOUBLE) / t.n_b, 1e-6)) "
+            "* ln(GREATEST(CAST(na AS DOUBLE) / t.n_a, 1e-6) "
+            "/ GREATEST(CAST(nbb AS DOUBLE) / t.n_b, 1e-6)) * 1e9 + 0.5) "
+            "AS BIGINT)) AS BIGINT) AS psi_e9 "
+            "FROM h JOIN t USING (event_type) "
+            "GROUP BY t.event_type, t.n_a, t.n_b ORDER BY t.event_type"
         ),
         "golden_records": (
             # cluster labels as in dup_clusters, then per-cluster

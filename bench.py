@@ -229,6 +229,7 @@ QUERY_NAMES = [
     "golden_records",
     "events_synthesize",
     "embedding_silhouette",
+    "events_psi_drift",
 ]
 
 

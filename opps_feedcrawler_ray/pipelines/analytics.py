@@ -10166,3 +10166,76 @@ def events_synthesize(sf_dir: str, n_rows: int = 20000) -> rd.Dataset:
         })
 
     return rd.range(n_rows).map_batches(gen, batch_format="pyarrow")
+
+
+def events_psi_drift(sf_dir: str) -> pd.DataFrame:
+    """DRIFT MONITORING — Population Stability Index between the first
+    and second half of the event stream's time range, per event type
+    (the model-monitoring screen that pages when a feature's
+    distribution moves: PSI = Σ_bins (p_a − p_b)·ln(p_a/p_b)).
+
+    Exactness: bins are fixed-width value buckets (v_e2 // 5000);
+    per-bin probabilities derive from exact integer counts (clipped at
+    1e-6 so empty bins stay finite — the standard PSI convention), each
+    bin's contribution floors to an e9 integer, and the SUM of those
+    integers is order-free — the oracle replays the identical
+    expression tree.
+
+    Scale shape: one |types|·|bins|·2-bounded histogram combiner (the
+    period flag rides the cell key); the PSI fold walks ≤ |domain|
+    driver rows."""
+    from .dedup import coarse_buckets
+
+    ev = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "ts", "value"])
+
+    def extent(b: pa.Table) -> pa.Table:
+        d = (b["ts"].to_numpy(zero_copy_only=False)
+             .astype("datetime64[D]").astype("int64"))
+        return pa.table({"lo": pa.array([int(d.min())], pa.int64()),
+                         "hi": pa.array([int(d.max())], pa.int64())})
+
+    ext = ev.map_batches(extent, batch_format="pyarrow").to_pandas()
+    lo, hi = int(ext["lo"].min()), int(ext["hi"].max())
+    mid = (hi - lo) // 2  # day-index boundary: A = di <= mid
+
+    nb = coarse_buckets(ev.count(), rows_per_task=65536)
+    _schema = pa.schema([("event_type", pa.string()), ("vb", pa.int64()),
+                         ("na", pa.int64()), ("nbb", pa.int64()),
+                         ("__b", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        di = (df["ts"].to_numpy().astype("datetime64[D]").astype("int64") - lo)
+        df["vb"] = (
+            np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+            // 5000
+        )
+        df["ina"] = (di <= mid).astype("int64")
+        g = df.groupby(["event_type", "vb"], as_index=False).agg(
+            na=("ina", "sum"), nbb=("ina", lambda s: int((1 - s).sum()))
+        )
+        g["__b"] = (g["vb"].to_numpy() % nb).astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False, schema=_schema)
+
+    def sum_cells(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["event_type", "vb"], as_index=False)[["na", "nbb"]].sum()
+
+    cells = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("__b").map_groups(sum_cells, batch_format="pandas")
+        .to_pandas()
+    )
+    out = []
+    for et, g in cells.groupby("event_type"):
+        n_a = int(g["na"].sum())
+        n_b = int(g["nbb"].sum())
+        pa_ = np.maximum(g["na"].to_numpy(dtype="float64") / n_a, 1e-6)
+        pb_ = np.maximum(g["nbb"].to_numpy(dtype="float64") / n_b, 1e-6)
+        contrib = np.floor((pa_ - pb_) * np.log(pa_ / pb_) * 1e9 + 0.5)
+        out.append((et, n_a, n_b, int(contrib.astype("int64").sum())))
+    return (
+        pd.DataFrame(out, columns=["event_type", "n_a", "n_b", "psi_e9"])
+        .sort_values("event_type").reset_index(drop=True)
+        .astype({"n_a": "int64", "n_b": "int64", "psi_e9": "int64"})
+    )

@@ -4700,3 +4700,31 @@ def test_events_synthesize_marginals_and_determinism(ray_session):
     for t, g in got.groupby("event_type"):
         src = ev.loc[ev["event_type"] == t, "v_e2"]
         assert abs(g["v_e2"].mean() - src.mean()) < 6 * src.std() / np.sqrt(len(g))
+
+
+def test_events_psi_drift_matches_pandas_twin(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import events_psi_drift
+
+    got = events_psi_drift(SF).set_index("event_type")
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+    day = ev["ts"].to_numpy().astype("datetime64[D]").astype("int64")
+    lo, hi = day.min(), day.max()
+    ina = (day - lo) <= (hi - lo) // 2
+    ev["vb"] = (
+        np.floor(ev["value"].to_numpy() * 100.0 + 0.5).astype("int64") // 5000
+    )
+    for et, g in ev.groupby("event_type"):
+        a = g.loc[ina[g.index], "vb"].value_counts()
+        b = g.loc[~ina[g.index], "vb"].value_counts()
+        bins = sorted(set(a.index) | set(b.index))
+        n_a, n_b = int(a.sum()), int(b.sum())
+        pa_ = np.maximum(np.array([a.get(x, 0) for x in bins]) / n_a, 1e-6)
+        pb_ = np.maximum(np.array([b.get(x, 0) for x in bins]) / n_b, 1e-6)
+        psi = int(np.floor((pa_ - pb_) * np.log(pa_ / pb_) * 1e9 + 0.5)
+                  .astype("int64").sum())
+        assert int(got.loc[et, "n_a"]) == n_a
+        assert int(got.loc[et, "n_b"]) == n_b
+        assert int(got.loc[et, "psi_e9"]) == psi
+    # PSI is non-negative by construction
+    assert (got["psi_e9"] >= 0).all()
