@@ -999,6 +999,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "golden_records": _q_golden_records,
         "events_synthesize": A.events_synthesize,
         "events_psi_drift": A.events_psi_drift,
+        "event_attribution_markov": A.event_attribution_markov,
         "part_snm_pairs": _q_part_snm_pairs,
         "embedding_topk_pairs": _q_embedding_topk_pairs,
         "embedding_dbscan": _q_embedding_dbscan,

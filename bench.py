@@ -230,6 +230,7 @@ QUERY_NAMES = [
     "events_synthesize",
     "embedding_silhouette",
     "events_psi_drift",
+    "event_attribution_markov",
 ]
 
 

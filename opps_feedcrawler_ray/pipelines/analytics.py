@@ -10239,3 +10239,116 @@ def events_psi_drift(sf_dir: str) -> pd.DataFrame:
         .sort_values("event_type").reset_index(drop=True)
         .astype({"n_a": "int64", "n_b": "int64", "psi_e9": "int64"})
     )
+
+
+def event_attribution_markov(sf_dir: str) -> pd.DataFrame:
+    """MARKETING ATTRIBUTION — first-order Markov removal effects
+    (Anderl et al. 2016): model each user's journey (non-purchase
+    touches ordered by time, absorbed by the first purchase = CONV or
+    end-of-data = NULL) as a Markov chain, score each channel by how
+    much total conversion probability disappears when the channel is
+    removed (its transitions redirected to NULL), and normalize the
+    removal effects into attribution shares — the data-driven
+    alternative to last-touch rules.
+
+    Scale shape: journeys live inside ONE user-bucket exchange (a user
+    is bucket-complete); per-bucket grouped shifts emit |states|²-
+    bounded transition-count partials; the absorbing-chain solves run
+    on the driver over a (channels+2)² matrix.  Exact integer counts in,
+    one deterministic linear solve out.  Rows-only (matrix inverse);
+    the twin replays journeys and the solve in pure pandas/numpy."""
+    from .dedup import coarse_buckets
+
+    ev = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "event_type", "ts", "event_id"])
+    nb = coarse_buckets(ev.count(), rows_per_task=65536)
+    _schema = pa.schema([("src", pa.string()), ("dst", pa.string()),
+                         ("n", pa.int64())])
+
+    def route(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["__b"] = (df["user_id"].to_numpy() % nb).astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def transitions(g: pd.DataFrame) -> pd.DataFrame:
+        # deterministic event order: (ts, event_id) total order; fully
+        # vectorized journey build (grouped cumsum + shift, no row loop)
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        grp = g.groupby("user_id", sort=False)
+        is_p = (g["event_type"] == "purchase").astype("int64")
+        before_first = grp["event_type"].transform(
+            lambda s: (s == "purchase").cumsum()
+        ).to_numpy() - is_p.to_numpy() == 0
+        j = g[before_first.astype(bool) & (g["event_type"] != "purchase")]
+        jg = j.groupby("user_id", sort=False)
+        src = jg["event_type"].shift(1).fillna("START")
+        inner = pd.DataFrame({"src": src, "dst": j["event_type"]})
+        # terminal row per user: last journey touch (or START) → CONV/NULL
+        conv_users = set(g.loc[is_p.to_numpy() == 1, "user_id"].unique())
+        last = j.groupby("user_id", sort=False)["event_type"].last()
+        all_users = g["user_id"].unique()
+        last_full = pd.Series("START", index=all_users)
+        last_full.loc[last.index] = last
+        term = pd.DataFrame({
+            "src": last_full.to_numpy(),
+            "dst": ["CONV" if u in conv_users else "NULL" for u in all_users],
+        })
+        out = pd.concat([inner, term], ignore_index=True)
+        return out.groupby(["src", "dst"], as_index=False).size().rename(
+            columns={"size": "n"})
+
+    counts = (
+        ev.map_batches(route, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(transitions, batch_format="pandas")
+        .to_pandas()
+        .groupby(["src", "dst"], as_index=False)["n"].sum()
+    )
+
+    channels = sorted(
+        set(counts["src"]) | set(counts["dst"]) - {"START", "CONV", "NULL"}
+    )
+    channels = [c for c in channels if c not in ("START", "CONV", "NULL")]
+    states = ["START"] + channels + ["CONV", "NULL"]
+    idx = {s: i for i, s in enumerate(states)}
+    n_states = len(states)
+    T = np.zeros((n_states, n_states), dtype="float64")
+    for _, r in counts.iterrows():
+        T[idx[r["src"]], idx[r["dst"]]] += float(r["n"])
+    row_sums = T.sum(axis=1, keepdims=True)
+    row_sums[row_sums == 0] = 1.0
+    P = T / row_sums
+
+    def conv_prob(P: np.ndarray, removed: int | None) -> float:
+        Q = P.copy()
+        if removed is not None:
+            # removal effect: the channel's inbound mass goes to NULL
+            Q[:, idx["NULL"]] += Q[:, removed]
+            Q[:, removed] = 0.0
+            Q[removed, :] = 0.0
+        trans = [i for i, s in enumerate(states) if s not in ("CONV", "NULL")]
+        A = np.eye(len(trans)) - Q[np.ix_(trans, trans)]
+        b = Q[np.ix_(trans, [idx["CONV"]])].ravel()
+        sol = np.linalg.solve(A, b)
+        return float(sol[trans.index(idx["START"])])
+
+    base = conv_prob(P, None)
+    res = []
+    for c in channels:
+        re = base - conv_prob(P, idx[c])
+        res.append((c, re))
+    tot = sum(max(re, 0.0) for _, re in res)
+    out = []
+    touch = counts[counts["dst"].isin(channels)].groupby("dst")["n"].sum()
+    for c, re in res:
+        share = max(re, 0.0) / tot if tot > 0 else 0.0
+        out.append((c, int(np.floor(re / base * 1e6 + 0.5)) if base > 0 else 0,
+                    int(np.floor(share * 1e6 + 0.5)),
+                    int(touch.get(c, 0))))
+    return (
+        pd.DataFrame(out, columns=["channel", "removal_e6",
+                                   "attribution_e6", "n_touches"])
+        .sort_values("channel").reset_index(drop=True)
+        .astype({"removal_e6": "int64", "attribution_e6": "int64",
+                 "n_touches": "int64"})
+    )

@@ -4728,3 +4728,61 @@ def test_events_psi_drift_matches_pandas_twin(ray_session):
         assert int(got.loc[et, "psi_e9"]) == psi
     # PSI is non-negative by construction
     assert (got["psi_e9"] >= 0).all()
+
+
+def test_event_attribution_markov_matches_replay(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import event_attribution_markov
+
+    got = event_attribution_markov(SF).set_index("channel")
+    ev = (
+        pd.read_parquet(f"{SF}/events.parquet",
+                        columns=["user_id", "event_type", "ts", "event_id"])
+        .sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    )
+    rows = []
+    for uid, u in ev.groupby("user_id"):
+        seq = u["event_type"].tolist()
+        if "purchase" in seq:
+            cut = seq.index("purchase")
+            journey, end = seq[:cut], "CONV"
+        else:
+            journey, end = seq, "NULL"
+        prev = "START"
+        for t in journey:
+            rows.append((prev, t)); prev = t
+        rows.append((prev, end))
+    cnt = pd.DataFrame(rows, columns=["src", "dst"]).groupby(
+        ["src", "dst"], as_index=False).size().rename(columns={"size": "n"})
+    channels = sorted(set(cnt["src"]) | set(cnt["dst"]))
+    channels = [c for c in channels if c not in ("START", "CONV", "NULL")]
+    states = ["START"] + channels + ["CONV", "NULL"]
+    idx = {s: i for i, s in enumerate(states)}
+    T = np.zeros((len(states), len(states)))
+    for _, r in cnt.iterrows():
+        T[idx[r["src"]], idx[r["dst"]]] += r["n"]
+    rs = T.sum(axis=1, keepdims=True); rs[rs == 0] = 1.0
+    P = T / rs
+
+    def cp(P, removed):
+        Q = P.copy()
+        if removed is not None:
+            Q[:, idx["NULL"]] += Q[:, removed]
+            Q[:, removed] = 0.0
+            Q[removed, :] = 0.0
+        trans = [i for i, s in enumerate(states) if s not in ("CONV", "NULL")]
+        A = np.eye(len(trans)) - Q[np.ix_(trans, trans)]
+        b = Q[np.ix_(trans, [idx["CONV"]])].ravel()
+        return float(np.linalg.solve(A, b)[trans.index(idx["START"])])
+
+    base = cp(P, None)
+    res = {c: base - cp(P, idx[c]) for c in channels}
+    tot = sum(max(v, 0.0) for v in res.values())
+    for c in channels:
+        assert int(got.loc[c, "removal_e6"]) == int(
+            np.floor(res[c] / base * 1e6 + 0.5))
+        assert int(got.loc[c, "attribution_e6"]) == int(
+            np.floor(max(res[c], 0.0) / tot * 1e6 + 0.5))
+        assert int(got.loc[c, "n_touches"]) == int(
+            cnt.loc[cnt["dst"] == c, "n"].sum())
+    # shares form a (floor-rounded) probability split
+    assert abs(int(got["attribution_e6"].sum()) - 1_000_000) <= len(channels)
