@@ -986,3 +986,62 @@ class FrontierActor:
             if pend:
                 self._recurring_pending[host] = pend
         return blob["round"]
+
+
+def checkpoint_stats(ckpt_dir: str) -> "pa.Table":
+    """FRONTIER OBSERVABILITY — one row per checkpoint shard with the
+    operational metrics an on-call crawl operator reads first: pending
+    queue depth, host spread, seen-filter footprint, robots/recurring
+    registry sizes, content-digest count, pending-spill pressure, and
+    the lineage counters.  The checkpoint files are the engine's OWN
+    durable state (parquet frontier + pickled blob per shard), so the
+    read is exact and needs no running crawl.
+
+    Scale shape: one Ray task per shard (shards are the parallelism
+    unit, like WARC files); each blob is memory-bounded by construction
+    (exact store memtable-capped, spill metadata only), and only the
+    one-row summaries return to the driver."""
+    import glob as _glob
+
+    import ray
+
+    shard_files = sorted(_glob.glob(os.path.join(ckpt_dir, "shard-*.state")))
+
+    @ray.remote
+    def summarize(spath: str) -> dict:
+        import pickle as _pickle
+
+        import pyarrow.parquet as _pq
+
+        with open(spath, "rb") as f:
+            blob = _pickle.load(f)
+        fpath = spath[: -len(".state")] + ".parquet"
+        meta = _pq.ParquetFile(fpath)
+        hosts = set(
+            meta.read(columns=["host"])["host"].to_pylist()
+        )
+        sp = blob.get("pending_spill") or {}
+        c = blob.get("counters") or {}
+        cs = blob.get("content_seen")
+        return {
+            "shard_id": int(os.path.basename(spath)[6:11]),
+            "round": int(blob.get("round", -1)),
+            "pending_urls": int(meta.metadata.num_rows),
+            "n_hosts": len(hosts),
+            "filter_bytes": len(blob.get("filter", b"")),
+            "robots_hosts": len(blob.get("robots", {})),
+            "recurring_feeds": len(blob.get("recurring", {})),
+            "content_digests": 0 if cs is None else int(len(cs)),
+            "spill_segments": sum(len(v) for v in (sp.get("segs") or {}).values()),
+            "spill_rows": sum((sp.get("rows") or {}).values()),
+            "fetched": int(c.get("fetched", 0)),
+            "parsed": int(c.get("parsed", 0)),
+            "errors": int(c.get("errors", 0)),
+        }
+
+    rows = ray.get([summarize.remote(p) for p in shard_files])
+    rows.sort(key=lambda r: r["shard_id"])
+    if not rows:
+        return pa.table({"shard_id": pa.array([], pa.int64())})
+    cols = list(rows[0].keys())
+    return pa.table({k: pa.array([r[k] for r in rows]) for k in cols})

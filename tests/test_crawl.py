@@ -2141,3 +2141,25 @@ def test_compact_parquet_dir_preserves_content(smoke, tmp_path):
     # deterministic planning
     plan3 = compact_parquet_dir(src, str(tmp_path / "c3"), target_bytes=1 << 30)
     assert plan3["bins"] == plan["bins"]
+
+
+def test_checkpoint_stats_reports_frontier_state(smoke):
+    """Observability over the engine's own durable state: per-shard
+    pending depth, registry sizes and lineage counters from the last
+    checkpoint, cross-checked against the crawl's final log."""
+    from opps_feedcrawler_ray.state.frontier import checkpoint_stats
+
+    ck = f"{smoke['tmp']}/out/checkpoints"
+    t = checkpoint_stats(ck).to_pandas()
+    assert len(t) > 0
+    assert t["shard_id"].is_unique
+    # corpus fully drained: no pending urls, no spill pressure
+    assert int(t["pending_urls"].sum()) == 0
+    assert int(t["spill_rows"].sum()) == 0
+    # lineage counters across shards equal the written fetched rows
+    fetched_rows = sum(
+        1 for s in smoke["log"]["status"].to_pylist() if s == "fetched"
+    )
+    assert int(t["fetched"].sum()) == fetched_rows
+    assert (t["filter_bytes"] > 0).all()
+    assert int(t["round"].max()) >= 0
