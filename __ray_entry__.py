@@ -722,6 +722,20 @@ def _q_media_video_scenes(sf_dir: str):
     return detect_video_scenes(ds, concurrency=2, batch_size=4, fake=False)
 
 
+def _q_media_quality(sf_dir: str):
+    """Per-asset media quality signals over the real codecs (image
+    brightness/contrast/entropy, audio rms/zcr/duration) — the
+    multimodal quality gate (rows-only; exact replay twin)."""
+    import ray.data as rd
+
+    from opps_feedcrawler_ray.stages.multimodal import (
+        media_quality, synth_media_table,
+    )
+
+    ds = rd.from_arrow(synth_media_table(64, real=True))
+    return media_quality(ds, concurrency=2, batch_size=8, fake=False)
+
+
 def _q_media_audio_dups(sf_dir: str):
     """Energy-envelope audio fingerprint near-dup pairs over a corpus
     with planted noise-jittered copies — the shared 64-bit banding
@@ -1026,6 +1040,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_image_dups": _q_media_image_dups,
         "media_audio_dups": _q_media_audio_dups,
         "media_video_scenes": _q_media_video_scenes,
+        "media_quality": _q_media_quality,
         "media_audio_frames": _q_media_audio,
         "media_video_frames": _q_media_video,
     }

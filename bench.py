@@ -231,6 +231,7 @@ QUERY_NAMES = [
     "embedding_silhouette",
     "events_psi_drift",
     "event_attribution_markov",
+    "media_quality",
 ]
 
 

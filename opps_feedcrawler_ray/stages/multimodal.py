@@ -799,3 +799,87 @@ def synth_video_scene_table(n: int = 24) -> pa.Table:
          "payload": pa.array(payloads, pa.binary()), "meta": pa.array(metas)},
         schema=MEDIA_SCHEMA,
     )
+
+
+# --------------------------------------------------- media quality signals
+class MediaQualityStage:
+    """Per-asset QUALITY SIGNALS over the real codecs — the multimodal
+    twin of the text quality scorer: images report brightness (mean
+    luma), contrast (luma std) and a 16-bin luma entropy; audio reports
+    RMS level, zero-crossing rate and duration.  The gate every media
+    training corpus runs before decode-heavy featurization (drop
+    black/blank frames, silence, clipped captures).
+
+    Integer e6 outputs from one vectorized pass per payload; payloads
+    never leave the stage."""
+
+    def __init__(self, fake: bool = False) -> None:
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, kinds_o, m1, m2, m3 = [], [], [], [], []
+        for mid, kind, payload, meta_s in zip(
+            batch["media_id"].to_pylist(),
+            batch["kind"].to_pylist(),
+            batch["payload"].to_pylist(),
+            batch["meta"].to_pylist(),
+        ):
+            meta = json.loads(meta_s) if meta_s else {}
+            if kind == "image":
+                if self.fake:
+                    img = _fold_bytes(payload, int(meta.get("height", 16)),
+                                      int(meta.get("width", 16)))
+                else:
+                    img = (decode_bmp(payload) if payload[:2] == b"BM"
+                           else decode_ppm(payload))
+                luma = img.astype(np.float64).mean(axis=2)
+                bright = float(luma.mean())
+                contrast = float(luma.std())
+                hist = np.bincount(
+                    np.minimum((luma / 16).astype(np.int64), 15).ravel(),
+                    minlength=16,
+                ).astype(np.float64)
+                p = hist / hist.sum()
+                ent = float(-(p[p > 0] * np.log2(p[p > 0])).sum())
+                vals = (bright, contrast, ent)
+            elif kind == "audio":
+                samples, rate = decode_wav(payload)
+                x = samples.astype(np.float64)
+                rms = float(np.sqrt((x * x).mean())) if len(x) else 0.0
+                zc = (
+                    float((np.signbit(x[1:]) != np.signbit(x[:-1])).mean())
+                    if len(x) > 1 else 0.0
+                )
+                dur = float(len(x)) / float(rate) if rate else 0.0
+                vals = (rms, zc, dur)
+            else:
+                continue  # video quality rides the scene detector
+            ids.append(mid)
+            kinds_o.append(kind)
+            m1.append(int(np.floor(vals[0] * 1e6 + 0.5)))
+            m2.append(int(np.floor(vals[1] * 1e6 + 0.5)))
+            m3.append(int(np.floor(vals[2] * 1e6 + 0.5)))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(kinds_o, pa.string()),
+            # image: brightness/contrast/entropy; audio: rms/zcr/duration
+            "q1_e6": pa.array(m1, pa.int64()),
+            "q2_e6": pa.array(m2, pa.int64()),
+            "q3_e6": pa.array(m3, pa.int64()),
+        })
+
+
+def media_quality(
+    ds: rd.Dataset, concurrency: int = 4, batch_size: int = 16,
+    fake: bool = False,
+) -> rd.Dataset:
+    """Actor-pool media quality signals (images + audio; small batches,
+    Arrow in/out)."""
+    return ds.map_batches(
+        MediaQualityStage,
+        fn_constructor_kwargs={"fake": fake},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -285,3 +285,42 @@ def test_video_scene_stage_matches_replay_twin(ray_session):
         ]
         assert list(out["boundaries"][i]) == cuts
         assert int(out["n_scenes"][i]) == len(cuts) + 1
+
+
+def test_media_quality_signals_match_replay(ray_session):
+    from opps_feedcrawler_ray.stages.multimodal import (
+        decode_bmp, decode_ppm, decode_wav, media_quality, synth_media_table,
+    )
+
+    tbl = synth_media_table(32, real=True)
+    got = (
+        media_quality(rd.from_arrow(tbl), concurrency=2, batch_size=8,
+                      fake=False)
+        .to_pandas().set_index("media_id")
+    )
+    n_checked = 0
+    for mid, kind, payload in zip(tbl["media_id"].to_pylist(),
+                                  tbl["kind"].to_pylist(),
+                                  tbl["payload"].to_pylist()):
+        if kind == "image":
+            img = decode_bmp(payload) if payload[:2] == b"BM" else decode_ppm(payload)
+            luma = img.astype(np.float64).mean(axis=2)
+            hist = np.bincount(
+                np.minimum((luma / 16).astype(np.int64), 15).ravel(),
+                minlength=16).astype(np.float64)
+            p = hist / hist.sum()
+            exp = (luma.mean(), luma.std(),
+                   float(-(p[p > 0] * np.log2(p[p > 0])).sum()))
+        elif kind == "audio":
+            x, rate = decode_wav(payload)
+            x = x.astype(np.float64)
+            exp = (float(np.sqrt((x * x).mean())),
+                   float((np.signbit(x[1:]) != np.signbit(x[:-1])).mean()),
+                   len(x) / rate)
+        else:
+            assert mid not in got.index  # video rides the scene detector
+            continue
+        for col, v in zip(("q1_e6", "q2_e6", "q3_e6"), exp):
+            assert int(got.loc[mid, col]) == int(np.floor(v * 1e6 + 0.5))
+        n_checked += 1
+    assert n_checked > 10
