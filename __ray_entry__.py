@@ -1014,6 +1014,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_synthesize": A.events_synthesize,
         "events_psi_drift": A.events_psi_drift,
         "event_attribution_markov": A.event_attribution_markov,
+        "doc_encoding_audit": A.doc_encoding_audit,
         "part_snm_pairs": _q_part_snm_pairs,
         "embedding_topk_pairs": _q_embedding_topk_pairs,
         "embedding_dbscan": _q_embedding_dbscan,

@@ -232,6 +232,7 @@ QUERY_NAMES = [
     "events_psi_drift",
     "event_attribution_markov",
     "media_quality",
+    "doc_encoding_audit",
 ]
 
 

@@ -340,3 +340,31 @@ def bpe_encode(word: str, merges: list[tuple[str, str]]) -> list[str]:
                 i += 1
         syms = out
     return syms
+
+
+_MOJIBAKE_MARKS = ("â€", "Ã©", "Ã¨", "Ã¤", "Ã¶", "Ã¼", "Ã±", "Â°", "ï¿½")
+
+
+def encoding_flags(texts: list[str]) -> dict[str, np.ndarray]:
+    """TEXT-ENCODING HYGIENE flags per document — the web-corpus audit
+    for the three classic ingestion wounds: (a) non-NFC normalization
+    (the same grapheme spelled two byte-ways splits dedup/token
+    identity), (b) stray control characters (Cc minus tab/newline/CR —
+    binary bleed-through), (c) mojibake (UTF-8 read as Latin-1:
+    'â€™'-style digraphs, or the U+FFFD replacement char a lossy decode
+    leaves behind).  Returns three 0/1 int64 arrays."""
+    import unicodedata
+
+    n = len(texts)
+    non_nfc = np.zeros(n, dtype=np.int64)
+    control = np.zeros(n, dtype=np.int64)
+    mojibake = np.zeros(n, dtype=np.int64)
+    for i, t in enumerate(texts):
+        t = t or ""
+        if unicodedata.normalize("NFC", t) != t:
+            non_nfc[i] = 1
+        if any(ord(c) < 32 and c not in "\t\n\r" or ord(c) == 127 for c in t):
+            control[i] = 1
+        if "�" in t or any(m in t for m in _MOJIBAKE_MARKS):
+            mojibake[i] = 1
+    return {"non_nfc": non_nfc, "control": control, "mojibake": mojibake}

@@ -10352,3 +10352,42 @@ def event_attribution_markov(sf_dir: str) -> pd.DataFrame:
         .astype({"removal_e6": "int64", "attribution_e6": "int64",
                  "n_touches": "int64"})
     )
+
+
+def doc_encoding_audit(sf_dir: str) -> pd.DataFrame:
+    """ENCODING-HYGIENE AUDIT per source — counts of documents with
+    non-NFC text, stray control characters, or mojibake/replacement
+    artifacts (functions.text.encoding_flags), the ingestion screen
+    every web-text corpus runs before tokenization (a non-NFC or
+    mojibake doc silently splits dedup and token identity).
+
+    Scale shape: stateless per-batch flagging + a |sources|-bounded
+    count combiner; zero data-sized exchange.  Rows-only (Unicode
+    normalization is not SQL-expressible in DuckDB); planted-fixture +
+    twin tests pin the flags."""
+    from ..functions.text import encoding_flags
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"),
+                           columns=["source", "text"])
+    _schema = pa.schema([("source", pa.string()), ("n_docs", pa.int64()),
+                         ("n_non_nfc", pa.int64()), ("n_control", pa.int64()),
+                         ("n_mojibake", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flags = encoding_flags(batch["text"].to_pylist())
+        g = pd.DataFrame({
+            "source": batch["source"].to_pylist(),
+            "n_docs": 1,
+            "n_non_nfc": flags["non_nfc"],
+            "n_control": flags["control"],
+            "n_mojibake": flags["mojibake"],
+        }).groupby("source", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False, schema=_schema)
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+        .groupby("source", as_index=False).sum()
+        .sort_values("source").reset_index(drop=True)
+        .astype({c: "int64" for c in
+                 ["n_docs", "n_non_nfc", "n_control", "n_mojibake"]})
+    )

@@ -4786,3 +4786,39 @@ def test_event_attribution_markov_matches_replay(ray_session):
             cnt.loc[cnt["dst"] == c, "n"].sum())
     # shares form a (floor-rounded) probability split
     assert abs(int(got["attribution_e6"].sum()) - 1_000_000) <= len(channels)
+
+
+def test_doc_encoding_audit_planted_and_twin(ray_session):
+    import unicodedata
+
+    import ray.data as _rd
+
+    from opps_feedcrawler_ray.functions.text import encoding_flags
+    from opps_feedcrawler_ray.pipelines.analytics import doc_encoding_audit
+
+    # planted fixtures: each wound detected exactly once
+    planted = [
+        ("clean ascii text", (0, 0, 0)),
+        ("café combining acute (non-NFC)", (1, 0, 0)),
+        ("binary\x00bleed", (0, 1, 0)),
+        ("utf8-as-latin1 cafÃ©", (0, 0, 1)),
+        ("lossy decode � here", (0, 0, 1)),
+        ("tabs\tand\nnewlines are fine", (0, 0, 0)),
+    ]
+    flags = encoding_flags([t for t, _ in planted])
+    for i, (_, (nn, cc, mm)) in enumerate(planted):
+        assert int(flags["non_nfc"][i]) == nn
+        assert int(flags["control"][i]) == cc
+        assert int(flags["mojibake"][i]) == mm
+
+    # corpus audit equals a pandas replay
+    got = doc_encoding_audit(SF).set_index("source")
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["source", "text"])
+    f = encoding_flags(docs["text"].tolist())
+    rep = docs.assign(**{k: v for k, v in f.items()}).groupby("source").agg(
+        n_docs=("text", "size"), n_non_nfc=("non_nfc", "sum"),
+        n_control=("control", "sum"), n_mojibake=("mojibake", "sum"))
+    for s, r in rep.iterrows():
+        for c in ("n_docs", "n_non_nfc", "n_control", "n_mojibake"):
+            assert int(got.loc[s, c]) == int(r[c])
