@@ -1015,6 +1015,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_psi_drift": A.events_psi_drift,
         "event_attribution_markov": A.event_attribution_markov,
         "doc_encoding_audit": A.doc_encoding_audit,
+        "lineitem_exact_median_price": A.lineitem_exact_median_price,
         "part_snm_pairs": _q_part_snm_pairs,
         "embedding_topk_pairs": _q_embedding_topk_pairs,
         "embedding_dbscan": _q_embedding_dbscan,
@@ -3423,6 +3424,16 @@ def oracle_sql() -> dict[str, str]:
             "n_v2 - n_v1 AS d_n, sum_v2_e2 - sum_v1_e2 AS d_s, "
             "n_v2, sum_v2_e2 "
             "FROM v1 JOIN v2 USING (o_orderpriority) ORDER BY o_orderpriority"
+        ),
+        "lineitem_exact_median_price": (
+            # lower median as the k-th order statistic, k = ceil(n/2)
+            "WITH p AS (SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) "
+            "AS BIGINT) AS v FROM lineitem), "
+            "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST((COUNT(*) + 1) // 2 AS BIGINT) AS k FROM p) "
+            "SELECT t.n, t.k, "
+            "(SELECT v FROM p ORDER BY v LIMIT 1 OFFSET "
+            "(SELECT k - 1 FROM t)) AS median_e2 FROM t"
         ),
         "events_psi_drift": (
             # PSI between the first/second half of the day range: e9

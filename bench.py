@@ -233,6 +233,7 @@ QUERY_NAMES = [
     "event_attribution_markov",
     "media_quality",
     "doc_encoding_audit",
+    "lineitem_exact_median_price",
 ]
 
 

@@ -10391,3 +10391,76 @@ def doc_encoding_audit(sf_dir: str) -> pd.DataFrame:
         .astype({c: "int64" for c in
                  ["n_docs", "n_non_nfc", "n_control", "n_mojibake"]})
     )
+
+
+def lineitem_exact_median_price(sf_dir: str) -> pd.DataFrame:
+    """EXACT DISTRIBUTED SELECTION on an UNBOUNDED domain — the lower
+    median of l_extendedprice found by iterative MULTI-PIVOT range
+    narrowing (the classic k-th-element algorithm for data that does
+    not fit a value histogram): each pass counts rows into 256 equal
+    sub-ranges of the current [lo, hi] bracket (a ≤256-row combiner per
+    block, no exchange), the driver picks the sub-range containing the
+    k-th element, and recursion stops when the bracket collapses —
+    ⌈log₂₅₆(range)⌉ ≈ 3–4 streaming passes total, each cheaper than one
+    shuffle.  Complements the bounded-domain histogram median
+    (``events_median_value``) where a full value census is impossible.
+
+    Oracle-exact: the k-th order statistic is an integer; DuckDB
+    reproduces it by ORDER BY/OFFSET."""
+    li = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_extendedprice"])
+
+    def to_e2(batch: pa.Table) -> np.ndarray:
+        return np.floor(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+            + 0.5
+        ).astype("int64")
+
+    def extent(batch: pa.Table) -> pa.Table:
+        p = to_e2(batch)
+        return pa.table({"lo": pa.array([int(p.min())], pa.int64()),
+                         "hi": pa.array([int(p.max())], pa.int64()),
+                         "n": pa.array([len(p)], pa.int64())})
+
+    ext = li.map_batches(extent, batch_format="pyarrow").to_pandas()
+    lo, hi = int(ext["lo"].min()), int(ext["hi"].max())
+    n = int(ext["n"].sum())
+    k = (n + 1) // 2  # lower median
+    passes = 0
+    while hi > lo:
+        passes += 1
+        width = max(1, (hi - lo + 1 + 255) // 256)
+        base_lo, base_w = lo, width
+
+        def bucket_counts(batch: pa.Table) -> pa.Table:
+            p = to_e2(batch)
+            m = (p >= base_lo) & (p < base_lo + 256 * base_w)
+            b = (p[m] - base_lo) // base_w
+            below = int((p < base_lo).sum())
+            bb, cc = np.unique(b, return_counts=True)
+            return pa.table({
+                "b": pa.array(np.concatenate([[-1], bb]), pa.int64()),
+                "c": pa.array(
+                    np.concatenate([[below], cc]).astype("int64"), pa.int64()),
+            })
+
+        cnt = (
+            li.map_batches(bucket_counts, batch_format="pyarrow").to_pandas()
+            .groupby("b")["c"].sum()
+        )
+        below = int(cnt.get(-1, 0))
+        cum = below
+        for bi in range(256):
+            c = int(cnt.get(bi, 0))
+            if cum + c >= k:
+                lo = base_lo + bi * base_w
+                hi = min(hi, base_lo + (bi + 1) * base_w - 1)
+                break
+            cum += c
+        else:  # k beyond the bracket (cannot happen with exact extents)
+            break
+    del passes  # diagnostic only; the oracle cannot express pass counts
+    return pd.DataFrame({
+        "n": pd.array([n], dtype="int64"),
+        "k": pd.array([k], dtype="int64"),
+        "median_e2": pd.array([lo], dtype="int64"),
+    })

@@ -4822,3 +4822,20 @@ def test_doc_encoding_audit_planted_and_twin(ray_session):
     for s, r in rep.iterrows():
         for c in ("n_docs", "n_non_nfc", "n_control", "n_mojibake"):
             assert int(got.loc[s, c]) == int(r[c])
+
+
+def test_lineitem_exact_median_price_matches_sort(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import (
+        lineitem_exact_median_price,
+    )
+
+    got = lineitem_exact_median_price(SF)
+    li = pd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_extendedprice"])
+    p = np.sort(
+        np.floor(li["l_extendedprice"].to_numpy() * 100.0 + 0.5).astype("int64")
+    )
+    n = len(p)
+    k = (n + 1) // 2
+    assert int(got["n"].iloc[0]) == n
+    assert int(got["k"].iloc[0]) == k
+    assert int(got["median_e2"].iloc[0]) == int(p[k - 1])
