@@ -352,6 +352,15 @@ def _q_embedding_dbscan(sf_dir: str):
     return embedding_dbscan(sf_dir, threshold=0.5, min_pts=4)
 
 
+def _q_embedding_lof(sf_dir: str):
+    """Local Outlier Factor (density-ratio outliers): exact kNN via
+    block-pair partial top-k supersets, k-distance/LRD broadcasts
+    (rows-only; bit-exact brute replay twin in test_ann)."""
+    from opps_feedcrawler_ray.pipelines.ann import embedding_lof
+
+    return embedding_lof(sf_dir, k=10, topn=20)
+
+
 def _q_embedding_silhouette(sf_dir: str):
     """Simplified (centroid) silhouette validation of the k-means
     clustering — per-cluster mean silhouette from one streaming pass
@@ -952,6 +961,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_kmeans": _q_embedding_kmeans,
         "embedding_bisecting_kmeans": _q_embedding_bisecting,
         "embedding_silhouette": _q_embedding_silhouette,
+        "embedding_lof": _q_embedding_lof,
         "doc_betweenness": _q_doc_betweenness,
         "doc_sssp": _q_doc_sssp,
         "ann_hard_negatives": _q_hard_negatives,

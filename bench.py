@@ -234,6 +234,7 @@ QUERY_NAMES = [
     "media_quality",
     "doc_encoding_audit",
     "lineitem_exact_median_price",
+    "embedding_lof",
 ]
 
 

@@ -1446,3 +1446,126 @@ def embedding_silhouette(
         .sort_values("cell").reset_index(drop=True)
         .astype({"cell": "int64", "n": "int64", "mean_sil_e6": "int64"})
     )
+
+
+def embedding_lof(sf_dir: str, k: int = 10, topn: int = 20) -> "pd.DataFrame":
+    """LOCAL OUTLIER FACTOR (Breunig et al. 2000) over the embeddings —
+    the DENSITY-RATIO outlier class next to the global ones (HBOS
+    histograms, MAD fences): a point is anomalous when its local
+    reachability density is low RELATIVE to its k nearest neighbors'.
+    Returns the ``topn`` highest-LOF points (score e6, ties broken by
+    vec_id).
+
+    Scale shape: exact kNN rides the 1-Bucket-Theta block-pair
+    partitioning with per-TASK partial top-k per point (a pair meets in
+    one group, so merged local lists contain the global kNN); the
+    k-distance and LRD tables (one small row per point) broadcast into
+    the two LOF refinement passes — at 10^9 points those two broadcasts
+    become id-bucket co-shuffles, and the kNN stage swaps to the banded
+    sign-LSH candidates like every other embedding op here.  Distances
+    are exact doubles with (dist, id) lexicographic tie order, so the
+    twin replays bit-for-bit."""
+    import pandas as pd
+
+    emb = (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+        .to_pandas()
+    )
+    # --- stage 1: exact kNN via block-pair partial top-k --------------
+    ds = rd.from_pandas(emb)
+    n_blocks = 8
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        V = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        my_block = (ids % n_blocks).astype(np.int64)
+        out_id, out_pair, out_block, out_vec = [], [], [], []
+        for row in range(len(ids)):
+            b = int(my_block[row])
+            for other in range(n_blocks):
+                lo, hi = (b, other) if b <= other else (other, b)
+                out_id.append(int(ids[row]))
+                out_pair.append(lo * n_blocks + hi)
+                out_block.append(b)
+                out_vec.append(V[row].tolist())
+        return pa.table({
+            "vec_id": pa.array(out_id, pa.int64()),
+            "pair_key": pa.array(out_pair, pa.int32()),
+            "block": pa.array(out_block, pa.int32()),
+            "v": pa.array(out_vec, pa.list_(pa.float64())),
+        })
+
+    def local_knn(group: pd.DataFrame) -> pd.DataFrame:
+        pk = int(group["pair_key"].iloc[0])
+        lo, hi = pk // n_blocks, pk % n_blocks
+        rows = group.drop_duplicates(subset=["vec_id", "block"])
+        ga = rows[rows["block"] == lo]
+        gb = rows[rows["block"] == hi]
+        out = []
+
+        def emit(src, dst):
+            if src.empty or dst.empty:
+                return
+            A = np.array([np.asarray(x) for x in src["v"]])
+            B = np.array([np.asarray(x) for x in dst["v"]])
+            ia = src["vec_id"].to_numpy(dtype=np.int64)
+            ib = dst["vec_id"].to_numpy(dtype=np.int64)
+            d2 = ((A[:, None, :] - B[None, :, :]) ** 2).sum(axis=2)
+            d = np.sqrt(np.maximum(d2, 0.0))
+            d[ia[:, None] == ib[None, :]] = np.inf  # never own neighbor
+            # vectorized local-superset cut: keep every column within the
+            # row's k-th distance (ties INCLUDED, so the global merge's
+            # lexicographic top-k is always contained)
+            kk = min(k, d.shape[1]) - 1
+            kth = np.partition(d, kk, axis=1)[:, kk][:, None]
+            rr, cc = np.nonzero((d <= kth) & np.isfinite(d))
+            out.append(pd.DataFrame({
+                "p": ia[rr], "o": ib[cc], "d": d[rr, cc]}))
+
+        if lo == hi:
+            emit(ga, ga)
+        else:
+            emit(ga, gb)
+            emit(gb, ga)
+        if not out:
+            return pd.DataFrame({"p": pd.Series([], dtype="int64"),
+                                 "o": pd.Series([], dtype="int64"),
+                                 "d": pd.Series([], dtype="float64")})
+        return pd.concat(out, ignore_index=True)
+
+    cand = (
+        ds.map_batches(replicate, batch_format="pyarrow")
+        .groupby("pair_key")
+        .map_groups(local_knn, batch_format="pandas")
+        .to_pandas()
+    )
+    # global kNN per point: k smallest (d, o) with lexicographic ties
+    cand = cand.sort_values(["p", "d", "o"], kind="mergesort")
+    cand = cand.drop_duplicates(subset=["p", "o"])
+    knn = cand.groupby("p", sort=True).head(k)
+    kdist = knn.groupby("p")["d"].max()  # k-distance per point
+
+    # --- stage 2: LRD (needs neighbors' k-distances) -------------------
+    kd = kdist.to_dict()
+    reach = np.maximum(knn["o"].map(kd).to_numpy(dtype=np.float64),
+                       knn["d"].to_numpy(dtype=np.float64))
+    lrd_df = pd.DataFrame({"p": knn["p"].to_numpy(), "r": reach}).groupby(
+        "p")["r"].mean()
+    lrd = (1.0 / lrd_df).to_dict()
+
+    # --- stage 3: LOF = mean(lrd(o)) / lrd(p) over p's neighbors -------
+    num = pd.DataFrame({
+        "p": knn["p"].to_numpy(),
+        "l": knn["o"].map(lrd).to_numpy(dtype=np.float64),
+    }).groupby("p")["l"].mean()
+    lof = num / pd.Series(lrd)
+    out = (
+        pd.DataFrame({"vec_id": lof.index.to_numpy(dtype="int64"),
+                      "lof_e6": np.floor(lof.to_numpy() * 1e6 + 0.5)
+                      .astype("int64")})
+        .sort_values(["lof_e6", "vec_id"], ascending=[False, True])
+        .head(topn)
+        .reset_index(drop=True)
+    )
+    return out

@@ -543,3 +543,42 @@ def test_embedding_silhouette_matches_replay_and_kmeans(ray_session):
         assert int(got.loc[int(c), "mean_sil_e6"]) == int(se[m].sum()) // int(m.sum())
     # silhouette lives in [-1, 1]
     assert got["mean_sil_e6"].between(-1_000_000, 1_000_000).all()
+
+
+def test_embedding_lof_matches_brute_replay(ray_session):
+    from opps_feedcrawler_ray.pipelines.ann import embedding_lof
+
+    SFD = "/root/testdata/sf0.001"
+    k, topn = 8, 15
+    got = embedding_lof(SFD, k=k, topn=topn)
+    emb = pd.read_parquet(f"{SFD}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    X = np.array(emb["embedding"].to_list(), dtype="float64")
+    ids = emb["vec_id"].to_numpy(dtype="int64")
+    n = len(ids)
+    d = np.sqrt(np.maximum(
+        ((X[:, None, :] - X[None, :, :]) ** 2).sum(axis=2), 0.0))
+    np.fill_diagonal(d, np.inf)
+    nbrs, kdist = {}, {}
+    for i in range(n):
+        order = np.lexsort((ids, d[i]))[:k]
+        nbrs[int(ids[i])] = [int(ids[j]) for j in order]
+        kdist[int(ids[i])] = float(d[i][order].max())
+    pos = {int(v): i for i, v in enumerate(ids)}
+    lrd = {}
+    for p, os_ in nbrs.items():
+        reach = [max(kdist[o], d[pos[p], pos[o]]) for o in os_]
+        lrd[p] = 1.0 / (sum(reach) / len(reach))
+    lof = {p: (sum(lrd[o] for o in os_) / len(os_)) / lrd[p]
+           for p, os_ in nbrs.items()}
+    exp = (
+        pd.DataFrame({"vec_id": list(lof.keys()),
+                      "lof_e6": [int(np.floor(v * 1e6 + 0.5))
+                                 for v in lof.values()]})
+        .sort_values(["lof_e6", "vec_id"], ascending=[False, True])
+        .head(topn).reset_index(drop=True)
+        .astype({"vec_id": "int64", "lof_e6": "int64"})
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # LOF of an inlier cluster hovers near 1.0; top outliers exceed it
+    assert int(got["lof_e6"].iloc[0]) >= 1_000_000
