@@ -1026,6 +1026,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_attribution_markov": A.event_attribution_markov,
         "doc_encoding_audit": A.doc_encoding_audit,
         "lineitem_exact_median_price": A.lineitem_exact_median_price,
+        "docs_phrase_search": A.docs_phrase_search,
+        "doc_readability": A.doc_readability,
         "part_snm_pairs": _q_part_snm_pairs,
         "embedding_topk_pairs": _q_embedding_topk_pairs,
         "embedding_dbscan": _q_embedding_dbscan,
@@ -3444,6 +3446,38 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t.n, t.k, "
             "(SELECT v FROM p ORDER BY v LIMIT 1 OFFSET "
             "(SELECT k - 1 FROM t)) AS median_e2 FROM t"
+        ),
+        "docs_phrase_search": (
+            # exact-phrase adjacency via 1-based token ordinals: unnest
+            # the same space-split both sides, self-join on pos+1
+            "WITH toks AS (SELECT doc_id, arr[i] AS tok, i AS pos "
+            "FROM (SELECT doc_id, string_split(text, ' ') AS arr "
+            "FROM documents), "
+            "LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i)) "
+            "SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches, "
+            "CAST(MIN(a.pos) AS BIGINT) AS first_pos "
+            "FROM toks a JOIN toks b "
+            "ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+            "WHERE a.tok = 'table' AND b.tok = 'hash' "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        "doc_readability": (
+            # Flesch reading-ease census; sentences ≡ 1 (corpus has no
+            # sentence punctuation), syllable proxy = vowel groups,
+            # per-doc score floored to e3 BEFORE the order-free sum
+            "WITH d AS (SELECT source, string_split(text, ' ') AS arr "
+            "FROM documents), "
+            "t AS (SELECT source, CAST(len(arr) AS BIGINT) AS w, "
+            "(SELECT CAST(COALESCE(SUM(len(regexp_extract_all(arr[i], "
+            "'[aeiou]+'))), 0) AS BIGINT) FROM "
+            "unnest(generate_series(1, len(arr))) AS g(i)) AS s FROM d) "
+            "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(w) AS BIGINT) AS sum_words, "
+            "CAST(SUM(s) AS BIGINT) AS sum_syllables, "
+            "CAST(SUM(CAST(FLOOR((206.835e0 - 1.015e0 * w - 84.6e0 * "
+            "(CAST(s AS DOUBLE) / w)) * 1000.0e0 + 0.5e0) AS BIGINT)) "
+            "AS BIGINT) AS sum_flesch_e3 "
+            "FROM t GROUP BY source ORDER BY source"
         ),
         "events_psi_drift": (
             # PSI between the first/second half of the day range: e9

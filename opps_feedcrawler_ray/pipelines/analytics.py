@@ -10474,3 +10474,117 @@ def lineitem_exact_median_price(sf_dir: str) -> pd.DataFrame:
         "k": pd.array([k], dtype="int64"),
         "median_e2": pd.array([lo], dtype="int64"),
     })
+
+
+def docs_phrase_search(
+    sf_dir: str, t1: str = "table", t2: str = "hash"
+) -> pd.DataFrame:
+    """PHRASE SEARCH — positional adjacency query ("t1 t2" as an exact
+    phrase), the retrieval operator a doc-level inverted index
+    (``token_postings``) cannot answer: it needs token POSITIONS, not
+    just membership.  Per matching doc: match count + first match
+    position (1-based token ordinal, matching SQL array indexing).
+
+    Scale shape: ONE stateless streaming pass — tokens never leave the
+    scan.  Each batch splits its own rows and tests adjacency with
+    vectorized masks (``tok[i] == t1 & tok[i+1] == t2`` within the same
+    row), so the exchange cost is zero and the output is bounded by the
+    number of matching docs.  A pre-built positional index would trade
+    this scan for an O(df(t1)+df(t2)) postings intersect — worth it
+    only for repeated queries; both shapes are index-free here because
+    the corpus scan is the honest cold-query cost."""
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    _schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_matches", pa.int64()),
+         ("first_pos", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = pc.split_pattern(batch["text"], " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        lens = lens.astype(np.int64)
+        flat = pc.list_flatten(toks)
+        n_tok = len(flat)
+        if n_tok < 2:
+            return _schema.empty_table()
+        is1 = pc.equal(flat, t1).to_numpy(zero_copy_only=False)
+        is2 = pc.equal(flat, t2).to_numpy(zero_copy_only=False)
+        docidx = np.repeat(np.arange(len(ids), dtype=np.int64), lens)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        pos = np.arange(n_tok, dtype=np.int64) - np.repeat(starts, lens)
+        hit = is1[:-1] & is2[1:] & (docidx[:-1] == docidx[1:])
+        hi = np.nonzero(hit)[0]
+        if len(hi) == 0:
+            return _schema.empty_table()
+        hd = docidx[hi]
+        n_m = np.bincount(hd, minlength=len(ids))
+        first = np.full(len(ids), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(first, hd, pos[hi] + 1)  # 1-based ordinal
+        sel = n_m > 0
+        return pa.table(
+            {"doc_id": ids[sel], "n_matches": n_m[sel].astype(np.int64),
+             "first_pos": first[sel]},
+            schema=_schema,
+        )
+
+    out = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_readability(sf_dir: str) -> pd.DataFrame:
+    """READABILITY census (Flesch reading-ease family) per source:
+    word counts, vowel-group syllable proxies, and the summed per-doc
+    Flesch score (206.835 − 1.015·words/sentences − 84.6·syll/words;
+    the corpus carries no sentence punctuation so sentences ≡ 1,
+    documented and mirrored in the oracle).  Scores are floored to e3
+    integers per doc BEFORE summation so the per-source totals are
+    order-free exact.
+
+    Scale shape: pure combiner — each batch reduces to ≤ |sources|
+    rows (token split + one vectorized regex count per batch); the
+    final fold is a tiny groupby.  No data-sized exchange."""
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["source", "text"])
+    _schema = pa.schema(
+        [("source", pa.string()), ("n_docs", pa.int64()),
+         ("sum_words", pa.int64()), ("sum_syllables", pa.int64()),
+         ("sum_flesch_e3", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        words = lens.astype(np.int64)
+        flat = pc.list_flatten(toks)
+        vg = pc.count_substring_regex(flat, "[aeiou]+")
+        vg = vg.to_numpy(zero_copy_only=False).astype(np.int64)
+        docidx = np.repeat(np.arange(len(words), dtype=np.int64), words)
+        syl = np.bincount(docidx, weights=vg, minlength=len(words))
+        syl = syl.astype(np.int64)
+        w = words.astype(np.float64)
+        score = 206.835 - 1.015 * w - 84.6 * (syl.astype(np.float64) / w)
+        score_e3 = np.floor(score * 1000.0 + 0.5).astype(np.int64)
+        df = pd.DataFrame(
+            {"source": batch["source"].to_pandas(), "w": words, "s": syl,
+             "f": score_e3}
+        )
+        g = df.groupby("source", as_index=False).agg(
+            n_docs=("w", "size"), sum_words=("w", "sum"),
+            sum_syllables=("s", "sum"), sum_flesch_e3=("f", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False, schema=_schema)
+
+    out = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .sum(["n_docs", "sum_words", "sum_syllables", "sum_flesch_e3"])
+        .to_pandas()
+    )
+    out = out.rename(columns={f"sum({c})": c for c in
+                              ["n_docs", "sum_words", "sum_syllables",
+                               "sum_flesch_e3"]})
+    return (
+        out[["source", "n_docs", "sum_words", "sum_syllables",
+             "sum_flesch_e3"]]
+        .sort_values("source").reset_index(drop=True)
+    )

@@ -4839,3 +4839,54 @@ def test_lineitem_exact_median_price_matches_sort(ray_session):
     assert int(got["n"].iloc[0]) == n
     assert int(got["k"].iloc[0]) == k
     assert int(got["median_e2"].iloc[0]) == int(p[k - 1])
+
+
+def test_docs_phrase_search_matches_brute_scan(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import docs_phrase_search
+
+    got = docs_phrase_search(SF, "table", "hash").set_index("doc_id")
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    exp = {}
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        toks = text.split(" ")
+        hits = [i + 1 for i in range(len(toks) - 1)
+                if toks[i] == "table" and toks[i + 1] == "hash"]
+        if hits:
+            exp[int(did)] = (len(hits), hits[0])
+    assert set(got.index) == set(exp)
+    for did, (n, first) in exp.items():
+        assert int(got.loc[did, "n_matches"]) == n
+        assert int(got.loc[did, "first_pos"]) == first
+
+
+def test_docs_phrase_search_partitioning_independent(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import docs_phrase_search
+
+    a = docs_phrase_search(SF, "slow", "key")
+    b = docs_phrase_search(SF, "slow", "key")
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0  # the phrase occurs at sf0.001
+
+
+def test_doc_readability_matches_python_replay(ray_session):
+    import re
+
+    from opps_feedcrawler_ray.pipelines.analytics import doc_readability
+
+    got = doc_readability(SF).set_index("source")
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["source", "text"])
+    vg = re.compile(r"[aeiou]+")
+    agg = {}
+    for src, text in zip(docs["source"], docs["text"]):
+        toks = text.split(" ")
+        w = len(toks)
+        s = sum(len(vg.findall(t)) for t in toks)
+        score_e3 = int(np.floor((206.835 - 1.015 * w - 84.6 * (s / w)) * 1000.0 + 0.5))
+        n, sw, ss, sf_ = agg.get(src, (0, 0, 0, 0))
+        agg[src] = (n + 1, sw + w, ss + s, sf_ + score_e3)
+    assert set(got.index) == set(agg)
+    for src, (n, sw, ss, sf_) in agg.items():
+        assert int(got.loc[src, "n_docs"]) == n
+        assert int(got.loc[src, "sum_words"]) == sw
+        assert int(got.loc[src, "sum_syllables"]) == ss
+        assert int(got.loc[src, "sum_flesch_e3"]) == sf_
