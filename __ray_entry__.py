@@ -825,6 +825,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_dup_factor": A.source_dup_factor,
         "embedding_quantize_int8": A.embedding_quantize_int8,
         "orders_scd2": A.orders_scd2,
+        "orders_pit_join": A.orders_pit_join,
         "referential_integrity_audit": A.referential_integrity_audit,
         "orders_benford": A.orders_benford,
         "source_stats_incremental": A.source_stats_incremental,
@@ -1447,6 +1448,32 @@ def oracle_sql() -> dict[str, str]:
             "CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey "
             "ORDER BY d, o_orderkey) AS BIGINT) AS version "
             "FROM c ORDER BY custkey, version"
+        ),
+        "orders_pit_join": (
+            # point-in-time join: lineitem at SHIP date vs the SCD2
+            # customer-priority version valid at that day
+            "WITH w AS (SELECT o_custkey, o_orderkey, o_orderpriority, "
+            "CAST(FLOOR(EPOCH(o_orderdate) / 86400) AS BIGINT) AS d, "
+            "LAG(o_orderpriority) OVER (PARTITION BY o_custkey "
+            "ORDER BY o_orderdate, o_orderkey) AS prev FROM orders), "
+            "c AS (SELECT o_custkey, o_orderkey, o_orderpriority, d FROM w "
+            "WHERE prev IS NULL OR prev <> o_orderpriority), "
+            "v AS (SELECT o_custkey AS custkey, o_orderpriority AS priority, "
+            "d AS valid_from, "
+            "COALESCE(LEAD(d) OVER (PARTITION BY o_custkey "
+            "ORDER BY d, o_orderkey), 9999999) AS valid_to, "
+            "CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey "
+            "ORDER BY d, o_orderkey) AS BIGINT) AS version FROM c), "
+            "f AS (SELECT o.o_custkey AS custkey, "
+            "CAST(FLOOR(EPOCH(l.l_shipdate) / 86400) AS BIGINT) AS shipday, "
+            "CAST(FLOOR(l.l_quantity * 100 + 0.5) AS BIGINT) AS q "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey) "
+            "SELECT v.priority, v.version, "
+            "CAST(COUNT(*) AS BIGINT) AS n_items, "
+            "CAST(SUM(f.q) AS BIGINT) AS sum_qty_e2 "
+            "FROM f JOIN v ON f.custkey = v.custkey "
+            "AND f.shipday >= v.valid_from AND f.shipday < v.valid_to "
+            "GROUP BY v.priority, v.version ORDER BY priority, version"
         ),
         "referential_integrity_audit": (
             # orphan FK counts across the star schema

@@ -10588,3 +10588,137 @@ def doc_readability(sf_dir: str) -> pd.DataFrame:
              "sum_flesch_e3"]]
         .sort_values("source").reset_index(drop=True)
     )
+
+
+def orders_pit_join(sf_dir: str) -> pd.DataFrame:
+    """POINT-IN-TIME (temporal) JOIN — facts matched to the SCD2
+    dimension version valid AT FACT TIME, the warehouse operator that
+    ``asof`` (nearest event) and plain equi-joins cannot express: each
+    lineitem, at its SHIP date, picks the customer-priority version
+    (built by the exact ``orders_scd2`` rule) whose
+    [valid_from, valid_to) interval contains that day.  Same-day
+    version changes resolve to the highest version (empty intervals
+    match nothing) — identical to the oracle's BETWEEN semantics.
+
+    Scale shape: TWO co-shuffles and nothing else — (1) an
+    orderkey-bucket exchange attaches custkey to each fact, (2) a
+    custkey-bucket exchange co-locates facts with the dimension-source
+    rows; inside each bucket the SCD2 build is the shared grouped
+    kernel and the interval lookup is ONE ``merge_asof`` over all
+    customers at once (backward-last ≡ interval containment because
+    consecutive intervals abut).  Each bucket emits ≤ |priorities| ×
+    |versions| partial rows; the driver folds a tiny frame."""
+    from .dedup import coarse_buckets
+
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_quantity", "l_shipdate"],
+    )
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+    nb = coarse_buckets(li.count(), rows_per_task=65536)
+
+    s1 = pa.schema([("k", pa.int64()), ("q", pa.int64()), ("day", pa.int64()),
+                    ("side", pa.int64()), ("__b", pa.int64())])
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        k = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype("int64")
+        q = np.floor(
+            batch["l_quantity"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype("int64")
+        day = (batch["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+               // 86_400_000_000).astype("int64")
+        return pa.table(
+            {"k": k, "q": q, "day": day,
+             "side": np.zeros(len(k), dtype="int64"), "__b": k % nb},
+            schema=s1,
+        )
+
+    def or_partial(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype("int64")
+        c = batch["o_custkey"].to_numpy(zero_copy_only=False).astype("int64")
+        return pa.table(
+            {"k": k, "q": c, "day": np.zeros(len(k), dtype="int64"),
+             "side": np.ones(len(k), dtype="int64"), "__b": k % nb},
+            schema=s1,
+        )
+
+    def attach_cust(g: pd.DataFrame) -> pd.DataFrame:
+        right = g[g["side"] == 1][["k", "q"]].rename(columns={"q": "custkey"})
+        left = g[g["side"] == 0][["k", "q", "day"]]
+        m = left.merge(right, on="k", how="inner")
+        m["__b2"] = (m["custkey"].to_numpy() % nb).astype("int64")
+        return m[["custkey", "q", "day", "__b2"]]
+
+    facts = (
+        li.map_batches(li_partial, batch_format="pyarrow")
+        .union(orders.map_batches(or_partial, batch_format="pyarrow"))
+        .groupby("__b")
+        .map_groups(attach_cust, batch_format="pandas")
+    )
+
+    s2 = pa.schema([("custkey", pa.int64()), ("q", pa.int64()),
+                    ("day", pa.int64()), ("prio", pa.string()),
+                    ("okey", pa.int64()), ("side", pa.int64()),
+                    ("__b2", pa.int64())])
+
+    def fact_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {"custkey": batch["custkey"], "q": batch["q"], "day": batch["day"],
+             "prio": pa.array([""] * n, pa.string()),
+             "okey": np.zeros(n, dtype="int64"),
+             "side": np.zeros(n, dtype="int64"), "__b2": batch["__b2"]},
+            schema=s2,
+        )
+
+    def dim_rows(batch: pa.Table) -> pa.Table:
+        c = batch["o_custkey"].to_numpy(zero_copy_only=False).astype("int64")
+        day = (batch["o_orderdate"].cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // 86_400_000_000).astype("int64")
+        return pa.table(
+            {"custkey": c, "q": np.zeros(len(c), dtype="int64"), "day": day,
+             "prio": batch["o_orderpriority"],
+             "okey": batch["o_orderkey"].to_numpy(zero_copy_only=False)
+             .astype("int64"),
+             "side": np.ones(len(c), dtype="int64"), "__b2": c % nb},
+            schema=s2,
+        )
+
+    def pit(g: pd.DataFrame) -> pd.DataFrame:
+        dim = g[g["side"] == 1].sort_values(["custkey", "day", "okey"])
+        prev = dim.groupby("custkey")["prio"].shift()
+        ch = dim[prev.isna() | (prev != dim["prio"])].copy()
+        ch["version"] = (ch.groupby("custkey").cumcount() + 1).astype("int64")
+        ch = ch.rename(columns={"day": "vf"})
+        f = g[g["side"] == 0][["custkey", "q", "day"]].sort_values("day")
+        ch = ch.sort_values(["vf", "version"], kind="stable")
+        m = pd.merge_asof(
+            f, ch[["custkey", "vf", "prio", "version"]],
+            left_on="day", right_on="vf", by="custkey", direction="backward",
+        )
+        m = m.dropna(subset=["version"])
+        out = m.groupby(["prio", "version"], as_index=False).agg(
+            n_items=("q", "size"), sum_qty_e2=("q", "sum")
+        )
+        out["version"] = out["version"].astype("int64")
+        out["n_items"] = out["n_items"].astype("int64")
+        out["sum_qty_e2"] = out["sum_qty_e2"].astype("int64")
+        return out.rename(columns={"prio": "priority"})
+
+    cells = (
+        facts.map_batches(fact_rows, batch_format="pyarrow")
+        .union(orders.map_batches(dim_rows, batch_format="pyarrow"))
+        .groupby("__b2")
+        .map_groups(pit, batch_format="pandas")
+        .to_pandas()
+    )
+    out = cells.groupby(["priority", "version"], as_index=False).agg(
+        n_items=("n_items", "sum"), sum_qty_e2=("sum_qty_e2", "sum")
+    )
+    return (
+        out.sort_values(["priority", "version"]).reset_index(drop=True)
+        .astype({"version": "int64", "n_items": "int64", "sum_qty_e2": "int64"})
+    )

@@ -4890,3 +4890,55 @@ def test_doc_readability_matches_python_replay(ray_session):
         assert int(got.loc[src, "sum_words"]) == sw
         assert int(got.loc[src, "sum_syllables"]) == ss
         assert int(got.loc[src, "sum_flesch_e3"]) == sf_
+
+
+def test_orders_pit_join_matches_interval_replay(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import orders_pit_join
+
+    got = orders_pit_join(SF)
+    orders = pd.read_parquet(
+        f"{SF}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+    orders["d"] = (
+        orders["o_orderdate"].values.astype("datetime64[s]").astype("int64")
+        // 86400
+    )
+    o = orders.sort_values(["o_custkey", "d", "o_orderkey"])
+    prev = o.groupby("o_custkey")["o_orderpriority"].shift()
+    ch = o[prev.isna() | (prev != o["o_orderpriority"])].copy()
+    ch["version"] = (ch.groupby("o_custkey").cumcount() + 1).astype("int64")
+    ch["valid_to"] = (
+        ch.groupby("o_custkey")["d"].shift(-1).fillna(9999999).astype("int64")
+    )
+    li = pd.read_parquet(
+        f"{SF}/lineitem.parquet",
+        columns=["l_orderkey", "l_quantity", "l_shipdate"],
+    )
+    li["q"] = np.floor(li["l_quantity"].to_numpy() * 100.0 + 0.5).astype("int64")
+    li["shipday"] = (
+        li["l_shipdate"].values.astype("datetime64[s]").astype("int64") // 86400
+    )
+    f = li.merge(
+        orders[["o_orderkey", "o_custkey"]],
+        left_on="l_orderkey", right_on="o_orderkey",
+    )
+    m = f.merge(
+        ch[["o_custkey", "o_orderpriority", "d", "valid_to", "version"]],
+        on="o_custkey",
+    )
+    m = m[(m["shipday"] >= m["d"]) & (m["shipday"] < m["valid_to"])]
+    exp = m.groupby(["o_orderpriority", "version"], as_index=False).agg(
+        n_items=("q", "size"), sum_qty_e2=("q", "sum")
+    )
+    # facts before a customer's first version match no interval (the
+    # synthetic shipdate is not bounded by orderdate); both sides must
+    # drop exactly those, and a fact never matches two intervals
+    assert int(got["n_items"].sum()) == int(exp["n_items"].sum())
+    assert int(exp["n_items"].sum()) > 0
+    exp = exp.set_index(["o_orderpriority", "version"])
+    gi = got.set_index(["priority", "version"])
+    assert set(gi.index) == set(exp.index)
+    for key, r in exp.iterrows():
+        assert int(gi.loc[key, "n_items"]) == int(r["n_items"])
+        assert int(gi.loc[key, "sum_qty_e2"]) == int(r["sum_qty_e2"])
