@@ -826,6 +826,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_quantize_int8": A.embedding_quantize_int8,
         "orders_scd2": A.orders_scd2,
         "orders_pit_join": A.orders_pit_join,
+        "orders_cube": A.orders_cube,
+        "events_funnel": A.events_funnel,
+        "user_cohort_retention": A.user_cohort_retention,
         "referential_integrity_audit": A.referential_integrity_audit,
         "orders_benford": A.orders_benford,
         "source_stats_incremental": A.source_stats_incremental,
@@ -1474,6 +1477,53 @@ def oracle_sql() -> dict[str, str]:
             "FROM f JOIN v ON f.custkey = v.custkey "
             "AND f.shipday >= v.valid_from AND f.shipday < v.valid_to "
             "GROUP BY v.priority, v.version ORDER BY priority, version"
+        ),
+        "orders_cube": (
+            # CUBE(month, priority) with grouping ids; rolled-up keys
+            # use non-null sentinels so both sides hash identically
+            "SELECT CAST(GROUPING(month, priority) AS BIGINT) AS gid, "
+            "COALESCE(month, -1) AS month, "
+            "COALESCE(priority, 'ALL') AS priority, "
+            "CAST(COUNT(*) AS BIGINT) AS n_orders, "
+            "CAST(SUM(price_e2) AS BIGINT) AS sum_price_e2 "
+            "FROM (SELECT CAST(YEAR(o_orderdate) * 100 "
+            "+ MONTH(o_orderdate) AS BIGINT) AS month, "
+            "o_orderpriority AS priority, "
+            "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_e2 "
+            "FROM orders) GROUP BY CUBE(month, priority) "
+            "ORDER BY gid, month, priority"
+        ),
+        "events_funnel": (
+            # ordered funnel: earliest event of each step strictly
+            # after the previous step's reach time
+            "WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events "
+            "WHERE event_type = 'signup' GROUP BY user_id), "
+            "s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e "
+            "JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t "
+            "WHERE e.event_type = 'view' GROUP BY e.user_id), "
+            "s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e "
+            "JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t "
+            "WHERE e.event_type = 'click' GROUP BY e.user_id), "
+            "s4 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e "
+            "JOIN s3 ON e.user_id = s3.user_id AND e.ts > s3.t "
+            "WHERE e.event_type = 'purchase' GROUP BY e.user_id) "
+            "SELECT * FROM ("
+            "SELECT CAST(1 AS BIGINT) AS step, 'signup' AS event_type, "
+            "CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users "
+            "UNION ALL SELECT 2, 'view', (SELECT COUNT(*) FROM s2) "
+            "UNION ALL SELECT 3, 'click', (SELECT COUNT(*) FROM s3) "
+            "UNION ALL SELECT 4, 'purchase', (SELECT COUNT(*) FROM s4)"
+            ") ORDER BY step"
+        ),
+        "user_cohort_retention": (
+            # weekly cohort retention triangle over distinct-active weeks
+            "WITH a AS (SELECT DISTINCT user_id, "
+            "CAST(FLOOR(EPOCH(ts) / 604800) AS BIGINT) AS w FROM events), "
+            "f AS (SELECT user_id, MIN(w) AS cw FROM a GROUP BY user_id) "
+            "SELECT f.cw AS cohort_week, a.w - f.cw AS week_offset, "
+            "CAST(COUNT(*) AS BIGINT) AS n_users "
+            "FROM a JOIN f ON a.user_id = f.user_id "
+            "GROUP BY f.cw, a.w - f.cw ORDER BY cohort_week, week_offset"
         ),
         "referential_integrity_audit": (
             # orphan FK counts across the star schema

@@ -10722,3 +10722,190 @@ def orders_pit_join(sf_dir: str) -> pd.DataFrame:
         out.sort_values(["priority", "version"]).reset_index(drop=True)
         .astype({"version": "int64", "n_items": "int64", "sum_qty_e2": "int64"})
     )
+
+
+def orders_cube(sf_dir: str) -> pd.DataFrame:
+    """GROUPING SETS / CUBE over (order month, priority) — the OLAP
+    multi-level rollup in ONE pass: each batch emits partials for all
+    four grouping sets tagged with the standard grouping id (bit set =
+    column aggregated away, first column = MSB, matching
+    ``GROUPING(month, priority)``); a tiny |months·priorities|·4-row
+    fold finishes.  Rolled-up keys use non-null sentinels (-1 / 'ALL')
+    so both sides hash identically.
+
+    Scale shape: zero data-sized exchanges — the cube multiplies only
+    the COMBINER output (4× a domain-bounded frame), never the input."""
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderdate", "o_orderpriority", "o_totalprice"],
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        month = (
+            batch["o_orderdate"].dt.year * 100 + batch["o_orderdate"].dt.month
+        ).astype("int64")
+        price = np.floor(
+            batch["o_totalprice"].to_numpy() * 100.0 + 0.5
+        ).astype("int64")
+        df = pd.DataFrame(
+            {"month": month, "priority": batch["o_orderpriority"], "p": price}
+        )
+        outs = []
+        for gid, keys in (
+            (0, ["month", "priority"]), (1, ["month"]), (2, ["priority"]),
+            (3, []),
+        ):
+            if keys:
+                g = df.groupby(keys, as_index=False).agg(
+                    n_orders=("p", "size"), sum_price_e2=("p", "sum")
+                )
+            else:
+                g = pd.DataFrame(
+                    {"n_orders": [len(df)], "sum_price_e2": [df["p"].sum()]}
+                )
+            if "month" not in g.columns:
+                g["month"] = -1
+            if "priority" not in g.columns:
+                g["priority"] = "ALL"
+            g["gid"] = gid
+            outs.append(
+                g[["gid", "month", "priority", "n_orders", "sum_price_e2"]]
+            )
+        out = pd.concat(outs, ignore_index=True)
+        return out.astype(
+            {"gid": "int64", "month": "int64", "n_orders": "int64",
+             "sum_price_e2": "int64"}
+        )
+
+    out = (
+        orders.map_batches(partial, batch_format="pandas")
+        .groupby(["gid", "month", "priority"])
+        .sum(["n_orders", "sum_price_e2"])
+        .to_pandas()
+        .rename(columns={"sum(n_orders)": "n_orders",
+                         "sum(sum_price_e2)": "sum_price_e2"})
+    )
+    return (
+        out.sort_values(["gid", "month", "priority"]).reset_index(drop=True)
+        [["gid", "month", "priority", "n_orders", "sum_price_e2"]]
+        .astype({"gid": "int64", "month": "int64", "n_orders": "int64",
+                 "sum_price_e2": "int64"})
+    )
+
+
+def events_funnel(sf_dir: str) -> pd.DataFrame:
+    """FUNNEL ANALYSIS — ordered conversion signup → view → click →
+    purchase: a user reaches step k+1 at their EARLIEST event of that
+    type strictly after the step-k reach time (the classic product-
+    analytics funnel, not expressible as a plain groupby).
+
+    Scale shape: ONE user-bucket exchange makes every user's history
+    bucket-complete; inside each bucket the chain is 4 grouped-min /
+    merge passes (vectorized, no per-user Python); each bucket emits 4
+    rows and the driver folds |buckets|·4."""
+    from .dedup import coarse_buckets
+
+    steps = ["signup", "view", "click", "purchase"]
+    ev = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "event_type", "ts"]
+    )
+    nb = coarse_buckets(ev.count(), rows_per_task=65536)
+
+    s1 = pa.schema([("user_id", pa.int64()), ("event_type", pa.string()),
+                    ("ts", pa.int64()), ("__b", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(
+            pc.is_in(batch["event_type"], value_set=pa.array(steps))
+        )
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype("int64")
+        return pa.table(
+            {"user_id": u, "event_type": t["event_type"],
+             "ts": t["ts"].cast(pa.int64()), "__b": u % nb},
+            schema=s1,
+        )
+
+    def funnel(g: pd.DataFrame) -> pd.DataFrame:
+        counts = []
+        cur = None
+        for step in steps:
+            s = g[g["event_type"] == step]
+            if cur is None:
+                cur = s.groupby("user_id")["ts"].min()
+            else:
+                m = s.merge(cur.rename("prev"), left_on="user_id",
+                            right_index=True, how="inner")
+                cur = m[m["ts"] > m["prev"]].groupby("user_id")["ts"].min()
+            counts.append(len(cur))
+        return pd.DataFrame(
+            {"step": np.arange(1, 5, dtype="int64"), "event_type": steps,
+             "n_users": np.asarray(counts, dtype="int64")}
+        )
+
+    cells = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(funnel, batch_format="pandas")
+        .to_pandas()
+    )
+    out = cells.groupby(["step", "event_type"], as_index=False)["n_users"].sum()
+    return (
+        out.sort_values("step").reset_index(drop=True)
+        .astype({"step": "int64", "n_users": "int64"})
+        [["step", "event_type", "n_users"]]
+    )
+
+
+def user_cohort_retention(sf_dir: str) -> pd.DataFrame:
+    """COHORT RETENTION — users grouped by the epoch-week of their
+    first event; for each (cohort_week, week_offset) the number of
+    distinct cohort members active that week (the standard retention
+    triangle).
+
+    Scale shape: per-batch (user, week) dedup shrinks the stream
+    before ONE user-bucket exchange; users are bucket-complete so the
+    per-bucket nunique is exact and bucket partials SUM to the global
+    distinct count — no second distinct pass."""
+    from .dedup import coarse_buckets
+
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    nb = coarse_buckets(ev.count(), rows_per_task=65536)
+
+    s1 = pa.schema([("user_id", pa.int64()), ("week", pa.int64()),
+                    ("__b", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype("int64")
+        w = (batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+             // (604_800 * 1_000_000)).astype("int64")
+        df = pd.DataFrame({"user_id": u, "week": w}).drop_duplicates()
+        df["__b"] = (df["user_id"].to_numpy() % nb).astype("int64")
+        return pa.Table.from_pandas(df, schema=s1, preserve_index=False)
+
+    def retention(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "week"])
+        first = g.groupby("user_id")["week"].transform("min")
+        out = pd.DataFrame(
+            {"cohort_week": first, "week_offset": g["week"] - first,
+             "user_id": g["user_id"]}
+        )
+        r = out.groupby(["cohort_week", "week_offset"], as_index=False).agg(
+            n_users=("user_id", "nunique")
+        )
+        return r.astype({"cohort_week": "int64", "week_offset": "int64",
+                         "n_users": "int64"})
+
+    cells = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(retention, batch_format="pandas")
+        .to_pandas()
+    )
+    out = cells.groupby(
+        ["cohort_week", "week_offset"], as_index=False
+    )["n_users"].sum()
+    return (
+        out.sort_values(["cohort_week", "week_offset"]).reset_index(drop=True)
+        .astype({"cohort_week": "int64", "week_offset": "int64",
+                 "n_users": "int64"})
+    )

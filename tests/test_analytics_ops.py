@@ -4942,3 +4942,69 @@ def test_orders_pit_join_matches_interval_replay(ray_session):
     for key, r in exp.iterrows():
         assert int(gi.loc[key, "n_items"]) == int(r["n_items"])
         assert int(gi.loc[key, "sum_qty_e2"]) == int(r["sum_qty_e2"])
+
+
+def test_orders_cube_internally_consistent(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import orders_cube
+
+    got = orders_cube(SF)
+    detail = got[got["gid"] == 0]
+    bymonth = got[got["gid"] == 1].set_index("month")
+    byprio = got[got["gid"] == 2].set_index("priority")
+    total = got[got["gid"] == 3]
+    for col in ("n_orders", "sum_price_e2"):
+        agg_m = detail.groupby("month")[col].sum()
+        for m, v in agg_m.items():
+            assert int(bymonth.loc[m, col]) == int(v)
+        agg_p = detail.groupby("priority")[col].sum()
+        for p, v in agg_p.items():
+            assert int(byprio.loc[p, col]) == int(v)
+        assert int(total[col].iloc[0]) == int(detail[col].sum())
+    assert (total["month"] == -1).all() and (total["priority"] == "ALL").all()
+
+
+def test_events_funnel_matches_python_replay(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import events_funnel
+
+    got = events_funnel(SF).set_index("step")
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "event_type", "ts"])
+    steps = ["signup", "view", "click", "purchase"]
+    reach = {}
+    for uid, g in ev.groupby("user_id"):
+        t = None
+        for i, step in enumerate(steps):
+            cand = g[g["event_type"] == step]
+            if t is not None:
+                cand = cand[cand["ts"] > t]
+            if len(cand) == 0:
+                break
+            t = cand["ts"].min()
+            reach[i + 1] = reach.get(i + 1, 0) + 1
+    for step in range(1, 5):
+        assert int(got.loc[step, "n_users"]) == reach.get(step, 0)
+    # funnel counts are non-increasing by construction
+    n = got["n_users"].to_numpy()
+    assert (n[:-1] >= n[1:]).all()
+
+
+def test_user_cohort_retention_matches_python_replay(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import user_cohort_retention
+
+    got = user_cohort_retention(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts"])
+    w = ev["ts"].values.astype("datetime64[s]").astype("int64") // 604800
+    a = pd.DataFrame({"user_id": ev["user_id"], "week": w}).drop_duplicates()
+    first = a.groupby("user_id")["week"].transform("min")
+    exp = (
+        pd.DataFrame({"cw": first, "off": a["week"] - first,
+                      "u": a["user_id"]})
+        .groupby(["cw", "off"])["u"].nunique()
+    )
+    assert len(got) == len(exp)
+    for (cw, off), n in exp.items():
+        row = got[(got["cohort_week"] == cw) & (got["week_offset"] == off)]
+        assert int(row["n_users"].iloc[0]) == int(n)
+    # offset-0 rows count every cohort member at least once
+    z = got[got["week_offset"] == 0]["n_users"].sum()
+    assert int(z) == a.groupby("user_id")["week"].min().size
