@@ -829,6 +829,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cube": A.orders_cube,
         "events_funnel": A.events_funnel,
         "user_cohort_retention": A.user_cohort_retention,
+        "event_type_frequent_pairs": A.event_type_frequent_pairs,
+        "part_name_similarity_join": A.part_name_similarity_join,
         "referential_integrity_audit": A.referential_integrity_audit,
         "orders_benford": A.orders_benford,
         "source_stats_incremental": A.source_stats_incremental,
@@ -1524,6 +1526,25 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n_users "
             "FROM a JOIN f ON a.user_id = f.user_id "
             "GROUP BY f.cw, a.w - f.cw ORDER BY cohort_week, week_offset"
+        ),
+        "event_type_frequent_pairs": (
+            # A-priori pair support over distinct per-user baskets
+            "WITH ut AS (SELECT DISTINCT user_id, event_type FROM events) "
+            "SELECT a.event_type AS type_a, b.event_type AS type_b, "
+            "CAST(COUNT(*) AS BIGINT) AS support "
+            "FROM ut a JOIN ut b ON a.user_id = b.user_id "
+            "AND a.event_type < b.event_type "
+            "GROUP BY a.event_type, b.event_type HAVING COUNT(*) >= 2 "
+            "ORDER BY type_a, type_b"
+        ),
+        "part_name_similarity_join": (
+            # exact Levenshtein-threshold join over distinct names
+            "WITH n AS (SELECT DISTINCT p_name FROM part) "
+            "SELECT a.p_name AS name_a, b.p_name AS name_b, "
+            "CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist "
+            "FROM n a JOIN n b ON a.p_name < b.p_name "
+            "AND levenshtein(a.p_name, b.p_name) <= 2 "
+            "ORDER BY name_a, name_b"
         ),
         "referential_integrity_audit": (
             # orphan FK counts across the star schema

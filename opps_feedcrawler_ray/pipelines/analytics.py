@@ -10909,3 +10909,148 @@ def user_cohort_retention(sf_dir: str) -> pd.DataFrame:
         .astype({"cohort_week": "int64", "week_offset": "int64",
                  "n_users": "int64"})
     )
+
+
+def event_type_frequent_pairs(sf_dir: str, minsup: int = 2) -> pd.DataFrame:
+    """FREQUENT ITEMSET MINING (pairs) — the SON / A-priori shape:
+    support(a, b) = number of users whose basket (distinct event types)
+    contains both.  Pairs with support >= ``minsup`` survive.
+
+    Scale shape: per-batch (user, type) dedup shrinks the stream, ONE
+    user-bucket exchange makes baskets bucket-complete, then pair
+    generation is a self-merge per bucket (|types|²-bounded output, 
+    never data-sized); bucket partials SUM to exact global support
+    because a user lives in exactly one bucket."""
+    from .dedup import coarse_buckets
+
+    ev = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "event_type"]
+    )
+    nb = coarse_buckets(ev.count(), rows_per_task=65536)
+
+    s1 = pa.schema([("user_id", pa.int64()), ("event_type", pa.string()),
+                    ("__b", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates()
+        u = df["user_id"].to_numpy().astype("int64")
+        return pa.table(
+            {"user_id": u, "event_type": df["event_type"], "__b": u % nb},
+            schema=s1,
+        )
+
+    def pair_support(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "event_type"])
+        m = g.merge(g, on="user_id", suffixes=("_a", "_b"))
+        m = m[m["event_type_a"] < m["event_type_b"]]
+        out = m.groupby(
+            ["event_type_a", "event_type_b"], as_index=False
+        ).agg(support=("user_id", "nunique"))
+        return out.rename(
+            columns={"event_type_a": "type_a", "event_type_b": "type_b"}
+        ).astype({"support": "int64"})
+
+    cells = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(pair_support, batch_format="pandas")
+        .to_pandas()
+    )
+    out = cells.groupby(["type_a", "type_b"], as_index=False)["support"].sum()
+    out = out[out["support"] >= minsup]
+    return (
+        out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+        .astype({"support": "int64"})
+    )
+
+
+def part_name_similarity_join(sf_dir: str, k: int = 2) -> pd.DataFrame:
+    """STRING SIMILARITY JOIN — all distinct part-name pairs within
+    Levenshtein distance ``k``, via FastSS / SymSpell deletion-
+    neighborhood blocking (Bocek et al. 2007): if ed(a, b) <= k the two
+    names share a variant reachable by <= k character deletions from
+    each, so grouping on variant fingerprints yields a candidate
+    SUPERSET; an exact DP verify inside pair-hash buckets makes the
+    result exact (never all-pairs).
+
+    Scale shape: the neighborhood expansion runs per DISTINCT name per
+    batch (dictionary-bounded, ~|name|^k variants each); ONE variant
+    exchange emits candidate pairs (np.triu over <=bucket-size name
+    lists); pair-hash buckets dedupe globally and verify with the
+    O(|a|·|b|) DP on candidates only."""
+    from ..functions.hashing import fingerprint64_batch
+    from .dedup import coarse_buckets
+
+    parts = rd.read_parquet(_t(sf_dir, "part"), columns=["p_name"])
+    nb = coarse_buckets(parts.count(), rows_per_task=65536)
+
+    s1 = pa.schema([("variant", pa.int64()), ("name", pa.string())])
+
+    def variants(batch: pa.Table) -> pa.Table:
+        names = pc.unique(batch["p_name"]).to_pylist()
+        vh, nm = [], []
+        for name in names:
+            seen = {name}
+            frontier = {name}
+            for _ in range(k):
+                nxt = set()
+                for s in frontier:
+                    for i in range(len(s)):
+                        t = s[:i] + s[i + 1:]
+                        if t not in seen:
+                            seen.add(t)
+                            nxt.add(t)
+                frontier = nxt
+            vh.extend(seen)
+            nm.extend([name] * len(seen))
+        fp = fingerprint64_batch(vh).astype("int64")
+        return pa.table({"variant": fp, "name": pa.array(nm, pa.string())},
+                        schema=s1)
+
+    def cand_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        names = np.unique(g["name"].to_numpy())
+        if len(names) < 2:
+            return pd.DataFrame({"name_a": pd.Series([], dtype="object"),
+                                 "name_b": pd.Series([], dtype="object"),
+                                 "__pb": pd.Series([], dtype="int64")})
+        i, j = np.triu_indices(len(names), 1)
+        a, b = names[i], names[j]
+        pb = (
+            fingerprint64_batch([x + "\x1f" + y for x, y in zip(a, b)])
+            .astype("int64") % nb
+        )
+        return pd.DataFrame({"name_a": a, "name_b": b, "__pb": pb})
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["name_a", "name_b"])
+
+        def lev(a: str, b: str) -> int:
+            if abs(len(a) - len(b)) > k:
+                return k + 1
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                                   prev[j - 1] + (ca != cb)))
+                prev = cur
+            return prev[-1]
+
+        d = np.array([lev(a, b) for a, b in zip(g["name_a"], g["name_b"])],
+                     dtype="int64")
+        out = g.assign(dist=d)
+        return out[out["dist"] <= k][["name_a", "name_b", "dist"]]
+
+    out = (
+        parts.map_batches(variants, batch_format="pyarrow")
+        .groupby("variant")
+        .map_groups(cand_pairs, batch_format="pandas")
+        .groupby("__pb")
+        .map_groups(verify, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        out.drop_duplicates(["name_a", "name_b"])
+        .sort_values(["name_a", "name_b"]).reset_index(drop=True)
+        .astype({"dist": "int64"})
+    )

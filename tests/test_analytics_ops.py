@@ -5008,3 +5008,56 @@ def test_user_cohort_retention_matches_python_replay(ray_session):
     # offset-0 rows count every cohort member at least once
     z = got[got["week_offset"] == 0]["n_users"].sum()
     assert int(z) == a.groupby("user_id")["week"].min().size
+
+
+def test_event_type_frequent_pairs_matches_brute(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import (
+        event_type_frequent_pairs,
+    )
+
+    got = event_type_frequent_pairs(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "event_type"]).drop_duplicates()
+    exp = {}
+    for _, g in ev.groupby("user_id"):
+        ts = sorted(g["event_type"].unique())
+        for i in range(len(ts)):
+            for j in range(i + 1, len(ts)):
+                exp[(ts[i], ts[j])] = exp.get((ts[i], ts[j]), 0) + 1
+    exp = {k: v for k, v in exp.items() if v >= 2}
+    assert len(got) == len(exp)
+    for _, r in got.iterrows():
+        assert exp[(r["type_a"], r["type_b"])] == int(r["support"])
+
+
+def test_part_name_similarity_join_matches_brute(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import (
+        part_name_similarity_join,
+    )
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    got = part_name_similarity_join(SF)
+    names = sorted(
+        pd.read_parquet(f"{SF}/part.parquet", columns=["p_name"])
+        ["p_name"].unique()
+    )
+    exp = {}
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            d = lev(names[i], names[j])
+            if d <= 2:
+                exp[(names[i], names[j])] = d
+    assert len(got) == len(exp)
+    for _, r in got.iterrows():
+        assert exp[(r["name_a"], r["name_b"])] == int(r["dist"])
+    # blocking never emits a pair twice
+    assert not got.duplicated(["name_a", "name_b"]).any()
