@@ -831,6 +831,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_cohort_retention": A.user_cohort_retention,
         "event_type_frequent_pairs": A.event_type_frequent_pairs,
         "part_name_similarity_join": A.part_name_similarity_join,
+        "part_skyline": A.part_skyline,
+        "events_watermark_late": A.events_watermark_late,
         "referential_integrity_audit": A.referential_integrity_audit,
         "orders_benford": A.orders_benford,
         "source_stats_incremental": A.source_stats_incremental,
@@ -1545,6 +1547,31 @@ def oracle_sql() -> dict[str, str]:
             "FROM n a JOIN n b ON a.p_name < b.p_name "
             "AND levenshtein(a.p_name, b.p_name) <= 2 "
             "ORDER BY name_a, name_b"
+        ),
+        "part_skyline": (
+            # Pareto frontier: minimize price, maximize size
+            "WITH p AS (SELECT p_partkey, "
+            "CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS price_e2, "
+            "CAST(p_size AS BIGINT) AS size FROM part) "
+            "SELECT p_partkey, price_e2, size FROM p a "
+            "WHERE NOT EXISTS (SELECT 1 FROM p b "
+            "WHERE b.price_e2 <= a.price_e2 AND b.size >= a.size "
+            "AND (b.price_e2 < a.price_e2 OR b.size > a.size)) "
+            "ORDER BY p_partkey"
+        ),
+        "events_watermark_late": (
+            # watermark over md5-jittered arrival order; late iff event
+            # time lags the strictly-prior running max by > 30 min
+            "WITH j AS (SELECT event_id, epoch_us(ts) AS tus, "
+            "epoch_us(ts) + CAST(('0x' || substr(md5(CAST(event_id "
+            "AS VARCHAR)), 1, 12)) AS BIGINT) % 7200000000 AS akey "
+            "FROM events), "
+            "w AS (SELECT event_id, tus, MAX(tus) OVER (ORDER BY akey, "
+            "event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+            "AS wm FROM j) "
+            "SELECT event_id, CAST(CASE WHEN wm IS NOT NULL "
+            "AND tus < wm - 1800000000 THEN 1 ELSE 0 END AS BIGINT) AS late "
+            "FROM w ORDER BY event_id"
         ),
         "referential_integrity_audit": (
             # orphan FK counts across the star schema

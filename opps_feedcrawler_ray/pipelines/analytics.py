@@ -11054,3 +11054,164 @@ def part_name_similarity_join(sf_dir: str, k: int = 2) -> pd.DataFrame:
         .sort_values(["name_a", "name_b"]).reset_index(drop=True)
         .astype({"dist": "int64"})
     )
+
+
+def part_skyline(sf_dir: str) -> pd.DataFrame:
+    """SKYLINE (Pareto-frontier) QUERY — parts not dominated on
+    (minimize retail price, maximize size): b dominates a iff
+    price_b <= price_a AND size_b >= size_a with at least one strict
+    (Börzsönyi et al., ICDE 2001).  All rows sharing a non-dominated
+    (price, size) point survive.
+
+    Scale shape: the block-local skyline is a valid PRE-FILTER (the
+    global skyline is a subset of the union of local skylines, and for
+    every eliminated row a dominator survives locally — dominance is
+    transitive), so each batch emits only its local frontier via the
+    vectorized sort + exclusive-cummax kernel; the driver re-runs the
+    same kernel on the tiny candidate union."""
+    parts = rd.read_parquet(
+        _t(sf_dir, "part"), columns=["p_partkey", "p_retailprice", "p_size"]
+    )
+
+    def _frontier(df: pd.DataFrame) -> pd.DataFrame:
+        # max size per distinct price, exclusive running max over
+        # ascending prices; survivors: size == per-price max AND
+        # size > best size at any strictly lower price
+        best = df.groupby("price_e2")["size"].max().sort_index()
+        run = best.cummax().shift(fill_value=np.iinfo(np.int64).min)
+        alive = best[best > run]
+        keep = df.merge(
+            alive.rename("smax"), left_on="price_e2", right_index=True
+        )
+        return keep[keep["size"] == keep["smax"]][
+            ["p_partkey", "price_e2", "size"]
+        ]
+
+    def local(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "p_partkey": batch["p_partkey"].to_numpy(zero_copy_only=False)
+            .astype("int64"),
+            "price_e2": np.floor(
+                batch["p_retailprice"].to_numpy(zero_copy_only=False)
+                * 100.0 + 0.5
+            ).astype("int64"),
+            "size": batch["p_size"].to_numpy(zero_copy_only=False)
+            .astype("int64"),
+        })
+        out = _frontier(df)
+        return pa.Table.from_pandas(
+            out, preserve_index=False,
+            schema=pa.schema([("p_partkey", pa.int64()),
+                              ("price_e2", pa.int64()),
+                              ("size", pa.int64())]),
+        )
+
+    cand = parts.map_batches(local, batch_format="pyarrow").to_pandas()
+    out = _frontier(cand)
+    return (
+        out.sort_values("p_partkey").reset_index(drop=True)
+        .astype({"p_partkey": "int64", "price_e2": "int64", "size": "int64"})
+    )
+
+
+def events_watermark_late(sf_dir: str, delay_us: int = 1_800_000_000,
+                          jitter_us: int = 7_200_000_000) -> pd.DataFrame:
+    """WATERMARK LATE-DATA ACCOUNTING — the streaming-engine semantics
+    over a deterministic replay: arrival order is event time plus a
+    pinned md5 jitter (events land in the testdata already time-sorted,
+    so the jitter simulates network disorder identically on both
+    sides); the watermark at each arrival is the max event time seen
+    over STRICTLY EARLIER arrivals, and a row is late iff its event
+    time lags the watermark by more than ``delay_us``.
+
+    Scale shape: the global running max is a two-phase distributed
+    scan — ONE combiner pass collects per-range-bucket maxima
+    (|buckets| rows to the driver, exclusive prefix-max folded there),
+    then ONE arrival-range exchange computes the within-bucket cummax
+    seeded by the broadcast prefix.  No data-sized state anywhere."""
+    import hashlib
+
+    from .dedup import coarse_buckets
+
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "ts"])
+    nb = coarse_buckets(ev.count(), rows_per_task=65536)
+
+    def _akey(
+        batch: pa.Table,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype("int64")
+        tus = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        jit = np.array(
+            [int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16)
+             % jitter_us for i in eid],
+            dtype="int64",
+        )
+        return eid, tus, tus + jit
+
+    # arrival-key range for order-preserving buckets (one aggregate pass)
+    from ray.data.aggregate import Max, Min
+
+    agg = ev.aggregate(Min("ts"), Max("ts"))
+    lo = int(pd.Timestamp(agg["min(ts)"]).value // 1000)
+    hi = int(pd.Timestamp(agg["max(ts)"]).value // 1000) + jitter_us
+    span = hi - lo + 1
+    # sentinel "no watermark yet": far below any real time but safe
+    # from int64 wraparound when delay_us is subtracted
+    neg = -(2 ** 62)
+
+    s1 = pa.schema([("__b", pa.int64()), ("mx", pa.int64())])
+
+    def bucket_max(batch: pa.Table) -> pa.Table:
+        _, tus, ak = _akey(batch)
+        b = (ak - lo) * nb // span
+        df = pd.DataFrame({"__b": b, "mx": tus}).groupby(
+            "__b", as_index=False
+        )["mx"].max()
+        return pa.Table.from_pandas(df, schema=s1, preserve_index=False)
+
+    bm = (
+        ev.map_batches(bucket_max, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("__b")["mx"].max()
+    )
+    full = np.full(nb, neg, dtype="int64")
+    full[bm.index.to_numpy()] = bm.to_numpy()
+    # exclusive prefix max: the watermark carried INTO each bucket
+    prefix = np.empty(nb, dtype="int64")
+    prefix[0] = neg
+    np.maximum.accumulate(full[:-1], out=full[:-1])
+    prefix[1:] = full[:-1]
+
+    s2 = pa.schema([("event_id", pa.int64()), ("tus", pa.int64()),
+                    ("ak", pa.int64()), ("__b", pa.int64())])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        eid, tus, ak = _akey(batch)
+        return pa.table(
+            {"event_id": eid, "tus": tus, "ak": ak,
+             "__b": (ak - lo) * nb // span},
+            schema=s2,
+        )
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ak", "event_id"]).reset_index(drop=True)
+        carry = int(prefix[int(g["__b"].iloc[0])])
+        t = g["tus"].to_numpy()
+        wm = np.empty(len(t), dtype="int64")
+        wm[0] = carry
+        if len(t) > 1:
+            np.maximum.accumulate(t[:-1], out=wm[1:])
+            np.maximum.accumulate(np.maximum(wm, carry), out=wm)
+        late = (t < wm - delay_us).astype("int64")
+        return pd.DataFrame({"event_id": g["event_id"], "late": late})
+
+    out = (
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(score, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        out.sort_values("event_id").reset_index(drop=True)
+        .astype({"event_id": "int64", "late": "int64"})
+    )

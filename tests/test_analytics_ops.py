@@ -5061,3 +5061,52 @@ def test_part_name_similarity_join_matches_brute(ray_session):
         assert exp[(r["name_a"], r["name_b"])] == int(r["dist"])
     # blocking never emits a pair twice
     assert not got.duplicated(["name_a", "name_b"]).any()
+
+
+def test_part_skyline_matches_brute_dominance(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import part_skyline
+
+    got = part_skyline(SF)
+    p = pd.read_parquet(f"{SF}/part.parquet",
+                        columns=["p_partkey", "p_retailprice", "p_size"])
+    price = np.floor(p["p_retailprice"].to_numpy() * 100.0 + 0.5).astype("int64")
+    size = p["p_size"].to_numpy().astype("int64")
+    keep = []
+    for i in range(len(p)):
+        dom = ((price <= price[i]) & (size >= size[i])
+               & ((price < price[i]) | (size > size[i])))
+        if not dom.any():
+            keep.append(int(p["p_partkey"].iloc[i]))
+    assert sorted(keep) == got["p_partkey"].tolist()
+    # every dropped row is dominated by some surviving point
+    sk = set(zip(got["price_e2"], got["size"]))
+    for i in range(len(p)):
+        if int(p["p_partkey"].iloc[i]) not in keep:
+            assert any(sp <= price[i] and ss >= size[i]
+                       and (sp < price[i] or ss > size[i])
+                       for sp, ss in sk)
+
+
+def test_events_watermark_late_matches_serial_replay(ray_session):
+    import hashlib
+
+    from opps_feedcrawler_ray.pipelines.analytics import events_watermark_late
+
+    got = events_watermark_late(SF).set_index("event_id")
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_id", "ts"])
+    tus = ev["ts"].values.astype("datetime64[us]").astype("int64")
+    jit = np.array(
+        [int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16)
+         % 7_200_000_000 for i in ev["event_id"]], dtype="int64")
+    order = np.lexsort((ev["event_id"].to_numpy(), tus + jit))
+    wm = -(2 ** 62)
+    exp = {}
+    for idx in order:
+        eid, t = int(ev["event_id"].iloc[idx]), int(tus[idx])
+        exp[eid] = 1 if t < wm - 1_800_000_000 else 0
+        wm = max(wm, t)
+    assert len(got) == len(exp)
+    for eid, late in exp.items():
+        assert int(got.loc[eid, "late"]) == late
+    # jittered replay must produce a non-degenerate late mix
+    assert 0 < got["late"].sum() < len(got)
