@@ -826,13 +826,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_quantize_int8": A.embedding_quantize_int8,
         "orders_scd2": A.orders_scd2,
         "orders_pit_join": A.orders_pit_join,
-        "orders_cube": A.orders_cube,
-        "events_funnel": A.events_funnel,
-        "user_cohort_retention": A.user_cohort_retention,
-        "event_type_frequent_pairs": A.event_type_frequent_pairs,
         "part_name_similarity_join": A.part_name_similarity_join,
-        "part_skyline": A.part_skyline,
-        "events_watermark_late": A.events_watermark_late,
         "referential_integrity_audit": A.referential_integrity_audit,
         "orders_benford": A.orders_benford,
         "source_stats_incremental": A.source_stats_incremental,
@@ -1482,63 +1476,6 @@ def oracle_sql() -> dict[str, str]:
             "AND f.shipday >= v.valid_from AND f.shipday < v.valid_to "
             "GROUP BY v.priority, v.version ORDER BY priority, version"
         ),
-        "orders_cube": (
-            # CUBE(month, priority) with grouping ids; rolled-up keys
-            # use non-null sentinels so both sides hash identically
-            "SELECT CAST(GROUPING(month, priority) AS BIGINT) AS gid, "
-            "COALESCE(month, -1) AS month, "
-            "COALESCE(priority, 'ALL') AS priority, "
-            "CAST(COUNT(*) AS BIGINT) AS n_orders, "
-            "CAST(SUM(price_e2) AS BIGINT) AS sum_price_e2 "
-            "FROM (SELECT CAST(YEAR(o_orderdate) * 100 "
-            "+ MONTH(o_orderdate) AS BIGINT) AS month, "
-            "o_orderpriority AS priority, "
-            "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_e2 "
-            "FROM orders) GROUP BY CUBE(month, priority) "
-            "ORDER BY gid, month, priority"
-        ),
-        "events_funnel": (
-            # ordered funnel: earliest event of each step strictly
-            # after the previous step's reach time
-            "WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events "
-            "WHERE event_type = 'signup' GROUP BY user_id), "
-            "s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e "
-            "JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t "
-            "WHERE e.event_type = 'view' GROUP BY e.user_id), "
-            "s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e "
-            "JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t "
-            "WHERE e.event_type = 'click' GROUP BY e.user_id), "
-            "s4 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e "
-            "JOIN s3 ON e.user_id = s3.user_id AND e.ts > s3.t "
-            "WHERE e.event_type = 'purchase' GROUP BY e.user_id) "
-            "SELECT * FROM ("
-            "SELECT CAST(1 AS BIGINT) AS step, 'signup' AS event_type, "
-            "CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users "
-            "UNION ALL SELECT 2, 'view', (SELECT COUNT(*) FROM s2) "
-            "UNION ALL SELECT 3, 'click', (SELECT COUNT(*) FROM s3) "
-            "UNION ALL SELECT 4, 'purchase', (SELECT COUNT(*) FROM s4)"
-            ") ORDER BY step"
-        ),
-        "user_cohort_retention": (
-            # weekly cohort retention triangle over distinct-active weeks
-            "WITH a AS (SELECT DISTINCT user_id, "
-            "CAST(FLOOR(EPOCH(ts) / 604800) AS BIGINT) AS w FROM events), "
-            "f AS (SELECT user_id, MIN(w) AS cw FROM a GROUP BY user_id) "
-            "SELECT f.cw AS cohort_week, a.w - f.cw AS week_offset, "
-            "CAST(COUNT(*) AS BIGINT) AS n_users "
-            "FROM a JOIN f ON a.user_id = f.user_id "
-            "GROUP BY f.cw, a.w - f.cw ORDER BY cohort_week, week_offset"
-        ),
-        "event_type_frequent_pairs": (
-            # A-priori pair support over distinct per-user baskets
-            "WITH ut AS (SELECT DISTINCT user_id, event_type FROM events) "
-            "SELECT a.event_type AS type_a, b.event_type AS type_b, "
-            "CAST(COUNT(*) AS BIGINT) AS support "
-            "FROM ut a JOIN ut b ON a.user_id = b.user_id "
-            "AND a.event_type < b.event_type "
-            "GROUP BY a.event_type, b.event_type HAVING COUNT(*) >= 2 "
-            "ORDER BY type_a, type_b"
-        ),
         "part_name_similarity_join": (
             # exact Levenshtein-threshold join over distinct names
             "WITH n AS (SELECT DISTINCT p_name FROM part) "
@@ -1547,31 +1484,6 @@ def oracle_sql() -> dict[str, str]:
             "FROM n a JOIN n b ON a.p_name < b.p_name "
             "AND levenshtein(a.p_name, b.p_name) <= 2 "
             "ORDER BY name_a, name_b"
-        ),
-        "part_skyline": (
-            # Pareto frontier: minimize price, maximize size
-            "WITH p AS (SELECT p_partkey, "
-            "CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS price_e2, "
-            "CAST(p_size AS BIGINT) AS size FROM part) "
-            "SELECT p_partkey, price_e2, size FROM p a "
-            "WHERE NOT EXISTS (SELECT 1 FROM p b "
-            "WHERE b.price_e2 <= a.price_e2 AND b.size >= a.size "
-            "AND (b.price_e2 < a.price_e2 OR b.size > a.size)) "
-            "ORDER BY p_partkey"
-        ),
-        "events_watermark_late": (
-            # watermark over md5-jittered arrival order; late iff event
-            # time lags the strictly-prior running max by > 30 min
-            "WITH j AS (SELECT event_id, epoch_us(ts) AS tus, "
-            "epoch_us(ts) + CAST(('0x' || substr(md5(CAST(event_id "
-            "AS VARCHAR)), 1, 12)) AS BIGINT) % 7200000000 AS akey "
-            "FROM events), "
-            "w AS (SELECT event_id, tus, MAX(tus) OVER (ORDER BY akey, "
-            "event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
-            "AS wm FROM j) "
-            "SELECT event_id, CAST(CASE WHEN wm IS NOT NULL "
-            "AND tus < wm - 1800000000 THEN 1 ELSE 0 END AS BIGINT) AS late "
-            "FROM w ORDER BY event_id"
         ),
         "referential_integrity_audit": (
             # orphan FK counts across the star schema

@@ -10724,246 +10724,6 @@ def orders_pit_join(sf_dir: str) -> pd.DataFrame:
     )
 
 
-def orders_cube(sf_dir: str) -> pd.DataFrame:
-    """GROUPING SETS / CUBE over (order month, priority) — the OLAP
-    multi-level rollup in ONE pass: each batch emits partials for all
-    four grouping sets tagged with the standard grouping id (bit set =
-    column aggregated away, first column = MSB, matching
-    ``GROUPING(month, priority)``); a tiny |months·priorities|·4-row
-    fold finishes.  Rolled-up keys use non-null sentinels (-1 / 'ALL')
-    so both sides hash identically.
-
-    Scale shape: zero data-sized exchanges — the cube multiplies only
-    the COMBINER output (4× a domain-bounded frame), never the input."""
-    orders = rd.read_parquet(
-        _t(sf_dir, "orders"),
-        columns=["o_orderdate", "o_orderpriority", "o_totalprice"],
-    )
-
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        month = (
-            batch["o_orderdate"].dt.year * 100 + batch["o_orderdate"].dt.month
-        ).astype("int64")
-        price = np.floor(
-            batch["o_totalprice"].to_numpy() * 100.0 + 0.5
-        ).astype("int64")
-        df = pd.DataFrame(
-            {"month": month, "priority": batch["o_orderpriority"], "p": price}
-        )
-        outs = []
-        for gid, keys in (
-            (0, ["month", "priority"]), (1, ["month"]), (2, ["priority"]),
-            (3, []),
-        ):
-            if keys:
-                g = df.groupby(keys, as_index=False).agg(
-                    n_orders=("p", "size"), sum_price_e2=("p", "sum")
-                )
-            else:
-                g = pd.DataFrame(
-                    {"n_orders": [len(df)], "sum_price_e2": [df["p"].sum()]}
-                )
-            if "month" not in g.columns:
-                g["month"] = -1
-            if "priority" not in g.columns:
-                g["priority"] = "ALL"
-            g["gid"] = gid
-            outs.append(
-                g[["gid", "month", "priority", "n_orders", "sum_price_e2"]]
-            )
-        out = pd.concat(outs, ignore_index=True)
-        return out.astype(
-            {"gid": "int64", "month": "int64", "n_orders": "int64",
-             "sum_price_e2": "int64"}
-        )
-
-    out = (
-        orders.map_batches(partial, batch_format="pandas")
-        .groupby(["gid", "month", "priority"])
-        .sum(["n_orders", "sum_price_e2"])
-        .to_pandas()
-        .rename(columns={"sum(n_orders)": "n_orders",
-                         "sum(sum_price_e2)": "sum_price_e2"})
-    )
-    return (
-        out.sort_values(["gid", "month", "priority"]).reset_index(drop=True)
-        [["gid", "month", "priority", "n_orders", "sum_price_e2"]]
-        .astype({"gid": "int64", "month": "int64", "n_orders": "int64",
-                 "sum_price_e2": "int64"})
-    )
-
-
-def events_funnel(sf_dir: str) -> pd.DataFrame:
-    """FUNNEL ANALYSIS — ordered conversion signup → view → click →
-    purchase: a user reaches step k+1 at their EARLIEST event of that
-    type strictly after the step-k reach time (the classic product-
-    analytics funnel, not expressible as a plain groupby).
-
-    Scale shape: ONE user-bucket exchange makes every user's history
-    bucket-complete; inside each bucket the chain is 4 grouped-min /
-    merge passes (vectorized, no per-user Python); each bucket emits 4
-    rows and the driver folds |buckets|·4."""
-    from .dedup import coarse_buckets
-
-    steps = ["signup", "view", "click", "purchase"]
-    ev = rd.read_parquet(
-        _t(sf_dir, "events"), columns=["user_id", "event_type", "ts"]
-    )
-    nb = coarse_buckets(ev.count(), rows_per_task=65536)
-
-    s1 = pa.schema([("user_id", pa.int64()), ("event_type", pa.string()),
-                    ("ts", pa.int64()), ("__b", pa.int64())])
-
-    def partial(batch: pa.Table) -> pa.Table:
-        t = batch.filter(
-            pc.is_in(batch["event_type"], value_set=pa.array(steps))
-        )
-        u = t["user_id"].to_numpy(zero_copy_only=False).astype("int64")
-        return pa.table(
-            {"user_id": u, "event_type": t["event_type"],
-             "ts": t["ts"].cast(pa.int64()), "__b": u % nb},
-            schema=s1,
-        )
-
-    def funnel(g: pd.DataFrame) -> pd.DataFrame:
-        counts = []
-        cur = None
-        for step in steps:
-            s = g[g["event_type"] == step]
-            if cur is None:
-                cur = s.groupby("user_id")["ts"].min()
-            else:
-                m = s.merge(cur.rename("prev"), left_on="user_id",
-                            right_index=True, how="inner")
-                cur = m[m["ts"] > m["prev"]].groupby("user_id")["ts"].min()
-            counts.append(len(cur))
-        return pd.DataFrame(
-            {"step": np.arange(1, 5, dtype="int64"), "event_type": steps,
-             "n_users": np.asarray(counts, dtype="int64")}
-        )
-
-    cells = (
-        ev.map_batches(partial, batch_format="pyarrow")
-        .groupby("__b")
-        .map_groups(funnel, batch_format="pandas")
-        .to_pandas()
-    )
-    out = cells.groupby(["step", "event_type"], as_index=False)["n_users"].sum()
-    return (
-        out.sort_values("step").reset_index(drop=True)
-        .astype({"step": "int64", "n_users": "int64"})
-        [["step", "event_type", "n_users"]]
-    )
-
-
-def user_cohort_retention(sf_dir: str) -> pd.DataFrame:
-    """COHORT RETENTION — users grouped by the epoch-week of their
-    first event; for each (cohort_week, week_offset) the number of
-    distinct cohort members active that week (the standard retention
-    triangle).
-
-    Scale shape: per-batch (user, week) dedup shrinks the stream
-    before ONE user-bucket exchange; users are bucket-complete so the
-    per-bucket nunique is exact and bucket partials SUM to the global
-    distinct count — no second distinct pass."""
-    from .dedup import coarse_buckets
-
-    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
-    nb = coarse_buckets(ev.count(), rows_per_task=65536)
-
-    s1 = pa.schema([("user_id", pa.int64()), ("week", pa.int64()),
-                    ("__b", pa.int64())])
-
-    def partial(batch: pa.Table) -> pa.Table:
-        u = batch["user_id"].to_numpy(zero_copy_only=False).astype("int64")
-        w = (batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-             // (604_800 * 1_000_000)).astype("int64")
-        df = pd.DataFrame({"user_id": u, "week": w}).drop_duplicates()
-        df["__b"] = (df["user_id"].to_numpy() % nb).astype("int64")
-        return pa.Table.from_pandas(df, schema=s1, preserve_index=False)
-
-    def retention(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(["user_id", "week"])
-        first = g.groupby("user_id")["week"].transform("min")
-        out = pd.DataFrame(
-            {"cohort_week": first, "week_offset": g["week"] - first,
-             "user_id": g["user_id"]}
-        )
-        r = out.groupby(["cohort_week", "week_offset"], as_index=False).agg(
-            n_users=("user_id", "nunique")
-        )
-        return r.astype({"cohort_week": "int64", "week_offset": "int64",
-                         "n_users": "int64"})
-
-    cells = (
-        ev.map_batches(partial, batch_format="pyarrow")
-        .groupby("__b")
-        .map_groups(retention, batch_format="pandas")
-        .to_pandas()
-    )
-    out = cells.groupby(
-        ["cohort_week", "week_offset"], as_index=False
-    )["n_users"].sum()
-    return (
-        out.sort_values(["cohort_week", "week_offset"]).reset_index(drop=True)
-        .astype({"cohort_week": "int64", "week_offset": "int64",
-                 "n_users": "int64"})
-    )
-
-
-def event_type_frequent_pairs(sf_dir: str, minsup: int = 2) -> pd.DataFrame:
-    """FREQUENT ITEMSET MINING (pairs) — the SON / A-priori shape:
-    support(a, b) = number of users whose basket (distinct event types)
-    contains both.  Pairs with support >= ``minsup`` survive.
-
-    Scale shape: per-batch (user, type) dedup shrinks the stream, ONE
-    user-bucket exchange makes baskets bucket-complete, then pair
-    generation is a self-merge per bucket (|types|²-bounded output, 
-    never data-sized); bucket partials SUM to exact global support
-    because a user lives in exactly one bucket."""
-    from .dedup import coarse_buckets
-
-    ev = rd.read_parquet(
-        _t(sf_dir, "events"), columns=["user_id", "event_type"]
-    )
-    nb = coarse_buckets(ev.count(), rows_per_task=65536)
-
-    s1 = pa.schema([("user_id", pa.int64()), ("event_type", pa.string()),
-                    ("__b", pa.int64())])
-
-    def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas().drop_duplicates()
-        u = df["user_id"].to_numpy().astype("int64")
-        return pa.table(
-            {"user_id": u, "event_type": df["event_type"], "__b": u % nb},
-            schema=s1,
-        )
-
-    def pair_support(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(["user_id", "event_type"])
-        m = g.merge(g, on="user_id", suffixes=("_a", "_b"))
-        m = m[m["event_type_a"] < m["event_type_b"]]
-        out = m.groupby(
-            ["event_type_a", "event_type_b"], as_index=False
-        ).agg(support=("user_id", "nunique"))
-        return out.rename(
-            columns={"event_type_a": "type_a", "event_type_b": "type_b"}
-        ).astype({"support": "int64"})
-
-    cells = (
-        ev.map_batches(partial, batch_format="pyarrow")
-        .groupby("__b")
-        .map_groups(pair_support, batch_format="pandas")
-        .to_pandas()
-    )
-    out = cells.groupby(["type_a", "type_b"], as_index=False)["support"].sum()
-    out = out[out["support"] >= minsup]
-    return (
-        out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
-        .astype({"support": "int64"})
-    )
-
-
 def part_name_similarity_join(sf_dir: str, k: int = 2) -> pd.DataFrame:
     """STRING SIMILARITY JOIN — all distinct part-name pairs within
     Levenshtein distance ``k``, via FastSS / SymSpell deletion-
@@ -10971,7 +10731,10 @@ def part_name_similarity_join(sf_dir: str, k: int = 2) -> pd.DataFrame:
     names share a variant reachable by <= k character deletions from
     each, so grouping on variant fingerprints yields a candidate
     SUPERSET; an exact DP verify inside pair-hash buckets makes the
-    result exact (never all-pairs).
+    result exact (never all-pairs).  Complements
+    ``part_fuzzy_name_match`` (probe-vs-vocabulary at ed <= 1,
+    first-char blocking): this is the full SELF-join at ed <= 2 with a
+    blocking scheme whose recall is provable, not heuristic.
 
     Scale shape: the neighborhood expansion runs per DISTINCT name per
     batch (dictionary-bounded, ~|name|^k variants each); ONE variant
@@ -11053,165 +10816,4 @@ def part_name_similarity_join(sf_dir: str, k: int = 2) -> pd.DataFrame:
         out.drop_duplicates(["name_a", "name_b"])
         .sort_values(["name_a", "name_b"]).reset_index(drop=True)
         .astype({"dist": "int64"})
-    )
-
-
-def part_skyline(sf_dir: str) -> pd.DataFrame:
-    """SKYLINE (Pareto-frontier) QUERY — parts not dominated on
-    (minimize retail price, maximize size): b dominates a iff
-    price_b <= price_a AND size_b >= size_a with at least one strict
-    (Börzsönyi et al., ICDE 2001).  All rows sharing a non-dominated
-    (price, size) point survive.
-
-    Scale shape: the block-local skyline is a valid PRE-FILTER (the
-    global skyline is a subset of the union of local skylines, and for
-    every eliminated row a dominator survives locally — dominance is
-    transitive), so each batch emits only its local frontier via the
-    vectorized sort + exclusive-cummax kernel; the driver re-runs the
-    same kernel on the tiny candidate union."""
-    parts = rd.read_parquet(
-        _t(sf_dir, "part"), columns=["p_partkey", "p_retailprice", "p_size"]
-    )
-
-    def _frontier(df: pd.DataFrame) -> pd.DataFrame:
-        # max size per distinct price, exclusive running max over
-        # ascending prices; survivors: size == per-price max AND
-        # size > best size at any strictly lower price
-        best = df.groupby("price_e2")["size"].max().sort_index()
-        run = best.cummax().shift(fill_value=np.iinfo(np.int64).min)
-        alive = best[best > run]
-        keep = df.merge(
-            alive.rename("smax"), left_on="price_e2", right_index=True
-        )
-        return keep[keep["size"] == keep["smax"]][
-            ["p_partkey", "price_e2", "size"]
-        ]
-
-    def local(batch: pa.Table) -> pa.Table:
-        df = pd.DataFrame({
-            "p_partkey": batch["p_partkey"].to_numpy(zero_copy_only=False)
-            .astype("int64"),
-            "price_e2": np.floor(
-                batch["p_retailprice"].to_numpy(zero_copy_only=False)
-                * 100.0 + 0.5
-            ).astype("int64"),
-            "size": batch["p_size"].to_numpy(zero_copy_only=False)
-            .astype("int64"),
-        })
-        out = _frontier(df)
-        return pa.Table.from_pandas(
-            out, preserve_index=False,
-            schema=pa.schema([("p_partkey", pa.int64()),
-                              ("price_e2", pa.int64()),
-                              ("size", pa.int64())]),
-        )
-
-    cand = parts.map_batches(local, batch_format="pyarrow").to_pandas()
-    out = _frontier(cand)
-    return (
-        out.sort_values("p_partkey").reset_index(drop=True)
-        .astype({"p_partkey": "int64", "price_e2": "int64", "size": "int64"})
-    )
-
-
-def events_watermark_late(sf_dir: str, delay_us: int = 1_800_000_000,
-                          jitter_us: int = 7_200_000_000) -> pd.DataFrame:
-    """WATERMARK LATE-DATA ACCOUNTING — the streaming-engine semantics
-    over a deterministic replay: arrival order is event time plus a
-    pinned md5 jitter (events land in the testdata already time-sorted,
-    so the jitter simulates network disorder identically on both
-    sides); the watermark at each arrival is the max event time seen
-    over STRICTLY EARLIER arrivals, and a row is late iff its event
-    time lags the watermark by more than ``delay_us``.
-
-    Scale shape: the global running max is a two-phase distributed
-    scan — ONE combiner pass collects per-range-bucket maxima
-    (|buckets| rows to the driver, exclusive prefix-max folded there),
-    then ONE arrival-range exchange computes the within-bucket cummax
-    seeded by the broadcast prefix.  No data-sized state anywhere."""
-    import hashlib
-
-    from .dedup import coarse_buckets
-
-    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "ts"])
-    nb = coarse_buckets(ev.count(), rows_per_task=65536)
-
-    def _akey(
-        batch: pa.Table,
-    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype("int64")
-        tus = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        jit = np.array(
-            [int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16)
-             % jitter_us for i in eid],
-            dtype="int64",
-        )
-        return eid, tus, tus + jit
-
-    # arrival-key range for order-preserving buckets (one aggregate pass)
-    from ray.data.aggregate import Max, Min
-
-    agg = ev.aggregate(Min("ts"), Max("ts"))
-    lo = int(pd.Timestamp(agg["min(ts)"]).value // 1000)
-    hi = int(pd.Timestamp(agg["max(ts)"]).value // 1000) + jitter_us
-    span = hi - lo + 1
-    # sentinel "no watermark yet": far below any real time but safe
-    # from int64 wraparound when delay_us is subtracted
-    neg = -(2 ** 62)
-
-    s1 = pa.schema([("__b", pa.int64()), ("mx", pa.int64())])
-
-    def bucket_max(batch: pa.Table) -> pa.Table:
-        _, tus, ak = _akey(batch)
-        b = (ak - lo) * nb // span
-        df = pd.DataFrame({"__b": b, "mx": tus}).groupby(
-            "__b", as_index=False
-        )["mx"].max()
-        return pa.Table.from_pandas(df, schema=s1, preserve_index=False)
-
-    bm = (
-        ev.map_batches(bucket_max, batch_format="pyarrow")
-        .to_pandas()
-        .groupby("__b")["mx"].max()
-    )
-    full = np.full(nb, neg, dtype="int64")
-    full[bm.index.to_numpy()] = bm.to_numpy()
-    # exclusive prefix max: the watermark carried INTO each bucket
-    prefix = np.empty(nb, dtype="int64")
-    prefix[0] = neg
-    np.maximum.accumulate(full[:-1], out=full[:-1])
-    prefix[1:] = full[:-1]
-
-    s2 = pa.schema([("event_id", pa.int64()), ("tus", pa.int64()),
-                    ("ak", pa.int64()), ("__b", pa.int64())])
-
-    def tag(batch: pa.Table) -> pa.Table:
-        eid, tus, ak = _akey(batch)
-        return pa.table(
-            {"event_id": eid, "tus": tus, "ak": ak,
-             "__b": (ak - lo) * nb // span},
-            schema=s2,
-        )
-
-    def score(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ak", "event_id"]).reset_index(drop=True)
-        carry = int(prefix[int(g["__b"].iloc[0])])
-        t = g["tus"].to_numpy()
-        wm = np.empty(len(t), dtype="int64")
-        wm[0] = carry
-        if len(t) > 1:
-            np.maximum.accumulate(t[:-1], out=wm[1:])
-            np.maximum.accumulate(np.maximum(wm, carry), out=wm)
-        late = (t < wm - delay_us).astype("int64")
-        return pd.DataFrame({"event_id": g["event_id"], "late": late})
-
-    out = (
-        ev.map_batches(tag, batch_format="pyarrow")
-        .groupby("__b")
-        .map_groups(score, batch_format="pandas")
-        .to_pandas()
-    )
-    return (
-        out.sort_values("event_id").reset_index(drop=True)
-        .astype({"event_id": "int64", "late": "int64"})
     )

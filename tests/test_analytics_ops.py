@@ -4944,92 +4944,6 @@ def test_orders_pit_join_matches_interval_replay(ray_session):
         assert int(gi.loc[key, "sum_qty_e2"]) == int(r["sum_qty_e2"])
 
 
-def test_orders_cube_internally_consistent(ray_session):
-    from opps_feedcrawler_ray.pipelines.analytics import orders_cube
-
-    got = orders_cube(SF)
-    detail = got[got["gid"] == 0]
-    bymonth = got[got["gid"] == 1].set_index("month")
-    byprio = got[got["gid"] == 2].set_index("priority")
-    total = got[got["gid"] == 3]
-    for col in ("n_orders", "sum_price_e2"):
-        agg_m = detail.groupby("month")[col].sum()
-        for m, v in agg_m.items():
-            assert int(bymonth.loc[m, col]) == int(v)
-        agg_p = detail.groupby("priority")[col].sum()
-        for p, v in agg_p.items():
-            assert int(byprio.loc[p, col]) == int(v)
-        assert int(total[col].iloc[0]) == int(detail[col].sum())
-    assert (total["month"] == -1).all() and (total["priority"] == "ALL").all()
-
-
-def test_events_funnel_matches_python_replay(ray_session):
-    from opps_feedcrawler_ray.pipelines.analytics import events_funnel
-
-    got = events_funnel(SF).set_index("step")
-    ev = pd.read_parquet(f"{SF}/events.parquet",
-                         columns=["user_id", "event_type", "ts"])
-    steps = ["signup", "view", "click", "purchase"]
-    reach = {}
-    for uid, g in ev.groupby("user_id"):
-        t = None
-        for i, step in enumerate(steps):
-            cand = g[g["event_type"] == step]
-            if t is not None:
-                cand = cand[cand["ts"] > t]
-            if len(cand) == 0:
-                break
-            t = cand["ts"].min()
-            reach[i + 1] = reach.get(i + 1, 0) + 1
-    for step in range(1, 5):
-        assert int(got.loc[step, "n_users"]) == reach.get(step, 0)
-    # funnel counts are non-increasing by construction
-    n = got["n_users"].to_numpy()
-    assert (n[:-1] >= n[1:]).all()
-
-
-def test_user_cohort_retention_matches_python_replay(ray_session):
-    from opps_feedcrawler_ray.pipelines.analytics import user_cohort_retention
-
-    got = user_cohort_retention(SF)
-    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts"])
-    w = ev["ts"].values.astype("datetime64[s]").astype("int64") // 604800
-    a = pd.DataFrame({"user_id": ev["user_id"], "week": w}).drop_duplicates()
-    first = a.groupby("user_id")["week"].transform("min")
-    exp = (
-        pd.DataFrame({"cw": first, "off": a["week"] - first,
-                      "u": a["user_id"]})
-        .groupby(["cw", "off"])["u"].nunique()
-    )
-    assert len(got) == len(exp)
-    for (cw, off), n in exp.items():
-        row = got[(got["cohort_week"] == cw) & (got["week_offset"] == off)]
-        assert int(row["n_users"].iloc[0]) == int(n)
-    # offset-0 rows count every cohort member at least once
-    z = got[got["week_offset"] == 0]["n_users"].sum()
-    assert int(z) == a.groupby("user_id")["week"].min().size
-
-
-def test_event_type_frequent_pairs_matches_brute(ray_session):
-    from opps_feedcrawler_ray.pipelines.analytics import (
-        event_type_frequent_pairs,
-    )
-
-    got = event_type_frequent_pairs(SF)
-    ev = pd.read_parquet(f"{SF}/events.parquet",
-                         columns=["user_id", "event_type"]).drop_duplicates()
-    exp = {}
-    for _, g in ev.groupby("user_id"):
-        ts = sorted(g["event_type"].unique())
-        for i in range(len(ts)):
-            for j in range(i + 1, len(ts)):
-                exp[(ts[i], ts[j])] = exp.get((ts[i], ts[j]), 0) + 1
-    exp = {k: v for k, v in exp.items() if v >= 2}
-    assert len(got) == len(exp)
-    for _, r in got.iterrows():
-        assert exp[(r["type_a"], r["type_b"])] == int(r["support"])
-
-
 def test_part_name_similarity_join_matches_brute(ray_session):
     from opps_feedcrawler_ray.pipelines.analytics import (
         part_name_similarity_join,
@@ -5061,52 +4975,3 @@ def test_part_name_similarity_join_matches_brute(ray_session):
         assert exp[(r["name_a"], r["name_b"])] == int(r["dist"])
     # blocking never emits a pair twice
     assert not got.duplicated(["name_a", "name_b"]).any()
-
-
-def test_part_skyline_matches_brute_dominance(ray_session):
-    from opps_feedcrawler_ray.pipelines.analytics import part_skyline
-
-    got = part_skyline(SF)
-    p = pd.read_parquet(f"{SF}/part.parquet",
-                        columns=["p_partkey", "p_retailprice", "p_size"])
-    price = np.floor(p["p_retailprice"].to_numpy() * 100.0 + 0.5).astype("int64")
-    size = p["p_size"].to_numpy().astype("int64")
-    keep = []
-    for i in range(len(p)):
-        dom = ((price <= price[i]) & (size >= size[i])
-               & ((price < price[i]) | (size > size[i])))
-        if not dom.any():
-            keep.append(int(p["p_partkey"].iloc[i]))
-    assert sorted(keep) == got["p_partkey"].tolist()
-    # every dropped row is dominated by some surviving point
-    sk = set(zip(got["price_e2"], got["size"]))
-    for i in range(len(p)):
-        if int(p["p_partkey"].iloc[i]) not in keep:
-            assert any(sp <= price[i] and ss >= size[i]
-                       and (sp < price[i] or ss > size[i])
-                       for sp, ss in sk)
-
-
-def test_events_watermark_late_matches_serial_replay(ray_session):
-    import hashlib
-
-    from opps_feedcrawler_ray.pipelines.analytics import events_watermark_late
-
-    got = events_watermark_late(SF).set_index("event_id")
-    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_id", "ts"])
-    tus = ev["ts"].values.astype("datetime64[us]").astype("int64")
-    jit = np.array(
-        [int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16)
-         % 7_200_000_000 for i in ev["event_id"]], dtype="int64")
-    order = np.lexsort((ev["event_id"].to_numpy(), tus + jit))
-    wm = -(2 ** 62)
-    exp = {}
-    for idx in order:
-        eid, t = int(ev["event_id"].iloc[idx]), int(tus[idx])
-        exp[eid] = 1 if t < wm - 1_800_000_000 else 0
-        wm = max(wm, t)
-    assert len(got) == len(exp)
-    for eid, late in exp.items():
-        assert int(got.loc[eid, "late"]) == late
-    # jittered replay must produce a non-degenerate late mix
-    assert 0 < got["late"].sum() < len(got)
