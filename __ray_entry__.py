@@ -827,6 +827,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_scd2": A.orders_scd2,
         "orders_pit_join": A.orders_pit_join,
         "part_name_similarity_join": A.part_name_similarity_join,
+        "orders_theilsen_trend": A.orders_theilsen_trend,
+        "purchase_shapley_attribution": A.purchase_shapley_attribution,
         "referential_integrity_audit": A.referential_integrity_audit,
         "orders_benford": A.orders_benford,
         "source_stats_incremental": A.source_stats_incremental,
@@ -1060,6 +1062,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_audio_frames": _q_media_audio,
         "media_video_frames": _q_media_video,
     }
+
+
+def _shapley_oracle_sql() -> str:
+    """Exact Shapley attribution over the 16-subset lattice, generated
+    so the SQL's term order and weight arithmetic mirror the engine's
+    float expression tree exactly (same left-to-right sums)."""
+    import math
+
+    channels = ["click", "error", "signup", "view"]
+    n = len(channels)
+    case = " + ".join(
+        f"{1 << k} * MAX(CASE WHEN event_type = '{channels[k]}' "
+        "THEN 1 ELSE 0 END)"
+        for k in range(n)
+    )
+    head = (
+        "WITH u AS (SELECT user_id, " + case + " AS mask, "
+        "MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv "
+        "FROM events GROUP BY user_id), "
+        "c AS (SELECT mask, COUNT(*) AS n, SUM(conv) AS k FROM u "
+        "GROUP BY mask), "
+        "v AS (SELECT m.mask, COALESCE(CAST(c.k AS DOUBLE) / c.n, 0.0) "
+        "AS val FROM (SELECT UNNEST(RANGE(16)) AS mask) m "
+        "LEFT JOIN c USING (mask))"
+    )
+    sels = []
+    for k, ch in enumerate(channels):
+        terms = []
+        for s in range(1 << n):
+            if s & (1 << k):
+                continue
+            size = bin(s).count("1")
+            w = (f"({math.factorial(size)}.0 * "
+                 f"{math.factorial(n - size - 1)}.0 / "
+                 f"{math.factorial(n)}.0)")
+            terms.append(
+                f"{w} * ((SELECT val FROM v WHERE mask = {s | (1 << k)}) "
+                f"- (SELECT val FROM v WHERE mask = {s}))"
+            )
+        expr = " + ".join(terms)
+        sels.append(
+            f"SELECT '{ch}' AS channel, "
+            f"CAST(FLOOR(({expr}) * 1e6 + 0.5) AS BIGINT) AS phi_e6"
+        )
+    return head + " " + " UNION ALL ".join(sels) + " ORDER BY channel"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1485,6 +1532,24 @@ def oracle_sql() -> dict[str, str]:
             "AND levenshtein(a.p_name, b.p_name) <= 2 "
             "ORDER BY name_a, name_b"
         ),
+        "orders_theilsen_trend": (
+            # Theil-Sen: median pairwise slope of daily revenue
+            "WITH d AS (SELECT CAST(FLOOR(EPOCH(o_orderdate) / 86400) "
+            "AS BIGINT) AS day, CAST(SUM(CAST(FLOOR(o_totalprice * 100 "
+            "+ 0.5) AS BIGINT)) AS BIGINT) AS rev_e2 "
+            "FROM orders GROUP BY 1), "
+            "s AS (SELECT (b.rev_e2 - a.rev_e2) "
+            "/ CAST(b.day - a.day AS DOUBLE) AS sl "
+            "FROM d a JOIN d b ON a.day < b.day), "
+            "m AS (SELECT CAST(FLOOR(MEDIAN(sl) * 1e6 + 0.5) AS BIGINT) "
+            "AS slope_e6 FROM s), "
+            "i AS (SELECT CAST(FLOOR(MEDIAN(d.rev_e2 "
+            "- (m.slope_e6 / 1e6) * d.day) + 0.5) AS BIGINT) AS icept_e2 "
+            "FROM d, m GROUP BY ALL) "
+            "SELECT CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_days, "
+            "m.slope_e6, i.icept_e2 FROM m, i"
+        ),
+        "purchase_shapley_attribution": _shapley_oracle_sql(),
         "referential_integrity_audit": (
             # orphan FK counts across the star schema
             "SELECT fk, n_rows, n_orphans FROM ("

@@ -10817,3 +10817,135 @@ def part_name_similarity_join(sf_dir: str, k: int = 2) -> pd.DataFrame:
         .sort_values(["name_a", "name_b"]).reset_index(drop=True)
         .astype({"dist": "int64"})
     )
+
+
+def orders_theilsen_trend(sf_dir: str) -> pd.DataFrame:
+    """ROBUST REGRESSION (Theil–Sen estimator, Sen 1968): the median of
+    all pairwise slopes of daily revenue vs day — the
+    breakdown-point-29% trend line OLS (``lineitem_price_regression``)
+    cannot give.  Slope and intercept floored at e6 / e0 on both sides
+    from bit-identical double arithmetic over the same int64 daily
+    table.
+
+    Scale shape: the pairwise-slope set is O(|days|²) — quadratic in
+    the DOMAIN, not the data — so ONE |days|-bounded combiner pass
+    reduces 100 TB to ≤ a few thousand (day, rev) rows and the driver
+    finishes the median exactly; nothing data-sized moves."""
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderdate", "o_totalprice"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            batch["o_orderdate"].values.astype("datetime64[s]")
+            .astype("int64") // 86400
+        )
+        rev = np.floor(
+            batch["o_totalprice"].to_numpy() * 100.0 + 0.5
+        ).astype("int64")
+        return (
+            pd.DataFrame({"day": day, "rev_e2": rev})
+            .groupby("day", as_index=False)["rev_e2"].sum()
+        )
+
+    daily = (
+        orders.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("day", as_index=False)["rev_e2"].sum()
+        .sort_values("day")
+    )
+    day = daily["day"].to_numpy(dtype="float64")
+    rev = daily["rev_e2"].to_numpy(dtype="float64")
+    i, j = np.triu_indices(len(day), 1)
+    slopes = (rev[j] - rev[i]) / (day[j] - day[i])
+    slope = float(np.median(slopes))
+    icept = float(np.median(rev - (np.floor(slope * 1e6 + 0.5) / 1e6) * day))
+    return pd.DataFrame({
+        "n_days": np.array([len(day)], dtype="int64"),
+        "slope_e6": np.array([np.floor(slope * 1e6 + 0.5)], dtype="int64"),
+        "icept_e2": np.array([np.floor(icept + 0.5)], dtype="int64"),
+    })
+
+
+def purchase_shapley_attribution(sf_dir: str) -> pd.DataFrame:
+    """SHAPLEY-VALUE ATTRIBUTION (Shapley 1953; data-driven marketing
+    attribution à la Zhao et al. 2018): the conversion characteristic
+    function v(S) = observed purchase rate of users whose non-purchase
+    channel set is exactly S (unobserved subsets contribute 0), and
+    each channel's credit is its exact Shapley value over the
+    2^|channels| lattice — a different published model from the
+    removal-effect Markov attribution (``event_attribution_markov``).
+
+    Scale shape: ONE user-bucket exchange completes each user's
+    channel bitmask + converted flag; per-bucket (mask, users,
+    conversions) partials are ≤ 2^|channels| rows; the driver folds
+    the 16-row table and runs the closed-form Shapley sum — nothing
+    data-sized anywhere."""
+    from .dedup import coarse_buckets
+
+    channels = ["click", "error", "signup", "view"]
+    n = len(channels)
+    ev = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "event_type"]
+    )
+    nb = coarse_buckets(ev.count(), rows_per_task=65536)
+
+    s1 = pa.schema([("user_id", pa.int64()), ("event_type", pa.string()),
+                    ("__b", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates()
+        u = df["user_id"].to_numpy().astype("int64")
+        return pa.table(
+            {"user_id": u, "event_type": df["event_type"], "__b": u % nb},
+            schema=s1,
+        )
+
+    def masks(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "event_type"])
+        bit = pd.Series(
+            {c: 1 << k for k, c in enumerate(channels)}, dtype="int64"
+        )
+        g = g.assign(
+            b=g["event_type"].map(bit).fillna(0).astype("int64"),
+            conv=(g["event_type"] == "purchase").astype("int64"),
+        )
+        per_user = g.groupby("user_id").agg(
+            mask=("b", "sum"), conv=("conv", "max")
+        )
+        out = per_user.groupby("mask", as_index=False).agg(
+            n_users=("conv", "size"), n_conv=("conv", "sum")
+        )
+        return out.astype(
+            {"mask": "int64", "n_users": "int64", "n_conv": "int64"}
+        )
+
+    cells = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(masks, batch_format="pandas")
+        .to_pandas()
+    )
+    tab = cells.groupby("mask", as_index=False).sum()
+    users = np.zeros(1 << n, dtype="int64")
+    convs = np.zeros(1 << n, dtype="int64")
+    users[tab["mask"].to_numpy()] = tab["n_users"].to_numpy()
+    convs[tab["mask"].to_numpy()] = tab["n_conv"].to_numpy()
+    v = np.where(users > 0, convs / np.maximum(users, 1), 0.0)
+
+    import math
+
+    rows = []
+    for k, c in enumerate(channels):
+        phi = 0.0
+        for s in range(1 << n):
+            if s & (1 << k):
+                continue
+            size = bin(s).count("1")
+            w = (math.factorial(size) * math.factorial(n - size - 1)
+                 / math.factorial(n))
+            phi += w * (v[s | (1 << k)] - v[s])
+        rows.append((c, int(np.floor(phi * 1e6 + 0.5))))
+    return pd.DataFrame(rows, columns=["channel", "phi_e6"]).astype(
+        {"phi_e6": "int64"}
+    )

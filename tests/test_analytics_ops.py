@@ -4975,3 +4975,65 @@ def test_part_name_similarity_join_matches_brute(ray_session):
         assert exp[(r["name_a"], r["name_b"])] == int(r["dist"])
     # blocking never emits a pair twice
     assert not got.duplicated(["name_a", "name_b"]).any()
+
+
+def test_orders_theilsen_trend_matches_replay(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import orders_theilsen_trend
+
+    got = orders_theilsen_trend(SF)
+    o = pd.read_parquet(f"{SF}/orders.parquet",
+                        columns=["o_orderdate", "o_totalprice"])
+    day = o["o_orderdate"].values.astype("datetime64[s]").astype("int64") // 86400
+    rev = np.floor(o["o_totalprice"].to_numpy() * 100.0 + 0.5).astype("int64")
+    d = pd.DataFrame({"day": day, "rev": rev}).groupby("day")["rev"].sum()
+    x = d.index.to_numpy(dtype="float64")
+    y = d.to_numpy(dtype="float64")
+    i, j = np.triu_indices(len(x), 1)
+    slopes = (y[j] - y[i]) / (x[j] - x[i])
+    slope = float(np.median(slopes))
+    se6 = int(np.floor(slope * 1e6 + 0.5))
+    icept = float(np.median(y - (se6 / 1e6) * x))
+    assert int(got["n_days"].iloc[0]) == len(x)
+    assert int(got["slope_e6"].iloc[0]) == se6
+    assert int(got["icept_e2"].iloc[0]) == int(np.floor(icept + 0.5))
+    # the median slope is bracketed by the extreme pairwise slopes
+    assert slopes.min() <= slope <= slopes.max()
+
+
+def test_purchase_shapley_attribution_efficiency_and_replay(ray_session):
+    import itertools
+    import math
+
+    from opps_feedcrawler_ray.pipelines.analytics import (
+        purchase_shapley_attribution,
+    )
+
+    got = purchase_shapley_attribution(SF).set_index("channel")
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "event_type"])
+    channels = ["click", "error", "signup", "view"]
+    v = {}
+    stats = {}
+    for _, g in ev.groupby("user_id"):
+        ts = set(g["event_type"])
+        mask = sum(1 << k for k, c in enumerate(channels) if c in ts)
+        n, c = stats.get(mask, (0, 0))
+        stats[mask] = (n + 1, c + (1 if "purchase" in ts else 0))
+    for m in range(16):
+        n, c = stats.get(m, (0, 0))
+        v[m] = c / n if n else 0.0
+    phis = {}
+    for k, ch in enumerate(channels):
+        phi = 0.0
+        for s in range(16):
+            if s & (1 << k):
+                continue
+            size = bin(s).count("1")
+            w = math.factorial(size) * math.factorial(3 - size + 0) \
+                / math.factorial(4)
+            phi += w * (v[s | (1 << k)] - v[s])
+        phis[ch] = phi
+        assert int(got.loc[ch, "phi_e6"]) == int(np.floor(phi * 1e6 + 0.5))
+    # Shapley efficiency: credits sum to v(full set) - v(empty set)
+    total = sum(phis.values())
+    assert abs(total - (v[15] - v[0])) < 1e-9
