@@ -289,6 +289,15 @@ def _q_doc_sssp(sf_dir: str):
     return doc_sssp(sf_dir, source=0)
 
 
+def _q_doc_luby_mis(sf_dir: str):
+    """Maximal independent set via Luby's parallel symmetry-breaking
+    rounds over the pinned undirected doc link graph; rows-only — the
+    twin checks independence, maximality, and determinism exactly."""
+    from opps_feedcrawler_ray.pipelines.webpipe import doc_luby_mis
+
+    return doc_luby_mis(sf_dir)
+
+
 def _q_doc_betweenness(sf_dir: str):
     """Source-parallel exact Brandes betweenness (per-source passes
     fan out over a broadcast CSR; e9-integer dependency partials);
@@ -968,6 +977,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_lof": _q_embedding_lof,
         "doc_betweenness": _q_doc_betweenness,
         "doc_sssp": _q_doc_sssp,
+        "doc_luby_mis": _q_doc_luby_mis,
         "ann_hard_negatives": _q_hard_negatives,
         "kcenter_coreset": _q_kcenter_coreset,
         "events_autocorr": A.events_autocorr,

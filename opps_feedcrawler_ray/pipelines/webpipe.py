@@ -1718,3 +1718,97 @@ def doc_sssp(
             break
     out = pd.DataFrame(sorted(dist.items()), columns=["doc_id", "dist"])
     return out.astype({"doc_id": "int64", "dist": "int64"})
+
+
+def doc_luby_mis(sf_dir: str, work_dir: str | None = None) -> "pd.DataFrame":
+    """MAXIMAL INDEPENDENT SET via Luby's algorithm (Luby 1986) — the
+    classic parallel symmetry-breaking primitive — over the undirected
+    doc link graph: each round every still-active node draws a pinned
+    splitmix64 priority; local minima (strictly smaller than every
+    active neighbor, ties broken by node id) join the MIS and knock out
+    their neighborhoods.  Terminates in O(log n) rounds w.h.p.
+
+    Scale shape: the edge set is built once by the shared
+    ``_doc_link_edges`` stage and PINNED; each round runs two streaming
+    passes over it (min-neighbor-priority partials, then
+    neighbor-of-joiner marks) with only node-bounded arrays moving —
+    the same rank-table-fits-heap assumption ``host_pagerank``
+    documents, with the same bucketed fallback beyond it.  Output: one
+    row per doc with its MIS membership flag."""
+    import pandas as pd
+
+    import ray
+
+    edges, n_docs, _nb = _doc_link_edges(sf_dir, work_dir)
+
+    active = np.ones(n_docs, dtype=bool)
+    in_mis = np.zeros(n_docs, dtype=bool)
+    rnd = 0
+    while active.any():
+        prio = _splitmix64(
+            np.arange(n_docs, dtype=np.uint64)
+            ^ np.uint64(0xD1B54A32D192ED03) * np.uint64(rnd + 1)
+        )
+        act_ref = ray.put(active)
+        prio_ref = ray.put(prio)
+
+        def min_nbr(batch: pa.Table, _a=act_ref, _p=prio_ref) -> pa.Table:
+            import ray as _ray
+
+            act = _ray.get(_a)
+            pr = _ray.get(_p)
+            a = batch["a"].to_numpy(zero_copy_only=False)
+            b = batch["b"].to_numpy(zero_copy_only=False)
+            live = act[a] & act[b]
+            a, b = a[live], b[live]
+            # per-batch node-bounded partial: min active-neighbor
+            # (priority, id) key per endpoint
+            df = pd.DataFrame({
+                "node": np.concatenate([a, b]),
+                "np_": np.concatenate([pr[b], pr[a]]).astype("uint64"),
+                "nid": np.concatenate([b, a]),
+            })
+            g = df.sort_values(["np_", "nid"]).groupby(
+                "node", as_index=False
+            ).first()
+            return pa.table({
+                "node": g["node"].to_numpy().astype("int64"),
+                "np_": g["np_"].to_numpy().astype("uint64"),
+                "nid": g["nid"].to_numpy().astype("int64"),
+            })
+
+        parts = edges.map_batches(min_nbr, batch_format="pyarrow").to_pandas()
+        joins = active.copy()  # no active neighbor => local minimum
+        if len(parts):
+            best = parts.sort_values(["np_", "nid"]).groupby("node").first()
+            nodes = best.index.to_numpy()
+            np_min = best["np_"].to_numpy().astype(np.uint64)
+            nid = best["nid"].to_numpy()
+            mine = prio[nodes]
+            # strict (priority, id) comparison against the best neighbor
+            lose = (np_min < mine) | ((np_min == mine) & (nid < nodes))
+            joins[nodes[lose]] = False
+        join_ref = ray.put(joins)
+
+        def nbr_of_join(batch: pa.Table, _j=join_ref) -> pa.Table:
+            import ray as _ray
+
+            j = _ray.get(_j)
+            a = batch["a"].to_numpy(zero_copy_only=False)
+            b = batch["b"].to_numpy(zero_copy_only=False)
+            out = np.unique(np.concatenate([b[j[a]], a[j[b]]]))
+            return pa.table({"node": out.astype("int64")})
+
+        knocked = edges.map_batches(
+            nbr_of_join, batch_format="pyarrow"
+        ).to_pandas()
+        in_mis[joins] = True
+        active &= ~joins
+        if len(knocked):
+            active[knocked["node"].to_numpy()] = False
+        rnd += 1
+
+    return pd.DataFrame({
+        "doc_id": np.arange(n_docs, dtype="int64"),
+        "in_mis": in_mis.astype("int64"),
+    })

@@ -5037,3 +5037,29 @@ def test_purchase_shapley_attribution_efficiency_and_replay(ray_session):
     # Shapley efficiency: credits sum to v(full set) - v(empty set)
     total = sum(phis.values())
     assert abs(total - (v[15] - v[0])) < 1e-9
+
+
+def test_doc_luby_mis_independent_maximal_deterministic(ray_session, tmp_path):
+    import collections
+
+    from opps_feedcrawler_ray.pipelines.webpipe import (
+        _doc_link_edges, doc_luby_mis,
+    )
+
+    wd = str(tmp_path / "webpipe")
+    got = doc_luby_mis(SF, work_dir=wd)
+    edges, n_docs, _ = _doc_link_edges(SF, wd)
+    e = edges.to_pandas()
+    mis = set(got[got["in_mis"] == 1]["doc_id"])
+    adj = collections.defaultdict(set)
+    for a, b in zip(e["a"], e["b"]):
+        adj[a].add(b)
+        adj[b].add(a)
+    # independence: no edge inside the MIS
+    assert not any(a in mis and b in mis for a, b in zip(e["a"], e["b"]))
+    # maximality: every excluded node is adjacent to a MIS node
+    assert all(adj[v] & mis for v in range(n_docs) if v not in mis)
+    assert len(got) == n_docs and 0 < len(mis) < n_docs
+    # pinned priorities => bit-identical reruns
+    again = doc_luby_mis(SF, work_dir=wd)
+    pd.testing.assert_frame_equal(got, again)
