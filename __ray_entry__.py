@@ -837,6 +837,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_pit_join": A.orders_pit_join,
         "part_name_similarity_join": A.part_name_similarity_join,
         "orders_theilsen_trend": A.orders_theilsen_trend,
+        "vocab_richness": A.vocab_richness,
+        "part_fd_discovery": A.part_fd_discovery,
         "purchase_shapley_attribution": A.purchase_shapley_attribution,
         "referential_integrity_audit": A.referential_integrity_audit,
         "orders_benford": A.orders_benford,
@@ -1117,6 +1119,27 @@ def _shapley_oracle_sql() -> str:
             f"CAST(FLOOR(({expr}) * 1e6 + 0.5) AS BIGINT) AS phi_e6"
         )
     return head + " " + " UNION ALL ".join(sels) + " ORDER BY channel"
+
+
+def _fd_oracle_sql() -> str:
+    """Exact FD level-1 check per ordered column pair of part."""
+    cols = ["p_partkey", "p_name", "p_brand", "p_type", "p_size"]
+    sels = []
+    for i, a in enumerate(cols):
+        for j, b in enumerate(cols):
+            if i == j:
+                continue
+            sels.append(
+                f"SELECT '{a}' AS lhs, '{b}' AS rhs, "
+                f"CAST((SELECT COUNT(*) FROM (SELECT {a} FROM part "
+                f"GROUP BY {a} HAVING COUNT(DISTINCT {b}) > 1)) "
+                "AS BIGINT) AS n_violating"
+            )
+    return (
+        "SELECT lhs, rhs, n_violating, CAST(CASE WHEN n_violating = 0 "
+        "THEN 1 ELSE 0 END AS BIGINT) AS holds FROM ("
+        + " UNION ALL ".join(sels) + ") ORDER BY lhs, rhs"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1560,6 +1583,22 @@ def oracle_sql() -> dict[str, str]:
             "m.slope_e6, i.icept_e2 FROM m, i"
         ),
         "purchase_shapley_attribution": _shapley_oracle_sql(),
+        "part_fd_discovery": _fd_oracle_sql(),
+        "vocab_richness": (
+            # Chao1 bias-corrected species richness per source
+            "WITH t AS (SELECT source, t AS token, COUNT(*) AS n FROM ("
+            "SELECT source, unnest(string_split(text, ' ')) AS t "
+            "FROM documents) WHERE t <> '' GROUP BY source, t) "
+            "SELECT source, CAST(COUNT(*) AS BIGINT) AS v, "
+            "CAST(SUM(n) AS BIGINT) AS n_tokens, "
+            "CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1, "
+            "CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2, "
+            "CAST(FLOOR((COUNT(*) + CAST(SUM(CASE WHEN n = 1 THEN 1 "
+            "ELSE 0 END) AS DOUBLE) * (SUM(CASE WHEN n = 1 THEN 1 ELSE 0 "
+            "END) - 1) / (2.0 * (SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) "
+            "+ 1))) * 1e6 + 0.5) AS BIGINT) AS chao1_e6 "
+            "FROM t GROUP BY source ORDER BY source"
+        ),
         "referential_integrity_audit": (
             # orphan FK counts across the star schema
             "SELECT fk, n_rows, n_orphans FROM ("

@@ -10949,3 +10949,147 @@ def purchase_shapley_attribution(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["channel", "phi_e6"]).astype(
         {"phi_e6": "int64"}
     )
+
+
+def vocab_richness(sf_dir: str) -> pd.DataFrame:
+    """SPECIES-RICHNESS / vocabulary-coverage estimation (Chao 1984;
+    Good–Turing): per source, the distinct-token count V, total tokens
+    N, singleton/doubleton counts f1/f2, and the bias-corrected Chao1
+    estimate of TRUE vocabulary size V + f1(f1−1)/(2(f2+1)) — the "how
+    much vocabulary haven't we crawled yet" question a corpus grower
+    asks; distinct from ``token_zipf_fit`` (rank-frequency slope).
+
+    Scale shape: per-batch (source, token) count partials → ONE
+    vocabulary-bounded token-bucket exchange where each (source, token)
+    count completes → per-bucket (V, N, f1, f2) partials SUM exactly
+    (a token lives in one bucket); the driver folds |sources| rows and
+    applies the identical float expression tree as the oracle."""
+    from ..functions.hashing import fingerprint64_batch
+    from .dedup import coarse_buckets
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["source", "text"])
+    nb = coarse_buckets(docs.count(), rows_per_task=4096)
+
+    s1 = pa.schema([("source", pa.string()), ("token", pa.string()),
+                    ("n", pa.int64()), ("__b", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], pattern=" ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        df = pd.DataFrame({
+            "source": np.repeat(
+                batch["source"].to_numpy(zero_copy_only=False), lens
+            ),
+            "token": flat.to_pandas(),
+        })
+        df = df[df["token"] != ""]
+        g = df.groupby(["source", "token"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+        key = (g["source"] + "\x1f" + g["token"]).tolist()
+        g["__b"] = fingerprint64_batch(key).astype("int64") % nb
+        return pa.Table.from_pandas(g, schema=s1, preserve_index=False)
+
+    def richness(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby(["source", "token"], as_index=False)["n"].sum()
+        out = t.groupby("source", as_index=False).agg(
+            v=("n", "size"), n_tokens=("n", "sum"),
+            f1=("n", lambda s: int((s == 1).sum())),
+            f2=("n", lambda s: int((s == 2).sum())),
+        )
+        return out.astype({"v": "int64", "n_tokens": "int64",
+                           "f1": "int64", "f2": "int64"})
+
+    cells = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(richness, batch_format="pandas")
+        .to_pandas()
+    )
+    out = cells.groupby("source", as_index=False).sum()
+    v = out["v"].to_numpy(dtype="int64")
+    f1 = out["f1"].to_numpy(dtype="int64")
+    f2 = out["f2"].to_numpy(dtype="int64")
+    chao = v + f1.astype("float64") * (f1 - 1) / (2.0 * (f2 + 1))
+    out["chao1_e6"] = np.floor(chao * 1e6 + 0.5).astype("int64")
+    return (
+        out.sort_values("source").reset_index(drop=True)
+        [["source", "v", "n_tokens", "f1", "f2", "chao1_e6"]]
+        .astype({"v": "int64", "n_tokens": "int64", "f1": "int64",
+                 "f2": "int64", "chao1_e6": "int64"})
+    )
+
+
+def part_fd_discovery(sf_dir: str) -> pd.DataFrame:
+    """FUNCTIONAL-DEPENDENCY DISCOVERY (the TANE level-1 pass,
+    Huhtala et al. 1999): for every ordered column pair (lhs, rhs) of
+    the part table, whether lhs → rhs holds, with the exact number of
+    violating lhs values (lhs groups containing >1 distinct rhs) — the
+    data-profiling primitive schema-inference and key-detection tools
+    are built on, beyond ``table_profile``'s per-column stats.
+
+    Scale shape: per-batch distinct (pair, lhs, rhs) partials → ONE
+    exchange bucketed by hash(pair, lhs) so every lhs group is
+    bucket-complete → per-bucket violating-lhs counts (≤ |pairs| rows
+    each) SUM exactly on the driver.  The exchange carries |pairs| ×
+    distinct rows — TANE prunes the lattice level by level exactly to
+    bound this."""
+    from ..functions.hashing import fingerprint64_batch
+    from .dedup import coarse_buckets
+
+    cols = ["p_partkey", "p_name", "p_brand", "p_type", "p_size"]
+    parts = rd.read_parquet(_t(sf_dir, "part"), columns=cols)
+    nb = coarse_buckets(parts.count(), rows_per_task=16384)
+
+    s1 = pa.schema([("pid", pa.int64()), ("a", pa.string()),
+                    ("b", pa.string()), ("__b", pa.int64())])
+    pairs = [(i, j) for i in range(len(cols)) for j in range(len(cols))
+             if i != j]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        outs = []
+        for pid, (i, j) in enumerate(pairs):
+            d = pd.DataFrame({
+                "a": df[cols[i]].astype(str), "b": df[cols[j]].astype(str)
+            }).drop_duplicates()
+            d.insert(0, "pid", np.int64(pid))
+            outs.append(d)
+        out = pd.concat(outs, ignore_index=True)
+        key = (out["pid"].astype(str) + "\x1f" + out["a"]).tolist()
+        out["__b"] = fingerprint64_batch(key).astype("int64") % nb
+        return pa.Table.from_pandas(out, schema=s1, preserve_index=False)
+
+    def violations(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["pid", "a", "b"])
+        per_lhs = d.groupby(["pid", "a"], as_index=False).agg(
+            nb_=("b", "nunique")
+        )
+        out = (
+            per_lhs[per_lhs["nb_"] > 1]
+            .groupby("pid", as_index=False).size()
+            .rename(columns={"size": "n_violating"})
+        )
+        return out.astype({"pid": "int64", "n_violating": "int64"})
+
+    cells = (
+        parts.map_batches(partial, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(violations, batch_format="pandas")
+        .to_pandas()
+    )
+    agg = dict(
+        cells.groupby("pid")["n_violating"].sum()
+    ) if len(cells) else {}
+    rows = [
+        (cols[i], cols[j], int(agg.get(pid, 0)),
+         1 if agg.get(pid, 0) == 0 else 0)
+        for pid, (i, j) in enumerate(pairs)
+    ]
+    out = pd.DataFrame(
+        rows, columns=["lhs", "rhs", "n_violating", "holds"]
+    ).astype({"n_violating": "int64", "holds": "int64"})
+    return out.sort_values(["lhs", "rhs"]).reset_index(drop=True)

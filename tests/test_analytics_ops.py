@@ -5063,3 +5063,46 @@ def test_doc_luby_mis_independent_maximal_deterministic(ray_session, tmp_path):
     # pinned priorities => bit-identical reruns
     again = doc_luby_mis(SF, work_dir=wd)
     pd.testing.assert_frame_equal(got, again)
+
+
+def test_vocab_richness_matches_counter_replay(ray_session):
+    import collections
+
+    from opps_feedcrawler_ray.pipelines.analytics import vocab_richness
+
+    got = vocab_richness(SF).set_index("source")
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["source", "text"])
+    for src, g in docs.groupby("source"):
+        c = collections.Counter(
+            t for text in g["text"] for t in text.split(" ") if t
+        )
+        v = len(c)
+        f1 = sum(1 for n in c.values() if n == 1)
+        f2 = sum(1 for n in c.values() if n == 2)
+        assert int(got.loc[src, "v"]) == v
+        assert int(got.loc[src, "n_tokens"]) == sum(c.values())
+        assert int(got.loc[src, "f1"]) == f1
+        assert int(got.loc[src, "f2"]) == f2
+        chao = v + f1 * (f1 - 1) / (2.0 * (f2 + 1))
+        assert int(got.loc[src, "chao1_e6"]) == int(np.floor(chao * 1e6 + 0.5))
+        # the estimator never shrinks the observed vocabulary
+        assert got.loc[src, "chao1_e6"] >= v * 1_000_000
+
+
+def test_part_fd_discovery_matches_pandas_replay(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import part_fd_discovery
+
+    got = part_fd_discovery(SF).set_index(["lhs", "rhs"])
+    cols = ["p_partkey", "p_name", "p_brand", "p_type", "p_size"]
+    p = pd.read_parquet(f"{SF}/part.parquet", columns=cols)
+    for a in cols:
+        for b in cols:
+            if a == b:
+                continue
+            nv = int((p.groupby(a)[b].nunique() > 1).sum())
+            assert int(got.loc[(a, b), "n_violating"]) == nv
+            assert int(got.loc[(a, b), "holds"]) == (1 if nv == 0 else 0)
+    # the primary key determines every other column
+    for b in cols[1:]:
+        assert int(got.loc[("p_partkey", b), "holds"]) == 1
