@@ -399,6 +399,15 @@ def _q_embedding_kmeans(sf_dir: str):
     return embedding_kmeans(sf_dir, k=8, n_iters=5)
 
 
+def _q_embedding_random_projection(sf_dir: str):
+    """Johnson-Lindenstrauss Rademacher projection (pinned splitmix64
+    sign matrix, one streaming matmul); rows-only — test_ann replays R
+    exactly and checks the JL distortion band on sampled pairs."""
+    from opps_feedcrawler_ray.pipelines.ann import embedding_random_projection
+
+    return embedding_random_projection(sf_dir, k=16)
+
+
 def _q_embedding_pca(sf_dir: str):
     """Two-pass distributed PCA (moment partials -> driver eigh ->
     streaming projection); rows-only by nature (no SQL eigensolver) —
@@ -839,6 +848,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_theilsen_trend": A.orders_theilsen_trend,
         "vocab_richness": A.vocab_richness,
         "part_fd_discovery": A.part_fd_discovery,
+        # propensity matching: iterative trained model + greedy matching,
+        # rows-only — bit-exact replay twin in tests
+        "error_propensity_att": A.error_propensity_att,
         "purchase_shapley_attribution": A.purchase_shapley_attribution,
         "referential_integrity_audit": A.referential_integrity_audit,
         "orders_benford": A.orders_benford,
@@ -973,6 +985,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_pq_topk": _q_ann_pq,
         "ann_ivfpq_topk": _q_ann_ivfpq,
         "embedding_pca": _q_embedding_pca,
+        "embedding_random_projection": _q_embedding_random_projection,
         "embedding_kmeans": _q_embedding_kmeans,
         "embedding_bisecting_kmeans": _q_embedding_bisecting,
         "embedding_silhouette": _q_embedding_silhouette,

@@ -11093,3 +11093,141 @@ def part_fd_discovery(sf_dir: str) -> pd.DataFrame:
         rows, columns=["lhs", "rhs", "n_violating", "holds"]
     ).astype({"n_violating": "int64", "holds": "int64"})
     return out.sort_values(["lhs", "rhs"]).reset_index(drop=True)
+
+
+def error_propensity_att(
+    sf_dir: str, n_iters: int = 30, lr: float = 0.5
+) -> pd.DataFrame:
+    """PROPENSITY-SCORE MATCHING (Rosenbaum & Rubin 1983) — the
+    observational-causal-inference composite: treatment = user is
+    error-prone (more 'error' events than 'signup' events — every user
+    in the synthetic corpus hits at least one error, so presence alone
+    separates nobody), outcome = purchase count; a deterministic
+    logistic propensity P(treated | activity) is trained
+    data-parallel, then greedy 1-NN matching WITHOUT replacement on
+    the propensity pairs each treated user with its closest control,
+    and ATT = mean(outcome_t − outcome_matched); the naive unadjusted
+    difference is reported next to it.
+
+    Scale shape: (1) per-user features via ONE user-bucket exchange;
+    (2) propensity training re-uses the e9-integer per-row gradient
+    rule (``orders_urgent_logreg``) over the PINNED user-feature
+    dataset — bit-reproducible at any partitioning, only a
+    (dim+1)-int vector moves per iteration; (3) matching runs on the
+    |users|-bounded (propensity, outcome) table — the same
+    fits-a-heap assumption the rank tables document; a
+    propensity-range bucket exchange is the fallback past it."""
+    from .dedup import coarse_buckets
+
+    ev = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "event_type"]
+    )
+    nb = coarse_buckets(ev.count(), rows_per_task=65536)
+
+    s1 = pa.schema([("user_id", pa.int64()), ("event_type", pa.string()),
+                    ("n", pa.int64()), ("__b", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby(
+            ["user_id", "event_type"], as_index=False
+        ).size().rename(columns={"size": "n"})
+        df["__b"] = (df["user_id"].to_numpy() % nb).astype("int64")
+        return pa.Table.from_pandas(df, schema=s1, preserve_index=False)
+
+    feat_schema = pa.schema([
+        ("user_id", pa.int64()), ("t", pa.float64()), ("y", pa.float64()),
+        ("x1", pa.float64()), ("x2", pa.float64()), ("x3", pa.float64()),
+    ])
+
+    def featurize(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["user_id", "event_type"])["n"].sum().unstack(
+            fill_value=0
+        )
+        for col in ("view", "click", "signup", "error", "purchase"):
+            if col not in c.columns:
+                c[col] = 0
+        return pd.DataFrame({
+            "user_id": c.index.to_numpy(dtype="int64"),
+            "t": (c["error"].to_numpy()
+                  > c["signup"].to_numpy()).astype("float64"),
+            "y": c["purchase"].to_numpy(dtype="float64"),
+            "x1": np.log1p(c["view"].to_numpy(dtype="float64")),
+            "x2": np.log1p(c["click"].to_numpy(dtype="float64")),
+            "x3": np.log1p(c["signup"].to_numpy(dtype="float64")),
+        })
+
+    feats = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(featurize, batch_format="pandas")
+        .materialize()
+    )
+
+    w = np.zeros(4, dtype=np.float64)  # bias, x1, x2, x3
+    g_schema = pa.schema([(f"g{i}", pa.int64()) for i in range(4)])
+    n_users = feats.count()
+    for _ in range(n_iters):
+        ws = tuple(float(v) for v in w)
+
+        def grad_partial(batch: pa.Table, _w=ws) -> pa.Table:
+            x = np.column_stack([
+                np.ones(batch.num_rows),
+                batch["x1"].to_numpy(zero_copy_only=False),
+                batch["x2"].to_numpy(zero_copy_only=False),
+                batch["x3"].to_numpy(zero_copy_only=False),
+            ])
+            t = batch["t"].to_numpy(zero_copy_only=False)
+            p = 1.0 / (1.0 + np.exp(-(x @ np.asarray(_w))))
+            r = (p - t)[:, None] * x
+            g = np.floor(r * 1e9 + 0.5).astype("int64").sum(axis=0)
+            return pa.table(
+                {f"g{i}": np.array([g[i]], dtype="int64") for i in range(4)},
+                schema=g_schema,
+            )
+
+        parts = feats.map_batches(
+            grad_partial, batch_format="pyarrow"
+        ).to_pandas()
+        grad = parts.sum().to_numpy(dtype="float64") / 1e9 / n_users
+        w = w - lr * grad
+
+    tbl = feats.to_pandas()  # |users|-bounded (documented assumption)
+    x = np.column_stack([
+        np.ones(len(tbl)), tbl["x1"], tbl["x2"], tbl["x3"]
+    ])
+    prop = 1.0 / (1.0 + np.exp(-(x @ w)))
+    t = tbl["t"].to_numpy() > 0
+    y = tbl["y"].to_numpy()
+    uid = tbl["user_id"].to_numpy()
+
+    # greedy 1-NN without replacement, deterministic order
+    treated = sorted(
+        zip(-prop[t], uid[t], prop[t], y[t])
+    )
+    ctrl = pd.DataFrame(
+        {"p": prop[~t], "uid": uid[~t], "y": y[~t]}
+    ).sort_values(["p", "uid"]).reset_index(drop=True)
+    used = np.zeros(len(ctrl), dtype=bool)
+    cps = ctrl["p"].to_numpy()
+    diffs = []
+    for _negp, _tuid, tp, ty in treated:
+        if used.all():
+            break
+        # nearest unused control by |p - tp|, ties to lower uid
+        order = np.argsort(np.abs(cps - tp), kind="stable")
+        for idx in order:
+            if not used[idx]:
+                used[idx] = True
+                diffs.append(ty - float(ctrl["y"].iloc[idx]))
+                break
+    att = float(np.mean(diffs)) if diffs else 0.0
+    naive = float(y[t].mean() - y[~t].mean()) if t.any() and (~t).any() else 0.0
+    return pd.DataFrame({
+        "n_treated": np.array([int(t.sum())], dtype="int64"),
+        "n_control": np.array([int((~t).sum())], dtype="int64"),
+        "n_matched": np.array([len(diffs)], dtype="int64"),
+        "att_e6": np.array([int(np.floor(att * 1e6 + 0.5))], dtype="int64"),
+        "naive_e6": np.array(
+            [int(np.floor(naive * 1e6 + 0.5))], dtype="int64"
+        ),
+    })

@@ -1569,3 +1569,51 @@ def embedding_lof(sf_dir: str, k: int = 10, topn: int = 20) -> "pd.DataFrame":
         .reset_index(drop=True)
     )
     return out
+
+
+def embedding_random_projection(sf_dir: str, k: int = 16) -> pd.DataFrame:
+    """JOHNSON–LINDENSTRAUSS RANDOM PROJECTION (Achlioptas 2003,
+    Rademacher ±1 variant): embed d-dim vectors into k dims through a
+    PINNED sign matrix R[i, j] = ±1/√k derived from splitmix64(i·k+j)
+    — the data-INDEPENDENT, zero-pass dimensionality reduction next to
+    the two-pass data-dependent ``embedding_pca``: no moments, no
+    eigensolve, ONE streaming matmul, and pairwise distances preserved
+    within (1 ± ε) w.h.p. (the JL lemma).
+
+    Scale shape: stateless ``map_batches`` — R is O(d·k), rebuilt per
+    batch from the hash (cheaper than shipping it; an actor pool would
+    hoist it into ``__init__`` when d·k grows).  Long-form integer
+    output (vec_id, j, y_e6); rows-only — the twin replays R exactly
+    and checks the JL distortion band on sampled pairs."""
+    from .webpipe import _splitmix64
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    schema = pa.schema([("vec_id", pa.int64()), ("j", pa.int64()),
+                        ("y_e6", pa.int64())])
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
+        x = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        if x.size == 0:
+            return pa.table(
+                {"vec_id": np.array([], dtype="int64"),
+                 "j": np.array([], dtype="int64"),
+                 "y_e6": np.array([], dtype="int64")}, schema=schema)
+        d = x.shape[1]
+        idx = np.arange(d * k, dtype=np.uint64)
+        sign = np.where(
+            (_splitmix64(idx) & np.uint64(1)).astype(bool), 1.0, -1.0
+        ).reshape(d, k)
+        y = x @ (sign / np.sqrt(k))
+        n = len(ids)
+        return pa.table({
+            "vec_id": np.repeat(ids, k),
+            "j": np.tile(np.arange(k, dtype="int64"), n),
+            "y_e6": np.floor(y * 1e6 + 0.5).astype("int64").ravel(),
+        }, schema=schema)
+
+    out = emb.map_batches(project, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["vec_id", "j"]).reset_index(drop=True)

@@ -1745,10 +1745,10 @@ def doc_luby_mis(sf_dir: str, work_dir: str | None = None) -> "pd.DataFrame":
     in_mis = np.zeros(n_docs, dtype=bool)
     rnd = 0
     while active.any():
-        prio = _splitmix64(
-            np.arange(n_docs, dtype=np.uint64)
-            ^ np.uint64(0xD1B54A32D192ED03) * np.uint64(rnd + 1)
+        salt = np.uint64(
+            (0xD1B54A32D192ED03 * (rnd + 1)) & 0xFFFFFFFFFFFFFFFF
         )
+        prio = _splitmix64(np.arange(n_docs, dtype=np.uint64) ^ salt)
         act_ref = ray.put(active)
         prio_ref = ray.put(prio)
 

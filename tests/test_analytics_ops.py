@@ -5106,3 +5106,53 @@ def test_part_fd_discovery_matches_pandas_replay(ray_session):
     # the primary key determines every other column
     for b in cols[1:]:
         assert int(got.loc[("p_partkey", b), "holds"]) == 1
+
+
+def test_error_propensity_att_matches_bitexact_replay(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import error_propensity_att
+
+    got = error_propensity_att(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "event_type"])
+    c = ev.groupby(["user_id", "event_type"]).size().unstack(fill_value=0)
+    for col in ("view", "click", "signup", "error", "purchase"):
+        if col not in c.columns:
+            c[col] = 0
+    t = c["error"].to_numpy() > c["signup"].to_numpy()
+    y = c["purchase"].to_numpy(dtype="float64")
+    uid = c.index.to_numpy(dtype="int64")
+    x = np.column_stack([
+        np.ones(len(c)),
+        np.log1p(c["view"].to_numpy(dtype="float64")),
+        np.log1p(c["click"].to_numpy(dtype="float64")),
+        np.log1p(c["signup"].to_numpy(dtype="float64")),
+    ])
+    w = np.zeros(4)
+    tf = t.astype("float64")
+    for _ in range(30):
+        p = 1.0 / (1.0 + np.exp(-(x @ w)))
+        r = (p - tf)[:, None] * x
+        g = np.floor(r * 1e9 + 0.5).astype("int64").sum(axis=0)
+        w = w - 0.5 * (g.astype("float64") / 1e9 / len(c))
+    prop = 1.0 / (1.0 + np.exp(-(x @ w)))
+    treated = sorted(zip(-prop[t], uid[t], prop[t], y[t]))
+    ctrl = pd.DataFrame({"p": prop[~t], "uid": uid[~t], "y": y[~t]}) \
+        .sort_values(["p", "uid"]).reset_index(drop=True)
+    used = np.zeros(len(ctrl), dtype=bool)
+    cps = ctrl["p"].to_numpy()
+    diffs = []
+    for _negp, _tuid, tp, ty in treated:
+        if used.all():
+            break
+        for idx in np.argsort(np.abs(cps - tp), kind="stable"):
+            if not used[idx]:
+                used[idx] = True
+                diffs.append(ty - float(ctrl["y"].iloc[idx]))
+                break
+    att = float(np.mean(diffs)) if diffs else 0.0
+    naive = float(y[t].mean() - y[~t].mean())
+    assert int(got["n_treated"].iloc[0]) == int(t.sum())
+    assert int(got["n_control"].iloc[0]) == int((~t).sum())
+    assert int(got["n_matched"].iloc[0]) == len(diffs)
+    assert int(got["att_e6"].iloc[0]) == int(np.floor(att * 1e6 + 0.5))
+    assert int(got["naive_e6"].iloc[0]) == int(np.floor(naive * 1e6 + 0.5))

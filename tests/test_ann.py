@@ -582,3 +582,40 @@ def test_embedding_lof_matches_brute_replay(ray_session):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     # LOF of an inlier cluster hovers near 1.0; top outliers exceed it
     assert int(got["lof_e6"].iloc[0]) >= 1_000_000
+
+
+def test_embedding_random_projection_replay_and_jl(ray_session):
+    import pandas as pd
+
+    from opps_feedcrawler_ray.pipelines.ann import embedding_random_projection
+    from opps_feedcrawler_ray.pipelines.webpipe import _splitmix64
+
+    k = 16
+    got = embedding_random_projection(SF, k=k)
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    x = np.asarray(emb["embedding"].tolist(), dtype=np.float64)
+    d = x.shape[1]
+    idx = np.arange(d * k, dtype=np.uint64)
+    sign = np.where((_splitmix64(idx) & np.uint64(1)).astype(bool),
+                    1.0, -1.0).reshape(d, k)
+    y = x @ (sign / np.sqrt(k))
+    exp = np.floor(y * 1e6 + 0.5).astype("int64")
+    got_m = (
+        got.pivot(index="vec_id", columns="j", values="y_e6")
+        .loc[emb["vec_id"].to_numpy()].to_numpy()
+    )
+    assert (got_m == exp).all()
+    # JL distortion: projected pairwise distances track the originals
+    rng_pairs = [(i, (i * 37 + 11) % len(x)) for i in range(0, len(x), 7)]
+    ratios = []
+    for a, b in rng_pairs:
+        if a == b:
+            continue
+        do = np.linalg.norm(x[a] - x[b])
+        dp = np.linalg.norm(y[a] - y[b])
+        if do > 0:
+            ratios.append(dp / do)
+    r = np.asarray(ratios)
+    assert 0.4 < r.mean() < 1.6
+    assert (r > 0.15).all() and (r < 3.0).all()
