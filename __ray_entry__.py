@@ -1587,11 +1587,11 @@ def oracle_sql() -> dict[str, str]:
             "s AS (SELECT (b.rev_e2 - a.rev_e2) "
             "/ CAST(b.day - a.day AS DOUBLE) AS sl "
             "FROM d a JOIN d b ON a.day < b.day), "
-            "m AS (SELECT CAST(FLOOR(MEDIAN(sl) * 1e6 + 0.5) AS BIGINT) "
-            "AS slope_e6 FROM s), "
-            "i AS (SELECT CAST(FLOOR(MEDIAN(d.rev_e2 "
-            "- (m.slope_e6 / 1e6) * d.day) + 0.5) AS BIGINT) AS icept_e2 "
-            "FROM d, m GROUP BY ALL) "
+            "m AS (SELECT CAST(FLOOR(COALESCE(MEDIAN(sl), 0.0) * 1e6 "
+            "+ 0.5) AS BIGINT) AS slope_e6 FROM s), "
+            "i AS (SELECT CAST(FLOOR(COALESCE(MEDIAN(d.rev_e2 "
+            "- (m.slope_e6 / 1e6) * d.day), 0.0) + 0.5) AS BIGINT) "
+            "AS icept_e2 FROM d, m GROUP BY ALL) "
             "SELECT CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_days, "
             "m.slope_e6, i.icept_e2 FROM m, i"
         ),

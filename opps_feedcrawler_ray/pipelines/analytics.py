@@ -5312,6 +5312,19 @@ def embedding_quantize_int8(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _scd2_change_rows(g: pd.DataFrame, cust: str, day: str, okey: str,
+                      prio: str) -> pd.DataFrame:
+    """The SCD2 change-detection rule shared by ``orders_scd2`` and
+    ``orders_pit_join`` (one definition so the version semantics can
+    never drift): sort by (cust, day, okey), keep rows whose priority
+    differs from the customer's previous row, number versions 1..k."""
+    g = g.sort_values([cust, day, okey])
+    prev = g.groupby(cust)[prio].shift()
+    ch = g[prev.isna() | (prev != g[prio])].copy()
+    ch["version"] = (ch.groupby(cust).cumcount() + 1).astype("int64")
+    return ch
+
+
 def orders_scd2(sf_dir: str) -> pd.DataFrame:
     """SLOWLY-CHANGING-DIMENSION TYPE 2 history build: collapse each
     customer's order stream into validity intervals of
@@ -5336,13 +5349,13 @@ def orders_scd2(sf_dir: str) -> pd.DataFrame:
         return batch.append_column("__b", pa.array(b, pa.int64()))
 
     def scd2(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
-        prev = g.groupby("o_custkey")["o_orderpriority"].shift()
-        ch = g[prev.isna() | (prev != g["o_orderpriority"])].copy()
-        ch["valid_from"] = (
-            ch["o_orderdate"].astype("int64") // 86_400_000_000
-        ).astype("int64")
-        ch["version"] = (ch.groupby("o_custkey").cumcount() + 1).astype("int64")
+        g = g.copy()
+        g["__day"] = (g["o_orderdate"].astype("int64")
+                      // 86_400_000_000).astype("int64")
+        ch = _scd2_change_rows(
+            g, "o_custkey", "__day", "o_orderkey", "o_orderpriority"
+        )
+        ch["valid_from"] = ch["__day"]
         ch["valid_to"] = (
             ch.groupby("o_custkey")["valid_from"].shift(-1)
             .fillna(SENTINEL).astype("int64")
@@ -10688,11 +10701,9 @@ def orders_pit_join(sf_dir: str) -> pd.DataFrame:
         )
 
     def pit(g: pd.DataFrame) -> pd.DataFrame:
-        dim = g[g["side"] == 1].sort_values(["custkey", "day", "okey"])
-        prev = dim.groupby("custkey")["prio"].shift()
-        ch = dim[prev.isna() | (prev != dim["prio"])].copy()
-        ch["version"] = (ch.groupby("custkey").cumcount() + 1).astype("int64")
-        ch = ch.rename(columns={"day": "vf"})
+        ch = _scd2_change_rows(
+            g[g["side"] == 1], "custkey", "day", "okey", "prio"
+        ).rename(columns={"day": "vf"})
         f = g[g["side"] == 0][["custkey", "q", "day"]].sort_values("day")
         ch = ch.sort_values(["vf", "version"], kind="stable")
         m = pd.merge_asof(
@@ -10785,27 +10796,33 @@ def part_name_similarity_join(sf_dir: str, k: int = 2) -> pd.DataFrame:
         return pd.DataFrame({"name_a": a, "name_b": b, "__pb": pb})
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.text import levenshtein
+
         g = g.drop_duplicates(["name_a", "name_b"])
-
-        def lev(a: str, b: str) -> int:
-            if abs(len(a) - len(b)) > k:
-                return k + 1
-            prev = list(range(len(b) + 1))
-            for i, ca in enumerate(a, 1):
-                cur = [i]
-                for j, cb in enumerate(b, 1):
-                    cur.append(min(prev[j] + 1, cur[j - 1] + 1,
-                                   prev[j - 1] + (ca != cb)))
-                prev = cur
-            return prev[-1]
-
-        d = np.array([lev(a, b) for a, b in zip(g["name_a"], g["name_b"])],
-                     dtype="int64")
+        d = np.array(
+            [levenshtein(a, b, cap=k)
+             for a, b in zip(g["name_a"], g["name_b"])],
+            dtype="int64",
+        )
         out = g.assign(dist=d)
         return out[out["dist"] <= k][["name_a", "name_b", "dist"]]
 
+    def batch_names(b: pa.Table) -> pa.Table:
+        return pa.table({"p_name": pc.unique(b["p_name"])})
+
+    def first_name(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    # global name dedup BEFORE the neighborhood expansion, so a name
+    # repeated across batches pays the O(|name|^k) expansion once
+    names = (
+        parts.map_batches(batch_names, batch_format="pyarrow")
+        .groupby("p_name")
+        .map_groups(first_name, batch_format="pandas")
+    )
+
     out = (
-        parts.map_batches(variants, batch_format="pyarrow")
+        names.map_batches(variants, batch_format="pyarrow")
         .groupby("variant")
         .map_groups(cand_pairs, batch_format="pandas")
         .groupby("__pb")
@@ -10856,10 +10873,20 @@ def orders_theilsen_trend(sf_dir: str) -> pd.DataFrame:
     )
     day = daily["day"].to_numpy(dtype="float64")
     rev = daily["rev_e2"].to_numpy(dtype="float64")
-    i, j = np.triu_indices(len(day), 1)
-    slopes = (rev[j] - rev[i]) / (day[j] - day[i])
-    slope = float(np.median(slopes))
-    icept = float(np.median(rev - (np.floor(slope * 1e6 + 0.5) / 1e6) * day))
+    if len(day) < 2:
+        # degenerate table: no pairwise slopes exist; both sides define
+        # the trend as 0 (oracle: COALESCE over the empty median)
+        slope = 0.0
+    else:
+        i, j = np.triu_indices(len(day), 1)
+        slopes = (rev[j] - rev[i]) / (day[j] - day[i])
+        slope = float(np.median(slopes))
+    if len(day) == 0:
+        icept = 0.0
+    else:
+        icept = float(
+            np.median(rev - (np.floor(slope * 1e6 + 0.5) / 1e6) * day)
+        )
     return pd.DataFrame({
         "n_days": np.array([len(day)], dtype="int64"),
         "slope_e6": np.array([np.floor(slope * 1e6 + 0.5)], dtype="int64"),
@@ -11053,8 +11080,12 @@ def part_fd_discovery(sf_dir: str) -> pd.DataFrame:
         df = batch.to_pandas()
         outs = []
         for pid, (i, j) in enumerate(pairs):
+            # match COUNT(DISTINCT rhs) semantics: NULL rhs never counts;
+            # NULL lhs is one group (its string form plays that role)
+            mask = df[cols[j]].notna()
             d = pd.DataFrame({
-                "a": df[cols[i]].astype(str), "b": df[cols[j]].astype(str)
+                "a": df[cols[i]][mask].astype(str),
+                "b": df[cols[j]][mask].astype(str),
             }).drop_duplicates()
             d.insert(0, "pid", np.int64(pid))
             outs.append(d)
@@ -11209,17 +11240,43 @@ def error_propensity_att(
     ).sort_values(["p", "uid"]).reset_index(drop=True)
     used = np.zeros(len(ctrl), dtype=bool)
     cps = ctrl["p"].to_numpy()
+    cys = ctrl["y"].to_numpy()
+    nc = len(ctrl)
+    n_used = 0
     diffs = []
+    # nearest UNUSED control by |p - tp| via searchsorted + outward
+    # scan (cps is sorted) — O(log C + skipped) per treated instead of
+    # a full argsort; the tie rule is exactly the stable-argsort one:
+    # equal distance resolves to the LOWEST control index
     for _negp, _tuid, tp, ty in treated:
-        if used.all():
+        if n_used == nc:
             break
-        # nearest unused control by |p - tp|, ties to lower uid
-        order = np.argsort(np.abs(cps - tp), kind="stable")
-        for idx in order:
-            if not used[idx]:
-                used[idx] = True
-                diffs.append(ty - float(ctrl["y"].iloc[idx]))
+        pos = int(np.searchsorted(cps, tp))
+        li = pos - 1
+        while li >= 0 and used[li]:
+            li -= 1
+        ri = pos
+        while ri < nc and used[ri]:
+            ri += 1
+        if li < 0:
+            cand = ri
+        elif ri >= nc:
+            cand = li
+        else:
+            cand = li if (tp - cps[li]) <= (cps[ri] - tp) else ri
+        # walk to the leftmost unused duplicate of the chosen value
+        # (same distance, lower index wins under the stable rule)
+        v = cps[cand]
+        lo = cand
+        while lo - 1 >= 0 and cps[lo - 1] == v:
+            lo -= 1
+        for jdx in range(lo, cand):
+            if not used[jdx]:
+                cand = jdx
                 break
+        used[cand] = True
+        n_used += 1
+        diffs.append(ty - float(cys[cand]))
     att = float(np.mean(diffs)) if diffs else 0.0
     naive = float(y[t].mean() - y[~t].mean()) if t.any() and (~t).any() else 0.0
     return pd.DataFrame({

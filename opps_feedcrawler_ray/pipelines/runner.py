@@ -38,22 +38,41 @@ def _load_registry():
 
 
 def _to_table(res):
+    """Small driver-side results (pandas / pyarrow) to one Table.
+    Dataset results never pass through here — they stream through
+    ``_sink_dataset`` so the driver holds at most one batch."""
     import pandas as pd
     import pyarrow as pa
-    import ray.data as rd
 
-    if isinstance(res, rd.Dataset):
-        # stream block-wise; the CLI's terminal sinks (parquet / head)
-        # bound what actually materialises
-        tables = list(res.iter_batches(batch_format="pyarrow"))
-        if not tables:
-            return pa.table({})
-        return pa.concat_tables(tables)
     if isinstance(res, pd.DataFrame):
         return pa.Table.from_pandas(res, preserve_index=False)
     if isinstance(res, pa.Table):
         return res
     raise TypeError(f"unsupported pipeline result type {type(res)!r}")
+
+
+def _sink_dataset(res, out: str | None, head: int) -> tuple[int, bool]:
+    """Stream a Dataset result to its sink: block-wise ParquetWriter for
+    --out (never materializing the corpus on the driver), or a
+    ``limit(head)`` pull for printing.  Returns (rows, truncated)."""
+    import pyarrow.parquet as pq
+
+    if out is None:
+        t = _to_table(res.limit(max(head, 0)).to_pandas())
+        print(t.to_pandas().to_string(index=False))
+        return t.num_rows, True
+    writer = None
+    rows = 0
+    try:
+        for batch in res.iter_batches(batch_format="pyarrow"):
+            if writer is None:
+                writer = pq.ParquetWriter(out, batch.schema)
+            writer.write_table(batch)
+            rows += batch.num_rows
+    finally:
+        if writer is not None:
+            writer.close()
+    return rows, False
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -88,8 +107,19 @@ def main(argv: list[str] | None = None) -> int:
         ray.init(address="local", include_dashboard=False,
                  logging_level="ERROR")
     try:
+        import ray.data as rd
+
         t0 = time.monotonic()
-        table = _to_table(registry[args.query](args.sf_dir))
+        res = registry[args.query](args.sf_dir)
+        if isinstance(res, rd.Dataset):
+            rows, truncated = _sink_dataset(res, args.out, args.head)
+            secs = time.monotonic() - t0
+            what = f"first {rows} rows" if truncated else f"{rows} rows"
+            dest = f" -> {args.out}" if args.out else ""
+            print(f"{args.query}: {what}{dest} [{secs:.2f}s]",
+                  file=sys.stderr)
+            return 0
+        table = _to_table(res)
         secs = time.monotonic() - t0
         if args.out:
             import pyarrow.parquet as pq
