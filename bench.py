@@ -235,6 +235,15 @@ QUERY_NAMES = [
     "doc_encoding_audit",
     "lineitem_exact_median_price",
     "embedding_lof",
+    "orders_pit_join",
+    "part_name_similarity_join",
+    "orders_theilsen_trend",
+    "purchase_shapley_attribution",
+    "doc_luby_mis",
+    "vocab_richness",
+    "part_fd_discovery",
+    "embedding_random_projection",
+    "error_propensity_att",
 ]
 
 
