@@ -851,6 +851,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # propensity matching: iterative trained model + greedy matching,
         # rows-only — bit-exact replay twin in tests
         "error_propensity_att": A.error_propensity_att,
+        "events_ldiversity_audit": A.events_ldiversity_audit,
         "purchase_shapley_attribution": A.purchase_shapley_attribution,
         "referential_integrity_audit": A.referential_integrity_audit,
         "orders_benford": A.orders_benford,
@@ -3706,6 +3707,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) // 5000 AS vbucket, "
             "CAST(COUNT(*) AS BIGINT) AS n FROM events "
             "GROUP BY 1, 2, 3 HAVING COUNT(*) < 5 "
+            "ORDER BY event_type, hour, vbucket"
+        ),
+        "events_ldiversity_audit": (
+            # l-diversity: QI combos with fewer than 3 distinct users
+            "SELECT event_type, "
+            "CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour, "
+            "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) // 5000 AS vbucket, "
+            "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
+            "FROM events GROUP BY 1, 2, 3 "
+            "HAVING COUNT(DISTINCT user_id) < 3 "
             "ORDER BY event_type, hour, vbucket"
         ),
         "revenue_monthly_sortmerge": (

@@ -11288,3 +11288,52 @@ def error_propensity_att(
             [int(np.floor(naive * 1e6 + 0.5))], dtype="int64"
         ),
     })
+
+
+def events_ldiversity_audit(sf_dir: str, l_min: int = 3) -> pd.DataFrame:
+    """PRIVACY AUDIT — l-DIVERSITY (Machanavajjhala et al. 2006): a
+    quasi-identifier group backed by fewer than ``l_min`` DISTINCT
+    sensitive values (here user_id) lets an attacker who locates a
+    target's QI group infer the sensitive attribute even when the group
+    is large enough to pass k-anonymity — the diversity complement of
+    ``events_kanonymity_audit`` (group SIZE vs group VALUE DIVERSITY),
+    over the same QI tuple (event_type, hour, value bucket).
+
+    Scale shape: per-batch distinct (QI, user) partials → ONE exchange
+    bucketed on the (hour, vbucket) hash so every QI group's user set
+    is bucket-complete → exact per-group nunique and the HAVING-<l cut
+    inside the bucket; the driver sees only violating groups."""
+    from .dedup import coarse_buckets
+
+    ev = rd.read_parquet(
+        _t(sf_dir, "events"),
+        columns=["event_type", "ts", "value", "user_id"],
+    )
+    nb = coarse_buckets(ev.count(), rows_per_task=65536)
+    _schema = pa.schema([("event_type", pa.string()), ("hour", pa.int64()),
+                         ("vbucket", pa.int64()), ("user_id", pa.int64()),
+                         ("__b", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["hour"] = df["ts"].dt.hour.astype("int64")
+        v = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+        df["vbucket"] = v // 5000
+        d = df[["event_type", "hour", "vbucket", "user_id"]].drop_duplicates()
+        d = d.copy()
+        d["__b"] = ((d["hour"] * 31 + d["vbucket"]) % nb).astype("int64")
+        return pa.Table.from_pandas(d, preserve_index=False, schema=_schema)
+
+    def cut(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.drop_duplicates().groupby(
+            ["event_type", "hour", "vbucket"], as_index=False
+        ).agg(n_users=("user_id", "nunique"))
+        return s[s["n_users"] < l_min].astype({"n_users": "int64"})
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("__b").map_groups(cut, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["event_type", "hour", "vbucket"]).reset_index(drop=True)
+        .astype({"hour": "int64", "vbucket": "int64", "n_users": "int64"})
+    )

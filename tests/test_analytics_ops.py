@@ -5156,3 +5156,27 @@ def test_error_propensity_att_matches_bitexact_replay(ray_session):
     assert int(got["n_matched"].iloc[0]) == len(diffs)
     assert int(got["att_e6"].iloc[0]) == int(np.floor(att * 1e6 + 0.5))
     assert int(got["naive_e6"].iloc[0]) == int(np.floor(naive * 1e6 + 0.5))
+
+
+def test_events_ldiversity_audit_matches_pandas_replay(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import (
+        events_ldiversity_audit,
+    )
+
+    got = events_ldiversity_audit(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "ts", "value", "user_id"])
+    ev["hour"] = ev["ts"].dt.hour
+    ev["vbucket"] = (
+        np.floor(ev["value"].to_numpy() * 100.0 + 0.5).astype("int64") // 5000
+    )
+    g = ev.groupby(["event_type", "hour", "vbucket"])["user_id"].nunique()
+    exp = g[g < 3]
+    assert len(got) == len(exp)
+    gi = got.set_index(["event_type", "hour", "vbucket"])
+    for key, n in exp.items():
+        assert int(gi.loc[key, "n_users"]) == int(n)
+    # diversity <= size: every l-violating group of size < 3 also
+    # violates 3-anonymity, never the other way around
+    sizes = ev.groupby(["event_type", "hour", "vbucket"]).size()
+    assert (sizes.loc[exp.index] >= exp).all()
