@@ -852,6 +852,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only — bit-exact replay twin in tests
         "error_propensity_att": A.error_propensity_att,
         "events_ldiversity_audit": A.events_ldiversity_audit,
+        "events_tcloseness_audit": A.events_tcloseness_audit,
+        "events_fdr_bh": A.events_fdr_bh,
         "purchase_shapley_attribution": A.purchase_shapley_attribution,
         "referential_integrity_audit": A.referential_integrity_audit,
         "orders_benford": A.orders_benford,
@@ -3718,6 +3720,74 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY 1, 2, 3 "
             "HAVING COUNT(DISTINCT user_id) < 3 "
             "ORDER BY event_type, hour, vbucket"
+        ),
+        "events_tcloseness_audit": (
+            # t-closeness: QI groups whose ordered-EMD to the global
+            # sensitive-value distribution exceeds t=0.02; exact integer
+            # cumulatives over the n*nt common denominator, one final
+            # float division identical to the engine's expression tree
+            "WITH b AS (SELECT event_type, "
+            "CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour, "
+            "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) // 5000 AS vb "
+            "FROM events), "
+            "dom AS (SELECT vb, CAST(COUNT(*) AS BIGINT) AS cg FROM b GROUP BY 1), "
+            "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM b), "
+            "grp AS (SELECT event_type, hour, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM b GROUP BY 1, 2), "
+            "cnt AS (SELECT event_type, hour, vb, CAST(COUNT(*) AS BIGINT) AS c "
+            "FROM b GROUP BY 1, 2, 3), "
+            "fullg AS (SELECT g.event_type, g.hour, d.vb, g.n, d.cg, "
+            "COALESCE(c.c, 0) AS c FROM grp g CROSS JOIN dom d "
+            "LEFT JOIN cnt c ON c.event_type = g.event_type "
+            "AND c.hour = g.hour AND c.vb = d.vb), "
+            "cum AS (SELECT event_type, hour, n, vb, "
+            "SUM(c) OVER (PARTITION BY event_type, hour ORDER BY vb) AS cumc, "
+            "SUM(cg) OVER (PARTITION BY event_type, hour ORDER BY vb) AS cumcg, "
+            "COUNT(*) OVER (PARTITION BY event_type, hour) AS m FROM fullg), "
+            "emd AS (SELECT event_type, hour, "
+            "CASE WHEN MAX(m) > 1 THEN "
+            "CAST(FLOOR(CAST(SUM(ABS(cumc * (SELECT nt FROM tot) - cumcg * n)) "
+            "AS DOUBLE) * 1e6 / (CAST(n AS DOUBLE) * (SELECT nt FROM tot) "
+            "* (MAX(m) - 1)) + 0.5) AS BIGINT) ELSE 0 END AS emd_e6 "
+            "FROM cum GROUP BY event_type, hour, n) "
+            "SELECT event_type, hour, emd_e6 FROM emd WHERE emd_e6 > 20000 "
+            "ORDER BY event_type, hour"
+        ),
+        "events_fdr_bh": (
+            # Benjamini-Hochberg over per-(event_type, hour) mean z-tests:
+            # A&S 7.1.26 erfc polynomial for p (identical expression tree),
+            # integer-scaled p before the exact-integer step-up arithmetic
+            "WITH b AS (SELECT event_type, "
+            "CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour, "
+            "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS x FROM events), "
+            "g AS (SELECT event_type, hour, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(x) AS BIGINT) AS s1 FROM b GROUP BY 1, 2), "
+            "o AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0, "
+            "CAST(SUM(x) AS BIGINT) AS s1g, "
+            "CAST(SUM(x * x) AS BIGINT) AS s2g FROM b), "
+            "z AS (SELECT event_type, hour, n, "
+            "ABS((CAST(s1 AS DOUBLE) / n - CAST(s1g AS DOUBLE) / n0) "
+            "/ sqrt((CAST(s2g AS DOUBLE) / n0 "
+            "- (CAST(s1g AS DOUBLE) / n0) * (CAST(s1g AS DOUBLE) / n0)) / n)) AS az "
+            "FROM g CROSS JOIN o), "
+            "p AS (SELECT event_type, hour, n, "
+            "CAST(FLOOR(((((((1.061405429 * tt - 1.453152027) * tt "
+            "+ 1.421413741) * tt - 0.284496736) * tt + 0.254829592) * tt) "
+            "* exp(-aa * aa)) * 1e6 + 0.5) AS BIGINT) AS p_e6 "
+            "FROM (SELECT event_type, hour, n, az / sqrt(2.0) AS aa, "
+            "1.0 / (1.0 + 0.3275911 * (az / sqrt(2.0))) AS tt FROM z) q), "
+            "r AS (SELECT event_type, hour, n, p_e6, "
+            "ROW_NUMBER() OVER (ORDER BY p_e6, event_type, hour) AS i, "
+            "CAST(COUNT(*) OVER () AS BIGINT) AS m FROM p), "
+            "a AS (SELECT event_type, hour, n, p_e6, i, m, "
+            "MIN(LEAST(1000000, (p_e6 * m) // i)) OVER "
+            "(ORDER BY i ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) "
+            "AS padj_e6 FROM r), "
+            "k AS (SELECT COALESCE(MAX(i) FILTER (WHERE p_e6 * m <= 50000 * i), "
+            "0) AS kk FROM r) "
+            "SELECT event_type, hour, n, p_e6, padj_e6, "
+            "CAST(CASE WHEN i <= kk THEN 1 ELSE 0 END AS BIGINT) AS rejected "
+            "FROM a CROSS JOIN k ORDER BY event_type, hour"
         ),
         "revenue_monthly_sortmerge": (
             # plain SQL join — the engine side must reproduce it through

@@ -244,6 +244,8 @@ QUERY_NAMES = [
     "part_fd_discovery",
     "embedding_random_projection",
     "error_propensity_att",
+    "events_tcloseness_audit",
+    "events_fdr_bh",
 ]
 
 

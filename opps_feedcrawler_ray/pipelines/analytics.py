@@ -11337,3 +11337,164 @@ def events_ldiversity_audit(sf_dir: str, l_min: int = 3) -> pd.DataFrame:
         .sort_values(["event_type", "hour", "vbucket"]).reset_index(drop=True)
         .astype({"hour": "int64", "vbucket": "int64", "n_users": "int64"})
     )
+
+
+def events_tcloseness_audit(sf_dir: str, t_e6: int = 20000) -> pd.DataFrame:
+    """PRIVACY AUDIT — t-CLOSENESS (Li, Li & Venkatasubramanian 2007):
+    a quasi-identifier group whose SENSITIVE-value distribution sits
+    further than ``t`` (ordered-attribute Earth Mover's Distance) from
+    the table-wide distribution leaks attribute information even when
+    it passes k-anonymity (size) and l-diversity (distinct count) — the
+    distributional member of the audit trio (``events_kanonymity_audit``,
+    ``events_ldiversity_audit``).  QI = (event_type, hour); sensitive =
+    the ordered value bucket.  Ordered EMD = Σ|cum(P)−cum(Q)| / (m−1),
+    computed in exact integers over the common denominator n·nt (one
+    float division at the very end, identical expression tree to the
+    DuckDB oracle, so value hashes are exact).
+
+    Scale shape: pass 1 is a per-batch bincount partial into a tiny
+    groupby (global distribution = one row per value bucket, broadcast
+    via closure); pass 2 re-partials per-QI-group counts and exchanges
+    ONCE on the hour hash so each group's histogram is bucket-complete;
+    EMD and the HAVING-> t cut run inside the bucket and the driver
+    sees only violating groups."""
+    from .dedup import coarse_buckets
+
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts", "value"])
+
+    def _vb(values: np.ndarray) -> np.ndarray:
+        return np.floor(values * 100.0 + 0.5).astype(np.int64) // 5000
+
+    def gpart(batch: pa.Table) -> pa.Table:
+        vb = _vb(batch.column("value").to_numpy(zero_copy_only=False))
+        u, c = np.unique(vb, return_counts=True)
+        return pa.table({"vb": u, "c": c.astype("int64")})
+
+    gdf = (
+        ev.map_batches(gpart, batch_format="pyarrow")
+        .groupby("vb").sum("c").to_pandas()
+        .sort_values("vb").reset_index(drop=True)
+    )
+    dom = gdf["vb"].to_numpy(dtype=np.int64)
+    cg = gdf["sum(c)"].to_numpy(dtype=np.int64)
+    nt = int(cg.sum())
+    m = len(dom)
+
+    nb = coarse_buckets(ev.count(), rows_per_task=65536)
+    _schema = pa.schema([("event_type", pa.string()), ("hour", pa.int64()),
+                         ("vb", pa.int64()), ("c", pa.int64()), ("__b", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["hour"] = df["ts"].dt.hour.astype("int64")
+        df["vb"] = _vb(df["value"].to_numpy())
+        g = df.groupby(["event_type", "hour", "vb"], as_index=False).size()
+        g = g.rename(columns={"size": "c"})
+        g["c"] = g["c"].astype("int64")
+        g["__b"] = (g["hour"] % nb).astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False, schema=_schema)
+
+    cumcg = np.cumsum(cg)
+
+    def cut(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.groupby(["event_type", "hour", "vb"], as_index=False)["c"].sum()
+        rows: list[tuple[str, int, int]] = []
+        for (et, hour), g in s.groupby(["event_type", "hour"]):
+            c = np.zeros(m, dtype=np.int64)
+            c[np.searchsorted(dom, g["vb"].to_numpy())] = g["c"].to_numpy()
+            n = int(c.sum())
+            if m <= 1:
+                emd_e6 = 0
+            else:
+                cumc = np.cumsum(c)
+                numer = int(np.abs(cumc * nt - cumcg * n).sum())
+                emd_e6 = int(np.floor(
+                    float(numer) * 1e6 / (float(n) * float(nt) * (m - 1)) + 0.5
+                ))
+            if emd_e6 > t_e6:
+                rows.append((str(et), int(hour), emd_e6))
+        return pd.DataFrame(rows, columns=["event_type", "hour", "emd_e6"]).astype(
+            {"hour": "int64", "emd_e6": "int64"}
+        )
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("__b").map_groups(cut, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["event_type", "hour"]).reset_index(drop=True)
+        .astype({"hour": "int64", "emd_e6": "int64"})
+    )
+
+
+def events_fdr_bh(sf_dir: str, q_e6: int = 50000) -> pd.DataFrame:
+    """MULTIPLE-TESTING CONTROL — Benjamini–Hochberg FDR (1995): one
+    two-sided z-test per (event_type, hour) group (H0: group mean value
+    equals the global mean, variance from the global moments), then the
+    step-up procedure at FDR level ``q`` across all m hypotheses.
+    Returns EVERY hypothesis with its raw p, BH-adjusted p (the running
+    suffix-min of m·p_i/i, the standard `p.adjust(method="BH")` value)
+    and the reject flag — on null-structured data the rejected set is
+    legitimately empty, so the adjusted column is what the oracle hash
+    locks down.  p-values use the Abramowitz–Stegun 7.1.26 erfc
+    polynomial (plain arithmetic + exp, so the DuckDB twin evaluates
+    the IDENTICAL expression tree); p is integer-scaled to e6 before
+    the BH arithmetic, which then runs in exact integers on both sides.
+
+    Scale shape: per-batch moment partials (n, Σx, Σx²) per group →
+    one tiny groupby (m is bounded by |event_type|×24 — a fixed, data-
+    independent domain); the global moments are the SUM of the group
+    rows, so one pass feeds both; BH itself is O(m log m) driver math
+    on the bounded hypothesis table."""
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts", "value"])
+    _schema = pa.schema([("event_type", pa.string()), ("hour", pa.int64()),
+                         ("n", pa.int64()), ("s1", pa.int64()), ("s2", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["hour"] = df["ts"].dt.hour.astype("int64")
+        x = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        df["x"] = x
+        df["x2"] = x * x
+        g = df.groupby(["event_type", "hour"], as_index=False).agg(
+            n=("x", "size"), s1=("x", "sum"), s2=("x2", "sum"))
+        for c in ("n", "s1", "s2"):
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False, schema=_schema)
+
+    g = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .sum(["n", "s1", "s2"])
+        .to_pandas()
+        .rename(columns={"sum(n)": "n", "sum(s1)": "s1", "sum(s2)": "s2"})
+    )
+    n0 = int(g["n"].sum())
+    s1g = int(g["s1"].sum())
+    s2g = int(g["s2"].sum())
+
+    n = g["n"].to_numpy(dtype=np.float64)
+    s1 = g["s1"].to_numpy(dtype=np.float64)
+    mu0 = float(s1g) / n0
+    var0 = float(s2g) / n0 - mu0 * mu0
+    az = np.abs((s1 / n - mu0) / np.sqrt(var0 / n))
+    aa = az / np.sqrt(2.0)
+    tt = 1.0 / (1.0 + 0.3275911 * aa)
+    p = ((((1.061405429 * tt - 1.453152027) * tt + 1.421413741) * tt
+          - 0.284496736) * tt + 0.254829592) * tt * np.exp(-aa * aa)
+    g["p_e6"] = np.floor(p * 1e6 + 0.5).astype("int64")
+
+    g = g.sort_values(["p_e6", "event_type", "hour"]).reset_index(drop=True)
+    m = len(g)
+    i = np.arange(1, m + 1, dtype=np.int64)
+    p_e6 = g["p_e6"].to_numpy(dtype=np.int64)
+    adj = np.minimum(1_000_000, p_e6 * m // i)
+    g["padj_e6"] = np.minimum.accumulate(adj[::-1])[::-1].astype("int64")
+    ok = p_e6 * m <= q_e6 * i
+    k = int(i[ok].max()) if ok.any() else 0
+    g["rejected"] = (i <= k).astype("int64")
+
+    out = g[["event_type", "hour", "n", "p_e6", "padj_e6", "rejected"]]
+    return (
+        out.sort_values(["event_type", "hour"]).reset_index(drop=True)
+        .astype({"hour": "int64", "n": "int64"})
+    )

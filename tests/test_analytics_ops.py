@@ -5180,3 +5180,76 @@ def test_events_ldiversity_audit_matches_pandas_replay(ray_session):
     # violates 3-anonymity, never the other way around
     sizes = ev.groupby(["event_type", "hour", "vbucket"]).size()
     assert (sizes.loc[exp.index] >= exp).all()
+
+
+def test_events_tcloseness_audit_matches_pandas_replay(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import events_tcloseness_audit
+
+    got = events_tcloseness_audit(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+    ev["hour"] = ev["ts"].dt.hour.astype("int64")
+    ev["vb"] = (
+        np.floor(ev["value"].to_numpy() * 100.0 + 0.5).astype("int64") // 5000
+    )
+    dom = np.sort(ev["vb"].unique())
+    cg = ev["vb"].value_counts().reindex(dom).to_numpy(dtype="int64")
+    cumcg = np.cumsum(cg)
+    nt = int(cg.sum())
+    m = len(dom)
+    exp = {}
+    for (et, hour), g in ev.groupby(["event_type", "hour"]):
+        c = np.zeros(m, dtype=np.int64)
+        vc = g["vb"].value_counts()
+        c[np.searchsorted(dom, vc.index.to_numpy())] = vc.to_numpy()
+        n = int(c.sum())
+        numer = int(np.abs(np.cumsum(c) * nt - cumcg * n).sum())
+        emd_e6 = int(np.floor(float(numer) * 1e6 / (float(n) * float(nt) * (m - 1)) + 0.5))
+        if emd_e6 > 20000:
+            exp[(et, int(hour))] = emd_e6
+    assert len(got) == len(exp) > 0
+    for _, r in got.iterrows():
+        assert exp[(r["event_type"], int(r["hour"]))] == int(r["emd_e6"])
+    # the trio is ordered by strictness on this data: every t-violating
+    # group's EMD is genuinely above the threshold (sanity of scaling)
+    assert (got["emd_e6"] > 20000).all()
+
+
+def test_events_fdr_bh_matches_reference_stepup(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import events_fdr_bh
+
+    got = events_fdr_bh(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+    ev["hour"] = ev["ts"].dt.hour.astype("int64")
+    x = np.floor(ev["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    ev["x"] = x
+    g = ev.groupby(["event_type", "hour"]).agg(n=("x", "size"), s1=("x", "sum"))
+    n0 = int(len(ev)); s1g = int(x.sum()); s2g = int((x * x).sum())
+    mu0 = s1g / n0
+    var0 = s2g / n0 - mu0 * mu0
+    az = np.abs((g["s1"] / g["n"] - mu0) / np.sqrt(var0 / g["n"]))
+    # reference p via the same A&S 7.1.26 erfc polynomial
+    aa = az / np.sqrt(2.0)
+    tt = 1.0 / (1.0 + 0.3275911 * aa)
+    p = ((((1.061405429 * tt - 1.453152027) * tt + 1.421413741) * tt
+          - 0.284496736) * tt + 0.254829592) * tt * np.exp(-aa * aa)
+    p_e6 = np.floor(p * 1e6 + 0.5).astype("int64")
+    gi = got.set_index(["event_type", "hour"])
+    assert len(got) == len(g)
+    for key, pe in p_e6.items():
+        assert int(gi.loc[key, "p_e6"]) == int(pe)
+    # BH invariants: padj monotone in p, padj >= p, rejected iff padj
+    # never exceeds the level among the smallest-p prefix
+    s = got.sort_values(["p_e6", "event_type", "hour"]).reset_index(drop=True)
+    assert (s["padj_e6"].to_numpy()[1:] >= s["padj_e6"].to_numpy()[:-1] - 0).all()
+    assert (s["padj_e6"] >= s["p_e6"]).all()
+    assert (s["padj_e6"] <= 1_000_000).all()
+    rej = s["rejected"].to_numpy()
+    if rej.any():
+        kk = int(np.max(np.nonzero(rej)[0]))
+        assert rej[: kk + 1].all()
+    # A&S |error| <= 1.5e-7, so p_e6 is within 1 of the exact erfc
+    from math import erfc, sqrt
+    exact = np.array([erfc(a / sqrt(2.0)) for a in az.to_numpy()])
+    assert np.abs(p - exact).max() <= 2e-7
