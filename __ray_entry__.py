@@ -854,6 +854,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ldiversity_audit": A.events_ldiversity_audit,
         "events_tcloseness_audit": A.events_tcloseness_audit,
         "events_fdr_bh": A.events_fdr_bh,
+        # PPMI-SVD word vectors: exact-integer co-occurrence under any
+        # parallelism + sign-fixed SVD, rows-only — dense numpy twin in tests
+        "token_ppmi_svd": A.token_ppmi_svd,
+        # Laplace-mechanism DP release: deterministic hash-derived noise,
+        # rows-only — mechanism-replay twin in tests
+        "events_dp_daily_release": A.events_dp_daily_release,
         "purchase_shapley_attribution": A.purchase_shapley_attribution,
         "referential_integrity_audit": A.referential_integrity_audit,
         "orders_benford": A.orders_benford,

@@ -246,6 +246,8 @@ QUERY_NAMES = [
     "error_propensity_att",
     "events_tcloseness_audit",
     "events_fdr_bh",
+    "token_ppmi_svd",
+    "events_dp_daily_release",
 ]
 
 

@@ -11498,3 +11498,146 @@ def events_fdr_bh(sf_dir: str, q_e6: int = 50000) -> pd.DataFrame:
         out.sort_values(["event_type", "hour"]).reset_index(drop=True)
         .astype({"hour": "int64", "n": "int64"})
     )
+
+
+def token_ppmi_svd(sf_dir: str, vocab_size: int = 64, window: int = 2,
+                   dims: int = 16) -> pd.DataFrame:
+    """WORD-EMBEDDING TRAINING — count-based PPMI-SVD vectors (Levy &
+    Goldberg 2014: SGNS factorizes a shifted PMI matrix; the explicit
+    PPMI + truncated-SVD pipeline is its deterministic classical twin):
+    token co-occurrence counts within a symmetric ``window`` over every
+    document, positive pointwise mutual information, then rank-``dims``
+    SVD with the singular-value-weighted left factors (U·√Σ) as the
+    embeddings.  Fully deterministic — counts are exact integers under
+    any parallelism, and each singular vector's sign is fixed
+    (largest-|.| coordinate positive), so output is stable across runs
+    and cluster sizes (rows-only contract entry; brute-force numpy twin
+    in tests).
+
+    Scale shape: pass 1 is the distributed token-count partial → tiny
+    groupby → top-``vocab_size`` cut on the driver (count desc, token
+    asc — the vocab table is the broadcast side, V strings); pass 2
+    emits per-batch V×V co-occurrence partials as (a, b, c) rows — the
+    batch's docs are CONCATENATED with a -1 separator so all window
+    offsets vectorize as shifted-array pairs, no per-doc Python — into
+    ONE (a, b) groupby whose result is ≤V² rows; PPMI + SVD are O(V²)
+    driver math, independent of corpus size."""
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+
+    def count_part(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for t in batch.column("text").to_pylist():
+            toks.extend((t or "").split())
+        if not toks:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        u, c = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        return pa.table({"token": pa.array(list(u), pa.string()),
+                         "c": pa.array(c.astype("int64"), pa.int64())})
+
+    counts = (
+        docs.map_batches(count_part, batch_format="pyarrow")
+        .groupby("token").sum("c").to_pandas()
+        .rename(columns={"sum(c)": "c"})
+        .sort_values(["c", "token"], ascending=[False, True])
+        .head(vocab_size).reset_index(drop=True)
+    )
+    vocab = counts["token"].tolist()
+    vid = {t: i for i, t in enumerate(vocab)}
+    V = len(vocab)
+    if V == 0:
+        return pd.DataFrame(columns=["token"] + [f"d{j}" for j in range(dims)])
+
+    def cooc_part(batch: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        for t in batch.column("text").to_pylist():
+            ids.extend(vid.get(w, -1) for w in (t or "").split())
+            ids.extend([-1] * window)  # window-wide separator: no offset
+            # k <= window can pair tokens across the doc boundary
+        a = np.asarray(ids, dtype=np.int64)
+        mat = np.zeros((V, V), dtype=np.int64)
+        for k in range(1, window + 1):
+            if len(a) <= k:
+                break
+            x, y = a[:-k], a[k:]
+            ok = (x >= 0) & (y >= 0)
+            xf, yf = x[ok], y[ok]
+            np.add.at(mat.ravel(), xf * V + yf, 1)
+            np.add.at(mat.ravel(), yf * V + xf, 1)
+        nz = np.nonzero(mat)
+        return pa.table({
+            "a": pa.array(nz[0].astype("int64"), pa.int64()),
+            "b": pa.array(nz[1].astype("int64"), pa.int64()),
+            "c": pa.array(mat[nz].astype("int64"), pa.int64()),
+        })
+
+    co = (
+        docs.map_batches(cooc_part, batch_format="pyarrow")
+        .groupby(["a", "b"]).sum("c").to_pandas()
+        .rename(columns={"sum(c)": "c"})
+    )
+    M = np.zeros((V, V), dtype=np.float64)
+    M[co["a"].to_numpy(), co["b"].to_numpy()] = co["c"].to_numpy()
+    total = M.sum()
+    ra = M.sum(axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        pmi = np.log(M * total / np.outer(ra, ra))
+    ppmi = np.where(np.isfinite(pmi) & (pmi > 0.0), pmi, 0.0)
+    u, s, _ = np.linalg.svd(ppmi, full_matrices=False)
+    d = min(dims, V)
+    w = u[:, :d] * np.sqrt(s[:d])
+    for j in range(d):
+        i = int(np.argmax(np.abs(w[:, j])))
+        if w[i, j] < 0:
+            w[:, j] = -w[:, j]
+    out = pd.DataFrame({"token": vocab})
+    for j in range(dims):
+        out[f"d{j}"] = np.round(w[:, j], 6) if j < d else 0.0
+    return out.sort_values("token").reset_index(drop=True)
+
+
+def events_dp_daily_release(sf_dir: str, eps_e3: int = 1000) -> pd.DataFrame:
+    """DIFFERENTIAL-PRIVACY RELEASE — Laplace mechanism (Dwork et al.
+    2006) over the daily event-count histogram: each exact count gets
+    Laplace(Δf/ε) noise (Δf = 1 for a counting query) before release.
+    The privacy audits (k-anonymity / l-diversity / t-closeness) FLAG
+    risky groups; this op is the release side — the published table
+    itself carries the ε-DP guarantee.  Noise is pseudo-random but
+    DETERMINISTIC: u ∈ (0,1) is derived from blake2b("dp:" + day), so
+    the release is reproducible across runs and cluster sizes (rows-only
+    contract entry; the twin test replays the mechanism and checks the
+    inverse-CDF algebra).  ε = eps_e3/1000; released counts are clamped
+    at 0 and rounded to integers.
+
+    Scale shape: exact counts via per-batch partials + one tiny
+    groupby (the day domain is bounded); noise is a vectorized
+    per-group transform on the result — no extra pass, no shuffle."""
+    import hashlib
+
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["ts"])
+    _schema = pa.schema([("day", pa.string()), ("n", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df["ts"].dt.strftime("%Y-%m-%d").value_counts().sort_index()
+        return pa.Table.from_pandas(
+            pd.DataFrame({"day": g.index.astype(str), "n": g.to_numpy("int64")}),
+            preserve_index=False, schema=_schema)
+
+    g = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("day").sum("n").to_pandas()
+        .rename(columns={"sum(n)": "n"})
+        .sort_values("day").reset_index(drop=True)
+    )
+    eps = eps_e3 / 1000.0
+    b = 1.0 / eps  # Laplace scale for sensitivity-1 counting
+    u = np.array([
+        (int.from_bytes(hashlib.blake2b(f"dp:{d}".encode(), digest_size=8).digest(),
+                        "big") + 0.5) / 2.0 ** 64
+        for d in g["day"]
+    ])
+    lap = -b * np.sign(u - 0.5) * np.log(1.0 - 2.0 * np.abs(u - 0.5))
+    g["n_released"] = np.maximum(
+        0, g["n"].to_numpy("int64") + np.floor(lap + 0.5).astype(np.int64))
+    return g[["day", "n_released"]].astype({"n_released": "int64"})

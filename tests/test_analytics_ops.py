@@ -5253,3 +5253,74 @@ def test_events_fdr_bh_matches_reference_stepup(ray_session):
     from math import erfc, sqrt
     exact = np.array([erfc(a / sqrt(2.0)) for a in az.to_numpy()])
     assert np.abs(p - exact).max() <= 2e-7
+
+
+def test_token_ppmi_svd_matches_dense_twin(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import token_ppmi_svd
+
+    got = token_ppmi_svd(SF, vocab_size=16, window=2, dims=4)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+
+    # brute-force: full vocab count, same top-16 cut, per-doc window pairs
+    from collections import Counter
+    cnt = Counter()
+    for t in docs["text"]:
+        cnt.update((t or "").split())
+    vocab = sorted(cnt, key=lambda w: (-cnt[w], w))[:16]
+    vid = {w: i for i, w in enumerate(vocab)}
+    V = len(vocab)
+    M = np.zeros((V, V))
+    for t in docs["text"]:
+        ids = [vid.get(w, -1) for w in (t or "").split()]
+        for i, a in enumerate(ids):
+            if a < 0:
+                continue
+            for k in (1, 2):
+                if i + k < len(ids) and ids[i + k] >= 0:
+                    M[a, ids[i + k]] += 1
+                    M[ids[i + k], a] += 1
+    total = M.sum(); ra = M.sum(axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        pmi = np.log(M * total / np.outer(ra, ra))
+    ppmi = np.where(np.isfinite(pmi) & (pmi > 0), pmi, 0.0)
+    u, s, _ = np.linalg.svd(ppmi, full_matrices=False)
+    w = u[:, :4] * np.sqrt(s[:4])
+    for j in range(4):
+        i = int(np.argmax(np.abs(w[:, j])))
+        if w[i, j] < 0:
+            w[:, j] = -w[:, j]
+    exp = pd.DataFrame({"token": vocab})
+    for j in range(4):
+        exp[f"d{j}"] = np.round(w[:, j], 6)
+    exp = exp.sort_values("token").reset_index(drop=True)
+    assert got["token"].tolist() == exp["token"].tolist()
+    for j in range(4):
+        np.testing.assert_allclose(got[f"d{j}"], exp[f"d{j}"], atol=2e-6)
+    # embeddings must separate tokens: no all-zero vector for a token
+    # that co-occurs, and vectors are not all identical
+    norms = np.sqrt((got[[f"d{j}" for j in range(4)]].to_numpy() ** 2).sum(axis=1))
+    assert (norms > 0).any() and len(np.unique(np.round(norms, 6))) > 1
+
+
+def test_events_dp_daily_release_mechanism(ray_session):
+    import hashlib
+    from opps_feedcrawler_ray.pipelines.analytics import events_dp_daily_release
+
+    got = events_dp_daily_release(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["ts"])
+    exact = ev["ts"].dt.strftime("%Y-%m-%d").value_counts().sort_index()
+    assert got["day"].tolist() == exact.index.tolist()
+    # replay the deterministic mechanism
+    b = 1.0
+    for day, n in exact.items():
+        u = (int.from_bytes(hashlib.blake2b(f"dp:{day}".encode(), digest_size=8)
+                            .digest(), "big") + 0.5) / 2.0 ** 64
+        lap = -b * np.sign(u - 0.5) * np.log(1.0 - 2.0 * abs(u - 0.5))
+        expect = max(0, int(n) + int(np.floor(lap + 0.5)))
+        assert int(got.set_index("day").loc[day, "n_released"]) == expect
+    # determinism across invocations (different execution/parallelism)
+    again = events_dp_daily_release(SF)
+    pd.testing.assert_frame_equal(got, again)
+    # utility: mean absolute error ~ b, never catastrophic
+    err = np.abs(got["n_released"].to_numpy() - exact.to_numpy())
+    assert err.mean() < 10 * b + 1
