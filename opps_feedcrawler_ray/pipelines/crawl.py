@@ -189,6 +189,18 @@ class CrawlConfig:
     # Applied after the frozen canonicalizer (its spec is untouched).
     # Frozen in the checkpoint manifest (changes dedup identity).
     strip_params: list | None = None
+    # crawl-DEPTH (hop) limit (None = unlimited): a URL's hop depth is
+    # its link distance from the seed set at first admission (pending
+    # rediscoveries keep the MIN, so the value is deterministic under
+    # any offer-batch schedule; seeds = 0, robots-Sitemap offers count
+    # as operator-vetted 0 like seeds).  Links found on a page at depth
+    # == max_hops are NOT offered, so the crawl explores exactly the
+    # ball of radius max_hops around the seeds regardless of how many
+    # rounds politeness stretches it over.  Adds an opt-in ``hops``
+    # crawl-log column.  Frozen in the checkpoint manifest (changes
+    # frontier contents).  Mutually exclusive with indegree_priority /
+    # focus_keywords (each swaps the link-explode/dedup kernel).
+    max_hops: int | None = None
     # transient-failure RETRY with exponential backoff: a fetch logged
     # status="error" is re-queued by its frontier shard — the n-th retry
     # comes due at failed_round + 2^(n−1) — until ``max_retries``
@@ -747,7 +759,8 @@ class _OfferLinksStage:
                  strip_params: list | None = None,
                  breaker: bool = False,
                  focus_keywords: list | None = None,
-                 focus_boost: float = 0.5) -> None:
+                 focus_boost: float = 0.5,
+                 max_hops: int | None = None) -> None:
         self.actors = actors
         self.next_round = next_round
         self.priority_fn = priority_fn
@@ -760,6 +773,7 @@ class _OfferLinksStage:
         self.breaker = breaker
         self.focus_keywords = [k.lower() for k in focus_keywords] if focus_keywords else None
         self.focus_boost = focus_boost
+        self.max_hops = max_hops
         self._canon = CanonicalizeStage(strip_params=strip_params)
 
     def _explode_focused(self, batch: pa.Table) -> pa.Table:
@@ -797,6 +811,46 @@ class _OfferLinksStage:
             {"url": flat,
              "priority": pa.array(prio, pa.float64()),
              "round": pa.array(np.full(n, self.next_round, dtype=np.int32))}
+        )
+
+    def _explode_hops(self, batch: pa.Table) -> pa.Table:
+        """Crawl-depth explode: children inherit parent depth + 1; links
+        on a page already AT max_hops are cut here (they could only land
+        beyond the radius)."""
+        import numpy as np
+
+        ll = batch["links"]
+        if isinstance(ll, pa.ChunkedArray):
+            ll = ll.combine_chunks()
+        flat = pc.list_flatten(ll)
+        empty = pa.table(
+            {"url": pa.array([], pa.string()),
+             "priority": pa.array([], pa.float64()),
+             "round": pa.array([], pa.int32()),
+             "hops": pa.array([], pa.int32())}
+        )
+        if len(flat) == 0:
+            return empty
+        ph = batch["hops"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = pc.list_value_length(ll).to_numpy(zero_copy_only=False)
+        child = np.repeat(ph + 1, lens)
+        keep = child <= self.max_hops
+        if not keep.any():
+            return empty
+        if not keep.all():
+            flat = flat.filter(pa.array(keep))
+            child = child[keep]
+        base = (
+            self.priority_fn(self.next_round)
+            if self.priority_fn
+            else 1.0 / (2 + self.next_round)
+        )
+        n = len(flat)
+        return pa.table(
+            {"url": flat,
+             "priority": pa.array(np.full(n, base, dtype=np.float64)),
+             "round": pa.array(np.full(n, self.next_round, dtype=np.int32)),
+             "hops": pa.array(child.astype(np.int32), pa.int32())}
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -847,6 +901,7 @@ class _OfferLinksStage:
                 # re-queueing (the failure happened in round next_round-1)
                 fail_cols = batch.select(
                     ["url_hash", "url", "host", "priority", "attempt"]
+                    + (["hops"] if self.max_hops is not None else [])
                 )
                 for s in np.unique(subs[err]):
                     sub_t = fail_cols.filter(pa.array(err & (subs == s)))
@@ -879,24 +934,47 @@ class _OfferLinksStage:
                             )
                         )
                     )
-        links = (
-            self._explode_focused(batch)
-            if self.focus_keywords
-            else explode_links(batch, self.next_round, self.priority_fn)
-        )
+        if self.focus_keywords:
+            links = self._explode_focused(batch)
+        elif self.max_hops is not None:
+            links = self._explode_hops(batch)
+        else:
+            links = explode_links(batch, self.next_round, self.priority_fn)
         for decl_col in ("canonical", "redirect"):
             if decl_col not in batch.column_names:
                 continue
             # declared targets (RFC 6596 canonical / meta-refresh redirect)
             # are discovered URLs — offer them with the round's link
             # priority; the frontier's seen filter dedups self-references
+            prio = (
+                self.priority_fn(self.next_round)
+                if self.priority_fn
+                else 1.0 / (2 + self.next_round)
+            )
+            if self.max_hops is not None:
+                # declared targets are links too: depth = parent + 1,
+                # cut at the radius like the explode path
+                ph = batch["hops"].to_numpy(zero_copy_only=False)
+                pairs = [
+                    (c, int(p) + 1)
+                    for c, p in zip(batch[decl_col].to_pylist(), ph)
+                    if c and int(p) + 1 <= self.max_hops
+                ]
+                if pairs:
+                    extra = pa.table(
+                        {
+                            "url": pa.array([c for c, _ in pairs], pa.string()),
+                            "priority": pa.array([prio] * len(pairs), pa.float64()),
+                            "round": pa.array(
+                                [self.next_round] * len(pairs), pa.int32()
+                            ),
+                            "hops": pa.array([h for _, h in pairs], pa.int32()),
+                        }
+                    )
+                    links = pa.concat_tables([links, extra])
+                continue
             cvals = [c for c in batch[decl_col].to_pylist() if c]
             if cvals:
-                prio = (
-                    self.priority_fn(self.next_round)
-                    if self.priority_fn
-                    else 1.0 / (2 + self.next_round)
-                )
                 extra = pa.table(
                     {
                         "url": pa.array(cvals, pa.string()),
@@ -942,6 +1020,26 @@ class _OfferLinksStage:
                      "round": pa.array(
                          np.full(len(uu), self.next_round, dtype=np.int32))}
                 )
+            elif self.max_hops is not None:
+                # depth mode: hops vary per parent — raw pre-dedup keeps
+                # the MIN depth per url (deterministic, same as the
+                # frontier's pending-rediscovery rule)
+                import numpy as np
+
+                urls_np = links["url"].to_numpy(zero_copy_only=False)
+                hp_np = links["hops"].to_numpy(zero_copy_only=False)
+                uu, inv = np.unique(urls_np, return_inverse=True)
+                hm = np.full(len(uu), np.iinfo(np.int64).max, dtype=np.int64)
+                np.minimum.at(hm, inv, hp_np.astype(np.int64))
+                links = pa.table(
+                    {"url": pa.array(uu, pa.string()),
+                     "priority": pa.array(
+                         np.full(len(uu), links["priority"][0].as_py(),
+                                 dtype=np.float64)),
+                     "round": pa.array(
+                         np.full(len(uu), self.next_round, dtype=np.int32)),
+                     "hops": pa.array(hm.astype(np.int32), pa.int32())}
+                )
             else:
                 # raw-string pre-dedup BEFORE canonicalize: outlinks repeat
                 # heavily within a batch and priority/round are constant
@@ -966,6 +1064,8 @@ class _OfferLinksStage:
                 keep_cols = ["url", "url_hash", "surt", "host", "priority", "round"]
                 if "w" in cand.column_names:
                     keep_cols.append("w")
+                if "hops" in cand.column_names:
+                    keep_cols.append("hops")
                 cand = cand.select(keep_cols)
                 # J4 pre-dedup: outlinks repeat heavily within a batch; one
                 # np.unique here cuts frontier-actor traffic several-fold.
@@ -1010,6 +1110,24 @@ class _OfferLinksStage:
                         cand.schema.get_field_index("priority"),
                         "priority", pa.array(pmax[order], pa.float64()),
                     )
+                elif self.max_hops is not None:
+                    # aliased canonical forms merge keeping MIN depth
+                    _, first_idx, inv = np.unique(
+                        hh, return_index=True, return_inverse=True
+                    )
+                    hmin = np.full(
+                        len(first_idx), np.iinfo(np.int64).max, dtype=np.int64
+                    )
+                    np.minimum.at(
+                        hmin, inv,
+                        cand["hops"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    )
+                    order = np.argsort(first_idx)
+                    cand = cand.take(pa.array(first_idx[order], pa.int64()))
+                    cand = cand.set_column(
+                        cand.schema.get_field_index("hops"),
+                        "hops", pa.array(hmin[order].astype(np.int32), pa.int32()),
+                    )
                 else:
                     _, first_idx = np.unique(hh, return_index=True)
                     if len(first_idx) < len(hh):
@@ -1047,6 +1165,8 @@ class _OfferLinksStage:
         ]
         if self.max_retries and "attempt" in batch.column_names:
             cols.append("attempt")  # opt-in log column, like canonical
+        if self.max_hops is not None and "hops" in batch.column_names:
+            cols.append("hops")  # opt-in log column: fetched page's depth
         out = batch.select(cols)
         if self.sink_hook is not None:
             # §2.10 publication hook: side-effect per crawl-log batch (the
@@ -1169,6 +1289,7 @@ def _write_manifest(cfg: CrawlConfig, round_idx: int, fetch_seq: int, lineage: l
         "refresh_max_delay": cfg.refresh_max_delay,
         "trap_guard": cfg.trap_guard,
         "scope_filter": cfg.scope_filter,
+        "max_hops": cfg.max_hops,
         "indegree_priority": cfg.indegree_priority,
         "focus_keywords": cfg.focus_keywords,
         "focus_boost": cfg.focus_boost,
@@ -1219,6 +1340,13 @@ def crawl(cfg: CrawlConfig) -> dict:
             "focus_keywords and indegree_priority are mutually exclusive: "
             "two competing discovered-URL ordering rules"
         )
+    if cfg.max_hops is not None and (cfg.focus_keywords or cfg.indegree_priority):
+        raise ValueError(
+            "max_hops is mutually exclusive with focus_keywords / "
+            "indegree_priority: each swaps the link-explode/dedup kernel"
+        )
+    if cfg.max_hops is not None and cfg.max_hops < 0:
+        raise ValueError("max_hops must be >= 0 (0 = seeds only)")
     for h, k in (cfg.salt_hosts or {}).items():
         if k > cfg.politeness_budget:
             raise ValueError(
@@ -1362,6 +1490,9 @@ def crawl(cfg: CrawlConfig) -> dict:
             # the crawl's reachable set vs the checkpointed seen filter
             "trap_guard": cfg.trap_guard,
             "scope_filter": cfg.scope_filter,
+            # max_hops changes WHICH urls enter the frontier (the depth
+            # ball) and the log schema (hops column)
+            "max_hops": cfg.max_hops,
             # indegree_priority changes frontier ORDER — resuming with a
             # different setting would interleave rounds ordered by two
             # different rules
@@ -1393,7 +1524,7 @@ def crawl(cfg: CrawlConfig) -> dict:
                         "refresh_max_delay", "indegree_priority",
                         "max_retries", "fail_inject", "strip_params",
                         "focus_keywords", "focus_boost", "honor_nofollow",
-                        "soft404_detect")
+                        "soft404_detect", "max_hops")
                 and key not in manifest
             ):
                 continue  # pre-upgrade manifests didn't record these
@@ -1619,6 +1750,7 @@ def crawl(cfg: CrawlConfig) -> dict:
             breaker=cfg.breaker_threshold > 0,
             focus_keywords=cfg.focus_keywords,
             focus_boost=cfg.focus_boost,
+            max_hops=cfg.max_hops,
         )
         staged = ready.map_batches(_AssignSeq(offsets_ref), batch_format="pyarrow")
         if cfg.fetch_strategy == "actors":
@@ -1792,6 +1924,11 @@ def main(argv: list[str] | None = None) -> int:
              "(n-th retry after 2^(n-1) rounds); 0 = off",
     )
     ap.add_argument(
+        "--max-hops", type=int, default=None,
+        help="crawl-depth limit: only fetch pages within this many link "
+             "hops of the seed set (seeds = 0); adds a 'hops' log column",
+    )
+    ap.add_argument(
         "--breaker-threshold", type=float, default=0.0, metavar="RATE",
         help="per-host circuit breaker: suspend a host for "
              "--breaker-cooldown rounds when its error fraction over the "
@@ -1865,6 +2002,7 @@ def main(argv: list[str] | None = None) -> int:
         soft404_detect=args.soft404_detect,
         indegree_priority=args.indegree_priority,
         max_retries=args.max_retries,
+        max_hops=args.max_hops,
         breaker_threshold=args.breaker_threshold,
         breaker_min_attempts=args.breaker_min_attempts,
         breaker_cooldown=args.breaker_cooldown,

@@ -197,6 +197,18 @@ class FrontierActor:
         self.retry: dict[str, dict[int, list]] = {}
         self._retry_attempts: dict[int, int] = {}
         self.gave_up = 0
+        # hop depth per PENDING url_hash (crawl-depth limit support):
+        # recorded at admission from the offer's ``hops`` column, popped
+        # when the row is emitted (the value rides the ready set and the
+        # offer stage derives children's depth from it).  A pending URL
+        # rediscovered at a shallower depth keeps the MIN — min is
+        # order-free, so the recorded depth is deterministic under any
+        # offer-batch schedule.  Populated ONLY when the crawl sets
+        # max_hops (otherwise offers carry no hops column and this stays
+        # empty); memory is O(pending frontier), same order as the heaps
+        # themselves — at 10^10 pending you'd fold hops into the heap
+        # tuple + pending-spill schema instead of a side dict.
+        self._hops: dict[int, int] = {}
         # cross-URL CONTENT-DIGEST dedup (the Heritrix "content-seen"
         # test, distinct from skip_unchanged's same-URL comparison):
         # ``_content_seen`` holds fingerprints SEALED at a round
@@ -306,6 +318,22 @@ class FrontierActor:
         hh = table["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
         # first-occurrence dedup within the batch (sequential-equivalent)
         uniq, first_idx = np.unique(hh, return_index=True)
+        hops_of: dict[int, int] | None = None
+        if "hops" in table.column_names:
+            # crawl-depth mode: per-hash MIN hop depth across in-batch
+            # duplicates, then a min-merge into any still-PENDING entry
+            # (deterministic: min commutes across racing offer batches)
+            hop_arr = table["hops"].to_numpy(zero_copy_only=False).astype(np.int64)
+            inv = np.searchsorted(uniq, hh)
+            hmin = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+            np.minimum.at(hmin, inv, hop_arr)
+            hops_of = dict(zip(map(int, uniq), map(int, hmin)))
+            ph = self._hops
+            if ph:
+                for u, hm in hops_of.items():
+                    cur = ph.get(u)
+                    if cur is not None and hm < cur:
+                        ph[u] = hm
         if self.exact is not None:
             maybe = self.seen.contains_batch(uniq)
             new_u = ~maybe
@@ -354,6 +382,8 @@ class FrontierActor:
                     lst = heaps[host] = []
                 lst.append((np_, rnd, url, h))
                 dirty_add(host)
+                if hops_of is not None:
+                    self._hops[h] = hops_of[h]
             admitted = sub.num_rows - blocked
         self.counters["offered"] += n
         self.counters["admitted"] += admitted
@@ -498,10 +528,14 @@ class FrontierActor:
         attempts are exhausted, then give up permanently (the crawl log
         already carries each attempt's status="error" row)."""
         scheduled = 0
-        for h, url, host, prio, att in zip(
+        hops_col = (
+            table["hops"].to_pylist() if "hops" in table.column_names
+            else [0] * table.num_rows
+        )
+        for h, url, host, prio, att, hop in zip(
             table["url_hash"].to_pylist(), table["url"].to_pylist(),
             table["host"].to_pylist(), table["priority"].to_pylist(),
-            table["attempt"].to_pylist(),
+            table["attempt"].to_pylist(), hops_col,
         ):
             attempts_done = int(att) + 1
             if attempts_done > max_retries:
@@ -510,7 +544,7 @@ class FrontierActor:
                 continue
             due = failed_round + (1 << (attempts_done - 1))
             self.retry.setdefault(host, {})[int(h)] = [
-                url, float(prio), attempts_done, int(due)
+                url, float(prio), attempts_done, int(due), int(hop or 0)
             ]
             self._retry_attempts[int(h)] = attempts_done
             scheduled += 1
@@ -526,7 +560,12 @@ class FrontierActor:
                 continue
             heap = self.heaps.setdefault(host, [])
             for h in due_hashes:
-                url, prio, attempts_done, due = entries.pop(h)
+                ent = entries.pop(h)
+                url, prio = ent[0], ent[1]
+                due = ent[3]
+                # 5th field = hop depth (pre-upgrade checkpoints carry 4)
+                if len(ent) > 4 and ent[4]:
+                    self._hops[h] = int(ent[4])
                 heap.append((-prio, due, url, h))
             self._dirty.add(host)
             if not entries:
@@ -754,8 +793,18 @@ class FrontierActor:
             )
         else:
             attempt = np.zeros(len(hashes), dtype=np.int32)
+        if self._hops:
+            # crawl-depth sidecar: pop on emit (a re-add happens only via
+            # the retry path, which restores the entry); 0 = seed depth
+            hp = self._hops
+            hops = np.fromiter(
+                (hp.pop(h, 0) for h in hashes), dtype=np.int32, count=len(hashes)
+            )
+        else:
+            hops = np.zeros(len(hashes), dtype=np.int32)
         return pa.table(
             {
+                "hops": pa.array(hops, pa.int32()),
                 "attempt": pa.array(attempt, pa.int32()),
                 "url_hash": pa.array(hashes, pa.uint64()),
                 "url": pa.array(urls, pa.string()),
@@ -867,6 +916,7 @@ class FrontierActor:
             "retry": self.retry,
             "retry_attempts": self._retry_attempts,
             "gave_up": self.gave_up,
+            "hops": self._hops,
             "breaker_stats": self._breaker_stats,
             "suspended": self._suspended,
             # sealed content-digest set as a compact uint64 array (the
@@ -942,6 +992,7 @@ class FrontierActor:
         self.retry = blob.get("retry", {})
         self._retry_attempts = blob.get("retry_attempts", {})
         self.gave_up = blob.get("gave_up", 0)
+        self._hops = blob.get("hops", {})  # pre-depth blobs carry none
         cs = blob.get("content_seen")
         self._content_seen = set(map(int, cs)) if cs is not None else set()
         self._content_pending = set()

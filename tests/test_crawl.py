@@ -2163,3 +2163,145 @@ def test_checkpoint_stats_reports_frontier_state(smoke):
     assert int(t["fetched"].sum()) == fetched_rows
     assert (t["filter_bytes"] > 0).all()
     assert int(t["round"].max()) >= 0
+
+
+def _bfs_depths(pages: pa.Table, seeds: list[str]) -> dict[str, int]:
+    """True link-distance from the seed set over the corpus link graph
+    (links re-derived from the pages table's golden ``links``-equivalent:
+    parse the html like the engine does)."""
+    from opps_feedcrawler_ray.functions.extract import parse_links
+    from opps_feedcrawler_ray.functions.urlnorm import canonicalize_url
+
+    adj: dict[str, list[str]] = {}
+    for url, html in zip(pages["url"].to_pylist(), pages["html"].to_pylist()):
+        outs = []
+        for raw in parse_links(url, html):
+            c = canonicalize_url(raw)
+            if c:
+                outs.append(c)
+        adj[canonicalize_url(url)] = outs
+    depth = {}
+    frontier = []
+    for s in seeds:
+        c = canonicalize_url(s)
+        if c is not None and c not in depth:
+            depth[c] = 0
+            frontier.append(c)
+    while frontier:
+        nxt = []
+        for u in frontier:
+            if "/priv/" in u:
+                continue  # robots-blocked: seen but never fetched, so the
+                # crawler never traverses THROUGH it — neither does this BFS
+            for v in adj.get(u, ()):
+                if v not in depth:
+                    depth[v] = depth[u] + 1
+                    nxt.append(v)
+        frontier = nxt
+    return depth
+
+
+def test_max_hops_depth_limit(ray_session, tmp_path_factory):
+    """With a politeness budget generous enough that rounds == BFS layers,
+    the recorded hop depth equals true link distance from the seeds and
+    no page beyond the radius is fetched; flag-off log is unchanged on
+    the shared columns for the within-radius rows."""
+    tmp = str(tmp_path_factory.mktemp("hops"))
+    corpus = generate_corpus(f"{tmp}/corpus", n_hosts=3, n_pages=90)
+    out = f"{tmp}/out"
+    cfg = CrawlConfig(
+        pages_path=corpus["pages"], seeds_path=corpus["seeds"], out_dir=out,
+        num_frontier_actors=2, politeness_budget=10_000, num_buckets=4,
+        max_hops=2,
+    )
+    crawl(cfg)
+    log = read_log(out)
+    assert "hops" in log.column_names
+    hops = dict(zip(log["url"].to_pylist(), log["hops"].to_pylist()))
+    assert max(hops.values()) <= 2
+    pages = pq.read_table(corpus["pages"])
+    seeds = pq.read_table(corpus["seeds"])["url"].to_pylist()
+    bfs = _bfs_depths(pages, seeds)
+    # every fetched page's recorded depth == its true BFS distance
+    # (budget ≫ host size ⇒ no politeness deferral ⇒ rounds are layers)
+    fetched_ok = {u for u, s in zip(log["url"].to_pylist(),
+                                    log["status"].to_pylist())}
+    for u in fetched_ok:
+        assert hops[u] == bfs[u], (u, hops[u], bfs.get(u))
+    # completeness: nothing beyond radius 2 was visited, and every
+    # within-radius URL was (robots-blocked /priv/ paths are seen but
+    # never fetched, so they and anything only reachable through them
+    # are exempt — the BFS below therefore also refuses /priv/ hops)
+    visited = set(hops)
+    assert visited <= set(bfs)
+    assert all(bfs[u] <= 2 for u in visited)
+    within = {u for u, d in bfs.items() if d <= 2 and "/priv/" not in u}
+    assert within <= visited
+
+
+def test_max_hops_zero_seeds_only(ray_session, tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("hops0"))
+    corpus = generate_corpus(f"{tmp}/corpus", n_hosts=2, n_pages=40)
+    out = f"{tmp}/out"
+    cfg = CrawlConfig(
+        pages_path=corpus["pages"], seeds_path=corpus["seeds"], out_dir=out,
+        num_frontier_actors=2, politeness_budget=64, num_buckets=4,
+        max_hops=0,
+    )
+    stats = crawl(cfg)
+    log = read_log(out)
+    n_seeds = pq.read_table(corpus["seeds"]).num_rows
+    # only seeds fetched (dedup may collapse aliased seeds), all depth 0
+    assert stats["rounds"] == 1
+    assert log.num_rows <= n_seeds
+    assert set(log["hops"].to_pylist()) == {0}
+
+
+def test_max_hops_resume_equivalence(ray_session, tmp_path_factory):
+    """Kill after round 1 and resume: hop state (pending depths) survives
+    the checkpoint; final log byte-equal to the uninterrupted run."""
+    tmp = str(tmp_path_factory.mktemp("hopsres"))
+    corpus = generate_corpus(f"{tmp}/corpus", n_hosts=3, n_pages=90)
+
+    def go(out, **kw):
+        cfg = CrawlConfig(
+            pages_path=corpus["pages"], seeds_path=corpus["seeds"],
+            out_dir=f"{tmp}/{out}", num_frontier_actors=2,
+            politeness_budget=6, num_buckets=4, max_hops=3,
+            checkpoint_every=1, **kw,
+        )
+        crawl(cfg)
+        return read_log(f"{tmp}/{out}")
+
+    full = go("full")
+    partial_cfg = CrawlConfig(
+        pages_path=corpus["pages"], seeds_path=corpus["seeds"],
+        out_dir=f"{tmp}/resumed", num_frontier_actors=2,
+        politeness_budget=6, num_buckets=4, max_hops=3,
+        checkpoint_every=1, max_rounds=2,
+    )
+    crawl(partial_cfg)
+    resumed_cfg = CrawlConfig(
+        pages_path=corpus["pages"], seeds_path=corpus["seeds"],
+        out_dir=f"{tmp}/resumed", num_frontier_actors=2,
+        politeness_budget=6, num_buckets=4, max_hops=3,
+        checkpoint_every=1, resume=True,
+    )
+    crawl(resumed_cfg)
+    resumed = read_log(f"{tmp}/resumed")
+    assert full.equals(resumed)
+
+
+def test_max_hops_mutually_exclusive(ray_session, tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("hopsmx"))
+    corpus = generate_corpus(f"{tmp}/corpus", n_hosts=2, n_pages=20)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        crawl(CrawlConfig(
+            pages_path=corpus["pages"], seeds_path=corpus["seeds"],
+            out_dir=f"{tmp}/out", max_hops=2, indegree_priority=True,
+        ))
+
+
+def test_max_hops_off_schema_frozen(smoke):
+    """Flag-off runs carry NO hops column — goldens stay frozen."""
+    assert "hops" not in smoke["log"].column_names
