@@ -860,6 +860,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Laplace-mechanism DP release: deterministic hash-derived noise,
         # rows-only — mechanism-replay twin in tests
         "events_dp_daily_release": A.events_dp_daily_release,
+        # unigram-LM (SentencePiece) tokenizer: iterative EM over the
+        # bounded word-count table, rows-only — determinism/coverage/
+        # Viterbi-vs-brute twins in tests
+        "unigram_lm_vocab": A.unigram_lm_vocab,
+        "unigram_encode_docs": A.unigram_encode_docs,
         "purchase_shapley_attribution": A.purchase_shapley_attribution,
         "referential_integrity_audit": A.referential_integrity_audit,
         "orders_benford": A.orders_benford,

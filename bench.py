@@ -248,6 +248,8 @@ QUERY_NAMES = [
     "events_fdr_bh",
     "token_ppmi_svd",
     "events_dp_daily_release",
+    "unigram_lm_vocab",
+    "unigram_encode_docs",
 ]
 
 

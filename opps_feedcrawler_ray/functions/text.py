@@ -368,3 +368,143 @@ def encoding_flags(texts: list[str]) -> dict[str, np.ndarray]:
         if "�" in t or any(m in t for m in _MOJIBAKE_MARKS):
             mojibake[i] = 1
     return {"non_nfc": non_nfc, "control": control, "mojibake": mojibake}
+
+
+def unigram_learn(
+    word_counts: dict[str, int],
+    vocab_size: int = 64,
+    max_piece_len: int = 6,
+    seed_size: int = 512,
+    n_iters: int = 4,
+) -> list[tuple[str, float]]:
+    """Unigram-LM subword vocabulary (Kudo 2018, the SentencePiece
+    algorithm; complement of :func:`bpe_learn` — probabilistic pieces
+    instead of greedy merges), simplified deterministically:
+
+    1. seed = the ``seed_size`` most frequent substrings (≤
+       ``max_piece_len`` chars) of the weighted word table, plus ALL
+       single characters (never prunable — every word stays coverable);
+    2. EM over the (word, count) table: E-step forward–backward over
+       each word's segmentation lattice accumulates expected piece
+       counts; M-step renormalizes;
+    3. prune to ``vocab_size`` by expected count (single chars exempt),
+       then one final EM pass over the kept vocabulary.
+
+    Kudo prunes by held-out loss; count-based pruning is the documented
+    simplification.  All arithmetic derives from exact integer counts
+    with a FIXED iteration order (words and pieces sorted), so output
+    is identical under any upstream batch/cluster layout.  Returns
+    [(piece, logprob)] sorted by (-prob, piece).
+    """
+    import math
+
+    words = sorted((w, int(c)) for w, c in word_counts.items() if w)
+    if not words:
+        return []
+    # --- seed: substring counts weighted by word frequency
+    sub_counts: dict[str, int] = {}
+    chars: set[str] = set()
+    for w, c in words:
+        chars.update(w)
+        L = len(w)
+        for i in range(L):
+            for j in range(i + 1, min(i + max_piece_len, L) + 1):
+                p = w[i:j]
+                sub_counts[p] = sub_counts.get(p, 0) + c
+    multi = sorted(
+        ((p, c) for p, c in sub_counts.items() if len(p) > 1),
+        key=lambda pc_: (-pc_[1], pc_[0]),
+    )[: max(0, seed_size - len(chars))]
+    vocab = {p: float(c) for p, c in multi}
+    for ch in chars:
+        vocab[ch] = float(sub_counts[ch])
+
+    def em_pass(vocab: dict[str, float]) -> dict[str, float]:
+        total = sum(vocab.values())
+        logp = {p: math.log(v / total) for p, v in sorted(vocab.items())}
+        expected = {p: 0.0 for p in vocab}
+        for w, c in words:
+            L = len(w)
+            # forward alphas over positions (prob mass, log-sum-exp-free:
+            # short words + floored probs keep floats in range)
+            alpha = [0.0] * (L + 1)
+            alpha[0] = 1.0
+            hits = [[] for _ in range(L + 1)]  # (start, piece, prob) per end
+            for i in range(L):
+                if alpha[i] == 0.0:
+                    continue
+                for j in range(i + 1, min(i + max_piece_len, L) + 1):
+                    p = w[i:j]
+                    lp = logp.get(p)
+                    if lp is None:
+                        continue
+                    pr = math.exp(lp)
+                    alpha[j] += alpha[i] * pr
+                    hits[j].append((i, p, pr))
+            if alpha[L] == 0.0:
+                continue  # uncoverable (cannot happen: single chars kept)
+            beta = [0.0] * (L + 1)
+            beta[L] = 1.0
+            for j in range(L, 0, -1):
+                if beta[j] == 0.0:
+                    continue
+                for i, p, pr in hits[j]:
+                    beta[i] += pr * beta[j]
+                    # expected count of piece p in word w
+                    expected[p] += c * (alpha[i] * pr * beta[j]) / alpha[L]
+        return expected
+
+    for _ in range(n_iters):
+        vocab = {p: v for p, v in em_pass(vocab).items() if v > 0.0 or len(p) == 1}
+    # --- prune to vocab_size (single chars exempt), final EM pass
+    singles = {p: v for p, v in vocab.items() if len(p) == 1}
+    multis = sorted(
+        ((p, v) for p, v in vocab.items() if len(p) > 1),
+        key=lambda pv: (-pv[1], pv[0]),
+    )[: max(0, vocab_size - len(singles))]
+    vocab = {**dict(multis), **singles}
+    # degenerate expected counts (all-zero) floor at 1 so logs exist
+    vocab = {p: (v if v > 0.0 else 1.0) for p, v in vocab.items()}
+    vocab = em_pass(vocab)
+    vocab = {p: (v if v > 0.0 else 1e-9) for p, v in vocab.items()
+             if v > 0.0 or len(p) == 1}
+    total = sum(vocab.values())
+    out = [(p, math.log(v / total)) for p, v in vocab.items()]
+    out.sort(key=lambda pl: (-pl[1], pl[0]))
+    return out
+
+
+def unigram_segment(word: str, logp: dict[str, float],
+                    max_piece_len: int = 6) -> list[str]:
+    """Viterbi (max-probability) segmentation of ``word`` under a
+    unigram-LM piece table — deterministic tie-break: the LONGEST piece
+    ending the best path wins, then lexicographic."""
+    L = len(word)
+    best = [float("-inf")] * (L + 1)
+    back: list[tuple[int, str] | None] = [None] * (L + 1)
+    best[0] = 0.0
+    for i in range(L):
+        if best[i] == float("-inf"):
+            continue
+        for j in range(i + 1, min(i + max_piece_len, L) + 1):
+            p = word[i:j]
+            lp = logp.get(p)
+            if lp is None:
+                continue
+            score = best[i] + lp
+            cur = back[j]
+            if score > best[j] or (
+                score == best[j] and cur is not None
+                and (j - i, p) > (j - cur[0], cur[1])
+            ):
+                best[j] = score
+                back[j] = (i, p)
+    if back[L] is None:
+        return [word]  # uncoverable word falls back to itself
+    pieces: list[str] = []
+    j = L
+    while j > 0:
+        i, p = back[j]
+        pieces.append(p)
+        j = i
+    return pieces[::-1]

@@ -3697,13 +3697,12 @@ def events_unpivot_props(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["event_id", "key"]).reset_index(drop=True)
 
 
-def _bpe_merges(sf_dir: str, n_merges: int) -> list:
-    """Shared trainer behind :func:`bpe_vocab` and
-    :func:`bpe_encode_docs`: corpus → vocabulary-bounded word-count
-    table (per-batch combiners + ONE coarse-bucket exchange) →
-    deterministic driver-side merge loop."""
+def _word_count_table(sf_dir: str) -> dict:
+    """Corpus → vocabulary-bounded word → count dict: per-batch
+    combiners + ONE coarse-bucket exchange (payload bounded by the
+    VOCABULARY, not the corpus — the exact reduction real subword
+    trainers use).  Shared by the BPE and unigram-LM tokenizer ops."""
     from .dedup import coarse_buckets
-    from ..functions.text import bpe_learn
 
     docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
     nb = coarse_buckets(docs.count(), rows_per_task=16384)
@@ -3737,7 +3736,16 @@ def _bpe_merges(sf_dir: str, n_merges: int) -> list:
         .map_groups(sum_counts, batch_format="pandas")
         .to_pandas()  # vocabulary-bounded, never corpus-sized
     )
-    return bpe_learn(dict(zip(wc_df["word"], wc_df["n"])), n_merges)
+    return dict(zip(wc_df["word"], wc_df["n"]))
+
+
+def _bpe_merges(sf_dir: str, n_merges: int) -> list:
+    """Shared trainer behind :func:`bpe_vocab` and
+    :func:`bpe_encode_docs`: the word-count reduction above →
+    deterministic driver-side merge loop."""
+    from ..functions.text import bpe_learn
+
+    return bpe_learn(_word_count_table(sf_dir), n_merges)
 
 
 def bpe_vocab(sf_dir: str, n_merges: int = 40) -> pd.DataFrame:
@@ -11641,3 +11649,105 @@ def events_dp_daily_release(sf_dir: str, eps_e3: int = 1000) -> pd.DataFrame:
     g["n_released"] = np.maximum(
         0, g["n"].to_numpy("int64") + np.floor(lap + 0.5).astype(np.int64))
     return g[["day", "n_released"]].astype({"n_released": "int64"})
+
+
+def unigram_lm_vocab(sf_dir: str, vocab_size: int = 48,
+                     max_piece_len: int = 5) -> pd.DataFrame:
+    """TOKENIZER TRAINING — unigram language model (Kudo 2018, the
+    SentencePiece algorithm): the PROBABILISTIC counterpart of
+    :func:`bpe_vocab` — instead of greedy merges, an EM-fitted piece
+    distribution pruned to ``vocab_size`` (single characters exempt so
+    every word stays coverable).
+
+    Scale shape: the corpus reduces to the vocabulary-bounded
+    word → count table (shared :func:`_word_count_table` exchange);
+    EM + pruning run driver-side over that bounded table with FIXED
+    iteration order, so the vocabulary is identical under any batch or
+    cluster layout.  Iterative EM is not SQL-expressible → rows-only;
+    the kernel is pinned by determinism, coverage, and Viterbi-vs-brute
+    twin tests.  Returns (rank, piece, logprob_e6)."""
+    from ..functions.text import unigram_learn
+
+    vocab = unigram_learn(
+        _word_count_table(sf_dir), vocab_size=vocab_size,
+        max_piece_len=max_piece_len,
+    )
+    return pd.DataFrame(
+        {
+            "rank": pd.Series(range(len(vocab)), dtype="int64"),
+            "piece": [p for p, _ in vocab],
+            "logprob_e6": pd.Series(
+                [int(np.floor(lp * 1e6 + 0.5)) for _, lp in vocab], dtype="int64"
+            ),
+        }
+    )
+
+
+def unigram_encode_docs(sf_dir: str, vocab_size: int = 48,
+                        max_piece_len: int = 5) -> pd.DataFrame:
+    """TOKENIZATION PASS — Viterbi-segment every document with the
+    trained unigram-LM vocabulary (the inference half of
+    :func:`unigram_lm_vocab`, as :func:`bpe_encode_docs` is to
+    :func:`bpe_vocab`): per-doc piece count, character count and the
+    fertility ratio (pieces per whitespace word) that tokenizer
+    evaluations report.
+
+    Scale shape: the piece table is trained once (bounded), broadcast
+    via ``ray.put``, and applied in one streaming ``map_batches`` pass
+    with a per-actor memoised word → pieces cache (Zipf makes the cache
+    hit rate the token frequency curve) — no shuffle, no driver data."""
+    import ray
+
+    from ..functions.text import unigram_learn, unigram_segment
+
+    vocab = unigram_learn(
+        _word_count_table(sf_dir), vocab_size=vocab_size,
+        max_piece_len=max_piece_len,
+    )
+    vocab_ref = ray.put(dict(vocab))
+
+    class _Encode:
+        def __init__(self, ref) -> None:
+            self.logp = ray.get(ref)
+            self.memo: dict[str, int] = {}
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            memo = self.memo
+            logp = self.logp
+            n_pieces = np.zeros(batch.num_rows, dtype=np.int64)
+            n_words = np.zeros(batch.num_rows, dtype=np.int64)
+            for r, text in enumerate(batch.column("text").to_pylist()):
+                words = (text or "").split()
+                n_words[r] = len(words)
+                tot = 0
+                for w in words:
+                    k = memo.get(w)
+                    if k is None:
+                        k = memo[w] = len(
+                            unigram_segment(w, logp, max_piece_len)
+                        )
+                    tot += k
+                n_pieces[r] = tot
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "n_words": pa.array(n_words, pa.int64()),
+                    "n_pieces": pa.array(n_pieces, pa.int64()),
+                    "fertility_e4": pa.array(
+                        np.where(
+                            n_words > 0,
+                            np.floor(n_pieces * 1e4 / np.maximum(n_words, 1) + 0.5),
+                            0,
+                        ).astype(np.int64),
+                        pa.int64(),
+                    ),
+                }
+            )
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return (
+        docs.map_batches(_Encode(vocab_ref), batch_format="pyarrow", concurrency=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )

@@ -5324,3 +5324,88 @@ def test_events_dp_daily_release_mechanism(ray_session):
     # utility: mean absolute error ~ b, never catastrophic
     err = np.abs(got["n_released"].to_numpy() - exact.to_numpy())
     assert err.mean() < 10 * b + 1
+
+
+def test_unigram_lm_vocab_properties(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import (
+        _word_count_table,
+        unigram_lm_vocab,
+    )
+    from opps_feedcrawler_ray.functions.text import unigram_learn
+
+    got = unigram_lm_vocab(SF)
+    # determinism: pipeline result == direct kernel on the same table
+    wc = _word_count_table(SF)
+    direct = unigram_learn(wc, vocab_size=48, max_piece_len=5)
+    assert got["piece"].tolist() == [p for p, _ in direct]
+    assert got["logprob_e6"].tolist() == [
+        int(np.floor(lp * 1e6 + 0.5)) for _, lp in direct
+    ]
+    # coverage: every character of every corpus word is a retained piece
+    chars = {c for w in wc for c in w}
+    assert chars <= set(got["piece"])
+    # it learned something beyond characters
+    assert any(len(p) > 1 for p in got["piece"])
+    # probabilities ~ sum to 1
+    probs = np.exp(got["logprob_e6"].to_numpy() / 1e6)
+    assert abs(probs.sum() - 1.0) < 1e-3
+
+
+def test_unigram_segment_matches_bruteforce():
+    import itertools
+    import math
+
+    from opps_feedcrawler_ray.functions.text import unigram_learn, unigram_segment
+
+    wc = {"lower": 10, "low": 12, "newer": 8, "new": 9, "wider": 5, "er": 3}
+    vocab = dict(unigram_learn(wc, vocab_size=24, max_piece_len=4))
+
+    def brute(word):
+        best, bp = -math.inf, [word]
+        L = len(word)
+        for cuts in itertools.product([0, 1], repeat=L - 1):
+            pos = [0] + [i + 1 for i, c in enumerate(cuts) if c] + [L]
+            pieces = [word[a:b] for a, b in zip(pos, pos[1:])]
+            if any(len(p) > 4 or p not in vocab for p in pieces):
+                continue
+            s = sum(vocab[p] for p in pieces)
+            if s > best:
+                best, bp = s, pieces
+        return best, bp
+
+    for w in ("lower", "newer", "low", "wider", "lowerlow"):
+        got = unigram_segment(w, vocab, 4)
+        assert "".join(got) == w  # reconstruction
+        bs, _ = brute(w)
+        gs = sum(vocab[p] for p in got)
+        assert abs(gs - bs) < 1e-12  # same max probability
+
+
+def test_unigram_encode_docs_consistency(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import (
+        unigram_encode_docs,
+        unigram_lm_vocab,
+    )
+    from opps_feedcrawler_ray.functions.text import unigram_segment
+
+    got = unigram_encode_docs(SF)
+    from opps_feedcrawler_ray.functions.text import unigram_learn
+    from opps_feedcrawler_ray.pipelines.analytics import _word_count_table
+
+    logp = dict(unigram_learn(_word_count_table(SF), vocab_size=48,
+                              max_piece_len=5))
+    assert len(logp) == len(unigram_lm_vocab(SF))
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    assert len(got) == len(docs)
+    gi = got.set_index("doc_id")
+    for _, row in docs.head(25).iterrows():
+        words = (row["text"] or "").split()
+        np_exp = sum(len(unigram_segment(w, logp, 5)) for w in words)
+        r = gi.loc[row["doc_id"]]
+        assert int(r["n_words"]) == len(words)
+        assert int(r["n_pieces"]) == np_exp
+        assert int(r["fertility_e4"]) == int(
+            np.floor(np_exp * 1e4 / max(len(words), 1) + 0.5)
+        )
+    # pieces never fewer than words (a word is >= 1 piece)
+    assert (got["n_pieces"] >= got["n_words"]).all()
