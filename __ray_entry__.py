@@ -865,6 +865,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Viterbi-vs-brute twins in tests
         "unigram_lm_vocab": A.unigram_lm_vocab,
         "unigram_encode_docs": A.unigram_encode_docs,
+        # V-optimal histogram: DP over the bounded quantized domain,
+        # rows-only — exhaustive-enumeration twin in tests
+        "events_voptimal_histogram": A.events_voptimal_histogram,
+        # DGIM sliding-window sketch: per-stream sequential by
+        # construction, rows-only — guarantee-vs-exact twin in tests
+        "events_dgim_window": A.events_dgim_window,
         "purchase_shapley_attribution": A.purchase_shapley_attribution,
         "referential_integrity_audit": A.referential_integrity_audit,
         "orders_benford": A.orders_benford,

@@ -250,6 +250,8 @@ QUERY_NAMES = [
     "events_dp_daily_release",
     "unigram_lm_vocab",
     "unigram_encode_docs",
+    "events_voptimal_histogram",
+    "events_dgim_window",
 ]
 
 

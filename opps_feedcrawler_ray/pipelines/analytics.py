@@ -11751,3 +11751,148 @@ def unigram_encode_docs(sf_dir: str, vocab_size: int = 48,
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+
+
+def events_voptimal_histogram(sf_dir: str, n_buckets: int = 8) -> pd.DataFrame:
+    """OPTIMIZER-STATISTICS CONSTRUCTION — V-optimal histogram (Jagadish
+    et al. VLDB 1998): the ``n_buckets``-bucket partition of the value
+    domain minimizing total within-bucket SSE (frequency variance) — the
+    histogram class query optimizers build because equi-width/equi-depth
+    buckets blur skew.  Dynamic program over bucket-boundary prefix sums
+    with a deterministic smaller-split tie-break.
+
+    Scale shape: the corpus reduces to an exact (quantized value →
+    count) table via per-batch bincount partials + one tiny groupby (the
+    domain, ≤ ~500 distinct ints here, bounded by the value range — the
+    reduction every histogram builder uses); the O(B·D²) DP runs
+    driver-side on that bounded table.  DP is not SQL-expressible →
+    rows-only; twin test checks the DP against exhaustive enumeration on
+    a coarse domain plus cost invariants."""
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = np.floor(
+            batch.column("value").to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        u, c = np.unique(v, return_counts=True)
+        return pa.table({"v": u, "c": c.astype("int64")})
+
+    freq = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("v").sum("c").to_pandas()
+        .rename(columns={"sum(c)": "c"})
+        .sort_values("v").reset_index(drop=True)
+    )
+    v = freq["v"].to_numpy(dtype=np.float64)
+    c = freq["c"].to_numpy(dtype=np.float64)
+    D = len(v)
+    B = min(n_buckets, D)
+    # prefix sums → SSE of any [i, j) span in O(1):
+    # sse = Σ c·v² − (Σ c·v)² / Σ c
+    p0 = np.concatenate([[0.0], np.cumsum(c)])
+    p1 = np.concatenate([[0.0], np.cumsum(c * v)])
+    p2 = np.concatenate([[0.0], np.cumsum(c * v * v)])
+
+    def sse(i: int, j: int) -> float:
+        n = p0[j] - p0[i]
+        if n <= 0:
+            return 0.0
+        s = p1[j] - p1[i]
+        return (p2[j] - p2[i]) - s * s / n
+
+    INF = float("inf")
+    cost = np.full((B + 1, D + 1), INF)
+    split = np.zeros((B + 1, D + 1), dtype=np.int64)
+    cost[0, 0] = 0.0
+    for b in range(1, B + 1):
+        for j in range(b, D + 1):
+            best, arg = INF, -1
+            for i in range(b - 1, j):
+                s = cost[b - 1, i] + sse(i, j)
+                if s < best:  # strict ⇒ smallest split wins ties
+                    best, arg = s, i
+            cost[b, j] = best
+            split[b, j] = arg
+    bounds = [D]
+    j = D
+    for b in range(B, 0, -1):
+        j = int(split[b, j])
+        bounds.append(j)
+    bounds = bounds[::-1]
+    rows = []
+    for b in range(B):
+        i, j = bounds[b], bounds[b + 1]
+        rows.append((
+            b, int(v[i]), int(v[j - 1]), int(p0[j] - p0[i]),
+            int(np.floor(sse(i, j) * 1e6 + 0.5)),
+        ))
+    return pd.DataFrame(
+        rows, columns=["bucket", "lo", "hi", "n", "sse_e6"]
+    ).astype({"bucket": "int64", "lo": "int64", "hi": "int64",
+              "n": "int64", "sse_e6": "int64"})
+
+
+def events_dgim_window(sf_dir: str, window_us: int = 7 * 86_400_000_000
+                       ) -> pd.DataFrame:
+    """STREAMING WINDOW SKETCH — DGIM (Datar, Gionis, Indyk & Motwani,
+    SICOMP 2002): approximate the number of events per type in the
+    trailing time window using O(log² W) exponentially-sized buckets
+    instead of the raw stream, with the classic ≤ 50 % error guarantee
+    (the true count is underestimated by at most half the oldest
+    bucket).  The set-ops complement of the HLL/CMS/KLL sketch family —
+    those summarize VALUES, DGIM summarizes a sliding WINDOW.
+
+    Scale shape: per-type streams route through ONE event_type exchange;
+    the sequential bucket-merge pass (the algorithm is one-pass by
+    construction) runs inside each group, and only (type, approx, bound)
+    rows reach the driver.  PARTITIONING ASSUMPTION: one type's stream
+    fits its group task (the same per-key assumption every per-stream
+    sketch makes); a hotter stream shards by time and merges bucket
+    lists end-to-end.  Rows-only; the twin checks the guarantee against
+    the exact trailing count and replays the bucket rule."""
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts"])
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        from collections import deque
+
+        ts = np.sort(g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
+        end = int(ts[-1])
+        cutoff = end - window_us
+        # DGIM state: per size 2^k, a newest-first deque of bucket
+        # timestamps (a bucket's ts = its most recent event); ≤2 per
+        # size after each cascade merge — O(1) amortized per event, no
+        # bucket-list rescans
+        sizes: list[deque] = [deque()]
+        for t in ts:
+            sizes[0].appendleft(int(t))
+            k = 0
+            while len(sizes[k]) == 3:
+                old2 = sizes[k].pop()  # oldest
+                old1 = sizes[k].pop()  # second-oldest (newer of the two)
+                del old2  # merged bucket keeps the NEWER timestamp
+                if k + 1 == len(sizes):
+                    sizes.append(deque())
+                sizes[k + 1].appendleft(old1)
+                k += 1
+        live = sorted(
+            ((t, 1 << k) for k, dq in enumerate(sizes) for t in dq
+             if t >= cutoff),
+            key=lambda b: -b[0],
+        )
+        if not live:
+            approx = bound = 0
+        else:
+            oldest = live[-1][1]
+            approx = sum(b[1] for b in live[:-1]) + oldest // 2 + (oldest & 1)
+            bound = oldest // 2  # error ≤ half the straddling bucket
+        exact = int((ts >= cutoff).sum())
+        return pd.DataFrame(
+            {"event_type": [g["event_type"].iloc[0]],
+             "n_approx": [int(approx)], "err_bound": [int(bound)],
+             "n_exact": [exact]}
+        ).astype({"n_approx": "int64", "err_bound": "int64", "n_exact": "int64"})
+
+    return (
+        ev.groupby("event_type").map_groups(run, batch_format="pandas")
+        .to_pandas().sort_values("event_type").reset_index(drop=True)
+    )

@@ -5409,3 +5409,74 @@ def test_unigram_encode_docs_consistency(ray_session):
         )
     # pieces never fewer than words (a word is >= 1 piece)
     assert (got["n_pieces"] >= got["n_words"]).all()
+
+
+def test_events_voptimal_histogram_dp_exact(ray_session):
+    import itertools
+
+    from opps_feedcrawler_ray.pipelines.analytics import events_voptimal_histogram
+
+    got = events_voptimal_histogram(SF, n_buckets=4)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["value"])
+    vi = np.floor(ev["value"].to_numpy()).astype(np.int64)
+    freq = pd.Series(vi).value_counts().sort_index()
+    v = freq.index.to_numpy(dtype=np.float64)
+    c = freq.to_numpy(dtype=np.float64)
+    # invariants
+    assert len(got) == 4
+    assert int(got["n"].sum()) == len(ev)
+    assert got["lo"].tolist() == sorted(got["lo"].tolist())
+    assert all(a["hi"] < b["lo"] for a, b in
+               zip(got.to_dict("records"), got.to_dict("records")[1:]))
+
+    def sse_span(mask):
+        cc, vv = c[mask], v[mask]
+        n = cc.sum()
+        if n == 0:
+            return 0.0
+        s = (cc * vv).sum()
+        return (cc * vv * vv).sum() - s * s / n
+
+    # exhaustive: the DP's total SSE equals the true optimum over all
+    # 3-split placements on the (coarse) domain
+    D = len(v)
+    best = float("inf")
+    for cuts in itertools.combinations(range(1, D), 3):
+        b = [0, *cuts, D]
+        tot = sum(sse_span(slice(b[i], b[i + 1])) for i in range(4))
+        best = min(best, tot)
+    # reproduce spans from output bounds
+    tot_got = 0.0
+    for r in got.to_dict("records"):
+        mask = (v >= r["lo"]) & (v <= r["hi"])
+        span = sse_span(mask)
+        assert int(np.floor(span * 1e6 + 0.5)) == r["sse_e6"]
+        tot_got += span
+    assert abs(tot_got - best) < 1e-6 * max(1.0, best)
+    # V-optimal beats equal-width on this skewless-but-rounded data or ties
+    qs = np.quantile(np.repeat(v, c.astype(int)), [0.25, 0.5, 0.75])
+    assert tot_got <= sum(
+        sse_span((v >= lo) & (v <= hi))
+        for lo, hi in zip([v[0], *qs], [*qs, v[-1]])
+    ) + 1e-6
+
+
+def test_events_dgim_window_guarantee(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import events_dgim_window
+
+    W = 5 * 86_400_000_000
+    got = events_dgim_window(SF, window_us=W)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "ts"])
+    types = sorted(ev["event_type"].unique())
+    assert got["event_type"].tolist() == types
+    for r in got.to_dict("records"):
+        g = ev[ev["event_type"] == r["event_type"]]
+        t = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        exact = int((t >= t.max() - W).sum())
+        assert r["n_exact"] == exact
+        # DGIM guarantee: |approx - exact| <= err_bound <= exact/2 + 1
+        assert abs(r["n_approx"] - exact) <= r["err_bound"] + 1
+        assert r["err_bound"] * 2 <= max(exact, 1) * 2  # sane magnitude
+        assert r["err_bound"] <= (r["n_approx"] + r["err_bound"]) / 2 + 1
+    # sketch is an actual compression: bounds grow with window counts
+    assert (got["n_approx"] > 0).all()
