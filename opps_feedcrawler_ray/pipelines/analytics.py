@@ -11425,11 +11425,22 @@ def events_tcloseness_audit(sf_dir: str, t_e6: int = 20000) -> pd.DataFrame:
             {"hour": "int64", "emd_e6": "int64"}
         )
 
-    return (
+    out = (
         ev.map_batches(partial, batch_format="pyarrow")
         .groupby("__b").map_groups(cut, batch_format="pandas")
         .to_pandas()
-        .sort_values(["event_type", "hour"]).reset_index(drop=True)
+    )
+    if out.empty:
+        # no violating group anywhere (larger groups concentrate toward
+        # the global distribution): an all-empty map_groups output drops
+        # its schema — rebuild the typed empty frame
+        return pd.DataFrame(
+            {"event_type": pd.Series([], dtype=object),
+             "hour": pd.Series([], dtype="int64"),
+             "emd_e6": pd.Series([], dtype="int64")}
+        )
+    return (
+        out.sort_values(["event_type", "hour"]).reset_index(drop=True)
         .astype({"hour": "int64", "emd_e6": "int64"})
     )
 

@@ -5480,3 +5480,15 @@ def test_events_dgim_window_guarantee(ray_session):
         assert r["err_bound"] <= (r["n_approx"] + r["err_bound"]) / 2 + 1
     # sketch is an actual compression: bounds grow with window counts
     assert (got["n_approx"] > 0).all()
+
+
+def test_events_tcloseness_audit_empty_violation_set(ray_session):
+    """A threshold nothing violates must yield a typed empty frame (the
+    sf0.1 shape — bigger groups concentrate toward the global
+    distribution), not a schema-less one."""
+    from opps_feedcrawler_ray.pipelines.analytics import events_tcloseness_audit
+
+    got = events_tcloseness_audit(SF, t_e6=10_000_000)
+    assert len(got) == 0
+    assert list(got.columns) == ["event_type", "hour", "emd_e6"]
+    assert str(got["hour"].dtype) == "int64"
