@@ -289,6 +289,17 @@ def _q_doc_sssp(sf_dir: str):
     return doc_sssp(sf_dir, source=0)
 
 
+def _q_doc_scc(sf_dir: str):
+    """Strongly-connected components via the coloring algorithm (Orzan
+    2004) over the DIRECTED doc link graph — the mutual-reachability
+    complement of undirected components; rows-only — the twin replays
+    Tarjan over the same edge list and requires exact partition
+    equality (both sides label by min member)."""
+    from opps_feedcrawler_ray.pipelines.webpipe import doc_scc
+
+    return doc_scc(sf_dir)
+
+
 def _q_doc_luby_mis(sf_dir: str):
     """Maximal independent set via Luby's parallel symmetry-breaking
     rounds over the pinned undirected doc link graph; rows-only — the
@@ -1013,6 +1024,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_betweenness": _q_doc_betweenness,
         "doc_sssp": _q_doc_sssp,
         "doc_luby_mis": _q_doc_luby_mis,
+        "doc_scc": _q_doc_scc,
         "ann_hard_negatives": _q_hard_negatives,
         "kcenter_coreset": _q_kcenter_coreset,
         "events_autocorr": A.events_autocorr,

@@ -252,6 +252,7 @@ QUERY_NAMES = [
     "unigram_encode_docs",
     "events_voptimal_histogram",
     "events_dgim_window",
+    "doc_scc",
 ]
 
 

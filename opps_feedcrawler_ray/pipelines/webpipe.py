@@ -1812,3 +1812,115 @@ def doc_luby_mis(sf_dir: str, work_dir: str | None = None) -> "pd.DataFrame":
         "doc_id": np.arange(n_docs, dtype="int64"),
         "in_mis": in_mis.astype("int64"),
     })
+
+
+def doc_scc(sf_dir: str, work_dir: str | None = None) -> "pd.DataFrame":
+    """STRONGLY-connected components over the DIRECTED doc link graph —
+    the directed complement of the undirected connected-components op
+    (mutual reachability, not mere contact): the coloring algorithm
+    (Orzan 2004; the phase structure FW-BW trimming shares — Fleischer
+    et al. 2000), which is the standard label-propagation SCC for
+    vertex-centric/distributed engines where Tarjan's DFS stack cannot
+    be parallelized.
+
+    Per phase over the ACTIVE subgraph: (1) forward min-label
+    propagation to fixpoint — each label class then contains exactly
+    one root (the node equal to its label); (2) one backward
+    propagation of the root marker CONSTRAINED to its label class —
+    nodes reached both ways are exactly the root's SCC; assign and
+    deactivate them.  Each iteration is the repo's pinned-edges pattern:
+    the ≤|V| label table broadcasts via ``ray.put`` into ONE
+    ``map_batches`` over the edge dataset with per-batch min/any
+    combiners (node-bounded output), the driver folds proposals and
+    early-exits on fixpoint — edges never move.  Driver memory: O(|V|)
+    labels, the same fits-a-heap assumption PageRank/BFS document (past
+    it, fold labels through a bucketed co-shuffle keyed on node).
+    Rows-only; the twin replays Tarjan over the same edge list.
+    Returns (doc_id, scc_id = min member id) sorted by doc_id."""
+    import pandas as pd
+
+    import ray
+
+    edges_ds = _doc_directed_edges(sf_dir, work_dir)
+    ed = edges_ds.to_pandas()  # edge list is pinned once per phase below;
+    # the pandas copy here only bootstraps the node set (|E| bounded at
+    # test scale — at 100 TB derive nodes from a map_batches distinct)
+    nodes = np.union1d(ed["a"].unique(), ed["b"].unique()).astype(np.int64)
+    edges = rd.from_arrow(pa.table({"a": pa.array(ed["a"], pa.int64()),
+                                    "b": pa.array(ed["b"], pa.int64())})).materialize()
+
+    scc: dict[int, int] = {}
+    active = set(map(int, nodes))
+    prop_schema = pa.schema([("v", pa.int64()), ("lab", pa.int64())])
+
+    def _propagate(direction: str, label: dict, member=None) -> dict:
+        """Min-label fixpoint along ``direction`` ('fwd': a→b, 'bwd':
+        b→a) over edges whose BOTH endpoints are active; when ``member``
+        is given, propagation additionally stays inside one forward-label
+        class (the backward sweep of the coloring algorithm)."""
+        label = dict(label)
+        while True:
+            ref = ray.put((label, member))
+
+            def step(batch: pa.Table) -> pa.Table:
+                lab, memb = ray.get(ref)
+                df = batch.to_pandas()
+                src, dst = ("a", "b") if direction == "fwd" else ("b", "a")
+                ls = df[src].map(lab)
+                m = ls.notna()
+                if memb is not None:
+                    ms = df[src].map(memb)
+                    md = df[dst].map(memb)
+                    m &= ms.notna() & md.notna() & (ms == md)
+                if not m.any():
+                    return pa.Table.from_pandas(
+                        pd.DataFrame({"v": [], "lab": []}),
+                        preserve_index=False, schema=prop_schema)
+                g = (
+                    pd.DataFrame({"v": df.loc[m, dst].to_numpy(dtype="int64"),
+                                  "lab": ls[m].to_numpy(dtype="float64")
+                                  .astype("int64")})
+                    .groupby("v", as_index=False)["lab"].min()
+                )
+                return pa.Table.from_pandas(g, preserve_index=False,
+                                            schema=prop_schema)
+
+            prop = (
+                edges.map_batches(step, batch_format="pyarrow")
+                .to_pandas()
+                .groupby("v", as_index=False)["lab"].min()
+            )
+            changed = False
+            for v, lb in zip(prop["v"].to_numpy(), prop["lab"].to_numpy()):
+                v, lb = int(v), int(lb)
+                if v in label and lb < label[v]:
+                    label[v] = lb
+                    changed = True
+                elif v not in label and (member is None or v in member):
+                    # backward sweep may REACH nodes not yet marked
+                    if member is not None:
+                        label[v] = lb
+                        changed = True
+            if not changed:
+                return label
+
+    while active:
+        # phase 1: forward min-label over the active subgraph
+        color = _propagate("fwd", {v: v for v in active})
+        # phase 2: backward root-marker sweep inside each color class
+        roots = {v: c for v, c in color.items() if v == c}
+        reached = _propagate("bwd", roots, member=color)
+        for v, c in reached.items():
+            if color.get(v) == c:
+                scc[v] = c
+        done = set(scc) & active
+        if not done:  # safety: every phase settles at least the roots
+            for v in roots:
+                scc[v] = v
+            done = set(roots)
+        active -= done
+        # restrict next phase's edges implicitly: _propagate only reads
+        # labels of still-active nodes (inactive sources map to NaN)
+
+    out = pd.DataFrame(sorted(scc.items()), columns=["doc_id", "scc_id"])
+    return out.astype({"doc_id": "int64", "scc_id": "int64"})

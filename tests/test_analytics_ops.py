@@ -5492,3 +5492,67 @@ def test_events_tcloseness_audit_empty_violation_set(ray_session):
     assert len(got) == 0
     assert list(got.columns) == ["event_type", "hour", "emd_e6"]
     assert str(got["hour"].dtype) == "int64"
+
+
+def test_doc_scc_matches_tarjan_twin(ray_session, tmp_path):
+    from opps_feedcrawler_ray.pipelines.webpipe import (
+        _doc_directed_edges, doc_scc,
+    )
+
+    got = doc_scc(SF, work_dir=str(tmp_path / "wp"))
+    e = _doc_directed_edges(SF, work_dir=str(tmp_path / "wp")).to_pandas()
+    adj: dict[int, list[int]] = {}
+    nodes = set()
+    for a, b in zip(e["a"].to_numpy(), e["b"].to_numpy()):
+        a, b = int(a), int(b)
+        adj.setdefault(a, []).append(b)
+        nodes.add(a); nodes.add(b)
+
+    # iterative Tarjan (twin)
+    index = {}; low = {}; on = set(); stack = []; sccs = []
+    counter = [0]
+    for s in sorted(nodes):
+        if s in index:
+            continue
+        work = [(s, iter(adj.get(s, ())))]
+        index[s] = low[s] = counter[0]; counter[0] += 1
+        stack.append(s); on.add(s)
+        while work:
+            v, it = work[-1]
+            advanced = False
+            for w in it:
+                if w not in index:
+                    index[w] = low[w] = counter[0]; counter[0] += 1
+                    stack.append(w); on.add(w)
+                    work.append((w, iter(adj.get(w, ()))))
+                    advanced = True
+                    break
+                elif w in on:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop(); on.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                sccs.append(comp)
+    exp = {}
+    for comp in sccs:
+        m = min(comp)
+        for v in comp:
+            exp[v] = m
+    gm = dict(zip(got["doc_id"], got["scc_id"]))
+    assert set(gm) == set(exp)
+    # scc ids must induce the same PARTITION (ids are both min-member,
+    # so they must be equal outright)
+    assert gm == exp
+    # sanity: the dense id-arithmetic graph has at least one non-trivial SCC
+    from collections import Counter
+    assert Counter(exp.values()).most_common(1)[0][1] > 1
