@@ -503,6 +503,16 @@ def _q_host_pagerank(sf_dir: str):
     return host_pagerank(sf_dir, iters=5)
 
 
+def _q_host_trustrank(sf_dir: str):
+    """TrustRank + spam mass (Gyöngyi et al. VLDB 2004/2006): biased-
+    teleport integer PageRank with inverse-PageRank seed selection
+    (rows-only: iterative, no SQL oracle; a sequential integer-replica
+    twin with exact mass conservation is pinned in tests)."""
+    from opps_feedcrawler_ray.pipelines.webpipe import host_trustrank
+
+    return host_trustrank(sf_dir, iters=5)
+
+
 def _q_host_hits(sf_dir: str):
     """HITS hubs/authorities (rows-only: iterative, no SQL oracle; a
     replica twin with exact mass-conservation invariants is pinned in
@@ -965,6 +975,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_ngrams": A.decontaminate_ngrams,
         "host_link_graph": _q_host_link_graph,
         "host_pagerank": _q_host_pagerank,
+        "host_trustrank": _q_host_trustrank,
         "host_hits": _q_host_hits,
         "host_components": _q_host_components,
         "host_kcore": _q_host_kcore,

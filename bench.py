@@ -253,6 +253,7 @@ QUERY_NAMES = [
     "events_voptimal_histogram",
     "events_dgim_window",
     "doc_scc",
+    "host_trustrank",
 ]
 
 

@@ -276,7 +276,77 @@ def host_pagerank(
     return out.reset_index(drop=True)
 
 
-def _integer_pagerank(edges_df, iters: int = 10, damping: float = 0.85):
+def host_trustrank(
+    sf_dir: str, iters: int = 10, damping: float = 0.85, n_seeds: int = 4,
+    work_dir: str | None = None,
+):
+    """TRUSTRANK + SPAM MASS over the host link graph — the web-spam
+    demotion classic (Gyöngyi, Garcia-Molina & Pedersen, "Combating Web
+    Spam with TrustRank", VLDB 2004; spam mass from Gyöngyi et al.,
+    "Link Spam Detection Based on Mass Estimation", VLDB 2006).  Three
+    runs of the shared integer-e9 core over the SAME pinned edge
+    dataset:
+
+    1. seed selection — the paper's inverse-PageRank heuristic: classic
+       PageRank on the TRANSPOSED graph; the top ``n_seeds`` hosts
+       (rank DESC, host ASC — deterministic) become the trusted seed
+       set (the paper then filters by human oracle; the deterministic
+       corpus stands in, all selected seeds trusted);
+    2. classic PageRank p (for the mass estimate);
+    3. TrustRank t = PageRank with the residual pool (teleport +
+       dangling + flooring remainders) restricted to the seeds.
+
+    Relative spam mass M = (p − t)/p, emitted integer-scaled as
+    ``spam_mass_e3 = ((p − t)·1000) // p`` (negative for trust-rich
+    hosts — seeds and their neighborhoods — by design).  All three
+    runs are exact-integer and iteration-order-free, so the whole
+    result is platform-exact: rows-only driver check + a sequential
+    integer-replica twin test.
+
+    Scale shape: identical to host_pagerank — edges pinned once, only
+    the ≤|hosts| rank table moves per iteration; the two extra runs
+    triple the iteration count, not the data volume."""
+    import pandas as pd
+
+    edges_df = host_link_graph(sf_dir, work_dir=work_dir)
+    if len(edges_df) == 0:
+        return pd.DataFrame(
+            {"host": pd.Series(dtype=object),
+             "trustrank_e9": pd.Series(dtype="int64"),
+             "pagerank_e9": pd.Series(dtype="int64"),
+             "spam_mass_e3": pd.Series(dtype="int64"),
+             "is_seed": pd.Series(dtype="int32")}
+        )
+    core = edges_df.rename(
+        columns={"src_host": "src", "dst_host": "dst", "n_links": "w"}
+    )
+    inv = _integer_pagerank(
+        core.rename(columns={"src": "dst", "dst": "src"}),
+        iters=iters, damping=damping,
+    ).sort_values(["rank_e9", "node"], ascending=[False, True])
+    seeds = sorted(inv["node"].head(n_seeds))
+    pr = _integer_pagerank(core, iters=iters, damping=damping)
+    tr = _integer_pagerank(core, iters=iters, damping=damping,
+                           teleport_nodes=seeds)
+    out = pr.rename(columns={"rank_e9": "pagerank_e9"}).merge(
+        tr.rename(columns={"rank_e9": "trustrank_e9"}), on="node"
+    )
+    p = out["pagerank_e9"].to_numpy(dtype="int64")
+    t = out["trustrank_e9"].to_numpy(dtype="int64")
+    # p ≥ 1 always: the uniform residual split gives every node ≥1 unit
+    out["spam_mass_e3"] = (p - t) * 1000 // p
+    out["is_seed"] = out["node"].isin(seeds).astype("int32")
+    out = out.rename(columns={"node": "host"})[
+        ["host", "trustrank_e9", "pagerank_e9", "spam_mass_e3", "is_seed"]
+    ]
+    return (
+        out.sort_values(["trustrank_e9", "host"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+
+
+def _integer_pagerank(edges_df, iters: int = 10, damping: float = 0.85,
+                      teleport_nodes=None):
     """Shared integer-e9 PageRank core over a weighted DIRECTED edge
     table (columns src, dst, w) — the iteration body host_pagerank
     documents: the rank vector broadcasts into a ``map_batches`` over
@@ -285,18 +355,39 @@ def _integer_pagerank(edges_df, iters: int = 10, damping: float = 0.85):
     exact integer division with the residual pool (teleport + dangling
     + flooring remainders) redistributed uniformly, so any executor's
     summation order gives identical results.  Returns an UNSORTED
-    (node, rank_e9) frame."""
+    (node, rank_e9) frame.
+
+    ``teleport_nodes`` (optional) restricts the residual pool to a
+    subset of nodes — the biased-teleport generalization TrustRank
+    needs (Gyöngyi et al., VLDB 2004): with a seed list, every
+    iteration's pool (teleport + dangling + flooring remainders) lands
+    uniformly on the SEEDS instead of all nodes, remainder to the
+    lexicographically first seeds.  ``None`` keeps classic PageRank."""
     import pandas as pd
 
     nodes = sorted(set(edges_df["src"]) | set(edges_df["dst"]))
     n_nodes = len(nodes)
+    if teleport_nodes is None:
+        tnodes = nodes
+    else:
+        tnodes = sorted(set(teleport_nodes))
+        missing = set(tnodes) - set(nodes)
+        if missing:
+            raise ValueError(f"teleport nodes not in graph: {sorted(missing)[:5]}")
     od = edges_df.groupby("src")["w"].sum().to_dict()  # invariant
 
     edges = rd.from_arrow(
         pa.Table.from_pandas(edges_df[["src", "dst", "w"]], preserve_index=False)
     ).materialize()  # iterate over a pinned edge dataset (built once)
 
-    rank = {h: 1_000_000_000 // n_nodes for h in nodes}
+    # biased start: with a seed set, initial mass sits on the seeds
+    # (the paper's d vector); classic PageRank starts uniform
+    if teleport_nodes is None:
+        rank = {h: 1_000_000_000 // n_nodes for h in nodes}
+    else:
+        rank = {h: 0 for h in nodes}
+        for h in tnodes:
+            rank[h] = 1_000_000_000 // len(tnodes)
     # init slack (1e9 − Σ) re-enters via iteration 1's residual pool
     for _ in range(iters):
         r = rank  # rebound (never mutated) — no per-iteration copy
@@ -336,8 +427,8 @@ def _integer_pagerank(edges_df, iters: int = 10, damping: float = 0.85):
             h: (int(contrib.get(h, 0)) * dm) // 1000 for h in nodes
         }
         pool = 1_000_000_000 - sum(new_rank.values())
-        per, rem = divmod(pool, n_nodes)
-        for i, h in enumerate(nodes):
+        per, rem = divmod(pool, len(tnodes))
+        for i, h in enumerate(tnodes):
             new_rank[h] += per + (1 if i < rem else 0)
         rank = new_rank
     return pd.DataFrame({"node": nodes, "rank_e9": [rank[h] for h in nodes]})

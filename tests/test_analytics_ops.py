@@ -348,6 +348,78 @@ def test_host_pagerank_matches_numpy_power_iteration(ray_session):
     assert abs(got["rank_e9"].sum() - 1_000_000_000) == 0  # exact mass conservation
 
 
+def test_host_trustrank_matches_sequential_integer_replica(ray_session):
+    """TrustRank (biased-teleport integer PageRank, seeds from inverse
+    PageRank) must EXACTLY match a sequential driver-side replica of
+    the same integer scheme, conserve mass, and mark seeds trust-rich
+    (spam_mass ≤ 0) relative to the trust-poor tail."""
+    from opps_feedcrawler_ray.pipelines.webpipe import host_link_graph, host_trustrank
+
+    iters, d, n_seeds = 4, 0.85, 3
+    got = host_trustrank(SF, iters=iters, damping=d, n_seeds=n_seeds)
+    edges = host_link_graph(SF)
+    hosts = sorted(set(edges["src_host"]) | set(edges["dst_host"]))
+    out_deg = edges.groupby("src_host")["n_links"].sum().to_dict()
+
+    def replica(edge_rows, tnodes):
+        n = len(hosts)
+        idx = {h: i for i, h in enumerate(hosts)}
+        rank = np.zeros(n, dtype=np.int64)
+        if tnodes is None:
+            rank[:] = 1_000_000_000 // n
+            tset = hosts
+        else:
+            tset = sorted(tnodes)
+            for h in tset:
+                rank[idx[h]] = 1_000_000_000 // len(tset)
+        deg = {}
+        for s, _, w in edge_rows:
+            deg[s] = deg.get(s, 0) + w
+        for _ in range(iters):
+            contrib = np.zeros(n, dtype=np.int64)
+            for s, t, w in edge_rows:
+                contrib[idx[t]] += int(rank[idx[s]]) * int(w) // int(deg[s])
+            new = contrib * 850 // 1000
+            pool = 1_000_000_000 - int(new.sum())
+            per, rem = divmod(pool, len(tset))
+            for i, h in enumerate(tset):
+                new[idx[h]] += per + (1 if i < rem else 0)
+            rank = new
+        return {h: int(rank[idx[h]]) for h in hosts}
+
+    fwd = list(edges[["src_host", "dst_host", "n_links"]].itertuples(index=False))
+    rev = [(t, s, w) for s, t, w in fwd]
+    inv = replica(rev, None)
+    seeds = sorted(
+        sorted(hosts, key=lambda h: (-inv[h], h))[:n_seeds]
+    )
+    pr = replica(fwd, None)
+    tr = replica(fwd, seeds)
+    exp = pd.DataFrame(
+        {
+            "host": hosts,
+            "trustrank_e9": [tr[h] for h in hosts],
+            "pagerank_e9": [pr[h] for h in hosts],
+        }
+    )
+    exp["spam_mass_e3"] = (
+        (exp["pagerank_e9"] - exp["trustrank_e9"]) * 1000 // exp["pagerank_e9"]
+    )
+    exp["is_seed"] = exp["host"].isin(seeds).astype("int32")
+    exp = exp.sort_values(["trustrank_e9", "host"], ascending=[False, True]).reset_index(
+        drop=True
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert got["trustrank_e9"].sum() == 1_000_000_000
+    assert got["pagerank_e9"].sum() == 1_000_000_000
+    assert (got.loc[got["is_seed"] == 1, "spam_mass_e3"] <= 0).all()
+    # non-seed hosts carry strictly more of their rank as spam mass
+    assert (
+        got.loc[got["is_seed"] == 0, "spam_mass_e3"].min()
+        > got.loc[got["is_seed"] == 1, "spam_mass_e3"].max()
+    )
+
+
 def test_quality_score_model_matches_pandas(ray_session):
     from opps_feedcrawler_ray.pipelines.analytics import quality_score_model
     from opps_feedcrawler_ray.stages.scoring import (
