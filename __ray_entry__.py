@@ -513,6 +513,16 @@ def _q_host_trustrank(sf_dir: str):
     return host_trustrank(sf_dir, iters=5)
 
 
+def _q_dust_rules(sf_dir: str):
+    """DUST rule mining (Bar-Yossef et al. WWW 2007): URL substitution
+    rules from content-identical URL-pair groups (rows-only: the alias
+    derivation + LCP/LCS rule extraction has no SQL twin; a pandas
+    brute-force replica is pinned in tests)."""
+    from opps_feedcrawler_ray.pipelines.webpipe import dust_rules
+
+    return dust_rules(sf_dir)
+
+
 def _q_host_hits(sf_dir: str):
     """HITS hubs/authorities (rows-only: iterative, no SQL oracle; a
     replica twin with exact mass-conservation invariants is pinned in
@@ -976,6 +986,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_link_graph": _q_host_link_graph,
         "host_pagerank": _q_host_pagerank,
         "host_trustrank": _q_host_trustrank,
+        "dust_rules": _q_dust_rules,
         "host_hits": _q_host_hits,
         "host_components": _q_host_components,
         "host_kcore": _q_host_kcore,

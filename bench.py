@@ -254,6 +254,7 @@ QUERY_NAMES = [
     "events_dgim_window",
     "doc_scc",
     "host_trustrank",
+    "dust_rules",
 ]
 
 

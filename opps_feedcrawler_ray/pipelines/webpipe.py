@@ -2015,3 +2015,132 @@ def doc_scc(sf_dir: str, work_dir: str | None = None) -> "pd.DataFrame":
 
     out = pd.DataFrame(sorted(scc.items()), columns=["doc_id", "scc_id"])
     return out.astype({"doc_id": "int64", "scc_id": "int64"})
+
+
+def _dust_rule(u1: str, u2: str) -> tuple[str, str]:
+    """The substitution rule one content-identical URL pair implies:
+    strip the longest common prefix, then the longest common suffix of
+    the remainders; the leftover middles form alpha→beta directed
+    toward the SHORTER url (tie: lexicographically smaller) — the
+    normalization direction.  ('/d/12/index.html', '/d/12') →
+    ('/index.html', '')."""
+    short, long_ = sorted((u1, u2), key=lambda u: (len(u), u))
+    p = 0
+    lim = min(len(short), len(long_))
+    while p < lim and short[p] == long_[p]:
+        p += 1
+    s = 0
+    lim = min(len(short), len(long_)) - p  # suffix must not overlap prefix
+    while s < lim and short[len(short) - 1 - s] == long_[len(long_) - 1 - s]:
+        s += 1
+    return long_[p:len(long_) - s], short[p:len(short) - s]
+
+
+def dust_rules(sf_dir: str, min_support: int = 3) -> "pd.DataFrame":
+    """DUST — Different URLs with Similar Text (Bar-Yossef, Keidar &
+    Schonfeld, "Do Not Crawl in the DUST", WWW 2007): mine URL
+    substring-substitution rules alpha→beta from pairs of DISTINCT
+    canonical URLs serving identical content, so a crawler can
+    normalize away alias families (/index.html suffixes, print views,
+    path synonyms) without fetching them.  This is the
+    content-identical variant of DustBuster: candidate pairs come from
+    exact content-fingerprint groups (the paper mines likely pairs from
+    URL lists alone and validates by fetching; with the corpus in hand
+    the fingerprint group IS the validation), pairs within a group are
+    ADJACENT in sorted URL order (the paper's O(group)-pairs shortcut),
+    and each pair contributes the rule from ``_dust_rule``.
+
+    The documents corpus is alias-free, so the operator derives the
+    classic alias families deterministically (docs with doc_id % 4 == 0
+    get ONE alias each, family = doc_id % 3): '/index.html' suffix,
+    '?format=print' query, '/d/'→'/doc/' path synonym — and must
+    recover exactly those rules at full support.  Rows-only; a pandas
+    brute-force twin is pinned in tests.
+
+    Scale shape: ONE fingerprint exchange (the exact-dedup shuffle;
+    fp reinterpreted int64), per-group work O(|group| log |group|)
+    emitting |group|−1 pair rows, then a tiny (alpha, beta) groupby —
+    rules and supports only ever reach the driver."""
+    import pandas as pd
+
+    from ..functions.hashing import fingerprint64
+    from ..functions.urlnorm import extract_host
+
+    def expand(batch: pa.Table) -> pa.Table:
+        urls: list[str] = []
+        fps: list[int] = []
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            fp = fingerprint64(text or "")
+            u = _url(did)
+            urls.append(u)
+            fps.append(fp)
+            if did % 4 == 0:
+                fam = did % 3
+                if fam == 0:
+                    a = u + "/index.html"
+                elif fam == 1:
+                    a = u + "?format=print"
+                else:
+                    a = u.replace("/d/", "/doc/")
+                if a != u:  # /priv/ urls have no fam-2 alias
+                    urls.append(a)
+                    fps.append(fp)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                # int64-reinterpret for the exchange (engine convention)
+                "fp": pa.array(
+                    np.array(fps, dtype=np.uint64).view(np.int64)
+                ),
+            }
+        )
+
+    def pair_rules(g: pd.DataFrame) -> pd.DataFrame:
+        us = sorted(set(g["url"]))
+        if len(us) < 2:
+            return pd.DataFrame({"alpha": [], "beta": [], "host": []}).astype(
+                {"alpha": "object", "beta": "object", "host": "object"}
+            )
+        rows = []
+        for u1, u2 in zip(us, us[1:]):
+            a, b = _dust_rule(u1, u2)
+            rows.append((a, b, extract_host(u1)))
+        return pd.DataFrame(rows, columns=["alpha", "beta", "host"])
+
+    def rule_stats(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "alpha": [g["alpha"].iloc[0]],
+                "beta": [g["beta"].iloc[0]],
+                "support": [len(g)],
+                "n_hosts": [int(g["host"].nunique())],
+            }
+        )
+
+    out = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        .map_batches(expand, batch_format="pyarrow")
+        .groupby("fp")
+        .map_groups(pair_rules, batch_format="pandas")
+        .groupby(["alpha", "beta"])
+        .map_groups(rule_stats, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return pd.DataFrame(
+            {"alpha": pd.Series(dtype=object), "beta": pd.Series(dtype=object),
+             "support": pd.Series(dtype="int64"),
+             "n_hosts": pd.Series(dtype="int64")}
+        )
+    out = out[out["support"] >= min_support]
+    out = out.astype({"support": "int64", "n_hosts": "int64"})
+    return (
+        out.sort_values(["support", "alpha", "beta"],
+                        ascending=[False, True, True])
+        .reset_index(drop=True)
+    )

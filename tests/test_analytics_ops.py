@@ -420,6 +420,72 @@ def test_host_trustrank_matches_sequential_integer_replica(ray_session):
     )
 
 
+def test_dust_rules_matches_pandas_brute_force(ray_session):
+    """The distributed DUST mining (fingerprint exchange → adjacent-pair
+    rules → support groupby) must equal a sequential pandas replica, and
+    must recover the three planted alias families."""
+    from opps_feedcrawler_ray.functions.hashing import fingerprint64
+    from opps_feedcrawler_ray.functions.urlnorm import extract_host
+    from opps_feedcrawler_ray.pipelines.webpipe import _dust_rule, _url, dust_rules
+
+    min_support = 3
+    got = dust_rules(SF, min_support=min_support)
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    urls, fps = [], []
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        fp = fingerprint64(text or "")
+        u = _url(int(did))
+        urls.append(u)
+        fps.append(fp)
+        if did % 4 == 0:
+            fam = did % 3
+            a = (
+                u + "/index.html" if fam == 0
+                else u + "?format=print" if fam == 1
+                else u.replace("/d/", "/doc/")
+            )
+            if a != u:
+                urls.append(a)
+                fps.append(fp)
+    rows = []
+    frame = pd.DataFrame({"url": urls, "fp": fps})
+    for _, g in frame.groupby("fp"):
+        us = sorted(set(g["url"]))
+        for u1, u2 in zip(us, us[1:]):
+            a, b = _dust_rule(u1, u2)
+            rows.append((a, b, extract_host(u1)))
+    pairs = pd.DataFrame(rows, columns=["alpha", "beta", "host"])
+    exp = (
+        pairs.groupby(["alpha", "beta"], as_index=False)
+        .agg(support=("host", "size"), n_hosts=("host", "nunique"))
+    )
+    exp = exp[exp["support"] >= min_support]
+    exp = exp.sort_values(
+        ["support", "alpha", "beta"], ascending=[False, True, True]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    rules = set(zip(got["alpha"], got["beta"]))
+    assert ("/index.html", "") in rules
+    assert ("?format=print", "") in rules
+    assert ("oc", "") in rules  # the '/d/'→'/doc/' middle after stripping
+
+
+def test_dust_rule_kernel_examples():
+    """_dust_rule strips LCP then non-overlapping common suffix and
+    directs toward the shorter url."""
+    from opps_feedcrawler_ray.pipelines.webpipe import _dust_rule
+
+    assert _dust_rule("http://a/x/index.html", "http://a/x") == ("/index.html", "")
+    assert _dust_rule("http://a/x", "http://a/x/index.html") == ("/index.html", "")
+    assert _dust_rule("http://a/d/1", "http://a/doc/1") == ("oc", "")
+    assert _dust_rule("http://a/p?format=print", "http://a/p") == ("?format=print", "")
+    # equal length → lexicographically smaller is the target
+    assert _dust_rule("http://a/B", "http://a/A") == ("B", "A")
+    # identical urls never reach the kernel, but it degrades to empty
+    assert _dust_rule("http://a/x", "http://a/x") == ("", "")
+
+
 def test_quality_score_model_matches_pandas(ray_session):
     from opps_feedcrawler_ray.pipelines.analytics import quality_score_model
     from opps_feedcrawler_ray.stages.scoring import (
