@@ -513,6 +513,16 @@ def _q_host_trustrank(sf_dir: str):
     return host_trustrank(sf_dir, iters=5)
 
 
+def _q_doc_ktruss(sf_dir: str):
+    """3-truss of the doc link graph via distributed triangle
+    enumeration + driver worklist peeling (rows-only: iterative
+    fixpoint, no SQL oracle; a brute-force recount-peeling twin is
+    pinned in tests)."""
+    from opps_feedcrawler_ray.pipelines.webpipe import doc_ktruss
+
+    return doc_ktruss(sf_dir, k=3)
+
+
 def _q_dust_rules(sf_dir: str):
     """DUST rule mining (Bar-Yossef et al. WWW 2007): URL substitution
     rules from content-identical URL-pair groups (rows-only: the alias
@@ -987,6 +997,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank": _q_host_pagerank,
         "host_trustrank": _q_host_trustrank,
         "dust_rules": _q_dust_rules,
+        "doc_ktruss": _q_doc_ktruss,
         "host_hits": _q_host_hits,
         "host_components": _q_host_components,
         "host_kcore": _q_host_kcore,

@@ -255,6 +255,7 @@ QUERY_NAMES = [
     "doc_scc",
     "host_trustrank",
     "dust_rules",
+    "doc_ktruss",
 ]
 
 

@@ -2144,3 +2144,171 @@ def dust_rules(sf_dir: str, min_support: int = 3) -> "pd.DataFrame":
                         ascending=[False, True, True])
         .reset_index(drop=True)
     )
+
+
+def doc_ktruss(sf_dir: str, k: int = 3, work_dir: str | None = None) -> "pd.DataFrame":
+    """K-TRUSS decomposition (fixed k) of the undirected doc link graph
+    — the cohesive-subgraph classic (Cohen 2008, "Trusses: cohesive
+    subgraphs for social network analysis"): the maximal subgraph in
+    which EVERY edge participates in ≥ k−2 triangles, computed by
+    support peeling — count per-edge triangle support, delete every
+    edge below k−2, recount on the survivor subgraph, repeat to
+    fixpoint (deleting an edge can only lower its neighbors' support,
+    so peeling converges and the fixpoint is unique — order-free).
+
+    The DATA-SIZED work — triangle enumeration — runs distributed
+    exactly once, as the same degree-orientation dataflow as
+    ``doc_triangle_counts`` (each triangle surfaces exactly once, at
+    its lowest-(degree, id) apex); matched wedges emit (apex, lo, hi)
+    TRIANGLE rows instead of per-vertex counts.  The peeling fixpoint
+    then runs on the driver over the triangle list with a worklist
+    (delete edge → kill its triangles → decrement the other two edges'
+    support → enqueue any that drop below k−2): O(|T|) total work,
+    versus one full distributed recount per peel round.
+
+    PARTITIONING ASSUMPTION: the triangle list fits the driver heap
+    (|T| ≤ wedge volume, bounded by the degree orientation at
+    O(m·√m)); past that, peeling becomes the iterative distributed
+    recount — same enumeration body re-run per round with a broadcast
+    removal mask, trading driver memory for rounds.  Rows-only; a
+    sequential set-based peeling twin is pinned in tests."""
+    import pandas as pd
+    import ray
+
+    from .dedup import _cell_pair_indices
+
+    if k < 3:
+        raise ValueError("k-truss needs k >= 3")
+    edges, n_docs, nb = _doc_link_edges(sf_dir, work_dir)
+    deg_df = _doc_degrees(edges, nb)
+    dn = deg_df["node"].to_numpy(dtype=np.int64)
+    order = np.argsort(dn)
+    deg_ref = ray.put((dn[order], deg_df["c"].to_numpy(dtype=np.int64)[order]))
+
+    def orient(batch: pa.Table) -> pa.Table:
+        nodes, degs = ray.get(deg_ref)
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        da = degs[np.searchsorted(nodes, a)]
+        db = degs[np.searchsorted(nodes, b)]
+        a_first = (da < db) | ((da == db) & (a < b))
+        u = np.where(a_first, a, b)
+        v = np.where(a_first, b, a)
+        dv = np.where(a_first, db, da)
+        return pa.table(
+            {"u": pa.array(u, pa.int64()), "v": pa.array(v, pa.int64()),
+             "dv": pa.array(dv, pa.int64()),
+             "__b": pa.array((u % nb).astype("int64"), pa.int64())}
+        )
+
+    def wedge_rows(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["u", "v"])
+        codes = g.groupby("u", sort=False).ngroup().to_numpy()
+        i, j = _cell_pair_indices(codes)
+        empty = pd.DataFrame(
+            {"u": pd.Series(dtype="int64"), "v": pd.Series(dtype="int64"),
+             "apex": pd.Series(dtype="int64"), "kind": pd.Series(dtype="int64"),
+             "__b": pd.Series(dtype="int64")}
+        )
+        if len(i) == 0:
+            return empty
+        uu = g["u"].to_numpy()
+        vv = g["v"].to_numpy()
+        dvv = g["dv"].to_numpy()
+        swap = dvv[i] > dvv[j]
+        lo = np.where(swap, vv[j], vv[i])
+        hi = np.where(swap, vv[i], vv[j])
+        w = pd.DataFrame(
+            {"u": lo, "v": hi, "apex": uu[i],
+             "kind": np.ones(len(i), dtype=np.int64)}
+        )
+        w["__b"] = ((w["u"] * np.int64(n_docs) + w["v"]) % nb).astype("int64")
+        return w
+
+    def tag_edges(batch: pd.DataFrame) -> pd.DataFrame:
+        n = len(batch)
+        u = batch["u"].to_numpy(dtype=np.int64)
+        v = batch["v"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"u": u, "v": v,
+             "apex": np.full(n, -1, dtype=np.int64),
+             "kind": np.zeros(n, dtype=np.int64),
+             "__b": ((u * np.int64(n_docs) + v) % nb).astype("int64")}
+        )
+
+    def triangles(g: pd.DataFrame) -> pd.DataFrame:
+        """Close wedges in this (u,v)-bucket: matched wedges ARE the
+        triangles (apex; lo, hi), each enumerated exactly once."""
+        key = (g["u"].to_numpy(dtype=np.int64) * np.int64(n_docs)
+               + g["v"].to_numpy(dtype=np.int64))
+        is_edge = g["kind"].to_numpy() == 0
+        hit = np.isin(key[~is_edge], key[is_edge])
+        w = g[~is_edge]
+        return pd.DataFrame(
+            {"apex": w["apex"].to_numpy(dtype=np.int64)[hit],
+             "lo": w["u"].to_numpy(dtype=np.int64)[hit],
+             "hi": w["v"].to_numpy(dtype=np.int64)[hit]}
+        )
+
+    oriented = edges.map_batches(orient, batch_format="pyarrow").materialize()
+    tri = (
+        oriented.groupby("__b")
+        .map_groups(wedge_rows, batch_format="pandas")
+        .union(oriented.map_batches(tag_edges, batch_format="pandas"))
+        .groupby("__b")
+        .map_groups(triangles, batch_format="pandas")
+        .to_pandas()  # fits-heap assumption documented above
+    )
+
+    edf = edges.to_pandas()[["a", "b"]]
+    nd = np.int64(n_docs)
+    ekey = (edf["a"].to_numpy(dtype=np.int64) * nd
+            + edf["b"].to_numpy(dtype=np.int64))
+    eorder = np.argsort(ekey)
+    ekey_sorted = ekey[eorder]
+    n_edges = len(ekey_sorted)
+    support = np.zeros(n_edges, dtype=np.int64)
+    # triangle → its 3 edge indices (positions in ekey_sorted)
+    tri_edges = np.empty((len(tri), 3), dtype=np.int64)
+    if len(tri):
+        ap = tri["apex"].to_numpy(dtype=np.int64)
+        lo = tri["lo"].to_numpy(dtype=np.int64)
+        hi = tri["hi"].to_numpy(dtype=np.int64)
+        for c, (x, y) in enumerate(((ap, lo), (ap, hi), (lo, hi))):
+            kk = np.minimum(x, y) * nd + np.maximum(x, y)
+            tri_edges[:, c] = np.searchsorted(ekey_sorted, kk)
+        np.add.at(support, tri_edges.ravel(), 1)
+    # per-edge triangle membership lists (CSR over edge index)
+    flat = tri_edges.ravel()
+    tids = np.repeat(np.arange(len(tri), dtype=np.int64), 3)
+    so = np.argsort(flat, kind="stable")
+    starts = np.searchsorted(flat[so], np.arange(n_edges))
+    ends = np.searchsorted(flat[so], np.arange(n_edges) + 1)
+    tid_sorted = tids[so]
+
+    thresh = k - 2
+    alive_e = np.ones(n_edges, dtype=bool)
+    alive_t = np.ones(len(tri), dtype=bool)
+    work = list(np.flatnonzero(support < thresh))
+    for ei in work:
+        if not alive_e[ei]:
+            continue
+        alive_e[ei] = False
+        for p in range(starts[ei], ends[ei]):
+            t = tid_sorted[p]
+            if not alive_t[t]:
+                continue
+            alive_t[t] = False
+            for other in tri_edges[t]:
+                if other != ei and alive_e[other]:
+                    support[other] -= 1
+                    if support[other] < thresh:
+                        work.append(other)
+
+    keep = alive_e & (support >= thresh)
+    out = pd.DataFrame(
+        {"src_doc": edf["a"].to_numpy(dtype=np.int64)[eorder][keep],
+         "dst_doc": edf["b"].to_numpy(dtype=np.int64)[eorder][keep],
+         "support": support[keep]}
+    ).astype({"src_doc": "int64", "dst_doc": "int64", "support": "int64"})
+    return out.sort_values(["src_doc", "dst_doc"]).reset_index(drop=True)

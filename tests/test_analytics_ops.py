@@ -486,6 +486,44 @@ def test_dust_rule_kernel_examples():
     assert _dust_rule("http://a/x", "http://a/x") == ("", "")
 
 
+def test_doc_ktruss_matches_brute_force_peeling(ray_session):
+    """The distributed-enumeration + worklist peeling must equal a naive
+    set-based peeler (recount every triangle from scratch each round)
+    on the same edge set, for k=3 and k=4."""
+    from opps_feedcrawler_ray.pipelines.webpipe import _doc_link_edges, doc_ktruss
+
+    edges_df = _doc_link_edges(SF)[0].to_pandas()
+    base = set(zip(edges_df["a"].astype(int), edges_df["b"].astype(int)))
+
+    def brute(k):
+        alive = set(base)
+        while True:
+            adj = {}
+            for a, b in alive:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            sup = {}
+            for a, b in alive:
+                sup[(a, b)] = len(adj[a] & adj[b])
+            bad = [e for e, s in sup.items() if s < k - 2]
+            if not bad:
+                return sup
+            alive -= set(bad)
+
+    for k in (3, 4):
+        got = doc_ktruss(SF, k=k)
+        exp_sup = brute(k)
+        exp = pd.DataFrame(
+            sorted((a, b, s) for (a, b), s in exp_sup.items()),
+            columns=["src_doc", "dst_doc", "support"],
+        )
+        pd.testing.assert_frame_equal(
+            got, exp.astype("int64"), check_dtype=False
+        )
+        # truss property: every surviving edge sits in >= k-2 triangles
+        assert (got["support"] >= k - 2).all()
+
+
 def test_quality_score_model_matches_pandas(ray_session):
     from opps_feedcrawler_ray.pipelines.analytics import quality_score_model
     from opps_feedcrawler_ray.stages.scoring import (
