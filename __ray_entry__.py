@@ -912,6 +912,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # DGIM sliding-window sketch: per-stream sequential by
         # construction, rows-only — guarantee-vs-exact twin in tests
         "events_dgim_window": A.events_dgim_window,
+        "events_matrix_profile": A.events_matrix_profile,
         "purchase_shapley_attribution": A.purchase_shapley_attribution,
         "referential_integrity_audit": A.referential_integrity_audit,
         "orders_benford": A.orders_benford,

@@ -256,6 +256,7 @@ QUERY_NAMES = [
     "host_trustrank",
     "dust_rules",
     "doc_ktruss",
+    "events_matrix_profile",
 ]
 
 

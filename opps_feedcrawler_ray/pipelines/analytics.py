@@ -11907,3 +11907,111 @@ def events_dgim_window(sf_dir: str, window_us: int = 7 * 86_400_000_000
         ev.groupby("event_type").map_groups(run, batch_format="pandas")
         .to_pandas().sort_values("event_type").reset_index(drop=True)
     )
+
+
+def _matrix_profile_kernel(x: np.ndarray, m: int) -> tuple[np.ndarray, np.ndarray]:
+    """Self-join z-normalized MATRIX PROFILE of one series: for every
+    length-m subsequence, the distance to (and index of) its nearest
+    neighbor outside the trivial-match exclusion zone |i−j| ≤ m//2.
+    Full pairwise Gram-matrix formulation — d²(i,j) = ‖z_i‖² + ‖z_j‖²
+    − 2·z_i·z_j via one matmul (the exact expansion, NOT the 2m(1−ρ)
+    shortcut: constant σ=0 subsequences z-map to the ZERO vector with
+    ‖z‖²=0, so two flat windows are distance 0 from each other, the
+    convention the brute-force twin pins).  O(H²)
+    memory/time in the series length — callers bound H (the hourly
+    census), not the row count."""
+    n = len(x) - m + 1
+    S = np.lib.stride_tricks.sliding_window_view(
+        x.astype(np.float64), m
+    )
+    mu = S.mean(axis=1)
+    sd = S.std(axis=1)
+    sd = np.where(sd == 0.0, 1.0, sd)
+    Z = (S - mu[:, None]) / sd[:, None]
+    nrm = (Z * Z).sum(axis=1)
+    D = np.sqrt(np.maximum(nrm[:, None] + nrm[None, :] - 2.0 * (Z @ Z.T), 0.0))
+    idx = np.arange(n)
+    D[np.abs(idx[:, None] - idx[None, :]) <= m // 2] = np.inf
+    return D.min(axis=1), D.argmin(axis=1)
+
+
+def events_matrix_profile(sf_dir: str, window: int = 24) -> pd.DataFrame:
+    """MATRIX PROFILE motif + discord discovery (Yeh et al., "Matrix
+    Profile I", ICDM 2016) over each event_type's HOURLY mean-value
+    series — the time-series-mining member of the analysis family
+    (EWMA=smoothing, Holt=forecast, CUSUM=changepoint, MP=motifs):
+    for every length-``window`` subsequence, the z-normalized distance
+    to its nearest non-trivial neighbor (exclusion zone window//2);
+    the global minimum of that profile is the top MOTIF pair (the
+    series' most-repeated shape), the global maximum the top DISCORD
+    (its most anomalous window).
+
+    Scale shape: the data-sized pass is ONE (event_type × hour)-bounded
+    exchange (per-batch integer combiners — the histogram-family domain
+    contract; hourly mean frozen as floor-div of value_e2 sums, missing
+    hours densified to 0); the O(H²) profile then walks the ≤|types|·|hours|
+    census on the driver (H ≈ 720 here; at longer horizons the kernel
+    swaps to STOMP's O(H²) time / O(H) memory streaming recurrence, the
+    census exchange unchanged).  Rows-only; a brute-force per-window
+    twin is pinned in tests.
+
+    Returns one row per event_type: (event_type, n_hours, motif_a,
+    motif_b, motif_dist_e6, discord_idx, discord_dist_e6) — indices are
+    hour offsets from the type's first hour."""
+    from .dedup import coarse_buckets
+
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "event_type", "value"])
+    nb = coarse_buckets(ev.count(), rows_per_task=65536)
+    schema = pa.schema([("event_type", pa.string()), ("hour", pa.int64()),
+                        ("s", pa.int64()), ("n", pa.int64()), ("__b", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["hour"] = (df["ts"].astype("int64") // 3_600_000_000).astype("int64")
+        df["v"] = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+        g = df.groupby(["event_type", "hour"], as_index=False).agg(
+            s=("v", "sum"), n=("v", "size")
+        )
+        g["__b"] = (
+            pd.util.hash_array(g["hour"].to_numpy()).astype("int64") % nb
+        )
+        return pa.Table.from_pandas(g, preserve_index=False, schema=schema)
+
+    def hsum(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["event_type", "hour"], as_index=False)[["s", "n"]].sum()
+
+    census = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("__b").map_groups(hsum, batch_format="pandas")
+        .to_pandas().sort_values(["event_type", "hour"]).reset_index(drop=True)
+    )
+    cols = ["event_type", "n_hours", "motif_a", "motif_b", "motif_dist_e6",
+            "discord_idx", "discord_dist_e6"]
+    rows = []
+    for et, g in census.groupby("event_type"):
+        h = g["hour"].to_numpy(dtype=np.int64)
+        lo, hi = int(h.min()), int(h.max())
+        series = np.zeros(hi - lo + 1, dtype=np.int64)
+        series[h - lo] = (g["s"].to_numpy() * 10_000) // g["n"].to_numpy()
+        if len(series) < 2 * window:
+            continue  # too short for one non-trivial neighbor
+        prof, nn = _matrix_profile_kernel(series, window)
+        finite = np.isfinite(prof)
+        if not finite.any():
+            continue
+        mi = int(np.flatnonzero(finite)[np.argmin(prof[finite])])
+        mj = int(nn[mi])
+        di = int(np.flatnonzero(finite)[np.argmax(prof[finite])])
+        rows.append(
+            (et, len(series), min(mi, mj), max(mi, mj),
+             int(np.floor(prof[mi] * 1e6 + 0.5)), di,
+             int(np.floor(prof[di] * 1e6 + 0.5)))
+        )
+    out = pd.DataFrame(rows, columns=cols)
+    if len(out) == 0:
+        return pd.DataFrame({c: pd.Series(dtype=object if c == "event_type"
+                                          else "int64") for c in cols})
+    return (
+        out.astype({c: "int64" for c in cols[1:]})
+        .sort_values("event_type").reset_index(drop=True)
+    )

@@ -524,6 +524,80 @@ def test_doc_ktruss_matches_brute_force_peeling(ray_session):
         assert (got["support"] >= k - 2).all()
 
 
+def test_matrix_profile_kernel_matches_brute_force():
+    """The Gram-matrix MP kernel must equal the per-window brute force
+    (z-normalize both subsequences, euclidean distance, exclusion zone
+    m//2) — including a constant (sigma=0) stretch."""
+    from opps_feedcrawler_ray.pipelines.analytics import _matrix_profile_kernel
+
+    rng = np.random.default_rng(7)
+    x = np.concatenate(
+        [rng.integers(0, 100, 40), np.full(10, 55), rng.integers(0, 100, 30)]
+    ).astype(np.float64)
+    m = 6
+    prof, nn = _matrix_profile_kernel(x, m)
+    n = len(x) - m + 1
+
+    def znorm(s):
+        mu, sd = s.mean(), s.std()
+        return (s - mu) / (sd if sd > 0 else 1.0)
+
+    for i in range(n):
+        best, arg = np.inf, -1
+        zi = znorm(x[i:i + m])
+        for j in range(n):
+            if abs(i - j) <= m // 2:
+                continue
+            d = float(np.sqrt(((zi - znorm(x[j:j + m])) ** 2).sum()))
+            if d < best:
+                best, arg = d, j
+        assert abs(prof[i] - best) < 1e-8, (i, prof[i], best)
+        # argmin ties are resolved identically (first index) in both
+        assert nn[i] == arg or abs(
+            prof[i]
+            - np.sqrt(((zi - znorm(x[nn[i]:nn[i] + m])) ** 2).sum())
+        ) < 1e-8
+
+
+def test_events_matrix_profile_matches_pandas_replica(ray_session):
+    """Pipeline (distributed census → driver MP) equals a pure-pandas
+    replica built straight from the parquet."""
+    from opps_feedcrawler_ray.pipelines.analytics import (
+        _matrix_profile_kernel,
+        events_matrix_profile,
+    )
+
+    window = 24
+    got = events_matrix_profile(SF, window=window)
+
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["ts", "event_type", "value"])
+    ev["hour"] = (ev["ts"].astype("int64") // 3_600_000_000).astype("int64")
+    ev["v"] = np.floor(ev["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+    rows = []
+    for et, g in ev.groupby("event_type"):
+        c = g.groupby("hour", as_index=False).agg(s=("v", "sum"), n=("v", "size"))
+        lo, hi = int(c["hour"].min()), int(c["hour"].max())
+        series = np.zeros(hi - lo + 1, dtype=np.int64)
+        series[c["hour"].to_numpy() - lo] = (
+            c["s"].to_numpy() * 10_000
+        ) // c["n"].to_numpy()
+        if len(series) < 2 * window:
+            continue
+        prof, nn = _matrix_profile_kernel(series, window)
+        fin = np.flatnonzero(np.isfinite(prof))
+        mi = int(fin[np.argmin(prof[fin])])
+        mj = int(nn[mi])
+        di = int(fin[np.argmax(prof[fin])])
+        rows.append((et, len(series), min(mi, mj), max(mi, mj),
+                     int(np.floor(prof[mi] * 1e6 + 0.5)), di,
+                     int(np.floor(prof[di] * 1e6 + 0.5))))
+    exp = pd.DataFrame(rows, columns=got.columns).sort_values(
+        "event_type"
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert (got["motif_dist_e6"] <= got["discord_dist_e6"]).all()
+
+
 def test_quality_score_model_matches_pandas(ray_session):
     from opps_feedcrawler_ray.pipelines.analytics import quality_score_model
     from opps_feedcrawler_ray.stages.scoring import (
