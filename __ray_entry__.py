@@ -913,6 +913,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # construction, rows-only — guarantee-vs-exact twin in tests
         "events_dgim_window": A.events_dgim_window,
         "events_matrix_profile": A.events_matrix_profile,
+        "events_diff_in_diff": A.events_diff_in_diff,
         "purchase_shapley_attribution": A.purchase_shapley_attribution,
         "referential_integrity_audit": A.referential_integrity_audit,
         "orders_benford": A.orders_benford,
@@ -3483,6 +3484,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.t AS tok_a, b.t AS tok_b FROM tok a JOIN tok b "
             "ON a.t < b.t AND levenshtein(a.t, b.t) = 1 "
             "ORDER BY tok_a, tok_b"
+        ),
+        "events_diff_in_diff": (
+            # DiD: (arm × period) integer cells (value e2), double means,
+            # identical expression tree for the estimate on both sides
+            "WITH c AS (SELECT CAST(user_id % 2 AS BIGINT) AS treated, "
+            "CAST(CASE WHEN EXTRACT(day FROM ts) > 15 THEN 1 ELSE 0 END "
+            "AS BIGINT) AS post, "
+            "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+            "d AS (SELECT ((SELECT CAST(s AS DOUBLE) / CAST(n AS DOUBLE) "
+            "FROM c WHERE treated = 1 AND post = 1) "
+            "- (SELECT CAST(s AS DOUBLE) / CAST(n AS DOUBLE) "
+            "FROM c WHERE treated = 1 AND post = 0)) "
+            "- ((SELECT CAST(s AS DOUBLE) / CAST(n AS DOUBLE) "
+            "FROM c WHERE treated = 0 AND post = 1) "
+            "- (SELECT CAST(s AS DOUBLE) / CAST(n AS DOUBLE) "
+            "FROM c WHERE treated = 0 AND post = 0)) AS did) "
+            "SELECT treated, post, n AS n_events, "
+            "CAST(FLOOR(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * 1e4 + 0.5) "
+            "AS BIGINT) AS mean_e6, "
+            "CAST(FLOOR(d.did * 1e4 + 0.5) AS BIGINT) AS did_e6 "
+            "FROM c CROSS JOIN d ORDER BY treated, post"
         ),
         "events_cuped_adjust": (
             # CUPED: per-user pre(X)/post(Y) totals; pooled theta =

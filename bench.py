@@ -257,6 +257,7 @@ QUERY_NAMES = [
     "dust_rules",
     "doc_ktruss",
     "events_matrix_profile",
+    "events_diff_in_diff",
 ]
 
 

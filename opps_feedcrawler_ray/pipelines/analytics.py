@@ -12015,3 +12015,65 @@ def events_matrix_profile(sf_dir: str, window: int = 24) -> pd.DataFrame:
         out.astype({c: "int64" for c in cols[1:]})
         .sort_values("event_type").reset_index(drop=True)
     )
+
+
+def events_diff_in_diff(sf_dir: str) -> pd.DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES (Card & Krueger 1994 canon) — the
+    pre/post × treated/control causal-effect estimator completing the
+    experiment-analysis family (CUPED=variance reduction, propensity
+    matching=selection, Shapley/Markov=attribution, DiD=natural
+    experiment): arm = user_id % 2 (1 treated), period split after
+    day 15 (the CUPED boundary), outcome = event value.  The estimate
+    is DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre).
+
+    Scale shape: per-batch (arm × period) integer combiners (value
+    frozen e2) → a 4-key groupby — nothing else moves; the closed form
+    is evaluated in doubles with the same expression tree the DuckDB
+    oracle uses ⇒ hash-exact.
+
+    Returns one row per cell: (treated, post, n_events, mean_e6,
+    did_e6) — did_e6 repeated on every row, ORDER BY treated, post."""
+    from .dedup import coarse_buckets  # noqa: F401  (family convention)
+
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "value"])
+    schema = pa.schema([("treated", pa.int64()), ("post", pa.int64()),
+                        ("s", pa.int64()), ("n", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = pd.DataFrame({
+            "treated": (df["user_id"].to_numpy() % 2).astype("int64"),
+            "post": (df["ts"].dt.day.to_numpy() > 15).astype("int64"),
+            "s": np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype("int64"),
+        })
+        agg = g.groupby(["treated", "post"], as_index=False).agg(
+            s=("s", "sum"), n=("s", "size")
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False, schema=schema)
+
+    cells = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby(["treated", "post"])
+        .sum(["s", "n"])
+        .to_pandas()
+        .rename(columns={"sum(s)": "s", "sum(n)": "n"})
+        .sort_values(["treated", "post"])
+        .reset_index(drop=True)
+    )
+    mean = {}
+    for _, r in cells.iterrows():
+        mean[(int(r["treated"]), int(r["post"]))] = (
+            float(r["s"]) / float(r["n"]) if r["n"] else 0.0
+        )
+    did = (mean.get((1, 1), 0.0) - mean.get((1, 0), 0.0)) - (
+        mean.get((0, 1), 0.0) - mean.get((0, 0), 0.0)
+    )
+    cells["mean_e6"] = [
+        int(np.floor(mean[(int(t), int(p))] * 1e4 + 0.5))
+        for t, p in zip(cells["treated"], cells["post"])
+    ]
+    cells["did_e6"] = int(np.floor(did * 1e4 + 0.5))
+    out = cells.rename(columns={"n": "n_events"})[
+        ["treated", "post", "n_events", "mean_e6", "did_e6"]
+    ]
+    return out.astype("int64")

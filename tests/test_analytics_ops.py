@@ -598,6 +598,31 @@ def test_events_matrix_profile_matches_pandas_replica(ray_session):
     assert (got["motif_dist_e6"] <= got["discord_dist_e6"]).all()
 
 
+def test_events_diff_in_diff_matches_duckdb_oracle(ray_session):
+    """Replay twin: the distributed DiD must hash-match its DuckDB
+    oracle (same integer cells, same double expression tree), and the
+    did_e6 column must equal the hand-computed estimate."""
+    import duckdb
+
+    import __ray_entry__ as E
+    from opps_feedcrawler_ray.pipelines.analytics import events_diff_in_diff
+
+    got = events_diff_in_diff(SF)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'"
+    )
+    exp = con.execute(E.oracle_sql()["events_diff_in_diff"]).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        exp.astype("int64").reset_index(drop=True),
+        check_dtype=False,
+    )
+    # shape sanity: 4 cells present, one did value repeated
+    assert len(got) == 4
+    assert got["did_e6"].nunique() == 1
+
+
 def test_quality_score_model_matches_pandas(ray_session):
     from opps_feedcrawler_ray.pipelines.analytics import quality_score_model
     from opps_feedcrawler_ray.stages.scoring import (
