@@ -513,6 +513,16 @@ def _q_host_trustrank(sf_dir: str):
     return host_trustrank(sf_dir, iters=5)
 
 
+def _q_doc_cdc_chunks(sf_dir: str):
+    """Content-defined-chunking dedup census (rsync/LBFS/FastCDC
+    family): windowed rolling-hash boundaries, recurring-chunk report
+    (rows-only: the cut rule has no SQL twin; per-byte replica +
+    census replica + edit-locality tests are pinned)."""
+    from opps_feedcrawler_ray.pipelines.dedup import doc_cdc_chunks
+
+    return doc_cdc_chunks(sf_dir)
+
+
 def _q_doc_ktruss(sf_dir: str):
     """3-truss of the doc link graph via distributed triangle
     enumeration + driver worklist peeling (rows-only: iterative
@@ -1000,6 +1010,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_trustrank": _q_host_trustrank,
         "dust_rules": _q_dust_rules,
         "doc_ktruss": _q_doc_ktruss,
+        "doc_cdc_chunks": _q_doc_cdc_chunks,
         "host_hits": _q_host_hits,
         "host_components": _q_host_components,
         "host_kcore": _q_host_kcore,

@@ -258,6 +258,7 @@ QUERY_NAMES = [
     "doc_ktruss",
     "events_matrix_profile",
     "events_diff_in_diff",
+    "doc_cdc_chunks",
 ]
 
 

@@ -1539,3 +1539,157 @@ def golden_records(sf_dir: str) -> pd.DataFrame:
         [["cluster_id", "n_members", "canonical_id", "survivor_id",
           "max_chars", "survivor_lang"]]
     )
+
+
+# --- content-defined chunking (CDC) dedup -------------------------------
+
+# deterministic 256-entry "gear" table: blake2b of each byte value,
+# little-endian uint64 (the engine's pinned hash family — no RNG)
+def _cdc_gear_table() -> np.ndarray:
+    from ..functions.hashing import fingerprint64
+
+    return np.array(
+        [fingerprint64(bytes([b])) for b in range(256)], dtype=np.uint64
+    )
+
+
+_CDC_P = np.uint64(0x9E3779B97F4A7C15)  # odd ⇒ invertible mod 2^64
+_CDC_W = 16  # rolling-hash window (bytes)
+
+
+def _cdc_powers(w: int = _CDC_W) -> np.ndarray:
+    out = np.empty(w, dtype=np.uint64)
+    acc = np.uint64(1)
+    for j in range(w):
+        out[j] = acc
+        acc = acc * _CDC_P  # uint64 wraparound is the modulus
+    return out
+
+
+def _cdc_cut_points(data: bytes, gear: np.ndarray, powers: np.ndarray,
+                    mask: int = 0x3F, min_len: int = 32,
+                    max_len: int = 512) -> list[int]:
+    """Chunk END offsets (exclusive) for one byte string under the
+    windowed polynomial rolling hash h_i = Σ_{j<W} gear[b_{i−j}]·P^j
+    (the rsync/LBFS low-bandwidth-file-system rule, Muthitacharoen,
+    Chen & Mazières, SOSP 2001): position i ends a chunk when
+    h_i & mask == 0, subject to min/max chunk length.  The hash is
+    WINDOWED (not gear-CDC's infinite state) precisely so the whole
+    hash array vectorizes as one sliding-window dot product; only the
+    sparse candidate positions (density 1/(mask+1)) see Python."""
+    n = len(data)
+    if n == 0:
+        return []
+    if n < _CDC_W:
+        return [n]
+    b = np.frombuffer(data, dtype=np.uint8)
+    t = gear[b]
+    # h[i] covers bytes (i .. i+W-1); cut AFTER byte i+W-1
+    with np.errstate(over="ignore"):
+        s = np.lib.stride_tricks.sliding_window_view(t, _CDC_W)
+        h = (s * powers[None, ::-1]).sum(axis=1, dtype=np.uint64)
+    cand = np.flatnonzero((h & np.uint64(mask)) == 0) + _CDC_W  # end offsets
+    cuts: list[int] = []
+    last = 0
+    for c in map(int, cand):
+        while c - last > max_len:  # forced max-size cuts catch up first
+            cuts.append(last + max_len)
+            last += max_len
+        if c - last >= min_len:
+            cuts.append(c)
+            last = c
+    while n - last > max_len:
+        cuts.append(last + max_len)
+        last += max_len
+    if last < n:
+        cuts.append(n)
+    return cuts
+
+
+def doc_cdc_chunks(sf_dir: str, mask: int = 0x3F, min_len: int = 32,
+                   max_len: int = 512, min_occ: int = 2) -> pd.DataFrame:
+    """CONTENT-DEFINED-CHUNKING dedup census over the documents table —
+    the storage-dedup classic (rsync rolling block match, Tridgell
+    1996; LBFS content-defined chunks, SOSP 2001; FastCDC, ATC 2016):
+    split every doc's UTF-8 bytes at content-defined boundaries (so a
+    one-word edit shifts ONE chunk, not every fixed-size block
+    downstream), fingerprint each chunk, and report every chunk that
+    recurs — across docs or within one — with its occurrence count,
+    distinct-doc count and byte length: the shared-bytes census a
+    chunk-store deduplicator would achieve.
+
+    Scale shape: chunking + fingerprinting are stateless vectorized
+    ``map_batches`` (the rolling hash is one sliding-window dot
+    product; Python touches only ~1/(mask+1) of positions); per-batch
+    (chunk_fp → n, docs-carrying-set) combiners reduce to ≤|chunks|
+    rows before ONE fp-bucket exchange; only recurring chunks reach
+    the driver.  Rows-only; a per-byte pure-Python replica twin pins
+    the cut rule and the census.
+
+    Returns (chunk_fp:int64 reinterpret, chunk_len, n_occ, n_docs),
+    n_occ ≥ min_occ, ORDER BY n_occ DESC, chunk_fp."""
+    from ..functions.hashing import fingerprint64
+
+    gear = _cdc_gear_table()
+    powers = _cdc_powers()
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    nb = coarse_buckets(docs.count(), rows_per_task=8192)
+    schema = pa.schema([("chunk_fp", pa.int64()), ("chunk_len", pa.int64()),
+                        ("n_occ", pa.int64()), ("n_docs", pa.int64()),
+                        ("__b", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        fps: list[int] = []
+        lens: list[int] = []
+        dids: list[int] = []
+        for did, text in zip(batch["doc_id"].to_pylist(),
+                             batch["text"].to_pylist()):
+            data = (text or "").encode("utf-8", "surrogatepass")
+            last = 0
+            for c in _cdc_cut_points(data, gear, powers, mask=mask,
+                                     min_len=min_len, max_len=max_len):
+                chunk = data[last:c]
+                fps.append(fingerprint64(chunk))
+                lens.append(len(chunk))
+                dids.append(did)
+                last = c
+        df = pd.DataFrame({
+            "chunk_fp": np.array(fps, dtype=np.uint64).view(np.int64),
+            "chunk_len": np.array(lens, dtype=np.int64),
+            "doc_id": np.array(dids, dtype=np.int64),
+        })
+        g = df.groupby("chunk_fp", as_index=False).agg(
+            chunk_len=("chunk_len", "first"),
+            n_occ=("doc_id", "size"),
+            n_docs=("doc_id", "nunique"),
+        )
+        g["__b"] = (g["chunk_fp"].to_numpy() % nb).astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False, schema=schema)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        # n_docs partials can overlap across batches only if a doc's
+        # chunks split across batches — they can't (chunking is
+        # per-doc, docs are whole rows), so n_docs sums exactly
+        out = g.groupby("chunk_fp", as_index=False).agg(
+            chunk_len=("chunk_len", "first"),
+            n_occ=("n_occ", "sum"),
+            n_docs=("n_docs", "sum"),
+        )
+        return out[out["n_occ"] >= min_occ]
+
+    out = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("__b").map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return pd.DataFrame({c: pd.Series(dtype="int64")
+                             for c in ["chunk_fp", "chunk_len", "n_occ", "n_docs"]})
+    return (
+        out[["chunk_fp", "chunk_len", "n_occ", "n_docs"]]
+        .astype("int64")
+        .sort_values(["n_occ", "chunk_fp"], ascending=[False, True])
+        .reset_index(drop=True)
+    )

@@ -533,3 +533,109 @@ def test_golden_records_matches_pandas_twin(ray_session):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     # at least one real (multi-member) cluster exists in the fixture
     assert (exp["n_members"] > 1).any()
+
+
+# --- content-defined chunking ---------------------------------------------
+
+
+def _cdc_cuts_pure_python(data: bytes, mask=0x3F, min_len=32, max_len=512):
+    """Per-byte replica of the windowed polynomial rolling-hash cut
+    rule: h_i recomputed from scratch at every position."""
+    from opps_feedcrawler_ray.functions.hashing import fingerprint64
+
+    W, P = 16, 0x9E3779B97F4A7C15
+    gear = [fingerprint64(bytes([b])) for b in range(256)]
+    n = len(data)
+    if n == 0:
+        return []
+    if n < W:
+        return [n]
+    cand = []
+    for i in range(n - W + 1):
+        h = 0
+        for j in range(W):
+            # window bytes data[i..i+W-1]; newest byte gets P^0
+            h = (h + gear[data[i + j]] * pow(P, W - 1 - j, 1 << 64)) % (1 << 64)
+        if h & mask == 0:
+            cand.append(i + W)
+    cuts, last = [], 0
+    for c in cand:
+        while c - last > max_len:
+            cuts.append(last + max_len)
+            last += max_len
+        if c - last >= min_len:
+            cuts.append(c)
+            last = c
+    while n - last > max_len:
+        cuts.append(last + max_len)
+        last += max_len
+    if last < n:
+        cuts.append(n)
+    return cuts
+
+
+def test_cdc_cut_points_match_pure_python_replica():
+    from opps_feedcrawler_ray.pipelines.dedup import (
+        _cdc_cut_points,
+        _cdc_gear_table,
+        _cdc_powers,
+    )
+
+    gear, powers = _cdc_gear_table(), _cdc_powers()
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"]).head(25)
+    rng_texts = list(docs["text"]) + ["", "x", "a" * 15, "b" * 16, "c" * 2000]
+    for t in rng_texts:
+        data = (t or "").encode("utf-8", "surrogatepass")
+        got = _cdc_cut_points(data, gear, powers)
+        exp = _cdc_cuts_pure_python(data)
+        assert got == exp, (t[:40], got[:5], exp[:5])
+        # invariants: cuts strictly increasing, last == len, max respected
+        if data:
+            assert got[-1] == len(data)
+            assert all(b - a <= 512 for a, b in zip([0] + got, got))
+
+
+def test_doc_cdc_chunks_matches_pandas_census(ray_session):
+    """Distributed census equals a driver-side replica over the same
+    cut rule, and a one-word edit only perturbs O(1) chunks."""
+    from opps_feedcrawler_ray.functions.hashing import fingerprint64
+    from opps_feedcrawler_ray.pipelines.dedup import (
+        _cdc_cut_points,
+        _cdc_gear_table,
+        _cdc_powers,
+        doc_cdc_chunks,
+    )
+
+    got = doc_cdc_chunks(SF)
+    gear, powers = _cdc_gear_table(), _cdc_powers()
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    rows = []
+    for did, t in zip(docs["doc_id"], docs["text"]):
+        data = (t or "").encode("utf-8", "surrogatepass")
+        last = 0
+        for c in _cdc_cut_points(data, gear, powers):
+            ck = data[last:c]
+            rows.append((np.uint64(fingerprint64(ck)).astype(np.int64),
+                         len(ck), int(did)))
+            last = c
+    df = pd.DataFrame(rows, columns=["chunk_fp", "chunk_len", "doc_id"])
+    exp = df.groupby("chunk_fp", as_index=False).agg(
+        chunk_len=("chunk_len", "first"),
+        n_occ=("doc_id", "size"),
+        n_docs=("doc_id", "nunique"),
+    )
+    exp = exp[exp["n_occ"] >= 2].astype("int64").sort_values(
+        ["n_occ", "chunk_fp"], ascending=[False, True]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    # locality: editing one word in the middle leaves most cuts intact
+    base = (docs["text"].iloc[0] or "").encode()
+    mid = len(base) // 2
+    edited = base[:mid] + b"EDITED" + base[mid:]
+    c1 = _cdc_cut_points(base, gear, powers)
+    c2 = _cdc_cut_points(edited, gear, powers)
+    # suffix cuts re-align (shifted by the 6 inserted bytes)
+    tail1 = [c for c in c1 if c > mid + 32]
+    tail2 = [c - 6 for c in c2 if c - 6 > mid + 32]
+    assert set(tail1) & set(tail2), "no boundary re-alignment after edit"
