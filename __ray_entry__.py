@@ -924,6 +924,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dgim_window": A.events_dgim_window,
         "events_matrix_profile": A.events_matrix_profile,
         "events_diff_in_diff": A.events_diff_in_diff,
+        "events_ams_f2": A.events_ams_f2,
         "purchase_shapley_attribution": A.purchase_shapley_attribution,
         "referential_integrity_audit": A.referential_integrity_audit,
         "orders_benford": A.orders_benford,

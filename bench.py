@@ -259,6 +259,7 @@ QUERY_NAMES = [
     "events_matrix_profile",
     "events_diff_in_diff",
     "doc_cdc_chunks",
+    "events_ams_f2",
 ]
 
 

@@ -12077,3 +12077,101 @@ def events_diff_in_diff(sf_dir: str) -> pd.DataFrame:
         ["treated", "post", "n_events", "mean_e6", "did_e6"]
     ]
     return out.astype("int64")
+
+
+def events_ams_f2(sf_dir: str, groups: int = 6, per_group: int = 16) -> pd.DataFrame:
+    """AMS "TUG-OF-WAR" SECOND-MOMENT SKETCH (Alon, Matias & Szegedy,
+    STOC 1996) — the MOMENTS member completing the sketch family
+    (HLL=cardinality, CMS=frequency, KLL=quantiles, DGIM=window,
+    AMS=F2): per event_type, estimate F2 = Σ_u f_u² of the user
+    frequency vector with k = groups·per_group sign counters
+    X_i = Σ_u f_u·s_i(u), s_i(u) ∈ {±1} from the pinned fingerprint
+    family (no RNG) — estimate = median over groups of the mean of X_i²
+    (the paper's median-of-means).  The EXACT F2 rides along (one
+    user-bounded exchange, the certified-bracket pattern the CMS
+    join-size estimator uses) so the report carries its own error.
+
+    Scale shape: the sketch pass is per-batch combiners emitting
+    |types|·k partial rows (the X_i are linear, so partials sum) → one
+    tiny groupby; the exact pass is one (event_type × user)-bounded
+    exchange.  Both are census-bounded — event rows never move.
+    Rows-only; a sequential replica + guarantee twin is pinned.
+
+    Returns (event_type, f2_exact, f2_est, rel_err_e6)."""
+    from ..functions.hashing import fingerprint64_batch
+    from .dedup import coarse_buckets
+
+    k = groups * per_group
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "user_id"])
+    nb = coarse_buckets(ev.count(), rows_per_task=65536)
+
+    sk_schema = pa.schema([("event_type", pa.string()), ("i", pa.int64()),
+                           ("x", pa.int64())])
+
+    def _signs(users: np.ndarray) -> np.ndarray:
+        """(|users| × k) ±1 matrix from the pinned fingerprints."""
+        out = np.empty((len(users), k), dtype=np.int64)
+        for i in range(k):
+            fp = fingerprint64_batch([f"{i}:{u}" for u in users])
+            out[:, i] = (fp & np.uint64(1)).astype(np.int64) * 2 - 1
+        return out
+
+    def sk_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        rows = []
+        for et, g in df.groupby("event_type"):
+            users, counts = np.unique(g["user_id"].to_numpy(dtype=np.int64),
+                                      return_counts=True)
+            x = counts.astype(np.int64) @ _signs(users)  # (k,)
+            rows.append(pd.DataFrame(
+                {"event_type": et, "i": np.arange(k, dtype=np.int64), "x": x}
+            ))
+        out = (pd.concat(rows, ignore_index=True) if rows
+               else pd.DataFrame({"event_type": [], "i": [], "x": []}))
+        return pa.Table.from_pandas(out, preserve_index=False, schema=sk_schema)
+
+    sk = (
+        ev.map_batches(sk_partial, batch_format="pyarrow")
+        .groupby(["event_type", "i"]).sum("x")
+        .to_pandas().rename(columns={"sum(x)": "x"})
+    )
+
+    ex_schema = pa.schema([("event_type", pa.string()), ("user_id", pa.int64()),
+                           ("n", pa.int64()), ("__b", pa.int64())])
+
+    def ex_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(["event_type", "user_id"], as_index=False).size()
+        g = g.rename(columns={"size": "n"})
+        g["__b"] = (g["user_id"].to_numpy() % nb).astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False, schema=ex_schema)
+
+    def ex_merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["event_type", "user_id"], as_index=False)["n"].sum()
+        m["f2"] = m["n"].to_numpy(dtype=np.int64) ** 2
+        return m.groupby("event_type", as_index=False)["f2"].sum()
+
+    exact = (
+        ev.map_batches(ex_partial, batch_format="pyarrow")
+        .groupby("__b").map_groups(ex_merge, batch_format="pandas")
+        .to_pandas()
+        .groupby("event_type", as_index=False)["f2"].sum()
+    )
+
+    rows = []
+    for et, g in sk.groupby("event_type"):
+        x = g.sort_values("i")["x"].to_numpy(dtype=np.int64)
+        x2 = x * x
+        means = [int(x2[j * per_group:(j + 1) * per_group].sum()) // per_group
+                 for j in range(groups)]
+        est = int(np.median(np.array(means, dtype=np.int64)))
+        f2 = int(exact.loc[exact["event_type"] == et, "f2"].iloc[0])
+        rel = abs(est - f2) / f2 if f2 else 0.0
+        rows.append((et, f2, est, int(np.floor(rel * 1e6 + 0.5))))
+    out = pd.DataFrame(rows, columns=["event_type", "f2_exact", "f2_est",
+                                      "rel_err_e6"])
+    return (
+        out.astype({"f2_exact": "int64", "f2_est": "int64",
+                    "rel_err_e6": "int64"})
+        .sort_values("event_type").reset_index(drop=True)
+    )

@@ -623,6 +623,43 @@ def test_events_diff_in_diff_matches_duckdb_oracle(ray_session):
     assert got["did_e6"].nunique() == 1
 
 
+def test_events_ams_f2_matches_sequential_replica(ray_session):
+    """The distributed tug-of-war sketch must equal a sequential
+    replica (signs from the same pinned fingerprints, same
+    median-of-means), and the exact column must equal pandas F2."""
+    from opps_feedcrawler_ray.functions.hashing import fingerprint64_batch
+    from opps_feedcrawler_ray.pipelines.analytics import events_ams_f2
+
+    groups, per_group = 6, 16
+    k = groups * per_group
+    got = events_ams_f2(SF, groups=groups, per_group=per_group)
+
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "user_id"])
+    rows = []
+    for et, g in ev.groupby("event_type"):
+        users, counts = np.unique(g["user_id"].to_numpy(dtype=np.int64),
+                                  return_counts=True)
+        f2 = int((counts.astype(np.int64) ** 2).sum())
+        signs = np.empty((len(users), k), dtype=np.int64)
+        for i in range(k):
+            fp = fingerprint64_batch([f"{i}:{u}" for u in users])
+            signs[:, i] = (fp & np.uint64(1)).astype(np.int64) * 2 - 1
+        x = counts.astype(np.int64) @ signs
+        x2 = x * x
+        means = [int(x2[j * per_group:(j + 1) * per_group].sum()) // per_group
+                 for j in range(groups)]
+        est = int(np.median(np.array(means, dtype=np.int64)))
+        rel = abs(est - f2) / f2 if f2 else 0.0
+        rows.append((et, f2, est, int(np.floor(rel * 1e6 + 0.5))))
+    exp = pd.DataFrame(
+        rows, columns=["event_type", "f2_exact", "f2_est", "rel_err_e6"]
+    ).sort_values("event_type").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # the sketch is unbiased with bounded variance; at k=96 a 50%+
+    # relative error would indicate broken sign hashing
+    assert (got["rel_err_e6"] < 500_000).all()
+
+
 def test_quality_score_model_matches_pandas(ray_session):
     from opps_feedcrawler_ray.pipelines.analytics import quality_score_model
     from opps_feedcrawler_ray.stages.scoring import (
