@@ -260,6 +260,7 @@ QUERY_NAMES = [
     "events_diff_in_diff",
     "doc_cdc_chunks",
     "events_ams_f2",
+    "events_isolation_forest",
 ]
 
 

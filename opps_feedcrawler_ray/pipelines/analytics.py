@@ -12175,3 +12175,175 @@ def events_ams_f2(sf_dir: str, groups: int = 6, per_group: int = 16) -> pd.DataF
                     "rel_err_e6": "int64"})
         .sort_values("event_type").reset_index(drop=True)
     )
+
+
+def _iforest_c(n: int) -> float:
+    """Average unsuccessful-search path length in a BST of n nodes —
+    the isolation-forest normalizer c(n) (Liu, Ting & Zhou 2008)."""
+    if n <= 1:
+        return 0.0
+    h = float(np.log(n - 1)) + 0.5772156649015329
+    return 2.0 * h - 2.0 * (n - 1) / n
+
+
+def _iforest_build(sample: np.ndarray, tree_id: int, psi: int):
+    """One deterministic iTree over ``sample`` (rows × features):
+    feature choice and split point derive from the pinned fingerprint
+    of (tree_id, node_id) — no RNG, so any executor builds the
+    identical forest.  Returns flat arrays (feature, thresh, left,
+    right, size); leaves have feature = −1."""
+    from ..functions.hashing import fingerprint64
+
+    max_depth = int(np.ceil(np.log2(max(psi, 2))))
+    feat, thr, left, right, size = [], [], [], [], []
+
+    def new_node():
+        feat.append(-1)
+        thr.append(0.0)
+        left.append(-1)
+        right.append(-1)
+        size.append(0)
+        return len(feat) - 1
+
+    def build(rows: np.ndarray, depth: int) -> int:
+        nid = new_node()
+        size[nid] = len(rows)
+        if len(rows) <= 1 or depth >= max_depth:
+            return nid
+        nf = sample.shape[1]
+        f0 = fingerprint64(f"if:{tree_id}:{nid}:f") % nf
+        chosen = -1
+        for d in range(nf):  # deterministic cycle past constant features
+            f = (f0 + d) % nf
+            lo = float(sample[rows, f].min())
+            hi = float(sample[rows, f].max())
+            if hi > lo:
+                chosen = f
+                break
+        if chosen < 0:
+            return nid  # all-constant cell → leaf
+        u = fingerprint64(f"if:{tree_id}:{nid}:s") / float(1 << 64)
+        cut = lo + u * (hi - lo)
+        go_l = sample[rows, chosen] < cut
+        if not go_l.any() or go_l.all():  # cut == a boundary value
+            go_l = sample[rows, chosen] <= lo
+            cut = lo
+            if go_l.all():
+                return nid
+        feat[nid] = chosen
+        thr[nid] = cut
+        left[nid] = build(rows[go_l], depth + 1)
+        right[nid] = build(rows[~go_l], depth + 1)
+        return nid
+
+    build(np.arange(len(sample)), 0)
+    return (np.array(feat, dtype=np.int64), np.array(thr, dtype=np.float64),
+            np.array(left, dtype=np.int64), np.array(right, dtype=np.int64),
+            np.array(size, dtype=np.int64))
+
+
+def _iforest_paths(forest, X: np.ndarray) -> np.ndarray:
+    """Mean path length of every row of X over the forest — vectorized
+    level-synchronous traversal (one comparison per live point per
+    level, ≤ log2(psi) levels per tree)."""
+    total = np.zeros(len(X), dtype=np.float64)
+    for feat, thr, left, right, size in forest:
+        node = np.zeros(len(X), dtype=np.int64)
+        depth = np.zeros(len(X), dtype=np.float64)
+        while True:
+            f = feat[node]
+            live = f >= 0
+            if not live.any():
+                break
+            idx = np.flatnonzero(live)
+            fn = f[idx]
+            go_l = X[idx, fn] < thr[node[idx]]
+            node[idx] = np.where(go_l, left[node[idx]], right[node[idx]])
+            depth[idx] += 1.0
+        leaf_sz = size[node]
+        adj = np.array([_iforest_c(int(s)) for s in leaf_sz])
+        total += depth + adj
+    return total / len(forest)
+
+
+def events_isolation_forest(sf_dir: str, trees: int = 64, psi: int = 256,
+                            topk: int = 20) -> pd.DataFrame:
+    """ISOLATION FOREST anomaly scoring (Liu, Ting & Zhou, ICDM 2008)
+    over per-event features (value, hour-of-day, day-of-week) — the
+    ensemble member of the outlier family (HBOS=histogram, LOF=density,
+    iForest=isolation): anomalies isolate in few random splits, so
+    score = 2^(−E[path]/c(psi)).
+
+    Determinism without RNG: the per-tree samples are the globally
+    smallest trees·psi rows by pinned fingerprint of event_id (tree t
+    takes rank slice [t·psi, (t+1)·psi)), and every split's feature and
+    cut point derive from fingerprint(tree, node) — any cluster layout
+    builds the identical forest.
+
+    Scale shape: sampling is per-batch partial top-(trees·psi) merges
+    (the IVF trainer's bounded-sample pattern); the forest (≤ trees·2psi
+    flat nodes) broadcasts via ``ray.put`` into ONE streaming scoring
+    pass emitting per-batch top-k candidates — events never move.
+    Rows-only; a sequential-scorer twin + planted-outlier test pinned.
+
+    Returns the topk most anomalous (event_id, score_e6), score DESC,
+    event_id ASC on ties."""
+    import ray
+
+    from ..functions.hashing import fingerprint64_batch
+
+    need = trees * psi
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "ts", "value"])
+
+    def _features(df: pd.DataFrame) -> np.ndarray:
+        return np.column_stack([
+            df["value"].to_numpy(dtype=np.float64),
+            df["ts"].dt.hour.to_numpy().astype(np.float64),
+            df["ts"].dt.dayofweek.to_numpy().astype(np.float64),
+        ])
+
+    def sample_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        h = fingerprint64_batch([str(e) for e in df["event_id"]])
+        X = _features(df)
+        keep = np.argsort(h)[:need]
+        return pa.table({
+            "h": pa.array(h[keep].view(np.int64)),
+            "f0": pa.array(X[keep, 0]), "f1": pa.array(X[keep, 1]),
+            "f2": pa.array(X[keep, 2]),
+        })
+
+    samp = (
+        ev.map_batches(sample_partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    samp["hu"] = samp["h"].to_numpy().view(np.uint64)
+    samp = samp.sort_values("hu").head(need)
+    S = samp[["f0", "f1", "f2"]].to_numpy(dtype=np.float64)
+    n_trees = max(1, len(S) // psi)
+    forest = [_iforest_build(S[t * psi:(t + 1) * psi], t, psi)
+              for t in range(n_trees)]
+    cp = _iforest_c(psi)
+    forest_ref = ray.put(forest)
+
+    def score_partial(batch: pa.Table) -> pa.Table:
+        fo = ray.get(forest_ref)
+        df = batch.to_pandas()
+        path = _iforest_paths(fo, _features(df))
+        score = np.power(2.0, -path / cp)
+        k = min(topk, len(df))
+        top = np.argsort(-score, kind="stable")[:k]
+        return pa.table({
+            "event_id": pa.array(df["event_id"].to_numpy()[top], pa.int64()),
+            "score_e6": pa.array(
+                np.floor(score[top] * 1e6 + 0.5).astype(np.int64)
+            ),
+        })
+
+    cand = ev.map_batches(score_partial, batch_format="pyarrow").to_pandas()
+    out = (
+        cand.sort_values(["score_e6", "event_id"], ascending=[False, True])
+        .head(topk).reset_index(drop=True)
+        .astype({"event_id": "int64", "score_e6": "int64"})
+    )
+    return out

@@ -660,6 +660,74 @@ def test_events_ams_f2_matches_sequential_replica(ray_session):
     assert (got["rel_err_e6"] < 500_000).all()
 
 
+def test_iforest_vectorized_paths_match_recursive_scorer():
+    """The level-synchronous traversal equals a per-point recursive
+    walk, and a planted extreme point isolates faster (higher score)
+    than the cluster median."""
+    from opps_feedcrawler_ray.pipelines.analytics import (
+        _iforest_build,
+        _iforest_c,
+        _iforest_paths,
+    )
+
+    rng = np.random.default_rng(3)
+    S = np.column_stack([rng.normal(0, 1, 256), rng.normal(5, 2, 256),
+                         rng.integers(0, 7, 256).astype(float)])
+    forest = [_iforest_build(S, t, 256) for t in range(8)]
+    X = np.vstack([S[:40], np.array([[50.0, -40.0, 3.0]])])
+    got = _iforest_paths(forest, X)
+
+    def walk(tree, x):
+        feat, thr, left, right, size = tree
+        nid, d = 0, 0
+        while feat[nid] >= 0:
+            nid = left[nid] if x[feat[nid]] < thr[nid] else right[nid]
+            d += 1
+        return d + _iforest_c(int(size[nid]))
+
+    exp = np.array([
+        sum(walk(t, x) for t in forest) / len(forest) for x in X
+    ])
+    np.testing.assert_allclose(got, exp, rtol=1e-12)
+    scores = 2.0 ** (-got / _iforest_c(256))
+    assert scores[-1] > np.median(scores[:-1]) + 0.1, "outlier not isolated"
+
+
+def test_events_isolation_forest_matches_sequential_replica(ray_session):
+    from opps_feedcrawler_ray.functions.hashing import fingerprint64_batch
+    from opps_feedcrawler_ray.pipelines.analytics import (
+        _iforest_build,
+        _iforest_c,
+        _iforest_paths,
+        events_isolation_forest,
+    )
+
+    trees, psi, topk = 16, 64, 10
+    got = events_isolation_forest(SF, trees=trees, psi=psi, topk=topk)
+
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_id", "ts", "value"])
+    X = np.column_stack([
+        ev["value"].to_numpy(dtype=np.float64),
+        ev["ts"].dt.hour.to_numpy().astype(np.float64),
+        ev["ts"].dt.dayofweek.to_numpy().astype(np.float64),
+    ])
+    h = fingerprint64_batch([str(e) for e in ev["event_id"]])
+    order = np.argsort(h)[:trees * psi]
+    S = X[order]
+    n_trees = max(1, len(S) // psi)
+    forest = [_iforest_build(S[t * psi:(t + 1) * psi], t, psi)
+              for t in range(n_trees)]
+    score = 2.0 ** (-_iforest_paths(forest, X) / _iforest_c(psi))
+    df = pd.DataFrame({
+        "event_id": ev["event_id"].to_numpy(dtype=np.int64),
+        "score_e6": np.floor(score * 1e6 + 0.5).astype(np.int64),
+    })
+    exp = df.sort_values(["score_e6", "event_id"], ascending=[False, True]).head(
+        topk
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
 def test_quality_score_model_matches_pandas(ray_session):
     from opps_feedcrawler_ray.pipelines.analytics import quality_score_model
     from opps_feedcrawler_ray.stages.scoring import (
