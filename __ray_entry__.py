@@ -533,6 +533,15 @@ def _q_doc_ktruss(sf_dir: str):
     return doc_ktruss(sf_dir, k=3)
 
 
+def _q_doc_maximal_matching(sf_dir: str):
+    """Maximal matching (Israeli–Itai locally-minimal-edge rounds),
+    the coarsening primitive (rows-only: iterative fixpoint; the
+    sequential-greedy-equality + maximality twin is pinned in tests)."""
+    from opps_feedcrawler_ray.pipelines.webpipe import doc_maximal_matching
+
+    return doc_maximal_matching(sf_dir)
+
+
 def _q_dust_rules(sf_dir: str):
     """DUST rule mining (Bar-Yossef et al. WWW 2007): URL substitution
     rules from content-identical URL-pair groups (rows-only: the alias
@@ -1013,6 +1022,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dust_rules": _q_dust_rules,
         "doc_ktruss": _q_doc_ktruss,
         "doc_cdc_chunks": _q_doc_cdc_chunks,
+        "doc_maximal_matching": _q_doc_maximal_matching,
         "host_hits": _q_host_hits,
         "host_components": _q_host_components,
         "host_kcore": _q_host_kcore,

@@ -261,6 +261,7 @@ QUERY_NAMES = [
     "doc_cdc_chunks",
     "events_ams_f2",
     "events_isolation_forest",
+    "doc_maximal_matching",
 ]
 
 

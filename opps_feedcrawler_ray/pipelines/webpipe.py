@@ -2312,3 +2312,117 @@ def doc_ktruss(sf_dir: str, k: int = 3, work_dir: str | None = None) -> "pd.Data
          "support": support[keep]}
     ).astype({"src_doc": "int64", "dst_doc": "int64", "support": "int64"})
     return out.sort_values(["src_doc", "dst_doc"]).reset_index(drop=True)
+
+
+def doc_maximal_matching(sf_dir: str, work_dir: str | None = None) -> "pd.DataFrame":
+    """MAXIMAL MATCHING over the undirected doc link graph — the EDGE
+    twin of Luby's MIS (``doc_luby_mis``) and the standard coarsening
+    primitive of multilevel graph partitioners (Karypis & Kumar's
+    METIS family): a set of vertex-disjoint edges no live edge can
+    extend.  Symmetry breaking is the locally-minimal-edge rule
+    (Israeli & Itai 1986): per round, an edge joins the matching iff
+    its pinned 64-bit fingerprint is the MINIMUM among all live edges
+    at BOTH endpoints; both endpoints then retire.  That fixpoint
+    equals the sequential greedy matching that scans edges in global
+    fingerprint order — the twin test replays exactly that.
+
+    Scale shape per round: one ``map_batches`` over the pinned edge
+    dataset emits per-batch (node → min edge-fp) partials → one
+    node-bounded groupby-min (the fits-a-heap label-table assumption
+    host_pagerank documents); winners are detected edge-locally against
+    the broadcast min table and only WINNING edges reach the driver
+    (cumulatively ≤ |V|/2).  O(log |E|) rounds expected.
+
+    Returns matched (src_doc, dst_doc, edge_rank) rows, edge_rank =
+    the round the edge entered the matching, sorted by (src_doc,
+    dst_doc)."""
+    import pandas as pd
+    import ray
+
+    from ..functions.hashing import fingerprint64_batch
+
+    edges, n_docs, nb = _doc_link_edges(sf_dir, work_dir)
+
+    def with_fp(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        fp = fingerprint64_batch([f"{x}:{y}" for x, y in zip(a, b)])
+        return pa.table({
+            "a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64()),
+            "fp": pa.array(fp.view(np.int64)),
+        })
+
+    cur = edges.map_batches(with_fp, batch_format="pyarrow").materialize()
+    matched_nodes = np.array([], dtype=np.int64)
+    out_rows: list[tuple[int, int, int]] = []
+    rnd = 0
+    min_schema = pa.schema([("node", pa.int64()), ("m", pa.int64())])
+
+    while cur.count() > 0:
+        mref = ray.put(np.sort(matched_nodes))
+
+        def live_only(batch: pa.Table, _m=mref) -> pa.Table:
+            dead = ray.get(_m)
+            a = batch["a"].to_numpy(zero_copy_only=False)
+            b = batch["b"].to_numpy(zero_copy_only=False)
+            keep = ~(np.isin(a, dead) | np.isin(b, dead))
+            return batch.filter(pa.array(keep))
+
+        live = cur.map_batches(live_only, batch_format="pyarrow").materialize()
+        if live.count() == 0:
+            break
+
+        def node_min_partial(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            # compare fingerprints as UNSIGNED — reinterpret to uint64,
+            # min, back; pandas min on the int64 view would misorder
+            fpu = df["fp"].to_numpy().view(np.uint64)
+            long = pd.DataFrame({
+                "node": np.concatenate([df["a"].to_numpy(), df["b"].to_numpy()]),
+                "m": np.concatenate([fpu, fpu]).view(np.int64),
+            })
+            long["mu"] = long["m"].to_numpy().view(np.uint64)
+            g = long.loc[long.groupby("node")["mu"].idxmin(), ["node", "m"]]
+            return pa.Table.from_pandas(g, preserve_index=False, schema=min_schema)
+
+        parts = (
+            live.map_batches(node_min_partial, batch_format="pyarrow")
+            .to_pandas()
+        )
+        parts["mu"] = parts["m"].to_numpy().view(np.uint64)
+        node_min = parts.loc[parts.groupby("node")["mu"].idxmin()]
+        nodes_sorted = node_min["node"].to_numpy(dtype=np.int64)
+        order = np.argsort(nodes_sorted)
+        nm_ref = ray.put((nodes_sorted[order],
+                          node_min["mu"].to_numpy()[order]))
+
+        def winners(batch: pa.Table, _r=nm_ref) -> pa.Table:
+            nodes, mins = ray.get(_r)
+            a = batch["a"].to_numpy(zero_copy_only=False)
+            b = batch["b"].to_numpy(zero_copy_only=False)
+            fpu = batch["fp"].to_numpy(zero_copy_only=False).view(np.uint64)
+            win = (mins[np.searchsorted(nodes, a)] == fpu) & (
+                mins[np.searchsorted(nodes, b)] == fpu
+            )
+            return batch.filter(pa.array(win))
+
+        won = live.map_batches(winners, batch_format="pyarrow").to_pandas()
+        if len(won) == 0:
+            break  # cannot happen: every round has a global min edge
+        for a, b in zip(won["a"], won["b"]):
+            out_rows.append((int(a), int(b), rnd))
+        matched_nodes = np.concatenate(
+            [matched_nodes, won["a"].to_numpy(dtype=np.int64),
+             won["b"].to_numpy(dtype=np.int64)]
+        )
+        cur = live
+        rnd += 1
+
+    out = pd.DataFrame(out_rows, columns=["src_doc", "dst_doc", "edge_rank"])
+    if len(out) == 0:
+        return pd.DataFrame({c: pd.Series(dtype="int64")
+                             for c in ["src_doc", "dst_doc", "edge_rank"]})
+    return (
+        out.astype("int64").sort_values(["src_doc", "dst_doc"])
+        .reset_index(drop=True)
+    )

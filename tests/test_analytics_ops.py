@@ -728,6 +728,36 @@ def test_events_isolation_forest_matches_sequential_replica(ray_session):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
 
+def test_doc_maximal_matching_equals_sequential_greedy(ray_session):
+    """The locally-minimal-edge fixpoint must produce EXACTLY the
+    matching of the sequential greedy scan in global fingerprint order,
+    be vertex-disjoint, and be maximal."""
+    from opps_feedcrawler_ray.functions.hashing import fingerprint64
+    from opps_feedcrawler_ray.pipelines.webpipe import (
+        _doc_link_edges,
+        doc_maximal_matching,
+    )
+
+    got = doc_maximal_matching(SF)
+    edges = _doc_link_edges(SF)[0].to_pandas()[["a", "b"]]
+    ranked = sorted(
+        (fingerprint64(f"{a}:{b}"), int(a), int(b))
+        for a, b in zip(edges["a"], edges["b"])
+    )
+    used: set = set()
+    exp = set()
+    for _, a, b in ranked:
+        if a not in used and b not in used:
+            exp.add((a, b))
+            used.update((a, b))
+    assert set(zip(got["src_doc"], got["dst_doc"])) == exp
+    # vertex-disjoint
+    nodes = list(got["src_doc"]) + list(got["dst_doc"])
+    assert len(nodes) == len(set(nodes))
+    # maximal: every edge touches a matched vertex
+    assert all(a in used or b in used for a, b in zip(edges["a"], edges["b"]))
+
+
 def test_quality_score_model_matches_pandas(ray_session):
     from opps_feedcrawler_ray.pipelines.analytics import quality_score_model
     from opps_feedcrawler_ray.stages.scoring import (
