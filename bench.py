@@ -262,6 +262,7 @@ QUERY_NAMES = [
     "events_ams_f2",
     "events_isolation_forest",
     "doc_maximal_matching",
+    "purchase_cox_ph",
 ]
 
 

@@ -12347,3 +12347,121 @@ def events_isolation_forest(sf_dir: str, trees: int = 64, psi: int = 256,
         .astype({"event_id": "int64", "score_e6": "int64"})
     )
     return out
+
+
+def purchase_cox_ph(sf_dir: str, iters: int = 8) -> pd.DataFrame:
+    """COX PROPORTIONAL-HAZARDS regression (Cox, JRSS-B 1972; Breslow
+    tie handling) for time-to-first-purchase — the REGRESSION member of
+    the survival family (``purchase_survival_km`` is the nonparametric
+    curve): covariates x1 = user_id % 2 (the experiment arm the DiD /
+    CUPED ops use) and x2 = log1p(#view events), duration in whole days
+    from the user's first event to first purchase, never-purchasers
+    right-censored at the corpus max timestamp (the KM convention).
+
+    Fit: Newton–Raphson on the Breslow partial log-likelihood, a fixed
+    ``iters`` iterations from β = 0.  Risk-set sums S0 = Σ e^{xβ},
+    S1 = Σ x·e^{xβ}, S2 = Σ xxᵀ·e^{xβ} come from reverse cumsums over
+    users sorted by (duration DESC, user_id ASC) with tie groups read
+    at their last index — fixed order ⇒ bitwise-deterministic floats.
+
+    Scale shape: ONE user-bucket exchange reduces events to per-user
+    (t_first, t_first_purchase, n_view) via per-batch MIN/MIN/SUM
+    combiners; Newton walks the ≤|users| table on the driver (the
+    bounded-census contract the CUPED / logreg ops document).
+    Rows-only; a per-event-time risk-set-loop twin (gradient ≈ 0 at
+    the fit, loglik equality) is pinned in tests.
+
+    Returns one row per coefficient: (feature, beta_e6, se_e6,
+    loglik_e6 repeated)."""
+    from .dedup import coarse_buckets
+
+    ev = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "ts", "event_type"])
+    nb = coarse_buckets(ev.count(), rows_per_task=65536)
+    BIG = np.int64(2**62)
+    schema = pa.schema([("user_id", pa.int64()), ("t0", pa.int64()),
+                        ("tp", pa.int64()), ("tmax", pa.int64()),
+                        ("nv", pa.int64()), ("__b", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        t = df["ts"].astype("int64")
+        is_p = (df["event_type"] == "purchase").to_numpy()
+        is_v = (df["event_type"] == "view").to_numpy()
+        g = pd.DataFrame({
+            "user_id": df["user_id"], "t0": t,
+            "tp": np.where(is_p, t, BIG), "tmax": t,
+            "nv": is_v.astype("int64"),
+        }).groupby("user_id", as_index=False).agg(
+            t0=("t0", "min"), tp=("tp", "min"), tmax=("tmax", "max"),
+            nv=("nv", "sum"),
+        )
+        g["__b"] = (g["user_id"].to_numpy() % nb).astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False, schema=schema)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("user_id", as_index=False).agg(
+            t0=("t0", "min"), tp=("tp", "min"), tmax=("tmax", "max"),
+            nv=("nv", "sum"),
+        )
+
+    users = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("__b").map_groups(merge, batch_format="pandas")
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    )
+    gmax = int(users["tmax"].max())
+    event = (users["tp"].to_numpy(dtype=np.int64) < BIG)
+    end = np.where(event, users["tp"].to_numpy(dtype=np.int64), gmax)
+    dur = (end - users["t0"].to_numpy(dtype=np.int64)) // 86_400_000_000
+    X = np.column_stack([
+        (users["user_id"].to_numpy() % 2).astype(np.float64),
+        np.log1p(users["nv"].to_numpy(dtype=np.float64)),
+    ])
+    beta, loglik, _g, H = _cox_newton(dur, event, X, users["user_id"].to_numpy(),
+                                      iters=iters)
+    se = np.sqrt(np.diag(np.linalg.inv(-H)))
+    rows = [(f, int(np.floor(b * 1e6 + 0.5)), int(np.floor(s * 1e6 + 0.5)),
+             int(np.floor(loglik * 1e6 + 0.5)))
+            for f, b, s in zip(["arm", "log1p_views"], beta, se)]
+    return pd.DataFrame(
+        rows, columns=["feature", "beta_e6", "se_e6", "loglik_e6"]
+    ).astype({"beta_e6": "int64", "se_e6": "int64", "loglik_e6": "int64"})
+
+
+def _cox_newton(dur: np.ndarray, event: np.ndarray, X: np.ndarray,
+                uid: np.ndarray, iters: int = 8):
+    """Newton–Raphson on the Breslow partial log-likelihood.  Sorted
+    (duration DESC, uid ASC); reverse-scan cumsums give the risk-set
+    sums; tie groups read at their LAST index.  Returns (β, loglik,
+    gradient, Hessian) at the final iterate."""
+    order = np.lexsort((uid, -dur))
+    d = dur[order]
+    e = event[order]
+    x = X[order]
+    n, p = x.shape
+    # index of the last row of each row's duration-tie group
+    grp_end = np.searchsorted(-d, -d, side="right") - 1
+    ev_idx = np.flatnonzero(e)
+    beta = np.zeros(p)
+    for _ in range(iters):
+        w = np.exp(x @ beta)                      # (n,)
+        s0 = np.cumsum(w)[grp_end[ev_idx]]
+        s1 = np.cumsum(x * w[:, None], axis=0)[grp_end[ev_idx]]
+        xx = x[:, :, None] * x[:, None, :] * w[:, None, None]
+        s2 = np.cumsum(xx, axis=0)[grp_end[ev_idx]]
+        mu = s1 / s0[:, None]
+        grad = (x[ev_idx] - mu).sum(axis=0)
+        H = -(s2 / s0[:, None, None]
+              - mu[:, :, None] * mu[:, None, :]).sum(axis=0)
+        beta = beta - np.linalg.solve(H, grad)
+    w = np.exp(x @ beta)
+    s0 = np.cumsum(w)[grp_end[ev_idx]]
+    s1 = np.cumsum(x * w[:, None], axis=0)[grp_end[ev_idx]]
+    xx = x[:, :, None] * x[:, None, :] * w[:, None, None]
+    s2 = np.cumsum(xx, axis=0)[grp_end[ev_idx]]
+    mu = s1 / s0[:, None]
+    loglik = float((x[ev_idx] @ beta - np.log(s0)).sum())
+    grad = (x[ev_idx] - mu).sum(axis=0)
+    H = -(s2 / s0[:, None, None] - mu[:, :, None] * mu[:, None, :]).sum(axis=0)
+    return beta, loglik, grad, H

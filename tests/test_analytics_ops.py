@@ -758,6 +758,54 @@ def test_doc_maximal_matching_equals_sequential_greedy(ray_session):
     assert all(a in used or b in used for a, b in zip(edges["a"], edges["b"]))
 
 
+def test_purchase_cox_ph_matches_brute_risk_set_loop(ray_session):
+    """The vectorized Breslow fit must (a) equal a full replica built
+    straight from parquet, and (b) sit at a stationary point of the
+    brute-force risk-set partial likelihood (explicit {j: T_j >= t_i}
+    sets, per-event loop)."""
+    from opps_feedcrawler_ray.pipelines.analytics import _cox_newton, purchase_cox_ph
+
+    got = purchase_cox_ph(SF)
+
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    t = ev["ts"].astype("int64")
+    BIG = np.int64(2**62)
+    u = pd.DataFrame({
+        "user_id": ev["user_id"], "t0": t,
+        "tp": np.where(ev["event_type"] == "purchase", t, BIG),
+        "tmax": t,
+        "nv": (ev["event_type"] == "view").astype("int64"),
+    }).groupby("user_id", as_index=False).agg(
+        t0=("t0", "min"), tp=("tp", "min"), tmax=("tmax", "max"),
+        nv=("nv", "sum"),
+    ).sort_values("user_id").reset_index(drop=True)
+    gmax = int(u["tmax"].max())
+    event = u["tp"].to_numpy(dtype=np.int64) < BIG
+    end = np.where(event, u["tp"].to_numpy(dtype=np.int64), gmax)
+    dur = (end - u["t0"].to_numpy(dtype=np.int64)) // 86_400_000_000
+    X = np.column_stack([
+        (u["user_id"].to_numpy() % 2).astype(np.float64),
+        np.log1p(u["nv"].to_numpy(dtype=np.float64)),
+    ])
+    beta, loglik, grad, _H = _cox_newton(dur, event, X,
+                                         u["user_id"].to_numpy())
+    assert list(got["beta_e6"]) == [int(np.floor(b * 1e6 + 0.5)) for b in beta]
+    assert got["loglik_e6"].iloc[0] == int(np.floor(loglik * 1e6 + 0.5))
+
+    # brute loglik/gradient with explicit risk sets
+    ll, g = 0.0, np.zeros(2)
+    for i in np.flatnonzero(event):
+        risk = dur >= dur[i]
+        w = np.exp(X[risk] @ beta)
+        s0 = w.sum()
+        s1 = (X[risk] * w[:, None]).sum(axis=0)
+        ll += float(X[i] @ beta - np.log(s0))
+        g += X[i] - s1 / s0
+    assert abs(ll - loglik) < 1e-6 * abs(loglik)
+    assert np.abs(g).max() < 1e-4, g  # Newton stationary point
+
+
 def test_quality_score_model_matches_pandas(ray_session):
     from opps_feedcrawler_ray.pipelines.analytics import quality_score_model
     from opps_feedcrawler_ray.stages.scoring import (
