@@ -12085,9 +12085,10 @@ def events_ams_f2(sf_dir: str, groups: int = 6, per_group: int = 16) -> pd.DataF
     (HLL=cardinality, CMS=frequency, KLL=quantiles, DGIM=window,
     AMS=F2): per event_type, estimate F2 = Σ_u f_u² of the user
     frequency vector with k = groups·per_group sign counters
-    X_i = Σ_u f_u·s_i(u), s_i(u) ∈ {±1} from the pinned fingerprint
-    family (no RNG) — estimate = median over groups of the mean of X_i²
-    (the paper's median-of-means).  The EXACT F2 rides along (one
+    X_i = Σ_u f_u·s_i(u), s_i(u) ∈ {±1} derived from one pinned
+    fingerprint per user expanded k ways by splitmix64 (vectorized, no
+    RNG, no per-counter hashing) — estimate = median over groups of the
+    mean of X_i² (the paper's median-of-means).  The EXACT F2 rides along (one
     user-bounded exchange, the certified-bracket pattern the CMS
     join-size estimator uses) so the report carries its own error.
 
@@ -12109,12 +12110,14 @@ def events_ams_f2(sf_dir: str, groups: int = 6, per_group: int = 16) -> pd.DataF
                            ("x", pa.int64())])
 
     def _signs(users: np.ndarray) -> np.ndarray:
-        """(|users| × k) ±1 matrix from the pinned fingerprints."""
-        out = np.empty((len(users), k), dtype=np.int64)
-        for i in range(k):
-            fp = fingerprint64_batch([f"{i}:{u}" for u in users])
-            out[:, i] = (fp & np.uint64(1)).astype(np.int64) * 2 - 1
-        return out
+        """(|users| × k) ±1 matrix: one pinned fingerprint per user,
+        splitmix64-expanded across the k counters — one blake2b pass +
+        one vectorized mix, not k hash passes."""
+        fp = fingerprint64_batch([str(u) for u in users])
+        grid = _splitmix64(
+            fp[:, None] + np.arange(1, k + 1, dtype=np.uint64)[None, :]
+        )
+        return (grid & np.uint64(1)).astype(np.int64) * 2 - 1
 
     def sk_partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()

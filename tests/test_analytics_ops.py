@@ -634,16 +634,19 @@ def test_events_ams_f2_matches_sequential_replica(ray_session):
     k = groups * per_group
     got = events_ams_f2(SF, groups=groups, per_group=per_group)
 
+    from opps_feedcrawler_ray.pipelines.analytics import _splitmix64
+
     ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "user_id"])
     rows = []
     for et, g in ev.groupby("event_type"):
         users, counts = np.unique(g["user_id"].to_numpy(dtype=np.int64),
                                   return_counts=True)
         f2 = int((counts.astype(np.int64) ** 2).sum())
-        signs = np.empty((len(users), k), dtype=np.int64)
-        for i in range(k):
-            fp = fingerprint64_batch([f"{i}:{u}" for u in users])
-            signs[:, i] = (fp & np.uint64(1)).astype(np.int64) * 2 - 1
+        fp = fingerprint64_batch([str(u) for u in users])
+        grid = _splitmix64(
+            fp[:, None] + np.arange(1, k + 1, dtype=np.uint64)[None, :]
+        )
+        signs = (grid & np.uint64(1)).astype(np.int64) * 2 - 1
         x = counts.astype(np.int64) @ signs
         x2 = x * x
         means = [int(x2[j * per_group:(j + 1) * per_group].sum()) // per_group
