@@ -924,6 +924,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bounded word-count table, rows-only — determinism/coverage/
         # Viterbi-vs-brute twins in tests
         "unigram_lm_vocab": A.unigram_lm_vocab,
+        "wordpiece_vocab": A.wordpiece_vocab,
+        "wordpiece_encode_docs": A.wordpiece_encode_docs,
         "unigram_encode_docs": A.unigram_encode_docs,
         # V-optimal histogram: DP over the bounded quantized domain,
         # rows-only — exhaustive-enumeration twin in tests

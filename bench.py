@@ -263,6 +263,8 @@ QUERY_NAMES = [
     "events_isolation_forest",
     "doc_maximal_matching",
     "purchase_cox_ph",
+    "wordpiece_vocab",
+    "wordpiece_encode_docs",
 ]
 
 

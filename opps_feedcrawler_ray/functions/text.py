@@ -508,3 +508,83 @@ def unigram_segment(word: str, logp: dict[str, float],
         pieces.append(p)
         j = i
     return pieces[::-1]
+
+
+def wordpiece_learn(word_counts: dict[str, int], n_merges: int) -> list[tuple]:
+    """Learn a WordPiece vocabulary from a word → count table (Schuster
+    & Nakajima 2012; the BERT tokenizer's trainer as documented by the
+    HuggingFace tokenizers reference): like BPE, but each step merges
+    the adjacent symbol pair maximizing score = count(pair) /
+    (count(left)·count(right)) — frequent pairs of RARE symbols win, the
+    likelihood-gain heuristic.  Scores compare as exact integer cross
+    products (no float ties); remaining ties break lexicographically.
+    Word-interior symbols carry the ``##`` continuation prefix.  Pure
+    driver-side kernel over the vocabulary-bounded table (the same
+    domain-not-data-bounded shape as ``bpe_learn``).
+
+    Returns [(left, right, merged, score_e9), ...] in merge order."""
+    words = {
+        w: tuple([w[0]] + ["##" + c for c in w[1:]]) for w in word_counts if w
+    }
+    merges: list[tuple] = []
+    for _ in range(n_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        sym_counts: dict[str, int] = {}
+        for w, syms in words.items():
+            c = word_counts[w]
+            for s in syms:
+                sym_counts[s] = sym_counts.get(s, 0) + c
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + c
+        if not pair_counts:
+            break
+        # argmax of cp/(ca·cb) by integer cross-multiplication
+        best, bn, bd = None, 0, 1
+        for p in sorted(pair_counts):  # lexicographic ⇒ ties keep first
+            cp = pair_counts[p]
+            d = sym_counts[p[0]] * sym_counts[p[1]]
+            if cp * bd > bn * d:
+                best, bn, bd = p, cp, d
+        merged = best[0] + best[1][2:]  # strip the continuation prefix
+        merges.append((best[0], best[1], merged, bn * 1_000_000_000 // bd))
+        new_words = {}
+        for w, syms in words.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == best[0]
+                        and syms[i + 1] == best[1]):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_words[w] = tuple(out)
+        words = new_words
+    return merges
+
+
+def wordpiece_encode(word: str, vocab: set) -> list[str]:
+    """Greedy longest-match-first WordPiece segmentation (the BERT
+    runtime algorithm): at each position take the LONGEST vocab piece
+    (interior positions look up with the ``##`` prefix); if none
+    matches, the whole word is ``[UNK]``."""
+    if not word:
+        return []
+    pieces = []
+    i = 0
+    while i < len(word):
+        end = len(word)
+        cur = None
+        while end > i:
+            cand = word[i:end] if i == 0 else "##" + word[i:end]
+            if cand in vocab:
+                cur = cand
+                break
+            end -= 1
+        if cur is None:
+            return ["[UNK]"]
+        pieces.append(cur)
+        i = end
+    return pieces

@@ -12468,3 +12468,94 @@ def _cox_newton(dur: np.ndarray, event: np.ndarray, X: np.ndarray,
     grad = (x[ev_idx] - mu).sum(axis=0)
     H = -(s2 / s0[:, None, None] - mu[:, :, None] * mu[:, None, :]).sum(axis=0)
     return beta, loglik, grad, H
+
+
+def wordpiece_vocab(sf_dir: str, n_merges: int = 40) -> pd.DataFrame:
+    """WORDPIECE tokenizer training (Schuster & Nakajima, ICASSP 2012 —
+    the BERT tokenizer), completing the subword-trainer trio (BPE =
+    count-greedy, unigram-LM = probabilistic prune, WordPiece =
+    likelihood-gain greedy): merges maximize count(pair)/(count(l)·
+    count(r)), scores compared as exact integer cross products.
+
+    Scale shape: identical to the other two trainers — the corpus
+    reduces to the SHARED vocabulary-bounded word-count exchange
+    (``_word_count_table``); the merge loop is driver math on that
+    bounded table.  Rows-only; a worked-example twin and an
+    independence-from-batch-layout property ride the shared exchange's
+    existing tests.
+
+    Returns (rank, left, right, token, score_e9)."""
+    from ..functions.text import wordpiece_learn
+
+    merges = wordpiece_learn(_word_count_table(sf_dir), n_merges)
+    return pd.DataFrame(
+        {
+            "rank": pd.Series(range(len(merges)), dtype="int64"),
+            "left": [m[0] for m in merges],
+            "right": [m[1] for m in merges],
+            "token": [m[2] for m in merges],
+            "score_e9": pd.Series([m[3] for m in merges], dtype="int64"),
+        }
+    )
+
+
+def wordpiece_encode_docs(sf_dir: str, n_merges: int = 40) -> pd.DataFrame:
+    """WordPiece ENCODE pass (greedy longest-match-first with ``##``
+    continuations — the BERT runtime): per-doc word count, piece count,
+    [UNK] count and fertility_e6, the statistic tokenizer evaluations
+    report.
+
+    Scale shape: train on the shared bounded exchange, broadcast the
+    vocab set via ``ray.put``, ONE streaming pass with a per-batch
+    word→pieces memo (Zipf makes the hit rate the frequency curve) —
+    no shuffle.  Rows-only; the twin replays encode in pure Python and
+    checks reconstruction."""
+    import ray
+
+    from ..functions.text import wordpiece_encode, wordpiece_learn
+
+    wc = _word_count_table(sf_dir)
+    merges = wordpiece_learn(wc, n_merges)
+    vocab = {m[2] for m in merges}
+    for w in wc:
+        if w:
+            vocab.add(w[0])
+            vocab.update("##" + c for c in w[1:])
+    vocab_ref = ray.put(vocab)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        vb = ray.get(vocab_ref)
+        memo: dict[str, tuple[int, int]] = {}
+        ids, nw, npc, nu, fert = [], [], [], [], []
+        for did, text in zip(batch["doc_id"].to_pylist(),
+                             batch["text"].to_pylist()):
+            words = [w for w in (text or "").split(" ") if w]
+            pieces = 0
+            unk = 0
+            for w in words:
+                if w not in memo:
+                    ps = wordpiece_encode(w, vb)
+                    memo[w] = (len(ps), sum(1 for p in ps if p == "[UNK]"))
+                a, b = memo[w]
+                pieces += a
+                unk += b
+            ids.append(did)
+            nw.append(len(words))
+            npc.append(pieces)
+            nu.append(unk)
+            fert.append(int(np.floor(pieces / len(words) * 1e6 + 0.5))
+                        if words else 0)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_words": pa.array(nw, pa.int64()),
+            "n_pieces": pa.array(npc, pa.int64()),
+            "n_unk": pa.array(nu, pa.int64()),
+            "fertility_e6": pa.array(fert, pa.int64()),
+        })
+
+    out = (
+        rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+        .map_batches(encode, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)

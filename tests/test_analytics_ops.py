@@ -809,6 +809,101 @@ def test_purchase_cox_ph_matches_brute_risk_set_loop(ray_session):
     assert np.abs(g).max() < 1e-4, g  # Newton stationary point
 
 
+def test_wordpiece_learn_matches_fraction_replica():
+    """The integer-cross-product argmax must equal an independent
+    Fraction-scored replica, and the known HuggingFace worked example
+    must produce its documented first merge (##g + ##s)."""
+    from fractions import Fraction
+
+    from opps_feedcrawler_ray.functions.text import wordpiece_learn
+
+    wc = {"hug": 10, "pug": 5, "pun": 12, "bun": 4, "hugs": 5}
+    merges = wordpiece_learn(wc, 6)
+    assert (merges[0][0], merges[0][1]) == ("##g", "##s")
+
+    def replica(word_counts, n_merges):
+        words = {w: tuple([w[0]] + ["##" + c for c in w[1:]])
+                 for w in word_counts if w}
+        out = []
+        for _ in range(n_merges):
+            pc, sc = {}, {}
+            for w, syms in words.items():
+                c = word_counts[w]
+                for s in syms:
+                    sc[s] = sc.get(s, 0) + c
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] = pc.get(
+                        (syms[i], syms[i + 1]), 0) + c
+            if not pc:
+                break
+            best = min(pc, key=lambda p: (-Fraction(pc[p], sc[p[0]] * sc[p[1]]), p))
+            merged = best[0] + best[1][2:]
+            out.append((best[0], best[1], merged))
+            words = {
+                w: tuple(_apply_merge(list(s), best, merged))
+                for w, s in words.items()
+            }
+        return out
+
+    def _apply_merge(syms, best, merged):
+        o, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == best[0] and syms[i + 1] == best[1]:
+                o.append(merged)
+                i += 2
+            else:
+                o.append(syms[i])
+                i += 1
+        return o
+
+    exp = replica(wc, 6)
+    assert [(m[0], m[1], m[2]) for m in merges] == exp
+
+
+def test_wordpiece_encode_reconstructs_and_pipeline_matches(ray_session):
+    from opps_feedcrawler_ray.functions.text import (
+        wordpiece_encode,
+        wordpiece_learn,
+    )
+    from opps_feedcrawler_ray.pipelines.analytics import (
+        _word_count_table,
+        wordpiece_encode_docs,
+    )
+
+    got = wordpiece_encode_docs(SF)
+    wc = _word_count_table(SF)
+    merges = wordpiece_learn(wc, 40)
+    vocab = {m[2] for m in merges}
+    for w in wc:
+        vocab.add(w[0])
+        vocab.update("##" + c for c in w[1:])
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    rows = []
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        words = [w for w in (text or "").split(" ") if w]
+        pieces, unk = 0, 0
+        for w in words:
+            ps = wordpiece_encode(w, vocab)
+            # reconstruction: non-UNK segmentations re-join to the word
+            if "[UNK]" not in ps:
+                assert "".join(p[2:] if p.startswith("##") else p
+                               for p in ps) == w
+            pieces += len(ps)
+            unk += ps.count("[UNK]")
+        rows.append((int(did), len(words), pieces, unk,
+                     int(np.floor(pieces / len(words) * 1e6 + 0.5))
+                     if words else 0))
+    exp = pd.DataFrame(rows, columns=["doc_id", "n_words", "n_pieces",
+                                      "n_unk", "fertility_e6"]).sort_values(
+        "doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # every trained char is in vocab ⇒ zero UNK on the training corpus
+    assert got["n_unk"].sum() == 0
+    # and an out-of-alphabet word is UNK
+    assert wordpiece_encode("Ω∆", vocab) == ["[UNK]"]
+
+
 def test_quality_score_model_matches_pandas(ray_session):
     from opps_feedcrawler_ray.pipelines.analytics import quality_score_model
     from opps_feedcrawler_ray.stages.scoring import (
