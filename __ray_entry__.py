@@ -533,6 +533,15 @@ def _q_doc_ktruss(sf_dir: str):
     return doc_ktruss(sf_dir, k=3)
 
 
+def _q_warc_cdx_index(sf_dir: str):
+    """WARC packing + CDX capture index (the web-archive random-access
+    artifact; rows-only: byte geometry has no SQL twin; the e2e test
+    seeks records straight from index rows and verifies url + digest)."""
+    from opps_feedcrawler_ray.pipelines.webpipe import warc_cdx_index
+
+    return warc_cdx_index(sf_dir)
+
+
 def _q_doc_maximal_matching(sf_dir: str):
     """Maximal matching (Israeli–Itai locally-minimal-edge rounds),
     the coarsening primitive (rows-only: iterative fixpoint; the
@@ -1026,6 +1035,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ktruss": _q_doc_ktruss,
         "doc_cdc_chunks": _q_doc_cdc_chunks,
         "doc_maximal_matching": _q_doc_maximal_matching,
+        "warc_cdx_index": _q_warc_cdx_index,
         "host_hits": _q_host_hits,
         "host_components": _q_host_components,
         "host_kcore": _q_host_kcore,

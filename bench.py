@@ -265,6 +265,7 @@ QUERY_NAMES = [
     "purchase_cox_ph",
     "wordpiece_vocab",
     "wordpiece_encode_docs",
+    "warc_cdx_index",
 ]
 
 

@@ -2426,3 +2426,67 @@ def doc_maximal_matching(sf_dir: str, work_dir: str | None = None) -> "pd.DataFr
         out.astype("int64").sort_values(["src_doc", "dst_doc"])
         .reset_index(drop=True)
     )
+
+
+def warc_cdx_index(sf_dir: str, n_files: int = 4,
+                   work_dir: str | None = None) -> "pd.DataFrame":
+    """WARC + CDX round trip over the documents-derived corpus: pack the
+    pages into ``n_files`` per-record-gzip WARC/1.0 files (the
+    Common-Crawl layout — one gzip member per record, hash-partitioned
+    by url fingerprint, record order sorted by url within each file so
+    the packing is deterministic), then build the CDX capture index
+    (``sources.io.build_cdx_index``) over the directory and return it.
+
+    The index IS the random-access contract: every row's (filename,
+    offset, length) must gunzip to exactly one record whose
+    WARC-Target-URI equals the row's url — the e2e test seeks and
+    verifies records straight from index rows.
+
+    Scale shape: WARC packing is one url-fingerprint exchange +
+    one writer task per file; indexing is one task per WARC file + the
+    (surt, ts14) sort — both are the real artifacts' build shapes."""
+    import pandas as pd
+
+    from ..functions.hashing import fingerprint64_array
+    from ..sources.io import build_cdx_index, write_pages_warc
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    work = work_dir or f"/tmp/opps_feedcrawler_ray/webpipe-{sf_tag}"
+    paths = build_pages_from_documents(os.path.join(sf_dir, "documents.parquet"),
+                                       os.path.join(work, "corpus"))
+    warc_dir = os.path.join(work, "warc")
+    done = os.path.join(warc_dir, "_DONE")
+    if not os.path.exists(done):
+        shutil.rmtree(warc_dir, ignore_errors=True)
+        os.makedirs(warc_dir, exist_ok=True)
+        pages = rd.read_parquet(paths["pages"])
+
+        def bucketed(batch: pa.Table) -> pa.Table:
+            fp = fingerprint64_array(batch["url"])
+            b = pa.array(
+                (np.asarray(fp, dtype=np.uint64) % np.uint64(n_files))
+                .astype(np.int64)
+            )
+            return batch.append_column("__b", b)
+
+        def write_file(g, _dir=warc_dir):
+            import pandas as _pd
+
+            g = g.sort_values("url")
+            b = int(g["__b"].iloc[0])
+            t = pa.Table.from_pandas(g.drop(columns=["__b"]),
+                                     preserve_index=False)
+            write_pages_warc(t, os.path.join(_dir, f"part-{b:03d}.warc.gz"),
+                             member_gzip=True)
+            return _pd.DataFrame({"b": [b], "n": [len(g)]})
+
+        (
+            pages.map_batches(bucketed, batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(write_file, batch_format="pandas")
+            .to_pandas()
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    out = build_cdx_index(warc_dir).to_pandas()
+    return out.reset_index(drop=True)

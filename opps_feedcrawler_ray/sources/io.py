@@ -715,3 +715,143 @@ def compact_parquet_dir(
         "total_bytes_in": int(sum(sizes.values())),
         "bins": [[os.path.relpath(p, src_dir) for p in b] for b in bins],
     }
+
+
+# --- CDX index over WARC files ------------------------------------------
+
+
+def iter_gzip_members(blob: bytes):
+    """Walk a concatenated-member gzip blob (the Common-Crawl WARC
+    convention: one gzip member per record) yielding (offset,
+    compressed_length, decompressed_bytes) per member — the byte
+    geometry a CDX index records so readers can range-request single
+    records."""
+    import zlib
+
+    pos, n = 0, len(blob)
+    while pos < n:
+        d = zlib.decompressobj(wbits=31)
+        out = d.decompress(blob[pos:])
+        if not d.eof:  # truncated trailing member — stop cleanly
+            break
+        comp_len = (n - pos) - len(d.unused_data)
+        yield pos, comp_len, out
+        pos += comp_len
+
+
+def _warc_record_fields(rec: bytes) -> dict | None:
+    """Minimal WARC/1.0 record header+payload parse for indexing:
+    returns {url, date, type, payload} or None if malformed."""
+    end = rec.find(b"\r\n\r\n")
+    if end == -1:
+        return None
+    lines = rec[:end].decode("utf-8", "replace").split("\r\n")
+    if not lines or not lines[0].startswith("WARC/"):
+        return None
+    h = {}
+    for ln in lines[1:]:
+        k, _, v = ln.partition(":")
+        h[k.strip().lower()] = v.strip()
+    clen = int(h.get("content-length", "0"))
+    payload = rec[end + 4:end + 4 + clen]
+    if payload[:5] == b"HTTP/":
+        j = payload.find(b"\r\n\r\n")
+        payload = payload[j + 4:] if j != -1 else b""
+    return {
+        "url": h.get("warc-target-uri", ""),
+        "date": h.get("warc-date", ""),
+        "type": h.get("warc-type", ""),
+        "payload": payload,
+    }
+
+
+def build_cdx_index(path: str) -> "rd.Dataset":
+    """CDX(J)-style capture index over WARC file(s) — the web-archive
+    random-access artifact (IIPC CDX convention; Common Crawl ships one
+    per crawl): one row per ``response`` record with the canonical
+    SURT sort key, 14-digit timestamp, and the (filename, offset,
+    length) byte geometry that lets a reader fetch exactly one record
+    with a range request + single-member gunzip.  Deviations from the
+    legacy format, pinned deliberately: digest is the engine's blake2b-8
+    hex (the pinned fingerprint family) instead of SHA1-B32, and the
+    output is a Dataset (write_parquet/CSV at will) rather than a text
+    CDX file.
+
+    Scale shape: one task per WARC file (the natural unit — real dumps
+    ship thousands of ~1 GB files), member-walk inside the task, ONE
+    global sort on (surt, ts14) — exactly the exchange the real CDX
+    build pays.  Indexing never decodes HTML or buffers more than one
+    record."""
+    from ..functions.hashing import fingerprint64
+    from ..functions.urlnorm import canonicalize_batch
+
+    def index_file(batch: pa.Table) -> pa.Table:
+        rows = {"surt": [], "ts14": [], "url": [], "digest": [],
+                "offset": [], "length": [], "filename": []}
+        for p in batch["path"].to_pylist():
+            # raw bytes read in-task: Ray's binary reader force-gunzips
+            # by file extension (Codec.detect), which would destroy the
+            # compressed byte geometry this index exists to record; on
+            # object storage this open() becomes the fs's
+            # open_input_stream with compression disabled
+            with open(p, "rb") as fh:
+                blob = fh.read()
+            fname = str(p).rsplit("/", 1)[-1]
+            if blob[:2] == b"\x1f\x8b":
+                members = iter_gzip_members(blob)
+            else:
+                # plain WARC: framing walk tracking offsets
+                def plain_members(b=blob):
+                    pos, n = 0, len(b)
+                    while pos < n:
+                        end = b.find(b"\r\n\r\n", pos)
+                        if end == -1:
+                            return
+                        lines = b[pos:end].decode("utf-8", "replace").split("\r\n")
+                        h = {}
+                        for ln in lines[1:]:
+                            k, _, v = ln.partition(":")
+                            h[k.strip().lower()] = v.strip()
+                        clen = int(h.get("content-length", "0"))
+                        rec_end = end + 4 + clen
+                        while b[rec_end:rec_end + 2] == b"\r\n":
+                            rec_end += 2
+                        yield pos, rec_end - pos, b[pos:rec_end]
+                        pos = rec_end
+                members = plain_members()
+            for off, clen, rec in members:
+                f = _warc_record_fields(rec)
+                if f is None or f["type"] != "response" or not f["url"]:
+                    continue
+                ts14 = "".join(c for c in f["date"] if c.isdigit())[:14]
+                _, surts, _ = canonicalize_batch([f["url"]])
+                rows["surt"].append(surts[0] or f["url"])
+                rows["ts14"].append(ts14)
+                rows["url"].append(f["url"])
+                rows["digest"].append(format(fingerprint64(f["payload"]), "016x"))
+                rows["offset"].append(off)
+                rows["length"].append(clen)
+                rows["filename"].append(fname)
+        return pa.table({
+            "surt": pa.array(rows["surt"], pa.string()),
+            "ts14": pa.array(rows["ts14"], pa.string()),
+            "url": pa.array(rows["url"], pa.string()),
+            "digest": pa.array(rows["digest"], pa.string()),
+            "offset": pa.array(rows["offset"], pa.int64()),
+            "length": pa.array(rows["length"], pa.int64()),
+            "filename": pa.array(rows["filename"], pa.string()),
+        })
+
+    import glob as _glob
+
+    if os.path.isdir(path):
+        files = sorted(
+            _glob.glob(os.path.join(path, "**", "*.warc*"), recursive=True)
+        )
+    else:
+        files = [path]
+    return (
+        rd.from_arrow(pa.table({"path": pa.array(files, pa.string())}))
+        .map_batches(index_file, batch_format="pyarrow", batch_size=1)
+        .sort(["surt", "ts14"])
+    )

@@ -6112,3 +6112,56 @@ def test_doc_scc_matches_tarjan_twin(ray_session, tmp_path):
     # sanity: the dense id-arithmetic graph has at least one non-trivial SCC
     from collections import Counter
     assert Counter(exp.values()).most_common(1)[0][1] > 1
+
+
+def test_warc_cdx_index_random_access_contract(ray_session, tmp_path):
+    """Every CDX row's (filename, offset, length) must gunzip to exactly
+    one WARC record whose Target-URI is the row's url and whose payload
+    fingerprints to the row's digest; the index is (surt, ts14)-sorted
+    and covers every corpus page exactly once."""
+    import gzip
+
+    from opps_feedcrawler_ray.functions.hashing import fingerprint64
+    from opps_feedcrawler_ray.pipelines.webpipe import warc_cdx_index
+    from opps_feedcrawler_ray.sources.io import _warc_record_fields
+
+    work = str(tmp_path / "cdxwork")
+    idx = warc_cdx_index(SF, work_dir=work)
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    # corpus = one page per doc + one root + one robots per host; only
+    # response records with a url index — all of them here
+    assert len(idx) == len(docs) + 2 * 16
+    assert not idx.duplicated(["url"]).any()
+    # sorted by (surt, ts14)
+    key = list(zip(idx["surt"], idx["ts14"]))
+    assert key == sorted(key)
+
+    warc_dir = f"{work}/warc"
+    blobs = {}
+    for i in np.linspace(0, len(idx) - 1, 25).astype(int):
+        r = idx.iloc[i]
+        fn = f"{warc_dir}/{r['filename']}"
+        if fn not in blobs:
+            blobs[fn] = open(fn, "rb").read()
+        member = blobs[fn][r["offset"]:r["offset"] + r["length"]]
+        rec = gzip.decompress(member)
+        f = _warc_record_fields(rec)
+        assert f is not None and f["url"] == r["url"]
+        assert format(fingerprint64(f["payload"]), "016x") == r["digest"]
+
+
+def test_iter_gzip_members_geometry():
+    import gzip
+
+    from opps_feedcrawler_ray.sources.io import iter_gzip_members
+
+    parts = [b"alpha" * 10, b"", b"gamma" * 3]
+    blob = b"".join(gzip.compress(p) for p in parts)
+    out = list(iter_gzip_members(blob))
+    assert [o[2] for o in out] == parts
+    # offsets tile the blob exactly
+    assert out[0][0] == 0
+    for (o1, l1, _), (o2, _, _) in zip(out, out[1:]):
+        assert o1 + l1 == o2
+    assert out[-1][0] + out[-1][1] == len(blob)
