@@ -1121,6 +1121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cusum_changepoint": A.events_cusum_changepoint,
         "doc_coverage_select": A.doc_coverage_select,
         "events_holt_forecast": A.events_holt_forecast,
+        "events_holtwinters_forecast": A.events_holtwinters_forecast,
         "dedup_cascade": _q_dedup_cascade,
         "source_simpson_diversity": A.source_simpson_diversity,
         "lineitem_weighted_median": A.lineitem_weighted_median,
@@ -3131,6 +3132,65 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag, CAST(ANY_VALUE(tot) AS BIGINT) AS total_qty, "
             "CAST(MIN(CASE WHEN 2 * cum >= tot THEN p_e2 END) AS BIGINT) "
             "AS wmedian_price_e2 FROM c GROUP BY l_returnflag"
+        ),
+        "events_holtwinters_forecast": (
+            # Holt-Winters additive, period 7, alpha=1/2 beta=gamma=1/4:
+            # ALL-INTEGER recursion (e6, truncating //) forced sequential
+            # by the recursive CTE — zero float ops on either side
+            "WITH RECURSIVE daily AS (SELECT event_type, "
+            "date_trunc('day', ts) AS day, "
+            "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+            "dd AS (SELECT event_type, (s * 10000) // n AS x, "
+            "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn "
+            "FROM daily), "
+            "nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days "
+            "FROM dd GROUP BY 1 HAVING COUNT(*) >= 14), "
+            "init AS (SELECT d.event_type, "
+            "SUM(CASE WHEN rn <= 7 THEN x ELSE 0 END) // 7 AS l0, "
+            "(SUM(CASE WHEN rn BETWEEN 8 AND 14 THEN x ELSE 0 END) "
+            "- SUM(CASE WHEN rn <= 7 THEN x ELSE 0 END)) // 49 AS b0, "
+            "MAX(CASE WHEN rn = 1 THEN x END) AS x1, "
+            "MAX(CASE WHEN rn = 2 THEN x END) AS x2, "
+            "MAX(CASE WHEN rn = 3 THEN x END) AS x3, "
+            "MAX(CASE WHEN rn = 4 THEN x END) AS x4, "
+            "MAX(CASE WHEN rn = 5 THEN x END) AS x5, "
+            "MAX(CASE WHEN rn = 6 THEN x END) AS x6, "
+            "MAX(CASE WHEN rn = 7 THEN x END) AS x7 "
+            "FROM dd d JOIN nd ON d.event_type = nd.event_type GROUP BY 1), "
+            "rec AS (SELECT event_type, CAST(7 AS BIGINT) AS rn, l0 AS l, "
+            "b0 AS b, x1 - l0 AS s0, x2 - l0 AS s1, x3 - l0 AS s2, "
+            "x4 - l0 AS s3, x5 - l0 AS s4, x6 - l0 AS s5, x7 - l0 AS s6 "
+            "FROM init "
+            "UNION ALL SELECT event_type, rn, ln AS l, "
+            "(ln - l + 3 * b) // 4 AS b, "
+            "CASE WHEN slot = 0 THEN (x - ln + 3 * s0) // 4 ELSE s0 END, "
+            "CASE WHEN slot = 1 THEN (x - ln + 3 * s1) // 4 ELSE s1 END, "
+            "CASE WHEN slot = 2 THEN (x - ln + 3 * s2) // 4 ELSE s2 END, "
+            "CASE WHEN slot = 3 THEN (x - ln + 3 * s3) // 4 ELSE s3 END, "
+            "CASE WHEN slot = 4 THEN (x - ln + 3 * s4) // 4 ELSE s4 END, "
+            "CASE WHEN slot = 5 THEN (x - ln + 3 * s5) // 4 ELSE s5 END, "
+            "CASE WHEN slot = 6 THEN (x - ln + 3 * s6) // 4 ELSE s6 END "
+            "FROM (SELECT dd.event_type, dd.rn, dd.x, rec.l, rec.b, "
+            "rec.s0, rec.s1, rec.s2, rec.s3, rec.s4, rec.s5, rec.s6, "
+            "(dd.rn - 1) % 7 AS slot, "
+            "(dd.x - CASE (dd.rn - 1) % 7 WHEN 0 THEN rec.s0 "
+            "WHEN 1 THEN rec.s1 WHEN 2 THEN rec.s2 WHEN 3 THEN rec.s3 "
+            "WHEN 4 THEN rec.s4 WHEN 5 THEN rec.s5 ELSE rec.s6 END "
+            "+ rec.l + rec.b) // 2 AS ln "
+            "FROM dd JOIN rec ON dd.event_type = rec.event_type "
+            "AND dd.rn = rec.rn + 1)), "
+            "fin AS (SELECT r.* FROM rec r JOIN nd "
+            "ON r.event_type = nd.event_type AND r.rn = nd.n_days), "
+            "hs AS (SELECT UNNEST(range(1, 8)) AS h) "
+            "SELECT f.event_type, CAST(hs.h AS BIGINT) AS h, "
+            "CAST(f.l AS BIGINT) AS level_e6, CAST(f.b AS BIGINT) AS trend_e6, "
+            "CAST(f.l + hs.h * f.b + CASE (nd.n_days + hs.h - 1) % 7 "
+            "WHEN 0 THEN f.s0 WHEN 1 THEN f.s1 WHEN 2 THEN f.s2 "
+            "WHEN 3 THEN f.s3 WHEN 4 THEN f.s4 WHEN 5 THEN f.s5 "
+            "ELSE f.s6 END AS BIGINT) AS forecast_e6 "
+            "FROM fin f JOIN nd ON f.event_type = nd.event_type "
+            "CROSS JOIN hs ORDER BY f.event_type, hs.h"
         ),
         "events_holt_forecast": (
             # Holt double-exponential smoothing: the two-state recursion

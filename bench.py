@@ -266,6 +266,7 @@ QUERY_NAMES = [
     "wordpiece_vocab",
     "wordpiece_encode_docs",
     "warc_cdx_index",
+    "events_holtwinters_forecast",
 ]
 
 

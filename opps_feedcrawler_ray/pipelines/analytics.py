@@ -12559,3 +12559,76 @@ def wordpiece_encode_docs(sf_dir: str, n_merges: int = 40) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def events_holtwinters_forecast(sf_dir: str) -> pd.DataFrame:
+    """HOLT-WINTERS additive triple exponential smoothing (Winters
+    1960) over each event type's daily-mean series, period 7 —
+    completing the smoothing ladder (EWMA=level, Holt=+trend,
+    Holt-Winters=+seasonality): α=1/2, β=γ=1/4 chosen so the WHOLE
+    recursion runs in EXACT e6 integers with truncating division —
+
+        L_t = (x_t − s_slot + L + B) tdiv 2
+        B_t = (L_t − L + 3B) tdiv 4
+        s_slot ← (x_t − L_t + 3·s_slot) tdiv 4      (slot = (t−1) mod 7)
+
+    init after two full weeks: L = tdiv(Σweek1, 7), B = tdiv(Σweek2 −
+    Σweek1, 49), s_i = x_i − L.  Truncation (not floor) matches
+    DuckDB's ``//`` on negatives, so the recursive-CTE oracle is
+    hash-exact with zero float ops anywhere.
+
+    Scale shape: the |types|·|days| domain-bounded daily exchange
+    (shared with Holt/CUSUM), then an O(days) driver fold.  Types with
+    < 14 days are excluded on both sides.
+
+    Returns 7 rows per type: (event_type, h, level_e6, trend_e6,
+    forecast_e6) with forecast = L + h·B + s[(n+h−1) mod 7]."""
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts", "value"])
+    _schema = pa.schema(
+        [("event_type", pa.string()), ("day", pa.timestamp("us")),
+         ("s", pa.int64()), ("n", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["day"] = df["ts"].dt.floor("D")
+        df["e2"] = np.floor(df["value"].to_numpy() * 100 + 0.5).astype("int64")
+        g = df.groupby(["event_type", "day"], as_index=False).agg(
+            s=("e2", "sum"), n=("e2", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False, schema=_schema)
+
+    daily = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .sum(["s", "n"])
+        .to_pandas()
+        .rename(columns={"sum(s)": "s", "sum(n)": "n"})
+        .sort_values(["event_type", "day"])
+    )
+    rows = []
+    for et, g in daily.groupby("event_type"):
+        x = [
+            _tdiv(int(s) * 10_000, int(n))
+            for s, n in zip(g["s"], g["n"])
+        ]  # daily mean, e6 ints (s is e2)
+        n_days = len(x)
+        if n_days < 14:
+            continue
+        lev = _tdiv(sum(x[0:7]), 7)
+        tr = _tdiv(sum(x[7:14]) - sum(x[0:7]), 49)
+        seas = [x[i] - lev for i in range(7)]
+        for t in range(7, n_days):
+            slot = t % 7
+            l_new = _tdiv(x[t] - seas[slot] + lev + tr, 2)
+            tr = _tdiv(l_new - lev + 3 * tr, 4)
+            seas[slot] = _tdiv(x[t] - l_new + 3 * seas[slot], 4)
+            lev = l_new
+        for h in range(1, 8):
+            rows.append((et, h, lev, tr,
+                         lev + h * tr + seas[(n_days + h - 1) % 7]))
+    return pd.DataFrame(
+        rows, columns=["event_type", "h", "level_e6", "trend_e6",
+                       "forecast_e6"]
+    ).astype({"h": "int64", "level_e6": "int64", "trend_e6": "int64",
+              "forecast_e6": "int64"})

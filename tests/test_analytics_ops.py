@@ -6165,3 +6165,29 @@ def test_iter_gzip_members_geometry():
     for (o1, l1, _), (o2, _, _) in zip(out, out[1:]):
         assert o1 + l1 == o2
     assert out[-1][0] + out[-1][1] == len(blob)
+
+
+def test_events_holtwinters_matches_duckdb_oracle(ray_session):
+    """Replay twin: the all-integer Holt-Winters recursion must
+    hash-match its recursive-CTE oracle, and the forecast must
+    decompose as level + h·trend + seasonal (7-periodic check)."""
+    import duckdb
+
+    import __ray_entry__ as E
+    from opps_feedcrawler_ray.pipelines.analytics import events_holtwinters_forecast
+
+    got = events_holtwinters_forecast(SF)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    exp = con.execute(E.oracle_sql()["events_holtwinters_forecast"]).df()
+    pd.testing.assert_frame_equal(
+        got.sort_values(["event_type", "h"]).reset_index(drop=True),
+        exp.sort_values(["event_type", "h"]).reset_index(drop=True)
+        .astype({"h": "int64", "level_e6": "int64", "trend_e6": "int64",
+                 "forecast_e6": "int64"}),
+        check_dtype=False,
+    )
+    # forecast − level − h·trend = the seasonal term, constant per slot
+    for _, g in got.groupby("event_type"):
+        seas = g["forecast_e6"] - g["level_e6"] - g["h"] * g["trend_e6"]
+        assert len(g) == 7 and seas.nunique() >= 2  # genuine seasonality
