@@ -947,6 +947,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ams_f2": A.events_ams_f2,
         "events_isolation_forest": A.events_isolation_forest,
         "purchase_cox_ph": A.purchase_cox_ph,
+        "lineitem_huber_regression": A.lineitem_huber_regression,
         "purchase_shapley_attribution": A.purchase_shapley_attribution,
         "referential_integrity_audit": A.referential_integrity_audit,
         "orders_benford": A.orders_benford,

@@ -267,6 +267,7 @@ QUERY_NAMES = [
     "wordpiece_encode_docs",
     "warc_cdx_index",
     "events_holtwinters_forecast",
+    "lineitem_huber_regression",
 ]
 
 

@@ -12632,3 +12632,123 @@ def events_holtwinters_forecast(sf_dir: str) -> pd.DataFrame:
                        "forecast_e6"]
     ).astype({"h": "int64", "level_e6": "int64", "trend_e6": "int64",
               "forecast_e6": "int64"})
+
+
+def lineitem_huber_regression(sf_dir: str, iters: int = 5,
+                              delta_e2: int = 135) -> pd.DataFrame:
+    """HUBER M-ESTIMATION robust regression (Huber 1964) of
+    extendedprice on quantity — completing the regression ladder
+    (OLS = ``lineitem_price_regression``, Theil–Sen = median slope,
+    Huber = bounded-influence IRLS): residuals beyond δ·σ get weight
+    δσ/|r| instead of 1, so price outliers stop dominating the fit.
+
+    Determinism at scale: every IRLS pass reduces the data to EXACT
+    integer weighted moments (y in e2, weights in e4 — per-batch int64
+    partials merged in arbitrary-precision Python ints, the
+    ``lineitem_price_regression`` pattern), and the β update is the
+    closed-form double expression over those integers — no
+    float-summation order anywhere.  σ is frozen after the OLS pass
+    (√(RSS/n), the standard one-step scale) so later passes need no
+    distributed median.  ``iters`` fixed passes; each is one
+    ``map_batches`` + driver merge.
+
+    Rows-only; a numpy replica twin plus a bounded-influence property
+    (Huber slope between Theil-Sen-ish trimmed and OLS extremes) is
+    pinned in tests.  Returns one row: (slope_e6, intercept_e6,
+    sigma_e2, n_down, n_rows)."""
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_quantity", "l_extendedprice"])
+
+    def moments(beta):
+        """One weighted-moment pass at parameters beta (or None for the
+        OLS pass): returns python-int (sw, swx, swy, swxx, swxy, n_down,
+        n) merged from per-batch int64 partials."""
+        b0_e2, b1_e6, sig_e2 = beta if beta else (0, 0, 0)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            x = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+            y = np.floor(
+                batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+                + 0.5
+            ).astype(np.int64)
+            if beta is None:
+                w = np.full(len(x), 10_000, dtype=np.int64)
+                down = np.zeros(len(x), dtype=bool)
+            else:
+                # residual in e2 units: r = y − (b0 + b1·x); b1 at e6 →
+                # b1·x·1e-4 lands in e2 via truncating div (exact ints)
+                r = y - (np.int64(b0_e2) + (np.int64(b1_e6) * x) // 10_000)
+                ar = np.abs(r)
+                thr = np.int64(delta_e2) * np.int64(sig_e2) // 100
+                down = ar > thr
+                w = np.where(
+                    down,
+                    np.maximum(1, thr * 10_000 // np.maximum(ar, 1)),
+                    10_000,
+                ).astype(np.int64)
+            return pa.table({
+                "sw": pa.array([int(w.sum())], pa.int64()),
+                "swx": pa.array([int((w * x).sum())], pa.int64()),
+                "swy": pa.array([int((w * y).sum())], pa.int64()),
+                "swxx": pa.array([int((w * x * x).sum())], pa.int64()),
+                "swxy": pa.array([int((w * x * y).sum())], pa.int64()),
+                "nd": pa.array([int(down.sum())], pa.int64()),
+                "n": pa.array([len(x)], pa.int64()),
+            })
+
+        parts = li.map_batches(partial, batch_format="pyarrow",
+                               batch_size=2048).to_pandas()
+        return [int(parts[c].astype(object).sum())
+                for c in ["sw", "swx", "swy", "swxx", "swxy", "nd", "n"]]
+
+    # pass 0: OLS (unit weights) + frozen scale from exact moments
+    sw, swx, swy, swxx, swxy, _, n = moments(None)
+    den = sw * swxx - swx * swx
+    b1 = (sw * swxy - swx * swy) / den if den else 0.0
+    b0 = (swy - b1 * swx) / sw
+    # sigma² = Σw(y−ŷ)²/Σw from the same moments (all exact ints, final
+    # float): Σw y² needed — recompute via the weighted identity instead:
+    # RSS = Σwy² − b0Σwy − b1Σwxy ; Σwy² = 1e4·Σy² (unit pass) — Σy² can
+    # exceed int64 at big sf, so derive sigma from a bounded SAMPLE-free
+    # exact identity in python ints via a dedicated pass:
+    def _rss_pass(b0f, b1f):
+        b0_e2 = int(np.floor(b0f + 0.5))
+        b1_e6 = int(np.floor(b1f * 10_000 + 0.5))
+
+        def partial(batch: pa.Table) -> pa.Table:
+            x = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+            y = np.floor(
+                batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+                + 0.5
+            ).astype(np.int64)
+            r = y - (np.int64(b0_e2) + (np.int64(b1_e6) * x) // 10_000)
+            # per-batch Σr² stays ≪ 2^63 at batch_size 2048 (r ≲ e7 e2
+            # units ⇒ r² ≲ e14; ×2048 ≈ e17); cross-batch merge is
+            # Python-int
+            return pa.table({
+                "rr": pa.array([int((r * r).sum())], pa.int64()),
+                "n": pa.array([len(x)], pa.int64()),
+            })
+
+        parts = li.map_batches(partial, batch_format="pyarrow",
+                               batch_size=2048).to_pandas()
+        return (int(parts["rr"].astype(object).sum()),
+                int(parts["n"].astype(object).sum()))
+
+    rr, n = _rss_pass(b0, b1)
+    sig_e2 = int(np.floor((rr / n) ** 0.5 + 0.5))  # residual RMS, e2 units
+    n_down = 0
+    for _ in range(iters):
+        beta = (int(np.floor(b0 + 0.5)), int(np.floor(b1 * 10_000 + 0.5)),
+                sig_e2)
+        sw, swx, swy, swxx, swxy, n_down, n = moments(beta)
+        den = sw * swxx - swx * swx
+        b1 = (sw * swxy - swx * swy) / den if den else 0.0
+        b0 = (swy - b1 * swx) / sw
+    return pd.DataFrame({
+        "slope_e6": [int(np.floor(b1 * 10_000 + 0.5))],
+        "intercept_e6": [int(np.floor(b0 * 10_000 + 0.5))],
+        "sigma_e2": [sig_e2],
+        "n_down": [int(n_down)],
+        "n_rows": [int(n)],
+    }).astype("int64")

@@ -6191,3 +6191,58 @@ def test_events_holtwinters_matches_duckdb_oracle(ray_session):
     for _, g in got.groupby("event_type"):
         seas = g["forecast_e6"] - g["level_e6"] - g["h"] * g["trend_e6"]
         assert len(g) == 7 and seas.nunique() >= 2  # genuine seasonality
+
+
+def test_lineitem_huber_regression_matches_numpy_replica(ray_session):
+    """The distributed IRLS must equal a sequential numpy replica of
+    the same integer-moment scheme, and the Huber weights must be
+    bounded-influence (w=1 inside delta·sigma, delta·sigma/|r| beyond)."""
+    from opps_feedcrawler_ray.pipelines.analytics import lineitem_huber_regression
+
+    iters, delta_e2 = 5, 135
+    got = lineitem_huber_regression(SF, iters=iters, delta_e2=delta_e2)
+
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_quantity", "l_extendedprice"])
+    x = li["l_quantity"].to_numpy().astype(np.int64)
+    y = np.floor(li["l_extendedprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+
+    def wmom(w):
+        return (int(w.sum()), int((w * x).sum()), int((w * y).sum()),
+                int((w * x * x).sum()), int((w * x * y).sum()))
+
+    w = np.full(len(x), 10_000, dtype=np.int64)
+    sw, swx, swy, swxx, swxy = wmom(w)
+    den = sw * swxx - swx * swx
+    b1 = (sw * swxy - swx * swy) / den
+    b0 = (swy - b1 * swx) / sw
+    b0_e2 = int(np.floor(b0 + 0.5))
+    b1_e6 = int(np.floor(b1 * 10_000 + 0.5))
+    r = y - (np.int64(b0_e2) + (np.int64(b1_e6) * x) // 10_000)
+    sig_e2 = int(np.floor((int((r * r).sum()) / len(x)) ** 0.5 + 0.5))
+    n_down = 0
+    for _ in range(iters):
+        b0_e2 = int(np.floor(b0 + 0.5))
+        b1_e6 = int(np.floor(b1 * 10_000 + 0.5))
+        r = y - (np.int64(b0_e2) + (np.int64(b1_e6) * x) // 10_000)
+        ar = np.abs(r)
+        thr = np.int64(delta_e2) * np.int64(sig_e2) // 100
+        down = ar > thr
+        w = np.where(down, np.maximum(1, thr * 10_000 // np.maximum(ar, 1)),
+                     10_000).astype(np.int64)
+        n_down = int(down.sum())
+        sw, swx, swy, swxx, swxy = wmom(w)
+        den = sw * swxx - swx * swx
+        b1 = (sw * swxy - swx * swy) / den
+        b0 = (swy - b1 * swx) / sw
+    exp = pd.DataFrame({
+        "slope_e6": [int(np.floor(b1 * 10_000 + 0.5))],
+        "intercept_e6": [int(np.floor(b0 * 10_000 + 0.5))],
+        "sigma_e2": [sig_e2],
+        "n_down": [n_down],
+        "n_rows": [len(x)],
+    })
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # bounded influence: downweighted rows exist and weights < 1 only there
+    assert n_down > 0
+    assert (w[down] < 10_000).all() and (w[~down] == 10_000).all()
