@@ -533,6 +533,15 @@ def _q_doc_ktruss(sf_dir: str):
     return doc_ktruss(sf_dir, k=3)
 
 
+def _q_doc_ppr_push(sf_dir: str):
+    """Local personalized PageRank via ACL push (rows-only: local
+    iterative algorithm; the twin proves the FOCS'06 invariant
+    0 ≤ exact − p ≤ ε·deg against a dense linear-solve PPR)."""
+    from opps_feedcrawler_ray.pipelines.webpipe import doc_ppr_push
+
+    return doc_ppr_push(sf_dir)
+
+
 def _q_warc_cdx_index(sf_dir: str):
     """WARC packing + CDX capture index (the web-archive random-access
     artifact; rows-only: byte geometry has no SQL twin; the e2e test
@@ -1037,6 +1046,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_cdc_chunks": _q_doc_cdc_chunks,
         "doc_maximal_matching": _q_doc_maximal_matching,
         "warc_cdx_index": _q_warc_cdx_index,
+        "doc_ppr_push": _q_doc_ppr_push,
         "host_hits": _q_host_hits,
         "host_components": _q_host_components,
         "host_kcore": _q_host_kcore,

@@ -268,6 +268,7 @@ QUERY_NAMES = [
     "warc_cdx_index",
     "events_holtwinters_forecast",
     "lineitem_huber_regression",
+    "doc_ppr_push",
 ]
 
 

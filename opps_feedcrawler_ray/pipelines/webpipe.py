@@ -2490,3 +2490,75 @@ def warc_cdx_index(sf_dir: str, n_files: int = 4,
             f.write("ok")
     out = build_cdx_index(warc_dir).to_pandas()
     return out.reset_index(drop=True)
+
+
+def doc_ppr_push(sf_dir: str, alpha: float = 0.15, eps: float = 1e-6,
+                 topk: int = 20, work_dir: str | None = None) -> "pd.DataFrame":
+    """LOCAL personalized PageRank via the ACL PUSH algorithm (Andersen,
+    Chung & Lang, FOCS 2006) from a deterministic seed doc (the
+    smallest doc id with an edge) — the LOCAL-computation member of the
+    graph family: unlike the global power iteration, push touches only
+    the neighborhood where mass actually lands, with total work
+    O(1/(α·ε)) independent of graph size.  Lazy-walk formulation:
+    while some r(v) ≥ ε·d(v):  p(v) += α·r(v);  r(v) ← (1−α)r(v)/2;
+    each neighbor u gets (1−α)r(v)/(2d(v)).  Nodes are processed in
+    ascending id order (deterministic single-threaded fold), so the
+    result is exactly reproducible.
+
+    Scale shape: the edge build is the shared distributed corpus parse;
+    the push itself walks a driver-side CSR of the TOUCHED neighborhood
+    (bounded by the push-work theorem, NOT the graph — this is the one
+    graph op where driver locality is the algorithm's point; the
+    global twin is host_pagerank).  Rows-only; the twin checks the ACL
+    invariant 0 ≤ exact_ppr − p ≤ ε·d elementwise against a dense
+    linear-solve PPR.
+
+    Returns topk (doc_id, ppr_e9) rows plus the seed marked, DESC."""
+    import pandas as pd
+
+    edges, n_docs, nb = _doc_link_edges(sf_dir, work_dir)
+    edf = edges.to_pandas()
+    if len(edf) == 0:
+        return pd.DataFrame({c: pd.Series(dtype="int64")
+                             for c in ["doc_id", "ppr_e9", "is_seed"]})
+    a = edf["a"].to_numpy(dtype=np.int64)
+    b = edf["b"].to_numpy(dtype=np.int64)
+    src = np.concatenate([a, b])
+    dst = np.concatenate([b, a])
+    order = np.argsort(src, kind="stable")
+    src, dst = src[order], dst[order]
+    nodes = np.unique(src)
+    starts = np.searchsorted(src, nodes)
+    ends = np.searchsorted(src, nodes, side="right")
+    deg = (ends - starts).astype(np.int64)
+    idx = {int(n): i for i, n in enumerate(nodes)}
+    seed = int(nodes.min())
+
+    p = {}
+    r = {seed: 1.0}
+    # ascending-id sweep until no residual exceeds eps·d — deterministic
+    while True:
+        hot = sorted(v for v, rv in r.items() if rv >= eps * deg[idx[v]])
+        if not hot:
+            break
+        for v in hot:
+            rv = r[v]
+            if rv < eps * deg[idx[v]]:
+                continue  # drained by an earlier neighbor this sweep
+            p[v] = p.get(v, 0.0) + alpha * rv
+            share = (1.0 - alpha) * rv / (2.0 * deg[idx[v]])
+            r[v] = (1.0 - alpha) * rv / 2.0
+            i = idx[v]
+            for u in dst[starts[i]:ends[i]]:
+                r[int(u)] = r.get(int(u), 0.0) + share
+
+    out = pd.DataFrame(
+        {"doc_id": list(p.keys()),
+         "ppr_e9": [int(np.floor(v * 1e9 + 0.5)) for v in p.values()]}
+    )
+    out["is_seed"] = (out["doc_id"] == seed).astype("int64")
+    return (
+        out.astype({"doc_id": "int64", "ppr_e9": "int64"})
+        .sort_values(["ppr_e9", "doc_id"], ascending=[False, True])
+        .head(topk).reset_index(drop=True)
+    )

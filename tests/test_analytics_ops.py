@@ -6246,3 +6246,41 @@ def test_lineitem_huber_regression_matches_numpy_replica(ray_session):
     # bounded influence: downweighted rows exist and weights < 1 only there
     assert n_down > 0
     assert (w[down] < 10_000).all() and (w[~down] == 10_000).all()
+
+
+def test_doc_ppr_push_satisfies_acl_invariant(ray_session):
+    """Push PPR must under-approximate the exact (dense linear solve)
+    lazy-walk PPR with per-node error at most eps·deg — the ACL FOCS'06
+    termination guarantee — and the seed must rank first."""
+    from opps_feedcrawler_ray.pipelines.webpipe import _doc_link_edges, doc_ppr_push
+
+    alpha, eps = 0.15, 1e-6
+    got = doc_ppr_push(SF, alpha=alpha, eps=eps, topk=20)
+
+    edges = _doc_link_edges(SF)[0].to_pandas()
+    nodes = sorted(set(edges["a"]) | set(edges["b"]))
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    A = np.zeros((n, n))
+    for a, b in zip(edges["a"], edges["b"]):
+        A[idx[a], idx[b]] += 1
+        A[idx[b], idx[a]] += 1
+    d = A.sum(axis=1)
+    W = 0.5 * (np.eye(n) + A / d[:, None])   # lazy walk
+    seed = min(nodes)
+    e = np.zeros(n)
+    e[idx[seed]] = 1.0
+    # ppr = alpha * e (I - (1-alpha) W)^-1  (row-vector form)
+    ppr = alpha * np.linalg.solve(
+        (np.eye(n) - (1 - alpha) * W).T, e
+    )
+    pvec = np.zeros(n)
+    for did, v in zip(got["doc_id"], got["ppr_e9"]):
+        pvec[idx[int(did)]] = v / 1e9
+    # the returned topk is a subset of p; check invariant on those nodes
+    for did in got["doc_id"]:
+        i = idx[int(did)]
+        err = ppr[i] - pvec[i]
+        assert err >= -1e-9, (did, err)
+        assert err <= eps * d[i] + 1e-9, (did, err, eps * d[i])
+    assert int(got.iloc[0]["doc_id"]) == seed and got.iloc[0]["is_seed"] == 1
