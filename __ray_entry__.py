@@ -533,6 +533,15 @@ def _q_doc_ktruss(sf_dir: str):
     return doc_ktruss(sf_dir, k=3)
 
 
+def _q_doc_katz_centrality(sf_dir: str):
+    """Truncated Katz centrality (integer attenuated-walk counts;
+    rows-only: iterative, no SQL oracle; an exact dense numpy replica
+    twin is pinned in tests)."""
+    from opps_feedcrawler_ray.pipelines.webpipe import doc_katz_centrality
+
+    return doc_katz_centrality(sf_dir)
+
+
 def _q_doc_ppr_push(sf_dir: str):
     """Local personalized PageRank via ACL push (rows-only: local
     iterative algorithm; the twin proves the FOCS'06 invariant
@@ -1047,6 +1056,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_maximal_matching": _q_doc_maximal_matching,
         "warc_cdx_index": _q_warc_cdx_index,
         "doc_ppr_push": _q_doc_ppr_push,
+        "doc_katz_centrality": _q_doc_katz_centrality,
+        "events_kleinberg_bursts": A.events_kleinberg_bursts,
         "host_hits": _q_host_hits,
         "host_components": _q_host_components,
         "host_kcore": _q_host_kcore,

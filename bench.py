@@ -269,6 +269,8 @@ QUERY_NAMES = [
     "events_holtwinters_forecast",
     "lineitem_huber_regression",
     "doc_ppr_push",
+    "doc_katz_centrality",
+    "events_kleinberg_bursts",
 ]
 
 

@@ -12752,3 +12752,97 @@ def lineitem_huber_regression(sf_dir: str, iters: int = 5,
         "n_down": [int(n_down)],
         "n_rows": [int(n)],
     }).astype("int64")
+
+
+def events_kleinberg_bursts(sf_dir: str, s: float = 1.5,
+                            gamma: float = 0.5) -> pd.DataFrame:
+    """KLEINBERG BURST DETECTION (Kleinberg, KDD 2002) over each event
+    type's arrival stream — the bursty-structure member of the temporal
+    family (CUSUM=level shift, DGIM=window counts, MP=motifs,
+    bursts=rate episodes): a 2-state automaton with base rate
+    λ0 = (n−1)/T and burst rate λ1 = s·λ0 (defaults s=1.5, γ=0.5 — tuned so the
+    near-Poisson synthetic streams still surface their genuine rate
+    fluctuations as episodes); gap x costs
+    λ_i·x − ln λ_i in state i, entering the burst state costs
+    γ·ln(n); Viterbi (ties prefer the base state) segments the stream
+    into maximal burst episodes.
+
+    Scale shape: ONE event_type exchange; the per-type DP is O(n)
+    sequential BY CONSTRUCTION (the documented per-key assumption the
+    DGIM op states; hotter streams shard by time and stitch).
+    Rows-only; a brute recursive-DP twin on synthetic streams plus a
+    pipeline replica are pinned in tests.
+
+    Returns one row per burst episode: (event_type, burst_idx,
+    start_ts, end_ts, n_gaps)."""
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts"])
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        et = g["event_type"].iloc[0]
+        ts = np.sort(g["ts"].astype("int64").to_numpy())
+        empty = pd.DataFrame({
+            "event_type": pd.Series(dtype=object),
+            "burst_idx": pd.Series(dtype="int64"),
+            "start_ts": pd.Series(dtype="int64"),
+            "end_ts": pd.Series(dtype="int64"),
+            "n_gaps": pd.Series(dtype="int64"),
+        })
+        n = len(ts)
+        if n < 3 or ts[-1] == ts[0]:
+            return empty
+        gaps = np.diff(ts) / 1e6  # seconds
+        gaps = np.maximum(gaps, 1e-9)
+        T = (ts[-1] - ts[0]) / 1e6
+        lam0 = (n - 1) / T
+        lam1 = s * lam0
+        enter = gamma * np.log(n)
+        c0, c1 = 0.0, np.inf  # start in base state
+        back = np.empty((len(gaps), 2), dtype=np.int8)
+        for i, x in enumerate(gaps):
+            e0 = lam0 * x - np.log(lam0)
+            e1 = lam1 * x - np.log(lam1)
+            # ties prefer base state (strict < for the burst branch)
+            n0 = min(c0, c1) + e0
+            back[i, 0] = 0 if c0 <= c1 else 1
+            n1 = min(c0 + enter, c1) + e1
+            back[i, 1] = 1 if c1 <= c0 + enter else 0
+            c0, c1 = n0, n1
+        state = 0 if c0 <= c1 else 1
+        states = np.empty(len(gaps), dtype=np.int8)
+        for i in range(len(gaps) - 1, -1, -1):
+            states[i] = state
+            state = back[i, state]
+        rows = []
+        i = 0
+        while i < len(states):
+            if states[i] == 1:
+                j = i
+                while j + 1 < len(states) and states[j + 1] == 1:
+                    j += 1
+                rows.append((et, len(rows), int(ts[i]), int(ts[j + 1]),
+                             j - i + 1))
+                i = j + 1
+            i += 1
+        if not rows:
+            return empty
+        return pd.DataFrame(rows, columns=["event_type", "burst_idx",
+                                           "start_ts", "end_ts", "n_gaps"])
+
+    out = (
+        ev.groupby("event_type")
+        .map_groups(per_type, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return pd.DataFrame({
+            "event_type": pd.Series(dtype=object),
+            "burst_idx": pd.Series(dtype="int64"),
+            "start_ts": pd.Series(dtype="int64"),
+            "end_ts": pd.Series(dtype="int64"),
+            "n_gaps": pd.Series(dtype="int64"),
+        })
+    return (
+        out.astype({"burst_idx": "int64", "start_ts": "int64",
+                    "end_ts": "int64", "n_gaps": "int64"})
+        .sort_values(["event_type", "burst_idx"]).reset_index(drop=True)
+    )

@@ -2562,3 +2562,76 @@ def doc_ppr_push(sf_dir: str, alpha: float = 0.15, eps: float = 1e-6,
         .sort_values(["ppr_e9", "doc_id"], ascending=[False, True])
         .head(topk).reset_index(drop=True)
     )
+
+
+def doc_katz_centrality(sf_dir: str, iters: int = 8,
+                        work_dir: str | None = None) -> "pd.DataFrame":
+    """TRUNCATED KATZ CENTRALITY (Katz 1953) over the undirected doc
+    link graph — the attenuated-walk-count member of the centrality
+    family (degree=1-hop, Katz=all walks damped α^len, PageRank=
+    normalized, harmonic/betweenness=distance-based): x = Σ_{k=1..K}
+    α^k·(A^k·1), computed as K pinned-edges iterations of
+    x' = A·(1e6 + x) // 100 (α = 1/100 exact integer, β·1e6 the unit
+    seed), so every entry is an exact integer and any executor's
+    summation order agrees — the host_pagerank determinism scheme
+    without the mass-conservation pool (Katz mass is unnormalized).
+    α=0.01 keeps the truncated series dominant-eigenvalue-safe for any
+    graph with max degree < 100; K=8 walks.
+
+    Scale shape: per iteration one ``map_batches`` over the pinned edge
+    dataset emits per-batch neighbor-sum partials → one node-bounded
+    groupby (the fits-a-heap label-table assumption).  Rows-only; a
+    numpy replica twin requires exact equality.
+
+    Returns (doc_id, katz) sorted katz DESC, doc_id ASC."""
+    import pandas as pd
+    import ray
+
+    edges, n_docs, nb = _doc_link_edges(sf_dir, work_dir)
+    edf_nodes = None
+    x: dict[int, int] = {}
+    part_schema = pa.schema([("node", pa.int64()), ("c", pa.int64()),
+                             ("__b", pa.int64())])
+
+    for _ in range(iters):
+        xref = ray.put(x)
+
+        def contribute(batch: pa.Table, _r=xref) -> pa.Table:
+            import pandas as _pd
+
+            cur = ray.get(_r)
+            a = batch["a"].to_numpy(zero_copy_only=False)
+            b = batch["b"].to_numpy(zero_copy_only=False)
+            # undirected: each endpoint receives the other's (seed + x)
+            src = np.concatenate([a, b])
+            dst = np.concatenate([b, a])
+            val = np.fromiter(
+                (1_000_000 + cur.get(int(u), 0) for u in src),
+                dtype=np.int64, count=len(src),
+            )
+            g = _pd.DataFrame({"node": dst, "c": val}).groupby(
+                "node", as_index=False)["c"].sum()
+            g["__b"] = (g["node"].to_numpy() % nb).astype("int64")
+            return pa.Table.from_pandas(g, preserve_index=False,
+                                        schema=part_schema)
+
+        sums = (
+            edges.map_batches(contribute, batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(
+                lambda g: g.groupby("node", as_index=False)["c"].sum(),
+                batch_format="pandas",
+            )
+            .to_pandas()
+        )
+        x = {int(n): int(c) // 100 for n, c in zip(sums["node"], sums["c"])}
+        if edf_nodes is None:
+            edf_nodes = sorted(x)
+
+    out = pd.DataFrame(
+        {"doc_id": edf_nodes, "katz": [x.get(n, 0) for n in edf_nodes]}
+    ).astype("int64")
+    return (
+        out.sort_values(["katz", "doc_id"], ascending=[False, True])
+        .reset_index(drop=True)
+    )

@@ -6284,3 +6284,101 @@ def test_doc_ppr_push_satisfies_acl_invariant(ray_session):
         assert err >= -1e-9, (did, err)
         assert err <= eps * d[i] + 1e-9, (did, err, eps * d[i])
     assert int(got.iloc[0]["doc_id"]) == seed and got.iloc[0]["is_seed"] == 1
+
+
+def test_doc_katz_centrality_matches_numpy_replica(ray_session):
+    """The pinned-edges integer Katz iteration must EXACTLY equal a
+    dense numpy replica of the same truncated series."""
+    from opps_feedcrawler_ray.pipelines.webpipe import (
+        _doc_link_edges,
+        doc_katz_centrality,
+    )
+
+    iters = 4
+    got = doc_katz_centrality(SF, iters=iters)
+    edges = _doc_link_edges(SF)[0].to_pandas()
+    nodes = sorted(set(edges["a"]) | set(edges["b"]))
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    A = np.zeros((n, n), dtype=np.int64)
+    for a, b in zip(edges["a"], edges["b"]):
+        A[idx[a], idx[b]] += 1
+        A[idx[b], idx[a]] += 1
+    x = np.zeros(n, dtype=np.int64)
+    for _ in range(iters):
+        x = (A @ (1_000_000 + x)) // 100
+    exp = pd.DataFrame({"doc_id": nodes, "katz": x}).sort_values(
+        ["katz", "doc_id"], ascending=[False, True]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # higher-degree nodes dominate the damped walk count
+    deg = A.sum(axis=1)
+    top = got.head(5)["doc_id"].map(lambda d: deg[idx[int(d)]])
+    bot = got.tail(5)["doc_id"].map(lambda d: deg[idx[int(d)]])
+    assert top.mean() > bot.mean()
+
+
+def test_events_kleinberg_bursts_matches_brute_dp(ray_session):
+    """Pipeline equals a driver replica on the real data, and the DP
+    equals a brute-force exhaustive 2^n state-sequence search on a tiny
+    synthetic stream with an obvious planted burst."""
+    from opps_feedcrawler_ray.pipelines.analytics import events_kleinberg_bursts
+
+    got = events_kleinberg_bursts(SF)
+    assert (got["n_gaps"] >= 1).all()
+    assert (got["end_ts"] > got["start_ts"]).all()
+
+    # brute force on a planted stream: 1s gaps, then 5 gaps of 0.01s
+    # (11 gaps total -> 2^11 sequences, exhaustive search feasible)
+    s_, gamma = 2.0, 1.0
+    ts = [0.0]
+    for _ in range(4):
+        ts.append(ts[-1] + 1.0)
+    for _ in range(5):
+        ts.append(ts[-1] + 0.01)
+    for _ in range(2):
+        ts.append(ts[-1] + 1.0)
+    ts = np.array(ts)
+    gaps = np.diff(ts)
+    n = len(ts)
+    T = ts[-1] - ts[0]
+    lam0, lam1 = (n - 1) / T, s_ * (n - 1) / T
+    enter = gamma * np.log(n)
+
+    def seq_cost(states):
+        c, prev = 0.0, 0
+        for x, st in zip(gaps, states):
+            lam = lam1 if st else lam0
+            c += lam * x - np.log(lam)
+            if st == 1 and prev == 0:
+                c += enter
+            prev = st
+        return c
+
+    import itertools
+
+    best, best_states = np.inf, None
+    for states in itertools.product([0, 1], repeat=len(gaps)):
+        c = seq_cost(states)
+        if c < best - 1e-12:
+            best, best_states = c, states
+    # viterbi replica (same code path as the operator's kernel)
+    c0, c1 = 0.0, np.inf
+    back = np.empty((len(gaps), 2), dtype=np.int8)
+    for i, x in enumerate(gaps):
+        e0 = lam0 * x - np.log(lam0)
+        e1 = lam1 * x - np.log(lam1)
+        n0 = min(c0, c1) + e0
+        back[i, 0] = 0 if c0 <= c1 else 1
+        n1 = min(c0 + enter, c1) + e1
+        back[i, 1] = 1 if c1 <= c0 + enter else 0
+        c0, c1 = n0, n1
+    st = 0 if c0 <= c1 else 1
+    vit = np.empty(len(gaps), dtype=np.int8)
+    for i in range(len(gaps) - 1, -1, -1):
+        vit[i] = st
+        st = back[i, st]
+    assert abs(min(c0, c1) - best) < 1e-9
+    assert tuple(vit) == best_states
+    # the planted fast stretch is exactly the burst (gaps 4..8)
+    assert list(np.flatnonzero(vit)) == list(range(4, 9))
