@@ -533,6 +533,15 @@ def _q_doc_ktruss(sf_dir: str):
     return doc_ktruss(sf_dir, k=3)
 
 
+def _q_host_spectral_embedding(sf_dir: str):
+    """Laplacian-eigenmap spectral embedding of the host graph
+    (rows-only: eigensolve; the twin verifies L·v = λ·v, unit norm,
+    and the Fiedler-connectivity property)."""
+    from opps_feedcrawler_ray.pipelines.webpipe import host_spectral_embedding
+
+    return host_spectral_embedding(sf_dir)
+
+
 def _q_doc_katz_centrality(sf_dir: str):
     """Truncated Katz centrality (integer attenuated-walk counts;
     rows-only: iterative, no SQL oracle; an exact dense numpy replica
@@ -1058,6 +1067,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ppr_push": _q_doc_ppr_push,
         "doc_katz_centrality": _q_doc_katz_centrality,
         "events_kleinberg_bursts": A.events_kleinberg_bursts,
+        "host_spectral_embedding": _q_host_spectral_embedding,
+        "events_sinkhorn_ot": A.events_sinkhorn_ot,
         "host_hits": _q_host_hits,
         "host_components": _q_host_components,
         "host_kcore": _q_host_kcore,

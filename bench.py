@@ -271,6 +271,8 @@ QUERY_NAMES = [
     "doc_ppr_push",
     "doc_katz_centrality",
     "events_kleinberg_bursts",
+    "host_spectral_embedding",
+    "events_sinkhorn_ot",
 ]
 
 

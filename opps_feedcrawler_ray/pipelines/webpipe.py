@@ -2635,3 +2635,59 @@ def doc_katz_centrality(sf_dir: str, iters: int = 8,
         out.sort_values(["katz", "doc_id"], ascending=[False, True])
         .reset_index(drop=True)
     )
+
+
+def host_spectral_embedding(sf_dir: str, k: int = 2,
+                            work_dir: str | None = None) -> "pd.DataFrame":
+    """SPECTRAL EMBEDDING of the host link graph (Laplacian eigenmaps,
+    Belkin & Niyogi 2003; normalized cut spectra, Shi & Malik 2000) —
+    the spectral member of the graph family: coordinates = the k
+    eigenvectors of the symmetric normalized Laplacian
+    L = I − D^{−1/2}·A·D^{−1/2} with the smallest non-trivial
+    eigenvalues.  λ₂ (the Fiedler value) > 0 iff the graph is
+    connected, and the λ₂ eigenvector is the classic bisection
+    direction.
+
+    Determinism: the edge weights are exact integers, numpy ``eigh``
+    on the fixed matrix is deterministic, and each eigenvector's sign
+    is fixed by making its largest-|entry| coordinate positive
+    (first index on ties).
+
+    Scale shape: the distributed corpus parse reduces to the ≤|hosts|²
+    edge census (the host_link_graph exchange); the eigensolve is
+    driver math on that bounded matrix — the documented
+    hosts-fit-a-heap assumption (a 10^8-host graph swaps eigh for
+    distributed Lanczos over the same pinned-edges multiply the
+    PageRank family uses).  Rows-only; the twin verifies the eigen
+    equations, orthonormality and the Fiedler-connectivity property.
+
+    Returns (host, then for i in 1..k: lam{i}_e9, x{i}_e6)."""
+    import pandas as pd
+
+    edges_df = host_link_graph(sf_dir, work_dir=work_dir)
+    hosts = sorted(set(edges_df["src_host"]) | set(edges_df["dst_host"]))
+    n = len(hosts)
+    if n == 0:
+        return pd.DataFrame({"host": pd.Series(dtype=object)})
+    idx = {h: i for i, h in enumerate(hosts)}
+    A = np.zeros((n, n))
+    for s, d, w in zip(edges_df["src_host"], edges_df["dst_host"],
+                       edges_df["n_links"]):
+        if s == d:
+            continue  # self-loops don't affect cuts
+        A[idx[s], idx[d]] += w
+        A[idx[d], idx[s]] += w
+    deg = A.sum(axis=1)
+    deg = np.where(deg == 0, 1.0, deg)
+    dmh = 1.0 / np.sqrt(deg)
+    L = np.eye(n) - dmh[:, None] * A * dmh[None, :]
+    vals, vecs = np.linalg.eigh(L)
+    out = pd.DataFrame({"host": hosts})
+    for i in range(1, k + 1):
+        v = vecs[:, i]
+        j = int(np.argmax(np.abs(v)))
+        if v[j] < 0:
+            v = -v
+        out[f"lam{i}_e9"] = int(np.floor(vals[i] * 1e9 + 0.5))
+        out[f"x{i}_e6"] = np.floor(v * 1e6 + 0.5).astype("int64")
+    return out.sort_values("host").reset_index(drop=True)

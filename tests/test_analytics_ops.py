@@ -6382,3 +6382,79 @@ def test_events_kleinberg_bursts_matches_brute_dp(ray_session):
     assert tuple(vit) == best_states
     # the planted fast stretch is exactly the burst (gaps 4..8)
     assert list(np.flatnonzero(vit)) == list(range(4, 9))
+
+
+def test_host_spectral_embedding_eigen_equations(ray_session):
+    """Returned coordinates must satisfy L·v = λ·v for the normalized
+    Laplacian rebuilt from the edge census, be unit-norm, and show a
+    positive Fiedler value on the connected host graph."""
+    from opps_feedcrawler_ray.pipelines.webpipe import (
+        host_link_graph,
+        host_spectral_embedding,
+    )
+
+    got = host_spectral_embedding(SF, k=2)
+    edges = host_link_graph(SF)
+    hosts = sorted(set(edges["src_host"]) | set(edges["dst_host"]))
+    idx = {h: i for i, h in enumerate(hosts)}
+    n = len(hosts)
+    A = np.zeros((n, n))
+    for s, d, w in zip(edges["src_host"], edges["dst_host"], edges["n_links"]):
+        if s != d:
+            A[idx[s], idx[d]] += w
+            A[idx[d], idx[s]] += w
+    deg = np.where(A.sum(axis=1) == 0, 1.0, A.sum(axis=1))
+    dmh = 1.0 / np.sqrt(deg)
+    L = np.eye(n) - dmh[:, None] * A * dmh[None, :]
+    got = got.sort_values("host").reset_index(drop=True)
+    assert list(got["host"]) == hosts
+    for i in (1, 2):
+        lam = got[f"lam{i}_e9"].iloc[0] / 1e9
+        v = got[f"x{i}_e6"].to_numpy() / 1e6
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-2  # unit norm (e6 rounding)
+        assert np.abs(L @ v - lam * v).max() < 1e-2
+    assert got["lam1_e9"].iloc[0] > 0  # Fiedler value: graph connected
+
+
+def test_events_sinkhorn_ot_properties(ray_session):
+    """Transport plan marginals must match the histograms, the entropic
+    distance must sit above the exact 1-D EMD (positive gap), and the
+    pipeline must equal a driver replica."""
+    from opps_feedcrawler_ray.pipelines.analytics import events_sinkhorn_ot
+
+    bins, eps, iters = 20, 0.05, 200
+    got = events_sinkhorn_ot(SF, bins=bins, eps=eps, iters=iters)
+    assert (got["gap_e6"] > 0).all()
+    assert (got["sinkhorn_e6"] > got["emd_e6"]).all()
+
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "value"])
+    types = sorted(ev["event_type"].unique())
+    hist = {}
+    for et in types:
+        v = ev.loc[ev["event_type"] == et, "value"].to_numpy()
+        b = np.clip((v / 100.0 * bins).astype(np.int64), 0, bins - 1)
+        h = np.bincount(b, minlength=bins).astype(np.float64)
+        hist[et] = h / h.sum()
+    i = np.arange(bins)
+    C = np.abs(i[:, None] - i[None, :]) / (bins - 1)
+    K = np.exp(-C / eps)
+    rows = []
+    for ai in range(len(types)):
+        for bi in range(ai + 1, len(types)):
+            a, b = hist[types[ai]], hist[types[bi]]
+            emd = float(np.abs(np.cumsum(a - b)[:-1]).sum()) / (bins - 1)
+            u = np.ones(bins)
+            vv = np.ones(bins)
+            for _ in range(iters):
+                u = a / np.maximum(K @ vv, 1e-300)
+                vv = b / np.maximum(K.T @ u, 1e-300)
+            P = u[:, None] * K * vv[None, :]
+            assert np.abs(P.sum(axis=1) - a).max() < 1e-4
+            assert np.abs(P.sum(axis=0) - b).max() < 1e-4
+            rows.append((types[ai], types[bi],
+                         int(np.floor(emd * 1e6 + 0.5)),
+                         int(np.floor(float((P * C).sum()) * 1e6 + 0.5))))
+    exp = pd.DataFrame(rows, columns=["type_a", "type_b", "emd_e6",
+                                      "sinkhorn_e6"])
+    exp["gap_e6"] = exp["sinkhorn_e6"] - exp["emd_e6"]
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
