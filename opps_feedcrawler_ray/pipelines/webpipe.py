@@ -2594,21 +2594,31 @@ def doc_katz_centrality(sf_dir: str, iters: int = 8,
                              ("__b", pa.int64())])
 
     for _ in range(iters):
-        xref = ray.put(x)
+        if x:
+            xs = np.array(sorted(x), dtype=np.int64)
+            xv = np.array([x[int(n)] for n in xs], dtype=np.int64)
+        else:
+            xs = np.array([], dtype=np.int64)
+            xv = np.array([], dtype=np.int64)
+        xref = ray.put((xs, xv))
 
         def contribute(batch: pa.Table, _r=xref) -> pa.Table:
             import pandas as _pd
 
-            cur = ray.get(_r)
+            nodes_s, vals_s = ray.get(_r)
             a = batch["a"].to_numpy(zero_copy_only=False)
             b = batch["b"].to_numpy(zero_copy_only=False)
-            # undirected: each endpoint receives the other's (seed + x)
+            # undirected: each endpoint receives the other's (seed + x);
+            # sorted-array searchsorted lookup (the objstore fetch kernel)
             src = np.concatenate([a, b])
             dst = np.concatenate([b, a])
-            val = np.fromiter(
-                (1_000_000 + cur.get(int(u), 0) for u in src),
-                dtype=np.int64, count=len(src),
-            )
+            if len(nodes_s):
+                pos = np.searchsorted(nodes_s, src)
+                pos = np.clip(pos, 0, len(nodes_s) - 1)
+                hit = nodes_s[pos] == src
+                val = 1_000_000 + np.where(hit, vals_s[pos], 0)
+            else:
+                val = np.full(len(src), 1_000_000, dtype=np.int64)
             g = _pd.DataFrame({"node": dst, "c": val}).groupby(
                 "node", as_index=False)["c"].sum()
             g["__b"] = (g["node"].to_numpy() % nb).astype("int64")
