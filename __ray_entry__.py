@@ -1069,6 +1069,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_kleinberg_bursts": A.events_kleinberg_bursts,
         "host_spectral_embedding": _q_host_spectral_embedding,
         "events_sinkhorn_ot": A.events_sinkhorn_ot,
+        "events_platt_calibration": A.events_platt_calibration,
         "host_hits": _q_host_hits,
         "host_components": _q_host_components,
         "host_kcore": _q_host_kcore,

@@ -273,6 +273,7 @@ QUERY_NAMES = [
     "events_kleinberg_bursts",
     "host_spectral_embedding",
     "events_sinkhorn_ot",
+    "events_platt_calibration",
 ]
 
 

@@ -12928,3 +12928,82 @@ def events_sinkhorn_ot(sf_dir: str, bins: int = 20, eps: float = 0.05,
     return pd.DataFrame(
         rows, columns=["type_a", "type_b", "emd_e6", "sinkhorn_e6", "gap_e6"]
     ).astype({"emd_e6": "int64", "sinkhorn_e6": "int64", "gap_e6": "int64"})
+
+
+def events_platt_calibration(sf_dir: str, iters: int = 25) -> pd.DataFrame:
+    """PLATT SCALING (Platt 1999) of P(event_type = 'purchase' | value)
+    — the PARAMETRIC calibration twin of
+    :func:`events_isotonic_calibration` (sigmoid σ(a·v + b) vs PAVA's
+    monotone step curve), with Platt's prior-smoothed targets
+    t+ = (N₊+1)/(N₊+2), t− = 1/(N₋+2) so the fit never saturates.
+
+    Scale shape: the SAME domain-bounded (v_e2 → n, n_purchase)
+    exchange the isotonic op uses; the 2-parameter Newton then runs on
+    the driver over ≤|domain| bins — fixed ``iters`` iterations from
+    (a, b) = (0, ln(N₊/N₋)), deterministic double arithmetic in fixed
+    bin order.  Rows-only; the twin checks the replica, a stationary
+    gradient, and that binned sigmoid predictions track empirical
+    purchase rates.
+
+    Returns one row per distinct v_e2: (v_e2, n, n_pos, p_e9) plus the
+    fitted (a_e9, b_e9) repeated."""
+    from .dedup import coarse_buckets
+
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "value"])
+    nb = coarse_buckets(ev.count(), rows_per_task=65536)
+    schema = pa.schema([("v_e2", pa.int64()), ("n", pa.int64()),
+                        ("s", pa.int64()), ("__b", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["v_e2"] = np.floor(df["value"].to_numpy() * 100 + 0.5).astype("int64")
+        df["pos"] = (df["event_type"] == "purchase").astype("int64")
+        g = df.groupby("v_e2", as_index=False).agg(n=("pos", "size"),
+                                                   s=("pos", "sum"))
+        g["__b"] = (g["v_e2"].to_numpy() % nb).astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False, schema=schema)
+
+    hist = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(lambda g: g.groupby("v_e2", as_index=False)[["n", "s"]].sum(),
+                    batch_format="pandas")
+        .to_pandas().sort_values("v_e2").reset_index(drop=True)
+    )
+    a, b, hist = _platt_newton(hist, iters=iters)
+    v = hist["v_e2"].to_numpy(dtype=np.float64) / 100.0
+    p = 1.0 / (1.0 + np.exp(-(a * v + b)))
+    out = hist.rename(columns={"s": "n_pos"})[["v_e2", "n", "n_pos"]].copy()
+    out["p_e9"] = np.floor(p * 1e9 + 0.5).astype("int64")
+    out["a_e9"] = int(np.floor(a * 1e9 + 0.5))
+    out["b_e9"] = int(np.floor(b * 1e9 + 0.5))
+    return out.astype({c: "int64" for c in out.columns if c != "event_type"})
+
+
+def _platt_newton(hist: pd.DataFrame, iters: int = 25):
+    """Newton on Platt's smoothed-target cross-entropy over the binned
+    census: weights n per bin, targets t = (s·t₊ + (n−s)·t₋)/n folded
+    per bin (equivalent to per-row targets since the loss is linear in
+    t).  Returns (a, b, hist)."""
+    n = hist["n"].to_numpy(dtype=np.float64)
+    s = hist["s"].to_numpy(dtype=np.float64)
+    v = hist["v_e2"].to_numpy(dtype=np.float64) / 100.0
+    npos, nneg = float(s.sum()), float((n - s).sum())
+    tpos = (npos + 1.0) / (npos + 2.0)
+    tneg = 1.0 / (nneg + 2.0)
+    t = (s * tpos + (n - s) * tneg) / n  # per-bin mean target
+    a, b = 0.0, float(np.log((npos + 1.0) / (nneg + 1.0)))
+    for _ in range(iters):
+        z = a * v + b
+        p = 1.0 / (1.0 + np.exp(-z))
+        w = n * p * (1.0 - p)
+        g = n * (p - t)
+        ga, gb = float((g * v).sum()), float(g.sum())
+        haa = float((w * v * v).sum()) + 1e-12
+        hab = float((w * v).sum())
+        hbb = float(w.sum()) + 1e-12
+        det = haa * hbb - hab * hab
+        da = (gb * hab - ga * hbb) / det
+        db = (ga * hab - gb * haa) / det
+        a, b = a + da, b + db
+    return a, b, hist

@@ -6458,3 +6458,35 @@ def test_events_sinkhorn_ot_properties(ray_session):
                                       "sinkhorn_e6"])
     exp["gap_e6"] = exp["sinkhorn_e6"] - exp["emd_e6"]
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_events_platt_calibration_matches_replica_and_is_stationary(ray_session):
+    from opps_feedcrawler_ray.pipelines.analytics import (
+        _platt_newton,
+        events_platt_calibration,
+    )
+
+    got = events_platt_calibration(SF)
+
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "value"])
+    h = pd.DataFrame({
+        "v_e2": np.floor(ev["value"].to_numpy() * 100 + 0.5).astype("int64"),
+        "pos": (ev["event_type"] == "purchase").astype("int64"),
+    }).groupby("v_e2", as_index=False).agg(n=("pos", "size"), s=("pos", "sum"))
+    h = h.sort_values("v_e2").reset_index(drop=True)
+    a, b, _ = _platt_newton(h)
+    assert got["a_e9"].iloc[0] == int(np.floor(a * 1e9 + 0.5))
+    assert got["b_e9"].iloc[0] == int(np.floor(b * 1e9 + 0.5))
+    v = h["v_e2"].to_numpy(dtype=np.float64) / 100.0
+    p = 1.0 / (1.0 + np.exp(-(a * v + b)))
+    exp_p = np.floor(p * 1e9 + 0.5).astype("int64")
+    assert list(got["p_e9"]) == list(exp_p)
+    # Newton stationarity of the smoothed-target cross-entropy
+    n = h["n"].to_numpy(dtype=np.float64)
+    s = h["s"].to_numpy(dtype=np.float64)
+    npos, nneg = s.sum(), (n - s).sum()
+    t = (s * (npos + 1) / (npos + 2) + (n - s) / (nneg + 2)) / n
+    g = n * (p - t)
+    assert abs((g * v).sum()) < 1e-6 and abs(g.sum()) < 1e-6
+    # calibration: mean predicted rate tracks the smoothed base rate
+    assert abs((n * p).sum() / n.sum() - (n * t).sum() / n.sum()) < 1e-9
