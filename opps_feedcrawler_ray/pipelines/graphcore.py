@@ -1,0 +1,284 @@
+"""Bucketed distributed label exchange — the out-of-driver iterative
+graph core (VERDICT r4 task #1).
+
+Every iterative doc-graph op previously kept a ``{node: label}`` dict on
+the driver and re-broadcast it via ``ray.put`` each iteration.  That is
+fine while the label table fits the driver heap (hosts; sandbox docs)
+and it remains available as the ``exchange="broadcast"`` twin — but at
+10^10 documents the label table itself is the thing that must be
+distributed.  This module is the documented fallback, now code:
+
+  * Nodes are hash-partitioned into ``n_buckets`` buckets
+    (``node % n_buckets``) and co-partitioned with their edges: edges
+    are exchanged ONCE (one groupby shuffle, per-bucket Parquet spill
+    under ``work_dir``) keyed on the traversal-source endpoint, then
+    pinned in the object store as one ObjectRef per bucket — the return
+    ref of a remote read task, so edge bytes never touch the driver.
+  * Per-bucket label/state tables live in the object store the same
+    way.  The driver holds ONLY the B refs plus per-bucket change
+    counters (ints) — never a node-sized object.
+  * One iteration = B ``propose`` tasks (each joins its bucket's edges
+    with its bucket's labels and emits dst-bucket-partitioned
+    proposals, min/any-combined per task) + B ``merge`` tasks (each
+    folds the proposals addressed to its bucket into its label table
+    and reports how many rows changed).  Proposals flow task→task as
+    ObjectRefs; the driver ``ray.get``s only the integer change counts.
+  * Fixpoint = a full iteration with zero changes in every bucket.
+
+Scale shape: per iteration the exchange moves O(|frontier|) proposal
+rows through the object store in B×B slices; edges never move after the
+initial partition.  B is a knob — at 10^10 nodes pick B so one bucket's
+label table fits a worker heap (the driver never holds one either way).
+The B² proposal refs per iteration are bytes on the driver, not rows.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+__all__ = [
+    "partition_by_key",
+    "init_state_refs",
+    "bucketed_fixpoint",
+    "collect_state",
+    "write_state_parquet",
+    "map_state",
+]
+
+
+def _driver_get(refs):
+    """The ONLY ``ray.get`` the fixpoint driver loop performs — and a
+    structural proof obligation: every payload must be a scalar/tuple of
+    scalars (change counts, settle infos), never a node-sized table.
+    Asserted always-on (zero cost at these sizes) so the 'driver holds
+    refs + counters only' claim is enforced by code, not comment."""
+    vals = ray.get(refs)
+    for v in vals:
+        assert np.isscalar(v) or (
+            isinstance(v, tuple) and all(np.isscalar(x) for x in v)
+        ), f"driver-side get of non-scalar payload: {type(v)}"
+    return vals
+
+
+@ray.remote
+def _read_bucket_parquet(path: str, columns: list[str]) -> pd.DataFrame:
+    """Remote per-bucket Parquet read; the task's return ref IS the
+    pinned per-bucket table (bytes live in the object store, not the
+    driver)."""
+    if not os.path.exists(path):
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in columns})
+    df = pd.read_parquet(path, columns=columns)
+    return df.reset_index(drop=True)
+
+
+def partition_by_key(
+    ds: "rd.Dataset",
+    key_col: str,
+    n_buckets: int,
+    out_dir: str,
+    columns: list[str],
+    spill_transform: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
+) -> list["ray.ObjectRef"]:
+    """One groupby exchange: bucket ``ds`` rows by ``key_col %
+    n_buckets``, spill one Parquet file per bucket under ``out_dir``
+    (wiped first — stale buckets from a previous corpus must not
+    survive), and return B ObjectRefs to the per-bucket tables (loaded
+    by remote tasks — no driver materialization of row data).
+    ``spill_transform`` (e.g. ``drop_duplicates``) runs per bucket
+    inside the exchange task before the spill."""
+    import shutil
+
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    gb_field = pa.field("__gb", pa.int64())
+
+    def tag(batch: pa.Table) -> pa.Table:
+        key = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(gb_field, pa.array(key % n_buckets, pa.int64()))
+
+    def spill(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["__gb"].iloc[0])
+        part = g[columns].reset_index(drop=True)
+        if spill_transform is not None:
+            part = spill_transform(part).reset_index(drop=True)
+        part.to_parquet(os.path.join(out_dir, f"b{b}.parquet"))
+        return pd.DataFrame({"b": [b]})
+
+    (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__gb")
+        .map_groups(spill, batch_format="pandas")
+        .materialize()
+    )
+    return [
+        _read_bucket_parquet.remote(os.path.join(out_dir, f"b{b}.parquet"), columns)
+        for b in range(n_buckets)
+    ]
+
+
+@ray.remote
+def _init_state(maker: Callable[[int], pd.DataFrame], b: int) -> pd.DataFrame:
+    return maker(b)
+
+
+def init_state_refs(
+    maker: Callable[[int], pd.DataFrame], n_buckets: int
+) -> list["ray.ObjectRef"]:
+    """Per-bucket initial state tables, built inside remote tasks so the
+    driver never holds one (``maker(b)`` must return only bucket ``b``'s
+    rows — e.g. the BFS source row in its home bucket, empty
+    elsewhere)."""
+    return [_init_state.remote(maker, b) for b in range(n_buckets)]
+
+
+@ray.remote
+def _propose_task(
+    propose_fn: Callable, n_buckets: int, edges_df: pd.DataFrame, state_df: pd.DataFrame
+):
+    """Run the per-bucket propose step and split its output by
+    destination bucket (``node % n_buckets``).  Returns a B-tuple of
+    DataFrames (``num_returns=n_buckets`` at the call site), each
+    shipped directly to the one merge task that needs it."""
+    props = propose_fn(edges_df, state_df)
+    if props is None or not len(props):
+        empty = None
+        out = [empty] * n_buckets
+    else:
+        dstb = props["node"].to_numpy().astype(np.int64) % n_buckets
+        order = np.argsort(dstb, kind="stable")
+        props = props.iloc[order].reset_index(drop=True)
+        dstb = dstb[order]
+        bounds = np.searchsorted(dstb, np.arange(n_buckets + 1))
+        out = [
+            props.iloc[bounds[b]: bounds[b + 1]] if bounds[b] < bounds[b + 1] else None
+            for b in range(n_buckets)
+        ]
+    return tuple(out) if n_buckets > 1 else out[0]
+
+
+@ray.remote(num_returns=2)
+def _merge_task(merge_fn: Callable, state_df: pd.DataFrame, *prop_parts):
+    """Fold every proposal slice addressed to this bucket into its state
+    table.  Returns ``(new_state_df, n_changed)`` — the driver gets only
+    the int."""
+    parts = [p for p in prop_parts if p is not None and len(p)]
+    props = (
+        pd.concat(parts, ignore_index=True)
+        if parts
+        else pd.DataFrame()
+    )
+    new_state, n_changed = merge_fn(state_df, props)
+    return new_state, int(n_changed)
+
+
+def bucketed_fixpoint(
+    edge_refs: list["ray.ObjectRef"],
+    state_refs: list["ray.ObjectRef"],
+    propose_fn: Callable[[pd.DataFrame, pd.DataFrame], pd.DataFrame],
+    merge_fn: Callable[[pd.DataFrame, pd.DataFrame], tuple[pd.DataFrame, int]],
+    max_iters: int = 64,
+) -> tuple[list["ray.ObjectRef"], int]:
+    """Iterate propose→merge rounds until no bucket changes (or
+    ``max_iters``).  ``propose_fn(edges_df, state_df)`` returns a
+    DataFrame with a ``node`` column (destination node) plus payload;
+    ``merge_fn(state_df, props_df)`` returns ``(new_state, n_changed)``.
+    Both run inside Ray tasks over per-bucket tables; the driver touches
+    refs and integers only.  Returns ``(final_state_refs, iters_run)``.
+    """
+    n_buckets = len(edge_refs)
+    assert len(state_refs) == n_buckets
+    iters = 0
+    for _ in range(max_iters):
+        iters += 1
+        prop = [
+            _propose_task.options(num_returns=n_buckets).remote(
+                propose_fn, n_buckets, edge_refs[b], state_refs[b]
+            )
+            for b in range(n_buckets)
+        ]
+        if n_buckets == 1:
+            prop = [[prop[0]]]
+        new_refs: list = []
+        changed_refs: list = []
+        for b in range(n_buckets):
+            nl, ch = _merge_task.remote(
+                merge_fn, state_refs[b], *[prop[s][b] for s in range(n_buckets)]
+            )
+            new_refs.append(nl)
+            changed_refs.append(ch)
+        state_refs = new_refs
+        if sum(_driver_get(changed_refs)) == 0:
+            break
+    return state_refs, iters
+
+
+def collect_state(state_refs: list["ray.ObjectRef"]) -> pd.DataFrame:
+    """Final result collect — the ONE driver materialization, of the
+    op's OUTPUT (the driver contract returns a DataFrame).  At 100 TB
+    replace with a per-bucket ``write_parquet`` and return the paths;
+    nothing in the iteration above requires this step."""
+    parts = ray.get(state_refs)
+    parts = [p for p in parts if len(p)]
+    if not parts:
+        return pd.DataFrame()
+    return pd.concat(parts, ignore_index=True)
+
+
+@ray.remote
+def _write_bucket_parquet(state_df: pd.DataFrame, path: str) -> int:
+    state_df.reset_index(drop=True).to_parquet(path)
+    return int(len(state_df))
+
+
+def write_state_parquet(
+    state_refs: list["ray.ObjectRef"], out_dir: str
+) -> list[int]:
+    """The 100-TB finalizer: each bucket writes its own Parquet file
+    inside a task; the driver receives only per-bucket row counts.
+    Resumable output shape (one file per bucket) — the alternative to
+    ``collect_state`` when the result itself is node-sized."""
+    import shutil
+
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    refs = [
+        _write_bucket_parquet.remote(state_refs[b], os.path.join(out_dir, f"b{b}.parquet"))
+        for b in range(len(state_refs))
+    ]
+    return _driver_get(refs)
+
+
+@ray.remote
+def _state_update_task(fn: Callable, state_df: pd.DataFrame, *extra):
+    """Apply ``fn(state_df, *extra_dfs)`` in a task; returns
+    ``(new_state, info)`` where ``info`` is a small picklable summary
+    (counts).  Used by multi-phase algorithms (SCC) to transition
+    per-bucket state without driver round-trips."""
+    return fn(state_df, *[e for e in extra])
+
+
+def map_state(
+    fn: Callable, state_refs: list["ray.ObjectRef"], *extra_refs_lists
+) -> tuple[list["ray.ObjectRef"], list]:
+    """Per-bucket state transition: ``fn(state_b, *extras_b) ->
+    (new_state_b, info_b)``.  Returns ``(new_state_refs,
+    [info_b, ...])`` — infos are ray.get'd (must be small: ints/tuples),
+    states stay in the object store."""
+    pairs = [
+        _state_update_task.options(num_returns=2).remote(
+            fn, state_refs[b], *[lst[b] for lst in extra_refs_lists]
+        )
+        for b in range(len(state_refs))
+    ]
+    new_refs = [p[0] for p in pairs]
+    infos = _driver_get([p[1] for p in pairs])
+    return new_refs, infos

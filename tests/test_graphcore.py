@@ -1,0 +1,170 @@
+"""Tests for the bucketed out-of-driver label exchange (graphcore) —
+VERDICT r4 task #1.
+
+Three layers:
+  * equality twins: the bucketed exchange must produce IDENTICAL output
+    to the prior broadcast path on the corpus fixtures (BFS, SSSP, SCC);
+  * driver-heap proof: BFS over a synthetic 400k-node graph completes
+    with per-bucket Parquet output — every table the driver ``ray.get``s
+    during iteration is structurally asserted scalar-only
+    (``graphcore._driver_get``), per-bucket state stays ~|V|/B, and the
+    full label table is never driver-resident;
+  * core unit behavior: partition_by_key bucket layout + stale-dir wipe.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bfs_bucketed_equals_broadcast(ray_session, tmp_path):
+    from opps_feedcrawler_ray.pipelines.webpipe import doc_bfs_depth
+
+    b = doc_bfs_depth(SF, work_dir=str(tmp_path / "wb"), exchange="bucketed")
+    r = doc_bfs_depth(SF, work_dir=str(tmp_path / "wr"), exchange="broadcast")
+    pd.testing.assert_frame_equal(b, r)
+
+
+def test_sssp_bucketed_equals_broadcast(ray_session, tmp_path):
+    from opps_feedcrawler_ray.pipelines.webpipe import doc_sssp
+
+    b = doc_sssp(SF, work_dir=str(tmp_path / "wb"), exchange="bucketed")
+    r = doc_sssp(SF, work_dir=str(tmp_path / "wr"), exchange="broadcast")
+    pd.testing.assert_frame_equal(b, r)
+
+
+def test_scc_bucketed_equals_broadcast(ray_session, tmp_path):
+    from opps_feedcrawler_ray.pipelines.webpipe import doc_scc
+
+    b = doc_scc(SF, work_dir=str(tmp_path / "wb"), exchange="bucketed")
+    r = doc_scc(SF, work_dir=str(tmp_path / "wr"), exchange="broadcast")
+    pd.testing.assert_frame_equal(b, r)
+
+
+def test_bfs_bucketed_nondefault_bucket_count(ray_session, tmp_path):
+    """Output must be invariant to the bucket count (pure layout knob)."""
+    from opps_feedcrawler_ray.pipelines.webpipe import doc_bfs_depth
+
+    b3 = doc_bfs_depth(SF, work_dir=str(tmp_path / "w3"), n_buckets=3)
+    b1 = doc_bfs_depth(SF, work_dir=str(tmp_path / "w1"), n_buckets=1)
+    b8 = doc_bfs_depth(SF, work_dir=str(tmp_path / "w8"), n_buckets=8)
+    pd.testing.assert_frame_equal(b3, b8)
+    pd.testing.assert_frame_equal(b1, b8)
+
+
+def test_scc_bucketed_nondefault_bucket_count(ray_session, tmp_path):
+    from opps_feedcrawler_ray.pipelines.webpipe import doc_scc
+
+    b3 = doc_scc(SF, work_dir=str(tmp_path / "w3"), n_buckets=3)
+    b8 = doc_scc(SF, work_dir=str(tmp_path / "w8"), n_buckets=8)
+    pd.testing.assert_frame_equal(b3, b8)
+
+
+def _tree_edges_ds(n_nodes: int, fanout: int = 10):
+    """Synthetic shallow tree: node i (i>=1) has parent (i-1)//fanout —
+    depth grows logarithmically, so BFS converges in ~log_f(N) rounds.
+    Built via ray.data.range so the edge table is generated inside
+    tasks, not on the test driver."""
+    import ray.data as rd
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        child = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64) + 1
+        parent = (child - 1) // fanout
+        return pa.table({"a": pa.array(parent, pa.int64()),
+                         "b": pa.array(child, pa.int64())})
+
+    return rd.range(n_nodes - 1).map_batches(to_edges, batch_format="pyarrow")
+
+
+def test_bfs_bucketed_driver_heap_proof(ray_session, tmp_path):
+    """The out-of-driver claim, end to end on a graph whose label table
+    (400k rows) dwarfs any per-bucket slice: the run must complete with
+    per-bucket Parquet output (driver receives row COUNTS only — the
+    node-sized result never lands on the driver), per-bucket size must
+    stay ≈|V|/B, and every driver-side ``ray.get`` inside the fixpoint
+    loop is structurally asserted to be scalars (graphcore._driver_get
+    raises on any table-sized payload)."""
+    from opps_feedcrawler_ray.pipelines.webpipe import _relax_bucketed
+
+    n_nodes, fanout, n_buckets = 400_000, 10, 16
+    edges = _tree_edges_ds(n_nodes, fanout)
+    summary = _relax_bucketed(
+        edges, source=0, max_iters=20,
+        gc_dir=str(tmp_path / "gc"), n_buckets=n_buckets,
+        out_parquet=str(tmp_path / "out"),
+    )
+    # the driver-side return is B rows of counts, not 400k labels
+    assert len(summary) == n_buckets
+    assert int(summary["rows"].sum()) == n_nodes
+    assert int(summary["rows"].max()) <= int(1.5 * n_nodes / n_buckets)
+
+    # verify depths against the closed form, reading the per-bucket
+    # Parquet the way a downstream stage would
+    parts = [
+        pd.read_parquet(str(tmp_path / "out" / f"b{b}.parquet"))
+        for b in range(n_buckets)
+    ]
+    got = pd.concat(parts, ignore_index=True).sort_values("node")
+    assert len(got) == n_nodes
+    nodes = got["node"].to_numpy()
+    assert nodes.min() == 0 and nodes.max() == n_nodes - 1
+    # expected depth: #applications of child->(child-1)//fanout to reach 0
+    expect = np.zeros(n_nodes, dtype=np.int64)
+    cur = np.arange(n_nodes, dtype=np.int64)
+    for _ in range(30):
+        live = cur > 0
+        if not live.any():
+            break
+        expect[live] += 1
+        cur = np.where(live, (cur - 1) // fanout, cur)
+    np.testing.assert_array_equal(got["lab"].to_numpy(), expect[nodes])
+
+
+def test_driver_get_rejects_table_payloads(ray_session):
+    from opps_feedcrawler_ray.pipelines import graphcore as gc
+
+    import ray
+
+    ok = [ray.put(3), ray.put((1, 2))]
+    assert gc._driver_get(ok) == [3, (1, 2)]
+    bad = [ray.put(pd.DataFrame({"x": [1]}))]
+    with pytest.raises(AssertionError):
+        gc._driver_get(bad)
+
+
+def test_partition_by_key_layout_and_stale_wipe(ray_session, tmp_path):
+    import ray
+    import ray.data as rd
+
+    from opps_feedcrawler_ray.pipelines import graphcore as gc
+
+    out = str(tmp_path / "part")
+    ds = rd.from_arrow(
+        pa.table({"a": pa.array(list(range(100)), pa.int64()),
+                  "b": pa.array([1] * 100, pa.int64())})
+    )
+    refs = gc.partition_by_key(ds, "a", 4, out, ["a", "b"])
+    parts = ray.get(refs)
+    assert sum(len(p) for p in parts) == 100
+    for b, p in enumerate(parts):
+        if len(p):
+            assert (p["a"].to_numpy() % 4 == b).all()
+
+    # stale-bucket wipe: repartition with fewer rows must not resurrect
+    # old bucket files
+    ds2 = rd.from_arrow(
+        pa.table({"a": pa.array([0, 1], pa.int64()),
+                  "b": pa.array([9, 9], pa.int64())})
+    )
+    refs2 = gc.partition_by_key(ds2, "a", 4, out, ["a", "b"])
+    parts2 = ray.get(refs2)
+    assert sum(len(p) for p in parts2) == 2
+    assert len(parts2[2]) == 0 and len(parts2[3]) == 0
+    assert not os.path.exists(os.path.join(out, "b9.parquet"))
