@@ -753,6 +753,7 @@ def embedding_dedup_pairs(
     n_tables: int = 8,
     bits_per_table: int = 4,
     n_buckets: int | None = None,
+    stats: dict | None = None,
 ) -> pd.DataFrame:
     """Cosine near-dup, sub-quadratic path: MULTI-TABLE banded sign-LSH.
 
@@ -815,8 +816,13 @@ def embedding_dedup_pairs(
         .to_pandas()
     )
     if cand.empty:
+        if stats is not None:
+            stats["n_candidates"] = 0
         return _empty_cosine_pairs()
     cand = cand.drop_duplicates(subset=["a", "b"])
+    if stats is not None:
+        # candidate-generation cost probe (tests assert sub-quadratic)
+        stats["n_candidates"] = int(len(cand))
 
     def vec_features(batch: pa.Table, cand_arr) -> pa.Table:
         # ONE (id, feat) row per candidate vector — replication to verify
