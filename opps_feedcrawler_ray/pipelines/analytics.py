@@ -12230,7 +12230,10 @@ def _iforest_build(sample: np.ndarray, tree_id: int, psi: int):
         go_l = sample[rows, chosen] < cut
         if not go_l.any() or go_l.all():  # cut == a boundary value
             go_l = sample[rows, chosen] <= lo
-            cut = lo
+            # ADVICE r4: traversal routes with strict `< thr`, so the
+            # stored threshold must be the smallest float ABOVE lo for
+            # the scoring partition to match this build partition
+            cut = float(np.nextafter(lo, np.inf))
             if go_l.all():
                 return nid
         feat[nid] = chosen

@@ -333,8 +333,11 @@ def host_trustrank(
     )
     p = out["pagerank_e9"].to_numpy(dtype="int64")
     t = out["trustrank_e9"].to_numpy(dtype="int64")
-    # p ≥ 1 always: the uniform residual split gives every node ≥1 unit
-    out["spam_mass_e3"] = (p - t) * 1000 // p
+    # the uniform residual split gives every node ≥1 unit only while the
+    # residual pool (~1.5e8 units) covers every node; guard the divisor
+    # so node counts past that bound degrade instead of dividing by zero
+    # (ADVICE r4)
+    out["spam_mass_e3"] = (p - t) * 1000 // np.maximum(p, 1)
     out["is_seed"] = out["node"].isin(seeds).astype("int32")
     out = out.rename(columns={"node": "host"})[
         ["host", "trustrank_e9", "pagerank_e9", "spam_mass_e3", "is_seed"]
@@ -2793,11 +2796,19 @@ def warc_cdx_index(sf_dir: str, n_files: int = 4,
     work = work_dir or f"/tmp/opps_feedcrawler_ray/webpipe-{sf_tag}"
     paths = build_pages_from_documents(os.path.join(sf_dir, "documents.parquet"),
                                        os.path.join(work, "corpus"))
-    warc_dir = os.path.join(work, "warc")
+    # ADVICE r4: the packing cache must key on everything that changes
+    # the packing (n_files + corpus fingerprint), and concurrent runs
+    # must not see a half-written directory — build in a tmp dir and
+    # atomically rename into the keyed location.
+    corpus_fp = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")
+    ).num_rows
+    warc_dir = os.path.join(work, f"warc-n{n_files}-r{corpus_fp}")
     done = os.path.join(warc_dir, "_DONE")
     if not os.path.exists(done):
-        shutil.rmtree(warc_dir, ignore_errors=True)
-        os.makedirs(warc_dir, exist_ok=True)
+        tmp_dir = f"{warc_dir}.tmp-{os.getpid()}"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        os.makedirs(tmp_dir, exist_ok=True)
         pages = rd.read_parquet(paths["pages"])
 
         def bucketed(batch: pa.Table) -> pa.Table:
@@ -2808,7 +2819,7 @@ def warc_cdx_index(sf_dir: str, n_files: int = 4,
             )
             return batch.append_column("__b", b)
 
-        def write_file(g, _dir=warc_dir):
+        def write_file(g, _dir=tmp_dir):
             import pandas as _pd
 
             g = g.sort_values("url")
@@ -2825,8 +2836,13 @@ def warc_cdx_index(sf_dir: str, n_files: int = 4,
             .map_groups(write_file, batch_format="pandas")
             .to_pandas()
         )
-        with open(done, "w") as f:
+        with open(os.path.join(tmp_dir, "_DONE"), "w") as f:
             f.write("ok")
+        try:
+            os.rename(tmp_dir, warc_dir)  # atomic publish
+        except OSError:
+            # a concurrent run published first — use its copy
+            shutil.rmtree(tmp_dir, ignore_errors=True)
     out = build_cdx_index(warc_dir).to_pandas()
     return out.reset_index(drop=True)
 

@@ -728,10 +728,13 @@ def iter_gzip_members(blob: bytes):
     records."""
     import zlib
 
+    mv = memoryview(blob)  # ADVICE r4: per-member slices of the raw
+    # bytes copied O(members × file_size) on ~GB WARCs; memoryview
+    # slicing is zero-copy so each member costs only its own bytes
     pos, n = 0, len(blob)
     while pos < n:
         d = zlib.decompressobj(wbits=31)
-        out = d.decompress(blob[pos:])
+        out = d.decompress(mv[pos:])
         if not d.eof:  # truncated trailing member — stop cleanly
             break
         comp_len = (n - pos) - len(d.unused_data)

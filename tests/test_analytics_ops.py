@@ -6137,7 +6137,9 @@ def test_warc_cdx_index_random_access_contract(ray_session, tmp_path):
     key = list(zip(idx["surt"], idx["ts14"]))
     assert key == sorted(key)
 
-    warc_dir = f"{work}/warc"
+    import glob
+
+    (warc_dir,) = glob.glob(f"{work}/warc-n*")  # keyed cache dir
     blobs = {}
     for i in np.linspace(0, len(idx) - 1, 25).astype(int):
         r = idx.iloc[i]
