@@ -2305,3 +2305,31 @@ def test_max_hops_mutually_exclusive(ray_session, tmp_path_factory):
 def test_max_hops_off_schema_frozen(smoke):
     """Flag-off runs carry NO hops column — goldens stay frozen."""
     assert "hops" not in smoke["log"].column_names
+
+
+def test_combined_exact_and_pending_spill_kill_resume(smoke):
+    """VERDICT r4 task #6: BOTH disk-backed frontier state paths live in
+    the SAME run across a kill/resume — the exact seen-set spills
+    (threshold 64) AND the pending queue spills (threshold 12)
+    simultaneously; the partial run must leave both spill-artifact
+    families on disk at the kill point, and the resumed run's crawl log
+    and exported seen set must be byte-identical to the uninterrupted
+    in-memory reference run."""
+    out = f"{smoke['tmp']}/out_combspill"
+    both = dict(
+        pages_path=smoke["corpus"]["pages"],
+        seeds_path=smoke["corpus"]["seeds"],
+        out_dir=out, num_frontier_actors=2, politeness_budget=8,
+        num_buckets=4, num_fetch_actors=2,
+        exact_spill_threshold=64,
+        pending_spill_threshold=12, pending_spill_keep=8,
+    )
+    crawl(CrawlConfig(**both, max_rounds=2))  # kill mid-crawl
+    esegs = glob.glob(f"{out}/exact_spill/shard-*/seg-*.parquet")
+    psegs = glob.glob(f"{out}/pending_spill/shard-*/pseg-*.parquet")
+    assert esegs, "exact seen-set must have spilled before the kill"
+    assert psegs, "pending queue must have spilled before the kill"
+    crawl(CrawlConfig(**both, resume=True))
+    assert read_log(out).equals(smoke["log"])
+    seen = pq.read_table(f"{out}/seen_set")
+    assert seen.equals(smoke["seen"])
