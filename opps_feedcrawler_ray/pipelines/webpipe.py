@@ -2919,8 +2919,88 @@ def doc_ppr_push(sf_dir: str, alpha: float = 0.15, eps: float = 1e-6,
     )
 
 
+def _katz_bucketed(edges_ds, iters: int, gc_dir: str,
+                   n_buckets: int) -> "pd.DataFrame":
+    """Out-of-driver Katz (VERDICT r4 task #1 family): the undirected
+    edge set expands to directed contributions ONCE and co-partitions
+    with the rank table by source bucket; each iteration's integer
+    neighbor sums flow dst-bucket-partitioned through the ``graphcore``
+    exchange with per-task partial sums, the merge REPLACES each
+    bucket's rank rows (x' is a fresh sum, so exact integer // 100
+    after the full per-node fold — identical to the broadcast twin by
+    associativity of integer addition), and the driver holds refs +
+    counters for exactly ``iters`` rounds."""
+    import pandas as pd
+
+    from . import graphcore as gc
+
+    def expand(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"a": pa.array(np.concatenate([a, b]), pa.int64()),
+                         "b": pa.array(np.concatenate([b, a]), pa.int64())})
+
+    directed = edges_ds.map_batches(expand, batch_format="pyarrow")
+    edge_refs = gc.partition_by_key(directed, "a", n_buckets, gc_dir, ["a", "b"])
+
+    def init(_b: int) -> pd.DataFrame:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64") for c in ("node", "lab")}
+        )
+
+    state_refs = gc.init_state_refs(init, n_buckets)
+
+    def propose(edges_df: pd.DataFrame, st: pd.DataFrame):
+        if not len(edges_df):
+            return None
+        src = edges_df["a"].to_numpy(dtype="int64")
+        dst = edges_df["b"].to_numpy(dtype="int64")
+        if len(st):
+            nodes_s = st["node"].to_numpy()  # merge keeps this sorted
+            vals_s = st["lab"].to_numpy()
+            pos = np.clip(np.searchsorted(nodes_s, src), 0, len(nodes_s) - 1)
+            hit = nodes_s[pos] == src
+            val = 1_000_000 + np.where(hit, vals_s[pos], 0)
+        else:
+            val = np.full(len(src), 1_000_000, dtype=np.int64)
+        return (
+            pd.DataFrame({"node": dst, "nd": val})
+            .groupby("node", as_index=False)["nd"]
+            .sum()
+        )
+
+    def merge(st: pd.DataFrame, props: pd.DataFrame):
+        # replace semantics: x' is rebuilt from this round's sums; the
+        # constant changed=1 makes bucketed_fixpoint run exactly
+        # max_iters rounds (truncated series, not a fixpoint)
+        if not len(props):
+            return st.iloc[0:0], 1
+        p = props.groupby("node", as_index=False)["nd"].sum()
+        new = pd.DataFrame(
+            {"node": p["node"].to_numpy(dtype="int64"),
+             "lab": p["nd"].to_numpy(dtype="int64") // 100}
+        ).sort_values("node").reset_index(drop=True)
+        return new, 1
+
+    state_refs, _ = gc.bucketed_fixpoint(
+        edge_refs, state_refs, propose, merge, max_iters=iters
+    )
+    out = gc.collect_state(state_refs)
+    if not len(out):
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "katz": pd.Series([], dtype="int64")})
+    out = out[["node", "lab"]].rename(columns={"node": "doc_id", "lab": "katz"})
+    return (
+        out.astype({"doc_id": "int64", "katz": "int64"})
+        .sort_values(["katz", "doc_id"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+
+
 def doc_katz_centrality(sf_dir: str, iters: int = 8,
-                        work_dir: str | None = None) -> "pd.DataFrame":
+                        work_dir: str | None = None,
+                        exchange: str = "bucketed",
+                        n_buckets: int = 8) -> "pd.DataFrame":
     """TRUNCATED KATZ CENTRALITY (Katz 1953) over the undirected doc
     link graph — the attenuated-walk-count member of the centrality
     family (degree=1-hop, Katz=all walks damped α^len, PageRank=
@@ -2933,16 +3013,25 @@ def doc_katz_centrality(sf_dir: str, iters: int = 8,
     α=0.01 keeps the truncated series dominant-eigenvalue-safe for any
     graph with max degree < 100; K=8 walks.
 
-    Scale shape: per iteration one ``map_batches`` over the pinned edge
-    dataset emits per-batch neighbor-sum partials → one node-bounded
-    groupby (the fits-a-heap label-table assumption).  Rows-only; a
-    numpy replica twin requires exact equality.
+    Scale shape: ``exchange="bucketed"`` (default, VERDICT r4 task #1
+    family) routes the per-iteration integer sums through the
+    ``graphcore`` out-of-driver exchange — rank rows co-partitioned
+    with their edges, driver holds refs + counters only;
+    ``"broadcast"`` keeps the prior shape (one ``map_batches`` over the
+    pinned edge dataset + node-bounded groupby per iteration, the
+    fits-a-heap label-table assumption) as the equality twin.
+    Rows-only; a numpy replica twin requires exact equality.
 
     Returns (doc_id, katz) sorted katz DESC, doc_id ASC."""
     import pandas as pd
     import ray
 
     edges, n_docs, nb = _doc_link_edges(sf_dir, work_dir)
+    if exchange == "bucketed":
+        sf_tag = os.path.basename(os.path.normpath(sf_dir))
+        work = work_dir or f"/tmp/opps_feedcrawler_ray/webpipe-{sf_tag}"
+        return _katz_bucketed(edges, iters, os.path.join(work, "gc_katz"),
+                              n_buckets)
     edf_nodes = None
     x: dict[int, int] = {}
     part_schema = pa.schema([("node", pa.int64()), ("c", pa.int64()),

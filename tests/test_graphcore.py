@@ -198,3 +198,14 @@ def test_host_spectral_k_clamped_small_graph(ray_session):
         # exactly n-1 non-trivial eigenpairs are emitted
         lam_cols = [c for c in out.columns if c.startswith("lam")]
         assert len(lam_cols) == n - 1
+
+
+def test_katz_bucketed_equals_broadcast(ray_session, tmp_path):
+    """Exact integer equality between the out-of-driver exchange and
+    the broadcast twin (associativity of integer addition — same sums,
+    same // 100, any partitioning)."""
+    from opps_feedcrawler_ray.pipelines.webpipe import doc_katz_centrality
+
+    b = doc_katz_centrality(SF, work_dir=str(tmp_path / "wb"), exchange="bucketed")
+    r = doc_katz_centrality(SF, work_dir=str(tmp_path / "wr"), exchange="broadcast")
+    pd.testing.assert_frame_equal(b, r)
