@@ -168,14 +168,19 @@ def _propose_task(
 def _merge_task(merge_fn: Callable, state_df: pd.DataFrame, *prop_parts):
     """Fold every proposal slice addressed to this bucket into its state
     table.  Returns ``(new_state_df, n_changed)`` — the driver gets only
-    the int."""
+    the int — or ``(new_state_df, (n_changed, info))`` when the merge
+    also emits a scalar per-bucket info (e.g. a per-round aggregate)."""
     parts = [p for p in prop_parts if p is not None and len(p)]
     props = (
         pd.concat(parts, ignore_index=True)
         if parts
         else pd.DataFrame()
     )
-    new_state, n_changed = merge_fn(state_df, props)
+    res = merge_fn(state_df, props)
+    if len(res) == 3:
+        new_state, n_changed, info = res
+        return new_state, (int(n_changed), info)
+    new_state, n_changed = res
     return new_state, int(n_changed)
 
 
@@ -183,19 +188,24 @@ def bucketed_fixpoint(
     edge_refs: list["ray.ObjectRef"],
     state_refs: list["ray.ObjectRef"],
     propose_fn: Callable[[pd.DataFrame, pd.DataFrame], pd.DataFrame],
-    merge_fn: Callable[[pd.DataFrame, pd.DataFrame], tuple[pd.DataFrame, int]],
+    merge_fn: Callable[[pd.DataFrame, pd.DataFrame], tuple],
     max_iters: int = 64,
-) -> tuple[list["ray.ObjectRef"], int]:
+    collect_infos: bool = False,
+) -> tuple:
     """Iterate propose→merge rounds until no bucket changes (or
     ``max_iters``).  ``propose_fn(edges_df, state_df)`` returns a
     DataFrame with a ``node`` column (destination node) plus payload;
-    ``merge_fn(state_df, props_df)`` returns ``(new_state, n_changed)``.
-    Both run inside Ray tasks over per-bucket tables; the driver touches
-    refs and integers only.  Returns ``(final_state_refs, iters_run)``.
-    """
+    ``merge_fn(state_df, props_df)`` returns ``(new_state, n_changed)``
+    or ``(new_state, n_changed, info_scalar)``.  Both run inside Ray
+    tasks over per-bucket tables; the driver touches refs and scalars
+    only.  Returns ``(final_state_refs, iters_run)`` — or, with
+    ``collect_infos=True``, ``(final_state_refs, iters_run, infos)``
+    where ``infos[t]`` is the per-bucket list of ``(n_changed, info)``
+    tuples for iteration t."""
     n_buckets = len(edge_refs)
     assert len(state_refs) == n_buckets
     iters = 0
+    infos: list[list] = []
     for _ in range(max_iters):
         iters += 1
         prop = [
@@ -215,8 +225,16 @@ def bucketed_fixpoint(
             new_refs.append(nl)
             changed_refs.append(ch)
         state_refs = new_refs
-        if sum(_driver_get(changed_refs)) == 0:
+        vals = _driver_get(changed_refs)
+        if collect_infos:
+            infos.append(
+                [v if isinstance(v, tuple) else (v, None) for v in vals]
+            )
+        total = sum(v[0] if isinstance(v, tuple) else v for v in vals)
+        if total == 0:
             break
+    if collect_infos:
+        return state_refs, iters, infos
     return state_refs, iters
 
 

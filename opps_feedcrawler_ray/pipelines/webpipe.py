@@ -1528,8 +1528,148 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     return z ^ (z >> np.uint64(31))
 
 
+def _hyperball_bucketed(
+    sf_dir: str, p: int = 8, max_iters: int = 32, work_dir: str | None = None,
+    n_buckets: int = 8,
+):
+    """Out-of-driver HyperBall (VERDICT r4 task #1 family): per-node HLL
+    registers live as per-bucket object-store pins co-partitioned with
+    the (expanded, directed) edges; only counters that CHANGED last
+    round propagate (the Boldi-Vigna systolic optimization — exact by
+    max-merge idempotence: an unchanged source's registers were already
+    absorbed a round earlier), per-destination max-reduce runs inside
+    the propose task, and each merge max-folds its bucket, recomputes
+    estimates for changed rows only, accumulates the per-node harmonic
+    telescope in bucket state, and reports (changed, Σest) scalars.
+    The driver holds refs + per-round scalar sums.
+
+    Returns ``(nf_sums, state_refs)``: the per-round N(t) totals and the
+    final per-bucket state (node, regs, est, harm) refs."""
+    import pandas as pd
+
+    import ray  # noqa: F401  (graphcore owns the task plumbing)
+
+    from ..functions.sketch import hll_estimate_rows, hll_init_rows
+    from . import graphcore as gc
+
+    edges, _n_docs, _nb = _doc_link_edges(sf_dir, work_dir=work_dir)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    work = work_dir or f"/tmp/opps_feedcrawler_ray/webpipe-{sf_tag}"
+    gc_dir = os.path.join(work, "gc_hb")
+    m = 1 << p
+
+    def expand(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"a": pa.array(np.concatenate([a, b]), pa.int64()),
+                         "b": pa.array(np.concatenate([b, a]), pa.int64())})
+
+    directed = edges.map_batches(expand, batch_format="pyarrow")
+    edge_refs = gc.partition_by_key(
+        directed, "a", n_buckets, os.path.join(gc_dir, "edges"), ["a", "b"]
+    )
+
+    def node_batch(t: pa.Table) -> pa.Table:
+        arr = np.unique(t["a"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        return pa.table({"node": pa.array(arr, pa.int64())})
+
+    node_refs = gc.partition_by_key(
+        directed.map_batches(node_batch, batch_format="pyarrow"),
+        "node", n_buckets, os.path.join(gc_dir, "nodes"), ["node"],
+        spill_transform=lambda d: d.drop_duplicates(),
+    )
+
+    def init_fn(nodes_df: pd.DataFrame):
+        nd = np.sort(nodes_df["node"].to_numpy(dtype=np.int64))
+        if not len(nd):
+            st = pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                               "regs": pd.Series([], dtype=object),
+                               "est": pd.Series([], dtype="float64"),
+                               "harm": pd.Series([], dtype="float64"),
+                               "fresh": pd.Series([], dtype="int64")})
+            return st, (0, 0.0)
+        regs = hll_init_rows(_splitmix64(nd.astype(np.uint64)), p)
+        est = hll_estimate_rows(regs)
+        st = pd.DataFrame({"node": nd, "regs": [r.tobytes() for r in regs],
+                           "est": est, "harm": 0.0, "fresh": 1})
+        return st, (0, float(est.sum()))
+
+    state_refs, infos0 = gc.map_state(init_fn, node_refs)
+    nf = [sum(i[1] for i in infos0)]
+
+    def _rows_max_by_node(nodes_arr, mat):
+        order = np.argsort(nodes_arr, kind="stable")
+        ns = nodes_arr[order]
+        starts = np.flatnonzero(np.r_[True, ns[1:] != ns[:-1]])
+        return ns[starts], np.maximum.reduceat(mat[order], starts, axis=0)
+
+    def propose(edges_df: pd.DataFrame, st: pd.DataFrame):
+        if not len(edges_df) or not len(st):
+            return None
+        fresh = st[st["fresh"] == 1]
+        if not len(fresh):
+            return None
+        mg = edges_df.merge(fresh[["node", "regs"]], left_on="a",
+                            right_on="node")
+        if not len(mg):
+            return None
+        dst = mg["b"].to_numpy(dtype=np.int64)
+        R = np.frombuffer(b"".join(mg["regs"]), dtype=np.uint8).reshape(-1, m)
+        dn, dm = _rows_max_by_node(dst, R)
+        return pd.DataFrame({"node": dn, "regs": [r.tobytes() for r in dm]})
+
+    def make_merge(t: int):
+        def merge(st: pd.DataFrame, props: pd.DataFrame):
+            st = st.assign(fresh=0)
+            if not len(props) or not len(st):
+                return st, 0, float(st["est"].sum()) if len(st) else 0.0
+            pn = props["node"].to_numpy(dtype=np.int64)
+            PM = np.frombuffer(b"".join(props["regs"]), dtype=np.uint8
+                               ).reshape(-1, m)
+            pnodes, pmerged = _rows_max_by_node(pn, PM)
+            sn = st["node"].to_numpy()  # sorted by construction
+            pos = np.clip(np.searchsorted(sn, pnodes), 0, len(sn) - 1)
+            valid = sn[pos] == pnodes
+            pos, pmerged = pos[valid], pmerged[valid]
+            if not len(pos):
+                return st, 0, float(st["est"].sum())
+            M = np.frombuffer(b"".join(st["regs"]), dtype=np.uint8
+                              ).reshape(-1, m)
+            newrows = np.maximum(M[pos], pmerged)
+            chg = (newrows != M[pos]).any(axis=1)
+            n_changed = int(chg.sum())
+            if n_changed:
+                cp = pos[chg]
+                est = st["est"].to_numpy().copy()
+                harm = st["harm"].to_numpy().copy()
+                new_est = hll_estimate_rows(newrows[chg])
+                harm[cp] += np.maximum(new_est - est[cp], 0.0) / t
+                est[cp] = new_est
+                fresh = np.zeros(len(sn), dtype=np.int64)
+                fresh[cp] = 1
+                regs_col = list(st["regs"])
+                for i_, r_ in zip(cp, newrows[chg]):
+                    regs_col[i_] = r_.tobytes()
+                st = pd.DataFrame({"node": sn, "regs": regs_col, "est": est,
+                                   "harm": harm, "fresh": fresh})
+            return st, n_changed, float(st["est"].sum())
+        return merge
+
+    for t in range(1, max_iters + 1):
+        state_refs, _, it_infos = gc.bucketed_fixpoint(
+            edge_refs, state_refs, propose, make_merge(t), max_iters=1,
+            collect_infos=True,
+        )
+        vals = it_infos[0]
+        if sum(v[0] for v in vals) == 0:  # exact fixpoint: no register grew
+            break
+        nf.append(sum(v[1] for v in vals))
+    return nf, state_refs
+
+
 def doc_neighborhood_function(
-    sf_dir: str, p: int = 8, max_iters: int = 32, work_dir: str | None = None
+    sf_dir: str, p: int = 8, max_iters: int = 32, work_dir: str | None = None,
+    exchange: str = "bucketed",
 ):
     """HYPERBALL (Boldi & Vigna, "In-Core Computation of Geometric
     Centralities with HyperBall", 2013 — the HADI/ANF lineage):
@@ -1566,12 +1706,23 @@ def doc_neighborhood_function(
     error within the p=8 HLL band plus run-to-run determinism.
 
     Returns one row per round t: (t int64, est_pairs float64).
-    """
+
+    ``exchange="bucketed"`` (default, VERDICT r4 task #1 family) runs
+    the register exchange out-of-driver (see ``_hyperball_bucketed`` —
+    per-node estimates are bit-identical to the broadcast twin; the
+    per-round totals differ only by float summation order across
+    buckets); ``"broadcast"`` keeps the prior register-matrix broadcast
+    as the twin."""
     import pandas as pd
 
-    nodes, per_round = _hyperball_rounds(sf_dir, p=p, max_iters=max_iters,
-                                         work_dir=work_dir)
-    rows_out = [(t, float(np.sum(est))) for t, est in enumerate(per_round)]
+    if exchange == "bucketed":
+        nf, _refs = _hyperball_bucketed(sf_dir, p=p, max_iters=max_iters,
+                                        work_dir=work_dir)
+        rows_out = [(t, float(s)) for t, s in enumerate(nf)]
+    else:
+        nodes, per_round = _hyperball_rounds(sf_dir, p=p, max_iters=max_iters,
+                                             work_dir=work_dir)
+        rows_out = [(t, float(np.sum(est))) for t, est in enumerate(per_round)]
     return pd.DataFrame(rows_out, columns=["t", "est_pairs"]).astype(
         {"t": "int64", "est_pairs": "float64"}
     )
@@ -1676,7 +1827,7 @@ def _hyperball_rounds(
 
 def doc_harmonic_centrality(
     sf_dir: str, k: int = 25, p: int = 8, max_iters: int = 32,
-    work_dir: str | None = None,
+    work_dir: str | None = None, exchange: str = "bucketed",
 ):
     """HARMONIC CENTRALITY via HyperBall (Boldi & Vigna 2013 — the
     paper's headline application): H(u) = Σ_{v≠u} 1/dist(u, v),
@@ -1692,8 +1843,46 @@ def doc_harmonic_centrality(
     centralities at small scale (rank agreement + per-node band).
 
     Returns top-``k`` (doc_id, harmonic_e6), harmonic DESC, doc_id ASC.
-    """
+
+    ``exchange="bucketed"`` (default) accumulates the per-node telescope
+    INSIDE the bucket state as the registers grow (bit-identical to the
+    broadcast twin's per-node result — each node's estimate sequence is
+    computed from the same registers in the same round order), then
+    takes a per-bucket local top-k before one B·k-row driver collect;
+    ``"broadcast"`` keeps the prior full-matrix path as the twin."""
     import pandas as pd
+
+    if exchange == "bucketed":
+        from . import graphcore as gc
+
+        _nf, state_refs = _hyperball_bucketed(sf_dir, p=p, max_iters=max_iters,
+                                              work_dir=work_dir)
+
+        def trim(st: pd.DataFrame):
+            if not len(st):
+                return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                     "harmonic_e6": pd.Series([], dtype="int64")}), 0
+            top = pd.DataFrame({
+                "node": st["node"].to_numpy(dtype=np.int64),
+                "harmonic_e6": np.floor(
+                    st["harm"].to_numpy(dtype=np.float64) * 1e6 + 0.5
+                ).astype("int64"),
+            }).sort_values(["harmonic_e6", "node"],
+                           ascending=[False, True]).head(k)
+            return top.reset_index(drop=True), 0
+
+        trimmed, _ = gc.map_state(trim, state_refs)
+        out = gc.collect_state(trimmed)
+        if not len(out):
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "harmonic_e6": pd.Series(dtype="int64")})
+        out = (
+            out.rename(columns={"node": "doc_id"})
+            .sort_values(["harmonic_e6", "doc_id"], ascending=[False, True])
+            .head(k)
+        )
+        return out.astype({"doc_id": "int64", "harmonic_e6": "int64"}
+                          ).reset_index(drop=True)
 
     nodes, per_round = _hyperball_rounds(sf_dir, p=p, max_iters=max_iters,
                                          work_dir=work_dir)

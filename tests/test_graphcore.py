@@ -209,3 +209,25 @@ def test_katz_bucketed_equals_broadcast(ray_session, tmp_path):
     b = doc_katz_centrality(SF, work_dir=str(tmp_path / "wb"), exchange="bucketed")
     r = doc_katz_centrality(SF, work_dir=str(tmp_path / "wr"), exchange="broadcast")
     pd.testing.assert_frame_equal(b, r)
+
+
+def test_hyperball_bucketed_equals_broadcast(ray_session, tmp_path):
+    """Per-node estimates are bit-identical (same registers, same round
+    order), so harmonic centrality matches exactly; the neighborhood
+    totals differ only by cross-bucket float summation order."""
+    from opps_feedcrawler_ray.pipelines.webpipe import (
+        doc_harmonic_centrality, doc_neighborhood_function,
+    )
+
+    n1 = doc_neighborhood_function(SF, work_dir=str(tmp_path / "wb"),
+                                   exchange="bucketed")
+    n2 = doc_neighborhood_function(SF, work_dir=str(tmp_path / "wr"),
+                                   exchange="broadcast")
+    assert (n1["t"] == n2["t"]).all()
+    assert np.allclose(n1["est_pairs"], n2["est_pairs"], rtol=1e-9)
+
+    h1 = doc_harmonic_centrality(SF, work_dir=str(tmp_path / "wb2"),
+                                 exchange="bucketed")
+    h2 = doc_harmonic_centrality(SF, work_dir=str(tmp_path / "wr2"),
+                                 exchange="broadcast")
+    pd.testing.assert_frame_equal(h1, h2)
