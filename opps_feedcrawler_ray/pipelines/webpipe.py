@@ -2132,7 +2132,139 @@ def doc_sssp(
     return out.astype({"doc_id": "int64", "dist": "int64"})
 
 
-def doc_luby_mis(sf_dir: str, work_dir: str | None = None) -> "pd.DataFrame":
+def _luby_bucketed(edges_ds, n_docs: int, gc_dir: str,
+                   n_buckets: int) -> "pd.DataFrame":
+    """Out-of-driver Luby MIS (VERDICT r4 task #1 family): node state
+    (active / MIS / pending-join) lives as per-bucket pins
+    co-partitioned with the expanded directed edges; priorities are a
+    pure function of (node id, round salt) so NOTHING node-sized ever
+    broadcasts.  Each round = two one-shot exchanges: (1) min active-
+    neighbor (priority, id) proposals decide joiners at the destination
+    merge; (2) joiner markers knock out neighborhoods, the merge folds
+    joins into the MIS and reports the bucket's remaining-active count
+    — the driver loops on the scalar total.  Identical output to the
+    broadcast twin (same priorities, same strict comparison)."""
+    import pandas as pd
+
+    from . import graphcore as gc
+
+    def expand(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"a": pa.array(np.concatenate([a, b]), pa.int64()),
+                         "b": pa.array(np.concatenate([b, a]), pa.int64())})
+
+    edge_refs = gc.partition_by_key(
+        edges_ds.map_batches(expand, batch_format="pyarrow"),
+        "a", n_buckets, gc_dir, ["a", "b"],
+    )
+
+    def init(bk: int) -> pd.DataFrame:
+        nd = np.arange(bk, n_docs, n_buckets, dtype=np.int64)
+        return pd.DataFrame({"node": nd,
+                             "active": np.ones(len(nd), dtype=np.int64),
+                             "mis": np.zeros(len(nd), dtype=np.int64),
+                             "join": np.zeros(len(nd), dtype=np.int64)})
+
+    state_refs = gc.init_state_refs(init, n_buckets)
+    remaining = n_docs
+    rnd = 0
+    while remaining > 0:
+        salt = np.uint64((0xD1B54A32D192ED03 * (rnd + 1)) & 0xFFFFFFFFFFFFFFFF)
+
+        def propose_min(edges_df: pd.DataFrame, st: pd.DataFrame, _s=salt):
+            if not len(edges_df) or not len(st):
+                return None
+            sn = st["node"].to_numpy()  # arange-strided: sorted
+            act = st["active"].to_numpy()
+            src = edges_df["a"].to_numpy(dtype=np.int64)
+            dst = edges_df["b"].to_numpy(dtype=np.int64)
+            pos = np.clip(np.searchsorted(sn, src), 0, len(sn) - 1)
+            live = (sn[pos] == src) & (act[pos] == 1)
+            if not live.any():
+                return None
+            src, dst = src[live], dst[live]
+            np_ = _splitmix64(src.astype(np.uint64) ^ _s)
+            df = pd.DataFrame({"node": dst, "np_": np_, "nid": src})
+            return (
+                df.sort_values(["np_", "nid"])
+                .groupby("node", as_index=False)
+                .first()
+            )
+
+        def merge_join(st: pd.DataFrame, props: pd.DataFrame, _s=salt):
+            act = st["active"].to_numpy()
+            join = act.copy()  # no active neighbor => local minimum
+            if len(props):
+                best = (
+                    props.sort_values(["np_", "nid"])
+                    .groupby("node", as_index=False)
+                    .first()
+                )
+                sn = st["node"].to_numpy()
+                pos = np.clip(np.searchsorted(sn, best["node"].to_numpy()),
+                              0, len(sn) - 1)
+                valid = (sn[pos] == best["node"].to_numpy()) & (act[pos] == 1)
+                pos_v = pos[valid]
+                np_min = best["np_"].to_numpy().astype(np.uint64)[valid]
+                nid = best["nid"].to_numpy()[valid]
+                mine = _splitmix64(sn[pos_v].astype(np.uint64) ^ _s)
+                lose = (np_min < mine) | ((np_min == mine) & (nid < sn[pos_v]))
+                join[pos_v[lose]] = 0
+            return st.assign(join=join), 1
+
+        state_refs, _ = gc.bucketed_fixpoint(
+            edge_refs, state_refs, propose_min, merge_join, max_iters=1
+        )
+
+        def propose_knock(edges_df: pd.DataFrame, st: pd.DataFrame):
+            if not len(edges_df) or not len(st):
+                return None
+            sn = st["node"].to_numpy()
+            jn = st["join"].to_numpy()
+            src = edges_df["a"].to_numpy(dtype=np.int64)
+            dst = edges_df["b"].to_numpy(dtype=np.int64)
+            pos = np.clip(np.searchsorted(sn, src), 0, len(sn) - 1)
+            joined = (sn[pos] == src) & (jn[pos] == 1)
+            if not joined.any():
+                return None
+            return pd.DataFrame({"node": np.unique(dst[joined])})
+
+        def merge_knock(st: pd.DataFrame, props: pd.DataFrame):
+            act = st["active"].to_numpy().copy()
+            mis = st["mis"].to_numpy().copy()
+            join = st["join"].to_numpy()
+            mis[join == 1] = 1
+            act[join == 1] = 0
+            if len(props):
+                sn = st["node"].to_numpy()
+                pos = np.clip(np.searchsorted(sn, props["node"].to_numpy()),
+                              0, len(sn) - 1)
+                hit = sn[pos] == props["node"].to_numpy()
+                act[pos[hit]] = 0
+            st = st.assign(active=act, mis=mis,
+                           join=np.zeros(len(st), dtype=np.int64))
+            return st, 1, int(act.sum())
+
+        state_refs, _, infos = gc.bucketed_fixpoint(
+            edge_refs, state_refs, propose_knock, merge_knock, max_iters=1,
+            collect_infos=True,
+        )
+        remaining = sum(v[1] for v in infos[0])
+        rnd += 1
+
+    out = gc.collect_state(state_refs)
+    out = (
+        out[["node", "mis"]].rename(columns={"node": "doc_id",
+                                             "mis": "in_mis"})
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    return out.astype({"doc_id": "int64", "in_mis": "int64"})
+
+
+def doc_luby_mis(sf_dir: str, work_dir: str | None = None,
+                 exchange: str = "bucketed",
+                 n_buckets: int = 8) -> "pd.DataFrame":
     """MAXIMAL INDEPENDENT SET via Luby's algorithm (Luby 1986) — the
     classic parallel symmetry-breaking primitive — over the undirected
     doc link graph: each round every still-active node draws a pinned
@@ -2146,12 +2278,21 @@ def doc_luby_mis(sf_dir: str, work_dir: str | None = None) -> "pd.DataFrame":
     neighbor-of-joiner marks) with only node-bounded arrays moving —
     the same rank-table-fits-heap assumption ``host_pagerank``
     documents, with the same bucketed fallback beyond it.  Output: one
-    row per doc with its MIS membership flag."""
+    row per doc with its MIS membership flag.
+
+    ``exchange="bucketed"`` (default, VERDICT r4 task #1 family) runs
+    the rounds out-of-driver via ``_luby_bucketed``; ``"broadcast"``
+    keeps the prior node-array broadcast as the equality twin."""
     import pandas as pd
 
     import ray
 
     edges, n_docs, _nb = _doc_link_edges(sf_dir, work_dir)
+    if exchange == "bucketed":
+        sf_tag = os.path.basename(os.path.normpath(sf_dir))
+        work = work_dir or f"/tmp/opps_feedcrawler_ray/webpipe-{sf_tag}"
+        return _luby_bucketed(edges, n_docs, os.path.join(work, "gc_mis"),
+                              n_buckets)
 
     active = np.ones(n_docs, dtype=bool)
     in_mis = np.zeros(n_docs, dtype=bool)

@@ -231,3 +231,11 @@ def test_hyperball_bucketed_equals_broadcast(ray_session, tmp_path):
     h2 = doc_harmonic_centrality(SF, work_dir=str(tmp_path / "wr2"),
                                  exchange="broadcast")
     pd.testing.assert_frame_equal(h1, h2)
+
+
+def test_luby_mis_bucketed_equals_broadcast(ray_session, tmp_path):
+    from opps_feedcrawler_ray.pipelines.webpipe import doc_luby_mis
+
+    b = doc_luby_mis(SF, work_dir=str(tmp_path / "wb"), exchange="bucketed")
+    r = doc_luby_mis(SF, work_dir=str(tmp_path / "wr"), exchange="broadcast")
+    pd.testing.assert_frame_equal(b, r)
