@@ -239,3 +239,13 @@ def test_luby_mis_bucketed_equals_broadcast(ray_session, tmp_path):
     b = doc_luby_mis(SF, work_dir=str(tmp_path / "wb"), exchange="bucketed")
     r = doc_luby_mis(SF, work_dir=str(tmp_path / "wr"), exchange="broadcast")
     pd.testing.assert_frame_equal(b, r)
+
+
+def test_matching_bucketed_equals_broadcast(ray_session, tmp_path):
+    from opps_feedcrawler_ray.pipelines.webpipe import doc_maximal_matching
+
+    b = doc_maximal_matching(SF, work_dir=str(tmp_path / "wb"),
+                             exchange="bucketed")
+    r = doc_maximal_matching(SF, work_dir=str(tmp_path / "wr"),
+                             exchange="broadcast")
+    pd.testing.assert_frame_equal(b, r)
