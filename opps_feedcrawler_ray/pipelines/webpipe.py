@@ -2367,7 +2367,8 @@ def doc_luby_mis(sf_dir: str, work_dir: str | None = None,
     })
 
 
-def _scc_bucketed(edges_ds, gc_dir: str, n_buckets: int) -> "pd.DataFrame":
+def _scc_bucketed(edges_ds, gc_dir: str, n_buckets: int,
+                  out_parquet: str | None = None) -> "pd.DataFrame":
     """Out-of-driver coloring SCC (VERDICT r4 task #1): the same
     Orzan-phase semantics as the broadcast twin below, but every
     node-sized table (colors, root markers, SCC assignments) lives as
@@ -2548,6 +2549,14 @@ def _scc_bucketed(edges_ds, gc_dir: str, n_buckets: int) -> "pd.DataFrame":
             state_refs, infos = gc.map_state(settle_roots, pending)
         n_active = sum(i[1] for i in infos)
 
+    if out_parquet is not None:
+        # node-sized result: per-bucket Parquet written inside tasks;
+        # the driver sees row counts only (the 100-TB output shape)
+        counts = gc.write_state_parquet(state_refs, out_parquet)
+        return pd.DataFrame(
+            {"bucket": np.arange(len(counts), dtype=np.int64),
+             "rows": np.asarray(counts, dtype=np.int64)}
+        )
     out = gc.collect_state(state_refs)
     if not len(out):
         return pd.DataFrame(
