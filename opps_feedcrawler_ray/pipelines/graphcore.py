@@ -250,6 +250,104 @@ def collect_state(state_refs: list["ray.ObjectRef"]) -> pd.DataFrame:
     return pd.concat(parts, ignore_index=True)
 
 
+def min_label_components(
+    edges_ds: "rd.Dataset",
+    gc_dir: str,
+    n_buckets: int = 8,
+    max_iters: int = 10_000,
+) -> pd.DataFrame:
+    """CONNECTED COMPONENTS by distributed min-label propagation over an
+    UNDIRECTED edge Dataset (columns ``a``, ``b``) — the out-of-driver
+    replacement for a driver-side union-find that several docstrings
+    promised and round 5 makes code.  Labels start as node ids and
+    min-propagate through the bucketed exchange (frontier-only, like
+    BFS) until fixpoint; the final label of every node is its
+    component's minimum member id (the same id rule the union-find
+    paths use), reached in ≤ eccentricity(min-node) rounds.
+
+    Returns a DataFrame (node, comp) via the final collect (component
+    labeling is the OUTPUT; at 100 TB swap the collect for
+    ``write_state_parquet`` exactly as the BFS proof test does)."""
+
+    def expand(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"a": pa.array(np.concatenate([a, b]), pa.int64()),
+                         "b": pa.array(np.concatenate([b, a]), pa.int64())})
+
+    directed = edges_ds.map_batches(expand, batch_format="pyarrow")
+    edge_refs = partition_by_key(
+        directed, "a", n_buckets, os.path.join(gc_dir, "edges"), ["a", "b"]
+    )
+
+    def node_batch(t: pa.Table) -> pa.Table:
+        arr = np.unique(t["a"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        return pa.table({"node": pa.array(arr, pa.int64())})
+
+    node_refs = partition_by_key(
+        directed.map_batches(node_batch, batch_format="pyarrow"),
+        "node", n_buckets, os.path.join(gc_dir, "nodes"), ["node"],
+        spill_transform=lambda d: d.drop_duplicates(),
+    )
+
+    def init_fn(nodes_df: pd.DataFrame):
+        nd = np.sort(nodes_df["node"].to_numpy(dtype=np.int64))
+        st = pd.DataFrame({"node": nd, "lab": nd,
+                           "fresh": np.ones(len(nd), dtype=np.int64)})
+        return st, 0
+
+    state_refs, _ = map_state(init_fn, node_refs)
+
+    def propose(edges_df: pd.DataFrame, st: pd.DataFrame):
+        if not len(edges_df) or not len(st):
+            return None
+        frontier = st[st["fresh"] == 1]
+        if not len(frontier):
+            return None
+        m = edges_df.merge(frontier[["node", "lab"]], left_on="a",
+                           right_on="node")
+        if not len(m):
+            return None
+        return (
+            pd.DataFrame({"node": m["b"].to_numpy(dtype="int64"),
+                          "nd": m["lab"].to_numpy(dtype="int64")})
+            .groupby("node", as_index=False)["nd"]
+            .min()
+        )
+
+    def merge(st: pd.DataFrame, props: pd.DataFrame):
+        st = st.assign(fresh=0)
+        if not len(props) or not len(st):
+            return st, 0
+        p = props.groupby("node", as_index=False)["nd"].min()
+        sn = st["node"].to_numpy()
+        lab = st["lab"].to_numpy().copy()
+        fresh = st["fresh"].to_numpy().copy()
+        pos = np.clip(np.searchsorted(sn, p["node"].to_numpy(dtype=np.int64)),
+                      0, max(len(sn) - 1, 0))
+        nd = p["nd"].to_numpy(dtype=np.int64)
+        better = (sn[pos] == p["node"].to_numpy(dtype=np.int64)) & (nd < lab[pos])
+        n_changed = int(better.sum())
+        if n_changed:
+            lab[pos[better]] = nd[better]
+            fresh[pos[better]] = 1
+            st = st.assign(lab=lab, fresh=fresh)
+        return st, n_changed
+
+    state_refs, _ = bucketed_fixpoint(
+        edge_refs, state_refs, propose, merge, max_iters=max_iters
+    )
+    out = collect_state(state_refs)
+    if not len(out):
+        return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                             "comp": pd.Series([], dtype="int64")})
+    return (
+        out[["node", "lab"]].rename(columns={"lab": "comp"})
+        .sort_values("node").reset_index(drop=True)
+        .astype({"node": "int64", "comp": "int64"})
+    )
+
+
 @ray.remote
 def _write_bucket_parquet(state_df: pd.DataFrame, path: str) -> int:
     state_df.reset_index(drop=True).to_parquet(path)

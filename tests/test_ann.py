@@ -689,3 +689,60 @@ def test_dbscan_lsh_candidate_generation_subquadratic(ray_session):
         got[["a", "b"]].reset_index(drop=True),
         exact[["a", "b"]].reset_index(drop=True),
     )
+
+
+def test_dbscan_distributed_components_backend_equals_unionfind(ray_session):
+    """The graphcore min-label components backend (the past-10^8-pairs
+    swap for the driver union-find) must produce identical clusters and
+    roles on the planted-blob corpus and the fixture."""
+    from opps_feedcrawler_ray.pipelines.ann import dbscan_embeddings
+
+    df = _blob_corpus()
+    uf = (dbscan_embeddings(rd.from_pandas(df), threshold=0.9, min_pts=4,
+                            cluster_backend="unionfind")
+          .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    dist = (dbscan_embeddings(rd.from_pandas(df), threshold=0.9, min_pts=4,
+                              cluster_backend="distributed")
+            .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(uf, dist)
+    assert (uf["cluster"] >= 0).any()
+
+
+def test_min_label_components_equals_unionfind_replay(ray_session, tmp_path):
+    """graphcore.min_label_components on a random multigraph must equal
+    a sequential union-find with min-root labeling."""
+    from opps_feedcrawler_ray.pipelines import graphcore as gc
+
+    rng = np.random.RandomState(5)
+    n = 3000
+    a = rng.randint(0, n, 6000).astype(np.int64)
+    b = rng.randint(0, n, 6000).astype(np.int64)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    import pyarrow as pa
+    got = gc.min_label_components(
+        rd.from_arrow(pa.table({"a": pa.array(a), "b": pa.array(b)})),
+        str(tmp_path / "gc"), n_buckets=8,
+    )
+    parent = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for x, y in zip(a, b):
+        rx, ry = find(int(x)), find(int(y))
+        if rx != ry:
+            lo, hi = (rx, ry) if rx < ry else (ry, rx)
+            parent[hi] = lo
+    nodes = np.unique(np.concatenate([a, b]))
+    exp = pd.DataFrame({"node": nodes,
+                        "comp": [find(int(x)) for x in nodes]})
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        exp.astype({"node": "int64", "comp": "int64"}).reset_index(drop=True),
+    )
