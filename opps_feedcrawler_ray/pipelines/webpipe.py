@@ -1990,19 +1990,35 @@ def doc_betweenness(
     from .ann import _mix64
 
     edges, n_docs, nb = _doc_link_edges(sf_dir, work_dir)
-    e = edges.to_pandas()  # |edges| rows — the pinned-graph assumption
-    a = e["a"].to_numpy(dtype="int64")
-    b = e["b"].to_numpy(dtype="int64")
     n = n_docs
-    # CSR over both directions (undirected)
-    src = np.concatenate([a, b])
-    dst = np.concatenate([b, a])
-    o = np.lexsort((dst, src))
-    src, dst = src[o], dst[o]
-    indptr = np.zeros(n + 1, dtype=np.int64)
-    np.add.at(indptr, src + 1, 1)
-    indptr = np.cumsum(indptr)
-    graph_ref = ray.put((indptr, dst, n))
+    block_refs = []
+    for bundle in edges.iter_internal_ref_bundles():
+        block_refs.extend(bundle.block_refs)
+
+    @ray.remote
+    def build_csr(*blocks):
+        # round 5: the |E|-sized CSR build runs in a task; its return
+        # ref IS the pinned graph — the driver holds refs only
+        import pandas as _pd
+
+        from ray.data.block import BlockAccessor
+
+        dfs = [BlockAccessor.for_block(bl).to_pandas() for bl in blocks]
+        e = (_pd.concat(dfs, ignore_index=True) if dfs
+             else _pd.DataFrame({"a": [], "b": []}))
+        a = e["a"].to_numpy(dtype="int64")
+        b = e["b"].to_numpy(dtype="int64")
+        # CSR over both directions (undirected)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        o = np.lexsort((dst, src))
+        src, dst = src[o], dst[o]
+        indptr = np.zeros(n + 1, dtype=np.int64)
+        np.add.at(indptr, src + 1, 1)
+        indptr = np.cumsum(indptr)
+        return indptr, dst, n
+
+    graph_ref = build_csr.remote(*block_refs)
 
     sources = np.arange(n, dtype=np.int64)
     if k_sources is None and n > max_sources:
@@ -3377,62 +3393,79 @@ def doc_ppr_push(sf_dir: str, alpha: float = 0.15, eps: float = 1e-6,
     result is exactly reproducible.
 
     Scale shape: the edge build is the shared distributed corpus parse;
-    the push itself walks a driver-side CSR of the TOUCHED neighborhood
-    (bounded by the push-work theorem, NOT the graph — this is the one
-    graph op where driver locality is the algorithm's point; the
-    global twin is host_pagerank).  Rows-only; the twin checks the ACL
+    the push itself is sequential by construction (ascending-id sweep)
+    and runs in ONE remote task fed the edge dataset's block refs — the
+    driver holds only the topk output (round 5: previously the full
+    edge set materialized driver-side via ``to_pandas``).  The task's
+    working set is the CSR plus the TOUCHED neighborhood (bounded by
+    the push-work theorem, NOT the graph — this is the one graph op
+    where single-process locality is the algorithm's point; the global
+    twin is host_pagerank).  Rows-only; the twin checks the ACL
     invariant 0 ≤ exact_ppr − p ≤ ε·d elementwise against a dense
     linear-solve PPR.
 
     Returns topk (doc_id, ppr_e9) rows plus the seed marked, DESC."""
     import pandas as pd
+    import ray
 
     edges, n_docs, nb = _doc_link_edges(sf_dir, work_dir)
-    edf = edges.to_pandas()
-    if len(edf) == 0:
-        return pd.DataFrame({c: pd.Series(dtype="int64")
-                             for c in ["doc_id", "ppr_e9", "is_seed"]})
-    a = edf["a"].to_numpy(dtype=np.int64)
-    b = edf["b"].to_numpy(dtype=np.int64)
-    src = np.concatenate([a, b])
-    dst = np.concatenate([b, a])
-    order = np.argsort(src, kind="stable")
-    src, dst = src[order], dst[order]
-    nodes = np.unique(src)
-    starts = np.searchsorted(src, nodes)
-    ends = np.searchsorted(src, nodes, side="right")
-    deg = (ends - starts).astype(np.int64)
-    idx = {int(n): i for i, n in enumerate(nodes)}
-    seed = int(nodes.min())
+    block_refs = []
+    for bundle in edges.iter_internal_ref_bundles():
+        block_refs.extend(bundle.block_refs)
 
-    p = {}
-    r = {seed: 1.0}
-    # ascending-id sweep until no residual exceeds eps·d — deterministic
-    while True:
-        hot = sorted(v for v, rv in r.items() if rv >= eps * deg[idx[v]])
-        if not hot:
-            break
-        for v in hot:
-            rv = r[v]
-            if rv < eps * deg[idx[v]]:
-                continue  # drained by an earlier neighbor this sweep
-            p[v] = p.get(v, 0.0) + alpha * rv
-            share = (1.0 - alpha) * rv / (2.0 * deg[idx[v]])
-            r[v] = (1.0 - alpha) * rv / 2.0
-            i = idx[v]
-            for u in dst[starts[i]:ends[i]]:
-                r[int(u)] = r.get(int(u), 0.0) + share
+    @ray.remote
+    def push_task(*blocks) -> "pd.DataFrame":
+        from ray.data.block import BlockAccessor
 
-    out = pd.DataFrame(
-        {"doc_id": list(p.keys()),
-         "ppr_e9": [int(np.floor(v * 1e9 + 0.5)) for v in p.values()]}
-    )
-    out["is_seed"] = (out["doc_id"] == seed).astype("int64")
-    return (
-        out.astype({"doc_id": "int64", "ppr_e9": "int64"})
-        .sort_values(["ppr_e9", "doc_id"], ascending=[False, True])
-        .head(topk).reset_index(drop=True)
-    )
+        dfs = [BlockAccessor.for_block(bl).to_pandas() for bl in blocks]
+        edf = (pd.concat(dfs, ignore_index=True) if dfs
+               else pd.DataFrame({"a": [], "b": []}))
+        if len(edf) == 0:
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in ["doc_id", "ppr_e9", "is_seed"]})
+        a = edf["a"].to_numpy(dtype=np.int64)
+        b = edf["b"].to_numpy(dtype=np.int64)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        order = np.lexsort((dst, src))  # full order: block-layout-proof
+        src, dst = src[order], dst[order]
+        nodes = np.unique(src)
+        starts = np.searchsorted(src, nodes)
+        ends = np.searchsorted(src, nodes, side="right")
+        deg = (ends - starts).astype(np.int64)
+        idx = {int(n): i for i, n in enumerate(nodes)}
+        seed = int(nodes.min())
+
+        p: dict = {}
+        r: dict = {seed: 1.0}
+        # ascending-id sweep until no residual exceeds eps·d — deterministic
+        while True:
+            hot = sorted(v for v, rv in r.items() if rv >= eps * deg[idx[v]])
+            if not hot:
+                break
+            for v in hot:
+                rv = r[v]
+                if rv < eps * deg[idx[v]]:
+                    continue  # drained by an earlier neighbor this sweep
+                p[v] = p.get(v, 0.0) + alpha * rv
+                share = (1.0 - alpha) * rv / (2.0 * deg[idx[v]])
+                r[v] = (1.0 - alpha) * rv / 2.0
+                i = idx[v]
+                for u in dst[starts[i]:ends[i]]:
+                    r[int(u)] = r.get(int(u), 0.0) + share
+
+        out = pd.DataFrame(
+            {"doc_id": list(p.keys()),
+             "ppr_e9": [int(np.floor(v * 1e9 + 0.5)) for v in p.values()]}
+        )
+        out["is_seed"] = (out["doc_id"] == seed).astype("int64")
+        return (
+            out.astype({"doc_id": "int64", "ppr_e9": "int64"})
+            .sort_values(["ppr_e9", "doc_id"], ascending=[False, True])
+            .head(topk).reset_index(drop=True)
+        )
+
+    return ray.get(push_task.remote(*block_refs))
 
 
 def _katz_bucketed(edges_ds, iters: int, gc_dir: str,
