@@ -286,3 +286,121 @@ def test_scc_bucketed_driver_heap_proof(ray_session, tmp_path):
     assert len(got) == n_nodes
     nodes = got["node"].to_numpy()
     np.testing.assert_array_equal(got["scc"].to_numpy(), (nodes // cyc) * cyc)
+
+
+def _rand_edges_ds(n_nodes: int, n_edges: int, seed: int):
+    import ray.data as rd
+
+    rng = np.random.RandomState(seed)
+    a = rng.randint(0, n_nodes, n_edges).astype(np.int64)
+    b = rng.randint(0, n_nodes, n_edges).astype(np.int64)
+    keep = a != b
+    df = pd.DataFrame({"a": a[keep], "b": b[keep]}).drop_duplicates()
+    return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)), df
+
+
+def _tarjan_scc(edges_df: pd.DataFrame) -> dict:
+    """Iterative Tarjan; scc id = min member id (the repo convention)."""
+    import collections
+
+    adj = collections.defaultdict(list)
+    nodes = set()
+    for x, y in zip(edges_df["a"], edges_df["b"]):
+        adj[int(x)].append(int(y))
+        nodes.add(int(x))
+        nodes.add(int(y))
+    index = {}
+    low = {}
+    onstack = set()
+    stack = []
+    out = {}
+    counter = [0]
+    for s in sorted(nodes):
+        if s in index:
+            continue
+        work = [(s, iter(adj[s]))]
+        index[s] = low[s] = counter[0]
+        counter[0] += 1
+        stack.append(s)
+        onstack.add(s)
+        while work:
+            v, it = work[-1]
+            advanced = False
+            for w in it:
+                if w not in index:
+                    index[w] = low[w] = counter[0]
+                    counter[0] += 1
+                    stack.append(w)
+                    onstack.add(w)
+                    work.append((w, iter(adj[w])))
+                    advanced = True
+                    break
+                elif w in onstack:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    onstack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                cid = min(comp)
+                for w in comp:
+                    out[w] = cid
+    return out
+
+
+def test_scc_bucketed_random_directed_graphs(ray_session, tmp_path):
+    """Phase-structure coverage the corpus graph can't provide: random
+    directed multigraphs (several densities/seeds) must match an
+    independent Tarjan replay exactly."""
+    from opps_feedcrawler_ray.pipelines.webpipe import _scc_bucketed
+
+    for seed, n, m in [(1, 60, 100), (2, 120, 150), (3, 200, 600)]:
+        ds, df = _rand_edges_ds(n, m, seed)
+        got = _scc_bucketed(ds, str(tmp_path / f"gc{seed}"), n_buckets=4)
+        exp = _tarjan_scc(df)
+        assert len(got) == len(exp)
+        for did, cid in zip(got["doc_id"], got["scc_id"]):
+            assert exp[int(did)] == int(cid), (seed, did, cid, exp[int(did)])
+
+
+def test_relax_bucketed_random_graphs_vs_dijkstra(ray_session, tmp_path):
+    """Bucketed weighted relaxation on random directed graphs equals a
+    heap Dijkstra replay with the same id-arithmetic weights."""
+    import heapq
+
+    from opps_feedcrawler_ray.pipelines.webpipe import _relax_bucketed
+
+    def w(aa, bb):
+        return 1 + (7 * aa + 13 * bb) % 5
+
+    for seed, n, m in [(4, 80, 200), (5, 150, 400)]:
+        ds, df = _rand_edges_ds(n, m, seed)
+        src = int(min(df["a"].min(), df["b"].min()))
+        got = _relax_bucketed(ds, src, 200, str(tmp_path / f"g{seed}"),
+                              n_buckets=4, weight_fn=w, out_col="dist")
+        adj = {}
+        for x, y in zip(df["a"], df["b"]):
+            adj.setdefault(int(x), []).append((int(y), int(w(x, y))))
+        dist = {src: 0}
+        pq = [(0, src)]
+        while pq:
+            d, v = heapq.heappop(pq)
+            if d > dist.get(v, 1 << 60):
+                continue
+            for u, wt in adj.get(v, []):
+                nd = d + wt
+                if nd < dist.get(u, 1 << 60):
+                    dist[u] = nd
+                    heapq.heappush(pq, (nd, u))
+        exp = pd.DataFrame(sorted(dist.items()), columns=["doc_id", "dist"]
+                           ).astype("int64")
+        pd.testing.assert_frame_equal(got, exp)
