@@ -2843,7 +2843,8 @@ def dust_rules(sf_dir: str, min_support: int = 3) -> "pd.DataFrame":
     )
 
 
-def doc_ktruss(sf_dir: str, k: int = 3, work_dir: str | None = None) -> "pd.DataFrame":
+def doc_ktruss(sf_dir: str, k: int = 3, work_dir: str | None = None,
+               peel: str = "worklist") -> "pd.DataFrame":
     """K-TRUSS decomposition (fixed k) of the undirected doc link graph
     — the cohesive-subgraph classic (Cohen 2008, "Trusses: cohesive
     subgraphs for social network analysis"): the maximal subgraph in
@@ -2863,12 +2864,19 @@ def doc_ktruss(sf_dir: str, k: int = 3, work_dir: str | None = None) -> "pd.Data
     support → enqueue any that drop below k−2): O(|T|) total work,
     versus one full distributed recount per peel round.
 
-    PARTITIONING ASSUMPTION: the triangle list fits the driver heap
-    (|T| ≤ wedge volume, bounded by the degree orientation at
-    O(m·√m)); past that, peeling becomes the iterative distributed
-    recount — same enumeration body re-run per round with a broadcast
-    removal mask, trading driver memory for rounds.  Rows-only; a
-    sequential set-based peeling twin is pinned in tests."""
+    PARTITIONING ASSUMPTION (``peel="worklist"``, default): the
+    triangle list fits the driver heap (|T| ≤ wedge volume, bounded by
+    the degree orientation at O(m·√m)).  Past that,
+    ``peel="distributed"`` (round 5 — the documented fallback, now
+    code) re-runs the distributed enumeration per peel round over the
+    SURVIVING edge Dataset: each round recomputes subgraph degrees,
+    re-orients, closes wedges, folds per-edge support through the
+    (u,v)-bucket exchange, and filters sub-threshold edges inside the
+    same exchange — the driver holds only alive-edge COUNTS between
+    rounds and collects the (output-sized) fixpoint truss at the end.
+    The fixpoint is unique (peeling is order-free), so both peels
+    return identical rows — pinned by a test.  Rows-only; a sequential
+    set-based peeling twin is pinned in tests."""
     import pandas as pd
     import ray
 
@@ -2946,6 +2954,118 @@ def doc_ktruss(sf_dir: str, k: int = 3, work_dir: str | None = None) -> "pd.Data
              "lo": w["u"].to_numpy(dtype=np.int64)[hit],
              "hi": w["v"].to_numpy(dtype=np.int64)[hit]}
         )
+
+    if peel == "distributed":
+        thresh = k - 2
+        nd_ = np.int64(n_docs)
+        empty_out = pd.DataFrame(
+            {c: pd.Series(dtype="int64")
+             for c in ["src_doc", "dst_doc", "support"]}
+        )
+
+        def make_orient(dref):
+            def orient_r(batch: pa.Table) -> pa.Table:
+                nodes, degs = ray.get(dref)
+                a = batch["a"].to_numpy(zero_copy_only=False)
+                b = batch["b"].to_numpy(zero_copy_only=False)
+                da = degs[np.searchsorted(nodes, a)]
+                db = degs[np.searchsorted(nodes, b)]
+                a_first = (da < db) | ((da == db) & (a < b))
+                u = np.where(a_first, a, b)
+                v = np.where(a_first, b, a)
+                dv = np.where(a_first, db, da)
+                return pa.table(
+                    {"u": pa.array(u, pa.int64()), "v": pa.array(v, pa.int64()),
+                     "dv": pa.array(dv, pa.int64()),
+                     "__b": pa.array((u % nb).astype("int64"), pa.int64())}
+                )
+            return orient_r
+
+        def tri_support_rows(batch: pd.DataFrame) -> pd.DataFrame:
+            # each triangle adds +1 support to its three edges
+            ap = batch["apex"].to_numpy(dtype=np.int64)
+            lo = batch["lo"].to_numpy(dtype=np.int64)
+            hi = batch["hi"].to_numpy(dtype=np.int64)
+            us, vs = [], []
+            for x, y in ((ap, lo), (ap, hi), (lo, hi)):
+                us.append(np.minimum(x, y))
+                vs.append(np.maximum(x, y))
+            u = np.concatenate(us)
+            v = np.concatenate(vs)
+            g = (
+                pd.DataFrame({"u": u, "v": v})
+                .groupby(["u", "v"], as_index=False)
+                .size()
+                .rename(columns={"size": "cnt"})
+            )
+            g["kind"] = np.int64(1)
+            g["__b"] = ((g["u"] * nd_ + g["v"]) % nb).astype("int64")
+            return g[["u", "v", "cnt", "kind", "__b"]]
+
+        def edge_marker(batch: pd.DataFrame) -> pd.DataFrame:
+            u = batch["a"].to_numpy(dtype=np.int64)
+            v = batch["b"].to_numpy(dtype=np.int64)
+            return pd.DataFrame(
+                {"u": u, "v": v,
+                 "cnt": np.zeros(len(u), dtype=np.int64),
+                 "kind": np.zeros(len(u), dtype=np.int64),
+                 "__b": ((u * nd_ + v) % nb).astype("int64")}
+            )
+
+        def keep_supported(g: pd.DataFrame) -> pd.DataFrame:
+            # edges in this bucket whose summed triangle support clears
+            # the threshold survive, carrying their support
+            sup = (
+                g.groupby(["u", "v"], as_index=False)
+                .agg(cnt=("cnt", "sum"), has_edge=("kind", lambda s: (s == 0).any()))
+            )
+            sup = sup[sup["has_edge"] & (sup["cnt"] >= thresh)]
+            return pd.DataFrame(
+                {"a": sup["u"].to_numpy(dtype=np.int64),
+                 "b": sup["v"].to_numpy(dtype=np.int64),
+                 "support": sup["cnt"].to_numpy(dtype=np.int64)}
+            )
+
+        alive = edges.materialize()
+        n_alive = alive.count()
+        while True:
+            if n_alive == 0:
+                return empty_out
+            deg_r = _doc_degrees(alive, nb)
+            dn_r = deg_r["node"].to_numpy(dtype=np.int64)
+            order_r = np.argsort(dn_r)
+            dref = ray.put(
+                (dn_r[order_r], deg_r["c"].to_numpy(dtype=np.int64)[order_r])
+            )
+            oriented_r = alive.map_batches(
+                make_orient(dref), batch_format="pyarrow"
+            ).materialize()
+            survivors = (
+                oriented_r.groupby("__b")
+                .map_groups(wedge_rows, batch_format="pandas")
+                .union(oriented_r.map_batches(tag_edges, batch_format="pandas"))
+                .groupby("__b")
+                .map_groups(triangles, batch_format="pandas")
+                .map_batches(tri_support_rows, batch_format="pandas")
+                .union(alive.map_batches(edge_marker, batch_format="pandas"))
+                .groupby("__b")
+                .map_groups(keep_supported, batch_format="pandas")
+                .materialize()
+            )
+            n_new = survivors.count()
+            if n_new == n_alive:  # fixpoint: collect the (output-sized) truss
+                out = survivors.to_pandas()
+                if not len(out):
+                    return empty_out
+                return (
+                    out.rename(columns={"a": "src_doc", "b": "dst_doc"})
+                    .astype({"src_doc": "int64", "dst_doc": "int64",
+                             "support": "int64"})
+                    .sort_values(["src_doc", "dst_doc"])
+                    .reset_index(drop=True)
+                )
+            alive = survivors.select_columns(["a", "b"]).materialize()
+            n_alive = n_new
 
     oriented = edges.map_batches(orient, batch_format="pyarrow").materialize()
     tri = (

@@ -404,3 +404,17 @@ def test_relax_bucketed_random_graphs_vs_dijkstra(ray_session, tmp_path):
         exp = pd.DataFrame(sorted(dist.items()), columns=["doc_id", "dist"]
                            ).astype("int64")
         pd.testing.assert_frame_equal(got, exp)
+
+
+def test_ktruss_distributed_peel_equals_worklist(ray_session, tmp_path):
+    """The iterative distributed recount (bounded driver memory) must
+    land on the same unique peeling fixpoint as the O(|T|) driver
+    worklist, for several k."""
+    from opps_feedcrawler_ray.pipelines.webpipe import doc_ktruss
+
+    for k in (3, 4):
+        d = doc_ktruss(SF, k=k, work_dir=str(tmp_path / f"wd{k}"),
+                       peel="distributed")
+        w = doc_ktruss(SF, k=k, work_dir=str(tmp_path / f"ww{k}"),
+                       peel="worklist")
+        pd.testing.assert_frame_equal(d, w)
