@@ -980,7 +980,7 @@ def dbscan_embeddings(
     threshold: float = 0.5,
     min_pts: int = 4,
     n_blocks: int = 8,
-    edge_source: str = "lsh",
+    edge_source: str = "auto",
     lsh_tables: int = 16,
     lsh_bits: int = 8,
     cluster_backend: str = "unionfind",
@@ -995,7 +995,8 @@ def dbscan_embeddings(
     NOISE.
 
     Scale shape (VERDICT r4 task #2 — the LSH swap is now code, not a
-    docstring): ``edge_source="lsh"`` (default) generates eps-edges via
+    docstring): ``edge_source="lsh"`` (the auto-pick for thresholds in
+    its recall regime — see below) generates eps-edges via
     the sub-quadratic ``embedding_dedup_pairs`` banded sign-LSH kernel
     (candidates from T=``lsh_tables`` tables of ``lsh_bits`` hyperplane
     bits each, every candidate exact-cosine verified — precision is
@@ -1020,11 +1021,22 @@ def dbscan_embeddings(
     the core-core component labeling through
     ``graphcore.min_label_components`` (the bucketed min-label
     exchange) with a vectorized border attach — the past-10^8-pairs
-    swap, now code and tested equal to the union-find."""
+    swap, now code and tested equal to the union-find.
+
+    ``edge_source="auto"`` (default) picks by the recall formula above:
+    sign-LSH at T=16/b=8 keeps per-pair boundary recall ≥ 0.95 only
+    for thresholds ≥ ~0.7 (at τ=0.5, p=2/3 gives ~0.47 — half the
+    eps-edges at the boundary would silently vanish and split
+    clusters), so auto uses LSH in its valid regime and the exact
+    edge list below it.  Explicit ``"lsh"`` / ``"exact"`` override."""
     import os
 
     from .dedup import embedding_allpairs_cosine, embedding_dedup_pairs
 
+    if edge_source == "auto":
+        # boundary recall 1-(1-p^b)^T with p = 1-acos(threshold)/pi;
+        # >= 0.95 needs threshold >~ 0.7 at the T=16/b=8 default
+        edge_source = "lsh" if threshold >= 0.7 else "exact"
     if edge_source == "lsh":
         pairs = embedding_dedup_pairs(
             ds, vec_col=vec_col, id_col=id_col, threshold=threshold,
@@ -1121,15 +1133,17 @@ def dbscan_embeddings(
 
 def embedding_dbscan(
     sf_dir: str, threshold: float = 0.5, min_pts: int = 4,
-    edge_source: str = "lsh",
+    edge_source: str = "auto",
 ) -> "pd.DataFrame":
     """Driver-contract wrapper: DBSCAN over the embeddings table
     (rows-only: density clustering is not SQL-expressible; the twin test
     replays the textbook sequential DBSCAN and checks label-for-label
-    equality, plus planted-blob recovery on synthetic data).  Default
-    edge source is the sub-quadratic banded sign-LSH kernel; the exact
-    all-pairs twin stays selectable (``edge_source="exact"``) and the
-    tests pin lsh == exact on the fixtures."""
+    equality, plus planted-blob recovery on synthetic data).  The edge
+    source defaults to the recall-regime auto-pick (sub-quadratic
+    banded sign-LSH for eps thresholds ≥ ~0.7 where its boundary
+    recall holds, the exact all-pairs list below); explicit
+    ``"lsh"``/``"exact"`` override, and the tests pin lsh == exact on
+    the fixtures and on planted blobs."""
     ds = rd.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )

@@ -231,7 +231,9 @@ def _verify_pairs_distributed(
             seg = lens[rows_seq]
             total = int(seg.sum())
             if total == 0:
-                sims = np.zeros(n_pairs)
+                # both sides empty for every pair: the sim_fn twin
+                # (functions/text.py jaccard) defines J(∅, ∅) = 1.0
+                sims = np.ones(n_pairs)
             else:
                 starts = fo[rows_seq]
                 ofs = (np.arange(total, dtype=np.int64)
@@ -245,7 +247,8 @@ def _verify_pairs_distributed(
                 dup = (pv[1:] == pv[:-1]) & (vv[1:] == vv[:-1])
                 inter = np.bincount(pv[1:][dup], minlength=n_pairs)
                 union = lens[ia] + lens[ib] - inter
-                sims = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+                # union == 0 ⇔ both sets empty ⇒ J = 1.0 (twin semantics)
+                sims = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
         else:
             feats = [
                 prep_fn(f) if prep_fn is not None else f for f in feat_rows

@@ -53,6 +53,33 @@ __all__ = [
 ]
 
 
+def expand_undirected(ds: "rd.Dataset") -> "rd.Dataset":
+    """Undirected (a, b) edge Dataset → directed contribution copies
+    (both directions) — the shared first stage of every bucketed
+    undirected-graph op (Katz, HyperBall, Luby MIS, components)."""
+
+    def expand(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"a": pa.array(np.concatenate([a, b]), pa.int64()),
+                         "b": pa.array(np.concatenate([b, a]), pa.int64())})
+
+    return ds.map_batches(expand, batch_format="pyarrow")
+
+
+def node_table(ds: "rd.Dataset", cols: tuple = ("a",)) -> "rd.Dataset":
+    """Per-batch-unique node Dataset drawn from ``cols`` of an edge
+    Dataset (global dedup happens in the partition spill)."""
+
+    def node_batch(t: pa.Table) -> pa.Table:
+        arr = np.unique(np.concatenate(
+            [t[c].to_numpy(zero_copy_only=False) for c in cols]
+        )).astype(np.int64)
+        return pa.table({"node": pa.array(arr, pa.int64())})
+
+    return ds.map_batches(node_batch, batch_format="pyarrow")
+
+
 def _driver_get(refs):
     """The ONLY ``ray.get`` the fixpoint driver loop performs — and a
     structural proof obligation: every payload must be a scalar/tuple of
@@ -71,9 +98,17 @@ def _driver_get(refs):
 def _read_bucket_parquet(path: str, columns: list[str]) -> pd.DataFrame:
     """Remote per-bucket Parquet read; the task's return ref IS the
     pinned per-bucket table (bytes live in the object store, not the
-    driver)."""
+    driver).  A missing file is an ERROR, never an empty table —
+    ``partition_by_key`` writes every bucket (empty ones included), so
+    absence means the spill dir was wiped out from under this run
+    (e.g. a concurrent same-dir call) and silently returning empty
+    would corrupt results instead of failing loudly."""
     if not os.path.exists(path):
-        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in columns})
+        raise FileNotFoundError(
+            f"graphcore bucket spill missing: {path} — the partition "
+            "directory was removed mid-run (concurrent partition_by_key "
+            "on the same out_dir?)"
+        )
     df = pd.read_parquet(path, columns=columns)
     return df.reset_index(drop=True)
 
@@ -118,6 +153,13 @@ def partition_by_key(
         .map_groups(spill, batch_format="pandas")
         .materialize()
     )
+    # every bucket gets a file — empty buckets included — so a missing
+    # file downstream is unambiguously a wiped directory, not emptiness
+    empty = pd.DataFrame({c: pd.Series([], dtype="int64") for c in columns})
+    for b in range(n_buckets):
+        path = os.path.join(out_dir, f"b{b}.parquet")
+        if not os.path.exists(path):
+            empty.to_parquet(path)
     return [
         _read_bucket_parquet.remote(os.path.join(out_dir, f"b{b}.parquet"), columns)
         for b in range(n_buckets)
@@ -268,25 +310,13 @@ def min_label_components(
     Returns a DataFrame (node, comp) via the final collect (component
     labeling is the OUTPUT; at 100 TB swap the collect for
     ``write_state_parquet`` exactly as the BFS proof test does)."""
-
-    def expand(t: pa.Table) -> pa.Table:
-        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({"a": pa.array(np.concatenate([a, b]), pa.int64()),
-                         "b": pa.array(np.concatenate([b, a]), pa.int64())})
-
-    directed = edges_ds.map_batches(expand, batch_format="pyarrow")
+    directed = expand_undirected(edges_ds)
     edge_refs = partition_by_key(
         directed, "a", n_buckets, os.path.join(gc_dir, "edges"), ["a", "b"]
     )
-
-    def node_batch(t: pa.Table) -> pa.Table:
-        arr = np.unique(t["a"].to_numpy(zero_copy_only=False)).astype(np.int64)
-        return pa.table({"node": pa.array(arr, pa.int64())})
-
     node_refs = partition_by_key(
-        directed.map_batches(node_batch, batch_format="pyarrow"),
-        "node", n_buckets, os.path.join(gc_dir, "nodes"), ["node"],
+        node_table(directed), "node", n_buckets,
+        os.path.join(gc_dir, "nodes"), ["node"],
         spill_transform=lambda d: d.drop_duplicates(),
     )
 

@@ -1139,7 +1139,7 @@ def doc_bfs_depth(
         sf_tag = os.path.basename(os.path.normpath(sf_dir))
         work = work_dir or f"/tmp/opps_feedcrawler_ray/webpipe-{sf_tag}"
         return _bfs_bucketed(
-            edges, source, max_depth, os.path.join(work, "gc_bfs"), n_buckets
+            edges, source, max_depth, os.path.join(work, f"gc_bfs-{os.getpid()}"), n_buckets
         )
 
     prop_schema = pa.schema([("doc_id", pa.int64()), ("nd", pa.int64())])
@@ -1555,27 +1555,16 @@ def _hyperball_bucketed(
     edges, _n_docs, _nb = _doc_link_edges(sf_dir, work_dir=work_dir)
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
     work = work_dir or f"/tmp/opps_feedcrawler_ray/webpipe-{sf_tag}"
-    gc_dir = os.path.join(work, "gc_hb")
+    gc_dir = os.path.join(work, f"gc_hb-{os.getpid()}")
     m = 1 << p
 
-    def expand(t: pa.Table) -> pa.Table:
-        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({"a": pa.array(np.concatenate([a, b]), pa.int64()),
-                         "b": pa.array(np.concatenate([b, a]), pa.int64())})
-
-    directed = edges.map_batches(expand, batch_format="pyarrow")
+    directed = gc.expand_undirected(edges)
     edge_refs = gc.partition_by_key(
         directed, "a", n_buckets, os.path.join(gc_dir, "edges"), ["a", "b"]
     )
-
-    def node_batch(t: pa.Table) -> pa.Table:
-        arr = np.unique(t["a"].to_numpy(zero_copy_only=False)).astype(np.int64)
-        return pa.table({"node": pa.array(arr, pa.int64())})
-
     node_refs = gc.partition_by_key(
-        directed.map_batches(node_batch, batch_format="pyarrow"),
-        "node", n_buckets, os.path.join(gc_dir, "nodes"), ["node"],
+        gc.node_table(directed), "node", n_buckets,
+        os.path.join(gc_dir, "nodes"), ["node"],
         spill_transform=lambda d: d.drop_duplicates(),
     )
 
@@ -1991,21 +1980,13 @@ def doc_betweenness(
 
     edges, n_docs, nb = _doc_link_edges(sf_dir, work_dir)
     n = n_docs
-    block_refs = []
-    for bundle in edges.iter_internal_ref_bundles():
-        block_refs.extend(bundle.block_refs)
+    block_refs = _edge_block_refs(edges)
 
     @ray.remote
     def build_csr(*blocks):
         # round 5: the |E|-sized CSR build runs in a task; its return
         # ref IS the pinned graph — the driver holds refs only
-        import pandas as _pd
-
-        from ray.data.block import BlockAccessor
-
-        dfs = [BlockAccessor.for_block(bl).to_pandas() for bl in blocks]
-        e = (_pd.concat(dfs, ignore_index=True) if dfs
-             else _pd.DataFrame({"a": [], "b": []}))
+        e = _blocks_to_edge_df(blocks)
         a = e["a"].to_numpy(dtype="int64")
         b = e["b"].to_numpy(dtype="int64")
         # CSR over both directions (undirected)
@@ -2098,7 +2079,7 @@ def doc_sssp(
             return 1 + (7 * aa + 13 * bb) % 5
 
         return _relax_bucketed(
-            edges, source, max_iters, os.path.join(work, "gc_sssp"),
+            edges, source, max_iters, os.path.join(work, f"gc_sssp-{os.getpid()}"),
             n_buckets, weight_fn=_w, out_col="dist",
         )
 
@@ -2164,15 +2145,8 @@ def _luby_bucketed(edges_ds, n_docs: int, gc_dir: str,
 
     from . import graphcore as gc
 
-    def expand(t: pa.Table) -> pa.Table:
-        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({"a": pa.array(np.concatenate([a, b]), pa.int64()),
-                         "b": pa.array(np.concatenate([b, a]), pa.int64())})
-
     edge_refs = gc.partition_by_key(
-        edges_ds.map_batches(expand, batch_format="pyarrow"),
-        "a", n_buckets, gc_dir, ["a", "b"],
+        gc.expand_undirected(edges_ds), "a", n_buckets, gc_dir, ["a", "b"],
     )
 
     def init(bk: int) -> pd.DataFrame:
@@ -2307,7 +2281,7 @@ def doc_luby_mis(sf_dir: str, work_dir: str | None = None,
     if exchange == "bucketed":
         sf_tag = os.path.basename(os.path.normpath(sf_dir))
         work = work_dir or f"/tmp/opps_feedcrawler_ray/webpipe-{sf_tag}"
-        return _luby_bucketed(edges, n_docs, os.path.join(work, "gc_mis"),
+        return _luby_bucketed(edges, n_docs, os.path.join(work, f"gc_mis-{os.getpid()}"),
                               n_buckets)
 
     active = np.ones(n_docs, dtype=bool)
@@ -2403,18 +2377,9 @@ def _scc_bucketed(edges_ds, gc_dir: str, n_buckets: int,
         edges_ds, "b", n_buckets, os.path.join(gc_dir, "bwd"), ["a", "b"]
     )
 
-    def node_batch(t: pa.Table) -> pa.Table:
-        arr = np.unique(
-            np.concatenate(
-                [t["a"].to_numpy(zero_copy_only=False),
-                 t["b"].to_numpy(zero_copy_only=False)]
-            )
-        ).astype(np.int64)
-        return pa.table({"node": pa.array(arr, pa.int64())})
-
     node_refs = gc.partition_by_key(
-        edges_ds.map_batches(node_batch, batch_format="pyarrow"),
-        "node", n_buckets, os.path.join(gc_dir, "nodes"), ["node"],
+        gc.node_table(edges_ds, cols=("a", "b")), "node", n_buckets,
+        os.path.join(gc_dir, "nodes"), ["node"],
         spill_transform=lambda d: d.drop_duplicates(),
     )
 
@@ -2629,7 +2594,7 @@ def doc_scc(
     if exchange == "bucketed":
         sf_tag = os.path.basename(os.path.normpath(sf_dir))
         work = work_dir or f"/tmp/opps_feedcrawler_ray/webpipe-{sf_tag}"
-        return _scc_bucketed(edges_ds, os.path.join(work, "gc_scc"), n_buckets)
+        return _scc_bucketed(edges_ds, os.path.join(work, f"gc_scc-{os.getpid()}"), n_buckets)
     ed = edges_ds.to_pandas()  # edge list is pinned once per phase below;
     # the pandas copy here only bootstraps the node set (|E| bounded at
     # test scale — at 100 TB derive nodes from a map_batches distinct)
@@ -3167,13 +3132,9 @@ def _matching_bucketed(edges_ds, gc_dir: str, n_buckets: int) -> "pd.DataFrame":
         directed, "a", n_buckets, os.path.join(gc_dir, "edges"),
         ["a", "b", "fp"],
     )
-    def node_batch(t: pa.Table) -> pa.Table:
-        arr = np.unique(t["a"].to_numpy(zero_copy_only=False)).astype(np.int64)
-        return pa.table({"node": pa.array(arr, pa.int64())})
-
     node_refs = gc.partition_by_key(
-        directed.map_batches(node_batch, batch_format="pyarrow"),
-        "node", n_buckets, os.path.join(gc_dir, "nodes"), ["node"],
+        gc.node_table(directed), "node", n_buckets,
+        os.path.join(gc_dir, "nodes"), ["node"],
         spill_transform=lambda d: d.drop_duplicates(),
     )
 
@@ -3334,7 +3295,7 @@ def doc_maximal_matching(sf_dir: str, work_dir: str | None = None,
     if exchange == "bucketed":
         sf_tag = os.path.basename(os.path.normpath(sf_dir))
         work = work_dir or f"/tmp/opps_feedcrawler_ray/webpipe-{sf_tag}"
-        return _matching_bucketed(edges, os.path.join(work, "gc_match"),
+        return _matching_bucketed(edges, os.path.join(work, f"gc_match-{os.getpid()}"),
                                   n_buckets)
 
     def with_fp(batch: pa.Table) -> pa.Table:
@@ -3452,12 +3413,32 @@ def warc_cdx_index(sf_dir: str, n_files: int = 4,
     # the packing (n_files + corpus fingerprint), and concurrent runs
     # must not see a half-written directory — build in a tmp dir and
     # atomically rename into the keyed location.
-    corpus_fp = pq.read_metadata(
-        os.path.join(sf_dir, "documents.parquet")
-    ).num_rows
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    stat = os.stat(doc_path)
+    # fingerprint = rows + size + mtime: a regenerated corpus with the
+    # same row count but different content still misses the cache
+    corpus_fp = (
+        f"{pq.read_metadata(doc_path).num_rows}"
+        f"-{stat.st_size}-{stat.st_mtime_ns}"
+    )
     warc_dir = os.path.join(work, f"warc-n{n_files}-r{corpus_fp}")
     done = os.path.join(warc_dir, "_DONE")
     if not os.path.exists(done):
+        import glob as _glob
+        import time as _time
+
+        # sweep superseded finished caches, and crashed builds' orphan
+        # tmp dirs once they are clearly not a live concurrent build
+        # (a killed run's warc-*.tmp-<otherpid> is never reused)
+        for stale in _glob.glob(os.path.join(work, "warc-n*")):
+            if stale == warc_dir:
+                continue
+            is_done = os.path.exists(os.path.join(stale, "_DONE"))
+            is_old_tmp = ".tmp-" in stale and (
+                _time.time() - os.path.getmtime(stale) > 6 * 3600
+            )
+            if is_done or is_old_tmp:
+                shutil.rmtree(stale, ignore_errors=True)
         tmp_dir = f"{warc_dir}.tmp-{os.getpid()}"
         shutil.rmtree(tmp_dir, ignore_errors=True)
         os.makedirs(tmp_dir, exist_ok=True)
@@ -3499,6 +3480,28 @@ def warc_cdx_index(sf_dir: str, n_files: int = 4,
     return out.reset_index(drop=True)
 
 
+def _edge_block_refs(ds) -> list:
+    """Block refs of an edge Dataset, for shipping into ONE remote task
+    (shared by the sequential-by-construction graph ops).  The only
+    place the private ``iter_internal_ref_bundles`` API is touched."""
+    refs: list = []
+    for bundle in ds.iter_internal_ref_bundles():
+        refs.extend(bundle.block_refs)
+    return refs
+
+
+def _blocks_to_edge_df(blocks) -> "pd.DataFrame":
+    """Concatenate shipped edge blocks inside a task (the only place
+    the private ``BlockAccessor`` API is touched)."""
+    import pandas as pd
+
+    from ray.data.block import BlockAccessor
+
+    dfs = [BlockAccessor.for_block(bl).to_pandas() for bl in blocks]
+    return (pd.concat(dfs, ignore_index=True) if dfs
+            else pd.DataFrame({"a": [], "b": []}))
+
+
 def doc_ppr_push(sf_dir: str, alpha: float = 0.15, eps: float = 1e-6,
                  topk: int = 20, work_dir: str | None = None) -> "pd.DataFrame":
     """LOCAL personalized PageRank via the ACL PUSH algorithm (Andersen,
@@ -3529,17 +3532,11 @@ def doc_ppr_push(sf_dir: str, alpha: float = 0.15, eps: float = 1e-6,
     import ray
 
     edges, n_docs, nb = _doc_link_edges(sf_dir, work_dir)
-    block_refs = []
-    for bundle in edges.iter_internal_ref_bundles():
-        block_refs.extend(bundle.block_refs)
+    block_refs = _edge_block_refs(edges)
 
     @ray.remote
     def push_task(*blocks) -> "pd.DataFrame":
-        from ray.data.block import BlockAccessor
-
-        dfs = [BlockAccessor.for_block(bl).to_pandas() for bl in blocks]
-        edf = (pd.concat(dfs, ignore_index=True) if dfs
-               else pd.DataFrame({"a": [], "b": []}))
+        edf = _blocks_to_edge_df(blocks)
         if len(edf) == 0:
             return pd.DataFrame({c: pd.Series(dtype="int64")
                                  for c in ["doc_id", "ppr_e9", "is_seed"]})
@@ -3603,13 +3600,7 @@ def _katz_bucketed(edges_ds, iters: int, gc_dir: str,
 
     from . import graphcore as gc
 
-    def expand(t: pa.Table) -> pa.Table:
-        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({"a": pa.array(np.concatenate([a, b]), pa.int64()),
-                         "b": pa.array(np.concatenate([b, a]), pa.int64())})
-
-    directed = edges_ds.map_batches(expand, batch_format="pyarrow")
+    directed = gc.expand_undirected(edges_ds)
     edge_refs = gc.partition_by_key(directed, "a", n_buckets, gc_dir, ["a", "b"])
 
     def init(_b: int) -> pd.DataFrame:
@@ -3699,7 +3690,7 @@ def doc_katz_centrality(sf_dir: str, iters: int = 8,
     if exchange == "bucketed":
         sf_tag = os.path.basename(os.path.normpath(sf_dir))
         work = work_dir or f"/tmp/opps_feedcrawler_ray/webpipe-{sf_tag}"
-        return _katz_bucketed(edges, iters, os.path.join(work, "gc_katz"),
+        return _katz_bucketed(edges, iters, os.path.join(work, f"gc_katz-{os.getpid()}"),
                               n_buckets)
     edf_nodes = None
     x: dict[int, int] = {}
@@ -3791,16 +3782,41 @@ def _host_norm_adjacency(edges_df):
     return hosts, ii, jj, cc
 
 
-def _lanczos_smallest(matvec, n: int, n_want: int, seed: int = 1234):
-    """Lanczos tridiagonalization with full reorthogonalization and
-    deterministic deflation restarts (fresh seeded vector orthogonal to
-    the basis when an invariant subspace exhausts), followed by an eigh
-    of the small tridiagonal-with-restart-blocks matrix T.  Basis size
-    caps at min(n, max(3·n_want, 24)) — at fixture scale that exhausts
-    the space, so the Ritz pairs ARE the eigenpairs; at web scale it is
-    the classic bounded-memory iterative eigensolver (Golub & Van Loan
-    ch. 10).  Returns (ritz_values, ritz_vectors[:, order]) ascending."""
+def _lanczos_smallest(matvec, n: int, n_want: int, seed: int = 1234,
+                      tol: float = 1e-8):
+    """Lanczos tridiagonalization with full reorthogonalization,
+    deterministic deflation restarts, AND residual-checked basis
+    expansion: starting from m = min(n, max(3·n_want, 24)) Krylov
+    steps, the bottom ``n_want`` Ritz pairs are verified against the
+    actual multiply (‖L·v − λv‖ ≤ tol·max(1, |λ|)) and the basis
+    doubles until they converge or m reaches n (where the Krylov space
+    is exhausted and the Ritz pairs ARE the eigenpairs) — so larger
+    host graphs pay more multiplies instead of silently returning
+    unconverged estimates.  The classic bounded-memory iterative
+    eigensolver (Golub & Van Loan ch. 10).  Returns
+    (ritz_values, ritz_vectors[:, order]) ascending."""
     m = min(n, max(3 * n_want, 24))
+    while True:
+        vals, vecs = _lanczos_basis(matvec, n, m, seed)
+        converged = True
+        for i in range(min(n_want, vecs.shape[1])):
+            v = vecs[:, i]
+            nv = float(np.linalg.norm(v))
+            if nv == 0.0:
+                continue
+            u = v / nv
+            resid = float(np.linalg.norm(matvec(u) - vals[i] * u))
+            if resid > tol * max(1.0, abs(float(vals[i]))):
+                converged = False
+                break
+        if converged or m >= n:
+            return vals, vecs
+        m = min(n, 2 * m)
+
+
+def _lanczos_basis(matvec, n: int, m: int, seed: int = 1234):
+    """One Lanczos sweep of (up to) ``m`` basis vectors; see
+    :func:`_lanczos_smallest` for the algorithm notes."""
     rng = np.random.default_rng(seed)
     V: list[np.ndarray] = []
     alphas: list[float] = []

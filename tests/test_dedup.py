@@ -639,3 +639,39 @@ def test_doc_cdc_chunks_matches_pandas_census(ray_session):
     tail1 = [c for c in c1 if c > mid + 32]
     tail2 = [c - 6 for c in c2 if c - 6 > mid + 32]
     assert set(tail1) & set(tail2), "no boundary re-alignment after edit"
+
+
+def test_verify_pairs_vectorized_empty_set_jaccard(ray_session):
+    """Two empty shingle sets are identical documents: the vectorized
+    jaccard_sorted kernel must report J = 1.0 like the sim_fn twin
+    (functions.text.jaccard), not 0.0 — empty docs always collide in
+    every MinHash band, so this is a reachable verify case."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from opps_feedcrawler_ray.pipelines.dedup import _verify_pairs_distributed
+
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                                 "text": pa.array(["", ""], pa.string())}))
+    cand = pd.DataFrame({"a": [1], "b": [2]})
+
+    def feats(batch: pa.Table, cand_arr) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = np.isin(ids, cand_arr)
+        return pa.table({"doc_id": pa.array(ids[keep], pa.int64()),
+                         "feat": pa.array([[] for _ in range(int(keep.sum()))],
+                                          pa.list_(pa.uint64()))})
+
+    from opps_feedcrawler_ray.functions.text import jaccard
+
+    for kind in ("jaccard_sorted", None):
+        out = _verify_pairs_distributed(
+            ds, cand, feats,
+            sim_fn=jaccard, threshold=0.5, id_col="doc_id",
+            feat_type=pa.list_(pa.uint64()),
+            prep_fn=lambda f: set(int(x) for x in f),
+            sim_kind=kind,
+        )
+        assert len(out) == 1 and float(out["sim"].iloc[0]) == 1.0, (kind, out)

@@ -418,3 +418,32 @@ def test_ktruss_distributed_peel_equals_worklist(ray_session, tmp_path):
         w = doc_ktruss(SF, k=k, work_dir=str(tmp_path / f"ww{k}"),
                        peel="worklist")
         pd.testing.assert_frame_equal(d, w)
+
+
+def test_lanczos_converges_past_initial_basis():
+    """The residual-checked basis expansion: on a 100-node graph the
+    initial m=24 Krylov basis is NOT the full space, so the solver must
+    expand until the bottom eigenpairs match a dense eigh to tight
+    tolerance (the round-5 review found the fixed-m version returned
+    unconverged Ritz pairs here)."""
+    from opps_feedcrawler_ray.pipelines.webpipe import _lanczos_smallest
+
+    rng = np.random.RandomState(9)
+    n = 100
+    A = np.zeros((n, n))
+    for _ in range(400):
+        i, j = rng.randint(0, n, 2)
+        if i != j:
+            w = rng.randint(1, 5)
+            A[i, j] += w
+            A[j, i] += w
+    deg = np.where(A.sum(axis=1) == 0, 1.0, A.sum(axis=1))
+    dmh = 1.0 / np.sqrt(deg)
+    L = np.eye(n) - dmh[:, None] * A * dmh[None, :]
+
+    vals, vecs = _lanczos_smallest(lambda x: L @ x, n, n_want=3)
+    dense_vals = np.linalg.eigvalsh(L)
+    for i in range(3):
+        assert abs(vals[i] - dense_vals[i]) < 1e-7, (i, vals[i], dense_vals[i])
+        v = vecs[:, i] / np.linalg.norm(vecs[:, i])
+        assert np.linalg.norm(L @ v - vals[i] * v) < 1e-6
