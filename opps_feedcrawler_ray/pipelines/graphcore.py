@@ -44,12 +44,15 @@ import ray
 import ray.data as rd
 
 __all__ = [
+    "expand_undirected",
+    "node_table",
     "partition_by_key",
     "init_state_refs",
     "bucketed_fixpoint",
     "collect_state",
     "write_state_parquet",
     "map_state",
+    "min_label_components",
 ]
 
 
