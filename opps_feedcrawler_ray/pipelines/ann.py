@@ -1002,7 +1002,8 @@ def dbscan_embeddings(
     bits each, every candidate exact-cosine verified — precision is
     exact, recall per pair is 1-(1-p^b)^T with p = 1-θ/π).  The T=16 /
     b=8 default prunes uncorrelated pairs by ~2^-8 per table while
-    keeping per-pair recall ≥ 0.999 for cosine ≥ 0.8 — the density
+    keeping per-pair recall ≈ 0.94 at cosine 0.8, ≈ 0.996 at 0.9 and
+    ≥ 0.999 past ~0.93 — the density
     regime DBSCAN-over-embeddings targets; for eps thresholds near 0.5
     sign-LSH is inherently blunt (p ≈ 2/3), so either lower ``lsh_bits``
     (recall up, pruning down) or use ``edge_source="exact"``.
@@ -1025,7 +1026,8 @@ def dbscan_embeddings(
 
     ``edge_source="auto"`` (default) picks by the recall formula above:
     sign-LSH at T=16/b=8 keeps per-pair boundary recall ≥ 0.95 only
-    for thresholds ≥ ~0.7 (at τ=0.5, p=2/3 gives ~0.47 — half the
+    for thresholds ≥ ~0.82 (0.80 recall at τ=0.7; at τ=0.5, p=2/3
+    gives ~0.47 — half the
     eps-edges at the boundary would silently vanish and split
     clusters), so auto uses LSH in its valid regime and the exact
     edge list below it.  Explicit ``"lsh"`` / ``"exact"`` override."""
@@ -1034,9 +1036,10 @@ def dbscan_embeddings(
     from .dedup import embedding_allpairs_cosine, embedding_dedup_pairs
 
     if edge_source == "auto":
-        # boundary recall 1-(1-p^b)^T with p = 1-acos(threshold)/pi;
-        # >= 0.95 needs threshold >~ 0.7 at the T=16/b=8 default
-        edge_source = "lsh" if threshold >= 0.7 else "exact"
+        # boundary recall 1-(1-p^b)^T with p = 1-acos(threshold)/pi at
+        # the T=16/b=8 default: 0.96 at tau=0.82, 0.94 at 0.80, 0.80 at
+        # 0.70 — so the >=0.95 criterion puts the cutover at ~0.82
+        edge_source = "lsh" if threshold >= 0.82 else "exact"
     if edge_source == "lsh":
         pairs = embedding_dedup_pairs(
             ds, vec_col=vec_col, id_col=id_col, threshold=threshold,
@@ -1140,7 +1143,7 @@ def embedding_dbscan(
     replays the textbook sequential DBSCAN and checks label-for-label
     equality, plus planted-blob recovery on synthetic data).  The edge
     source defaults to the recall-regime auto-pick (sub-quadratic
-    banded sign-LSH for eps thresholds ≥ ~0.7 where its boundary
+    banded sign-LSH for eps thresholds ≥ ~0.82 where its boundary
     recall holds, the exact all-pairs list below); explicit
     ``"lsh"``/``"exact"`` override, and the tests pin lsh == exact on
     the fixtures and on planted blobs."""

@@ -30,6 +30,16 @@ rows through the object store in B×B slices; edges never move after the
 initial partition.  B is a knob — at 10^10 nodes pick B so one bucket's
 label table fits a worker heap (the driver never holds one either way).
 The B² proposal refs per iteration are bytes on the driver, not rows.
+
+Kernel taxonomy: ``webpipe._relax_bucketed`` is the canonical
+frontier-only min-label relaxation (BFS/SSSP); this module's
+``min_label_components`` and SCC's forward sweep are deliberate
+specializations of the same propose/merge shape (different state
+columns — component labels vs colors + phase flags) rather than
+parameterizations, because their merge-side constraints (active sets,
+class membership) don't fit a weight_fn hook.  A change to the shared
+shape (frontier filter, searchsorted fold) should be mirrored across
+the three sites.
 """
 
 from __future__ import annotations

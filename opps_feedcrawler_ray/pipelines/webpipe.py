@@ -2244,6 +2244,9 @@ def _luby_bucketed(edges_ds, n_docs: int, gc_dir: str,
         rnd += 1
 
     out = gc.collect_state(state_refs)
+    if not len(out):  # empty corpus: match the broadcast twin's frame
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "in_mis": pd.Series([], dtype="int64")})
     out = (
         out[["node", "mis"]].rename(columns={"node": "doc_id",
                                              "mis": "in_mis"})
@@ -2384,7 +2387,10 @@ def _scc_bucketed(edges_ds, gc_dir: str, n_buckets: int,
     )
 
     def init_fn(nodes_df: pd.DataFrame):
-        st = nodes_df.copy()
+        # sorted by node once here; every transition preserves order,
+        # so the merges below can use searchsorted lookups instead of
+        # rebuilding an index per call
+        st = nodes_df.sort_values("node").reset_index(drop=True)
         st["scc"] = np.int64(-1)
         return st.astype({"node": "int64", "scc": "int64"}), int(len(st))
 
@@ -2416,15 +2422,16 @@ def _scc_bucketed(edges_ds, gc_dir: str, n_buckets: int,
 
     def merge_fwd(st: pd.DataFrame, props: pd.DataFrame):
         st = st.assign(fresh=0)
-        if not len(props):
+        if not len(props) or not len(st):
             return st, 0
         p = props.groupby("node", as_index=False)["lab"].min()
-        idx = st.set_index("node")
+        sn = st["node"].to_numpy()  # sorted since init
+        keys = p["node"].to_numpy(dtype="int64")
         lab = p["lab"].to_numpy(dtype="int64")
-        pos = idx.index.get_indexer(p["node"].to_numpy(dtype="int64"))
+        pos = np.clip(np.searchsorted(sn, keys), 0, max(len(sn) - 1, 0))
         color = st["color"].to_numpy().copy()
         fresh = st["fresh"].to_numpy().copy()
-        valid = pos >= 0
+        valid = sn[pos] == keys
         pv, lv = pos[valid], lab[valid]
         better = (color[pv] != -1) & (lv < color[pv])
         n_changed = int(better.sum())
@@ -2463,17 +2470,18 @@ def _scc_bucketed(edges_ds, gc_dir: str, n_buckets: int,
 
     def merge_bwd(st: pd.DataFrame, props: pd.DataFrame):
         st = st.assign(fresh=0)
-        if not len(props):
+        if not len(props) or not len(st):
             return st, 0
-        idx = st.set_index("node")
-        pos = idx.index.get_indexer(props["node"].to_numpy(dtype="int64"))
+        sn = st["node"].to_numpy()  # sorted since init
+        keys = props["node"].to_numpy(dtype="int64")
+        pos = np.clip(np.searchsorted(sn, keys), 0, max(len(sn) - 1, 0))
         lab = props["lab"].to_numpy(dtype="int64")
         memb = props["memb"].to_numpy(dtype="int64")
         scc = st["scc"].to_numpy()
         color = st["color"].to_numpy()
         rlab = st["rlab"].to_numpy().copy()
         fresh = st["fresh"].to_numpy().copy()
-        valid = pos >= 0
+        valid = sn[pos] == keys
         pv, lv, mv = pos[valid], lab[valid], memb[valid]
         ok = (scc[pv] == -1) & (color[pv] == mv)
         better = ok & ((rlab[pv] == -1) | (lv < rlab[pv]))
@@ -3427,17 +3435,15 @@ def warc_cdx_index(sf_dir: str, n_files: int = 4,
         import glob as _glob
         import time as _time
 
-        # sweep superseded finished caches, and crashed builds' orphan
-        # tmp dirs once they are clearly not a live concurrent build
-        # (a killed run's warc-*.tmp-<otherpid> is never reused)
-        for stale in _glob.glob(os.path.join(work, "warc-n*")):
-            if stale == warc_dir:
-                continue
-            is_done = os.path.exists(os.path.join(stale, "_DONE"))
-            is_old_tmp = ".tmp-" in stale and (
+        # sweep crashed builds' orphan tmp dirs once they are clearly
+        # not a live concurrent build (a killed run's
+        # warc-*.tmp-<otherpid> is never reused).  Finished caches for
+        # OTHER keys are left alone — a concurrent differently-keyed
+        # run may be reading them right now, and the key space is tiny
+        for stale in _glob.glob(os.path.join(work, "warc-n*.tmp-*")):
+            if stale != warc_dir and (
                 _time.time() - os.path.getmtime(stale) > 6 * 3600
-            )
-            if is_done or is_old_tmp:
+            ):
                 shutil.rmtree(stale, ignore_errors=True)
         tmp_dir = f"{warc_dir}.tmp-{os.getpid()}"
         shutil.rmtree(tmp_dir, ignore_errors=True)

@@ -728,17 +728,27 @@ def iter_gzip_members(blob: bytes):
     records."""
     import zlib
 
-    mv = memoryview(blob)  # ADVICE r4: per-member slices of the raw
-    # bytes copied O(members × file_size) on ~GB WARCs; memoryview
-    # slicing is zero-copy so each member costs only its own bytes
+    # ADVICE r4 (round-5 revision): feeding the whole tail per member —
+    # even via a zero-copy memoryview — still cost O(members ×
+    # file_size), because zlib materializes everything after the member
+    # boundary as the ``unused_data`` bytes copy.  Feeding bounded
+    # chunks keeps per-member work at O(member size + chunk): the
+    # decompressor sees at most one chunk past its member's end.
+    CHUNK = 1 << 20
+    mv = memoryview(blob)
     pos, n = 0, len(blob)
     while pos < n:
         d = zlib.decompressobj(wbits=31)
-        out = d.decompress(mv[pos:])
+        parts = []
+        fed = pos
+        while not d.eof and fed < n:
+            chunk = mv[fed:fed + CHUNK]
+            parts.append(d.decompress(chunk))
+            fed += len(chunk)
         if not d.eof:  # truncated trailing member — stop cleanly
             break
-        comp_len = (n - pos) - len(d.unused_data)
-        yield pos, comp_len, out
+        comp_len = (fed - pos) - len(d.unused_data)
+        yield pos, comp_len, b"".join(parts)
         pos += comp_len
 
 
