@@ -447,3 +447,120 @@ def test_lanczos_converges_past_initial_basis():
         assert abs(vals[i] - dense_vals[i]) < 1e-7, (i, vals[i], dense_vals[i])
         v = vecs[:, i] / np.linalg.norm(vecs[:, i])
         assert np.linalg.norm(L @ v - vals[i] * v) < 1e-6
+
+
+def test_luby_bucketed_random_graphs_vs_sequential_replica(ray_session, tmp_path):
+    """Bucketed Luby MIS on random undirected graphs must equal an
+    independent sequential replay of the same rounds (same splitmix64
+    priorities, same strict (priority, id) rule, same knockouts)."""
+    from opps_feedcrawler_ray.pipelines.webpipe import _luby_bucketed, _splitmix64
+
+    for seed, n, m in [(11, 80, 160), (12, 200, 700)]:
+        ds, df = _rand_edges_ds(n, m, seed)
+        # undirected canonical: a<b
+        a = np.minimum(df["a"].to_numpy(), df["b"].to_numpy())
+        b = np.maximum(df["a"].to_numpy(), df["b"].to_numpy())
+        keep = a != b
+        und = pd.DataFrame({"a": a[keep], "b": b[keep]}).drop_duplicates()
+        import pyarrow as pa
+        import ray.data as rd
+        und_ds = rd.from_arrow(pa.Table.from_pandas(und, preserve_index=False))
+        got = _luby_bucketed(und_ds, n, str(tmp_path / f"g{seed}"), n_buckets=4)
+
+        # sequential replica
+        adj = {}
+        for x, y in zip(und["a"], und["b"]):
+            adj.setdefault(int(x), set()).add(int(y))
+            adj.setdefault(int(y), set()).add(int(x))
+        active = set(range(n))
+        in_mis = set()
+        rnd = 0
+        while active:
+            salt = np.uint64((0xD1B54A32D192ED03 * (rnd + 1)) & 0xFFFFFFFFFFFFFFFF)
+            prio = _splitmix64(np.arange(n, dtype=np.uint64) ^ salt)
+            joins = set()
+            for v in active:
+                nbrs = [u for u in adj.get(v, ()) if u in active]
+                lose = any(
+                    (prio[u] < prio[v]) or (prio[u] == prio[v] and u < v)
+                    for u in nbrs
+                )
+                if not lose:
+                    joins.add(v)
+            in_mis |= joins
+            knocked = {u for v in joins for u in adj.get(v, ()) if u in active}
+            active -= joins | knocked
+            rnd += 1
+        exp = np.zeros(n, dtype=np.int64)
+        exp[sorted(in_mis)] = 1
+        assert len(got) == n
+        np.testing.assert_array_equal(got["in_mis"].to_numpy(), exp)
+
+
+def test_matching_bucketed_random_graphs_properties(ray_session, tmp_path):
+    """Bucketed maximal matching on random graphs must equal the
+    sequential greedy over global fingerprint order (the documented
+    locally-minimal-edge equivalence), be vertex-disjoint and maximal."""
+    from opps_feedcrawler_ray.functions.hashing import fingerprint64
+    from opps_feedcrawler_ray.pipelines.webpipe import _matching_bucketed
+
+    for seed, n, m in [(21, 60, 150), (22, 150, 500)]:
+        ds, df = _rand_edges_ds(n, m, seed)
+        a = np.minimum(df["a"].to_numpy(), df["b"].to_numpy())
+        b = np.maximum(df["a"].to_numpy(), df["b"].to_numpy())
+        keep = a != b
+        und = pd.DataFrame({"a": a[keep], "b": b[keep]}).drop_duplicates()
+        import pyarrow as pa
+        import ray.data as rd
+        und_ds = rd.from_arrow(pa.Table.from_pandas(und, preserve_index=False))
+        got = _matching_bucketed(und_ds, str(tmp_path / f"m{seed}"), n_buckets=4)
+
+        # sequential greedy in global fingerprint order
+        edges = sorted(
+            ((int(x), int(y)) for x, y in zip(und["a"], und["b"])),
+            key=lambda e: fingerprint64(f"{e[0]}:{e[1]}"),
+        )
+        used = set()
+        exp = set()
+        for x, y in edges:
+            if x not in used and y not in used:
+                exp.add((x, y))
+                used.add(x)
+                used.add(y)
+        got_set = set(zip(got["src_doc"].astype(int), got["dst_doc"].astype(int)))
+        assert got_set == exp
+        # vertex-disjoint
+        flat = list(got["src_doc"]) + list(got["dst_doc"])
+        assert len(flat) == len(set(flat))
+
+
+def test_katz_bucketed_random_graphs_vs_numpy(ray_session, tmp_path):
+    """Bucketed Katz on random undirected graphs must exactly equal the
+    dense integer replica x' = A·(1e6 + x) // 100 per node."""
+    from opps_feedcrawler_ray.pipelines.webpipe import _katz_bucketed
+
+    for seed, n, m in [(31, 50, 120), (32, 120, 400)]:
+        ds, df = _rand_edges_ds(n, m, seed)
+        a = np.minimum(df["a"].to_numpy(), df["b"].to_numpy())
+        b = np.maximum(df["a"].to_numpy(), df["b"].to_numpy())
+        keep = a != b
+        und = pd.DataFrame({"a": a[keep], "b": b[keep]}).drop_duplicates()
+        import pyarrow as pa
+        import ray.data as rd
+        und_ds = rd.from_arrow(pa.Table.from_pandas(und, preserve_index=False))
+        iters = 6
+        got = _katz_bucketed(und_ds, iters, str(tmp_path / f"k{seed}"),
+                             n_buckets=4)
+
+        A = np.zeros((n, n), dtype=np.int64)
+        for x, y in zip(und["a"], und["b"]):
+            A[int(x), int(y)] = 1
+            A[int(y), int(x)] = 1
+        x = np.zeros(n, dtype=np.int64)
+        for _ in range(iters):
+            x = (A @ (1_000_000 + x)) // 100
+        nodes = np.unique(np.concatenate([und["a"], und["b"]]))
+        exp = pd.DataFrame({"doc_id": nodes, "katz": x[nodes]}).astype("int64")
+        exp = exp.sort_values(["katz", "doc_id"], ascending=[False, True]
+                              ).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp)
